@@ -7,9 +7,13 @@ object SparkEntry {
     ops.Relational.q02RevenueByRegion(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.TemporalJoins.queries ++
+    ops.Windows.queries ++ ops.SetOps.queries ++
+    ops.Scalars.queries ++ ops.Analytics.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracleSql
+    ops.Relational.oracleSql ++ ops.TemporalJoins.oracleSql ++
+    ops.Windows.oracleSql ++ ops.SetOps.oracleSql ++
+    ops.Scalars.oracleSql ++ ops.Analytics.oracleSql
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Readers for the driver-generated testdata (TESTDATA.md).
   *
@@ -22,7 +24,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively (PARQUET_TYPE_ILLEGAL). Read the physical INT64 via a schema
+    * override and convert to a microsecond TimestampType with integer
+    * division (`div`, not `/` — epoch-nanos ≈ 1.7e18 exceeds the 2^53
+    * double mantissa, so float division would corrupt timestamps).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

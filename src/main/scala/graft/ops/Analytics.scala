@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation surface (SURVEY.md §2.2 "Aggregations").
+  *
+  * rollup / cube / grouping sets / count-distinct / approx-distinct over the
+  * star schema the reference's output exists to serve (completion and
+  * engagement metrics, user_course_activity_database.sql:11–13).
+  *
+  * Grouping-null handling: subtotal rows carry NULL grouping keys, and
+  * Spark and DuckDB disagree on default NULL sort order — every grouping
+  * key is therefore coalesced to the sentinel 'ALL' before the final sort.
+  */
+object Analytics {
+
+  // ─── q24: ROLLUP(year, priority) over orders ───────────────────────────
+  def q24Rollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("string"))
+      .rollup(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("yr"), lit("ALL")).as("yr"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n"), col("total"))
+      .orderBy(col("yr"), col("priority"))
+
+  val q24Sql: String =
+    """SELECT coalesce(yr, 'ALL') AS yr,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+      |             o_orderpriority, o_totalprice FROM orders)
+      |GROUP BY ROLLUP(yr, o_orderpriority)
+      |ORDER BY coalesce(yr, 'ALL'), coalesce(o_orderpriority, 'ALL')""".stripMargin
+
+  // ─── q25: CUBE(returnflag, linestatus) over lineitem ──────────────────
+  def q25Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+              col("n"), col("qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  val q25Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+      |  coalesce(l_linestatus, 'ALL') AS lstatus,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin
+
+  // ─── q26: GROUPING SETS via the SQL entry point ─────────────────────────
+  // Registers temp views and goes through spark.sql(...) — the engine's SQL
+  // text surface (the consumption contract of SURVEY.md §3.3).
+  def q26GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q26Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  // ─── q27: exact COUNT(DISTINCT) per group + global ─────────────────────
+  // Spark plans distinct-aggregates as expand + two-phase hash agg — the
+  // scalable form (no per-group set materialization on the driver).
+  def q27CountDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q27Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ─── q28: approx_count_distinct (HLL) — rows-only ──────────────────────
+  // HLL sketches differ between engines, so there is no oracle twin; the
+  // ScalaTest suite bounds the relative error against the exact count
+  // instead. At 100 TB this (fixed-size sketch, single pass) replaces
+  // count(DISTINCT) wherever exactness isn't contractual.
+  def q28ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_rollup"          -> (q24Rollup _),
+    "q25_cube"            -> (q25Cube _),
+    "q26_grouping_sets"   -> (q26GroupingSets _),
+    "q27_count_distinct"  -> (q27CountDistinct _),
+    "q28_approx_distinct" -> (q28ApproxDistinct _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_rollup"         -> q24Sql,
+    "q25_cube"           -> q25Sql,
+    "q26_grouping_sets"  -> q26Sql,
+    "q27_count_distinct" -> q27Sql,
+    // q28 intentionally omitted: approx sketch, rows-only check.
+  )
+}

@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.2 "Scalar functions").
+  *
+  * The reference's only scalar computations are the ISO-8601 `Z` timestamp
+  * normalization (user_course_activity.py:181–185) and equality on natural
+  * keys (course_catalog.py:69–70); everything else is delegated to the SQL
+  * sink. The engine exposes the full built-in families — string, date/time,
+  * math, array/map lambdas, JSON — all as Catalyst built-ins so they stay
+  * inside whole-stage codegen (no UDFs anywhere on the hot path).
+  */
+object Scalars {
+
+  // ─── q18: string functions over part ────────────────────────────────────
+  // upper/lower/substring/length/trim/concat/split/regexp_replace, grouped
+  // by the first word of p_type so the result stays a small summary.
+  def q18StringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .withColumn("type_head", split(col("p_type"), " ").getItem(0))
+      .withColumn("name5", upper(substring(col("p_name"), 1, 5)))
+      .withColumn("no_digits", regexp_replace(col("p_brand"), "[0-9]", ""))
+      .groupBy(col("type_head"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(length(col("p_name"))), 4).as("avg_name_len"),
+        min(col("name5")).as("min_name5"),
+        max(concat_ws("#", col("no_digits"), lower(col("p_name")))).as("max_tag"))
+      .orderBy(col("type_head"))
+
+  val q18Sql: String =
+    """SELECT string_split(p_type, ' ')[1] AS type_head,
+      |  count(*) AS n,
+      |  round(avg(length(p_name)), 4) AS avg_name_len,
+      |  min(upper(substring(p_name, 1, 5))) AS min_name5,
+      |  max(concat_ws('#', regexp_replace(p_brand, '[0-9]', '', 'g'),
+      |                lower(p_name))) AS max_tag
+      |FROM part
+      |GROUP BY 1
+      |ORDER BY type_head""".stripMargin
+
+  // ─── q19: date/time functions over orders ──────────────────────────────
+  def q19DateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .withColumn("mo", month(col("o_orderdate")).cast("long"))
+      .withColumn("month_start", date_trunc("month", col("o_orderdate")))
+      .withColumn("days_since_epoch95",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+      .groupBy(col("yr"), col("mo"), col("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("days_since_epoch95")).as("min_day"),
+           max(col("days_since_epoch95")).as("max_day"))
+      .orderBy(col("yr"), col("mo"))
+
+  val q19Sql: String =
+    """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  count(*) AS n_orders,
+      |  min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS min_day,
+      |  max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS max_day
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY yr, mo""".stripMargin
+
+  // ─── q20: math functions over lineitem ─────────────────────────────────
+  // sqrt is IEEE-correctly-rounded in both engines; ln agreement is within
+  // 1 ulp, far inside the round(…,2)-after-sum tolerance.
+  def q20MathFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(sqrt(col("l_quantity"))), 2).as("sum_sqrt_qty"),
+        round(sum(log(col("l_extendedprice"))), 2).as("sum_ln_price"),
+        sum(pmod(col("l_orderkey"), lit(7))).as("sum_mod7"),
+        round(max(abs(col("l_discount") - 0.05)), 6).as("max_abs_disc"),
+        sum(floor(col("l_quantity") / 10)).cast("long").as("sum_floor"),
+        sum(ceil(col("l_tax") * 100)).cast("long").as("sum_ceil"))
+      .orderBy(col("l_returnflag"))
+
+  val q20Sql: String =
+    """SELECT l_returnflag,
+      |  round(sum(sqrt(l_quantity)), 2) AS sum_sqrt_qty,
+      |  round(sum(ln(l_extendedprice)), 2) AS sum_ln_price,
+      |  sum(l_orderkey % 7) AS sum_mod7,
+      |  round(max(abs(l_discount - 0.05)), 6) AS max_abs_disc,
+      |  CAST(sum(floor(l_quantity / 10)) AS BIGINT) AS sum_floor,
+      |  CAST(sum(ceil(l_tax * 100)) AS BIGINT) AS sum_ceil
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ─── q21: array construction + higher-order lambdas ────────────────────
+  // collect_list is order-nondeterministic under parallelism → always
+  // sort_array before exposing. The lambda sum then adds the same doubles
+  // in the same order in both engines.
+  def q21ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .where(col("o_custkey") % 100 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        sort_array(collect_list(col("o_totalprice"))).as("prices"))
+      .select(
+        col("o_custkey"),
+        col("priorities"),
+        array_contains(col("priorities"), "1-URGENT").as("has_urgent"),
+        size(col("priorities")).cast("long").as("n_priorities"),
+        round(aggregate(col("prices"), lit(0.0),
+          (acc, x) => acc + x), 2).as("sum_prices"),
+        size(filter(col("prices"), _ > 150000.0)).cast("long").as("n_big"))
+      .orderBy(col("o_custkey"))
+
+  val q21Sql: String =
+    """SELECT o_custkey, priorities,
+      |  list_contains(priorities, '1-URGENT') AS has_urgent,
+      |  len(priorities) AS n_priorities,
+      |  round(list_aggregate(prices, 'sum'), 2) AS sum_prices,
+      |  len(list_filter(prices, x -> x > 150000.0)) AS n_big
+      |FROM (SELECT o_custkey,
+      |        list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |        list_sort(list(o_totalprice)) AS prices
+      |      FROM orders WHERE o_custkey % 100 = 0
+      |      GROUP BY o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
+  // ─── q22: JSON extraction over events.props ────────────────────────────
+  // events.props is a JSON string column (TESTDATA); the reference's whole
+  // ingest is JSON-document decoding (course_catalog.py:187).
+  def q22JsonFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"),
+           sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_big_k"))
+      .orderBy(col("event_type"))
+
+  val q22Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |           THEN 1 ELSE 0 END) AS n_big_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ─── q23: conditional logic (when/otherwise ≡ CASE) + null handling ────
+  // The reference's optional-field idiom (`course.get(k)` → NULL,
+  // course_catalog.py:102–106) is Spark's nullable columns + coalesce.
+  def q23CaseNulls(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("band",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large"))
+      .withColumn("maybe", when(col("o_orderstatus") === "P", col("o_totalprice")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(coalesce(col("maybe"), lit(0.0))), 2).as("pending_value"),
+           sum(col("maybe").isNull.cast("long")).as("n_null"))
+      .orderBy(col("band"))
+
+  val q23Sql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |            WHEN o_totalprice < 150000 THEN 'medium'
+      |            ELSE 'large' END AS band,
+      |  count(*) AS n,
+      |  round(sum(coalesce(CASE WHEN o_orderstatus = 'P'
+      |                          THEN o_totalprice END, 0.0)), 2) AS pending_value,
+      |  sum(CASE WHEN (CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)
+      |           IS NULL THEN 1 ELSE 0 END) AS n_null
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY band""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_string_funcs" -> (q18StringFuncs _),
+    "q19_date_funcs"   -> (q19DateFuncs _),
+    "q20_math_funcs"   -> (q20MathFuncs _),
+    "q21_array_funcs"  -> (q21ArrayFuncs _),
+    "q22_json_funcs"   -> (q22JsonFuncs _),
+    "q23_case_nulls"   -> (q23CaseNulls _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q18_string_funcs" -> q18Sql,
+    "q19_date_funcs"   -> q19Sql,
+    "q20_math_funcs"   -> q20Sql,
+    "q21_array_funcs"  -> q21Sql,
+    "q22_json_funcs"   -> q22Sql,
+    "q23_case_nulls"   -> q23Sql,
+  )
+}

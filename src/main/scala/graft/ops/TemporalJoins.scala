@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join surface: range (interval) joins and as-of joins
+  * (SURVEY.md §2.2 "Joins" — theta/range and as-of rows).
+  *
+  * Spark has no native as-of join. Rather than a naive inequality join
+  * (which plans as a broadcast nested loop — quadratic, dead at scale),
+  * the as-of here uses the union + ordered-window formulation: tag both
+  * streams, single shuffle on the key, one ordered pass per key with
+  * `last(_, ignoreNulls)` carrying the most recent left-side timestamp
+  * forward. Cost = one shuffle + one sort, same as any window — this is
+  * the formulation that survives 100 TB.
+  *
+  * The range join keeps an equi-key (user_id) so Catalyst plans a hash
+  * join and the interval predicate is a post-join filter — never a
+  * cartesian product.
+  */
+object TemporalJoins {
+
+  // ─── q09: view→purchase conversions within 6 hours (range join) ──────
+  def q09RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("user_id"))
+  }
+
+  val q09Sql: String =
+    """SELECT v.user_id, count(*) AS n_conversions
+      |FROM (SELECT user_id, ts AS view_ts FROM events
+      |      WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, ts AS purchase_ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.purchase_ts > v.view_ts
+      | AND p.purchase_ts <= v.view_ts + INTERVAL 6 HOUR
+      |GROUP BY v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  // ─── q10: last view before each purchase (as-of join) ──────────────────
+  // Tie-break: equal timestamps resolve by event_id, so a view sharing a
+  // purchase's exact timestamp counts only if its event_id is smaller.
+  def q10AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("view_ts", when(col("event_type") === "view", col("ts")))
+      .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("last_view_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q10Sql: String =
+    """SELECT p.user_id, p.event_id,
+      |  (SELECT max(v.ts) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
+      |  AS last_view_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_range_join" -> (q09RangeJoin _),
+    "q10_asof_join"  -> (q10AsOfJoin _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q09_range_join" -> q09Sql,
+    "q10_asof_join"  -> q10Sql,
+  )
+}

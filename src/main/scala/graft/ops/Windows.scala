@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.2 "Window functions").
+  *
+  * The reference's upsert keyed on (user_id, course_id)
+  * (user_course_activity.py:73–102) is exactly latest-wins =
+  * `row_number() over (partition by key order by recency) = 1`, and its
+  * first/last-completion column pair (user_course_activity_database.sql:16–17)
+  * is min/max-over-group. This object provides the full family: ranking,
+  * running aggregates over row frames, lag/lead, and range (time-interval)
+  * frames.
+  *
+  * Scale note: every window here partitions by a high-cardinality key
+  * (o_custkey), so the single shuffle it costs spreads evenly across
+  * executors; none of them ever orders the whole table globally.
+  */
+object Windows {
+
+  // ─── q11: top-3 orders per customer (ranking) ──────────────────────────
+  def q11TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ─── q12: running revenue per customer (row frame) ─────────────────────
+  // Deterministic ORDER BY (orderdate, orderkey) means both engines add the
+  // same doubles in the same order — results are bit-identical pre-round.
+  def q12RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ─── q13: days between consecutive orders (lag) ────────────────────────
+  def q13OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+              datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day',
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS gap_days
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ─── q14: 90-day trailing order stats (range frame) ────────────────────
+  // Spark range frames need a numeric ORDER BY → order by epoch seconds and
+  // frame [-90 days, 0]; the oracle uses the identical numeric formulation
+  // so peer-row semantics (equal timestamps share a frame) match exactly.
+  // count/max only: windowed sum/avg accumulate in engine-specific order
+  // (DuckDB uses a segment tree) and diverge in the last ulp; count and max
+  // are order-independent and exact.
+  def q14TrailingStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-90L * 86400, 0)
+    orders(s, d)
+      .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_max", round(max(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("trailing_n"), col("trailing_max"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  count(*) OVER w AS trailing_n,
+      |  round(max(o_totalprice) OVER w, 2) AS trailing_max
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ─── q15: first/last/nth per group (analytic functions) ────────────────
+  def q15FirstLast(s: SparkSession, d: String): DataFrame = {
+    val wOrdered = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .withColumn("first_order", first(col("o_orderkey")).over(wOrdered))
+      .withColumn("last_order", last(col("o_orderkey")).over(wOrdered))
+      .groupBy(col("o_custkey"), col("first_order"), col("last_order"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, first_order, last_order, count(*) AS n_orders
+      |FROM (SELECT o_custkey,
+      |        first_value(o_orderkey) OVER w AS first_order,
+      |        last_value(o_orderkey)  OVER w AS last_order
+      |      FROM orders
+      |      WINDOW w AS (PARTITION BY o_custkey
+      |                   ORDER BY o_orderdate, o_orderkey
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |GROUP BY o_custkey, first_order, last_order
+      |ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_topk_per_customer" -> (q11TopOrdersPerCustomer _),
+    "q12_running_total"     -> (q12RunningTotal _),
+    "q13_order_gaps"        -> (q13OrderGaps _),
+    "q14_trailing_stats"    -> (q14TrailingStats _),
+    "q15_first_last"        -> (q15FirstLast _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q11_topk_per_customer" -> q11Sql,
+    "q12_running_total"     -> q12Sql,
+    "q13_order_gaps"        -> q13Sql,
+    "q14_trailing_stats"    -> q14Sql,
+    "q15_first_last"        -> q15Sql,
+  )
+}
