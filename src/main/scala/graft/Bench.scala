@@ -1,18 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One JSON line on stdout: total + per-query seconds.
+  *
+  * The action is `write.format("noop")` — NOT `.count()` — because a
+  * count lets Catalyst delete Window/Sort/projection operators that do
+  * not change the row count (verified in round 1: q12's executed plan
+  * under count() had no Window and no Sort). The noop sink materializes
+  * every output column through the full plan without any I/O cost.
+  * One untimed warm-up pass absorbs JVM/codegen/parquet-footer warm-up
+  * so the first timed query is not charged for it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // warm-up (untimed): full pass over every query
+    SparkEntry.queries.foreach { case (n, fn) =>
+      try run(n, fn) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name, fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

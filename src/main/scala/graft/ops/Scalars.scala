@@ -85,7 +85,7 @@ object Scalars {
     """SELECT l_returnflag,
       |  round(sum(sqrt(l_quantity)), 2) AS sum_sqrt_qty,
       |  round(sum(ln(l_extendedprice)), 2) AS sum_ln_price,
-      |  sum(l_orderkey % 7) AS sum_mod7,
+      |  CAST(sum(l_orderkey % 7) AS BIGINT) AS sum_mod7,
       |  round(max(abs(l_discount - 0.05)), 6) AS max_abs_disc,
       |  CAST(sum(floor(l_quantity / 10)) AS BIGINT) AS sum_floor,
       |  CAST(sum(ceil(l_tax * 100)) AS BIGINT) AS sum_ceil
@@ -106,7 +106,10 @@ object Scalars {
         sort_array(collect_list(col("o_totalprice"))).as("prices"))
       .select(
         col("o_custkey"),
-        col("priorities"),
+        // The driver's pandas-based compare can't hash array cells
+        // (CORRECTNESS_r01 q21 err) — expose the array as a scalar join
+        // and keep the raw `prices` array internal to the lambdas.
+        array_join(col("priorities"), ",").as("priorities_csv"),
         array_contains(col("priorities"), "1-URGENT").as("has_urgent"),
         size(col("priorities")).cast("long").as("n_priorities"),
         round(aggregate(col("prices"), lit(0.0),
@@ -115,7 +118,8 @@ object Scalars {
       .orderBy(col("o_custkey"))
 
   val q21Sql: String =
-    """SELECT o_custkey, priorities,
+    """SELECT o_custkey,
+      |  array_to_string(priorities, ',') AS priorities_csv,
       |  list_contains(priorities, '1-URGENT') AS has_urgent,
       |  len(priorities) AS n_priorities,
       |  round(list_aggregate(prices, 'sum'), 2) AS sum_prices,
@@ -142,10 +146,10 @@ object Scalars {
 
   val q22Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-      |           THEN 1 ELSE 0 END) AS n_big_k
+      |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -173,8 +177,8 @@ object Scalars {
       |  count(*) AS n,
       |  round(sum(coalesce(CASE WHEN o_orderstatus = 'P'
       |                          THEN o_totalprice END, 0.0)), 2) AS pending_value,
-      |  sum(CASE WHEN (CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)
-      |           IS NULL THEN 1 ELSE 0 END) AS n_null
+      |  CAST(sum(CASE WHEN (CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)
+      |           IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
       |FROM orders
       |GROUP BY 1
       |ORDER BY band""".stripMargin
