@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TemporalJoins.queries ++
     ops.Windows.queries ++ ops.SetOps.queries ++
-    ops.Scalars.queries ++ ops.Analytics.queries
+    ops.Scalars.queries ++ ops.Analytics.queries ++
+    ingest.Normalize.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.TemporalJoins.oracleSql ++
     ops.Windows.oracleSql ++ ops.SetOps.oracleSql ++
-    ops.Scalars.oracleSql ++ ops.Analytics.oracleSql
+    ops.Scalars.oracleSql ++ ops.Analytics.oracleSql ++
+    ingest.Normalize.oracleSql
 }

@@ -96,15 +96,21 @@ object Relational {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
-  // ─── q03: top-10 orders by revenue (join → agg → global top-k) ────────
-  // orderBy(...).limit(k) compiles to TakeOrderedAndProject: each partition
-  // keeps a k-heap, driver merges k×partitions rows — no global sort
-  // shuffle, which is what makes top-k viable at 100 TB.
+  // ─── q03: top-10 orders by revenue (agg → join → global top-k) ────────
+  // Aggregate lineitem by l_orderkey BEFORE the join: the aggregation's
+  // map-side partial combine collapses ~4 items/order on the scan side, so
+  // both the agg shuffle and the join shuffle carry |orders| rows instead
+  // of |lineitem| rows — and the orders columns never ride through an
+  // aggregation. orderBy(...).limit(k) compiles to TakeOrderedAndProject:
+  // each partition keeps a k-heap, driver merges k×partitions rows — no
+  // global sort shuffle, which is what makes top-k viable at 100 TB.
   def q03TopOrders(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .groupBy(col("l_orderkey"))
       .agg(round(sum(revenue), 2).as("order_revenue"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+              col("order_revenue"))
       .orderBy(col("order_revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -191,15 +197,22 @@ object Relational {
   // ─── q07: customers per order-count bucket (LEFT OUTER join) ──────────
   // Customers with zero orders must survive — that's the outer-join
   // semantics the reference's star schema implies (courses with no
-  // activity; SURVEY.md §2.2 joins).
-  def q07CustomerOrderBuckets(s: SparkSession, d: String): DataFrame =
+  // activity; SURVEY.md §2.2 joins). Pre-aggregate orders by o_custkey
+  // BEFORE the outer join: the join then shuffles at most |distinct
+  // custkey| pre-combined rows instead of every order row — at 100 TB the
+  // difference between shuffling the fact table and shuffling a per-key
+  // summary. coalesce(cnt, 0) restores the zero-order bucket.
+  def q07CustomerOrderBuckets(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
       .groupBy(col("n_orders"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_orders"))
+  }
 
   val q07Sql: String =
     """SELECT n_orders, count(*) AS n_customers

@@ -70,13 +70,70 @@ object SetOps {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // ─── q29: the same census, fused into ONE pass over orders ─────────────
+  // q16 is a deliberate API exerciser: 6 set-op branches = 12 scans and 6
+  // wide shuffles. At 100 TB that shape is a scan-amplification
+  // anti-pattern: all six counts are derivable from one groupBy(custkey)
+  // carrying two conditional counters, then constant-size arithmetic —
+  //   union         = #keys with open_n>0 OR fin_n>0
+  //   union_all     = Σ open_n + Σ fin_n
+  //   intersect     = #keys with open_n>0 AND fin_n>0
+  //   intersect_all = Σ least(open_n, fin_n)
+  //   except        = #keys with open_n>0 AND fin_n=0
+  //   except_all    = Σ greatest(open_n − fin_n, 0)
+  // — 1 scan, 1 shuffle, then a 1-row reduce `stack`ed into the same
+  // 6-row (op, n) shape as q16.
+  def q29SetOpFused(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fin_n"))
+      .agg(
+        count(when(col("open_n") > 0 || col("fin_n") > 0, 1)).as("u"),
+        (sum(col("open_n")) + sum(col("fin_n"))).as("ua"),
+        count(when(col("open_n") > 0 && col("fin_n") > 0, 1)).as("i"),
+        sum(least(col("open_n"), col("fin_n"))).as("ia"),
+        count(when(col("open_n") > 0 && col("fin_n") === 0, 1)).as("e"),
+        sum(greatest(col("open_n") - col("fin_n"), lit(0L))).as("ea"))
+      .select(expr(
+        """stack(6, 'union', u, 'union_all', ua, 'intersect', i,
+          |'intersect_all', ia, 'except', e, 'except_all', ea) AS (op, n)"""
+          .stripMargin))
+      .orderBy(col("op"))
+
+  val q29Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_n,
+      |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fin_n
+      |  FROM orders GROUP BY o_custkey),
+      |agg AS (SELECT
+      |  count(CASE WHEN open_n > 0 OR fin_n > 0 THEN 1 END) AS u,
+      |  sum(open_n) + sum(fin_n) AS ua,
+      |  count(CASE WHEN open_n > 0 AND fin_n > 0 THEN 1 END) AS i,
+      |  sum(least(open_n, fin_n)) AS ia,
+      |  count(CASE WHEN open_n > 0 AND fin_n = 0 THEN 1 END) AS e,
+      |  sum(greatest(open_n - fin_n, 0)) AS ea
+      |FROM per)
+      |SELECT op, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'union' AS op, u AS n FROM agg
+      |  UNION ALL SELECT 'union_all', ua FROM agg
+      |  UNION ALL SELECT 'intersect', i FROM agg
+      |  UNION ALL SELECT 'intersect_all', ia FROM agg
+      |  UNION ALL SELECT 'except', e FROM agg
+      |  UNION ALL SELECT 'except_all', ea FROM agg)
+      |ORDER BY op""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_setop_census"     -> (q16SetOpCensus _),
     "q17_except_all_detail" -> (q17ExceptAllDetail _),
+    "q29_setop_fused"      -> (q29SetOpFused _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q16_setop_census"     -> q16Sql,
     "q17_except_all_detail" -> q17Sql,
+    "q29_setop_fused"      -> q29Sql,
   )
 }
