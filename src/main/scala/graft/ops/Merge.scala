@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** O11–O13: the reference's merge family, set-based.
+  *
+  * The reference executes these row-at-a-time against PostgreSQL:
+  *  - O11 get-or-insert surrogate keys (course_catalog.py:65–87): SELECT id
+  *    by natural key, INSERT RETURNING if absent — 1–2 round-trips per row.
+  *  - O12 insert-if-absent (`ON CONFLICT DO NOTHING`, course_catalog.py:99):
+  *    first-writer-wins, the existing row is never updated.
+  *  - O13 latest-wins upsert (`ON CONFLICT DO UPDATE`,
+  *    user_course_activity.py:73–102): incoming beats existing on the
+  *    composite key.
+  *
+  * Spark-first, each is ONE set-based pass: anti-join for novelty, window
+  * over the natural key for id assignment, union+window for the merge —
+  * a single shuffle keyed on the merge key, no per-row round-trips. The
+  * merge inputs are modeled over testdata (existing = one orders slice,
+  * incoming = a perturbed overlapping slice) so the DuckDB oracle can
+  * replay the identical semantics.
+  */
+object Merge {
+
+  // ─── q38: surrogate-key dimension build (O11) ─────────────────────────
+  // Natural key = order month. Existing dim = months before 1995 with ids
+  // assigned by row_number over the key (deterministic — SURVEY §7.3 rules
+  // out monotonically_increasing_id, which is partition-layout-dependent).
+  // Incoming = all months. New keys get maxId + row_number(new natural
+  // keys). The global-ordering window runs on the DISTINCT key set, which
+  // is dimension-sized (10^2..10^6 rows), not fact-sized — that is what
+  // makes a single-partition window acceptable here even at 100 TB fact
+  // scale; the fact table itself never enters this plan.
+  def q38SurrogateKeys(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val monthOf = date_trunc("month", col("o_orderdate"))
+    val existing = o
+      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(monthOf.as("month_key")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("month_key"))).cast("long"))
+    val incoming = o.select(monthOf.as("month_key")).distinct()
+    val maxId = existing.agg(coalesce(max(col("id")), lit(0L)).as("max_id"))
+    val newKeys = incoming
+      .join(existing.select(col("month_key")), Seq("month_key"), "left_anti")
+      .withColumn("rn", row_number().over(Window.orderBy(col("month_key"))).cast("long"))
+      .crossJoin(broadcast(maxId)) // 1-row broadcast, not a real cartesian
+      .select(col("month_key"), (col("max_id") + col("rn")).as("id"))
+    existing.withColumn("is_new", lit(false))
+      .unionByName(newKeys.withColumn("is_new", lit(true)))
+      .select(col("id"), col("month_key"), col("is_new"))
+      .orderBy(col("id"))
+  }
+
+  val q38Sql: String =
+    """WITH existing AS (
+      |  SELECT month_key,
+      |    CAST(row_number() OVER (ORDER BY month_key) AS BIGINT) AS id
+      |  FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+      |          AS month_key
+      |        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')),
+      |incoming AS (
+      |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+      |    AS month_key FROM orders),
+      |new_keys AS (
+      |  SELECT month_key,
+      |    CAST((SELECT coalesce(max(id), 0) FROM existing)
+      |         + row_number() OVER (ORDER BY month_key) AS BIGINT) AS id
+      |  FROM incoming
+      |  WHERE month_key NOT IN (SELECT month_key FROM existing))
+      |SELECT id, month_key, FALSE AS is_new FROM existing
+      |UNION ALL SELECT id, month_key, TRUE AS is_new FROM new_keys
+      |ORDER BY id""".stripMargin
+
+  /** Existing slice: orders whose key is not divisible by 3. */
+  private def existingOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d).where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              lit("existing").as("src"))
+
+  /** Incoming slice: even keys, price revised by an exactly-representable
+    * +1.0 (a ×1.1 revision diverges between engines on round-half ties) —
+    * overlaps existing on keys ≡ 2,4 (mod 6), brings new keys ≡ 0 (mod 6).
+    */
+  private def incomingOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d).where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"),
+              (col("o_totalprice") + 1.0).as("o_totalprice"),
+              lit("incoming").as("src"))
+
+  private val existingSqlCte: String =
+    """existing AS (
+      |  SELECT o_orderkey, o_totalprice, 'existing' AS src
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |incoming AS (
+      |  SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+      |         'incoming' AS src
+      |  FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
+
+  // ─── q39: insert-if-absent, first-writer-wins (O12) ───────────────────
+  // existing ∪ (incoming ∖ existing on the key): an anti-join keyed on the
+  // conflict key. The anti-join shuffles only the key column of existing
+  // against incoming — first-writer rows are never rewritten, exactly
+  // `ON CONFLICT DO NOTHING`.
+  def q39InsertIfAbsent(s: SparkSession, d: String): DataFrame = {
+    val existing = existingOrders(s, d)
+    val incoming = incomingOrders(s, d)
+    existing.unionByName(
+        incoming.join(existing.select(col("o_orderkey")),
+                      Seq("o_orderkey"), "left_anti"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q39Sql: String =
+    s"""WITH $existingSqlCte
+       |SELECT o_orderkey, o_totalprice, src FROM existing
+       |UNION ALL
+       |SELECT o_orderkey, o_totalprice, src FROM incoming
+       |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ─── q40: latest-wins upsert (O13) ────────────────────────────────────
+  // `ON CONFLICT DO UPDATE SET … = EXCLUDED.…` without a mutable table:
+  // union both sides with a recency rank, keep row_number()==1 per key
+  // ordering incoming first. ONE shuffle keyed on the conflict key; works
+  // unchanged if incoming carries multiple versions per key (extend the
+  // orderBy with a version column). This is the scale-correct form of the
+  // reference's per-row upsert loop.
+  def q40UpsertLatestWins(s: SparkSession, d: String): DataFrame = {
+    val unioned = incomingOrders(s, d).withColumn("pri", lit(1))
+      .unionByName(existingOrders(s, d).withColumn("pri", lit(0)))
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("pri").desc)
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("src"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q40Sql: String =
+    s"""WITH $existingSqlCte,
+       |unioned AS (
+       |  SELECT *, 1 AS pri FROM incoming
+       |  UNION ALL SELECT *, 0 AS pri FROM existing)
+       |SELECT o_orderkey, o_totalprice, src FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+       |                               ORDER BY pri DESC) AS rn
+       |  FROM unioned)
+       |WHERE rn = 1
+       |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_surrogate_keys"    -> (q38SurrogateKeys _),
+    "q39_insert_if_absent"  -> (q39InsertIfAbsent _),
+    "q40_upsert_latest_wins" -> (q40UpsertLatestWins _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q38_surrogate_keys"    -> q38Sql,
+    "q39_insert_if_absent"  -> q39Sql,
+    "q40_upsert_latest_wins" -> q40Sql,
+  )
+}

@@ -1,0 +1,437 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (BASELINE.json
+  * north-star: dedup, text analysis).
+  *
+  * Design rules that hold at 100 TB:
+  *  - dedup keys are HASHES (fixed width), never raw text, so the shuffle
+  *    carries 32–64 bytes/row instead of document bodies;
+  *  - near-dup candidates come from a BANDED MinHash self-join — the join
+  *    key is a band signature, so only same-bucket docs ever meet; there is
+  *    no all-pairs/cross join anywhere in these plans;
+  *  - every per-doc feature (tokens, shingles, signatures) is computed with
+  *    codegen'd higher-order array functions in one projection pass — no
+  *    UDFs, no mapPartitions.
+  *
+  * Cross-engine determinism: all hashing is `md5`/`sha2` (identical hex
+  * output in Spark and DuckDB); the testdata has no duplicates, so the
+  * dedup inputs synthesize them — corpus = documents ∪ deterministic
+  * perturbed copies, built from the same expressions on both sides.
+  */
+object TextSim {
+
+  /** Tokenizer: lowercase, split on non-alphanumerics, drop empties. The
+    * "BPE-ish" regex family from the survey; identical in DuckDB as
+    * `list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), …)`.
+    */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Distinct word 3-gram shingles of a token array (empty if < 3 tokens —
+    * guarded because Spark's `sequence(1, n)` counts DOWN for n < 1).
+    */
+  private def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                            element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def shinglesSql(toksExpr: String): String =
+    s"""CASE WHEN len($toksExpr) >= 3 THEN
+       |  list_distinct(list_transform(generate_series(1, len($toksExpr) - 2),
+       |    i -> $toksExpr[i] || ' ' || $toksExpr[i+1] || ' ' || $toksExpr[i+2]))
+       |ELSE [] END""".stripMargin
+
+  // ─── q41: exact dedup by content hash ─────────────────────────────────
+  // Corpus = documents ∪ verbatim copies of every 10th doc under new ids.
+  // Group by sha2(text): the shuffle key is a 64-hex digest, not the
+  // document body; keeper = min doc_id, first-writer-wins like O12.
+  def q41ExactDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val copies = base.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    base.unionByName(copies)
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+  }
+
+  val q41Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT sha256(text) AS text_hash, min(doc_id) AS keeper_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies
+      |FROM corpus
+      |GROUP BY 1
+      |ORDER BY keeper_id""".stripMargin
+
+  // ─── q42: token counting — top-20 tokens corpus-wide ──────────────────
+  // explode → groupBy(token): partial map-side combine collapses each
+  // partition to |vocab| rows before the shuffle.
+  def q42TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val q42Sql: String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY n DESC, token
+       |LIMIT 20""".stripMargin
+
+  // ─── q43: quality scoring per language ────────────────────────────────
+  // Per-doc features (token count, stopword ratio, char length) in one
+  // codegen'd projection, then a per-lang aggregate.
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private val stopSql = stopwords.map("'" + _ + "'").mkString("[", ", ", "]")
+
+  def q43DocQuality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isInCollection(stopwords))) / col("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_tokens")), 4).as("avg_tokens"),
+           round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+           round(avg(length(col("text"))), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  val q43Sql: String =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(avg(n_tokens), 4) AS avg_tokens,
+       |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       |  round(avg(n_chars_len), 4) AS avg_chars
+       |FROM (
+       |  SELECT lang,
+       |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+       |    len(list_filter(toks, x -> list_contains($stopSql, x)))
+       |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |    length(text) AS n_chars_len
+       |  FROM (SELECT lang, text, $tokensSql AS toks FROM documents))
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ─── q44: language-ID by marker scoring + confusion census ────────────
+  // The n-gram-heuristic shape: score each doc against per-language marker
+  // sets, argmax with deterministic tiebreak, then a (labeled, predicted)
+  // census. (The synthetic corpus shares one vocabulary across langs, so
+  // predictions are near-uniform — the operator, not the classifier skill,
+  // is what is verified.)
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "table"),
+    "de" -> Seq("order", "group", "window"),
+    "es" -> Seq("data", "value", "part"),
+    "fr" -> Seq("query", "join", "merge"),
+    "zh" -> Seq("hash", "scan", "sort"))
+
+  def q44LangId(s: SparkSession, d: String): DataFrame = {
+    val withToks = documents(s, d).withColumn("toks", tokens(col("text")))
+    val scored = markers.foldLeft(withToks) { case (df, (l, ms)) =>
+      df.withColumn(s"score_$l",
+        size(filter(col("toks"), t => t.isInCollection(ms))))
+    }
+    // argmax with lexicographic-language tiebreak: the first language in
+    // sorted order whose score equals the row max (same CASE priority as
+    // the oracle twin).
+    val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+    val predLtr = markers.map(_._1).sorted.reverse.foldLeft(lit("??"): Column) {
+      case (acc, l) => when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted", predLtr)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q44Sql: String = {
+    val scoreCols = markers.map { case (l, ms) =>
+      val lst = ms.map("'" + _ + "'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x))) AS score_$l"
+    }.mkString(",\n    ")
+    val bestExpr = markers.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val predExpr = markers.map(_._1).sorted
+      .map(l => s"WHEN score_$l = best THEN '$l'")
+      .mkString("CASE ", " ", " ELSE '??' END")
+    s"""SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+       |FROM (
+       |  SELECT lang, $predExpr AS predicted
+       |  FROM (
+       |    SELECT lang, $bestExpr AS best, *
+       |    FROM (
+       |      SELECT lang,
+       |        $scoreCols
+       |      FROM (SELECT lang, $tokensSql AS toks FROM documents))))
+       |GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ─── q45: banded MinHash LSH near-dup detection ───────────────────────
+  // Corpus = documents ∪ near-dup copies (every 20th doc + a 3-token tail).
+  // Pipeline: shingle → 8 MinHash signatures (md5-keyed min over the
+  // shingle set) → 4 bands of 2 rows → self-join on (band_id, band_key) →
+  // exact-Jaccard verification of candidates. The ONLY join is keyed on
+  // the band signature — docs that share no band never meet, which is what
+  // makes this viable at 100 TB (vs the all-pairs O(n²) trap).
+  private val K = 8  // minhash functions
+  private val B = 4  // bands of 2 rows each
+
+  /** (doc_id, sh) where sh = distinct 3-gram shingle set, over the
+    * dedup-test corpus.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val nearDups = base.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" zzz extra tail")).as("text"))
+    base.unionByName(nearDups)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+  }
+
+  private val shingledSqlCte: String = {
+    val toksE = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zzz extra tail'
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |shingled AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [] END AS sh
+       |  FROM (SELECT doc_id, $toksE AS toks FROM corpus))""".stripMargin
+  }
+
+  def q45MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    // 8 signatures: min over md5("<j>:" ++ shingle). md5 hex compares
+    // identically as a string in both engines.
+    val sigs = (0 until K).foldLeft(sh) { (df, j) =>
+      df.withColumn(s"sig$j",
+        array_min(transform(col("sh"), x => md5(concat(lit(s"$j:"), x)))))
+    }
+    val banded = (0 until B).foldLeft(sigs) { (df, b) =>
+      df.withColumn(s"band$b", md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    }
+    val bands = banded.select(col("doc_id"),
+      posexplode(array((0 until B).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q45Sql: String = {
+    val sigCols = (0 until K).map(j =>
+      s"list_aggregate(list_transform(sh, x -> md5('$j:' || x)), 'min') AS sig$j")
+      .mkString(",\n    ")
+    val bandCols = (0 until B).map(b =>
+      s"md5(sig${2 * b} || sig${2 * b + 1}) AS band$b").mkString(",\n    ")
+    val bandArray = (0 until B).map(b => s"band$b").mkString("[", ", ", "]")
+    s"""WITH $shingledSqlCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shingled),
+       |bandkeys AS (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM sigs),
+       |bands AS (
+       |  SELECT doc_id, u.b AS band_id, $bandArray[u.b + 1] AS band_key
+       |  FROM bandkeys CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |    4) AS jaccard
+       |FROM cand
+       |JOIN shingled sa ON sa.doc_id = cand.doc_a
+       |JOIN shingled sb ON sb.doc_id = cand.doc_b
+       |WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |  >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ─── q46: SimHash fingerprints (32-bit, md5-nibble planes) ────────────
+  // Per token, bit j = high bit of the j-th hex nibble of md5(token);
+  // the doc signature takes the sign of the per-position ±1 sum — the
+  // classic SimHash, with md5 nibbles as the 32 random projections so both
+  // engines derive identical bits. One explode + one groupBy; the shuffle
+  // carries 32 small partial sums per doc.
+  private val HI = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  def q46SimHash(s: SparkSession, d: String): DataFrame = {
+    val exploded = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isInCollection(HI), 1)
+        .otherwise(-1)).as(s"s$j"))
+    val bits = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0")))
+    exploded.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q46Sql: String = {
+    val hiList = HI.map("'" + _ + "'").mkString("(", ", ", ")")
+    val sumCols = (0 until 32).map(j =>
+      s"sum(CASE WHEN substring(h, ${j + 1}, 1) IN $hiList THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val bitConcat = (0 until 32).map(j =>
+      s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""SELECT doc_id, $bitConcat AS simhash
+       |FROM (
+       |  SELECT doc_id,
+       |    $sumCols
+       |  FROM (SELECT doc_id, md5(tok) AS h FROM
+       |          (SELECT doc_id, unnest($tokensSql) AS tok FROM documents))
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ─── q47: n-gram Jaccard between successive docs per language ─────────
+  // Pairing via lag/lead keeps the pair generation shuffle-light (one
+  // window by lang) and deterministic; the similarity itself is the same
+  // set arithmetic q45 uses for verification, on word bigrams.
+  def q47NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val bigrams = when(size(col("toks")) >= 2,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                            element_at(col("toks"), i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val jac = size(array_intersect(col("bg"), col("bg_next"))).cast("double") /
+              size(array_union(col("bg"), col("bg_next"))).cast("double")
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("lang"), col("doc_id"), bigrams.as("bg"))
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .withColumn("bg_next", lead(col("bg"), 1).over(w))
+      .where(col("doc_b").isNotNull)
+      .select(col("lang"), col("doc_id").as("doc_a"), col("doc_b"),
+              round(jac, 4).as("jaccard"))
+      .orderBy(col("lang"), col("doc_a"))
+  }
+
+  val q47Sql: String =
+    s"""WITH bg AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      list_distinct(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1]))
+       |    ELSE [] END AS bg
+       |  FROM (SELECT lang, doc_id, $tokensSql AS toks FROM documents)),
+       |paired AS (
+       |  SELECT lang, doc_id AS doc_a,
+       |    lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+       |    bg,
+       |    lead(bg) OVER (PARTITION BY lang ORDER BY doc_id) AS bg_next
+       |  FROM bg)
+       |SELECT lang, doc_a, doc_b,
+       |  round(CAST(len(list_intersect(bg, bg_next)) AS DOUBLE)
+       |    / (len(bg) + len(bg_next) - len(list_intersect(bg, bg_next))),
+       |    4) AS jaccard
+       |FROM paired
+       |WHERE doc_b IS NOT NULL
+       |ORDER BY lang, doc_a""".stripMargin
+
+  // ─── q48: content-sampled document fingerprints ───────────────────────
+  // Winnowing-flavored: hash every 3-gram shingle, keep the 1/16 sample
+  // whose hash starts with '0' — a content-defined sample that is stable
+  // under local edits (the rolling-hash fingerprint idea). Per-doc output:
+  // sample size + min/max sampled hash.
+  def q48Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val hashed = transform(shingles(tokens(col("text"))), x => md5(x))
+    val sampled = filter(hashed, h => substring(h, 1, 1) === "0")
+    documents(s, d)
+      .select(col("doc_id"),
+        size(shingles(tokens(col("text")))).cast("long").as("n_shingles"),
+        size(sampled).cast("long").as("n_sampled"),
+        array_min(sampled).as("fp_min"),
+        array_max(sampled).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q48Sql: String = {
+    val shE = shinglesSql("toks").replace("\n", " ")
+    s"""SELECT doc_id,
+       |  CAST(len(sh) AS BIGINT) AS n_shingles,
+       |  CAST(len(sampled) AS BIGINT) AS n_sampled,
+       |  list_aggregate(sampled, 'min') AS fp_min,
+       |  list_aggregate(sampled, 'max') AS fp_max
+       |FROM (
+       |  SELECT doc_id, sh,
+       |    list_filter(list_transform(sh, x -> md5(x)),
+       |                h -> substring(h, 1, 1) = '0') AS sampled
+       |  FROM (
+       |    SELECT doc_id, $shE AS sh
+       |    FROM (SELECT doc_id, $tokensSql AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_exact_dedup"    -> (q41ExactDedup _),
+    "q42_token_stats"    -> (q42TokenStats _),
+    "q43_doc_quality"    -> (q43DocQuality _),
+    "q44_lang_id"        -> (q44LangId _),
+    "q45_minhash_lsh"    -> (q45MinhashLsh _),
+    "q46_simhash"        -> (q46SimHash _),
+    "q47_ngram_jaccard"  -> (q47NgramJaccard _),
+    "q48_fingerprint"    -> (q48Fingerprint _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_exact_dedup"    -> q41Sql,
+    "q42_token_stats"    -> q42Sql,
+    "q43_doc_quality"    -> q43Sql,
+    "q44_lang_id"        -> q44Sql,
+    "q45_minhash_lsh"    -> q45Sql,
+    "q46_simhash"        -> q46Sql,
+    "q47_ngram_jaccard"  -> q47Sql,
+    "q48_fingerprint"    -> q48Sql,
+  )
+}
