@@ -10,12 +10,14 @@ object SparkEntry {
     ops.Relational.queries ++ ops.TemporalJoins.queries ++
     ops.Windows.queries ++ ops.SetOps.queries ++
     ops.Scalars.queries ++ ops.Analytics.queries ++
-    ingest.Normalize.queries ++ ops.Merge.queries ++ ops.TextSim.queries
+    ingest.Normalize.queries ++ ops.Merge.queries ++ ops.TextSim.queries ++
+    ops.Similarity.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++ ops.TemporalJoins.oracleSql ++
     ops.Windows.oracleSql ++ ops.SetOps.oracleSql ++
     ops.Scalars.oracleSql ++ ops.Analytics.oracleSql ++
-    ingest.Normalize.oracleSql ++ ops.Merge.oracleSql ++ ops.TextSim.oracleSql
+    ingest.Normalize.oracleSql ++ ops.Merge.oracleSql ++ ops.TextSim.oracleSql ++
+    ops.Similarity.oracleSql
 }

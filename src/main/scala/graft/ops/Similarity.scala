@@ -1,0 +1,213 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (vec_id, embedding: array<float>[64],
+  * label) — the BASELINE.json north-star ANN surface.
+  *
+  * Three tiers, by corpus scale:
+  *  - q49 brute-force top-k: the QUERY side (O(10) vectors) is broadcast;
+  *    the corpus streams through one codegen'd projection computing cosine
+  *    via `zip_with`+`aggregate` — no corpus-side shuffle at all. The right
+  *    baseline when |queries| is small, at any corpus size.
+  *  - q50 LSH-bucketed ANN: sign-random-projection buckets (deterministic
+  *    integer hyperplanes) turn the similarity join into a BUCKET-keyed
+  *    equi-join — the 100 TB path: candidates meet only inside a bucket,
+  *    recall trades against bucket count.
+  *  - q51 per-label centroids via a custom typed `Aggregator[_,_,_]`
+  *    (SURVEY §2.2 UDAF surface): partial aggregation (`reduce`/`merge`)
+  *    means each partition ships one 64-d sum, not its rows.
+  *
+  * All float math is widened to double BEFORE any arithmetic, and every
+  * reduction runs in the same left-to-right dimension order in Spark and
+  * DuckDB, so results agree bit-for-bit and survive `round(…, 4)`.
+  */
+object Similarity {
+
+  private val DIM = 64
+
+  /** cosine(a, b) over double arrays via codegen'd higher-order funcs. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ─── q49: brute-force cosine top-10, broadcast query side ─────────────
+  def q49CosineTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val corpus = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // build side = the O(5) query set: BroadcastNestedLoopJoin streams the
+    // corpus exactly once, no corpus shuffle.
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    corpus.join(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q49Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (
+      |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+      |  FROM embeddings WHERE vec_id >= 5),
+      |sims AS (
+      |  SELECT q_id, c_id,
+      |    round(list_dot_product(qe, ce)
+      |      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+      |      4) AS cos
+      |  FROM c CROSS JOIN q)
+      |SELECT q_id, c_id, cos, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, c_id) AS BIGINT) AS rn
+      |  FROM sims)
+      |WHERE rn <= 10
+      |ORDER BY q_id, rn""".stripMargin
+
+  // ─── q50: LSH-bucketed ANN (sign random projections) ──────────────────
+  // 4 deterministic integer hyperplanes -> 16 buckets. The similarity join
+  // becomes corpus ⋈ queries ON bucket: only same-bucket pairs are scored,
+  // and the join is a plain equi-join that shuffles by bucket key — the
+  // shape that scales to 10^9+ vectors (more planes => smaller buckets).
+  private def planeWeights(j: Int): Seq[Double] =
+    (0 until DIM).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
+
+  private def bucketCol(e: Column): Column = {
+    val bits = (0 until 4).map { j =>
+      val plane = array(planeWeights(j).map(lit): _*)
+      when(dot(e, plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  private def bucketSqlExpr(eCol: String): String =
+    (0 until 4).map { j =>
+      val plane = planeWeights(j).map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($eCol, $plane) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  def q50AnnLshBuckets(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("bucket", bucketCol(col("e")))
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val corpus = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    corpus.join(q, Seq("bucket"))
+      .select(col("q_id"), col("c_id"), col("bucket"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q50Sql: String = {
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    ${bucketSqlExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM emb WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, e AS ce, bucket FROM emb WHERE vec_id >= 5),
+       |sims AS (
+       |  SELECT q_id, c_id, c.bucket,
+       |    round(list_dot_product(qe, ce)
+       |      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+       |      4) AS cos
+       |  FROM c JOIN q ON c.bucket = q.bucket)
+       |SELECT q_id, c_id, bucket, cos, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rn
+       |  FROM sims)
+       |WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  // ─── q51: per-label centroid via custom typed Aggregator ──────────────
+  case class EmbVec(vec_id: Long, embedding: Seq[Float], label: Int)
+  case class CentroidBuf(sums: Seq[Double], n: Long)
+
+  /** Typed UDAF: running 64-d sum + count. reduce/merge give Spark the
+    * partial-aggregation contract — map-side combine per partition, then a
+    * label-keyed shuffle of one buffer per (partition × label).
+    */
+  object CentroidAgg extends Aggregator[EmbVec, CentroidBuf, Seq[Double]] {
+    def zero: CentroidBuf = CentroidBuf(Seq.fill(DIM)(0.0), 0L)
+    def reduce(b: CentroidBuf, a: EmbVec): CentroidBuf = {
+      val s = b.sums.toArray
+      var i = 0
+      while (i < DIM) { s(i) += a.embedding(i).toDouble; i += 1 }
+      CentroidBuf(s.toSeq, b.n + 1)
+    }
+    def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
+      val s = x.sums.toArray
+      var i = 0
+      while (i < DIM) { s(i) += y.sums(i); i += 1 }
+      CentroidBuf(s.toSeq, x.n + y.n)
+    }
+    def finish(b: CentroidBuf): Seq[Double] = b.sums.map(_ / b.n)
+    def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def q51LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = embeddings(s, d).as[EmbVec]
+    val cents = ds.groupByKey(_.label)
+      .agg(CentroidAgg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+    // norm accumulates dims left-to-right — the oracle's `+` chain order.
+    val norm = sqrt(aggregate(col("centroid"), lit(0.0),
+      (acc, x) => acc + x * x))
+    cents.select(
+        col("label"),
+        round(element_at(col("centroid"), 1), 4).as("c0"),
+        round(element_at(col("centroid"), 2), 4).as("c1"),
+        round(element_at(col("centroid"), 3), 4).as("c2"),
+        round(element_at(col("centroid"), 4), 4).as("c3"),
+        round(norm, 4).as("centroid_norm"))
+      .orderBy(col("label"))
+  }
+
+  val q51Sql: String = {
+    def avgDim(i: Int) = s"avg(CAST(embedding[$i] AS DOUBLE))"
+    val normExpr = (1 to DIM).map(i => s"${avgDim(i)} * ${avgDim(i)}")
+      .mkString(" + ")
+    s"""SELECT label,
+       |  round(${avgDim(1)}, 4) AS c0,
+       |  round(${avgDim(2)}, 4) AS c1,
+       |  round(${avgDim(3)}, 4) AS c2,
+       |  round(${avgDim(4)}, 4) AS c3,
+       |  round(sqrt($normExpr), 4) AS centroid_norm
+       |FROM embeddings
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_cosine_topk"     -> (q49CosineTopk _),
+    "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
+    "q51_label_centroids" -> (q51LabelCentroids _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q49_cosine_topk"     -> q49Sql,
+    "q50_ann_lsh_buckets" -> q50Sql,
+    "q51_label_centroids" -> q51Sql,
+  )
+}
