@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface (SURVEY.md §2.2 "Streaming").
+  *
+  * The reference's ingest loop is a micro-batch stream (page = batch,
+  * commit-per-page — course_catalog.py:204–212) with an incremental-refresh
+  * contract (README.md:156–163). The engine's streaming story is Structured
+  * Streaming; the transforms below are written against plain DataFrames so
+  * the SAME code serves both modes:
+  *  - batch: applied to the `events` table → oracle-checked queries
+  *    q52–q54 (event-time windows are pure functions of `ts`, so batch and
+  *    stream agree by construction);
+  *  - stream: applied to a `readStream`/`MemoryStream` frame → covered by
+  *    the ScalaTest streaming suite (watermark, late-data drop, stateful
+  *    dedup, flatMapGroupsWithState upsert) where no SQL oracle can reach.
+  *
+  * Scale notes: event-time windowed aggregation shuffles by (window, key) —
+  * at 100 TB the partial aggregation still combines map-side per window, so
+  * the shuffle carries one partial buffer per (partition × window × key).
+  * The sliding window multiplies rows by (length/slide) BEFORE the partial
+  * agg — that ×4 fan-out happens inside the scan projection, never
+  * materialized to the shuffle at full width.
+  */
+object Streaming {
+
+  /** Tumbling 1-hour event-time window per event type. Works on batch and
+    * streaming frames alike (add `withWatermark` upstream for streams).
+    */
+  def tumblingCounts(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Sliding 1-hour window every 15 minutes. */
+  def slidingCounts(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** 30-minute-gap session windows per user. */
+  def sessionAgg(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Stateful dedup by event_id within the watermark horizon (streaming
+    * twin of O12's first-writer-wins; state is purged past the watermark).
+    */
+  def dedupStream(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  // ─── q52: tumbling window (batch twin) ────────────────────────────────
+  def q52Tumbling(s: SparkSession, d: String): DataFrame =
+    tumblingCounts(events(s, d))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q52Sql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ─── q53: sliding window (batch twin) ─────────────────────────────────
+  // Each event belongs to exactly length/slide = 4 windows; the oracle
+  // expands the same 4 offsets explicitly.
+  def q53Sliding(s: SparkSession, d: String): DataFrame =
+    slidingCounts(events(s, d))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q53Sql: String =
+    """SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |           - u.kk * INTERVAL '15 minutes' AS window_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS kk) u)
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ─── q54: session window (batch twin) ─────────────────────────────────
+  // Spark closes a session when the next event is >= gap after the
+  // previous one (window end is exclusive); the oracle's gaps-and-islands
+  // uses the same >= threshold.
+  def q54Sessions(s: SparkSession, d: String): DataFrame =
+    sessionAgg(events(s, d))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q54Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+      |            THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_tumbling_window" -> (q52Tumbling _),
+    "q53_sliding_window"  -> (q53Sliding _),
+    "q54_session_window"  -> (q54Sessions _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_tumbling_window" -> q52Sql,
+    "q53_sliding_window"  -> q53Sql,
+    "q54_session_window"  -> q54Sql,
+  )
+}
