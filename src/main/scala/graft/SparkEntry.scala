@@ -11,7 +11,8 @@ object SparkEntry {
     ops.Windows.queries ++ ops.SetOps.queries ++
     ops.Scalars.queries ++ ops.Analytics.queries ++
     ingest.Normalize.queries ++ ops.Merge.queries ++ ops.TextSim.queries ++
-    ops.Similarity.queries ++ ops.Streaming.queries
+    ops.Similarity.queries ++ ops.Streaming.queries ++
+    sources.FileSources.queries ++ sources.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
     ops.Windows.oracleSql ++ ops.SetOps.oracleSql ++
     ops.Scalars.oracleSql ++ ops.Analytics.oracleSql ++
     ingest.Normalize.oracleSql ++ ops.Merge.oracleSql ++ ops.TextSim.oracleSql ++
-    ops.Similarity.oracleSql ++ ops.Streaming.oracleSql
+    ops.Similarity.oracleSql ++ ops.Streaming.oracleSql ++
+    sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql
 }

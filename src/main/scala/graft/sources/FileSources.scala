@@ -1,0 +1,136 @@
+package graft.sources
+
+import graft.ingest.CourseFixture
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** json/csv file sources (SURVEY §2.2 "Scans / sources / sinks").
+  *
+  * The reference's native payload format is JSON (course_catalog.py:187);
+  * CSV is the fixture-authoring format. Both queries write their fixture
+  * to a deterministic temp location and read it back through the REAL
+  * `spark.read` path (schema-first, not inferred — the reference's
+  * fixed-shape contract), so the source machinery itself is under the
+  * oracle: the DuckDB twins consume the SAME rows embedded as literals,
+  * never the files.
+  */
+object FileSources {
+
+  private def fixtureDir: String = {
+    val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft_fixtures")
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  private def writeFixture(name: String, content: String): String = {
+    val p = Paths.get(fixtureDir, name)
+    Files.write(p, content.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    p.toString
+  }
+
+  // ─── q55: JSON-lines source ───────────────────────────────────────────
+  // The course records as a .jsonl file → schema-first read → aggregate.
+  def q55JsonSource(s: SparkSession, d: String): DataFrame = {
+    val path = writeFixture("courses.jsonl", CourseFixture.records.mkString("\n"))
+    s.read.schema(CourseFixture.schema).json(path)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("num_lectures")).cast("long").as("total_lectures"))
+      .orderBy(col("level"))
+  }
+
+  val q55Sql: String =
+    s"""SELECT json_extract_string(body, '$$.level') AS level,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(json_extract(body, '$$.num_lectures') AS BIGINT))
+       |       AS BIGINT) AS total_lectures
+       |FROM ${CourseFixture.valuesClause}
+       |GROUP BY 1
+       |ORDER BY level""".stripMargin
+
+  // ─── q56: CSV source ──────────────────────────────────────────────────
+  /** (activity-shaped) fixture rows: user, course_category, minutes. */
+  val csvRows: Seq[(Long, String, Double)] = Seq(
+    (1L, "Development", 125.5), (2L, "Development", 30.25),
+    (3L, "IT Operations", 210.0), (4L, "Business", 15.75),
+    (5L, "Development", 88.5), (6L, "Business", 240.0),
+    (7L, "IT Operations", 55.25), (8L, "Development", 10.0))
+
+  private val csvSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("course_category", StringType),
+    StructField("minutes", DoubleType)))
+
+  def q56CsvSource(s: SparkSession, d: String): DataFrame = {
+    val content = "user_id,course_category,minutes\n" +
+      csvRows.map { case (u, c, m) => s"$u,$c,$m" }.mkString("\n")
+    val path = writeFixture("activity.csv", content)
+    s.read.option("header", "true").schema(csvSchema).csv(path)
+      .groupBy(col("course_category"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("minutes")), 2).as("total_minutes"))
+      .orderBy(col("course_category"))
+  }
+
+  val q56Sql: String = {
+    val values = csvRows
+      .map { case (u, c, m) => s"($u, '$c', $m)" }.mkString(", ")
+    s"""SELECT course_category, CAST(count(*) AS BIGINT) AS n,
+       |  round(sum(minutes), 2) AS total_minutes
+       |FROM (VALUES $values) v(user_id, course_category, minutes)
+       |GROUP BY course_category
+       |ORDER BY course_category""".stripMargin
+  }
+
+  // ─── q57: paginated source end-to-end (O1 + O16 retry) ────────────────
+  // A 3-page fixture run through Pagination.fetchAll with the catalog
+  // retry policy; page 2 serves a transient 524 on its first attempt, so
+  // the retried fetch is ON the oracle-checked path. The sleep is
+  // injected as a no-op (the schedule itself is unit-tested).
+  def q57PaginatedIngest(s: SparkSession, d: String): DataFrame = {
+    val rec = CourseFixture.records
+    val pages = Map(
+      "p1" -> Pagination.Page(rec.slice(0, 2), Some("p2")),
+      "p2" -> Pagination.Page(rec.slice(2, 3), Some("p3")),
+      "p3" -> Pagination.Page(rec.slice(3, 4), None))
+    var p2Failures = 1
+    val fetch: String => Either[Pagination.Failure, Pagination.Page] = {
+      case "p2" if p2Failures > 0 =>
+        p2Failures -= 1; Left(Pagination.Failure.Http(524))
+      case u => Right(pages(u))
+    }
+    val (bodies, stats) =
+      Pagination.fetchAll("p1", fetch, Pagination.catalogPolicy)
+    require(stats.records == 4 && stats.retries == 1 && !stats.aborted,
+      s"unexpected ingest stats: $stats")
+    Pagination.toDF(s, bodies, CourseFixture.schema)
+      .groupBy(col("locale.locale").as("locale"))
+      .agg(count(lit(1)).as("n"),
+           max(col("estimated_content_length")).cast("long").as("max_len"))
+      .orderBy(col("locale"))
+  }
+
+  val q57Sql: String =
+    s"""SELECT json_extract_string(body, '$$.locale.locale') AS locale,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  max(CAST(json_extract(body, '$$.estimated_content_length') AS BIGINT))
+       |    AS max_len
+       |FROM ${CourseFixture.valuesClause}
+       |GROUP BY 1
+       |ORDER BY locale""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_json_source"      -> (q55JsonSource _),
+    "q56_csv_source"       -> (q56CsvSource _),
+    "q57_paginated_ingest" -> (q57PaginatedIngest _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q55_json_source"      -> q55Sql,
+    "q56_csv_source"       -> q56Sql,
+    "q57_paginated_ingest" -> q57Sql,
+  )
+}
