@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming surface (SURVEY.md §2.2 "Streaming").
   *
@@ -49,6 +50,28 @@ object Streaming {
     */
   def dedupStream(df: DataFrame): DataFrame =
     df.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** Upsert-stream ≡ O13 (user_course_activity.py:73–102 as a stream):
+    * keep the latest value per key in `GroupState`, emit only when the key
+    * advances — the streaming form of latest-wins merge. State is one
+    * (ts, value) pair per key: constant per-key memory at any input rate.
+    */
+  final case class KeyedValue(k: Long, ts: java.sql.Timestamp, v: Double)
+  final case class LatestState(tsMillis: Long, v: Double)
+
+  def latestPerKey(ds: Dataset[KeyedValue]): Dataset[KeyedValue] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: Long, rows: Iterator[KeyedValue], state: GroupState[LatestState]) => {
+          val newest = rows.maxBy(_.ts.getTime)
+          val keep = state.getOption.forall(_.tsMillis <= newest.ts.getTime)
+          if (keep) {
+            state.update(LatestState(newest.ts.getTime, newest.v))
+            Iterator.single(newest)
+          } else Iterator.empty
+        })
+  }
 
   // ─── q52: tumbling window (batch twin) ────────────────────────────────
   def q52Tumbling(s: SparkSession, d: String): DataFrame =

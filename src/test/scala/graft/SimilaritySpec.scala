@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.Similarity
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Similarity + multimodal semantics beyond what the oracle checks. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centroid Aggregator matches built-in per-dimension averages") {
+    val fromAgg = Similarity.q51LabelCentroids(spark, sfDir)
+      .select($"label", $"c0", $"c1").as[(Int, Double, Double)]
+      .collect().map { case (l, a, b) => l -> (a, b) }.toMap
+    val builtin = Tables.embeddings(spark, sfDir)
+      .groupBy($"label")
+      .agg(round(avg(element_at($"embedding", 1).cast("double")), 4).as("c0"),
+           round(avg(element_at($"embedding", 2).cast("double")), 4).as("c1"))
+      .as[(Int, Double, Double)].collect()
+      .map { case (l, a, b) => l -> (a, b) }.toMap
+    assert(fromAgg.keySet === builtin.keySet)
+    fromAgg.foreach { case (l, (a0, a1)) =>
+      val (b0, b1) = builtin(l)
+      assert(math.abs(a0 - b0) <= 1e-4 && math.abs(a1 - b1) <= 1e-4,
+        s"label $l: ($a0,$a1) vs ($b0,$b1)")
+    }
+  }
+
+  test("brute-force top-k rank 1 is the true nearest neighbor") {
+    val topk = Similarity.q49CosineTopk(spark, sfDir)
+      .where($"rn" === 1).select($"q_id", $"c_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+    // recompute densely on the driver at sf0.001 (500 vectors)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    topk.foreach { case (q, c, got) =>
+      val best = vecs.collect { case (id, v) if id >= 5 => id -> cos(vecs(q), v) }
+        .maxBy { case (id, s) => (s, -id) }
+      assert(best._1 === c, s"query $q: expected NN ${best._1}, got $c")
+      assert(math.abs(best._2 - got) < 1e-3)
+    }
+  }
+
+  test("LSH bucketing: every candidate pair shares the query's bucket") {
+    val rows = Similarity.q50AnnLshBuckets(spark, sfDir)
+      .select($"q_id", $"c_id", $"bucket").as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // recompute both sides' buckets and confirm equality
+    val buckets = Tables.embeddings(spark, sfDir)
+      .withColumn("e", $"embedding".cast("array<double>"))
+      .select($"vec_id", $"e").as[(Long, Seq[Double])].collect().toMap
+    def bucketOf(v: Seq[Double]): String =
+      (0 until 4).map { j =>
+        val w = (0 until 64).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
+        if (v.zip(w).map { case (a, b) => a * b }.sum >= 0) "1" else "0"
+      }.mkString
+    rows.foreach { case (q, c, b) =>
+      assert(bucketOf(buckets(q)) === b && bucketOf(buckets(c)) === b)
+    }
+  }
+
+  test("multimodal feature extraction is deterministic and schema-stable") {
+    val ds = Multimodal.mediaCatalog(spark, sfDir)
+      .as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(ds).collect()
+      .sortBy(_.media_id)
+    assert(feats.length === Tables.documents(spark, sfDir).count())
+    val again = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.media_id, f.fingerprint, f.width, f.height, f.n_frames))
+      .sameElements(again.map(f => (f.media_id, f.fingerprint, f.width, f.height, f.n_frames))))
+    // fake-codec geometry contract (the stub is deterministic on bytes)
+    feats.foreach { f =>
+      assert(f.width === (f.n_bytes % 64) * 10 + 32)
+      assert(f.height === (f.n_bytes % 48) * 10 + 24)
+      if (f.kind != "video") assert(f.n_frames === 1)
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** top-level so Spark can derive an encoder without an outer scope. */
+final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** True Structured Streaming semantics that no SQL oracle can check
+  * (SURVEY §5.2 / §7.3 "Streaming oracle gap"): watermark-driven late-data
+  * drop, stateful dedup, and the flatMapGroupsWithState upsert stream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermark drops late events in append-mode tumbling aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = Streaming.tumblingCounts(
+      in.toDF().withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("wmk")
+      .outputMode("append").start()
+    try {
+      // hour 0 gets 2 events
+      in.addData(Ev(1, ts(5), "a", 1.0), Ev(2, ts(20), "a", 2.0))
+      q.processAllAvailable()
+      // watermark jumps past hour 0's end (+10 min) -> hour-0 window final
+      in.addData(Ev(3, ts(135), "a", 1.0))
+      q.processAllAvailable()
+      // a latecomer for hour 0 must be DROPPED (watermark ≈ 02:05)
+      in.addData(Ev(4, ts(25), "a", 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("wmk")
+        .select($"window.start", $"n", $"sum_value")
+        .as[(Timestamp, Long, Double)].collect().toSet
+      assert(rows.contains((ts(0), 2L, 3.0)),
+        s"hour-0 window wrong or missing: $rows")
+      assert(!rows.exists(_._3 == 103.0), "late event leaked into a final window")
+    } finally q.stop()
+  }
+
+  test("stateful dropDuplicates emits each event_id once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), "a", 1.0), Ev(2, ts(2), "a", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(3), "a", 99.0), Ev(3, ts(4), "a", 3.0)) // 1 is a dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+      // first-writer-wins: the duplicate's value never surfaces
+      val v1 = spark.table("dedup").where($"event_id" === 1)
+        .select($"value").as[Double].head()
+      assert(v1 === 1.0)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps the latest value per key (O13 stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.latestPerKey(in.toDS())
+      .writeStream.format("memory").queryName("upsert")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Streaming.KeyedValue(1, ts(1), 10.0),
+        Streaming.KeyedValue(2, ts(1), 20.0))
+      q.processAllAvailable()
+      // newer value for key 1, stale (older) value for key 2
+      in.addData(
+        Streaming.KeyedValue(1, ts(5), 11.0),
+        Streaming.KeyedValue(2, ts(0), 19.0))
+      q.processAllAvailable()
+      val out = spark.table("upsert").as[Streaming.KeyedValue].collect()
+      val latest = out.groupBy(_.k).view.mapValues(_.maxBy(_.ts.getTime).v).toMap
+      assert(latest === Map(1L -> 11.0, 2L -> 20.0))
+      // the stale update for key 2 produced no row
+      assert(!out.exists(r => r.k == 2 && r.v == 19.0))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling aggregations agree on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts(5), "a", 1.0), Ev(2, ts(20), "b", 2.0),
+      Ev(3, ts(65), "a", 3.0), Ev(4, ts(70), "a", 4.0))
+    val batch = Streaming.tumblingCounts(events.toDF())
+      .select($"window.start", $"event_type", $"n", $"sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val in = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("twin")
+      .outputMode("complete").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("twin")
+        .select($"window.start", $"event_type", $"n", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

