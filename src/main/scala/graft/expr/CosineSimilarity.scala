@@ -1,0 +1,93 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Fused cosine similarity over two `array<double>` columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The composable formulation — `aggregate(zip_with(a, b, _*_), …)` —
+  * allocates an intermediate products array per row and walks the inputs
+  * three times (dot, |a|, |b|). This expression runs ONE allocation-free
+  * loop inside the generated code, which is what the preference order in
+  * the design brief means by "a native Catalyst `Expression` (with
+  * `doGenCode`) beats a Scala UDF": same plan shape, no Tungsten→JVM
+  * boundary, no boxing.
+  *
+  * Accumulation is left-to-right over dimensions, matching the
+  * higher-order-function formulation and the DuckDB oracle's
+  * `list_dot_product`, so results are bit-identical.
+  */
+/** Inputs must be `array<double>` — callers cast (`ExpectsInputTypes` is
+  * `private[sql]`, so coercion stays at the call site).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xi = $a.getDouble($i);
+         |  double yi = $b.getDouble($i);
+         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** DataFrame-DSL entry point (no registration required). */
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.column(CosineSimilarity(
+      bridge.expression(a), bridge.expression(b)))
+}
+
+/** SQL registration via `SparkSessionExtensions` — pass
+  * `spark.sql.extensions=graft.expr.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) and `cosine_sim(a, b)`
+  * becomes available to `spark.sql` text queries.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -29,12 +29,19 @@ object Similarity {
 
   private val DIM = 64
 
-  /** cosine(a, b) over double arrays via codegen'd higher-order funcs. */
+  /** dot(a, b) via codegen'd higher-order funcs (used for the LSH bucket
+    * projections, where one side is a literal plane).
+    */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Fused single-pass cosine — the custom Catalyst expression
+    * (graft.expr.CosineSimilarity, codegen'd); accumulates dimensions
+    * left-to-right exactly like the `zip_with`+`aggregate` formulation it
+    * replaces (SimilaritySpec cross-checks the two).
+    */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.expr.GraftFunctions.cosine_sim(a, b)
 
   // ─── q49: brute-force cosine top-10, broadcast query side ─────────────
   def q49CosineTopk(s: SparkSession, d: String): DataFrame = {

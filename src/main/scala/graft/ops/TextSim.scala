@@ -225,7 +225,10 @@ object TextSim {
   }
 
   def q45MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
+    // the shingle set feeds three consumers (signatures, and both sides of
+    // the verification join) — cache it once instead of re-tokenizing the
+    // corpus three times (plan audit showed 8 document scans uncached).
+    val sh = shingled(s, d).cache()
     // 8 signatures: min over md5("<j>:" ++ shingle). md5 hex compares
     // identically as a string in both engines.
     val sigs = (0 until K).foldLeft(sh) { (df, j) =>
@@ -384,16 +387,29 @@ object TextSim {
   // whose hash starts with '0' — a content-defined sample that is stable
   // under local edits (the rolling-hash fingerprint idea). Per-doc output:
   // sample size + min/max sampled hash.
+  //
+  // Shape matters: explode once → hash each shingle ONCE → per-doc
+  // conditional aggregates. The first cut kept everything in nested array
+  // lambdas, and ProjectCollapse inlined the whole shingle+md5 pipeline
+  // into each of the 4 output columns — 4× the hashing, 48 s at sf0.1 vs
+  // ~1 s for this formulation. (left-anti restores docs with no shingles
+  // as all-NULL/zero rows, matching the lambda semantics.)
   def q48Fingerprint(s: SparkSession, d: String): DataFrame = {
-    val hashed = transform(shingles(tokens(col("text"))), x => md5(x))
-    val sampled = filter(hashed, h => substring(h, 1, 1) === "0")
-    documents(s, d)
-      .select(col("doc_id"),
-        size(shingles(tokens(col("text")))).cast("long").as("n_shingles"),
-        size(sampled).cast("long").as("n_sampled"),
-        array_min(sampled).as("fp_min"),
-        array_max(sampled).as("fp_max"))
-      .orderBy(col("doc_id"))
+    val docs = documents(s, d)
+    val perShingle = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sh1"))
+      .withColumn("h", md5(col("sh1")))
+      .withColumn("sampled", substring(col("h"), 1, 1) === "0")
+    val agg = perShingle.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+      min(when(col("sampled"), col("h"))).as("fp_min"),
+      max(when(col("sampled"), col("h"))).as("fp_max"))
+    val empty = docs.join(agg.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("n_shingles"), lit(0L).as("n_sampled"),
+              lit(null).cast("string").as("fp_min"),
+              lit(null).cast("string").as("fp_max"))
+    agg.unionByName(empty).orderBy(col("doc_id"))
   }
 
   val q48Sql: String = {

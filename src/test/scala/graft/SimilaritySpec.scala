@@ -65,6 +65,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fused CosineSimilarity expression matches the HOF formulation") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0))).toDF("a", "b")
+    val fused = df.select(
+      graft.expr.GraftFunctions.cosine_sim($"a", $"b").as("c"))
+      .as[Double].head()
+    def d(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val hof = df.select(
+      (d($"a", $"b") / (sqrt(d($"a", $"a")) * sqrt(d($"b", $"b")))).as("c"))
+      .as[Double].head()
+    assert(fused === hof)
+    assert(math.abs(fused - 10.0 / 14.0) < 1e-12)
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     val ds = Multimodal.mediaCatalog(spark, sfDir)
       .as[Multimodal.MediaRecord]
