@@ -396,8 +396,12 @@ object TextSim {
   // as all-NULL/zero rows, matching the lambda semantics.)
   def q48Fingerprint(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // materialize `toks` in its own projection BEFORE the explode: inlining
+    // tokens() into the shingle lambda makes every element_at re-evaluate
+    // the split+filter — O(n²) per document (13 s vs ~1 s at sf0.1).
     val perShingle = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sh1"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh1"))
       .withColumn("h", md5(col("sh1")))
       .withColumn("sampled", substring(col("h"), 1, 1) === "0")
     val agg = perShingle.groupBy(col("doc_id")).agg(
