@@ -43,4 +43,15 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` text queries
+    * run against the same data — the reference's third entry point (SQL
+    * over the produced schema, SURVEY §3.3).
+    */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
 }
