@@ -321,15 +321,25 @@ object TextSim {
   private val HI = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
   def q46SimHash(s: SparkSession, d: String): DataFrame = {
+    // Engine side extracts the 32 nibble-high-bits with integer shifts
+    // over four conv()'d 32-bit blocks (materialized once per token)
+    // instead of 32 substring+IN probes — same bits, ~half the per-row
+    // string work; the oracle twin keeps the readable substring form.
     val exploded = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val sums = (0 until 32).map(j =>
-      sum(when(substring(col("h"), j + 1, 1).isInCollection(HI), 1)
-        .otherwise(-1)).as(s"s$j"))
+    val withBlocks = (0 until 4).foldLeft(exploded) { (df, b) =>
+      df.withColumn(s"b$b",
+        conv(substring(col("h"), b * 8 + 1, 8), 16, 10).cast("long"))
+    }
+    val sums = (0 until 32).map { j =>
+      val bit = shiftright(col(s"b${j / 8}"), (7 - j % 8) * 4 + 3)
+        .bitwiseAND(lit(1L))
+      sum(when(bit === 1L, 1).otherwise(-1)).as(s"s$j")
+    }
     val bits = (0 until 32).map(j =>
       when(col(s"s$j") > 0, lit("1")).otherwise(lit("0")))
-    exploded.groupBy(col("doc_id"))
+    withBlocks.groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
       .orderBy(col("doc_id"))
