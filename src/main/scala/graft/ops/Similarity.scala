@@ -206,15 +206,136 @@ object Similarity {
        |ORDER BY label""".stripMargin
   }
 
+  // ─── q59: IVF-style ANN (coarse quantizer = learned centroids) ────────
+  // The other scale path besides LSH: a small centroid table (here: one
+  // k-means-style iteration seeded by `label`) is BROADCAST; every vector
+  // gets its nearest centroid in the map phase (argmax over 10 broadcast
+  // rows — no shuffle of the corpus), and queries probe ONLY their
+  // centroid's inverted list (nprobe=1). At 10^9+ vectors the probe join
+  // shuffles by centroid id; recall trades against nlist/nprobe.
+  def q59AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val cents = emb.groupBy(col("label"))
+      .agg(array((1 to DIM).map(i =>
+        avg(element_at(col("e"), i))): _*).as("carr"))
+      .select(col("label").as("cid"), col("carr"))
+    // nearest centroid per vector: broadcast the 10 centroids, keep the
+    // best (cos, cid) per vec via one window over the tiny fan-out.
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("ccos", cosine(col("e"), col("carr")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("e"), col("cid"))
+    val q = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cid"))
+    val corpus = assigned.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("cid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    corpus.join(q, Seq("cid"))
+      .select(col("q_id"), col("c_id"), col("cid"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q59Sql: String = {
+    val centArr = (1 to DIM)
+      .map(i => s"avg(CAST(embedding[$i] AS DOUBLE))").mkString("[", ", ", "]")
+    s"""WITH emb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (
+       |  SELECT label AS cid, $centArr AS carr FROM embeddings GROUP BY label),
+       |assigned AS (
+       |  SELECT vec_id, e, cid FROM (
+       |    SELECT vec_id, e, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY
+       |        list_dot_product(e, carr)
+       |          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(carr, carr)))
+       |        DESC, cid) AS arn
+       |    FROM emb CROSS JOIN cents)
+       |  WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe, cid FROM assigned WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, e AS ce, cid FROM assigned WHERE vec_id >= 5),
+       |sims AS (
+       |  SELECT q_id, c_id, c.cid,
+       |    round(list_dot_product(qe, ce)
+       |      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+       |      4) AS cos
+       |  FROM c JOIN q ON c.cid = q.cid)
+       |SELECT q_id, c_id, cid, cos, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rn
+       |  FROM sims)
+       |WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  // ─── q60: embedding-cosine near-dup within LSH buckets ────────────────
+  // Dedup by vector similarity: corpus ∪ perturbed copies (+0.01 per dim
+  // for every 50th vector — exactly representable, so both engines build
+  // identical duplicates). Identical-direction vectors land in the same
+  // sign-projection bucket by construction, so the pair join stays
+  // bucket-keyed (never all-pairs) and the verification keeps pairs with
+  // cos ≥ 0.99.
+  def q60EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val dups = base.where(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+              transform(col("e"), x => x + 0.01).as("e"))
+    val corpus = base.unionByName(dups)
+      .withColumn("bucket", bucketCol(col("e")))
+    val pairs = corpus.as("x")
+      .join(corpus.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+              round(cosine(col("x.e"), col("y.e")), 4).as("cos"))
+      .where(col("cos") >= 0.99)
+    pairs.orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val q60Sql: String = {
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, e,
+       |    ${bucketSqlExpr("e")} AS bucket
+       |  FROM (
+       |    SELECT vec_id, e FROM base
+       |    UNION ALL
+       |    SELECT vec_id + 100000, list_transform(e, x -> x + 0.01)
+       |    FROM base WHERE vec_id % 50 = 0))
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  round(list_dot_product(x.e, y.e)
+       |    / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))),
+       |    4) AS cos
+       |FROM corpus x JOIN corpus y
+       |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(list_dot_product(x.e, y.e)
+       |    / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))),
+       |    4) >= 0.99
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
     "q51_label_centroids" -> (q51LabelCentroids _),
+    "q59_ann_ivf"         -> (q59AnnIvf _),
+    "q60_embedding_neardup" -> (q60EmbeddingNearDup _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q49_cosine_topk"     -> q49Sql,
     "q50_ann_lsh_buckets" -> q50Sql,
     "q51_label_centroids" -> q51Sql,
+    "q59_ann_ivf"         -> q59Sql,
+    "q60_embedding_neardup" -> q60Sql,
   )
 }
