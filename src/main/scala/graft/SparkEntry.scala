@@ -12,7 +12,8 @@ object SparkEntry {
     ops.Scalars.queries ++ ops.Analytics.queries ++
     ingest.Normalize.queries ++ ops.Merge.queries ++ ops.TextSim.queries ++
     ops.Similarity.queries ++ ops.Streaming.queries ++
-    sources.FileSources.queries ++ sources.Multimodal.queries
+    sources.FileSources.queries ++ sources.Multimodal.queries ++
+    ops.Skew.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
     ops.Scalars.oracleSql ++ ops.Analytics.oracleSql ++
     ingest.Normalize.oracleSql ++ ops.Merge.oracleSql ++ ops.TextSim.oracleSql ++
     ops.Similarity.oracleSql ++ ops.Streaming.oracleSql ++
-    sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql
+    sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql ++
+    ops.Skew.oracleSql
 }
