@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * The parsed batch is cached: 12 consumers, one parse. Each output is a
   * plain DataFrame — callers append them through `sources.JdbcSink` (per
   * micro-batch = per page, the reference's atomicity unit) or any other
-  * writer. Dimension ids are `row_number` over the natural key
+  * writer. Cache lifecycle: the outputs are lazy, so the CALLER releases
+  * the parse cache (`spark.catalog.clearCache()` or `unpersist` on the
+  * parsed view) after writing all 12 relations — Bench/Verify do exactly
+  * that per query. Dimension ids are `row_number` over the natural key
   * (deterministic, SURVEY §7.3); bridge tables carry (course_id, dim_id)
   * exactly like course_catalog_database.sql:90–106.
   */

@@ -98,10 +98,14 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  // ─── q28: approx_count_distinct (HLL) — rows-only ──────────────────────
-  // HLL sketches differ between engines, so there is no oracle twin; the
-  // ScalaTest suite bounds the relative error against the exact count
-  // instead. At 100 TB this (fixed-size sketch, single pass) replaces
+  // ─── q28: approx_count_distinct (HLL) with an oracle-checkable bound ──
+  // HLL sketch VALUES differ between engines, so raw sketches can't be
+  // oracle-compared. Instead the query emits the exact counts (oracle-
+  // checkable) plus `approx_ok` — the 10% error-bound assertion AS DATA.
+  // The DuckDB twin emits literal TRUE, so the hash matches only if the
+  // sketch genuinely lands inside the bound (rsd 0.02 ⇒ 10% is a 5σ
+  // margin). TextSimSpec additionally bounds the raw sketch at 5%.
+  // At 100 TB the sketch (fixed-size, single pass) replaces
   // count(DISTINCT) wherever exactness isn't contractual.
   def q28ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -109,9 +113,23 @@ object Analytics {
       // rsd 0.02: half the default error at a quarter of the 0.01-rsd
       // sketch size (HLL registers scale 1/rsd²) — 0.01 was the top bench
       // cost at sf0.1 for precision nothing consumed.
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+           approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+        (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.1 &&
+         abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.1).as("approx_ok"))
       .orderBy(col("l_returnflag"))
+
+  val q28Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_rollup"          -> (q24Rollup _),
@@ -126,6 +144,6 @@ object Analytics {
     "q25_cube"           -> q25Sql,
     "q26_grouping_sets"  -> q26Sql,
     "q27_count_distinct" -> q27Sql,
-    // q28 intentionally omitted: approx sketch, rows-only check.
+    "q28_approx_distinct" -> q28Sql,
   )
 }

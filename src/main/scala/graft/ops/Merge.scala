@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   // ─── q38: surrogate-key dimension build (O11) ─────────────────────────
-  // Natural key = order month. Existing dim = months before 1995 with ids
+  // Natural key = order month. Existing dim = months before 1999 (testdata
+  // spans 1995-2001, so existing = 1995-1998 and new keys = 1999-2001,
+  // exercising both the known-key and fresh-key branches) with ids
   // assigned by row_number over the key (deterministic — SURVEY §7.3 rules
   // out monotonically_increasing_id, which is partition-layout-dependent).
   // Incoming = all months. New keys get maxId + row_number(new natural

@@ -228,6 +228,9 @@ object TextSim {
     // the shingle set feeds three consumers (signatures, and both sides of
     // the verification join) — cache it once instead of re-tokenizing the
     // corpus three times (plan audit showed 8 document scans uncached).
+    // Lifecycle: the cache must outlive this (lazy) plan, so the CALLER
+    // owns release — Bench/Verify run spark.catalog.clearCache() after
+    // materializing each query; long-lived sessions should do the same.
     val sh = shingled(s, d).cache()
     // 8 signatures from TWO md5s per shingle: each 32-hex digest yields 4
     // independent (non-overlapping) 8-hex blocks, so h_{m,b}(x) =

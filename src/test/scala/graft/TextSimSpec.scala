@@ -55,20 +55,26 @@ class TextSimSpec extends SparkSpec {
     assert(rand.exists(_ > 0))
   }
 
-  test("q28 approx_count_distinct stays within the configured 1% rsd bound") {
-    val approx = Analytics.q28ApproxDistinct(spark, sfDir)
-      .select($"l_returnflag", $"approx_orders", $"approx_parts")
-      .as[(String, Long, Long)].collect()
-      .map { case (k, o, p) => k -> (o, p) }.toMap
-    val exact = Tables.lineitem(spark, sfDir)
+  test("q28 approx_count_distinct: oracle bound holds and raw sketch is within 5%") {
+    // q28's oracle-checkable form: approx_ok must be TRUE for every group
+    // (the 10% bound the DuckDB twin asserts via literal TRUE).
+    val rows = Analytics.q28ApproxDistinct(spark, sfDir)
+      .select($"l_returnflag", $"n_orders", $"n_parts", $"approx_ok")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val outOfBound = rows.filterNot(_._4)
+    assert(outOfBound.isEmpty, s"sketch out of 10% bound: ${outOfBound.toSeq}")
+    // tighter engineering bound on the RAW sketch (rsd 0.02 ⇒ 5% ≈ 2.5σ,
+    // + small-n floor), re-derived here since q28 folds the sketch into
+    // the boolean.
+    val approx = Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("o"),
-           countDistinct($"l_partkey").as("p"))
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("ao"),
+           approx_count_distinct($"l_partkey", 0.02).as("ap"))
       .as[(String, Long, Long)].collect()
       .map { case (k, o, p) => k -> (o, p) }.toMap
-    exact.foreach { case (k, (no, np)) =>
+    rows.foreach { case (k, no, np, _) =>
       val (ao, ap) = approx(k)
-      // rsd 0.01 ⇒ |err| ≲ 4·rsd·n; allow a generous 5% + small-n floor
       assert(math.abs(ao - no) <= math.max(4, 0.05 * no), s"$k orders: $ao vs $no")
       assert(math.abs(ap - np) <= math.max(4, 0.05 * np), s"$k parts: $ap vs $np")
     }
