@@ -27,7 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val DIM = 64
+  /** Embedding dimensionality of the `embeddings` table. Every consumer
+    * (plane projections, centroid buffers, oracle SQL generators) derives
+    * from this one constant, so a corpus with a different width is a
+    * one-line change.
+    */
+  val DIM = 64
+
+  /** Default sign-random-projection plane count. 2^nPlanes buckets; the
+    * scale rule is nPlanes ≈ log2(corpusSize / targetBucketSize), so the
+    * within-bucket candidate join stays near-linear: at 10^9 vectors and
+    * ~10^4-vector buckets that is ~17 planes, not this fixture-sized 4.
+    * Recall falls with plane count (each plane flips a near-pair into
+    * different buckets with probability θ/π, θ = angle between them);
+    * production recovers it with multiple tables (OR-construction) or
+    * multi-probe. SimilaritySpec proves the recall/cost trade by running
+    * the planted-pair check at BOTH 4 and 8 planes.
+    */
+  val DefaultPlanes = 4
 
   /** dot(a, b) via codegen'd higher-order funcs (used for the LSH bucket
     * projections, where one side is a literal plane).
@@ -83,32 +100,38 @@ object Similarity {
       |WHERE rn <= 10
       |ORDER BY q_id, rn""".stripMargin
 
-  // ─── q50: LSH-bucketed ANN (sign random projections) ──────────────────
-  // 4 deterministic integer hyperplanes -> 16 buckets. The similarity join
-  // becomes corpus ⋈ queries ON bucket: only same-bucket pairs are scored,
-  // and the join is a plain equi-join that shuffles by bucket key — the
-  // shape that scales to 10^9+ vectors (more planes => smaller buckets).
-  private def planeWeights(j: Int): Seq[Double] =
-    (0 until DIM).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
+  // ─── q50/q62: LSH-bucketed ANN (sign random projections) ──────────────
+  // nPlanes deterministic integer hyperplanes -> 2^nPlanes buckets. The
+  // similarity join becomes corpus ⋈ queries ON bucket: only same-bucket
+  // pairs are scored, and the join is a plain equi-join that shuffles by
+  // bucket key — the shape that scales to 10^9+ vectors (more planes =>
+  // smaller buckets => cheaper join, lower recall; see [[DefaultPlanes]]).
+  private def planeWeights(j: Int, dim: Int = DIM): Seq[Double] =
+    (0 until dim).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
 
-  private def bucketCol(e: Column): Column = {
-    val bits = (0 until 4).map { j =>
+  private def bucketCol(e: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
       val plane = array(planeWeights(j).map(lit): _*)
       when(dot(e, plane) >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  private def bucketSqlExpr(eCol: String): String =
-    (0 until 4).map { j =>
+  private def bucketSqlExpr(eCol: String, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
       val plane = planeWeights(j).map(_.toString).mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($eCol, $plane) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
-  def q50AnnLshBuckets(s: SparkSession, d: String): DataFrame = {
+  /** Bucketed ANN top-k, parameterized by plane count. q50 runs the
+    * fixture default (4 planes/16 buckets); q62 the same operator at
+    * 8 planes/256 buckets, proving the plan shape is invariant in the
+    * knob (same equi-join, smaller buckets).
+    */
+  def annLshBuckets(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val emb = embeddings(s, d)
       .withColumn("e", col("embedding").cast("array<double>"))
-      .withColumn("bucket", bucketCol(col("e")))
+      .withColumn("bucket", bucketCol(col("e"), nPlanes))
     val q = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
     val corpus = emb.where(col("vec_id") >= 5)
@@ -123,10 +146,16 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val q50Sql: String = {
+  def q50AnnLshBuckets(s: SparkSession, d: String): DataFrame =
+    annLshBuckets(s, d, DefaultPlanes)
+
+  def q62AnnLshPlanes8(s: SparkSession, d: String): DataFrame =
+    annLshBuckets(s, d, 8)
+
+  def annLshSql(nPlanes: Int): String = {
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-       |    ${bucketSqlExpr("CAST(embedding AS DOUBLE[])")} AS bucket
+       |    ${bucketSqlExpr("CAST(embedding AS DOUBLE[])", nPlanes)} AS bucket
        |  FROM embeddings),
        |q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM emb WHERE vec_id < 5),
        |c AS (SELECT vec_id AS c_id, e AS ce, bucket FROM emb WHERE vec_id >= 5),
@@ -144,26 +173,30 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  val q50Sql: String = annLshSql(DefaultPlanes)
+  val q62Sql: String = annLshSql(8)
+
   // ─── q51: per-label centroid via custom typed Aggregator ──────────────
   case class EmbVec(vec_id: Long, embedding: Seq[Float], label: Int)
   case class CentroidBuf(sums: Seq[Double], n: Long)
 
-  /** Typed UDAF: running 64-d sum + count. reduce/merge give Spark the
+  /** Typed UDAF: running `dim`-d sum + count. reduce/merge give Spark the
     * partial-aggregation contract — map-side combine per partition, then a
     * label-keyed shuffle of one buffer per (partition × label).
     */
-  object CentroidAgg extends Aggregator[EmbVec, CentroidBuf, Seq[Double]] {
-    def zero: CentroidBuf = CentroidBuf(Seq.fill(DIM)(0.0), 0L)
+  final case class CentroidAgg(dim: Int)
+    extends Aggregator[EmbVec, CentroidBuf, Seq[Double]] {
+    def zero: CentroidBuf = CentroidBuf(Seq.fill(dim)(0.0), 0L)
     def reduce(b: CentroidBuf, a: EmbVec): CentroidBuf = {
       val s = b.sums.toArray
       var i = 0
-      while (i < DIM) { s(i) += a.embedding(i).toDouble; i += 1 }
+      while (i < dim) { s(i) += a.embedding(i).toDouble; i += 1 }
       CentroidBuf(s.toSeq, b.n + 1)
     }
     def merge(x: CentroidBuf, y: CentroidBuf): CentroidBuf = {
       val s = x.sums.toArray
       var i = 0
-      while (i < DIM) { s(i) += y.sums(i); i += 1 }
+      while (i < dim) { s(i) += y.sums(i); i += 1 }
       CentroidBuf(s.toSeq, x.n + y.n)
     }
     def finish(b: CentroidBuf): Seq[Double] = b.sums.map(_ / b.n)
@@ -176,7 +209,7 @@ object Similarity {
     import s.implicits._
     val ds = embeddings(s, d).as[EmbVec]
     val cents = ds.groupByKey(_.label)
-      .agg(CentroidAgg.toColumn.name("centroid"))
+      .agg(CentroidAgg(DIM).toColumn.name("centroid"))
       .toDF("label", "centroid")
     // norm accumulates dims left-to-right — the oracle's `+` chain order.
     val norm = sqrt(aggregate(col("centroid"), lit(0.0),
@@ -275,21 +308,22 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
-  // ─── q60: embedding-cosine near-dup within LSH buckets ────────────────
+  // ─── q60/q63: embedding-cosine near-dup within LSH buckets ────────────
   // Dedup by vector similarity: corpus ∪ perturbed copies (+0.01 per dim
   // for every 50th vector — exactly representable, so both engines build
-  // identical duplicates). Identical-direction vectors land in the same
-  // sign-projection bucket by construction, so the pair join stays
-  // bucket-keyed (never all-pairs) and the verification keeps pairs with
-  // cos ≥ 0.99.
-  def q60EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+  // identical duplicates). Near-identical-direction vectors land in the
+  // same sign-projection bucket unless the perturbation crosses a plane,
+  // so the pair join stays bucket-keyed (never all-pairs) and the
+  // verification keeps pairs with cos ≥ 0.99. SimilaritySpec measures
+  // planted-pair recall at both plane counts.
+  def embeddingNearDup(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val base = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val dups = base.where(pmod(col("vec_id"), lit(50)) === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
               transform(col("e"), x => x + 0.01).as("e"))
     val corpus = base.unionByName(dups)
-      .withColumn("bucket", bucketCol(col("e")))
+      .withColumn("bucket", bucketCol(col("e"), nPlanes))
     val pairs = corpus.as("x")
       .join(corpus.as("y"),
         col("x.bucket") === col("y.bucket") &&
@@ -300,12 +334,18 @@ object Similarity {
     pairs.orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val q60Sql: String = {
+  def q60EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDup(s, d, DefaultPlanes)
+
+  def q63EmbeddingNearDupP8(s: SparkSession, d: String): DataFrame =
+    embeddingNearDup(s, d, 8)
+
+  def embeddingNearDupSql(nPlanes: Int): String = {
     s"""WITH base AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |corpus AS (
        |  SELECT vec_id, e,
-       |    ${bucketSqlExpr("e")} AS bucket
+       |    ${bucketSqlExpr("e", nPlanes)} AS bucket
        |  FROM (
        |    SELECT vec_id, e FROM base
        |    UNION ALL
@@ -323,12 +363,17 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  val q60Sql: String = embeddingNearDupSql(DefaultPlanes)
+  val q63Sql: String = embeddingNearDupSql(8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
     "q51_label_centroids" -> (q51LabelCentroids _),
     "q59_ann_ivf"         -> (q59AnnIvf _),
     "q60_embedding_neardup" -> (q60EmbeddingNearDup _),
+    "q62_ann_lsh_planes8" -> (q62AnnLshPlanes8 _),
+    "q63_embedding_neardup_p8" -> (q63EmbeddingNearDupP8 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -337,5 +382,7 @@ object Similarity {
     "q51_label_centroids" -> q51Sql,
     "q59_ann_ivf"         -> q59Sql,
     "q60_embedding_neardup" -> q60Sql,
+    "q62_ann_lsh_planes8" -> q62Sql,
+    "q63_embedding_neardup_p8" -> q63Sql,
   )
 }

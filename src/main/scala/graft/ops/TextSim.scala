@@ -185,15 +185,25 @@ object TextSim {
        |ORDER BY lang, predicted""".stripMargin
   }
 
-  // ─── q45: banded MinHash LSH near-dup detection ───────────────────────
+  // ─── q45/q64: banded MinHash LSH near-dup detection ───────────────────
   // Corpus = documents ∪ near-dup copies (every 20th doc + a 3-token tail).
-  // Pipeline: shingle → 8 MinHash signatures (md5-keyed min over the
-  // shingle set) → 4 bands of 2 rows → self-join on (band_id, band_key) →
-  // exact-Jaccard verification of candidates. The ONLY join is keyed on
-  // the band signature — docs that share no band never meet, which is what
-  // makes this viable at 100 TB (vs the all-pairs O(n²) trap).
-  private val K = 8  // minhash functions
-  private val B = 4  // bands of 2 rows each
+  // Pipeline: shingle → K MinHash signatures (md5-keyed min over the
+  // shingle set) → B bands of R = K/B rows → self-join on (band_id,
+  // band_key) → exact-Jaccard verification of candidates. The ONLY join is
+  // keyed on the band signature — docs that share no band never meet,
+  // which is what makes this viable at 100 TB (vs the all-pairs O(n²)
+  // trap).
+  //
+  // Scale rule for (K, B): candidate probability for Jaccard j is
+  // 1 - (1 - j^R)^B — the S-curve's threshold sits near (1/B)^(1/R).
+  // More bands => higher recall and more candidates; more rows per band
+  // => sharper threshold. K signatures cost ceil(K/4) md5 digests per
+  // shingle (each 32-hex digest is split into four independent 8-hex
+  // blocks). q45 runs the default (K=8, B=4, threshold ≈ 0.5); q64 the
+  // same operator at (K=16, B=8) proving correctness and recall hold as
+  // the knobs scale.
+  val DefaultK = 8  // minhash functions
+  val DefaultB = 4  // bands (of K/B rows each)
 
   /** (doc_id, sh) where sh = distinct 3-gram shingle set, over the
     * dedup-test corpus.
@@ -224,7 +234,9 @@ object TextSim {
        |  FROM (SELECT doc_id, $toksE AS toks FROM corpus))""".stripMargin
   }
 
-  def q45MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String, k: Int, b: Int): DataFrame = {
+    require(k % b == 0, s"K=$k must be a multiple of B=$b")
+    val r = k / b // rows per band
     // the shingle set feeds three consumers (signatures, and both sides of
     // the verification join) — cache it once instead of re-tokenizing the
     // corpus three times (plan audit showed 8 document scans uncached).
@@ -232,26 +244,28 @@ object TextSim {
     // owns release — Bench/Verify run spark.catalog.clearCache() after
     // materializing each query; long-lived sessions should do the same.
     val sh = shingled(s, d).cache()
-    // 8 signatures from TWO md5s per shingle: each 32-hex digest yields 4
-    // independent (non-overlapping) 8-hex blocks, so h_{m,b}(x) =
+    // K signatures from ceil(K/4) md5s per shingle: each 32-hex digest
+    // yields 4 independent (non-overlapping) 8-hex blocks, so h_{m,b}(x) =
     // substring(md5(m":"x), 8b, 8) — 4× fewer hashes than one md5 per
     // signature, bit-identical in both engines. The md5s are materialized
     // as columns first so the per-block mins reference them instead of
     // re-hashing (the q48 inlining lesson).
-    val hashed = sh
-      .withColumn("h0", transform(col("sh"), x => md5(concat(lit("0:"), x))))
-      .withColumn("h1", transform(col("sh"), x => md5(concat(lit("1:"), x))))
-    val sigs = (0 until K).foldLeft(hashed) { (df, j) =>
-      val src = if (j < 4) col("h0") else col("h1")
+    val nDigests = (k + 3) / 4
+    val hashed = (0 until nDigests).foldLeft(sh) { (df, m) =>
+      df.withColumn(s"h$m", transform(col("sh"), x => md5(concat(lit(s"$m:"), x))))
+    }
+    val sigs = (0 until k).foldLeft(hashed) { (df, j) =>
+      val src = col(s"h${j / 4}")
       val off = (j % 4) * 8 + 1
       df.withColumn(s"sig$j",
         array_min(transform(src, h => substring(h, off, 8))))
     }
-    val banded = (0 until B).foldLeft(sigs) { (df, b) =>
-      df.withColumn(s"band$b", md5(concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+    val banded = (0 until b).foldLeft(sigs) { (df, i) =>
+      df.withColumn(s"band$i",
+        md5(concat((0 until r).map(j => col(s"sig${r * i + j}")): _*)))
     }
     val bands = banded.select(col("doc_id"),
-      posexplode(array((0 until B).map(b => col(s"band$b")): _*)))
+      posexplode(array((0 until b).map(i => col(s"band$i")): _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_key")
     val cand = bands.as("x")
@@ -271,20 +285,32 @@ object TextSim {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q45Sql: String = {
-    val sigCols = (0 until K).map { j =>
-      val src = if (j < 4) "h0" else "h1"
+  def q45MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d, DefaultK, DefaultB)
+
+  def q64MinhashLshWide(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d, 16, 8)
+
+  def minhashSql(k: Int, b: Int): String = {
+    val r = k / b
+    val nDigests = (k + 3) / 4
+    val digestCols = (0 until nDigests).map(m =>
+      s"list_transform(sh, x -> md5('$m:' || x)) AS h$m").mkString(",\n    ")
+    val sigCols = (0 until k).map { j =>
+      val src = s"h${j / 4}"
       val off = (j % 4) * 8 + 1
       s"list_aggregate(list_transform($src, h -> substring(h, $off, 8)), 'min') AS sig$j"
     }.mkString(",\n    ")
-    val bandCols = (0 until B).map(b =>
-      s"md5(sig${2 * b} || sig${2 * b + 1}) AS band$b").mkString(",\n    ")
-    val bandArray = (0 until B).map(b => s"band$b").mkString("[", ", ", "]")
+    val bandCols = (0 until b).map { i =>
+      val cat = (0 until r).map(j => s"sig${r * i + j}").mkString(" || ")
+      s"md5($cat) AS band$i"
+    }.mkString(",\n    ")
+    val bandArray = (0 until b).map(i => s"band$i").mkString("[", ", ", "]")
+    val bandIdx = (0 until b).mkString("[", ",", "]")
     s"""WITH $shingledSqlCte,
        |hashed AS (
        |  SELECT doc_id, sh,
-       |    list_transform(sh, x -> md5('0:' || x)) AS h0,
-       |    list_transform(sh, x -> md5('1:' || x)) AS h1
+       |    $digestCols
        |  FROM shingled),
        |sigs AS (
        |  SELECT doc_id,
@@ -296,7 +322,7 @@ object TextSim {
        |  FROM sigs),
        |bands AS (
        |  SELECT doc_id, u.b AS band_id, $bandArray[u.b + 1] AS band_key
-       |  FROM bandkeys CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u),
+       |  FROM bandkeys CROSS JOIN (SELECT unnest($bandIdx) AS b) u),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -314,6 +340,9 @@ object TextSim {
        |  >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  val q45Sql: String = minhashSql(DefaultK, DefaultB)
+  val q64Sql: String = minhashSql(16, 8)
 
   // ─── q46: SimHash fingerprints (32-bit, md5-nibble planes) ────────────
   // Per token, bit j = high bit of the j-th hex nibble of md5(token);
@@ -471,6 +500,7 @@ object TextSim {
     "q46_simhash"        -> (q46SimHash _),
     "q47_ngram_jaccard"  -> (q47NgramJaccard _),
     "q48_fingerprint"    -> (q48Fingerprint _),
+    "q64_minhash_lsh_wide" -> (q64MinhashLshWide _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -482,5 +512,6 @@ object TextSim {
     "q46_simhash"        -> q46Sql,
     "q47_ngram_jaccard"  -> q47Sql,
     "q48_fingerprint"    -> q48Sql,
+    "q64_minhash_lsh_wide" -> q64Sql,
   )
 }

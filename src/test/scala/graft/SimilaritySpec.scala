@@ -47,21 +47,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH bucketing: every candidate pair shares the query's bucket") {
-    val rows = Similarity.q50AnnLshBuckets(spark, sfDir)
-      .select($"q_id", $"c_id", $"bucket").as[(Long, Long, String)].collect()
-    assert(rows.nonEmpty)
-    // recompute both sides' buckets and confirm equality
+  private def bucketOf(v: Seq[Double], nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      val w = (0 until Similarity.DIM).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
+      if (v.zip(w).map { case (a, b) => a * b }.sum >= 0) "1" else "0"
+    }.mkString
+
+  test("LSH bucketing: every candidate pair shares the query's bucket (4 and 8 planes)") {
     val buckets = Tables.embeddings(spark, sfDir)
       .withColumn("e", $"embedding".cast("array<double>"))
       .select($"vec_id", $"e").as[(Long, Seq[Double])].collect().toMap
-    def bucketOf(v: Seq[Double]): String =
-      (0 until 4).map { j =>
-        val w = (0 until 64).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
-        if (v.zip(w).map { case (a, b) => a * b }.sum >= 0) "1" else "0"
-      }.mkString
-    rows.foreach { case (q, c, b) =>
-      assert(bucketOf(buckets(q)) === b && bucketOf(buckets(c)) === b)
+    Seq(4, 8).foreach { p =>
+      val rows = Similarity.annLshBuckets(spark, sfDir, p)
+        .select($"q_id", $"c_id", $"bucket").as[(Long, Long, String)].collect()
+      assert(rows.nonEmpty, s"$p planes: no ANN results")
+      rows.foreach { case (q, c, b) =>
+        assert(bucketOf(buckets(q), p) === b && bucketOf(buckets(c), p) === b,
+          s"$p planes: pair ($q,$c) bucket mismatch")
+      }
+    }
+  }
+
+  test("embedding near-dup: planted-pair recall holds as plane count scales 4 -> 8") {
+    val planted = Tables.embeddings(spark, sfDir)
+      .where(pmod($"vec_id", lit(50)) === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(planted.nonEmpty)
+    Seq(4, 8).foreach { p =>
+      val found = Similarity.embeddingNearDup(spark, sfDir, p)
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+      val hits = planted.count(id => found.contains((id, id + 100000L)))
+      val recall = hits.toDouble / planted.size
+      // 4 planes: the fixture perturbation (+0.01/dim) never crosses a
+      // plane -> exact recall. 8 planes: each extra plane can flip a
+      // near-pair with prob θ/π; allow one miss per ten planted.
+      val floor = if (p == 4) 1.0 else 0.9
+      assert(recall >= floor, s"$p planes: recall $recall < $floor")
     }
   }
 

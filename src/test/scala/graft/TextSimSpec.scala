@@ -25,6 +25,24 @@ class TextSimSpec extends SparkSpec {
     assert(missing.isEmpty, s"LSH missed planted near-dups: $missing")
   }
 
+  test("MinHash (K=16, B=8) keeps full planted recall and candidates ⊇ (K=8, B=4)") {
+    // q64's first 4 bands are bit-identical to q45's (same sig blocks,
+    // same band concatenation), so widening K/B can only ADD candidate
+    // pairs — verified pairs must be a superset, and planted recall must
+    // stay total.
+    val planted = Tables.documents(spark, sfDir)
+      .where(pmod($"doc_id", lit(20)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    val narrow = TextSim.q45MinhashLsh(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val wide = TextSim.q64MinhashLshWide(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(narrow.subsetOf(wide),
+      s"widened LSH lost verified pairs: ${narrow -- wide}")
+    val missing = planted.map(id => (id, id + 100000L)) -- wide
+    assert(missing.isEmpty, s"wide LSH missed planted near-dups: $missing")
+  }
+
   test("exact dedup: every duplicate group has exactly its copies") {
     val dupGroups = TextSim.q41ExactDedup(spark, sfDir)
       .where($"n_copies" > 1)
