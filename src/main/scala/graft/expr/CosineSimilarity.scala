@@ -2,12 +2,13 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Fused cosine similarity over two `array<double>` columns as a native
   * Catalyst expression with whole-stage codegen.
@@ -25,13 +26,37 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `list_dot_product`, so results are bit-identical.
   */
 /** Inputs must be `array<double>` — callers cast (`ExpectsInputTypes` is
-  * `private[sql]`, so coercion stays at the call site).
+  * `private[sql]`, so coercion stays at the call site); misuse is caught
+  * at ANALYSIS time by [[checkInputDataTypes]], not as a runtime
+  * ClassCastException.
+  *
+  * Null semantics: null in → null out (BinaryExpression default), and a
+  * ZERO-NORM input (either vector all-zero, where cosine is undefined
+  * 0/0) also yields NULL rather than NaN — NaN would poison downstream
+  * `>=` filters and aggregates silently, while NULL composes with
+  * Spark's null-skipping semantics.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // forced nullable: zero-norm inputs produce NULL even when both
+  // children are non-nullable (codegen relies on ev.isNull being a
+  // variable, not the literal `false`).
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+      s"(${left.dataType.simpleString}, ${right.dataType.simpleString}); " +
+      "cast float/int embeddings with CAST(x AS ARRAY<DOUBLE>)")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,7 +68,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,7 +87,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = $b.getDouble($i);
          |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 
@@ -75,6 +105,25 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     bridge.column(CosineSimilarity(
       bridge.expression(a), bridge.expression(b)))
+
+  /** Shared SQL builder: arity is checked here (surfaces at function
+    * resolution); argument TYPES are checked by the expression's own
+    * checkInputDataTypes at analysis.
+    */
+  private[expr] val builder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"cosine_sim requires exactly 2 arguments, got ${children.length}")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  private def info = new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim")
+
+  /** Register `cosine_sim` for SQL text on a live session (the
+    * post-startup alternative to [[GraftExtensions]]).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    bridge.registerFunction(spark, "cosine_sim", info, builder)
 }
 
 /** SQL registration via `SparkSessionExtensions` — pass
@@ -87,7 +136,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSimilarity(children.head, children(1))))
+      GraftFunctions.builder))
   }
 }

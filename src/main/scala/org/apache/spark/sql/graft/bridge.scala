@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column ⇄ Expression bridge for the classic (non-Connect) API.
@@ -15,4 +16,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-RUNNING session (the
+    * extensions path requires configuring the session builder up front;
+    * this covers notebooks/tests attaching to an existing one).
+    * `sessionState` is private[sql], hence this lives in the shim.
+    */
+  def registerFunction(spark: SparkSession, name: String, info: ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(new FunctionIdentifier(name), info, builder)
 }

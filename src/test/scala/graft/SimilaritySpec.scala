@@ -100,6 +100,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(fused - 10.0 / 14.0) < 1e-12)
   }
 
+  test("CosineSimilarity: type misuse is an analysis error, zero-norm is NULL") {
+    // wrong element type -> analysis-time TypeCheckFailure, not a runtime
+    // ClassCastException
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.expr.GraftFunctions.cosine_sim($"a", $"b")).collect()
+    }
+    assert(typeErr.getMessage.contains("cosine_sim"))
+    // SQL surface: register on the live session, then misuse arity
+    graft.expr.GraftFunctions.register(spark)
+    val okSql = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .as[Double].head()
+    assert(okSql === 1.0)
+    val arityErr = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d)) AS c").collect()
+    }
+    assert(arityErr.getMessage.contains("2 arguments") ||
+           arityErr.getMessage.contains("cosine_sim"))
+    // zero-norm vector -> NULL (not NaN), through the codegen path
+    val zero = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)), (Seq(1.0, 0.0), Seq(1.0, 0.0)))
+      .toDF("a", "b")
+      .select(graft.expr.GraftFunctions.cosine_sim($"a", $"b").as("c"))
+    val got = zero.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty, "zero-norm must be NULL, not NaN")
+    assert(got(1).contains(1.0))
+    // null propagation
+    val withNull = Seq((Option.empty[Seq[Double]], Option(Seq(1.0))))
+      .toDF("a", "b")
+      .select(graft.expr.GraftFunctions.cosine_sim($"a", $"b").as("c"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
   test("multimodal feature extraction is deterministic and schema-stable") {
     val ds = Multimodal.mediaCatalog(spark, sfDir)
       .as[Multimodal.MediaRecord]
