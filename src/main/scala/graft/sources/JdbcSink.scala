@@ -41,6 +41,16 @@ object JdbcSink {
     writer(df, url, table, driver, numPartitions)
       .mode(SaveMode.Append).save()
 
+  /** Config-driven overload: connection params come from the typed dotenv
+    * contract (graft.config.GraftConfig — the reference's get_db_config,
+    * course_catalog.py:23–32), so callers never hardwire URLs/creds.
+    */
+  def append(df: DataFrame, db: graft.config.GraftConfig.DbConfig,
+             table: String, driver: String): Unit =
+    writer(df, db.jdbcUrl(), table, driver, 4)
+      .option("user", db.user).option("password", db.password)
+      .mode(SaveMode.Append).save()
+
   /** O12 at the sink: `ON CONFLICT DO NOTHING` — append only the rows
     * whose key is not already present. Reads back only the KEY column
     * (column pruning pushes into the JDBC query).
