@@ -30,6 +30,45 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got === Seq((1L, "old"), (2L, "old"), (3L, "new")))
   }
 
+  private def exec(ddl: String): Unit = {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try { conn.createStatement().execute(ddl) } finally conn.close()
+  }
+
+  test("upsertTx is latest-wins, touches only conflicting rows, idempotent") {
+    exec("CREATE TABLE T_TX (k BIGINT PRIMARY KEY, v VARCHAR(10))")
+    JdbcSink.upsertTx(Seq((1L, "old"), (2L, "old")).toDF("k", "v"),
+      url, "T_TX", driver, "k")
+    JdbcSink.upsertTx(Seq((2L, "new"), (3L, "new")).toDF("k", "v"),
+      url, "T_TX", driver, "k")
+    def read() = JdbcSink.readTable(spark, url, "T_TX", driver)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(read() === Seq((1L, "old"), (2L, "new"), (3L, "new")))
+    // replay changes nothing
+    JdbcSink.upsertTx(Seq((2L, "new"), (3L, "new")).toDF("k", "v"),
+      url, "T_TX", driver, "k")
+    assert(read() === Seq((1L, "old"), (2L, "new"), (3L, "new")))
+  }
+
+  test("upsertTx partition failure rolls back the WHOLE partition (atomicity)") {
+    exec("CREATE TABLE T_ATOMIC (k BIGINT PRIMARY KEY, v VARCHAR(10))")
+    JdbcSink.upsertTx(Seq((1L, "old"), (2L, "old")).toDF("k", "v"),
+      url, "T_ATOMIC", driver, "k")
+    // one partition: a valid update of k=2 followed by a row that violates
+    // the VARCHAR(10) limit. If the transaction were per-statement, k=2
+    // would be visible as 'new' after the failure — a half-replaced table.
+    val poisoned = Seq((2L, "new"), (3L, "x" * 40)).toDF("k", "v").coalesce(1)
+    val err = intercept[Exception] {
+      JdbcSink.upsertTx(poisoned, url, "T_ATOMIC", driver, "k")
+    }
+    assert(err.getMessage != null)
+    val got = JdbcSink.readTable(spark, url, "T_ATOMIC", driver)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "old"), (2L, "old")),
+      "reader observed a half-applied partition — rollback failed")
+  }
+
   test("upsert is latest-wins and idempotent (O13 at the sink)") {
     val first = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
     JdbcSink.append(first, url, "T_UPSERT", driver)
