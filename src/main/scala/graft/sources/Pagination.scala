@@ -96,6 +96,48 @@ object Pagination {
   final class FatalFetchException(val failure: Failure)
     extends RuntimeException(s"fatal source failure: $failure")
 
+  /** Outcome of one page-level fetch attempt (the micro-batch unit):
+    * either the page, or an abort signal, plus the retry/sleep cost it
+    * took to get there.
+    */
+  final case class PageAttempt(page: Option[Page], retries: Int,
+                               sleptSeconds: Long, aborted: Boolean)
+
+  /** Fetch ONE page with the policy's classified-retry loop. This is the
+    * unit shared by [[fetchAll]] (batch cursor walk) and the streaming
+    * source ([[PagedApiSource]], page = micro-batch).
+    */
+  def fetchOnePage(
+      url: String,
+      fetch: String => Either[Failure, Page],
+      policy: Failure => Decision,
+      sleep: Int => Unit = _ => (),
+      maxRetriesPerPage: Int = 10): PageAttempt = {
+    var retries = 0
+    var slept = 0L
+    var attempts = 0
+    while (true) {
+      fetch(url) match {
+        case Right(page) =>
+          return PageAttempt(Some(page), retries, slept, aborted = false)
+        case Left(failure) =>
+          policy(failure) match {
+            case Decision.RetryAfter(s) =>
+              attempts += 1
+              if (attempts > maxRetriesPerPage) throw new FatalFetchException(failure)
+              retries += 1
+              sleep(s)
+              slept += s
+            case Decision.Abort =>
+              return PageAttempt(None, retries, slept, aborted = true)
+            case Decision.Fail =>
+              throw new FatalFetchException(failure)
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Follow the cursor chain from `startUrl`, applying `policy` to every
     * failure. Returns all record bodies plus stats. `maxRetriesPerPage`
     * bounds a pathological permanent failure (the reference would spin
@@ -115,31 +157,17 @@ object Pagination {
     var extraSlept = 0L
     var aborted = false
     while (url.isDefined && !aborted) {
-      var pageDone = false
-      var attempts = 0
-      while (!pageDone) {
-        fetch(url.get) match {
-          case Right(page) =>
-            out ++= page.results
-            limiter.recordsIngested(page.results.size)
-            pages += 1
-            url = page.next
-            pageDone = true
-          case Left(failure) =>
-            policy(failure) match {
-              case Decision.RetryAfter(s) =>
-                attempts += 1
-                if (attempts > maxRetriesPerPage) throw new FatalFetchException(failure)
-                retries += 1
-                sleep(s)
-                extraSlept += s
-              case Decision.Abort =>
-                aborted = true
-                pageDone = true
-              case Decision.Fail =>
-                throw new FatalFetchException(failure)
-            }
-        }
+      val attempt = fetchOnePage(url.get, fetch, policy, sleep, maxRetriesPerPage)
+      retries += attempt.retries
+      extraSlept += attempt.sleptSeconds
+      attempt.page match {
+        case Some(page) =>
+          out ++= page.results
+          limiter.recordsIngested(page.results.size)
+          pages += 1
+          url = page.next
+        case None =>
+          aborted = true
       }
     }
     val records = limiter.totalIngested
