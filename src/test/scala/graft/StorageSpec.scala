@@ -48,6 +48,39 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a planted skewed join key (OptimizeSkewedJoin fires)") {
+    // the JOIN-side skew lever, complementing q61's salted AGGREGATION:
+    // a hot key whose shuffle partition dwarfs the median gets split into
+    // advisory-sized reader chunks at runtime, with the build side
+    // replicated per chunk — no manual salting of the join needed.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // shrink the skew thresholds to fixture scale (defaults are 256 MB)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      // left: key 0 carries 300k of 400k rows; right: all 38 keys, small
+      // but non-broadcastable by config
+      val left = spark.range(0, 400000).select(
+        when($"id" < 300000, 0L).otherwise(pmod($"id", lit(37)) + 1).as("k"),
+        $"id".as("v"))
+      val right = spark.range(0, 38).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution (count() would spawn its own, leaving
+      // joined's adaptive plan unexecuted and the assertion vacuous)
+      val n = joined.collect().length
+      assert(n === 400000) // every left row finds exactly one right row
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("partitioned layout prunes to one partition on a key predicate") {
     val dir = tmp("partitioned")
     Tables.orders(spark, sfDir)
