@@ -38,10 +38,11 @@ object CatalogPipeline {
       col("locale.locale").as("locale"))
 
     def dim(titleCol: String): DataFrame =
-      parsed.select(col(s"$titleCol.title").as("title"),
-                    col(s"$titleCol.url").as("url"))
-        .where(col("title").isNotNull).distinct()
-        .withColumn("id", row_number().over(Window.orderBy(col("title"))).cast("long"))
+      graft.ops.Merge.denseIds(
+        parsed.select(col(s"$titleCol.title").as("title"),
+                      col(s"$titleCol.url").as("url"))
+          .where(col("title").isNotNull).distinct(),
+        "title")
 
     val categories = dim("primary_category")
     val subcategories = dim("primary_subcategory")

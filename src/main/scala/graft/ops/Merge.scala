@@ -25,6 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Deterministic dense ids 1..N in ascending `keyCol` order over a
+    * DISTINCT-key frame — the surrogate-key kernel for O11 and the
+    * catalog dimensions.
+    *
+    * Dimension-sized inputs (≤ `maxWindowKeys`) use a global
+    * `row_number` window: ONE single-partition task over the distinct
+    * key set, which is fine precisely because dimensions are small
+    * (10^2..10^6 rows) and the fact table never enters this plan. The
+    * guard makes that assumption EXPLICIT: past the threshold the same
+    * ids come from sort + `zipWithIndex` — a range-partitioned sort
+    * followed by a per-partition index, so no task ever holds the whole
+    * key set. Both paths produce the identical id ↔ key mapping (the
+    * rank in ascending key order); MergeSpec proves it at an adversarial
+    * cardinality.
+    *
+    * The cardinality probe costs one count() over the (already tiny by
+    * assumption, possibly huge in the guarded case) distinct frame —
+    * cheap relative to the single-partition sort it prevents.
+    */
+  def denseIds(distinctKeys: DataFrame, keyCol: String,
+               maxWindowKeys: Long = 4L << 20): DataFrame = {
+    val n = distinctKeys.count()
+    if (n <= maxWindowKeys)
+      distinctKeys.withColumn("id",
+        row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+    else {
+      val sorted = distinctKeys.orderBy(col(keyCol))
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
+      distinctKeys.sparkSession.createDataFrame(rdd, schema)
+    }
+  }
+
   // ─── q38: surrogate-key dimension build (O11) ─────────────────────────
   // Natural key = order month. Existing dim = months before 1999 (testdata
   // spans 1995-2001, so existing = 1995-1998 and new keys = 1999-2001,
@@ -39,15 +76,16 @@ object Merge {
   def q38SurrogateKeys(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val monthOf = date_trunc("month", col("o_orderdate"))
-    val existing = o
-      .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-      .select(monthOf.as("month_key")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("month_key"))).cast("long"))
+    val existing = denseIds(
+      o.where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(monthOf.as("month_key")).distinct(),
+      "month_key")
     val incoming = o.select(monthOf.as("month_key")).distinct()
     val maxId = existing.agg(coalesce(max(col("id")), lit(0L)).as("max_id"))
-    val newKeys = incoming
-      .join(existing.select(col("month_key")), Seq("month_key"), "left_anti")
-      .withColumn("rn", row_number().over(Window.orderBy(col("month_key"))).cast("long"))
+    val newKeys = denseIds(
+        incoming.join(existing.select(col("month_key")), Seq("month_key"), "left_anti"),
+        "month_key")
+      .withColumnRenamed("id", "rn")
       .crossJoin(broadcast(maxId)) // 1-row broadcast, not a real cartesian
       .select(col("month_key"), (col("max_id") + col("rn")).as("id"))
     existing.withColumn("is_new", lit(false))

@@ -21,6 +21,25 @@ class MergeSpec extends SparkSpec {
     samples(g, n).foreach(body)
   import spark.implicits._
 
+  test("denseIds: zipWithIndex fallback produces the identical id mapping " +
+       "at adversarial cardinality") {
+    // 5000 distinct keys in scrambled input order, well past the forced
+    // 100-key window ceiling -> the guarded path must kick in and agree
+    // with the window path bit-for-bit.
+    val keys = spark.range(0, 5000)
+      .select(concat(lit("k"), format_string("%05d", pmod($"id" * 2654435761L, lit(5000)))).as("nk"))
+      .distinct()
+    val viaWindow = graft.ops.Merge.denseIds(keys, "nk")
+      .as[(String, Long)].collect().sortBy(_._2).toSeq
+    val viaZip = graft.ops.Merge.denseIds(keys, "nk", maxWindowKeys = 100)
+      .as[(String, Long)].collect().sortBy(_._2).toSeq
+    assert(viaWindow.size === 5000)
+    assert(viaWindow === viaZip)
+    // ids are dense 1..N in ascending key order
+    assert(viaZip.map(_._2) === (1L to 5000L))
+    assert(viaZip.map(_._1) === viaZip.map(_._1).sorted)
+  }
+
   /** insert-if-absent (O12): existing ∪ (incoming ∖ existing by key). */
   private def insertIfAbsent(existing: DataFrame, incoming: DataFrame): DataFrame =
     existing.unionByName(
