@@ -40,25 +40,30 @@ object Merge {
     * rank in ascending key order); MergeSpec proves it at an adversarial
     * cardinality.
     *
-    * The cardinality probe costs one count() over the (already tiny by
-    * assumption, possibly huge in the guarded case) distinct frame —
-    * cheap relative to the single-partition sort it prevents.
+    * The input is cached before the cardinality probe: the probe's
+    * count() materializes the distinct once, and the id-assignment pass
+    * (either path) then reads the cached keys instead of recomputing the
+    * upstream distinct — without this, the probe DOUBLED the fact-side
+    * shuffle (q38 went 0.5 s → 1.6 s at sf0.1). Cache lifecycle is
+    * caller-owned, like q45's shingles (Bench/Verify clearCache per
+    * query).
     */
   def denseIds(distinctKeys: DataFrame, keyCol: String,
                maxWindowKeys: Long = 4L << 20): DataFrame = {
-    val n = distinctKeys.count()
+    val cached = distinctKeys.cache()
+    val n = cached.count()
     if (n <= maxWindowKeys)
-      distinctKeys.withColumn("id",
+      cached.withColumn("id",
         row_number().over(Window.orderBy(col(keyCol))).cast("long"))
     else {
-      val sorted = distinctKeys.orderBy(col(keyCol))
+      val sorted = cached.orderBy(col(keyCol))
       val schema = org.apache.spark.sql.types.StructType(
         sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false))
       val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
-      distinctKeys.sparkSession.createDataFrame(rdd, schema)
+      cached.sparkSession.createDataFrame(rdd, schema)
     }
   }
 
