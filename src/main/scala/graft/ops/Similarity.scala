@@ -176,6 +176,91 @@ object Similarity {
   val q50Sql: String = annLshSql(DefaultPlanes)
   val q62Sql: String = annLshSql(8)
 
+  // ─── q65: multi-table LSH ANN (OR-construction recall recovery) ───────
+  // The production answer to "more planes = smaller buckets = lower
+  // recall": T INDEPENDENT tables of nPlanes planes each (table t uses
+  // planes t*nPlanes..(t+1)*nPlanes-1 of the same deterministic family).
+  // A pair is a candidate if it co-buckets in ANY table — per-pair recall
+  // rises from p^nPlanes to 1-(1-p^nPlanes)^T while each table's buckets
+  // stay small. Cost: T bucket-keyed shuffles + an id-only distinct; the
+  // candidate set is deduped on (q_id, c_id) BEFORE vectors are re-joined
+  // for scoring, so no pair is scored twice and no vector rides through
+  // the dedup shuffle.
+  private def tableBucket(e: Column, t: Int, nPlanes: Int): Column = {
+    val bits = (t * nPlanes until (t + 1) * nPlanes).map { j =>
+      val plane = array(planeWeights(j).map(lit): _*)
+      when(dot(e, plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  private def tableBucketSql(eCol: String, t: Int, nPlanes: Int): String =
+    (t * nPlanes until (t + 1) * nPlanes).map { j =>
+      val plane = planeWeights(j).map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($eCol, $plane) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  def annLshMultiTable(s: SparkSession, d: String, nPlanes: Int,
+                       nTables: Int): DataFrame = {
+    val emb = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val corpus = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    // per-table candidate generation on id+bucket only (no vectors)
+    val cands = (0 until nTables).map { t =>
+      val qb = q.select(col("q_id"), tableBucket(col("qe"), t, nPlanes).as("b"))
+      val cb = corpus.select(col("c_id"), tableBucket(col("ce"), t, nPlanes).as("b"))
+      cb.join(qb, Seq("b")).select(col("q_id"), col("c_id"))
+    }.reduce(_ unionByName _).distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    cands
+      .join(q, Seq("q_id"))
+      .join(corpus, Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  def q65AnnLshMultiTable(s: SparkSession, d: String): DataFrame =
+    annLshMultiTable(s, d, nPlanes = 8, nTables = 2)
+
+  def annLshMultiTableSql(nPlanes: Int, nTables: Int): String = {
+    val e = "CAST(embedding AS DOUBLE[])"
+    val tables = (0 until nTables).map { t =>
+      s"""SELECT q.vec_id AS q_id, c.vec_id AS c_id
+         |  FROM (SELECT vec_id, ${tableBucketSql(e, t, nPlanes)} AS b
+         |        FROM embeddings WHERE vec_id >= 5) c
+         |  JOIN (SELECT vec_id, ${tableBucketSql(e, t, nPlanes)} AS b
+         |        FROM embeddings WHERE vec_id < 5) q
+         |    ON c.b = q.b""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, $e AS ev FROM embeddings),
+       |cands AS (
+       |  $tables)
+       |SELECT q_id, c_id, cos, rn FROM (
+       |  SELECT q_id, c_id,
+       |    round(list_dot_product(qv.ev, cv.ev)
+       |      / (sqrt(list_dot_product(qv.ev, qv.ev)) * sqrt(list_dot_product(cv.ev, cv.ev))),
+       |      4) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+       |      round(list_dot_product(qv.ev, cv.ev)
+       |        / (sqrt(list_dot_product(qv.ev, qv.ev)) * sqrt(list_dot_product(cv.ev, cv.ev))),
+       |        4) DESC, c_id) AS BIGINT) AS rn
+       |  FROM cands
+       |  JOIN emb qv ON qv.vec_id = cands.q_id
+       |  JOIN emb cv ON cv.vec_id = cands.c_id)
+       |WHERE rn <= 5
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  val q65Sql: String = annLshMultiTableSql(8, 2)
+
   // ─── q51: per-label centroid via custom typed Aggregator ──────────────
   case class EmbVec(vec_id: Long, embedding: Seq[Float], label: Int)
   case class CentroidBuf(sums: Seq[Double], n: Long)
@@ -374,6 +459,7 @@ object Similarity {
     "q60_embedding_neardup" -> (q60EmbeddingNearDup _),
     "q62_ann_lsh_planes8" -> (q62AnnLshPlanes8 _),
     "q63_embedding_neardup_p8" -> (q63EmbeddingNearDupP8 _),
+    "q65_ann_lsh_multitable" -> (q65AnnLshMultiTable _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -384,5 +470,6 @@ object Similarity {
     "q60_embedding_neardup" -> q60Sql,
     "q62_ann_lsh_planes8" -> q62Sql,
     "q63_embedding_neardup_p8" -> q63Sql,
+    "q65_ann_lsh_multitable" -> q65Sql,
   )
 }

@@ -68,6 +68,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH (OR-construction) recovers recall lost to 8-plane buckets") {
+    // table 0 of q65 uses planes 0..7 == q62's buckets, so q65's
+    // candidate set is a superset of q62's: every (q, c) pair q62
+    // returned must reappear, and each query's best hit can only improve.
+    val single = Similarity.annLshBuckets(spark, sfDir, 8)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()
+    val multi = Similarity.annLshMultiTable(spark, sfDir, nPlanes = 8, nTables = 2)
+      .select($"q_id", $"c_id", $"cos", $"rn").as[(Long, Long, Double, Long)].collect()
+    val multiPairs = multi.map(r => (r._1, r._2)).toSet
+    val singleTop = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val multiTop = multi.filter(_._4 == 1L).map(r => r._1 -> r._3).toMap
+    assert(multi.nonEmpty)
+    // every single-table query answers again, at least as well
+    singleTop.foreach { case (q, best) =>
+      assert(multiTop.contains(q), s"query $q lost by multi-table")
+      assert(multiTop(q) >= best - 1e-9, s"query $q: ${multiTop(q)} < $best")
+    }
+    // pairs can only be ADDED by extra tables (modulo q65's top-5 cut:
+    // a q62 pair may drop out of the top-5 only if 5 better pairs exist)
+    val dropped = single.filter { case (q, c, _) => !multiPairs.contains((q, c)) }
+    dropped.foreach { case (q, c, cos) =>
+      val better = multi.count(r => r._1 == q && r._3 >= cos)
+      assert(better >= 5, s"pair ($q,$c) vanished without 5 better hits")
+    }
+  }
+
   test("embedding near-dup: planted-pair recall holds as plane count scales 4 -> 8") {
     val planted = Tables.embeddings(spark, sfDir)
       .where(pmod($"vec_id", lit(50)) === 0)
