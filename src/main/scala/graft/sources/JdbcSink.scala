@@ -117,14 +117,22 @@ object JdbcSink {
     * attempt left nothing behind).
     */
   def upsertTx(df: DataFrame, url: String, table: String, driver: String,
-               key: String): Unit = {
+               key: String): Unit =
+    upsertTx(df, url, table, driver, Seq(key))
+
+  /** Composite-key form — the activity fact merges on
+    * (user_id, course_id), user_course_activity_database.sql:22.
+    */
+  def upsertTx(df: DataFrame, url: String, table: String, driver: String,
+               keys: Seq[String]): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
-    val nonKey = cols.filterNot(_ == key)
-    require(cols.contains(key), s"key $key not in ${cols.mkString(",")}")
+    val nonKey = cols.filterNot(keys.contains)
+    keys.foreach(k => require(cols.contains(k), s"key $k not in ${cols.mkString(",")}"))
     require(nonKey.nonEmpty, "upsertTx needs at least one non-key column")
     val updateSql =
-      s"UPDATE $table SET ${nonKey.map(c => s"$c = ?").mkString(", ")} WHERE $key = ?"
+      s"UPDATE $table SET ${nonKey.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}"
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val sqlTypeOf: Map[String, Int] = schema.fields.map(f => f.name -> (f.dataType match {
@@ -153,7 +161,7 @@ object JdbcSink {
               else st.setObject(i + 1, v)
             }
           rows.foreach { row =>
-            bind(upd, nonKey :+ key, row)
+            bind(upd, nonKey ++ keys, row)
             if (upd.executeUpdate() == 0) { bind(ins, cols, row); ins.executeUpdate() }
           }
           conn.commit()

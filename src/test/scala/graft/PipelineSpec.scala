@@ -32,6 +32,71 @@ class PipelineSpec extends SparkSpec {
     assert(locales === Set("en_US", "en_GB", "fr_FR"))
   }
 
+  test("reference parity end-to-end: dotenv config -> paged stream -> typed " +
+       "cast -> transactional composite-key upsert") {
+    import graft.config.GraftConfig
+    import graft.sources.{JdbcSink, PagedApiSource, Pagination}
+    // 1. config exactly as the reference loads it (.env -> start URL)
+    val envDir = java.nio.file.Files.createTempDirectory("e2e")
+    val envFile = envDir.resolve(".env")
+    java.nio.file.Files.write(envFile,
+      ("DB_NAME=graft\nDB_USER=u\nDB_PASSWORD=p\nDB_HOST=h\nDB_PORT=5432\n" +
+       "CLIENT_KEY=ck\nCLIENT_SECRET=cs\nACCOUNT_NAME=acme\nACCOUNT_ID=42\n").getBytes)
+    val cfg = GraftConfig.fromFile(envFile, env = Map.empty)
+      .fold(e => fail(e.message), identity)
+    val startUrl = cfg.account.activityStartUrl
+    assert(startUrl.contains("acme") && startUrl.contains("42"))
+    // 2. two-page activity cursor chain from that URL; page 2 revises
+    //    (user 1, course 10) — the reference's ON CONFLICT DO UPDATE case
+    val pages = Map(
+      startUrl -> Pagination.Page(Seq(
+        """{"user_id": 1, "course_id": 10, "user_name": "ann", "completion_ratio": 0.5, "course_enroll_date": "2024-01-05T10:00:00Z"}""",
+        """{"user_id": 2, "course_id": 10, "user_name": "bob", "completion_ratio": 0.1}"""),
+        Some(startUrl + "?page=2")),
+      startUrl + "?page=2" -> Pagination.Page(Seq(
+        """{"user_id": 1, "course_id": 10, "user_name": "ann2", "completion_ratio": 0.9}"""),
+        None))
+    PagedApiSource.register("activity-e2e", PagedApiSource.FetchSpec(
+      startUrl = startUrl,
+      fetch = url => Right(pages(url)),
+      policy = Pagination.activityPolicy))
+    // 3. sink table with the reference's composite primary key
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = { Class.forName(driver); java.sql.DriverManager.getConnection(url) }
+    try conn.createStatement().execute(
+      "CREATE TABLE T_ACTIVITY (user_id BIGINT, course_id BIGINT, " +
+      "user_name VARCHAR(50), completion_ratio DOUBLE, " +
+      "course_enroll_date TIMESTAMP, PRIMARY KEY (user_id, course_id))")
+    finally conn.close()
+    // 4. stream: page = micro-batch = one transaction into the fact
+    val ckpt = java.nio.file.Files.createTempDirectory("e2eckpt").toString
+    val q = spark.readStream
+      .format("graft.sources.PagedApiSource")
+      .option("fetcher", "activity-e2e")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val typed = ActivityPipeline.typed(
+          df.select(from_json($"body", ActivityPipeline.rawSchema).as("r"))
+            .select($"r.*"))
+          .select($"user_id", $"course_id", $"user_name",
+                  $"completion_ratio", $"course_enroll_date")
+          .where($"user_id".isNotNull)
+        JdbcSink.upsertTx(typed.coalesce(1), url, "T_ACTIVITY", driver,
+          Seq("user_id", "course_id"))
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    PagedApiSource.unregister("activity-e2e")
+    // 5. page 2's revision won; page 1's untouched row survived
+    val got = JdbcSink.readTable(spark, url, "T_ACTIVITY", driver)
+      .select($"user_id", $"user_name", $"completion_ratio")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "ann2", 0.9), (2L, "bob", 0.1)))
+  }
+
   test("activity pipeline parses Z timestamps, keeps nulls, upserts latest-wins") {
     val bodies = Seq(
       """{"user_id": 1, "course_id": 10, "user_name": "ann",
