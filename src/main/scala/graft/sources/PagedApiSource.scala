@@ -108,34 +108,57 @@ private final class PagedApiMicroBatchStream(fetcherName: String)
 
   override def initialOffset(): Offset = PageOffset(0)
 
+  /** Fetch the next page at the cursor (if any), buffering its records.
+    * Returns false when the chain is exhausted or the policy aborted.
+    */
+  private def fetchNext(): Boolean = nextUrl match {
+    case Some(url) =>
+      val attempt = Pagination.fetchOnePage(
+        url, spec.fetch, spec.policy, spec.sleep, spec.maxRetriesPerPage)
+      attempt.page match {
+        case Some(page) =>
+          buffered.put(admitted, page.results)
+          limiter.recordsIngested(page.results.size)
+          admitted += 1
+          nextUrl = page.next
+          true
+        case None => // Abort policy: stop at the last complete page
+          nextUrl = None
+          false
+      }
+    case None => false
+  }
+
   override def latestOffset(): Offset = {
     // admit AT MOST one page per call: micro-batch boundaries == page
     // boundaries, which is what makes foreachBatch page-transactional.
-    nextUrl match {
-      case Some(url) =>
-        val attempt = Pagination.fetchOnePage(
-          url, spec.fetch, spec.policy, spec.sleep, spec.maxRetriesPerPage)
-        attempt.page match {
-          case Some(page) =>
-            buffered.put(admitted, page.results)
-            limiter.recordsIngested(page.results.size)
-            admitted += 1
-            nextUrl = page.next
-          case None => // Abort policy: stop at the last complete page
-            nextUrl = None
-        }
-      case None => ()
-    }
+    fetchNext()
     PageOffset(admitted)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageOffset].pages
     val e = end.asInstanceOf[PageOffset].pages
+    // RESTART RECOVERY: after a crash Spark replays the batch recorded in
+    // the offset log against a FRESH stream whose buffer is empty and
+    // whose cursor is back at the start. A cursor protocol has no random
+    // access, so recovery re-walks the chain from the beginning up to the
+    // requested pages (already-committed pages are fetched and dropped by
+    // `commit`-driven eviction below, never re-emitted). Replayed page
+    // contents are whatever the API serves NOW — same as the reference,
+    // which would also refetch after a crash mid-run.
+    while (admitted < e && fetchNext()) ()
+    require(admitted >= e,
+      s"cursor chain ended at $admitted pages but the offset log expects $e " +
+      "(source shrank between runs)")
+    // pages before `start` were committed in the previous run: fetched
+    // during the re-walk (the cursor must pass through them) but never
+    // re-emitted — free them now.
+    buffered.keySet().forEach(k => if (k < s) buffered.remove(k))
     (s until e).map { pageId =>
       val rows = buffered.get(pageId)
       require(rows != null,
-        s"page $pageId no longer buffered (restart past a committed batch?)")
+        s"page $pageId was evicted by a later commit — offset log went backwards")
       PagePartition(pageId, rows): InputPartition
     }.toArray
   }

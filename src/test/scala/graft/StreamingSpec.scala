@@ -65,6 +65,51 @@ class StreamingSpec extends SparkSpec {
       2 -> """{"id":4}""", 2 -> """{"id":5}"""))
   }
 
+  test("paged-api source recovers a replayed batch after restart (cursor re-walk)") {
+    import graft.sources.{PagedApiSource, Pagination}
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pages = Map(
+      "a" -> Pagination.Page(Seq("r1", "r2"), Some("b")),
+      "b" -> Pagination.Page(Seq("r3"), Some("c")),
+      "c" -> Pagination.Page(Seq("r4"), None))
+    PagedApiSource.register("restart-fx", PagedApiSource.FetchSpec(
+      startUrl = "a",
+      fetch = url => { fetches.incrementAndGet(); Right(pages(url)) },
+      policy = Pagination.catalogPolicy))
+    val table = new PagedApiSource().getTable(PagedApiSource.schema,
+      Array.empty, java.util.Collections.singletonMap("fetcher", "restart-fx"))
+    def newStream() = table.asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .toMicroBatchStream("unused-ckpt")
+    // first run: admit pages 0 and 1, commit page 0, then "crash"
+    val run1 = newStream()
+    run1.latestOffset(); run1.latestOffset()
+    run1.commit(run1.deserializeOffset("1"))
+    run1.stop()
+    assert(fetches.get() === 2)
+    // restart: a FRESH stream is asked to replay batch (1, 2] from the
+    // offset log — it must re-walk the cursor (pages 0 and 1 refetched)
+    // and serve page 1 only.
+    val run2 = newStream()
+    val parts = run2.planInputPartitions(
+      run2.deserializeOffset("1"), run2.deserializeOffset("2"))
+    assert(parts.length === 1)
+    assert(fetches.get() === 4, "recovery should refetch exactly pages 0 and 1")
+    val reader = run2.createReaderFactory().createReader(parts(0))
+    val got = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    while (reader.next()) {
+      val r = reader.get()
+      got += ((r.getInt(0), r.getUTF8String(1).toString))
+    }
+    assert(got.toSeq === Seq(1 -> "r3"), s"wrong replayed rows: $got")
+    // and the stream continues past the replayed batch as normal
+    assert(run2.latestOffset().asInstanceOf[org.apache.spark.sql.connector.read.streaming.Offset].json() === "3")
+    run2.stop()
+    PagedApiSource.unregister("restart-fx")
+  }
+
   test("watermark drops late events in append-mode tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
