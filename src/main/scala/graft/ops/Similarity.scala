@@ -324,32 +324,34 @@ object Similarity {
        |ORDER BY label""".stripMargin
   }
 
-  // ─── q59: IVF-style ANN (coarse quantizer = learned centroids) ────────
+  // ─── q59/q66: IVF-style ANN (coarse quantizer = learned centroids) ────
   // The other scale path besides LSH: a small centroid table (here: one
   // k-means-style iteration seeded by `label`) is BROADCAST; every vector
   // gets its nearest centroid in the map phase (argmax over 10 broadcast
-  // rows — no shuffle of the corpus), and queries probe ONLY their
-  // centroid's inverted list (nprobe=1). At 10^9+ vectors the probe join
-  // shuffles by centroid id; recall trades against nlist/nprobe.
-  def q59AnnIvf(s: SparkSession, d: String): DataFrame = {
+  // rows — no shuffle of the corpus), and queries probe only their
+  // `nprobe` nearest centroids' inverted lists. At 10^9+ vectors the
+  // probe join shuffles by centroid id; recall trades against
+  // nlist/nprobe — q59 runs nprobe=1, q66 nprobe=2 (the standard recall
+  // lever: more lists searched per query, corpus assignment unchanged).
+  def annIvf(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val emb = embeddings(s, d)
       .withColumn("e", col("embedding").cast("array<double>"))
     val cents = emb.groupBy(col("label"))
       .agg(array((1 to DIM).map(i =>
         avg(element_at(col("e"), i))): _*).as("carr"))
       .select(col("label").as("cid"), col("carr"))
-    // nearest centroid per vector: broadcast the 10 centroids, keep the
-    // best (cos, cid) per vec via one window over the tiny fan-out.
+    // centroid ranking per vector: broadcast the 10 centroids, rank by
+    // cosine via one window over the tiny fan-out. Corpus keeps rank 1
+    // (each vector lives in ONE inverted list); queries keep the top
+    // `nprobe` (search that many lists).
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assigned = emb.join(broadcast(cents))
+    val ranked = emb.join(broadcast(cents))
       .withColumn("ccos", cosine(col("e"), col("carr")))
       .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("e"), col("cid"))
-    val q = assigned.where(col("vec_id") < 5)
+    val q = ranked.where(col("arn") <= nprobe && col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cid"))
-    val corpus = assigned.where(col("vec_id") >= 5)
+    val corpus = ranked.where(col("arn") === 1 && col("vec_id") >= 5)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("cid"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
@@ -361,24 +363,27 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val q59Sql: String = {
+  def q59AnnIvf(s: SparkSession, d: String): DataFrame = annIvf(s, d, 1)
+  def q66AnnIvfNprobe2(s: SparkSession, d: String): DataFrame = annIvf(s, d, 2)
+
+  def annIvfSql(nprobe: Int): String = {
     val centArr = (1 to DIM)
       .map(i => s"avg(CAST(embedding[$i] AS DOUBLE))").mkString("[", ", ", "]")
     s"""WITH emb AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cents AS (
        |  SELECT label AS cid, $centArr AS carr FROM embeddings GROUP BY label),
-       |assigned AS (
-       |  SELECT vec_id, e, cid FROM (
-       |    SELECT vec_id, e, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY
-       |        list_dot_product(e, carr)
-       |          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(carr, carr)))
-       |        DESC, cid) AS arn
-       |    FROM emb CROSS JOIN cents)
-       |  WHERE arn = 1),
-       |q AS (SELECT vec_id AS q_id, e AS qe, cid FROM assigned WHERE vec_id < 5),
-       |c AS (SELECT vec_id AS c_id, e AS ce, cid FROM assigned WHERE vec_id >= 5),
+       |ranked AS (
+       |  SELECT vec_id, e, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      list_dot_product(e, carr)
+       |        / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(carr, carr)))
+       |      DESC, cid) AS arn
+       |  FROM emb CROSS JOIN cents),
+       |q AS (SELECT vec_id AS q_id, e AS qe, cid FROM ranked
+       |      WHERE arn <= $nprobe AND vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, e AS ce, cid FROM ranked
+       |      WHERE arn = 1 AND vec_id >= 5),
        |sims AS (
        |  SELECT q_id, c_id, c.cid,
        |    round(list_dot_product(qe, ce)
@@ -392,6 +397,9 @@ object Similarity {
        |WHERE rn <= 5
        |ORDER BY q_id, rn""".stripMargin
   }
+
+  val q59Sql: String = annIvfSql(1)
+  val q66Sql: String = annIvfSql(2)
 
   // ─── q60/q63: embedding-cosine near-dup within LSH buckets ────────────
   // Dedup by vector similarity: corpus ∪ perturbed copies (+0.01 per dim
@@ -460,6 +468,7 @@ object Similarity {
     "q62_ann_lsh_planes8" -> (q62AnnLshPlanes8 _),
     "q63_embedding_neardup_p8" -> (q63EmbeddingNearDupP8 _),
     "q65_ann_lsh_multitable" -> (q65AnnLshMultiTable _),
+    "q66_ann_ivf_nprobe2" -> (q66AnnIvfNprobe2 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -471,5 +480,6 @@ object Similarity {
     "q62_ann_lsh_planes8" -> q62Sql,
     "q63_embedding_neardup_p8" -> q63Sql,
     "q65_ann_lsh_multitable" -> q65Sql,
+    "q66_ann_ivf_nprobe2" -> q66Sql,
   )
 }

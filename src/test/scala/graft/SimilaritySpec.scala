@@ -94,6 +94,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF nprobe=2 searches a superset of nprobe=1's lists (recall lever)") {
+    // corpus assignment is identical; queries add their 2nd-nearest list,
+    // so candidates (and thus each query's best hit) can only improve.
+    val p1 = Similarity.annIvf(spark, sfDir, 1)
+      .select($"q_id", $"c_id", $"cos", $"rn").as[(Long, Long, Double, Long)].collect()
+    val p2 = Similarity.annIvf(spark, sfDir, 2)
+      .select($"q_id", $"c_id", $"cos", $"rn").as[(Long, Long, Double, Long)].collect()
+    assert(p1.nonEmpty && p2.nonEmpty)
+    val top1 = p1.filter(_._4 == 1L).map(r => r._1 -> r._3).toMap
+    val top2 = p2.filter(_._4 == 1L).map(r => r._1 -> r._3).toMap
+    top1.foreach { case (q, best) =>
+      assert(top2.contains(q) && top2(q) >= best - 1e-9,
+        s"query $q: nprobe=2 best ${top2.get(q)} worse than nprobe=1 $best")
+    }
+  }
+
   test("embedding near-dup: planted-pair recall holds as plane count scales 4 -> 8") {
     val planted = Tables.embeddings(spark, sfDir)
       .where(pmod($"vec_id", lit(50)) === 0)
