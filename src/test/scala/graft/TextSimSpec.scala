@@ -73,6 +73,24 @@ class TextSimSpec extends SparkSpec {
     assert(rand.exists(_ > 0))
   }
 
+  test("q48 plan guard: tokenizer stays materialized below the explode") {
+    // Regression guard for the ProjectCollapse lambda-inlining trap
+    // (TextSim.scala q48 doc): if tokens() is ever inlined back into the
+    // shingle generator, every element_at re-evaluates the split+filter
+    // per element — O(n²) per document, 13-48 s instead of ~1 s at sf0.1.
+    // The optimized plan must explode a bound attribute, with the
+    // tokenizer confined to a Project BELOW the Generate.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val plan = TextSim.q48Fingerprint(spark, sfDir).queryExecution.optimizedPlan
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "q48 lost its explode")
+    gens.foreach { g =>
+      val gen = g.generator.toString.toLowerCase
+      assert(!gen.contains("split("),
+        s"tokenizer inlined into the generator (O(n^2) trap):\n$gen")
+    }
+  }
+
   test("q28 approx_count_distinct: oracle bound holds and raw sketch is within 5%") {
     // q28's oracle-checkable form: approx_ok must be TRUE for every group
     // (the 10% bound the DuckDB twin asserts via literal TRUE).
