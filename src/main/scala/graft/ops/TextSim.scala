@@ -254,15 +254,25 @@ object TextSim {
     val hashed = (0 until nDigests).foldLeft(sh) { (df, m) =>
       df.withColumn(s"h$m", transform(col("sh"), x => md5(concat(lit(s"$m:"), x))))
     }
-    val sigs = (0 until k).foldLeft(hashed) { (df, j) =>
-      val src = col(s"h${j / 4}")
-      val off = (j % 4) * 8 + 1
-      df.withColumn(s"sig$j",
-        array_min(transform(src, h => substring(h, off, 8))))
+    // All 4 block-mins of a digest in ONE aggregate fold (struct
+    // accumulator), instead of 4 transform+array_min passes each
+    // materializing an intermediate array. "g" sorts above every hex
+    // char, so it is the +inf sentinel; empty shingle sets yield NULL
+    // sigs (as array_min did), keeping empty docs out of every band.
+    val sigs = (0 until nDigests).foldLeft(hashed) { (df, m) =>
+      val nBlocks = math.min(4, k - 4 * m)
+      val zero = struct((0 until nBlocks).map(bk => lit("g").as(s"m$bk")): _*)
+      val folded = aggregate(col(s"h$m"), zero, (acc, h) =>
+        struct((0 until nBlocks).map(bk =>
+          least(acc.getField(s"m$bk"), substring(h, bk * 8 + 1, 8)).as(s"m$bk")): _*))
+      df.withColumn(s"sigs$m",
+        when(size(col("sh")) >= 1, folded)
+          .otherwise(lit(null).cast(s"struct<${(0 until nBlocks).map(bk => s"m$bk:string").mkString(",")}>")))
     }
+    def sig(j: Int): Column = col(s"sigs${j / 4}").getField(s"m${j % 4}")
     val banded = (0 until b).foldLeft(sigs) { (df, i) =>
       df.withColumn(s"band$i",
-        md5(concat((0 until r).map(j => col(s"sig${r * i + j}")): _*)))
+        md5(concat((0 until r).map(j => sig(r * i + j)): _*)))
     }
     val bands = banded.select(col("doc_id"),
       posexplode(array((0 until b).map(i => col(s"band$i")): _*)))
