@@ -250,26 +250,14 @@ object TextSim {
     // signature, bit-identical in both engines. The md5s are materialized
     // as columns first so the per-block mins reference them instead of
     // re-hashing (the q48 inlining lesson).
-    val nDigests = (k + 3) / 4
-    val hashed = (0 until nDigests).foldLeft(sh) { (df, m) =>
-      df.withColumn(s"h$m", transform(col("sh"), x => md5(concat(lit(s"$m:"), x))))
-    }
-    // All 4 block-mins of a digest in ONE aggregate fold (struct
-    // accumulator), instead of 4 transform+array_min passes each
-    // materializing an intermediate array. "g" sorts above every hex
-    // char, so it is the +inf sentinel; empty shingle sets yield NULL
-    // sigs (as array_min did), keeping empty docs out of every band.
-    val sigs = (0 until nDigests).foldLeft(hashed) { (df, m) =>
-      val nBlocks = math.min(4, k - 4 * m)
-      val zero = struct((0 until nBlocks).map(bk => lit("g").as(s"m$bk")): _*)
-      val folded = aggregate(col(s"h$m"), zero, (acc, h) =>
-        struct((0 until nBlocks).map(bk =>
-          least(acc.getField(s"m$bk"), substring(h, bk * 8 + 1, 8)).as(s"m$bk")): _*))
-      df.withColumn(s"sigs$m",
-        when(size(col("sh")) >= 1, folded)
-          .otherwise(lit(null).cast(s"struct<${(0 until nBlocks).map(bk => s"m$bk:string").mkString(",")}>")))
-    }
-    def sig(j: Int): Column = col(s"sigs${j / 4}").getField(s"m${j % 4}")
+    // All K signatures in ONE native pass (graft.expr.MinHashSigs):
+    // per shingle, ceil(K/4) MD5s and K unsigned-int compares, no
+    // intermediate arrays. Bit-identical to the HOF formulation the
+    // DuckDB oracle runs (hofSigs below — TextSimSpec cross-checks) and
+    // NULL for empty shingle sets, keeping empty docs out of every band.
+    val sigs = sh.withColumn("sigsArr",
+      graft.expr.MinHashFunctions.minhash_sigs(col("sh"), k))
+    def sig(j: Int): Column = col("sigsArr").getItem(j)
     val banded = (0 until b).foldLeft(sigs) { (df, i) =>
       df.withColumn(s"band$i",
         md5(concat((0 until r).map(j => sig(r * i + j)): _*)))
@@ -293,6 +281,19 @@ object TextSim {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .where(col("jaccard") >= 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The composable HOF formulation of the K signatures — what the
+    * DuckDB oracle computes; the native expression must match it
+    * bit-for-bit (TextSimSpec "native MinHash" case).
+    */
+  private[graft] def hofSigs(shingles: Column, k: Int): Column = {
+    val nDigests = (k + 3) / 4
+    val digests = (0 until nDigests).map(m =>
+      transform(shingles, x => md5(concat(lit(s"$m:"), x))))
+    array((0 until k).map { j =>
+      array_min(transform(digests(j / 4), h => substring(h, (j % 4) * 8 + 1, 8)))
+    }: _*)
   }
 
   def q45MinhashLsh(s: SparkSession, d: String): DataFrame =

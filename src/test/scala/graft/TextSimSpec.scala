@@ -73,6 +73,34 @@ class TextSimSpec extends SparkSpec {
     assert(rand.exists(_ > 0))
   }
 
+  test("native MinHashSigs expression matches the HOF/oracle formulation bit-for-bit") {
+    import graft.expr.MinHashFunctions.minhash_sigs
+    // real shingle sets from the corpus, plus edge cases
+    val sh = Tables.documents(spark, sfDir).limit(100)
+      .select(split(lower($"text"), "[^a-z0-9]+").as("toks"))
+      .select(when(size($"toks") >= 3,
+        array_distinct(transform(sequence(lit(1), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+                              element_at($"toks", i + 2)))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+    Seq(8, 16, 5).foreach { k => // 5: non-multiple-of-4 tail digest
+      val both = sh.select(
+        minhash_sigs($"sh", k).as("native"),
+        when(size($"sh") >= 1, TextSim.hofSigs($"sh", k)).as("hof"))
+      val rows = both.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[String]]("native").toList ===
+               r.getAs[scala.collection.Seq[String]]("hof").toList,
+          s"k=$k signature mismatch")
+      }
+    }
+    // empty input -> NULL (not an array of sentinels)
+    val empty = spark.sql("SELECT CAST(array() AS ARRAY<STRING>) AS sh")
+      .select(minhash_sigs($"sh", 8).as("s"))
+    assert(empty.collect().head.isNullAt(0))
+  }
+
   test("q48 plan guard: tokenizer stays materialized below the explode") {
     // Regression guard for the ProjectCollapse lambda-inlining trap
     // (TextSim.scala q48 doc): if tokens() is ever inlined back into the
