@@ -363,11 +363,27 @@ object TextSim {
   // carries 32 small partial sums per doc.
   private val HI = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  def q46SimHash(s: SparkSession, d: String): DataFrame = {
-    // Engine side extracts the 32 nibble-high-bits with integer shifts
-    // over four conv()'d 32-bit blocks (materialized once per token)
-    // instead of 32 substring+IN probes — same bits, ~half the per-row
-    // string work; the oracle twin keeps the readable substring form.
+  def q46SimHash(s: SparkSession, d: String): DataFrame =
+    // Native expression (graft.expr.SimHashBits): folds the token array
+    // in place, so the plan is a SHUFFLE-FREE projection — no explode
+    // (which multiplied rows by the token count), no 32-sum groupBy
+    // exchange. TextSimSpec cross-checks bit-for-bit against the
+    // exploded formulation the oracle twin still runs.
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      // token-less docs have no rows after the oracle's explode — drop
+      // them here too so both forms agree on row membership.
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+              graft.expr.SimHashFunctions.simhash_bits(col("toks"))
+                .as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** The exploded/aggregated formulation — what the DuckDB oracle
+    * computes; the native expression must match it bit-for-bit
+    * (TextSimSpec "native SimHash" case).
+    */
+  private[graft] def simHashExploded(s: SparkSession, d: String): DataFrame = {
     val exploded = documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))

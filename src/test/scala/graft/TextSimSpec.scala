@@ -101,6 +101,20 @@ class TextSimSpec extends SparkSpec {
     assert(empty.collect().head.isNullAt(0))
   }
 
+  test("native SimHashBits matches the exploded/aggregated oracle formulation") {
+    val native = TextSim.q46SimHash(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    val exploded = TextSim.simHashExploded(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    assert(native.nonEmpty)
+    assert(native === exploded)
+    // the native plan must be shuffle-free up to the final sort: no
+    // explode-driven Generate, no aggregation Exchange.
+    val plan = TextSim.q46SimHash(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"native SimHash still explodes:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"native SimHash still aggregates:\n$plan")
+  }
+
   test("q48 plan guard: tokenizer stays materialized below the explode") {
     // Regression guard for the ProjectCollapse lambda-inlining trap
     // (TextSim.scala q48 doc): if tokens() is ever inlined back into the
