@@ -479,7 +479,26 @@ object TextSim {
   // into each of the 4 output columns — 4× the hashing, 48 s at sf0.1 vs
   // ~1 s for this formulation. (left-anti restores docs with no shingles
   // as all-NULL/zero rows, matching the lambda semantics.)
-  def q48Fingerprint(s: SparkSession, d: String): DataFrame = {
+  def q48Fingerprint(s: SparkSession, d: String): DataFrame =
+    // Native expression (graft.expr.FingerprintStats): the whole
+    // summary — count, 1/16 sample, min/max sampled hash — is one fold
+    // over the shingle array, so the plan is a SHUFFLE-FREE projection:
+    // no explode, no groupBy exchange, and no left-anti union for
+    // shingle-less docs (they are the expression's zero case).
+    // TextSimSpec cross-checks against the exploded formulation below.
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("f",
+        graft.expr.FingerprintFunctions.fingerprint_stats(shingles(col("toks"))))
+      .select(col("doc_id"), col("f.n_shingles"), col("f.n_sampled"),
+              col("f.fp_min"), col("f.fp_max"))
+      .orderBy(col("doc_id"))
+
+  /** The exploded/aggregated formulation — what the DuckDB oracle
+    * computes; the native expression must match it bit-for-bit
+    * (TextSimSpec "native fingerprint" case).
+    */
+  private[graft] def fingerprintExploded(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     // materialize `toks` in its own projection BEFORE the explode: inlining
     // tokens() into the shingle lambda makes every element_at re-evaluate

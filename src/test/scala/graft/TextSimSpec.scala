@@ -115,17 +115,30 @@ class TextSimSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"native SimHash still aggregates:\n$plan")
   }
 
-  test("q48 plan guard: tokenizer stays materialized below the explode") {
+  test("native FingerprintStats matches the exploded formulation; plan is shuffle-free") {
+    val native = TextSim.q48Fingerprint(spark, sfDir)
+      .as[(Long, Long, Long, Option[String], Option[String])].collect().toSeq
+    val exploded = TextSim.fingerprintExploded(spark, sfDir)
+      .as[(Long, Long, Long, Option[String], Option[String])].collect().toSeq
+    assert(native.nonEmpty)
+    assert(native === exploded)
+    val plan = TextSim.q48Fingerprint(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"),
+      s"native fingerprint still explodes/aggregates:\n$plan")
+  }
+
+  test("exploded-fingerprint plan guard: tokenizer stays materialized below the explode") {
     // Regression guard for the ProjectCollapse lambda-inlining trap
-    // (TextSim.scala q48 doc): if tokens() is ever inlined back into the
-    // shingle generator, every element_at re-evaluates the split+filter
-    // per element — O(n²) per document, 13-48 s instead of ~1 s at sf0.1.
-    // The optimized plan must explode a bound attribute, with the
-    // tokenizer confined to a Project BELOW the Generate.
+    // (TextSim.scala fingerprintExploded doc): if tokens() is ever
+    // inlined back into the shingle generator, every element_at
+    // re-evaluates the split+filter per element — O(n²) per document,
+    // 13-48 s instead of ~1 s at sf0.1. The optimized plan must explode
+    // a bound attribute, with the tokenizer in a Project BELOW the
+    // Generate.
     import org.apache.spark.sql.catalyst.plans.logical.Generate
-    val plan = TextSim.q48Fingerprint(spark, sfDir).queryExecution.optimizedPlan
+    val plan = TextSim.fingerprintExploded(spark, sfDir).queryExecution.optimizedPlan
     val gens = plan.collect { case g: Generate => g }
-    assert(gens.nonEmpty, "q48 lost its explode")
+    assert(gens.nonEmpty, "exploded fingerprint lost its explode")
     gens.foreach { g =>
       val gen = g.generator.toString.toLowerCase
       assert(!gen.contains("split("),
