@@ -73,6 +73,22 @@ object Streaming {
         })
   }
 
+  /** Stream-stream interval join (funnel attribution): each click joins
+    * the same user's views from the preceding 15 minutes. The inputs are
+    * plain DataFrames with (user_id, view_ts/click_ts, view_id/click_id)
+    * columns, so the SAME code runs batch (q67, oracle-checked) and
+    * streaming (StreamingSpec: both sides watermarked — the equality +
+    * time-bound predicate is what lets Spark EVICT join state older than
+    * watermark + 15 min instead of buffering both streams forever).
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.join(clicks,
+      views("user_id") === clicks("user_id") &&
+      views("view_ts") <= clicks("click_ts") &&
+      clicks("click_ts") < views("view_ts") + expr("INTERVAL 15 MINUTES"))
+      .select(views("user_id"), col("view_id"), col("click_id"),
+              col("view_ts"), col("click_ts"))
+
   // ─── q52: tumbling window (batch twin) ────────────────────────────────
   def q52Tumbling(s: SparkSession, d: String): DataFrame =
     tumblingCounts(events(s, d))
@@ -137,15 +153,40 @@ object Streaming {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ─── q67: stream-stream interval join (batch twin) ────────────────────
+  def q67IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    viewClickJoin(views, clicks)
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val q67Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events)
+      |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  v.ts AS view_ts, c.ts AS click_ts
+      |FROM (SELECT * FROM e WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id AND v.ts <= c.ts
+      | AND c.ts < v.ts + INTERVAL 15 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_tumbling_window" -> (q52Tumbling _),
     "q53_sliding_window"  -> (q53Sliding _),
     "q54_session_window"  -> (q54Sessions _),
+    "q67_interval_join"   -> (q67IntervalJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q52_tumbling_window" -> q52Sql,
     "q53_sliding_window"  -> q53Sql,
     "q54_session_window"  -> q54Sql,
+    "q67_interval_join"   -> q67Sql,
   )
 }

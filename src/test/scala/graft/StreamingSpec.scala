@@ -7,6 +7,10 @@ import java.sql.Timestamp
 /** top-level so Spark can derive an encoder without an outer scope. */
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+/** Ev + user_id, for the keyed stream-stream join. */
+final case class EvU(event_id: Long, ts: Timestamp, event_type: String,
+                     value: Double, user_id: Long)
+
 /** True Structured Streaming semantics that no SQL oracle can check
   * (SURVEY §5.2 / §7.3 "Streaming oracle gap"): watermark-driven late-data
   * drop, stateful dedup, and the flatMapGroupsWithState upsert stream.
@@ -108,6 +112,36 @@ class StreamingSpec extends SparkSpec {
     assert(run2.latestOffset().asInstanceOf[org.apache.spark.sql.connector.read.streaming.Offset].json() === "3")
     run2.stop()
     PagedApiSource.unregister("restart-fx")
+  }
+
+  test("stream-stream interval join matches batch semantics with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EvU]
+    val clicks = MemoryStream[EvU]
+    val joined = Streaming.viewClickJoin(
+      views.toDF().withWatermark("ts", "5 minutes")
+        .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id")),
+      clicks.toDF().withWatermark("ts", "5 minutes")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      // user 7: view at t=0; clicks at t=10 (in window) and t=20 (outside)
+      // user 8: view at t=30, click at t=29 (click precedes view -> no match)
+      views.addData(EvU(100, ts(0), "view", 0, 7), EvU(101, ts(30), "view", 0, 8))
+      clicks.addData(EvU(200, ts(10), "click", 0, 7), EvU(201, ts(20), "click", 0, 7),
+                     EvU(202, ts(29), "click", 0, 8))
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      views.addData(EvU(110, ts(120), "view", 0, 99))
+      clicks.addData(EvU(210, ts(121), "click", 0, 98))
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select($"user_id", $"view_id", $"click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows === Set((7L, 100L, 200L)),
+        s"interval join produced $rows")
+    } finally q.stop()
   }
 
   test("watermark drops late events in append-mode tumbling aggregation") {
