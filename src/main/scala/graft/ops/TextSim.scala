@@ -421,6 +421,90 @@ object TextSim {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ─── q68: SimHash near-dup via banded hamming join ────────────────────
+  // Completes the SimHash story: q46 computes signatures, this USES them
+  // for dedup at scale. Pigeonhole banding: the 32-bit signature splits
+  // into three blocks (11/11/10 bits), and hamming(a, b) <= 2 < 3 blocks
+  // guarantees at least one block is IDENTICAL — so the candidate join
+  // is a plain equi-join on (block_id, block_value) with 100% recall for
+  // the <= 2 contract (never all-pairs), and the exact hamming check
+  // runs only on same-block candidates (one codegen'd bit_count(xor)).
+  // Block width vs count is the scale knob: wider blocks (2^11 buckets
+  // here vs 2^8 for four blocks) shrink candidate volume, at the price
+  // of a tighter guaranteed threshold (blocks - 1). The synthetic
+  // one-vocabulary corpus clusters signatures far more than real text,
+  // so candidate counts here overstate production density.
+  def q68SimhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val dups = base.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" zzz extra tail")).as("text"))
+    val corpus = base.unionByName(dups)
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+              graft.expr.SimHashFunctions.simhash_bits(col("toks")).as("sig"))
+    val blocks = corpus.select(col("doc_id"), col("sig"),
+        posexplode(array(substring(col("sig"), 1, 11),
+                         substring(col("sig"), 12, 11),
+                         substring(col("sig"), 23, 10))))
+      .withColumnRenamed("pos", "block_id")
+      .withColumnRenamed("col", "block_val")
+    val cand = blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.block_id") === col("y.block_id") &&
+        col("x.block_val") === col("y.block_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    val ham = bit_count(conv(col("sa"), 2, 10).cast("long")
+      .bitwiseXOR(conv(col("sb"), 2, 10).cast("long")))
+    cand.select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .where(col("hamming") <= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q68Sql: String = {
+    val hiList = HI.map("'" + _ + "'").mkString("(", ", ", ")")
+    val sums = (0 until 32).map(j =>
+      s"sum(CASE WHEN substring(h, ${j + 1}, 1) IN $hiList THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n      ")
+    val bits = (0 until 32).map(j =>
+      s"(CASE WHEN s$j > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zzz extra tail'
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |sh AS (
+       |  SELECT doc_id, $bits AS sig FROM (
+       |    SELECT doc_id,
+       |      $sums
+       |    FROM (SELECT doc_id, md5(tok) AS h FROM
+       |            (SELECT doc_id, unnest($tokensSql) AS tok FROM corpus))
+       |    GROUP BY doc_id)),
+       |blocks AS (
+       |  SELECT doc_id, sig, u.b AS block_id,
+       |         CASE u.b WHEN 0 THEN substring(sig, 1, 11)
+       |                  WHEN 1 THEN substring(sig, 12, 11)
+       |                  ELSE substring(sig, 23, 10) END AS block_val
+       |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) u),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.sig AS sa, y.sig AS sb
+       |  FROM blocks x JOIN blocks y
+       |    ON x.block_id = y.block_id AND x.block_val = y.block_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(generate_series(1, 32),
+       |    i -> substring(sa, i, 1) <> substring(sb, i, 1))) AS INT) AS hamming
+       |FROM cand
+       |WHERE len(list_filter(generate_series(1, 32),
+       |    i -> substring(sa, i, 1) <> substring(sb, i, 1))) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ─── q47: n-gram Jaccard between successive docs per language ─────────
   // Pairing via lag/lead keeps the pair generation shuffle-light (one
   // window by lang) and deterministic; the similarity itself is the same
@@ -547,6 +631,7 @@ object TextSim {
     "q47_ngram_jaccard"  -> (q47NgramJaccard _),
     "q48_fingerprint"    -> (q48Fingerprint _),
     "q64_minhash_lsh_wide" -> (q64MinhashLshWide _),
+    "q68_simhash_neardup" -> (q68SimhashNearDup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -559,5 +644,6 @@ object TextSim {
     "q47_ngram_jaccard"  -> q47Sql,
     "q48_fingerprint"    -> q48Sql,
     "q64_minhash_lsh_wide" -> q64Sql,
+    "q68_simhash_neardup" -> q68Sql,
   )
 }

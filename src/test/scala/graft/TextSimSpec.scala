@@ -115,6 +115,35 @@ class TextSimSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), s"native SimHash still aggregates:\n$plan")
   }
 
+  test("q68 banded hamming join: pigeonhole recall is total for hamming <= 2") {
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    // recompute every planted pair's true hamming from the same corpus
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val dups = base.where(pmod($"doc_id", lit(20)) === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+              concat($"text", lit(" zzz extra tail")).as("text"))
+    val sigs = base.unionByName(dups)
+      .select($"doc_id",
+        graft.expr.SimHashFunctions.simhash_bits(
+          filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "")).as("sig"))
+      .as[(Long, String)].collect().toMap
+    val expected = sigs.keys.filter(_ < 100000).flatMap { id =>
+      sigs.get(id + 100000).collect {
+        case s2 if hamming(sigs(id), s2) <= 2 => (id, id + 100000L)
+      }
+    }.toSet
+    val found = TextSim.q68SimhashNearDup(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+    // every returned pair honors the threshold
+    assert(found.forall(_._3 <= 2))
+    // pigeonhole: NO planted pair within the threshold may be missed
+    val foundPairs = found.map(r => (r._1, r._2)).toSet
+    val missed = expected -- foundPairs
+    assert(missed.isEmpty, s"banding missed within-threshold pairs: $missed")
+    assert(expected.nonEmpty, "fixture produced no within-threshold planted pairs")
+  }
+
   test("native FingerprintStats matches the exploded formulation; plan is shuffle-free") {
     val native = TextSim.q48Fingerprint(spark, sfDir)
       .as[(Long, Long, Long, Option[String], Option[String])].collect().toSeq
