@@ -27,6 +27,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1,
+      s"SPARK_GRAFT_BENCH_PASSES must be >= 1 (got $passes) — " +
+      "a zero-pass run would burn the warm-up sweep then crash on empty.min")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,10 +40,6 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       finally spark.catalog.clearCache()
-    def jsonEscape(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // warm-up (untimed): full pass over every query
@@ -69,7 +68,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
-      "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
+      "\"" + JsonUtil.escape(k) + "\":\"" + JsonUtil.escape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")

@@ -53,9 +53,12 @@ object GraftConfig {
     "DB_NAME", "DB_USER", "DB_PASSWORD", "DB_HOST", "DB_PORT",
     "CLIENT_KEY", "CLIENT_SECRET", "ACCOUNT_NAME", "ACCOUNT_ID")
 
-  /** Parse dotenv lines: `KEY=VALUE`, `#` comments and blanks ignored,
-    * single/double quotes around the value stripped, values may contain
-    * `=`. Malformed lines are skipped (dotenv behavior), not errors.
+  /** Parse dotenv lines: `KEY=VALUE`, `#` comments (full-line, or inline
+    * after whitespace in an UNQUOTED value — python-dotenv semantics, so
+    * `DB_PORT=5432 # prod` reads as `5432` while a quoted `"pass #1"`
+    * keeps its `#`) and blanks ignored, single/double quotes around the
+    * value stripped, values may contain `=`. Malformed lines are skipped
+    * (dotenv behavior), not errors.
     */
   def parseDotenv(lines: Seq[String]): Map[String, String] =
     lines.iterator
@@ -71,7 +74,13 @@ object GraftConfig {
                   ((raw.head == '"' && raw.last == '"') ||
                    (raw.head == '\'' && raw.last == '\'')))
                 raw.substring(1, raw.length - 1)
-              else raw
+              else {
+                val cut = raw.indexWhere(_ == '#')
+                if (cut > 0 && raw(cut - 1).isWhitespace)
+                  raw.substring(0, cut).trim
+                else if (cut == 0) ""
+                else raw
+              }
             Some(k -> v)
           case _ => None
         }

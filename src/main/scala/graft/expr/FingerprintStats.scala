@@ -75,24 +75,35 @@ object FingerprintStats {
     false
   }
 
+  private val MdPool = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** NULL elements are SKIPPED and excluded from n_shingles (the shingle
+    * builder never emits them — `concat_ws` can't produce NULL — so this
+    * is a safety contract against NPE, not a hot case).
+    */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = MdPool.get()
+    var count = 0L
     var sampled = 0L
     var minD: Array[Byte] = null
     var maxD: Array[Byte] = null
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      if (((d(0) >> 4) & 0xF) == 0) { // leading hex char '0'
-        sampled += 1
-        if (minD == null || less(d, minD)) minD = d
-        if (maxD == null || less(maxD, d)) maxD = d
+      if (!arr.isNullAt(i)) {
+        count += 1
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        if (((d(0) >> 4) & 0xF) == 0) { // leading hex char '0'
+          sampled += 1
+          if (minD == null || less(d, minD)) minD = d
+          if (maxD == null || less(maxD, d)) maxD = d
+        }
       }
       i += 1
     }
-    InternalRow(n.toLong, sampled,
+    InternalRow(count, sampled,
       if (minD == null) null else hex(minD),
       if (maxD == null) null else hex(maxD))
   }

@@ -62,37 +62,63 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 object MinHashSigs {
   private val HexChars = "0123456789abcdef".toCharArray
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** One digest instance per thread: getInstance per ROW costs a
+    * provider lookup + allocation on the hot path.
+    */
+  private val MdPool = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** "m:" prefix byte tables, cached per digest count (pure function
+    * of k — rebuilding per row was allocation noise).
+    */
+  private val PrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixesFor(nDigests: Int): Array[Array[Byte]] =
+    PrefixCache.computeIfAbsent(nDigests,
+      n => Array.tabulate(n)(m => s"$m:".getBytes("UTF-8")))
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * NULL elements are SKIPPED — the same semantics as the HOF
+    * formulation, where md5(concat(_, NULL)) is NULL and `array_min`
+    * ignores NULL entries (the shingle builders never emit nulls, so
+    * this is a safety contract, not a hot case); an all-null or empty
+    * array yields NULL overall.
+    */
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val nDigests = (k + 3) / 4
-    val prefixes = Array.tabulate(nDigests)(m => s"$m:".getBytes("UTF-8"))
+    val prefixes = prefixesFor(nDigests)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, 0xFFFFFFFFL)
-    val md = MessageDigest.getInstance("MD5")
+    val md = MdPool.get()
+    var nonNull = 0
     var i = 0
     while (i < n) {
-      val bytes = arr.getUTF8String(i).getBytes
-      var m = 0
-      while (m < nDigests) {
-        md.reset()
-        md.update(prefixes(m))
-        md.update(bytes)
-        val d = md.digest()
-        val blocks = math.min(4, k - 4 * m)
-        var bk = 0
-        while (bk < blocks) {
-          val v = ((d(4 * bk) & 0xFFL) << 24) | ((d(4 * bk + 1) & 0xFFL) << 16) |
-                  ((d(4 * bk + 2) & 0xFFL) << 8) | (d(4 * bk + 3) & 0xFFL)
-          val j = 4 * m + bk
-          if (v < mins(j)) mins(j) = v
-          bk += 1
+      if (!arr.isNullAt(i)) {
+        nonNull += 1
+        val bytes = arr.getUTF8String(i).getBytes
+        var m = 0
+        while (m < nDigests) {
+          md.reset()
+          md.update(prefixes(m))
+          md.update(bytes)
+          val d = md.digest()
+          val blocks = math.min(4, k - 4 * m)
+          var bk = 0
+          while (bk < blocks) {
+            val v = ((d(4 * bk) & 0xFFL) << 24) | ((d(4 * bk + 1) & 0xFFL) << 16) |
+                    ((d(4 * bk + 2) & 0xFFL) << 8) | (d(4 * bk + 3) & 0xFFL)
+            val j = 4 * m + bk
+            if (v < mins(j)) mins(j) = v
+            bk += 1
+          }
+          m += 1
         }
-        m += 1
       }
       i += 1
     }
+    if (nonNull == 0) return null
     val out = new Array[AnyRef](k)
     var j = 0
     while (j < k) {

@@ -48,21 +48,30 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
 }
 
 object SimHashBits {
-  /** Static kernel shared by interpreted eval and generated code. */
+  private val MdPool = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * NULL elements are SKIPPED (the tokenizer never emits them; this is
+    * a safety contract against NPE inside the codegen'd projection, not
+    * a hot case).
+    */
   def compute(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val counts = new Array[Int](32)
-    val md = MessageDigest.getInstance("MD5")
+    val md = MdPool.get()
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 32) {
-        val b = d(j >> 1)
-        val hi = if ((j & 1) == 0) (b >> 7) & 1 else (b >> 3) & 1
-        counts(j) += (if (hi == 1) 1 else -1)
-        j += 1
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 32) {
+          val b = d(j >> 1)
+          val hi = if ((j & 1) == 0) (b >> 7) & 1 else (b >> 3) & 1
+          counts(j) += (if (hi == 1) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }

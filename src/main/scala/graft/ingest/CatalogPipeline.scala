@@ -37,11 +37,14 @@ object CatalogPipeline {
       col("locale.locale").as("locale"))
 
     def dim(titleCol: String): DataFrame =
+      // keyed on BOTH distinct columns: ordering by title alone would
+      // tie-break duplicate titles (different urls) by partition layout,
+      // making the surrogate ids nondeterministic across runs.
       graft.ops.Merge.denseIds(
         parsed.select(col(s"$titleCol.title").as("title"),
                       col(s"$titleCol.url").as("url"))
           .where(col("title").isNotNull).distinct(),
-        "title")
+        Seq("title", "url"))
 
     val categories = dim("primary_category")
     val subcategories = dim("primary_subcategory")

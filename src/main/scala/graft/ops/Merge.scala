@@ -48,15 +48,28 @@ object Merge {
     * caller-owned, like q45's shingles (Bench/Verify clearCache per
     * query).
     */
+  def denseIds(distinctKeys: DataFrame, keyCol: String): DataFrame =
+    denseIds(distinctKeys, Seq(keyCol), 4L << 20)
+
   def denseIds(distinctKeys: DataFrame, keyCol: String,
+               maxWindowKeys: Long): DataFrame =
+    denseIds(distinctKeys, Seq(keyCol), maxWindowKeys)
+
+  /** Composite-key form. `keyCols` must be UNIQUE over the frame (the
+    * determinism contract: row_number over a non-unique ordering would
+    * tie-break by partition layout) — pass every column that makes the
+    * distinct key, e.g. (title, url) for the catalog dimensions.
+    */
+  def denseIds(distinctKeys: DataFrame, keyCols: Seq[String],
                maxWindowKeys: Long = 4L << 20): DataFrame = {
+    val order = keyCols.map(col)
     val cached = distinctKeys.cache()
     val n = cached.count()
     if (n <= maxWindowKeys)
       cached.withColumn("id",
-        row_number().over(Window.orderBy(col(keyCol))).cast("long"))
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
     else {
-      val sorted = cached.orderBy(col(keyCol))
+      val sorted = cached.orderBy(order: _*)
       val schema = org.apache.spark.sql.types.StructType(
         sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("id",

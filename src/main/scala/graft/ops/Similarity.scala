@@ -106,8 +106,22 @@ object Similarity {
   // pairs are scored, and the join is a plain equi-join that shuffles by
   // bucket key — the shape that scales to 10^9+ vectors (more planes =>
   // smaller buckets => cheaper join, lower recall; see [[DefaultPlanes]]).
-  private def planeWeights(j: Int, dim: Int = DIM): Seq[Double] =
-    (0 until dim).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
+  //
+  // Weight family: byte 0 of md5("plane:j:i"), reduced to [-5, 5]. The
+  // digest runs at PLAN-BUILD time on the driver — both engines receive
+  // identical literal arrays — and, unlike the affine family it replaced
+  // (((i*7 + j*13) % 11), which had period 11 IN j, so plane 11 == plane
+  // 0 and q65's "independent" second table silently duplicated five of
+  // table 0's planes), every (i, j) draws an independent hash byte:
+  // arbitrarily many distinct planes. SimilaritySpec asserts pairwise
+  // distinctness across 2 tables × 8 planes.
+  private[graft] def planeWeights(j: Int, dim: Int = DIM): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val d = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+      (((d(0) & 0xFF) % 11) - 5).toDouble
+    }
+  }
 
   private def bucketCol(e: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { j =>
@@ -402,19 +416,23 @@ object Similarity {
   val q66Sql: String = annIvfSql(2)
 
   // ─── q60/q63: embedding-cosine near-dup within LSH buckets ────────────
-  // Dedup by vector similarity: corpus ∪ perturbed copies (+0.01 per dim
-  // for every 50th vector — exactly representable, so both engines build
-  // identical duplicates). Near-identical-direction vectors land in the
-  // same sign-projection bucket unless the perturbation crosses a plane,
-  // so the pair join stays bucket-keyed (never all-pairs) and the
-  // verification keeps pairs with cos ≥ 0.99. SimilaritySpec measures
-  // planted-pair recall at both plane counts.
+  // Dedup by vector similarity: corpus ∪ SCALED copies (×1.01 for every
+  // 50th vector — both engines run the same double multiply, so the
+  // duplicates are bit-identical cross-engine). Scaling preserves
+  // DIRECTION, and sign projections are scale-invariant, so a planted
+  // pair co-buckets at ANY plane count by construction — the actual LSH
+  // invariant (an earlier +0.01/dim additive perturbation only appeared
+  // bucket-safe because the degenerate pre-fix plane family had tiny
+  // weight sums; with independent planes it flipped ~30% of pairs). The
+  // pair join stays bucket-keyed (never all-pairs) and the verification
+  // keeps pairs with cos ≥ 0.99. SimilaritySpec asserts TOTAL planted
+  // recall at both plane counts.
   def embeddingNearDup(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val base = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val dups = base.where(pmod(col("vec_id"), lit(50)) === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
-              transform(col("e"), x => x + 0.01).as("e"))
+              transform(col("e"), x => x * 1.01).as("e"))
     val corpus = base.unionByName(dups)
       .withColumn("bucket", bucketCol(col("e"), nPlanes))
     val pairs = corpus.as("x")
@@ -442,7 +460,7 @@ object Similarity {
        |  FROM (
        |    SELECT vec_id, e FROM base
        |    UNION ALL
-       |    SELECT vec_id + 100000, list_transform(e, x -> x + 0.01)
+       |    SELECT vec_id + 100000, list_transform(e, x -> x * 1.01)
        |    FROM base WHERE vec_id % 50 = 0))
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  round(list_dot_product(x.e, y.e)

@@ -36,6 +36,18 @@ class ConfigSpec extends AnyFunSuite {
       "https://acme.udemy.com/api-2.0/organizations/42/analytics/user-course-activity/")
   }
 
+  test("inline comments strip from unquoted values, survive in quoted ones") {
+    val parsed = parseDotenv(Seq(
+      "DB_PORT=5432 # prod port",
+      "DB_HOST=h#ash",            // no whitespace before # -> part of value
+      "DB_PASSWORD='pass #1' ",   // quoted -> untouched
+      "DB_USER= # only a comment"))
+    assert(parsed("DB_PORT") === "5432")
+    assert(parsed("DB_HOST") === "h#ash")
+    assert(parsed("DB_PASSWORD") === "pass #1")
+    assert(parsed("DB_USER") === "")
+  }
+
   test("missing required keys fail fast with the complete list") {
     val Left(err) = fromMap(parseDotenv(full.filterNot(l =>
       l.startsWith("DB_PASSWORD") || l.startsWith("ACCOUNT_ID")))): @unchecked

@@ -49,9 +49,17 @@ class SimilaritySpec extends SparkSpec {
 
   private def bucketOf(v: Seq[Double], nPlanes: Int): String =
     (0 until nPlanes).map { j =>
-      val w = (0 until Similarity.DIM).map(i => (((i * 7 + j * 13) % 11) - 5).toDouble)
+      val w = Similarity.planeWeights(j)
       if (v.zip(w).map { case (a, b) => a * b }.sum >= 0) "1" else "0"
     }.mkString
+
+  test("plane family has no duplicate hyperplanes across 2 tables x 8 planes") {
+    // regression guard for the period-11 affine family bug: 16 planes
+    // (both q65 tables' worth) must be pairwise distinct.
+    val planes = (0 until 16).map(Similarity.planeWeights(_))
+    assert(planes.distinct.size === 16,
+      "duplicate hyperplanes — multi-table LSH independence is broken")
+  }
 
   test("LSH bucketing: every candidate pair shares the query's bucket (4 and 8 planes)") {
     val buckets = Tables.embeddings(spark, sfDir)
@@ -120,11 +128,10 @@ class SimilaritySpec extends SparkSpec {
         .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
       val hits = planted.count(id => found.contains((id, id + 100000L)))
       val recall = hits.toDouble / planted.size
-      // 4 planes: the fixture perturbation (+0.01/dim) never crosses a
-      // plane -> exact recall. 8 planes: each extra plane can flip a
-      // near-pair with prob θ/π; allow one miss per ten planted.
-      val floor = if (p == 4) 1.0 else 0.9
-      assert(recall >= floor, s"$p planes: recall $recall < $floor")
+      // the planted dup is a SCALED copy (same direction) and sign
+      // projections are scale-invariant, so recall must be total at
+      // EVERY plane count — the LSH invariant, not a tuning accident.
+      assert(recall >= 1.0, s"$p planes: recall $recall < 1.0")
     }
   }
 
