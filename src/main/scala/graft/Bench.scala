@@ -37,9 +37,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // NB: clearCache runs OUTSIDE the timed bracket — the unpersist cost
+    // of a pass must not be charged to the query (min-of-passes cannot
+    // remove a systematic overhead).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally spark.catalog.clearCache()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // warm-up (untimed): full pass over every query
@@ -47,20 +49,23 @@ object Bench {
       try run(fn) catch {
         case e: Throwable => errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
+      spark.catalog.clearCache()
     }
     val results = names.map { case (name, fn) =>
-      if (errors.contains(name)) name -> -1.0
-      else {
-        val times = (1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          try { run(fn); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            -1.0
-          }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var pass = 0
+      // a failed query is decided after its first failure — remaining
+      // passes would burn the same failure latency for the same -1.
+      while (pass < passes && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try { run(fn); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+        spark.catalog.clearCache()
+        pass += 1
       }
+      name -> (if (errors.contains(name)) -1.0 else times.min)
     }
     errors.foreach { case (n, m) =>
       System.err.println(s"[bench] WARNING: $n FAILED: $m")

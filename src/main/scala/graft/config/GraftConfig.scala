@@ -56,9 +56,10 @@ object GraftConfig {
   /** Parse dotenv lines: `KEY=VALUE`, `#` comments (full-line, or inline
     * after whitespace in an UNQUOTED value — python-dotenv semantics, so
     * `DB_PORT=5432 # prod` reads as `5432` while a quoted `"pass #1"`
-    * keeps its `#`) and blanks ignored, single/double quotes around the
-    * value stripped, values may contain `=`. Malformed lines are skipped
-    * (dotenv behavior), not errors.
+    * keeps its `#`, and `"v" # comment` strips BOTH the comment and the
+    * quotes) and blanks ignored, values may contain `=` and embedded
+    * `#` (only a whitespace-preceded `#` starts a comment). Malformed
+    * lines are skipped (dotenv behavior), not errors.
     */
   def parseDotenv(lines: Seq[String]): Map[String, String] =
     lines.iterator
@@ -70,16 +71,21 @@ object GraftConfig {
             val k = l.substring(0, i).trim
             val raw = l.substring(i + 1).trim
             val v =
-              if (raw.length >= 2 &&
-                  ((raw.head == '"' && raw.last == '"') ||
-                   (raw.head == '\'' && raw.last == '\'')))
-                raw.substring(1, raw.length - 1)
-              else {
-                val cut = raw.indexWhere(_ == '#')
-                if (cut > 0 && raw(cut - 1).isWhitespace)
-                  raw.substring(0, cut).trim
-                else if (cut == 0) ""
-                else raw
+              if (raw.nonEmpty && (raw.head == '"' || raw.head == '\'')) {
+                // quoted: value = up to the MATCHING close quote; anything
+                // after (e.g. an inline comment) is discarded. An
+                // unterminated quote keeps the literal (dotenv behavior).
+                val close = raw.indexOf(raw.head, 1)
+                if (close > 0) raw.substring(1, close) else raw
+              } else {
+                // unquoted: cut at the first whitespace-PRECEDED '#'
+                // (an embedded 'db#1' '#' is part of the value)
+                raw.indices.find(j =>
+                  raw(j) == '#' && (j == 0 || raw(j - 1).isWhitespace)) match {
+                  case Some(0) => ""
+                  case Some(j) => raw.substring(0, j).trim
+                  case None    => raw
+                }
               }
             Some(k -> v)
           case _ => None

@@ -1,6 +1,5 @@
 package graft.expr
 
-import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -51,7 +50,7 @@ case class FingerprintStats(child: Expression) extends UnaryExpression {
 }
 
 object FingerprintStats {
-  private val HexChars = "0123456789abcdef".toCharArray
+  import DigestUtil.HexChars
 
   private def hex(d: Array[Byte]): UTF8String = {
     val chars = new Array[Char](32)
@@ -75,16 +74,13 @@ object FingerprintStats {
     false
   }
 
-  private val MdPool = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** NULL elements are SKIPPED and excluded from n_shingles (the shingle
     * builder never emits them — `concat_ws` can't produce NULL — so this
     * is a safety contract against NPE, not a hot case).
     */
   def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
-    val md = MdPool.get()
+    val md = DigestUtil.md5()
     var count = 0L
     var sampled = 0L
     var minD: Array[Byte] = null

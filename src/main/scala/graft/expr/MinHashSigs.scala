@@ -1,6 +1,5 @@
 package graft.expr
 
-import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -60,13 +59,7 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSigs {
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  /** One digest instance per thread: getInstance per ROW costs a
-    * provider lookup + allocation on the hot path.
-    */
-  private val MdPool = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
+  import DigestUtil.HexChars
 
   /** "m:" prefix byte tables, cached per digest count (pure function
     * of k — rebuilding per row was allocation noise).
@@ -91,7 +84,7 @@ object MinHashSigs {
     val prefixes = prefixesFor(nDigests)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, 0xFFFFFFFFL)
-    val md = MdPool.get()
+    val md = DigestUtil.md5()
     var nonNull = 0
     var i = 0
     while (i < n) {

@@ -1,6 +1,5 @@
 package graft.expr
 
-import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -48,9 +47,6 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
 }
 
 object SimHashBits {
-  private val MdPool = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** Static kernel shared by interpreted eval and generated code.
     * NULL elements are SKIPPED (the tokenizer never emits them; this is
     * a safety contract against NPE inside the codegen'd projection, not
@@ -59,7 +55,7 @@ object SimHashBits {
   def compute(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
     val counts = new Array[Int](32)
-    val md = MdPool.get()
+    val md = DigestUtil.md5()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {

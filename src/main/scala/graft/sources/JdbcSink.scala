@@ -166,7 +166,12 @@ object JdbcSink {
           }
           conn.commit()
         } catch {
-          case t: Throwable => conn.rollback(); throw t
+          case t: Throwable =>
+            // rollback on a dead connection throws too — keep the ROOT
+            // cause as the task failure, attach the rollback error.
+            try conn.rollback()
+            catch { case r: Throwable => t.addSuppressed(r) }
+            throw t
         } finally conn.close()
       }
     }

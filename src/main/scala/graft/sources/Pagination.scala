@@ -113,9 +113,8 @@ object Pagination {
       policy: Failure => Decision,
       sleep: Int => Unit = _ => (),
       maxRetriesPerPage: Int = 10): PageAttempt = {
-    var retries = 0
+    var retries = 0 // doubles as the max-retries counter
     var slept = 0L
-    var attempts = 0
     while (true) {
       fetch(url) match {
         case Right(page) =>
@@ -123,9 +122,8 @@ object Pagination {
         case Left(failure) =>
           policy(failure) match {
             case Decision.RetryAfter(s) =>
-              attempts += 1
-              if (attempts > maxRetriesPerPage) throw new FatalFetchException(failure)
               retries += 1
+              if (retries > maxRetriesPerPage) throw new FatalFetchException(failure)
               sleep(s)
               slept += s
             case Decision.Abort =>

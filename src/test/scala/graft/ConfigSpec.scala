@@ -39,12 +39,14 @@ class ConfigSpec extends AnyFunSuite {
   test("inline comments strip from unquoted values, survive in quoted ones") {
     val parsed = parseDotenv(Seq(
       "DB_PORT=5432 # prod port",
-      "DB_HOST=h#ash",            // no whitespace before # -> part of value
-      "DB_PASSWORD='pass #1' ",   // quoted -> untouched
+      "DB_HOST=db#1.internal # primary", // embedded # kept, comment cut
+      "DB_PASSWORD='pass #1' ",          // quoted -> # untouched
+      "CLIENT_KEY=\"ck\" # quoted THEN commented",
       "DB_USER= # only a comment"))
     assert(parsed("DB_PORT") === "5432")
-    assert(parsed("DB_HOST") === "h#ash")
+    assert(parsed("DB_HOST") === "db#1.internal")
     assert(parsed("DB_PASSWORD") === "pass #1")
+    assert(parsed("CLIENT_KEY") === "ck")
     assert(parsed("DB_USER") === "")
   }
 
