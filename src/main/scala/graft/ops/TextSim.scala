@@ -434,7 +434,23 @@ object TextSim {
   // of a tighter guaranteed threshold (blocks - 1). The synthetic
   // one-vocabulary corpus clusters signatures far more than real text,
   // so candidate counts here overstate production density.
-  def q68SimhashNearDup(s: SparkSession, d: String): DataFrame = {
+  /** Even 32-bit split into `nBlocks` (remainder spread over the first
+    * blocks) as (offset, length) pairs — the banding knob. The guaranteed
+    * threshold is nBlocks - 1 (pigeonhole); TextSimSpec proves total
+    * within-threshold recall at BOTH the default 3-block and a 4-block
+    * setting.
+    */
+  private[graft] def hammingBlocks(nBlocks: Int): Seq[(Int, Int)] = {
+    val base = 32 / nBlocks
+    val extra = 32 % nBlocks
+    val lens = Seq.tabulate(nBlocks)(i => base + (if (i < extra) 1 else 0))
+    lens.scanLeft(1)(_ + _).zip(lens).map { case (off, len) => (off, len) }
+  }
+
+  def simhashNearDup(s: SparkSession, d: String, nBlocks: Int,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming < nBlocks,
+      s"pigeonhole guarantee needs maxHamming < nBlocks ($maxHamming >= $nBlocks)")
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val dups = base.where(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
@@ -451,15 +467,14 @@ object TextSim {
     val blocks = corpus
       .withColumn("signum", conv(col("sig"), 2, 10).cast("long"))
       .select(col("doc_id"), col("signum"),
-        posexplode(array(substring(col("sig"), 1, 11),
-                         substring(col("sig"), 12, 11),
-                         substring(col("sig"), 23, 10))))
+        posexplode(array(hammingBlocks(nBlocks).map { case (off, len) =>
+          substring(col("sig"), off, len) }: _*)))
       .withColumnRenamed("pos", "block_id")
       .withColumnRenamed("col", "block_val")
     val ham = bit_count(col("x.signum").bitwiseXOR(col("y.signum")))
     // hamming is computed IN the join projection and filtered BEFORE the
-    // dedup: a pair co-buckets in up to 3 blocks, so the distinct would
-    // otherwise shuffle every candidate occurrence with the full
+    // dedup: a pair co-buckets in up to nBlocks blocks, so the distinct
+    // would otherwise shuffle every candidate occurrence with the full
     // signature payload attached. Filter-then-distinct equals
     // distinct-then-filter because hamming is a pure function of the
     // pair.
@@ -470,10 +485,13 @@ object TextSim {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
               ham.as("hamming"))
-      .where(col("hamming") <= 2)
+      .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def q68SimhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashNearDup(s, d, nBlocks = 3, maxHamming = 2)
 
   val q68Sql: String = {
     val hiList = HI.map("'" + _ + "'").mkString("(", ", ", ")")

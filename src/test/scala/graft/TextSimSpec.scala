@@ -128,20 +128,25 @@ class TextSimSpec extends SparkSpec {
         graft.expr.SimHashFunctions.simhash_bits(
           filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "")).as("sig"))
       .as[(Long, String)].collect().toMap
-    val expected = sigs.keys.filter(_ < 100000).flatMap { id =>
-      sigs.get(id + 100000).collect {
-        case s2 if hamming(sigs(id), s2) <= 2 => (id, id + 100000L)
-      }
-    }.toSet
-    val found = TextSim.q68SimhashNearDup(spark, sfDir)
-      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
-    // every returned pair honors the threshold
-    assert(found.forall(_._3 <= 2))
-    // pigeonhole: NO planted pair within the threshold may be missed
-    val foundPairs = found.map(r => (r._1, r._2)).toSet
-    val missed = expected -- foundPairs
-    assert(missed.isEmpty, s"banding missed within-threshold pairs: $missed")
-    assert(expected.nonEmpty, "fixture produced no within-threshold planted pairs")
+    // both banding settings: default 3 blocks/<=2 (q68) and 4 blocks/<=3
+    Seq((3, 2), (4, 3)).foreach { case (nBlocks, maxHam) =>
+      val expected = sigs.keys.filter(_ < 100000).flatMap { id =>
+        sigs.get(id + 100000).collect {
+          case s2 if hamming(sigs(id), s2) <= maxHam => (id, id + 100000L)
+        }
+      }.toSet
+      val found = TextSim.simhashNearDup(spark, sfDir, nBlocks, maxHam)
+        .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Int)].collect()
+      // every returned pair honors the threshold
+      assert(found.forall(_._3 <= maxHam), s"($nBlocks,$maxHam) over threshold")
+      // pigeonhole: NO planted pair within the threshold may be missed
+      val foundPairs = found.map(r => (r._1, r._2)).toSet
+      val missed = expected -- foundPairs
+      assert(missed.isEmpty,
+        s"($nBlocks,$maxHam) banding missed within-threshold pairs: $missed")
+      assert(expected.nonEmpty,
+        s"($nBlocks,$maxHam) fixture produced no within-threshold pairs")
+    }
   }
 
   test("native FingerprintStats matches the exploded formulation; plan is shuffle-free") {
