@@ -649,6 +649,73 @@ object TextSim {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ─── q69: repetition-based quality filtering (Gopher-style) ───────────
+  // The published repetition rules (Rae et al. 2021, "Scaling Language
+  // Models: ... Gopher", Table A1) adapted to this corpus's token level:
+  // a document is flagged when its most frequent 2-gram occupies too much
+  // of the text or its token diversity collapses. Signals per doc:
+  //  - dup_token_ratio  = 1 - distinct/total tokens      (diversity)
+  //  - top_bigram_frac  = max bigram count / total        (repetition)
+  //  - mean_token_len                                     (C4-style)
+  // The bigram mode is computed the SCALABLE way — explode → count per
+  // (doc, bigram) → max per doc: two partial-aggregated shuffles keyed on
+  // fixed-size keys, never a per-doc O(distinct × n) lambda scan.
+  def q69RepetitionQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+    val perDoc = docs.select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+              / size(col("toks")), 4).as("dup_token_ratio"),
+      round(aggregate(transform(col("toks"), t => length(t)), lit(0),
+              (acc, x) => acc + x).cast("double") / size(col("toks")), 4)
+        .as("mean_token_len"))
+    val bigramStats = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                            element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+        .as("top_bigram_frac"))
+    perDoc.join(bigramStats, Seq("doc_id"))
+      .withColumn("flagged",
+        col("top_bigram_frac") > 0.18 || col("dup_token_ratio") > 0.8)
+      .orderBy(col("doc_id"))
+  }
+
+  val q69Sql: String =
+    s"""WITH toksed AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |docs AS (
+       |  SELECT doc_id, toks FROM toksed WHERE len(toks) >= 2),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+       |      AS dup_token_ratio,
+       |    round(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+       |            AS DOUBLE) / len(toks), 4) AS mean_token_len
+       |  FROM docs),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM docs),
+       |bg_counts AS (
+       |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+       |bg_stats AS (
+       |  SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4)
+       |    AS top_bigram_frac
+       |  FROM bg_counts GROUP BY doc_id)
+       |SELECT p.doc_id, n_tokens, dup_token_ratio, mean_token_len,
+       |  top_bigram_frac,
+       |  (top_bigram_frac > 0.18 OR dup_token_ratio > 0.8) AS flagged
+       |FROM per_doc p JOIN bg_stats b ON p.doc_id = b.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
@@ -660,6 +727,7 @@ object TextSim {
     "q48_fingerprint"    -> (q48Fingerprint _),
     "q64_minhash_lsh_wide" -> (q64MinhashLshWide _),
     "q68_simhash_neardup" -> (q68SimhashNearDup _),
+    "q69_repetition_quality" -> (q69RepetitionQuality _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -673,5 +741,6 @@ object TextSim {
     "q48_fingerprint"    -> q48Sql,
     "q64_minhash_lsh_wide" -> q64Sql,
     "q68_simhash_neardup" -> q68Sql,
+    "q69_repetition_quality" -> q69Sql,
   )
 }
