@@ -716,6 +716,174 @@ object TextSim {
        |FROM per_doc p JOIN bg_stats b ON p.doc_id = b.doc_id
        |ORDER BY p.doc_id""".stripMargin
 
+  // ─── q70: the full corpus-cleaning pipeline as ONE query ──────────────
+  // Composition capstone: the dedup + quality family chained the way a
+  // production training-data pipeline runs them, reported as a stage
+  // funnel (stage, n_docs):
+  //   00_raw          corpus = documents ∪ exact copies (%10) ∪
+  //                   near-dup tail copies (%20)
+  //   01_exact_dedup  keep min doc_id per sha2(text)          (q41 kernel)
+  //   02_near_dedup   drop the higher id of every verified    (q45 kernel)
+  //                   MinHash pair (jaccard ≥ 0.6) among survivors
+  //   03_quality      drop docs whose top bigram occupies     (q69 kernel)
+  //                   > 18% of the text (Gopher repetition rule)
+  // Every stage is the already-verified operator's plan shape — hash
+  // shuffles, banded LSH, two-agg bigram mode — so the funnel inherits
+  // the 100 TB properties of its parts.
+  def q70CleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val exactCopies = base.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val nearCopies = base.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" zzz extra tail")).as("text"))
+    val corpus = base.unionByName(exactCopies).unionByName(nearCopies)
+
+    // stage 1: exact dedup (first-writer-wins on the content hash)
+    val exact = corpus
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+
+    // stage 2: near-dup removal — MinHash candidates among stage-1
+    // survivors, verified by exact Jaccard, drop the higher id
+    val sh = exact
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("text"), shingles(col("toks")).as("sh"))
+      .cache()
+    val sigs = sh.withColumn("sigsArr",
+      graft.expr.MinHashFunctions.minhash_sigs(col("sh"), DefaultK))
+    val r = DefaultK / DefaultB
+    val banded = (0 until DefaultB).foldLeft(sigs) { (df, i) =>
+      df.withColumn(s"band$i", md5(concat((0 until r).map(j =>
+        col("sigsArr").getItem(r * i + j)): _*)))
+    }
+    val bands = banded.select(col("doc_id"),
+      posexplode(array((0 until DefaultB).map(i => col(s"band$i")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double")
+    val dropNear = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .where(round(jac, 4) >= 0.6)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = sh.select(col("doc_id"), col("text"))
+      .join(dropNear, Seq("doc_id"), "left_anti")
+
+    // stage 3: repetition-quality filter (top-bigram fraction)
+    val bigrams = nearDeduped
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                            element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as("tbf"))
+    val clean = nearDeduped.join(
+      bigrams.where(col("tbf") <= 0.18).select(col("doc_id")), Seq("doc_id"))
+
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("00_raw", corpus)
+      .unionByName(stage("01_exact_dedup", exact))
+      .unionByName(stage("02_near_dedup", nearDeduped))
+      .unionByName(stage("03_quality", clean))
+      .orderBy(col("stage"))
+  }
+
+  val q70Sql: String = {
+    val toksE = tokensSql
+    val shE = shinglesSql("toks").replace("\n", " ")
+    val sigCols = (0 until DefaultK).map { j =>
+      val src = s"h${j / 4}"
+      val off = (j % 4) * 8 + 1
+      s"list_aggregate(list_transform($src, h -> substring(h, $off, 8)), 'min') AS sig$j"
+    }.mkString(",\n    ")
+    val digestCols = (0 until (DefaultK + 3) / 4).map(m =>
+      s"list_transform(sh, x -> md5('$m:' || x)) AS h$m").mkString(",\n    ")
+    val r = DefaultK / DefaultB
+    val bandCols = (0 until DefaultB).map { i =>
+      val cat = (0 until r).map(j => s"sig${r * i + j}").mkString(" || ")
+      s"md5($cat) AS band$i"
+    }.mkString(",\n    ")
+    val bandArray = (0 until DefaultB).map(i => s"band$i").mkString("[", ", ", "]")
+    val bandIdx = (0 until DefaultB).mkString("[", ",", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zzz extra tail'
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |exact AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM corpus GROUP BY sha256(text)),
+       |shingled AS (
+       |  SELECT doc_id, text, $shE AS sh
+       |  FROM (SELECT doc_id, text, $toksE AS toks FROM exact)),
+       |hashed AS (
+       |  SELECT doc_id, sh,
+       |    $digestCols
+       |  FROM shingled),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hashed),
+       |bandkeys AS (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM sigs),
+       |bands AS (
+       |  SELECT doc_id, u.b AS band_id, $bandArray[u.b + 1] AS band_key
+       |  FROM bandkeys CROSS JOIN (SELECT unnest($bandIdx) AS b) u),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id),
+       |drop_near AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM cand
+       |  JOIN shingled sa ON sa.doc_id = cand.doc_a
+       |  JOIN shingled sb ON sb.doc_id = cand.doc_b
+       |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |    >= 0.6),
+       |near_deduped AS (
+       |  SELECT doc_id, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)),
+       |bg_stats AS (
+       |  SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS tbf FROM (
+       |    SELECT doc_id, bg, count(*) AS cnt FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |      FROM (SELECT doc_id, $toksE AS toks FROM near_deduped)
+       |      WHERE len(toks) >= 2)
+       |    GROUP BY doc_id, bg)
+       |  GROUP BY doc_id),
+       |clean AS (
+       |  SELECT n.doc_id FROM near_deduped n
+       |  JOIN bg_stats b ON n.doc_id = b.doc_id AND b.tbf <= 0.18)
+       |SELECT stage, n_docs FROM (
+       |  SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM corpus
+       |  UNION ALL
+       |  SELECT '01_exact_dedup', CAST(count(*) AS BIGINT) FROM exact
+       |  UNION ALL
+       |  SELECT '02_near_dedup', CAST(count(*) AS BIGINT) FROM near_deduped
+       |  UNION ALL
+       |  SELECT '03_quality', CAST(count(*) AS BIGINT) FROM clean)
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
@@ -728,6 +896,7 @@ object TextSim {
     "q64_minhash_lsh_wide" -> (q64MinhashLshWide _),
     "q68_simhash_neardup" -> (q68SimhashNearDup _),
     "q69_repetition_quality" -> (q69RepetitionQuality _),
+    "q70_clean_corpus" -> (q70CleanCorpus _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -742,5 +911,6 @@ object TextSim {
     "q64_minhash_lsh_wide" -> q64Sql,
     "q68_simhash_neardup" -> q68Sql,
     "q69_repetition_quality" -> q69Sql,
+    "q70_clean_corpus" -> q70Sql,
   )
 }
