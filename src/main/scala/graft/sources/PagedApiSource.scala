@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -94,7 +94,7 @@ private final case class PageOffset(pages: Int) extends Offset {
 }
 
 private final class PagedApiMicroBatchStream(fetcherName: String)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private val spec = PagedApiSource.lookup(fetcherName)
   // one limiter across the stream's lifetime: the throttle schedule
@@ -129,11 +129,32 @@ private final class PagedApiMicroBatchStream(fetcherName: String)
     case None => false
   }
 
-  override def latestOffset(): Offset = {
-    // admit AT MOST one page per call: micro-batch boundaries == page
-    // boundaries, which is what makes foreachBatch page-transactional.
-    fetchNext()
-    PageOffset(admitted)
+  // SupportsAdmissionControl: Spark calls the 2-arg form below instead.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(startOffset, limit) is used (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission with RESTART AWARENESS. `start` is the checkpoint's
+    * committed position; a fresh stream's cursor is back at page 0, so
+    * the reported offset must never fall below `start` — a regressed
+    * offset would make MicroBatchExecution replay already-committed
+    * pages as "new" data, duplicating records into append sinks. The
+    * cursor chain has no random access, so recovery re-walks it up to
+    * `start` (refetched pages are buffered but evicted before emission)
+    * and only then admits AT MOST one new page: micro-batch boundaries
+    * == page boundaries, which is what makes foreachBatch
+    * page-transactional.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PageOffset].pages
+    while (admitted < s && fetchNext()) ()
+    if (admitted >= s) fetchNext()
+    // if the chain ended short of the checkpoint (source shrank), still
+    // report `start`: start == end means "no new batch", a graceful idle
+    // rather than a duplicate-emitting regression.
+    PageOffset(math.max(admitted, s))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

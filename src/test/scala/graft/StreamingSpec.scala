@@ -87,9 +87,16 @@ class StreamingSpec extends SparkSpec {
     def newStream() = table.asInstanceOf[SupportsRead]
       .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
       .toMicroBatchStream("unused-ckpt")
+      .asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+        with org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def advance(s: org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl,
+                from: String) =
+      s.latestOffset(s.asInstanceOf[org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+        .deserializeOffset(from), ReadLimit.allAvailable())
     // first run: admit pages 0 and 1, commit page 0, then "crash"
     val run1 = newStream()
-    run1.latestOffset(); run1.latestOffset()
+    advance(run1, "0"); advance(run1, "1")
     run1.commit(run1.deserializeOffset("1"))
     run1.stop()
     assert(fetches.get() === 2)
@@ -109,9 +116,50 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got.toSeq === Seq(1 -> "r3"), s"wrong replayed rows: $got")
     // and the stream continues past the replayed batch as normal
-    assert(run2.latestOffset().asInstanceOf[org.apache.spark.sql.connector.read.streaming.Offset].json() === "3")
+    assert(advance(run2, "2").json() === "3")
     run2.stop()
     PagedApiSource.unregister("restart-fx")
+  }
+
+  test("paged-api restart after COMMITTED batch never regresses the offset") {
+    import graft.sources.{PagedApiSource, Pagination}
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val pages = Map(
+      "a" -> Pagination.Page(Seq("r1"), Some("b")),
+      "b" -> Pagination.Page(Seq("r2"), Some("c")),
+      "c" -> Pagination.Page(Seq("r3"), None))
+    PagedApiSource.register("commit-restart-fx", PagedApiSource.FetchSpec(
+      startUrl = "a", fetch = url => Right(pages(url)),
+      policy = Pagination.catalogPolicy))
+    val table = new PagedApiSource().getTable(PagedApiSource.schema,
+      Array.empty, java.util.Collections.singletonMap("fetcher", "commit-restart-fx"))
+    def newStream() = table.asInstanceOf[SupportsRead]
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .toMicroBatchStream("unused-ckpt")
+      .asInstanceOf[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+        with org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+    // run 1 processed AND committed pages 0 and 1, then the process died.
+    // run 2's first admission call receives the checkpointed start (2):
+    // the reported offset must be ≥ 2 (here 3: pages 0-1 re-walked, page 2
+    // newly admitted) — the regression bug reported 1 and re-emitted
+    // committed pages to append sinks as duplicates.
+    val run2 = newStream()
+    val off = run2.latestOffset(run2.deserializeOffset("2"), ReadLimit.allAvailable())
+    assert(off.json() === "3", s"offset regressed: $off")
+    val parts = run2.planInputPartitions(
+      run2.deserializeOffset("2"), run2.deserializeOffset("3"))
+    assert(parts.length === 1)
+    val reader = run2.createReaderFactory().createReader(parts(0))
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    while (reader.next()) got += reader.get().getUTF8String(1).toString
+    assert(got.toSeq === Seq("r3"), s"committed pages re-emitted: $got")
+    // an exhausted chain idles at the checkpoint instead of regressing
+    val idle = run2.latestOffset(run2.deserializeOffset("3"), ReadLimit.allAvailable())
+    assert(idle.json() === "3")
+    run2.stop()
+    PagedApiSource.unregister("commit-restart-fx")
   }
 
   test("stream-stream interval join matches batch semantics with bounded state") {
