@@ -58,12 +58,15 @@ object GraftConfig {
     * `DB_PORT=5432 # prod` reads as `5432` while a quoted `"pass #1"`
     * keeps its `#`, and `"v" # comment` strips BOTH the comment and the
     * quotes) and blanks ignored, values may contain `=` and embedded
-    * `#` (only a whitespace-preceded `#` starts a comment). Malformed
-    * lines are skipped (dotenv behavior), not errors.
+    * `#` (only a whitespace-preceded `#` starts a comment). A leading
+    * `export ` prefix is stripped (python-dotenv accepts shell-sourceable
+    * files: `export KEY=VALUE` binds `KEY`). Malformed lines are skipped
+    * (dotenv behavior), not errors.
     */
   def parseDotenv(lines: Seq[String]): Map[String, String] =
     lines.iterator
       .map(_.trim)
+      .map(l => if (l.startsWith("export ")) l.stripPrefix("export ").trim else l)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .flatMap { l =>
         l.indexOf('=') match {

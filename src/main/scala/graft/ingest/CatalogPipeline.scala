@@ -20,8 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object CatalogPipeline {
 
-  /** All 12 relations from a frame of raw JSON bodies (column `body`). */
-  def fanout(spark: SparkSession, raw: DataFrame): Map[String, DataFrame] = {
+  /** All 12 relations from a frame of raw JSON bodies (column `body`).
+    * Cache lifecycle is session-owned (`clearCache`) in this form; use
+    * [[fanoutManaged]] to release the parse + dimension caches
+    * explicitly once every relation is written.
+    */
+  def fanout(spark: SparkSession, raw: DataFrame): Map[String, DataFrame] =
+    fanoutManaged(spark, raw).relations
+
+  final case class ManagedFanout(relations: Map[String, DataFrame],
+                                 release: () => Unit)
+
+  /** As [[fanout]], plus the handle that unpersists the parsed batch and
+    * both dimension probe caches. Call `release()` only after all 12
+    * relations are materialized (e.g. each written through JdbcSink) —
+    * they read the caches lazily.
+    */
+  def fanoutManaged(spark: SparkSession, raw: DataFrame): ManagedFanout = {
     val parsed = raw
       .select(from_json(col("body"), CourseFixture.schema).as("c"))
       .select(col("c.*"))
@@ -36,18 +51,20 @@ object CatalogPipeline {
       col("is_imported"), col("headline"), col("level"),
       col("locale.locale").as("locale"))
 
-    def dim(titleCol: String): DataFrame =
+    def dim(titleCol: String): graft.ops.Merge.ManagedFrame =
       // keyed on BOTH distinct columns: ordering by title alone would
       // tie-break duplicate titles (different urls) by partition layout,
       // making the surrogate ids nondeterministic across runs.
-      graft.ops.Merge.denseIds(
+      graft.ops.Merge.denseIdsManaged(
         parsed.select(col(s"$titleCol.title").as("title"),
                       col(s"$titleCol.url").as("url"))
           .where(col("title").isNotNull).distinct(),
         Seq("title", "url"))
 
-    val categories = dim("primary_category")
-    val subcategories = dim("primary_subcategory")
+    val categoriesM = dim("primary_category")
+    val subcategoriesM = dim("primary_subcategory")
+    val categories = categoriesM.df
+    val subcategories = subcategoriesM.df
 
     def bridge(d: DataFrame, titleCol: String, fk: String): DataFrame =
       parsed.select(col("id").as("course_id"),
@@ -59,7 +76,7 @@ object CatalogPipeline {
       parsed.select(col("id").as("course_id"), explode(col(c)).as("x"))
         .select(col("course_id") +: fields.map(f => col(s"x.$f")): _*)
 
-    Map(
+    val relations = Map(
       "courses" -> courses,
       "categories" -> categories,
       "subcategories" -> subcategories,
@@ -81,5 +98,8 @@ object CatalogPipeline {
       "caption_locales" -> explodeStruct("caption_locales",
         Seq("locale", "title", "english_title")),
     )
+    ManagedFanout(relations, () => {
+      categoriesM.release(); subcategoriesM.release(); parsed.unpersist(); ()
+    })
   }
 }

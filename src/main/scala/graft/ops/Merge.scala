@@ -59,25 +59,43 @@ object Merge {
     * determinism contract: row_number over a non-unique ordering would
     * tie-break by partition layout) — pass every column that makes the
     * distinct key, e.g. (title, url) for the catalog dimensions.
+    *
+    * This form relies on the session to release the internal probe
+    * cache (Bench/Verify `clearCache` per query). Long-lived sessions
+    * should use [[denseIdsManaged]] and call `release()` once the ids
+    * are materialized, or the probe frames accumulate pinned storage.
     */
   def denseIds(distinctKeys: DataFrame, keyCols: Seq[String],
-               maxWindowKeys: Long = 4L << 20): DataFrame = {
+               maxWindowKeys: Long = 4L << 20): DataFrame =
+    denseIdsManaged(distinctKeys, keyCols, maxWindowKeys).df
+
+  /** An id frame plus the handle that releases the cache(s) backing it.
+    * Call `release()` only AFTER the frame is materialized (written,
+    * collected, or re-cached) — the frame reads the cache lazily, so an
+    * early release silently recomputes the upstream distinct instead.
+    */
+  final case class ManagedFrame(df: DataFrame, release: () => Unit)
+
+  def denseIdsManaged(distinctKeys: DataFrame, keyCols: Seq[String],
+                      maxWindowKeys: Long = 4L << 20): ManagedFrame = {
     val order = keyCols.map(col)
     val cached = distinctKeys.cache()
     val n = cached.count()
-    if (n <= maxWindowKeys)
-      cached.withColumn("id",
-        row_number().over(Window.orderBy(order: _*)).cast("long"))
-    else {
-      val sorted = cached.orderBy(order: _*)
-      val schema = org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false))
-      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
-      cached.sparkSession.createDataFrame(rdd, schema)
-    }
+    val ids =
+      if (n <= maxWindowKeys)
+        cached.withColumn("id",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+      else {
+        val sorted = cached.orderBy(order: _*)
+        val schema = org.apache.spark.sql.types.StructType(
+          sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false))
+        val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
+        cached.sparkSession.createDataFrame(rdd, schema)
+      }
+    ManagedFrame(ids, () => { cached.unpersist(); () })
   }
 
   // ─── q38: surrogate-key dimension build (O11) ─────────────────────────

@@ -120,6 +120,47 @@ object JdbcSink {
                key: String): Unit =
     upsertTx(df, url, table, driver, Seq(key))
 
+  /** Resolve the STORED spelling of the target table/columns through
+    * `DatabaseMetaData` and quote them with the connection's identifier
+    * quote string (what Spark's own `JdbcDialect.quoteIdentifier` does).
+    * Unquoted identifiers are case-folded differently per DB (Derby and
+    * Postgres fold opposite ways), so the requested names are matched
+    * case-insensitively against the catalog and the stored spelling is
+    * what gets quoted — reserved-word columns (`select`) and mixed-case
+    * columns work, and identifier text never reaches the SQL unquoted.
+    * Returns (quotedTable, requestedCol → quotedCol); falls back to the
+    * raw names when the table has no catalog entry (the statement then
+    * fails with the DB's own missing-table error, as before).
+    */
+  private def quotedIdentifiers(conn: java.sql.Connection, table: String,
+      requested: Seq[String]): (String, Map[String, String]) = {
+    val md = conn.getMetaData
+    val q = Option(md.getIdentifierQuoteString).map(_.trim).getOrElse("")
+    def quote(id: String) = if (q.isEmpty) id else q + id.replace(q, q + q) + q
+    val segs = table.split('.')
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def asPattern(s: String) = // _/% are wildcards in metadata patterns
+      s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    def lookup(name: String): Option[(String, Map[String, String])] = {
+      val rs = md.getColumns(null, null, asPattern(name), "%")
+      var tbl: String = null
+      val stored = scala.collection.mutable.ListBuffer[String]()
+      while (rs.next()) { tbl = rs.getString("TABLE_NAME"); stored += rs.getString("COLUMN_NAME") }
+      rs.close()
+      if (tbl == null) None
+      else Some((tbl, requested.flatMap(r =>
+        stored.find(_.equalsIgnoreCase(r)).map(r -> _)).toMap))
+    }
+    Seq(segs.last, segs.last.toUpperCase, segs.last.toLowerCase).distinct
+      .flatMap(lookup).headOption match {
+      case Some((storedTable, storedCols)) =>
+        val qualifier = segs.init.map(quote)
+        ((qualifier :+ quote(storedTable)).mkString("."),
+         requested.map(r => r -> quote(storedCols.getOrElse(r, r))).toMap)
+      case None => (table, requested.map(r => r -> r).toMap)
+    }
+  }
+
   /** Composite-key form — the activity fact merges on
     * (user_id, course_id), user_course_activity_database.sql:22.
     */
@@ -130,11 +171,6 @@ object JdbcSink {
     val nonKey = cols.filterNot(keys.contains)
     keys.foreach(k => require(cols.contains(k), s"key $k not in ${cols.mkString(",")}"))
     require(nonKey.nonEmpty, "upsertTx needs at least one non-key column")
-    val updateSql =
-      s"UPDATE $table SET ${nonKey.map(c => s"$c = ?").mkString(", ")} " +
-      s"WHERE ${keys.map(k => s"$k = ?").mkString(" AND ")}"
-    val insertSql =
-      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val sqlTypeOf: Map[String, Int] = schema.fields.map(f => f.name -> (f.dataType match {
       case LongType => java.sql.Types.BIGINT
       case IntegerType => java.sql.Types.INTEGER
@@ -152,6 +188,15 @@ object JdbcSink {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
+          // statement text is built per partition, against THIS
+          // connection's quoting rules and the table's stored spelling
+          val (qTable, qCol) = quotedIdentifiers(conn, table, cols)
+          val updateSql =
+            s"UPDATE $qTable SET ${nonKey.map(c => s"${qCol(c)} = ?").mkString(", ")} " +
+            s"WHERE ${keys.map(k => s"${qCol(k)} = ?").mkString(" AND ")}"
+          val insertSql =
+            s"INSERT INTO $qTable (${cols.map(qCol).mkString(", ")}) " +
+            s"VALUES (${cols.map(_ => "?").mkString(", ")})"
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
           def bind(st: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =

@@ -50,6 +50,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(parsed("DB_USER") === "")
   }
 
+  test("'export KEY=VALUE' binds KEY (shell-sourceable dotenv form)") {
+    val parsed = parseDotenv(Seq(
+      "export DB_HOST=db.internal",
+      "export DB_PORT=5432 # inline comment still strips",
+      "EXPORTED=keep",       // no space: not the export form
+      "export=literal"))     // key literally named 'export'
+    assert(parsed("DB_HOST") === "db.internal")
+    assert(parsed("DB_PORT") === "5432")
+    assert(parsed("EXPORTED") === "keep")
+    assert(parsed("export") === "literal")
+    assert(!parsed.contains("export DB_HOST"))
+  }
+
   test("missing required keys fail fast with the complete list") {
     val Left(err) = fromMap(parseDotenv(full.filterNot(l =>
       l.startsWith("DB_PASSWORD") || l.startsWith("ACCOUNT_ID")))): @unchecked

@@ -69,6 +69,20 @@ class JdbcSinkSpec extends SparkSpec {
       "reader observed a half-applied partition — rollback failed")
   }
 
+  test("upsertTx quotes identifiers: reserved-word and mixed-case columns") {
+    // 'select' is a reserved word; "MixedCase" survives only if quoted
+    // with its stored spelling — unquoted SQL would fold to SELECT /
+    // MIXEDCASE and fail against this DDL.
+    exec("""CREATE TABLE T_QUOTED (k BIGINT PRIMARY KEY, "select" VARCHAR(10), "MixedCase" VARCHAR(10))""")
+    JdbcSink.upsertTx(Seq((1L, "a", "b"), (2L, "a", "b")).toDF("k", "select", "MixedCase"),
+      url, "T_QUOTED", driver, "k")
+    JdbcSink.upsertTx(Seq((2L, "a2", "b2")).toDF("k", "select", "MixedCase"),
+      url, "T_QUOTED", driver, "k")
+    val got = JdbcSink.readTable(spark, url, "T_QUOTED", driver)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", "b"), (2L, "a2", "b2")))
+  }
+
   test("upsert is latest-wins and idempotent (O13 at the sink)") {
     val first = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
     JdbcSink.append(first, url, "T_UPSERT", driver)

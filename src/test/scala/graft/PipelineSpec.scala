@@ -32,6 +32,20 @@ class PipelineSpec extends SparkSpec {
     assert(locales === Set("en_US", "en_GB", "fr_FR"))
   }
 
+  test("fanoutManaged release() unpersists every cache it created") {
+    spark.catalog.clearCache()
+    val managed = CatalogPipeline.fanoutManaged(spark, CourseFixture.raw(spark))
+    // materialize all relations (what a caller does before releasing)
+    managed.relations.values.foreach(_.count())
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "fan-out should be cache-backed while in use")
+    managed.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() left pinned cached frames behind (the long-session leak)")
+    // released relations still compute (recompute path, not an error)
+    assert(managed.relations("courses").count() === 4)
+  }
+
   test("reference parity end-to-end: dotenv config -> paged stream -> typed " +
        "cast -> transactional composite-key upsert") {
     import graft.config.GraftConfig
