@@ -13,7 +13,8 @@ object SparkEntry {
     ingest.Normalize.queries ++ ops.Merge.queries ++ ops.TextSim.queries ++
     ops.Similarity.queries ++ ops.Streaming.queries ++
     sources.FileSources.queries ++ sources.Multimodal.queries ++
-    ops.Skew.queries
+    ops.Skew.queries ++ ops.Graph.queries ++ ops.Corpus.queries ++
+    ops.Warehouse.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
     ingest.Normalize.oracleSql ++ ops.Merge.oracleSql ++ ops.TextSim.oracleSql ++
     ops.Similarity.oracleSql ++ ops.Streaming.oracleSql ++
     sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql ++
-    ops.Skew.oracleSql
+    ops.Skew.oracleSql ++ ops.Graph.oracleSql ++ ops.Corpus.oracleSql ++
+    ops.Warehouse.oracleSql
 }

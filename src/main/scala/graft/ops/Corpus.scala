@@ -1,0 +1,286 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline needs BETWEEN
+  * cleaning (TextSim) and the trainer's dataloader: deterministic split
+  * assignment, PII redaction, salience scoring, chunking, and sequence
+  * packing. None exist in the reference (it ships rows to PostgreSQL,
+  * course_catalog.py:94–108); all are BASELINE.json north-star surface.
+  *
+  * Shared scale rules:
+  *  - split/redaction decisions are PURE functions of the row (hash of a
+  *    stable id, regex of the text) — no global state, no sampling RNG, so
+  *    assignment is reproducible under corpus growth and re-partitioning,
+  *    and the operators are embarrassingly parallel map stages;
+  *  - the only shuffles are the final small aggregations (census frames) or
+  *    per-shard window scans; nothing keys a shuffle on document text;
+  *  - chunk/pack identities are emitted as fixed-width hashes/ids, so
+  *    downstream joins (e.g. chunk -> embedding) never carry bodies.
+  */
+object Corpus {
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // ─── q72: deterministic train/val/test split by id hash ───────────────
+  // split = first hex byte of md5("split:" || doc_id) against fixed
+  // thresholds (0xcc/0xe6 => ~80/10/10). Hash-bucketing, not rand(): the
+  // assignment of an existing doc NEVER changes when the corpus grows, and
+  // lowercase-hex strings compare identically in every engine — the
+  // property that makes held-out sets stable across pipeline re-runs.
+  def q72HashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split",
+        when(col("h") < "cc", "train")
+          .when(col("h") < "e6", "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  val q72Sql: String =
+    """SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN h < 'cc' THEN 'train'
+      |         WHEN h < 'e6' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT lang, n_chars,
+      |          substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |        FROM documents))
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
+  // ─── q73: PII scrubbing (regex redaction + audit census) ──────────────
+  // The synthetic corpus carries no PII, so the fixture plants it
+  // deterministically (an email on every 7th doc, a phone on every 11th)
+  // and the operator under test redacts it back out. Patterns are the
+  // RE2/Java-regex common subset so both engines compile them identically.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+
+  def q73PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val withEmail = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(col("text"), lit(" contact user"),
+             col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(col("text"))
+    documents(s, d)
+      .withColumn("t1", withEmail)
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("t1"), lit(" call 555-867-5309"))).otherwise(col("t1")))
+      .withColumn("n_emails", size(regexp_extract_all(col("t2"), lit(emailPat), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("t2"), lit(phonePat), lit(0))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("t2"), emailPat, "<EMAIL>"),
+                       phonePat, "<PHONE>"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L))
+             .as("docs_with_pii"),
+           sum(col("n_emails")).cast("long").as("n_emails"),
+           sum(col("n_phones")).cast("long").as("n_phones"),
+           sum(length(col("t2")) - length(col("scrubbed"))).cast("long")
+             .as("chars_removed"))
+      .orderBy(col("lang"))
+  }
+
+  val q73Sql: String =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_with_pii,
+       |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       |  CAST(sum(length(t2) - length(scrubbed)) AS BIGINT) AS chars_removed
+       |FROM (
+       |  SELECT lang, n_emails, n_phones, t2,
+       |    regexp_replace(regexp_replace(t2, '$emailPat', '<EMAIL>', 'g'),
+       |                   '$phonePat', '<PHONE>', 'g') AS scrubbed
+       |  FROM (
+       |    SELECT lang, t2,
+       |      len(regexp_extract_all(t2, '$emailPat')) AS n_emails,
+       |      len(regexp_extract_all(t2, '$phonePat')) AS n_phones
+       |    FROM (
+       |      SELECT lang,
+       |        CASE WHEN doc_id % 11 = 0 THEN t1 || ' call 555-867-5309'
+       |             ELSE t1 END AS t2
+       |      FROM (
+       |        SELECT lang, doc_id,
+       |          CASE WHEN doc_id % 7 = 0 THEN
+       |            text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |                 || '@example.com'
+       |          ELSE text END AS t1
+       |        FROM documents))))
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ─── q74: TF-IDF salience — top-3 terms for every 25th doc ────────────
+  // tf over the sampled docs only (pushed-down filter), df over the FULL
+  // corpus (it must be), joined on token: both shuffles key on the token
+  // string — bounded by |vocab|, not corpus size — and the per-doc top-k
+  // is a window over tiny per-doc groups. ln() and the tf/len division are
+  // written identically on both sides so the doubles agree bit-for-bit.
+  def q74Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // corpus size as a 1-row broadcast frame (not a driver-side count):
+    // the whole query stays one lazy plan
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val df = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val sampled = toks.where(pmod(col("doc_id"), lit(25)) === 0)
+    val tf = sampled.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val len = sampled.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(len, "doc_id").join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf").cast("double") / col("len")) *
+          log(col("n_docs") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("tfidf"),
+              col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val q74Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |df AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE doc_id % 25 = 0 GROUP BY doc_id, token),
+       |len AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+       |  FROM toks WHERE doc_id % 25 = 0 GROUP BY doc_id),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    (CAST(tf AS DOUBLE) / len) * ln(n_docs / df) AS tfidf
+       |  FROM tf JOIN len ON tf.doc_id = len.doc_id
+       |         JOIN df ON tf.token = df.token
+       |         CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, token, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tfidf DESC, token) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, token, round(tfidf, 6) AS tfidf, rnk
+       |FROM ranked WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // ─── q75: overlapping token-window chunking ───────────────────────────
+  // size=32, overlap=8 (stride 24): chunk i covers tokens
+  // [24i+1, 24i+32]; n_chunks = 1 + ceil((n-32)/24) for n > 32. Chunks are
+  // materialized as (doc_id, chunk_id, n_toks, sha256(joined tokens)) —
+  // the hash pins EXACT chunk content cross-engine without shipping text.
+  // One projection + one explode; no shuffle until the final sort.
+  private val ChunkSize = 32
+  private val Stride = 24 // ChunkSize - overlap(8)
+
+  def q75Chunk(s: SparkSession, d: String): DataFrame = {
+    val n = size(col("toks"))
+    val nChunks = when(n <= ChunkSize, lit(1))
+      .otherwise(floor((n - lit(ChunkSize - Stride + 1)).cast("double") / Stride)
+        .cast("int") + 1)
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("toks"), i * Stride + lit(1), lit(ChunkSize)))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        size(col("col")).as("n_toks"),
+        sha2(concat_ws(" ", col("col")), 256).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q75Sql: String = {
+    val cs = ChunkSize; val st = Stride
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |counted AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $cs THEN 1
+       |         ELSE CAST(floor(CAST(len(toks) - ${cs - st + 1} AS DOUBLE)
+       |                         / $st) AS INT) + 1 END AS n_chunks
+       |  FROM t),
+       |exploded AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+       |  FROM counted)
+       |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |  CAST(len(list_slice(toks, chunk_id * $st + 1,
+       |                      chunk_id * $st + $cs)) AS INT) AS n_toks,
+       |  sha256(array_to_string(
+       |    list_slice(toks, chunk_id * $st + 1, chunk_id * $st + $cs), ' '))
+       |    AS chunk_hash
+       |FROM exploded
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // ─── q76: sequence packing (concat-and-chunk dataloader prep) ─────────
+  // Docs stream per language shard in doc_id order; pack_id = which
+  // C=1024-token bin the doc STARTS in, from a running prefix sum — the
+  // deterministic "concatenate then cut" packing LLM dataloaders use.
+  // One window scan per shard (partitionBy lang keeps shards parallel;
+  // a 100 TB corpus packs per file-shard the same way), one tiny census
+  // aggregation after.
+  private val PackCap = 1024
+
+  def q76SeqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n")).cast("double") / PackCap).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val q76Sql: String =
+    s"""SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT lang, doc_id, n,
+       |    CAST(floor(CAST(cum - n AS DOUBLE) / $PackCap) AS BIGINT) AS pack_id
+       |  FROM (
+       |    SELECT lang, doc_id, n,
+       |      sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+       |                   ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM (SELECT lang, doc_id,
+       |            CAST(len($tokensSql) AS BIGINT) AS n
+       |          FROM documents)))
+       |GROUP BY lang, pack_id
+       |ORDER BY lang, pack_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_hash_split"  -> (q72HashSplit _),
+    "q73_pii_scrub"   -> (q73PiiScrub _),
+    "q74_tfidf"       -> (q74Tfidf _),
+    "q75_chunking"    -> (q75Chunk _),
+    "q76_seq_packing" -> (q76SeqPack _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q72_hash_split"  -> q72Sql,
+    "q73_pii_scrub"   -> q73Sql,
+    "q74_tfidf"       -> q74Sql,
+    "q75_chunking"    -> q75Sql,
+    "q76_seq_packing" -> q76Sql)
+}

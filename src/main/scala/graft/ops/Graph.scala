@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-CLUSTER resolution — the step between near-dup PAIR detection
+  * (q45/q47/q68 emit edges) and an actually-deduplicated corpus (keep ONE
+  * document per connected component of the similarity graph).
+  *
+  * The reference dedups row-at-a-time against PostgreSQL unique constraints
+  * (course_catalog.py:65–87 get_or_insert; user_course_activity.py:73–102
+  * ON CONFLICT) — transitive duplicate chains never arise there because
+  * equality is exact. A similarity graph is different: a≈b and b≈c does NOT
+  * imply the detector emitted a≈c, so keeping "one doc per detected pair"
+  * over-deletes or under-deletes. The correct semantics is one keeper per
+  * CONNECTED COMPONENT.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+  * DataFrame self-joins:
+  *  - each round is two groupBy(min)+join rounds over the edge list — no
+  *    adjacency lists are ever collected (no collect_set), so a 10^9-edge
+  *    graph shuffles fixed-width (long, long) rows only;
+  *  - convergence is O(log^2 n) rounds on ANY graph shape — in particular
+  *    on long CHAINS, where naive min-label propagation needs O(diameter)
+  *    rounds (a 10^6-long chain of near-dup generations would need 10^6
+  *    shuffles propagated one hop at a time; GraphSpec proves the round
+  *    bound on a planted path);
+  *  - the fixpoint is a star forest: every node points directly at its
+  *    component minimum, which is exactly the "keeper id" a dedup pipeline
+  *    wants (first-writer-wins, same rule as q41/O12).
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges two numeric columns `src`, `dst` (self-loops and
+    *              duplicate/reversed edges tolerated)
+    * @return (node, component) for every node incident to >= 1 edge;
+    *         component = min node id of the component. Callers union in
+    *         their singleton universe (see q71).
+    *
+    * Scale notes: every intermediate frame is `(u: long, v: long)` and
+    * every shuffle keys on one of them. The per-round `distinct()` is what
+    * keeps the edge set from exploding on dense components (a clique
+    * collapses to a star after one large-star + small-star round). The
+    * convergence check is an edge-set fixpoint test (two anti-join counts);
+    * at cluster scale you would swap it for a `longAccumulator` of changed
+    * rows inside the star steps — same plan shape, one less job — but the
+    * fixpoint test is exact and the honest form for an oracle-checked op.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 25): DataFrame = {
+    val canon = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+              least(col("a"), col("b")).as("v"))
+      .distinct()
+
+    // large-star: every node u connects its STRICTLY LARGER neighbors to
+    // m = min(N(u) ∪ {u}). Grouping runs over the bidirected list so both
+    // endpoints act as the center once per round.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      bidir.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))  // u > v by construction
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: every node u connects its SMALLER-OR-EQUAL neighborhood
+    // (and itself) to m = min of that set. Edges arrive canonical (u > v),
+    // so the group's neighbors are exactly the smaller ones.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Iterative plans MUST truncate lineage each round: round k's frame
+    // built on round k-1's PLAN contains two self-joins of it, so the
+    // logical plan grows exponentially with rounds (observed: explain-
+    // string OOM at ~7 rounds). localCheckpoint materializes the round's
+    // edge set and restarts the plan from the stored blocks — the same
+    // move every iterative-graph framework on Spark makes. On a cluster
+    // with executor loss concerns you'd use reliable `checkpoint` to a
+    // DFS dir instead; block release is left to the ContextCleaner (the
+    // frames are one fixed-width edge set per round).
+    var cur = canon.localCheckpoint(true)
+    var done = cur.isEmpty
+    var it = 0
+    while (!done) {
+      it += 1
+      require(it <= maxIter,
+        s"connectedComponents did not converge in $maxIter rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // fixpoint = star forest with min labels (the algorithm's terminal
+      // state); checked as exact edge-set equality, both directions.
+      done = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+    }
+    iterations = it
+    val stars = cur
+    val out = stars.select(col("u").as("node"), col("v").as("component"))
+      .union(stars.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+    out
+  }
+
+  /** Rounds taken by the last `connectedComponents` call (driver-side
+    * diagnostic for GraphSpec's convergence-bound assertion; not part of
+    * any query result).
+    */
+  @volatile private[graft] var iterations: Int = 0
+
+  // ─── q71: duplicate-cluster resolution over the similarity graph ──────
+  // Edge list = the q47 detector (consecutive-doc bigram Jaccard per
+  // language shard) thresholded at 0.05; clusters = connected components;
+  // output = every doc labeled with its cluster keeper and cluster size —
+  // `doc_id != cluster_id` IS the "drop this duplicate" predicate, and
+  // `cluster_size` the dedup audit count.
+  def q71DupClusters(s: SparkSession, d: String): DataFrame = {
+    val bigrams = when(size(col("toks")) >= 2,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                            element_at(col("toks"), i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val jac = size(array_intersect(col("bg"), col("bg_next"))).cast("double") /
+              size(array_union(col("bg"), col("bg_next"))).cast("double")
+    val toksCol: Column =
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    val edges = documents(s, d)
+      .withColumn("toks", toksCol)
+      .select(col("lang"), col("doc_id"), bigrams.as("bg"))
+      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
+      .withColumn("bg_next", lead(col("bg"), 1).over(w))
+      .where(col("doc_b").isNotNull && round(jac, 4) >= 0.05)
+      .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+
+    val comp = connectedComponents(edges, "src", "dst")
+    val sizeW = Window.partitionBy(col("cluster_id"))
+    documents(s, d).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+              coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sizeW))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: min-label reachability closure as a recursive CTE — exact for
+    * the fixture graph (a few hundred nodes); the Spark side must produce
+    * the identical per-doc labeling from the O(log^2 n) algorithm.
+    */
+  val q71Sql: String =
+    """WITH RECURSIVE bg AS (
+      |  SELECT lang, doc_id,
+      |    CASE WHEN len(toks) >= 2 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1]))
+      |    ELSE [] END AS bg
+      |  FROM (SELECT lang, doc_id,
+      |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                      x -> x <> '') AS toks
+      |        FROM documents)),
+      |paired AS (
+      |  SELECT lang, doc_id AS doc_a,
+      |    lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+      |    bg,
+      |    lead(bg) OVER (PARTITION BY lang ORDER BY doc_id) AS bg_next
+      |  FROM bg),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM paired
+      |  WHERE doc_b IS NOT NULL
+      |    AND round(CAST(len(list_intersect(bg, bg_next)) AS DOUBLE)
+      |      / (len(bg) + len(bg_next) - len(list_intersect(bg, bg_next))),
+      |      4) >= 0.05),
+      |bidir AS (
+      |  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |reach AS (
+      |  SELECT u AS node, u AS lab FROM bidir
+      |  UNION
+      |  SELECT b.v AS node, r.lab FROM reach r JOIN bidir b ON b.u = r.node),
+      |comp AS (
+      |  SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      |SELECT doc_id,
+      |  coalesce(component, doc_id) AS cluster_id,
+      |  count(*) OVER (PARTITION BY coalesce(component, doc_id))
+      |    AS cluster_size
+      |FROM documents LEFT JOIN comp ON doc_id = node
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_dup_clusters" -> (q71DupClusters _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q71_dup_clusters" -> q71Sql)
+}
