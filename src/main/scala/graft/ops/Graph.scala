@@ -104,8 +104,11 @@ object Graph {
         s"connectedComponents did not converge in $maxIter rounds")
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       // fixpoint = star forest with min labels (the algorithm's terminal
-      // state); checked as exact edge-set equality, both directions.
-      done = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // state). Both frames are distinct()ed sets, so equal cardinality
+      // plus one-sided emptiness of (next \ cur) IS set equality — one
+      // anti-join instead of two (counts on checkpointed frames are
+      // near-free).
+      done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       cur = next
     }
     iterations = it
