@@ -270,17 +270,189 @@ object Corpus {
        |GROUP BY lang, pack_id
        |ORDER BY lang, pack_id""".stripMargin
 
+  // ─── q81: deterministic stratified sampling (N per language) ──────────
+  // Top-10 docs per language shard ranked by a salted id hash: the
+  // reproducible form of stratified sampling — re-running the pipeline on
+  // a grown corpus keeps previously-sampled docs sampled unless displaced,
+  // and no RNG state is shared across executors. One window per shard.
+  def q81StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .withColumn("h",
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q81Sql: String =
+    """SELECT lang, doc_id, rk FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
+  // ─── q82: quantile length clipping (C4-style outlier filter) ──────────
+  // Per-language p05/p95 token-count bounds (exact percentiles, computed
+  // once per shard — a tiny agg), broadcast back onto the corpus to
+  // classify keep/too-short/too-long. The classic "drop the length tails"
+  // cleaning pass, with the bounds DERIVED from the corpus rather than
+  // hand-tuned.
+  def q82LengthClip(s: SparkSession, d: String): DataFrame = {
+    val counted = documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              size(tokens(col("text"))).cast("double").as("n"))
+    val bounds = counted.groupBy(col("lang"))
+      .agg(expr("percentile(n, 0.05D)").as("p05"),
+           expr("percentile(n, 0.95D)").as("p95"))
+    counted.join(broadcast(bounds), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n") >= col("p05") && col("n") <= col("p95"), 1L)
+             .otherwise(0L)).as("n_kept"),
+           sum(when(col("n") < col("p05"), 1L).otherwise(0L)).as("n_short"),
+           sum(when(col("n") > col("p95"), 1L).otherwise(0L)).as("n_long"),
+           round(first(col("p05")), 4).as("p05"),
+           round(first(col("p95")), 4).as("p95"))
+      .orderBy(col("lang"))
+  }
+
+  val q82Sql: String =
+    s"""WITH counted AS (
+       |  SELECT lang, doc_id, CAST(len($tokensSql) AS DOUBLE) AS n
+       |  FROM documents),
+       |bounds AS (
+       |  SELECT lang, quantile_cont(n, 0.05) AS p05, quantile_cont(n, 0.95) AS p95
+       |  FROM counted GROUP BY lang)
+       |SELECT counted.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n >= p05 AND n <= p95 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN n < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |  CAST(sum(CASE WHEN n > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+       |  round(first(p05), 4) AS p05,
+       |  round(first(p95), 4) AS p95
+       |FROM counted JOIN bounds ON counted.lang = bounds.lang
+       |GROUP BY counted.lang
+       |ORDER BY counted.lang""".stripMargin
+
+  // ─── q83: unigram-LM quality score (perplexity-filter shape) ──────────
+  // "Train" a unigram LM on the corpus (token → ln p(token)), score every
+  // 25th doc by mean token log-probability — the CCNet/Gopher model-based
+  // quality signal with the n=1 model the fixture can verify exactly. The
+  // LM join keys on the token string (|vocab|-bounded shuffle); corpus
+  // totals ride a 1-row broadcast.
+  def q83UnigramScore(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt")).cast("double").as("total"))
+    toks.where(pmod(col("doc_id"), lit(25)) === 0)
+      .join(freqs, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+           round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+             .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q83Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |freqs AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY token),
+       |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freqs)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+       |FROM toks JOIN freqs USING (token) CROSS JOIN total
+       |WHERE doc_id % 25 = 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ─── q84: benchmark decontamination (8-gram overlap) ──────────────────
+  // The held-out-set hygiene pass every pretraining pipeline runs: flag
+  // train docs sharing any 8-gram with the benchmark set. Fixture: bench =
+  // every 50th doc; train = the rest ∪ PLANTED leaks (bench text + a
+  // tail, new ids) that the operator must catch. The overlap join keys on
+  // md5(8-gram) — fixed-width, |distinct-shingles|-bounded — and dedups
+  // (train, bench) doc pairs before counting, so a doc sharing 40 8-grams
+  // with one bench doc counts once. No text ever shuffles.
+  def q84Decontaminate(s: SparkSession, d: String): DataFrame = {
+    def grams8(toks: Column): Column =
+      when(size(toks) >= 8,
+        array_distinct(transform(sequence(lit(1), size(toks) - 7),
+          i => md5(concat_ws(" ",
+            (0 until 8).map(o => element_at(toks, i + o)): _*)))))
+        .otherwise(array().cast("array<string>"))
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val bench = base.where(pmod(col("doc_id"), lit(50)) === 0)
+    val planted = bench.select((col("doc_id") + 300000).as("doc_id"),
+      concat(col("text"), lit(" leaked into train")).as("text"))
+    val train = base.where(pmod(col("doc_id"), lit(50)) =!= 0)
+      .unionByName(planted)
+    def shingleSet(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs),
+        explode(grams8(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => t =!= ""))).as("g"))
+    shingleSet(train, "train_id").join(shingleSet(bench, "bench_id"), "g")
+      .select(col("train_id"), col("bench_id")).distinct()
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_bench_docs"),
+           min(col("bench_id")).as("first_bench_id"))
+      .orderBy(col("train_id"))
+  }
+
+  val q84Sql: String = {
+    val cat = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
+    val grams =
+      s"""CASE WHEN len(toks) >= 8 THEN
+         |      list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |        i -> md5(concat_ws(' ', $cat))))
+         |    ELSE [] END""".stripMargin
+    s"""WITH bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |train AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text || ' leaked into train' FROM bench),
+       |tsh AS (
+       |  SELECT doc_id AS train_id, unnest(g) AS g FROM (
+       |    SELECT doc_id, $grams AS g
+       |    FROM (SELECT doc_id, $tokensSql AS toks FROM train))),
+       |bsh AS (
+       |  SELECT doc_id AS bench_id, unnest(g) AS g FROM (
+       |    SELECT doc_id, $grams AS g
+       |    FROM (SELECT doc_id, $tokensSql AS toks FROM bench)))
+       |SELECT train_id, CAST(count(*) AS BIGINT) AS n_bench_docs,
+       |  min(bench_id) AS first_bench_id
+       |FROM (SELECT DISTINCT train_id, bench_id FROM tsh JOIN bsh USING (g))
+       |GROUP BY train_id
+       |ORDER BY train_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q72_hash_split"  -> (q72HashSplit _),
-    "q73_pii_scrub"   -> (q73PiiScrub _),
-    "q74_tfidf"       -> (q74Tfidf _),
-    "q75_chunking"    -> (q75Chunk _),
-    "q76_seq_packing" -> (q76SeqPack _))
+    "q72_hash_split"        -> (q72HashSplit _),
+    "q73_pii_scrub"         -> (q73PiiScrub _),
+    "q74_tfidf"             -> (q74Tfidf _),
+    "q75_chunking"          -> (q75Chunk _),
+    "q76_seq_packing"       -> (q76SeqPack _),
+    "q81_stratified_sample" -> (q81StratifiedSample _),
+    "q82_length_clip"       -> (q82LengthClip _),
+    "q83_unigram_score"     -> (q83UnigramScore _),
+    "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
-    "q72_hash_split"  -> q72Sql,
-    "q73_pii_scrub"   -> q73Sql,
-    "q74_tfidf"       -> q74Sql,
-    "q75_chunking"    -> q75Sql,
-    "q76_seq_packing" -> q76Sql)
+    "q72_hash_split"        -> q72Sql,
+    "q73_pii_scrub"         -> q73Sql,
+    "q74_tfidf"             -> q74Sql,
+    "q75_chunking"          -> q75Sql,
+    "q76_seq_packing"       -> q76Sql,
+    "q81_stratified_sample" -> q81Sql,
+    "q82_length_clip"       -> q82Sql,
+    "q83_unigram_score"     -> q83Sql,
+    "q84_decontaminate"     -> q84Sql)
 }
