@@ -392,13 +392,22 @@ object Corpus {
     val bench = base.where(pmod(col("doc_id"), lit(50)) === 0)
     val planted = bench.select((col("doc_id") + 300000).as("doc_id"),
       concat(col("text"), lit(" leaked into train")).as("text"))
-    val train = base.where(pmod(col("doc_id"), lit(50)) =!= 0)
+    // ONE tokenization pass over train ∪ bench, CACHED: a withColumn alone
+    // does not survive CollapseProject here — the optimizer inlines the
+    // tokenizer into all 8 element_at calls of the shingle lambda (the
+    // plan showed 63 copies of split(); 30–60 s at sf0.1 vs ~1 s). The
+    // InMemoryRelation is a hard optimizer boundary, so grams8 reads the
+    // materialized array. Lifecycle: caller/harness clearCache, as q45.
+    val toksFrame = base.where(pmod(col("doc_id"), lit(50)) =!= 0)
       .unionByName(planted)
-    def shingleSet(df: DataFrame, idAs: String): DataFrame = df
-      .select(col("doc_id").as(idAs),
-        explode(grams8(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          t => t =!= ""))).as("g"))
-    shingleSet(train, "train_id").join(shingleSet(bench, "bench_id"), "g")
+      .withColumn("role", lit("train"))
+      .unionByName(bench.withColumn("role", lit("bench")))
+      .select(col("doc_id"), col("role"), tokens(col("text")).as("toks"))
+      .cache()
+    def shingleSet(role: String, idAs: String): DataFrame = toksFrame
+      .where(col("role") === role)
+      .select(col("doc_id").as(idAs), explode(grams8(col("toks"))).as("g"))
+    shingleSet("train", "train_id").join(shingleSet("bench", "bench_id"), "g")
       .select(col("train_id"), col("bench_id")).distinct()
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_bench_docs"),
