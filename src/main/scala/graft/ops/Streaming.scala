@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming surface (SURVEY.md §2.2 "Streaming").
   *
@@ -57,6 +58,8 @@ object Streaming {
     * (ts, value) pair per key: constant per-key memory at any input rate.
     */
   final case class KeyedValue(k: Long, ts: java.sql.Timestamp, v: Double)
+  final case class RunningTotal(n: Long, total: Double)
+  final case class UserTotals(k: Long, n: Long, total: Double)
   final case class LatestState(tsMillis: Long, v: Double)
 
   def latestPerKey(ds: Dataset[KeyedValue]): Dataset[KeyedValue] = {
@@ -71,6 +74,23 @@ object Streaming {
             Iterator.single(newest)
           } else Iterator.empty
         })
+  }
+
+  /** Spark 4's arbitrary-state API (`transformWithState`): per-key running
+    * event count + value total, state in a named `ValueState` backed by the
+    * RocksDB state store. Where `flatMapGroupsWithState` offers one opaque
+    * state value per key, the v2 API gives named typed state slots with
+    * per-slot TTL, timers, and an evolvable schema — the shape a 100 TB
+    * stream wants: state lives off-heap in RocksDB (no executor-heap OOM at
+    * high key cardinality), one slot update per key per micro-batch.
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (StreamingSpec sets it per-query).
+    */
+  def runningTotals(ds: Dataset[KeyedValue]): Dataset[UserTotals] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Stream-stream interval join (funnel attribution): each click joins
@@ -189,4 +209,29 @@ object Streaming {
     "q54_session_window"  -> q54Sql,
     "q67_interval_join"   -> q67Sql,
   )
+}
+
+/** The `StatefulProcessor` behind [[Streaming.runningTotals]] — top-level
+  * (it is serialized to executors) with a single named ValueState slot.
+  * TTLConfig.NONE keeps state forever, matching the batch twin; a real
+  * deployment bounds it with a TTL per slot (state expiry without timers).
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, Streaming.KeyedValue, Streaming.UserTotals] {
+  @transient private var totals: ValueState[Streaming.RunningTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[Streaming.RunningTotal]("totals",
+      Encoders.product[Streaming.RunningTotal], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[Streaming.KeyedValue],
+      timerValues: TimerValues): Iterator[Streaming.UserTotals] = {
+    val prev = Option(totals.get()).getOrElse(Streaming.RunningTotal(0L, 0.0))
+    val upd = rows.foldLeft(prev) { (acc, r) =>
+      Streaming.RunningTotal(acc.n + 1, acc.total + r.v)
+    }
+    totals.update(upd)
+    Iterator.single(Streaming.UserTotals(key, upd.n, upd.total))
+  }
 }

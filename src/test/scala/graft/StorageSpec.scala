@@ -81,6 +81,46 @@ class StorageSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // the third scale lever next to AQE skew-split and bucketing: when one
+    // join side carries a selective filter, InjectRuntimeFilter builds a
+    // bloom filter over its join keys and semi-filters the OTHER side's
+    // scan BEFORE the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the ~matching slice.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // fixture scans are far below the 10 GB production default
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      val dimDir = tmp("bloom_dim"); val factDir = tmp("bloom_fact")
+      spark.range(0, 1000)
+        .select($"id".as("k"), concat(lit("g"), pmod($"id", lit(10))).as("grp"))
+        .write.mode("overwrite").parquet(dimDir)
+      spark.range(0, 200000)
+        .select(pmod($"id", lit(1000)).as("k"), $"id".as("v"))
+        .write.mode("overwrite").parquet(factDir)
+      val dim = spark.read.parquet(dimDir).where($"grp" === "g7") // 100 of 1000 keys
+      val fact = spark.read.parquet(factDir)
+      val joined = fact.join(dim, "k")
+      val n = joined.collect().length // execute THIS queryExecution
+      assert(n === 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("partitioned layout prunes to one partition on a key predicate") {
     val dir = tmp("partitioned")
     Tables.orders(spark, sfDir)

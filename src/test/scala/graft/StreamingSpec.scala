@@ -262,6 +262,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-key totals across micro-batches " +
+       "(RocksDB state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("twstotals")
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Streaming.KeyedValue(1, ts(1), 10.0),
+        Streaming.KeyedValue(1, ts(2), 5.0),
+        Streaming.KeyedValue(2, ts(1), 1.0))
+      q.processAllAvailable()
+      in.addData(
+        Streaming.KeyedValue(1, ts(3), 2.5),
+        Streaming.KeyedValue(3, ts(3), 7.0))
+      q.processAllAvailable()
+      val out = spark.table("twstotals").as[Streaming.UserTotals].collect()
+      // latest emission per key carries the cross-batch cumulative state
+      val latest = out.groupBy(_.k).view.mapValues(_.maxBy(_.n)).toMap
+      assert(latest(1L) === Streaming.UserTotals(1L, 3L, 17.5))
+      assert(latest(2L) === Streaming.UserTotals(2L, 1L, 1.0))
+      assert(latest(3L) === Streaming.UserTotals(3L, 1L, 7.0))
+      // batch 1 emitted the intermediate totals for key 1 (n=2), proving
+      // the second batch READ state rather than recomputing from scratch
+      assert(out.exists(r => r.k == 1L && r.n == 2L && r.total == 15.0))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("batch and streaming tumbling aggregations agree on the same input") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
