@@ -146,15 +146,193 @@ object Warehouse {
       |FROM changes
       |ORDER BY user_id, valid_from, event_type""".stripMargin
 
+  // ─── q85: distribution-rank window family (ntile/percent_rank/cume_dist)
+  // Quartile assignment + distribution position per returnflag, reduced to
+  // a per-(flag, quartile) census. The window's ORDER BY carries a unique
+  // (orderkey, linenumber) tiebreak: ntile splits TIES by physical order,
+  // so without it the bucket boundaries (and the hash) are partition-
+  // layout-dependent in any engine.
+  def q85RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+           round(min(col("l_quantity")), 2).as("min_qty"),
+           round(max(col("l_quantity")), 2).as("max_qty"),
+           round(avg(col("pr")), 6).as("avg_pct_rank"),
+           round(avg(col("cd")), 6).as("avg_cume_dist"))
+      .orderBy(col("l_returnflag"), col("quartile"))
+  }
+
+  val q85Sql: String =
+    """SELECT l_returnflag, quartile, CAST(count(*) AS BIGINT) AS n,
+      |  round(min(l_quantity), 2) AS min_qty,
+      |  round(max(l_quantity), 2) AS max_qty,
+      |  round(avg(pr), 6) AS avg_pct_rank,
+      |  round(avg(cd), 6) AS avg_cume_dist
+      |FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    CAST(ntile(4) OVER w AS INT) AS quartile,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |               ORDER BY l_quantity, l_orderkey, l_linenumber))
+      |GROUP BY l_returnflag, quartile
+      |ORDER BY l_returnflag, quartile""".stripMargin
+
+  // ─── q86: fuzzy matching census (edit distance over adjacent names) ───
+  // Levenshtein distance between catalog-adjacent part names — the
+  // classic fuzzy-dedup signal for SHORT strings (titles, names; the
+  // reference's course titles are the motivating column) where
+  // shingle/MinHash methods (q45/q47) have nothing to grab. Pairing rides
+  // the same lag/lead trick as q47: one window, no self-join; O(len²)
+  // DP cost is per-PAIR and the strings are bounded, which is why edit
+  // distance stays viable at scale only on pre-paired candidates, never
+  // as a join predicate.
+  def q86EditDistance(s: SparkSession, d: String): DataFrame = {
+    // per-brand shards keep the pairing window parallel (a global
+    // orderBy window would single-partition the whole catalog)
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+    part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      .withColumn("next_name", lead(col("p_name"), 1).over(w))
+      .where(col("next_name").isNotNull)
+      .withColumn("dist", levenshtein(col("p_name"), col("next_name")))
+      .withColumn("bucket", least(col("dist"), lit(12)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           min(col("p_partkey")).as("first_pair_key"))
+      .orderBy(col("bucket"))
+  }
+
+  val q86Sql: String =
+    """SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  min(p_partkey) AS first_pair_key
+      |FROM (
+      |  SELECT p_partkey,
+      |    least(levenshtein(p_name, next_name), 12) AS bucket
+      |  FROM (
+      |    SELECT p_partkey, p_name,
+      |      lead(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey)
+      |        AS next_name
+      |    FROM part)
+      |  WHERE next_name IS NOT NULL)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ─── q87: gaps-and-islands sessionization (batch twin of q54) ─────────
+  // Session ids from 30-minute inactivity gaps: flag session starts with
+  // lag, number them with a running sum — the pure-relational form of
+  // session_window (q54), needed whenever session IDENTITY must persist
+  // (q54 emits only aggregates). Two window passes over one
+  // (user × time) sort; Spark computes both frames from a single Sort.
+  def q87Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .where(pmod(col("user_id"), lit(10)) === 0)
+      // gap in integer MICROSECONDS on both sides: a seconds cast
+      // truncates in Spark but epoch() keeps fractions in DuckDB, and a
+      // boundary-straddling gap would flip is_start between engines
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTime)))
+      .withColumn("is_start",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_start")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q87Sql: String =
+    """SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  round(sum(value), 2) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, event_id, value,
+      |    CAST(sum(is_start) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1
+      |           ELSE 0 END AS is_start
+      |    FROM (
+      |      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |        epoch_us(CAST(ts AS TIMESTAMP))
+      |          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+      |              PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |      FROM events
+      |      WHERE user_id % 10 = 0)))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ─── q88: UNPIVOT (wide measures → long form) ─────────────────────────
+  // The inverse of q78: melt the four lineitem measure columns into
+  // (flag, measure, value) rows with the relational `unpivot` operator —
+  // pre-aggregated FIRST (4 sums per flag), so the melt runs over a
+  // 3-row frame, not 600 M rows; at scale you always unpivot the
+  // aggregate, never the fact table.
+  def q88Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("quantity"),
+           round(sum(col("l_extendedprice")), 2).as("extendedprice"),
+           round(sum(col("l_discount")), 2).as("discount"),
+           round(sum(col("l_tax")), 2).as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("quantity"), col("extendedprice"),
+                     col("discount"), col("tax")),
+               "measure", "total")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q88Sql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    round(sum(l_quantity), 2) AS quantity,
+      |    round(sum(l_extendedprice), 2) AS extendedprice,
+      |    round(sum(l_discount), 2) AS discount,
+      |    round(sum(l_tax), 2) AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, total FROM (
+      |  SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM agg
+      |  UNION ALL
+      |  SELECT l_returnflag, 'extendedprice', extendedprice FROM agg
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount', discount FROM agg
+      |  UNION ALL
+      |  SELECT l_returnflag, 'tax', tax FROM agg)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_percentiles" -> (q77Percentiles _),
     "q78_pivot"       -> (q78Pivot _),
     "q79_subqueries"  -> (q79Subqueries _),
-    "q80_scd2"        -> (q80Scd2 _))
+    "q80_scd2"        -> (q80Scd2 _),
+    "q85_rank_family" -> (q85RankFamily _),
+    "q86_edit_distance" -> (q86EditDistance _),
+    "q87_sessionize"  -> (q87Sessionize _),
+    "q88_unpivot"     -> (q88Unpivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q77_percentiles" -> q77Sql,
     "q78_pivot"       -> q78Sql,
     "q79_subqueries"  -> q79Sql,
-    "q80_scd2"        -> q80Sql)
+    "q80_scd2"        -> q80Sql,
+    "q85_rank_family" -> q85Sql,
+    "q86_edit_distance" -> q86Sql,
+    "q87_sessionize"  -> q87Sql,
+    "q88_unpivot"     -> q88Sql)
 }
