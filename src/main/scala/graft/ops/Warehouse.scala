@@ -152,6 +152,13 @@ object Warehouse {
   // (orderkey, linenumber) tiebreak: ntile splits TIES by physical order,
   // so without it the bucket boundaries (and the hash) are partition-
   // layout-dependent in any engine.
+  //
+  // Scale caveat (honest): exact per-group distribution ranks need a
+  // per-group TOTAL ORDER — parallelism = |groups| (3 here), so a 100 TB
+  // run sorts ~33 TB per task. At that scale you either range-partition
+  // the per-group sort (global-sort machinery) or take the sketch path
+  // (approx_percentile — the q28/q77 trade); this operator is the exact
+  // small-group form.
   def q85RankFamily(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
@@ -316,7 +323,72 @@ object Warehouse {
       |  SELECT l_returnflag, 'tax', tax FROM agg)
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ─── q89: constraint audit (the DDL contract as a distributed check) ──
+  // The reference encodes integrity in PostgreSQL DDL — PRIMARY KEY
+  // (course_catalog_database.sql:24 et al.), the composite UNIQUE
+  // (user_course_activity_database.sql:22), NOT NULL — and lets the DB
+  // reject violations row-at-a-time. A warehouse ingesting at bulk speed
+  // audits instead: one pass per constraint class, violations as DATA.
+  // Fixture plants 2 duplicate-key/orphan-FK rows the audit must count.
+  // Shapes: PK audit = count-minus-distinct (two aggs, no self-join);
+  // FK audit = left-anti against the broadcast dimension; null audit =
+  // conditional count. All shuffle fixed-width keys only.
+  def q89ConstraintAudit(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val planted = o.orderBy(col("o_orderkey")).limit(2)
+      .withColumn("o_custkey", lit(-1L))
+    val audited = o.unionByName(planted)
+    val pk = audited.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+      .withColumn("check_name", lit("orders_pk_duplicates"))
+    val fk = audited
+      .join(broadcast(customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(audited.agg(count(lit(1)).as("n_checked")))
+      .withColumn("check_name", lit("orders_custkey_fk_orphans"))
+    val nn = customer(s, d).agg(
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+      .withColumn("check_name", lit("customer_name_nulls"))
+    pk.unionByName(fk).unionByName(nn)
+      .select(col("check_name"), col("n_violations").cast("long"),
+              col("n_checked"))
+      .orderBy(col("check_name"))
+  }
+
+  val q89Sql: String =
+    """WITH audited AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, -1 AS o_custkey
+      |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2)),
+      |pk AS (
+      |  SELECT 'orders_pk_duplicates' AS check_name,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |      AS n_violations,
+      |    CAST(count(*) AS BIGINT) AS n_checked
+      |  FROM audited),
+      |fk AS (
+      |  SELECT 'orders_custkey_fk_orphans' AS check_name,
+      |    CAST((SELECT count(*) FROM audited
+      |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |      AS BIGINT) AS n_violations,
+      |    CAST((SELECT count(*) FROM audited) AS BIGINT) AS n_checked),
+      |nn AS (
+      |  SELECT 'customer_name_nulls' AS check_name,
+      |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violations,
+      |    CAST(count(*) AS BIGINT) AS n_checked
+      |  FROM customer)
+      |SELECT check_name, n_violations, n_checked FROM pk
+      |UNION ALL SELECT check_name, n_violations, n_checked FROM fk
+      |UNION ALL SELECT check_name, n_violations, n_checked FROM nn
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_constraint_audit" -> (q89ConstraintAudit _),
     "q77_percentiles" -> (q77Percentiles _),
     "q78_pivot"       -> (q78Pivot _),
     "q79_subqueries"  -> (q79Subqueries _),
@@ -327,6 +399,7 @@ object Warehouse {
     "q88_unpivot"     -> (q88Unpivot _))
 
   val oracleSql: Map[String, String] = Map(
+    "q89_constraint_audit" -> q89Sql,
     "q77_percentiles" -> q77Sql,
     "q78_pivot"       -> q78Sql,
     "q79_subqueries"  -> q79Sql,
