@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the corpus-prep operators that the row-hash
+  * oracle cannot express: chunk reconstruction, split stability under
+  * corpus growth, scrub idempotence, and decontamination recall.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking reconstructs every document (coverage + overlap contract)") {
+    // stride=24, size=32: chunk i starts at token 24i+1; consecutive
+    // chunks overlap by 8 tokens; the union of chunks covers exactly
+    // [1, n]. Verified against the raw token arrays, not the hashes.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val chunks = Corpus.q75Chunk(spark, sfDir)
+      .select($"doc_id", $"chunk_id", $"n_toks")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet === docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val cs = chunks(id)
+      val n = toks.length
+      // chunk starts advance by the stride; every token index is covered
+      val covered = cs.flatMap { case (_, cid, len) =>
+        (cid * 24 + 1) to (cid * 24 + len) }.toSet
+      val expected = if (n == 0) Set(0) -- Set(0) else (1 to n).toSet
+      assert(covered === expected, s"doc $id coverage hole (n=$n, cs=$cs)")
+      // every chunk except possibly the last is full-size
+      cs.init.foreach { case (_, cid, len) =>
+        assert(len === 32, s"doc $id chunk $cid not full") }
+    }
+  }
+
+  test("hash split is stable under corpus growth and ~80/10/10") {
+    // assignment depends only on doc_id: the same id gets the same split
+    // at every scale factor (the property rand()-based splits lack).
+    def assign(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2)
+          .as("h"))
+      .withColumn("split", when($"h" < "cc", "train")
+        .when($"h" < "e6", "val").otherwise("test"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val small = assign("/root/testdata/sf0.001")
+    val big = assign("/root/testdata/sf0.01")
+    val common = small.keySet.intersect(big.keySet)
+    assert(common.nonEmpty, "fixture SFs share no doc ids — property vacuous")
+    common.foreach(id => assert(small(id) === big(id),
+      s"doc $id changed split when the corpus grew"))
+    // proportions near 204/26/26 of 256 (binomial tolerance at n=500)
+    val n = big.size.toDouble
+    val frac = big.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.797) < 0.06, s"train frac $frac")
+    assert(math.abs(frac("val") - 0.102) < 0.05, s"val frac $frac")
+    assert(math.abs(frac("test") - 0.102) < 0.05, s"test frac $frac")
+  }
+
+  test("PII scrub is idempotent and leaves no matches behind") {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\d{3}-\\d{3}-\\d{4}"
+    val planted = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat($"text", lit(" reach me at first.last+tag@sub.example.co.uk"),
+        lit(" or 555-123-4567 x"), $"doc_id".cast("string")).as("t"))
+    val once = planted.select(
+      regexp_replace(regexp_replace($"t", emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>").as("s"))
+    // nothing left to match…
+    val residue = once.where(
+      size(regexp_extract_all($"s", lit(emailPat), lit(0))) > 0 ||
+      size(regexp_extract_all($"s", lit(phonePat), lit(0))) > 0).count()
+    assert(residue === 0, "scrubbed text still matches a PII pattern")
+    // …so a second pass is the identity
+    val twice = once.select(
+      regexp_replace(regexp_replace($"s", emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>").as("s2"), $"s")
+    assert(twice.where($"s2" =!= $"s").count() === 0)
+  }
+
+  test("decontamination catches every planted leak") {
+    val out = Corpus.q84Decontaminate(spark, sfDir)
+      .select($"train_id", $"first_bench_id").as[(Long, Long)].collect()
+    val benchIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(pmod($"doc_id", lit(50)) === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    // every planted leak (bench_id + 300000) must be flagged, and its
+    // strongest match must be its own source document
+    benchIds.foreach { b =>
+      val hit = out.find(_._1 == b + 300000)
+      assert(hit.isDefined, s"planted leak of bench doc $b not flagged")
+    }
+    // flagged leaks really share their source: first_bench_id ≤ source
+    out.filter(_._1 >= 300000).foreach { case (t, fb) =>
+      assert(benchIds.contains(fb), s"leak $t matched non-bench doc $fb")
+    }
+  }
+}
