@@ -443,7 +443,108 @@ object Corpus {
        |ORDER BY train_id""".stripMargin
   }
 
+  // ─── q90: the whole training-data pipeline as one funnel ──────────────
+  // What a user of this engine actually runs, end to end: duplicate-
+  // CLUSTER resolution (keep one doc per connected component of the
+  // similarity graph — q71) → corpus-derived quality clipping (q82) →
+  // deterministic split assignment (q72) → sequence packing of the train
+  // split (q76). Output = per-(stage, lang) funnel counts, so one frame
+  // audits what every stage dropped. Each stage's shuffle keys stay
+  // fixed-width (ids, langs, tokens counts); document text never leaves
+  // stage one.
+  def q90PipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("double").as("n_toks"))
+    val keepers = base
+      .join(graft.ops.Graph.dupClusterLabels(s, d), "doc_id")
+      .where(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("lang"), col("n_toks"))
+    val bounds = keepers.groupBy(col("lang"))
+      .agg(expr("percentile(n_toks, 0.05D)").as("p05"),
+           expr("percentile(n_toks, 0.95D)").as("p95"))
+    val quality = keepers.join(broadcast(bounds), "lang")
+      .where(col("n_toks") >= col("p05") && col("n_toks") <= col("p95"))
+      .select(col("doc_id"), col("lang"), col("n_toks"))
+    val split = quality
+      .withColumn("h",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split", when(col("h") < "cc", "train")
+        .when(col("h") < "e6", "val").otherwise("test"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packs = split.where(col("split") === "train")
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_toks")) / PackCap).cast("long"))
+    def census(df: DataFrame, stage: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("stage", lit(stage))
+    census(base, "1_input")
+      .unionByName(census(keepers, "2_keeper"))
+      .unionByName(census(quality, "3_quality"))
+      .unionByName(split.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("stage", concat(lit("4_split_"), col("split")))
+        .drop("split"))
+      .unionByName(packs.groupBy(col("lang"))
+        .agg(countDistinct(col("pack_id")).as("n"))
+        .withColumn("stage", lit("5_train_packs")))
+      .select(col("stage"), col("lang"), col("n"))
+      .orderBy(col("stage"), col("lang"))
+  }
+
+  val q90Sql: String =
+    s"""WITH RECURSIVE ${graft.ops.Graph.ccLabelCtes},
+       |base AS (
+       |  SELECT doc_id, lang, CAST(len($tokensSql) AS DOUBLE) AS n_toks
+       |  FROM documents),
+       |keepers AS (
+       |  SELECT base.doc_id, lang, n_toks
+       |  FROM base JOIN labels USING (doc_id)
+       |  WHERE doc_id = cluster_id),
+       |bounds AS (
+       |  SELECT lang, quantile_cont(n_toks, 0.05) AS p05,
+       |         quantile_cont(n_toks, 0.95) AS p95
+       |  FROM keepers GROUP BY lang),
+       |quality AS (
+       |  SELECT doc_id, keepers.lang, n_toks
+       |  FROM keepers JOIN bounds USING (lang)
+       |  WHERE n_toks >= p05 AND n_toks <= p95),
+       |split AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    CASE WHEN h < 'cc' THEN 'train'
+       |         WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |          substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+       |        FROM quality)),
+       |packs AS (
+       |  SELECT lang,
+       |    CAST(floor((cum - n_toks) / $PackCap) AS BIGINT) AS pack_id
+       |  FROM (
+       |    SELECT lang, n_toks,
+       |      sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |    FROM split WHERE split = 'train'))
+       |SELECT stage, lang, n FROM (
+       |  SELECT '1_input' AS stage, lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM base GROUP BY lang
+       |  UNION ALL
+       |  SELECT '2_keeper', lang, CAST(count(*) AS BIGINT)
+       |  FROM keepers GROUP BY lang
+       |  UNION ALL
+       |  SELECT '3_quality', lang, CAST(count(*) AS BIGINT)
+       |  FROM quality GROUP BY lang
+       |  UNION ALL
+       |  SELECT '4_split_' || split, lang, CAST(count(*) AS BIGINT)
+       |  FROM split GROUP BY split, lang
+       |  UNION ALL
+       |  SELECT '5_train_packs', lang, CAST(count(DISTINCT pack_id) AS BIGINT)
+       |  FROM packs GROUP BY lang)
+       |ORDER BY stage, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_pipeline_funnel"   -> (q90PipelineFunnel _),
     "q72_hash_split"        -> (q72HashSplit _),
     "q73_pii_scrub"         -> (q73PiiScrub _),
     "q74_tfidf"             -> (q74Tfidf _),
@@ -455,6 +556,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q90_pipeline_funnel"   -> q90Sql,
     "q72_hash_split"        -> q72Sql,
     "q73_pii_scrub"         -> q73Sql,
     "q74_tfidf"             -> q74Sql,

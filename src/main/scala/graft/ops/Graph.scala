@@ -131,7 +131,10 @@ object Graph {
   // output = every doc labeled with its cluster keeper and cluster size —
   // `doc_id != cluster_id` IS the "drop this duplicate" predicate, and
   // `cluster_size` the dedup audit count.
-  def q71DupClusters(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, cluster_id) for EVERY doc (singletons label themselves) —
+    * the label frame q71 reports and q90's funnel consumes.
+    */
+  def dupClusterLabels(s: SparkSession, d: String): DataFrame = {
     val bigrams = when(size(col("toks")) >= 2,
       array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
         i => concat_ws(" ", element_at(col("toks"), i),
@@ -151,11 +154,15 @@ object Graph {
       .select(col("doc_id").as("src"), col("doc_b").as("dst"))
 
     val comp = connectedComponents(edges, "src", "dst")
-    val sizeW = Window.partitionBy(col("cluster_id"))
     documents(s, d).select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
               coalesce(col("component"), col("doc_id")).as("cluster_id"))
+  }
+
+  def q71DupClusters(s: SparkSession, d: String): DataFrame = {
+    val sizeW = Window.partitionBy(col("cluster_id"))
+    dupClusterLabels(s, d)
       .withColumn("cluster_size", count(lit(1)).over(sizeW))
       .orderBy(col("doc_id"))
   }
@@ -164,8 +171,11 @@ object Graph {
     * the fixture graph (a few hundred nodes); the Spark side must produce
     * the identical per-doc labeling from the O(log^2 n) algorithm.
     */
-  val q71Sql: String =
-    """WITH RECURSIVE bg AS (
+  /** The CC labeling as a reusable CTE chain (must follow WITH RECURSIVE):
+    * ends with `labels(doc_id, cluster_id)` over every doc.
+    */
+  val ccLabelCtes: String =
+    """bg AS (
       |  SELECT lang, doc_id,
       |    CASE WHEN len(toks) >= 2 THEN
       |      list_distinct(list_transform(generate_series(1, len(toks) - 1),
@@ -194,13 +204,17 @@ object Graph {
       |  UNION
       |  SELECT b.v AS node, r.lab FROM reach r JOIN bidir b ON b.u = r.node),
       |comp AS (
-      |  SELECT node, min(lab) AS component FROM reach GROUP BY node)
-      |SELECT doc_id,
-      |  coalesce(component, doc_id) AS cluster_id,
-      |  count(*) OVER (PARTITION BY coalesce(component, doc_id))
-      |    AS cluster_size
-      |FROM documents LEFT JOIN comp ON doc_id = node
-      |ORDER BY doc_id""".stripMargin
+      |  SELECT node, min(lab) AS component FROM reach GROUP BY node),
+      |labels AS (
+      |  SELECT doc_id, coalesce(component, doc_id) AS cluster_id
+      |  FROM documents LEFT JOIN comp ON doc_id = node)""".stripMargin
+
+  val q71Sql: String =
+    s"""WITH RECURSIVE $ccLabelCtes
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM labels
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_dup_clusters" -> (q71DupClusters _))
