@@ -390,6 +390,11 @@ object Corpus {
         .otherwise(array().cast("array<string>"))
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val bench = base.where(pmod(col("doc_id"), lit(50)) === 0)
+    // planted-leak ids live at +300000 — FIXTURE invariant: testdata doc
+    // ids top out orders of magnitude below that at every SF. A general-
+    // purpose caller would derive the offset from max(doc_id) (or a
+    // disjoint negative range); here the fixed offset keeps the oracle
+    // SQL literal.
     val planted = bench.select((col("doc_id") + 300000).as("doc_id"),
       concat(col("text"), lit(" leaked into train")).as("text"))
     // ONE tokenization pass over train ∪ bench, CACHED: a withColumn alone

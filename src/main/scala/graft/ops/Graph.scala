@@ -150,7 +150,14 @@ object Graph {
       .select(col("lang"), col("doc_id"), bigrams.as("bg"))
       .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
       .withColumn("bg_next", lead(col("bg"), 1).over(w))
-      .where(col("doc_b").isNotNull && round(jac, 4) >= 0.05)
+      // the union-size guard matters: two adjacent bigram-less docs give
+      // jac = 0/0 = NaN, and Spark orders NaN ABOVE every number, so an
+      // unguarded >= threshold would emit a bogus edge (and silently drop
+      // a doc at q90's keeper stage); DuckDB yields NULL there — a
+      // cross-engine divergence, not just a wrong edge.
+      .where(col("doc_b").isNotNull &&
+             size(array_union(col("bg"), col("bg_next"))) > 0 &&
+             round(jac, 4) >= 0.05)
       .select(col("doc_id").as("src"), col("doc_b").as("dst"))
 
     val comp = connectedComponents(edges, "src", "dst")
@@ -194,6 +201,7 @@ object Graph {
       |edges AS (
       |  SELECT doc_a AS u, doc_b AS v FROM paired
       |  WHERE doc_b IS NOT NULL
+      |    AND len(bg) + len(bg_next) - len(list_intersect(bg, bg_next)) > 0
       |    AND round(CAST(len(list_intersect(bg, bg_next)) AS DOUBLE)
       |      / (len(bg) + len(bg_next) - len(list_intersect(bg, bg_next))),
       |      4) >= 0.05),

@@ -84,27 +84,35 @@ object Warehouse {
   // RewritePredicateSubquery — EXISTS becomes a left-semi, NOT EXISTS a
   // left-anti, the scalar an aggregated broadcast join), so the executed
   // plan is the q04/q08 shape, never a per-row re-execution.
-  private val q79Text =
-    """SELECT c_custkey, c_name, c_acctbal
-      |FROM customer c
-      |WHERE EXISTS (
-      |    SELECT 1 FROM orders o
-      |    WHERE o.o_custkey = c.c_custkey
-      |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
-      |  AND NOT EXISTS (
-      |    SELECT 1 FROM orders o2
-      |    WHERE o2.o_custkey = c.c_custkey
-      |      AND o2.o_orderpriority = '1-URGENT')
-      |ORDER BY c_custkey
-      |LIMIT 50""".stripMargin
+  private def q79Text(cust: String, ord: String) =
+    s"""SELECT c_custkey, c_name, c_acctbal
+       |FROM $cust c
+       |WHERE EXISTS (
+       |    SELECT 1 FROM $ord o
+       |    WHERE o.o_custkey = c.c_custkey
+       |      AND o.o_totalprice > (SELECT avg(o_totalprice) FROM $ord))
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM $ord o2
+       |    WHERE o2.o_custkey = c.c_custkey
+       |      AND o2.o_orderpriority = '1-URGENT')
+       |ORDER BY c_custkey
+       |LIMIT 50""".stripMargin
 
   def q79Subqueries(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("customer")
-    orders(s, d).createOrReplaceTempView("orders")
-    s.sql(q79Text)
+    // prefixed view names: plain "customer"/"orders" would clobber any
+    // same-named temp view the session already holds (and leak ours). The
+    // views are dropped right after spark.sql() — analysis resolved them
+    // into the plan eagerly, so the returned frame doesn't need them.
+    customer(s, d).createOrReplaceTempView("graft_q79_customer")
+    orders(s, d).createOrReplaceTempView("graft_q79_orders")
+    try s.sql(q79Text("graft_q79_customer", "graft_q79_orders"))
+    finally {
+      s.catalog.dropTempView("graft_q79_customer")
+      s.catalog.dropTempView("graft_q79_orders")
+    }
   }
 
-  val q79Sql: String = q79Text // ANSI — runs verbatim in DuckDB
+  val q79Sql: String = q79Text("customer", "orders") // same text, DuckDB names
 
   // ─── q80: SCD type-2 history from an event stream ─────────────────────
   // Collapse each user's event-type timeline into validity ranges
@@ -129,14 +137,21 @@ object Warehouse {
   }
 
   val q80Sql: String =
-    """WITH changes AS (
+    """WITH cast_events AS (
+      |  -- cast BEFORE any window: an ORDER BY ts in the same scope binds
+      |  -- to the raw nanosecond column in DuckDB but Spark reads the
+      |  -- microsecond-truncated ts, so same-microsecond events could
+      |  -- order differently between engines
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events
+      |  WHERE user_id % 20 = 0),
+      |changes AS (
       |  SELECT user_id, event_type, ts, event_id
       |  FROM (
-      |    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    SELECT user_id, event_type, ts, event_id,
       |      lag(event_type) OVER (PARTITION BY user_id
       |                            ORDER BY ts, event_id) AS prev_type
-      |    FROM events
-      |    WHERE user_id % 20 = 0)
+      |    FROM cast_events)
       |  WHERE prev_type IS NULL OR prev_type <> event_type)
       |SELECT user_id, event_type, ts AS valid_from,
       |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -170,8 +185,11 @@ object Warehouse {
       .agg(count(lit(1)).as("n"),
            round(min(col("l_quantity")), 2).as("min_qty"),
            round(max(col("l_quantity")), 2).as("max_qty"),
-           round(avg(col("pr")), 6).as("avg_pct_rank"),
-           round(avg(col("cd")), 6).as("avg_cume_dist"))
+           // round(,4) like every averaged double in the repo: partial-agg
+           // merge order wobbles the unrounded sum at ~1e-12, and 6 digits
+           // sits close enough to that noise floor to flip a boundary
+           round(avg(col("pr")), 4).as("avg_pct_rank"),
+           round(avg(col("cd")), 4).as("avg_cume_dist"))
       .orderBy(col("l_returnflag"), col("quartile"))
   }
 
@@ -179,8 +197,8 @@ object Warehouse {
     """SELECT l_returnflag, quartile, CAST(count(*) AS BIGINT) AS n,
       |  round(min(l_quantity), 2) AS min_qty,
       |  round(max(l_quantity), 2) AS max_qty,
-      |  round(avg(pr), 6) AS avg_pct_rank,
-      |  round(avg(cd), 6) AS avg_cume_dist
+      |  round(avg(pr), 4) AS avg_pct_rank,
+      |  round(avg(cd), 4) AS avg_cume_dist
       |FROM (
       |  SELECT l_returnflag, l_quantity,
       |    CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -277,12 +295,15 @@ object Warehouse {
       |      CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1
       |           ELSE 0 END AS is_start
       |    FROM (
-      |      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
-      |        epoch_us(CAST(ts AS TIMESTAMP))
-      |          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
-      |              PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
-      |      FROM events
-      |      WHERE user_id % 10 = 0)))
+      |      SELECT user_id, ts, event_id, value,
+      |        epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |      FROM (
+      |        -- cast in its own scope so ORDER BY ts binds to the
+      |        -- microsecond alias (see q80's cast_events note)
+      |        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |        FROM events
+      |        WHERE user_id % 10 = 0))))
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 

@@ -141,21 +141,50 @@ object JdbcSink {
     val esc = Option(md.getSearchStringEscape).getOrElse("\\")
     def asPattern(s: String) = // _/% are wildcards in metadata patterns
       s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-    def lookup(name: String): Option[(String, Map[String, String])] = {
-      val rs = md.getColumns(null, null, asPattern(name), "%")
+    def variants(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
+    // schema pattern: the caller's qualifier (case variants) when the name
+    // is qualified; the CONNECTION's current schema when not — an
+    // unconstrained (null) pattern would match same-named tables in every
+    // schema and mix their column spellings.
+    val schemaPats: Seq[Option[String]] = segs match {
+      case Array(_)    =>
+        val cur = try Option(conn.getSchema) catch { case _: Throwable => None }
+        Seq(cur) // None => unconstrained, the pre-resolution behavior
+      case Array(s, _) => variants(s).map(Some(_))
+      case _           => Seq.empty // catalog.schema.table: fall back raw
+    }
+    // (schema, table) stored spelling of the FIRST matched table only
+    def lookup(schemaPat: Option[String], namePat: String)
+        : Option[(Option[String], String, Map[String, String])] = {
+      val rs = md.getColumns(null, schemaPat.map(asPattern).orNull,
+        asPattern(namePat), "%")
+      var schem: String = null
       var tbl: String = null
       val stored = scala.collection.mutable.ListBuffer[String]()
-      while (rs.next()) { tbl = rs.getString("TABLE_NAME"); stored += rs.getString("COLUMN_NAME") }
+      while (rs.next()) {
+        val s0 = rs.getString("TABLE_SCHEM"); val t0 = rs.getString("TABLE_NAME")
+        if (tbl == null) { schem = s0; tbl = t0 }
+        if (tbl == t0 && schem == s0) stored += rs.getString("COLUMN_NAME")
+      }
       rs.close()
       if (tbl == null) None
-      else Some((tbl, requested.flatMap(r =>
+      else Some((Option(schem), tbl, requested.flatMap(r =>
         stored.find(_.equalsIgnoreCase(r)).map(r -> _)).toMap))
     }
-    Seq(segs.last, segs.last.toUpperCase, segs.last.toLowerCase).distinct
-      .flatMap(lookup).headOption match {
-      case Some((storedTable, storedCols)) =>
-        val qualifier = segs.init.map(quote)
-        ((qualifier :+ quote(storedTable)).mkString("."),
+    val hits = for {
+      sp <- schemaPats.iterator
+      tp <- variants(segs.last).iterator
+      hit <- lookup(sp, tp).iterator // lazy: stops at the first hit
+    } yield hit
+    hits.nextOption() match {
+      case Some((storedSchema, storedTable, storedCols)) =>
+        val qualified =
+          if (segs.length == 2)
+            // quote the STORED schema spelling (resolving "app" → APP on
+            // an upper-folding DB), not the caller's raw text
+            Seq(quote(storedSchema.getOrElse(segs.head)), quote(storedTable))
+          else Seq(quote(storedTable))
+        (qualified.mkString("."),
          requested.map(r => r -> quote(storedCols.getOrElse(r, r))).toMap)
       case None => (table, requested.map(r => r -> r).toMap)
     }
@@ -182,21 +211,27 @@ object JdbcSink {
       case _: DecimalType => java.sql.Types.DECIMAL
       case _ => java.sql.Types.VARCHAR
     })).toMap
+    // identifier resolution runs ONCE, on the driver: the quote string and
+    // stored spellings are per-database, not per-connection, so paying N
+    // catalog round-trips per partition would buy nothing. The resolved
+    // statement TEXT (plain strings) ships to executors.
+    val (updateSql, insertSql) = {
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val (qTable, qCol) = quotedIdentifiers(conn, table, cols)
+        (s"UPDATE $qTable SET ${nonKey.map(c => s"${qCol(c)} = ?").mkString(", ")} " +
+           s"WHERE ${keys.map(k => s"${qCol(k)} = ?").mkString(" AND ")}",
+         s"INSERT INTO $qTable (${cols.map(qCol).mkString(", ")}) " +
+           s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+      } finally conn.close()
+    }
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         Class.forName(driver)
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          // statement text is built per partition, against THIS
-          // connection's quoting rules and the table's stored spelling
-          val (qTable, qCol) = quotedIdentifiers(conn, table, cols)
-          val updateSql =
-            s"UPDATE $qTable SET ${nonKey.map(c => s"${qCol(c)} = ?").mkString(", ")} " +
-            s"WHERE ${keys.map(k => s"${qCol(k)} = ?").mkString(" AND ")}"
-          val insertSql =
-            s"INSERT INTO $qTable (${cols.map(qCol).mkString(", ")}) " +
-            s"VALUES (${cols.map(_ => "?").mkString(", ")})"
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
           def bind(st: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
