@@ -548,7 +548,53 @@ object Corpus {
        |  FROM packs GROUP BY lang)
        |ORDER BY stage, lang""".stripMargin
 
+  // ─── q91: domain mixing (quota sampling to a target corpus mix) ───────
+  // Pretraining corpora are REWEIGHTED across domains (languages here) to
+  // a target mix, not taken as-found. Deterministic quota sampling: rank
+  // docs within each domain by a salted id hash, keep the first `quota`.
+  // Same growth-stability property as q72/q81 (a kept doc stays kept
+  // until displaced by hash rank, never by arrival order), one window per
+  // shard + a broadcast quota join. Down-sampling only — up-weighting is
+  // the dataloader's job (epoch repetition), not the corpus builder's.
+  private val MixQuotas: Seq[(String, Int)] =
+    Seq("en" -> 60, "de" -> 40, "es" -> 30, "fr" -> 20, "zh" -> 10)
+
+  def q91DomainMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val quotas = MixQuotas.toDF("lang", "quota")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .withColumn("h",
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), "lang")
+      .groupBy(col("lang"), col("quota"))
+      .agg(count(lit(1)).as("n_available"),
+           sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+             .as("n_kept"))
+      .select(col("lang"), col("n_available"), col("quota").cast("int"),
+              col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q91Sql: String = {
+    val vals = MixQuotas.map { case (l, n) => s"('$l', $n)" }.mkString(", ")
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_available,
+       |  CAST(quota AS INT) AS quota,
+       |  CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM (
+       |  SELECT lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |JOIN (VALUES $vals) AS q(lang, quota) USING (lang)
+       |GROUP BY lang, quota
+       |ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_domain_mix"        -> (q91DomainMix _),
     "q90_pipeline_funnel"   -> (q90PipelineFunnel _),
     "q72_hash_split"        -> (q72HashSplit _),
     "q73_pii_scrub"         -> (q73PiiScrub _),
@@ -561,6 +607,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q91_domain_mix"        -> q91Sql,
     "q90_pipeline_funnel"   -> q90Sql,
     "q72_hash_split"        -> q72Sql,
     "q73_pii_scrub"         -> q73Sql,

@@ -83,6 +83,22 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got === Seq((1L, "a", "b"), (2L, "a2", "b2")))
   }
 
+  test("upsertTx resolves a schema-QUALIFIED table through the catalog") {
+    // Derby folds unquoted DDL to upper case: the table is stored as
+    // GSCHEMA.T_QUAL. The caller passes lower-case "gschema.t_qual" —
+    // the resolver must recover BOTH stored spellings from the catalog
+    // (quoting the raw "gschema" text would be schema-not-found).
+    exec("CREATE SCHEMA gschema")
+    exec("CREATE TABLE gschema.t_qual (k BIGINT PRIMARY KEY, v VARCHAR(10))")
+    JdbcSink.upsertTx(Seq((1L, "a")).toDF("k", "v"),
+      url, "gschema.t_qual", driver, "k")
+    JdbcSink.upsertTx(Seq((1L, "a2"), (2L, "b")).toDF("k", "v"),
+      url, "gschema.t_qual", driver, "k")
+    val got = JdbcSink.readTable(spark, url, "gschema.t_qual", driver)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("upsert is latest-wins and idempotent (O13 at the sink)") {
     val first = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
     JdbcSink.append(first, url, "T_UPSERT", driver)
