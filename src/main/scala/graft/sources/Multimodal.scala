@@ -61,6 +61,50 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+    media_id: Long, kind: String, width: Int, height: Int, n_bytes: Int)
+
+  /** Batched resize — STUB geometry (a real impl rescales pixels; the
+    * fake derives the output byte count deterministically from input size
+    * and target box). Same per-partition batch shape as
+    * [[extractFeatures]]: payloads in, fixed-width rows out, nothing
+    * media-sized survives to a shuffle.
+    */
+  def resizeBatch(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val nOut = math.min(r.payload.length, w * h / 8) // ── STUB ──
+      ResizedMedia(r.media_id, r.kind, w, h, nOut)
+    })
+  }
+
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_fp: String)
+
+  /** Frame sampling: every `stride`-th frame of each video payload,
+    * emitted as (media_id, frame_idx, frame fingerprint). The per-frame
+    * "decode" is the stub (fingerprint = md5(payload ++ ":idx"), frame
+    * count from [[MediaCodec.decode]]); the SHAPE is the real thing — a
+    * flatMap that fans one video row out to its sampled frames inside the
+    * partition iterator, so frame explosion happens before any shuffle
+    * and carries 16-byte digests, not frames.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], stride: Int): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val (_, _, nFrames) = MediaCodec.decode(r.kind, r.payload)
+        (0 until nFrames by stride).map { idx =>
+          md5.reset()
+          md5.update(r.payload)
+          md5.update(s":$idx".getBytes("UTF-8"))
+          FrameSample(r.media_id, idx,
+            md5.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Synthetic media catalog over `documents`: utf-8 bytes as payload,
     * kind assigned by id. Stands in for a parquet table with a real binary
     * column; schema and column shapes are what a 100 TB media lake uses.
@@ -101,11 +145,36 @@ object Multimodal {
       |  FROM documents)
       |ORDER BY media_id""".stripMargin
 
+  // ─── q92: frame sampling through the REAL batched-codec path ──────────
+  // Runs mediaCatalog → Dataset[MediaRecord] → sampleFrames(stride=2) —
+  // the actual mapPartitions plumbing, not an expression re-derivation —
+  // and the oracle recomputes the stub's arithmetic (n_frames = n%7+1,
+  // fp = md5(text || ':' || idx)) relationally. Video rows only.
+  def q92FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val videos = mediaCatalog(s, d).where(col("kind") === "video")
+      .as[MediaRecord]
+    sampleFrames(videos, 2).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val q92Sql: String =
+    """SELECT media_id, CAST(f AS INT) AS frame_idx,
+      |  md5(text || ':' || CAST(f AS VARCHAR)) AS frame_fp
+      |FROM (
+      |  SELECT doc_id AS media_id, text,
+      |    unnest(generate_series(0, octet_length(encode(text)) % 7, 2))
+      |      AS f
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
+    "q92_frame_sample"    -> (q92FrameSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q58_multimodal_meta" -> q58Sql,
+    "q92_frame_sample"    -> q92Sql,
   )
 }
