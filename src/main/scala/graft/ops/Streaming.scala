@@ -52,6 +52,20 @@ object Streaming {
   def dedupStream(df: DataFrame): DataFrame =
     df.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Dedup with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the watermark passes its event time + delay, so
+    * state size tracks the watermark horizon, not the all-time key count —
+    * the difference between O(keys-in-window) and O(keys-ever) memory on
+    * an unbounded 100 TB stream. The trade: a duplicate arriving after
+    * its key's state expired is re-emitted (exactly-once only within the
+    * horizon), which is the correct contract when upstream retries are
+    * time-bounded (the reference's page retry window, course_catalog.py
+    * retry loop, is seconds — far inside any reasonable horizon).
+    */
+  def dedupStreamBounded(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Upsert-stream ≡ O13 (user_course_activity.py:73–102 as a stream):
     * keep the latest value per key in `GroupState`, emit only when the key
     * advances — the streaming form of latest-wins merge. State is one

@@ -82,6 +82,26 @@ class CorpusSpec extends SparkSpec {
     assert(twice.where($"s2" =!= $"s").count() === 0)
   }
 
+  test("sequence packing conserves tokens with contiguous pack ids") {
+    val out = Corpus.q76SeqPack(spark, sfDir)
+      .select($"lang", $"pack_id", $"n_docs", $"n_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    val totals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"lang",
+        size(filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= ""))
+          .cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("t"), count(lit(1)).as("d"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.groupBy(_._1).foreach { case (lang, packs) =>
+      // conservation: every token and every doc lands in exactly one pack
+      assert(packs.map(_._4).sum === totals(lang)._1, s"$lang tokens leak")
+      assert(packs.map(_._3).sum === totals(lang)._2, s"$lang docs leak")
+      // contiguity: pack ids are 0..max with no holes
+      val ids = packs.map(_._2).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq, s"$lang pack holes")
+    }
+  }
+
   test("decontamination catches every planted leak") {
     val out = Corpus.q84Decontaminate(spark, sfDir)
       .select($"train_id", $"first_bench_id").as[(Long, Long)].collect()

@@ -238,6 +238,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds state to the horizon " +
+       "(re-emits after eviction, suppresses inside it)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedupStreamBounded(in.toDF())
+      .writeStream.format("memory").queryName("dedupwm")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), "a", 1.0), Ev(2, ts(2), "a", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(3), "a", 99.0)) // inside horizon: suppressed
+      q.processAllAvailable()
+      // advance the watermark far past ts(1)+10min so key 1's state evicts
+      in.addData(Ev(9, ts(120), "a", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(125), "a", 42.0)) // after eviction: re-emitted
+      q.processAllAvailable()
+      val ones = spark.table("dedupwm").where($"event_id" === 1)
+        .select($"value").as[Double].collect().sorted
+      assert(ones.toSeq === Seq(1.0, 42.0),
+        "expected the in-horizon dup suppressed and the post-eviction " +
+        s"arrival re-emitted; got ${ones.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps the latest value per key (O13 stream)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedValue]
