@@ -137,5 +137,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.builder))
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -77,13 +77,50 @@ object TemporalJoins {
       |WHERE p.event_type = 'purchase'
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // ─── q93: the same as-of, through the NATIVE custom operator ──────────
+  // graft.plans.AsOfJoinExec — custom LogicalPlan + SparkStrategy +
+  // SparkPlan: one hash shuffle per side, one sort per side, a single
+  // forward merge pass with ONE candidate row of state per partition.
+  // Same contract as q10 (strictly-before, event_id tiebreak), same
+  // oracle shape; PlansSpec additionally asserts bit-equality with the
+  // union+window formulation and the no-Window/no-Union plan.
+  def q93AsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // alias every right column: as-of output is left ++ right, so right
+    // must not collide with left (the standard self-join rule)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+              col("event_id").as("v_event"))
+    graft.plans.AsOfJoin.asof(purchases, views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("ts"), purchases("event_id")),
+        Seq(views("view_ts"), views("v_event")))
+      .select(col("user_id"), col("event_id"),
+              col("view_ts").as("last_view_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q93Sql: String = // same semantics as q10 → same oracle text
+    """SELECT p.user_id, p.event_id,
+      |  (SELECT max(v.ts) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
+      |  AS last_view_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q09_range_join" -> (q09RangeJoin _),
-    "q10_asof_join"  -> (q10AsOfJoin _),
+    "q09_range_join"  -> (q09RangeJoin _),
+    "q10_asof_join"   -> (q10AsOfJoin _),
+    "q93_asof_native" -> (q93AsofNative _),
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q09_range_join" -> q09Sql,
-    "q10_asof_join"  -> q10Sql,
+    "q09_range_join"  -> q09Sql,
+    "q10_asof_join"   -> q10Sql,
+    "q93_asof_native" -> q93Sql,
   )
 }

@@ -1,0 +1,188 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF join — a whole-operator Catalyst extension (custom
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan`), the (c) tier of the
+  * custom-operator ladder after composition (q10's union+window form) and
+  * custom expressions (`graft.expr`).
+  *
+  * Semantics: for each left row, attach the LAST right row with an equal
+  * key and strictly-smaller (time, tiebreak...) ordering tuple — exactly
+  * q10's "last view before each purchase" contract. Unmatched left rows
+  * keep null right columns (left-outer as-of). Null keys follow natural
+  * ordering (null == null matches); the fixture carries none.
+  *
+  * Why a custom operator: Spark's built-ins express as-of only as (a) an
+  * inequality join — plans as BroadcastNestedLoop, quadratic, dead at
+  * scale — or (b) the union+window rewrite, which carries BOTH streams
+  * through one window (the right side's payload columns ride along as
+  * nulls on every left row and vice versa). The native operator is the
+  * classic sort-merge as-of: one hash shuffle per side on the key, one
+  * sort per side by (key, time, tie), then a single forward merge pass
+  * per partition holding ONE candidate row of state. At 100 TB that is
+  * the minimum possible movement for this semantics — and the merge
+  * never rewinds, so it streams.
+  *
+  * `EnsureRequirements` supplies the exchanges/sorts from
+  * `requiredChildDistribution`/`requiredChildOrdering` — the operator
+  * itself plans no data movement, exactly like SortMergeJoinExec.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: logical as-of → physical as-of. Registered either at
+  * builder time (`graft.expr.GraftExtensions`) or on a live session via
+  * `spark.experimental.extraStrategies` ([[AsOfJoin.ensureStrategy]]).
+  */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // both sides hash-clustered on the key → co-partitioned by
+  // EnsureRequirements (the SortMergeJoin contract)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+    ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKey +: leftOrder).map(SortOrder(_, Ascending)),
+    (rightKey +: rightOrder).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val allOut = output
+    val lk = leftKey; val rk = rightKey
+    val lo = leftOrder; val ro = rightOrder
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyP = UnsafeProjection.create(Seq(lk), leftOut)
+      val rKeyP = UnsafeProjection.create(Seq(rk), rightOut)
+      val lOrdP = UnsafeProjection.create(lo, leftOut)
+      val rOrdP = UnsafeProjection.create(ro, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lk.dataType))
+      val ordOrd = RowOrdering.createNaturalAscendingOrdering(lo.map(_.dataType))
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+      // bind against NULLABLE right attributes: binding keeps the input
+      // side's nullability, and a non-nullable binding elides the null
+      // check — an unmatched row's nulls would read as zeros (the classic
+      // outer-join nullability trap)
+      val project = UnsafeProjection.create(allOut,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+
+      new Iterator[InternalRow] {
+        // merge state: ONE buffered right row + ONE candidate — constant
+        // memory per partition regardless of input size
+        private var rightAhead: InternalRow = null
+        private var exhausted = !rIter.hasNext
+        private var candidate: InternalRow = null
+        private var candidateKey: InternalRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyP(l)
+          val lOrd = lOrdP(l)
+          if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null; candidateKey = null
+          }
+          var scanning = true
+          while (scanning) {
+            if (rightAhead == null && !exhausted) {
+              if (rIter.hasNext) rightAhead = rIter.next() else exhausted = true
+            }
+            if (rightAhead == null) scanning = false
+            else {
+              val rKey = rKeyP(rightAhead)
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) rightAhead = null // right key behind: discard
+              else if (c == 0 && ordOrd.compare(rOrdP(rightAhead), lOrd) < 0) {
+                // strictly before this left row: newest-so-far candidate.
+                // copy() — the child iterator reuses its row buffer.
+                candidate = rightAhead.copy()
+                candidateKey = rKey.copy()
+                rightAhead = null
+              } else scanning = false // right at/after left: stop advancing
+            }
+          }
+          project(joined(l, if (candidate != null) candidate else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.graft.bridge
+
+  /** Idempotently register the planner strategy on a live session (the
+    * extensions path covers builder-time; Verify/Bench sessions are
+    * already running when queries are built).
+    */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+
+  /** As-of join `left` to the latest `right` row with an equal key and a
+    * strictly-smaller (time, tie...) tuple. Pass RESOLVED columns
+    * (`df("col")`). The right side's columns must not collide with the
+    * left's (alias them) — the same rule Spark's own self-joins impose.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    require(leftOrder.nonEmpty && leftOrder.size == rightOrder.size,
+      "as-of needs matching non-empty ordering column lists")
+    val plan = AsOfJoinPlan(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      bridge.expression(leftKey), bridge.expression(rightKey),
+      leftOrder.map(bridge.expression), rightOrder.map(bridge.expression))
+    bridge.ofRows(spark, plan)
+  }
+}

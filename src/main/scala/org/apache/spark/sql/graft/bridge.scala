@@ -17,6 +17,16 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom LogicalPlan (`Dataset.ofRows` went
+    * private[sql] with the classic/Connect split) — the construction
+    * step every whole-operator extension needs.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * extensions path requires configuring the session builder up front;
     * this covers notebooks/tests attaching to an existing one).

@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The native as-of operator (custom LogicalPlan + Strategy + SparkPlan):
+  * semantics against both the union+window formulation and a brute-force
+  * oracle, plus the plan-shape guarantees the operator exists for.
+  */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of matches the union+window formulation on the fixture") {
+    val native = graft.ops.TemporalJoins.q93AsofNative(spark, sfDir)
+      .as[(Long, Long, Option[Timestamp])].collect().toSeq
+    val window = graft.ops.TemporalJoins.q10AsOfJoin(spark, sfDir)
+      .as[(Long, Long, Option[Timestamp])].collect().toSeq
+    assert(native === window)
+    assert(native.nonEmpty)
+  }
+
+  test("plan: AsOfJoinExec, two exchanges, no Window, no Union, no NLJ") {
+    val df = graft.ops.TemporalJoins.q93AsofNative(spark, sfDir)
+    df.collect() // execute THIS queryExecution (AQE finalizes on execute)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom operator not planned:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Union"),
+      s"fell back to the union+window shape:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"quadratic join planned:\n$plan")
+    // one hash exchange per side + one range exchange for the final
+    // orderBy = 3; the JOIN itself moves nothing else. Count only the
+    // final plan — the AQE string appends an "== Initial Plan ==" section
+    // that duplicates every node.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).length
+    assert(exchanges <= 3, s"unexpected data movement ($exchanges):\n$finalPlan")
+  }
+
+  test("matches brute force on random keyed timelines (seeded)") {
+    val gen = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+    } yield (ls, rs)
+    (0 until 6).foreach { seed =>
+      val (ls, rs) = gen(Gen.Parameters.default, Seed(seed.toLong)).get
+      // unique tiebreak ids so expected results are well-defined
+      val lrows = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rrows = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val left = lrows.toDF("k", "t", "id")
+      val right = rrows.toDF("rk", "rt", "rid")
+      val got = AsOfJoin.asof(left, right, left("k"), right("rk"),
+          Seq(left("t"), left("id")), Seq(right("rt"), right("rid")))
+        .select($"k", $"t", $"id", $"rt", $"rid")
+        .as[(Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val expected = lrows.map { case (k, t, i) =>
+        val m = rrows.filter(r => r._1 == k &&
+          (r._2 < t || (r._2 == t && r._3 < i)))
+          .sortBy(r => (r._2, r._3)).lastOption
+        (k, t, i, m.map(_._2), m.map(_._3))
+      }.toSet
+      assert(got === expected, s"seed=$seed mismatch")
+    }
+  }
+
+  test("empty right side leaves every left row unmatched (nulls)") {
+    val left = Seq((1L, 10L, 1L), (2L, 5L, 2L)).toDF("k", "t", "id")
+    val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asof(left, right, left("k"), right("rk"),
+        Seq(left("t"), left("id")), Seq(right("rt"), right("rid")))
+      .select($"k", $"rt").as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, None), (2L, None)))
+  }
+}
