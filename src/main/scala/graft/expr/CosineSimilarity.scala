@@ -137,7 +137,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.builder))
-    // whole-operator extension: plans graft.plans.AsOfJoinPlan
+    // whole-operator extension: plans graft.plans.AsOfJoinPlan and
+    // restores predicate pushdown through it
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushDown)
   }
 }

@@ -51,6 +51,37 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push left-side predicates THROUGH the as-of join.
+  * Catalyst's own PushDownPredicates cannot see through an unknown
+  * node, so `asof(...).where(<left-only predicate>)` would keep the
+  * filter above the join — after both shuffles. Left-only predicates
+  * commute exactly: every output row carries its left row's columns
+  * unchanged and each left row yields exactly one output row, so
+  * filtering before the join drops the same rows while skipping their
+  * shuffle + merge cost (and, once below the node, the BUILT-IN
+  * machinery carries the predicate all the way into the parquet scan —
+  * PlansSpec asserts `PushedFilters` at the file source).
+  * Right-side predicates do NOT commute (they would change which row is
+  * "latest"), so they stay put.
+  */
+object AsOfJoinPushDown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner rule: logical as-of → physical as-of. Registered either at
   * builder time (`graft.expr.GraftExtensions`) or on a live session via
   * `spark.experimental.extraStrategies` ([[AsOfJoin.ensureStrategy]]).
@@ -162,10 +193,14 @@ object AsOfJoin {
     * extensions path covers builder-time; Verify/Bench sessions are
     * already running when queries are built).
     */
-  def ensureStrategy(spark: SparkSession): Unit =
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPushDown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPushDown
+  }
 
   /** As-of join `left` to the latest `right` row with an equal key and a
     * strictly-smaller (time, tie...) tuple. Pass RESOLVED columns

@@ -68,6 +68,38 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("AsOfJoinPushDown carries a left-only filter into the parquet scan") {
+    val e = Tables.events(spark, sfDir) // NANOS-ts-safe reader
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id")
+    val views = e.where($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("v_event"))
+    val df = AsOfJoin.asof(purchases, views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("event_id")), Seq(views("v_event")))
+      .where($"user_id" < 10) // applied ABOVE the custom join
+    df.collect()
+    // our rule moves the filter below the custom node; the BUILT-IN
+    // pushdown must then carry it all the way into the left file scan
+    val physical = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PushedFilters:[^\\n]*LessThan\\(user_id,10\\)".r
+      .findFirstIn(physical).isDefined,
+      s"predicate did not reach the file source:\n$physical")
+    // semantic commutation: identical rows to as-of over a pre-filtered
+    // left side (filter-before == filter-after for left-only predicates)
+    val prefiltered = AsOfJoin.asof(
+        purchases.where($"user_id" < 10), views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("event_id")), Seq(views("v_event")))
+      .select($"user_id", $"event_id", $"v_event")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val got = df.select($"user_id", $"event_id", $"v_event")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got === prefiltered && got.nonEmpty,
+      "pushdown changed the result")
+  }
+
   test("empty right side leaves every left row unmatched (nulls)") {
     val left = Seq((1L, 10L, 1L), (2L, 5L, 2L)).toDF("k", "t", "id")
     val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
