@@ -408,7 +408,106 @@ object Warehouse {
       |UNION ALL SELECT check_name, n_violations, n_checked FROM nn
       |ORDER BY check_name""".stripMargin
 
+  // ─── q94: FULL OUTER join reconciliation census ───────────────────────
+  // The one join type q02–q08 left uncovered. The realistic shape: two
+  // systems' views of "customer activity" reconciled — rows only-left,
+  // only-right, and matched, counted in one pass. Fixture plants 3 orphan
+  // orders (custkey −7) so the only-right branch is provably non-empty;
+  // silent customers (q08's 5) populate only-left naturally. The join
+  // shuffles both sides on the key once; the census is a tiny agg over
+  // null-pattern flags.
+  def q94FullOuter(s: SparkSession, d: String): DataFrame = {
+    val orderCounts = orders(s, d)
+      .unionByName(orders(s, d).orderBy(col("o_orderkey")).limit(3)
+        .withColumn("o_custkey", lit(-7L)))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    // plant 2 order-less customers as well: the fixture's customers all
+    // have orders, and a census that never exercises one branch proves
+    // nothing about it
+    val cust = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .unionByName(customer(s, d).orderBy(col("c_custkey")).limit(2)
+        .select((col("c_custkey") * -1 - 100).as("c_custkey"),
+                col("c_mktsegment")))
+    cust.join(orderCounts, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("matched").as("side"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("side"))
+  }
+
+  val q94Sql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM (
+      |    SELECT o_custkey FROM orders
+      |    UNION ALL
+      |    SELECT -7 AS o_custkey
+      |    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3))
+      |  GROUP BY o_custkey)
+      |SELECT side, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders
+      |FROM (
+      |  SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |              WHEN o_custkey IS NULL THEN 'customer_only'
+      |              ELSE 'matched' END AS side,
+      |    coalesce(n_orders, 0) AS n_orders
+      |  FROM (
+      |    SELECT c_custkey FROM customer
+      |    UNION ALL
+      |    SELECT c_custkey * -1 - 100
+      |    FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 2))
+      |    AS c
+      |  FULL OUTER JOIN oc ON c_custkey = o_custkey)
+      |GROUP BY side
+      |ORDER BY side""".stripMargin
+
+  // ─── q95: date-spine gap filling (sparse → dense time series) ─────────
+  // Generate the full month spine 1995-01..2001-12 with sequence(), left
+  // join the observed monthly revenue, zero-fill gaps — the dimensional
+  // scaffold every reporting layer builds so charts and window functions
+  // see EVERY period. The spine is generated (84 rows, no scan) and
+  // broadcast; the fact side pre-aggregates to |months| rows before the
+  // join, so nothing month-grained ever shuffles at fact-table width.
+  def q95DateSpine(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("2001-12-01")),
+        expr("INTERVAL 1 MONTH"))).as("month"))
+    val monthly = orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+    spine.join(monthly, Seq("month"), "left")
+      .select(col("month"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("revenue").isNull.as("is_gap"))
+      .orderBy(col("month"))
+  }
+
+  val q95Sql: String =
+    """WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS month),
+      |monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    round(sum(o_totalprice), 2) AS revenue,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT spine.month,
+      |  coalesce(revenue, 0.0) AS revenue,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  revenue IS NULL AS is_gap
+      |FROM spine LEFT JOIN monthly ON spine.month = monthly.month
+      |ORDER BY spine.month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_full_outer"       -> (q94FullOuter _),
+    "q95_date_spine"       -> (q95DateSpine _),
     "q89_constraint_audit" -> (q89ConstraintAudit _),
     "q77_percentiles" -> (q77Percentiles _),
     "q78_pivot"       -> (q78Pivot _),
@@ -420,6 +519,8 @@ object Warehouse {
     "q88_unpivot"     -> (q88Unpivot _))
 
   val oracleSql: Map[String, String] = Map(
+    "q94_full_outer"       -> q94Sql,
+    "q95_date_spine"       -> q95Sql,
     "q89_constraint_audit" -> q89Sql,
     "q77_percentiles" -> q77Sql,
     "q78_pivot"       -> q78Sql,
