@@ -102,15 +102,9 @@ object TemporalJoins {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  val q93Sql: String = // same semantics as q10 → same oracle text
-    """SELECT p.user_id, p.event_id,
-      |  (SELECT max(v.ts) FROM events v
-      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
-      |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
-      |  AS last_view_ts
-      |FROM events p
-      |WHERE p.event_type = 'purchase'
-      |ORDER BY p.user_id, p.event_id""".stripMargin
+  // same semantics as q10 ⇒ literally the same oracle (one text to fix
+  // if the oracle ever changes)
+  val q93Sql: String = q10Sql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_range_join"  -> (q09RangeJoin _),

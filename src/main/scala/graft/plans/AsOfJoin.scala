@@ -72,12 +72,20 @@ object AsOfJoinPushDown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
-      val (leftOnly, rest) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      // only the DETERMINISTIC PREFIX may move (Catalyst's own
+      // PushPredicateThroughNonJoin rule): pushing a deterministic
+      // conjunct PAST a nondeterministic one (e.g. rand() < 0.5 &&
+      // user_id < 10) would change how many rows the nondeterministic
+      // expression evaluates over, and thus the result.
+      val (detPrefix, suffix) = splitConjunctivePredicates(cond)
+        .span(_.deterministic)
+      val (leftOnly, rest) = detPrefix
+        .partition(_.references.subsetOf(j.left.outputSet))
       if (leftOnly.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
-        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        (rest ++ suffix).reduceOption(And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
 }
@@ -194,10 +202,17 @@ object AsOfJoin {
     * already running when queries are built).
     */
   def ensureStrategy(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy]))
+    // probe the PLANNER, not just extraStrategies: a session built with
+    // GraftExtensions already carries the strategy via injection, and a
+    // blind append would register it (and the rule) twice
+    if (!bridge.plannerStrategies(spark).exists(_.isInstanceOf[AsOfJoinStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
-    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPushDown))
+    // the rule is a semantic no-op when re-applied (the filter is already
+    // below the node), so extension-injected duplication is harmless; the
+    // guard still keeps extraOptimizations itself duplicate-free
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPushDown) &&
+        !bridge.optimizerRuleNames(spark).contains(AsOfJoinPushDown.ruleName))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsOfJoinPushDown
   }
@@ -214,6 +229,19 @@ object AsOfJoin {
     ensureStrategy(spark)
     require(leftOrder.nonEmpty && leftOrder.size == rightOrder.size,
       "as-of needs matching non-empty ordering column lists")
+    // the merge comparators are built from LEFT-side types and read both
+    // sides' projections with them — a type mismatch would compare raw
+    // slots and silently pick wrong candidates, so fail loudly instead
+    import org.apache.spark.sql.types.DataType.equalsStructurally
+    val lkT = bridge.expression(leftKey).dataType
+    val rkT = bridge.expression(rightKey).dataType
+    require(equalsStructurally(lkT, rkT, ignoreNullability = true),
+      s"as-of key types differ: $lkT vs $rkT")
+    leftOrder.zip(rightOrder).foreach { case (l, r) =>
+      val (lt, rt) = (bridge.expression(l).dataType, bridge.expression(r).dataType)
+      require(equalsStructurally(lt, rt, ignoreNullability = true),
+        s"as-of ordering types differ: $lt vs $rt")
+    }
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       bridge.expression(leftKey), bridge.expression(rightKey),

@@ -27,6 +27,22 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The session planner's full strategy list (built-ins + extension-
+    * injected + experimental) — lets extension code probe whether a
+    * strategy is ALREADY present before appending to extraStrategies.
+    */
+  def plannerStrategies(spark: SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    spark.sessionState.planner.strategies
+
+  /** Names of extension-injected operator-optimization rules (the
+    * injectOptimizerRule channel; experimental.extraOptimizations is
+    * visible to callers directly).
+    */
+  def optimizerRuleNames(spark: SparkSession): Seq[String] =
+    spark.sessionState.optimizer.extendedOperatorOptimizationRules
+      .map(_.ruleName)
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * extensions path requires configuring the session builder up front;
     * this covers notebooks/tests attaching to an existing one).

@@ -100,6 +100,29 @@ class PlansSpec extends SparkSpec {
       "pushdown changed the result")
   }
 
+  test("pushdown does NOT move predicates past a nondeterministic conjunct") {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id")
+    val views = e.where($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("v_event"))
+    // rand() first: the deterministic user_id predicate sits AFTER a
+    // nondeterministic conjunct, so pushing it would change how many
+    // rows rand() evaluates over — it must stay above the join.
+    // (The threshold must be contingent: Spark 4 constant-folds an
+    // always-true rand() comparison away entirely.)
+    val df = AsOfJoin.asof(purchases, views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("event_id")), Seq(views("v_event")))
+      .where(rand(42) < 0.5 && $"user_id" < 10)
+    df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PushedFilters:[^\\n]*LessThan\\(user_id,10\\)".r
+      .findFirstIn(physical).isEmpty,
+      s"predicate pushed past a nondeterministic conjunct:\n$physical")
+  }
+
   test("empty right side leaves every left row unmatched (nulls)") {
     val left = Seq((1L, 10L, 1L), (2L, 5L, 2L)).toDF("k", "t", "id")
     val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")
