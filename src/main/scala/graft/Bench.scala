@@ -42,7 +42,13 @@ object Bench {
     // remove a systematic overhead).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // optional isolation filter (local investigation only; the driver
+    // never sets it): comma-separated query names or qNN prefixes
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        only.forall(f => f.contains(n) || f.contains(n.split("_").head)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // warm-up (untimed): full pass over every query
     names.foreach { case (n, fn) =>
@@ -70,13 +76,28 @@ object Bench {
     errors.foreach { case (n, m) =>
       System.err.println(s"[bench] WARNING: $n FAILED: $m")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + JsonUtil.escape(k) + "\":\"" + JsonUtil.escape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
+    // stdout line must stay COMPACT: the driver keeps only the last
+    // 2000 chars of stdout, and a 95-query map with full names and
+    // full-precision doubles (~3.6 KB) overflowed it every round, so
+    // the per-query numbers were unparseable (BENCH_r0N.json parsed:
+    // null, tail cut mid-map). qNN keys + 3-decimal values fit with
+    // room to spare; the full-name full-precision map goes to
+    // BENCH_FULL.json next to the repo for human diffing.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val shortKeys = results.map { case (k, v) => k.split("_").head -> v }
+    val qs = (if (shortKeys.map(_._1).distinct.size == results.size) shortKeys
+              else results)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

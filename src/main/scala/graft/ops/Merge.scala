@@ -81,21 +81,47 @@ object Merge {
     val order = keyCols.map(col)
     val cached = distinctKeys.cache()
     val n = cached.count()
-    val ids =
-      if (n <= maxWindowKeys)
-        cached.withColumn("id",
-          row_number().over(Window.orderBy(order: _*)).cast("long"))
-      else {
-        val sorted = cached.orderBy(order: _*)
-        val schema = org.apache.spark.sql.types.StructType(
-          sorted.schema.fields :+
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = false))
-        val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) }
-        cached.sparkSession.createDataFrame(rdd, schema)
-      }
-    ManagedFrame(ids, () => { cached.unpersist(); () })
+    if (n <= maxWindowKeys) {
+      val ids = cached.withColumn("id",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      ManagedFrame(ids, () => { cached.unpersist(); () })
+    } else {
+      // Partition-offset two-pass, entirely in Tungsten (the r4 form
+      // dropped to `sorted.rdd.zipWithIndex`, deserializing every key
+      // through Row):
+      //  1. range-sort once and STAMP each row with
+      //     monotonically_increasing_id, whose documented layout is
+      //     (partitionIndex << 33) | localRowIndex. The stamped frame is
+      //     cached: both passes must read ONE physical materialization —
+      //     a re-run of the range sort may re-sample partition boundaries
+      //     and permute the stamps.
+      //  2. per-partition counts → cumulative offsets (driver-side: one
+      //     row per partition, the same reduction zipWithIndex runs) are
+      //     broadcast back and repaired: id = offset(pid) + local + 1.
+      // No task ever holds the whole key set, and rows never leave
+      // UnsafeRow until the caller acts.
+      val sp = cached.sparkSession
+      import sp.implicits._
+      val stamped = cached.orderBy(order: _*)
+        .withColumn("mid", monotonically_increasing_id())
+        .cache()
+      val pid = shiftright(col("mid"), 33).cast("int")
+      val loc = col("mid").bitwiseAND((1L << 33) - 1)
+      val counts = stamped.groupBy(pid.as("pid")).agg(count(lit(1)).as("c"))
+        .select(col("pid"), col("c")).as[(Int, Long)].collect()
+        .sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) {
+        case ((_, acc), (p, c)) => (p, acc + c)
+      } // (p_i, rows at or before p_i); offset(p_i) = previous entry's acc
+      val offDf = counts.map(_._1).zip(offsets.map(_._2))
+        .toSeq.toDF("pid", "off")
+      val ids = stamped.withColumn("pid", pid)
+        .join(broadcast(offDf), Seq("pid"))
+        .withColumn("id", col("off") + loc + 1L)
+        .select(cached.columns.toIndexedSeq.map(col) :+ col("id"): _*)
+      ManagedFrame(ids,
+        () => { stamped.unpersist(); cached.unpersist(); () })
+    }
   }
 
   // ─── q38: surrogate-key dimension build (O11) ─────────────────────────

@@ -341,32 +341,53 @@ object Similarity {
   // ─── q59/q66: IVF-style ANN (coarse quantizer = learned centroids) ────
   // The other scale path besides LSH: a small centroid table (here: one
   // k-means-style iteration seeded by `label`) is BROADCAST; every vector
-  // gets its nearest centroid in the map phase (argmax over 10 broadcast
-  // rows — no shuffle of the corpus), and queries probe only their
-  // `nprobe` nearest centroids' inverted lists. At 10^9+ vectors the
-  // probe join shuffles by centroid id; recall trades against
-  // nlist/nprobe — q59 runs nprobe=1, q66 nprobe=2 (the standard recall
-  // lever: more lists searched per query, corpus assignment unchanged).
-  def annIvf(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  // gets its nearest centroid MAP-SIDE (an `array_sort` over the 10-entry
+  // broadcast centroid array inside the projection — the corpus never
+  // shuffles for assignment), and queries probe only their `nprobe`
+  // nearest centroids' inverted lists. At 10^9+ vectors the corpus
+  // shuffles exactly ONCE, by centroid id, for the probe join; recall
+  // trades against nlist/nprobe — q59 runs nprobe=1, q66 nprobe=2 (the
+  // standard recall lever: more lists searched per query, corpus
+  // assignment unchanged). SimilaritySpec asserts the assignment plan is
+  // window-free and that no exchange ever partitions the corpus by vec_id.
+
+  /** Corpus with per-vector centroid ranking computed map-side: the tiny
+    * centroid table is folded into ONE row holding an array of
+    * {cid, carr} structs, broadcast, and ranked per vector with
+    * `array_sort` over `struct(-cosine, cid)` — struct order is
+    * field-order, so ascending (negcos, cid) == cosine DESC, cid ASC,
+    * exactly the window the old formulation sorted a 10x fanned corpus
+    * for. Package-visible so SimilaritySpec can assert the plan shape.
+    */
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
       .withColumn("e", col("embedding").cast("array<double>"))
     val cents = emb.groupBy(col("label"))
       .agg(array((1 to DIM).map(i =>
         avg(element_at(col("e"), i))): _*).as("carr"))
       .select(col("label").as("cid"), col("carr"))
-    // centroid ranking per vector: broadcast the 10 centroids, rank by
-    // cosine via one window over the tiny fan-out. Corpus keeps rank 1
-    // (each vector lives in ONE inverted list); queries keep the top
-    // `nprobe` (search that many lists).
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val ranked = emb.join(broadcast(cents))
-      .withColumn("ccos", cosine(col("e"), col("carr")))
-      .withColumn("arn", row_number().over(wAssign))
-    val q = ranked.where(col("arn") <= nprobe && col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cid"))
-    val corpus = ranked.where(col("arn") === 1 && col("vec_id") >= 5)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("cid"))
+    // the only exchanges below are on the CENTROID side (10 partial-agg
+    // rows hash to `label`, then a single-partition collect into one row)
+    val centsRow = broadcast(
+      cents.agg(collect_list(struct(col("cid"), col("carr"))).as("cents")))
+    emb.crossJoin(centsRow)
+      .withColumn("ranked", array_sort(transform(col("cents"), c =>
+        struct((-cosine(col("e"), c("carr"))).as("negcos"),
+               c("cid").as("cid")))))
+      .select(col("vec_id"), col("e"), col("ranked"))
+  }
+
+  def annIvf(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+    // queries search their top-`nprobe` lists; corpus vectors live in ONE
+    // inverted list (their argmax centroid).
+    val q = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              explode(slice(col("ranked"), 1, nprobe)).as("rc"))
+      .select(col("q_id"), col("qe"), col("rc")("cid").as("cid"))
+    val corpus = assigned.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"),
+              element_at(col("ranked"), 1)("cid").as("cid"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     corpus.join(q, Seq("cid"))

@@ -41,6 +41,44 @@ object Warehouse {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q96: approx_percentile — the sketch twin of q77 ──────────────────
+  // The 100 TB percentile path. Exact `percentile` materializes a
+  // per-group value-count map in the aggregation buffer (OOM-shaped when
+  // groups are huge); `approx_percentile` is a fixed-size KLL-style
+  // sketch, single pass, mergeable map-side — and ONE sketch serves all
+  // three quantiles (the array form), where the exact family pays per
+  // quantile. Sketch VALUES aren't cross-engine comparable, so like q28
+  // the query emits the exact quantiles (oracle-checkable) plus the
+  // error-bound assertion AS DATA: at accuracy 10000 the rank error is
+  // ≤ 1e-4·N, which on l_quantity (unit-spaced 1..50) keeps the sketch
+  // within one value step of the interpolated exact quantile; the DuckDB
+  // twin emits literal TRUE, so the hash matches only if the bound holds.
+  def q96ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75D)"), 4).as("p75"),
+        expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("ap"))
+      .select(col("l_returnflag"), col("n"), col("p25"), col("p50"), col("p75"),
+        (abs(element_at(col("ap"), 1) - col("p25")) <= 1.0 &&
+         abs(element_at(col("ap"), 2) - col("p50")) <= 1.0 &&
+         abs(element_at(col("ap"), 3) - col("p75")) <= 1.0).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val q96Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ─── q78: PIVOT — order revenue, nation × order-year matrix ───────────
   // Uses the relational `.pivot(col, values)` operator with the value set
   // STATED (1995–2001): stating values keeps the plan a single pass
@@ -163,33 +201,68 @@ object Warehouse {
 
   // ─── q85: distribution-rank window family (ntile/percent_rank/cume_dist)
   // Quartile assignment + distribution position per returnflag, reduced to
-  // a per-(flag, quartile) census. The window's ORDER BY carries a unique
+  // a per-(flag, quartile) census. The declared ordering carries a unique
   // (orderkey, linenumber) tiebreak: ntile splits TIES by physical order,
   // so without it the bucket boundaries (and the hash) are partition-
   // layout-dependent in any engine.
   //
-  // Scale caveat (honest): exact per-group distribution ranks need a
-  // per-group TOTAL ORDER — parallelism = |groups| (3 here), so a 100 TB
-  // run sorts ~33 TB per task. At that scale you either range-partition
-  // the per-group sort (global-sort machinery) or take the sketch path
-  // (approx_percentile — the q28/q77 trade); this operator is the exact
-  // small-group form.
+  // SCALE DESIGN (replaces the r4 window form): a per-flag
+  // ntile/percent_rank/cume_dist window has parallelism = |flags| (3) —
+  // at 100 TB each partition is one task sorting ~33 TB, and AQE cannot
+  // split a full-order window. But with a UNIQUE tiebreak, rank ==
+  // row_number, so the whole per-(flag, quartile) contract is a CLOSED
+  // FORM over per-(flag, quantity) counts:
+  //   - a quantity value occupies the contiguous rank range
+  //     [cum - c + 1, cum] in the flag's sort order (tiebreakers permute
+  //     rows WITHIN the range, never the range itself);
+  //   - ntile(4) bucket b covers ranks [(b-1)*base + min(b-1, rem) + 1,
+  //     +size_b - 1] where base = N div 4, rem = N mod 4,
+  //     size_b = base + (b <= rem);
+  //   - avg(percent_rank) over ranks blo..bhi = ((blo+bhi)/2 - 1)/(N-1),
+  //     avg(cume_dist) = (blo+bhi)/2/N (rank is distinct per row);
+  //   - bucket min/max quantity = the values whose rank ranges overlap
+  //     the bucket's range.
+  // So the ONE pass over the fact table is a map-side-combinable
+  // groupBy(flag, quantity) count; every window below runs over the
+  // ~|flags|x|distinct quantities| aggregate (150 rows here; bounded by
+  // value cardinality, not row count, at any SF). For genuinely
+  // continuous value columns the same trick applies after value
+  // binning — or take the sketch path (approx_percentile, q28/q77
+  // trade). PlansSpec asserts no ntile and aggregate-before-window.
   def q85RankFamily(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    lineitem(s, d)
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+    val counts = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wall = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("hi", sum(col("c")).over(wcum))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n_all", max(col("hi")).over(wall))
+    val buckets = s.range(1, 5).select(col("id").cast("int").as("quartile"))
+    cum.crossJoin(broadcast(buckets))
+      .withColumn("base", expr("n_all div 4"))
+      .withColumn("rem", col("n_all") % 4)
+      .withColumn("blo", (col("quartile") - 1).cast("long") * col("base") +
+        least((col("quartile") - 1).cast("long"), col("rem")) + 1)
+      .withColumn("bhi", col("blo") + col("base") +
+        when(col("quartile") <= col("rem"), 1).otherwise(0) - 1)
+      .where(col("hi") >= col("blo") && col("lo") <= col("bhi"))
       .groupBy(col("l_returnflag"), col("quartile"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(least(col("hi"), col("bhi")) -
+               greatest(col("lo"), col("blo")) + 1).as("n"),
            round(min(col("l_quantity")), 2).as("min_qty"),
            round(max(col("l_quantity")), 2).as("max_qty"),
-           // round(,4) like every averaged double in the repo: partial-agg
-           // merge order wobbles the unrounded sum at ~1e-12, and 6 digits
-           // sits close enough to that noise floor to flip a boundary
-           round(avg(col("pr")), 4).as("avg_pct_rank"),
-           round(avg(col("cd")), 4).as("avg_cume_dist"))
+           // round(,4) like every averaged double in the repo: the oracle
+           // averages per-row doubles whose merge order wobbles ~1e-12,
+           // and 6 digits sits close enough to that noise floor to flip
+           // a boundary. (blo, bhi, n_all) are constant within a group —
+           // max() just picks the closed form.
+           round(max(when(col("n_all") > 1,
+             ((col("blo") + col("bhi")) / 2.0d - 1.0d) / (col("n_all") - 1))
+             .otherwise(0.0d)), 4).as("avg_pct_rank"),
+           round(max((col("blo") + col("bhi")) / 2.0d / col("n_all")), 4)
+             .as("avg_cume_dist"))
       .orderBy(col("l_returnflag"), col("quartile"))
   }
 
@@ -516,7 +589,8 @@ object Warehouse {
     "q85_rank_family" -> (q85RankFamily _),
     "q86_edit_distance" -> (q86EditDistance _),
     "q87_sessionize"  -> (q87Sessionize _),
-    "q88_unpivot"     -> (q88Unpivot _))
+    "q88_unpivot"     -> (q88Unpivot _),
+    "q96_approx_percentiles" -> (q96ApproxPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q94_full_outer"       -> q94Sql,
@@ -529,5 +603,6 @@ object Warehouse {
     "q85_rank_family" -> q85Sql,
     "q86_edit_distance" -> q86Sql,
     "q87_sessionize"  -> q87Sql,
-    "q88_unpivot"     -> q88Sql)
+    "q88_unpivot"     -> q88Sql,
+    "q96_approx_percentiles" -> q96Sql)
 }

@@ -20,6 +20,32 @@ class JdbcSinkSpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).sorted.toSeq === Seq("k", "name", "v"))
   }
 
+  test("q97 JDBC read: partitioned scan with predicate + column pushdown") {
+    val df = JdbcSink.q97JdbcRoundtrip(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    // the dim-side filter and 2-column projection must compile into the
+    // JDBC scan itself (the DB ships dim-sized bytes, not the table),
+    // and the scan must be the 4-way partitioned range form
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PushedFilters:[^\\n]*LessThan\\(n_regionkey,3\\)".r
+      .findFirstIn(plan).isDefined,
+      s"predicate did not push into the JDBC scan:\n$plan")
+    assert(plan.contains("numPartitions=4"),
+      s"JDBC scan is not the partitioned range form:\n$plan")
+    // pushdown must not change results: same rows as a post-read filter
+    val dimAll = JdbcSink.readTable(spark, JdbcSink.Q97Url,
+        "nation_dim", driver)
+    val expected = dimAll.where($"n_regionkey" < 3)
+      .select($"n_nationkey").as[Long].collect().toSet
+    val pushed = spark.read.format("jdbc")
+      .option("url", JdbcSink.Q97Url).option("dbtable", "nation_dim")
+      .option("driver", driver).load()
+      .where($"n_regionkey" < 3)
+      .select($"n_nationkey").as[Long].collect().toSet
+    assert(pushed === expected && pushed.nonEmpty)
+  }
+
   test("appendIfAbsent is first-writer-wins (O12 at the sink)") {
     val first = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
     JdbcSink.append(first, url, "T_NOCONFLICT", driver)

@@ -21,8 +21,8 @@ class MergeSpec extends SparkSpec {
     samples(g, n).foreach(body)
   import spark.implicits._
 
-  test("denseIds: zipWithIndex fallback produces the identical id mapping " +
-       "at adversarial cardinality") {
+  test("denseIds: partition-offset fallback produces the identical id " +
+       "mapping at adversarial cardinality, without leaving Tungsten") {
     // 5000 distinct keys in scrambled input order, well past the forced
     // 100-key window ceiling -> the guarded path must kick in and agree
     // with the window path bit-for-bit.
@@ -31,13 +31,24 @@ class MergeSpec extends SparkSpec {
       .distinct()
     val viaWindow = graft.ops.Merge.denseIds(keys, "nk")
       .as[(String, Long)].collect().sortBy(_._2).toSeq
-    val viaZip = graft.ops.Merge.denseIds(keys, "nk", maxWindowKeys = 100)
+    val bigDim = graft.ops.Merge.denseIds(keys, "nk", maxWindowKeys = 100)
+    val viaOffsets = bigDim
       .as[(String, Long)].collect().sortBy(_._2).toSeq
     assert(viaWindow.size === 5000)
-    assert(viaWindow === viaZip)
+    assert(viaWindow === viaOffsets)
     // ids are dense 1..N in ascending key order
-    assert(viaZip.map(_._2) === (1L to 5000L))
-    assert(viaZip.map(_._1) === viaZip.map(_._1).sorted)
+    assert(viaOffsets.map(_._2) === (1L to 5000L))
+    assert(viaOffsets.map(_._1) === viaOffsets.map(_._1).sorted)
+    // the r4 fallback dropped to sorted.rdd.zipWithIndex, which plans as
+    // an ExistingRDD scan deserializing every key through Row; the
+    // partition-offset form must stay a DataFrame pipeline end to end
+    val plan = bigDim.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
+      s"big-dim id path left Tungsten:\n$plan")
+    // and the per-flag window path is absent: no global-order Window
+    assert(!plan.contains("row_number"),
+      s"big-dim path still uses the global window:\n$plan")
   }
 
   /** insert-if-absent (O12): existing ∪ (incoming ∖ existing by key). */

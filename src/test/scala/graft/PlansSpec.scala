@@ -123,6 +123,28 @@ class PlansSpec extends SparkSpec {
       s"predicate pushed past a nondeterministic conjunct:\n$physical")
   }
 
+  test("q85 rank family: closed form over value counts, no per-flag fact sort") {
+    // the r4 form ran ntile/percent_rank/cume_dist over
+    // Window.partitionBy(l_returnflag) — parallelism 3, one task sorting
+    // ~33 TB per flag at 100x. The closed-form rewrite must (a) contain
+    // no ntile at all and (b) run every window over the per-(flag,
+    // quantity) count aggregate, never the raw fact rows.
+    val df = graft.ops.Warehouse.q85RankFamily(spark, sfDir)
+    df.collect() // execute THIS queryExecution (AQE finalizes then)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("ntile("), s"ntile still planned:\n$plan")
+    val lines = plan.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"expected a (tiny) cumulative window:\n$plan")
+    // parents print before children: the value-count HashAggregate must
+    // appear BELOW the window, i.e. the window consumes the aggregate
+    val aggIdx = lines.indexWhere(
+      l => l.contains("HashAggregate") && l.contains("l_quantity"), wIdx)
+    assert(aggIdx > wIdx,
+      s"window input is not the value-count aggregate:\n$plan")
+  }
+
   test("empty right side leaves every left row unmatched (nulls)") {
     val left = Seq((1L, 10L, 1L), (2L, 5L, 2L)).toDF("k", "t", "id")
     val right = Seq.empty[(Long, Long, Long)].toDF("rk", "rt", "rid")

@@ -118,6 +118,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF centroid assignment is map-side: no window, no corpus shuffle") {
+    // the r4 formulation fanned the corpus 10x against the centroids and
+    // ranked with row_number() over Window.partitionBy(vec_id) — a full
+    // hash shuffle of the (fanned) corpus just to pick an argmax over 10
+    // rows. The map-side form must plan as a projection: every exchange
+    // in the assignment subplan belongs to the 10-row centroid side.
+    val assigned = Similarity.ivfAssigned(spark, sfDir)
+    assigned.collect() // execute THIS queryExecution (AQE finalizes then)
+    val plan = assigned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("WindowExec"), s"assignment still windows:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus shuffled for assignment:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.forall(l =>
+        l.contains("hashpartitioning(label") || l.contains("SinglePartition") ||
+        l.contains("BroadcastExchange")),
+      s"non-centroid exchange in assignment plan:\n${exchanges.mkString("\n")}")
+    // and the full q59 plan shuffles the corpus only for the probe join:
+    // nothing anywhere partitions by vec_id
+    val full = Similarity.q59AnnIvf(spark, sfDir)
+    full.collect()
+    val fullPlan = full.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!fullPlan.contains("hashpartitioning(vec_id"),
+      s"q59 still shuffles the corpus by vec_id:\n$fullPlan")
+  }
+
   test("embedding near-dup: planted-pair recall holds as plane count scales 4 -> 8") {
     val planted = Tables.embeddings(spark, sfDir)
       .where(pmod($"vec_id", lit(50)) === 0)
