@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * north-star "multimodal columns").
   *
   * The Spark-side plumbing is real: binary columns, typed metadata
-  * structs, per-partition batched feature extraction, and an
-  * oracle-checked catalog query (q58). The CODEC is a deterministic fake —
-  * this container ships no image/audio libraries — and is confined to
-  * [[MediaCodec]], clearly marked, so a real decoder drops in without
+  * structs, per-partition batched feature extraction, and oracle-checked
+  * catalog queries (q58/q92/q98). The codec parses REAL containers (BMP,
+  * WAV — pure-JVM header parsers, q98) and falls back to a clearly
+  * marked deterministic fake for formats whose decoders need native
+  * image/audio libraries this container doesn't ship; the fake is
+  * confined to [[MediaCodec]], so further decoders drop in without
   * touching schema, partitioning, or batch shape.
   *
   * At 100 TB: payloads dominate row size, so every transformation below
@@ -26,19 +28,133 @@ object Multimodal {
     media_id: Long, kind: String, n_bytes: Int, fingerprint: String,
     width: Int, height: Int, n_frames: Int)
 
-  /** ──────────────────────────  STUB  ──────────────────────────────────
-    * Deterministic fake decoder. A real implementation would parse the
-    * JPEG/WAV/MP4 container headers here (and is the ONLY thing to
-    * replace); the fake derives metadata from the byte content so tests
-    * are exact and reproducible.
+  /** Container codec. [[decode]] sniffs the payload's magic bytes and
+    * parses REAL containers in pure JVM — BMP (`BITMAPINFOHEADER`) and
+    * WAV (RIFF chunk walk) — falling back to the deterministic fake for
+    * anything else (the synthetic utf-8 catalog, and stand-ins for
+    * formats whose decoders need native libs this container lacks).
+    *
+    * Decoded tuple is (width, height, n_frames); for audio the same
+    * slots carry (sample_rate, channels, sample_frames) — one fixed
+    * shape keeps the feature schema stable across kinds.
     */
   object MediaCodec {
-    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
+    private def le16(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    private def ascii4(p: Array[Byte], off: Int): String =
+      new String(p, off, 4, "US-ASCII")
+
+    /** BMP: 'BM' magic; BITMAPINFOHEADER width/height at byte 18/22
+      * (LE int32). Height may be negative (top-down rows) — the image is
+      * |height| rows either way. Single frame by definition.
+      */
+    private[graft] def decodeBmp(p: Array[Byte]): Option[(Int, Int, Int)] =
+      if (p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte &&
+          le32(p, 14) >= 40) // info-header size: BITMAPINFOHEADER or later
+        Some((le32(p, 18), math.abs(le32(p, 22)), 1))
+      else None
+
+    /** WAV: RIFF/WAVE; chunks are walked (not assumed at fixed offsets —
+      * real files interleave LIST/fact chunks) to the `fmt ` chunk
+      * (channels LE16 at +2, sample rate LE32 at +4, block align LE16 at
+      * +12 within the chunk body) and the `data` chunk (byte size =
+      * chunk size). Sample frames = data bytes / block align. Chunk
+      * bodies are word-aligned: odd sizes carry one pad byte.
+      */
+    private[graft] def decodeWav(p: Array[Byte]): Option[(Int, Int, Int)] =
+      if (p.length < 44 || ascii4(p, 0) != "RIFF" || ascii4(p, 8) != "WAVE")
+        None
+      else {
+        var off = 12
+        var rate, channels, blockAlign, dataBytes = -1
+        while (off + 8 <= p.length && (rate < 0 || dataBytes < 0)) {
+          val id = ascii4(p, off)
+          val size = le32(p, off + 4)
+          if (id == "fmt " && off + 8 + 16 <= p.length) {
+            channels = le16(p, off + 10)
+            rate = le32(p, off + 12)
+            blockAlign = le16(p, off + 20)
+          } else if (id == "data") dataBytes = size
+          // a corrupt/overflowed chunk size must not walk backwards
+          off = if (size < 0) p.length else off + 8 + size + (size & 1)
+        }
+        if (rate > 0 && blockAlign > 0 && dataBytes >= 0)
+          Some((rate, channels, dataBytes / blockAlign))
+        else None
+      }
+
+    /** ──────────────────────────  STUB  ────────────────────────────────
+      * Deterministic fake for payloads that are no recognized container
+      * (derives metadata from byte content so tests stay exact). Real
+      * JPEG/MP4 decoding needs native libs this container doesn't ship.
+      */
+    private def decodeFake(kind: String, payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       val width = (n % 64) * 10 + 32
       val height = (n % 48) * 10 + 24
       val frames = if (kind == "video") n % 7 + 1 else 1
       (width, height, frames)
+    }
+
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+      decodeBmp(payload)
+        .orElse(decodeWav(payload))
+        .getOrElse(decodeFake(kind, payload))
+  }
+
+  /** Fixture-side builders emitting REAL container bytes (the files any
+    * external BMP/WAV reader would accept) — used by [[bmpWavCatalog]] to
+    * put genuine binaries through the codec seam. Kept separate from
+    * [[MediaCodec]]: encode and decode never share offset constants in
+    * code, and MultimodalSpec additionally pins decode against
+    * hand-written golden hex so a symmetric encode/decode bug cannot
+    * pass.
+    */
+  private[graft] object MediaEncode {
+    import java.nio.{ByteBuffer, ByteOrder}
+    private def cyclic(buf: ByteBuffer, n: Int, content: Array[Byte]): Unit = {
+      var i = 0
+      while (i < n) {
+        buf.put(if (content.isEmpty) 0.toByte else content(i % content.length))
+        i += 1
+      }
+    }
+    /** Minimal 24-bpp bottom-up BMP: 14-byte file header +
+      * 40-byte BITMAPINFOHEADER + zero-padded pixel rows filled from
+      * `content`. Rows pad to 4-byte boundaries (the format's rule).
+      */
+    def bmp(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val dataSize = rowSize * height
+      val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+      buf.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      cyclic(buf, dataSize, content)
+      buf.array()
+    }
+    /** Canonical 44-byte-header PCM16 WAV; data bytes filled from
+      * `content`, sized to a whole number of sample frames (≥ 1).
+      */
+    def wav(channels: Int, sampleRate: Int, content: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * 2
+      val dataSize =
+        math.max(content.length - content.length % blockAlign, blockAlign)
+      val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      cyclic(buf, dataSize, content)
+      buf.array()
     }
   }
 
@@ -168,13 +284,71 @@ object Multimodal {
       |  FROM documents WHERE doc_id % 3 = 2)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ─── q98: REAL container decode (BMP/WAV) through the codec seam ──────
+  // The catalog builds genuine container files — alternating 24-bpp BMPs
+  // (geometry from doc_id) and PCM16 WAVs (rate/channels from doc_id),
+  // pixel/sample bytes from the document text — and [[extractFeatures]]
+  // decodes them back through the SAME mapPartitions batch path q92
+  // uses, now hitting the real header parsers instead of the fake. The
+  // oracle re-derives every decoded field relationally (BMP row padding,
+  // WAV block alignment), so a wrong offset, endianness, or pad rule in
+  // either direction hash-mismatches. Payload construction is per-row
+  // imperative (same justification as the codec), and — as everywhere in
+  // this file — payload bytes exist only inside the partition iterator,
+  // never in a shuffle.
+  private[graft] def bmpWavCatalog(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, content) =>
+        if (id % 2 == 0)
+          MediaRecord(id, "image",
+            MediaEncode.bmp((id % 16 + 1).toInt, (id % 8 + 1).toInt, content))
+        else
+          MediaRecord(id, "audio",
+            MediaEncode.wav((id % 2 + 1).toInt, (8000 + (id % 4) * 4000).toInt,
+              content))
+      })
+  }
+
+  def q98ContainerDecode(s: SparkSession, d: String): DataFrame =
+    extractFeatures(bmpWavCatalog(s, d)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+              col("width"), col("height"), col("n_frames"))
+      .orderBy(col("media_id"))
+
+  val q98Sql: String =
+    """SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+      |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      |  CAST(n_frames AS INT) AS n_frames
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN 54 + (doc_id % 8 + 1) * (((doc_id % 16 + 1) * 3 + 3) // 4 * 4)
+      |         ELSE 44 + greatest(len - len % ba, ba) END AS n_bytes,
+      |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 1
+      |         ELSE 8000 + doc_id % 4 * 4000 END AS width,
+      |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+      |         ELSE doc_id % 2 + 1 END AS height,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1
+      |         ELSE greatest(len - len % ba, ba) // ba END AS n_frames
+      |  FROM (
+      |    SELECT doc_id, octet_length(encode(text)) AS len,
+      |      (doc_id % 2 + 1) * 2 AS ba
+      |    FROM documents))
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
     "q92_frame_sample"    -> (q92FrameSample _),
+    "q98_container_decode" -> (q98ContainerDecode _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q58_multimodal_meta" -> q58Sql,
     "q92_frame_sample"    -> q92Sql,
+    "q98_container_decode" -> q98Sql,
   )
 }

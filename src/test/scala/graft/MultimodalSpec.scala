@@ -21,6 +21,65 @@ class MultimodalSpec extends SparkSpec {
       ResizedMedia(2, "video", 64, 48, 100)))
   }
 
+  // ─── real container parsers: pinned against HAND-WRITTEN golden bytes
+  // (not MediaEncode output — encode and decode must never co-validate)
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("decodeBmp reads width/height from golden BITMAPINFOHEADER bytes") {
+    // 2x3 24-bpp bottom-up BMP: rowSize = ((2*3+3)/4)*4 = 8, data = 24,
+    // file = 78 = 0x4E. Header spelled out byte by byte.
+    val golden = hex(
+      "424D 4E000000 00000000 36000000" +          // BM, size, res, offset
+      "28000000 02000000 03000000 0100 1800" +     // ih=40, w=2, h=3, planes, bpp
+      "00000000 18000000 130B0000 130B0000 00000000 00000000" +
+      "00" * 24)                                    // pixel rows
+    assert(Multimodal.MediaCodec.decodeBmp(golden) === Some((2, 3, 1)))
+    // top-down variant: height stored negative (0xFFFFFFFD = -3)
+    val topDown = golden.clone()
+    topDown(22) = 0xFD.toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    assert(Multimodal.MediaCodec.decodeBmp(topDown) === Some((2, 3, 1)))
+  }
+
+  test("decodeWav walks RIFF chunks from golden bytes, incl. a LIST chunk") {
+    // PCM16 stereo @ 16 kHz: blockAlign = 4, byteRate = 64000; an odd-
+    // sized 3-byte LIST chunk (plus pad byte) sits between fmt and data
+    // to force the chunk walk; data = 8 bytes → 2 sample frames.
+    val golden = hex(
+      "52494646 38000000 57415645" +                // RIFF, size, WAVE
+      "666D7420 10000000 0100 0200 803E0000 00FA0000 0400 1000" +
+      "4C495354 03000000 414243 00" +               // LIST len=3 'ABC' +pad
+      "64617461 08000000 0102030405060708")         // data, 8 bytes
+    assert(Multimodal.MediaCodec.decodeWav(golden) === Some((16000, 2, 2)))
+  }
+
+  test("codec sniffs containers and falls back to the fake for plain bytes") {
+    val bmp = Multimodal.MediaEncode.bmp(5, 4, Array[Byte](9, 8, 7))
+    assert(Multimodal.MediaCodec.decode("image", bmp) === ((5, 4, 1)))
+    // 1-channel 12 kHz, 10 content bytes → blockAlign 2, data 10, 5 frames
+    val wav = Multimodal.MediaEncode.wav(1, 12000, Array.fill(10)(1.toByte))
+    assert(Multimodal.MediaCodec.decode("audio", wav) === ((12000, 1, 5)))
+    // no magic → the deterministic fake (q58/q92's contract, unchanged)
+    val plain = Array.tabulate(13)(_.toByte)
+    assert(Multimodal.MediaCodec.decode("video", plain) ===
+      (((13 % 64) * 10 + 32, (13 % 48) * 10 + 24, 13 % 7 + 1)))
+  }
+
+  test("extractFeatures decodes real containers through the batch seam") {
+    val in = Seq(
+      MediaRecord(2, "image", Multimodal.MediaEncode.bmp(7, 2, Array(1.toByte))),
+      MediaRecord(3, "audio", Multimodal.MediaEncode.wav(2, 20000, Array.fill(9)(2.toByte))))
+      .toDS()
+    val out = Multimodal.extractFeatures(in).collect().sortBy(_.media_id)
+    assert(out.map(f => (f.media_id, f.width, f.height, f.n_frames)).toSeq ===
+      Seq((2L, 7, 2, 1), (3L, 20000, 2, 2)))
+    // n_bytes is the real container size: 54 + 2*((7*3+3)/4*4) = 102
+    assert(out.head.n_bytes === 54 + 2 * 24)
+  }
+
   test("sampleFrames strides the stub frame count and fingerprints " +
        "deterministically") {
     // n=13 video → n_frames = 13 % 7 + 1 = 7; stride 2 → frames 0,2,4,6
