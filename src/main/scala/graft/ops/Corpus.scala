@@ -301,13 +301,35 @@ object Corpus {
   // classify keep/too-short/too-long. The classic "drop the length tails"
   // cleaning pass, with the bounds DERIVED from the corpus rather than
   // hand-tuned.
+
+  /** Per-shard (p05, p95) clip bounds over `valueCol`. `sketch = false`
+    * is the exact form — the oracle-checkable contract, but Spark's exact
+    * `percentile` buffers a per-group value-count map, an OOM-shaped plan
+    * when a 100 TB corpus has only a handful of language groups.
+    * `sketch = true` is the scale path: `approx_percentile` keeps a
+    * fixed-size mergeable summary per group (one sketch serves both
+    * quantiles via the array form), at rank error ≤ N/accuracy. q99
+    * pins the two paths against each other as data; the q90 funnel
+    * takes the knob.
+    */
+  private def clipBounds(counted: DataFrame, valueCol: String,
+                         sketch: Boolean): DataFrame = {
+    val (p05, p95) =
+      if (sketch) {
+        val ap = expr(
+          s"approx_percentile($valueCol, array(0.05D, 0.95D), 10000)")
+        (element_at(ap, 1), element_at(ap, 2))
+      } else
+        (expr(s"percentile($valueCol, 0.05D)"),
+         expr(s"percentile($valueCol, 0.95D)"))
+    counted.groupBy(col("lang")).agg(p05.as("p05"), p95.as("p95"))
+  }
+
   def q82LengthClip(s: SparkSession, d: String): DataFrame = {
     val counted = documents(s, d)
       .select(col("lang"), col("doc_id"),
               size(tokens(col("text"))).cast("double").as("n"))
-    val bounds = counted.groupBy(col("lang"))
-      .agg(expr("percentile(n, 0.05D)").as("p05"),
-           expr("percentile(n, 0.95D)").as("p95"))
+    val bounds = clipBounds(counted, "n", sketch = false)
     counted.join(broadcast(bounds), "lang")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -334,6 +356,62 @@ object Corpus {
        |  CAST(sum(CASE WHEN n > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
        |  round(first(p05), 4) AS p05,
        |  round(first(p95), 4) AS p95
+       |FROM counted JOIN bounds ON counted.lang = bounds.lang
+       |GROUP BY counted.lang
+       |ORDER BY counted.lang""".stripMargin
+
+  // ─── q99: sketch-bounds clip census — q82's 100 TB path, pinned ───────
+  // Runs the SAME clip through both bound routings and emits the
+  // agreement AS DATA (the q28/q96 pattern): exact columns are DuckDB-
+  // checkable; `sketch_ok` is TRUE iff the approx_percentile-bounded
+  // clip's kept-count differs from the exact clip's by no more than the
+  // DISCRETIZATION BOUND: the sketch returns a data value whose rank is
+  // within N/10000 of target while the exact form interpolates between
+  // adjacent values, so the per-side kept-count shift is at most (ties
+  // at the sketch's boundary value) + 1 + N/10000 — computed per shard
+  // IN the query, not hand-tuned. The oracle emits literal TRUE, so the
+  // hash matches only if the sketch path's deviation really is pure
+  // boundary discretization.
+  def q99SketchClip(s: SparkSession, d: String): DataFrame = {
+    val counted = documents(s, d)
+      .select(col("lang"), col("doc_id"),
+              size(tokens(col("text"))).cast("double").as("n"))
+    val exact = clipBounds(counted, "n", sketch = false)
+    val approx = clipBounds(counted, "n", sketch = true)
+      .select(col("lang"), col("p05").as("a05"), col("p95").as("a95"))
+    counted
+      .join(broadcast(exact), "lang")
+      .join(broadcast(approx), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n") >= col("p05") && col("n") <= col("p95"), 1L)
+             .otherwise(0L)).as("n_kept"),
+           sum(when(col("n") >= col("a05") && col("n") <= col("a95"), 1L)
+             .otherwise(0L)).as("sketch_kept"),
+           sum(when(col("n") === col("a05"), 1L).otherwise(0L)).as("ties05"),
+           sum(when(col("n") === col("a95"), 1L).otherwise(0L)).as("ties95"),
+           round(first(col("p05")), 4).as("p05"),
+           round(first(col("p95")), 4).as("p95"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("p05"), col("p95"),
+        (abs(col("sketch_kept") - col("n_kept")) <=
+          col("ties05") + col("ties95") + 2L +
+          ceil(col("n_docs") / 10000.0d).cast("long")).as("sketch_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val q99Sql: String =
+    s"""WITH counted AS (
+       |  SELECT lang, doc_id, CAST(len($tokensSql) AS DOUBLE) AS n
+       |  FROM documents),
+       |bounds AS (
+       |  SELECT lang, quantile_cont(n, 0.05) AS p05, quantile_cont(n, 0.95) AS p95
+       |  FROM counted GROUP BY lang)
+       |SELECT counted.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n >= p05 AND n <= p95 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  round(first(p05), 4) AS p05,
+       |  round(first(p95), 4) AS p95,
+       |  TRUE AS sketch_ok
        |FROM counted JOIN bounds ON counted.lang = bounds.lang
        |GROUP BY counted.lang
        |ORDER BY counted.lang""".stripMargin
@@ -457,7 +535,17 @@ object Corpus {
   // audits what every stage dropped. Each stage's shuffle keys stay
   // fixed-width (ids, langs, tokens counts); document text never leaves
   // stage one.
-  def q90PipelineFunnel(s: SparkSession, d: String): DataFrame = {
+  def q90PipelineFunnel(s: SparkSession, d: String): DataFrame =
+    q90PipelineFunnel(s, d, sketchBounds = false)
+
+  /** `sketchBounds = true` routes stage 3 through the approx_percentile
+    * sketch ([[clipBounds]]) — the form a 100 TB run uses. The declared
+    * q90 keeps the exact bounds (the DuckDB-checkable contract; sketch
+    * discretization can move a boundary doc); CorpusSpec pins the two
+    * routings against each other.
+    */
+  def q90PipelineFunnel(s: SparkSession, d: String,
+                        sketchBounds: Boolean): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("double").as("n_toks"))
@@ -465,9 +553,7 @@ object Corpus {
       .join(graft.ops.Graph.dupClusterLabels(s, d), "doc_id")
       .where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("lang"), col("n_toks"))
-    val bounds = keepers.groupBy(col("lang"))
-      .agg(expr("percentile(n_toks, 0.05D)").as("p05"),
-           expr("percentile(n_toks, 0.95D)").as("p95"))
+    val bounds = clipBounds(keepers, "n_toks", sketchBounds)
     val quality = keepers.join(broadcast(bounds), "lang")
       .where(col("n_toks") >= col("p05") && col("n_toks") <= col("p95"))
       .select(col("doc_id"), col("lang"), col("n_toks"))
@@ -603,6 +689,7 @@ object Corpus {
     "q76_seq_packing"       -> (q76SeqPack _),
     "q81_stratified_sample" -> (q81StratifiedSample _),
     "q82_length_clip"       -> (q82LengthClip _),
+    "q99_sketch_clip"       -> (q99SketchClip _),
     "q83_unigram_score"     -> (q83UnigramScore _),
     "q84_decontaminate"     -> (q84Decontaminate _))
 
@@ -616,6 +703,7 @@ object Corpus {
     "q76_seq_packing"       -> q76Sql,
     "q81_stratified_sample" -> q81Sql,
     "q82_length_clip"       -> q82Sql,
+    "q99_sketch_clip"       -> q99Sql,
     "q83_unigram_score"     -> q83Sql,
     "q84_decontaminate"     -> q84Sql)
 }

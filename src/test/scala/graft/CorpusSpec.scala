@@ -102,6 +102,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q90 funnel: sketch-bounds routing agrees with exact bounds " +
+       "within the discretization band") {
+    // the sketchBounds knob swaps stage 3's exact percentile for the
+    // approx_percentile sketch (the 100 TB form). Stages 1/2 (before the
+    // bounds) must be identical; stages 3-5 may shift by boundary-value
+    // discretization (sketch = data value, exact = interpolated; see
+    // q99's in-query bound) — max(4, 5%) covers the fixture's tie
+    // masses, and the data is deterministic so this is a stable check.
+    val exact = Corpus.q90PipelineFunnel(spark, sfDir, sketchBounds = false)
+      .select($"stage", $"lang", $"n").as[(String, String, Long)]
+      .collect().map { case (st, l, n) => (st, l) -> n }.toMap
+    val sk = Corpus.q90PipelineFunnel(spark, sfDir, sketchBounds = true)
+      .select($"stage", $"lang", $"n").as[(String, String, Long)]
+      .collect().map { case (st, l, n) => (st, l) -> n }.toMap
+    assert(sk.keySet === exact.keySet)
+    exact.foreach { case (k @ (stage, _), n) =>
+      val tol =
+        if (stage < "3") 0L else math.max(4L, math.ceil(n * 0.05).toLong)
+      assert(math.abs(sk(k) - n) <= tol,
+        s"$k: sketch=${sk(k)} exact=$n tolerance=$tol")
+    }
+  }
+
   test("decontamination catches every planted leak") {
     val out = Corpus.q84Decontaminate(spark, sfDir)
       .select($"train_id", $"first_bench_id").as[(Long, Long)].collect()
