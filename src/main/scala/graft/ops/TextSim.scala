@@ -884,6 +884,85 @@ object TextSim {
        |ORDER BY stage""".stripMargin
   }
 
+  // ─── q100: cross-document span dedup (paragraph-dedup shape) ──────────
+  // The C4/RefinedWeb cleaning step the doc-level dedups (q41/q45/q46)
+  // don't cover: REPEATED SPANS removed from inside otherwise-unique
+  // documents (boilerplate, navigation, license blocks), documents then
+  // REASSEMBLED from their surviving spans in order. The corpus has no
+  // paragraph delimiters, so spans are consecutive 3-token segments; the
+  // shape — explode → hash-keyed span census → mark → ordered reassembly
+  // — is delimiter-agnostic. Dedup contract: a span seen in >1 distinct
+  // document is removed from ALL of them (deterministic and order-free,
+  // unlike keep-first, which depends on scan order in a parallel run);
+  // same-doc repeats survive.
+  //
+  // At 100 TB: the census groups md5 keys with a distinct-doc count —
+  // 32-byte shuffle rows, map-side partial aggs. Span text rides exactly
+  // two shuffles it cannot avoid (the nd lookup join — whose tiny (h,nd)
+  // side AQE broadcasts when it fits; a bloom filter over dup hashes is
+  // the fallback lever — and the per-doc reassembly). Reassembly is
+  // collect_list over ONE document's spans: bounded by doc length, never
+  // by corpus size.
+  def q100SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        when(size(col("toks")) > 0, transform(
+            sequence(lit(0), (ceil(size(col("toks")) / 3.0d) - 1).cast("int")),
+            i => struct(i.as("seg_idx"),
+                        array_join(slice(col("toks"), i * 3 + 1, lit(3)), " ")
+                          .as("seg"))))
+          .otherwise(array()).as("segs"))
+      .select(col("doc_id"), col("lang"), explode(col("segs")).as("s"))
+      .select(col("doc_id"), col("lang"),
+              col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"),
+              md5(col("s.seg")).as("h"))
+    val counts = segs.select(col("h"), col("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = segs.join(counts, "h")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"),
+           sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_kept"),
+           length(array_join(transform(
+             filter(array_sort(collect_list(struct(col("seg_idx"), col("seg"),
+                                                   col("nd")))),
+                    x => x("nd") === 1),
+             x => x("seg")), " ")).cast("long").as("chars_out"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_spans")).as("n_spans"),
+           sum(col("n_dup")).as("n_dup_spans"),
+           sum(col("n_kept")).as("n_kept_spans"),
+           sum(col("chars_out")).as("chars_out"))
+      .orderBy(col("lang"))
+  }
+
+  val q100Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+       |segs AS (
+       |  SELECT doc_id, lang, i AS seg_idx,
+       |    array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg
+       |  FROM t, unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS u(i)),
+       |nd AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+       |perdoc AS (
+       |  SELECT doc_id, lang, count(*) AS n_spans,
+       |    sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS n_dup,
+       |    sum(CASE WHEN nd.nd = 1 THEN 1 ELSE 0 END) AS n_kept,
+       |    coalesce(length(string_agg(seg, ' ' ORDER BY seg_idx)
+       |      FILTER (WHERE nd.nd = 1)), 0) AS chars_out
+       |  FROM segs JOIN nd USING (seg)
+       |  GROUP BY doc_id, lang)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       |  CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+       |  CAST(sum(n_kept) AS BIGINT) AS n_kept_spans,
+       |  CAST(sum(chars_out) AS BIGINT) AS chars_out
+       |FROM perdoc
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
@@ -897,6 +976,7 @@ object TextSim {
     "q68_simhash_neardup" -> (q68SimhashNearDup _),
     "q69_repetition_quality" -> (q69RepetitionQuality _),
     "q70_clean_corpus" -> (q70CleanCorpus _),
+    "q100_span_dedup" -> (q100SpanDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -912,5 +992,6 @@ object TextSim {
     "q68_simhash_neardup" -> q68Sql,
     "q69_repetition_quality" -> q69Sql,
     "q70_clean_corpus" -> q70Sql,
+    "q100_span_dedup" -> q100Sql,
   )
 }

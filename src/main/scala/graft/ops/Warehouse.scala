@@ -440,7 +440,7 @@ object Warehouse {
       .join(broadcast(customer(s, d).select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
-      .crossJoin(audited.agg(count(lit(1)).as("n_checked")))
+      .crossJoin(broadcast(audited.agg(count(lit(1)).as("n_checked"))))
       .withColumn("check_name", lit("orders_custkey_fk_orphans"))
     val nn = customer(s, d).agg(
       sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("n_violations"),
