@@ -123,6 +123,17 @@ object Streaming {
       .select(views("user_id"), col("view_id"), col("click_id"),
               col("view_ts"), col("click_ts"))
 
+  /** Stream-STATIC enrichment join: every micro-batch joins the static
+    * dimension with NO state store — stream-static joins are stateless
+    * by construction (the dim is re-planned per batch, so a file-backed
+    * dim even picks up files appended between batches). With the
+    * broadcast hint the stream side never shuffles: the standard
+    * enrich-events-with-dim pattern at any scale. Left join keeps
+    * dim-less events (null attrs) rather than silently dropping them.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   // ─── q52: tumbling window (batch twin) ────────────────────────────────
   def q52Tumbling(s: SparkSession, d: String): DataFrame =
     tumblingCounts(events(s, d))

@@ -192,6 +192,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim " +
+       "with no state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EvU]
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "segment")
+    val q = Streaming.enrichStream(in.toDF(), dim)
+      .select($"event_id", $"user_id", $"segment")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      in.addData(EvU(1, ts(0), "view", 0, 7), EvU(2, ts(1), "view", 0, 9))
+      q.processAllAvailable()
+      in.addData(EvU(3, ts(2), "view", 0, 8))
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .as[(Long, Long, Option[String])].collect().toSet
+      // matched events carry the dim attr; dim-less user 9 survives with
+      // null (left join), across BOTH batches
+      assert(rows === Set((1L, 7L, Some("gold")), (2L, 9L, None),
+                          (3L, 8L, Some("basic"))))
+      // stateless: a stream-static join must report no state store rows
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty ||
+        progress.stateOperators.forall(_.numRowsTotal == 0),
+        s"stream-static join kept state: ${progress.json}")
+    } finally q.stop()
+  }
+
   test("watermark drops late events in append-mode tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
