@@ -904,8 +904,18 @@ object TextSim {
   // collect_list over ONE document's spans: bounded by doc length, never
   // by corpus size.
   def q100SpanDedup(s: SparkSession, d: String): DataFrame = {
-    val segs = documents(s, d)
+    // ONE tokenization pass, CACHED — the q84 trap and fix: without the
+    // InMemoryRelation boundary CollapseProject inlines the regex
+    // tokenizer into the segment lambda's sequence/slice references, so
+    // the split re-runs per SEGMENT on both consuming sides (measured
+    // 7.1 s at sf0.1 vs ~1 s fixed). The segment build itself reads the
+    // materialized array, and the census + reassembly sides each re-run
+    // only the cheap explode+md5 over it. Lifecycle: caller/harness
+    // clearCache, as q45/q84.
+    val toksFrame = documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .cache()
+    val segs = toksFrame
       .select(col("doc_id"), col("lang"),
         when(size(col("toks")) > 0, transform(
             sequence(lit(0), (ceil(size(col("toks")) / 3.0d) - 1).cast("int")),
