@@ -903,19 +903,22 @@ object TextSim {
   // the fallback lever — and the per-doc reassembly). Reassembly is
   // collect_list over ONE document's spans: bounded by doc length, never
   // by corpus size.
-  def q100SpanDedup(s: SparkSession, d: String): DataFrame = {
-    // ONE tokenization pass, CACHED — the q84 trap and fix: without the
-    // InMemoryRelation boundary CollapseProject inlines the regex
-    // tokenizer into the segment lambda's sequence/slice references, so
-    // the split re-runs per SEGMENT on both consuming sides (measured
-    // 7.1 s at sf0.1 vs ~1 s fixed). The segment build itself reads the
-    // materialized array, and the census + reassembly sides each re-run
-    // only the cheap explode+md5 over it. Lifecycle: caller/harness
-    // clearCache, as q45/q84.
+  /** Shared by q100/q101: one-pass tokenize → 3-token segment → explode,
+    * emitting (doc_id, lang, seg_idx, seg, h=md5(seg)). The toks frame
+    * is CACHED — the q84 trap and fix: without the InMemoryRelation
+    * boundary CollapseProject inlines the regex tokenizer into the
+    * segment lambda's sequence/slice references, so the split re-runs
+    * per SEGMENT on every consuming side (measured 7.1 s at sf0.1 vs
+    * ~1 s fixed). Downstream consumers re-run only the cheap explode+md5
+    * over the materialized arrays. Lifecycle: caller/harness clearCache,
+    * as q45/q84 (identical logical plans share one cache entry across
+    * q100/q101 in a session).
+    */
+  private def spanFrame(s: SparkSession, d: String): DataFrame = {
     val toksFrame = documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .cache()
-    val segs = toksFrame
+    toksFrame
       .select(col("doc_id"), col("lang"),
         when(size(col("toks")) > 0, transform(
             sequence(lit(0), (ceil(size(col("toks")) / 3.0d) - 1).cast("int")),
@@ -927,6 +930,10 @@ object TextSim {
       .select(col("doc_id"), col("lang"),
               col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"),
               md5(col("s.seg")).as("h"))
+  }
+
+  def q100SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = spanFrame(s, d)
     val counts = segs.select(col("h"), col("doc_id"))
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val perDoc = segs.join(counts, "h")
@@ -973,6 +980,73 @@ object TextSim {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ─── q101: BLOOM-FILTER span dedup — q100's membership at 100 TB ──────
+  // q100 marks duplicate spans with an exact (h → nd) equi-join; when
+  // the duplicated-span vocabulary itself is too large to join cheaply,
+  // production pipelines (Dolma-style) switch to a BLOOM FILTER over the
+  // dup keys: built here with Spark's own runtime-filter aggregate
+  // (BloomFilterAggregate via the sql-namespace bridge — distributed,
+  // mergeable, one fixed-size sketch), probed with `might_contain` in
+  // the PROJECTION — the marking pass needs no join and no shuffle, just
+  // a 1-row broadcast of the sketch. The probabilistic contract is
+  // checked AS DATA against the exact path: a bloom filter has NO false
+  // negatives (every true dup span must test positive —
+  // `no_false_negatives`), and false positives only ever OVER-drop,
+  // bounded by the fpp the sketch geometry implies (`fp_within_budget`:
+  // ≤ 3% of unique spans + 2, generous for 10 bits/key). The oracle
+  // emits literal TRUE for both, so the hash only matches if the sketch
+  // machinery genuinely behaves.
+  def q101BloomSpanDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val segs = spanFrame(s, d)
+    val counts = segs.select(col("h"), col("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    // sketch sized for the dup-key cardinality class: 1M estimated items
+    // x 10 bits/key (~1% fpp at capacity; far lower under-filled). At
+    // 100 TB these two knobs come from the census the pipeline already
+    // runs (or a first-pass approx_count_distinct).
+    val bloom = counts.where(col("nd") > 1)
+      .agg(bridge.bloomFilterAgg(xxhash64(col("h")),
+        estimatedItems = 1000000L, numBits = 10000000L).as("bf"))
+    // the probe rides as a SCALAR SUBQUERY (might_contain's contract —
+    // the same shape InjectRuntimeFilter plants): a one-time 1-row
+    // subquery result shipped to every task, no join in the marking pass
+    val marked = segs.join(counts, "h")
+      .withColumn("bloom_dup",
+        bridge.mightContain(bloom, xxhash64(col("h"))))
+    marked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+           sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("nd") > 1 && !col("bloom_dup"), 1L).otherwise(0L))
+             .as("false_negs"),
+           sum(when(col("nd") === 1 && col("bloom_dup"), 1L).otherwise(0L))
+             .as("false_pos"))
+      .select(col("lang"), col("n_spans"), col("n_dup_spans"), col("n_kept"),
+        (col("false_negs") === 0L).as("no_false_negatives"),
+        (col("false_pos") <= ceil(col("n_kept") * 0.03) + 2L)
+          .as("fp_within_budget"))
+      .orderBy(col("lang"))
+  }
+
+  val q101Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+       |segs AS (
+       |  SELECT doc_id, lang, i AS seg_idx,
+       |    array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg
+       |  FROM t, unnest(range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))) AS u(i)),
+       |nd AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_spans,
+       |  CAST(sum(CASE WHEN nd.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  TRUE AS no_false_negatives,
+       |  TRUE AS fp_within_budget
+       |FROM segs JOIN nd USING (seg)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
@@ -987,6 +1061,7 @@ object TextSim {
     "q69_repetition_quality" -> (q69RepetitionQuality _),
     "q70_clean_corpus" -> (q70CleanCorpus _),
     "q100_span_dedup" -> (q100SpanDedup _),
+    "q101_bloom_span_dedup" -> (q101BloomSpanDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1003,5 +1078,6 @@ object TextSim {
     "q69_repetition_quality" -> q69Sql,
     "q70_clean_corpus" -> q70Sql,
     "q100_span_dedup" -> q100Sql,
+    "q101_bloom_span_dedup" -> q101Sql,
   )
 }

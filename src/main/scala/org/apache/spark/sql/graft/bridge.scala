@@ -43,6 +43,33 @@ object bridge {
     spark.sessionState.optimizer.extendedOperatorOptimizationRules
       .map(_.ruleName)
 
+  /** Spark's runtime-filter bloom machinery as explicit user-callable
+    * aggregates: `BloomFilterAggregate` (distributed, mergeable sketch
+    * build — what InjectRuntimeFilter plants under joins) and its
+    * `might_contain` probe. Neither is in the public FunctionRegistry
+    * (UNRESOLVED_ROUTINE from SQL), hence the shim. `c` must be a LONG
+    * hash (feed `xxhash64(...)`), matching the runtime filter's own
+    * contract.
+    */
+  def bloomFilterAgg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits), 0, 0)
+      .toAggregateExpression())
+
+  /** `might_contain` accepts the sketch only as a CONSTANT or a scalar
+    * subquery (its type check rejects a joined column) — mirror the
+    * runtime filter's own shape: the 1-row bloom frame rides in as a
+    * scalar subquery over its analyzed plan.
+    */
+  def mightContain(bloomScalar: org.apache.spark.sql.DataFrame,
+                   value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        bloomScalar.queryExecution.analyzed),
+      expression(value)))
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * extensions path requires configuring the session builder up front;
     * this covers notebooks/tests attaching to an existing one).
