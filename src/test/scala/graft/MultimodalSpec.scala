@@ -68,6 +68,35 @@ class MultimodalSpec extends SparkSpec {
       (((13 % 64) * 10 + 32, (13 % 48) * 10 + 24, 13 % 7 + 1)))
   }
 
+  test("container parsers reject malformed bytes instead of crashing or looping") {
+    import Multimodal.MediaCodec
+    // truncated BMP (magic but no full header) → not a container
+    assert(MediaCodec.decodeBmp("BM123".getBytes("US-ASCII")) === None)
+    // BITMAPCOREHEADER (info size 12 < 40) → unsupported, falls through
+    val core = Multimodal.MediaEncode.bmp(3, 3, Array[Byte](1))
+    core(14) = 12
+    assert(MediaCodec.decodeBmp(core) === None)
+    // RIFF magic but not WAVE
+    val avi = Multimodal.MediaEncode.wav(1, 8000, Array[Byte](1, 2))
+    avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    assert(MediaCodec.decodeWav(avi) === None)
+    // corrupt NEGATIVE chunk size must terminate (no infinite walk), and
+    // the truncated walk finds no fmt/data → None
+    val bad = Multimodal.MediaEncode.wav(1, 8000, Array[Byte](1, 2))
+    bad(16) = 0xFF.toByte; bad(17) = 0xFF.toByte
+    bad(18) = 0xFF.toByte; bad(19) = 0xFF.toByte // fmt size = -1
+    assert(MediaCodec.decodeWav(bad) === None)
+    // zero block-align (division guard) → rejected
+    val z = Multimodal.MediaEncode.wav(1, 8000, Array[Byte](1, 2))
+    z(32) = 0; z(33) = 0
+    assert(MediaCodec.decodeWav(z) === None)
+    // every malformed case still decodes via the fake (total function)
+    Seq(core, avi, bad, z).foreach { p =>
+      val (w, h, f) = MediaCodec.decode("image", p)
+      assert(w > 0 && h > 0 && f === 1)
+    }
+  }
+
   test("extractFeatures decodes real containers through the batch seam") {
     val in = Seq(
       MediaRecord(2, "image", Multimodal.MediaEncode.bmp(7, 2, Array(1.toByte))),

@@ -180,6 +180,26 @@ class TextSimSpec extends SparkSpec {
     }
   }
 
+  test("q101 bloom marking probes via scalar-subquery might_contain, " +
+       "and the sketch agrees with the exact dup set") {
+    val df = TextSim.q101BloomSpanDedup(spark, sfDir)
+    val rows = df.select($"lang", $"no_false_negatives", $"fp_within_budget")
+      .as[(String, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._2 && r._3),
+      s"bloom contract violated: ${rows.toSeq}")
+    df.collect() // execute THIS queryExecution (AQE finalizes then)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the probe is the runtime-filter shape: might_contain over a scalar
+    // subquery, never a join/cartesian against the sketch frame
+    assert(plan.contains("might_contain"), s"no bloom probe planned:\n$plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"bloom probe is not a scalar subquery:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"sketch rode a join instead of a subquery:\n$plan")
+  }
+
   test("q28 approx_count_distinct: oracle bound holds and raw sketch is within 5%") {
     // q28's oracle-checkable form: approx_ok must be TRUE for every group
     // (the 10% bound the DuckDB twin asserts via literal TRUE).
