@@ -229,12 +229,18 @@ object Warehouse {
   // continuous value columns the same trick applies after value
   // binning — or take the sketch path (approx_percentile, q28/q77
   // trade). PlansSpec asserts no ntile and aggregate-before-window.
-  def q85RankFamily(s: SparkSession, d: String): DataFrame = {
-    val counts = lineitem(s, d)
-      .groupBy(col("l_returnflag"), col("l_quantity"))
+  /** The closed-form core over generic (flag, v) rows — package-visible
+    * so WarehouseSpec can randomize it against the literal
+    * ntile/percent_rank/cume_dist window (the census is tie-permutation-
+    * invariant, which is exactly the mathematical claim under test).
+    */
+  private[graft] def rankFamilyCensus(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    val counts = rows
+      .groupBy(col("flag"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val wall = Window.partitionBy(col("l_returnflag"))
+    val wcum = Window.partitionBy(col("flag")).orderBy(col("v"))
+    val wall = Window.partitionBy(col("flag"))
     val cum = counts
       .withColumn("hi", sum(col("c")).over(wcum))
       .withColumn("lo", col("hi") - col("c") + 1)
@@ -248,11 +254,11 @@ object Warehouse {
       .withColumn("bhi", col("blo") + col("base") +
         when(col("quartile") <= col("rem"), 1).otherwise(0) - 1)
       .where(col("hi") >= col("blo") && col("lo") <= col("bhi"))
-      .groupBy(col("l_returnflag"), col("quartile"))
+      .groupBy(col("flag"), col("quartile"))
       .agg(sum(least(col("hi"), col("bhi")) -
                greatest(col("lo"), col("blo")) + 1).as("n"),
-           round(min(col("l_quantity")), 2).as("min_qty"),
-           round(max(col("l_quantity")), 2).as("max_qty"),
+           round(min(col("v")), 2).as("min_v"),
+           round(max(col("v")), 2).as("max_v"),
            // round(,4) like every averaged double in the repo: the oracle
            // averages per-row doubles whose merge order wobbles ~1e-12,
            // and 6 digits sits close enough to that noise floor to flip
@@ -263,8 +269,15 @@ object Warehouse {
              .otherwise(0.0d)), 4).as("avg_pct_rank"),
            round(max((col("blo") + col("bhi")) / 2.0d / col("n_all")), 4)
              .as("avg_cume_dist"))
-      .orderBy(col("l_returnflag"), col("quartile"))
   }
+
+  def q85RankFamily(s: SparkSession, d: String): DataFrame =
+    rankFamilyCensus(lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_quantity").as("v")))
+      .select(col("flag").as("l_returnflag"), col("quartile"), col("n"),
+              col("min_v").as("min_qty"), col("max_v").as("max_qty"),
+              col("avg_pct_rank"), col("avg_cume_dist"))
+      .orderBy(col("l_returnflag"), col("quartile"))
 
   val q85Sql: String =
     """SELECT l_returnflag, quartile, CAST(count(*) AS BIGINT) AS n,

@@ -140,9 +140,49 @@ class PlansSpec extends SparkSpec {
     // parents print before children: the value-count HashAggregate must
     // appear BELOW the window, i.e. the window consumes the aggregate
     val aggIdx = lines.indexWhere(
-      l => l.contains("HashAggregate") && l.contains("l_quantity"), wIdx)
+      l => l.contains("HashAggregate(keys=[flag") && l.contains(" v#"), wIdx)
     assert(aggIdx > wIdx,
       s"window input is not the value-count aggregate:\n$plan")
+  }
+
+  test("q85 closed form equals the literal ntile/percent_rank/cume_dist " +
+       "window on randomized tied data") {
+    // the rewrite's claim: with a unique tiebreak the per-(flag,
+    // quartile) census is tie-permutation-invariant and equal to the
+    // window form. Randomize over heavy ties, group sizes below 4
+    // (empty ntile buckets), and single-row groups (percent_rank = 0).
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(85)
+    (1 to 12).foreach { trial =>
+      val flags = Seq.tabulate(1 + rnd.nextInt(2))(i => s"f$i")
+      val data = flags.flatMap { f =>
+        Seq.tabulate(rnd.nextInt(26))(uid =>
+          (f, rnd.nextInt(7).toDouble, uid.toLong))
+      }
+      if (data.nonEmpty) {
+        val df = data.toDF("flag", "v", "uid")
+        val w = Window.partitionBy($"flag").orderBy($"v", $"uid")
+        val windowed = df
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy($"flag", $"quartile")
+          .agg(count(lit(1)).as("n"),
+               round(min($"v"), 2).as("min_v"),
+               round(max($"v"), 2).as("max_v"),
+               round(avg($"pr"), 4).as("avg_pct_rank"),
+               round(avg($"cd"), 4).as("avg_cume_dist"))
+        def rows(out: org.apache.spark.sql.DataFrame) = out
+          .select($"flag", $"quartile", $"n", $"min_v", $"max_v",
+                  $"avg_pct_rank", $"avg_cume_dist")
+          .as[(String, Int, Long, Double, Double, Double, Double)]
+          .collect().sortBy(r => (r._1, r._2)).toSeq
+        val closed = rows(
+          graft.ops.Warehouse.rankFamilyCensus(df.select($"flag", $"v")))
+        val literal = rows(windowed)
+        assert(closed === literal, s"trial $trial diverged on $data")
+      }
+    }
   }
 
   test("empty right side leaves every left row unmatched (nulls)") {
