@@ -999,8 +999,14 @@ object TextSim {
   def q101BloomSpanDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.bridge
     val segs = spanFrame(s, d)
+    // CACHED: the scalar subquery below embeds its own copy of this
+    // subtree (subquery plans share nothing with the main plan), so
+    // without the boundary the census runs twice. (h, nd) rows are
+    // fixed-width and |distinct spans|-bounded. Lifecycle: harness
+    // clearCache, as spanFrame.
     val counts = segs.select(col("h"), col("doc_id"))
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .cache()
     // sketch sized for the dup-key cardinality class: 1M estimated items
     // x 10 bits/key (~1% fpp at capacity; far lower under-filled). At
     // 100 TB these two knobs come from the census the pipeline already
