@@ -124,12 +124,18 @@ object Analytics {
   // agg as the two countDistincts drags them through the multi-distinct
   // Expand (every input row replicated per distinct group) — measured
   // 6.6 s vs ~1.2 s for this split at sf0.1. The sketch pass has no
-  // Expand at all; the join is a broadcast of 3 rows.
+  // Expand at all; the join is a broadcast of 3 rows. The exact side is
+  // additionally split per distinct column (the q27 rewrite; ~1.22 →
+  // ~1.11 s A/B) so no Expand survives anywhere in the plan.
   def q28ApproxDistinct(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
+    // the exact side splits per distinct column too (the q27 rewrite):
+    // two Expand-free single-distinct passes re-joined on the group key
     val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-           countDistinct(col("l_partkey")).as("n_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .join(broadcast(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))),
+        Seq("l_returnflag"))
     // rsd 0.02: half the default error at a quarter of the 0.01-rsd
     // sketch size (HLL registers scale 1/rsd²) — 0.01 was the top bench
     // cost at sf0.1 for precision nothing consumed.
