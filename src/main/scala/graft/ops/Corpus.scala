@@ -416,6 +416,51 @@ object Corpus {
        |GROUP BY counted.lang
        |ORDER BY counted.lang""".stripMargin
 
+  // ─── q102: deterministic weighted sampling (Efraimidis–Spirakis) ──────
+  // Quality-weighted downsampling — pick the docs a mixing policy keeps
+  // with probability ∝ weight (here: document length standing in for a
+  // quality score), DETERMINISTICALLY: the A-ES key u^(1/w) with u
+  // derived from an id hash instead of an RNG, so the kept set is
+  // reproducible under corpus growth and re-partitioning (the q72/q81
+  // property, now weighted). u = (first 8 md5 hex digits + 1) / 2^32 ∈
+  // (0, 1] — exactly representable in both engines (power-of-two
+  // divisor), so the only cross-engine float surface is pow itself.
+  // Shape: one projection pass + a per-shard top-k window (at 100 TB the
+  // window becomes the standard two-phase top-k: per-partition heads,
+  // then merge — same lever as q81/q91).
+  def q102WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val wgt = greatest(col("n_chars").cast("double"), lit(1.0d))
+    val u = (conv(substring(
+        md5(concat(lit("wsample:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("double") + 1.0d) / 4294967296.0d
+    val keyed = documents(s, d)
+      .select(col("lang"), col("doc_id"), wgt.as("w"),
+              pow(u, lit(1.0d) / wgt).as("k"))
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("k").desc, col("doc_id"))
+    keyed.withColumn("rk", row_number().over(win))
+      .where(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"),
+              col("w").cast("long").as("weight"), round(col("k"), 6).as("k"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q102Sql: String =
+    """WITH keyed AS (
+      |  SELECT lang, doc_id,
+      |    greatest(CAST(n_chars AS DOUBLE), 1.0) AS w,
+      |    pow((CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+      |                             1, 8) AS BIGINT) + 1.0) / 4294967296.0,
+      |        1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k
+      |  FROM documents)
+      |SELECT lang, CAST(rk AS INT) AS rk, doc_id,
+      |  CAST(w AS BIGINT) AS weight, round(k, 6) AS k
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY k DESC, doc_id) AS rk
+      |      FROM keyed)
+      |WHERE rk <= 10
+      |ORDER BY lang, rk""".stripMargin
+
   // ─── q83: unigram-LM quality score (perplexity-filter shape) ──────────
   // "Train" a unigram LM on the corpus (token → ln p(token)), score every
   // 25th doc by mean token log-probability — the CCNet/Gopher model-based
@@ -690,6 +735,7 @@ object Corpus {
     "q81_stratified_sample" -> (q81StratifiedSample _),
     "q82_length_clip"       -> (q82LengthClip _),
     "q99_sketch_clip"       -> (q99SketchClip _),
+    "q102_weighted_sample"  -> (q102WeightedSample _),
     "q83_unigram_score"     -> (q83UnigramScore _),
     "q84_decontaminate"     -> (q84Decontaminate _))
 
@@ -704,6 +750,7 @@ object Corpus {
     "q81_stratified_sample" -> q81Sql,
     "q82_length_clip"       -> q82Sql,
     "q99_sketch_clip"       -> q99Sql,
+    "q102_weighted_sample"  -> q102Sql,
     "q83_unigram_score"     -> q83Sql,
     "q84_decontaminate"     -> q84Sql)
 }
