@@ -142,4 +142,37 @@ class CorpusSpec extends SparkSpec {
       assert(benchIds.contains(fb), s"leak $t matched non-bench doc $fb")
     }
   }
+
+  test("weighted sample matches an independent local A-ES recompute") {
+    // Re-derive the Efraimidis–Spirakis keys from scratch on the driver
+    // (MessageDigest md5, not Spark's) and take the per-lang top-10 by
+    // (k desc, doc_id asc). q102 must reproduce it bit-for-bit — this
+    // pins the whole expression chain (md5 → conv → pow) AND proves the
+    // key is a pure function of (doc_id, n_chars): stable under corpus
+    // growth and re-partitioning, the q72/q81 determinism property.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def aesKey(docId: Long, nChars: Long): (Double, Double) = {
+      val hex = md.digest(s"wsample:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      val w = math.max(nChars.toDouble, 1.0)
+      (w, math.pow(u, 1.0 / w))
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"lang", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+    val expected = docs.map { case (lang, id, n) =>
+        val (w, k) = aesKey(id, n); (lang, id, w.toLong, k) }
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        rows.sortBy(r => (-r._4, r._2)).take(10).zipWithIndex.map {
+          case ((_, id, w, k), i) =>
+            (lang, i + 1, id, w, BigDecimal(k).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      }.sortBy(r => (r._1, r._2))
+    val got = Corpus.q102WeightedSample(spark, sfDir)
+      .select($"lang", $"rk", $"doc_id", $"weight", $"k")
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got === expected)
+  }
 }
