@@ -1053,6 +1053,55 @@ object TextSim {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ─── q103: count-min-sketch heavy hitters (frequency at 100 TB) ───────
+  // Completes the sketch family (HLL=q28, approx_percentile=q96/q99,
+  // Bloom=q101): per-token frequency estimation from a FIXED-SIZE
+  // mergeable sketch instead of a full vocabulary aggregation. The CMS
+  // builds in one pass (partial sketches merge associatively, so
+  // map-side combine ships one ~width×depth counter table per partition,
+  // not the vocabulary); probing is a broadcast of the 1-row sketch
+  // against the candidate set. At 100 TB the exact group-by twin below
+  // disappears and candidates come from a sampled pass — here the exact
+  // side doubles as the DuckDB-checkable contract, with the two CMS
+  // guarantees emitted AS DATA (the q28 pattern): `no_underest`
+  // (CMS never undercounts) must hold always, `within_eps`
+  // (est ≤ exact + eps·N) with prob ≥ confidence per item — seed is
+  // fixed, so pass/fail is deterministic per corpus.
+  // eps 1e-4 ⇒ width 2/eps = 20k counters ≈ 160 KB/sketch at depth 5 —
+  // the broadcast and the driver never see more than that, at any SF.
+  def q103CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sk = toks.agg(
+      expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(15)
+    // 15-row probe: deserializing inside a UDF keeps the whole thing one
+    // declarative plan (no driver-side collect of the sketch bytes).
+    val probe = udf { (bytes: Array[Byte], tok: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .estimateCount(tok)
+    }
+    top.crossJoin(broadcast(sk))
+      .select(col("token"), col("n"),
+              probe(col("sk"), col("token")).as("est"), col("n_total"))
+      .select(col("token"), col("n"),
+        (col("est") >= col("n")).as("no_underest"),
+        (col("est") <= col("n") + ceil(col("n_total") * 0.0001d))
+          .as("within_eps"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  val q103Sql: String =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS n,
+       |  TRUE AS no_underest, TRUE AS within_eps
+       |FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY n DESC, token
+       |LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
@@ -1068,6 +1117,7 @@ object TextSim {
     "q70_clean_corpus" -> (q70CleanCorpus _),
     "q100_span_dedup" -> (q100SpanDedup _),
     "q101_bloom_span_dedup" -> (q101BloomSpanDedup _),
+    "q103_cms_heavy_hitters" -> (q103CmsHeavyHitters _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1085,5 +1135,6 @@ object TextSim {
     "q70_clean_corpus" -> q70Sql,
     "q100_span_dedup" -> q100Sql,
     "q101_bloom_span_dedup" -> q101Sql,
+    "q103_cms_heavy_hitters" -> q103Sql,
   )
 }
