@@ -498,6 +498,103 @@ object Similarity {
   val q60Sql: String = embeddingNearDupSql(DefaultPlanes)
   val q63Sql: String = embeddingNearDupSql(8)
 
+  // ─── q104: int8 scalar quantization + recall census ───────────────────
+  // The 100 TB memory/bandwidth lever for every ANN family above: store
+  // and ship 1-byte codes instead of 4-byte floats (4× smaller broadcast
+  // and shuffle payloads; integer dot products SIMD-vectorize). Scheme:
+  // symmetric global-scale quantization q_i = floor(v_i / scale · 127)
+  // with scale = corpus max |v| — a two-row broadcast, no per-dim stats
+  // to learn. floor (not round) because round's half-tie behavior is the
+  // one cross-engine float hazard; floor is exact in both engines.
+  // The query re-ranks nothing: it reports the QUANTIZED top-5 per query
+  // (the index's answer) plus recall@5 vs the exact top-5 — both sides
+  // computed identically in DuckDB, so accuracy is oracle-CHECKED, not
+  // just asserted. Integer dots are ≤ 64·127² < 2^53, exact in double,
+  // hence order-independent: no left-to-right discipline needed.
+  // Per-vector quantized norms are computed ONCE before the join (the
+  // q68 rule); the window's per-query top-5 becomes two-phase top-k at
+  // scale, same as q49.
+  def q104QuantizedTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val scaleF = emb.agg(
+      max(aggregate(col("e"), lit(0.0), (a, v) => greatest(a, abs(v))))
+        .as("scale"))
+    val quant = emb.crossJoin(broadcast(scaleF))
+      .select(col("vec_id"), col("e"),
+        transform(col("e"), v => floor(v / col("scale") * 127)).as("qv"))
+      .withColumn("qn",
+        sqrt(aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v)
+          .cast("double")))
+    val q = quant.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              col("qv").as("qq"), col("qn").as("qqn"))
+    val c = quant.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"),
+              col("qv").as("qc"), col("qn").as("qcn"))
+    val idot = aggregate(zip_with(col("qq"), col("qc"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val joined = c.join(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        (idot.cast("double") / (col("qqn") * col("qcn"))).as("qcos"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("c_id"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val ranked = joined
+      .withColumn("qrn", row_number().over(wQ))
+      .withColumn("ern", row_number().over(wE))
+    // a row with qrn≤5 AND ern≤5 is an id in both top-5 sets
+    val recall = ranked
+      .where(col("qrn") <= 5 && col("ern") <= 5)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    ranked.where(col("qrn") <= 5)
+      .join(broadcast(recall), Seq("q_id"), "left")
+      .select(col("q_id"), col("qrn").cast("long").as("rn"), col("c_id"),
+        round(col("qcos"), 4).as("qcos"),
+        (coalesce(col("hits"), lit(0L)) / 5.0).as("recall5"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q104Sql: String =
+    """WITH sc AS (
+      |  SELECT max(list_aggregate(
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max'))
+      |    AS scale
+      |  FROM embeddings),
+      |quant AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> floor(x / sc.scale * 127)) AS qv
+      |  FROM embeddings, sc),
+      |qn AS (
+      |  SELECT vec_id, e, qv,
+      |    sqrt(list_dot_product(qv, qv)) AS n FROM quant),
+      |sims AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    list_dot_product(q.qv, c.qv) / (q.n * c.n) AS qcos,
+      |    list_dot_product(q.e, c.e) /
+      |      (sqrt(list_dot_product(q.e, q.e)) *
+      |       sqrt(list_dot_product(c.e, c.e))) AS cos
+      |  FROM qn q, qn c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+      |ranked AS (
+      |  SELECT q_id, c_id, qcos,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY qcos DESC, c_id) AS qrn,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, c_id) AS ern
+      |  FROM sims),
+      |recall AS (
+      |  SELECT q_id, count(*) AS hits FROM ranked
+      |  WHERE qrn <= 5 AND ern <= 5 GROUP BY q_id)
+      |SELECT r.q_id, CAST(r.qrn AS BIGINT) AS rn, r.c_id,
+      |  round(r.qcos, 4) AS qcos,
+      |  coalesce(rc.hits, 0) / 5.0 AS recall5
+      |FROM ranked r LEFT JOIN recall rc USING (q_id)
+      |WHERE r.qrn <= 5
+      |ORDER BY r.q_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
@@ -508,6 +605,7 @@ object Similarity {
     "q63_embedding_neardup_p8" -> (q63EmbeddingNearDupP8 _),
     "q65_ann_lsh_multitable" -> (q65AnnLshMultiTable _),
     "q66_ann_ivf_nprobe2" -> (q66AnnIvfNprobe2 _),
+    "q104_quantized_topk" -> (q104QuantizedTopk _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -520,5 +618,6 @@ object Similarity {
     "q63_embedding_neardup_p8" -> q63Sql,
     "q65_ann_lsh_multitable" -> q65Sql,
     "q66_ann_ivf_nprobe2" -> q66Sql,
+    "q104_quantized_topk" -> q104Sql,
   )
 }
