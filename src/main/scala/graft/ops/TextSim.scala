@@ -1053,6 +1053,161 @@ object TextSim {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ─── q105: incremental dedup — new batch vs existing corpus ───────────
+  // The continuous-crawl shape: a NEW batch is admitted only if it is not
+  // a near-dup of anything in the EXISTING corpus. Same banded-MinHash
+  // machinery as q45, but the join is cross-set (new ⋈ corpus on band
+  // key), never corpus ⋈ corpus — so per-run cost is ∝ |batch|, not
+  // |corpus|. At 100 TB the corpus's (band_id, band_key, doc_id) index
+  // and shingle store are PRECOMPUTED once and persisted (bucketed by
+  // band_key, so the candidate probe is a co-located join); only the
+  // incoming batch is tokenized per run. Fixture: batch = unseen docs
+  // (every 5th, re-keyed) ∪ planted near-dup copies of corpus docs
+  // (rejected by construction); census per lang is the contract, and
+  // TextSimSpec asserts exact planted-set rejection.
+  /** Per-doc admission decisions for the new batch — (doc_id, lang,
+    * is_rejected). Exposed so TextSimSpec can assert exact planted-set
+    * rejection; q105 aggregates it into the per-lang census.
+    */
+  private[graft] def incrementalDedupDecisions(
+      s: SparkSession, d: String): DataFrame = {
+    val k = DefaultK; val b = DefaultB; val r = k / b
+    val base = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = base.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fresh = base.where(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 400000).as("doc_id"), col("lang"), col("text"))
+    val planted = corpus.where(pmod(col("doc_id"), lit(15)) === 1)
+      .select((col("doc_id") + 500000).as("doc_id"), col("lang"),
+              concat(col("text"), lit(" zzz extra tail")).as("text"))
+    val newBatch = fresh.unionByName(planted)
+    // one tokenizer pass over both sides, side-tagged; cached because the
+    // shingle sets feed the signatures AND both verification joins (the
+    // q45 lifecycle: caller releases via clearCache)
+    val sh = corpus.withColumn("side", lit(0))
+      .unionByName(newBatch.withColumn("side", lit(1)))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("side"), col("doc_id"), col("lang"),
+              shingles(col("toks")).as("sh"))
+      .cache()
+    val sigs = sh.withColumn("sigsArr",
+      graft.expr.MinHashFunctions.minhash_sigs(col("sh"), k))
+    def sig(j: Int): Column = col("sigsArr").getItem(j)
+    val banded = (0 until b).foldLeft(sigs) { (df, i) =>
+      df.withColumn(s"band$i",
+        md5(concat((0 until r).map(j => sig(r * i + j)): _*)))
+    }
+    val bands = banded.select(col("side"), col("doc_id"),
+        posexplode(array((0 until b).map(i => col(s"band$i")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    val cand = bands.where(col("side") === 1).as("n")
+      .join(bands.where(col("side") === 0).as("c"),
+        col("n.band_id") === col("c.band_id") &&
+        col("n.band_key") === col("c.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double")
+    val rejected = cand
+      .join(sh.where(col("side") === 1)
+        .select(col("doc_id").as("new_id"), col("sh").as("sa")), Seq("new_id"))
+      .join(sh.where(col("side") === 0)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sb")),
+        Seq("corpus_id"))
+      .where(jac >= 0.6)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("nm"))
+    newBatch.join(rejected, newBatch("doc_id") === rejected("new_id"), "left")
+      .select(col("doc_id"), col("lang"),
+              col("new_id").isNotNull.as("is_rejected"))
+  }
+
+  def q105IncrementalDedup(s: SparkSession, d: String): DataFrame =
+    incrementalDedupDecisions(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+           count(when(col("is_rejected"), lit(1))).as("n_rejected"),
+           count(when(!col("is_rejected"), lit(1))).as("n_admitted"))
+      .orderBy(col("lang"))
+
+  val q105Sql: String = {
+    val k = DefaultK; val b = DefaultB; val r = k / b
+    val nDigests = (k + 3) / 4
+    val toksE = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    val digestCols = (0 until nDigests).map(m =>
+      s"list_transform(sh, x -> md5('$m:' || x)) AS h$m").mkString(",\n    ")
+    val sigCols = (0 until k).map { j =>
+      val src = s"h${j / 4}"
+      val off = (j % 4) * 8 + 1
+      s"list_aggregate(list_transform($src, h -> substring(h, $off, 8)), 'min') AS sig$j"
+    }.mkString(",\n    ")
+    val bandCols = (0 until b).map { i =>
+      val cat = (0 until r).map(j => s"sig${r * i + j}").mkString(" || ")
+      s"md5($cat) AS band$i"
+    }.mkString(",\n    ")
+    val bandArray = (0 until b).map(i => s"band$i").mkString("[", ", ", "]")
+    val bandIdx = (0 until b).mkString("[", ",", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+       |newbatch AS (
+       |  SELECT doc_id + 400000 AS doc_id, lang, text
+       |  FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 500000, lang, text || ' zzz extra tail'
+       |  FROM corpus WHERE doc_id % 15 = 1),
+       |tagged AS (
+       |  SELECT 0 AS side, doc_id, lang, text FROM corpus
+       |  UNION ALL
+       |  SELECT 1, doc_id, lang, text FROM newbatch),
+       |shingled AS (
+       |  SELECT side, doc_id, lang,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [] END AS sh
+       |  FROM (SELECT side, doc_id, lang, $toksE AS toks FROM tagged)),
+       |hashed AS (
+       |  SELECT side, doc_id, sh,
+       |    $digestCols
+       |  FROM shingled),
+       |sigs AS (
+       |  SELECT side, doc_id, sh,
+       |    $sigCols
+       |  FROM hashed),
+       |banded AS (
+       |  SELECT side, doc_id, sh,
+       |    $bandCols
+       |  FROM sigs),
+       |bands AS (
+       |  SELECT side, doc_id, u.i AS band_id, $bandArray[u.i + 1] AS band_key
+       |  FROM banded, unnest($bandIdx) AS u(i)),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM (SELECT * FROM bands WHERE side = 1) n
+       |  JOIN (SELECT * FROM bands WHERE side = 0) c
+       |    ON n.band_id = c.band_id AND n.band_key = c.band_key),
+       |rejected AS (
+       |  SELECT new_id FROM cand
+       |  JOIN (SELECT doc_id, sh FROM shingled WHERE side = 1) ns
+       |    ON ns.doc_id = cand.new_id
+       |  JOIN (SELECT doc_id, sh FROM shingled WHERE side = 0) cs
+       |    ON cs.doc_id = cand.corpus_id
+       |  WHERE len(list_intersect(ns.sh, cs.sh)) * 1.0
+       |      / len(list_distinct(ns.sh || cs.sh)) >= 0.6
+       |  GROUP BY new_id),
+       |decided AS (
+       |  SELECT nb.lang, nb.doc_id,
+       |    (rejected.new_id IS NOT NULL) AS is_rej
+       |  FROM newbatch nb LEFT JOIN rejected ON nb.doc_id = rejected.new_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+       |  CAST(sum(CASE WHEN is_rej THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rejected,
+       |  CAST(sum(CASE WHEN is_rej THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_admitted
+       |FROM decided
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   // ─── q103: count-min-sketch heavy hitters (frequency at 100 TB) ───────
   // Completes the sketch family (HLL=q28, approx_percentile=q96/q99,
   // Bloom=q101): per-token frequency estimation from a FIXED-SIZE
@@ -1118,6 +1273,7 @@ object TextSim {
     "q100_span_dedup" -> (q100SpanDedup _),
     "q101_bloom_span_dedup" -> (q101BloomSpanDedup _),
     "q103_cms_heavy_hitters" -> (q103CmsHeavyHitters _),
+    "q105_incremental_dedup" -> (q105IncrementalDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1136,5 +1292,6 @@ object TextSim {
     "q100_span_dedup" -> q100Sql,
     "q101_bloom_span_dedup" -> q101Sql,
     "q103_cms_heavy_hitters" -> q103Sql,
+    "q105_incremental_dedup" -> q105Sql,
   )
 }

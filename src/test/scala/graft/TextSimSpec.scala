@@ -224,4 +224,46 @@ class TextSimSpec extends SparkSpec {
       assert(math.abs(ap - np) <= math.max(4, 0.05 * np), s"$k parts: $ap vs $np")
     }
   }
+
+  test("incremental dedup rejects every planted near-dup, admits fresh docs") {
+    val decisions = TextSim.incrementalDedupDecisions(spark, sfDir)
+      .select($"doc_id", $"is_rejected").as[(Long, Boolean)].collect()
+    // every planted copy (id >= 500000, a corpus doc + 3-token tail) must
+    // band-collide with its source and fail the Jaccard gate
+    val planted = decisions.filter(_._1 >= 500000)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, rej) =>
+      assert(rej, s"planted near-dup $id was admitted") }
+    // fresh docs (400000 <= id < 500000) may still hit NATURAL near-dups
+    // (the synthetic corpus has some: e.g. docs 45 and 487 share Jaccard
+    // 0.96), so rejection isn't forbidden — but every rejection must be
+    // JUSTIFIED: a brute-force exact-Jaccard scan must find a corpus doc
+    // at >= 0.6 for each rejected fresh id (no false positives survive
+    // the verification gate).
+    val fresh = decisions.filter(d => d._1 >= 400000 && d._1 < 500000)
+    assert(fresh.nonEmpty)
+    assert(fresh.count(!_._2) > fresh.count(_._2),
+      "most fresh docs should be admitted")
+    val rejectedFresh = fresh.filter(_._2).map(_._1 - 400000).toSet
+    if (rejectedFresh.nonEmpty) {
+      def shingleSet(toks: Seq[String]): Set[String] =
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      val all = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+        .map { case (id, t) =>
+          id -> shingleSet(t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq) }
+      val corpus = all.filter(_._1 % 5 != 0)
+      val byId = all.toMap
+      rejectedFresh.foreach { srcId =>
+        val sh = byId(srcId)
+        val best = corpus.iterator.map { case (_, cs) =>
+          if (sh.isEmpty && cs.isEmpty) 0.0
+          else (sh & cs).size.toDouble / (sh | cs).size }.max
+        assert(best >= 0.6,
+          s"fresh doc $srcId rejected but best corpus Jaccard is $best")
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
