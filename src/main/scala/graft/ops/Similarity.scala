@@ -542,18 +542,20 @@ object Similarity {
       .orderBy(col("qcos").desc, col("c_id"))
     val wE = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
-    val ranked = joined
+    // a row with qrn≤5 AND ern≤5 is an id in both top-5 sets; counting
+    // them as a THIRD window over the same q_id partitioning keeps the
+    // whole query one exchange + sorts — a separate groupBy-and-rejoin
+    // recomputed the entire join+window pipeline twice (plan-audited).
+    joined
       .withColumn("qrn", row_number().over(wQ))
       .withColumn("ern", row_number().over(wE))
-    // a row with qrn≤5 AND ern≤5 is an id in both top-5 sets
-    val recall = ranked
-      .where(col("qrn") <= 5 && col("ern") <= 5)
-      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-    ranked.where(col("qrn") <= 5)
-      .join(broadcast(recall), Seq("q_id"), "left")
+      .withColumn("hits",
+        sum(when(col("qrn") <= 5 && col("ern") <= 5, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("q_id"))))
+      .where(col("qrn") <= 5)
       .select(col("q_id"), col("qrn").cast("long").as("rn"), col("c_id"),
         round(col("qcos"), 4).as("qcos"),
-        (coalesce(col("hits"), lit(0L)) / 5.0).as("recall5"))
+        (col("hits") / 5.0).as("recall5"))
       .orderBy(col("q_id"), col("rn"))
   }
 
