@@ -66,6 +66,30 @@ object Streaming {
     df.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup: the continuous-ingest twin of the batch
+    * SimHash family (q46/q68). The doc's 32-bit SimHash fingerprint is a
+    * STATELESS projection (native codegen expression — no explode, no
+    * aggregation), so the only stateful operator is the bounded dedup on
+    * the fingerprint: state is one 32-bit key per distinct fingerprint
+    * inside the watermark horizon, evicted past it — O(docs-in-window)
+    * memory on an unbounded stream. Near-identical docs collide on the
+    * exact fingerprint with high probability (each differing token can
+    * flip a bit-sum only near zero); docs differing beyond near-dup
+    * distance virtually never do. The trade vs batch q68: no banded
+    * hamming join (streaming state lookups are exact-key), so recall is
+    * fingerprint-exact only — the right first gate in front of a
+    * periodic batch near-dup compaction. Expects (doc_id, ts, text).
+    */
+  def nearDupDedupStream(df: DataFrame): DataFrame =
+    df.withColumn("toks",
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+      .where(size(col("toks")) > 0)
+      .withColumn("simhash",
+        graft.expr.SimHashFunctions.simhash_bits(col("toks")))
+      .drop("toks")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Upsert-stream ≡ O13 (user_course_activity.py:73–102 as a stream):
     * keep the latest value per key in `GroupState`, emit only when the key
     * advances — the streaming form of latest-wins merge. State is one

@@ -3,6 +3,7 @@ package graft
 import graft.ops.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.{filter, lower, split}
 
 /** top-level so Spark can derive an encoder without an outer scope. */
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
@@ -10,6 +11,9 @@ final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Do
 /** Ev + user_id, for the keyed stream-stream join. */
 final case class EvU(event_id: Long, ts: Timestamp, event_type: String,
                      value: Double, user_id: Long)
+
+/** Document stream row, for the streaming near-dup dedup. */
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 /** True Structured Streaming semantics that no SQL oracle can check
   * (SURVEY §5.2 / §7.3 "Streaming oracle gap"): watermark-driven late-data
@@ -243,6 +247,41 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((ts(0), 2L, 3.0)),
         s"hour-0 window wrong or missing: $rows")
       assert(!rows.exists(_._3 == 103.0), "late event leaked into a final window")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup dedup suppresses a SimHash-colliding doc across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // long repetitive base text with an ODD distinct-token count: every
+    // SimHash bit-sum is 20·(odd integer), magnitude ≥ 20 — an even
+    // count allows 3-vs-3 hash splits where the sum is 0 and a one-token
+    // tail decides the bit. Here the tail cannot flip any bit: the
+    // near-dup collides on the exact fingerprint by construction.
+    val base = ("alpha beta gamma delta epsilon zeta eta " * 20).trim
+    val nearDup = base + " zzz"
+    val other = ("one two three four five six seven eight nine " * 15).trim
+    // precondition: the planted pair really shares a fingerprint, and the
+    // distinct doc doesn't (computed via the same native expression)
+    val fps = Seq(base, nearDup, other).toDF("text")
+      .select(graft.expr.SimHashFunctions.simhash_bits(
+        filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "")).as("fp"))
+      .as[String].collect()
+    assert(fps(0) === fps(1), "planted near-dup must share the fingerprint")
+    assert(fps(0) !== fps(2), "distinct doc must differ")
+    val in = MemoryStream[Doc]
+    val q = Streaming.nearDupDedupStream(in.toDF())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1, ts(1), base), Doc(2, ts(2), other))
+      q.processAllAvailable()
+      in.addData(Doc(3, ts(3), nearDup),
+                 Doc(4, ts(4), "completely unrelated fresh content here"))
+      q.processAllAvailable()
+      val ids = spark.table("neardup").select($"doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 4L),
+        s"near-dup 3 should be suppressed, got $ids")
     } finally q.stop()
   }
 
