@@ -591,7 +591,64 @@ object Warehouse {
       |FROM spine LEFT JOIN monthly ON spine.month = monthly.month
       |ORDER BY spine.month""".stripMargin
 
+  // ─── q106: incremental aggregation via mergeable partial state ────────
+  // The never-rescan-history pattern every daily 100 TB pipeline runs:
+  // keep a STORED partial-aggregate table (one row per group: count, sum,
+  // min, max, HLL user sketch — all MERGEABLE states, the same property
+  // that makes map-side combine work), aggregate only the day's delta,
+  // and merge. Compute is ∝ |delta|, not |history|. Here both sides are
+  // derived from the events table split at a cutoff date (the fixture
+  // stand-in for "stored partials + today's load"); the DuckDB oracle
+  // aggregates the WHOLE table from scratch, so the hash match proves
+  // merge-associativity of every state, and the HLL union's estimate is
+  // bound-checked against the exact distinct count (the q28 pattern;
+  // lgK=12 ⇒ rsd ≈ 1.6%, 5% ≈ 3σ).
+  def q106IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val cutoff = lit("2024-01-25").cast("date")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value")).as("sv"),
+             min(col("value")).as("mn"),
+             max(col("value")).as("mx"),
+             hll_sketch_agg(col("user_id"), lit(12)).as("hll"))
+    val hist  = partials(ev.where(col("ts") < cutoff))
+    val delta = partials(ev.where(col("ts") >= cutoff))
+    val merged = hist.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+           sum(col("sv")).as("sum_raw"),
+           min(col("mn")).as("min_v"),
+           max(col("mx")).as("max_v"),
+           hll_union_agg(col("hll")).as("hllm"))
+    val exactUsers = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    merged.join(broadcast(exactUsers), Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sum_raw"), 2).as("sum_value"),
+        round(col("min_v"), 2).as("min_value"),
+        round(col("max_v"), 2).as("max_value"),
+        col("n_users"),
+        (abs(hll_sketch_estimate(col("hllm")) - col("n_users")) <=
+          greatest(col("n_users") * 0.05, lit(4.0))).as("hll_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val q106Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 2) AS sum_value,
+      |  round(min(value), 2) AS min_value,
+      |  round(max(value), 2) AS max_value,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  TRUE AS hll_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_incremental_agg" -> (q106IncrementalAgg _),
     "q94_full_outer"       -> (q94FullOuter _),
     "q95_date_spine"       -> (q95DateSpine _),
     "q89_constraint_audit" -> (q89ConstraintAudit _),
@@ -606,6 +663,7 @@ object Warehouse {
     "q96_approx_percentiles" -> (q96ApproxPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q106_incremental_agg" -> q106Sql,
     "q94_full_outer"       -> q94Sql,
     "q95_date_spine"       -> q95Sql,
     "q89_constraint_audit" -> q89Sql,
