@@ -193,4 +193,32 @@ class PlansSpec extends SparkSpec {
       .select($"k", $"rt").as[(Long, Option[Long])].collect().toSet
     assert(got === Set((1L, None), (2L, None)))
   }
+
+  test("windowed top-k plans a partial WindowGroupLimit below the exchange " +
+       "(two-phase top-k)") {
+    // Every "per-shard top-k becomes two-phase at 100 TB" note in the
+    // repo leans on Spark planning rank-limit windows as
+    // WindowGroupLimit(Partial) BEFORE the hash exchange (each map task
+    // keeps its own k candidates) and Final after — so the shuffle
+    // carries ≤ k rows per partition per task, not the corpus. Pin that
+    // contract on the canonical window top-k (q11) and the A-ES weighted
+    // sample (q102).
+    Seq(
+      "q11" -> graft.ops.Windows.q11TopOrdersPerCustomer(spark, sfDir),
+      "q102" -> graft.ops.Corpus.q102WeightedSample(spark, sfDir)
+    ).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val lines = plan.linesIterator.toVector
+      val partialIdx = lines.indexWhere(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial"))
+      assert(partialIdx >= 0, s"$name: no partial WindowGroupLimit:\n$plan")
+      // parents print above children: an Exchange ABOVE the partial limit
+      // means the limit runs map-side, before the shuffle
+      val exchangeAbove = lines.take(partialIdx).exists(_.contains("Exchange"))
+      assert(exchangeAbove,
+        s"$name: partial WindowGroupLimit is not below an exchange:\n$plan")
+    }
+  }
 }
