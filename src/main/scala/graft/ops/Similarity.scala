@@ -597,6 +597,138 @@ object Similarity {
       |WHERE r.qrn <= 5
       |ORDER BY r.q_id, rn""".stripMargin
 
+  // ─── q111: product quantization (PQ) top-k + recall census ───────────
+  // The OTHER 100 TB ANN memory lever, complementing q104's scalar
+  // quantization: split the 64-d space into M=8 subspaces, learn a small
+  // per-subspace codebook (here: the per-label centroids' slices — one
+  // k-means-style assignment, same seeding as IVF q59), and store each
+  // corpus vector as 8 codebook ids — 8 bytes instead of 256, a 32×
+  // compression that beats int8's 4× (Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011). Distances are
+  // asymmetric (ADC): the query keeps full precision and precomputes an
+  // M×K table of subspace distances to every code; each candidate costs M
+  // table lookups, no float math per pair.
+  //
+  // Scale shape: the codebook is ~K·DIM doubles — broadcast; corpus
+  // ENCODING is map-side (argmin over the broadcast codebook inside a
+  // projection — the corpus never shuffles to be encoded, same rule as
+  // IVF assignment); the ADC tables ride the broadcast query side; the
+  // only corpus exchange is the final per-query top-k window (two-phase
+  // WindowGroupLimit, as q104). Cross-engine determinism: centroids are
+  // rounded to 6dp BEFORE use so both engines encode from identical
+  // literals; d² is always the 3-dot form dot(a,a)−2·dot(a,b)+dot(b,b)
+  // (zip_with+aggregate ≡ list_dot_product, both left-to-right, the q104
+  // precedent); argmin ranks on (round(d²,6), cid) and ADC ranks on
+  // (round(adc,4), c_id) so every ordering the two engines compare is
+  // over identical rounded values with a unique tiebreak.
+  private val PqM = 8           // subspaces
+  private val PqSub = DIM / PqM // dims per subspace
+
+  def q111PqTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    // codebook: per-label 64-d centroid (6dp); subspace codebooks are its
+    // slices. Sorted by cid so list POSITION i ↔ code i (labels are 0..9
+    // dense), letting ADC lookups index by code.
+    val cents = emb.groupBy(col("label"))
+      .agg(array((1 to DIM).map(i =>
+        round(avg(element_at(col("e"), i)), 6)): _*).as("carr"))
+      .select(col("label").cast("int").as("cid"), col("carr"))
+    val centsRow = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("carr")))).as("cents")))
+    def sub(v: Column, sC: Column): Column =
+      slice(v, sC * lit(PqSub) + lit(1), lit(PqSub))
+    def d2(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val withCents = emb.crossJoin(centsRow)
+    val corpus = withCents.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"),
+        transform(sequence(lit(0), lit(PqM - 1)), sC =>
+          element_at(array_sort(transform(col("cents"), c =>
+            struct(round(d2(sub(col("e"), sC), sub(c("carr"), sC)), 6)
+                     .as("dd"),
+                   c("cid").as("cid")))), 1)("cid")).as("codes"))
+    val queriesQ = withCents.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        transform(sequence(lit(0), lit(PqM - 1)), sC =>
+          transform(col("cents"), c =>
+            d2(sub(col("e"), sC), sub(c("carr"), sC)))).as("qtab"))
+    val adcCol = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, sC) => acc + col("qtab")(sC)(col("codes")(sC)))
+    val joined = corpus.join(broadcast(queriesQ))
+      .select(col("q_id"), col("c_id"), adcCol.as("adc"),
+        d2(col("qe"), col("ce")).as("ed2"))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("adc"), 4).asc, col("c_id"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("ed2").asc, col("c_id"))
+    joined
+      .withColumn("qrn", row_number().over(wQ))
+      .withColumn("ern", row_number().over(wE))
+      .withColumn("hits",
+        sum(when(col("qrn") <= 5 && col("ern") <= 5, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("q_id"))))
+      .where(col("qrn") <= 5)
+      .select(col("q_id"), col("qrn").cast("long").as("rn"), col("c_id"),
+        round(col("adc"), 4).as("adc_d2"),
+        (col("hits") / 5.0).as("recall5"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q111Sql: String = {
+    val centArr = (1 to DIM)
+      .map(i => s"round(avg(e[$i]), 6)").mkString("[", ", ", "]")
+    def dd(a: String, b: String) =
+      s"""list_dot_product($a, $a) - 2*list_dot_product($a, $b)
+         |      + list_dot_product($b, $b)""".stripMargin
+    def sl(v: String, sRef: String) =
+      s"$v[($sRef*$PqSub+1):($sRef*$PqSub+$PqSub)]"
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (
+       |  SELECT CAST(label AS INT) AS cid, $centArr AS carr
+       |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings)
+       |  GROUP BY label),
+       |subs AS (SELECT CAST(s AS INT) AS s FROM range($PqM) t(s)),
+       |enc AS (
+       |  SELECT vec_id, s, cid, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY round(dd, 6), cid) AS arn
+       |  FROM (
+       |    SELECT m.vec_id, sub.s, c.cid,
+       |      ${dd(sl("m.e", "sub.s"), sl("c.carr", "sub.s"))} AS dd
+       |    FROM emb m, subs sub, cents c WHERE m.vec_id >= 5)),
+       |codes AS (SELECT vec_id, s, cid AS code FROM enc WHERE arn = 1),
+       |adc AS (
+       |  SELECT q_id, c_id, sum(term) AS adc FROM (
+       |    SELECT q.vec_id AS q_id, k.vec_id AS c_id, k.s,
+       |      ${dd(sl("q.e", "k.s"), sl("c.carr", "k.s"))} AS term
+       |    FROM emb q, codes k, cents c
+       |    WHERE q.vec_id < 5 AND c.cid = k.code)
+       |  GROUP BY q_id, c_id),
+       |exact AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    list_dot_product(q.e, q.e) - 2*list_dot_product(q.e, c.e)
+       |      + list_dot_product(c.e, c.e) AS ed2
+       |  FROM emb q, emb c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |ranked AS (
+       |  SELECT a.q_id, a.c_id, a.adc,
+       |    row_number() OVER (PARTITION BY a.q_id
+       |      ORDER BY round(a.adc, 4), a.c_id) AS qrn,
+       |    row_number() OVER (PARTITION BY a.q_id
+       |      ORDER BY x.ed2, a.c_id) AS ern
+       |  FROM adc a JOIN exact x USING (q_id, c_id)),
+       |recall AS (
+       |  SELECT q_id, count(*) AS hits FROM ranked
+       |  WHERE qrn <= 5 AND ern <= 5 GROUP BY q_id)
+       |SELECT r.q_id, CAST(r.qrn AS BIGINT) AS rn, r.c_id,
+       |  round(r.adc, 4) AS adc_d2,
+       |  coalesce(rc.hits, 0) / 5.0 AS recall5
+       |FROM ranked r LEFT JOIN recall rc USING (q_id)
+       |WHERE r.qrn <= 5
+       |ORDER BY r.q_id, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
@@ -608,6 +740,7 @@ object Similarity {
     "q65_ann_lsh_multitable" -> (q65AnnLshMultiTable _),
     "q66_ann_ivf_nprobe2" -> (q66AnnIvfNprobe2 _),
     "q104_quantized_topk" -> (q104QuantizedTopk _),
+    "q111_pq_topk"        -> (q111PqTopk _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -621,5 +754,6 @@ object Similarity {
     "q65_ann_lsh_multitable" -> q65Sql,
     "q66_ann_ivf_nprobe2" -> q66Sql,
     "q104_quantized_topk" -> q104Sql,
+    "q111_pq_topk"        -> q111Sql,
   )
 }

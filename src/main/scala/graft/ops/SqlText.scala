@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface operators that need dedicated engine machinery beyond what
+  * the q79 subquery family already exercises: recursive CTEs (iterative
+  * `UnionLoop` execution), VARIANT semi-structured shredding, and
+  * correlated LATERAL subqueries. The reference delegates all ad-hoc
+  * querying to SQL over its warehouse schema (README.md:156–163,
+  * course_catalog_database.sql:90–106); these are the three SQL features a
+  * consumer of such a schema reaches for that simple view-over-join SQL
+  * cannot express — hierarchy walks, schema-on-read JSON, and per-row
+  * correlated top-k.
+  *
+  * All three run through the SQL text entry (temp views, the q79 pattern)
+  * because the features ARE SQL surface: the point is that the engine's
+  * parser/analyzer/optimizer handles them, not a DataFrame re-encoding.
+  */
+object SqlText {
+
+  /** Register prefixed temp views, run the text, drop the views. Analysis
+    * resolves views into the plan eagerly, so the returned frame survives
+    * the drop (same lifecycle note as q79).
+    */
+  private def viaViews(s: SparkSession, text: String,
+                       views: (String, DataFrame)*): DataFrame = {
+    views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    try s.sql(text)
+    finally views.foreach { case (n, _) => s.catalog.dropTempView(n) }
+  }
+
+  // ─── q107: recursive CTE — hierarchy walk via iterative UnionLoop ────
+  // WITH RECURSIVE over a synthetic containment hierarchy on customer
+  // (parent(ck) = floor(ck/10); single-digit keys are roots): the anchor
+  // seeds the 9 roots, each recursive step joins the frontier against the
+  // child relation, and every row carries (root, depth) provenance. Spark
+  // 4 executes this as `UnionLoop` — a driver-coordinated loop of
+  // frontier-join-frontier steps, each a normal Catalyst-planned join —
+  // with `spark.sql.cteRecursionLevelLimit` bounding runaway recursion.
+  //
+  // 100 TB notes: each iteration is ONE join of the current frontier
+  // against the edge table — the edge side partitions once on the join
+  // key and can be bucketed/cached across steps; the frontier is
+  // per-level (not cumulative) so a D-level hierarchy costs D bounded
+  // joins, and broadcast kicks in automatically when a frontier level
+  // shrinks under the threshold. Depth here is 3 (1500 keys, /10 fanout);
+  // warehouse hierarchies (org charts, BOM, category trees) are O(10)
+  // deep, far under the level limit.
+  private def q107Text(cust: String) =
+    s"""WITH RECURSIVE hier AS (
+       |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth, c_acctbal
+       |  FROM $cust WHERE c_custkey < 10
+       |  UNION ALL
+       |  SELECT c.c_custkey, h.root, h.depth + 1, c.c_acctbal
+       |  FROM $cust c JOIN hier h
+       |    ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = h.node
+       |  WHERE c.c_custkey >= 10)
+       |SELECT CAST(depth AS INT) AS depth,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+       |  round(sum(c_acctbal), 2) AS acctbal
+       |FROM hier
+       |GROUP BY depth
+       |ORDER BY depth""".stripMargin
+
+  def q107RecursiveHierarchy(s: SparkSession, d: String): DataFrame =
+    viaViews(s, q107Text("graft_q107_customer"),
+      "graft_q107_customer" -> customer(s, d))
+
+  val q107Sql: String = q107Text("customer")
+
+  // ─── q108: VARIANT — schema-on-read shredding of semi-structured JSON ─
+  // The Spark 4 VARIANT type is the schema-on-read path the reference's
+  // JSON ingest (course_catalog.py:187) implies but its fixed-DDL schema
+  // forecloses: `parse_json` stores the document as a binary-encoded
+  // variant (no schema declared at ingest), `variant_get` extracts typed
+  // paths at query time. Built here from `documents` so both engines
+  // construct the IDENTICAL json text; rows where doc_id % 97 = 13 are
+  // corrupted before parse, so the malformed-input path (`try_parse_json`
+  // → NULL → '_invalid' bucket) is ON the oracle-checked path, not a
+  // side assertion.
+  //
+  // 100 TB notes: variant parse + path extraction are per-row projections
+  // (no shuffle); the single shuffle is the census group-by. Variant's
+  // binary encoding pushes shredded-path pruning into the scan when the
+  // source is parquet-with-variant, so "extract 2 paths from 10 KB docs"
+  // reads bytes proportional to the paths, not the docs.
+  private def q108Text(docs: String) =
+    s"""WITH payload AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 97 = 13 THEN '{"doc": <oops'
+       |         ELSE concat('{"doc":{"id":', CAST(doc_id AS STRING),
+       |                     ',"lang":"', lang, '"},"stats":{"n_chars":',
+       |                     CAST(n_chars AS STRING), '},"tags":["', source,
+       |                     '"]}')
+       |    END AS body
+       |  FROM $docs),
+       |shredded AS (
+       |  SELECT doc_id,
+       |    try_parse_json(body) AS v
+       |  FROM payload)
+       |SELECT
+       |  coalesce(variant_get(v, '$$.doc.lang', 'string'), '_invalid') AS lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(variant_get(v, '$$.stats.n_chars', 'long')) AS BIGINT)
+       |    AS sum_chars,
+       |  CAST(count(DISTINCT variant_get(v, '$$.tags[0]', 'string')) AS BIGINT)
+       |    AS n_sources
+       |FROM shredded
+       |GROUP BY 1
+       |ORDER BY lang""".stripMargin
+
+  def q108VariantShred(s: SparkSession, d: String): DataFrame =
+    viaViews(s, q108Text("graft_q108_documents"),
+      "graft_q108_documents" -> documents(s, d))
+
+  // DuckDB twin: identical payload construction; JSON functions replace
+  // variant_get, with explicit json_valid guarding the malformed rows
+  // (DuckDB's json_extract THROWS on malformed input where Spark's
+  // try_parse_json yields NULL).
+  val q108Sql: String =
+    """WITH payload AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 13 THEN '{"doc": <oops'
+      |         ELSE concat('{"doc":{"id":', CAST(doc_id AS VARCHAR),
+      |                     ',"lang":"', lang, '"},"stats":{"n_chars":',
+      |                     CAST(n_chars AS VARCHAR), '},"tags":["', source,
+      |                     '"]}')
+      |    END AS body
+      |  FROM documents),
+      |shredded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN json_valid(body) THEN body ELSE NULL END AS v
+      |  FROM payload)
+      |SELECT
+      |  coalesce(json_extract_string(v, '$.doc.lang'), '_invalid') AS lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CAST(json_extract(v, '$.stats.n_chars') AS BIGINT))
+      |       AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT json_extract_string(v, '$.tags[0]')) AS BIGINT)
+      |    AS n_sources
+      |FROM shredded
+      |GROUP BY 1
+      |ORDER BY lang""".stripMargin
+
+  // ─── q110: correlated LATERAL subquery — per-row top-k as SQL ─────────
+  // `FROM cust c, LATERAL (SELECT ... WHERE o_custkey = c.c_custkey ORDER
+  // BY ... LIMIT 2)`: the lateral body references the outer row, so naive
+  // execution is a per-row re-run. Catalyst decorrelates it
+  // (DecorrelateInnerQuery introduces a DomainJoin; the per-group LIMIT
+  // becomes a partitioned window filter), so the executed plan is the
+  // q11/q103 top-k-per-group shape — ONE join + ONE window, never N
+  // subquery executions. The q11 window form and this lateral form are
+  // the same operator reached from two API surfaces.
+  //
+  // 100 TB notes: post-decorrelation the plan shuffles orders once on
+  // o_custkey (window partition key, high cardinality) and joins the
+  // 2-rows-per-customer survivors — the same scale shape as q11; the
+  // WindowGroupLimit partial pass truncates each map-side partition to
+  // k rows before the exchange.
+  private def q110Text(cust: String, ord: String) =
+    s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       |FROM $cust c,
+       |LATERAL (
+       |  SELECT o_orderkey, o_totalprice FROM $ord
+       |  WHERE o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey
+       |  LIMIT 2) o
+       |WHERE c.c_custkey % 7 = 0
+       |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
+  def q110LateralTopk(s: SparkSession, d: String): DataFrame =
+    viaViews(s, q110Text("graft_q110_customer", "graft_q110_orders"),
+      "graft_q110_customer" -> customer(s, d),
+      "graft_q110_orders" -> orders(s, d))
+
+  val q110Sql: String = q110Text("customer", "orders")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_recursive_hierarchy" -> (q107RecursiveHierarchy _),
+    "q108_variant_shred"       -> (q108VariantShred _),
+    "q110_lateral_topk"        -> (q110LateralTopk _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q107_recursive_hierarchy" -> q107Sql,
+    "q108_variant_shred"       -> q108Sql,
+    "q110_lateral_topk"        -> q110Sql)
+}

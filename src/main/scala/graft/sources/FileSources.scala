@@ -122,15 +122,67 @@ object FileSources {
        |GROUP BY 1
        |ORDER BY locale""".stripMargin
 
+  // ─── q109: XML source (Spark 4 built-in StaxXmlParser) ────────────────
+  // The third fixture-authoring format after json/csv: course records as
+  // an XML document — element attributes (`id`), nested elements
+  // (`<locale><code>`), repeated rows under a rowTag. Schema-first like
+  // q55/q56: attributes surface as `_`-prefixed fields, nested elements
+  // as structs. The DuckDB twin consumes the same rows as literals (DuckDB
+  // has no XML reader — which is the point: this is engine surface).
+  val xmlRows: Seq[(Long, String, String, Long, String)] = Seq(
+    (101L, "Intro to Spark", "Beginner", 12L, "en_US"),
+    (102L, "Advanced Joins", "Expert", 30L, "en_US"),
+    (103L, "Streaming 101", "Beginner", 18L, "de_DE"),
+    (104L, "Warehouse Design", "Intermediate", 24L, "en_US"),
+    (105L, "Query Tuning", "Expert", 21L, "de_DE"),
+    (106L, "ETL Patterns", "Intermediate", 15L, "fr_FR"))
+
+  private val xmlSchema = StructType(Seq(
+    StructField("_id", LongType),
+    StructField("title", StringType),
+    StructField("level", StringType),
+    StructField("num_lectures", LongType),
+    StructField("locale", StructType(Seq(StructField("code", StringType))))))
+
+  def q109XmlSource(s: SparkSession, d: String): DataFrame = {
+    val doc = xmlRows.map { case (id, t, lv, n, loc) =>
+      s"""  <course id="$id"><title>$t</title><level>$lv</level>""" +
+        s"<num_lectures>$n</num_lectures>" +
+        s"<locale><code>$loc</code></locale></course>"
+    }.mkString("<courses>\n", "\n", "\n</courses>")
+    val path = writeFixture("courses.xml", doc)
+    s.read.option("rowTag", "course").schema(xmlSchema)
+      .format("xml").load(path)
+      .groupBy(col("level"), col("locale.code").as("locale"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("num_lectures")).cast("long").as("total_lectures"),
+           min(col("_id")).cast("long").as("first_id"))
+      .orderBy(col("level"), col("locale"))
+  }
+
+  val q109Sql: String = {
+    val values = xmlRows
+      .map { case (id, t, lv, n, loc) => s"($id, '$t', '$lv', $n, '$loc')" }
+      .mkString(", ")
+    s"""SELECT level, locale, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(num_lectures) AS BIGINT) AS total_lectures,
+       |  CAST(min(id) AS BIGINT) AS first_id
+       |FROM (VALUES $values) v(id, title, level, num_lectures, locale)
+       |GROUP BY level, locale
+       |ORDER BY level, locale""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_json_source"      -> (q55JsonSource _),
     "q56_csv_source"       -> (q56CsvSource _),
     "q57_paginated_ingest" -> (q57PaginatedIngest _),
+    "q109_xml_source"      -> (q109XmlSource _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q55_json_source"      -> q55Sql,
     "q56_csv_source"       -> q56Sql,
     "q57_paginated_ingest" -> q57Sql,
+    "q109_xml_source"      -> q109Sql,
   )
 }

@@ -146,6 +146,52 @@ class SimilaritySpec extends SparkSpec {
       s"q59 still shuffles the corpus by vec_id:\n$fullPlan")
   }
 
+  test("q111 PQ: driver-side recompute agrees bit-for-bit; encoding is map-side") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS e", "label")
+      .as[(Long, Seq[Double], Int)].collect().toSeq
+    def r(v: Double, dp: Int): Double =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (m, sub) = (8, 8)
+    val cents: Map[Int, Seq[Double]] = emb.groupBy(_._3).map { case (l, vs) =>
+      l -> (0 until 64).map(i => r(vs.map(_._2(i)).sum / vs.size, 6)).toSeq
+    }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    def sl(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * sub, s * sub + sub)
+    val corpus = emb.filter(_._1 >= 5)
+    val codes: Map[Long, Seq[Int]] = corpus.map { case (id, e, _) =>
+      id -> (0 until m).map { s =>
+        cents.toSeq.map { case (cid, c) =>
+          (r(d2(sl(e, s), sl(c, s)), 6), cid)
+        }.min._2
+      }
+    }.toMap
+    val expected = emb.filter(_._1 < 5).flatMap { case (qid, qe, _) =>
+      corpus.map { case (cid2, _, _) =>
+        val adc = (0 until m).foldLeft(0.0) { (acc, s) =>
+          acc + d2(sl(qe, s), sl(cents(codes(cid2)(s)), s))
+        }
+        (r(adc, 4), cid2)
+      }.sorted.take(5).zipWithIndex
+        .map { case ((adc, cid2), i) => (qid, (i + 1).toLong, cid2, adc) }
+    }.toSet
+    val df = Similarity.q111PqTopk(spark, sfDir)
+    val got = df.select($"q_id", $"rn", $"c_id", $"adc_d2")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // encoding stays map-side: the corpus is never hashed on its own id —
+    // its only exchange is the per-query top-k window (q_id)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("hashpartitioning(vec_id") &&
+           !plan.contains("hashpartitioning(c_id"),
+      s"corpus shuffled for PQ encoding:\n$plan")
+  }
+
   test("embedding near-dup: planted-pair recall holds as plane count scales 4 -> 8") {
     val planted = Tables.embeddings(spark, sfDir)
       .where(pmod($"vec_id", lit(50)) === 0)

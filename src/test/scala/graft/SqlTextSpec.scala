@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.SqlText
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The Spark-4 SQL-surface operators (recursive CTE / VARIANT / LATERAL)
+  * plus the XML source: independent recomputes of each result, and the
+  * plan shapes the operators exist for.
+  */
+class SqlTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ─── q107 recursive CTE ───────────────────────────────────────────────
+
+  test("q107 executes as UnionLoop recursion, not a hand-unrolled union") {
+    val df = SqlText.q107RecursiveHierarchy(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), s"recursion not planned:\n$plan")
+  }
+
+  test("q107 depth census matches a driver-side recursion recompute") {
+    val keyed = graft.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)].collect().toMap
+    // walk parent(ck) = floor(ck/10) until a single-digit root
+    def depth(ck: Long): Int =
+      if (ck < 10) 0 else 1 + depth(ck / 10)
+    val expected = keyed.keys.groupBy(depth).map { case (dep, ks) =>
+      (dep, ks.size.toLong, BigDecimal(ks.map(keyed).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = SqlText.q107RecursiveHierarchy(spark, sfDir)
+      .select($"depth", $"n_nodes", $"acctbal")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 0.02, s"acctbal at depth ${g._1}")
+    }
+    assert(got.map(_._2).sum === keyed.size.toLong) // every customer reached
+  }
+
+  // ─── q108 VARIANT shredding ───────────────────────────────────────────
+
+  test("q108 routes exactly the corrupted rows to the _invalid bucket") {
+    val expectedBad = graft.Tables.documents(spark, sfDir)
+      .where($"doc_id" % 97 === 13).count()
+    val invalid = SqlText.q108VariantShred(spark, sfDir)
+      .where($"lang" === "_invalid")
+      .select($"n_docs").as[Long].collect()
+    assert(invalid.toSeq === Seq(expectedBad))
+    assert(expectedBad > 0, "fixture must plant at least one malformed row")
+  }
+
+  test("q108 scan prunes the text column (variant built from metadata only)") {
+    val df = SqlText.q108VariantShred(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("text#"),
+      s"document text column read by a metadata-only query:\n$plan")
+    assert(!plan.contains("Generate"), s"unexpected explode:\n$plan")
+  }
+
+  // ─── q109 XML source ──────────────────────────────────────────────────
+
+  test("q109 XML read maps attributes and nested elements (schema-first)") {
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("meta",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_spec")
+    val p = dir.resolve("t.xml")
+    java.nio.file.Files.writeString(p,
+      """<rs><r id="7"><name>a</name><meta><k>x</k></meta></r>
+        |<r id="8"><name>b</name><meta><k>y</k></meta></r></rs>""".stripMargin)
+    val got = spark.read.option("rowTag", "r").schema(sch)
+      .format("xml").load(p.toString)
+      .select($"_id", $"name", $"meta.k").as[(Long, String, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got === Seq((7L, "a", "x"), (8L, "b", "y")))
+  }
+
+  test("q109 census covers all fixture rows") {
+    val res = graft.sources.FileSources.q109XmlSource(spark, sfDir)
+      .agg(sum($"n").cast("long"), sum($"total_lectures").cast("long"))
+      .as[(Long, Long)].collect().head
+    assert(res._1 === graft.sources.FileSources.xmlRows.size.toLong)
+    assert(res._2 === graft.sources.FileSources.xmlRows.map(_._4).sum)
+  }
+
+  // ─── q110 LATERAL top-k ───────────────────────────────────────────────
+
+  test("q110 decorrelates to a partial WindowGroupLimit, no loop join") {
+    val df = SqlText.q110LateralTopk(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group LIMIT not planned as a group-limit window:\n$plan")
+    assert(plan.contains("Partial"),
+      s"no map-side truncation before the exchange:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"lateral executed as a loop:\n$plan")
+  }
+
+  test("q110 matches the DataFrame window-rank formulation bit for bit") {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir)
+              .where($"c_custkey" % 7 === 0).select($"c_custkey"),
+            $"o_custkey" === $"c_custkey")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 2)
+      .select($"c_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val got = SqlText.q110LateralTopk(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
