@@ -178,13 +178,93 @@ object SqlText {
 
   val q110Sql: String = q110Text("customer", "orders")
 
+  // ─── q113: SQL-defined functions (CREATE FUNCTION … RETURN) ──────────
+  // Declarative UDFs: the body is a SQL expression the analyzer INLINES
+  // into the calling plan, so unlike JVM/Python UDFs they cost nothing —
+  // full codegen, full pushdown, no serialization boundary (SqlTextSpec
+  // asserts the plan is UDF-node-free whole-stage codegen). The
+  // reference's warehouse consumers would publish exactly these as its
+  // shared business-logic layer (net-price and quantity-tier rules).
+  // One function appears in the GROUP BY key, one inside an aggregate —
+  // the two positions a black-box UDF would poison (no partial agg
+  // pushdown); inlined, both keep the normal two-phase hash-agg plan.
+  private val q113Ddl = Seq(
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+      |  p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+      |RETURN p * (1.0 - disc) * (1.0 + tax)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(q DOUBLE)
+      |RETURNS STRING
+      |RETURN CASE WHEN q >= 40.0 THEN 'bulk'
+      |            WHEN q >= 10.0 THEN 'mid'
+      |            ELSE 'small' END""".stripMargin)
+
+  private def q113Query(li: String) =
+    s"""SELECT graft_tier(l_quantity) AS tier,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  round(sum(graft_net(l_extendedprice, l_discount, l_tax)), 2)
+       |    AS net_revenue
+       |FROM $li
+       |GROUP BY graft_tier(l_quantity)
+       |ORDER BY tier""".stripMargin
+
+  def q113SqlUdf(s: SparkSession, d: String): DataFrame = {
+    q113Ddl.foreach(s.sql(_))
+    viaViews(s, q113Query("graft_q113_lineitem"),
+      "graft_q113_lineitem" -> lineitem(s, d))
+  }
+
+  // oracle: the UDF bodies inlined by hand — what the analyzer does.
+  val q113Sql: String =
+    """SELECT CASE WHEN l_quantity >= 40.0 THEN 'bulk'
+      |            WHEN l_quantity >= 10.0 THEN 'mid'
+      |            ELSE 'small' END AS tier,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+      |    AS net_revenue
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY tier""".stripMargin
+
+  // ─── q114: SQL pipe syntax (|>) ───────────────────────────────────────
+  // The linear FROM → |> WHERE → |> EXTEND → |> AGGREGATE dialect
+  // (Spark 4's pipe-operator SQL): each |> stage consumes the previous
+  // relation, AGGREGATE emits grouping columns then aggregates. Pure
+  // parser surface — the plan is identical to the standard-SQL oracle's
+  // (SqlTextSpec asserts result equality against the classic form run
+  // through the same session).
+  private def q114Text(li: String) =
+    s"""FROM $li
+       ||> WHERE l_shipdate >= TIMESTAMP'1995-01-01 00:00:00'
+       ||> EXTEND l_extendedprice * (1.0 - l_discount) AS disc_price
+       ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+       |     round(sum(disc_price), 2) AS revenue
+       |   GROUP BY l_returnflag, l_linestatus
+       ||> ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q114PipeSyntax(s: SparkSession, d: String): DataFrame =
+    viaViews(s, q114Text("graft_q114_lineitem"),
+      "graft_q114_lineitem" -> lineitem(s, d))
+
+  val q114Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_recursive_hierarchy" -> (q107RecursiveHierarchy _),
     "q108_variant_shred"       -> (q108VariantShred _),
-    "q110_lateral_topk"        -> (q110LateralTopk _))
+    "q110_lateral_topk"        -> (q110LateralTopk _),
+    "q113_sql_udf"             -> (q113SqlUdf _),
+    "q114_pipe_syntax"         -> (q114PipeSyntax _))
 
   val oracleSql: Map[String, String] = Map(
     "q107_recursive_hierarchy" -> q107Sql,
     "q108_variant_shred"       -> q108Sql,
-    "q110_lateral_topk"        -> q110Sql)
+    "q110_lateral_topk"        -> q110Sql,
+    "q113_sql_udf"             -> q113Sql,
+    "q114_pipe_syntax"         -> q114Sql)
 }

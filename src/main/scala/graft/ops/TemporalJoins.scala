@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,15 +106,74 @@ object TemporalJoins {
   // if the oracle ever changes)
   val q93Sql: String = q10Sql
 
+  // ─── q112: interval join WITHOUT an equi-key, via bin bucketing ──────
+  // q09's range join has a natural equi-key (user_id), so Catalyst plans
+  // a hash join. When the ONLY predicate is containment (point ∈
+  // [lo, hi]) Spark plans BroadcastNestedLoopJoin — quadratic, dead at
+  // scale. The standard fix (Flink interval joins, the published
+  // range-join binning technique) is to discretize the domain into
+  // fixed-width bins sized ≥ the max interval length: each interval
+  // lands in ≤2 bins (exploded), each point in exactly 1, the join
+  // becomes a plain EQUI-join on bin id + a residual containment filter,
+  // and no pair is ever produced twice (a point has one bin). Intervals
+  // here are derived deterministically from lineitem (hi = shipdate +
+  // 1 + orderkey % 25 days < the 32-day bin), so both engines build
+  // identical inputs; the DuckDB oracle runs the NAIVE inequality join —
+  // the semantics the binned plan must reproduce exactly.
+  //
+  // 100 TB notes: the bin column is a uniform hash-partition key (time
+  // bins × data volume per bin), so the equi-join shuffles both sides
+  // once; bin width tunes the shuffle-width vs residual-filter
+  // selectivity trade. Skewed bins (hot time ranges) fall back to the
+  // q61 salting lever on the bin key.
+  private val BinDays = 32
+
+  def q112IntervalBinJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val epoch = lit("1992-01-01").cast("date")
+    def bin(c: Column): Column = floor(datediff(c, epoch) / BinDays)
+    val points = li.where(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("pd"))
+      .withColumn("bin", bin(col("pd")))
+    val ivs = li.where(col("l_orderkey") % 89 === 0)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("iv_id"),
+              col("l_shipdate").cast("date").as("lo"))
+      .withColumn("hi",
+        date_add(col("lo"), (lit(1) + col("iv_id") % 25).cast("int")))
+      .withColumn("bin", explode(sequence(bin(col("lo")), bin(col("hi")))))
+    ivs.join(points, Seq("bin"))
+      .where(col("pd").between(col("lo"), col("hi")))
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_pts"),
+           countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("iv_id"))
+  }
+
+  val q112Sql: String =
+    """SELECT i.iv_id, CAST(count(*) AS BIGINT) AS n_pts,
+      |  CAST(count(DISTINCT p.l_orderkey) AS BIGINT) AS n_orders
+      |FROM (SELECT l_orderkey*10 + l_linenumber AS iv_id,
+      |        CAST(l_shipdate AS DATE) AS lo,
+      |        CAST(l_shipdate AS DATE)
+      |          + CAST(1 + (l_orderkey*10 + l_linenumber) % 25 AS INT) AS hi
+      |      FROM lineitem WHERE l_orderkey % 89 = 0) i
+      |JOIN (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS pd
+      |      FROM lineitem WHERE l_orderkey % 97 = 0) p
+      |  ON p.pd BETWEEN i.lo AND i.hi
+      |GROUP BY i.iv_id
+      |ORDER BY i.iv_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_range_join"  -> (q09RangeJoin _),
     "q10_asof_join"   -> (q10AsOfJoin _),
     "q93_asof_native" -> (q93AsofNative _),
+    "q112_interval_bin_join" -> (q112IntervalBinJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q09_range_join"  -> q09Sql,
     "q10_asof_join"   -> q10Sql,
     "q93_asof_native" -> q93Sql,
+    "q112_interval_bin_join" -> q112Sql,
   )
 }

@@ -107,6 +107,84 @@ class SqlTextSpec extends SparkSpec {
       s"lateral executed as a loop:\n$plan")
   }
 
+  // ─── q112 binned interval join ────────────────────────────────────────
+
+  test("q112 binned join ≡ naive inequality join; only the naive plans BNLJ") {
+    val binned = graft.ops.TemporalJoins.q112IntervalBinJoin(spark, sfDir)
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val points = li.where($"l_orderkey" % 97 === 0)
+      .select($"l_orderkey", $"l_shipdate".cast("date").as("pd"))
+    val ivs = li.where($"l_orderkey" % 89 === 0)
+      .select(($"l_orderkey" * 10 + $"l_linenumber").as("iv_id"),
+              $"l_shipdate".cast("date").as("lo"))
+      .withColumn("hi", date_add($"lo", (lit(1) + $"iv_id" % 25).cast("int")))
+    val naive = ivs.join(points, $"pd".between($"lo", $"hi"))
+      .groupBy($"iv_id")
+      .agg(count(lit(1)).as("n_pts"),
+           countDistinct($"l_orderkey").as("n_orders"))
+    assert(binned.select($"iv_id", $"n_pts", $"n_orders")
+             .as[(Long, Long, Long)].collect().sorted.toSeq
+           === naive.as[(Long, Long, Long)].collect().sorted.toSeq)
+    naive.collect()
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("NestedLoop"),
+      "expected the un-binned containment join to plan as BNLJ " +
+        s"(the failure mode q112 exists to avoid):\n$naivePlan")
+    binned.collect()
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"binned form still quadratic:\n$plan")
+  }
+
+  // ─── q113 SQL UDFs ────────────────────────────────────────────────────
+
+  test("q113 SQL UDFs are inlined: no UDF node, plan stays codegen'd") {
+    val df = SqlText.q113SqlUdf(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // inlined = the BODY appears expanded inside the aggregate (the alias
+    // attribute keeps the function's name; that's fine) and no black-box
+    // UDF node exists anywhere
+    assert(plan.contains("(1.0 - disc"),
+      s"graft_net body not inlined into the aggregate:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"partial aggregation lost (black-box UDF would do this):\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"black-box UDF in plan:\n$plan")
+  }
+
+  test("SQL table function (RETURNS TABLE) evaluates through the analyzer") {
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_seq(n INT)
+        |RETURNS TABLE(i INT)
+        |RETURN SELECT explode(sequence(1, n))""".stripMargin)
+    val got = spark.sql("SELECT sum(i) AS s FROM graft_seq(10)")
+      .as[Long].collect().toSeq
+    assert(got === Seq(55L))
+  }
+
+  // ─── q114 pipe syntax ─────────────────────────────────────────────────
+
+  test("q114 pipe syntax ≡ the classic-SQL formulation in the same session") {
+    val pipe = SqlText.q114PipeSyntax(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    graft.Tables.lineitem(spark, sfDir)
+      .createOrReplaceTempView("graft_q114_classic")
+    val classic =
+      try spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+          |FROM graft_q114_classic
+          |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        .as[(String, String, Long, Double)].collect().toSeq
+      finally spark.catalog.dropTempView("graft_q114_classic")
+    assert(pipe === classic)
+    assert(pipe.nonEmpty)
+  }
+
   test("q110 matches the DataFrame window-rank formulation bit for bit") {
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
