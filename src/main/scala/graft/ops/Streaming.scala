@@ -3,8 +3,9 @@ package graft.ops
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Streaming surface (SURVEY.md §2.2 "Streaming").
   *
@@ -129,6 +130,31 @@ object Streaming {
     ds.groupByKey(_.k)
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Event-time TIMERS through `transformWithState`: gap-based session
+    * aggregation where the SESSION CLOSE is emitted by an expired timer,
+    * not by a later arrival of the same key. `session_window` (q54) can
+    * only emit a key's closed session when the watermark passes it AND
+    * the aggregation finalizes; a timer does the same for ARBITRARY
+    * custom state — the missing piece between "named state slots"
+    * (runningTotals) and full session semantics. Protocol: every input
+    * batch re-arms the key's single timer to lastEvent + gap (old timer
+    * deleted — at most ONE live timer per key, so timer state is O(keys)
+    * like the value state); when the event-time watermark passes the
+    * expiry, `handleExpiredTimer` emits the session summary and CLEARS
+    * the state — a key's memory returns to zero between sessions.
+    */
+  final case class SessionAgg(n: Long, total: Double, lastMs: Long)
+  final case class SessionOut(k: Long, n: Long, total: Double, last_ms: Long)
+
+  def timedSessions(ds: Dataset[KeyedValue], gapMs: Long,
+                    watermarkDelay: String): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.k)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream interval join (funnel attribution): each click joins
@@ -282,5 +308,45 @@ class RunningTotalsProcessor
     }
     totals.update(upd)
     Iterator.single(Streaming.UserTotals(key, upd.n, upd.total))
+  }
+}
+
+/** The timer-armed session processor behind [[Streaming.timedSessions]].
+  * One ValueState slot + at most one live timer per key; emission happens
+  * ONLY from the expired-timer path (append semantics: a session is final
+  * when the watermark proves no event can extend it).
+  */
+class SessionTimerProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Streaming.KeyedValue,
+                              Streaming.SessionOut] {
+  @transient private var agg: ValueState[Streaming.SessionAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[Streaming.SessionAgg]("session",
+      Encoders.product[Streaming.SessionAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[Streaming.KeyedValue],
+      timerValues: TimerValues): Iterator[Streaming.SessionOut] = {
+    val prev = Option(agg.get()).getOrElse(Streaming.SessionAgg(0L, 0.0, 0L))
+    val upd = rows.foldLeft(prev) { (acc, r) =>
+      Streaming.SessionAgg(acc.n + 1, acc.total + r.v,
+        math.max(acc.lastMs, r.ts.getTime))
+    }
+    agg.update(upd)
+    // re-arm: drop any previous timer so exactly one (the latest) lives
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(upd.lastMs + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Streaming.SessionOut] = {
+    val st = agg.get()
+    if (st == null) Iterator.empty
+    else {
+      agg.clear()
+      Iterator.single(Streaming.SessionOut(key, st.n, st.total, st.lastMs))
+    }
   }
 }

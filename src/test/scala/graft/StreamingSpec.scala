@@ -393,6 +393,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers close sessions on watermark, " +
+       "state cleared between sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.KeyedValue]
+    // gap 5 min, watermark delay 2 min
+    val q = Streaming.timedSessions(in.toDS(), 5L * 60000L, "2 minutes")
+      .writeStream.format("memory").queryName("timersessions")
+      .outputMode("append").start()
+    try {
+      // session A for key 1: events at minute 10 and 11 → timer at 16
+      in.addData(Streaming.KeyedValue(1, ts(10), 1.0),
+                 Streaming.KeyedValue(1, ts(11), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("timersessions").count() === 0,
+        "session closed before the watermark could prove it over")
+      // key 2 at minute 30 pushes the watermark to 28 > 16 → A emits
+      in.addData(Streaming.KeyedValue(2, ts(30), 7.0))
+      q.processAllAvailable()
+      val afterA = spark.table("timersessions")
+        .as[Streaming.SessionOut].collect()
+      assert(afterA.toSet === Set(
+        Streaming.SessionOut(1L, 2L, 3.0, ts(11).getTime)),
+        s"expected exactly session A, got ${afterA.toSeq}")
+      // key 1 returns at minute 40: watermark 38 > 35 closes key 2's
+      // session; key 1 starts a FRESH session (state was cleared — its
+      // count must not continue from session A)
+      in.addData(Streaming.KeyedValue(1, ts(40), 9.0))
+      q.processAllAvailable()
+      val afterB = spark.table("timersessions")
+        .as[Streaming.SessionOut].collect()
+      assert(afterB.toSet === Set(
+        Streaming.SessionOut(1L, 2L, 3.0, ts(11).getTime),
+        Streaming.SessionOut(2L, 1L, 7.0, ts(30).getTime)))
+      assert(!afterB.exists(r => r.k == 1L && r.n > 2L),
+        "key 1's second session leaked state from its first")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("batch and streaming tumbling aggregations agree on the same input") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
