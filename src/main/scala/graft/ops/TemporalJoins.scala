@@ -106,6 +106,44 @@ object TemporalJoins {
   // if the oracle ever changes)
   val q93Sql: String = q10Sql
 
+  // ─── q116: native as-of with TOLERANCE (pandas merge_asof parity) ────
+  // q93's native operator plus its tolerance knob: a purchase only
+  // attributes to a view from the PRECEDING 30 MINUTES; staler matches
+  // null-fill. The gate is one long comparison at emit time inside the
+  // same single merge pass — identical shuffles/sorts to q93 (the
+  // plan is byte-for-byte the same shape; only the emit predicate
+  // differs), where the composed form pays a post-join filter +
+  // conditional null-out projection.
+  private val q116TolMicros = 30L * 60L * 1000000L
+
+  def q116AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+              col("event_id").as("v_event"))
+    graft.plans.AsOfJoin.asof(purchases, views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("ts"), purchases("event_id")),
+        Seq(views("view_ts"), views("v_event")),
+        toleranceUnits = Some(q116TolMicros))
+      .select(col("user_id"), col("event_id"),
+              col("view_ts").as("last_view_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q116Sql: String =
+    """SELECT p.user_id, p.event_id,
+      |  (SELECT max(v.ts) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+      |     AND v.ts >= p.ts - INTERVAL 30 MINUTE)
+      |  AS last_view_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   // ─── q112: interval join WITHOUT an equi-key, via bin bucketing ──────
   // q09's range join has a natural equi-key (user_id), so Catalyst plans
   // a hash join. When the ONLY predicate is containment (point ∈
@@ -168,6 +206,7 @@ object TemporalJoins {
     "q10_asof_join"   -> (q10AsOfJoin _),
     "q93_asof_native" -> (q93AsofNative _),
     "q112_interval_bin_join" -> (q112IntervalBinJoin _),
+    "q116_asof_tolerance" -> (q116AsofTolerance _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -175,5 +214,6 @@ object TemporalJoins {
     "q10_asof_join"   -> q10Sql,
     "q93_asof_native" -> q93Sql,
     "q112_interval_bin_join" -> q112Sql,
+    "q116_asof_tolerance" -> q116Sql,
   )
 }

@@ -40,7 +40,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    toleranceUnits: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -96,8 +97,8 @@ object AsOfJoinPushDown
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, tol) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +106,8 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftOrder: Seq[Expression], rightOrder: Seq[Expression])
+    leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    toleranceUnits: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -130,6 +132,7 @@ case class AsOfJoinExec(
     val allOut = output
     val lk = leftKey; val rk = rightKey
     val lo = leftOrder; val ro = rightOrder
+    val tol = toleranceUnits
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyP = UnsafeProjection.create(Seq(lk), leftOut)
       val rKeyP = UnsafeProjection.create(Seq(rk), rightOut)
@@ -153,6 +156,7 @@ case class AsOfJoinExec(
         private var exhausted = !rIter.hasNext
         private var candidate: InternalRow = null
         private var candidateKey: InternalRow = null
+        private var candidateOrd: InternalRow = null
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -161,7 +165,7 @@ case class AsOfJoinExec(
           val lKey = lKeyP(l)
           val lOrd = lOrdP(l)
           if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
-            candidate = null; candidateKey = null
+            candidate = null; candidateKey = null; candidateOrd = null
           }
           var scanning = true
           while (scanning) {
@@ -178,11 +182,22 @@ case class AsOfJoinExec(
                 // copy() — the child iterator reuses its row buffer.
                 candidate = rightAhead.copy()
                 candidateKey = rKey.copy()
+                candidateOrd = rOrdP(rightAhead).copy()
                 rightAhead = null
               } else scanning = false // right at/after left: stop advancing
             }
           }
-          project(joined(l, if (candidate != null) candidate else nullRight))
+          // tolerance gate (pandas merge_asof parity): the candidate is
+          // the LATEST match, so if IT is too old every earlier row is
+          // too — null-fill, but KEEP the candidate (a later left row
+          // can never re-enter tolerance, but the candidate may still
+          // be replaced as the merge advances; dropping it here would
+          // be wrong only in the key-change path, which clears anyway)
+          val matched = candidate != null && (tol match {
+            case Some(t) => lOrd.getLong(0) - candidateOrd.getLong(0) <= t
+            case None => true
+          })
+          project(joined(l, if (matched) candidate else nullRight))
         }
       }
     }
@@ -221,10 +236,18 @@ object AsOfJoin {
     * strictly-smaller (time, tie...) tuple. Pass RESOLVED columns
     * (`df("col")`). The right side's columns must not collide with the
     * left's (alias them) — the same rule Spark's own self-joins impose.
+    *
+    * `toleranceUnits` (pandas `merge_asof` parity): when set, a candidate
+    * only matches if `left_order₀ − right_order₀ ≤ tolerance`, measured
+    * in the FIRST ordering column's native units — MICROSECONDS for
+    * timestamps, raw values for longs. Out-of-tolerance left rows
+    * null-fill (still left-outer). Zero extra data movement: the gate is
+    * one long comparison at emit time inside the same merge pass.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
-           leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+           leftOrder: Seq[Column], rightOrder: Seq[Column],
+           toleranceUnits: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     require(leftOrder.nonEmpty && leftOrder.size == rightOrder.size,
@@ -242,10 +265,21 @@ object AsOfJoin {
       require(equalsStructurally(lt, rt, ignoreNullability = true),
         s"as-of ordering types differ: $lt vs $rt")
     }
+    toleranceUnits.foreach { t =>
+      require(t >= 0, s"as-of tolerance must be >= 0, got $t")
+      // the gate reads the first ordering slot as a raw long — only
+      // long-backed types qualify (timestamps are micros internally)
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+      val t0 = bridge.expression(leftOrder.head).dataType
+      require(Seq(LongType, TimestampType, TimestampNTZType).contains(t0),
+        s"as-of tolerance requires a long-backed first ordering column " +
+          s"(timestamp/long), got $t0")
+    }
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       bridge.expression(leftKey), bridge.expression(rightKey),
-      leftOrder.map(bridge.expression), rightOrder.map(bridge.expression))
+      leftOrder.map(bridge.expression), rightOrder.map(bridge.expression),
+      toleranceUnits)
     bridge.ofRows(spark, plan)
   }
 }

@@ -39,6 +39,44 @@ class PlansSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected data movement ($exchanges):\n$finalPlan")
   }
 
+  test("tolerance as-of ≡ window form + null-out; plan shape unchanged") {
+    val tolMicros = 30L * 60L * 1000000L
+    val native = graft.ops.TemporalJoins.q116AsofTolerance(spark, sfDir)
+    native.collect()
+    // same operator, same movement: the gate is emit-time only
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"tolerance lost the native node:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalPlan).length <= 3,
+      s"tolerance added data movement:\n$finalPlan")
+    // composed twin: q10's union+window last-view carried WITH the
+    // purchase ts, then stale matches nulled by the same bound
+    val e = graft.Tables.events(spark, sfDir)
+      .where($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val composed = e
+      .withColumn("view_ts", when($"event_type" === "view", $"ts"))
+      .withColumn("lv", last($"view_ts", ignoreNulls = true).over(w))
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        when(unix_micros($"ts") - unix_micros($"lv") <= tolMicros, $"lv")
+          .as("last_view_ts"))
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSeq.sorted
+    val got = native.as[(Long, Long, Option[java.sql.Timestamp])]
+      .collect().toSeq.sorted
+    assert(got === composed)
+    // the knob has teeth on this data: some matches were nulled, none
+    // were invented
+    val untolerated = graft.ops.TemporalJoins.q93AsofNative(spark, sfDir)
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSeq
+    assert(got.count(_._3.isEmpty) > untolerated.count(_._3.isEmpty),
+      "tolerance nulled nothing — fixture gives it no coverage")
+    assert(got.size === untolerated.size)
+  }
+
   test("matches brute force on random keyed timelines (seeded)") {
     val gen = for {
       nl <- Gen.choose(0, 40)
