@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
+  IntegerType}
 
 /** All M product-quantization codes of a float vector in ONE pass — the
   * native replacement for the unrolled/HOF encode in
@@ -36,17 +37,23 @@ case class PqCodes(child: Expression, kernel: PqCodes.Kernel)
   override def prettyName: String = "pq_codes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float>, got ${t.simpleString}")
+      s"$prettyName requires array<float|double>, got ${t.simpleString}")
+  }
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(in: Any): Any =
-    kernel.compute(in.asInstanceOf[ArrayData])
+    kernel.compute(in.asInstanceOf[ArrayData], isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kRef = ctx.addReferenceObj("pqKernel", kernel, classOf[PqCodes.Kernel].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kRef.compute($c);")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kRef.compute($c, $isDouble);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
@@ -80,8 +87,10 @@ object PqCodes {
       java.math.BigDecimal.valueOf(d)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-    def compute(arr: ArrayData): ArrayData = {
+    def compute(arr: ArrayData, isDouble: Boolean): ArrayData = {
       if (arr.numElements() != m * sub) return null
+      @inline def el(i: Int): Double =
+        if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
       val codes = new Array[Any](m)
       var s = 0
       while (s < m) {
@@ -89,7 +98,7 @@ object PqCodes {
         var xx = 0.0
         var j = 0
         while (j < sub) {
-          val v = arr.getFloat(lo + j).toDouble
+          val v = el(lo + j)
           xx += v * v
           j += 1
         }
@@ -101,7 +110,7 @@ object PqCodes {
           var xc = 0.0
           j = 0
           while (j < sub) {
-            xc += arr.getFloat(lo + j).toDouble * c(lo + j)
+            xc += el(lo + j) * c(lo + j)
             j += 1
           }
           val d = round6(xx - 2.0 * xc + cc(k)(s))

@@ -242,7 +242,50 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ─── q119: NULL-SAFE equi-join (<=>) ──────────────────────────────────
+  // `a <=> b` (IS NOT DISTINCT FROM) treats NULL as a joinable value —
+  // the join ON CONFLICT-style merge keys need when a component of the
+  // composite key is nullable (a plain `=` silently DROPS every
+  // null-keyed row, the classic merge bug). Nulls are planted
+  // deterministically on both sides; the null-null matches land in their
+  // own census bucket. Crucially `<=>` is still an EQUI-join to Catalyst
+  // (EqualNullSafe is a hashable join key), so the plan is the same hash
+  // join as q02 — not the filter-on-top-of-cross that `=` + `OR both
+  // null` devolves to.
+  def q119NullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_nationkey"))
+          .as("c_nat"))
+    val supp = supplier(s, d)
+      .select(col("s_suppkey"),
+        when(col("s_suppkey") % 7 === 0, lit(null)).otherwise(col("s_nationkey"))
+          .as("s_nat"))
+    cust.join(supp, col("c_nat") <=> col("s_nat"))
+      .groupBy(coalesce(col("c_nat"), lit(-1L)).as("nation_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("c_custkey")).as("n_cust"),
+           countDistinct(col("s_suppkey")).as("n_supp"))
+      .orderBy(col("nation_bucket"))
+  }
+
+  val q119Sql: String =
+    """SELECT coalesce(c_nat, -1) AS nation_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+      |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+      |FROM (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |             ELSE c_nationkey END AS c_nat FROM customer) c
+      |JOIN (SELECT s_suppkey,
+      |        CASE WHEN s_suppkey % 7 = 0 THEN NULL
+      |             ELSE s_nationkey END AS s_nat FROM supplier) s
+      |  ON c.c_nat IS NOT DISTINCT FROM s.s_nat
+      |GROUP BY 1
+      |ORDER BY nation_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_nullsafe_join"    -> (q119NullsafeJoin _),
     "q01_pricing_summary"   -> (q01PricingSummary _),
     "q02_revenue_by_region" -> (q02RevenueByRegion _),
     "q03_top_orders"        -> (q03TopOrders _),
@@ -254,6 +297,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q119_nullsafe_join"    -> q119Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_region" -> q02Sql,
     "q03_top_orders"        -> q03Sql,

@@ -763,6 +763,96 @@ object Similarity {
        |ORDER BY r.q_id, rn""".stripMargin
   }
 
+  // ─── q117: semantic dedup — cluster-then-keep (SemDeDup shape) ───────
+  // The published semantic-dedup pipeline for LLM corpora (Abbas et al.,
+  // "SemDeDup", 2023): embed → k-means cluster → threshold pairwise
+  // cosine WITHIN clusters only → keep one representative per duplicate
+  // pair (lowest id wins, the q60/q105 rule). Clustering is what makes it
+  // scale: the O(n²) similarity join runs per-cluster (n²/k work at equal
+  // sizes), and the cluster assignment itself is the map-side PqCodes
+  // kernel degenerately parameterized at M=1 — argmin over the broadcast
+  // centroid table of full-width L2, zero corpus shuffle. The corpus is
+  // fanned with deterministic near-copies (every 25th vector re-enters
+  // with +0.05 on dim 1 → cosine ≈ 0.999 vs a 0.47 natural within-label
+  // ceiling), so the planted set is exactly what τ=0.95 must catch — in
+  // BOTH engines, since the perturbation is pure arithmetic on the data.
+  def q117SemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val orig = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val planted = orig.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        concat(array(col("e")(0) + lit(0.05)),
+               slice(col("e"), 2, DIM - 1)).as("e"))
+    val corpus = orig.unionByName(planted)
+    val cents = emb.groupBy(col("label"))
+      .agg(array((1 to DIM).map(i =>
+        round(avg(element_at(col("embedding"), i).cast("double")), 6))
+        : _*).as("carr"))
+      .select(col("label").cast("int").as("cid"), col("carr"))
+    val codebook = cents.collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+    val assigned = corpus.withColumn("cluster",
+      graft.expr.PqCodes.pq_codes(col("e"), codebook, 1)(0))
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+                            col("e").as("ea"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+                            col("e").as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id") &&
+             cosine(col("ea"), col("eb")) >= 0.95)
+      .select(col("cluster"), col("b_id")).distinct()
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(dropped.groupBy(col("cluster"))
+              .agg(count(lit(1)).as("nd")), Seq("cluster"), "left")
+      .select(col("cluster"),
+        col("n_total"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n_total") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster"))
+  }
+
+  val q117Sql: String = {
+    val centArr = (1 to DIM)
+      .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)")
+      .mkString("[", ", ", "]")
+    s"""WITH orig AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents AS (
+       |  SELECT CAST(label AS INT) AS cid, $centArr AS carr
+       |  FROM embeddings GROUP BY label),
+       |corpus AS (
+       |  SELECT vec_id, e FROM orig
+       |  UNION ALL
+       |  SELECT vec_id + 10000, [e[1] + 0.05] || e[2:$DIM]
+       |  FROM orig WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT vec_id, e, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY round(dd, 6), cid) AS arn
+       |  FROM (
+       |    SELECT m.vec_id, m.e, c.cid,
+       |      list_dot_product(m.e, m.e) - 2*list_dot_product(m.e, c.carr)
+       |        + list_dot_product(c.carr, c.carr) AS dd
+       |    FROM corpus m, cents c)),
+       |cl AS (SELECT vec_id, e, cid AS cluster FROM asg WHERE arn = 1),
+       |drops AS (
+       |  SELECT DISTINCT b.cluster, b.vec_id AS b_id
+       |  FROM cl a JOIN cl b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.e, b.e) /
+       |        (sqrt(list_dot_product(a.e, a.e)) *
+       |         sqrt(list_dot_product(b.e, b.e))) >= 0.95),
+       |dc AS (SELECT cluster, count(*) AS nd FROM drops GROUP BY cluster)
+       |SELECT cl.cluster,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(coalesce(any_value(dc.nd), 0) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - coalesce(any_value(dc.nd), 0) AS BIGINT) AS n_kept
+       |FROM cl LEFT JOIN dc ON cl.cluster = dc.cluster
+       |GROUP BY cl.cluster
+       |ORDER BY cl.cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
@@ -775,6 +865,7 @@ object Similarity {
     "q66_ann_ivf_nprobe2" -> (q66AnnIvfNprobe2 _),
     "q104_quantized_topk" -> (q104QuantizedTopk _),
     "q111_pq_topk"        -> (q111PqTopk _),
+    "q117_semdedup"       -> (q117SemDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -789,5 +880,6 @@ object Similarity {
     "q66_ann_ivf_nprobe2" -> q66Sql,
     "q104_quantized_topk" -> q104Sql,
     "q111_pq_topk"        -> q111Sql,
+    "q117_semdedup"       -> q117Sql,
   )
 }

@@ -172,11 +172,55 @@ object FileSources {
        |ORDER BY level, locale""".stripMargin
   }
 
+  // ─── q118: parquet schema evolution (mergeSchema over epochs) ─────────
+  // The data-lake reality the reference's fixed DDL forecloses: a column
+  // added mid-history. Two parquet "epochs" land under one root
+  // (epoch=N partition dirs — partition DISCOVERY surfaces `epoch` as a
+  // column); epoch 1 predates `num_lectures`. `mergeSchema=true` unions
+  // the footers into one superset schema with NULL backfill — the read-
+  // side contract that lets a 100 TB lake evolve without rewriting old
+  // files. SqlTextSpec asserts the same frame is reachable through
+  // `unionByName(allowMissingColumns)` — the in-memory twin of the same
+  // evolution.
+  val evoEpoch1: Seq[(Long, String)] =
+    Seq((201L, "Beginner"), (202L, "Expert"), (203L, "Beginner"))
+  val evoEpoch2: Seq[(Long, String, Long)] =
+    Seq((204L, "Beginner", 12L), (205L, "Expert", 30L),
+        (206L, "Intermediate", 15L))
+
+  def q118SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Paths.get(fixtureDir, "evolve").toString
+    evoEpoch1.toDF("id", "level")
+      .write.mode("overwrite").parquet(s"$root/epoch=1")
+    evoEpoch2.toDF("id", "level", "num_lectures")
+      .write.mode("overwrite").parquet(s"$root/epoch=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("num_lectures")).cast("long").as("total_lectures"),
+           min(col("epoch")).cast("int").as("first_epoch"))
+      .orderBy(col("level"))
+  }
+
+  val q118Sql: String = {
+    val v1 = evoEpoch1.map { case (id, lv) => s"($id, '$lv', NULL, 1)" }
+    val v2 = evoEpoch2.map { case (id, lv, n) => s"($id, '$lv', $n, 2)" }
+    val values = (v1 ++ v2).mkString(", ")
+    s"""SELECT level, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(num_lectures) AS BIGINT) AS total_lectures,
+       |  CAST(min(epoch) AS INT) AS first_epoch
+       |FROM (VALUES $values) v(id, level, num_lectures, epoch)
+       |GROUP BY level
+       |ORDER BY level""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_json_source"      -> (q55JsonSource _),
     "q56_csv_source"       -> (q56CsvSource _),
     "q57_paginated_ingest" -> (q57PaginatedIngest _),
     "q109_xml_source"      -> (q109XmlSource _),
+    "q118_schema_evolution" -> (q118SchemaEvolution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +228,6 @@ object FileSources {
     "q56_csv_source"       -> q56Sql,
     "q57_paginated_ingest" -> q57Sql,
     "q109_xml_source"      -> q109Sql,
+    "q118_schema_evolution" -> q118Sql,
   )
 }

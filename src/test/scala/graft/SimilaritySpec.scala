@@ -192,6 +192,22 @@ class SimilaritySpec extends SparkSpec {
       s"corpus shuffled for PQ encoding:\n$plan")
   }
 
+  test("q117 semantic dedup drops exactly the planted near-copies") {
+    val rows = Similarity.q117SemDedup(spark, sfDir)
+      .select($"cluster", $"n_total", $"n_dropped", $"n_kept")
+      .as[(Int, Long, Long, Long)].collect()
+    val nOrig = Tables.embeddings(spark, sfDir).count()
+    val nPlanted = Tables.embeddings(spark, sfDir)
+      .where($"vec_id" % 25 === 0).count()
+    assert(rows.map(_._2).sum === nOrig + nPlanted)
+    // τ=0.95 separates cleanly: every planted copy dropped (it shares a
+    // cluster with its ~0.999-cosine original), no natural pair caught
+    // (0.47 within-label ceiling)
+    assert(rows.map(_._3).sum === nPlanted)
+    assert(rows.map(_._4).sum === nOrig)
+    assert(nPlanted > 0)
+  }
+
   test("embedding near-dup: planted-pair recall holds as plane count scales 4 -> 8") {
     val planted = Tables.embeddings(spark, sfDir)
       .where(pmod($"vec_id", lit(50)) === 0)

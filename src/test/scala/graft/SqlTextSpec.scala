@@ -93,6 +93,53 @@ class SqlTextSpec extends SparkSpec {
     assert(res._2 === graft.sources.FileSources.xmlRows.map(_._4).sum)
   }
 
+  // ─── q118 schema evolution ────────────────────────────────────────────
+
+  test("q118 mergeSchema read ≡ unionByName(allowMissingColumns) twin") {
+    import graft.sources.FileSources
+    val fromLake = FileSources.q118SchemaEvolution(spark, sfDir)
+      .as[(String, Long, Option[Long], Int)].collect().toSeq.sorted
+    val e1 = FileSources.evoEpoch1.toDF("id", "level")
+      .withColumn("epoch", lit(1))
+    val e2 = FileSources.evoEpoch2.toDF("id", "level", "num_lectures")
+      .withColumn("epoch", lit(2))
+    val inMem = e1.unionByName(e2, allowMissingColumns = true)
+      .groupBy($"level")
+      .agg(count(lit(1)).as("n"),
+           sum($"num_lectures").cast("long").as("total_lectures"),
+           min($"epoch").cast("int").as("first_epoch"))
+      .as[(String, Long, Option[Long], Int)].collect().toSeq.sorted
+    assert(fromLake === inMem)
+    assert(fromLake.nonEmpty)
+    // epoch arrived via partition DISCOVERY, not file contents
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fixtures", "evolve").toString)
+    assert(merged.columns.contains("epoch"))
+    assert(merged.columns.contains("num_lectures"))
+    assert(merged.where($"epoch" === 1 && $"num_lectures".isNotNull).count() === 0)
+  }
+
+  // ─── q119 null-safe join ──────────────────────────────────────────────
+
+  test("q119 <=> plans a hash equi-join and buckets null-null matches") {
+    val df = graft.ops.Relational.q119NullsafeJoin(spark, sfDir)
+    val rows = df.as[(Long, Long, Long, Long)].collect()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"null-safe equality fell off the hash-join path:\n$plan")
+    // planted nulls: every 10th custkey x every 7th suppkey meet in -1
+    val nullCust = graft.Tables.customer(spark, sfDir)
+      .where($"c_custkey" % 10 === 0).count()
+    val nullSupp = graft.Tables.supplier(spark, sfDir)
+      .where($"s_suppkey" % 7 === 0).count()
+    val bucket = rows.find(_._1 == -1L)
+    assert(bucket.isDefined, "null-null bucket missing")
+    assert(bucket.get._2 === nullCust * nullSupp)
+    assert(bucket.get._3 === nullCust && bucket.get._4 === nullSupp)
+  }
+
   // ─── q110 LATERAL top-k ───────────────────────────────────────────────
 
   test("q110 decorrelates to a partial WindowGroupLimit, no loop join") {
