@@ -158,7 +158,35 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q121: ordered string aggregation (LISTAGG WITHIN GROUP) ─────────
+  // The warehouse "roll members up into one delimited label" op (report
+  // headers, denormalized exports). Spark 4's `listagg(col, sep) WITHIN
+  // GROUP (ORDER BY ...)` ≡ DuckDB's `string_agg(col, sep ORDER BY ...)`
+  // — the explicit ORDER BY is what makes the result deterministic and
+  // hash-comparable (an unordered listagg is nondeterministic under
+  // parallel aggregation, the same trap as collect_list). Nation names
+  // per region: bounded group size by construction — at 100 TB listagg
+  // over unbounded groups is an OOM-shaped contract like exact
+  // percentiles (q77); bound the group or go back to rows.
+  def q121Listagg(s: SparkSession, d: String): DataFrame = {
+    val joined = nation(s, d).join(broadcast(region(s, d)),
+      col("n_regionkey") === col("r_regionkey"))
+    joined.groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+           expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+             .as("members"))
+      .orderBy(col("r_name"))
+  }
+
+  val q121Sql: String =
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS members
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_listagg"        -> (q121Listagg _),
     "q24_rollup"          -> (q24Rollup _),
     "q25_cube"            -> (q25Cube _),
     "q26_grouping_sets"   -> (q26GroupingSets _),
@@ -167,6 +195,7 @@ object Analytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q121_listagg"       -> q121Sql,
     "q24_rollup"         -> q24Sql,
     "q25_cube"           -> q25Sql,
     "q26_grouping_sets"  -> q26Sql,

@@ -183,7 +183,99 @@ object Scalars {
       |GROUP BY 1
       |ORDER BY band""".stripMargin
 
+  // ─── q120: collation-aware grouping + join (Spark 4 collations) ──────
+  // `collate(x, 'UTF8_LCASE')` makes case-insensitivity a property of
+  // the TYPE, not a per-expression lower() wrapper: the collated column
+  // groups and joins case-insensitively with no normalized shadow column
+  // to maintain. Engine fact worth knowing at scale: collated keys
+  // hash-PARTITION fine (the shuffle is collation-aware) but the join
+  // itself plans as SortMergeJoin, not a hash join — build-side hashing
+  // needs binary equality, which a collation breaks (JoinSelection warns
+  // exactly this). Still an equi-join with one shuffle per side — the
+  // at-scale shape — never a loop join; SqlTextSpec pins it. A mixed-
+  // case segment label is derived deterministically (half TitleCase,
+  // half lower), grouped under UTF8_LCASE, and collation-joined to a
+  // lowercase dim. The DuckDB twin normalizes with lower() — the
+  // pre-collation idiom the feature replaces.
+  def q120Collation(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.customer
+    val mixed = customer(s, d).select(col("c_custkey"), col("c_acctbal"),
+      when(col("c_custkey") % 2 === 0, initcap(lower(col("c_mktsegment"))))
+        .otherwise(lower(col("c_mktsegment"))).as("seg_mixed"))
+    val dim = s.createDataFrame(Seq(
+      ("automobile", 10L), ("building", 20L), ("furniture", 30L),
+      ("household", 40L), ("machinery", 50L)))
+      .toDF("seg_name", "seg_code")
+    mixed.join(broadcast(dim),
+        expr("collate(seg_mixed, 'UTF8_LCASE')") ===
+        expr("collate(seg_name, 'UTF8_LCASE')"))
+      .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("k"))
+      .agg(min(lower(col("seg_mixed"))).as("segment"),
+           count(lit(1)).as("n"),
+           round(sum(col("c_acctbal")), 2).as("acctbal"),
+           min(col("seg_code")).as("seg_code"))
+      .select(col("segment"), col("n"), col("acctbal"), col("seg_code"))
+      .orderBy(col("segment"))
+  }
+
+  val q120Sql: String =
+    """SELECT lower(seg_mixed) AS segment,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(c_acctbal), 2) AS acctbal,
+      |  CAST(min(seg_code) AS BIGINT) AS seg_code
+      |FROM (SELECT c_acctbal,
+      |        CASE WHEN c_custkey % 2 = 0
+      |             THEN upper(substr(c_mktsegment, 1, 1)) ||
+      |                  lower(substr(c_mktsegment, 2))
+      |             ELSE lower(c_mktsegment) END AS seg_mixed
+      |      FROM customer) m
+      |JOIN (VALUES ('automobile', 10), ('building', 20), ('furniture', 30),
+      |             ('household', 40), ('machinery', 50)) d(seg_name, seg_code)
+      |  ON lower(m.seg_mixed) = d.seg_name
+      |GROUP BY lower(seg_mixed)
+      |ORDER BY segment""".stripMargin
+
+  // ─── q122: error-safe arithmetic (try_divide / try_multiply) ──────────
+  // ANSI mode makes overflow and division-by-zero runtime ERRORS (the
+  // correct default for a warehouse); the `try_` family is the per-
+  // expression escape hatch that yields NULL instead — the difference
+  // between one bad row killing a 100 TB job and one bad row becoming a
+  // counted null. Planted hazards: quantity 25 zeroes a divisor on real
+  // rows; multiplying the orderkey by 10^15 overflows LONG for every key
+  // ≥ 9224. The DuckDB twin guards with CASE (its overflow also throws).
+  def q122TryArith(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.lineitem
+    lineitem(s, d)
+      .withColumn("safe_div",
+        expr("try_divide(l_extendedprice, l_quantity - 25.0)"))
+      .withColumn("big_mul",
+        expr("try_multiply(l_orderkey, 1000000000000000L)"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("safe_div").isNull, 1L).otherwise(0L))
+             .as("n_div_by_zero"),
+           round(sum(col("safe_div")), 2).as("sum_safe_div"),
+           sum(when(col("big_mul").isNull, 1L).otherwise(0L))
+             .as("n_overflow"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q122Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l_quantity = 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_div_by_zero,
+      |  round(sum(CASE WHEN l_quantity = 25.0 THEN NULL
+      |            ELSE l_extendedprice / (l_quantity - 25.0) END), 2)
+      |    AS sum_safe_div,
+      |  CAST(sum(CASE WHEN l_orderkey >= 9224 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overflow
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_collation"   -> (q120Collation _),
+    "q122_try_arith"   -> (q122TryArith _),
     "q18_string_funcs" -> (q18StringFuncs _),
     "q19_date_funcs"   -> (q19DateFuncs _),
     "q20_math_funcs"   -> (q20MathFuncs _),
@@ -193,6 +285,8 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q120_collation"   -> q120Sql,
+    "q122_try_arith"   -> q122Sql,
     "q18_string_funcs" -> q18Sql,
     "q19_date_funcs"   -> q19Sql,
     "q20_math_funcs"   -> q20Sql,

@@ -140,6 +140,47 @@ class SqlTextSpec extends SparkSpec {
     assert(bucket.get._3 === nullCust && bucket.get._4 === nullSupp)
   }
 
+  // ─── q120 collations ──────────────────────────────────────────────────
+
+  test("q120 collation groups case-insensitively; join stays equi (SMJ)") {
+    val df = graft.ops.Scalars.q120Collation(spark, sfDir)
+    val rows = df.collect()
+    // 10 raw mixed-case labels collapse to the 5 collated groups
+    val raw = graft.Tables.customer(spark, sfDir)
+      .select(when($"c_custkey" % 2 === 0, initcap(lower($"c_mktsegment")))
+        .otherwise(lower($"c_mktsegment")).as("m"))
+      .distinct().count()
+    assert(raw === 10L && rows.length === 5)
+    // collated keys can't build a hash table (no binary equality), so the
+    // planner's contract is SortMergeJoin on the collated keys — an
+    // equi-join with one shuffle per side, never a loop join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"collated equality not planned as a merge equi-join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"collated equality fell to a loop join:\n$plan")
+  }
+
+  // ─── q121 listagg ─────────────────────────────────────────────────────
+
+  test("q121 listagg WITHIN GROUP is deterministic under repartitioning") {
+    val base = graft.ops.Analytics.q121Listagg(spark, sfDir)
+      .as[(String, Long, String)].collect().toSeq.sorted
+    // same aggregation over a deliberately scrambled partitioning
+    val scrambled = graft.Tables.nation(spark, sfDir).repartition(7)
+      .join(graft.Tables.region(spark, sfDir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+        .as("members"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(base.map(r => (r._1, r._3)) === scrambled)
+    // members really are the sorted group contents
+    base.foreach { case (_, n, members) =>
+      val parts = members.split(",").toSeq
+      assert(parts.size.toLong === n && parts === parts.sorted)
+    }
+  }
+
   // ─── q110 LATERAL top-k ───────────────────────────────────────────────
 
   test("q110 decorrelates to a partial WindowGroupLimit, no loop join") {
