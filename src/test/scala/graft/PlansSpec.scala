@@ -103,6 +103,20 @@ class PlansSpec extends SparkSpec {
         (k, t, i, m.map(_._2), m.map(_._3))
       }.toSet
       assert(got === expected, s"seed=$seed mismatch")
+      // tolerance variant over the same timelines: the latest-before
+      // match survives only within `tol` first-order units
+      val tol = seed.toLong * 3 // 0, 3, 6, ... exercises 0-tolerance too
+      val gotT = AsOfJoin.asof(left, right, left("k"), right("rk"),
+          Seq(left("t"), left("id")), Seq(right("rt"), right("rid")),
+          toleranceUnits = Some(tol))
+        .select($"k", $"t", $"id", $"rt", $"rid")
+        .as[(Long, Long, Long, Option[Long], Option[Long])]
+        .collect().toSet
+      val expectedT = expected.map { case (k, t, i, mt, mi) =>
+        if (mt.exists(v => t - v <= tol)) (k, t, i, mt, mi)
+        else (k, t, i, None, None)
+      }
+      assert(gotT === expectedT, s"seed=$seed tolerance=$tol mismatch")
     }
   }
 

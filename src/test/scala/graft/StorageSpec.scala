@@ -121,6 +121,47 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("CBO: ANALYZE ... FOR ALL COLUMNS flips a filtered join to broadcast") {
+    // Without statistics a catalog table's size estimate falls back to
+    // defaultSizeInBytes (effectively infinite), so a selective filter
+    // on it still plans SortMergeJoin. ANALYZE gives the optimizer
+    // rowCount + per-column NDV; CBO's FilterEstimation then shrinks the
+    // equality filter's output below the broadcast threshold and the
+    // SAME query replans as BroadcastHashJoin. This is the stats story a
+    // 100 TB warehouse runs on: selectivity knowledge, not hints.
+    val wh = tmp("cbo")
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_dim")
+    spark.range(20000)
+      .select($"id", ($"id" % 1000).cast("long").as("code"),
+              lpad($"id".cast("string"), 64, "x").as("pad"))
+      .write.format("parquet").option("path", s"$wh/dim")
+      .saveAsTable("graft_cbo_dim")
+    val fact = spark.range(5000).select(($"id" % 20000).as("fid"))
+    def q = spark.table("graft_cbo_dim").where($"code" === 7)
+      .join(fact, $"id" === $"fid")
+      .groupBy($"code").agg(count(lit(1)).as("n"))
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val before = q.queryExecution.sparkPlan.toString
+      assert(!before.contains("BroadcastHashJoin"),
+        s"stats-less table broadcast anyway (estimate not conservative):\n$before")
+      spark.sql(
+        "ANALYZE TABLE graft_cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = q.queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats did not flip the join to broadcast:\n$after")
+      // and the result itself is stable across the replan
+      assert(q.as[(Long, Long)].collect().toSeq === Seq((7L, 5L)))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_dim")
+    }
+  }
+
   test("partitioned layout prunes to one partition on a key predicate") {
     val dir = tmp("partitioned")
     Tables.orders(spark, sfDir)
