@@ -241,15 +241,24 @@ object Scalars {
   // expression escape hatch that yields NULL instead — the difference
   // between one bad row killing a 100 TB job and one bad row becoming a
   // counted null. Planted hazards: quantity 25 zeroes a divisor on real
-  // rows; multiplying the orderkey by 10^15 overflows LONG for every key
-  // ≥ 9224. The DuckDB twin guards with CASE (its overflow also throws).
+  // rows (cheap: try_divide null-checks the divisor, no exception), and
+  // every ~10⁴th key multiplies by Long.MaxValue and overflows. The
+  // overflow MUST be rare by construction: Spark implements try_multiply
+  // as catch-ArithmeticException, so each overflowing row pays a Java
+  // throw/catch — a first cut that overflowed ~98% of rows ran this
+  // query at 10.4 s (vs ~0.5 s now). That is the try_ scale contract:
+  // an escape hatch for rare bad rows, not a majority-row code path.
+  // The DuckDB twin guards with CASE (its overflow also throws).
   def q122TryArith(s: SparkSession, d: String): DataFrame = {
     import graft.Tables.lineitem
     lineitem(s, d)
       .withColumn("safe_div",
         expr("try_divide(l_extendedprice, l_quantity - 25.0)"))
       .withColumn("big_mul",
-        expr("try_multiply(l_orderkey, 1000000000000000L)"))
+        // the > 0 guard matters: orderkey 0 exists in the data and
+        // 0 × Long.MaxValue is exactly 0, not an overflow
+        expr("try_multiply(l_orderkey, CASE WHEN l_orderkey % 9973 = 0 " +
+             "AND l_orderkey > 0 THEN 9223372036854775807L ELSE 1L END)"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
            sum(when(col("safe_div").isNull, 1L).otherwise(0L))
@@ -267,8 +276,8 @@ object Scalars {
       |  round(sum(CASE WHEN l_quantity = 25.0 THEN NULL
       |            ELSE l_extendedprice / (l_quantity - 25.0) END), 2)
       |    AS sum_safe_div,
-      |  CAST(sum(CASE WHEN l_orderkey >= 9224 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_overflow
+      |  CAST(sum(CASE WHEN l_orderkey % 9973 = 0 AND l_orderkey > 0
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
