@@ -185,8 +185,139 @@ object Analytics {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  // ─── q123: MERGEABLE HLL sketches (hll_sketch_agg / hll_union_agg) ───
+  // The q28 sketch (approx_count_distinct) collapses to a number at the
+  // end of its one aggregation — it cannot be re-aggregated later. This
+  // is the datasketches form: `hll_sketch_agg` materializes the sketch
+  // BYTES per fine-grained cell (year × priority), and `hll_union_agg`
+  // re-merges those bytes up to year level WITHOUT rescanning the fact
+  // table. That two-level shape is the canonical 100 TB pattern: the
+  // expensive pass over the corpus runs once and persists kilobyte-sized
+  // partials; every coarser rollup is an aggregation over (cells ×
+  // sketch bytes), not (rows). Sketch bytes are engine-specific, so the
+  // oracle contract is the q28 one: exact counts as data + the 5%
+  // error-bound assertion as a boolean column (lgConfigK=12 ⇒ rsd
+  // ≈1.6%, so 5% is a ≥3σ margin at every SF).
+  def q123HllMerge(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).withColumn("yr", year(col("o_orderdate")))
+    // level 1: one sketch per (year, priority) cell — the persisted partial
+    val partials = o.groupBy(col("yr"), col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    // level 2: merge partials to year level — touches sketches, not rows
+    val merged = partials.groupBy(col("yr"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = o.groupBy(col("yr"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    exact.join(broadcast(merged), Seq("yr"))
+      .select(col("yr"), col("n_cust"),
+        (abs(col("est") - col("n_cust")) <= col("n_cust") * 0.05)
+          .as("merge_ok"))
+      .orderBy(col("yr"))
+  }
+
+  val q123Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  TRUE AS merge_ok
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ─── q124: EXACT distinct via mergeable bitmaps (bitmap_*_agg) ───────
+  // Exactness without count(DISTINCT)'s re-scan problem: each key maps to
+  // (bucket = key>>15, bit position), `bitmap_construct_agg` ORs the bits
+  // into one ≤4 KB bitmap per (group, bucket) cell, and coarser levels
+  // merge with `bitmap_or_agg` — again bytes, not rows. Unlike q123 this
+  // is EXACT, so the oracle check is value equality with count(DISTINCT),
+  // not a bound. The two-level shape here: partials at (returnflag,
+  // linestatus, bucket) are OR-merged up to (returnflag, bucket), then
+  // `bitmap_count` + sum gives the distinct-order count per flag. At
+  // 100 TB the partials layer is what you persist: any rollup
+  // (flag level, status level, grand total) re-merges bitmaps without
+  // touching the fact table, and the shuffle carries fixed-width bitmap
+  // bytes keyed by (group, bucket) — never the raw keys.
+  def q124BitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      col("l_returnflag"), col("l_linestatus"),
+      bitmap_bucket_number(col("l_orderkey")).as("bkt"),
+      bitmap_bit_position(col("l_orderkey")).as("pos"))
+    // level 1: fine-grained persisted partials
+    val partials = li.groupBy(col("l_returnflag"), col("l_linestatus"), col("bkt"))
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+    // level 2: OR-merge across linestatus — no fact-table rescan
+    val flagLevel = partials.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(bitmap_or_agg(col("bm")).as("bm"))
+    flagLevel.groupBy(col("l_returnflag"))
+      .agg(sum(bitmap_count(col("bm"))).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q124Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ─── q125: FILTER-clause aggregates (conditional agg without self-join)
+  // The report shape "total, plus the same metric under N predicates" in
+  // ONE pass: `agg FILTER (WHERE p)` evaluates each predicate per row
+  // inside a single hash aggregate — versus the naive N scans + N joins,
+  // or CASE-WHEN-NULL contortions. One scan, one shuffle, regardless of
+  // how many filtered columns ride along; at 100 TB that is N−1 fact
+  // scans saved. Identical syntax in DuckDB, so the oracle is literal.
+  def q125FilteredAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_finished"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'O')").as("n_open"),
+        expr("round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2)")
+          .as("big_total"))
+      .orderBy(col("o_orderpriority"))
+
+  val q125Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000), 2)
+      |    AS big_total
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ─── q126: numeric histogram via width_bucket ────────────────────────
+  // Fixed-bound equi-width histogram — the profiling op behind data-
+  // quality dashboards and binned joins (q112 uses the same bucketing
+  // idea as a join key). STATIC bounds (l_quantity ∈ [1,50] by TPC-H
+  // construction) keep the bucket id a pure per-row projection — no
+  // global min/max pre-pass, no driver round-trip — so the whole
+  // histogram is one map-side-combined aggregation over 10 buckets.
+  // DuckDB lacks width_bucket, so the oracle spells out the same
+  // formula: bucket = floor((v − lo) / ((hi − lo) / n)) + 1.
+  def q126Histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("bucket",
+        expr("CAST(width_bucket(l_quantity, 1.0D, 51.0D, 10) AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("l_quantity")).as("min_q"),
+           max(col("l_quantity")).as("max_q"))
+      .orderBy(col("bucket"))
+
+  val q126Sql: String =
+    """SELECT CAST(floor((l_quantity - 1.0) / 5.0) + 1 AS INT) AS bucket,
+      |  count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_listagg"        -> (q121Listagg _),
+    "q123_hll_merge"      -> (q123HllMerge _),
+    "q124_bitmap_distinct" -> (q124BitmapDistinct _),
+    "q125_filtered_agg"   -> (q125FilteredAgg _),
+    "q126_histogram"      -> (q126Histogram _),
     "q24_rollup"          -> (q24Rollup _),
     "q25_cube"            -> (q25Cube _),
     "q26_grouping_sets"   -> (q26GroupingSets _),
@@ -196,6 +327,10 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q121_listagg"       -> q121Sql,
+    "q123_hll_merge"     -> q123Sql,
+    "q124_bitmap_distinct" -> q124Sql,
+    "q125_filtered_agg"  -> q125Sql,
+    "q126_histogram"     -> q126Sql,
     "q24_rollup"         -> q24Sql,
     "q25_cube"           -> q25Sql,
     "q26_grouping_sets"  -> q26Sql,

@@ -215,7 +215,59 @@ object FileSources {
        |ORDER BY level""".stripMargin
   }
 
+  // ─── q127: parquet AGGREGATE pushdown — the metadata-only scan ───────
+  // MIN/MAX/COUNT with no filter and no grouping answer from parquet
+  // FOOTER STATISTICS: the scan reads row-group metadata, zero data
+  // pages. At 100 TB that is the difference between a full-corpus pass
+  // and a few thousand footer reads — the same lever behind `SELECT
+  // count(*)` returning in milliseconds on warehouse engines. Spark
+  // gates this behind the DSv2 parquet path (`useV1SourceList` minus
+  // parquet) + `spark.sql.parquet.aggregatePushdown`; both are set only
+  // around relation resolution and restored after (the shared session's
+  // other readers — notably the events TIMESTAMP_NANOS override — stay
+  // on their default path). The pushdown itself is visible in the plan
+  // as `PushedAggregation: [COUNT(*), MIN(...), MAX(...)]` —
+  // StorageSpec asserts it; here the oracle checks the VALUES.
+  // Timestamp/binary columns don't qualify (footer stats unreliable
+  // there — parquet min/max on them is engine-dependent), so the probe
+  // sticks to the numeric fact columns.
+  def q127AggPushdown(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val (v1Key, aggKey) =
+      ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+    val (oldV1, oldAgg) = (conf.get(v1Key), conf.get(aggKey))
+    val pushed =
+      try {
+        conf.set(v1Key, oldV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+        conf.set(aggKey, "true")
+        // relation + scan builder resolve HERE, on the V2 path
+        val df = s.read.parquet(s"$d/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+               min(col("l_quantity")).as("min_qty"),
+               max(col("l_quantity")).as("max_qty"),
+               min(col("l_orderkey")).as("min_ok"),
+               max(col("l_orderkey")).as("max_ok"))
+        // the pushdown itself happens in the OPTIMIZER
+        // (V2ScanRelationPushDown reads the agg conf then, not at
+        // resolution) — force planning inside the conf window so the
+        // pushed scan is baked into the lazy queryExecution the caller
+        // executes later. NB: the df returned must be THIS df — any
+        // further transformation (even a no-op select) creates a fresh
+        // QueryExecution that would re-optimize after the conf reset.
+        df.queryExecution.executedPlan
+        df
+      } finally { conf.set(v1Key, oldV1); conf.set(aggKey, oldAgg) }
+    pushed
+  }
+
+  val q127Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_agg_pushdown"    -> (q127AggPushdown _),
     "q55_json_source"      -> (q55JsonSource _),
     "q56_csv_source"       -> (q56CsvSource _),
     "q57_paginated_ingest" -> (q57PaginatedIngest _),
@@ -224,6 +276,7 @@ object FileSources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q127_agg_pushdown"    -> q127Sql,
     "q55_json_source"      -> q55Sql,
     "q56_csv_source"       -> q56Sql,
     "q57_paginated_ingest" -> q57Sql,

@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.functions._
+
+/** q123–q126: mergeable-sketch aggregation + conditional/histogram aggs.
+  *
+  * The load-bearing claims the DuckDB oracle can't see:
+  *  - q123: merging per-cell HLL partials with hll_union_agg gives the
+  *    SAME estimate as sketching the whole column directly (the merge is
+  *    lossless for a partition of the data — that's what makes persisted
+  *    partials trustworthy for later rollups);
+  *  - q124: the bitmap path is EXACT (≡ count(DISTINCT)) and the OR-merge
+  *    across a partition of the data is too;
+  *  - q125: all four filtered aggregates come from ONE scan of orders
+  *    (single aggregation — no self-join, no extra fact scans);
+  *  - q126: width_bucket's closed form matches the oracle formula at the
+  *    bucket boundaries (the off-by-one trap: v=lo, v=hi−width, v=hi−ε).
+  */
+class SketchAggSpec extends SparkSpec {
+
+  test("q123: hll_union_agg over per-cell partials ≡ direct whole-column sketch") {
+    val o = Tables.orders(spark, sfDir).withColumn("yr", year(col("o_orderdate")))
+    val direct = o.groupBy(col("yr"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+    val merged = o.groupBy(col("yr"), col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy(col("yr"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val joined = direct.alias("a").join(merged.alias("b"), Seq("yr"))
+      .select(col("a.est").as("direct"), col("b.est").as("merged")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"merge must be lossless: direct=${r.getLong(0)} merged=${r.getLong(1)}")
+    }
+  }
+
+  test("q124: bitmap distinct is exact and OR-merge preserves exactness") {
+    val res = Analytics.q124BitmapDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == exact, s"bitmap=$res exact=$exact")
+  }
+
+  test("q125: four filtered aggregates run as one aggregation over one scan") {
+    val df = Analytics.q125FilteredAgg(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 orders scan, plan had $scans:\n$plan")
+    assert(!plan.contains("Join"), "FILTER aggregates must not self-join")
+    // conservation: the filtered counts partition or bound the total
+    df.collect().foreach { r =>
+      val (n, nf, no) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nf + no <= n, "status-filtered counts cannot exceed the total")
+    }
+  }
+
+  test("q126: width_bucket matches the closed form at boundary values") {
+    import spark.implicits._
+    // v=1 (lo), v=5.999 (top of bucket 1), v=6 (bottom of bucket 2),
+    // v=50 (interior of last bucket), v=50.999 (just under hi)
+    val probes = Seq(1.0, 5.999, 6.0, 26.0, 50.0, 50.999).toDF("v")
+      .withColumn("wb", expr("CAST(width_bucket(v, 1.0D, 51.0D, 10) AS INT)"))
+      .withColumn("cf", expr("CAST(floor((v - 1.0) / 5.0) + 1 AS INT)"))
+      .collect()
+    probes.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"v=${r.getDouble(0)}: width_bucket=${r.getInt(1)} formula=${r.getInt(2)}")
+    }
+    // histogram buckets cover every row exactly once
+    val hist = Analytics.q126Histogram(spark, sfDir)
+    val total = hist.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == Tables.lineitem(spark, sfDir).count())
+  }
+}

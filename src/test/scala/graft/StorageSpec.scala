@@ -162,6 +162,22 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("q127: parquet aggregate pushdown answers MIN/MAX/COUNT from footers") {
+    val df = graft.sources.FileSources.q127AggPushdown(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the parquet scan:\n$plan")
+    // values still exact vs the ordinary (v1, unpushed) read
+    val Array(r) = df.collect()
+    val li = Tables.lineitem(spark, sfDir)
+    assert(r.getLong(0) === li.count())
+    assert(r.getDouble(1) === li.agg(min($"l_quantity")).collect()(0).getDouble(0))
+    assert(r.getLong(4) === li.agg(max($"l_orderkey")).collect()(0).getLong(0))
+    // the around-resolution config dance restored the session defaults
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList").contains("parquet"))
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false")
+  }
+
   test("partitioned layout prunes to one partition on a key predicate") {
     val dir = tmp("partitioned")
     Tables.orders(spark, sfDir)
