@@ -201,12 +201,96 @@ object TemporalJoins {
       |GROUP BY i.iv_id
       |ORDER BY i.iv_id""".stripMargin
 
+  // ─── q128/q129: as-of DIRECTION knob (pandas merge_asof parity) ──────
+  // q93 is `backward` (last view BEFORE each purchase). `forward` flips
+  // the scan: FIRST view strictly after each purchase — the "next touch
+  // after conversion" attribution shape. `nearest` takes the closer of
+  // the two by timestamp distance (exact matches count as distance 0 on
+  // the forward side; ties resolve backward). All three directions are
+  // the SAME single merge pass with one row of state — the plan shape
+  // (2 shuffles + 2 sorts, nothing else) is identical, PlansSpec asserts
+  // it. The oracles spell each contract out as correlated subqueries:
+  // forward = min over the strictly-after set; nearest = the branch
+  // comparison the merge performs, written in SQL.
+  def q128AsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+              col("event_id").as("v_event"))
+    graft.plans.AsOfJoin.asof(purchases, views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("ts"), purchases("event_id")),
+        Seq(views("view_ts"), views("v_event")),
+        direction = "forward")
+      .select(col("user_id"), col("event_id"),
+              col("view_ts").as("next_view_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q128Sql: String =
+    """SELECT p.user_id, p.event_id,
+      |  (SELECT min(v.ts) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND (v.ts > p.ts OR (v.ts = p.ts AND v.event_id > p.event_id)))
+      |  AS next_view_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  def q129AsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+              col("event_id").as("v_event"))
+    graft.plans.AsOfJoin.asof(purchases, views,
+        purchases("user_id"), views("v_user"),
+        Seq(purchases("ts"), purchases("event_id")),
+        Seq(views("view_ts"), views("v_event")),
+        direction = "nearest")
+      .select(col("user_id"), col("event_id"),
+              col("view_ts").as("nearest_view_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // back = newest strictly-before (by (ts, event_id) tuple); fwd = first
+  // at-or-after (tuple ≥ ⇔ NOT strictly-before and not the left row
+  // itself — views and purchases never share an event_id, so tuple ≥
+  // over views reduces to NOT (tuple <)); pick by epoch distance with
+  // ties going backward — exactly the merge's emit branch.
+  val q129Sql: String =
+    """SELECT user_id, event_id,
+      |  CASE
+      |    WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL OR
+      |         epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts))
+      |      THEN back_ts
+      |    ELSE fwd_ts
+      |  END AS nearest_view_ts
+      |FROM (
+      |  SELECT p.user_id, p.event_id, p.ts,
+      |    (SELECT max(v.ts) FROM events v
+      |     WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |       AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
+      |    AS back_ts,
+      |    (SELECT min(v.ts) FROM events v
+      |     WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |       AND NOT (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id)))
+      |    AS fwd_ts
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase') m
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_range_join"  -> (q09RangeJoin _),
     "q10_asof_join"   -> (q10AsOfJoin _),
     "q93_asof_native" -> (q93AsofNative _),
     "q112_interval_bin_join" -> (q112IntervalBinJoin _),
     "q116_asof_tolerance" -> (q116AsofTolerance _),
+    "q128_asof_forward" -> (q128AsofForward _),
+    "q129_asof_nearest" -> (q129AsofNearest _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,5 +299,7 @@ object TemporalJoins {
     "q93_asof_native" -> q93Sql,
     "q112_interval_bin_join" -> q112Sql,
     "q116_asof_tolerance" -> q116Sql,
+    "q128_asof_forward" -> q128Sql,
+    "q129_asof_nearest" -> q129Sql,
   )
 }

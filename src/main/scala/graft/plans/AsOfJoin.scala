@@ -41,7 +41,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftOrder: Seq[Expression], rightOrder: Seq[Expression],
-    toleranceUnits: Option[Long] = None)
+    toleranceUnits: Option[Long] = None,
+    direction: String = "backward")
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -97,8 +98,8 @@ object AsOfJoinPushDown
   */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lo, ro, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lo, ro, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lo, ro, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -107,7 +108,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftOrder: Seq[Expression], rightOrder: Seq[Expression],
-    toleranceUnits: Option[Long] = None)
+    toleranceUnits: Option[Long] = None,
+    direction: String = "backward")
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -133,6 +135,7 @@ case class AsOfJoinExec(
     val lk = leftKey; val rk = rightKey
     val lo = leftOrder; val ro = rightOrder
     val tol = toleranceUnits
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyP = UnsafeProjection.create(Seq(lk), leftOut)
       val rKeyP = UnsafeProjection.create(Seq(rk), rightOut)
@@ -160,13 +163,14 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          val lKey = lKeyP(l)
-          val lOrd = lOrdP(l)
-          if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
-            candidate = null; candidateKey = null; candidateOrd = null
-          }
+        /** Advance the right cursor for this left row. `backward`/`nearest`
+          * buffer the newest strictly-before row as the candidate and stop
+          * with the cursor parked on the first at-or-after row; `forward`
+          * buffers nothing — it discards at-or-before rows (useless for
+          * every later left row too, since left ordering only grows) and
+          * parks on the first strictly-after row, which IS the match.
+          */
+        private def advance(lKey: InternalRow, lOrd: InternalRow): Unit = {
           var scanning = true
           while (scanning) {
             if (rightAhead == null && !exhausted) {
@@ -177,7 +181,11 @@ case class AsOfJoinExec(
               val rKey = rKeyP(rightAhead)
               val c = keyOrd.compare(rKey, lKey)
               if (c < 0) rightAhead = null // right key behind: discard
-              else if (c == 0 && ordOrd.compare(rOrdP(rightAhead), lOrd) < 0) {
+              else if (c == 0 && dir == "forward" &&
+                       ordOrd.compare(rOrdP(rightAhead), lOrd) <= 0) {
+                rightAhead = null // at-or-before: dead for all future lefts
+              } else if (c == 0 && dir != "forward" &&
+                         ordOrd.compare(rOrdP(rightAhead), lOrd) < 0) {
                 // strictly before this left row: newest-so-far candidate.
                 // copy() — the child iterator reuses its row buffer.
                 candidate = rightAhead.copy()
@@ -187,17 +195,60 @@ case class AsOfJoinExec(
               } else scanning = false // right at/after left: stop advancing
             }
           }
-          // tolerance gate (pandas merge_asof parity): the candidate is
-          // the LATEST match, so if IT is too old every earlier row is
-          // too — null-fill, but KEEP the candidate (a later left row
-          // can never re-enter tolerance, but the candidate may still
-          // be replaced as the merge advances; dropping it here would
-          // be wrong only in the key-change path, which clears anyway)
-          val matched = candidate != null && (tol match {
-            case Some(t) => lOrd.getLong(0) - candidateOrd.getLong(0) <= t
-            case None => true
-          })
-          project(joined(l, if (matched) candidate else nullRight))
+        }
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyP(l)
+          val lOrd = lOrdP(l)
+          if (candidateKey != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null; candidateKey = null; candidateOrd = null
+          }
+          advance(lKey, lOrd)
+          // does the parked cursor row belong to this left row's key group?
+          lazy val aheadKeyEq = rightAhead != null &&
+            keyOrd.compare(rKeyP(rightAhead), lKey) == 0
+          val matchRow: InternalRow = dir match {
+            case "forward" =>
+              // first strictly-after row; tolerance gates its lead time
+              val ok = aheadKeyEq && (tol match {
+                case Some(t) =>
+                  rOrdP(rightAhead).getLong(0) - lOrd.getLong(0) <= t
+                case None => true
+              })
+              if (ok) rightAhead else nullRight
+            case "nearest" =>
+              // closer of {newest strictly-before, first at-or-after};
+              // exact matches land on the forward side with distance 0;
+              // equidistant resolves backward. Both sides gate on
+              // tolerance INDEPENDENTLY before the comparison.
+              val tolMax = tol.getOrElse(Long.MaxValue)
+              val backDist =
+                if (candidate != null) lOrd.getLong(0) - candidateOrd.getLong(0)
+                else Long.MaxValue
+              val fwdDist =
+                if (aheadKeyEq) rOrdP(rightAhead).getLong(0) - lOrd.getLong(0)
+                else Long.MaxValue
+              val backOk = candidate != null && backDist <= tolMax
+              val fwdOk = aheadKeyEq && fwdDist <= tolMax
+              if (backOk && (!fwdOk || backDist <= fwdDist)) candidate
+              else if (fwdOk) rightAhead
+              else nullRight
+            case _ => // backward
+              // tolerance gate (pandas merge_asof parity): the candidate
+              // is the LATEST match, so if IT is too old every earlier row
+              // is too — null-fill, but KEEP the candidate (a later left
+              // row can never re-enter tolerance, but the candidate may
+              // still be replaced as the merge advances; dropping it here
+              // would be wrong only in the key-change path, which clears
+              // anyway)
+              val ok = candidate != null && (tol match {
+                case Some(t) => lOrd.getLong(0) - candidateOrd.getLong(0) <= t
+                case None => true
+              })
+              if (ok) candidate else nullRight
+          }
+          project(joined(l, matchRow))
         }
       }
     }
@@ -243,15 +294,31 @@ object AsOfJoin {
     * timestamps, raw values for longs. Out-of-tolerance left rows
     * null-fill (still left-outer). Zero extra data movement: the gate is
     * one long comparison at emit time inside the same merge pass.
+    *
+    * `direction` (pandas `merge_asof` parity):
+    *  - `backward` (default): newest right row STRICTLY BEFORE the left
+    *    tuple — q10's "last view before each purchase";
+    *  - `forward`: first right row STRICTLY AFTER the left tuple
+    *    (tolerance gates its lead time, `right₀ − left₀ ≤ t`);
+    *  - `nearest`: closer of the two by the FIRST ordering column's
+    *    distance; the forward side is AT-OR-AFTER here (an exact match is
+    *    distance 0 and wins), equidistant resolves backward, and each
+    *    side gates on tolerance independently. Requires a long-backed
+    *    first ordering column (like tolerance).
+    * All three run in the same single merge pass with the same one-row
+    * state — direction changes comparisons, never data movement.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
            leftOrder: Seq[Column], rightOrder: Seq[Column],
-           toleranceUnits: Option[Long] = None): DataFrame = {
+           toleranceUnits: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     require(leftOrder.nonEmpty && leftOrder.size == rightOrder.size,
       "as-of needs matching non-empty ordering column lists")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward|forward|nearest, got '$direction'")
     // the merge comparators are built from LEFT-side types and read both
     // sides' projections with them — a type mismatch would compare raw
     // slots and silently pick wrong candidates, so fail loudly instead
@@ -265,21 +332,23 @@ object AsOfJoin {
       require(equalsStructurally(lt, rt, ignoreNullability = true),
         s"as-of ordering types differ: $lt vs $rt")
     }
-    toleranceUnits.foreach { t =>
-      require(t >= 0, s"as-of tolerance must be >= 0, got $t")
-      // the gate reads the first ordering slot as a raw long — only
-      // long-backed types qualify (timestamps are micros internally)
+    if (toleranceUnits.isDefined || direction == "nearest") {
+      toleranceUnits.foreach(t =>
+        require(t >= 0, s"as-of tolerance must be >= 0, got $t"))
+      // tolerance gates and nearest distances read the first ordering
+      // slot as a raw long — only long-backed types qualify (timestamps
+      // are micros internally)
       import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
       val t0 = bridge.expression(leftOrder.head).dataType
       require(Seq(LongType, TimestampType, TimestampNTZType).contains(t0),
-        s"as-of tolerance requires a long-backed first ordering column " +
-          s"(timestamp/long), got $t0")
+        s"as-of tolerance/nearest requires a long-backed first ordering " +
+          s"column (timestamp/long), got $t0")
     }
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       bridge.expression(leftKey), bridge.expression(rightKey),
       leftOrder.map(bridge.expression), rightOrder.map(bridge.expression),
-      toleranceUnits)
+      toleranceUnits, direction)
     bridge.ofRows(spark, plan)
   }
 }

@@ -120,6 +120,95 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("forward + nearest directions match brute force on random timelines") {
+    val gen = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))
+    } yield (ls, rs)
+    (0 until 6).foreach { seed =>
+      val (ls, rs) = gen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val lrows = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rrows = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val left = lrows.toDF("k", "t", "id")
+      val right = rrows.toDF("rk", "rt", "rid")
+      def run(dirn: String, tol: Option[Long]) =
+        AsOfJoin.asof(left, right, left("k"), right("rk"),
+            Seq(left("t"), left("id")), Seq(right("rt"), right("rid")),
+            toleranceUnits = tol, direction = dirn)
+          .select($"k", $"t", $"id", $"rt", $"rid")
+          .as[(Long, Long, Long, Option[Long], Option[Long])]
+          .collect().toSet
+      // forward: FIRST strictly-after (by tuple); tolerance gates lead time
+      val tol = seed.toLong * 3
+      for (tolOpt <- Seq(None, Some(tol))) {
+        val expectedF = lrows.map { case (k, t, i) =>
+          val m = rrows.filter(r => r._1 == k &&
+              (r._2 > t || (r._2 == t && r._3 > i)))
+            .sortBy(r => (r._2, r._3)).headOption
+            .filter(r => tolOpt.forall(tl => r._2 - t <= tl))
+          (k, t, i, m.map(_._2), m.map(_._3))
+        }.toSet
+        assert(run("forward", tolOpt) === expectedF,
+          s"seed=$seed forward tol=$tolOpt mismatch")
+      }
+      // nearest: closer of {newest strictly-before, first AT-OR-AFTER};
+      // ties resolve backward; tolerance gates each side independently
+      for (tolOpt <- Seq(None, Some(tol))) {
+        val expectedN = lrows.map { case (k, t, i) =>
+          val back = rrows.filter(r => r._1 == k &&
+              (r._2 < t || (r._2 == t && r._3 < i)))
+            .sortBy(r => (r._2, r._3)).lastOption
+            .filter(r => tolOpt.forall(tl => t - r._2 <= tl))
+          val fwd = rrows.filter(r => r._1 == k &&
+              !(r._2 < t || (r._2 == t && r._3 < i)))
+            .sortBy(r => (r._2, r._3)).headOption
+            .filter(r => tolOpt.forall(tl => r._2 - t <= tl))
+          val m = (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+          (k, t, i, m.map(_._2), m.map(_._3))
+        }.toSet
+        assert(run("nearest", tolOpt) === expectedN,
+          s"seed=$seed nearest tol=$tolOpt mismatch")
+      }
+    }
+  }
+
+  test("q128/q129 plan shape: same native node, no added movement") {
+    for (df <- Seq(graft.ops.TemporalJoins.q128AsofForward(spark, sfDir),
+                   graft.ops.TemporalJoins.q129AsofNearest(spark, sfDir))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"direction lost the native node:\n$plan")
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert("Exchange".r.findAllIn(finalPlan).length <= 3,
+        s"direction knob added data movement:\n$finalPlan")
+    }
+    // the directions genuinely differ on this data (not all three
+    // collapsing to the same column)
+    val back = graft.ops.TemporalJoins.q93AsofNative(spark, sfDir)
+      .as[(Long, Long, Option[Timestamp])].collect().toMap2
+    val fwd = graft.ops.TemporalJoins.q128AsofForward(spark, sfDir)
+      .as[(Long, Long, Option[Timestamp])].collect().toMap2
+    val near = graft.ops.TemporalJoins.q129AsofNearest(spark, sfDir)
+      .as[(Long, Long, Option[Timestamp])].collect().toMap2
+    assert(back.keySet === fwd.keySet && fwd.keySet === near.keySet)
+    assert(back !== fwd, "forward collapsed to backward on the fixture")
+    // nearest must always pick one of the two sides
+    near.foreach { case (key, ts) =>
+      assert(ts == back(key) || ts == fwd(key),
+        s"nearest invented a match at $key: $ts")
+    }
+  }
+
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => ((r._1, r._2), r._3)).toMap
+  }
+
   test("AsOfJoinPushDown carries a left-only filter into the parquet scan") {
     val e = Tables.events(spark, sfDir) // NANOS-ts-safe reader
     val purchases = e.where($"event_type" === "purchase")
