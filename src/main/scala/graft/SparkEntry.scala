@@ -15,7 +15,8 @@ object SparkEntry {
     sources.FileSources.queries ++ sources.Multimodal.queries ++
     ops.Skew.queries ++ ops.Graph.queries ++ ops.Corpus.queries ++
     ops.Warehouse.queries ++ sources.JdbcSink.queries ++
-    ops.SqlText.queries ++ ops.Observe.queries
+    ops.SqlText.queries ++ ops.Observe.queries ++
+    sources.SnapshotStore.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
     sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql ++
     ops.Skew.oracleSql ++ ops.Graph.oracleSql ++ ops.Corpus.oracleSql ++
     ops.Warehouse.oracleSql ++ sources.JdbcSink.oracleSql ++
-    ops.SqlText.oracleSql ++ ops.Observe.oracleSql
+    ops.SqlText.oracleSql ++ ops.Observe.oracleSql ++
+    sources.SnapshotStore.oracleSql
 }

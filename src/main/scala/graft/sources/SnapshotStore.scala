@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Snapshot-committed parquet table: ATOMIC publish + time travel.
+  *
+  * The reference's refresh contract is replace-on-refresh over a live
+  * database (README.md:156–163 — consumers query mid-refresh state).
+  * This is the table-format answer to that problem (the Iceberg/Delta
+  * publish pattern, on plain parquet + one manifest file per version):
+  *
+  *  - `publish(df, table)` writes data files under `snap-vNNNNN/`, then
+  *    commits by creating `_snapshots/vNNNNN.manifest` with
+  *    overwrite=false — on HDFS/local an ATOMIC exclusive create. The
+  *    manifest is the only commit point: a crash after the data write
+  *    but before the manifest leaves an orphan directory readers never
+  *    see (old snapshot stays live); two concurrent publishers race on
+  *    the exclusive create, the loser re-stages under the next version
+  *    (optimistic concurrency, like Delta's transaction-log protocol).
+  *  - `read(spark, table)` lists `_snapshots/`, takes the max committed
+  *    version, and reads EXACTLY the files that manifest names —
+  *    snapshot isolation: a reader never observes a half-published
+  *    version, no matter when it runs.
+  *  - `read(spark, table, Some(v))` is time travel: old manifests (and
+  *    their data dirs) are immutable once committed.
+  *
+  * Manifest format: line 1 `version=N`, line 2 `count=M`, remaining
+  * lines one data-file path each — deliberately transparent (no JSON
+  * parser needed on the read path).
+  *
+  * 100 TB notes: the manifest lists FILES, so reads plan from a
+  * driver-side listing of one small file instead of a recursive
+  * directory scan (the S3-listing bottleneck table formats exist to
+  * kill). Data files are whatever the upstream writer's partitioning
+  * produced — publish adds zero data movement (no repartition, no
+  * rewrite; the parquet write is the same one an unversioned sink would
+  * do). The exclusive-create commit is atomic on HDFS and POSIX; on
+  * S3-style stores it maps to a conditional PUT (documented caveat, as
+  * with every manifest-based format).
+  */
+object SnapshotStore {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new Path(table, "_snapshots")
+
+  private val ManifestRe = "v(\\d{5})\\.manifest".r
+
+  /** Committed versions, ascending (empty for a fresh table). */
+  def versions(spark: SparkSession, table: String): Seq[Int] = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toInt
+    }.sorted
+  }
+
+  /** Atomically publish `df` as the next version; returns the version
+    * committed. Loops on commit conflict (another writer claimed the
+    * version): the loser re-stages its data under the next number —
+    * rare-path cost, the win is that NO lock is ever held.
+    */
+  def publish(df: DataFrame, table: String): Int = {
+    val spark = df.sparkSession
+    val tableP = new Path(table)
+    val f = fs(spark, tableP)
+    var v = versions(spark, table).lastOption.getOrElse(0) + 1
+    var committed = -1
+    while (committed < 0) {
+      val dataDir = new Path(tableP, f"snap-v$v%05d")
+      df.write.mode("overwrite").parquet(dataDir.toString)
+      val files = f.listStatus(dataDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+                     p.getName.endsWith(".parquet"))
+        .map(_.toString).sorted
+      val count = spark.read.parquet(dataDir.toString).count()
+      val manifest = new Path(manifestDir(table), f"v$v%05d.manifest")
+      f.mkdirs(manifestDir(table))
+      try {
+        // overwrite=false ⇒ exclusive create: THE atomic commit point
+        val out = f.create(manifest, false)
+        out.write((s"version=$v\ncount=$count\nschema=${df.schema.toDDL}\n" +
+          files.mkString("\n")).getBytes(UTF_8))
+        out.close()
+        committed = v
+      } catch {
+        case _: java.io.IOException =>
+          // lost the race: drop the stage, re-publish as the next version
+          f.delete(dataDir, true)
+          v = versions(spark, table).lastOption.getOrElse(v) + 1
+      }
+    }
+    committed
+  }
+
+  /** Read a committed snapshot (default: latest). Reads exactly the
+    * manifest's file list — never a directory scan of the table root.
+    */
+  def read(spark: SparkSession, table: String,
+           version: Option[Int] = None): DataFrame = {
+    val committed = versions(spark, table)
+    require(committed.nonEmpty, s"no committed snapshots under $table")
+    val v = version.getOrElse(committed.last)
+    require(committed.contains(v),
+      s"version $v not committed (have: ${committed.mkString(",")})")
+    val lines = manifestLines(spark, table, v)
+    val files = lines.drop(3).filter(_.nonEmpty)
+    if (files.isEmpty) {
+      // empty snapshot: no data files, schema comes from the manifest
+      val ddl = lines(2).stripPrefix("schema=")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else spark.read.parquet(files: _*)
+  }
+
+  /** Manifest-declared row count (metadata read, no data scan). */
+  def countOf(spark: SparkSession, table: String, version: Int): Long =
+    manifestLines(spark, table, version)(1).stripPrefix("count=").toLong
+
+  private def manifestLines(spark: SparkSession, table: String,
+                            v: Int): List[String] = {
+    val manifest = new Path(manifestDir(table), f"v$v%05d.manifest")
+    val in = fs(spark, manifest).open(manifest)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  // ─── q130: snapshot round-trip + time travel, oracle-checked ─────────
+  // Publish v1 (even doc_ids) then v2 (all docs) into a fresh table,
+  // then read v1 by TIME TRAVEL and v2 as latest — the census of each
+  // must equal the census of the frames that were published. The DuckDB
+  // twin computes both censuses directly from `documents`, so the hash
+  // only matches if publish→read is lossless AND time travel serves the
+  // v1 bytes untouched after v2 landed. (The table dir is rebuilt each
+  // run — version numbers restart at 1, keeping the output
+  // deterministic under bench's repeated passes.)
+  def q130SnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/docs"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    publish(docs.where(col("doc_id") % 2 === 0), table)
+    publish(docs, table)
+    def census(df: DataFrame, v: Int) =
+      df.agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("total_chars"))
+    census(read(s, table, Some(1)), 1)
+      .unionAll(census(read(s, table), 2))
+      .orderBy(col("version"))
+  }
+
+  val q130Sql: String =
+    """SELECT 1 AS version, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM documents
+      |ORDER BY version""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q130_snapshot_roundtrip" -> q130Sql)
+}

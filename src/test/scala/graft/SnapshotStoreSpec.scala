@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.SnapshotStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The snapshot store's ACID claims — the parts no SQL oracle can see:
+  * crash atomicity (an uncommitted data dir is invisible), optimistic-
+  * concurrency conflict handling (loser re-stages, both commits land),
+  * snapshot immutability under later publishes, empty-frame round-trip,
+  * and the manifest count being a metadata-only read.
+  */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    val dir = sys.props("java.io.tmpdir") + s"/graft-snapspec/$name"
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    dir
+  }
+
+  test("publish → read round-trips rows; versions are immutable") {
+    val t = freshTable("roundtrip")
+    val v1 = SnapshotStore.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val v2 = SnapshotStore.publish(Seq((3L, "c")).toDF("id", "s"), t)
+    assert(v1 === 1 && v2 === 2)
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+    // time travel: v1 unchanged after v2 landed
+    assert(SnapshotStore.read(spark, t, Some(1)).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(SnapshotStore.countOf(spark, t, 1) === 2L)
+    assert(SnapshotStore.countOf(spark, t, 2) === 1L)
+  }
+
+  test("crash before manifest commit leaves the old snapshot live") {
+    val t = freshTable("crash")
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), t)
+    // simulate a writer that died after its data write: a full data dir
+    // with NO manifest
+    Seq((99L, "dead")).toDF("id", "s")
+      .write.parquet(s"$t/snap-v00002")
+    assert(SnapshotStore.versions(spark, t) === Seq(1))
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a")), "reader saw uncommitted data")
+    // and the next publisher claims v2 for itself — the orphan dir is
+    // overwritten by the overwrite-mode stage write
+    val v = SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), t)
+    assert(v === 2)
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((2L, "b")))
+  }
+
+  test("commit conflict: loser re-stages under the next version, both land") {
+    val t = freshTable("conflict")
+    SnapshotStore.publish(Seq((1L, "base")).toDF("id", "s"), t)
+    // plant a manifest claiming v2 — as if a concurrent writer committed
+    // between this publisher's version pick and its exclusive create
+    val mdir = new Path(t, "_snapshots")
+    val f = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(mdir)
+    val planted = f.create(new Path(mdir, "v00002.manifest"), false)
+    planted.write("version=2\ncount=0\nschema=id BIGINT,s STRING\n".getBytes(UTF_8))
+    planted.close()
+    val v = SnapshotStore.publish(Seq((3L, "late")).toDF("id", "s"), t)
+    assert(v === 3, "loser must re-stage under the NEXT free version")
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2, 3))
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((3L, "late")))
+    // the planted (empty) v2 reads as an empty frame with the declared schema
+    val empty = SnapshotStore.read(spark, t, Some(2))
+    assert(empty.isEmpty && empty.columns.toSeq === Seq("id", "s"))
+  }
+
+  test("q130 census conserves: v1 ⊆ v2 by construction") {
+    val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2)
+    val (v1, v2) = (out(0), out(1))
+    assert(v1._2 < v2._2 && v1._3 < v2._3,
+      "v1 (even doc_ids) must be a strict subset of v2 (all docs)")
+  }
+}
