@@ -288,4 +288,60 @@ class SimilaritySpec extends SparkSpec {
       if (f.kind != "video") assert(f.n_frames === 1)
     }
   }
+
+  test("q131 JL: shortlist recall dominates direct recall; projection is " +
+       "deterministic and angle-preserving on structured pairs") {
+    import spark.implicits._
+    // monotone by construction (rn_p <= 10 implies rn_p <= 50) — a
+    // regression here means the two rankings got crossed
+    Similarity.q131JlProjection(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"shortlist recall below direct recall at q_id=${r.get(0)}")
+    }
+    // JL preserves STRUCTURE when it exists: a planted near-duplicate
+    // pair (v, v + small deterministic perturbation) stays near-parallel
+    // after projection, while an orthogonal pair stays far. The fixture
+    // is exact (no randomness): base = one-hot-ish ramps.
+    val dim = 64
+    val base = Array.tabulate(dim)(i => 1.0 + (i % 7) * 0.25)
+    val near = base.zipWithIndex.map { case (v, i) => v + 0.01 * (i % 3) }
+    val ortho = Array.tabulate(dim)(i => if (i % 2 == 0) base(i + 1) else -base(i - 1))
+    val df = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, ortho.toSeq))
+      .toDF("vec_id", "e")
+    // reuse the query's literal projection text via a tiny local rebuild
+    val projExpr = (0 until 32).map { j =>
+      val terms = (0 until dim).map { i =>
+        val sgn = {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"jl:$i:$j".getBytes("UTF-8"))
+          if ((h(0) & 1) == 0) " + " else " - "
+        }
+        sgn + s"element_at(e, ${i + 1})"
+      }.mkString
+      s"(0.0D$terms)"
+    }.mkString("array(", ", ", ")")
+    val projected = df.select($"vec_id", expr(projExpr).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // exact-dup direction survives projection nearly unchanged...
+    assert(cos(projected(0L), projected(1L)) > 0.99,
+      "JL failed to preserve a planted near-duplicate direction")
+    // ...and the orthogonal pair stays clearly separated from it
+    assert(cos(projected(0L), projected(2L)) < 0.6,
+      "JL collapsed an orthogonal pair onto the base direction")
+    // determinism: a Scala recompute of the same sign matrix agrees
+    // bit-for-bit with the Spark-evaluated projection
+    def signOf(i: Int, j: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    val local = Array.tabulate(32)(j =>
+      (0 until dim).foldLeft(0.0)((acc, i) => acc + signOf(i, j) * base(i)))
+    assert(projected(0L).toSeq === local.toSeq,
+      "Spark projection diverged from the driver-side recompute")
+  }
 }
