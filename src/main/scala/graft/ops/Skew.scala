@@ -3,6 +3,8 @@ package graft.ops
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.expressions.Window
 
 /** Skew mitigation by salting (build-brief "skewed keys → salting or AQE
   * skew-join").
@@ -42,11 +44,116 @@ object Skew {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q132: Z-ORDER clustering — multi-dimensional data skipping ──────
+  // The layout lever behind Delta's OPTIMIZE ZORDER BY and Iceberg's
+  // sort orders: interleave the bits of two quantized dimensions into a
+  // Morton key and lay files out in key ranges, so each file's bounding
+  // box is TIGHT IN BOTH dimensions and a 2-D box predicate prunes most
+  // files from their min/max footer stats. A single-column sort gives
+  // tight boxes in ONE dimension and full-range boxes in the other —
+  // box queries touch almost every file.
+  //
+  // The query MEASURES that: orders quantized to an 8-bit (date ×
+  // price) grid, bucketed 64 ways two ways — by Morton key vs by date
+  // alone (ntile over a total order with a unique tiebreak, so both
+  // engines bucket identically) — then counts how many buckets' bboxes
+  // intersect a fixed 2-D box predicate. Output: 2 rows (layout,
+  // buckets touched, rows in touched buckets) — the skipping win as
+  // data, engine-checkable. The interleave is literal shift/mask
+  // arithmetic generated per engine from one Scala loop (codegen'd
+  // projection, no UDF).
+  //
+  // 100 TB notes: ntile here stands in for repartitionByRange(zkey) +
+  // one file per partition — the same global range layout Spark writes
+  // at scale (sampled boundaries; the measurement is identical). The
+  // quantization grid is STATIC (schema-derived bounds), so the Morton
+  // key is a pure per-row projection: layout jobs need one pass + one
+  // range shuffle, never a global min/max pre-pass.
+  private val ZBits = 8
+  private val ZBuckets = 64
+
+  /** Morton interleave of two [0,255] ints, as engine SQL text. */
+  private def morton(xCol: String, yCol: String,
+                     shr: (String, Int) => String): String =
+    (0 until ZBits).flatMap { b =>
+      Seq(s"(${shr(xCol, b)} & 1) * ${1L << (2 * b)}",
+          s"(${shr(yCol, b)} & 1) * ${1L << (2 * b + 1)}")
+    }.mkString(" + ")
+
+  def q132ZOrder(s: SparkSession, d: String): DataFrame = {
+    // 8-bit grid: date = days since epoch div 10 (1992–98 ⇒ 0..255),
+    // price div 2400 (max ~600k ⇒ 0..250); both clamped defensively
+    val base = orders(s, d).select(
+      col("o_orderkey"),
+      least(lit(255), floor(datediff(col("o_orderdate"),
+        lit("1992-01-01").cast("date")) / 10).cast("int")).as("qx"),
+      least(lit(255), floor(col("o_totalprice") / 2400).cast("int")).as("qy"))
+    val keyed = base
+      .withColumn("zkey",
+        expr(morton("qx", "qy", (c, b) => s"shiftright($c, $b)")))
+    def layout(name: String, ordCol: Column) = {
+      val w = Window.orderBy(ordCol, col("o_orderkey"))
+      keyed.withColumn("bucket", ntile(ZBuckets).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("qx")).as("x0"), max(col("qx")).as("x1"),
+             min(col("qy")).as("y0"), max(col("qy")).as("y1"))
+        // the probe box: does this bucket's bbox intersect it?
+        .withColumn("touched",
+          col("x1") >= 60 && col("x0") <= 200 &&
+          col("y1") >= 80 && col("y0") <= 120)
+        .agg(count(lit(1)).as("n_buckets"),
+             count(when(col("touched"), 1)).as("buckets_touched"),
+             sum(when(col("touched"), col("n")).otherwise(0))
+               .as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+                col("buckets_touched"), col("rows_scanned"))
+    }
+    layout("linear", col("qx"))
+      .unionAll(layout("zorder", col("zkey")))
+      .orderBy(col("layout"))
+  }
+
+  val q132Sql: String = {
+    // the extra "& 1" the template adds around an already-masked shr is
+    // a harmless identity (x & 1 & 1 = x & 1)
+    val z = morton("qx", "qy", (c, b) => s"($c >> $b)")
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    least(255, CAST(floor(datediff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE)) / 10) AS INT)) AS qx,
+       |    least(255, CAST(floor(o_totalprice / 2400) AS INT)) AS qy
+       |  FROM orders),
+       |keyed AS (SELECT *, $z AS zkey FROM base),
+       |layouts AS (
+       |  SELECT 'linear' AS layout, ntile(64) OVER (ORDER BY qx, o_orderkey)
+       |    AS bucket, qx, qy FROM keyed
+       |  UNION ALL
+       |  SELECT 'zorder', ntile(64) OVER (ORDER BY zkey, o_orderkey),
+       |    qx, qy FROM keyed),
+       |boxes AS (
+       |  SELECT layout, bucket, count(*) AS n,
+       |    min(qx) AS x0, max(qx) AS x1, min(qy) AS y0, max(qy) AS y1
+       |  FROM layouts GROUP BY layout, bucket)
+       |SELECT layout, count(*) AS n_buckets,
+       |  count(CASE WHEN x1 >= 60 AND x0 <= 200
+       |             AND y1 >= 80 AND y0 <= 120 THEN 1 END)
+       |    AS buckets_touched,
+       |  CAST(sum(CASE WHEN x1 >= 60 AND x0 <= 200
+       |             AND y1 >= 80 AND y0 <= 120 THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_scanned
+       |FROM boxes
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_salted_agg" -> (q61SaltedAgg _),
+    "q132_zorder"    -> (q132ZOrder _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q61_salted_agg" -> q61Sql,
+    "q132_zorder"    -> q132Sql,
   )
 }

@@ -178,6 +178,16 @@ class StorageSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false")
   }
 
+  test("q132: z-order layout strictly beats linear on 2-D box skipping") {
+    val rows = graft.ops.Skew.q132ZOrder(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val (linB, linR) = rows("linear")
+    val (zB, zR) = rows("zorder")
+    assert(zB < linB, s"z-order touched $zB buckets vs linear $linB")
+    assert(zR < linR, s"z-order scanned $zR rows vs linear $linR")
+    assert(zB > 0, "probe box missed the data entirely — measurement is vacuous")
+  }
+
   test("partitioned layout prunes to one partition on a key predicate") {
     val dir = tmp("partitioned")
     Tables.orders(spark, sfDir)
