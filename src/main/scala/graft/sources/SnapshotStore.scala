@@ -99,6 +99,75 @@ object SnapshotStore {
     committed
   }
 
+  /** Idempotent publish at a FIXED version — the exactly-once building
+    * block for streaming. Returns true iff THIS call committed; false
+    * means the version already exists (a replayed micro-batch after a
+    * crash between sink commit and checkpoint advance — the standard
+    * foreachBatch dup window) and nothing was written.
+    */
+  def publishVersion(df: DataFrame, table: String, version: Int): Boolean = {
+    val spark = df.sparkSession
+    val tableP = new Path(table)
+    val f = fs(spark, tableP)
+    if (versions(spark, table).contains(version)) return false
+    val dataDir = new Path(tableP, f"snap-v$version%05d")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val files = f.listStatus(dataDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+                   p.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+    val count = spark.read.parquet(dataDir.toString).count()
+    val manifest = new Path(manifestDir(table), f"v$version%05d.manifest")
+    f.mkdirs(manifestDir(table))
+    try {
+      val out = f.create(manifest, false)
+      out.write((s"version=$version\ncount=$count\nschema=${df.schema.toDDL}\n" +
+        files.mkString("\n")).getBytes(UTF_8))
+      out.close()
+      true
+    } catch {
+      // lost a concurrent replay race: the OTHER attempt committed this
+      // exact batch — drop the re-staged files, report not-committed
+      case _: java.io.IOException => f.delete(dataDir, true); false
+    }
+  }
+
+  /** EXACTLY-ONCE streaming sink: each micro-batch publishes as version
+    * batchId+1 via [[publishVersion]]. Structured Streaming's foreachBatch
+    * is at-least-once (a batch replays if the job dies after the sink
+    * ran but before the checkpoint advanced); pinning version = batchId
+    * makes the replay a no-op, upgrading the sink to exactly-once — the
+    * same idempotent-by-batchId discipline Delta's streaming sink uses.
+    * Readers see each micro-batch atomically (manifest commit) and can
+    * time-travel the stream's history.
+    */
+  def streamSink(stream: DataFrame, table: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        publishVersion(batch, table, batchId.toInt + 1); ()
+      }
+      .start()
+
+  /** Retention: drop all but the newest `keepLast` snapshots — data
+    * dirs AND manifests (Delta VACUUM + log cleanup in one). Kept
+    * versions stay time-travelable; expired reads fail loudly with the
+    * surviving version list. Safe order: manifest first (the version
+    * disappears from readers atomically), then the data dir.
+    */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val all = versions(spark, table)
+    val expire = all.dropRight(keepLast)
+    val f = fs(spark, new Path(table))
+    expire.foreach { v =>
+      f.delete(new Path(manifestDir(table), f"v$v%05d.manifest"), false)
+      f.delete(new Path(table, f"snap-v$v%05d"), true)
+    }
+    expire
+  }
+
   /** Read a committed snapshot (default: latest). Reads exactly the
     * manifest's file list — never a directory scan of the table root.
     */

@@ -74,6 +74,58 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(empty.isEmpty && empty.columns.toSeq === Seq("id", "s"))
   }
 
+  test("streaming sink is exactly-once: a replayed micro-batch is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = freshTable("stream")
+    val ckpt = freshTable("stream-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = SnapshotStore.streamSink(in.toDF().toDF("id", "s"), t, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val committed = SnapshotStore.versions(spark, t)
+    assert(committed === Seq(1, 2),
+      s"expected one version per micro-batch, got $committed")
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+    // simulate the crash-replay window: the SAME batchId runs again
+    // (foreachBatch re-delivery) — idempotent, nothing changes
+    val replayed = SnapshotStore.publishVersion(
+      Seq((9L, "dup"), (8L, "dup")).toDF("id", "s"), t, 2)
+    assert(!replayed, "replay must be a no-op")
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2))
+    assert(SnapshotStore.read(spark, t, Some(2)).as[(Long, String)]
+      .collect().toSet === Set((3L, "c")), "replay overwrote committed data")
+    assert(SnapshotStore.read(spark, t, Some(1)).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("vacuum expires old versions atomically, keeps time travel for the rest") {
+    val t = freshTable("vacuum")
+    (1 to 4).foreach(i =>
+      SnapshotStore.publish(Seq((i.toLong, s"v$i")).toDF("id", "s"), t))
+    val expired = SnapshotStore.vacuum(spark, t, keepLast = 2)
+    assert(expired === Seq(1, 2))
+    assert(SnapshotStore.versions(spark, t) === Seq(3, 4))
+    // survivors: latest + time travel still served
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((4L, "v4")))
+    assert(SnapshotStore.read(spark, t, Some(3)).as[(Long, String)]
+      .collect().toSet === Set((3L, "v3")))
+    // expired: loud failure naming the surviving versions
+    val err = intercept[IllegalArgumentException] {
+      SnapshotStore.read(spark, t, Some(1))
+    }
+    assert(err.getMessage.contains("3,4"))
+    // and the data dirs are actually gone (space reclaimed, not hidden)
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(t, "snap-v00001")))
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
