@@ -200,6 +200,35 @@ object SnapshotStore {
     finally in.close()
   }
 
+  /** CHANGE DATA CAPTURE between two committed versions: full-outer join
+    * on the key, classify each row insert/delete/update/unchanged. Non-key
+    * comparison is null-safe struct equality (`<=>`), so NULL↔value
+    * flips count as updates and NULL↔NULL as unchanged. At 100 TB this
+    * is one co-partitioned join keyed by the table key — the same cost
+    * as any merge — and it needs NO change log: any two retained
+    * versions diff after the fact (the snapshot store's immutability is
+    * what makes that sound).
+    */
+  def diff(spark: SparkSession, table: String, vOld: Int, vNew: Int,
+           keyCols: Seq[String]): DataFrame = {
+    val old = read(spark, table, Some(vOld))
+    val neu = read(spark, table, Some(vNew))
+    require(old.columns.sameElements(neu.columns),
+      s"schema drift between v$vOld and v$vNew: " +
+        s"${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val payload = old.columns.filterNot(keyCols.contains)
+    def pack(df: DataFrame, side: String) = df.select(
+      keyCols.map(col) :+
+        struct(payload.map(col): _*).as(s"${side}_payload") :+
+        lit(1).as(s"${side}_present"): _*)
+    pack(old, "o").join(pack(neu, "n"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("o_present").isNull, lit("insert"))
+          .when(col("n_present").isNull, lit("delete"))
+          .when(col("o_payload") <=> col("n_payload"), lit("unchanged"))
+          .otherwise(lit("update")).as("change_type"): _*)
+  }
+
   // ─── q130: snapshot round-trip + time travel, oracle-checked ─────────
   // Publish v1 (even doc_ids) then v2 (all docs) into a fresh table,
   // then read v1 by TIME TRAVEL and v2 as latest — the census of each
@@ -234,9 +263,56 @@ object SnapshotStore {
       |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT) FROM documents
       |ORDER BY version""".stripMargin
 
+  // ─── q133: CDC census between two published versions ─────────────────
+  // v1 = even doc_ids, untouched; v2 = doc_ids not divisible by 3, with
+  // n_chars bumped by 7 where doc_id % 5 = 0. The diff therefore has all
+  // four change classes with closed-form membership, which the DuckDB
+  // twin derives directly from `documents` — the hash matches only if
+  // the store's versions are faithful AND the CDC classification
+  // (including null-safe payload equality) is right.
+  def q133SnapshotCdc(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdc"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    publish(docs.where(col("doc_id") % 2 === 0), table)
+    publish(docs.where(col("doc_id") % 3 =!= 0)
+      .withColumn("n_chars",
+        when(col("doc_id") % 5 === 0, col("n_chars") + 7)
+          .otherwise(col("n_chars"))), table)
+    diff(s, table, 1, 2, Seq("doc_id"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+
+  val q133Sql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |v2 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |d AS (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'insert'
+      |         WHEN v2.doc_id IS NULL THEN 'delete'
+      |         WHEN v1.lang IS NOT DISTINCT FROM v2.lang
+      |          AND v1.n_chars IS NOT DISTINCT FROM v2.n_chars
+      |           THEN 'unchanged'
+      |         ELSE 'update' END AS change_type
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT change_type, count(*) AS n
+      |FROM d
+      |GROUP BY change_type
+      |ORDER BY change_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _))
+    "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
+    "q133_snapshot_cdc" -> (q133SnapshotCdc _))
 
   val oracleSql: Map[String, String] = Map(
-    "q130_snapshot_roundtrip" -> q130Sql)
+    "q130_snapshot_roundtrip" -> q130Sql,
+    "q133_snapshot_cdc" -> q133Sql)
 }

@@ -126,6 +126,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!f.exists(new Path(t, "snap-v00001")))
   }
 
+  test("diff: null-safe payload compare; NULL↔value is update, NULL↔NULL unchanged") {
+    val t = freshTable("cdc-nulls")
+    val v1 = Seq((1L, Option("a")), (2L, Option.empty[String]),
+                 (3L, Option("c")), (4L, Option("d"))).toDF("id", "s")
+    val v2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+                 (3L, Option("c")), (5L, Option("e"))).toDF("id", "s")
+    SnapshotStore.publish(v1, t)
+    SnapshotStore.publish(v2, t)
+    val got = SnapshotStore.diff(spark, t, 1, 2, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "update",    // value → NULL must NOT read as unchanged
+      2L -> "unchanged", // NULL → NULL must NOT read as update
+      3L -> "unchanged",
+      4L -> "delete",
+      5L -> "insert"))
+    // schema drift between the two versions fails loudly, not silently
+    val t2 = freshTable("cdc-drift")
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), t2)
+    SnapshotStore.publish(Seq((1L, "a", 0L)).toDF("id", "s", "extra"), t2)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotStore.diff(spark, t2, 1, 2, Seq("id"))
+    }
+    assert(err.getMessage.contains("schema drift"))
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
