@@ -312,8 +312,92 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ─── q134: max_by / min_by (argmax — "the row that set the extreme") ──
+  // The report shape "which order was the biggest" WITHOUT a join-back
+  // or a window: one hash aggregate carrying (value, orderkey) state.
+  // Ties: Spark's max_by and DuckDB's arg_max both pick an ARBITRARY
+  // row on equal ordering values, so the ordering key is made UNIQUE by
+  // fusing price-cents with the orderkey into one BIGINT (cents ≤ ~6e7
+  // × 1e7 + key ≤ 6e5 stays well inside Long; exact integers, no float
+  // compare). Deterministic in both engines by construction.
+  def q134ArgMax(s: SparkSession, d: String): DataFrame = {
+    val ord = expr(
+      "CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+    orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"), ord).as("top_order"),
+           min_by(col("o_orderkey"), ord).as("bottom_order"),
+           round(max(col("o_totalprice")), 2).as("top_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q134Sql: String =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+      |    AS top_order,
+      |  arg_min(o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+      |    AS bottom_order,
+      |  round(max(o_totalprice), 2) AS top_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ─── q135: regression / correlation aggregates ───────────────────────
+  // The built-in OLS family (regr_slope/intercept/count, corr): single-
+  // pass algebraic aggregates (sum, sum², cross-sum state) — fully
+  // map-side-combinable, so they scale like any sum. Values rounded in
+  // BOTH engines before hashing (the two engines accumulate in
+  // different orders; 3 decimals absorbs the float drift while still
+  // pinning 7 significant digits here).
+  def q135Regression(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 3).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 3)
+          .as("icept"),
+        round(expr("corr(l_extendedprice, l_quantity)"), 4).as("r"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q135Sql: String =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept,
+      |  round(corr(l_extendedprice, l_quantity), 4) AS r,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ─── q136: boolean aggregates (bool_and / bool_or / count_if) ────────
+  // Data-quality assertions as aggregates: "every row satisfies P",
+  // "any row satisfies Q", "how many satisfy R" in one pass — the
+  // shape q89's constraint audit uses per-check, here as first-class
+  // single-aggregate functions.
+  def q136BoolAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(expr("bool_and(l_quantity > 0)").as("all_pos"),
+           expr("bool_or(l_discount > 0.09)").as("any_big_disc"),
+           expr("count_if(l_tax = 0)").as("n_notax"),
+           expr("bool_and(l_shipdate >= '1992-01-01')").as("ship_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val q136Sql: String =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  bool_or(l_discount > 0.09) AS any_big_disc,
+      |  count_if(l_tax = 0) AS n_notax,
+      |  bool_and(l_shipdate >= '1992-01-01') AS ship_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_listagg"        -> (q121Listagg _),
+    "q134_argmax"         -> (q134ArgMax _),
+    "q135_regression"     -> (q135Regression _),
+    "q136_bool_agg"       -> (q136BoolAgg _),
     "q123_hll_merge"      -> (q123HllMerge _),
     "q124_bitmap_distinct" -> (q124BitmapDistinct _),
     "q125_filtered_agg"   -> (q125FilteredAgg _),
@@ -327,6 +411,9 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q121_listagg"       -> q121Sql,
+    "q134_argmax"        -> q134Sql,
+    "q135_regression"    -> q135Sql,
+    "q136_bool_agg"      -> q136Sql,
     "q123_hll_merge"     -> q123Sql,
     "q124_bitmap_distinct" -> q124Sql,
     "q125_filtered_agg"  -> q125Sql,

@@ -59,6 +59,43 @@ class SketchAggSpec extends SparkSpec {
     }
   }
 
+  test("q134: fused ordering key makes argmax deterministic under repartitioning") {
+    val a = Analytics.q134ArgMax(spark, sfDir).collect().toSeq
+    // same data, adversarial partitioning: ties (if any) must resolve
+    // identically because the ordering key is unique by construction
+    val ord = expr(
+      "CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+    val b = Tables.orders(spark, sfDir)
+      .repartition(7, col("o_custkey")) // different co-location than the scan
+      .groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderkey"), ord).as("top_order"),
+           min_by(col("o_orderkey"), ord).as("bottom_order"),
+           round(max(col("o_totalprice")), 2).as("top_price"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.forall(r => r.getLong(1) != r.getLong(2)),
+      "top and bottom order collapsed — fixture gives the aggregate no range")
+  }
+
+  test("q135: regr_slope matches a driver-side OLS recompute") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (k, xs) =>
+      val n = xs.length.toDouble
+      val (sy, sx) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val sxx = xs.map(t => t._3 * t._3).sum
+      k -> (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    }
+    Analytics.q135Regression(spark, sfDir).collect().foreach { r =>
+      val got = r.getDouble(1)
+      val want = expected(r.getString(0))
+      assert(math.abs(got - want) < 5e-3,
+        s"slope mismatch for ${r.getString(0)}: spark=$got local=$want")
+    }
+  }
+
   test("q126: width_bucket matches the closed form at boundary values") {
     import spark.implicits._
     // v=1 (lo), v=5.999 (top of bucket 1), v=6 (bottom of bucket 2),
