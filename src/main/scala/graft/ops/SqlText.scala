@@ -254,7 +254,53 @@ object SqlText {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ─── q138: SQL session variables + EXECUTE IMMEDIATE ─────────────────
+  // The parameterized-SQL workflow surface (Spark 4): DECLARE a session
+  // variable, SET it from a scalar subquery over the data (the "compute
+  // a threshold, then query with it" two-step every reporting script
+  // does), then consume it BOTH ways — referenced directly in SQL text
+  // and bound positionally through EXECUTE IMMEDIATE ... USING. The
+  // oracle inlines the threshold as a scalar subquery; values agree
+  // because avg over integral doubles is exact in both engines. The
+  // variable value itself is emitted (rounded) so the oracle checks the
+  // SET actually captured the statistic, not just the final counts.
+  def q138SqlVariables(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_q138_li")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_q138_thr DOUBLE")
+    try {
+      // the two-step: capture a statistic into the variable...
+      s.sql("SET VAR graft_q138_thr = " +
+        "(SELECT avg(l_quantity) FROM graft_q138_li)")
+      // ...then consume it through EXECUTE IMMEDIATE's positional binds
+      // (the statement under execution is itself plain text)
+      s.sql(
+        """EXECUTE IMMEDIATE
+          |  'SELECT l_returnflag,
+          |     count_if(l_quantity > ?) AS n_above,
+          |     count(*) AS n,
+          |     round(?, 4) AS thr
+          |   FROM graft_q138_li
+          |   GROUP BY l_returnflag
+          |   ORDER BY l_returnflag'
+          |  USING graft_q138_thr, graft_q138_thr""".stripMargin)
+    } finally {
+      s.catalog.dropTempView("graft_q138_li")
+      s.sql("DROP TEMPORARY VARIABLE IF EXISTS graft_q138_thr")
+    }
+  }
+
+  val q138Sql: String =
+    """SELECT l_returnflag,
+      |  count_if(l_quantity > (SELECT avg(l_quantity) FROM lineitem))
+      |    AS n_above,
+      |  count(*) AS n,
+      |  round((SELECT avg(l_quantity) FROM lineitem), 4) AS thr
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_sql_variables"       -> (q138SqlVariables _),
     "q107_recursive_hierarchy" -> (q107RecursiveHierarchy _),
     "q108_variant_shred"       -> (q108VariantShred _),
     "q110_lateral_topk"        -> (q110LateralTopk _),
@@ -262,6 +308,7 @@ object SqlText {
     "q114_pipe_syntax"         -> (q114PipeSyntax _))
 
   val oracleSql: Map[String, String] = Map(
+    "q138_sql_variables"       -> q138Sql,
     "q107_recursive_hierarchy" -> q107Sql,
     "q108_variant_shred"       -> q108Sql,
     "q110_lateral_topk"        -> q110Sql,

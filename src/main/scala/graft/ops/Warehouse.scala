@@ -647,7 +647,41 @@ object Warehouse {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ─── q137: SQL-standard inverse distribution (percentile_cont/disc) ──
+  // The WITHIN GROUP forms q77's `percentile` doesn't cover:
+  // percentile_disc returns an ACTUAL element of the group (the smallest
+  // value whose cumulative fraction ≥ p — what "median row" reports
+  // want), percentile_cont the linear interpolation between neighbors.
+  // Same per-group buffering contract as q77 (exact percentiles are the
+  // oracle-checkable form; q96's approx_percentile is the 100 TB path),
+  // so this is the semantics row, not the scale row. Interpolated values
+  // are rounded identically in both engines.
+  def q137PercentileInverse(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p50c"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p50d"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)"),
+          2).as("p90c"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p90d"))
+      .orderBy(col("l_returnflag"))
+
+  val q137Sql: String =
+    """SELECT l_returnflag,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50c,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50d,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 2)
+      |    AS p90c,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90d
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_percentile_inverse" -> (q137PercentileInverse _),
     "q106_incremental_agg" -> (q106IncrementalAgg _),
     "q94_full_outer"       -> (q94FullOuter _),
     "q95_date_spine"       -> (q95DateSpine _),
@@ -663,6 +697,7 @@ object Warehouse {
     "q96_approx_percentiles" -> (q96ApproxPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q137_percentile_inverse" -> q137Sql,
     "q106_incremental_agg" -> q106Sql,
     "q94_full_outer"       -> q94Sql,
     "q95_date_spine"       -> q95Sql,

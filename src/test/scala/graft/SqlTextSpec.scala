@@ -289,4 +289,26 @@ class SqlTextSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q138: SET VAR captures the statistic; EXECUTE IMMEDIATE binds it; " +
+       "session state is cleaned up") {
+    val got = SqlText.q138SqlVariables(spark, sfDir).collect()
+    // the emitted threshold IS the avg the direct formulation computes
+    val expectedThr = Tables.lineitem(spark, sfDir)
+      .agg(round(avg($"l_quantity"), 4)).collect()(0).getDouble(0)
+    got.foreach(r => assert(r.getDouble(3) === expectedThr))
+    // counts ≡ the inline-threshold formulation
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count(when($"l_quantity" >
+        Tables.lineitem(spark, sfDir).agg(avg($"l_quantity"))
+          .collect()(0).getDouble(0), 1)).as("n_above"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getLong(1) === direct(r.getString(0))))
+    // lifecycle: the temporary variable did not leak into the session
+    val leaked = intercept[Exception] {
+      spark.sql("SELECT graft_q138_thr").collect()
+    }
+    assert(leaked.getMessage.toLowerCase.contains("graft_q138_thr"))
+  }
 }
