@@ -393,8 +393,45 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q139: grouped top-k via the custom TypedImperativeAggregate ─────
+  // expr/TopKAgg.scala's `top_k_by` — top-3 orders per priority as ONE
+  // ObjectHashAggregate with a partial step (each map task emits ≤ k
+  // entries per group; the shuffle never carries the fact table and
+  // nothing sorts), versus the window form's per-partition sort. The
+  // fused cents×1e7+key ordering (q134's trick) keeps ties impossible,
+  // so both engines agree exactly; output is CSV'd because the driver
+  // compare can't hash array cells (q21 note). The DuckDB twin is the
+  // window formulation — same rows, opposite plan shape.
+  def q139TopkAgg(s: SparkSession, d: String): DataFrame = {
+    val ord = expr(
+      "CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+    orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(graft.expr.TopKByAgg.top_k_by(col("o_orderkey"), ord, 3).as("top"))
+      .select(col("o_orderpriority"),
+        concat_ws(",", transform(col("top"), _.cast("string")))
+          .as("top_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q139Sql: String =
+    """SELECT o_orderpriority,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY fused DESC)
+      |    AS top_orders
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey
+      |      AS fused,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT)*10000000
+      |               + o_orderkey DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_listagg"        -> (q121Listagg _),
+    "q139_topk_agg"       -> (q139TopkAgg _),
     "q134_argmax"         -> (q134ArgMax _),
     "q135_regression"     -> (q135Regression _),
     "q136_bool_agg"       -> (q136BoolAgg _),
@@ -411,6 +448,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q121_listagg"       -> q121Sql,
+    "q139_topk_agg"      -> q139Sql,
     "q134_argmax"        -> q134Sql,
     "q135_regression"    -> q135Sql,
     "q136_bool_agg"      -> q136Sql,
