@@ -137,6 +137,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, "top_k_by"),
+      TopKByAgg.builder))
     // whole-operator extension: plans graft.plans.AsOfJoinPlan and
     // restores predicate pushdown through it
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)

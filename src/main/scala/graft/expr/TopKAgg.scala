@@ -168,4 +168,24 @@ object TopKByAgg {
       bridge.expression(payload), bridge.expression(ord),
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
+
+  /** SQL builder (GraftExtensions / [[register]]): arity here, types at
+    * analysis via checkInputDataTypes.
+    */
+  private[expr] val builder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"top_k_by requires exactly 3 arguments, got ${children.length}")
+    TopKByAgg(children.head, children(1), children(2))
+  }
+
+  private def info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TopKByAgg].getName, "top_k_by")
+
+  /** Register for SQL text on a live session (post-startup alternative
+    * to GraftExtensions).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    bridge.registerFunction(spark, "top_k_by", info, builder)
 }

@@ -64,6 +64,51 @@ class TopKAggSpec extends SparkSpec {
     assert(empty === Seq.empty)
   }
 
+  test("SQL registration: top_k_by callable from spark.sql text") {
+    graft.expr.TopKByAgg.register(spark)
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_topk_sql_probe")
+    try {
+      val got = spark.sql(
+        """SELECT o_orderpriority,
+          |  top_k_by(o_orderkey, o_orderkey, 2) AS top
+          |FROM graft_topk_sql_probe
+          |GROUP BY o_orderpriority""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val expected = Tables.orders(spark, sfDir)
+        .groupBy($"o_orderpriority")
+        .agg(top_k_by($"o_orderkey", $"o_orderkey", 2).as("top"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(got === expected && got.nonEmpty)
+      // wrong arity / wrong types fail at ANALYSIS, not at runtime
+      intercept[Exception](spark.sql(
+        "SELECT top_k_by(o_orderkey, 1) FROM graft_topk_sql_probe"))
+      intercept[Exception](spark.sql(
+        "SELECT top_k_by(o_orderpriority, o_orderkey, 2) " +
+        "FROM graft_topk_sql_probe").collect())
+    } finally spark.catalog.dropTempView("graft_topk_sql_probe")
+  }
+
+  test("streaming: top_k_by composes with stateful aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val agg = in.toDF().toDF("g", "ord", "p")
+      .groupBy($"g").agg(top_k_by($"p", $"ord", 2).as("top"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_topk_stream").start()
+    try {
+      in.addData((1L, 10L, 100L), (1L, 30L, 101L), (2L, 5L, 200L))
+      q.processAllAvailable()
+      in.addData((1L, 20L, 102L)) // displaces 100 from g=1's top-2
+      q.processAllAvailable()
+      val got = spark.table("graft_topk_stream")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      // state carried ACROSS micro-batches: batch-2's row merged into
+      // batch-1's buffer, not a fresh aggregation of batch 2 alone
+      assert(got === Map(1L -> List(101L, 102L), 2L -> List(200L)))
+    } finally q.stop()
+  }
+
   test("serialization round-trips the buffer exactly") {
     val agg = graft.expr.TopKByAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(0L),
