@@ -261,11 +261,23 @@ object Relational {
       .select(col("s_suppkey"),
         when(col("s_suppkey") % 7 === 0, lit(null)).otherwise(col("s_nationkey"))
           .as("s_nat"))
-    cust.join(supp, col("c_nat") <=> col("s_nat"))
-      .groupBy(coalesce(col("c_nat"), lit(-1L)).as("nation_bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-           countDistinct(col("c_custkey")).as("n_cust"),
+    // pre-aggregate EACH side before the null-safe join: the join carries
+    // no residual predicate, so per-bucket pair count = n_c × n_s and the
+    // distinct counts factor through — the <=> hash join then runs over
+    // two ~25-row aggregates instead of the fact tables, and the original
+    // two-countDistinct aggregate (whose multi-distinct Expand tripled the
+    // joined rows on the shuffle — caught by PlanLint) disappears
+    // entirely. Same output, same oracle.
+    val cAgg = cust.groupBy(col("c_nat"))
+      .agg(count(lit(1)).as("n_c"),
+           countDistinct(col("c_custkey")).as("n_cust"))
+    val sAgg = supp.groupBy(col("s_nat"))
+      .agg(count(lit(1)).as("n_s"),
            countDistinct(col("s_suppkey")).as("n_supp"))
+    cAgg.join(sAgg, col("c_nat") <=> col("s_nat"))
+      .select(coalesce(col("c_nat"), lit(-1L)).as("nation_bucket"),
+              (col("n_c") * col("n_s")).as("n_pairs"),
+              col("n_cust"), col("n_supp"))
       .orderBy(col("nation_bucket"))
   }
 
