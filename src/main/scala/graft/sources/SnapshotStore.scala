@@ -229,6 +229,52 @@ object SnapshotStore {
           .otherwise(lit("update")).as("change_type"): _*)
   }
 
+  /** Full-row CDC: [[diff]]'s classification plus the NEW row payload
+    * for insert/update (what a downstream MERGE needs). Same one
+    * co-partitioned full-outer join.
+    */
+  def diffRows(spark: SparkSession, table: String, vOld: Int, vNew: Int,
+               keyCols: Seq[String]): DataFrame = {
+    val old = read(spark, table, Some(vOld))
+    val neu = read(spark, table, Some(vNew))
+    require(old.columns.sameElements(neu.columns),
+      s"schema drift between v$vOld and v$vNew")
+    val payload = old.columns.filterNot(keyCols.contains)
+    def pack(df: DataFrame, side: String) = df.select(
+      keyCols.map(col) :+
+        struct(payload.map(col): _*).as(s"${side}_payload"): _*)
+    pack(old, "o").join(pack(neu, "n"), keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        when(col("o_payload").isNull && col("n_payload").isNotNull,
+          lit("insert"))
+          .when(col("n_payload").isNull, lit("delete"))
+          .when(col("o_payload") <=> col("n_payload"), lit("unchanged"))
+          .otherwise(lit("update")).as("change_type")) ++
+        payload.map(c => col(s"n_payload.$c").as(c)): _*)
+  }
+
+  /** MERGE: apply a [[diffRows]] changeset to a base frame — deletes
+    * drop, updates/inserts take the changeset's payload, unchanged keys
+    * keep the base row. One co-partitioned outer join, same key; the
+    * inverse of diff, and the spec pins the round-trip theorem
+    * `apply(v1, diffRows(v1→v2)) ≡ v2`.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val payload = base.columns.filterNot(keyCols.contains)
+    val packedBase = base.select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("b_payload"): _*)
+    val packedChg = changes.select(
+      keyCols.map(col) :+ col("change_type") :+
+        struct(payload.map(col): _*).as("c_payload"): _*)
+    packedBase.join(packedChg, keyCols, "full_outer")
+      .where(coalesce(col("change_type"), lit("")) =!= "delete")
+      .select(keyCols.map(col) :+
+        when(col("change_type").isin("insert", "update"), col("c_payload"))
+          .otherwise(col("b_payload")).as("m"): _*)
+      .select(keyCols.map(col) ++ payload.map(c => col(s"m.$c").as(c)): _*)
+  }
+
   // ─── q130: snapshot round-trip + time travel, oracle-checked ─────────
   // Publish v1 (even doc_ids) then v2 (all docs) into a fresh table,
   // then read v1 by TIME TRAVEL and v2 as latest — the census of each

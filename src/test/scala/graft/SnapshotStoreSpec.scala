@@ -152,6 +152,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("schema drift"))
   }
 
+  test("round-trip theorem: applyChanges(v1, diffRows(v1→v2)) ≡ v2") {
+    val t = freshTable("merge-roundtrip")
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val v1 = docs.where($"doc_id" % 2 === 0)
+    val v2 = docs.where($"doc_id" % 3 =!= 0)
+      .withColumn("n_chars",
+        when($"doc_id" % 5 === 0, $"n_chars" + 7).otherwise($"n_chars"))
+    SnapshotStore.publish(v1, t)
+    SnapshotStore.publish(v2, t)
+    val changes = SnapshotStore.diffRows(spark, t, 1, 2, Seq("doc_id"))
+    // the changeset itself is classified like diff()
+    val census = changes.groupBy($"change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("insert", "delete", "update", "unchanged")
+      .subsetOf(census.keySet), s"degenerate changeset: $census")
+    // MERGE the changeset onto v1 → must reproduce v2 exactly
+    val merged = SnapshotStore.applyChanges(
+      SnapshotStore.read(spark, t, Some(1)), changes, Seq("doc_id"))
+      .as[(Long, String, Long)].collect().toSet
+    val expected = SnapshotStore.read(spark, t, Some(2))
+      .as[(Long, String, Long)].collect().toSet
+    assert(merged === expected)
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
