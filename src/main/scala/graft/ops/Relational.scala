@@ -296,7 +296,48 @@ object Relational {
       |GROUP BY 1
       |ORDER BY nation_bucket""".stripMargin
 
+  // ─── q140: TYPED Dataset[T] pipeline (case-class encoders end-to-end) ─
+  // The Dataset API surface SURVEY §1.1 names ("Dataset[T] with
+  // case-class Encoders where type safety helps"), exercised end to end:
+  // `as[T]` typed views, `joinWith` (pair-of-objects join, not column
+  // flattening), `groupByKey` over a field accessor, and TypedColumn
+  // aggregates. Honesty notes, in-plan: the PRICE FILTER runs as a
+  // Column BEFORE `as[T]` so it still reaches the parquet scan (a typed
+  // `filter(f: T => Boolean)` is a lambda black box Catalyst cannot push
+  // — the documented cost of the typed API); the TypedColumn aggregates
+  // compile to the same partial/final hash aggregate as the untyped
+  // form. What typed buys: the join condition and the grouping key are
+  // checked against the case classes at compile time.
+  case class TCust(c_custkey: Long, c_nationkey: Long)
+  case class TOrd(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
+  def q140TypedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custs = customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey")).as[TCust]
+    val ords = orders(s, d)
+      .where(col("o_totalprice") > 150000.0) // Column filter: pushes down
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[TOrd]
+    val pairs: org.apache.spark.sql.Dataset[(TOrd, TCust)] =
+      ords.joinWith(custs, ords("o_custkey") === custs("c_custkey"))
+    pairs.groupByKey(_._2.c_nationkey)
+      .agg(count(lit(1)).as("n_big").as[Long],
+           round(sum(col("_1.o_totalprice")), 2).as("volume").as[Double])
+      .toDF("c_nationkey", "n_big", "volume")
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q140Sql: String =
+    """SELECT c_nationkey, count(*) AS n_big,
+      |  round(sum(o_totalprice), 2) AS volume
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 150000.0
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_typed_pipeline"   -> (q140TypedPipeline _),
     "q119_nullsafe_join"    -> (q119NullsafeJoin _),
     "q01_pricing_summary"   -> (q01PricingSummary _),
     "q02_revenue_by_region" -> (q02RevenueByRegion _),
@@ -309,6 +350,7 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q140_typed_pipeline"   -> q140Sql,
     "q119_nullsafe_join"    -> q119Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_revenue_by_region" -> q02Sql,

@@ -123,6 +123,14 @@ class PlanLintSpec extends SparkSpec {
     "q26_grouping_sets" -> Set("expand"),
   )
 
+  test("q140 typed pipeline: the Column filter still reaches the parquet scan") {
+    val plan = graft.ops.Relational.q140TypedPipeline(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+        "GreaterThan(o_totalprice,150000.0)"),
+      s"typed wrapping lost the pushable predicate:\n$plan")
+  }
+
   test("every registered query plan is lint-clean modulo documented exceptions") {
     val skip = Set(
       // session-mutating / external-io queries whose FUNCTIONS run work
