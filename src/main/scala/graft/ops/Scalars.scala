@@ -282,7 +282,64 @@ object Scalars {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q141: MAP-typed columns (map_from_entries / transform_values /
+  //           map_filter) ───────────────────────────────────────────────
+  // The map column lifecycle q21's array family doesn't touch: build a
+  // status→count map per priority from pre-aggregated counts
+  // (map_from_entries over a SORTED entry array — maps have no engine
+  // order, sorting the entries first is what makes every downstream
+  // fold deterministic), derive per-status percentage shares with
+  // transform_values, keep the ≥20% ones with map_filter, and emit the
+  // surviving entries as sorted CSV (the driver's pandas compare can't
+  // hash map cells — q21's array rule, same fix). The DuckDB twin does
+  // the same math on the flat (priority, status, n) counts and never
+  // builds a map — which is exactly the oracle's job: same VALUES,
+  // different representation. Scale note: the maps here live per
+  // GROUP (5×3 entries), built after aggregation — map columns as
+  // group-local structures, never fact-table payload on a shuffle.
+  def q141MapFuncs(s: SparkSession, d: String): DataFrame = {
+    val counts = orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+      .withColumn("total",
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x))
+      .withColumn("shares",
+        transform_values(col("m"),
+          (_, v) => round(v * lit(100.0) / col("total"), 1)))
+      .withColumn("big",
+        map_filter(col("shares"), (_, v) => v >= 20.0))
+      .select(col("o_orderpriority"), col("total"),
+        concat_ws(",", transform(map_entries(col("big")),
+          e => concat(e.getField("key"), lit(":"),
+                      e.getField("value").cast("string"))))
+          .as("big_shares"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q141Sql: String =
+    """WITH counts AS (
+      |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |shares AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    sum(n) OVER (PARTITION BY o_orderpriority) AS total,
+      |    round(n * 100.0 / sum(n) OVER (PARTITION BY o_orderpriority), 1)
+      |      AS share
+      |  FROM counts)
+      |SELECT o_orderpriority, CAST(max(total) AS BIGINT) AS total,
+      |  coalesce(string_agg(
+      |    CASE WHEN share >= 20.0
+      |         THEN o_orderstatus || ':' || CAST(share AS VARCHAR) END,
+      |    ',' ORDER BY o_orderstatus), '') AS big_shares
+      |FROM shares
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_map_funcs"   -> (q141MapFuncs _),
     "q120_collation"   -> (q120Collation _),
     "q122_try_arith"   -> (q122TryArith _),
     "q18_string_funcs" -> (q18StringFuncs _),
@@ -294,6 +351,7 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q141_map_funcs"   -> q141Sql,
     "q120_collation"   -> q120Sql,
     "q122_try_arith"   -> q122Sql,
     "q18_string_funcs" -> q18Sql,

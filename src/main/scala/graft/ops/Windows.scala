@@ -138,7 +138,45 @@ object Windows {
       |GROUP BY o_custkey, first_order, last_order
       |ORDER BY o_custkey""".stripMargin
 
+  // ─── q142: positional window access (nth_value, lead/lag defaults) ───
+  // The navigation forms q11–q15 don't reach: nth_value needs the FULL
+  // frame (unbounded both ways — a specified row may be ahead of the
+  // current one), while lead/lag run frame-less with explicit DEFAULTS
+  // (the "next/previous or sentinel" report shape that otherwise needs a
+  // coalesce over a self-join). Same partition/order tuple as the rest
+  // of the family, so at scale this is one sort per customer partition
+  // shared by all three functions (a single Window node in the plan).
+  def q142PositionalWindows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    orders(s, d)
+      .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(wAll))
+      .withColumn("next_price",
+        round(lead(col("o_totalprice"), 1, 0.0).over(w), 2))
+      .withColumn("prev2_price",
+        round(lag(col("o_totalprice"), 2, -1.0).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("second_order"),
+              col("next_price"), col("prev2_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q142Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_order,
+      |  round(lead(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey), 2) AS next_price,
+      |  round(lag(o_totalprice, 2, -1.0) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey), 2) AS prev2_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_positional_windows" -> (q142PositionalWindows _),
     "q11_topk_per_customer" -> (q11TopOrdersPerCustomer _),
     "q12_running_total"     -> (q12RunningTotal _),
     "q13_order_gaps"        -> (q13OrderGaps _),
@@ -147,6 +185,7 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q142_positional_windows" -> q142Sql,
     "q11_topk_per_customer" -> q11Sql,
     "q12_running_total"     -> q12Sql,
     "q13_order_gaps"        -> q13Sql,
