@@ -429,8 +429,43 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ─── q143: dispersion + bitwise aggregates ───────────────────────────
+  // The remaining single-pass algebraic families: stddev/variance (both
+  // sample and population conventions), the higher moments (skewness,
+  // excess kurtosis — both engines use the sample-excess convention,
+  // probe-verified to 4 decimals), and the bitwise fold aggregates
+  // (bit_and/or/xor — the fingerprint shape for "which flag bits ever/
+  // always occur per group"). All are fixed-size running-moment or
+  // single-long state: map-side combinable, shuffle carries O(groups)
+  // bytes.
+  def q143StatsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_samp"),
+        round(var_pop(col("l_quantity")), 4).as("var_p"),
+        round(skewness(col("l_quantity")), 4).as("skew"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt"),
+        expr("bit_and(l_orderkey)").as("key_bits_all"),
+        expr("bit_or(l_orderkey)").as("key_bits_any"),
+        expr("bit_xor(l_orderkey)").as("key_bits_xor"))
+      .orderBy(col("l_returnflag"))
+
+  val q143Sql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_samp,
+      |  round(var_pop(l_quantity), 4) AS var_p,
+      |  round(skewness(l_quantity), 4) AS skew,
+      |  round(kurtosis(l_quantity), 4) AS kurt,
+      |  bit_and(l_orderkey) AS key_bits_all,
+      |  bit_or(l_orderkey) AS key_bits_any,
+      |  bit_xor(l_orderkey) AS key_bits_xor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_listagg"        -> (q121Listagg _),
+    "q143_stats_agg"      -> (q143StatsAgg _),
     "q139_topk_agg"       -> (q139TopkAgg _),
     "q134_argmax"         -> (q134ArgMax _),
     "q135_regression"     -> (q135Regression _),
@@ -449,6 +484,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q121_listagg"       -> q121Sql,
     "q139_topk_agg"      -> q139Sql,
+    "q143_stats_agg"     -> q143Sql,
     "q134_argmax"        -> q134Sql,
     "q135_regression"    -> q135Sql,
     "q136_bool_agg"      -> q136Sql,
