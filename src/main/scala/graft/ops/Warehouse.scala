@@ -680,8 +680,67 @@ object Warehouse {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q145: NOT IN with NULLs — the null-aware anti join ──────────────
+  // The three-valued-logic trap q79's NOT EXISTS sidesteps: `x NOT IN
+  // (subquery)` is FALSE-or-NULL for every x once the subquery contains
+  // a single NULL — so the planted NULL nation key (suppliers whose
+  // s_suppkey % 13 = 0 get NULL) makes the NOT IN branch return ZERO
+  // rows, while NOT EXISTS (null-blind equality) still returns the
+  // orphans. Spark executes the NOT IN as a NULL-AWARE anti join (a
+  // dedicated broadcast-hash mode that short-circuits on a null build
+  // key — plan-asserted in SqlTextSpec); both branches are emitted side
+  // by side as counts so the oracle pins the divergence, not just one
+  // behavior. At scale: null-aware anti join requires the build side
+  // broadcastable (it must see ALL nulls); the NOT EXISTS form stays a
+  // plain shuffled anti join — the documented reason warehouse code
+  // prefers NOT EXISTS.
+  private def q145Text(cust: String, supp: String): String =
+    s"""SELECT
+       |  (SELECT count(*) FROM $cust
+       |   WHERE c_nationkey NOT IN (SELECT s_nat FROM $supp)) AS not_in_n,
+       |  (SELECT count(*) FROM $cust c
+       |   WHERE NOT EXISTS (SELECT 1 FROM $supp s
+       |                     WHERE s.s_nat = c.c_nationkey)) AS not_exists_n,
+       |  (SELECT count(*) FROM $supp WHERE s_nat IS NULL) AS n_null_keys
+       |""".stripMargin
+
+  def q145NullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    // keep the null rows AND restrict the non-null key domain to < 20 so
+    // nations 20-24's customers are genuine orphans: NOT EXISTS finds
+    // them, NOT IN (poisoned by the nulls) still returns zero — the
+    // divergence is non-degenerate at every SF
+    supplier(s, d)
+      .select(when(col("s_suppkey") % 13 === 0, lit(null))
+        .otherwise(col("s_nationkey")).as("s_nat"))
+      .where(col("s_nat").isNull || col("s_nat") < 20)
+      .createOrReplaceTempView("graft_q145_supp")
+    customer(s, d).createOrReplaceTempView("graft_q145_cust")
+    try s.sql(q145Text("graft_q145_cust", "graft_q145_supp"))
+    finally {
+      s.catalog.dropTempView("graft_q145_supp")
+      s.catalog.dropTempView("graft_q145_cust")
+    }
+  }
+
+  val q145Sql: String =
+    """WITH supp_v AS (
+      |  SELECT CASE WHEN s_suppkey % 13 = 0 THEN NULL
+      |         ELSE s_nationkey END AS s_nat
+      |  FROM supplier
+      |  WHERE s_suppkey % 13 = 0 OR s_nationkey < 20)
+      |SELECT
+      |  (SELECT count(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT s_nat FROM supp_v)) AS not_in_n,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS
+      |     (SELECT 1 FROM supp_v s WHERE s.s_nat = c.c_nationkey))
+      |    AS not_exists_n,
+      |  (SELECT count(*) FROM supp_v WHERE s_nat IS NULL) AS n_null_keys
+      |FROM (SELECT 1) one""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_percentile_inverse" -> (q137PercentileInverse _),
+    "q145_null_aware_anti" -> (q145NullAwareAnti _),
     "q106_incremental_agg" -> (q106IncrementalAgg _),
     "q94_full_outer"       -> (q94FullOuter _),
     "q95_date_spine"       -> (q95DateSpine _),
@@ -698,6 +757,7 @@ object Warehouse {
 
   val oracleSql: Map[String, String] = Map(
     "q137_percentile_inverse" -> q137Sql,
+    "q145_null_aware_anti" -> q145Sql,
     "q106_incremental_agg" -> q106Sql,
     "q94_full_outer"       -> q94Sql,
     "q95_date_spine"       -> q95Sql,

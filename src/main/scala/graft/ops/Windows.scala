@@ -175,8 +175,39 @@ object Windows {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ─── q144: percent-of-total (window OVER an aggregate) ───────────────
+  // The report shape "each group's share of the grand total" computed by
+  // COMPOSITION: aggregate first (5 rows), then an unpartitioned window
+  // over the AGGREGATE output — so the global window that would be a
+  // scale-killer on the fact table (PlanLint's global-window rule) runs
+  // over O(groups) rows instead, and the fact table is scanned ONCE
+  // (vs the naive grand-total-subquery second scan). The allowlist
+  // entry documents exactly this: the global window is fine BECAUSE its
+  // input is post-aggregation.
+  def q144PercentOfTotal(s: SparkSession, d: String): DataFrame = {
+    val byPriority = orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("vol"), count(lit(1)).as("n"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+    byPriority
+      .withColumn("share_pct",
+        round(col("vol") * 100.0 / sum(col("vol")).over(wAll), 3))
+      .select(col("o_orderpriority"), round(col("vol"), 2).as("vol"),
+              col("n"), col("share_pct"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q144Sql: String =
+    """SELECT o_orderpriority, round(vol, 2) AS vol, n,
+      |  round(vol * 100.0 / sum(vol) OVER (), 3) AS share_pct
+      |FROM (SELECT o_orderpriority, sum(o_totalprice) AS vol,
+      |        count(*) AS n
+      |      FROM orders GROUP BY 1)
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_positional_windows" -> (q142PositionalWindows _),
+    "q144_percent_of_total"   -> (q144PercentOfTotal _),
     "q11_topk_per_customer" -> (q11TopOrdersPerCustomer _),
     "q12_running_total"     -> (q12RunningTotal _),
     "q13_order_gaps"        -> (q13OrderGaps _),
@@ -186,6 +217,7 @@ object Windows {
 
   val oracleSql: Map[String, String] = Map(
     "q142_positional_windows" -> q142Sql,
+    "q144_percent_of_total"   -> q144Sql,
     "q11_topk_per_customer" -> q11Sql,
     "q12_running_total"     -> q12Sql,
     "q13_order_gaps"        -> q13Sql,

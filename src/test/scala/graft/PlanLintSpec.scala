@@ -91,6 +91,9 @@ class PlanLintSpec extends SparkSpec {
     "q53_sliding_window" -> Set("expand"),
     // q85: closed-form rank census crosses a 1-row total frame
     "q85_rank_family" -> Set("nested-loop", "cartesian"),
+    // q144: the share-of-total window is global ON PURPOSE — its input is
+    // the 5-row aggregate, not the fact table (documented in the query)
+    "q144_percent_of_total" -> Set("global-window"),
     // q88: UNPIVOT is implemented BY Expand — n_cols rows per input row
     // is the requested output
     "q88_unpivot" -> Set("expand"),

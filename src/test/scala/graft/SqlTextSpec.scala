@@ -290,6 +290,23 @@ class SqlTextSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q145: NOT IN plans the NULL-AWARE anti join; NOT EXISTS the plain one") {
+    val df = graft.ops.Warehouse.q145NullAwareAnti(spark, sfDir)
+    val Array(r) = df.collect()
+    // the semantic divergence is the point: a single NULL in the subquery
+    // annihilates NOT IN, while NOT EXISTS still finds the orphans
+    assert(r.getLong(0) === 0L, "NOT IN must return zero under a NULL key")
+    assert(r.getLong(1) > 0L, "fixture must have genuine orphans")
+    assert(r.getLong(2) > 0L, "fixture must plant NULL keys")
+    val plan = df.queryExecution.executedPlan.toString
+    // BroadcastHashJoin's trailing flag is isNullAwareAntiJoin: the NOT IN
+    // branch carries `true`, the NOT EXISTS branch `false`
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not plan a null-aware anti join:\n$plan")
+    assert(plan.contains("LeftAnti, BuildRight, false"),
+      s"NOT EXISTS lost its plain anti join:\n$plan")
+  }
+
   test("q138: SET VAR captures the statistic; EXECUTE IMMEDIATE binds it; " +
        "session state is cleaned up") {
     val got = SqlText.q138SqlVariables(spark, sfDir).collect()
