@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization — the real form of the survey's
+  * "token counting" north star (SURVEY §2.3; q42 is the whitespace/regex
+  * census). Two halves, mirroring how production tokenizers split the
+  * problem (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units" — public algorithm):
+  *
+  *  - ENCODE (q146): apply a FIXED merge table to every word. The merge
+  *    contract is explicit and engine-checkable: merges are applied in
+  *    rank order, one global left-to-right non-overlapping pass each.
+  *    Spark side implements it as a fold over the word's symbol array
+  *    (chained higher-order `aggregate` calls — codegen-planned
+  *    projection, no UDF); the DuckDB oracle implements the SAME contract
+  *    completely differently, as a delimiter-anchored `replace` chain
+  *    over `,sym,sym,…` strings. Identical output ⇒ the merge semantics
+  *    match, not the implementation.
+  *
+  *  - LEARN (q147): train the merge table itself. The corpus is read
+  *    ONCE to build the distinct-word frequency dict; all iteration then
+  *    runs on that vocab-sized frame (Zipf: ~10⁵–10⁷ rows at 100 TB, vs
+  *    10¹¹ corpus rows — this dict-compression is exactly how reference
+  *    BPE trainers scale, and why the loop is cheap). Each round is one
+  *    weighted adjacent-pair aggregation + a 1-row argmax `collect()`
+  *    (bounded driver traffic: 8 rounds × 1 row — the merge decision IS
+  *    the algorithm's sequential dependency; same justification as the
+  *    connected-components fixpoint in ops/Graph.scala). Lineage is
+  *    truncated per round with `localCheckpoint` like the CC loop.
+  *
+  * 100 TB notes: q146's explode(word) fans the corpus out map-side and
+  * collapses to |langs| rows in the partial aggregate before the single
+  * shuffle — no word-level shuffle exists. q147 shuffles the corpus once
+  * (word frequency build, hash-keyed by word); every later shuffle is
+  * vocab-sized.
+  */
+object Bpe {
+
+  /** Same tokenizer family as TextSim (ASCII-only by construction, so
+    * char-level symbol splitting is multi-byte-safe).
+    */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  private val tokensSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Word → initial symbol array (single chars). The empty-string filter
+    * makes the result independent of Java split's zero-width-match edge
+    * behavior.
+    */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), x => x =!= "")
+
+  /** One merge pass: left-to-right, non-overlapping. Fold the symbol
+    * array; when the accumulator's last symbol is `l` and the incoming
+    * one is `r`, pop-and-push the fused symbol. A fused symbol can never
+    * re-trigger within its own pass (that would need l+r == l), which is
+    * what makes this equal to the oracle's single `replace` scan.
+    */
+  private def mergePass(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, size(acc)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** The oracle's form of the same pass: symbols ride as `,a,b,c` (comma
+    * BEFORE each symbol, none after — the asymmetry is load-bearing: a
+    * trailing delimiter would be shared between adjacent matches and
+    * break left-to-right non-overlap parity for runs like `a a a a`).
+    */
+  private def mergeSqlPass(inner: String, l: String, r: String): String =
+    s"replace($inner, ',$l,$r', ',$l$r')"
+
+  // ─── q146: encode with a fixed merge table ────────────────────────────
+
+  /** Rank-ordered merge table; later merges compose earlier outputs
+    * (e.g. `in`+`g` needs rank-3's `i`+`n`), so rank order is semantic.
+    */
+  private[graft] val fixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "r", "s" -> "t",
+    "a" -> "t", "e" -> "n", "o" -> "u", "i" -> "s", "i" -> "t",
+    "in" -> "g")
+
+  /** HOF-fold form of the encode chain — the semantic reference. Used by
+    * BpeSpec to pin the native kernel bit-for-bit; too slow for the hot
+    * path (16 interpreted lambda passes per word).
+    */
+  private[graft] def encodeWith(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSyms(word)) { case (s, (l, r)) => mergePass(s, l, r) }
+
+  /** Production encode: the native one-call kernel (expr/BpeEncode.scala,
+    * codegen StaticInvoke — 16 merges in one in-place scan per word).
+    */
+  private[graft] def encodeWord(word: Column): Column =
+    graft.expr.BpeFunctions.bpe_encode(word, fixedMerges)
+
+  private def encodeSqlChain(inner: String): String =
+    fixedMerges.foldLeft(inner) { case (s, (l, r)) => mergeSqlPass(s, l, r) }
+
+  /** Per-language BPE census: word count, char count, post-merge token
+    * count, plus a constant probe word encoded through the full chain
+    * (both engines encode it independently — a direct per-word parity
+    * witness alongside the corpus-level sums).
+    *
+    * The merge chain runs on the per-lang VOCAB DICT, not on every word
+    * occurrence: group to (lang, word, cnt) first, encode each distinct
+    * word once, weight the sums by cnt. Zipf makes the dict orders of
+    * magnitude smaller than the corpus (~7× even at sf0.1; far more at
+    * 100 TB), and the dict build's shuffle is collapsed map-side by
+    * partial aggregation — the same compression q147's trainer rides.
+    */
+  def q146BpeEncode(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        (col("cnt") * length(col("word"))).as("wc"),
+        (col("cnt") * size(encodeWord(col("word")))).as("tc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("wc")).cast("long").as("n_chars"),
+        sum(col("tc")).cast("long").as("n_tokens"))
+      .withColumn("probe", array_join(encodeWord(lit("interesting")), " "))
+      .orderBy(col("lang"))
+
+  private val q146Sql: String = {
+    val probeInner = "regexp_replace('interesting', '(.)', ',\\1', 'g')"
+    s"""WITH vocab AS (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
+       |  GROUP BY 1, 2
+       |), enc AS (
+       |  SELECT lang, cnt, cnt * length(word) AS wc,
+       |         ${encodeSqlChain("regexp_replace(word, '(.)', ',\\1', 'g')")} AS s
+       |  FROM vocab
+       |)
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(wc) AS BIGINT) AS n_chars,
+       |  CAST(sum(cnt * (length(s) - length(replace(s, ',', '')))) AS BIGINT) AS n_tokens,
+       |  replace(substr(${encodeSqlChain(probeInner)}, 2), ',', ' ') AS probe
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ─── q147: learn the merge table (BPE training) ───────────────────────
+
+  private val LearnRounds = 8
+
+  /** Train `LearnRounds` merges: per round, the (weighted) most frequent
+    * adjacent symbol pair across the vocab dict wins; ties break
+    * lexicographically on (lhs, rhs) so both engines agree exactly.
+    * Returns the learned table — rank, pair, and its weighted count at
+    * the moment it was chosen.
+    */
+  def q147BpeLearn(s: SparkSession, d: String): DataFrame = {
+    val pairStructT = "array<struct<lhs:string,rhs:string>>"
+    var cur = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), charSyms(col("word")).as("syms"))
+      .localCheckpoint()
+
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to LearnRounds) {
+      // sequence(1, n) counts DOWN for n < 1 — guard single-symbol words.
+      val top = cur
+        .select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("lhs"),
+                element_at(col("syms"), i + 1).as("rhs"))))
+            .otherwise(array().cast(pairStructT))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE learn round $round: no adjacent pairs left")
+      val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      learned += ((round, l, r, n))
+      cur = cur.withColumn("syms", mergePass(col("syms"), l, r)).localCheckpoint()
+    }
+    val spark = s; import spark.implicits._
+    learned.result().toDF("merge_rank", "lhs", "rhs", "n")
+  }
+
+  /** The oracle unrolls the same 8 rounds as chained CTE stages: wK holds
+    * the vocab dict's symbol strings after K merges, mK the round-K
+    * argmax. Pair extraction uses struct unnest instead of the engine's
+    * transform+explode; merge application uses the replace form. Every
+    * stage is MATERIALIZED — each wK is referenced twice (pK+1 and wK+1),
+    * so inlining would expand w8 into 2^8 parquet scans.
+    */
+  private val q147Sql: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)', ',\\1', 'g') AS s,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY 1)""".stripMargin
+    val stages = (1 to LearnRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
+         |         recursive := true), cnt
+         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt FROM w${k - 1})),
+         |m$k AS MATERIALIZED (
+         |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n FROM p$k
+         |  GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(s, ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
+         |                 ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS s, cnt
+         |  FROM w${k - 1})""".stripMargin
+    }
+    val union = (1 to LearnRounds)
+      .map(k => s"SELECT $k AS merge_rank, lhs, rhs, n FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $w0,
+       |${stages.mkString(",\n")}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_bpe_encode" -> (q146BpeEncode _),
+    "q147_bpe_learn" -> (q147BpeLearn _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q146_bpe_encode" -> q146Sql,
+    "q147_bpe_learn" -> q147Sql)
+}
