@@ -28,9 +28,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `read(spark, table, Some(v))` is time travel: old manifests (and
   *    their data dirs) are immutable once committed.
   *
-  * Manifest format: line 1 `version=N`, line 2 `count=M`, remaining
-  * lines one data-file path each — deliberately transparent (no JSON
-  * parser needed on the read path).
+  * Manifest format: line 1 `version=N`, line 2 `count=M`, line 3
+  * `schema=DDL`, remaining lines one data file each:
+  * `path<TAB>col=min..max,col=min..max` — the stats suffix carries
+  * per-file min/max for every integral column (the Delta/Iceberg
+  * file-skipping stats), and is optional per file (all-null columns
+  * contribute no entry; readers MUST keep a file whose predicate
+  * column has no stats). Deliberately transparent — no JSON parser
+  * needed on the read path.
   *
   * 100 TB notes: the manifest lists FILES, so reads plan from a
   * driver-side listing of one small file instead of a recursive
@@ -48,6 +53,57 @@ object SnapshotStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(table: String) = new Path(table, "_snapshots")
+
+  /** Stage `df` under the version's data dir and build the manifest body
+    * (count + per-file integral-column min/max stats). ONE column-pruned
+    * scan over the freshly written files computes both: only the stat
+    * columns' chunks are read (parquet projection), so at 100 TB the
+    * stats pass touches a few percent of the written bytes — the price
+    * of making every later predicate read skip-capable. `_metadata
+    * .file_path` keys the per-file aggregation; stats are stored by file
+    * NAME (part files are unique within the dir), sidestepping URI-form
+    * mismatches between the scan and the directory listing.
+    */
+  private def stageBody(df: DataFrame, dataDir: Path): String = {
+    val spark = df.sparkSession
+    val f = fs(spark, dataDir)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val files = f.listStatus(dataDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+                   p.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+    val statCols = df.schema.fields.collect {
+      case fld if Seq("tinyint", "smallint", "int", "bigint")
+        .contains(fld.dataType.simpleString) => fld.name
+    }.toSeq
+    val written = spark.read.parquet(dataDir.toString)
+    val aggs = count(lit(1)).as("n") +: statCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"min_$c"),
+      max(col(c)).cast("long").as(s"max_$c")))
+    val perFile = written
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val count0 = perFile.map(_.getAs[Long]("n")).sum
+    val statsByName = perFile.map { r =>
+      val name = new Path(r.getAs[String]("fp")).getName
+      val parts = statCols.flatMap { c =>
+        val (mn, mx) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
+        if (mn == null || mx == null) None
+        else Some(s"$c=$mn..$mx")
+      }
+      name -> parts.mkString(",")
+    }.toMap
+    // zero-row part files (empty write tasks) are dropped from the
+    // manifest outright: they can serve no read, and listing them would
+    // defeat skipping (no rows ⇒ no stats ⇒ never prunable)
+    val fileLines = files.collect {
+      case p if statsByName.contains(new Path(p).getName) =>
+        val stats = statsByName(new Path(p).getName)
+        if (stats.isEmpty) p else s"$p\t$stats"
+    }
+    s"count=$count0\nschema=${df.schema.toDDL}\n" + fileLines.mkString("\n")
+  }
 
   private val ManifestRe = "v(\\d{5})\\.manifest".r
 
@@ -74,19 +130,13 @@ object SnapshotStore {
     var committed = -1
     while (committed < 0) {
       val dataDir = new Path(tableP, f"snap-v$v%05d")
-      df.write.mode("overwrite").parquet(dataDir.toString)
-      val files = f.listStatus(dataDir).map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") &&
-                     p.getName.endsWith(".parquet"))
-        .map(_.toString).sorted
-      val count = spark.read.parquet(dataDir.toString).count()
+      val body = stageBody(df, dataDir)
       val manifest = new Path(manifestDir(table), f"v$v%05d.manifest")
       f.mkdirs(manifestDir(table))
       try {
         // overwrite=false ⇒ exclusive create: THE atomic commit point
         val out = f.create(manifest, false)
-        out.write((s"version=$v\ncount=$count\nschema=${df.schema.toDDL}\n" +
-          files.mkString("\n")).getBytes(UTF_8))
+        out.write(s"version=$v\n$body".getBytes(UTF_8))
         out.close()
         committed = v
       } catch {
@@ -111,18 +161,12 @@ object SnapshotStore {
     val f = fs(spark, tableP)
     if (versions(spark, table).contains(version)) return false
     val dataDir = new Path(tableP, f"snap-v$version%05d")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val files = f.listStatus(dataDir).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") &&
-                   p.getName.endsWith(".parquet"))
-      .map(_.toString).sorted
-    val count = spark.read.parquet(dataDir.toString).count()
+    val body = stageBody(df, dataDir)
     val manifest = new Path(manifestDir(table), f"v$version%05d.manifest")
     f.mkdirs(manifestDir(table))
     try {
       val out = f.create(manifest, false)
-      out.write((s"version=$version\ncount=$count\nschema=${df.schema.toDDL}\n" +
-        files.mkString("\n")).getBytes(UTF_8))
+      out.write(s"version=$version\n$body".getBytes(UTF_8))
       out.close()
       true
     } catch {
@@ -179,13 +223,75 @@ object SnapshotStore {
     require(committed.contains(v),
       s"version $v not committed (have: ${committed.mkString(",")})")
     val lines = manifestLines(spark, table, v)
-    val files = lines.drop(3).filter(_.nonEmpty)
-    if (files.isEmpty) {
-      // empty snapshot: no data files, schema comes from the manifest
-      val ddl = lines(2).stripPrefix("schema=")
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    } else spark.read.parquet(files: _*)
+    val files = lines.drop(3).filter(_.nonEmpty).map(_.split('\t')(0))
+    if (files.isEmpty) emptyFrame(spark, lines)
+    else spark.read.parquet(files: _*)
+  }
+
+  private def emptyFrame(spark: SparkSession, lines: List[String]): DataFrame = {
+    // empty snapshot / all files pruned: schema comes from the manifest
+    val ddl = lines(2).stripPrefix("schema=")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** Per-file stats of a committed version: file path → column →
+    * (min, max). Files whose line has no stats suffix map to empty.
+    */
+  def statsOf(spark: SparkSession, table: String,
+              version: Int): Seq[(String, Map[String, (Long, Long)])] =
+    manifestLines(spark, table, version).drop(3).filter(_.nonEmpty).map { line =>
+      val parts = line.split('\t')
+      val stats = if (parts.length < 2) Map.empty[String, (Long, Long)]
+      else parts(1).split(',').map { kv =>
+        val Array(c, range) = kv.split("=", 2)
+        val Array(lo, hi) = range.split("\\.\\.", 2)
+        c -> (lo.toLong, hi.toLong)
+      }.toMap
+      parts(0) -> stats
+    }
+
+  /** A stat-pruned read: `df` contains exactly the rows of the snapshot
+    * with `column` BETWEEN lo AND hi, but only `filesKept` of
+    * `filesTotal` data files were ever opened — the manifest's min/max
+    * ranges prove the rest can hold no matching row. Files with no
+    * stats for `column` are always kept (stats are an optimization,
+    * never a correctness gate), and the residual filter still runs over
+    * what's read, so pruning can only skip work, not change answers.
+    * This is the file-skipping half of every table format's read path;
+    * it rewards writers that cluster the predicate column (contiguous
+    * buckets, z-order — q132's lever) with near-perfect skip rates.
+    */
+  case class PrunedRead(df: DataFrame, filesTotal: Int, filesKept: Int)
+
+  def readBetween(spark: SparkSession, table: String, version: Option[Int],
+                  column: String, lo: Long, hi: Long): PrunedRead = {
+    val committed = versions(spark, table)
+    require(committed.nonEmpty, s"no committed snapshots under $table")
+    val v = version.getOrElse(committed.last)
+    require(committed.contains(v),
+      s"version $v not committed (have: ${committed.mkString(",")})")
+    val all = statsOf(spark, table, v)
+    val kept = all.collect {
+      case (p, st) if st.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi } => p
+    }
+    val base =
+      if (kept.isEmpty) emptyFrame(spark, manifestLines(spark, table, v))
+      else spark.read.parquet(kept: _*)
+    PrunedRead(base.where(col(column).between(lo, hi)), all.size, kept.size)
+  }
+
+  /** OPTIMIZE: republish the latest snapshot's data as `numFiles` files
+    * (small-file compaction — the bin-packing half of Delta OPTIMIZE;
+    * q132 covers the clustering half). The rewrite is a new VERSION:
+    * readers mid-flight keep their snapshot, time travel still serves
+    * the old layout, and a crash mid-compaction is invisible (no
+    * manifest, no version). Data is byte-identical by construction —
+    * the spec pins diff(vOld, vNew) = all-unchanged.
+    */
+  def compact(spark: SparkSession, table: String, numFiles: Int): Int = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    publish(read(spark, table).coalesce(numFiles), table)
   }
 
   /** Manifest-declared row count (metadata read, no data scan). */
@@ -354,11 +460,45 @@ object SnapshotStore {
       |GROUP BY change_type
       |ORDER BY change_type""".stripMargin
 
+  // ─── q148: stat-pruned (file-skipping) snapshot read ─────────────────
+  // Publish `documents` clustered into contiguous doc_id buckets (100
+  // ids per bucket, hash-routed to 32 write tasks — deterministic
+  // layout), then read doc_id BETWEEN 100 AND 299 through the manifest's
+  // min/max stats. The per-lang census must equal DuckDB's direct filter
+  // of `documents` — pruning may only skip files, never rows. The
+  // skip-rate itself (filesKept < filesTotal) is layout-dependent and is
+  // asserted in SnapshotStoreSpec on a controlled layout instead.
+  def q148SkippingRead(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/skip"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100))
+      .repartition(32, col("b")).drop("b")
+    publish(docs, table)
+    readBetween(s, table, None, "doc_id", 100L, 299L).df
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy(col("lang"))
+  }
+
+  val q148Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM documents WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
-    "q133_snapshot_cdc" -> (q133SnapshotCdc _))
+    "q133_snapshot_cdc" -> (q133SnapshotCdc _),
+    "q148_skipping_read" -> (q148SkippingRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q130_snapshot_roundtrip" -> q130Sql,
-    "q133_snapshot_cdc" -> q133Sql)
+    "q133_snapshot_cdc" -> q133Sql,
+    "q148_skipping_read" -> q148Sql)
 }

@@ -177,6 +177,59 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(merged === expected)
   }
 
+  test("manifest stats drive file skipping; pruned read ≡ full filter") {
+    val t = freshTable("skip")
+    // 8 contiguous id-buckets, hash-routed to 16 write tasks: every file
+    // holds whole buckets, so file ranges are tight and deterministic
+    val df = spark.range(0, 800).toDF("id")
+      .withColumn("s", concat(lit("row-"), col("id")))
+      .withColumn("v", lit(null).cast("bigint")) // all-null ⇒ no stats
+      .withColumn("b", floor(col("id") / 100))
+      .repartition(16, col("b")).drop("b")
+    SnapshotStore.publish(df, t)
+    val stats = SnapshotStore.statsOf(spark, t, 1)
+    assert(stats.size >= 2, "layout must produce multiple files")
+    assert(stats.forall(_._2.contains("id")), "every file carries id stats")
+    // narrow predicate: one bucket → most files pruned
+    val pr = SnapshotStore.readBetween(spark, t, None, "id", 100L, 199L)
+    assert(pr.filesTotal === stats.size)
+    assert(pr.filesKept < pr.filesTotal, "skipping must actually skip")
+    val expect = SnapshotStore.read(spark, t)
+      .where(col("id").between(100, 199))
+      .select(col("id"), col("s")).as[(Long, String)].collect().toSet
+    assert(pr.df.select(col("id"), col("s")).as[(Long, String)]
+      .collect().toSet === expect)
+    // predicate column with no stats (all-null) → nothing prunable
+    val noStats = SnapshotStore.readBetween(spark, t, None, "v", 0L, 1L)
+    assert(noStats.filesKept === noStats.filesTotal,
+      "missing stats must keep every file")
+    assert(noStats.df.count() === 0) // residual filter: NULL never matches
+    // out-of-range predicate → zero files opened, schema intact
+    val none = SnapshotStore.readBetween(spark, t, None, "id", 5000L, 6000L)
+    assert(none.filesKept === 0 && none.df.count() === 0)
+    assert(none.df.columns.toSeq === Seq("id", "s", "v"))
+  }
+
+  test("compact: fewer files, identical data, old layout time-travelable") {
+    val t = freshTable("compact")
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("s", concat(lit("r"), col("id")))
+      .repartition(8)
+    SnapshotStore.publish(df, t)
+    val before = SnapshotStore.statsOf(spark, t, 1).size
+    assert(before >= 2)
+    val v2 = SnapshotStore.compact(spark, t, 1)
+    assert(v2 === 2)
+    assert(SnapshotStore.statsOf(spark, t, 2).size === 1)
+    // byte-identical data: the diff has no inserts/deletes/updates
+    val changed = SnapshotStore.diff(spark, t, 1, 2, Seq("id"))
+      .where(col("change_type") =!= "unchanged").count()
+    assert(changed === 0)
+    // the old layout is still served for version-1 readers
+    assert(SnapshotStore.read(spark, t, Some(1)).count() === 400)
+    assert(SnapshotStore.countOf(spark, t, 2) === 400)
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
