@@ -165,11 +165,29 @@ object Streaming {
     * time-bound predicate is what lets Spark EVICT join state older than
     * watermark + 15 min instead of buffering both streams forever).
     */
-  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame =
-    views.join(clicks,
-      views("user_id") === clicks("user_id") &&
+  private def vcCond(views: DataFrame, clicks: DataFrame) =
+    views("user_id") === clicks("user_id") &&
       views("view_ts") <= clicks("click_ts") &&
-      clicks("click_ts") < views("view_ts") + expr("INTERVAL 15 MINUTES"))
+      clicks("click_ts") < views("view_ts") + expr("INTERVAL 15 MINUTES")
+
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.join(clicks, vcCond(views, clicks))
+      .select(views("user_id"), col("view_id"), col("click_id"),
+              col("view_ts"), col("click_ts"))
+
+  /** LEFT OUTER stream-stream join — the conversion-funnel form: every
+    * view appears, clickless ones with NULL click columns. In streaming
+    * this is the mode where WATERMARKS ARE SEMANTIC, not just a state
+    * bound: an unmatched view can only be emitted once the watermark
+    * proves no matching click can still arrive (view_ts + 15 min behind
+    * the click watermark) — the null-side row materializes at state
+    * EVICTION time, so outer results trail the watermark by design.
+    * Spark requires the time bound on both sides for exactly this
+    * reason. Batch twin q149 is oracle-checked; the streaming path's
+    * eviction-time emission is pinned in StreamingSpec.
+    */
+  def viewClickJoinLeft(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.join(clicks, vcCond(views, clicks), "left_outer")
       .select(views("user_id"), col("view_id"), col("click_id"),
               col("view_ts"), col("click_ts"))
 
@@ -271,11 +289,39 @@ object Streaming {
       | AND c.ts < v.ts + INTERVAL 15 MINUTE
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  // ─── q149: LEFT OUTER interval join (batch twin) ──────────────────────
+  // Unmatched views ride as click_id = -1 (coalesced in BOTH engines, so
+  // no NULL-ordering divergence can touch the sort or the hash).
+  def q149IntervalJoinLeft(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    viewClickJoinLeft(views, clicks)
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val q149Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events)
+      |SELECT v.user_id, v.event_id AS view_id,
+      |  coalesce(c.event_id, -1) AS click_id
+      |FROM (SELECT * FROM e WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id AND v.ts <= c.ts
+      | AND c.ts < v.ts + INTERVAL 15 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_tumbling_window" -> (q52Tumbling _),
     "q53_sliding_window"  -> (q53Sliding _),
     "q54_session_window"  -> (q54Sessions _),
     "q67_interval_join"   -> (q67IntervalJoin _),
+    "q149_interval_join_left" -> (q149IntervalJoinLeft _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -283,6 +329,7 @@ object Streaming {
     "q53_sliding_window"  -> q53Sql,
     "q54_session_window"  -> q54Sql,
     "q67_interval_join"   -> q67Sql,
+    "q149_interval_join_left" -> q149Sql,
   )
 }
 

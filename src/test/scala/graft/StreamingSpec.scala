@@ -196,6 +196,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views at watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EvU]
+    val clicks = MemoryStream[EvU]
+    val joined = Streaming.viewClickJoinLeft(
+      views.toDF().withWatermark("ts", "5 minutes")
+        .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id")),
+      clicks.toDF().withWatermark("ts", "5 minutes")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")))
+    val q = joined.writeStream.format("memory").queryName("ssjl")
+      .outputMode("append").start()
+    try {
+      // user 7: matched within the window; user 8: click precedes the
+      // view -> never matches, must surface with a NULL click anyway
+      views.addData(EvU(100, ts(0), "view", 0, 7), EvU(101, ts(30), "view", 0, 8))
+      clicks.addData(EvU(200, ts(10), "click", 0, 7), EvU(202, ts(29), "click", 0, 8))
+      q.processAllAvailable()
+      val early = spark.table("ssjl")
+        .select($"view_id", $"click_id").as[(Long, Option[Long])].collect().toSet
+      assert(!early.contains((101L, None)),
+        s"unmatched view leaked BEFORE its watermark horizon passed: $early")
+      // push both watermarks past view_ts(30) + 15 min + 5 min delay
+      views.addData(EvU(110, ts(120), "view", 0, 99))
+      clicks.addData(EvU(210, ts(121), "click", 0, 98))
+      q.processAllAvailable()
+      val rows = spark.table("ssjl")
+        .select($"user_id", $"view_id", $"click_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(rows === Set((7L, 100L, Some(200L)), (8L, 101L, None)),
+        s"left-outer join produced $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim " +
        "with no state store") {
     implicit val sqlCtx = spark.sqlContext
