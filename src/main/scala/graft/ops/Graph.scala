@@ -224,9 +224,117 @@ object Graph {
        |FROM labels
        |ORDER BY doc_id""".stripMargin
 
+  // ─── q150: PageRank — link-graph authority scoring ─────────────────────
+  // Web-corpus curation uses link authority as a quality prior (the
+  // original PageRank use case); here the same iteration runs over the
+  // bipartite supplier↔part co-occurrence graph from lineitem.
+
+  /** PageRank, non-normalized Pregel form (Page et al. 1999; the GraphX
+    * convention): rank = (1−d) + d·Σ inbound rank/outdeg, fixed iteration
+    * count. Per iteration: ONE broadcast-or-hash join of the static
+    * (src, dst, deg) edge frame with the node-sized rank frame, then one
+    * map-side-combined groupBy(dst) — the only corpus-scale shuffle, and
+    * it carries (long, double) pairs, never adjacency lists. The edge
+    * frame is checkpointed ONCE and reused by every round; ranks are
+    * checkpointed per round to truncate the 5-deep lineage (same
+    * discipline as the CC loop above). At cluster scale the rank frame
+    * is node-sized (not broadcastable): pre-partition edges by src and
+    * the per-round join co-locates with the previous round's output —
+    * the GraphX/Pregel layout. In-degree hotspots are absorbed by the
+    * partial aggregate; out-degree hotspots by AQE skew split.
+    *
+    * Every node here has outdeg ≥ 1 by construction (callers pass
+    * bidirectional edges), so there is no dangling-mass term.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               base: Double = 0.15): DataFrame = {
+    // base is a LITERAL, not 1−damping: the double `1.0 - 0.85` differs
+    // from the double `0.15` by 2.2e-17, and the oracle types "0.15"
+    val eDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    // node universe is checkpointed too: it anchors BOTH joins of every
+    // round, and leaving it as a live plan would rescan the upstream
+    // source once per iteration
+    val nodes = eDeg.select(col("src").as("node")).distinct().localCheckpoint()
+    // localCheckpoint erases size stats (ExistingRDD defaults to "huge"),
+    // so without help every round's edge⋈rank join would plan SMJ and
+    // sort the edge list 5 times over. Cardinality-guard the hint the
+    // same way Merge.denseIds guards its window: rank frames up to ~5M
+    // nodes broadcast (a few MB — the dominant real case even at 100 TB
+    // corpora, where NODES are entities, not documents); beyond that the
+    // co-partitioned shuffle path is the right plan anyway.
+    val nNodes = nodes.count()
+    val rankSide: DataFrame => DataFrame =
+      if (nNodes <= 5000000L) broadcast else identity
+    var ranks = nodes.withColumn("pr", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg.join(rankSide(ranks), eDeg("src") === ranks("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Top-20 parts by authority after 5 damped iterations. Node ids fuse
+    * the bipartite sides (supplier → 2k, part → 2k+1). Ranks are rounded
+    * to 5 decimals in BOTH engines and the sort runs on the ROUNDED
+    * value, so cross-engine float drift (different summation order)
+    * cannot reorder the cut.
+    */
+  def q150PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val sp = li.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+    val ps = li.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"))
+    pageRank(sp.unionAll(ps), iterations = 5)
+      .where(col("node") % 2 === 1)
+      .select(expr("(node - 1) DIV 2").as("part_key"),
+        round(col("pr"), 5).as("pr"))
+      .orderBy(col("pr").desc, col("part_key"))
+      .limit(20)
+  }
+
+  /** 5 unrolled, MATERIALIZED iteration CTEs (each rK is referenced by
+    * both the contribution join and rK+1 — inlining would go
+    * exponential, the q147 lesson). All literals are cast to DOUBLE:
+    * DuckDB would otherwise type `1.0` as DECIMAL and run the whole
+    * recurrence in exact decimal, diverging from Spark's doubles.
+    */
+  val q150Sql: String = {
+    val stages = (1 to 5).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node, 0.15 + 0.85 * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr / d.deg) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT sk * 2 AS src, pk * 2 + 1 AS dst FROM li
+       |  UNION ALL
+       |  SELECT pk * 2 + 1, sk * 2 FROM li),
+       |d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
+       |${stages.mkString(",\n")}
+       |SELECT (node - 1) // 2 AS part_key, round(pr, 5) AS pr
+       |FROM r5 WHERE node % 2 = 1
+       |ORDER BY pr DESC, part_key
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q71_dup_clusters" -> (q71DupClusters _))
+    "q71_dup_clusters" -> (q71DupClusters _),
+    "q150_pagerank" -> (q150PageRank _))
 
   val oracleSql: Map[String, String] = Map(
-    "q71_dup_clusters" -> q71Sql)
+    "q71_dup_clusters" -> q71Sql,
+    "q150_pagerank" -> q150Sql)
 }

@@ -78,4 +78,41 @@ class GraphSpec extends SparkSpec {
     // the fixture graph is non-trivial at sf0.001: multi-doc clusters exist
     assert(out.exists(_._3 > 1), "expected at least one non-singleton cluster")
   }
+
+  test("pageRank matches an independent driver-side recurrence on a star") {
+    // star: hub 0 ↔ leaves 1..6, bidirectional. Reference recurrence in
+    // plain Scala maps; summation ORDER is not part of the contract
+    // (Spark's partial aggregation groups addends differently than a
+    // sequential fold), so the match is to 1e-12, not bit-exact.
+    val k = 6
+    val edges = (1 to k).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    var ref = (0 to k).map(_.toLong -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val hubIn = (1 to k).map(i => ref(i.toLong) / 1.0).sum
+      val leafIn = ref(0L) / k
+      ref = Map(0L -> (0.15 + 0.85 * hubIn)) ++
+        (1 to k).map(i => i.toLong -> (0.15 + 0.85 * leafIn))
+    }
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (n, r) =>
+      assert(math.abs(got(n) - r) < 1e-12, s"node $n: ${got(n)} vs $r") }
+    assert(got(0L) > got(1L), "hub must dominate leaves")
+  }
+
+  test("pageRank conserves total mass across iterations") {
+    // non-normalized PageRank: Σrank' = 0.15·N + 0.85·Σrank, so with
+    // init 1.0 the total stays N every iteration — a seeded random
+    // bidirectional graph must hold it to float tolerance.
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = (base ++ base.map(_.swap)).distinct.toDF("src", "dst")
+    val n = (base.flatMap(e => Seq(e._1, e._2))).distinct.size
+    val total = Graph.pageRank(edges, iterations = 5)
+      .agg(sum($"pr")).as[Double].head()
+    assert(math.abs(total - n) < 1e-9, s"mass $total drifted from $n")
+  }
 }
