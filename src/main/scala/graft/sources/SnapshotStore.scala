@@ -4,6 +4,8 @@ import graft.Tables
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Snapshot-committed parquet table: ATOMIC publish + time travel.
@@ -64,7 +66,9 @@ object SnapshotStore {
     * NAME (part files are unique within the dir), sidestepping URI-form
     * mismatches between the scan and the directory listing.
     */
-  private def stageBody(df: DataFrame, dataDir: Path): String = {
+  private def stageBody(df: DataFrame, dataDir: Path,
+                        bloomCols: Seq[String] = Nil,
+                        bloomBits: Long = 1L << 20): String = {
     val spark = df.sparkSession
     val f = fs(spark, dataDir)
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -77,13 +81,30 @@ object SnapshotStore {
         .contains(fld.dataType.simpleString) => fld.name
     }.toSeq
     val written = spark.read.parquet(dataDir.toString)
-    val aggs = count(lit(1)).as("n") +: statCols.flatMap(c => Seq(
+    val aggs = (count(lit(1)).as("n") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"min_$c"),
-      max(col(c)).cast("long").as(s"max_$c")))
+      max(col(c)).cast("long").as(s"max_$c")))) ++
+      bloomCols.map(c => bridge.bloomFilterAgg(xxhash64(col(c)),
+        estimatedItems = 100000L, numBits = bloomBits).as(s"bloom_$c"))
     val perFile = written
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // bloom side files land INSIDE the staged data dir, so they are
+    // covered by the same atomic commit (no manifest ⇒ invisible) and
+    // the same vacuum delete
+    if (bloomCols.nonEmpty) {
+      val bloomDir = new Path(dataDir, "_bloom")
+      f.mkdirs(bloomDir)
+      perFile.foreach { r =>
+        val name = new Path(r.getAs[String]("fp")).getName
+        bloomCols.foreach { c =>
+          val bytes = r.getAs[Array[Byte]](s"bloom_$c")
+          val out = f.create(new Path(bloomDir, s"$name.$c.bloom"), true)
+          out.write(bytes); out.close()
+        }
+      }
+    }
     val count0 = perFile.map(_.getAs[Long]("n")).sum
     val statsByName = perFile.map { r =>
       val name = new Path(r.getAs[String]("fp")).getName
@@ -122,7 +143,8 @@ object SnapshotStore {
     * version): the loser re-stages its data under the next number —
     * rare-path cost, the win is that NO lock is ever held.
     */
-  def publish(df: DataFrame, table: String): Int = {
+  def publish(df: DataFrame, table: String, bloomCols: Seq[String] = Nil,
+              bloomBits: Long = 1L << 20): Int = {
     val spark = df.sparkSession
     val tableP = new Path(table)
     val f = fs(spark, tableP)
@@ -130,7 +152,7 @@ object SnapshotStore {
     var committed = -1
     while (committed < 0) {
       val dataDir = new Path(tableP, f"snap-v$v%05d")
-      val body = stageBody(df, dataDir)
+      val body = stageBody(df, dataDir, bloomCols, bloomBits)
       val manifest = new Path(manifestDir(table), f"v$v%05d.manifest")
       f.mkdirs(manifestDir(table))
       try {
@@ -279,6 +301,60 @@ object SnapshotStore {
       if (kept.isEmpty) emptyFrame(spark, manifestLines(spark, table, v))
       else spark.read.parquet(kept: _*)
     PrunedRead(base.where(col(column).between(lo, hi)), all.size, kept.size)
+  }
+
+  /** Point-lookup read through the per-file BLOOM index (+ min/max
+    * stats): keep a file only if its range could contain a probed value
+    * AND, when a bloom side file exists for `column`, at least one
+    * probed value might be a member. Blooms are the complement of range
+    * stats: ranges prune CLUSTERED layouts, blooms prune SCATTERED ones
+    * (a hash-partitioned write leaves every file spanning the full key
+    * range — ranges keep everything, the bloom still rules out all but
+    * ~1 file per key). False positives only cost an extra file read;
+    * false negatives are impossible, and the residual IN filter runs
+    * regardless. The probe hashes ride through the same xxhash64 the
+    * build used (Spark's runtime-filter contract).
+    */
+  def readPoint(spark: SparkSession, table: String, version: Option[Int],
+                column: String, values: Seq[Long]): PrunedRead = {
+    require(values.nonEmpty, "readPoint needs at least one probe value")
+    val committed = versions(spark, table)
+    require(committed.nonEmpty, s"no committed snapshots under $table")
+    val v = version.getOrElse(committed.last)
+    require(committed.contains(v),
+      s"version $v not committed (have: ${committed.mkString(",")})")
+    import spark.implicits._
+    val hashes = values.toDF("v").select(xxhash64(col("v")))
+      .as[Long].collect()
+    val bloomDir = new Path(new Path(table, f"snap-v$v%05d"), "_bloom")
+    val f = fs(spark, bloomDir)
+    def bloomKeeps(fileName: String): Boolean = {
+      val bp = new Path(bloomDir, s"$fileName.$column.bloom")
+      if (!f.exists(bp)) true // no index for this file/column: must keep
+      else {
+        val in = f.open(bp)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](64 * 1024)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } finally in.close()
+        val bloom = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new ByteArrayInputStream(bytes))
+        hashes.exists(bloom.mightContainLong)
+      }
+    }
+    val all = statsOf(spark, table, v)
+    val kept = all.collect {
+      case (p, st) if st.get(column).forall { case (mn, mx) =>
+            values.exists(x => x >= mn && x <= mx) } &&
+          bloomKeeps(new Path(p).getName) => p
+    }
+    val base =
+      if (kept.isEmpty) emptyFrame(spark, manifestLines(spark, table, v))
+      else spark.read.parquet(kept: _*)
+    PrunedRead(base.where(col(column).isin(values: _*)), all.size, kept.size)
   }
 
   /** OPTIMIZE: republish the latest snapshot's data as `numFiles` files
@@ -492,13 +568,39 @@ object SnapshotStore {
       |FROM documents WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ─── q151: bloom-indexed point lookup ────────────────────────────────
+  // The layout is deliberately HOSTILE to range stats: hash-partitioned
+  // on n_chars, so every file spans ~the full doc_id range and min/max
+  // pruning keeps everything. The per-file bloom index still routes each
+  // probed key to the file(s) that might hold it. The census through the
+  // pruned read must equal DuckDB's direct IN-filter — blooms may only
+  // skip files, never rows (false negatives impossible by construction).
+  def q151BloomLookup(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/bloomidx"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(24, col("n_chars"))
+    publish(docs, table, bloomCols = Seq("doc_id"))
+    readPoint(s, table, None, "doc_id", Seq(7L, 97L, 211L, 350L, 444L)).df
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (7, 97, 211, 350, 444)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
     "q133_snapshot_cdc" -> (q133SnapshotCdc _),
-    "q148_skipping_read" -> (q148SkippingRead _))
+    "q148_skipping_read" -> (q148SkippingRead _),
+    "q151_bloom_lookup" -> (q151BloomLookup _))
 
   val oracleSql: Map[String, String] = Map(
     "q130_snapshot_roundtrip" -> q130Sql,
     "q133_snapshot_cdc" -> q133Sql,
-    "q148_skipping_read" -> q148Sql)
+    "q148_skipping_read" -> q148Sql,
+    "q151_bloom_lookup" -> q151Sql)
 }

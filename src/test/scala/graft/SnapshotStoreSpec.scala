@@ -210,6 +210,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(none.df.columns.toSeq === Seq("id", "s", "v"))
   }
 
+  test("bloom index prunes scattered layouts that range stats cannot") {
+    val t = freshTable("bloom")
+    // hash-partition on the STRING column: every file spans ~the whole
+    // id range, so min/max pruning is useless here by construction
+    val df = spark.range(0, 800).toDF("id")
+      .withColumn("s", concat(lit("row-"), col("id")))
+      .repartition(8, col("s"))
+    SnapshotStore.publish(df, t, bloomCols = Seq("id"))
+    val probe = SnapshotStore.readPoint(spark, t, None, "id", Seq(137L))
+    val ranged = SnapshotStore.readBetween(spark, t, None, "id", 137L, 137L)
+    assert(ranged.filesKept === ranged.filesTotal,
+      "scattered layout must defeat range stats (the contrast premise)")
+    assert(probe.filesKept < probe.filesTotal,
+      s"bloom kept ${probe.filesKept}/${probe.filesTotal} — no pruning")
+    assert(probe.df.as[(Long, String)].collect().toSet === Set((137L, "row-137")))
+    // multi-probe: union of candidate files, still no false negatives
+    val multi = SnapshotStore.readPoint(spark, t, None, "id",
+      Seq(3L, 137L, 555L, 799L))
+    assert(multi.df.select($"id").as[Long].collect().toSet
+      === Set(3L, 137L, 555L, 799L))
+    // a probe outside every file's range: stats alone zero out the read
+    val outside = SnapshotStore.readPoint(spark, t, None, "id", Seq(900L))
+    assert(outside.filesKept === 0 && outside.df.count() === 0)
+  }
+
   test("compact: fewer files, identical data, old layout time-travelable") {
     val t = freshTable("compact")
     val df = spark.range(0, 400).toDF("id")
