@@ -299,13 +299,76 @@ object SqlText {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q152: SQL SCRIPTING — procedural control flow server-side ───────
+  // BEGIN/DECLARE/WHILE/IF as one spark.sql() call (Spark 4's SQL
+  // scripting): a binary search for the 5th-largest per-nation supplier
+  // count, driven entirely by script variables — each loop probe is one
+  // tiny aggregate job, O(log maxCnt) probes total. The oracle states
+  // the closed form (ORDER BY cnt DESC OFFSET 4), so the hash matches
+  // only if the loop's invariant arithmetic is right, ties included
+  // (max{k : |{cnt ≥ k}| ≥ 5} = the 5th element of the DESC multiset).
+  // The script executes EAGERLY inside the conf scope; the 1-row result
+  // is re-hosted on a LocalRelation so nothing downstream depends on
+  // the scripting flag staying set (the q127 conf-scope lesson).
+  def q152SqlScript(s: SparkSession, d: String): DataFrame = {
+    supplier(s, d).createOrReplaceTempView("graft_q152_sup")
+    val old = s.conf.getOption("spark.sql.scripting.enabled")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    try {
+      val res = s.sql(
+        """BEGIN
+          |  DECLARE lo INT DEFAULT 0;
+          |  DECLARE hi INT;
+          |  DECLARE mid INT;
+          |  SET hi = (SELECT max(cnt) + 1 FROM (
+          |    SELECT count(*) AS cnt FROM graft_q152_sup
+          |    GROUP BY s_nationkey));
+          |  WHILE hi - lo > 1 DO
+          |    SET mid = (lo + hi) DIV 2;
+          |    IF (SELECT count(*) FROM (
+          |          SELECT s_nationkey FROM graft_q152_sup
+          |          GROUP BY s_nationkey HAVING count(*) >= mid)) >= 5 THEN
+          |      SET lo = mid;
+          |    ELSE
+          |      SET hi = mid;
+          |    END IF;
+          |  END WHILE;
+          |  SELECT CAST(lo AS BIGINT) AS fifth_largest,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM (
+          |       SELECT s_nationkey FROM graft_q152_sup
+          |       GROUP BY s_nationkey HAVING count(*) >= lo)) AS n_nations_at;
+          |END""".stripMargin)
+      val rows = java.util.Arrays.asList(res.collect(): _*)
+      s.createDataFrame(rows, res.schema)
+    } finally {
+      old match {
+        case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+        case None => s.conf.unset("spark.sql.scripting.enabled")
+      }
+      s.catalog.dropTempView("graft_q152_sup")
+    }
+  }
+
+  val q152Sql: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT count(*) AS cnt FROM supplier GROUP BY s_nationkey),
+      |f AS (
+      |  SELECT CAST(coalesce(
+      |    (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 1 OFFSET 4), 0)
+      |    AS BIGINT) AS fifth_largest)
+      |SELECT f.fifth_largest,
+      |  CAST((SELECT count(*) FROM c WHERE cnt >= f.fifth_largest)
+      |    AS BIGINT) AS n_nations_at
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_sql_variables"       -> (q138SqlVariables _),
     "q107_recursive_hierarchy" -> (q107RecursiveHierarchy _),
     "q108_variant_shred"       -> (q108VariantShred _),
     "q110_lateral_topk"        -> (q110LateralTopk _),
     "q113_sql_udf"             -> (q113SqlUdf _),
-    "q114_pipe_syntax"         -> (q114PipeSyntax _))
+    "q114_pipe_syntax"         -> (q114PipeSyntax _),
+    "q152_sql_script"          -> (q152SqlScript _))
 
   val oracleSql: Map[String, String] = Map(
     "q138_sql_variables"       -> q138Sql,
@@ -313,5 +376,6 @@ object SqlText {
     "q108_variant_shred"       -> q108Sql,
     "q110_lateral_topk"        -> q110Sql,
     "q113_sql_udf"             -> q113Sql,
-    "q114_pipe_syntax"         -> q114Sql)
+    "q114_pipe_syntax"         -> q114Sql,
+    "q152_sql_script"          -> q152Sql)
 }

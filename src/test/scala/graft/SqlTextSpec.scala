@@ -328,4 +328,20 @@ class SqlTextSpec extends SparkSpec {
     }
     assert(leaked.getMessage.toLowerCase.contains("graft_q138_thr"))
   }
+
+  test("q152 script binary search ≡ closed-form 5th-largest; conf restored") {
+    val before = spark.conf.getOption("spark.sql.scripting.enabled")
+    val out = SqlText.q152SqlScript(spark, sfDir)
+      .as[(Long, Long)].collect().head
+    // independent closed form straight from the DataFrame API
+    val counts = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .groupBy($"s_nationkey").count()
+      .select($"count").as[Long].collect().sortBy(-_)
+    val fifth = if (counts.length >= 5) counts(4) else 0L
+    assert(out._1 === fifth, s"script found ${out._1}, closed form $fifth")
+    assert(out._2 === counts.count(_ >= fifth))
+    assert(out._2 >= 5 || counts.length < 5, "invariant: ≥5 nations at c5")
+    assert(spark.conf.getOption("spark.sql.scripting.enabled") === before,
+      "scripting flag must be restored")
+  }
 }
