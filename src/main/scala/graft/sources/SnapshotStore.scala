@@ -234,6 +234,30 @@ object SnapshotStore {
     expire
   }
 
+  /** GC: delete `snap-v*` data dirs with NO committed manifest — crash
+    * leftovers (stage finished, commit never happened) and lost-race
+    * stages whose cleanup delete failed. `minAgeMs` is the safety fence
+    * every manifest-format GC needs: a CONCURRENT publisher's
+    * in-progress stage is also manifest-less, so only dirs whose last
+    * modification is older than the fence are eligible (Delta VACUUM's
+    * retention-window reasoning — set it well above the longest
+    * plausible stage time in production; 0 only in tests).
+    */
+  def gcOrphans(spark: SparkSession, table: String,
+                minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val tableP = new Path(table)
+    val f = fs(spark, tableP)
+    if (!f.exists(tableP)) return Seq.empty
+    val committed = versions(spark, table).map(v => f"snap-v$v%05d").toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    f.listStatus(tableP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-v")
+        && !committed.contains(st.getPath.getName)
+        && st.getModificationTime <= cutoff)
+      .map { st => f.delete(st.getPath, true); st.getPath.getName }
+      .sorted
+  }
+
   /** Read a committed snapshot (default: latest). Reads exactly the
     * manifest's file list — never a directory scan of the table root.
     */

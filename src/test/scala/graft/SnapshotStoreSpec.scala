@@ -210,6 +210,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(none.df.columns.toSeq === Seq("id", "s", "v"))
   }
 
+  test("gcOrphans removes only aged, uncommitted stage dirs") {
+    val t = freshTable("gc")
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), t)
+    // a dead writer's stage: full data dir, no manifest
+    Seq((99L, "dead")).toDF("id", "s").write.parquet(s"$t/snap-v00007")
+    // age fence: a "young" orphan (this one) must survive a 1-hour fence
+    assert(SnapshotStore.gcOrphans(spark, t, minAgeMs = 3600 * 1000) === Seq.empty)
+    val p = new Path(s"$t/snap-v00007")
+    assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    // past the fence it goes; the committed snapshot is untouched
+    assert(SnapshotStore.gcOrphans(spark, t, minAgeMs = 0) === Seq("snap-v00007"))
+    assert(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    // idempotent on a clean table
+    assert(SnapshotStore.gcOrphans(spark, t, minAgeMs = 0) === Seq.empty)
+  }
+
   test("bloom index prunes scattered layouts that range stats cannot") {
     val t = freshTable("bloom")
     // hash-partition on the STRING column: every file spans ~the whole
