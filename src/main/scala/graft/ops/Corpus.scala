@@ -496,6 +496,65 @@ object Corpus {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ─── q153: bigram-LM quality scoring (q83's conditional upgrade) ─────
+  // A real perplexity filter conditions on context; this is the exact
+  // n=2 model: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), Laplace-smoothed
+  // over the corpus vocabulary, scored as mean ln P over a doc's
+  // bigrams (and perplexity = exp of the negation). Contract notes:
+  // c(w1) is the corpus-wide unigram count (the standard prefix-count
+  // approximation), V is EXACT distinct-token count — at 100 TB you'd
+  // swap the one extra distinct pass for approx_count_distinct and
+  // md5 the bigram join key to keep word pairs off the shuffle; both
+  // freq tables are map-side combined, and the scoring join touches
+  // only the sampled 1/25 of docs.
+  def q153BigramScore(s: SparkSession, d: String): DataFrame = {
+    val arr = documents(s, d).select(col("doc_id"), tokens(col("text")).as("ts"))
+    val toks = arr.select(col("doc_id"), explode(col("ts")).as("token"))
+    val bi = arr.select(col("doc_id"), explode(
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bf = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uf = toks.groupBy(col("token").as("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("token")).cast("double").as("vsz"))
+    val logp = log((col("c2") + 1).cast("double") / (col("c1") + col("vsz")))
+    bi.where(pmod(col("doc_id"), lit(25)) === 0)
+      .join(bf, Seq("w1", "w2"))
+      .join(uf, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 4).as("avg_logprob"),
+        round(exp(-avg(logp)), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q153Sql: String =
+    s"""WITH arr AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS ts FROM documents),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ts) AS token FROM arr),
+       |bi AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+       |           i -> struct_pack(w1 := ts[i], w2 := ts[i + 1])),
+       |         recursive := true)
+       |  FROM arr),
+       |bf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |       FROM bi GROUP BY 1, 2),
+       |uf AS (SELECT token AS w1, CAST(count(*) AS BIGINT) AS c1
+       |       FROM toks GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS vsz FROM toks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(avg(ln((c2 + 1) / (c1 + vsz))), 4) AS avg_logprob,
+       |  round(exp(-avg(ln((c2 + 1) / (c1 + vsz)))), 2) AS ppl
+       |FROM bi JOIN bf USING (w1, w2) JOIN uf USING (w1) CROSS JOIN v
+       |WHERE doc_id % 25 = 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ─── q84: benchmark decontamination (8-gram overlap) ──────────────────
   // The held-out-set hygiene pass every pretraining pipeline runs: flag
   // train docs sharing any 8-gram with the benchmark set. Fixture: bench =
@@ -737,6 +796,7 @@ object Corpus {
     "q99_sketch_clip"       -> (q99SketchClip _),
     "q102_weighted_sample"  -> (q102WeightedSample _),
     "q83_unigram_score"     -> (q83UnigramScore _),
+    "q153_bigram_score"     -> (q153BigramScore _),
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -752,5 +812,6 @@ object Corpus {
     "q99_sketch_clip"       -> q99Sql,
     "q102_weighted_sample"  -> q102Sql,
     "q83_unigram_score"     -> q83Sql,
+    "q153_bigram_score"     -> q153Sql,
     "q84_decontaminate"     -> q84Sql)
 }

@@ -175,4 +175,19 @@ class CorpusSpec extends SparkSpec {
       .sortBy(r => (r._1, r._2))
     assert(got === expected)
   }
+
+  test("q153 bigram scoring is consistent with q83's unigram census") {
+    val uni = Corpus.q83UnigramScore(spark, sfDir)
+      .select($"doc_id", $"n_toks").as[(Long, Long)].collect().toMap
+    val bi = Corpus.q153BigramScore(spark, sfDir)
+      .select($"doc_id", $"n_bigrams", $"ppl")
+      .as[(Long, Long, Double)].collect()
+    assert(bi.nonEmpty)
+    bi.foreach { case (id, nBi, ppl) =>
+      // same sampled docs, and |bigrams| = |tokens| − 1 per doc
+      assert(uni.contains(id), s"doc $id missing from the unigram sample")
+      assert(nBi === uni(id) - 1, s"doc $id: $nBi bigrams vs ${uni(id)} tokens")
+      assert(ppl >= 1.0, s"doc $id: perplexity $ppl below 1")
+    }
+  }
 }

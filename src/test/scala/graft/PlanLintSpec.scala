@@ -112,6 +112,8 @@ class PlanLintSpec extends SparkSpec {
     "q74_tfidf" -> Set("nested-loop", "cartesian"),
     "q82_length_clip" -> Set("nested-loop", "cartesian"),
     "q83_unigram_score" -> Set("nested-loop", "cartesian"),
+    // q153: same shape as q83 — the 1-row vocab-size frame crosses back
+    "q153_bigram_score" -> Set("nested-loop", "cartesian"),
     "q91_domain_mix" -> Set("nested-loop", "cartesian"),
     "q99_sketch_clip" -> Set("nested-loop", "cartesian"),
     "q102_weighted_sample" -> Set("nested-loop", "cartesian", "global-window"),
