@@ -555,6 +555,79 @@ object Corpus {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ─── q154: token-budgeted training-mix builder (capstone funnel) ─────
+  // The dataset-builder composition: REAL tokenizer counts (the q146 BPE
+  // kernel over the vocab dict, joined back broadcast), a deterministic
+  // per-(lang, shard) token budget fill (salted-hash rank order, cumsum
+  // ≤ budget/shard — 16 shards per lang so no low-cardinality window
+  // survives at scale, the q85 lesson applied at design time), and the
+  // packed-sequence yield (ceil(tokens/512) per lang). Everything is a
+  // pure function of ids, so reruns on a grown corpus keep prior picks
+  // unless displaced — the q72/q81 reproducibility contract.
+  private val MixShardBudget = 500L
+  private val MixSeqLen = 512L
+
+  def q154TokenBudgetMix(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+    val vocab = words.select(col("word")).distinct()
+      .select(col("word"),
+        size(graft.expr.BpeFunctions.bpe_encode(col("word"), Bpe.fixedMerges))
+          .cast("long").as("tc"))
+    val docToks = words.join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"), col("lang")).agg(sum(col("tc")).as("n"))
+    val w = Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docToks
+      .withColumn("h", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("cum", sum(col("n")).over(w))
+      .where(col("cum") <= MixShardBudget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(ceil(col("n").cast("double") / MixSeqLen)).cast("long").as("n_seqs_upper"))
+      .withColumn("n_seqs_packed",
+        ceil(col("n_tokens").cast("double") / MixSeqLen).cast("long"))
+      .orderBy(col("lang"))
+  }
+
+  val q154Sql: String = {
+    val enc = "regexp_replace(word, '(.)', ',\\1', 'g')"
+    val chain = Bpe.fixedMerges.foldLeft(enc) { case (sql, (l, r)) =>
+      s"replace($sql, ',$l,$r', ',$l$r')" }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS word FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(length(s) - length(replace(s, ',', '')) AS BIGINT) AS tc
+       |  FROM (SELECT DISTINCT word FROM words),
+       |       LATERAL (SELECT $chain AS s)),
+       |doctoks AS (
+       |  SELECT doc_id, lang, CAST(sum(tc) AS BIGINT) AS n
+       |  FROM words JOIN vocab USING (word)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, n,
+       |    sum(n) OVER (PARTITION BY lang, substr(h, 1, 1)
+       |                 ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT *, md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+       |        FROM doctoks))
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CAST(ceil(CAST(n AS DOUBLE) / $MixSeqLen) AS BIGINT))
+       |    AS BIGINT) AS n_seqs_upper,
+       |  CAST(ceil(CAST(sum(n) AS DOUBLE) / $MixSeqLen) AS BIGINT)
+       |    AS n_seqs_packed
+       |FROM ranked
+       |WHERE cum <= $MixShardBudget
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   // ─── q84: benchmark decontamination (8-gram overlap) ──────────────────
   // The held-out-set hygiene pass every pretraining pipeline runs: flag
   // train docs sharing any 8-gram with the benchmark set. Fixture: bench =
@@ -797,6 +870,7 @@ object Corpus {
     "q102_weighted_sample"  -> (q102WeightedSample _),
     "q83_unigram_score"     -> (q83UnigramScore _),
     "q153_bigram_score"     -> (q153BigramScore _),
+    "q154_token_budget_mix" -> (q154TokenBudgetMix _),
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -813,5 +887,6 @@ object Corpus {
     "q102_weighted_sample"  -> q102Sql,
     "q83_unigram_score"     -> q83Sql,
     "q153_bigram_score"     -> q153Sql,
+    "q154_token_budget_mix" -> q154Sql,
     "q84_decontaminate"     -> q84Sql)
 }
