@@ -201,4 +201,29 @@ class StorageSpec extends SparkSpec {
       .where(year($"o_orderdate") === 1996).count()
     assert(pruned.count() === expected && expected > 0)
   }
+
+  test("ignoreCorruptFiles: a torn file fails loudly by default, " +
+       "skips cleanly when opted in") {
+    val dir = tmp("corrupt")
+    spark.range(0, 100).toDF("id").repartition(1)
+      .write.mode("append").parquet(dir)
+    // a torn write: parquet magic but garbage after it
+    Files.write(java.nio.file.Paths.get(dir, "part-torn.snappy.parquet"),
+      "PAR1 this is not a parquet file".getBytes("UTF-8"))
+    // default: the corruption must surface, not silently drop data
+    val failed = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    assert(failed.getMessage != null)
+    // opted in: the good file's rows survive, the torn one is skipped.
+    // collect INSIDE the conf scope — the flag is read at execution time
+    val before = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      assert(spark.read.parquet(dir).count() === 100)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
 }

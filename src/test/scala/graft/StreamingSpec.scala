@@ -229,6 +229,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a file backlog in bounded batches, then stops") {
+    // the operational replay mode: process everything that EXISTS, in
+    // rate-limited micro-batches (bounded state/memory, unlike a single
+    // giant batch), then terminate — backfill and catch-up both ride this
+    val dir = java.nio.file.Files.createTempDirectory("graft_drain").toString
+    (0 until 3).foreach { i =>
+      spark.range(i * 100, i * 100 + 100).toDF("id").repartition(1)
+        .write.mode("append").parquet(dir)
+    }
+    val q = spark.readStream
+      .schema("id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .writeStream.format("memory").queryName("drain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    assert(spark.table("drain").count() === 300, "every backlog row lands")
+    // rate limit respected: 3 files at 1/trigger ⇒ at least 3 batches
+    assert(q.lastProgress.batchId >= 2,
+      s"expected ≥3 bounded batches, saw batchId ${q.lastProgress.batchId}")
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim " +
        "with no state store") {
     implicit val sqlCtx = spark.sqlContext
