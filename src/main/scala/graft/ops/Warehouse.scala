@@ -336,6 +336,50 @@ object Warehouse {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ─── q155: Jaro-Winkler fuzzy matching (native expression #7) ────────
+  // q86's levenshtein counts EDITS; entity resolution wants a bounded
+  // [0,1] SIMILARITY that favors shared prefixes — Jaro-Winkler, which
+  // Spark's built-ins lack. Same sharded adjacent-pairs idiom as q86 (no
+  // all-pairs join; per-brand windows stay parallel); the scorer is the
+  // native codegen expression expr/JaroWinkler.scala, whose contract —
+  // match window, integer half-transpositions, 0.7 boost threshold,
+  // empty-vs-empty = 0 — was pinned against DuckDB's
+  // jaro_winkler_similarity over 3000 randomized pairs.
+  def q155JaroWinkler(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+    part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      .withColumn("next_name", lead(col("p_name"), 1).over(w))
+      .where(col("next_name").isNotNull)
+      .withColumn("sim", round(
+        graft.expr.JaroWinklerFunctions.jaro_winkler(
+          col("p_name"), col("next_name")), 4))
+      .withColumn("bucket", floor(col("sim") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("sim")), 4).as("avg_sim"),
+        min(col("p_partkey")).as("first_pair_key"))
+      .orderBy(col("bucket"))
+  }
+
+  val q155Sql: String =
+    """SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(avg(sim), 4) AS avg_sim,
+      |  min(p_partkey) AS first_pair_key
+      |FROM (
+      |  SELECT p_partkey,
+      |    round(jaro_winkler_similarity(p_name, next_name), 4) AS sim,
+      |    CAST(floor(round(jaro_winkler_similarity(p_name, next_name), 4)
+      |      * 10) AS BIGINT) AS bucket
+      |  FROM (
+      |    SELECT p_partkey, p_name,
+      |      lead(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey)
+      |        AS next_name
+      |    FROM part)
+      |  WHERE next_name IS NOT NULL)
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   // ─── q87: gaps-and-islands sessionization (batch twin of q54) ─────────
   // Session ids from 30-minute inactivity gaps: flag session starts with
   // lag, number them with a running sum — the pure-relational form of
@@ -751,6 +795,7 @@ object Warehouse {
     "q80_scd2"        -> (q80Scd2 _),
     "q85_rank_family" -> (q85RankFamily _),
     "q86_edit_distance" -> (q86EditDistance _),
+    "q155_jaro_winkler" -> (q155JaroWinkler _),
     "q87_sessionize"  -> (q87Sessionize _),
     "q88_unpivot"     -> (q88Unpivot _),
     "q96_approx_percentiles" -> (q96ApproxPercentiles _))
@@ -768,6 +813,7 @@ object Warehouse {
     "q80_scd2"        -> q80Sql,
     "q85_rank_family" -> q85Sql,
     "q86_edit_distance" -> q86Sql,
+    "q155_jaro_winkler" -> q155Sql,
     "q87_sessionize"  -> q87Sql,
     "q88_unpivot"     -> q88Sql,
     "q96_approx_percentiles" -> q96Sql)
