@@ -223,6 +223,61 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ─── q156: HLL set-INTERSECTION estimate (inclusion–exclusion) ───────
+  // Sketches union natively (q123) but not intersect; the standard
+  // answer is |A∩B| ≈ est(A) + est(B) − est(A∪B), computed entirely
+  // from the per-year sketches — the fact table is never rescanned for
+  // any pair. Error compounds (three estimates, each ~1.6% of its own
+  // cardinality at the default lgK), so the honest bound is stated
+  // against the UNION size, not the intersection: |est − exact| ≤
+  // 5%·|A∪B| + 2. The returning-customer census (year y ∩ year y+1)
+  // is the classic use.
+  def q156HllIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      .where(col("yr").between(1995, 1998))
+    val sk = o.groupBy(col("yr")).agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val dys = o.distinct()
+    val perYear = dys.groupBy(col("yr")).agg(count(lit(1)).as("n"))
+    val both = dys.as("a")
+      .join(dys.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.yr") === col("a.yr") + 1)
+      .groupBy(col("a.yr").as("y1"))
+      .agg(count(lit(1)).as("n_both"))
+    val est = sk.as("sa")
+      .join(sk.as("sb"), col("sb.yr") === col("sa.yr") + 1)
+      .select(col("sa.yr").as("y1"),
+        hll_sketch_estimate(col("sa.sk")).as("ea"),
+        hll_sketch_estimate(col("sb.sk")).as("eb"),
+        hll_sketch_estimate(hll_union(col("sa.sk"), col("sb.sk"))).as("eu"))
+    both.join(est, Seq("y1"))
+      .join(perYear.select(col("yr").as("y1"), col("n").as("n_y1")), Seq("y1"))
+      .join(perYear.select((col("yr") - 1).as("y1"), col("n").as("n_y2")), Seq("y1"))
+      .select(col("y1"), (col("y1") + 1).as("y2"), col("n_y1"), col("n_y2"),
+        col("n_both"),
+        (abs(col("ea") + col("eb") - col("eu") - col("n_both")) <=
+          (col("n_y1") + col("n_y2") - col("n_both")) * 0.05 + 2)
+          .as("inter_ok"))
+      .orderBy(col("y1"))
+  }
+
+  val q156Sql: String =
+    """WITH dys AS (
+      |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr, o_custkey
+      |  FROM orders
+      |  WHERE year(o_orderdate) BETWEEN 1995 AND 1998),
+      |py AS (SELECT yr, CAST(count(*) AS BIGINT) AS n FROM dys GROUP BY 1)
+      |SELECT a.yr AS y1, a.yr + 1 AS y2,
+      |  (SELECT n FROM py WHERE yr = a.yr) AS n_y1,
+      |  (SELECT n FROM py WHERE yr = a.yr + 1) AS n_y2,
+      |  CAST(count(*) AS BIGINT) AS n_both,
+      |  TRUE AS inter_ok
+      |FROM dys a JOIN dys b
+      |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+      |GROUP BY a.yr
+      |ORDER BY y1""".stripMargin
+
   // ─── q124: EXACT distinct via mergeable bitmaps (bitmap_*_agg) ───────
   // Exactness without count(DISTINCT)'s re-scan problem: each key maps to
   // (bucket = key>>15, bit position), `bitmap_construct_agg` ORs the bits
@@ -471,6 +526,7 @@ object Analytics {
     "q135_regression"     -> (q135Regression _),
     "q136_bool_agg"       -> (q136BoolAgg _),
     "q123_hll_merge"      -> (q123HllMerge _),
+    "q156_hll_intersect"  -> (q156HllIntersect _),
     "q124_bitmap_distinct" -> (q124BitmapDistinct _),
     "q125_filtered_agg"   -> (q125FilteredAgg _),
     "q126_histogram"      -> (q126Histogram _),
@@ -489,6 +545,7 @@ object Analytics {
     "q135_regression"    -> q135Sql,
     "q136_bool_agg"      -> q136Sql,
     "q123_hll_merge"     -> q123Sql,
+    "q156_hll_intersect" -> q156Sql,
     "q124_bitmap_distinct" -> q124Sql,
     "q125_filtered_agg"  -> q125Sql,
     "q126_histogram"     -> q126Sql,

@@ -289,6 +289,55 @@ object Streaming {
       | AND c.ts < v.ts + INTERVAL 15 MINUTE
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  // ─── q157: DYNAMIC-gap session windows (batch twin) ──────────────────
+  // session_window's gap can be an EXPRESSION over the row — engagement
+  // semantics (a view holds a session open 30 min, a click only 10).
+  // Each event spans [ts, ts+gap(event)); overlapping spans merge. The
+  // oracle needs the RUNNING-MAX gaps-and-islands form: a session
+  // breaks when ts ≥ max over all PRIOR events of (ts+gap) — q54's
+  // lag-only form is a constant-gap special case and would split
+  // sessions a long-gap event is still holding open.
+  def q157DynamicSessions(s: SparkSession, d: String): DataFrame = {
+    // the gap expression must be CalendarIntervalType (a cast from
+    // string), not the ANSI day-time interval INTERVAL literals produce
+    val gap = when(col("event_type") === "view", lit("30 minutes"))
+      .when(col("event_type") === "click", lit("10 minutes"))
+      .otherwise(lit("20 minutes")).cast("interval")
+    events(s, d)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q157Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    CASE WHEN event_type = 'view' THEN 30
+      |         WHEN event_type = 'click' THEN 10
+      |         ELSE 20 END AS gap_min
+      |  FROM events),
+      |x AS (
+      |  SELECT *, ts + gap_min * INTERVAL '1 minute' AS endts FROM e),
+      |flagged AS (
+      |  SELECT *, CASE WHEN max(endts) OVER w IS NULL
+      |                   OR ts >= max(endts) OVER w
+      |            THEN 1 ELSE 0 END AS new_s
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ─── q149: LEFT OUTER interval join (batch twin) ──────────────────────
   // Unmatched views ride as click_id = -1 (coalesced in BOTH engines, so
   // no NULL-ordering divergence can touch the sort or the hash).
@@ -322,6 +371,7 @@ object Streaming {
     "q54_session_window"  -> (q54Sessions _),
     "q67_interval_join"   -> (q67IntervalJoin _),
     "q149_interval_join_left" -> (q149IntervalJoinLeft _),
+    "q157_dynamic_sessions" -> (q157DynamicSessions _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -330,6 +380,7 @@ object Streaming {
     "q54_session_window"  -> q54Sql,
     "q67_interval_join"   -> q67Sql,
     "q149_interval_join_left" -> q149Sql,
+    "q157_dynamic_sessions" -> q157Sql,
   )
 }
 

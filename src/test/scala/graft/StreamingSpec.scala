@@ -229,6 +229,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dynamic session gap is live: shorter click gaps split more sessions") {
+    val dynamic = Streaming.q157DynamicSessions(spark, sfDir).count()
+    val fixed30 = Streaming.q54Sessions(spark, sfDir).count()
+    // clicks hold sessions open only 10 min instead of 30 ⇒ strictly
+    // more (or equal, never fewer) session breaks than the fixed form
+    assert(dynamic >= fixed30,
+      s"dynamic=$dynamic fixed=$fixed30 — gap expression had no effect?")
+    assert(dynamic > fixed30,
+      "fixture must be non-degenerate: at least one session split by a short gap")
+  }
+
   test("Trigger.AvailableNow drains a file backlog in bounded batches, then stops") {
     // the operational replay mode: process everything that EXISTS, in
     // rate-limited micro-batches (bounded state/memory, unlike a single
