@@ -966,9 +966,107 @@ object Similarity {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ─── q158: HYBRID retrieval — reciprocal-rank fusion ─────────────────
+  // The RAG-stack staple: a vector ranking (exact cosine) and a lexical
+  // ranking (idf-weighted distinct-token overlap — BM25's idf term
+  // without tf saturation, documented simplification) fused by RRF:
+  // score = Σ 1/(60 + rank_i), ranks not raw scores, which is exactly
+  // why the fusion is CROSS-ENGINE EXACT — both engines compute fused
+  // scores from the same integers even though the underlying doubles
+  // carry 1e-16 summation noise (both raw scores are rounded to 4
+  // decimals BEFORE ranking so rank boundaries can't split on that
+  // noise either). Per-query corpus-wide ranking is the exact
+  // contract; at 100 TB the shortlist path (q50/q59/q111 ANN + an
+  // inverted-index lexical top-k) feeds the same fusion.
+  def q158HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val cs = emb.where(col("vec_id") >= 3)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val vec = cs.join(broadcast(qs))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("vs"))
+    val qTok = qs.select(col("q_id")).join(docs, col("q_id") === col("doc_id"))
+      .select(col("q_id"), explode(array_distinct(toks)).as("token"))
+    val cTok = cs.select(col("c_id")).join(docs, col("c_id") === col("doc_id"))
+      .select(col("c_id"), explode(array_distinct(toks)).as("token"))
+    val dfT = cTok.groupBy(col("token")).agg(count(lit(1)).as("dfk"))
+    val nC = cs.agg(count(lit(1)).cast("double").as("nc"))
+    val lex = qTok.join(cTok, "token").join(dfT, "token")
+      .crossJoin(broadcast(nC))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(round(sum(log(col("nc") / col("dfk"))), 4).as("ls"))
+    val rvW = Window.partitionBy(col("q_id")).orderBy(col("vs").desc, col("c_id"))
+    val rlW = Window.partitionBy(col("q_id")).orderBy(col("ls").desc, col("c_id"))
+    val fW = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("c_id"))
+    vec.join(lex, Seq("q_id", "c_id"), "left")
+      .withColumn("ls", coalesce(col("ls"), lit(0.0)))
+      .withColumn("rank_vec", row_number().over(rvW).cast("long"))
+      .withColumn("rank_lex", row_number().over(rlW).cast("long"))
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(60) + col("rank_vec")) +
+          lit(1.0) / (lit(60) + col("rank_lex")), 6))
+      .withColumn("rn", row_number().over(fW).cast("long"))
+      .where(col("rn") <= 10)
+      .select(col("q_id"), col("rn"), col("c_id"),
+        col("rank_vec"), col("rank_lex"), col("rrf"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q158Sql: String = {
+    val tok = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 3),
+       |c AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id >= 3),
+       |vec AS (
+       |  SELECT q_id, c_id,
+       |    round(list_dot_product(qe, ce)
+       |      / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+       |      4) AS vs
+       |  FROM c CROSS JOIN q),
+       |qtok AS (
+       |  SELECT q_id, unnest(list_distinct($tok)) AS token
+       |  FROM documents JOIN q ON doc_id = q_id),
+       |ctok AS MATERIALIZED (
+       |  SELECT c_id, unnest(list_distinct($tok)) AS token
+       |  FROM documents JOIN c ON doc_id = c_id),
+       |dfk AS (SELECT token, CAST(count(*) AS BIGINT) AS dfk
+       |        FROM ctok GROUP BY 1),
+       |nc AS (SELECT CAST(count(*) AS DOUBLE) AS nc FROM c),
+       |lex AS (
+       |  SELECT q_id, c_id, round(sum(ln(nc / dfk)), 4) AS ls
+       |  FROM qtok JOIN ctok USING (token) JOIN dfk USING (token) CROSS JOIN nc
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT vec.q_id, vec.c_id, vs, coalesce(ls, CAST(0 AS DOUBLE)) AS ls
+       |  FROM vec LEFT JOIN lex ON vec.q_id = lex.q_id AND vec.c_id = lex.c_id),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY vs DESC, c_id)
+       |      AS BIGINT) AS rank_vec,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY ls DESC, c_id)
+       |      AS BIGINT) AS rank_lex
+       |  FROM scored),
+       |fused AS (
+       |  SELECT *, round(CAST(1 AS DOUBLE) / (60 + rank_vec)
+       |              + CAST(1 AS DOUBLE) / (60 + rank_lex), 6) AS rrf
+       |  FROM ranked)
+       |SELECT q_id, rn, c_id, rank_vec, rank_lex, rrf FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, c_id) AS BIGINT) AS rn
+       |  FROM fused)
+       |WHERE rn <= 10
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_jl_projection"  -> (q131JlProjection _),
     "q49_cosine_topk"     -> (q49CosineTopk _),
+    "q158_hybrid_rrf"     -> (q158HybridRrf _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
     "q51_label_centroids" -> (q51LabelCentroids _),
     "q59_ann_ivf"         -> (q59AnnIvf _),
@@ -985,6 +1083,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "q131_jl_projection"  -> q131Sql,
     "q49_cosine_topk"     -> q49Sql,
+    "q158_hybrid_rrf"     -> q158Sql,
     "q50_ann_lsh_buckets" -> q50Sql,
     "q51_label_centroids" -> q51Sql,
     "q59_ann_ivf"         -> q59Sql,

@@ -102,6 +102,8 @@ class PlanLintSpec extends SparkSpec {
     // build (plan-read in round 5) + a 1-row n_checked cross
     "q89_constraint_audit" -> Set("nested-loop", "cartesian"),
     "q49_cosine_topk" -> Set("nested-loop"),
+    // q158: q49's broadcast 3-row query set + a 1-row corpus-size frame
+    "q158_hybrid_rrf" -> Set("nested-loop", "cartesian"),
     "q51_label_centroids" -> Set("nested-loop", "cartesian"),
     "q59_ann_ivf" -> Set("nested-loop", "cartesian"),
     "q62_ann_lsh_planes8" -> Set("nested-loop"),
