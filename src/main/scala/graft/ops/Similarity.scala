@@ -1063,10 +1063,133 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  // ─── q159: MMR-diversified top-k (greedy re-rank of the shortlist) ───
+  // Maximal Marginal Relevance: after retrieval, pick k=5 of the top-20
+  // shortlist greedily maximizing λ·relevance − (1−λ)·max-sim-to-chosen
+  // (λ=0.5) — the standard redundancy-suppression re-ranker. The greedy
+  // loop is SEQUENTIAL by definition: 5 rounds of DataFrame joins, the
+  // chosen set (≤ queries×5 rows) broadcast each round — same bounded
+  // driver-coordination pattern as the BPE trainer and PageRank. All
+  // arithmetic runs on 4-decimal-rounded similarity doubles: 0.5·a −
+  // 0.5·b of identical doubles is identical in both engines, so the
+  // whole greedy trajectory is cross-engine EXACT, ties and all. The
+  // OUTPUT rounds at 5 decimals, not 4: 0.5·(a 4-decimal value) has
+  // exactly 5 decimals, so rounding at 4 would sit on a half-way
+  // boundary for every other value (caught at sf0.1: 0.20325 split
+  // 0.2033 vs 0.2032 across engines); at 5 there is no boundary.
+  def q159MmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).withColumn("e", col("embedding").cast("array<double>"))
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val cs = emb.where(col("vec_id") >= 3)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val shortW = Window.partitionBy(col("q_id")).orderBy(col("vs").desc, col("c_id"))
+    val cand = cs.join(broadcast(qs))
+      .select(col("q_id"), col("c_id"), col("ce"),
+        round(cosine(col("qe"), col("ce")), 4).as("vs"))
+      .withColumn("rn", row_number().over(shortW))
+      .where(col("rn") <= 20).drop("rn")
+      .localCheckpoint()
+    val sims = cand.select(col("q_id"), col("c_id").as("a_id"), col("ce").as("ae"))
+      .join(cand.select(col("q_id"), col("c_id").as("b_id"), col("ce").as("be")), "q_id")
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(cosine(col("ae"), col("be")), 4).as("cs"))
+      .localCheckpoint()
+    val scores = cand.select(col("q_id"), col("c_id"), col("vs"))
+    var chosen = scores.limit(0)
+      .select(col("q_id"), col("c_id"), lit(0.0).as("mmr"), lit(0L).as("step"))
+    val pickW = Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("c_id"))
+    for (step <- 1 to 5) {
+      val ch = broadcast(chosen.select(col("q_id"), col("c_id").as("p_id")))
+      val maxsim = sims.join(ch,
+          sims("q_id") === ch("q_id") && col("b_id") === col("p_id"))
+        .groupBy(sims("q_id").as("q_id"), col("a_id").as("c_id"))
+        .agg(max(col("cs")).as("ms"))
+      val pick = scores
+        .join(chosen.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"), "left_anti")
+        .join(maxsim, Seq("q_id", "c_id"), "left")
+        .withColumn("mmr", lit(0.5) * col("vs") -
+          lit(0.5) * coalesce(col("ms"), lit(0.0)))
+        .withColumn("rn", row_number().over(pickW))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), col("mmr"), lit(step.toLong).as("step"))
+      chosen = chosen.unionAll(pick).localCheckpoint()
+    }
+    chosen.select(col("q_id"), col("step"), col("c_id"),
+        round(col("mmr"), 5).as("mmr"))
+      .orderBy(col("q_id"), col("step"))
+  }
+
+  /** 5 unrolled greedy stages, every stage MATERIALIZED (the q147/q150
+    * CTE-inlining rule): scoredK computes λ·vs − (1−λ)·max sim to the
+    * chosen set via LEFT JOIN + GROUP BY, sK takes the per-query argmax
+    * (ties by c_id), chK accumulates.
+    */
+  val q159Sql: String = {
+    val stages = (2 to 5).map { k =>
+      s"""scored$k AS (
+         |  SELECT c.q_id, c.c_id,
+         |    CAST(0.5 AS DOUBLE) * c.vs
+         |      - CAST(0.5 AS DOUBLE) * coalesce(max(s.cs), CAST(0 AS DOUBLE)) AS mmr
+         |  FROM cand c
+         |  LEFT JOIN ch${k - 1} p ON p.q_id = c.q_id
+         |  LEFT JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.c_id
+         |    AND s.b_id = p.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ch${k - 1} x
+         |                    WHERE x.q_id = c.q_id AND x.c_id = c.c_id)
+         |  GROUP BY c.q_id, c.c_id, c.vs),
+         |s$k AS MATERIALIZED (
+         |  SELECT q_id, c_id, mmr, $k AS step FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY mmr DESC, c_id) AS rn FROM scored$k)
+         |  WHERE rn = 1),
+         |ch$k AS (SELECT q_id, c_id FROM ch${k - 1}
+         |         UNION ALL SELECT q_id, c_id FROM s$k)""".stripMargin
+    }
+    val union = (1 to 5).map(k => s"SELECT q_id, c_id, mmr, step FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 3),
+       |c AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id >= 3),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, c_id, ce, vs FROM (
+       |    SELECT q_id, c_id, ce,
+       |      round(list_dot_product(qe, ce)
+       |        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+       |        4) AS vs,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        round(list_dot_product(qe, ce)
+       |          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+       |          4) DESC, c_id) AS rn
+       |    FROM c CROSS JOIN q)
+       |  WHERE rn <= 20),
+       |sims AS MATERIALIZED (
+       |  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+       |    round(list_dot_product(a.ce, b.ce)
+       |      / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))),
+       |      4) AS cs
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT q_id, c_id, CAST(0.5 AS DOUBLE) * vs AS mmr, 1 AS step FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY vs DESC, c_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |ch1 AS (SELECT q_id, c_id FROM s1),
+       |${stages.mkString(",\n")}
+       |SELECT q_id, CAST(step AS BIGINT) AS step, c_id, round(mmr, 5) AS mmr
+       |FROM (
+       |$union
+       |)
+       |ORDER BY q_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_jl_projection"  -> (q131JlProjection _),
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q158_hybrid_rrf"     -> (q158HybridRrf _),
+    "q159_mmr_diversify"  -> (q159MmrDiversify _),
     "q50_ann_lsh_buckets" -> (q50AnnLshBuckets _),
     "q51_label_centroids" -> (q51LabelCentroids _),
     "q59_ann_ivf"         -> (q59AnnIvf _),
@@ -1084,6 +1207,7 @@ object Similarity {
     "q131_jl_projection"  -> q131Sql,
     "q49_cosine_topk"     -> q49Sql,
     "q158_hybrid_rrf"     -> q158Sql,
+    "q159_mmr_diversify"  -> q159Sql,
     "q50_ann_lsh_buckets" -> q50Sql,
     "q51_label_centroids" -> q51Sql,
     "q59_ann_ivf"         -> q59Sql,

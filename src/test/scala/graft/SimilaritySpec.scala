@@ -362,4 +362,27 @@ class SimilaritySpec extends SparkSpec {
     assert(projected(0L).toSeq === local.toSeq,
       "Spark projection diverged from the driver-side recompute")
   }
+
+  test("q159 MMR: step 1 is the relevance top-1; later steps diversify") {
+    val mmr = Similarity.q159MmrDiversify(spark, sfDir)
+      .select($"q_id", $"step", $"c_id").as[(Long, Long, Long)].collect()
+    val top = Similarity.q49CosineTopk(spark, sfDir)
+      .select($"q_id", $"rn", $"c_id").as[(Long, Long, Long)].collect()
+    // q49 queries are vec_id < 5, q159's are < 3 — compare on the overlap.
+    // Top-1 by relevance must be MMR's first pick (maxsim term is 0).
+    // NOTE q49's corpus is vec_id >= 5 vs q159's >= 3: compare only
+    // queries whose top-1 is >= 5 in both (avoids the 3/4 edge docs).
+    val mmrFirst = mmr.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val relFirst = top.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val comparable = mmrFirst.keySet intersect relFirst.keySet
+    assert(comparable.nonEmpty)
+    comparable.filter(q => mmrFirst(q) >= 5 && relFirst(q) >= 5).foreach { q =>
+      assert(mmrFirst(q) === relFirst(q), s"query $q first pick")
+    }
+    // five DISTINCT picks per query, all steps present
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L), s"q$q steps")
+      assert(rows.map(_._3).distinct.length === 5, s"q$q picks must be distinct")
+    }
+  }
 }
