@@ -175,6 +175,54 @@ object Windows {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ─── q160: EXACT running median over sliding frames ──────────────────
+  // Distribution stats over a moving frame. Spark REJECTS median/
+  // percentile with an ordered+framed window spec (INVALID_WINDOW_SPEC
+  // _FOR_AGGREGATION_FUNC), so this is the general technique instead:
+  // collect the frame (a BOUNDED 20-row trailing frame — the frame cap
+  // is what keeps the array and the per-row cost O(frame) at any
+  // partition size), array_sort it, and take the middle explicitly
+  // (odd → middle element, even → mean of the two middles, the
+  // standard interpolating median both engines implement natively for
+  // whole groups). Output thinned to every 20th order; the window
+  // still computes over every row (filter AFTER the window).
+  def q160WindowMedian(s: SparkSession, d: String): DataFrame = {
+    // the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs,
+    // so that pair alone is not a total order and frame contents would
+    // be engine-dependent; adding (quantity, partkey, suppkey) makes the
+    // order total up to full-duplicate rows, whose permutation cannot
+    // change any frame's quantity multiset
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(-19, 0)
+    lineitem(s, d)
+      .withColumn("arr", array_sort(collect_list(col("l_quantity")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .withColumn("med",
+        when(col("n") % 2 === 1,
+          element_at(col("arr"), ((col("n") + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(col("arr"), (col("n") / 2).cast("int")) +
+            element_at(col("arr"), (col("n") / 2).cast("int") + 1)) / 2.0))
+      .where(col("l_orderkey") % 20 === 0 && col("l_linenumber") === 1)
+      .select(col("l_returnflag"), col("l_orderkey"), col("med"),
+        col("n").cast("long").as("frame_n"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("med"))
+  }
+
+  val q160Sql: String =
+    """SELECT l_returnflag, l_orderkey, med, frame_n FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    median(l_quantity) OVER w AS med,
+      |    CAST(count(*) OVER w AS BIGINT) AS frame_n
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |    ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |WHERE l_orderkey % 20 = 0 AND l_linenumber = 1
+      |ORDER BY l_returnflag, l_orderkey, med""".stripMargin
+
+
   // ─── q144: percent-of-total (window OVER an aggregate) ───────────────
   // The report shape "each group's share of the grand total" computed by
   // COMPOSITION: aggregate first (5 rows), then an unpartitioned window
@@ -208,6 +256,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_positional_windows" -> (q142PositionalWindows _),
     "q144_percent_of_total"   -> (q144PercentOfTotal _),
+    "q160_window_median"      -> (q160WindowMedian _),
     "q11_topk_per_customer" -> (q11TopOrdersPerCustomer _),
     "q12_running_total"     -> (q12RunningTotal _),
     "q13_order_gaps"        -> (q13OrderGaps _),
@@ -218,6 +267,7 @@ object Windows {
   val oracleSql: Map[String, String] = Map(
     "q142_positional_windows" -> q142Sql,
     "q144_percent_of_total"   -> q144Sql,
+    "q160_window_median"      -> q160Sql,
     "q11_topk_per_customer" -> q11Sql,
     "q12_running_total"     -> q12Sql,
     "q13_order_gaps"        -> q13Sql,
