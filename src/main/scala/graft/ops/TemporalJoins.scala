@@ -283,7 +283,60 @@ object TemporalJoins {
       |  WHERE p.event_type = 'purchase') m
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ─── q161: POINT-IN-TIME feature join (feature-store correctness) ────
+  // The op feature stores exist for: enrich each fact with the dim
+  // version that was CURRENT at the fact's own timestamp — never a later
+  // one (that's label/feature leakage). This is exactly a keyed backward
+  // as-of join, so it rides the NATIVE operator (one merge pass, O(1)
+  // state/key, no validity-interval range join needed): dim versions
+  // carry only effective_from; "effective_to" is implicit in the as-of
+  // semantics. Facts before a customer's first version null-fill → the
+  // 'NONE' bucket, which the census keeps visible (silently dropping
+  // pre-history facts is the classic PIT bug). Dim fixture: every 3rd
+  // order opens a version (seg = that order's priority, min-deduped per
+  // (cust, day) so the version sequence is unique and deterministic).
+  // Match strictness: the native as-of is STRICTLY-before (q10/q93's
+  // contract), so a version opened on day D applies to facts from D+1
+  // on — dates carry no intra-day order, so the same-day fact cannot be
+  // proven to follow the update; the conservative read is the
+  // leak-safe one.
+  def q161PitFeatureJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val dim = o.where(col("o_orderkey") % 3 === 0)
+      .groupBy(col("o_custkey").as("d_cust"), col("o_orderdate").as("eff_from"))
+      .agg(min(col("o_orderpriority")).as("seg"))
+    val facts = o.select(col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsOfJoin.asof(facts, dim,
+        facts("o_custkey"), dim("d_cust"),
+        Seq(facts("o_orderdate")), Seq(dim("eff_from")))
+      .groupBy(coalesce(col("seg"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("segment"))
+  }
+
+  val q161Sql: String =
+    """WITH dim AS MATERIALIZED (
+      |  SELECT o_custkey AS d_cust, o_orderdate AS eff_from,
+      |    min(o_orderpriority) AS seg
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  GROUP BY 1, 2),
+      |pit AS (
+      |  SELECT f.o_totalprice,
+      |    (SELECT d.seg FROM dim d
+      |     WHERE d.d_cust = f.o_custkey AND d.eff_from < f.o_orderdate
+      |     ORDER BY d.eff_from DESC LIMIT 1) AS seg
+      |  FROM orders f)
+      |SELECT coalesce(seg, 'NONE') AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM pit
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_pit_feature_join" -> (q161PitFeatureJoin _),
     "q09_range_join"  -> (q09RangeJoin _),
     "q10_asof_join"   -> (q10AsOfJoin _),
     "q93_asof_native" -> (q93AsofNative _),
@@ -294,6 +347,7 @@ object TemporalJoins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q161_pit_feature_join" -> q161Sql,
     "q09_range_join"  -> q09Sql,
     "q10_asof_join"   -> q10Sql,
     "q93_asof_native" -> q93Sql,
