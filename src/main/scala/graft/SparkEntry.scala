@@ -14,7 +14,7 @@ object SparkEntry {
     ops.Similarity.queries ++ ops.Streaming.queries ++
     sources.FileSources.queries ++ sources.Multimodal.queries ++
     ops.Skew.queries ++ ops.Graph.queries ++ ops.Corpus.queries ++
-    ops.Warehouse.queries ++ sources.JdbcSink.queries ++
+    ops.Warehouse.queries ++ ops.Insights.queries ++ sources.JdbcSink.queries ++
     ops.SqlText.queries ++ ops.Observe.queries ++
     sources.SnapshotStore.queries ++ ops.Bpe.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,7 +27,7 @@ object SparkEntry {
     ops.Similarity.oracleSql ++ ops.Streaming.oracleSql ++
     sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql ++
     ops.Skew.oracleSql ++ ops.Graph.oracleSql ++ ops.Corpus.oracleSql ++
-    ops.Warehouse.oracleSql ++ sources.JdbcSink.oracleSql ++
+    ops.Warehouse.oracleSql ++ ops.Insights.oracleSql ++ sources.JdbcSink.oracleSql ++
     ops.SqlText.oracleSql ++ ops.Observe.oracleSql ++
     sources.SnapshotStore.oracleSql ++ ops.Bpe.oracleSql
 }

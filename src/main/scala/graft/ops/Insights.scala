@@ -1,0 +1,673 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decision-support analytics the reference's warehouse serves through its
+  * produced star schema (SURVEY §3.3: "SQL analytics over the loaded
+  * tables" — the reference loads and constrains the schema, the analyst
+  * queries it). Each operator here is a classic OLAP insight shape —
+  * cohort retention, market-basket affinity, RFM segmentation, Markov
+  * transition matrices, IQR outlier screens, chi-square independence,
+  * Benford screening, entropy profiling — expressed Spark-first and
+  * oracle-checked cell-for-cell against DuckDB.
+  *
+  * Scale stance shared by the whole file: every query is built from
+  * hash-aggregates over the fact table plus joins against SMALL derived
+  * frames (per-group fences, per-source totals, 1-row grand totals) that
+  * are explicitly `broadcast(...)` — the 100 TB plan is "one shuffle over
+  * the fact, map-side everything else". No query collects to the driver.
+  */
+object Insights {
+
+  // ─── q162: cohort retention matrix ─────────────────────────────────────
+  // The canonical growth-analytics query: bucket customers by the month
+  // of their FIRST order (the cohort), then count how many are still
+  // ordering k months later. Month index = year*12+month keeps the key a
+  // plain long (no date formatting to disagree on between engines).
+  //
+  // Plan: one shuffle to find each customer's min month (groupBy custkey),
+  // broadcast-joined back (cohort frame is |customers| rows but only
+  // 2 longs wide — at 100 TB of ORDERS the customer dim is ~1e8 rows, so
+  // the join flips to a shuffle join on o_custkey, which AQE picks
+  // automatically; the code is join-strategy-agnostic). The final distinct
+  // + groupBy is over (cohort, months_since, custkey) — cardinality
+  // |customers|×|active months|, far smaller than the fact.
+  def q162CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("midx"))
+    val cohort = o.groupBy("o_custkey").agg(min("midx").as("cohort"))
+    o.join(cohort, "o_custkey")
+      .select(col("cohort"), (col("midx") - col("cohort")).as("months_since"),
+              col("o_custkey"))
+      .distinct()
+      .groupBy("cohort", "months_since")
+      .agg(count(lit(1)).as("active_customers"))
+      .orderBy("cohort", "months_since")
+  }
+
+  val q162Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx
+      |  FROM orders),
+      |cohort AS (SELECT o_custkey, min(midx) AS cohort FROM o GROUP BY 1)
+      |SELECT cohort, months_since,
+      |  CAST(count(*) AS BIGINT) AS active_customers
+      |FROM (
+      |  SELECT DISTINCT c.cohort, o.midx - c.cohort AS months_since,
+      |    o.o_custkey
+      |  FROM o JOIN cohort c ON o.o_custkey = c.o_custkey)
+      |GROUP BY cohort, months_since
+      |ORDER BY cohort, months_since""".stripMargin
+
+  // ─── q163: market-basket affinity (support / confidence / lift) ───────
+  // Frequent-pair mining over order baskets: which parts co-occur in the
+  // same order more than chance predicts. This is the A-priori first pass
+  // (pairs only) as one self-join:
+  //   pairs  = lineitem ⋈ lineitem ON orderkey, pk1 < pk2
+  //   lift   = P(p2|p1) / P(p2)
+  //
+  // Scale: the self-join keys on l_orderkey, the fact's NATURAL
+  // partitioning — co-partitioned, so the pair expansion is map-side
+  // after one shuffle; fanout per order is k(k-1)/2 for basket size k
+  // (TPC-H k≤7; a retail basket of 50 → 1 225 rows — bounded, not
+  // quadratic in the table). Item totals and the order count are tiny
+  // aggregates, broadcast onto the pair frame. The min-support HAVING
+  // prunes before the stats joins, mirroring A-priori's candidate cut.
+  def q163BasketAffinity(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.agg(countDistinct(col("ok")).cast("double").as("n_orders"))
+    val itemN = li.groupBy("pk").agg(count(lit(1)).cast("double").as("item_n"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .where(col("pair_n") >= 3)
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("pk", "p1")
+        .withColumnRenamed("item_n", "i1")), "p1")
+      .join(broadcast(itemN.withColumnRenamed("pk", "p2")
+        .withColumnRenamed("item_n", "i2")), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("pair_n"),
+        round(col("pair_n") / col("n_orders"), 6).as("support"),
+        round(col("pair_n") / col("i1"), 6).as("confidence"),
+        round(col("pair_n") / col("i1") * col("n_orders") / col("i2"), 6)
+          .as("lift"))
+      .orderBy("p1", "p2")
+  }
+
+  val q163Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |tot AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM li),
+      |item AS (SELECT pk, CAST(count(*) AS DOUBLE) AS item_n
+      |         FROM li GROUP BY pk),
+      |pair AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk
+      |  HAVING count(*) >= 3)
+      |SELECT p1, p2, pair_n,
+      |  round(pair_n / t.n_orders, 6) AS support,
+      |  round(pair_n / i1.item_n, 6) AS confidence,
+      |  round(pair_n / i1.item_n * t.n_orders / i2.item_n, 6) AS lift
+      |FROM pair
+      |CROSS JOIN tot t
+      |JOIN item i1 ON pair.p1 = i1.pk
+      |JOIN item i2 ON pair.p2 = i2.pk
+      |ORDER BY p1, p2""".stripMargin
+
+  // ─── q164: RFM segmentation ───────────────────────────────────────────
+  // Score every customer 1–4 on Recency / Frequency / Monetary via
+  // ntile(4), then report the segment grid. The per-customer rollup is a
+  // single hash-agg over orders; the three ntile windows are GLOBAL
+  // sorts — fine for a |customers|-sized frame (the fact is already
+  // reduced), but the honest 100 TB note: with ~1e9 customers you'd
+  // replace exact ntile with approx_percentile cut-points (3 numbers per
+  // axis, broadcast) exactly as q99 routes clip bounds through a sketch —
+  // same output contract, no global sort. Ties broken by o_custkey so
+  // both engines assign identical tiles.
+  def q164RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val cust = orders(s, d).groupBy("o_custkey").agg(
+      max(col("o_orderdate")).as("recency"),
+      count(lit(1)).as("frequency"),
+      sum(col("o_totalprice")).as("monetary"))
+    val r = Window.orderBy(col("recency").desc, col("o_custkey"))
+    val f = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val m = Window.orderBy(col("monetary").desc, col("o_custkey"))
+    cust.select(
+        ntile(4).over(r).cast("long").as("r_score"),
+        ntile(4).over(f).cast("long").as("f_score"),
+        ntile(4).over(m).cast("long").as("m_score"),
+        col("monetary"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+           round(avg(col("monetary")), 2).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val q164Sql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, max(o_orderdate) AS recency,
+      |    count(*) AS frequency, sum(o_totalprice) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |scored AS (
+      |  SELECT monetary,
+      |    ntile(4) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+      |    ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+      |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      |  FROM cust)
+      |SELECT r_score, f_score, m_score,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(avg(monetary), 2) AS avg_monetary
+      |FROM scored
+      |GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
+  // ─── q165: Markov transition matrix over event streams ────────────────
+  // P(next event type | current event type) per user journey — the
+  // first-order Markov model behind "what do users do after X" and the
+  // input to sequence-anomaly scoring. lead() over (user, time) pairs up
+  // consecutive events; one hash-agg counts transitions; the per-source
+  // totals (≤ |event types|² rows) broadcast back for the probabilities.
+  //
+  // Scale: the window partitions by user_id — millions of small
+  // partitions, the window shape that scales linearly (contrast the
+  // global windows q164 documents). Ordering ties broken by event_id on
+  // both engines; the oracle casts ts to microseconds FIRST so nanos
+  // don't order ties differently (see q87's cast_events note).
+  def q165MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(sum(col("n")).as("src_n"))
+    counts.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("src_n").cast("double"), 6)
+          .as("p"))
+      .orderBy("src", "dst")
+  }
+
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type AS src
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, lead(src) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS dst
+      |  FROM e),
+      |counts AS (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst),
+      |totals AS (SELECT src, sum(n) AS src_n FROM counts GROUP BY src)
+      |SELECT c.src, c.dst, c.n,
+      |  round(CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE), 6) AS p
+      |FROM counts c JOIN totals t ON c.src = t.src
+      |ORDER BY c.src, c.dst""".stripMargin
+
+  // ─── q166: IQR outlier screen (Tukey fences) per group ────────────────
+  // The boxplot rule as a distributed screen: per event type, flag values
+  // outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Two passes over the fact: an
+  // exact-percentile agg builds the per-group fence frame (|groups| rows,
+  // broadcast), then one more scan counts violations — the same
+  // fence-then-rescan shape as q82's length clip, with the fences LEARNED
+  // from the data instead of configured. 100 TB path: swap `percentile`
+  // for `approx_percentile` (q96/q99 pin that sketch twin); the rescan is
+  // embarrassingly parallel either way.
+  def q166IqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val fences = e.groupBy("event_type").agg(
+        expr("percentile(value, 0.25D)").as("q1"),
+        expr("percentile(value, 0.75D)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    e.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("value") < col("lo") || col("value") > col("hi"))
+          .as("n_outliers"),
+        round(first(col("lo")), 4).as("lo"),
+        round(first(col("hi")), 4).as("hi"))
+      .orderBy("event_type")
+  }
+
+  val q166Sql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type),
+      |fence AS (
+      |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+      |    q3 + (q3 - q1) * 1.5 AS hi
+      |  FROM f)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE e.value < lo OR e.value > hi) AS BIGINT)
+      |    AS n_outliers,
+      |  round(min(lo), 4) AS lo, round(min(hi), 4) AS hi
+      |FROM events e JOIN fence ON e.event_type = fence.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
+  // ─── q167: chi-square test of independence ────────────────────────────
+  // Is order PRIORITY independent of order STATUS? Pearson's χ² over the
+  // contingency table: χ² = Σ (obs − exp)² / exp, exp = rowTotal·colTotal/N.
+  // The contingency table is |priorities|×|statuses| — a handful of
+  // cells — so everything after the single fact-table hash-agg is
+  // broadcast algebra. This is the distributed A/B-test shape: the fact
+  // scan reduces to a tiny sufficient statistic; the test statistic is
+  // computed closed-form on top.
+  def q167ChisqIndependence(s: SparkSession, d: String): DataFrame = {
+    val obs = orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowT = obs.groupBy("pri").agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy("st").agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    obs.join(broadcast(rowT), "pri").join(broadcast(colT), "st")
+      .crossJoin(broadcast(n))
+      .select((((col("o") - col("rt") * col("ct") / col("n"))
+                 * (col("o") - col("rt") * col("ct") / col("n")))
+                / (col("rt") * col("ct") / col("n"))).as("contrib"),
+              col("pri"), col("st"))
+      .agg(round(sum(col("contrib")), 4).as("chi2"),
+        ((countDistinct(col("pri")) - 1) * (countDistinct(col("st")) - 1))
+          .as("dof"))
+  }
+
+  val q167Sql: String =
+    """WITH obs AS (
+      |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+      |    CAST(count(*) AS DOUBLE) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT pri, sum(o) AS rt FROM obs GROUP BY pri),
+      |ct AS (SELECT st, sum(o) AS ct FROM obs GROUP BY st),
+      |n AS (SELECT sum(o) AS n FROM obs)
+      |SELECT
+      |  round(sum((o - rt * ct / n.n) * (o - rt * ct / n.n)
+      |        / (rt * ct / n.n)), 4) AS chi2,
+      |  CAST((count(DISTINCT obs.pri) - 1) * (count(DISTINCT obs.st) - 1)
+      |       AS BIGINT) AS dof
+      |FROM obs
+      |JOIN rt ON obs.pri = rt.pri
+      |JOIN ct ON obs.st = ct.st
+      |CROSS JOIN n""".stripMargin
+
+  // ─── q168: Benford leading-digit screen ───────────────────────────────
+  // Fraud/data-quality screen: the leading digit of naturally-occurring
+  // amounts should follow P(d) = log10(1 + 1/d). The digit is extracted
+  // NUMERICALLY (x / 10^floor(log10 x)) — never via string formatting,
+  // which the two engines render differently. One hash-agg on a 9-value
+  // key; the grand total broadcasts back. Purely map-side + one tiny
+  // shuffle at any scale.
+  def q168BenfordScreen(s: SparkSession, d: String): DataFrame = {
+    val digits = lineitem(s, d).select(
+      floor(col("l_extendedprice")
+        / pow(lit(10.0), floor(log10(col("l_extendedprice")))))
+        .cast("long").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("tot"), 6).as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_p"),
+        round(abs(col("n") / col("tot")
+          - log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  val q168Sql: String =
+    """WITH digits AS (
+      |  SELECT CAST(floor(l_extendedprice
+      |    / power(10.0, floor(log10(l_extendedprice)))) AS BIGINT) AS digit
+      |  FROM lineitem),
+      |counts AS (
+      |  SELECT digit, CAST(count(*) AS BIGINT) AS n
+      |  FROM digits GROUP BY digit),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM counts)
+      |SELECT digit, n,
+      |  round(n / tot, 6) AS observed_p,
+      |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+      |  round(abs(n / tot - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+      |    AS abs_dev
+      |FROM counts CROSS JOIN tot
+      |ORDER BY digit""".stripMargin
+
+  // ─── q169: categorical entropy profile ────────────────────────────────
+  // Column profiling for the produced schema: Shannon entropy (bits) and
+  // cardinality of each categorical column — the summary a data catalog
+  // computes per column to rank "informative" vs "constant" fields. Each
+  // column costs one hash-agg on the (tiny) value domain; the per-column
+  // results union into one profile frame. At 100 TB you run the four
+  // aggs in one pass with grouping sets over a melted frame; the
+  // per-column form keeps each distribution's plan independent and
+  // readable.
+  def q169EntropyProfile(s: SparkSession, d: String): DataFrame = {
+    def ent(df: DataFrame, c: String, label: String): DataFrame = {
+      val dist = df.groupBy(col(c)).agg(count(lit(1)).cast("double").as("cnt"))
+      val tot = dist.agg(sum(col("cnt")).as("tot"))
+      dist.crossJoin(broadcast(tot))
+        .select((col("cnt") / col("tot")).as("p"))
+        .agg(round(-sum(col("p") * log2(col("p"))), 6).as("entropy_bits"),
+             count(lit(1)).as("n_distinct"))
+        .select(lit(label).as("column_name"), col("entropy_bits"),
+                col("n_distinct"))
+    }
+    val o = orders(s, d); val l = lineitem(s, d)
+    ent(o, "o_orderstatus", "orders.o_orderstatus")
+      .unionAll(ent(o, "o_orderpriority", "orders.o_orderpriority"))
+      .unionAll(ent(l, "l_returnflag", "lineitem.l_returnflag"))
+      .unionAll(ent(l, "l_linestatus", "lineitem.l_linestatus"))
+      .orderBy("column_name")
+  }
+
+  val q169Sql: String = {
+    def one(table: String, c: String): String =
+      s"""SELECT '$table.$c' AS column_name,
+         |  round(-sum(p * log2(p)), 6) AS entropy_bits,
+         |  CAST(count(*) AS BIGINT) AS n_distinct
+         |FROM (
+         |  SELECT cnt / (SELECT sum(cnt) FROM (
+         |      SELECT CAST(count(*) AS DOUBLE) AS cnt FROM $table
+         |      GROUP BY $c)) AS p
+         |  FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM $table
+         |        GROUP BY $c))""".stripMargin
+    Seq(one("orders", "o_orderstatus"), one("orders", "o_orderpriority"),
+        one("lineitem", "l_returnflag"), one("lineitem", "l_linestatus"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ─── q172: inter-purchase gap profile by market segment ───────────────
+  // Time-between-orders per customer (lag over the per-customer order
+  // history), profiled per market segment — the survival-analysis input
+  // behind churn models. The window partitions by o_custkey (millions of
+  // small partitions, the linear-scaling window shape); the segment
+  // profile is one hash-agg over the gap frame with the customer dim
+  // broadcast in.
+  def q172InterpurchaseGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val gaps = orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev")).cast("long").as("gap_days"))
+    gaps.join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_days")), 2).as("avg_gap"),
+        round(expr("percentile(gap_days, 0.5D)"), 2).as("median_gap"),
+        round(expr("percentile(gap_days, 0.9D)"), 2).as("p90_gap"),
+        max(col("gap_days")).as("max_gap"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q172Sql: String =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT)
+      |      AS gap_days
+      |  FROM orders)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  round(avg(gap_days), 2) AS avg_gap,
+      |  round(quantile_cont(gap_days, 0.5), 2) AS median_gap,
+      |  round(quantile_cont(gap_days, 0.9), 2) AS p90_gap,
+      |  max(gap_days) AS max_gap
+      |FROM gaps JOIN customer ON o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ─── q173: PSI drift between time halves ──────────────────────────────
+  // Population Stability Index — the standard model-monitoring drift
+  // score — between the first and second half of the event stream's time
+  // range. Bins are DECILES OF THE REFERENCE window (so ref mass is 0.1
+  // by construction and no bin is empty on the reference side); the
+  // midpoint split uses pure integer arithmetic (us*2 <= min+max) so both
+  // engines cut identically. Binning assigns each value the count of cut
+  // points strictly below it via a broadcast join against the 9-row cut
+  // frame — map-side at any scale. PSI = Σ (curP − refP)·ln(curP/refP),
+  // with a 1e-6 floor on the current side for empty bins.
+  def q173PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(col("value"), unix_micros(col("ts")).as("us"))
+    val mm = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val tagged = e.crossJoin(broadcast(mm))
+      .select(col("value"),
+        (col("us") * 2 <= col("mn") + col("mx")).as("is_ref"))
+    val cuts = tagged.where(col("is_ref"))
+      .select(explode(expr(
+        "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"))
+        .as("cut"))
+    // group to DISTINCT values first (carrying multiplicity in cnt) so the
+    // 9-way cut join fans out per distinct value, not per event
+    val vals = tagged.groupBy(col("value"), col("is_ref"))
+      .agg(count(lit(1)).as("cnt"))
+    val binned = vals.crossJoin(broadcast(cuts))
+      .groupBy(col("value"), col("is_ref"), col("cnt"))
+      .agg(count_if(col("cut") < col("value")).as("bin"))
+    val perBin = binned.groupBy("bin").agg(
+      sum(when(col("is_ref"), col("cnt")).otherwise(0L)).cast("double")
+        .as("ref_n"),
+      sum(when(!col("is_ref"), col("cnt")).otherwise(0L)).cast("double")
+        .as("cur_n"))
+    val tot = perBin.agg(sum(col("ref_n")).as("ref_tot"),
+                         sum(col("cur_n")).as("cur_tot"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ref_n").cast("long").as("ref_n"),
+        col("cur_n").cast("long").as("cur_n"),
+        (col("ref_n") / col("ref_tot")).as("ref_p"),
+        greatest(col("cur_n") / col("cur_tot"), lit(1e-6)).as("cur_p"))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(col("ref_p"), 6).as("ref_p"), round(col("cur_p"), 6).as("cur_p"),
+        round((col("cur_p") - col("ref_p")) * log(col("cur_p") / col("ref_p")), 6)
+          .as("psi_contrib"))
+      .orderBy("bin")
+  }
+
+  val q173Sql: String =
+    """WITH e AS (
+      |  SELECT value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |mm AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+      |tagged AS (
+      |  SELECT value, (us * 2 <= mn + mx) AS is_ref FROM e CROSS JOIN mm),
+      |cuts AS (
+      |  SELECT unnest(quantile_cont(value,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS cut
+      |  FROM tagged WHERE is_ref),
+      |vals AS (
+      |  SELECT value, is_ref, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM tagged GROUP BY value, is_ref),
+      |binned AS (
+      |  SELECT value, is_ref, cnt,
+      |    CAST(count(*) FILTER (WHERE cut < value) AS BIGINT) AS bin
+      |  FROM vals CROSS JOIN cuts GROUP BY value, is_ref, cnt),
+      |per_bin AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN is_ref THEN cnt ELSE 0 END) AS DOUBLE) AS ref_n,
+      |    CAST(sum(CASE WHEN NOT is_ref THEN cnt ELSE 0 END) AS DOUBLE)
+      |      AS cur_n
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot
+      |        FROM per_bin),
+      |p AS (
+      |  SELECT bin, CAST(ref_n AS BIGINT) AS ref_n,
+      |    CAST(cur_n AS BIGINT) AS cur_n,
+      |    ref_n / ref_tot AS ref_p,
+      |    greatest(cur_n / cur_tot, 1e-6) AS cur_p
+      |  FROM per_bin CROSS JOIN tot)
+      |SELECT bin, ref_n, cur_n, round(ref_p, 6) AS ref_p,
+      |  round(cur_p, 6) AS cur_p,
+      |  round((cur_p - ref_p) * ln(cur_p / ref_p), 6) AS psi_contrib
+      |FROM p ORDER BY bin""".stripMargin
+
+  // ─── q174: two-sample Kolmogorov–Smirnov statistic ────────────────────
+  // Distributional A/B comparison: D = max |F_click(x) − F_purchase(x)|
+  // over the pooled support. Grouping by exact value first makes the
+  // ECDF step function tie-safe and deterministic; the cumulative sums
+  // are one global-sort window over the DISTINCT value domain (already
+  // reduced from the fact). 100 TB path: quantize values into ~1e4 bins
+  // first (binned ECDF bounds D within 1/bins) — the q96/q99 sketch
+  // stance; the exact form is the oracle-checked semantics.
+  def q174KsTest(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy("value")
+      .agg(count_if(col("event_type") === "click").as("ca"),
+           count_if(col("event_type") === "purchase").as("cb"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = e.agg(sum(col("ca")).cast("double").as("na"),
+                    sum(col("cb")).cast("double").as("nb"))
+    e.select(sum(col("ca")).over(w).as("cuma"),
+             sum(col("cb")).over(w).as("cumb"))
+      .crossJoin(broadcast(tot))
+      .agg(round(max(abs(col("cuma").cast("double") / col("na")
+                       - col("cumb").cast("double") / col("nb"))), 6)
+             .as("ks_stat"),
+           first(col("na")).cast("long").as("n_click"),
+           first(col("nb")).cast("long").as("n_purchase"))
+  }
+
+  val q174Sql: String =
+    """WITH e AS (
+      |  SELECT value,
+      |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS ca,
+      |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+      |      AS cb
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY value),
+      |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+      |               CAST(sum(cb) AS DOUBLE) AS nb FROM e),
+      |cum AS (
+      |  SELECT
+      |    sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cuma,
+      |    sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cumb
+      |  FROM e)
+      |SELECT round(max(abs(CAST(cuma AS DOUBLE) / na
+      |                   - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_stat,
+      |  CAST(min(na) AS BIGINT) AS n_click,
+      |  CAST(min(nb) AS BIGINT) AS n_purchase
+      |FROM cum CROSS JOIN tot""".stripMargin
+
+  // ─── q175: Gini coefficient of revenue concentration ──────────────────
+  // "What share of revenue do the top customers own" collapsed to the
+  // standard inequality index: G = 2·Σ i·r_i / (n·Σ r) − (n+1)/n over
+  // revenues sorted ascending (ties broken by custkey so both engines
+  // rank identically). Per-customer revenue is one hash-agg; the ranked
+  // sum is one global-sort window over the reduced |customers| frame —
+  // same scale posture (and the same sketch escape hatch) as q164's
+  // ntile note.
+  def q175Gini(s: SparkSession, d: String): DataFrame = {
+    val rev = orders(s, d).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("r"))
+    val w = Window.orderBy(col("r"), col("o_custkey"))
+    rev.select(col("r"), row_number().over(w).cast("double").as("i"))
+      .agg(sum(col("i") * col("r")).as("sip"),
+           count(lit(1)).cast("double").as("n"), sum(col("r")).as("tot"))
+      .select(
+        round(lit(2.0) * col("sip") / (col("n") * col("tot"))
+              - (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+        col("n").cast("long").as("n_customers"))
+  }
+
+  val q175Sql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS r
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT r, CAST(row_number() OVER (ORDER BY r, o_custkey) AS DOUBLE)
+      |    AS i
+      |  FROM rev),
+      |agg AS (
+      |  SELECT sum(i * r) AS sip, CAST(count(*) AS DOUBLE) AS n,
+      |    sum(r) AS tot
+      |  FROM ranked)
+      |SELECT round(2.0 * sip / (n * tot) - (n + 1.0) / n, 6) AS gini,
+      |  CAST(n AS BIGINT) AS n_customers
+      |FROM agg""".stripMargin
+
+  // ─── q176: autocorrelation of the daily revenue series ────────────────
+  // Lag-k ACF (k = 1..7) of daily order revenue — the seasonality probe
+  // run before any forecasting model (q06 is the forecast consumer). The
+  // fact reduces to one row per day; each lag is a window-lag + corr
+  // aggregate over that tiny series. The 7 per-lag plans union into one
+  // frame; at 100 TB the daily rollup is the only fact-sized shuffle and
+  // everything after is a few-thousand-row series on one node's worth of
+  // work.
+  def q176Acf(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy("dt")
+    val lags = (1 to 7).map { k =>
+      daily.select(col("rev"), lag(col("rev"), k).over(w).as("l"))
+        .agg(round(corr(col("rev"), col("l")), 6).as("acf"),
+             count(col("l")).as("n_pairs"))
+        .select(lit(k.toLong).as("lag_k"), col("acf"), col("n_pairs"))
+    }
+    lags.reduce(_ unionAll _).orderBy("lag_k")
+  }
+
+  val q176Sql: String = {
+    def one(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS lag_k,
+         |  round(corr(rev, l), 6) AS acf,
+         |  CAST(count(l) AS BIGINT) AS n_pairs
+         |FROM (SELECT rev, lag(rev, $k) OVER (ORDER BY dt) AS l
+         |      FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
+         |              sum(o_totalprice) AS rev
+         |            FROM orders GROUP BY 1))""".stripMargin
+    (1 to 7).map(one).mkString("", "\nUNION ALL\n", "\nORDER BY lag_k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_interpurchase_gaps" -> (q172InterpurchaseGaps _),
+    "q173_psi_drift"        -> (q173PsiDrift _),
+    "q174_ks_test"          -> (q174KsTest _),
+    "q175_gini"             -> (q175Gini _),
+    "q176_acf"              -> (q176Acf _),
+    "q162_cohort_retention" -> (q162CohortRetention _),
+    "q163_basket_affinity"  -> (q163BasketAffinity _),
+    "q164_rfm_segments"     -> (q164RfmSegments _),
+    "q165_markov_transitions" -> (q165MarkovTransitions _),
+    "q166_iqr_outliers"     -> (q166IqrOutliers _),
+    "q167_chisq_independence" -> (q167ChisqIndependence _),
+    "q168_benford_screen"   -> (q168BenfordScreen _),
+    "q169_entropy_profile"  -> (q169EntropyProfile _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q172_interpurchase_gaps" -> q172Sql,
+    "q173_psi_drift"        -> q173Sql,
+    "q174_ks_test"          -> q174Sql,
+    "q175_gini"             -> q175Sql,
+    "q176_acf"              -> q176Sql,
+    "q162_cohort_retention" -> q162Sql,
+    "q163_basket_affinity"  -> q163Sql,
+    "q164_rfm_segments"     -> q164Sql,
+    "q165_markov_transitions" -> q165Sql,
+    "q166_iqr_outliers"     -> q166Sql,
+    "q167_chisq_independence" -> q167Sql,
+    "q168_benford_screen"   -> q168Sql,
+    "q169_entropy_profile"  -> q169Sql,
+  )
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops.Insights
+
+/** Invariant tests for the OLAP-insight batch (ops/Insights.scala). The
+  * DuckDB oracle proves cell-level equality at sf0.01; these pin the
+  * MATHEMATICAL contracts that hold at any scale factor — probability
+  * mass sums to 1, entropy is bounded by log2(cardinality), ntile is
+  * balanced — which a cell-level diff can't express.
+  */
+class InsightsSpec extends SparkSpec {
+
+  test("q162: month-0 retention accounts for every customer exactly once") {
+    val rows = Insights.q162CohortRetention(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) >= 0L), "months_since must be >= 0")
+    val month0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val nCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    // every customer is active in their own cohort month
+    assert(month0 == nCust)
+  }
+
+  test("q163: support <= confidence and lift is consistent with both") {
+    val rows = Insights.q163BasketAffinity(spark, sfDir).collect()
+    assert(rows.nonEmpty, "min-support 3 must leave pairs at sf0.001")
+    rows.foreach { r =>
+      val (support, confidence, lift) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // P(p1 ∧ p2) <= P(p2 | p1); both in (0, 1]
+      assert(support > 0 && support <= confidence + 1e-9)
+      assert(confidence <= 1.0 + 1e-9)
+      assert(lift > 0)
+    }
+  }
+
+  test("q164: each axis' tiles are balanced to within one customer") {
+    val rows = Insights.q164RfmSegments(spark, sfDir).collect()
+    val n = rows.map(_.getLong(3)).sum
+    def axisCounts(i: Int): Map[Long, Long] =
+      rows.groupBy(_.getLong(i)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    for (axis <- 0 to 2) {
+      val counts = axisCounts(axis)
+      assert(counts.keySet == Set(1L, 2L, 3L, 4L))
+      assert(counts.values.max - counts.values.min <= 1,
+        s"ntile(4) must balance axis $axis: $counts")
+      assert(counts.values.sum == n)
+    }
+  }
+
+  test("q165: outgoing transition probabilities sum to 1 per source") {
+    val rows = Insights.q165MarkovTransitions(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      val mass = rs.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"P(*|$src) sums to $mass")
+    }
+    // transition count = events - one terminal event per user
+    val e = Tables.events(spark, sfDir)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("q166: fences are ordered and outliers are a strict minority") {
+    val rows = Insights.q166IqrOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) < r.getDouble(4), "lo < hi")
+      assert(r.getLong(2) < r.getLong(1), "outliers < n")
+    }
+  }
+
+  test("q167: chi-square is non-negative with the right dof") {
+    val row = Insights.q167ChisqIndependence(spark, sfDir).collect().head
+    assert(row.getDouble(0) >= 0.0)
+    val o = Tables.orders(spark, sfDir)
+    val dof = (o.select("o_orderpriority").distinct().count() - 1) *
+      (o.select("o_orderstatus").distinct().count() - 1)
+    assert(row.getLong(1) == dof)
+  }
+
+  test("q168: leading digits are 1-9 and observed mass sums to 1") {
+    val rows = Insights.q168BenfordScreen(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-4)
+    // benford_p is the closed form, independent of the data
+    rows.foreach { r =>
+      val d = r.getLong(0).toDouble
+      assert(math.abs(r.getDouble(3) - math.log10(1 + 1 / d)) < 1e-5)
+    }
+  }
+
+  test("q172: gap count ties out to orders minus first-orders") {
+    val rows = Insights.q172InterpurchaseGaps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9, "median <= p90")
+      assert(r.getDouble(4) <= r.getLong(5).toDouble + 1e-9, "p90 <= max")
+    }
+    val o = Tables.orders(spark, sfDir)
+    val expected = o.count() - o.select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
+  test("q173: reference deciles carry ~10% mass each and PSI is finite") {
+    val rows = Insights.q173PsiDrift(spark, sfDir).collect()
+    assert(rows.length == 10, s"expected 10 bins, got ${rows.length}")
+    val refMass = rows.map(_.getDouble(3)).sum
+    assert(math.abs(refMass - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - 0.1) < 0.02,
+        s"ref decile mass ${r.getDouble(3)} far from 0.1")
+      assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+    }
+  }
+
+  test("q174: KS statistic is a valid sup-distance in [0,1]") {
+    val row = Insights.q174KsTest(spark, sfDir).collect().head
+    val ks = row.getDouble(0)
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(row.getLong(1) > 0 && row.getLong(2) > 0)
+  }
+
+  test("q175: Gini is in [0,1) and matches a driver-side recompute") {
+    val row = Insights.q175Gini(spark, sfDir).collect().head
+    val gini = row.getDouble(0)
+    assert(gini >= 0.0 && gini < 1.0)
+    val revs = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(org.apache.spark.sql.functions.sum("o_totalprice").as("r"))
+      .collect().map(r => (r.getDouble(1), r.getLong(0))).sortBy(identity)
+    val n = revs.length.toDouble
+    val tot = revs.map(_._1).sum
+    val sip = revs.zipWithIndex.map { case ((r, _), i) => (i + 1) * r }.sum
+    val expected = 2.0 * sip / (n * tot) - (n + 1.0) / n
+    assert(math.abs(gini - expected) < 1e-4, s"$gini vs $expected")
+  }
+
+  test("q176: ACF values are correlations and pair counts step down by lag") {
+    val rows = Insights.q176Acf(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    val nDays = Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")))
+      .distinct().count()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+      assert(r.getLong(2) == nDays - r.getLong(0))
+    }
+  }
+
+  test("q169: entropy is bounded by log2 of the column cardinality") {
+    val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (h, k) = (r.getDouble(1), r.getLong(2))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: H=$h outside [0, log2($k)]")
+    }
+  }
+}
