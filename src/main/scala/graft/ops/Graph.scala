@@ -330,11 +330,138 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  // ─── q170: BFS hop distance (multi-source shortest unweighted path) ───
+  // "How far is every customer/supplier from the nation-0 supplier base"
+  // over the bipartite trade graph (customer —ordered-from— supplier,
+  // derived from orders ⋈ lineitem). The classic iterative-frontier BFS:
+  // each round joins the frontier against the directed edge list, anti-
+  // joins what's already labeled (first discovery IS the minimum hop
+  // count), and unions the rest in at distance i.
+  //
+  // Scale: each round is one shuffle join keyed on the frontier node id
+  // plus one anti join against the accumulated labels — both key-
+  // partitioned, no adjacency collection. `localCheckpoint` truncates the
+  // per-round lineage exactly as q150's PageRank loop does. Depth is
+  // capped (the oracle's recursive CTE carries the same cap), which is
+  // also the honest production posture: hop-bounded reachability, not
+  // unbounded transitive closure. The DuckDB oracle computes the same
+  // fixpoint via WITH RECURSIVE + min(d) — a completely independent
+  // evaluation strategy over the same semantics.
+  def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int): DataFrame = {
+    // edges: (ftyp, fid, ttyp, tid) directed; seed: (typ, id)
+    var dist = seed.select(col("typ"), col("id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = dist
+    var i = 1
+    while (i <= maxHops && !frontier.isEmpty) {
+      val nxt = frontier
+        .join(edges, frontier("typ") === edges("ftyp") &&
+                     frontier("id") === edges("fid"))
+        .select(col("ttyp").as("typ"), col("tid").as("id")).distinct()
+        .join(dist, Seq("typ", "id"), "left_anti")
+        .withColumn("hops", lit(i.toLong))
+        .localCheckpoint()
+      dist = dist.unionAll(nxt).localCheckpoint()
+      frontier = nxt
+      i += 1
+    }
+    dist
+  }
+
+  def q170BfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk")).distinct()
+    val dir = e.select(lit("c").as("ftyp"), col("c").as("fid"),
+                       lit("s").as("ttyp"), col("sk").as("tid"))
+      .unionAll(e.select(lit("s").as("ftyp"), col("sk").as("fid"),
+                         lit("c").as("ttyp"), col("c").as("tid")))
+    // seed: every 50th supplier — a deterministic sample that is non-empty
+    // at every scale factor and grows with the table (supplier keys are
+    // dense from 1), unlike a nation filter which can be empty at tiny SF.
+    val seed = supplier(s, d).where(col("s_suppkey") % 50 === 1)
+      .select(lit("s").as("typ"), col("s_suppkey").as("id"))
+    bfsHops(dir, seed, maxHops = 4)
+      .orderBy("typ", "id")
+  }
+
+  val q170Sql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+      |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |dir AS (
+      |  SELECT 'c' AS ftyp, c AS fid, 's' AS ttyp, sk AS tid FROM e
+      |  UNION ALL
+      |  SELECT 's', sk, 'c', c FROM e),
+      |walk(typ, id, d) AS (
+      |  SELECT 's', s_suppkey, 0 FROM supplier WHERE s_suppkey % 50 = 1
+      |  UNION
+      |  SELECT dir.ttyp, dir.tid, w.d + 1
+      |  FROM walk w JOIN dir ON dir.ftyp = w.typ AND dir.fid = w.id
+      |  WHERE w.d < 4)
+      |SELECT typ, id, CAST(min(d) AS BIGINT) AS hops
+      |FROM walk GROUP BY typ, id
+      |ORDER BY typ, id""".stripMargin
+
+  // ─── q171: triangle counting on the co-purchase graph ─────────────────
+  // Triangles (three parts that pairwise co-occur in orders) measure
+  // clustering in the affinity graph — the densest-subgraph signal
+  // recommendation pipelines use beyond pairwise lift (q163). Edge list =
+  // part pairs co-occurring in ≥2 orders, oriented p1 < p2; a triangle is
+  // counted exactly once as (a<b<c) by the canonical two-hop + closing-
+  // edge join.
+  //
+  // Scale: the pair build shuffles on l_orderkey (bounded per-basket
+  // fanout, see q163); the triangle join is the standard edge-edge-edge
+  // plan — each join keys on a single node column, and the min-support
+  // cut keeps the oriented edge list sparse. On a power-law graph you'd
+  // additionally orient edges by (degree, id) instead of raw id so hub
+  // nodes don't own O(deg²) wedges; id-orientation is the oracle-clean
+  // form and the wedge counts here are basket-bounded anyway.
+  def q171TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select("p1", "p2")
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(edges.as("e3"), col("e1.p1") === col("e3.p1") &&
+                            col("e2.p2") === col("e3.p2"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_triangles"), col("n_edges"))
+  }
+
+  val q171Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk
+      |  HAVING count(*) >= 2)
+      |SELECT
+      |  CAST((SELECT count(*)
+      |        FROM edges e1
+      |        JOIN edges e2 ON e1.p2 = e2.p1
+      |        JOIN edges e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2) AS BIGINT)
+      |    AS n_triangles,
+      |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_dup_clusters" -> (q71DupClusters _),
-    "q150_pagerank" -> (q150PageRank _))
+    "q150_pagerank" -> (q150PageRank _),
+    "q170_bfs_hops" -> (q170BfsHops _),
+    "q171_triangle_count" -> (q171TriangleCount _))
 
   val oracleSql: Map[String, String] = Map(
     "q71_dup_clusters" -> q71Sql,
-    "q150_pagerank" -> q150Sql)
+    "q150_pagerank" -> q150Sql,
+    "q170_bfs_hops" -> q170Sql,
+    "q171_triangle_count" -> q171Sql)
 }

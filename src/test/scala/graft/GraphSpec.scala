@@ -115,4 +115,64 @@ class GraphSpec extends SparkSpec {
       .agg(sum($"pr")).as[Double].head()
     assert(math.abs(total - n) < 1e-9, s"mass $total drifted from $n")
   }
+
+  test("bfsHops: BFS distance equals driver-side reference on a known graph") {
+    // path 1-2-3-4-5 plus an off-path branch 3-6; seed {1}
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+    val dir = (raw ++ raw.map(_.swap)).toDF("fid", "tid")
+      .select(lit("n").as("ftyp"), $"fid", lit("n").as("ttyp"), $"tid")
+    val seed = Seq(1L).toDF("id").select(lit("n").as("typ"), $"id")
+    val got = Graph.bfsHops(dir, seed, maxHops = 4).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+                      6L -> 3L))
+  }
+
+  test("bfsHops: the hop cap truncates, never mislabels") {
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val dir = (raw ++ raw.map(_.swap)).toDF("fid", "tid")
+      .select(lit("n").as("ftyp"), $"fid", lit("n").as("ttyp"), $"tid")
+    val seed = Seq(1L).toDF("id").select(lit("n").as("typ"), $"id")
+    val got = Graph.bfsHops(dir, seed, maxHops = 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // node 4 is 3 hops out: absent under the cap, NOT labeled 2
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("q170: bipartite parity — supplier hops even, customer hops odd") {
+    val rows = Graph.q170BfsHops(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (typ, hops) = (r.getString(0), r.getLong(2))
+      assert(hops >= 0 && hops <= 4)
+      if (typ == "s") assert(hops % 2 == 0, s"supplier at odd hop $hops")
+      else assert(hops % 2 == 1, s"customer at even hop $hops")
+    }
+    assert(rows.exists(r => r.getString(0) == "s" && r.getLong(2) == 0L))
+  }
+
+  test("q171: triangle count matches brute force on the sf0.001 graph") {
+    val row = Graph.q171TriangleCount(spark, sfDir).collect().head
+    val (nTri, nEdges) = (row.getLong(0), row.getLong(1))
+    assert(nEdges > 0)
+    // brute-force recount on the driver from the same edge definition
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values
+      .flatMap { basket =>
+        val ps = basket.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+      }
+      // filter+keySet, NOT collect{...=>e}: Map.collect with a tuple-valued
+      // pf rebuilds a Map and silently collapses edges sharing a p1
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val byNode = edges.groupBy(_._1)
+    val expected = (for {
+      (a, b) <- edges
+      (b2, c) <- byNode.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } yield (a, b, c)).size
+    assert(nTri == expected, s"spark $nTri vs brute $expected")
+  }
 }
