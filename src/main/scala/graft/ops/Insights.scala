@@ -639,7 +639,160 @@ object Insights {
     (1 to 7).map(one).mkString("", "\nUNION ALL\n", "\nORDER BY lag_k")
   }
 
+  // ─── q177: marketing attribution (first-touch / last-touch) ───────────
+  // For every purchase, credit the FIRST and the LAST non-purchase event
+  // the user emitted before it — the two canonical attribution models,
+  // computed in one pass with ignore-null window aggregates over the
+  // preceding-rows frame (no self-join, no per-user collect). The window
+  // partitions by user_id — the linear-scaling shape (q165's note).
+  def q177Attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              col("value"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("conversions"),
+           round(sum(col("value")), 2).as("revenue"))
+      .orderBy("first_touch", "last_touch")
+  }
+
+  val q177Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |    value
+      |  FROM events),
+      |attr AS (
+      |  SELECT event_type, value,
+      |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      |  FROM e)
+      |SELECT first_touch, last_touch, CAST(count(*) AS BIGINT) AS conversions,
+      |  round(sum(value), 2) AS revenue
+      |FROM attr
+      |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+      |GROUP BY first_touch, last_touch
+      |ORDER BY first_touch, last_touch""".stripMargin
+
+  // ─── q178: CUSUM change-point detection ───────────────────────────────
+  // Where did the daily-revenue regime shift? Standardize the series
+  // against its global mean/σ, cumulative-sum the deviations, and report
+  // the |CUSUM| peak — the classic Page-style change-point estimate. The
+  // cumsum is one ordered window over the day-level series (already
+  // reduced from the fact); both engines accumulate in the same dt order
+  // so the float sequence is identical.
+  def q178CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    val stats = daily.agg(avg(col("rev")).as("mu"),
+                          stddev_pop(col("rev")).as("sd"))
+    val w = Window.orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .select(col("dt"),
+        sum((col("rev") - col("mu")) / col("sd")).over(w).as("s"))
+      .orderBy(abs(col("s")).desc, col("dt"))
+      .limit(1)
+      .select(col("dt").as("change_date"), round(col("s"), 4).as("cusum"))
+  }
+
+  val q178Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS dt, sum(o_totalprice) AS rev
+      |  FROM orders GROUP BY 1),
+      |stats AS (SELECT avg(rev) AS mu, stddev_pop(rev) AS sd FROM daily),
+      |cus AS (
+      |  SELECT dt, sum((rev - mu) / sd) OVER (ORDER BY dt
+      |    ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM daily CROSS JOIN stats)
+      |SELECT dt AS change_date, round(s, 4) AS cusum
+      |FROM cus ORDER BY abs(s) DESC, dt LIMIT 1""".stripMargin
+
+  // ─── q179: exponential time-decay engagement score ────────────────────
+  // The feature-store staple: per-user engagement where yesterday counts
+  // e^(−1/τ) of today (τ = 7 days). Decay anchors on the corpus max
+  // timestamp (broadcast 1-row frame) so the whole thing is one map-side
+  // expression + one hash-agg — embarrassingly parallel at any scale,
+  // and incrementally maintainable (new data multiplies old scores by a
+  // constant factor, the q106 incremental-agg pattern).
+  def q179DecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val tauUs = 604800000000.0 // 7 days in microseconds
+    val e = events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val mx = e.agg(max(col("us")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")
+          * exp((col("us") - col("mx")).cast("double") / lit(tauUs))), 4)
+          .as("decayed_score"))
+      .orderBy("user_id")
+  }
+
+  val q179Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |mx AS (SELECT max(us) AS mx FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value
+      |    * exp(CAST(us - mx AS DOUBLE) / 604800000000.0)), 4)
+      |    AS decayed_score
+      |FROM e CROSS JOIN mx
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ─── q180: frequent 3-step path mining ────────────────────────────────
+  // The top navigation paths: consecutive event-type triples per user
+  // journey (two leads over the per-user window), counted and cut at
+  // min-support 5. Journey mining without sequence explosion: the state
+  // per row is two strings, the agg key domain is |types|³.
+  def q180PathMining(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5)
+      .orderBy("e1", "e2", "e3")
+  }
+
+  val q180Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type AS e1
+      |  FROM events),
+      |paths AS (
+      |  SELECT e1,
+      |    lead(e1, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS e2,
+      |    lead(e1, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS e3
+      |  FROM e)
+      |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+      |FROM paths WHERE e3 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |HAVING count(*) >= 5
+      |ORDER BY e1, e2, e3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_attribution"      -> (q177Attribution _),
+    "q178_cusum_changepoint" -> (q178CusumChangepoint _),
+    "q179_decayed_engagement" -> (q179DecayedEngagement _),
+    "q180_path_mining"      -> (q180PathMining _),
     "q172_interpurchase_gaps" -> (q172InterpurchaseGaps _),
     "q173_psi_drift"        -> (q173PsiDrift _),
     "q174_ks_test"          -> (q174KsTest _),
@@ -656,6 +809,10 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q177_attribution"      -> q177Sql,
+    "q178_cusum_changepoint" -> q178Sql,
+    "q179_decayed_engagement" -> q179Sql,
+    "q180_path_mining"      -> q180Sql,
     "q172_interpurchase_gaps" -> q172Sql,
     "q173_psi_drift"        -> q173Sql,
     "q174_ks_test"          -> q174Sql,

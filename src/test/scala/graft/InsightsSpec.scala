@@ -149,6 +149,52 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("q177: attribution credits only pre-purchase touches") {
+    val rows = Insights.q177Attribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) != "purchase" && r.getString(1) != "purchase")
+      assert(r.getLong(2) > 0)
+    }
+    // attributed conversions <= total purchases (first event of a user
+    // being a purchase has no touch to credit)
+    val purchases = Tables.events(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(rows.map(_.getLong(2)).sum <= purchases)
+  }
+
+  test("q178: change point is a real date with a finite CUSUM") {
+    val row = Insights.q178CusumChangepoint(spark, sfDir).collect().head
+    assert(row.getDate(0) != null)
+    assert(!row.getDouble(1).isNaN && !row.getDouble(1).isInfinite)
+  }
+
+  test("q179: decay keeps scores under the undecayed sum, monotone in time") {
+    val rows = Insights.q179DecayedEngagement(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val plain = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("value").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (uid, score) = (r.getLong(0), r.getDouble(2))
+      assert(score >= 0.0 && score <= plain(uid) + 1e-6,
+        s"user $uid decayed $score exceeds raw ${plain(uid)}")
+    }
+  }
+
+  test("q180: path counts tie out to journeys of length >= 3") {
+    val rows = Insights.q180PathMining(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) >= 5))
+    // total triples across ALL paths (no threshold) = sum over users of
+    // max(0, n_events - 2); the thresholded sum must be <= that
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    val totalTriples = perUser.map(n => math.max(0L, n - 2)).sum
+    assert(rows.map(_.getLong(3)).sum <= totalTriples)
+  }
+
   test("q169: entropy is bounded by log2 of the column cardinality") {
     val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
     assert(rows.length == 4)
