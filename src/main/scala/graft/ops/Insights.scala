@@ -277,15 +277,19 @@ object Insights {
     val rowT = obs.groupBy("pri").agg(sum(col("o")).as("rt"))
     val colT = obs.groupBy("st").agg(sum(col("o")).as("ct"))
     val n = obs.agg(sum(col("o")).as("n"))
+    // dof from the (tiny) marginal frames' row counts — NOT a
+    // multi-distinct aggregate, whose Expand would replicate the input
+    // per distinct column before the shuffle
+    val nr = rowT.agg(count(lit(1)).as("nr"))
+    val nc = colT.agg(count(lit(1)).as("nc"))
     obs.join(broadcast(rowT), "pri").join(broadcast(colT), "st")
       .crossJoin(broadcast(n))
       .select((((col("o") - col("rt") * col("ct") / col("n"))
                  * (col("o") - col("rt") * col("ct") / col("n")))
-                / (col("rt") * col("ct") / col("n"))).as("contrib"),
-              col("pri"), col("st"))
-      .agg(round(sum(col("contrib")), 4).as("chi2"),
-        ((countDistinct(col("pri")) - 1) * (countDistinct(col("st")) - 1))
-          .as("dof"))
+                / (col("rt") * col("ct") / col("n"))).as("contrib"))
+      .agg(round(sum(col("contrib")), 4).as("chi2"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .select(col("chi2"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
   }
 
   val q167Sql: String =

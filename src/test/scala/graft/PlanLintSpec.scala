@@ -123,6 +123,27 @@ class PlanLintSpec extends SparkSpec {
     "q111_pq_topk" -> Set("nested-loop", "cartesian"),
     "q131_jl_projection" -> Set("nested-loop"),
     "q132_zorder" -> Set("global-window"),
+    // Insights batch (q162-q180): every flagged nested-loop is a ≤10-row
+    // derived frame (grand total, min/max pair, decile cuts, marginal
+    // count) crossJoined back — broadcast algebra, not a data-sized scan.
+    // Every flagged global window runs over an already-REDUCED frame
+    // (|customers|, distinct value domain, |days| series), never the
+    // fact; each query's scaladoc names the sketch path that removes
+    // even that (q164 -> approx_percentile cut-points, q174 -> binned
+    // ECDF). Same precedent as q144/q85.
+    "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
+    "q164_rfm_segments" -> Set("global-window"),
+    "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
+    "q168_benford_screen" -> Set("nested-loop", "cartesian"),
+    "q169_entropy_profile" -> Set("nested-loop", "cartesian"),
+    "q171_triangle_count" -> Set("nested-loop", "cartesian"),
+    "q173_psi_drift" -> Set("nested-loop", "cartesian"),
+    "q174_ks_test" -> Set("nested-loop", "cartesian", "global-window"),
+    "q175_gini" -> Set("global-window"),
+    "q176_acf" -> Set("global-window"),
+    "q178_cusum_changepoint" -> Set("global-window", "nested-loop",
+      "cartesian"),
+    "q179_decayed_engagement" -> Set("nested-loop", "cartesian"),
     "q16_setop_census" -> Set("expand"),
     "q29_setop_fused" -> Set("expand"),
     "q24_rollup" -> Set("expand"),
