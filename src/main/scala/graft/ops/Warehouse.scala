@@ -782,7 +782,60 @@ object Warehouse {
       |  (SELECT count(*) FROM supp_v WHERE s_nat IS NULL) AS n_null_keys
       |FROM (SELECT 1) one""".stripMargin
 
+  // ─── q181: materialized-summary rewrite (aggregate navigation) ────────
+  // Builds the lineitem daily summary, registers it with the
+  // [[graft.plans.SummaryRewrite]] optimizer rule, then runs a plain
+  // fact-table aggregate — which the optimizer transparently answers
+  // from the summary (SummaryRewriteSpec asserts the plan actually scans
+  // the summary and that a disqualified query does not). The DuckDB
+  // oracle computes from the RAW lineitem — a pass proves the rewrite is
+  // semantics-preserving end-to-end, not just plan-shaped.
+  //
+  // Scale: the summary has one row per (returnflag, linestatus,
+  // shipdate) — ~10³× smaller than the fact — and the dim filter prunes
+  // it through the same parquet pushdown the fact scan would get. The
+  // float caveat is the usual one: SUM re-aggregates partial sums, so
+  // the summation tree differs from a raw scan (both engines' results
+  // are rounded, as every float aggregate here is).
+  def q181SummaryRewrite(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SummaryRewrite.ensureRule(s)
+    val sumDir = "/tmp/graft_mv/" +
+      java.lang.Integer.toHexString(d.hashCode) + "/lineitem_daily"
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_extendedprice")).as("sum_price"),
+           min(col("l_discount")).as("min_disc"),
+           max(col("l_discount")).as("max_disc"),
+           count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(sumDir)
+    graft.plans.SummaryRewrite.register(s, s"$d/lineitem.parquet",
+      dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+      mins = Map("l_discount" -> "min_disc"),
+      maxs = Map("l_discount" -> "max_disc"),
+      countCol = Some("cnt"), summaryPath = sumDir)
+    lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"),
+           min(col("l_discount")).as("min_disc"),
+           max(col("l_discount")).as("max_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  val q181Sql: String =
+    """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(l_discount) AS min_disc, max(l_discount) AS max_disc
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_summary_rewrite" -> (q181SummaryRewrite _),
     "q137_percentile_inverse" -> (q137PercentileInverse _),
     "q145_null_aware_anti" -> (q145NullAwareAnti _),
     "q106_incremental_agg" -> (q106IncrementalAgg _),
@@ -816,5 +869,6 @@ object Warehouse {
     "q155_jaro_winkler" -> q155Sql,
     "q87_sessionize"  -> q87Sql,
     "q88_unpivot"     -> q88Sql,
-    "q96_approx_percentiles" -> q96Sql)
+    "q96_approx_percentiles" -> q96Sql,
+    "q181_summary_rewrite" -> q181Sql)
 }

@@ -1,0 +1,214 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-summary rewrite — the aggregate-navigation optimization
+  * every 100 TB warehouse runs on: when a query aggregates the FACT table
+  * by a subset of a declared summary's dimensions, answer it from the
+  * (orders-of-magnitude smaller) summary by RE-AGGREGATING its partial
+  * states, instead of scanning the fact.
+  *
+  * The reference's warehouse has no optimizer at all (every query re-scans
+  * PostgreSQL tables); this is the Spark-first upgrade path: summaries are
+  * plain parquet produced by the engine itself, and the rewrite is a
+  * Catalyst `Rule[LogicalPlan]` appended to the optimizer
+  * (`spark.experimental.extraOptimizations`, same registration path as
+  * [[AsOfJoinPushDown]]), so EVERY entry point — DataFrame, Dataset, SQL
+  * text — benefits with zero query changes.
+  *
+  * Soundness gates (the rewrite fires only when provably equivalent):
+  *  - every GROUP BY expression is a bare fact column declared as a
+  *    summary dimension;
+  *  - every aggregate is a non-DISTINCT SUM / MIN / MAX over a declared
+  *    measure, or COUNT(*) with the summary carrying a row-count partial
+  *    (SUM-of-counts re-aggregates it; COUNT is only rewritten under a
+  *    non-empty GROUP BY — a GLOBAL count over an empty fact is 0 while
+  *    sum-of-counts is NULL, so that case is left on the fact);
+  *  - any Filter between the aggregate and the scan references dimension
+  *    columns only (it then prunes the summary identically);
+  *  - the rewritten output is type-identical column-for-column (checked,
+  *    not assumed — a mismatch abandons the rewrite).
+  *
+  * Scale notes: the summary is keyed by its dims, so the rewritten plan
+  * aggregates |summary| rows instead of |fact| — for the lineitem daily
+  * summary that is ~10³× fewer rows BEFORE the shuffle, and the summary
+  * scan enjoys the same parquet pushdown/pruning the fact scan would.
+  * exprIds of the original output are preserved on the rewritten aliases,
+  * so parent operators (sorts, projections, joins above the agg) are
+  * untouched; the summary relation is `newInstance()`d per use so two
+  * rewrites in one query cannot collide on attribute ids.
+  */
+object SummaryRewrite extends Rule[LogicalPlan] {
+
+  /** A declared summary over one fact table. */
+  final case class Summary(
+      factPath: String,
+      dims: Set[String],
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      countCol: Option[String],
+      relation: LogicalRelation)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Summary]()
+
+  /** Declare a summary: `summaryPath` parquet must hold one row per dims
+    * combination with partial-state columns as named in the maps.
+    */
+  def register(spark: SparkSession, factPath: String, dims: Seq[String],
+               sums: Map[String, String], mins: Map[String, String],
+               maxs: Map[String, String], countCol: Option[String],
+               summaryPath: String): Unit = {
+    val rel = spark.read.parquet(summaryPath).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }
+      .getOrElse(throw new IllegalArgumentException(
+        s"summary at $summaryPath did not analyze to a LogicalRelation"))
+    registry.put(norm(factPath),
+      Summary(norm(factPath), dims.toSet, sums, mins, maxs, countCol, rel))
+  }
+
+  def clear(): Unit = registry.clear()
+
+  /** Idempotently append this rule to a live session's optimizer. */
+  def ensureRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(SummaryRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SummaryRewrite
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+  }
+
+  /** Unwrap attribute-only Projects and collect Filters down to a parquet
+    * LogicalRelation; None when anything else intervenes.
+    */
+  private def unwrap(p: LogicalPlan,
+                     conds: Seq[Expression] = Nil
+                    ): Option[(Seq[Expression], LogicalRelation)] = p match {
+    case lr: LogicalRelation => Some((conds, lr))
+    case Filter(c, child) => unwrap(child, conds :+ c)
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child, conds)
+    case _ => None
+  }
+
+  private def factPathOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(r => norm(r.toString))
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[Aggregate] = for {
+    (conds, lr) <- unwrap(agg.child)
+    path <- factPathOf(lr)
+    s <- Option(registry.get(path))
+    rewritten <- build(agg, conds, s)
+  } yield rewritten
+
+  private def build(agg: Aggregate, conds: Seq[Expression],
+                    s: Summary): Option[Aggregate] = {
+    // fresh attribute ids per use (MultiInstanceRelation contract)
+    val summary = s.relation.newInstance()
+    val byName = summary.output.map(a => a.name -> a).toMap
+
+    def dimAttr(a: AttributeReference): Option[Attribute] =
+      if (s.dims.contains(a.name)) byName.get(a.name) else None
+
+    // 1. grouping: bare dim columns only
+    val groupOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => dimAttr(a).isDefined
+      case _ => false
+    }
+    // 2. filters: dim references only
+    val condsOk = conds.forall(_.references.forall {
+      case a: AttributeReference => dimAttr(a).isDefined
+      case _ => false
+    })
+
+    def reAgg(fn: AggregateFunction): Option[AggregateFunction] = fn match {
+      case f: Sum => f.child match {
+        case a: AttributeReference =>
+          s.sums.get(a.name).flatMap(byName.get)
+            .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
+        case _ => None
+      }
+      case f: Min => f.child match {
+        case a: AttributeReference =>
+          s.mins.get(a.name).flatMap(byName.get)
+            .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
+        case _ => None
+      }
+      case f: Max => f.child match {
+        case a: AttributeReference =>
+          s.maxs.get(a.name).flatMap(byName.get)
+            .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
+        case _ => None
+      }
+      case f: Count if f.children.forall(_.foldable) &&
+          agg.groupingExpressions.nonEmpty =>
+        s.countCol.flatMap(byName.get).map(ca => Sum(ca))
+      case _ => None
+    }
+
+    if (!groupOk || !condsOk) return None
+
+    // explicit recursion, not transformUp/Down: an AggregateExpression
+    // must be rewritten AS A UNIT (its child attribute is a measure the
+    // summary only holds in partial-state form), while attributes OUTSIDE
+    // any aggregate must be dims — a generic traversal order can't keep
+    // the two scopes apart
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        reAgg(ae.aggregateFunction).map(nf => ae.copy(aggregateFunction = nf))
+      case _: AggregateExpression => None
+      case a: AttributeReference => dimAttr(a)
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.isEmpty) Some(other)
+        else if (kids.forall(_.isDefined))
+          Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    val newResult: Option[Seq[NamedExpression]] =
+      traverseOpt(agg.aggregateExpressions) {
+        case a: AttributeReference =>
+          dimAttr(a).map(sa => Alias(sa, a.name)(exprId = a.exprId))
+        case ne => rewriteExpr(ne).map(_.asInstanceOf[NamedExpression])
+      }
+
+    newResult.flatMap { res =>
+      // type identity gate — a widened or narrowed column kills the rewrite
+      val sameTypes = res.map(_.dataType) ==
+        agg.aggregateExpressions.map(_.dataType)
+      if (!sameTypes) None
+      else {
+        val newGroup = agg.groupingExpressions.map {
+          case a: AttributeReference => byName(a.name)
+        }
+        val filtered: LogicalPlan = conds.foldRight(summary: LogicalPlan) {
+          (c, child) =>
+            Filter(c.transform {
+              case a: AttributeReference => byName(a.name)
+            }, child)
+        }
+        Some(Aggregate(newGroup, res, filtered))
+      }
+    }
+  }
+
+  private def traverseOpt[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+}

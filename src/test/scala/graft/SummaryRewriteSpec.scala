@@ -1,0 +1,127 @@
+package graft
+
+import graft.plans.SummaryRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+/** The materialized-summary rewrite rule (plans/SummaryRewrite.scala).
+  * The DuckDB oracle proves q181's RESULT against the raw fact; these
+  * prove the mechanism: the plan really swaps to the summary scan, every
+  * soundness gate really disqualifies, and rewritten results are
+  * bit-identical to the fact-scan plan inside one session.
+  */
+class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
+
+  private val sumDir = "/tmp/graft_mv_spec/lineitem_daily"
+
+  override def beforeEach(): Unit = { SummaryRewrite.clear(); super.beforeEach() }
+  override def afterEach(): Unit = { SummaryRewrite.clear(); super.afterEach() }
+
+  private def li = Tables.lineitem(spark, sfDir)
+
+  private def buildAndRegister(): Unit = {
+    SummaryRewrite.ensureRule(spark)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_extendedprice")).as("sum_price"),
+           min(col("l_discount")).as("min_disc"),
+           max(col("l_discount")).as("max_disc"),
+           count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(sumDir)
+    SummaryRewrite.register(spark, s"$sfDir/lineitem.parquet",
+      dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+      mins = Map("l_discount" -> "min_disc"),
+      maxs = Map("l_discount" -> "max_disc"),
+      countCol = Some("cnt"), summaryPath = sumDir)
+  }
+
+  private def scansSummary(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("graft_mv_spec")
+
+  private def query: DataFrame = li
+    .where(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+    .groupBy(col("l_returnflag"))
+    .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+         count(lit(1)).as("n"),
+         min(col("l_discount")).as("min_disc"))
+    .orderBy("l_returnflag")
+
+  test("rewrite fires: summary scan in the plan, results bit-identical") {
+    val expected = query.collect() // registry empty -> fact scan
+    buildAndRegister()
+    val rewritten = query
+    assert(scansSummary(rewritten), "plan did not swap to the summary:\n" +
+      rewritten.queryExecution.executedPlan)
+    assert(rewritten.collect().toSeq == expected.toSeq)
+  }
+
+  test("schema and exprIds survive: parent operators still resolve") {
+    buildAndRegister()
+    val q = query
+    // orderBy above the agg references the agg's output exprIds; a join
+    // above must also still resolve
+    val joined = q.join(Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag")).distinct(), "l_returnflag")
+    assert(joined.count() == q.count())
+    assert(q.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("l_returnflag", org.apache.spark.sql.types.StringType),
+          ("sum_qty", org.apache.spark.sql.types.DoubleType),
+          ("n", org.apache.spark.sql.types.LongType),
+          ("min_disc", org.apache.spark.sql.types.DoubleType)))
+  }
+
+  test("soundness gates: disqualified queries stay on the fact scan") {
+    buildAndRegister()
+    // 1. avg has no partial-state column -> no rewrite
+    val avgQ = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))
+    assert(!scansSummary(avgQ), "avg must not rewrite")
+    // 2. DISTINCT aggregate -> no rewrite
+    val distQ = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("d"))
+    assert(!scansSummary(distQ), "distinct must not rewrite")
+    // 3. group on a non-dim -> no rewrite
+    val keyQ = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("s"))
+    assert(!scansSummary(keyQ), "non-dim grouping must not rewrite")
+    // 4. filter on a MEASURE -> no rewrite (summary lost row detail)
+    val mfQ = li.where(col("l_discount") > 0.05)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    assert(!scansSummary(mfQ), "measure filter must not rewrite")
+    // 5. global COUNT (no GROUP BY) -> no rewrite (empty-fact NULL trap)
+    val gcQ = li.agg(count(lit(1)).as("n"))
+    assert(!scansSummary(gcQ), "global count must not rewrite")
+    // and each disqualified query still computes correctly from the fact
+    assert(keyQ.count() > 0 && gcQ.collect().head.getLong(0) == li.count())
+  }
+
+  test("sum/min/max re-aggregation matches the fact for every group") {
+    buildAndRegister()
+    val fromSummary = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sp"),
+           max(col("l_discount")).as("mx"),
+           count(lit(1)).as("n"))
+    assert(scansSummary(fromSummary))
+    val got = fromSummary.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    SummaryRewrite.clear()
+    val exp = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sp"),
+           max(col("l_discount")).as("mx"),
+           count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (sp, mx, n)) =>
+      val (esp, emx, en) = exp(k)
+      assert(n == en && mx == emx, s"$k: exact aggs diverged")
+      assert(math.abs(sp - esp) < 0.05, s"$k: $sp vs $esp")
+    }
+  }
+}
