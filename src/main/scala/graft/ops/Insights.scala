@@ -792,7 +792,93 @@ object Insights {
       |HAVING count(*) >= 5
       |ORDER BY e1, e2, e3""".stripMargin
 
+  // ─── q182: skyline (Pareto frontier) of customer value ────────────────
+  // The multi-criteria "best customers" query: keep every customer not
+  // DOMINATED on (order count, total quantity, account balance) — q
+  // dominates p when q >= p on all three and > on at least one. Metrics
+  // are chosen exact-deterministic (counts and integral-quantity sums,
+  // plus a raw column) so both engines see identical dominance.
+  //
+  // Distributed form is the canonical two-phase skyline (Börzsönyi et
+  // al., ICDE'01 adapted to shared-nothing): a PARTITION-LOCAL skyline
+  // first — skylines are tiny relative to their input, so this is the
+  // heavy pruning step and runs embarrassingly parallel via
+  // mapPartitions (the rare case where per-partition imperative logic is
+  // the right tool: dominance is not an equi-join, so no shuffle key
+  // exists for Catalyst to exploit) — then the surviving candidates
+  // (thousands, not millions) meet in one final broadcast anti-join with
+  // the dominance predicate. The naive form would be a single O(n²)
+  // non-equi self-join over the full frame; at 10⁸ customers that is the
+  // plan that never finishes, while local-prune + candidate-join is
+  // minutes.
+  def q182Skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+           sum(col("l_quantity")).cast("long").as("qty_total"))
+    val withBal = base.join(customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("n_items"),
+              col("qty_total"), col("c_acctbal"))
+      .as[(Long, Long, Long, Double)]
+
+    def localSkyline(it: Iterator[(Long, Long, Long, Double)]
+                    ): Iterator[(Long, Long, Long, Double)] = {
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double)]
+      def dominates(q: (Long, Long, Long, Double),
+                    p: (Long, Long, Long, Double)): Boolean =
+        q._2 >= p._2 && q._3 >= p._3 && q._4 >= p._4 &&
+          (q._2 > p._2 || q._3 > p._3 || q._4 > p._4)
+      it.foreach { p =>
+        if (!kept.exists(q => dominates(q, p))) {
+          val survivors = kept.filterNot(q => dominates(p, q))
+          survivors += p
+          kept.clear(); kept ++= survivors
+        }
+      }
+      kept.iterator
+    }
+
+    val candidates = withBal.mapPartitions(localSkyline).toDF(
+      "custkey", "n_items", "qty_total", "c_acctbal")
+    // global pass: candidates vs candidates (both tiny post-prune)
+    val dom = candidates.as("p").join(broadcast(candidates.as("q")),
+      col("q.n_items") >= col("p.n_items") &&
+      col("q.qty_total") >= col("p.qty_total") &&
+      col("q.c_acctbal") >= col("p.c_acctbal") &&
+      (col("q.n_items") > col("p.n_items") ||
+       col("q.qty_total") > col("p.qty_total") ||
+       col("q.c_acctbal") > col("p.c_acctbal")), "left_anti")
+    dom.select(col("custkey"), col("n_items"), col("qty_total"),
+               col("c_acctbal"))
+      .orderBy("custkey")
+  }
+
+  val q182Sql: String =
+    """WITH pts AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(l_quantity) AS BIGINT) AS qty_total
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_custkey),
+      |pb AS (
+      |  SELECT custkey, n_items, qty_total, c_acctbal
+      |  FROM pts JOIN customer ON custkey = c_custkey)
+      |SELECT custkey, n_items, qty_total, c_acctbal
+      |FROM pb p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pb q
+      |  WHERE q.n_items >= p.n_items AND q.qty_total >= p.qty_total
+      |    AND q.c_acctbal >= p.c_acctbal
+      |    AND (q.n_items > p.n_items OR q.qty_total > p.qty_total
+      |         OR q.c_acctbal > p.c_acctbal))
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_skyline"          -> (q182Skyline _),
     "q177_attribution"      -> (q177Attribution _),
     "q178_cusum_changepoint" -> (q178CusumChangepoint _),
     "q179_decayed_engagement" -> (q179DecayedEngagement _),
@@ -813,6 +899,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q182_skyline"          -> q182Sql,
     "q177_attribution"      -> q177Sql,
     "q178_cusum_changepoint" -> q178Sql,
     "q179_decayed_engagement" -> q179Sql,

@@ -834,7 +834,72 @@ object Warehouse {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ─── q183: incremental summary refresh (view maintenance) ─────────────
+  // The lifecycle half of q181: a materialized summary is only useful if
+  // it can absorb new data WITHOUT rescanning the fact. Here the fact is
+  // split into a base (90%) and a delta batch (10%); the refresh
+  // aggregates ONLY the delta to partial states and FULL-OUTER merges
+  // them into the base summary — sum+sum, least/greatest for min/max,
+  // cnt+cnt — the algebraic-state merge every incremental view engine
+  // (and q106's incremental agg) is built on. The merged summary is then
+  // registered and a fact-table query is answered from it; the DuckDB
+  // oracle computes from the COMPLETE raw fact, so a pass proves
+  // refresh ∘ rewrite is end-to-end exact.
+  //
+  // Scale: refresh cost is O(|delta| + |summary|), never O(|fact|) — at
+  // 100 TB the delta agg is the only fact-touching scan and it reads one
+  // day's partition, while the merge joins two summary-sized frames on
+  // their dim key.
+  def q183SummaryRefresh(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SummaryRewrite.ensureRule(s)
+    val sumDir = "/tmp/graft_mv/" +
+      java.lang.Integer.toHexString(d.hashCode) + "/lineitem_daily_incr"
+    val li = lineitem(s, d)
+    val dims = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(dims.map(col): _*)
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             sum(col("l_extendedprice")).as("sum_price"),
+             min(col("l_discount")).as("min_disc"),
+             max(col("l_discount")).as("max_disc"),
+             count(lit(1)).as("cnt"))
+    val merged = partials(li.where(col("l_orderkey") % 10 =!= 0)).as("b")
+      .join(partials(li.where(col("l_orderkey") % 10 === 0)).as("n"),
+            dims, "full_outer")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+        (coalesce(col("b.sum_qty"), lit(0.0))
+          + coalesce(col("n.sum_qty"), lit(0.0))).as("sum_qty"),
+        (coalesce(col("b.sum_price"), lit(0.0))
+          + coalesce(col("n.sum_price"), lit(0.0))).as("sum_price"),
+        least(col("b.min_disc"), col("n.min_disc")).as("min_disc"),
+        greatest(col("b.max_disc"), col("n.max_disc")).as("max_disc"),
+        (coalesce(col("b.cnt"), lit(0L))
+          + coalesce(col("n.cnt"), lit(0L))).as("cnt"))
+    merged.write.mode("overwrite").parquet(sumDir)
+    graft.plans.SummaryRewrite.register(s, s"$d/lineitem.parquet",
+      dims = dims,
+      sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+      mins = Map("l_discount" -> "min_disc"),
+      maxs = Map("l_discount" -> "max_disc"),
+      countCol = Some("cnt"), summaryPath = sumDir)
+    li.where(col("l_returnflag") =!= "A")
+      .groupBy(col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           count(lit(1)).as("n"),
+           min(col("l_discount")).as("min_disc"))
+      .orderBy("l_linestatus")
+  }
+
+  val q183Sql: String =
+    """SELECT l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
+      |  CAST(count(*) AS BIGINT) AS n, min(l_discount) AS min_disc
+      |FROM lineitem
+      |WHERE l_returnflag <> 'A'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_summary_refresh" -> (q183SummaryRefresh _),
     "q181_summary_rewrite" -> (q181SummaryRewrite _),
     "q137_percentile_inverse" -> (q137PercentileInverse _),
     "q145_null_aware_anti" -> (q145NullAwareAnti _),
@@ -870,5 +935,6 @@ object Warehouse {
     "q87_sessionize"  -> q87Sql,
     "q88_unpivot"     -> q88Sql,
     "q96_approx_percentiles" -> q96Sql,
-    "q181_summary_rewrite" -> q181Sql)
+    "q181_summary_rewrite" -> q181Sql,
+    "q183_summary_refresh" -> q183Sql)
 }

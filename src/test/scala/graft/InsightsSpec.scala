@@ -195,6 +195,35 @@ class InsightsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum <= totalTriples)
   }
 
+  test("q182: skyline members are mutually non-dominating and complete") {
+    val rows = Insights.q182Skyline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def dom(q: (Long, Long, Long, Double), p: (Long, Long, Long, Double)) =
+      q._2 >= p._2 && q._3 >= p._3 && q._4 >= p._4 &&
+        (q._2 > p._2 || q._3 > p._3 || q._4 > p._4)
+    // no member dominates another
+    for (p <- rows; q <- rows) assert(!dom(q, p), s"$q dominates member $p")
+    // completeness vs a driver-side brute force over ALL points
+    val pts = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n_items"),
+           org.apache.spark.sql.functions.sum("l_quantity").cast("long")
+             .as("qty_total"))
+      .join(Tables.customer(spark, sfDir),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("o_custkey", "n_items", "qty_total", "c_acctbal")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = pts.filter(p => !pts.exists(q => dom(q, p)))
+    assert(rows.sortBy(_._1).toSeq == brute.sortBy(_._1).toSeq)
+  }
+
   test("q169: entropy is bounded by log2 of the column cardinality") {
     val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
     assert(rows.length == 4)

@@ -131,6 +131,10 @@ class PlanLintSpec extends SparkSpec {
     // fact; each query's scaladoc names the sketch path that removes
     // even that (q164 -> approx_percentile cut-points, q174 -> binned
     // ECDF). Same precedent as q144/q85.
+    // q182: dominance is inherently non-equi; the BNLJ runs over the
+    // POST-PRUNE candidate set (partition-local skylines), never the
+    // full point set — that asymmetry is the operator's whole design
+    "q182_skyline" -> Set("nested-loop"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
     "q164_rfm_segments" -> Set("global-window"),
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),

@@ -97,6 +97,38 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(keyQ.count() > 0 && gcQ.collect().head.getLong(0) == li.count())
   }
 
+  test("q183: incremental refresh serves the query from the merged summary") {
+    SummaryRewrite.clear()
+    val df = graft.ops.Warehouse.q183SummaryRefresh(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("lineitem_daily_incr"),
+      "q183's query was not answered from the refreshed summary")
+    // and the merged summary equals a from-scratch rebuild, group for group
+    val incr = spark.read.parquet("/tmp/graft_mv/" +
+      java.lang.Integer.toHexString(sfDir.hashCode) + "/lineitem_daily_incr")
+    val direct = li.groupBy(col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+           min(col("l_discount")).as("min_disc"),
+           max(col("l_discount")).as("max_disc"),
+           count(lit(1)).as("cnt"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.get(2))
+    val gi = incr.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"), col("sum_qty"), col("min_disc"), col("max_disc"),
+        col("cnt"))
+      .collect().map(r => key(r) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val gd = direct.collect().map(r => key(r) ->
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(gi.keySet == gd.keySet)
+    gi.foreach { case (k, (sq, mn, mx, n)) =>
+      val (dsq, dmn, dmx, dn) = gd(k)
+      assert(n == dn && mn == dmn && mx == dmx, s"$k exact state diverged")
+      assert(math.abs(sq - dsq) < 1e-6, s"$k sum_qty $sq vs $dsq")
+    }
+  }
+
   test("sum/min/max re-aggregation matches the fact for every group") {
     buildAndRegister()
     val fromSummary = li
