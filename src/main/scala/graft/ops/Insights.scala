@@ -877,7 +877,132 @@ object Insights {
       |         OR q.c_acctbal > p.c_acctbal))
       |ORDER BY custkey""".stripMargin
 
+  // ─── q184: full linear-regression sufficient-statistics family ────────
+  // The regr_* aggregates q135 doesn't cover: centered second moments
+  // (sxx/syy/sxy), the marginal means, and r². Moments are reported
+  // PER-ROW-normalized (÷ regr_count) — at 5·10¹⁴ raw magnitude the
+  // engines' different summation trees diverge beyond round(…,2), while
+  // the normalized form is stable to ~1e-6; same sufficient statistic,
+  // scale-safe comparison.
+  def q184RegrFull(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_sxx(l_extendedprice, l_quantity)")
+          / expr("regr_count(l_extendedprice, l_quantity)"), 2).as("sxx_n"),
+        round(expr("regr_syy(l_extendedprice, l_quantity)")
+          / expr("regr_count(l_extendedprice, l_quantity)"), 2).as("syy_n"),
+        round(expr("regr_sxy(l_extendedprice, l_quantity)")
+          / expr("regr_count(l_extendedprice, l_quantity)"), 2).as("sxy_n"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 4).as("avgx"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4).as("avgy"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy("l_returnflag")
+
+  val q184Sql: String =
+    """SELECT l_returnflag,
+      |  round(regr_sxx(l_extendedprice, l_quantity)
+      |    / regr_count(l_extendedprice, l_quantity), 2) AS sxx_n,
+      |  round(regr_syy(l_extendedprice, l_quantity)
+      |    / regr_count(l_extendedprice, l_quantity), 2) AS syy_n,
+      |  round(regr_sxy(l_extendedprice, l_quantity)
+      |    / regr_count(l_extendedprice, l_quantity), 2) AS sxy_n,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ─── q185: linear (equal-credit) attribution ──────────────────────────
+  // q177's multi-touch sibling: each purchase's value splits EQUALLY
+  // across all its preceding touches. No self-join needed — per purchase
+  // row compute alloc = value / n_preceding_touches, then every touch's
+  // credit is the sum of alloc over FOLLOWING rows of its user (a touch
+  // precedes a purchase ⟺ the purchase follows the touch). Two windows
+  // over the same per-user ordering — one pass, linear scaling.
+  def q185LinearAttribution(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              col("value"))
+      .withColumn("n_touch",
+        count_if(col("event_type") =!= "purchase").over(wPrev))
+      .withColumn("alloc",
+        when(col("event_type") === "purchase" && col("n_touch") > 0,
+             col("value") / col("n_touch")).otherwise(lit(0.0)))
+      .withColumn("credit", sum(col("alloc")).over(wNext))
+      .where(col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+           round(sum(col("credit")), 2).as("credit"))
+      .orderBy("channel")
+  }
+
+  val q185Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |    value
+      |  FROM events),
+      |alloc AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase' AND n_touch > 0
+      |         THEN value / n_touch ELSE 0.0 END AS alloc
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type, value,
+      |      count(*) FILTER (WHERE event_type <> 'purchase') OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_touch
+      |    FROM e)),
+      |credited AS (
+      |  SELECT event_type,
+      |    sum(alloc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS credit
+      |  FROM alloc)
+      |SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  round(sum(credit), 2) AS credit
+      |FROM credited
+      |WHERE event_type <> 'purchase'
+      |GROUP BY event_type
+      |ORDER BY channel""".stripMargin
+
+  // ─── q186: one-shot column profile ────────────────────────────────────
+  // The data-catalog table profile: per column, row count, null count,
+  // exact distinct count. Per-column plans union into one profile frame
+  // (q169's pattern — independent, prunable scans; a single-pass
+  // grouping-sets melt is the 100 TB alternative when the table is too
+  // hot to scan once per column).
+  def q186ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def prof(c: String): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+            count_if(col(c).isNull).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+                col("n_distinct"))
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .map(prof).reduce(_ unionAll _)
+      .orderBy("column_name")
+  }
+
+  val q186Sql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_regr_full"        -> (q184RegrFull _),
+    "q185_linear_attribution" -> (q185LinearAttribution _),
+    "q186_column_profile"   -> (q186ColumnProfile _),
     "q182_skyline"          -> (q182Skyline _),
     "q177_attribution"      -> (q177Attribution _),
     "q178_cusum_changepoint" -> (q178CusumChangepoint _),
@@ -899,6 +1024,9 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q184_regr_full"        -> q184Sql,
+    "q185_linear_attribution" -> q185Sql,
+    "q186_column_profile"   -> q186Sql,
     "q182_skyline"          -> q182Sql,
     "q177_attribution"      -> q177Sql,
     "q178_cusum_changepoint" -> q178Sql,

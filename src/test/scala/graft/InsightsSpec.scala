@@ -224,6 +224,51 @@ class InsightsSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == brute.sortBy(_._1).toSeq)
   }
 
+  test("q184: moment identities hold (r2 = sxy^2/(sxx*syy), |r|<=1)") {
+    val rows = Insights.q184RegrFull(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sxx, syy, sxy, r2) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(6))
+      assert(sxx >= 0 && syy >= 0)
+      val expected = sxy * sxy / (sxx * syy)
+      assert(math.abs(r2 - expected) < 1e-3, s"r2 $r2 vs $expected")
+      assert(r2 >= 0 && r2 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q185: equal-credit attribution conserves attributable revenue") {
+    val rows = Insights.q185LinearAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // total credited value = value of purchases that HAVE >= 1 prior touch
+    val f = org.apache.spark.sql.functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val attributable = Tables.events(spark, sfDir)
+      .withColumn("n_touch",
+        f.count_if(f.col("event_type") =!= "purchase").over(w))
+      .where(f.col("event_type") === "purchase" && f.col("n_touch") > 0)
+      .agg(f.sum("value")).collect().head.getDouble(0)
+    val credited = rows.map(_.getDouble(2)).sum
+    assert(math.abs(credited - attributable) < 0.5,
+      s"credit $credited vs attributable $attributable")
+  }
+
+  test("q186: profile matches per-column ground truth") {
+    val rows = Insights.q186ColumnProfile(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val o = Tables.orders(spark, sfDir)
+    val n = o.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) + r.getLong(3) <= n + r.getLong(3)) // sanity
+    }
+    val byCol = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byCol("o_orderkey") == n, "PK must be unique")
+    assert(byCol("o_orderstatus") <= 3)
+  }
+
   test("q169: entropy is bounded by log2 of the column cardinality") {
     val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
     assert(rows.length == 4)
