@@ -223,6 +223,46 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ─── q187: ROLLING 7-day distinct users from daily HLL sketches ──────
+  // The operational "7-day active users" metric at sketch cost: one
+  // sketch per DAY persists (the q123 partial), and every day's trailing
+  // window is a union of ≤7 sketches — the fact is scanned once ever,
+  // each daily report touches kilobytes. The window association is a
+  // small range join (|days| rows against |days| sketches, broadcast);
+  // the EXACT twin recomputes each window from rows (test-scale only —
+  // at 100 TB exactly the thing the sketches exist to avoid) and the 5%+2
+  // bound rides as data, q123's oracle contract.
+  def q187RollingHll(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("user_id"))
+    val daily = e.groupBy(col("dt"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val days = daily.select(col("dt").as("d"))
+    val est = days.join(broadcast(daily),
+        datediff(col("d"), col("dt")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = days.join(e, datediff(col("d"), col("dt")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    exact.join(broadcast(est), Seq("d"))
+      .select(col("d"), col("n_users"),
+        (abs(col("est") - col("n_users")) <= col("n_users") * 0.05 + 2)
+          .as("window_ok"))
+      .orderBy(col("d"))
+  }
+
+  val q187Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT dt AS d FROM e)
+      |SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  TRUE AS window_ok
+      |FROM days JOIN e ON datediff('day', e.dt, days.d) BETWEEN 0 AND 6
+      |GROUP BY d
+      |ORDER BY d""".stripMargin
+
   // ─── q156: HLL set-INTERSECTION estimate (inclusion–exclusion) ───────
   // Sketches union natively (q123) but not intersect; the standard
   // answer is |A∩B| ≈ est(A) + est(B) − est(A∪B), computed entirely
@@ -526,6 +566,7 @@ object Analytics {
     "q135_regression"     -> (q135Regression _),
     "q136_bool_agg"       -> (q136BoolAgg _),
     "q123_hll_merge"      -> (q123HllMerge _),
+    "q187_rolling_hll"    -> (q187RollingHll _),
     "q156_hll_intersect"  -> (q156HllIntersect _),
     "q124_bitmap_distinct" -> (q124BitmapDistinct _),
     "q125_filtered_agg"   -> (q125FilteredAgg _),
@@ -545,6 +586,7 @@ object Analytics {
     "q135_regression"    -> q135Sql,
     "q136_bool_agg"      -> q136Sql,
     "q123_hll_merge"     -> q123Sql,
+    "q187_rolling_hll"   -> q187Sql,
     "q156_hll_intersect" -> q156Sql,
     "q124_bitmap_distinct" -> q124Sql,
     "q125_filtered_agg"  -> q125Sql,

@@ -135,6 +135,10 @@ class PlanLintSpec extends SparkSpec {
     // POST-PRUNE candidate set (partition-local skylines), never the
     // full point set — that asymmetry is the operator's whole design
     "q182_skyline" -> Set("nested-loop"),
+    // q187: the trailing-window association is a |days|×|days| range
+    // join (~30×30 here, |calendar| at any scale) against BROADCAST
+    // daily frames — the fact is touched once, in the daily sketch agg
+    "q187_rolling_hll" -> Set("nested-loop"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
     "q164_rfm_segments" -> Set("global-window"),
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),

@@ -113,4 +113,23 @@ class SketchAggSpec extends SparkSpec {
     val total = hist.agg(sum(col("n"))).collect()(0).getLong(0)
     assert(total == Tables.lineitem(spark, sfDir).count())
   }
+
+  test("q187: rolling 7-day window ties out and the sketch stays in bound") {
+    val rows = Analytics.q187RollingHll(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "every window estimate in bound")
+    // driver-side recompute of one mid-series window
+    val byDay = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("dt"), col("user_id"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val mid = rows(rows.length / 2)
+    val d = mid.getDate(0).toLocalDate
+    val expect = byDay.collect {
+      case (dt, u) if !dt.isAfter(d) && !dt.isBefore(d.minusDays(6)) => u
+    }.distinct.length
+    assert(mid.getLong(1) == expect, s"window at $d: ${mid.getLong(1)} vs $expect")
+    // windows are supersets of their day -> monotone vs daily distinct
+    val dailyMax = byDay.groupBy(_._1).map(_._2.map(_._2).distinct.length).max
+    assert(rows.map(_.getLong(1)).max >= dailyMax)
+  }
 }
