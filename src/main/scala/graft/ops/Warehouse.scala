@@ -797,7 +797,10 @@ object Warehouse {
   // float caveat is the usual one: SUM re-aggregates partial sums, so
   // the summation tree differs from a raw scan (both engines' results
   // are rounded, as every float aggregate here is).
-  def q181SummaryRewrite(s: SparkSession, d: String): DataFrame = {
+  /** Build + register the lineitem daily summary for `d` (shared by
+    * q181/q188; q183 registers its incrementally-refreshed twin).
+    */
+  private def registerLineitemSummary(s: SparkSession, d: String): Unit = {
     graft.plans.SummaryRewrite.ensureRule(s)
     val sumDir = "/tmp/graft_mv/" +
       java.lang.Integer.toHexString(d.hashCode) + "/lineitem_daily"
@@ -815,6 +818,10 @@ object Warehouse {
       mins = Map("l_discount" -> "min_disc"),
       maxs = Map("l_discount" -> "max_disc"),
       countCol = Some("cnt"), summaryPath = sumDir)
+  }
+
+  def q181SummaryRewrite(s: SparkSession, d: String): DataFrame = {
+    registerLineitemSummary(s, d)
     lineitem(s, d)
       .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
       .groupBy(col("l_returnflag"))
@@ -890,6 +897,35 @@ object Warehouse {
       .orderBy("l_linestatus")
   }
 
+  // ─── q188: summary rewrite through the SQL-TEXT entry point ───────────
+  // The rule lives in the OPTIMIZER, so it is entry-point-agnostic: the
+  // same rewrite that served q181's DataFrame plan serves raw SQL text
+  // over a registered view — no view definition mentions the summary.
+  // SummaryRewriteSpec asserts this plan scans the summary file; the
+  // DuckDB oracle again computes from the raw fact.
+  def q188SqlMvRewrite(s: SparkSession, d: String): DataFrame = {
+    registerLineitemSummary(s, d)
+    // prefixed + dropped after planning (the q79 view-hygiene rule)
+    lineitem(s, d).createOrReplaceTempView("graft_q188_lineitem")
+    try s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n, max(l_discount) AS max_disc
+        |FROM graft_q188_lineitem
+        |WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    finally s.catalog.dropTempView("graft_q188_lineitem")
+  }
+
+  val q188Sql: String =
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n, max(l_discount) AS max_disc
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val q183Sql: String =
     """SELECT l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
       |  CAST(count(*) AS BIGINT) AS n, min(l_discount) AS min_disc
@@ -900,6 +936,7 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_summary_refresh" -> (q183SummaryRefresh _),
+    "q188_sql_mv_rewrite" -> (q188SqlMvRewrite _),
     "q181_summary_rewrite" -> (q181SummaryRewrite _),
     "q137_percentile_inverse" -> (q137PercentileInverse _),
     "q145_null_aware_anti" -> (q145NullAwareAnti _),
@@ -936,5 +973,6 @@ object Warehouse {
     "q88_unpivot"     -> q88Sql,
     "q96_approx_percentiles" -> q96Sql,
     "q181_summary_rewrite" -> q181Sql,
-    "q183_summary_refresh" -> q183Sql)
+    "q183_summary_refresh" -> q183Sql,
+    "q188_sql_mv_rewrite" -> q188Sql)
 }

@@ -129,6 +129,21 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("q188: the rewrite serves SQL text over a view (entry-point agnostic)") {
+    SummaryRewrite.clear()
+    val df = graft.ops.Warehouse.q188SqlMvRewrite(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("lineitem_daily"),
+      "SQL-text query was not answered from the summary")
+    // and the values match the raw-fact computation
+    SummaryRewrite.clear()
+    val raw = li.where(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"), max(col("l_discount")).as("max_disc"))
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(df.collect().toSeq == raw.toSeq)
+  }
+
   test("sum/min/max re-aggregation matches the fact for every group") {
     buildAndRegister()
     val fromSummary = li
