@@ -144,6 +144,64 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(df.collect().toSeq == raw.toSeq)
   }
 
+  test("seeded property: random eligible shapes rewrite and agree with the fact") {
+    buildAndRegister()
+    val rnd = new scala.util.Random(4242)
+    val dims = Vector("l_returnflag", "l_linestatus", "l_shipdate")
+    // (label, aggregate builder, exact? — exact states compare ==, float
+    // partial-sum states compare with tolerance)
+    val aggPool: Vector[(String, org.apache.spark.sql.Column, Boolean)] =
+      Vector(
+        ("sq", sum(col("l_quantity")), false),
+        ("sp", sum(col("l_extendedprice")), false),
+        ("mn", min(col("l_discount")), true),
+        ("mx", max(col("l_discount")), true),
+        ("ct", count(lit(1)), true),
+        ("rq", round(sum(col("l_quantity")), 1), false))
+    for (trial <- 1 to 15) {
+      val gDims = rnd.shuffle(dims).take(1 + rnd.nextInt(dims.size))
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
+      val flags = Seq("A", "N", "R")
+      val useFilter = rnd.nextBoolean()
+      // same rnd state must drive both runs: snapshot it for the pair
+      val seedState = rnd.nextLong()
+      val rndA = new scala.util.Random(seedState)
+      val rndB = new scala.util.Random(seedState)
+      def mk(r: scala.util.Random): DataFrame = {
+        val base = if (useFilter)
+          li.where(col("l_returnflag") === flags(r.nextInt(3))) else li
+        base.groupBy(gDims.map(col): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+               aggs.tail.map(a => a._2.as(a._1)): _*)
+      }
+      val rewritten = mk(rndA)
+      assert(scansSummary(rewritten), s"trial $trial: no rewrite for " +
+        s"dims=$gDims aggs=${aggs.map(_._1)} filter=$useFilter")
+      val got = rewritten.collect()
+      SummaryRewrite.clear()
+      val exp = mk(rndB).collect()
+      buildAndRegister()
+      val key = (r: org.apache.spark.sql.Row) =>
+        gDims.indices.map(r.get).mkString("|")
+      val gm = got.map(r => key(r) -> r).toMap
+      val em = exp.map(r => key(r) -> r).toMap
+      assert(gm.keySet == em.keySet, s"trial $trial: group sets differ")
+      gm.foreach { case (k, gr) =>
+        val er = em(k)
+        aggs.zipWithIndex.foreach { case ((label, _, exact), i) =>
+          val idx = gDims.size + i
+          if (exact) assert(gr.get(idx) == er.get(idx),
+            s"trial $trial $label@$k: ${gr.get(idx)} vs ${er.get(idx)}")
+          else {
+            val (g, e) = (gr.getDouble(idx), er.getDouble(idx))
+            assert(math.abs(g - e) <= math.abs(e) * 1e-9 + 1e-6,
+              s"trial $trial $label@$k: $g vs $e")
+          }
+        }
+      }
+    }
+  }
+
   test("sum/min/max re-aggregation matches the fact for every group") {
     buildAndRegister()
     val fromSummary = li
