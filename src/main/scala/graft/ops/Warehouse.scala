@@ -857,22 +857,24 @@ object Warehouse {
   // 100 TB the delta agg is the only fact-touching scan and it reads one
   // day's partition, while the merge joins two summary-sized frames on
   // their dim key.
-  def q183SummaryRefresh(s: SparkSession, d: String): DataFrame = {
-    graft.plans.SummaryRewrite.ensureRule(s)
-    val sumDir = "/tmp/graft_mv/" +
-      java.lang.Integer.toHexString(d.hashCode) + "/lineitem_daily_incr"
-    val li = lineitem(s, d)
-    val dims = Seq("l_returnflag", "l_linestatus", "l_shipdate")
-    def partials(df: DataFrame): DataFrame =
-      df.groupBy(dims.map(col): _*)
-        .agg(sum(col("l_quantity")).as("sum_qty"),
-             sum(col("l_extendedprice")).as("sum_price"),
-             min(col("l_discount")).as("min_disc"),
-             max(col("l_discount")).as("max_disc"),
-             count(lit(1)).as("cnt"))
-    val merged = partials(li.where(col("l_orderkey") % 10 =!= 0)).as("b")
-      .join(partials(li.where(col("l_orderkey") % 10 === 0)).as("n"),
-            dims, "full_outer")
+  /** Lineitem daily-summary partial states (the persisted MV content). */
+  def lineitemPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_extendedprice")).as("sum_price"),
+           min(col("l_discount")).as("min_disc"),
+           max(col("l_discount")).as("max_disc"),
+           count(lit(1)).as("cnt"))
+
+  /** Algebraic-state merge of two partial-state frames with the lineitem
+    * daily-summary schema: sum+sum, least/greatest for min/max, cnt+cnt
+    * over a FULL OUTER dim join. Used by q183's batch refresh and by the
+    * streaming (foreachBatch) maintenance path SummaryRewriteSpec drives
+    * — each micro-batch's partials fold in at O(|delta|+|summary|).
+    */
+  def mergePartials(base: DataFrame, delta: DataFrame): DataFrame =
+    base.as("b").join(delta.as("n"),
+        Seq("l_returnflag", "l_linestatus", "l_shipdate"), "full_outer")
       .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
         (coalesce(col("b.sum_qty"), lit(0.0))
           + coalesce(col("n.sum_qty"), lit(0.0))).as("sum_qty"),
@@ -882,6 +884,16 @@ object Warehouse {
         greatest(col("b.max_disc"), col("n.max_disc")).as("max_disc"),
         (coalesce(col("b.cnt"), lit(0L))
           + coalesce(col("n.cnt"), lit(0L))).as("cnt"))
+
+  def q183SummaryRefresh(s: SparkSession, d: String): DataFrame = {
+    graft.plans.SummaryRewrite.ensureRule(s)
+    val sumDir = "/tmp/graft_mv/" +
+      java.lang.Integer.toHexString(d.hashCode) + "/lineitem_daily_incr"
+    val li = lineitem(s, d)
+    val dims = Seq("l_returnflag", "l_linestatus", "l_shipdate")
+    val merged = mergePartials(
+      lineitemPartials(li.where(col("l_orderkey") % 10 =!= 0)),
+      lineitemPartials(li.where(col("l_orderkey") % 10 === 0)))
     merged.write.mode("overwrite").parquet(sumDir)
     graft.plans.SummaryRewrite.register(s, s"$d/lineitem.parquet",
       dims = dims,

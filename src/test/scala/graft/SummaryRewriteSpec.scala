@@ -144,6 +144,62 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(df.collect().toSeq == raw.toSeq)
   }
 
+  test("streaming maintenance: foreachBatch folds micro-batch deltas into the summary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the fact arrives as a stream in 3 micro-batches; each batch's
+    // partials merge into the persisted summary (versioned dirs stand in
+    // for the snapshot store's atomic swap)
+    val rows = li.select(col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("string").as("ship_s"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_orderkey"))
+      .as[(String, String, String, Double, Double, Double, Long)]
+      .collect()
+    val in = MemoryStream[(String, String, String, Double, Double, Double, Long)]
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_mv_stream").toString
+    @volatile var version = -1
+    def summaryAt(v: Int) = spark.read.parquet(s"$baseDir/v$v")
+    val q = in.toDS().toDF("l_returnflag", "l_linestatus", "ship_s",
+        "l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+      .withColumn("l_shipdate", col("ship_s").cast("timestamp_ntz"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val delta = graft.ops.Warehouse.lineitemPartials(df)
+        val next = if (version < 0) delta
+          else graft.ops.Warehouse.mergePartials(summaryAt(version), delta)
+        next.write.mode("overwrite").parquet(s"$baseDir/v${version + 1}")
+        version += 1
+      }
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { batch =>
+        in.addData(batch.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(version >= 1, "expected multiple micro-batches")
+    // the streamed summary must equal a from-scratch rebuild over the fact
+    val got = summaryAt(version)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("string"), col("sum_qty"), col("min_disc"),
+        col("max_disc"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val exp = graft.ops.Warehouse.lineitemPartials(li)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("string"), col("sum_qty"), col("min_disc"),
+        col("max_disc"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (sq, mn, mx, n)) =>
+      val (esq, emn, emx, en) = exp(k)
+      assert(n == en && mn == emn && mx == emx, s"$k exact state diverged")
+      assert(math.abs(sq - esq) < 1e-6, s"$k sum_qty $sq vs $esq")
+    }
+  }
+
   test("seeded property: random eligible shapes rewrite and agree with the fact") {
     buildAndRegister()
     val rnd = new scala.util.Random(4242)
