@@ -365,12 +365,66 @@ object Streaming {
       | AND c.ts < v.ts + INTERVAL 15 MINUTE
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** FULL OUTER stream-stream join — the audit form: every view AND every
+    * click appears, matched or not. The outer-emission rule of q149
+    * applies to BOTH sides: an unmatched row (either stream) materializes
+    * only when the watermark proves its join window is closed, so both
+    * sides' state evicts at watermark + 15 min. Same condition, same
+    * code, batch (q189, oracle-checked) and streaming (StreamingSpec).
+    */
+  def viewClickJoinFull(views: DataFrame, clicks: DataFrame): DataFrame = {
+    // rename the click side's key: both outputs must survive the outer
+    // join, and when both inputs share a lineage (batch twin: one events
+    // scan) df("col") references are ambiguous — name-based resolution
+    // over DISTINCT names is lineage-proof
+    val c = clicks.withColumnRenamed("user_id", "c_user_id")
+    val cond = col("user_id") === col("c_user_id") &&
+      col("view_ts") <= col("click_ts") &&
+      col("click_ts") < col("view_ts") + expr("INTERVAL 15 MINUTES")
+    views.join(c, cond, "full_outer")
+      .select(coalesce(col("user_id"), col("c_user_id")).as("user_id"),
+              col("view_id"), col("click_id"),
+              col("view_ts"), col("click_ts"))
+  }
+
+  // ─── q189: FULL OUTER interval join (batch twin) ──────────────────────
+  // Null sides coalesce to -1 in BOTH engines (the q149 rule); the
+  // user_id survives from whichever side is present.
+  def q189IntervalJoinFull(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+              col("event_id").as("view_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    viewClickJoinFull(views, clicks)
+      .select(col("user_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val q189Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events)
+      |SELECT coalesce(v.user_id, c.user_id) AS user_id,
+      |  coalesce(v.event_id, -1) AS view_id,
+      |  coalesce(c.event_id, -1) AS click_id
+      |FROM (SELECT * FROM e WHERE event_type = 'view') v
+      |FULL JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id AND v.ts <= c.ts
+      | AND c.ts < v.ts + INTERVAL 15 MINUTE
+      |ORDER BY user_id, view_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_tumbling_window" -> (q52Tumbling _),
     "q53_sliding_window"  -> (q53Sliding _),
     "q54_session_window"  -> (q54Sessions _),
     "q67_interval_join"   -> (q67IntervalJoin _),
     "q149_interval_join_left" -> (q149IntervalJoinLeft _),
+    "q189_interval_join_full" -> (q189IntervalJoinFull _),
     "q157_dynamic_sessions" -> (q157DynamicSessions _),
   )
 
@@ -380,6 +434,7 @@ object Streaming {
     "q54_session_window"  -> q54Sql,
     "q67_interval_join"   -> q67Sql,
     "q149_interval_join_left" -> q149Sql,
+    "q189_interval_join_full" -> q189Sql,
     "q157_dynamic_sessions" -> q157Sql,
   )
 }

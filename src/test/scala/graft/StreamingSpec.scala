@@ -229,6 +229,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join surfaces BOTH unmatched sides after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EvU]
+    val clicks = MemoryStream[EvU]
+    val joined = Streaming.viewClickJoinFull(
+      views.toDF().withWatermark("ts", "5 minutes")
+        .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id")),
+      clicks.toDF().withWatermark("ts", "5 minutes")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id")))
+    val q = joined.writeStream.format("memory").queryName("ssjf")
+      .outputMode("append").start()
+    try {
+      // user 7 matches; user 8's view never matches (click precedes it);
+      // user 9 has a click with NO view at all — only the FULL join shows it
+      views.addData(EvU(100, ts(0), "view", 0, 7), EvU(101, ts(30), "view", 0, 8))
+      clicks.addData(EvU(200, ts(10), "click", 0, 7),
+                     EvU(202, ts(29), "click", 0, 8),
+                     EvU(203, ts(31), "click", 0, 9))
+      q.processAllAvailable()
+      // push both watermarks far past every horizon
+      views.addData(EvU(110, ts(120), "view", 0, 99))
+      clicks.addData(EvU(210, ts(121), "click", 0, 98))
+      q.processAllAvailable()
+      val rows = spark.table("ssjf")
+        .select($"user_id", $"view_id", $"click_id")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(rows === Set(
+        (7L, Some(100L), Some(200L)),   // matched
+        (8L, Some(101L), None),         // view without click
+        (8L, None, Some(202L)),         // click without view (pre-view)
+        (9L, None, Some(203L))),        // click-only user
+        s"full-outer join produced $rows")
+    } finally q.stop()
+  }
+
   test("dynamic session gap is live: shorter click gaps split more sessions") {
     val dynamic = Streaming.q157DynamicSessions(spark, sfDir).count()
     val fixed30 = Streaming.q54Sessions(spark, sfDir).count()
