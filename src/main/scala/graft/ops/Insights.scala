@@ -999,7 +999,49 @@ object Insights {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ─── q190: equi-DEPTH histogram ───────────────────────────────────────
+  // The optimizer-statistics histogram (q126 is equi-WIDTH): decile cut
+  // points from the exact percentile family, bin = count of cuts
+  // strictly below the value (the q173 broadcast-join idiom — 9 rows
+  // against the fact, map-side at any scale), then per-bin count and
+  // value range. Bins hold ~n/10 rows by construction — the property
+  // that makes equi-depth the selectivity-estimation form.
+  def q190EquidepthHist(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val cuts = li.select(explode(expr(
+      "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"))
+      .as("cut"))
+    // distinct values first (multiplicity in cnt) — the q173 rule: the
+    // 9-way cut join must fan out per distinct value, not per row
+    val vals = li.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    vals.crossJoin(broadcast(cuts))
+      .groupBy(col("v"), col("cnt"))
+      .agg(count_if(col("cut") < col("v")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n"),
+           round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+      .orderBy("bin")
+  }
+
+  val q190Sql: String =
+    """WITH li AS (SELECT l_extendedprice AS v FROM lineitem),
+      |cuts AS (
+      |  SELECT unnest(quantile_cont(v,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS cut
+      |  FROM li),
+      |vals AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY v),
+      |binned AS (
+      |  SELECT v, cnt,
+      |    CAST(count(*) FILTER (WHERE cut < v) AS BIGINT) AS bin
+      |  FROM vals CROSS JOIN cuts GROUP BY v, cnt)
+      |SELECT bin, sum(cnt) AS n,
+      |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
+      |FROM binned GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_equidepth_hist"   -> (q190EquidepthHist _),
     "q184_regr_full"        -> (q184RegrFull _),
     "q185_linear_attribution" -> (q185LinearAttribution _),
     "q186_column_profile"   -> (q186ColumnProfile _),
@@ -1024,6 +1066,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q190_equidepth_hist"   -> q190Sql,
     "q184_regr_full"        -> q184Sql,
     "q185_linear_attribution" -> q185Sql,
     "q186_column_profile"   -> q186Sql,

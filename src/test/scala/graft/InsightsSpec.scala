@@ -269,6 +269,23 @@ class InsightsSpec extends SparkSpec {
     assert(byCol("o_orderstatus") <= 3)
   }
 
+  test("q190: equi-depth bins cover all rows in ~n/10 slices with ordered ranges") {
+    val rows = Insights.q190EquidepthHist(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must cover every row")
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10.0) <= total * 0.02 + 2,
+        s"bin ${r.getLong(0)} holds ${r.getLong(1)} of $total — not equi-depth")
+      assert(r.getDouble(2) <= r.getDouble(3), "lo <= hi within bin")
+    }
+    // ranges are disjoint and ordered across bins
+    rows.sortBy(_.getLong(0)).sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2) + 1e-9)
+      case _ =>
+    }
+  }
+
   test("q169: entropy is bounded by log2 of the column cardinality") {
     val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
     assert(rows.length == 4)

@@ -139,6 +139,8 @@ class PlanLintSpec extends SparkSpec {
     // join (~30×30 here, |calendar| at any scale) against BROADCAST
     // daily frames — the fact is touched once, in the daily sketch agg
     "q187_rolling_hll" -> Set("nested-loop"),
+    // q190: the 9-row decile-cut frame crosses the DISTINCT-value frame
+    "q190_equidepth_hist" -> Set("nested-loop", "cartesian"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
     "q164_rfm_segments" -> Set("global-window"),
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
