@@ -1040,7 +1040,138 @@ object Insights {
       |FROM binned GROUP BY bin
       |ORDER BY bin""".stripMargin
 
+  // ─── q191: per-group z-score feature scaling ──────────────────────────
+  // The feature-pipeline normalization pass: learn per-group (mean, σ)
+  // in one agg, broadcast the tiny stats frame back, scale map-side.
+  // The output is the self-audit every scaler ships: the normalized
+  // column's mean must be 0 and σ must be 1 per group (reported rounded,
+  // so the oracle proves the scaling algebra, not just the stats).
+  def q191FeatureScaling(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    e.join(broadcast(stats), "event_type")
+      .select(col("event_type"), ((col("value") - col("mu")) / col("sd")).as("z"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("z")), 6).as("mean_z"),
+           round(stddev_pop(col("z")), 6).as("sd_z"),
+           round(min(col("z")), 4).as("min_z"),
+           round(max(col("z")), 4).as("max_z"))
+      .orderBy("event_type")
+  }
+
+  val q191Sql: String =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+      |  FROM events GROUP BY event_type),
+      |z AS (
+      |  SELECT e.event_type, (e.value - mu) / sd AS z
+      |  FROM events e JOIN stats ON e.event_type = stats.event_type)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(z), 6) AS mean_z,
+      |  round(stddev_pop(z), 6) AS sd_z,
+      |  round(min(z), 4) AS min_z, round(max(z), 4) AS max_z
+      |FROM z GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ─── q192: leave-one-out target encoding ──────────────────────────────
+  // The categorical-feature encoder that avoids self-leakage: each row's
+  // encoding is the target mean of its category EXCLUDING the row itself
+  // — (sum − y) / (n − 1). One agg learns per-category (sum, n); the
+  // encode is map-side algebra against the broadcast table, never a
+  // per-row subquery. Output audits the encoder per category: the mean
+  // of LOO encodings equals the raw category mean (an algebraic identity
+  // — each row's exclusion cancels in the average), and their spread
+  // shows the leakage the exclusion removes.
+  def q192TargetEncoding(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority").as("cat"),
+                                col("o_totalprice").as("y"))
+    val enc = o.groupBy("cat")
+      .agg(sum(col("y")).as("s"), count(lit(1)).cast("double").as("n"))
+    o.join(broadcast(enc), "cat")
+      .select(col("cat"), col("y"),
+        ((col("s") - col("y")) / (col("n") - 1.0)).as("loo"))
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n_rows"),
+           round(avg(col("y")), 2).as("raw_mean"),
+           round(avg(col("loo")), 2).as("loo_mean"),
+           round(stddev_pop(col("loo")), 2).as("loo_sd"))
+      .orderBy("cat")
+  }
+
+  val q192Sql: String =
+    """WITH enc AS (
+      |  SELECT o_orderpriority AS cat, sum(o_totalprice) AS s,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM orders GROUP BY o_orderpriority),
+      |loo AS (
+      |  SELECT o.o_orderpriority AS cat, o.o_totalprice AS y,
+      |    (s - o.o_totalprice) / (n - 1.0) AS loo
+      |  FROM orders o JOIN enc ON o.o_orderpriority = enc.cat)
+      |SELECT cat, CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(avg(y), 2) AS raw_mean,
+      |  round(avg(loo), 2) AS loo_mean,
+      |  round(stddev_pop(loo), 2) AS loo_sd
+      |FROM loo GROUP BY cat
+      |ORDER BY cat""".stripMargin
+
+  // ─── q193: temporal train/valid/test split with embargo ───────────────
+  // The leakage-safe time split (q72's hash split is for iid data; time
+  // series need a TEMPORAL cut): train < t70, valid in [t70+embargo,
+  // t85), test ≥ t85+embargo, with a 1-day EMBARGO dropped after each
+  // boundary so look-ahead features computed near the cut can't leak
+  // across it. Boundaries come from integer microsecond arithmetic on
+  // (min, max) — both engines cut identically, the q173 rule. The output
+  // audits the split: per-bucket counts, time ranges, and the embargoed
+  // row count made visible (silent row drops are how leakage audits die).
+  def q193TemporalSplit(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events(s, d).select(unix_micros(col("ts")).as("us"))
+    val mm = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    e.crossJoin(broadcast(mm))
+      // `div` (integer division), matching the oracle's `//` — Column `/`
+      // on longs is FLOAT division and would cut boundaries differently
+      .select(col("us"),
+        expr("mn + ((mx - mn) * 70) div 100").as("t70"),
+        expr("mn + ((mx - mn) * 85) div 100").as("t85"))
+      .select(col("us"),
+        when(col("us") < col("t70"), "1_train")
+          .when(col("us") >= col("t70") + dayUs && col("us") < col("t85"),
+                "2_valid")
+          .when(col("us") >= col("t85") + dayUs, "3_test")
+          .otherwise("0_embargoed").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           min(col("us")).as("from_us"), max(col("us")).as("to_us"))
+      .orderBy("bucket")
+  }
+
+  val q193Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |mm AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+      |cut AS (
+      |  SELECT us,
+      |    mn + ((mx - mn) * 70) // 100 AS t70,
+      |    mn + ((mx - mn) * 85) // 100 AS t85
+      |  FROM e CROSS JOIN mm),
+      |b AS (
+      |  SELECT us,
+      |    CASE WHEN us < t70 THEN '1_train'
+      |         WHEN us >= t70 + 86400000000 AND us < t85 THEN '2_valid'
+      |         WHEN us >= t85 + 86400000000 THEN '3_test'
+      |         ELSE '0_embargoed' END AS bucket
+      |  FROM cut)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(us) AS from_us, max(us) AS to_us
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_feature_scaling"  -> (q191FeatureScaling _),
+    "q192_target_encoding"  -> (q192TargetEncoding _),
+    "q193_temporal_split"   -> (q193TemporalSplit _),
     "q190_equidepth_hist"   -> (q190EquidepthHist _),
     "q184_regr_full"        -> (q184RegrFull _),
     "q185_linear_attribution" -> (q185LinearAttribution _),
@@ -1066,6 +1197,9 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q191_feature_scaling"  -> q191Sql,
+    "q192_target_encoding"  -> q192Sql,
+    "q193_temporal_split"   -> q193Sql,
     "q190_equidepth_hist"   -> q190Sql,
     "q184_regr_full"        -> q184Sql,
     "q185_linear_attribution" -> q185Sql,

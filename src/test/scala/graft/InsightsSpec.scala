@@ -286,6 +286,41 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("q191: scaled features audit to mean 0, sd 1 per group") {
+    val rows = Insights.q191FeatureScaling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) < 1e-5, s"mean_z ${r.getDouble(2)}")
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-5, s"sd_z ${r.getDouble(3)}")
+      assert(r.getDouble(4) < 0 && r.getDouble(5) > 0)
+    }
+  }
+
+  test("q192: LOO encoding means equal raw means (the cancellation identity)") {
+    val rows = Insights.q192TargetEncoding(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.02,
+        s"${r.getString(0)}: raw ${r.getDouble(2)} vs loo ${r.getDouble(3)}")
+      assert(r.getDouble(4) > 0, "LOO encodings must vary within a category")
+    }
+  }
+
+  test("q193: temporal split covers every event once, embargo visible, ordered") {
+    val rows = Insights.q193TemporalSplit(spark, sfDir).collect()
+    val byBucket = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.map(_.getLong(1)).sum == Tables.events(spark, sfDir).count())
+    assert(byBucket.contains("1_train") && byBucket.contains("2_valid") &&
+           byBucket.contains("3_test"))
+    // buckets are time-ordered and non-overlapping: train < valid < test
+    assert(byBucket("1_train")._3 < byBucket("2_valid")._2)
+    assert(byBucket("2_valid")._3 < byBucket("3_test")._2)
+    // train is the largest bucket (70% of the span)
+    assert(byBucket("1_train")._1 > byBucket("2_valid")._1)
+    assert(byBucket("1_train")._1 > byBucket("3_test")._1)
+  }
+
   test("q169: entropy is bounded by log2 of the column cardinality") {
     val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
     assert(rows.length == 4)

@@ -141,6 +141,8 @@ class PlanLintSpec extends SparkSpec {
     "q187_rolling_hll" -> Set("nested-loop"),
     // q190: the 9-row decile-cut frame crosses the DISTINCT-value frame
     "q190_equidepth_hist" -> Set("nested-loop", "cartesian"),
+    // q193: the 1-row (min, max) boundary frame crosses back
+    "q193_temporal_split" -> Set("nested-loop", "cartesian"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
     "q164_rfm_segments" -> Set("global-window"),
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
