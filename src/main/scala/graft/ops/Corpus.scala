@@ -856,7 +856,91 @@ object Corpus {
        |ORDER BY lang""".stripMargin
   }
 
+  // ─── q194: deterministic negative sampling for contrastive pairs ──────
+  // Contrastive/triplet training needs, per anchor, k negatives drawn
+  // REPRODUCIBLY from the other classes. Selection key = md5 over the
+  // (anchor, candidate) pair — the q72 salted-hash idiom, so the sample
+  // is a pure function of ids (grown corpora keep prior picks) and both
+  // engines rank identically. Plan shape: the small anchor set BROADCASTS
+  // against the corpus (map-side pair generation, linear in corpus size),
+  // then one per-anchor window keeps the k smallest keys.
+  def q194NegativeSampling(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("label"))
+    val anchors = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    val pairs = anchors.join(emb, col("label") =!= col("anchor_label"))
+      .withColumn("h", md5(concat(lit("neg:"), col("anchor_id"), lit(":"),
+                                  col("vec_id"))))
+    val w = Window.partitionBy("anchor_id").orderBy("h", "vec_id")
+    pairs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("anchor_id"), col("rnk").cast("long").as("rnk"),
+              col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      .orderBy("anchor_id", "rnk")
+  }
+
+  val q194Sql: String =
+    """WITH anchors AS (
+      |  SELECT vec_id AS anchor_id, label AS anchor_label
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |pairs AS (
+      |  SELECT anchor_id, e.vec_id, e.label,
+      |    md5('neg:' || CAST(anchor_id AS VARCHAR) || ':'
+      |        || CAST(e.vec_id AS VARCHAR)) AS h
+      |  FROM anchors JOIN embeddings e ON e.label <> anchor_label),
+      |ranked AS (
+      |  SELECT anchor_id, vec_id, label,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY h, vec_id)
+      |      AS rnk
+      |  FROM pairs)
+      |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neg_id,
+      |  label AS neg_label
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY anchor_id, rnk""".stripMargin
+
+  // ─── q195: class-balanced downsampling ────────────────────────────────
+  // Balance a skewed corpus to the minority class size: per class, keep
+  // the `target` rows with the smallest salted md5 (reproducible, the
+  // q72/q194 contract; per-class window, linear). The output proves WHICH
+  // rows were kept — sum of kept doc_ids is a checksum of the selection,
+  // not just its size — and makes the drop fraction visible per class.
+  def q195ClassBalance(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val target = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("bal:"), col("doc_id"))), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count_if(col("rnk") <= col("target")).as("n_kept"),
+        sum(when(col("rnk") <= col("target"), col("doc_id"))
+          .otherwise(0L)).as("kept_id_checksum"))
+      .orderBy("lang")
+  }
+
+  val q195Sql: String =
+    """WITH docs AS (SELECT doc_id, lang FROM documents),
+      |target AS (
+      |  SELECT min(n) AS target FROM (
+      |    SELECT CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY lang)),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM docs)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(*) FILTER (WHERE rnk <= target) AS BIGINT) AS n_kept,
+      |  sum(CASE WHEN rnk <= target THEN doc_id ELSE 0 END)
+      |    AS kept_id_checksum
+      |FROM ranked CROSS JOIN target
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_negative_sampling" -> (q194NegativeSampling _),
+    "q195_class_balance"    -> (q195ClassBalance _),
     "q91_domain_mix"        -> (q91DomainMix _),
     "q90_pipeline_funnel"   -> (q90PipelineFunnel _),
     "q72_hash_split"        -> (q72HashSplit _),
@@ -874,6 +958,8 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q194_negative_sampling" -> q194Sql,
+    "q195_class_balance"    -> q195Sql,
     "q91_domain_mix"        -> q91Sql,
     "q90_pipeline_funnel"   -> q90Sql,
     "q72_hash_split"        -> q72Sql,

@@ -190,4 +190,37 @@ class CorpusSpec extends SparkSpec {
       assert(ppl >= 1.0, s"doc $id: perplexity $ppl below 1")
     }
   }
+
+  test("q194: negatives are cross-class, exactly 5 per anchor, reproducible") {
+    val rows = Corpus.q194NegativeSampling(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_._1).foreach { case (anchor, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 5L), s"anchor $anchor ranks")
+      rs.foreach { case (_, _, neg, negLabel) =>
+        assert(labels(neg) == negLabel)
+        assert(negLabel != labels(anchor),
+          s"anchor $anchor (label ${labels(anchor)}) drew same-class $neg")
+      }
+    }
+    // pure function of ids: a second run draws the identical sample
+    val again = Corpus.q194NegativeSampling(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q195: every class downsampled to exactly the minority size") {
+    val rows = Corpus.q195ClassBalance(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val minTotal = rows.map(_.getLong(1)).min
+    rows.foreach { r =>
+      assert(r.getLong(2) == minTotal,
+        s"${r.getString(0)} kept ${r.getLong(2)}, want $minTotal")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) > 0, "checksum must reflect a real selection")
+    }
+  }
 }

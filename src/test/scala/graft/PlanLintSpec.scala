@@ -143,6 +143,12 @@ class PlanLintSpec extends SparkSpec {
     "q190_equidepth_hist" -> Set("nested-loop", "cartesian"),
     // q193: the 1-row (min, max) boundary frame crosses back
     "q193_temporal_split" -> Set("nested-loop", "cartesian"),
+    // q194: label≠label is inherently non-equi; the BROADCAST side is the
+    // small anchor sample, so the pair generation is map-side and linear
+    // in the corpus — the intended plan, not an accident
+    "q194_negative_sampling" -> Set("nested-loop"),
+    // q195: the 1-row min-class-size frame crosses back
+    "q195_class_balance" -> Set("nested-loop", "cartesian"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
     "q164_rfm_segments" -> Set("global-window"),
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
