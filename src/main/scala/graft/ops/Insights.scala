@@ -1168,7 +1168,72 @@ object Insights {
       |FROM b GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ─── q196: inter-rater agreement (Cohen's kappa) ──────────────────────
+  // Labeling-pipeline QA: how much do two heuristic raters agree beyond
+  // chance? Raters here are two real document heuristics — "long in
+  // chars" vs "long in words", each split at its own corpus median —
+  // and κ = (p_o − p_e)/(1 − p_e) comes from the 2×2 confusion matrix.
+  // The fact reduces to 4 cells (the q167 sufficient-statistic shape);
+  // medians are exact percentiles broadcast from a 1-row frame.
+  def q196CohensKappa(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_words"))
+    val med = docs.agg(
+      expr("percentile(n_chars, 0.5D)").as("med_chars"),
+      expr("percentile(n_words, 0.5D)").as("med_words"))
+    val rated = docs.crossJoin(broadcast(med))
+      .select((col("n_chars") > col("med_chars")).as("a"),
+              (col("n_words") > col("med_words")).as("b"))
+    val cells = rated.groupBy("a", "b")
+      .agg(count(lit(1)).cast("double").as("c"))
+    cells.agg(
+        sum(when(col("a") === col("b"), col("c")).otherwise(0.0)).as("agree"),
+        sum(when(col("a"), col("c")).otherwise(0.0)).as("a1"),
+        sum(when(col("b"), col("c")).otherwise(0.0)).as("b1"),
+        sum(col("c")).as("n"))
+      .select(
+        round((col("agree") / col("n")
+          - (col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+            / (col("n") * col("n")))
+          / (lit(1.0)
+            - (col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+              / (col("n") * col("n"))), 6).as("kappa"),
+        round(col("agree") / col("n"), 6).as("p_observed"),
+        col("n").cast("long").as("n_docs"))
+  }
+
+  val q196Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |med AS (
+      |  SELECT quantile_cont(n_chars, 0.5) AS med_chars,
+      |    quantile_cont(n_words, 0.5) AS med_words
+      |  FROM docs),
+      |rated AS (
+      |  SELECT (n_chars > med_chars) AS a, (n_words > med_words) AS b
+      |  FROM docs CROSS JOIN med),
+      |cells AS (
+      |  SELECT a, b, CAST(count(*) AS DOUBLE) AS c
+      |  FROM rated GROUP BY a, b),
+      |agg AS (
+      |  SELECT
+      |    sum(CASE WHEN a = b THEN c ELSE 0.0 END) AS agree,
+      |    sum(CASE WHEN a THEN c ELSE 0.0 END) AS a1,
+      |    sum(CASE WHEN b THEN c ELSE 0.0 END) AS b1,
+      |    sum(c) AS n
+      |  FROM cells)
+      |SELECT
+      |  round((agree / n
+      |    - (a1 * b1 + (n - a1) * (n - b1)) / (n * n))
+      |    / (1.0 - (a1 * b1 + (n - a1) * (n - b1)) / (n * n)), 6) AS kappa,
+      |  round(agree / n, 6) AS p_observed,
+      |  CAST(n AS BIGINT) AS n_docs
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_cohens_kappa"     -> (q196CohensKappa _),
     "q191_feature_scaling"  -> (q191FeatureScaling _),
     "q192_target_encoding"  -> (q192TargetEncoding _),
     "q193_temporal_split"   -> (q193TemporalSplit _),
@@ -1197,6 +1262,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q196_cohens_kappa"     -> q196Sql,
     "q191_feature_scaling"  -> q191Sql,
     "q192_target_encoding"  -> q192Sql,
     "q193_temporal_split"   -> q193Sql,

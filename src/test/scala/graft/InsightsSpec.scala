@@ -321,6 +321,18 @@ class InsightsSpec extends SparkSpec {
     assert(byBucket("1_train")._1 > byBucket("3_test")._1)
   }
 
+  test("q196: kappa is in [-1,1], below raw agreement, on the full corpus") {
+    val row = Insights.q196CohensKappa(spark, sfDir).collect().head
+    val (kappa, po, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    assert(po >= 0.0 && po <= 1.0)
+    // chance correction can only reduce: kappa <= p_observed (pe >= 0)
+    assert(kappa <= po + 1e-9)
+    assert(n == Tables.documents(spark, sfDir).count())
+    // the two raters are correlated but not identical: 0 < kappa < 1
+    assert(kappa > 0.0 && kappa < 1.0, s"degenerate raters: kappa=$kappa")
+  }
+
   test("q169: entropy is bounded by log2 of the column cardinality") {
     val rows = Insights.q169EntropyProfile(spark, sfDir).collect()
     assert(rows.length == 4)

@@ -149,6 +149,8 @@ class PlanLintSpec extends SparkSpec {
     "q194_negative_sampling" -> Set("nested-loop"),
     // q195: the 1-row min-class-size frame crosses back
     "q195_class_balance" -> Set("nested-loop", "cartesian"),
+    // q196: the 1-row medians frame crosses back
+    "q196_cohens_kappa" -> Set("nested-loop", "cartesian"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
     "q164_rfm_segments" -> Set("global-window"),
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
