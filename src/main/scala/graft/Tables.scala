@@ -24,11 +24,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively (PARQUET_TYPE_ILLEGAL). Read the physical INT64 via a schema
-    * override and convert to a microsecond TimestampType with integer
-    * division (`div`, not `/` — epoch-nanos ≈ 1.7e18 exceeds the 2^53
-    * double mantissa, so float division would corrupt timestamps).
+  /** events.ts has shipped in two encodings across testdata generations:
+    * plain TIMESTAMP(MICROS) (current) and TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Sniff the footer via
+    * schema inference — a footer-only read — and branch:
+    *   - TimestampType: read as-is.
+    *   - TimestampNTZType (isAdjustedToUTC=false micros): cast to
+    *     TimestampType; value-preserving because every entry point pins
+    *     spark.sql.session.timeZone=UTC.
+    *   - anything else (inference throws on the illegal nanos annotation,
+    *     or an unannotated INT64 infers LongType): read the physical INT64
+    *     via a schema override and convert to a microsecond TimestampType
+    *     with integer division (`div`, not `/` — epoch-nanos ≈ 1.7e18
+    *     exceeds the 2^53 double mantissa, so float division would corrupt
+    *     timestamps).
     */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -38,9 +47,20 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.schema(eventsRawSchema).parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val inferredTs =
+      try Some(s.read.parquet(path).schema("ts").dataType)
+      catch { case scala.util.control.NonFatal(_) => None }
+    inferredTs match {
+      case Some(TimestampType) => s.read.parquet(path)
+      case Some(TimestampNTZType) =>
+        s.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        s.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -482,7 +482,7 @@ object Analytics {
     """SELECT l_returnflag,
       |  bool_and(l_quantity > 0) AS all_pos,
       |  bool_or(l_discount > 0.09) AS any_big_disc,
-      |  count_if(l_tax = 0) AS n_notax,
+      |  CAST(count_if(l_tax = 0) AS BIGINT) AS n_notax,
       |  bool_and(l_shipdate >= '1992-01-01') AS ship_ok
       |FROM lineitem
       |GROUP BY l_returnflag

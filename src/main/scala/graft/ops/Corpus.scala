@@ -932,8 +932,8 @@ object Corpus {
       |  FROM docs)
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
       |  CAST(count(*) FILTER (WHERE rnk <= target) AS BIGINT) AS n_kept,
-      |  sum(CASE WHEN rnk <= target THEN doc_id ELSE 0 END)
-      |    AS kept_id_checksum
+      |  CAST(sum(CASE WHEN rnk <= target THEN doc_id ELSE 0 END)
+      |    AS BIGINT) AS kept_id_checksum
       |FROM ranked CROSS JOIN target
       |GROUP BY lang
       |ORDER BY lang""".stripMargin

@@ -1035,7 +1035,7 @@ object Insights {
       |  SELECT v, cnt,
       |    CAST(count(*) FILTER (WHERE cut < v) AS BIGINT) AS bin
       |  FROM vals CROSS JOIN cuts GROUP BY v, cnt)
-      |SELECT bin, sum(cnt) AS n,
+      |SELECT bin, CAST(sum(cnt) AS BIGINT) AS n,
       |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
       |FROM binned GROUP BY bin
       |ORDER BY bin""".stripMargin
@@ -1054,7 +1054,7 @@ object Insights {
       .select(col("event_type"), ((col("value") - col("mu")) / col("sd")).as("z"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-           round(avg(col("z")), 6).as("mean_z"),
+           (round(avg(col("z")), 6) + lit(0.0)).as("mean_z"),
            round(stddev_pop(col("z")), 6).as("sd_z"),
            round(min(col("z")), 4).as("min_z"),
            round(max(col("z")), 4).as("max_z"))
@@ -1069,7 +1069,7 @@ object Insights {
       |  SELECT e.event_type, (e.value - mu) / sd AS z
       |  FROM events e JOIN stats ON e.event_type = stats.event_type)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |  round(avg(z), 6) AS mean_z,
+      |  round(avg(z), 6) + 0.0 AS mean_z,
       |  round(stddev_pop(z), 6) AS sd_z,
       |  round(min(z), 4) AS min_z, round(max(z), 4) AS max_z
       |FROM z GROUP BY event_type

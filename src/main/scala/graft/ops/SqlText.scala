@@ -291,8 +291,8 @@ object SqlText {
 
   val q138Sql: String =
     """SELECT l_returnflag,
-      |  count_if(l_quantity > (SELECT avg(l_quantity) FROM lineitem))
-      |    AS n_above,
+      |  CAST(count_if(l_quantity > (SELECT avg(l_quantity) FROM lineitem))
+      |    AS BIGINT) AS n_above,
       |  count(*) AS n,
       |  round((SELECT avg(l_quantity) FROM lineitem), 4) AS thr
       |FROM lineitem

@@ -12,32 +12,60 @@ Driver-side tooling only — NOT part of the Spark library.
 """
 import json
 import math
+import struct
 import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_key(t):
+    """Canonical Arrow-type label. Strict on width/kind (int64 vs
+    decimal128 — the HUGEINT failure mode the lenient checker missed for
+    two rounds) but representation-neutral where the driver is: tz-ness
+    of microsecond timestamps and string offset width.
+    """
+    if pa.types.is_timestamp(t) and t.unit == "us":
+        return "timestamp[us]"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_key(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{t.field(i).name}: {type_key(t.field(i).type)}"
+                          for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # canonical IEEE-754 bytes — distinguishes -0.0 from 0.0, as the
+        # driver's bit-strict hash does
+        return struct.pack(">d", v).hex()
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
 
 
-def rows_of(cols, names):
-    # sort columns by name, rows by all values
+def rows_of(tbl):
+    # sort columns by name, rows by all values — driver order
+    names = tbl.column_names
     order = sorted(range(len(names)), key=lambda i: names[i])
-    cols = [cols[i] for i in order]
-    rows = [tuple(norm(c[r]) for c in cols) for r in range(len(cols[0]) if cols else 0)]
-    return sorted(names), rows
+    cols = [tbl.column(i).to_pylist() for i in order]
+    types = [type_key(tbl.schema.field(i).type) for i in order]
+    rows = [tuple(norm(c[r]) for c in cols)
+            for r in range(len(cols[0]) if cols else 0)]
+    return sorted(names), types, sorted(rows)
 
 
 def main():
@@ -55,26 +83,27 @@ def main():
             continue
         name = qdir.name
         tbl = pq.read_table(str(qdir))
-        s_names = tbl.column_names
-        s_cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
         if name not in oracle:
             n_noracle += 1
             print(f"  ROWS-ONLY {name}: {tbl.num_rows} rows (no oracle)")
             continue
         try:
-            res = con.execute(oracle[name])
-            d_names = [d[0] for d in res.description]
-            d_tbl = res.fetch_arrow_table()
-            d_cols = [d_tbl.column(i).to_pylist() for i in range(d_tbl.num_columns)]
+            d_tbl = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             n_fail += 1
             print(f"✗ FAIL {name}: oracle SQL error: {e}")
             continue
-        sn, srows = rows_of(s_cols, s_names)
-        dn, drows = rows_of(d_cols, d_names)
+        sn, st, srows = rows_of(tbl)
+        dn, dt, drows = rows_of(d_tbl)
         if sn != dn:
             n_fail += 1
             print(f"✗ FAIL {name}: column names differ spark={sn} duck={dn}")
+            continue
+        if st != dt:
+            n_fail += 1
+            print(f"✗ FAIL {name}: column TYPES differ (cols={sn})")
+            print(f"    spark: {st}")
+            print(f"    duck:  {dt}")
             continue
         if srows == drows:
             n_pass += 1
