@@ -19,11 +19,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // PlanLint enforcement: every query's physical plan must be clean
+    // modulo the documented PlanLint.queryAllow exceptions — the 100 TB
+    // design bar runs in the SAME pass the driver grades. Violations are
+    // collected (results still written, so correctness artifacts stay
+    // complete) and fail the run at the end. GRAFT_LINT=warn downgrades
+    // to stderr-only for local iteration.
+    val lintStrict = !sys.env.get("GRAFT_LINT").contains("warn")
+    val lintDirty = Seq.newBuilder[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val bad = PlanLint.lint(df)
+          .filterNot(f => PlanLint.queryAllow.getOrElse(name, Set.empty)
+            .contains(f.rule))
+        if (bad.nonEmpty) {
+          val msg = s"$name -> ${bad.mkString("; ")}"
+          System.err.println(s"[verify][lint] $msg")
+          lintDirty += msg
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -34,5 +52,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    val dirty = lintDirty.result()
+    if (dirty.nonEmpty) {
+      System.err.println(
+        s"[verify] ${dirty.size} queries fail the plan lint:\n" +
+          dirty.mkString("\n"))
+      if (lintStrict) sys.exit(2)
+    }
   }
 }

@@ -538,7 +538,9 @@ object Analytics {
       .agg(
         round(stddev_samp(col("l_quantity")), 4).as("sd_samp"),
         round(var_pop(col("l_quantity")), 4).as("var_p"),
-        round(skewness(col("l_quantity")), 4).as("skew"),
+        // + 0.0 canonicalizes -0.0 (a symmetric distribution's skew can
+        // round to the negative zero bit pattern in one engine only)
+        (round(skewness(col("l_quantity")), 4) + lit(0.0)).as("skew"),
         round(kurtosis(col("l_quantity")), 4).as("kurt"),
         expr("bit_and(l_orderkey)").as("key_bits_all"),
         expr("bit_or(l_orderkey)").as("key_bits_any"),
@@ -549,7 +551,7 @@ object Analytics {
     """SELECT l_returnflag,
       |  round(stddev_samp(l_quantity), 4) AS sd_samp,
       |  round(var_pop(l_quantity), 4) AS var_p,
-      |  round(skewness(l_quantity), 4) AS skew,
+      |  round(skewness(l_quantity), 4) + 0.0 AS skew,
       |  round(kurtosis(l_quantity), 4) AS kurt,
       |  bit_and(l_orderkey) AS key_bits_all,
       |  bit_or(l_orderkey) AS key_bits_any,

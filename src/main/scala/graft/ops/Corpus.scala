@@ -241,12 +241,14 @@ object Corpus {
   private val PackCap = 1024
 
   def q76SeqPack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, d)
+    // running per-lang prefix sum via the scalable bucketed form
+    // (Windows.prefixSum) — the naive PARTITION BY lang window hands each
+    // language's whole corpus to one task (the q160 lesson)
+    val toks = documents(s, d)
       .select(col("lang"), col("doc_id"),
               size(tokens(col("text"))).cast("long").as("n"))
-      .withColumn("cum", sum(col("n")).over(w))
+    Windows.prefixSum(toks, Seq("lang"), expr("doc_id div 256"),
+        Seq(col("doc_id")), col("n"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n")).cast("double") / PackCap).cast("long"))
       .groupBy(col("lang"), col("pack_id"))
@@ -276,6 +278,12 @@ object Corpus {
   // a grown corpus keeps previously-sampled docs sampled unless displaced,
   // and no RNG state is shared across executors. One window per shard.
   def q81StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    // the CONSTANT rank limit makes the per-lang window two-phase by
+    // itself: Spark plans WindowGroupLimit(Partial) BELOW the exchange
+    // (each map task keeps its local top-10 per lang), so the shuffle
+    // carries ≤ 10·tasks rows — PlansSpec pins that plan, PlanLint's
+    // rank-limit exemption recognizes it. Data-dependent keep-counts
+    // (q91/q195) can't use this and route through Windows.densePos.
     val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     documents(s, d)
       .withColumn("h",
@@ -436,6 +444,8 @@ object Corpus {
     val keyed = documents(s, d)
       .select(col("lang"), col("doc_id"), wgt.as("w"),
               pow(u, lit(1.0d) / wgt).as("k"))
+    // constant rank limit → two-phase WindowGroupLimit plan (see q81);
+    // PlansSpec pins the partial-below-exchange shape
     val win = Window.partitionBy(col("lang"))
       .orderBy(col("k").desc, col("doc_id"))
     keyed.withColumn("rk", row_number().over(win))
@@ -739,10 +749,9 @@ object Corpus {
         substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
       .withColumn("split", when(col("h") < "cc", "train")
         .when(col("h") < "e6", "val").otherwise("test"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packs = split.where(col("split") === "train")
-      .withColumn("cum", sum(col("n_toks")).over(w))
+    val packs = Windows.prefixSum(split.where(col("split") === "train"),
+        Seq("lang"), expr("doc_id div 256"), Seq(col("doc_id")),
+        col("n_toks"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n_toks")) / PackCap).cast("long"))
     def census(df: DataFrame, stage: String): DataFrame =
@@ -825,11 +834,11 @@ object Corpus {
   def q91DomainMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val quotas = MixQuotas.toDF("lang", "quota")
-    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    documents(s, d)
+    val hashed = documents(s, d)
       .withColumn("h",
         md5(concat(lit("mix:"), col("doc_id").cast("string"))))
-      .withColumn("rk", row_number().over(w))
+    Windows.densePos(hashed, Seq("lang"), Windows.hexBucket(col("h")),
+        Seq(col("h"), col("doc_id")), "rk")
       .join(broadcast(quotas), "lang")
       .groupBy(col("lang"), col("quota"))
       .agg(count(lit(1)).as("n_available"),
@@ -908,9 +917,11 @@ object Corpus {
     val docs = documents(s, d).select(col("doc_id"), col("lang"))
     val target = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("target"))
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(concat(lit("bal:"), col("doc_id"))), col("doc_id"))
-    docs.withColumn("rnk", row_number().over(w))
+    // keep-count is data-dependent (min class size), so no fixed-k heap
+    // applies — the scalable per-lang rank is Windows.densePos
+    val hashed = docs.withColumn("h", md5(concat(lit("bal:"), col("doc_id"))))
+    Windows.densePos(hashed, Seq("lang"), Windows.hexBucket(col("h")),
+        Seq(col("h"), col("doc_id")), "rnk")
       .crossJoin(broadcast(target))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,11 +227,12 @@ object Insights {
   // from the data instead of configured. 100 TB path: swap `percentile`
   // for `approx_percentile` (q96/q99 pin that sketch twin); the rescan is
   // embarrassingly parallel either way.
-  def q166IqrOutliers(s: SparkSession, d: String): DataFrame = {
+  def q166IqrOutliers(s: SparkSession, d: String,
+                      sketch: Boolean = false): DataFrame = {
     val e = events(s, d)
     val fences = e.groupBy("event_type").agg(
-        expr("percentile(value, 0.25D)").as("q1"),
-        expr("percentile(value, 0.75D)").as("q3"))
+        pct("value", "0.25D", sketch).as("q1"),
+        pct("value", "0.75D", sketch).as("q3"))
       .select(col("event_type"),
         (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
@@ -403,7 +404,8 @@ object Insights {
   // small partitions, the linear-scaling window shape); the segment
   // profile is one hash-agg over the gap frame with the customer dim
   // broadcast in.
-  def q172InterpurchaseGaps(s: SparkSession, d: String): DataFrame = {
+  def q172InterpurchaseGaps(s: SparkSession, d: String,
+                            sketch: Boolean = false): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val gaps = orders(s, d)
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
@@ -417,8 +419,10 @@ object Insights {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_gaps"),
         round(avg(col("gap_days")), 2).as("avg_gap"),
-        round(expr("percentile(gap_days, 0.5D)"), 2).as("median_gap"),
-        round(expr("percentile(gap_days, 0.9D)"), 2).as("p90_gap"),
+        // cast: approx_percentile over an integral column returns the
+        // column type; the knob must not change the output schema
+        round(pct("gap_days", "0.5D", sketch).cast("double"), 2).as("median_gap"),
+        round(pct("gap_days", "0.9D", sketch).cast("double"), 2).as("p90_gap"),
         max(col("gap_days")).as("max_gap"))
       .orderBy("c_mktsegment")
   }
@@ -450,7 +454,8 @@ object Insights {
   // points strictly below it via a broadcast join against the 9-row cut
   // frame — map-side at any scale. PSI = Σ (curP − refP)·ln(curP/refP),
   // with a 1e-6 floor on the current side for empty bins.
-  def q173PsiDrift(s: SparkSession, d: String): DataFrame = {
+  def q173PsiDrift(s: SparkSession, d: String,
+                   sketch: Boolean = false): DataFrame = {
     val e = events(s, d)
       .select(col("value"), unix_micros(col("ts")).as("us"))
     val mm = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
@@ -458,8 +463,8 @@ object Insights {
       .select(col("value"),
         (col("us") * 2 <= col("mn") + col("mx")).as("is_ref"))
     val cuts = tagged.where(col("is_ref"))
-      .select(explode(expr(
-        "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"))
+      .select(explode(pct("value",
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch))
         .as("cut"))
     // group to DISTINCT values first (carrying multiplicity in cnt) so the
     // 9-way cut join fans out per distinct value, not per event
@@ -999,6 +1004,19 @@ object Insights {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Exact-vs-sketched percentile routing for the cut-point/fence family
+    * (q166/q172/q173/q190/q196): `sketch = false` is the oracle-checkable
+    * exact form the driver verifies; `sketch = true` swaps in
+    * `approx_percentile` (fixed-size mergeable summary, rank error ≤
+    * N/10000) — the 100 TB path, since exact `percentile` with
+    * empty-or-enum grouping buffers a fact-sized value-count map per
+    * group (PlanLint's exact-percentile rule). q197 pins the two paths
+    * against each other as data, the q99 pattern.
+    */
+  private def pct(value: String, probs: String, sketch: Boolean): Column =
+    if (sketch) expr(s"approx_percentile($value, $probs, 10000)")
+    else expr(s"percentile($value, $probs)")
+
   // ─── q190: equi-DEPTH histogram ───────────────────────────────────────
   // The optimizer-statistics histogram (q126 is equi-WIDTH): decile cut
   // points from the exact percentile family, bin = count of cuts
@@ -1006,10 +1024,11 @@ object Insights {
   // against the fact, map-side at any scale), then per-bin count and
   // value range. Bins hold ~n/10 rows by construction — the property
   // that makes equi-depth the selectivity-estimation form.
-  def q190EquidepthHist(s: SparkSession, d: String): DataFrame = {
+  def q190EquidepthHist(s: SparkSession, d: String,
+                        sketch: Boolean = false): DataFrame = {
     val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val cuts = li.select(explode(expr(
-      "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"))
+    val cuts = li.select(explode(pct("v",
+      "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch))
       .as("cut"))
     // distinct values first (multiplicity in cnt) — the q173 rule: the
     // 9-way cut join must fan out per distinct value, not per row
@@ -1039,6 +1058,44 @@ object Insights {
       |  round(min(v), 2) AS lo, round(max(v), 2) AS hi
       |FROM binned GROUP BY bin
       |ORDER BY bin""".stripMargin
+
+  // ─── q197: equi-depth sketch-twin pin (q190's 100 TB path, as data) ──
+  // Runs q190's decile binning with SKETCHED cut points and asserts the
+  // equi-depth property survives the sketch, emitting the agreement AS
+  // DATA (the q99 pattern): every sketched bin's count must sit within
+  // |n_b − N/10| ≤ 2·N/10000 (rank error, two boundaries) + the max
+  // per-value multiplicity (tie block at a boundary) + 1. The oracle
+  // states the sketch-independent facts — 10 bins, total row count,
+  // literal TRUE — so the hash matches only if the sketch path really
+  // is within its error budget.
+  def q197EquidepthSketch(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val cuts = li.select(explode(pct("v",
+      "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch = true))
+      .as("cut"))
+    val vals = li.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val mult = vals.agg(max(col("cnt")).as("mult"))
+    val bins = vals.crossJoin(broadcast(cuts))
+      .groupBy(col("v"), col("cnt"))
+      .agg(count_if(col("cut") < col("v")).as("bin"))
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("n_b"))
+    val tot = bins.agg(sum(col("n_b")).as("n_total"))
+    bins.crossJoin(broadcast(tot)).crossJoin(broadcast(mult))
+      .agg(count(lit(1)).as("n_bins"),
+           first(col("n_total")).as("n_total"),
+           max(abs(col("n_b").cast("double")
+             - col("n_total").cast("double") / 10.0)).as("max_dev"),
+           first(col("mult")).as("mult"))
+      .select(col("n_bins"), col("n_total"),
+        (col("max_dev") <=
+          lit(2.0) * col("n_total") / 10000.0 + col("mult") + 1).as("all_ok"))
+  }
+
+  val q197Sql: String =
+    """SELECT CAST(10 AS BIGINT) AS n_bins,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  TRUE AS all_ok
+      |FROM lineitem""".stripMargin
 
   // ─── q191: per-group z-score feature scaling ──────────────────────────
   // The feature-pipeline normalization pass: learn per-group (mean, σ)
@@ -1175,12 +1232,13 @@ object Insights {
   // and κ = (p_o − p_e)/(1 − p_e) comes from the 2×2 confusion matrix.
   // The fact reduces to 4 cells (the q167 sufficient-statistic shape);
   // medians are exact percentiles broadcast from a 1-row frame.
-  def q196CohensKappa(s: SparkSession, d: String): DataFrame = {
+  def q196CohensKappa(s: SparkSession, d: String,
+                      sketch: Boolean = false): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
       size(split(col("text"), "\\s+")).cast("long").as("n_words"))
     val med = docs.agg(
-      expr("percentile(n_chars, 0.5D)").as("med_chars"),
-      expr("percentile(n_words, 0.5D)").as("med_words"))
+      pct("n_chars", "0.5D", sketch).cast("double").as("med_chars"),
+      pct("n_words", "0.5D", sketch).cast("double").as("med_words"))
     val rated = docs.crossJoin(broadcast(med))
       .select((col("n_chars") > col("med_chars")).as("a"),
               (col("n_words") > col("med_words")).as("b"))
@@ -1233,11 +1291,12 @@ object Insights {
       |FROM agg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q196_cohens_kappa"     -> (q196CohensKappa _),
+    "q196_cohens_kappa"     -> ((s, d) => q196CohensKappa(s, d)),
     "q191_feature_scaling"  -> (q191FeatureScaling _),
     "q192_target_encoding"  -> (q192TargetEncoding _),
     "q193_temporal_split"   -> (q193TemporalSplit _),
-    "q190_equidepth_hist"   -> (q190EquidepthHist _),
+    "q190_equidepth_hist"   -> ((s, d) => q190EquidepthHist(s, d)),
+    "q197_equidepth_sketch" -> (q197EquidepthSketch _),
     "q184_regr_full"        -> (q184RegrFull _),
     "q185_linear_attribution" -> (q185LinearAttribution _),
     "q186_column_profile"   -> (q186ColumnProfile _),
@@ -1246,8 +1305,8 @@ object Insights {
     "q178_cusum_changepoint" -> (q178CusumChangepoint _),
     "q179_decayed_engagement" -> (q179DecayedEngagement _),
     "q180_path_mining"      -> (q180PathMining _),
-    "q172_interpurchase_gaps" -> (q172InterpurchaseGaps _),
-    "q173_psi_drift"        -> (q173PsiDrift _),
+    "q172_interpurchase_gaps" -> ((s, d) => q172InterpurchaseGaps(s, d)),
+    "q173_psi_drift"        -> ((s, d) => q173PsiDrift(s, d)),
     "q174_ks_test"          -> (q174KsTest _),
     "q175_gini"             -> (q175Gini _),
     "q176_acf"              -> (q176Acf _),
@@ -1255,7 +1314,7 @@ object Insights {
     "q163_basket_affinity"  -> (q163BasketAffinity _),
     "q164_rfm_segments"     -> (q164RfmSegments _),
     "q165_markov_transitions" -> (q165MarkovTransitions _),
-    "q166_iqr_outliers"     -> (q166IqrOutliers _),
+    "q166_iqr_outliers"     -> ((s, d) => q166IqrOutliers(s, d)),
     "q167_chisq_independence" -> (q167ChisqIndependence _),
     "q168_benford_screen"   -> (q168BenfordScreen _),
     "q169_entropy_profile"  -> (q169EntropyProfile _),
@@ -1267,6 +1326,7 @@ object Insights {
     "q192_target_encoding"  -> q192Sql,
     "q193_temporal_split"   -> q193Sql,
     "q190_equidepth_hist"   -> q190Sql,
+    "q197_equidepth_sketch" -> q197Sql,
     "q184_regr_full"        -> q184Sql,
     "q185_linear_attribution" -> q185Sql,
     "q186_column_profile"   -> q186Sql,

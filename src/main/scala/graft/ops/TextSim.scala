@@ -534,24 +534,30 @@ object TextSim {
   }
 
   // ─── q47: n-gram Jaccard between successive docs per language ─────────
-  // Pairing via lag/lead keeps the pair generation shuffle-light (one
-  // window by lang) and deterministic; the similarity itself is the same
-  // set arithmetic q45 uses for verification, on word bigrams.
+  // Successive-pair generation via a dense per-lang position
+  // (Windows.densePos — the naive PARTITION BY lang lead() hands each
+  // language's whole corpus to one task) and an equi-join of position p
+  // against p+1: positions are dense, so the join reproduces lead()
+  // exactly, sharded across the cluster on (lang, pos). The similarity
+  // itself is the same set arithmetic q45 uses for verification, on
+  // word bigrams.
   def q47NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val bigrams = when(size(col("toks")) >= 2,
       array_distinct(transform(sequence(lit(1), size(col("toks")) - 1),
         i => concat_ws(" ", element_at(col("toks"), i),
                             element_at(col("toks"), i + 1)))))
       .otherwise(array().cast("array<string>"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     val jac = size(array_intersect(col("bg"), col("bg_next"))).cast("double") /
               size(array_union(col("bg"), col("bg_next"))).cast("double")
-    documents(s, d)
+    val docs = documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("lang"), col("doc_id"), bigrams.as("bg"))
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
-      .withColumn("bg_next", lead(col("bg"), 1).over(w))
-      .where(col("doc_b").isNotNull)
+    val positioned = Windows.densePos(docs, Seq("lang"),
+      expr("doc_id div 256"), Seq(col("doc_id")), "pos")
+    val successors = positioned.select(col("lang"),
+      (col("pos") - 1L).as("pos"), col("doc_id").as("doc_b"),
+      col("bg").as("bg_next"))
+    positioned.join(successors, Seq("lang", "pos"))
       .select(col("lang"), col("doc_id").as("doc_a"), col("doc_b"),
               round(jac, 4).as("jaccard"))
       .orderBy(col("lang"), col("doc_a"))

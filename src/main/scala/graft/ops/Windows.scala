@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,62 @@ import org.apache.spark.sql.functions._
   * executors; none of them ever orders the whole table globally.
   */
 object Windows {
+
+  /** Scalable per-group running prefix sum — the replacement for
+    * `sum(value) OVER (PARTITION BY enumCol ORDER BY ...)` when the
+    * group column has a handful of values (lang, l_returnflag): the
+    * naive window hands each enum value's ENTIRE slice of the fact
+    * table to one task. Three declarative steps instead:
+    *
+    *  1. local prefix sums within (group, `bucket`) — `bucket` must be
+    *     RANGE-ALIGNED with `order` (bucket non-decreasing as the order
+    *     columns increase), e.g. `l_orderkey div 256` for an orderkey
+    *     sort or the first two hex chars of a salted md5 for a hash
+    *     sort. Each window partition sorts only its bucket's slice.
+    *  2. per-bucket totals cumulated into bucket OFFSETS via a window
+    *     over the tiny |groups|×|buckets| counts frame (post-aggregation
+    *     — the q144 principle, exempt from the low-cardinality rule).
+    *  3. offsets broadcast back; prefix = bucket offset + local prefix.
+    *
+    * The bucket count is the parallelism knob: fixed here (derived from
+    * the caller's expression), wired to input-size/cluster-width in a
+    * deployment. Values are EXACTLY those of the naive window — specs
+    * and oracles see no difference.
+    */
+  def prefixSum(df: DataFrame, group: Seq[String], bucket: Column,
+                order: Seq[Column], value: Column, out: String): DataFrame = {
+    val gcols = group.map(col)
+    val wLoc = Window.partitionBy(gcols :+ col("__pfx_cb"): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.withColumn("__pfx_cb", bucket)
+      .withColumn("__pfx_lp", sum(value).over(wLoc))
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pfx_cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(gcols :+ col("__pfx_cb"): _*)
+      .agg(sum(value).as("__pfx_bt"))
+      .withColumn("__pfx_off", coalesce(sum(col("__pfx_bt")).over(wOff), lit(0L)))
+      .select(gcols ++ Seq(col("__pfx_cb"), col("__pfx_off")): _*)
+    local.join(broadcast(offsets), group :+ "__pfx_cb")
+      .withColumn(out, col("__pfx_off") + col("__pfx_lp"))
+      .drop("__pfx_cb", "__pfx_lp", "__pfx_off")
+  }
+
+  /** Dense 1-based position within each group under `order` — the
+    * scalable `row_number() OVER (PARTITION BY enumCol ORDER BY ...)`.
+    * A prefix sum of 1s; see [[prefixSum]] for the contract on `bucket`.
+    */
+  def densePos(df: DataFrame, group: Seq[String], bucket: Column,
+               order: Seq[Column], out: String): DataFrame =
+    prefixSum(df, group, bucket, order, lit(1L), out)
+
+  /** Range-aligned bucket for an order that LEADS with a lowercase-hex
+    * hash column (the salted-md5 rank idiom): the first two hex chars as
+    * an integer — 256 buckets, lexicographic hex order ≡ numeric order.
+    */
+  def hexBucket(h: Column): Column =
+    conv(substring(h, 1, 2), 16, 10).cast("long")
 
   // ─── q11: top-3 orders per customer (ranking) ──────────────────────────
   def q11TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
@@ -178,26 +234,59 @@ object Windows {
   // ─── q160: EXACT running median over sliding frames ──────────────────
   // Distribution stats over a moving frame. Spark REJECTS median/
   // percentile with an ordered+framed window spec (INVALID_WINDOW_SPEC
-  // _FOR_AGGREGATION_FUNC), so this is the general technique instead:
-  // collect the frame (a BOUNDED 20-row trailing frame — the frame cap
-  // is what keeps the array and the per-row cost O(frame) at any
-  // partition size), array_sort it, and take the middle explicitly
-  // (odd → middle element, even → mean of the two middles, the
-  // standard interpolating median both engines implement natively for
-  // whole groups). Output thinned to every 20th order; the window
-  // still computes over every row (filter AFTER the window).
+  // _FOR_AGGREGATION_FUNC), so the frame is collected explicitly (a
+  // BOUNDED 20-row trailing frame — the frame cap keeps the array and
+  // the per-row cost O(frame) at any partition size), array_sorted, and
+  // the middle taken explicitly (odd → middle element, even → mean of
+  // the two middles, the interpolating median both engines implement
+  // natively for whole groups).
+  //
+  // The naive spec — PARTITION BY l_returnflag — has CARDINALITY 3:
+  // three tasks would own the whole fact table (the round-6 30×
+  // regression; PlanLint's low-cardinality-window rule now flags it).
+  // Instead the total order is materialized as a DENSE per-flag
+  // position with the scalable three-step:
+  //   1. local row_number within (flag, coarse range-bucket of the
+  //      leading sort key) — high-cardinality window, each partition
+  //      sorts only its slice;
+  //   2. per-bucket counts → cumulative offsets via a window over the
+  //      TINY counts frame (|flags|×|buckets| rows — the q144
+  //      "window over an aggregate" allowlist shape), broadcast back;
+  //   3. the median window re-keyed to (flag, pos div B): every
+  //      partition holds ≤ B+19 rows REGARDLESS of data size. Rows in
+  //      the last 19 positions of each bucket are duplicated into the
+  //      next bucket (carry-in), so each row's 19-preceding frame is
+  //      complete — positions are dense, so the previous bucket is
+  //      always full and the frame never spans two buckets back.
+  // Output thinned to every 20th order; the window still computes over
+  // every row (filter AFTER the window).
   def q160WindowMedian(s: SparkSession, d: String): DataFrame = {
     // the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs,
     // so that pair alone is not a total order and frame contents would
     // be engine-dependent; adding (quantity, partkey, suppkey) makes the
     // order total up to full-duplicate rows, whose permutation cannot
     // change any frame's quantity multiset
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_partkey"), col("l_suppkey"))
-      .rowsBetween(-19, 0)
-    lineitem(s, d)
-      .withColumn("arr", array_sort(collect_list(col("l_quantity")).over(w)))
+    val ordCols = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+    val li = lineitem(s, d).select(col("l_returnflag") +: ordCols: _*)
+    // steps 1–2: dense per-flag position via the scalable prefix-sum
+    // helper (coarse range-buckets on the leading sort key)
+    val positioned = densePos(li, Seq("l_returnflag"),
+      expr("l_orderkey div 256"), ordCols, "pos")
+    // step 3: fixed-size position buckets + 19-row carry-in
+    val B = 1024L
+    val base = positioned
+      .withColumn("pb", expr(s"(pos - 1) div $B"))
+      .withColumn("carry", lit(false))
+    val carried = positioned
+      .where(((col("pos") - lit(1L)) % B) >= (B - 19))
+      .withColumn("pb", expr(s"(pos - 1) div $B") + lit(1L))
+      .withColumn("carry", lit(true))
+    val wMed = Window.partitionBy(col("l_returnflag"), col("pb"))
+      .orderBy(col("pos")).rowsBetween(-19, 0)
+    base.unionByName(carried)
+      .withColumn("arr", array_sort(collect_list(col("l_quantity")).over(wMed)))
+      .where(!col("carry"))
       .withColumn("n", size(col("arr")))
       .withColumn("med",
         when(col("n") % 2 === 1,

@@ -342,4 +342,62 @@ class InsightsSpec extends SparkSpec {
         s"${r.getString(0)}: H=$h outside [0, log2($k)]")
     }
   }
+
+  // ─── sketch twins: the `sketch = true` knob (approx_percentile cut
+  // points, the 100 TB path PlanLint's exact-percentile rule demands)
+  // must agree with the exact oracle-checked form within sketch error ───
+
+  test("q166 sketch twin: identical groups/counts, fences within sketch error") {
+    val e = Insights.q166IqrOutliers(spark, sfDir).collect()
+    val a = Insights.q166IqrOutliers(spark, sfDir, sketch = true).collect()
+    assert(e.length == a.length)
+    e.zip(a).foreach { case (re, ra) =>
+      assert(re.getString(0) == ra.getString(0))
+      val n = re.getLong(1)
+      assert(n == ra.getLong(1), "group counts are fence-independent")
+      assert(math.abs(re.getLong(2) - ra.getLong(2)) <= 0.05 * n + 10,
+        s"${re.getString(0)}: outlier counts ${re.getLong(2)} vs ${ra.getLong(2)}")
+    }
+  }
+
+  test("q172 sketch twin: medians within one integer gap-day of exact") {
+    val e = Insights.q172InterpurchaseGaps(spark, sfDir).collect()
+    val a = Insights.q172InterpurchaseGaps(spark, sfDir, sketch = true).collect()
+    assert(e.length == a.length)
+    e.zip(a).foreach { case (re, ra) =>
+      assert(re.getString(0) == ra.getString(0))
+      assert(re.getLong(1) == ra.getLong(1))     // n_gaps
+      assert(re.getDouble(2) == ra.getDouble(2)) // avg: percentile-free
+      // the sketch returns an actual data value, the exact form
+      // interpolates — at sf0.001 the per-segment gap distribution is
+      // sparse at the tail, so adjacent values sit several days apart
+      assert(math.abs(re.getDouble(3) - ra.getDouble(3)) <= 5.0) // median
+      assert(math.abs(re.getDouble(4) - ra.getDouble(4)) <= 5.0) // p90
+      assert(re.getLong(5) == ra.getLong(5))     // max
+    }
+  }
+
+  test("q173 sketch twin: same bins, same totals") {
+    val e = Insights.q173PsiDrift(spark, sfDir).collect()
+    val a = Insights.q173PsiDrift(spark, sfDir, sketch = true).collect()
+    assert(e.length == a.length, "decile binning must keep 10 bins")
+    assert(e.map(_.getLong(1)).sum == a.map(_.getLong(1)).sum) // ref total
+    assert(e.map(_.getLong(2)).sum == a.map(_.getLong(2)).sum) // cur total
+  }
+
+  test("q190 sketch twin: q197 pins the equi-depth property as data") {
+    val row = Insights.q197EquidepthSketch(spark, sfDir).head()
+    assert(row.getLong(0) == 10L, s"bins: ${row.getLong(0)}")
+    assert(row.getLong(1) ==
+      Tables.lineitem(spark, sfDir).count(), "total must be sketch-independent")
+    assert(row.getBoolean(2), "sketched bins exceeded the rank-error budget")
+  }
+
+  test("q196 sketch twin: kappa within sketch tolerance of exact") {
+    val e = Insights.q196CohensKappa(spark, sfDir).head()
+    val a = Insights.q196CohensKappa(spark, sfDir, sketch = true).head()
+    assert(e.getLong(2) == a.getLong(2))
+    assert(math.abs(e.getDouble(0) - a.getDouble(0)) <= 0.1,
+      s"kappa ${e.getDouble(0)} vs sketched ${a.getDouble(0)}")
+  }
 }

@@ -44,6 +44,40 @@ class PlanLintSpec extends SparkSpec {
     assert(!lint(li.where(length($"l_returnflag") + $"l_quantity" > 5))
       .exists(_.rule == "unpushed-filter"),
       "derived-expression predicates can never push and must not be flagged")
+    // low-cardinality window: the round-6 q160 shape — PARTITION BY an
+    // enum column straight over the fact table
+    val wFlag = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_orderkey")
+    assert(lint(li.withColumn("rn", row_number().over(wFlag)))
+      .exists(_.rule == "low-cardinality-window"))
+    // ...but the same partitioning over a post-aggregation frame is the
+    // q144 principle and must pass
+    val agged = li.groupBy($"l_returnflag", $"l_orderkey")
+      .agg(sum($"l_quantity").as("q"))
+    assert(!lint(agged.withColumn("rn", row_number().over(wFlag)))
+      .exists(_.rule == "low-cardinality-window"),
+      "post-aggregation input must exempt the low-cardinality window")
+    // ...and a CONSTANT rank limit must also pass: Spark plans it as
+    // WindowGroupLimit(Partial) below the exchange, so the enum window
+    // only sees ≤ k rows per map task (the q81/q102 shape)
+    assert(!lint(li.withColumn("rn", row_number().over(wFlag))
+        .where($"rn" <= 5))
+      .exists(_.rule == "low-cardinality-window"),
+      "rank-limited windows are two-phase and must not be flagged")
+    // exact percentile, single group, straight over the fact: flagged
+    assert(lint(li.agg(expr("percentile(l_quantity, 0.5D)")))
+      .exists(_.rule == "exact-percentile"))
+    // same over enum-only grouping: flagged
+    assert(lint(li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5D)")))
+      .exists(_.rule == "exact-percentile"))
+    // approx_percentile: NOT flagged (it IS the scale path)
+    assert(!lint(li.agg(expr("approx_percentile(l_quantity, 0.5D, 1000)")))
+      .exists(_.rule == "exact-percentile"))
+    // exact percentile grouped by a high-cardinality key: NOT flagged
+    assert(!lint(li.groupBy($"l_orderkey")
+        .agg(expr("percentile(l_quantity, 0.5D)")))
+      .exists(_.rule == "exact-percentile"))
   }
 
   test("clean and residual-filter plans pass") {
@@ -58,118 +92,6 @@ class PlanLintSpec extends SparkSpec {
       broadcast(Tables.customer(spark, sfDir)),
       $"o_custkey" === $"c_custkey"))
   }
-
-  /** Every SparkEntry query, linted. Exceptions are INTENTIONAL plan
-    * shapes, each with the reason it is sound at scale:
-    *  - nested-loop with an O(1) broadcast side: the ANN/score queries
-    *    join the corpus against a ≤5-row broadcast query set (q49-family,
-    *    q111, q131) or a 1-row global-stats frame (q44, q69, q74, q82/q99
-    *    clip bounds, q83, q91, q102, q104) — the "build side" is constant-
-    *    sized, so the loop is a single streamed pass, the broadcast's
-    *    whole point.
-    *  - cartesian: same 1-row-frame pattern where no condition exists at
-    *    all (crossJoin with global stats).
-    *  - global-window: q132's ntile stands in for repartitionByRange
-    *    (documented there); q102/q75-style global ranks are over
-    *    pre-aggregated frames orders of magnitude smaller than the fact
-    *    input.
-    *  - expand: q16/q29's set-op census uses grouping sets ON PURPOSE
-    *    (its Expand is over the deduped key set, not the fact table).
-    *  - no-partial-agg: aggregates over first/last or listagg that Spark
-    *    plans as SortAggregate final-only when the input is already
-    *    clustered (q121's 25-row nation frame; q85's count frame).
-    */
-  private val allow: Map[String, Set[String]] = Map(
-    "q44_lang_id" -> Set("nested-loop", "cartesian"),
-    // q103: the CMS sketch collapses to a 1-row frame crossJoined back
-    "q103_cms_heavy_hitters" -> Set("nested-loop", "cartesian"),
-    // q38: the surrogate-key window over a DIMENSION (≤4M keys, documented
-    // in ops/Merge.scala) + a 1-row max-id frame cross
-    "q38_surrogate_keys" -> Set("global-window", "nested-loop", "cartesian"),
-    // q53: sliding windows DUPLICATE rows by construction (each event in
-    // size/slide windows) — that Expand is the operator's semantics
-    "q53_sliding_window" -> Set("expand"),
-    // q85: closed-form rank census crosses a 1-row total frame
-    "q85_rank_family" -> Set("nested-loop", "cartesian"),
-    // q144: the share-of-total window is global ON PURPOSE — its input is
-    // the 5-row aggregate, not the fact table (documented in the query)
-    "q144_percent_of_total" -> Set("global-window"),
-    // q88: UNPIVOT is implemented BY Expand — n_cols rows per input row
-    // is the requested output
-    "q88_unpivot" -> Set("expand"),
-    // q89: the planted-FK branch's `o_custkey = -1` constant-folds into a
-    // filter on the broadcast side, leaving an anti join against a ≤1-row
-    // build (plan-read in round 5) + a 1-row n_checked cross
-    "q89_constraint_audit" -> Set("nested-loop", "cartesian"),
-    "q49_cosine_topk" -> Set("nested-loop"),
-    // q158: q49's broadcast 3-row query set + a 1-row corpus-size frame
-    "q158_hybrid_rrf" -> Set("nested-loop", "cartesian"),
-    "q51_label_centroids" -> Set("nested-loop", "cartesian"),
-    "q59_ann_ivf" -> Set("nested-loop", "cartesian"),
-    "q62_ann_lsh_planes8" -> Set("nested-loop"),
-    "q63_embedding_neardup_p8" -> Set("nested-loop"),
-    "q65_ann_lsh_multitable" -> Set("nested-loop"),
-    "q66_ann_ivf_nprobe2" -> Set("nested-loop", "cartesian"),
-    "q69_repetition_quality" -> Set("nested-loop", "cartesian"),
-    "q74_tfidf" -> Set("nested-loop", "cartesian"),
-    "q82_length_clip" -> Set("nested-loop", "cartesian"),
-    "q83_unigram_score" -> Set("nested-loop", "cartesian"),
-    // q153: same shape as q83 — the 1-row vocab-size frame crosses back
-    "q153_bigram_score" -> Set("nested-loop", "cartesian"),
-    "q91_domain_mix" -> Set("nested-loop", "cartesian"),
-    "q99_sketch_clip" -> Set("nested-loop", "cartesian"),
-    "q102_weighted_sample" -> Set("nested-loop", "cartesian", "global-window"),
-    "q104_quantized_topk" -> Set("nested-loop", "cartesian"),
-    "q111_pq_topk" -> Set("nested-loop", "cartesian"),
-    "q131_jl_projection" -> Set("nested-loop"),
-    "q132_zorder" -> Set("global-window"),
-    // Insights batch (q162-q180): every flagged nested-loop is a ≤10-row
-    // derived frame (grand total, min/max pair, decile cuts, marginal
-    // count) crossJoined back — broadcast algebra, not a data-sized scan.
-    // Every flagged global window runs over an already-REDUCED frame
-    // (|customers|, distinct value domain, |days| series), never the
-    // fact; each query's scaladoc names the sketch path that removes
-    // even that (q164 -> approx_percentile cut-points, q174 -> binned
-    // ECDF). Same precedent as q144/q85.
-    // q182: dominance is inherently non-equi; the BNLJ runs over the
-    // POST-PRUNE candidate set (partition-local skylines), never the
-    // full point set — that asymmetry is the operator's whole design
-    "q182_skyline" -> Set("nested-loop"),
-    // q187: the trailing-window association is a |days|×|days| range
-    // join (~30×30 here, |calendar| at any scale) against BROADCAST
-    // daily frames — the fact is touched once, in the daily sketch agg
-    "q187_rolling_hll" -> Set("nested-loop"),
-    // q190: the 9-row decile-cut frame crosses the DISTINCT-value frame
-    "q190_equidepth_hist" -> Set("nested-loop", "cartesian"),
-    // q193: the 1-row (min, max) boundary frame crosses back
-    "q193_temporal_split" -> Set("nested-loop", "cartesian"),
-    // q194: label≠label is inherently non-equi; the BROADCAST side is the
-    // small anchor sample, so the pair generation is map-side and linear
-    // in the corpus — the intended plan, not an accident
-    "q194_negative_sampling" -> Set("nested-loop"),
-    // q195: the 1-row min-class-size frame crosses back
-    "q195_class_balance" -> Set("nested-loop", "cartesian"),
-    // q196: the 1-row medians frame crosses back
-    "q196_cohens_kappa" -> Set("nested-loop", "cartesian"),
-    "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
-    "q164_rfm_segments" -> Set("global-window"),
-    "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
-    "q168_benford_screen" -> Set("nested-loop", "cartesian"),
-    "q169_entropy_profile" -> Set("nested-loop", "cartesian"),
-    "q171_triangle_count" -> Set("nested-loop", "cartesian"),
-    "q173_psi_drift" -> Set("nested-loop", "cartesian"),
-    "q174_ks_test" -> Set("nested-loop", "cartesian", "global-window"),
-    "q175_gini" -> Set("global-window"),
-    "q176_acf" -> Set("global-window"),
-    "q178_cusum_changepoint" -> Set("global-window", "nested-loop",
-      "cartesian"),
-    "q179_decayed_engagement" -> Set("nested-loop", "cartesian"),
-    "q16_setop_census" -> Set("expand"),
-    "q29_setop_fused" -> Set("expand"),
-    "q24_rollup" -> Set("expand"),
-    "q25_cube" -> Set("expand"),
-    "q26_grouping_sets" -> Set("expand"),
-  )
 
   test("q140 typed pipeline: the Column filter still reaches the parquet scan") {
     val plan = graft.ops.Relational.q140TypedPipeline(spark, sfDir)
@@ -193,7 +115,7 @@ class PlanLintSpec extends SparkSpec {
       .flatMap { case (name, fn) =>
         try {
           val extra = lint(fn(spark, sfDir))
-            .filterNot(f => allow.getOrElse(name, Set.empty).contains(f.rule))
+            .filterNot(f => PlanLint.queryAllow.getOrElse(name, Set.empty).contains(f.rule))
           if (extra.isEmpty) None
           else Some(s"$name -> ${extra.mkString("; ")}")
         } catch {

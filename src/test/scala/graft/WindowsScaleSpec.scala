@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Windows
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The scalable per-group prefix-sum/dense-position helpers must produce
+  * EXACTLY the values of the naive low-cardinality window they replace —
+  * the whole point is that oracles and downstream logic cannot tell the
+  * difference, only the physical plan changes (bounded partitions
+  * instead of one task per enum value).
+  */
+class WindowsScaleSpec extends SparkSpec {
+
+  test("densePos reproduces row_number over an enum partition exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+    val ord = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_partkey"), col("l_suppkey"))
+    val naive = li.withColumn("rn",
+      row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(ord: _*)).cast("long"))
+    val scalable = Windows.densePos(li, Seq("l_returnflag"),
+      expr("l_orderkey div 256"), ord, "rn")
+    assert(naive.exceptAll(scalable.select(naive.columns.map(col): _*)).isEmpty
+      && scalable.select(naive.columns.map(col): _*).exceptAll(naive).isEmpty,
+      "densePos diverged from the naive window")
+  }
+
+  test("prefixSum reproduces a running sum over an enum partition exactly") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("n"))
+    val naive = docs.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val scalable = Windows.prefixSum(docs, Seq("lang"),
+      expr("doc_id div 256"), Seq(col("doc_id")), col("n"), "cum")
+    assert(naive.exceptAll(scalable.select(naive.columns.map(col): _*)).isEmpty
+      && scalable.select(naive.columns.map(col): _*).exceptAll(naive).isEmpty,
+      "prefixSum diverged from the naive window")
+  }
+
+  test("hexBucket is range-aligned with lexicographic hash order") {
+    val hashed = Tables.documents(spark, sfDir)
+      .select(md5(concat(lit("x:"), col("doc_id").cast("string"))).as("h"))
+    // bucket of the max h in bucket b must be < bucket of min h in b+1
+    val perBucket = hashed.withColumn("b", Windows.hexBucket(col("h")))
+      .groupBy("b").agg(min("h").as("lo"), max("h").as("hi"))
+      .orderBy("b").collect()
+    perBucket.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("hi") < b.getAs[String]("lo"),
+          s"bucket ${a.getLong(0)} overlaps ${b.getLong(0)}")
+      case _ => ()
+    }
+  }
+}

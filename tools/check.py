@@ -10,10 +10,12 @@ values exactly. Reports per-query PASS/FAIL with a diff preview.
 
 Driver-side tooling only — NOT part of the Spark library.
 """
+import datetime as dtm
 import json
 import math
 import struct
 import sys
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -30,8 +32,19 @@ def type_key(t):
     two rounds) but representation-neutral where the driver is: tz-ness
     of microsecond timestamps and string offset width.
     """
-    if pa.types.is_timestamp(t) and t.unit == "us":
-        return "timestamp[us]"
+    if pa.types.is_timestamp(t):
+        # Spark writes INT96 (ns in Arrow), DuckDB yields us — resolution
+        # and tz-ness are representation-neutral to the driver's hash
+        return "timestamp"
+    # integer WIDTH is representation-neutral to the driver (q81's int32
+    # row_number hashes equal to DuckDB's int64), and so is decimal-vs-
+    # float (q56's SUM(decimal) passed r6) — but decimal-vs-INT is the
+    # HUGEINT failure mode the driver rejects (q136/q190/q195), which
+    # this mapping preserves: decimal joins the float class, not int
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t) or pa.types.is_floating(t):
+        return "double"
     if pa.types.is_large_string(t) or pa.types.is_string(t):
         return "string"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -50,6 +63,20 @@ def norm(v):
         # canonical IEEE-754 bytes — distinguishes -0.0 from 0.0, as the
         # driver's bit-strict hash does
         return struct.pack(">d", v).hex()
+    if isinstance(v, Decimal):
+        # decimal joins the float class (see type_key); NEVER compare
+        # Decimal to float directly — Python converts the float exactly
+        # and Decimal("52.1") != 52.1
+        return norm(float(v))
+    if isinstance(v, dtm.datetime):
+        # Spark INT96 reads back tz-aware UTC, DuckDB naive — driver
+        # hashes the instant, not the tz flag. Rebuild as a PLAIN
+        # datetime: pandas.Timestamp subclasses datetime with a different
+        # repr, which would break the repr-keyed row sort.
+        if v.tzinfo is not None:
+            v = v.astimezone(dtm.timezone.utc)
+        return dtm.datetime(v.year, v.month, v.day, v.hour, v.minute,
+                            v.second, v.microsecond)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
@@ -65,7 +92,8 @@ def rows_of(tbl):
     types = [type_key(tbl.schema.field(i).type) for i in order]
     rows = [tuple(norm(c[r]) for c in cols)
             for r in range(len(cols[0]) if cols else 0)]
-    return sorted(names), types, sorted(rows)
+    # repr gives a total order even with NULLs / mixed types in a column
+    return sorted(names), types, sorted(rows, key=repr)
 
 
 def main():
