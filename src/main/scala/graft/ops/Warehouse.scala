@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -872,14 +872,23 @@ object Warehouse {
     * streaming (foreachBatch) maintenance path SummaryRewriteSpec drives
     * — each micro-batch's partials fold in at O(|delta|+|summary|).
     */
+  /** Algebraic sum-partial merge that preserves SQL SUM's NULL contract:
+    * NULL when both sides are NULL (a group whose measure was entirely
+    * NULL), the non-NULL sum otherwise.
+    */
+  private def nullSum(b: Column, n: Column): Column =
+    when(b.isNull && n.isNull, lit(null))
+      .otherwise(coalesce(b, lit(0.0)) + coalesce(n, lit(0.0)))
+
   def mergePartials(base: DataFrame, delta: DataFrame): DataFrame =
     base.as("b").join(delta.as("n"),
         Seq("l_returnflag", "l_linestatus", "l_shipdate"), "full_outer")
       .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
-        (coalesce(col("b.sum_qty"), lit(0.0))
-          + coalesce(col("n.sum_qty"), lit(0.0))).as("sum_qty"),
-        (coalesce(col("b.sum_price"), lit(0.0))
-          + coalesce(col("n.sum_price"), lit(0.0))).as("sum_price"),
+        // NULL-preserving partial-sum merge: both sides NULL must stay
+        // NULL (a from-scratch Sum over an all-NULL group is NULL, not
+        // 0 — coalescing unconditionally would diverge from the rebuild)
+        nullSum(col("b.sum_qty"), col("n.sum_qty")).as("sum_qty"),
+        nullSum(col("b.sum_price"), col("n.sum_price")).as("sum_price"),
         least(col("b.min_disc"), col("n.min_disc")).as("min_disc"),
         greatest(col("b.max_disc"), col("n.max_disc")).as("max_disc"),
         (coalesce(col("b.cnt"), lit(0L))

@@ -45,7 +45,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object SummaryRewrite extends Rule[LogicalPlan] {
 
-  /** A declared summary over one fact table. */
+  /** A declared summary over one fact table. `factSig` is the fact
+    * files' modification signature at registration — revalidated on
+    * every rewrite attempt so a rewritten/refreshed fact invalidates
+    * the entry instead of silently serving stale summary rows.
+    */
   final case class Summary(
       factPath: String,
       dims: Set[String],
@@ -53,7 +57,8 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       mins: Map[String, String],
       maxs: Map[String, String],
       countCol: Option[String],
-      relation: LogicalRelation)
+      relation: LogicalRelation,
+      factSig: String)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Summary]()
@@ -70,8 +75,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .getOrElse(throw new IllegalArgumentException(
         s"summary at $summaryPath did not analyze to a LogicalRelation"))
     registry.put(norm(factPath),
-      Summary(norm(factPath), dims.toSet, sums, mins, maxs, countCol, rel))
+      Summary(norm(factPath), dims.toSet, sums, mins, maxs, countCol, rel,
+        factSignature(spark, factPath)))
   }
+
+  /** name:length:mtime of every file under the fact path — the staleness
+    * fingerprint. A metadata-only listing (no data read); empty when the
+    * path cannot be listed, which then never matches a live signature.
+    */
+  private def factSignature(spark: SparkSession, factPath: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(factPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      val files = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
+      files.filter(_.isFile).sortBy(_.getPath.getName)
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .mkString(",")
+    } catch { case scala.util.control.NonFatal(_) => "" }
 
   def clear(): Unit = registry.clear()
 
@@ -103,8 +124,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   private def factPathOf(lr: LogicalRelation): Option[String] =
     lr.relation match {
-      case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.map(r => norm(r.toString))
+      // exactly ONE root: a multi-root read (parquet(factPath, other))
+      // whose first root matches would be rewritten to a summary covering
+      // only that root, silently dropping the other roots' rows
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        Some(norm(h.location.rootPaths.head.toString))
       case _ => None
     }
 
@@ -112,8 +136,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     (conds, lr) <- unwrap(agg.child)
     path <- factPathOf(lr)
     s <- Option(registry.get(path))
+    if fresh(path, s)
     rewritten <- build(agg, conds, s)
   } yield rewritten
+
+  /** Staleness gate: the fact files must still carry the signature seen
+    * at register() time; a rewritten fact evicts the entry and the query
+    * stays on the (current) fact scan.
+    */
+  private def fresh(path: String, s: Summary): Boolean = {
+    val live = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(sp => factSignature(sp, s.factPath)).getOrElse("")
+    val ok = live.nonEmpty && live == s.factSig
+    if (!ok) registry.remove(path)
+    ok
+  }
 
   private def build(agg: Aggregate, conds: Seq[Expression],
                     s: Summary): Option[Aggregate] = {
@@ -129,11 +167,16 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => dimAttr(a).isDefined
       case _ => false
     }
-    // 2. filters: dim references only
-    val condsOk = conds.forall(_.references.forall {
-      case a: AttributeReference => dimAttr(a).isDefined
-      case _ => false
-    })
+    // 2. filters: DETERMINISTIC, at least one reference, all dims — a
+    // rand() sampler or a reference-free predicate would pass a
+    // references-only check vacuously and then evaluate once per SUMMARY
+    // row instead of once per fact row, changing semantics
+    val condsOk = conds.forall(c => c.deterministic &&
+      c.references.nonEmpty &&
+      c.references.forall {
+        case a: AttributeReference => dimAttr(a).isDefined
+        case _ => false
+      })
 
     def reAgg(fn: AggregateFunction): Option[AggregateFunction] = fn match {
       case f: Sum => f.child match {

@@ -262,6 +262,20 @@ object JdbcSink {
   val oracleSql: Map[String, String] = Map(
     "q97_jdbc_roundtrip" -> q97Sql)
 
+  /** The native PostgreSQL merge statement the reference's sink issues
+    * (user_course_activity.py:73 `INSERT … ON CONFLICT (user_id,
+    * course_id) DO UPDATE`): insert the row, and on a key conflict
+    * overwrite every non-key column from the rejected row (`EXCLUDED`).
+    * Identifiers arrive PRE-QUOTED (quotedIdentifiers). Exposed for the
+    * string-contract spec — no Postgres server runs in CI.
+    */
+  def pgUpsertSql(qTable: String, qCols: Seq[String], qKeys: Seq[String],
+                  qNonKey: Seq[String]): String =
+    s"INSERT INTO $qTable (${qCols.mkString(", ")}) " +
+      s"VALUES (${qCols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${qKeys.mkString(", ")}) DO UPDATE SET " +
+      qNonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+
   def upsertTx(df: DataFrame, url: String, table: String, driver: String,
                keys: Seq[String]): Unit = {
     val schema = df.schema
@@ -284,15 +298,27 @@ object JdbcSink {
     // stored spellings are per-database, not per-connection, so paying N
     // catalog round-trips per partition would buy nothing. The resolved
     // statement TEXT (plain strings) ships to executors.
+    //
+    // DIALECT split: on PostgreSQL — the reference's actual target
+    // (user_course_activity.py:73–102) — the merge is the SINGLE native
+    // statement `INSERT … ON CONFLICT (keys) DO UPDATE SET c = EXCLUDED.c`:
+    // one round-trip per row instead of two, and the insert-vs-update race
+    // is closed by the DB's own conflict arbitration. Everywhere else
+    // (Derby here) the portable prepared UPDATE-else-INSERT pair runs.
+    val isPostgres = url.startsWith("jdbc:postgresql:")
     val (updateSql, insertSql) = {
       Class.forName(driver)
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         val (qTable, qCol) = quotedIdentifiers(conn, table, cols)
-        (s"UPDATE $qTable SET ${nonKey.map(c => s"${qCol(c)} = ?").mkString(", ")} " +
-           s"WHERE ${keys.map(k => s"${qCol(k)} = ?").mkString(" AND ")}",
-         s"INSERT INTO $qTable (${cols.map(qCol).mkString(", ")}) " +
-           s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+        if (isPostgres)
+          ("", pgUpsertSql(qTable, cols.map(qCol), keys.map(qCol),
+            nonKey.map(qCol)))
+        else
+          (s"UPDATE $qTable SET ${nonKey.map(c => s"${qCol(c)} = ?").mkString(", ")} " +
+             s"WHERE ${keys.map(k => s"${qCol(k)} = ?").mkString(" AND ")}",
+           s"INSERT INTO $qTable (${cols.map(qCol).mkString(", ")}) " +
+             s"VALUES (${cols.map(_ => "?").mkString(", ")})")
       } finally conn.close()
     }
     df.foreachPartition { (rows: Iterator[Row]) =>
@@ -301,7 +327,7 @@ object JdbcSink {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          val upd = conn.prepareStatement(updateSql)
+          val upd = if (isPostgres) null else conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
           def bind(st: java.sql.PreparedStatement, order: Seq[String], row: Row): Unit =
             order.zipWithIndex.foreach { case (c, i) =>
@@ -310,8 +336,11 @@ object JdbcSink {
               else st.setObject(i + 1, v)
             }
           rows.foreach { row =>
-            bind(upd, nonKey ++ keys, row)
-            if (upd.executeUpdate() == 0) { bind(ins, cols, row); ins.executeUpdate() }
+            if (isPostgres) { bind(ins, cols, row); ins.executeUpdate() }
+            else {
+              bind(upd, nonKey ++ keys, row)
+              if (upd.executeUpdate() == 0) { bind(ins, cols, row); ins.executeUpdate() }
+            }
           }
           conn.commit()
         } catch {

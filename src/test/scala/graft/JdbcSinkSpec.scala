@@ -125,6 +125,23 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got === Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("Postgres dialect emits the reference's native ON CONFLICT upsert") {
+    // string contract on the PG branch (no Postgres server in CI): the
+    // statement must be the reference's exact merge shape,
+    // user_course_activity.py:73–102 — INSERT … ON CONFLICT (user_id,
+    // course_id) DO UPDATE SET <non-keys> = EXCLUDED.<non-keys>
+    val q = (s: String) => "\"" + s + "\""
+    val sql = JdbcSink.pgUpsertSql(q("user_course_activity"),
+      Seq("user_id", "course_id", "status", "completed_at").map(q),
+      Seq("user_id", "course_id").map(q),
+      Seq("status", "completed_at").map(q))
+    assert(sql ==
+      """INSERT INTO "user_course_activity" ("user_id", "course_id", "status", "completed_at") """ +
+      """VALUES (?, ?, ?, ?) """ +
+      """ON CONFLICT ("user_id", "course_id") DO UPDATE SET """ +
+      """"status" = EXCLUDED."status", "completed_at" = EXCLUDED."completed_at"""")
+  }
+
   test("upsert is latest-wins and idempotent (O13 at the sink)") {
     val first = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
     JdbcSink.append(first, url, "T_UPSERT", driver)

@@ -97,6 +97,88 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(keyQ.count() > 0 && gcQ.collect().head.getLong(0) == li.count())
   }
 
+  test("non-deterministic and reference-free filters stay on the fact scan") {
+    buildAndRegister()
+    // rand() sampler: per-ROW semantics; evaluated per summary row it
+    // would sample groups, not rows — must not rewrite
+    val randQ = li.where(rand(7) < 0.5)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    assert(!scansSummary(randQ), "non-deterministic filter must not rewrite")
+    // (a DETERMINISTIC reference-free predicate constant-folds away
+    // before the rule ever sees it — the references.nonEmpty half of the
+    // gate defends the remaining path: non-foldable reference-free
+    // expressions, which today are exactly the non-deterministic ones)
+    // a deterministic dim filter still rewrites (the gate is not overtight)
+    assert(scansSummary(query))
+  }
+
+  test("multi-root fact reads are never rewritten") {
+    buildAndRegister()
+    // reading the registered fact path PLUS another root: a rewrite
+    // would drop the second root's rows
+    val multi = spark.read.parquet(s"$sfDir/lineitem.parquet",
+        s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+    assert(!scansSummary(multi), "multi-root read must not rewrite")
+    // and it computes from the (doubled) fact
+    val single = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    multi.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - 2 * single(r.getString(0))) < 1e-6))
+  }
+
+  test("a rewritten fact invalidates the registered summary (staleness)") {
+    val factDir = "/tmp/graft_mv_spec/stale_fact"
+    val sDir = "/tmp/graft_mv_spec/stale_summary"
+    li.limit(100).write.mode("overwrite").parquet(factDir)
+    SummaryRewrite.ensureRule(spark)
+    def fact = spark.read.parquet(factDir)
+    fact.groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_extendedprice")).as("sum_price"),
+           min(col("l_discount")).as("min_disc"),
+           max(col("l_discount")).as("max_disc"),
+           count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(sDir)
+    SummaryRewrite.register(spark, factDir,
+      dims = Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+      mins = Map("l_discount" -> "min_disc"),
+      maxs = Map("l_discount" -> "max_disc"),
+      countCol = Some("cnt"), summaryPath = sDir)
+    def agg = fact.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"))
+    assert(agg.queryExecution.executedPlan.toString.contains("stale_summary"),
+      "fresh registration must rewrite")
+    // rewrite the fact: DIFFERENT rows — the summary is now stale
+    li.limit(50).write.mode("overwrite").parquet(factDir)
+    val after = agg
+    assert(!after.queryExecution.executedPlan.toString.contains("stale_summary"),
+      "stale summary must not serve the rewritten fact")
+    // and the answer comes from the NEW fact
+    assert(after.agg(sum(col("s"))).head().getDouble(0) ==
+      li.limit(50).agg(sum(col("l_quantity"))).head().getDouble(0))
+  }
+
+  test("mergePartials keeps an all-NULL measure group NULL (SUM contract)") {
+    import spark.implicits._
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "sum_qty", "sum_price", "min_disc", "max_disc", "cnt")
+    def frame(qty: Option[Double]) = Seq(
+      ("A", "F", "1995-01-01", qty, qty, Some(0.01), Some(0.05), 3L))
+      .toDF(cols: _*)
+    // both sides NULL -> NULL (a rebuild's Sum over all-NULL is NULL)
+    val merged = graft.ops.Warehouse.mergePartials(frame(None), frame(None))
+      .select("sum_qty", "sum_price").head()
+    assert(merged.isNullAt(0) && merged.isNullAt(1),
+      s"all-NULL group must merge to NULL, got $merged")
+    // one side present -> its value
+    val half = graft.ops.Warehouse.mergePartials(frame(Some(7.5)), frame(None))
+      .select("sum_qty").head()
+    assert(half.getDouble(0) == 7.5)
+  }
+
   test("q183: incremental refresh serves the query from the merged summary") {
     SummaryRewrite.clear()
     val df = graft.ops.Warehouse.q183SummaryRefresh(spark, sfDir)
