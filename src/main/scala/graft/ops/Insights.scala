@@ -462,17 +462,18 @@ object Insights {
     val tagged = e.crossJoin(broadcast(mm))
       .select(col("value"),
         (col("us") * 2 <= col("mn") + col("mx")).as("is_ref"))
+    // cut points as a 1-row broadcast ARRAY; bin = |{cuts < value}| is a
+    // map-side size(filter(...)) over distinct values — no 9× fan-out,
+    // no per-value re-aggregation (the q190 one-pass binning form)
     val cuts = tagged.where(col("is_ref"))
-      .select(explode(pct("value",
-        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch))
-        .as("cut"))
-    // group to DISTINCT values first (carrying multiplicity in cnt) so the
-    // 9-way cut join fans out per distinct value, not per event
+      .agg(pct("value",
+        "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch)
+        .as("cuts"))
     val vals = tagged.groupBy(col("value"), col("is_ref"))
       .agg(count(lit(1)).as("cnt"))
     val binned = vals.crossJoin(broadcast(cuts))
-      .groupBy(col("value"), col("is_ref"), col("cnt"))
-      .agg(count_if(col("cut") < col("value")).as("bin"))
+      .select(col("value"), col("is_ref"), col("cnt"),
+        size(filter(col("cuts"), c => c < col("value"))).cast("long").as("bin"))
     val perBin = binned.groupBy("bin").agg(
       sum(when(col("is_ref"), col("cnt")).otherwise(0L)).cast("double")
         .as("ref_n"),
@@ -1027,15 +1028,19 @@ object Insights {
   def q190EquidepthHist(s: SparkSession, d: String,
                         sketch: Boolean = false): DataFrame = {
     val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val cuts = li.select(explode(pct("v",
-      "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch))
-      .as("cut"))
-    // distinct values first (multiplicity in cnt) — the q173 rule: the
-    // 9-way cut join must fan out per distinct value, not per row
+    // the 9 cut points stay an ARRAY in a 1-row broadcast frame: the bin
+    // of a value is |{cuts < v}|, computed MAP-SIDE by size(filter(...))
+    // — no 9× row fan-out, no per-value re-aggregation (one shuffle
+    // fewer than the exploded-cuts crossJoin form this replaces)
+    val cuts = li.agg(pct("v",
+      "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch)
+      .as("cuts"))
+    // distinct values first (multiplicity in cnt) so the bin expression
+    // evaluates per distinct value, not per row
     val vals = li.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
     vals.crossJoin(broadcast(cuts))
-      .groupBy(col("v"), col("cnt"))
-      .agg(count_if(col("cut") < col("v")).as("bin"))
+      .select(col("v"), col("cnt"),
+        size(filter(col("cuts"), c => c < col("v"))).cast("long").as("bin"))
       .groupBy(col("bin"))
       .agg(sum(col("cnt")).as("n"),
            round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
@@ -1070,14 +1075,14 @@ object Insights {
   // is within its error budget.
   def q197EquidepthSketch(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val cuts = li.select(explode(pct("v",
-      "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch = true))
-      .as("cut"))
+    val cuts = li.agg(pct("v",
+      "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)", sketch = true)
+      .as("cuts"))
     val vals = li.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
     val mult = vals.agg(max(col("cnt")).as("mult"))
     val bins = vals.crossJoin(broadcast(cuts))
-      .groupBy(col("v"), col("cnt"))
-      .agg(count_if(col("cut") < col("v")).as("bin"))
+      .select(col("cnt"),
+        size(filter(col("cuts"), c => c < col("v"))).cast("long").as("bin"))
       .groupBy(col("bin")).agg(sum(col("cnt")).as("n_b"))
     val tot = bins.agg(sum(col("n_b")).as("n_total"))
     bins.crossJoin(broadcast(tot)).crossJoin(broadcast(mult))
