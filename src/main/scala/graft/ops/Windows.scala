@@ -45,19 +45,23 @@ object Windows {
   def prefixSum(df: DataFrame, group: Seq[String], bucket: Column,
                 order: Seq[Column], value: Column, out: String): DataFrame = {
     val gcols = group.map(col)
+    val bucketed = df.withColumn("__pfx_cb", bucket)
     val wLoc = Window.partitionBy(gcols :+ col("__pfx_cb"): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = df.withColumn("__pfx_cb", bucket)
-      .withColumn("__pfx_lp", sum(value).over(wLoc))
     val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pfx_cb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
+    // offsets branch aggregates the PRE-window frame: per-bucket totals
+    // need no local prefix, so its scan reduces straight into a partial
+    // agg (plan-audited — building it from the windowed frame left a
+    // useless Window+Sort in the broadcast branch)
+    val offsets = bucketed
       .groupBy(gcols :+ col("__pfx_cb"): _*)
       .agg(sum(value).as("__pfx_bt"))
       .withColumn("__pfx_off", coalesce(sum(col("__pfx_bt")).over(wOff), lit(0L)))
       .select(gcols ++ Seq(col("__pfx_cb"), col("__pfx_off")): _*)
-    local.join(broadcast(offsets), group :+ "__pfx_cb")
+    bucketed.withColumn("__pfx_lp", sum(value).over(wLoc))
+      .join(broadcast(offsets), group :+ "__pfx_cb")
       .withColumn(out, col("__pfx_off") + col("__pfx_lp"))
       .drop("__pfx_cb", "__pfx_lp", "__pfx_off")
   }
@@ -273,18 +277,24 @@ object Windows {
     // helper (coarse range-buckets on the leading sort key)
     val positioned = densePos(li, Seq("l_returnflag"),
       expr("l_orderkey div 256"), ordCols, "pos")
-    // step 3: fixed-size position buckets + 19-row carry-in
+    // step 3: fixed-size position buckets + 19-row carry-in. The carry
+    // duplication is an EXPLODE over a 1-or-2 element array, not a
+    // union — a union's two branches would each recompute the whole
+    // densePos pipeline (plan-audited: the fact scanned 4× vs 2×)
     val B = 1024L
-    val base = positioned
-      .withColumn("pb", expr(s"(pos - 1) div $B"))
-      .withColumn("carry", lit(false))
-    val carried = positioned
-      .where(((col("pos") - lit(1L)) % B) >= (B - 19))
-      .withColumn("pb", expr(s"(pos - 1) div $B") + lit(1L))
-      .withColumn("carry", lit(true))
+    val pb = expr(s"(pos - 1) div $B")
     val wMed = Window.partitionBy(col("l_returnflag"), col("pb"))
       .orderBy(col("pos")).rowsBetween(-19, 0)
-    base.unionByName(carried)
+    positioned
+      .select(col("*"), explode(
+        when(((col("pos") - lit(1L)) % B) >= (B - 19),
+          array(struct(pb.as("pb"), lit(false).as("carry")),
+                struct((pb + lit(1L)).as("pb"), lit(true).as("carry"))))
+        .otherwise(array(struct(pb.as("pb"), lit(false).as("carry")))))
+        .as("dup"))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("pos"),
+        col("dup.pb").as("pb"), col("dup.carry").as("carry"))
       .withColumn("arr", array_sort(collect_list(col("l_quantity")).over(wMed)))
       .where(!col("carry"))
       .withColumn("n", size(col("arr")))
