@@ -140,23 +140,29 @@ object Graph {
         i => concat_ws(" ", element_at(col("toks"), i),
                             element_at(col("toks"), i + 1)))))
       .otherwise(array().cast("array<string>"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     val jac = size(array_intersect(col("bg"), col("bg_next"))).cast("double") /
               size(array_union(col("bg"), col("bg_next"))).cast("double")
     val toksCol: Column =
       filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
-    val edges = documents(s, d)
+    // successive-pair generation via dense per-lang position + p/p+1
+    // equi-join (the q47 form — a naive PARTITION BY lang lead() hands
+    // each language's corpus to one task; invisible to PlanLint here
+    // only because connectedComponents checkpoints the edge frame)
+    val docs = documents(s, d)
       .withColumn("toks", toksCol)
       .select(col("lang"), col("doc_id"), bigrams.as("bg"))
-      .withColumn("doc_b", lead(col("doc_id"), 1).over(w))
-      .withColumn("bg_next", lead(col("bg"), 1).over(w))
+    val positioned = Windows.densePos(docs, Seq("lang"),
+      expr("doc_id div 256"), Seq(col("doc_id")), "pos")
+    val successors = positioned.select(col("lang"),
+      (col("pos") - 1L).as("pos"), col("doc_id").as("doc_b"),
+      col("bg").as("bg_next"))
+    val edges = positioned.join(successors, Seq("lang", "pos"))
       // the union-size guard matters: two adjacent bigram-less docs give
       // jac = 0/0 = NaN, and Spark orders NaN ABOVE every number, so an
       // unguarded >= threshold would emit a bogus edge (and silently drop
       // a doc at q90's keeper stage); DuckDB yields NULL there — a
       // cross-engine divergence, not just a wrong edge.
-      .where(col("doc_b").isNotNull &&
-             size(array_union(col("bg"), col("bg_next"))) > 0 &&
+      .where(size(array_union(col("bg"), col("bg_next"))) > 0 &&
              round(jac, 4) >= 0.05)
       .select(col("doc_id").as("src"), col("doc_b").as("dst"))
 

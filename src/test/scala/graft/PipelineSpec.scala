@@ -34,14 +34,19 @@ class PipelineSpec extends SparkSpec {
 
   test("fanoutManaged release() unpersists every cache it created") {
     spark.catalog.clearCache()
+    // DIFF-based leak check: other suites' localCheckpoint RDDs (CC
+    // rounds, released to the ContextCleaner asynchronously by design)
+    // may still be registered — only RDDs this fan-out CREATED count
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val managed = CatalogPipeline.fanoutManaged(spark, CourseFixture.raw(spark))
     // materialize all relations (what a caller does before releasing)
     managed.relations.values.foreach(_.count())
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "fan-out should be cache-backed while in use")
     managed.release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "release() left pinned cached frames behind (the long-session leak)")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"release() left pinned cached frames behind (the long-session leak): $leaked")
     // released relations still compute (recompute path, not an error)
     assert(managed.relations("courses").count() === 4)
   }
