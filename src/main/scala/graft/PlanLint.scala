@@ -64,7 +64,7 @@ object PlanLint {
     */
   val lowCardinalityHints: Set[String] = Set(
     "l_returnflag", "l_linestatus", "event_type", "lang",
-    "c_mktsegment", "o_orderpriority", "o_orderstatus")
+    "c_mktsegment", "o_orderpriority", "o_orderstatus", "p_brand")
 
   def lint(df: DataFrame): Seq[Finding] = {
     val root = df.queryExecution.executedPlan

@@ -306,13 +306,16 @@ object Warehouse {
   // distance stays viable at scale only on pre-paired candidates, never
   // as a join predicate.
   def q86EditDistance(s: SparkSession, d: String): DataFrame = {
-    // per-brand shards keep the pairing window parallel (a global
-    // orderBy window would single-partition the whole catalog)
-    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
-    part(s, d)
-      .select(col("p_brand"), col("p_partkey"), col("p_name"))
-      .withColumn("next_name", lead(col("p_name"), 1).over(w))
-      .where(col("next_name").isNotNull)
+    // adjacent pairing via dense per-brand position + p/p+1 equi-join
+    // (Windows.densePos — 25 brands means a naive per-brand window is
+    // 25 tasks over the whole catalog; a global orderBy window would be
+    // one)
+    val positioned = Windows.densePos(
+      part(s, d).select(col("p_brand"), col("p_partkey"), col("p_name")),
+      Seq("p_brand"), expr("p_partkey div 256"), Seq(col("p_partkey")), "pos")
+    val successors = positioned.select(col("p_brand"),
+      (col("pos") - 1L).as("pos"), col("p_name").as("next_name"))
+    positioned.join(successors, Seq("p_brand", "pos"))
       .withColumn("dist", levenshtein(col("p_name"), col("next_name")))
       .withColumn("bucket", least(col("dist"), lit(12)))
       .groupBy(col("bucket"))
@@ -346,11 +349,13 @@ object Warehouse {
   // empty-vs-empty = 0 — was pinned against DuckDB's
   // jaro_winkler_similarity over 3000 randomized pairs.
   def q155JaroWinkler(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
-    part(s, d)
-      .select(col("p_brand"), col("p_partkey"), col("p_name"))
-      .withColumn("next_name", lead(col("p_name"), 1).over(w))
-      .where(col("next_name").isNotNull)
+    // same dense-position pairing as q86 (25-brand window otherwise)
+    val positioned = Windows.densePos(
+      part(s, d).select(col("p_brand"), col("p_partkey"), col("p_name")),
+      Seq("p_brand"), expr("p_partkey div 256"), Seq(col("p_partkey")), "pos")
+    val successors = positioned.select(col("p_brand"),
+      (col("pos") - 1L).as("pos"), col("p_name").as("next_name"))
+    positioned.join(successors, Seq("p_brand", "pos"))
       .withColumn("sim", round(
         graft.expr.JaroWinklerFunctions.jaro_winkler(
           col("p_name"), col("next_name")), 4))
