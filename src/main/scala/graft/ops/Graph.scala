@@ -230,6 +230,56 @@ object Graph {
        |FROM labels
        |ORDER BY doc_id""".stripMargin
 
+  // ─── q198: canonical-document selection per dup cluster ──────────────
+  // Production dedup doesn't keep the MIN-id doc of a near-dup cluster —
+  // it keeps the BEST one (longest/highest-quality) and drops the rest.
+  // This is q71's cluster labeling composed with a per-cluster argmax:
+  // keeper = max_by(doc_id, (n_chars, doc_id)) — ONE ObjectHashAggregate
+  // with a partial step (each map task emits one candidate per cluster;
+  // the shuffle never carries document text), the q139 top-k shape with
+  // k = 1. The dropped-id checksum (sum of ids minus the keeper) proves
+  // WHICH rows were dropped, cross-engine, not just how many — the q195
+  // selection-checksum contract.
+  def q198CanonicalKeeper(s: SparkSession, d: String): DataFrame = {
+    val labels = dupClusterLabels(s, d)
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    labels.join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        expr("max_by(doc_id, struct(n_chars, doc_id))").as("keeper_id"),
+        max(col("n_chars")).as("keeper_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .where(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("keeper_id"), col("keeper_chars"),
+        (col("cluster_size") - 1L).as("n_dropped"),
+        (col("id_sum") - col("keeper_id")).as("dropped_id_checksum"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q198Sql: String =
+    s"""WITH RECURSIVE $ccLabelCtes,
+       |scored AS (
+       |  SELECT labels.doc_id, cluster_id, n_chars
+       |  FROM labels JOIN documents ON labels.doc_id = documents.doc_id),
+       |agg AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |    max(n_chars) AS keeper_chars
+       |  FROM scored GROUP BY cluster_id),
+       |keeper AS (
+       |  SELECT cluster_id, doc_id AS keeper_id
+       |  FROM (SELECT cluster_id, doc_id,
+       |          row_number() OVER (PARTITION BY cluster_id
+       |            ORDER BY n_chars DESC, doc_id DESC) AS rn
+       |        FROM scored) WHERE rn = 1)
+       |SELECT a.cluster_id, cluster_size, keeper_id, keeper_chars,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_dropped,
+       |  CAST(id_sum - keeper_id AS BIGINT) AS dropped_id_checksum
+       |FROM agg a JOIN keeper k ON a.cluster_id = k.cluster_id
+       |WHERE cluster_size >= 2
+       |ORDER BY a.cluster_id""".stripMargin
+
   // ─── q150: PageRank — link-graph authority scoring ─────────────────────
   // Web-corpus curation uses link authority as a quality prior (the
   // original PageRank use case); here the same iteration runs over the
@@ -461,12 +511,14 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_dup_clusters" -> (q71DupClusters _),
+    "q198_canonical_keeper" -> (q198CanonicalKeeper _),
     "q150_pagerank" -> (q150PageRank _),
     "q170_bfs_hops" -> (q170BfsHops _),
     "q171_triangle_count" -> (q171TriangleCount _))
 
   val oracleSql: Map[String, String] = Map(
     "q71_dup_clusters" -> q71Sql,
+    "q198_canonical_keeper" -> q198Sql,
     "q150_pagerank" -> q150Sql,
     "q170_bfs_hops" -> q170Sql,
     "q171_triangle_count" -> q171Sql)

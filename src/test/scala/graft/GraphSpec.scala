@@ -175,4 +175,25 @@ class GraphSpec extends SparkSpec {
     } yield (a, b, c)).size
     assert(nTri == expected, s"spark $nTri vs brute $expected")
   }
+
+  test("q198: keeper is the max-(n_chars, doc_id) member of its own cluster") {
+    import org.apache.spark.sql.functions._
+    val labels = graft.ops.Graph.dupClusterLabels(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.ops.Graph.q198CanonicalKeeper(spark, sfDir).collect()
+    assert(rows.nonEmpty, "fixture must contain dup clusters")
+    rows.foreach { r =>
+      val (cid, size, keeper) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val members = labels.filter(_._2 == cid).keys.toSeq
+      assert(members.size == size && members.contains(keeper))
+      // keeper maximizes (n_chars, doc_id) over the cluster
+      val best = members.maxBy(m => (chars(m), m))
+      assert(keeper == best, s"cluster $cid keeper $keeper vs best $best")
+      assert(r.getLong(3) == chars(keeper))                   // keeper_chars
+      assert(r.getLong(5) == members.filter(_ != keeper).sum) // checksum
+    }
+  }
 }
