@@ -40,7 +40,10 @@ object Windows {
     * The bucket count is the parallelism knob: fixed here (derived from
     * the caller's expression), wired to input-size/cluster-width in a
     * deployment. Values are EXACTLY those of the naive window — specs
-    * and oracles see no difference.
+    * and oracles see no difference — for integer values and
+    * integral-valued doubles (IEEE addition is exact below 2^53, the
+    * q76/q90 token-count case); fractional doubles agree to ULP because
+    * the bucketed form re-associates the additions.
     */
   def prefixSum(df: DataFrame, group: Seq[String], bucket: Column,
                 order: Seq[Column], value: Column, out: String): DataFrame = {

@@ -41,6 +41,24 @@ class WindowsScaleSpec extends SparkSpec {
       "prefixSum diverged from the naive window")
   }
 
+  test("prefixSum over integral DOUBLEs (the q90 packing path) is exact") {
+    // the helper re-associates float addition (within-bucket sums, then
+    // cumulated bucket totals), so general doubles agree only to ULP;
+    // the q76/q90 contract is INTEGRAL-valued doubles (token counts),
+    // where IEEE addition is exact below 2^53 and the bucketed form must
+    // match the naive window bit-for-bit
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("double").as("n"))
+    val naive = docs.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val scalable = Windows.prefixSum(docs, Seq("lang"),
+      expr("doc_id div 256"), Seq(col("doc_id")), col("n"), "cum")
+    assert(naive.exceptAll(scalable.select(naive.columns.map(col): _*)).isEmpty
+      && scalable.select(naive.columns.map(col): _*).exceptAll(naive).isEmpty,
+      "integral-double prefixSum diverged from the naive window")
+  }
+
   test("hexBucket is range-aligned with lexicographic hash order") {
     val hashed = Tables.documents(spark, sfDir)
       .select(md5(concat(lit("x:"), col("doc_id").cast("string"))).as("h"))
