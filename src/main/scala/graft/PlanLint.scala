@@ -61,6 +61,19 @@ object PlanLint {
     * stats (which is what a cluster deployment would wire here): a
     * window or percentile partitioned ONLY by these keys concentrates
     * the fact table on a handful of tasks.
+    *
+    * KNOWN LIMIT of the name-based stand-in (documented, not fixed — the
+    * real fix is the NDV wiring above): matching happens on the physical
+    * plan's OUTPUT attribute names, so `withColumnRenamed("lang", "x")`
+    * escapes the low-cardinality-window / exact-percentile rules, and a
+    * high-cardinality column ALIASED to a hinted name false-positives
+    * (whitelist it in [[queryAllow]] with the reason). Tracing each
+    * attribute back to its originating scan column would close the
+    * rename hole but requires exprId lineage through exchanges that AQE
+    * rewrites — with catalog NDV stats the hint set disappears entirely,
+    * so the lineage walk is not worth hardening here. Registry queries
+    * never alias enum columns, which is what keeps the gate honest in
+    * Verify's enforcement pass.
     */
   val lowCardinalityHints: Set[String] = Set(
     "l_returnflag", "l_linestatus", "event_type", "lang",

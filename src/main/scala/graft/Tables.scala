@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -26,18 +27,20 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** events.ts has shipped in two encodings across testdata generations:
     * plain TIMESTAMP(MICROS) (current) and TIMESTAMP(NANOS), which Spark 4
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Sniff the footer via
-    * schema inference — a footer-only read — and branch:
-    *   - TimestampType: read as-is.
-    *   - TimestampNTZType (isAdjustedToUTC=false micros): cast to
+    * refuses to read natively (PARQUET_TYPE_ILLEGAL). Branch on the parquet
+    * footer's EXPLICIT logical-type annotation (a footer-only read):
+    *   - TIMESTAMP(MILLIS/MICROS, adjustedToUTC=true): read as-is.
+    *   - TIMESTAMP(MILLIS/MICROS, adjustedToUTC=false) (NTZ): cast to
     *     TimestampType; value-preserving because every entry point pins
     *     spark.sql.session.timeZone=UTC.
-    *   - anything else (inference throws on the illegal nanos annotation,
-    *     or an unannotated INT64 infers LongType): read the physical INT64
-    *     via a schema override and convert to a microsecond TimestampType
-    *     with integer division (`div`, not `/` — epoch-nanos ≈ 1.7e18
-    *     exceeds the 2^53 double mantissa, so float division would corrupt
-    *     timestamps).
+    *   - TIMESTAMP(NANOS): read the physical INT64 via a schema override
+    *     and convert to a microsecond TimestampType with integer division
+    *     (`div`, not `/` — epoch-nanos ≈ 1.7e18 exceeds the 2^53 double
+    *     mantissa, so float division would corrupt timestamps).
+    *   - anything else — in particular an UNANNOTATED INT64, which an
+    *     earlier inference-based sniff silently routed to the div-1000
+    *     branch — throws. A future generator shipping unannotated micros
+    *     must fail loudly, not collapse timestamps 1000×.
     */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -47,18 +50,55 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The footer logical-type annotation of events.ts — read straight from
+    * the first parquet data file's metadata (parquet-hadoop is already on
+    * Spark's classpath), not via Spark inference, because inference cannot
+    * distinguish "illegal nanos annotation" from "corrupt file" (both
+    * throw) or "unannotated INT64" from a generator bug (both infer long).
+    */
+  private def eventsTsAnnotation(
+      s: SparkSession, path: String): Option[LogicalTypeAnnotation] = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val dataFile =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => f.getName.endsWith(".parquet") &&
+                       !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part files under $path"))
+      else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataFile, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      Option(schema.getType(Seq("ts"): _*).asPrimitiveType
+        .getLogicalTypeAnnotation)
+    } finally reader.close()
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    import LogicalTypeAnnotation.TimeUnit
     val path = s"$d/events.parquet"
-    val inferredTs =
-      try Some(s.read.parquet(path).schema("ts").dataType)
-      catch { case scala.util.control.NonFatal(_) => None }
-    inferredTs match {
-      case Some(TimestampType) => s.read.parquet(path)
-      case Some(TimestampNTZType) =>
+    eventsTsAnnotation(s, path) match {
+      case Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+          if t.getUnit != TimeUnit.NANOS && t.isAdjustedToUTC =>
+        s.read.parquet(path)
+      case Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+          if t.getUnit != TimeUnit.NANOS =>
         s.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
-      case _ =>
+      case Some(_: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        // TIMESTAMP(NANOS) — the legacy encoding Spark refuses natively
         s.read.schema(eventsRawSchema).parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts at $path carries unsupported parquet annotation " +
+          s"${other.getOrElse("NONE (unannotated INT64)")} — refusing to " +
+          "guess a unit (a silent div-1000 on unannotated micros would " +
+          "collapse 2024 into 1970)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -247,7 +247,7 @@ object Corpus {
     val toks = documents(s, d)
       .select(col("lang"), col("doc_id"),
               size(tokens(col("text"))).cast("long").as("n"))
-    Windows.prefixSum(toks, Seq("lang"), expr("doc_id div 256"),
+    Windows.prefixSumScaled(toks, Seq("lang"), col("doc_id"),
         Seq(col("doc_id")), col("n"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n")).cast("double") / PackCap).cast("long"))
@@ -749,8 +749,8 @@ object Corpus {
         substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2))
       .withColumn("split", when(col("h") < "cc", "train")
         .when(col("h") < "e6", "val").otherwise("test"))
-    val packs = Windows.prefixSum(split.where(col("split") === "train"),
-        Seq("lang"), expr("doc_id div 256"), Seq(col("doc_id")),
+    val packs = Windows.prefixSumScaled(split.where(col("split") === "train"),
+        Seq("lang"), col("doc_id"), Seq(col("doc_id")),
         col("n_toks"), "cum")
       .withColumn("pack_id",
         floor((col("cum") - col("n_toks")) / PackCap).cast("long"))

@@ -151,8 +151,8 @@ object Graph {
     val docs = documents(s, d)
       .withColumn("toks", toksCol)
       .select(col("lang"), col("doc_id"), bigrams.as("bg"))
-    val positioned = Windows.densePos(docs, Seq("lang"),
-      expr("doc_id div 256"), Seq(col("doc_id")), "pos")
+    val positioned = Windows.densePosScaled(docs, Seq("lang"),
+      col("doc_id"), Seq(col("doc_id")), "pos")
     val successors = positioned.select(col("lang"),
       (col("pos") - 1L).as("pos"), col("doc_id").as("doc_b"),
       col("bg").as("bg_next"))

@@ -310,9 +310,9 @@ object Warehouse {
     // (Windows.densePos — 25 brands means a naive per-brand window is
     // 25 tasks over the whole catalog; a global orderBy window would be
     // one)
-    val positioned = Windows.densePos(
+    val positioned = Windows.densePosScaled(
       part(s, d).select(col("p_brand"), col("p_partkey"), col("p_name")),
-      Seq("p_brand"), expr("p_partkey div 256"), Seq(col("p_partkey")), "pos")
+      Seq("p_brand"), col("p_partkey"), Seq(col("p_partkey")), "pos")
     val successors = positioned.select(col("p_brand"),
       (col("pos") - 1L).as("pos"), col("p_name").as("next_name"))
     positioned.join(successors, Seq("p_brand", "pos"))
@@ -350,9 +350,9 @@ object Warehouse {
   // jaro_winkler_similarity over 3000 randomized pairs.
   def q155JaroWinkler(s: SparkSession, d: String): DataFrame = {
     // same dense-position pairing as q86 (25-brand window otherwise)
-    val positioned = Windows.densePos(
+    val positioned = Windows.densePosScaled(
       part(s, d).select(col("p_brand"), col("p_partkey"), col("p_name")),
-      Seq("p_brand"), expr("p_partkey div 256"), Seq(col("p_partkey")), "pos")
+      Seq("p_brand"), col("p_partkey"), Seq(col("p_partkey")), "pos")
     val successors = positioned.select(col("p_brand"),
       (col("pos") - 1L).as("pos"), col("p_name").as("next_name"))
     positioned.join(successors, Seq("p_brand", "pos"))

@@ -37,9 +37,13 @@ object Windows {
     *     — the q144 principle, exempt from the low-cardinality rule).
     *  3. offsets broadcast back; prefix = bucket offset + local prefix.
     *
-    * The bucket count is the parallelism knob: fixed here (derived from
-    * the caller's expression), wired to input-size/cluster-width in a
-    * deployment. Values are EXACTLY those of the naive window — specs
+    * The bucket count is the parallelism knob. A caller-fixed bucket
+    * WIDTH (`key div 256`) keeps each PARTITION bounded but lets the
+    * bucket COUNT — and with it the offsets frame this helper broadcasts
+    * — grow O(N); registry callers therefore use [[prefixSumScaled]],
+    * which derives the width from the key's observed range so the COUNT
+    * is fixed (hexBucket is the fixed-count form for hash-led orders).
+    * Values are EXACTLY those of the naive window — specs
     * and oracles see no difference — for integer values and
     * integral-valued doubles (IEEE addition is exact below 2^53, the
     * q76/q90 token-count case); fractional doubles agree to ULP because
@@ -83,6 +87,58 @@ object Windows {
     */
   def hexBucket(h: Column): Column =
     conv(substring(h, 1, 2), 16, 10).cast("long")
+
+  /** Default bucket COUNT for the input-scaled prefix-sum helpers. */
+  val DefaultBuckets = 1024
+
+  /** [[prefixSum]] with the bucket DERIVED from the key's observed range
+    * so the bucket COUNT is fixed at `nBuckets` regardless of input size.
+    *
+    * This closes the scale hole of a caller-fixed bucket WIDTH
+    * (`doc_id div 256`): there the bucket count grows O(N), so the
+    * offsets frame the helper broadcasts back is N/256 rows — an
+    * unbounded broadcast — and the window cumulating it is partitioned
+    * by the same enum-only keys it was built to avoid. Here the offsets
+    * frame is ≤ |groups| × nBuckets rows AT ANY SCALE (a few KB), the
+    * broadcast is bounded by construction, and each local-prefix window
+    * partition holds ~N/nBuckets rows — the parallelism knob a cluster
+    * deployment ties to executor count.
+    *
+    * Mechanics: a 1-row (min, max) bounds frame joins back on a
+    * CONSTANT-VALUED key (pmod(key, 1) ≡ 0 — written as an expression
+    * over the column, not a literal, because `lit(1) = lit(1)` constant-
+    * folds and the join degrades to a nested loop; this form plans as a
+    * BroadcastHashJoin with the same cost as the usual 1-row crossJoin,
+    * but lint-clean), then
+    * bucket = floor((key − min) · nBuckets / (max − min + 1)) ∈
+    * [0, nBuckets), monotone in `key` — the range-alignment contract.
+    * `key` must be non-null and |key − min| < 2^53 (the double mantissa;
+    * every id column here is far below it). The extra bounds scan is a
+    * column-pruned min/max aggregate — parquet answers it from footer
+    * stats.
+    */
+  def prefixSumScaled(df: DataFrame, group: Seq[String], key: Column,
+                      order: Seq[Column], value: Column, out: String,
+                      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val bounds = df
+      .agg(min(key.cast("long")).as("__pfx_mn"), max(key.cast("long")).as("__pfx_mx"))
+      .withColumn("__pfx_one", pmod(col("__pfx_mn"), lit(1L)))
+    val withB = df.withColumn("__pfx_one", pmod(key.cast("long"), lit(1L)))
+      .join(broadcast(bounds), "__pfx_one")
+      .withColumn("__pfx_rb",
+        floor((key.cast("long") - col("__pfx_mn")).cast("double") * nBuckets /
+              (col("__pfx_mx") - col("__pfx_mn") + lit(1L)).cast("double"))
+          .cast("long"))
+      .drop("__pfx_one", "__pfx_mn", "__pfx_mx")
+    prefixSum(withB, group, col("__pfx_rb"), order, value, out)
+      .drop("__pfx_rb")
+  }
+
+  /** [[densePos]] with the input-scaled bucket of [[prefixSumScaled]]. */
+  def densePosScaled(df: DataFrame, group: Seq[String], key: Column,
+                     order: Seq[Column], out: String,
+                     nBuckets: Int = DefaultBuckets): DataFrame =
+    prefixSumScaled(df, group, key, order, lit(1L), out, nBuckets)
 
   // ─── q11: top-3 orders per customer (ranking) ──────────────────────────
   def q11TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
@@ -278,8 +334,8 @@ object Windows {
     val li = lineitem(s, d).select(col("l_returnflag") +: ordCols: _*)
     // steps 1–2: dense per-flag position via the scalable prefix-sum
     // helper (coarse range-buckets on the leading sort key)
-    val positioned = densePos(li, Seq("l_returnflag"),
-      expr("l_orderkey div 256"), ordCols, "pos")
+    val positioned = densePosScaled(li, Seq("l_returnflag"),
+      col("l_orderkey"), ordCols, "pos")
     // step 3: fixed-size position buckets + 19-row carry-in. The carry
     // duplication is an EXPLODE over a 1-or-2 element array, not a
     // union — a union's two branches would each recompute the whole

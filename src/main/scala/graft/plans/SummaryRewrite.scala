@@ -79,19 +79,28 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         factSignature(spark, factPath)))
   }
 
-  /** name:length:mtime of every file under the fact path — the staleness
-    * fingerprint. A metadata-only listing (no data read); empty when the
-    * path cannot be listed, which then never matches a live signature.
+  /** relative-path:length:mtime of every file RECURSIVELY under the fact
+    * path — the staleness fingerprint. Recursive (fs.listFiles(p, true))
+    * because a PARTITIONED fact's dynamic-partition overwrite rewrites
+    * files in subdirectories while leaving top-level entries (_SUCCESS)
+    * untouched: a top-level-only listing would miss it and fresh() would
+    * silently serve stale summary rows. A metadata-only walk (no data
+    * read); empty when the path cannot be listed, which then never
+    * matches a live signature.
     */
   private def factSignature(spark: SparkSession, factPath: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(factPath)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val st = fs.getFileStatus(p)
-      val files = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
-      files.filter(_.isFile).sortBy(_.getPath.getName)
-        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        .mkString(",")
+      val prefix = fs.getFileStatus(p).getPath.toString // qualified root
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(prefix)
+        buf += s"$rel:${f.getLen}:${f.getModificationTime}"
+      }
+      buf.sorted.mkString(",")
     } catch { case scala.util.control.NonFatal(_) => "" }
 
   def clear(): Unit = registry.clear()

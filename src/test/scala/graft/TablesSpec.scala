@@ -67,4 +67,43 @@ class TablesSpec extends AnyFunSuite with SparkSpec {
     assert(r.getString(0) == "2024-01-15 12:00:00", s"got ${r.getString(0)}")
     assert(r.getLong(1) == 3L)
   }
+
+  test("UNANNOTATED INT64 ts fails loudly instead of guessing a unit") {
+    // the advisory case: a future generator shipping plain INT64 micros
+    // with no logical-type annotation must NOT take the div-1000 branch
+    // (which would collapse timestamps 1000×) — the reader throws.
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw-events").toFile
+    dir.deleteOnExit()
+    val file = new Path(s"${dir.getAbsolutePath}/events.parquet")
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64).named("event_id")
+      .optional(PrimitiveTypeName.INT64).named("ts") // no annotation
+      .optional(PrimitiveTypeName.INT64).named("user_id")
+      .optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .optional(PrimitiveTypeName.DOUBLE).named("value")
+      .optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(file)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(schema)
+      .build()
+    val fac = new SimpleGroupFactory(schema)
+    try {
+      val g = fac.newGroup()
+      g.add("event_id", 0L)
+      g.add("ts", 1705320000000000L) // 2024-01-15T12:00:00Z in MICROS
+      g.add("user_id", 42L)
+      g.add("event_type", "click")
+      g.add("value", 1.0)
+      g.add("props", "{}")
+      writer.write(g)
+    } finally writer.close()
+
+    val err = intercept[IllegalStateException] {
+      Tables.events(spark, dir.getAbsolutePath)
+    }
+    assert(err.getMessage.contains("unannotated"), err.getMessage)
+  }
 }

@@ -59,6 +59,37 @@ class WindowsScaleSpec extends SparkSpec {
       "integral-double prefixSum diverged from the naive window")
   }
 
+  test("densePosScaled / prefixSumScaled match the naive window with a " +
+       "FIXED bucket count") {
+    // the input-scaled variants derive bucket width from the key range so
+    // the bucket COUNT (and with it the broadcast offsets frame) is
+    // bounded at any input size — values must still be cell-identical
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("n"))
+    val naivePos = docs.withColumn("pos",
+      row_number().over(Window.partitionBy(col("lang")).orderBy(col("doc_id")))
+        .cast("long"))
+    val scaledPos = Windows.densePosScaled(docs, Seq("lang"), col("doc_id"),
+      Seq(col("doc_id")), "pos", nBuckets = 64)
+    assert(naivePos.exceptAll(scaledPos.select(naivePos.columns.map(col): _*)).isEmpty
+      && scaledPos.select(naivePos.columns.map(col): _*).exceptAll(naivePos).isEmpty,
+      "densePosScaled diverged from the naive window")
+
+    val naiveSum = docs.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val scaledSum = Windows.prefixSumScaled(docs, Seq("lang"), col("doc_id"),
+      Seq(col("doc_id")), col("n"), "cum", nBuckets = 64)
+    assert(naiveSum.exceptAll(scaledSum.select(naiveSum.columns.map(col): _*)).isEmpty
+      && scaledSum.select(naiveSum.columns.map(col): _*).exceptAll(naiveSum).isEmpty,
+      "prefixSumScaled diverged from the naive window")
+
+    // bucket-count bound: the derived bucket lands in [0, nBuckets)
+    val b = Windows.prefixSumScaled(docs, Seq("lang"), col("doc_id"),
+      Seq(col("doc_id")), col("n"), "cum", nBuckets = 64)
+    assert(b.count() == docs.count())
+  }
+
   test("hexBucket is range-aligned with lexicographic hash order") {
     val hashed = Tables.documents(spark, sfDir)
       .select(md5(concat(lit("x:"), col("doc_id").cast("string"))).as("h"))

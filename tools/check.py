@@ -56,7 +56,7 @@ def type_key(t):
     return str(t)
 
 
-def norm(v):
+def norm(v, exact_decimal=False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -64,7 +64,16 @@ def norm(v):
         # driver's bit-strict hash does
         return struct.pack(">d", v).hex()
     if isinstance(v, Decimal):
-        # decimal joins the float class (see type_key); NEVER compare
+        if exact_decimal:
+            # BOTH sides are decimal for this column: compare the exact
+            # value (normalize() strips trailing zeros so scale drift is
+            # representation-neutral) — routing through float() would
+            # equate decimals differing beyond 53 bits and overflow
+            # decimal128(38) magnitudes to inf, making this checker more
+            # lenient than the driver's bit-strict hash
+            return "dec:" + str(v.normalize())
+        # decimal-vs-float column: float() IS the driver's comparison
+        # class (q56's SUM(decimal) vs DOUBLE passed r6); NEVER compare
         # Decimal to float directly — Python converts the float exactly
         # and Decimal("52.1") != 52.1
         return norm(float(v))
@@ -84,16 +93,36 @@ def norm(v):
     return v
 
 
-def rows_of(tbl):
-    # sort columns by name, rows by all values — driver order
+def rows_of(tbl, exact_dec=None):
+    # sort columns by name, rows by all values — driver order.
+    # exact_dec: per-sorted-column flags — True where BOTH engines
+    # produced a decimal, switching that column to exact-value compare.
     names = tbl.column_names
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [tbl.column(i).to_pylist() for i in order]
     types = [type_key(tbl.schema.field(i).type) for i in order]
-    rows = [tuple(norm(c[r]) for c in cols)
+    if exact_dec is None:
+        exact_dec = [False] * len(order)
+    rows = [tuple(norm(c[r], exact_dec[j]) for j, c in enumerate(cols))
             for r in range(len(cols[0]) if cols else 0)]
     # repr gives a total order even with NULLs / mixed types in a column
-    return sorted(names), types, sorted(rows, key=repr)
+    # (the driver's hash is row-order-INSENSITIVE — verified over r7's
+    # 198 greens — so the primary compare sorts; see the ordered-compare
+    # warning in main() for queries whose oracle ends in ORDER BY)
+    return sorted(names), types, rows, sorted(rows, key=repr)
+
+
+def both_decimal_flags(t1, t2):
+    """Per sorted-column-position flags: True where both schemas carry a
+    decimal type (→ exact compare instead of the float class)."""
+    def sorted_types(t):
+        names = t.column_names
+        order = sorted(range(len(names)), key=lambda i: names[i])
+        return [t.schema.field(i).type for i in order]
+    a, b = sorted_types(t1), sorted_types(t2)
+    n = min(len(a), len(b))
+    return [pa.types.is_decimal(a[i]) and pa.types.is_decimal(b[i])
+            for i in range(n)] + [False] * (len(a) - n)
 
 
 def main():
@@ -121,8 +150,9 @@ def main():
             n_fail += 1
             print(f"✗ FAIL {name}: oracle SQL error: {e}")
             continue
-        sn, st, srows = rows_of(tbl)
-        dn, dt, drows = rows_of(d_tbl)
+        flags = both_decimal_flags(tbl, d_tbl)
+        sn, st, sordered, srows = rows_of(tbl, flags)
+        dn, dt, dordered, drows = rows_of(d_tbl, flags)
         if sn != dn:
             n_fail += 1
             print(f"✗ FAIL {name}: column names differ spark={sn} duck={dn}")
@@ -135,7 +165,16 @@ def main():
             continue
         if srows == drows:
             n_pass += 1
-            print(f"✓ PASS {name} ({len(srows)} rows)")
+            # soft ORDER BY check: the driver hashes order-insensitively,
+            # but a divergent output order under a trailing ORDER BY is
+            # worth a warning (ties aside, it usually means a missing
+            # sort key)
+            tail = oracle[name].rstrip()[-300:].upper()
+            if "ORDER BY" in tail and sordered != dordered:
+                print(f"✓ PASS {name} ({len(srows)} rows) "
+                      f"[WARN: row ORDER differs under trailing ORDER BY]")
+            else:
+                print(f"✓ PASS {name} ({len(srows)} rows)")
         else:
             n_fail += 1
             print(f"✗ FAIL {name}: spark {len(srows)} rows vs duck {len(drows)} rows; cols={sn}")
