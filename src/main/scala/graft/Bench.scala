@@ -13,16 +13,50 @@ import org.apache.spark.sql.SparkSession
   *  - one untimed warm-up pass absorbs JVM/codegen/parquet-footer cost;
   *  - each query is then timed over `SPARK_GRAFT_BENCH_PASSES` passes
   *    (default 3) and reported as the MIN, so round-over-round deltas
-  *    outrank JIT/GC noise;
+  *    outrank JIT/GC noise. Passes are PASS-MAJOR (pass 1 runs every
+  *    query, then pass 2, ...) so that shared intermediates released at
+  *    pass boundaries — the dup-cluster label memo below — are priced
+  *    exactly once per pass by whichever query computes them first,
+  *    mirroring how a production session would share them;
   *  - a query that throws is reported as -1 with its message in the
   *    `errors` object and a stderr warning — a failure can never shrink
   *    the total (it is excluded from the sum, never counted as ~0 s);
-  *  - `spark.catalog.clearCache()` runs after every pass so `.cache()`d
-  *    subplans (q45 shingles, catalog fan-out) are re-materialized each
-  *    pass instead of pinning across the session and flattering later
-  *    passes.
+  *  - `spark.catalog.clearCache()` runs after every query run so
+  *    `.cache()`d subplans (q45 shingles, catalog fan-out) are
+  *    re-materialized each run instead of pinning across the session
+  *    and flattering later passes. `Graph.clearLabelCache()` runs at
+  *    PASS boundaries (not per query): the label frame is a shared
+  *    cross-query intermediate by design — q71/q90/q198/q199 price the
+  *    CC fixpoint once per pass, never zero times;
+  *  - a fixed CPU-bound CALIBRATION probe (1e9 iterations of the
+  *    splitmix64 finalizer, nominally ~1 s, min of 3) is emitted with
+  *    the results so every BENCH_rN carries its own machine-speed
+  *    factor — cross-round comparisons divide by it instead of
+  *    reconstructing host drift after the fact.
   */
 object Bench {
+
+  /** Single-thread CPU probe: 1e9 splitmix64 finalizer rounds. Pure
+    * register arithmetic — no allocation, no memory traffic — so the
+    * measured seconds track core clock + JIT quality, the same factors
+    * that scale the single-JVM query times.
+    */
+  private def calibrationProbe(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 1000000000L) {
+        x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+        x ^= x >>> 29; i += 1L
+      }
+      // data dependency on x defeats dead-code elimination
+      if (x == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,9 +71,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // NB: clearCache runs OUTSIDE the timed bracket — the unpersist cost
-    // of a pass must not be charged to the query (min-of-passes cannot
-    // remove a systematic overhead).
+    // NB: cache clearing runs OUTSIDE the timed bracket — the unpersist
+    // cost of a run must not be charged to the query (min-of-passes
+    // cannot remove a systematic overhead).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // optional isolation filter (local investigation only; the driver
@@ -57,22 +91,33 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    val results = names.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer[Double]()
-      var pass = 0
-      // a failed query is decided after its first failure — remaining
-      // passes would burn the same failure latency for the same -1.
-      while (pass < passes && !errors.contains(name)) {
-        val t0 = System.nanoTime()
-        try { run(fn); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+    ops.Graph.clearLabelCache()
+    // timed passes, PASS-MAJOR (see protocol note above). A failed query
+    // is decided after its first failure — remaining passes would burn
+    // the same failure latency for the same -1.
+    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    names.foreach { case (n, _) => times(n) = Nil }
+    (1 to passes).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            run(fn)
+            times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
+          }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          }
+          spark.catalog.clearCache()
         }
-        spark.catalog.clearCache()
-        pass += 1
       }
-      name -> (if (errors.contains(name)) -1.0 else times.min)
+      ops.Graph.clearLabelCache()
     }
+    val results = names.map { case (name, _) =>
+      name -> (if (errors.contains(name) || times(name).isEmpty) -1.0
+               else times(name).min)
+    }
+    val probeSec = calibrationProbe()
     errors.foreach { case (n, m) =>
       System.err.println(s"[bench] WARNING: $n FAILED: $m")
     }
@@ -88,6 +133,7 @@ object Bench {
     // room to spare; the full-name full-precision map goes to
     // BENCH_FULL.json next to the repo for human diffing.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val calib = s"""{"probe_sec":${fmt(probeSec)},"nominal_sec":1.0}"""
     val shortKeys = results.map { case (k, v) => k.split("_").head -> v }
     val qs = (if (shortKeys.map(_._1).distinct.size == results.size) shortKeys
               else results)
@@ -96,8 +142,8 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"passes":$passes,"calibration":$calib,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"calibration":$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

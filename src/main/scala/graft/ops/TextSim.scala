@@ -205,18 +205,26 @@ object TextSim {
   val DefaultK = 8  // minhash functions
   val DefaultB = 4  // bands (of K/B rows each)
 
-  /** (doc_id, sh) where sh = distinct 3-gram shingle set, over the
-    * dedup-test corpus.
+  /** The dedup-test corpus (doc_id, text): every document plus a planted
+    * near-duplicate of every 20th one at doc_id + 100000 — shared by the
+    * MinHash detectors here and the q199 funnel's keeper scoring (which
+    * needs the TEXT of every corpus member, not just its shingles).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dedupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val nearDups = base.where(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
               concat(col("text"), lit(" zzz extra tail")).as("text"))
     base.unionByName(nearDups)
+  }
+
+  /** (doc_id, sh) where sh = distinct 3-gram shingle set, over the
+    * dedup-test corpus.
+    */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    dedupCorpus(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
-  }
 
   private val shingledSqlCte: String = {
     val toksE = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -234,7 +242,15 @@ object TextSim {
        |  FROM (SELECT doc_id, $toksE AS toks FROM corpus))""".stripMargin
   }
 
-  def minhashLsh(s: SparkSession, d: String, k: Int, b: Int): DataFrame = {
+  /** [[minhashPairs]] in the q45/q64 report form (deterministic order). */
+  def minhashLsh(s: SparkSession, d: String, k: Int, b: Int): DataFrame =
+    minhashPairs(s, d, k, b).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Verified near-duplicate PAIRS (doc_a < doc_b, bigram-shingle Jaccard
+    * >= 0.6) from banded MinHash-LSH candidate generation — the unordered
+    * edge-list form the q199 dedup funnel feeds into connected components.
+    */
+  def minhashPairs(s: SparkSession, d: String, k: Int, b: Int): DataFrame = {
     require(k % b == 0, s"K=$k must be a multiple of B=$b")
     val r = k / b // rows per band
     // the shingle set feeds three consumers (signatures, and both sides of
@@ -280,7 +296,6 @@ object TextSim {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .where(col("jaccard") >= 0.6)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** The composable HOF formulation of the K signatures — what the
@@ -302,7 +317,12 @@ object TextSim {
   def q64MinhashLshWide(s: SparkSession, d: String): DataFrame =
     minhashLsh(s, d, 16, 8)
 
-  def minhashSql(k: Int, b: Int): String = {
+  /** The banded-LSH candidate + verify pipeline as a reusable CTE chain
+    * (starts with `corpus`/`shingled`, ends with
+    * `pairs(doc_a, doc_b, jaccard)` — the verified near-dup edges).
+    * Shared by the q45/q64 pair reports and the q199 funnel oracle.
+    */
+  def minhashPairCtes(k: Int, b: Int): String = {
     val r = k / b
     val nDigests = (k + 3) / 4
     val digestCols = (0 until nDigests).map(m =>
@@ -318,7 +338,7 @@ object TextSim {
     }.mkString(",\n    ")
     val bandArray = (0 until b).map(i => s"band$i").mkString("[", ", ", "]")
     val bandIdx = (0 until b).mkString("[", ",", "]")
-    s"""WITH $shingledSqlCte,
+    s"""$shingledSqlCte,
        |hashed AS (
        |  SELECT doc_id, sh,
        |    $digestCols
@@ -338,19 +358,24 @@ object TextSim {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-       |   AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b,
-       |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
-       |    4) AS jaccard
-       |FROM cand
-       |JOIN shingled sa ON sa.doc_id = cand.doc_a
-       |JOIN shingled sb ON sb.doc_id = cand.doc_b
-       |WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
-       |  >= 0.6
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |   AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |      4) AS jaccard
+       |  FROM cand
+       |  JOIN shingled sa ON sa.doc_id = cand.doc_a
+       |  JOIN shingled sb ON sb.doc_id = cand.doc_b
+       |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |    >= 0.6)""".stripMargin
   }
+
+  def minhashSql(k: Int, b: Int): String =
+    s"""WITH ${minhashPairCtes(k, b)}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val q45Sql: String = minhashSql(DefaultK, DefaultB)
   val q64Sql: String = minhashSql(16, 8)

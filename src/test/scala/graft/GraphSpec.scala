@@ -176,24 +176,111 @@ class GraphSpec extends SparkSpec {
     assert(nTri == expected, s"spark $nTri vs brute $expected")
   }
 
-  test("q198: keeper is the max-(n_chars, doc_id) member of its own cluster") {
+  test("q198: keeper is the max-(n_chars, sha2, doc_id) member of its own cluster") {
     import org.apache.spark.sql.functions._
     val labels = graft.ops.Graph.dupClusterLabels(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val chars = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), sha2(col("text"), 256).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     val rows = graft.ops.Graph.q198CanonicalKeeper(spark, sfDir).collect()
     assert(rows.nonEmpty, "fixture must contain dup clusters")
     rows.foreach { r =>
       val (cid, size, keeper) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val members = labels.filter(_._2 == cid).keys.toSeq
       assert(members.size == size && members.contains(keeper))
-      // keeper maximizes (n_chars, doc_id) over the cluster
-      val best = members.maxBy(m => (chars(m), m))
+      // keeper maximizes (n_chars, content hash, doc_id) over the cluster
+      val best = members.maxBy(m => (scored(m)._1, scored(m)._2, m))
       assert(keeper == best, s"cluster $cid keeper $keeper vs best $best")
-      assert(r.getLong(3) == chars(keeper))                   // keeper_chars
+      assert(r.getLong(3) == scored(keeper)._1)               // keeper_chars
       assert(r.getLong(5) == members.filter(_ != keeper).sum) // checksum
     }
+  }
+
+  /** Write a minimal documents.parquet fixture and return its dir. */
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toFile
+    dir.deleteOnExit()
+    rows.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  test("q199: LSH funnel clusters FAR-APART duplicates, within and across langs") {
+    // the property q71's consecutive-doc detector structurally lacks:
+    // duplicate pairs whose ids are thousands apart, and across language
+    // shards, must land in one cluster. ids avoid %20==0 so dedupCorpus
+    // plants no extra near-dups in this fixture.
+    val tA = "the quick brown fox jumps over the lazy dog while the " +
+      "cold rain falls on the quiet empty street near the old stone bridge"
+    val tB = "completely different content about spark catalyst optimizer " +
+      "rules rewriting logical plans into efficient physical operators daily"
+    val tC = "large scale data pipelines deduplicate documents using " +
+      "minhash signatures banded into buckets joined on equal keys fast"
+    val d = docsFixture(Seq(
+      (1L, "en", tA), (5001L, "en", tA), (9003L, "fr", tA), // exact dups, far ids + cross-lang
+      (7L, "en", tB),                                       // singleton
+      (43L, "de", tC), (8501L, "en", tC + " with one extra clause added"))) // near dup
+    val out = graft.ops.Graph.q199LshDedupFunnel(spark, d).collect()
+    assert(out.length == 2, s"expected 2 clusters, got ${out.toSeq}")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val a = byId(1L) // cluster keyed by min member
+    assert(a.getLong(1) == 3L, "tA cluster must span ids 1, 5001 and 9003")
+    assert(a.getLong(2) == 9003L,
+      "byte-identical members tie on (n_chars, sha2) — max doc_id wins")
+    val c = byId(43L)
+    assert(c.getLong(1) == 2L)
+    assert(c.getLong(2) == 8501L, "longer member must be the keeper")
+    assert(c.getLong(5) == 43L) // dropped_id_checksum
+  }
+
+  test("q199 keeper CONTENT is invariant under doc_id renumbering") {
+    // LSH edges depend only on content, and the keeper order is
+    // (n_chars, sha2(text), doc_id) — so renumbering every doc must keep
+    // the same keeper TEXTS (ids differ, content doesn't).
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      "one two three four five six seven eight nine ten eleven twelve more")
+    val d1 = docsFixture(Seq(
+      (1L, "en", texts(0)), (5003L, "en", texts(1)), (21L, "en", texts(2))))
+    val d2 = docsFixture(Seq( // permuted, disjoint ids
+      (9L, "en", texts(1)), (3L, "en", texts(0)), (7001L, "en", texts(2))))
+    def keeperTexts(dir: String): Set[String] = {
+      val keepers = graft.ops.Graph.q199LshDedupFunnel(spark, dir)
+        .select(col("keeper_id")).as[Long].collect().toSet
+      graft.ops.TextSim.dedupCorpus(spark, dir)
+        .filter(col("doc_id").isin(keepers.toSeq: _*))
+        .select(col("text")).as[String].collect().toSet
+    }
+    val (k1, k2) = (keeperTexts(d1), keeperTexts(d2))
+    assert(k1.nonEmpty && k1 == k2,
+      s"keeper content diverged under renumbering: $k1 vs $k2")
+  }
+
+  test("q198-style keeper tie-break: equal-length members pick the same " +
+       "CONTENT under permuted ids") {
+    // one lang, four equal-length near-identical docs (every consecutive
+    // pair shares most bigrams, so the q71 detector chains them into ONE
+    // cluster for any id order); keeper must be decided by sha2(text),
+    // not by which id the corpus happened to assign
+    val base = "the quick brown fox jumps over the lazy dog again and again "
+    val texts = Seq("alpha", "bravo", "delta", "gamma").map(base + _)
+    assert(texts.map(_.length).distinct.size == 1, "fixture needs equal n_chars")
+    def keeperText(assign: Seq[(Long, String)]): String = {
+      val d = docsFixture(assign.map { case (id, t) => (id, "en", t) })
+      val keepers = graft.ops.Graph.q198CanonicalKeeper(spark, d)
+        .select(col("keeper_id")).as[Long].collect()
+      assert(keepers.length == 1, "fixture must form one cluster")
+      Tables.documents(spark, d).filter(col("doc_id") === keepers.head)
+        .select(col("text")).as[String].head()
+    }
+    val t1 = keeperText(Seq(11L -> texts(0), 12L -> texts(1),
+                            13L -> texts(2), 14L -> texts(3)))
+    val t2 = keeperText(Seq(14L -> texts(0), 11L -> texts(1),
+                            13L -> texts(3), 12L -> texts(2)))
+    assert(t1 == t2, s"keeper content changed with id assignment: $t1 vs $t2")
   }
 }
