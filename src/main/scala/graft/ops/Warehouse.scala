@@ -952,6 +952,58 @@ object Warehouse {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ─── q200: summary rewrite through AVG and a dimension join ───────────
+  // The two most common real queries the rule declined until now:
+  // AVG (served as Sum(sum-partial) / Sum(count-partial) — the partials
+  // carry PER-MEASURE non-null counts, COUNT(*)'s row count would divide
+  // wrong under NULLs) and fact ⋈ dim aggregation (q02's shape: group by
+  // a DIM attribute the fact table doesn't even carry). The summary here
+  // is keyed by l_suppkey, so the rewritten plan joins |suppliers| summary
+  // rows against the supplier dim and aggregates THAT — the fact's ~10³×
+  // row multiplicity never reaches the join. Soundness under the join
+  // needs no dim-key uniqueness: each summary row joins to exactly the
+  // dim rows its fact rows would, so every partial replicates by the
+  // same factor the raw rows did (see SummaryRewrite.build scaladoc).
+  // SummaryRewriteSpec asserts the executed plan scans the summary
+  // parquet, not the fact; the DuckDB oracle recomputes from raw tables.
+  def registerSupplierSummary(s: SparkSession, d: String): Unit = {
+    graft.plans.SummaryRewrite.ensureRule(s)
+    val sumDir = "/tmp/graft_mv/" +
+      java.lang.Integer.toHexString(d.hashCode) + "/lineitem_by_supp"
+    lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice")).as("sum_price"),
+           count(col("l_extendedprice")).as("cnt_price"),
+           sum(col("l_quantity")).as("sum_qty"),
+           count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(sumDir)
+    graft.plans.SummaryRewrite.register(s, s"$d/lineitem.parquet",
+      dims = Seq("l_suppkey"),
+      sums = Map("l_extendedprice" -> "sum_price", "l_quantity" -> "sum_qty"),
+      mins = Map.empty, maxs = Map.empty,
+      countCol = Some("cnt"), summaryPath = sumDir,
+      cnts = Map("l_extendedprice" -> "cnt_price"))
+  }
+
+  def q200SummaryAvgDimJoin(s: SparkSession, d: String): DataFrame = {
+    registerSupplierSummary(s, d)
+    lineitem(s, d)
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(avg(col("l_extendedprice")), 2).as("avg_price"),
+           round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val q200Sql: String =
+    """SELECT s_nationkey, round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val q183Sql: String =
     """SELECT l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
       |  CAST(count(*) AS BIGINT) AS n, min(l_discount) AS min_disc
@@ -963,6 +1015,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_summary_refresh" -> (q183SummaryRefresh _),
     "q188_sql_mv_rewrite" -> (q188SqlMvRewrite _),
+    "q200_summary_avg_dimjoin" -> (q200SummaryAvgDimJoin _),
     "q181_summary_rewrite" -> (q181SummaryRewrite _),
     "q137_percentile_inverse" -> (q137PercentileInverse _),
     "q145_null_aware_anti" -> (q145NullAwareAnti _),
@@ -1000,5 +1053,6 @@ object Warehouse {
     "q96_approx_percentiles" -> q96Sql,
     "q181_summary_rewrite" -> q181Sql,
     "q183_summary_refresh" -> q183Sql,
-    "q188_sql_mv_rewrite" -> q188Sql)
+    "q188_sql_mv_rewrite" -> q188Sql,
+    "q200_summary_avg_dimjoin" -> q200Sql)
 }

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -49,6 +50,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * files' modification signature at registration — revalidated on
     * every rewrite attempt so a rewritten/refreshed fact invalidates
     * the entry instead of silently serving stale summary rows.
+    * `cnts` maps a measure to its NON-NULL-count partial column — the
+    * second half of the AVG = sum/count re-aggregation (COUNT(*)'s
+    * row-count partial cannot stand in: a measure with NULLs would
+    * divide by too many).
     */
   final case class Summary(
       factPath: String,
@@ -56,6 +61,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       sums: Map[String, String],
       mins: Map[String, String],
       maxs: Map[String, String],
+      cnts: Map[String, String],
       countCol: Option[String],
       relation: LogicalRelation,
       factSig: String)
@@ -69,14 +75,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   def register(spark: SparkSession, factPath: String, dims: Seq[String],
                sums: Map[String, String], mins: Map[String, String],
                maxs: Map[String, String], countCol: Option[String],
-               summaryPath: String): Unit = {
+               summaryPath: String,
+               cnts: Map[String, String] = Map.empty): Unit = {
     val rel = spark.read.parquet(summaryPath).queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }
       .getOrElse(throw new IllegalArgumentException(
         s"summary at $summaryPath did not analyze to a LogicalRelation"))
     registry.put(norm(factPath),
-      Summary(norm(factPath), dims.toSet, sums, mins, maxs, countCol, rel,
-        factSignature(spark, factPath)))
+      Summary(norm(factPath), dims.toSet, sums, mins, maxs, cnts, countCol,
+        rel, factSignature(spark, factPath)))
   }
 
   /** relative-path:length:mtime of every file RECURSIVELY under the fact
@@ -141,13 +148,45 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def tryRewrite(agg: Aggregate): Option[Aggregate] = for {
-    (conds, lr) <- unwrap(agg.child)
-    path <- factPathOf(lr)
-    s <- Option(registry.get(path))
-    if fresh(path, s)
-    rewritten <- build(agg, conds, s)
-  } yield rewritten
+  /** Descend through attribute-only Projects / Filters to an INNER
+    * equi-ish join one of whose legs unwraps to a registered fact scan —
+    * the q02 "fact ⋈ dim then aggregate" shape. Returns (filters above
+    * the join, the join, fact-on-left?, filters on the fact leg, fact
+    * relation).
+    */
+  private def unwrapJoin(p: LogicalPlan, above: Seq[Expression] = Nil)
+      : Option[(Seq[Expression], Join, Boolean, Seq[Expression],
+                LogicalRelation)] = p match {
+    case Filter(c, child) => unwrapJoin(child, above :+ c)
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapJoin(child, above)
+    case j @ Join(l, r, Inner, Some(_), _) =>
+      def registered(lr: LogicalRelation): Boolean =
+        factPathOf(lr).exists(registry.containsKey)
+      unwrap(l).filter(t => registered(t._2))
+        .map { case (fc, lr) => (above, j, true, fc, lr) }
+        .orElse(unwrap(r).filter(t => registered(t._2))
+          .map { case (fc, lr) => (above, j, false, fc, lr) })
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[Aggregate] =
+    unwrap(agg.child) match {
+      case Some((conds, lr)) => for {
+        path <- factPathOf(lr)
+        s <- Option(registry.get(path))
+        if fresh(path, s)
+        rewritten <- build(agg, conds, lr, s, joinCtx = None)
+      } yield rewritten
+      case None => for {
+        (above, join, factLeft, factConds, lr) <- unwrapJoin(agg.child)
+        path <- factPathOf(lr)
+        s <- Option(registry.get(path))
+        if fresh(path, s)
+        rewritten <- build(agg, factConds, lr, s,
+          joinCtx = Some((above, join, factLeft)))
+      } yield rewritten
+    }
 
   /** Staleness gate: the fact files must still carry the signature seen
     * at register() time; a rewritten fact evicts the entry and the query
@@ -162,53 +201,105 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     ok
   }
 
+  /** Rewrite `agg` to run over the summary. `conds` are the filters on
+    * the FACT leg; `joinCtx = Some((aboveConds, join, factOnLeft))` when
+    * the fact reaches the aggregate through an INNER join (the q02
+    * shape) — sound there for ANY dim-side multiplicity: each summary
+    * row joins to exactly the dim rows its fact rows would, so every
+    * re-aggregated partial is replicated by the same factor the raw
+    * rows were. Aggregates over DIM-side columns are refused (the
+    * summary collapsed the per-fact-row multiplicity they need);
+    * dim-side attributes pass through untouched in groupings, filters
+    * and the join condition.
+    */
   private def build(agg: Aggregate, conds: Seq[Expression],
-                    s: Summary): Option[Aggregate] = {
+                    factLr: LogicalRelation, s: Summary,
+                    joinCtx: Option[(Seq[Expression], Join, Boolean)]
+                   ): Option[Aggregate] = {
     // fresh attribute ids per use (MultiInstanceRelation contract)
     val summary = s.relation.newInstance()
     val byName = summary.output.map(a => a.name -> a).toMap
+    val factOut = AttributeSet(factLr.output)
 
+    // a bare attribute OUTSIDE any aggregate: fact attrs must be declared
+    // dims (mapped to the summary twin); non-fact (dim-side) attrs exist
+    // only in the join shape and pass through unchanged
     def dimAttr(a: AttributeReference): Option[Attribute] =
-      if (s.dims.contains(a.name)) byName.get(a.name) else None
+      if (factOut.contains(a)) {
+        if (s.dims.contains(a.name)) byName.get(a.name) else None
+      } else if (joinCtx.isDefined) Some(a)
+      else None
 
-    // 1. grouping: bare dim columns only
+    // 1. grouping: bare dim columns (or dim-side columns) only
     val groupOk = agg.groupingExpressions.forall {
       case a: AttributeReference => dimAttr(a).isDefined
       case _ => false
     }
-    // 2. filters: DETERMINISTIC, at least one reference, all dims — a
-    // rand() sampler or a reference-free predicate would pass a
-    // references-only check vacuously and then evaluate once per SUMMARY
-    // row instead of once per fact row, changing semantics
-    val condsOk = conds.forall(c => c.deterministic &&
+    // 2. filters: DETERMINISTIC, at least one reference, fact references
+    // all dims — a rand() sampler or a reference-free predicate would
+    // pass a references-only check vacuously and then evaluate once per
+    // SUMMARY row instead of once per fact row, changing semantics
+    def condOk(c: Expression): Boolean = c.deterministic &&
       c.references.nonEmpty &&
       c.references.forall {
         case a: AttributeReference => dimAttr(a).isDefined
         case _ => false
-      })
+      }
+    val condsOk = conds.forall(condOk) &&
+      joinCtx.forall { case (above, join, _) =>
+        above.forall(condOk) && join.condition.forall(condOk)
+      }
+
+    // a fact measure inside an aggregate — dim-side columns are NOT
+    // measures (their per-fact-row multiplicity is gone from the summary)
+    def measure(m: Map[String, String], a: AttributeReference): Option[Attribute] =
+      if (factOut.contains(a)) m.get(a.name).flatMap(byName.get) else None
 
     def reAgg(fn: AggregateFunction): Option[AggregateFunction] = fn match {
       case f: Sum => f.child match {
-        case a: AttributeReference =>
-          s.sums.get(a.name).flatMap(byName.get)
-            .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
+        case a: AttributeReference => measure(s.sums, a)
+          .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
         case _ => None
       }
       case f: Min => f.child match {
-        case a: AttributeReference =>
-          s.mins.get(a.name).flatMap(byName.get)
-            .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
+        case a: AttributeReference => measure(s.mins, a)
+          .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
         case _ => None
       }
       case f: Max => f.child match {
-        case a: AttributeReference =>
-          s.maxs.get(a.name).flatMap(byName.get)
-            .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
+        case a: AttributeReference => measure(s.maxs, a)
+          .map(sa => f.withNewChildren(Seq(sa)).asInstanceOf[AggregateFunction])
         case _ => None
       }
       case f: Count if f.children.forall(_.foldable) &&
           agg.groupingExpressions.nonEmpty =>
+        // in the join shape this counts JOINED rows: each summary row
+        // re-joins to the same dim rows as its k fact rows did, so
+        // Σ k·cnt over the joined summary IS the joined-fact row count
         s.countCol.flatMap(byName.get).map(ca => Sum(ca))
+      case _ => None
+    }
+
+    // AVG = Sum(sum-partial) / Sum(count-partial) — NOT an
+    // AggregateFunction swap: the replacement is an expression over TWO
+    // fresh aggregates. Restricted to DOUBLE measures with a DOUBLE sum
+    // partial and LONG non-null-count partial, which reproduces Spark's
+    // Average evaluateExpression (sum / cast(count as double), LEGACY
+    // division: null — not an error — when the group's count is 0, i.e.
+    // the measure was entirely NULL).
+    def rewriteAvg(avg: Average): Option[Expression] = avg.child match {
+      case a: AttributeReference
+          if avg.dataType == org.apache.spark.sql.types.DoubleType =>
+        for {
+          sa <- measure(s.sums, a)
+          if sa.dataType == org.apache.spark.sql.types.DoubleType
+          ca <- measure(s.cnts, a)
+          if ca.dataType == org.apache.spark.sql.types.LongType
+        } yield Divide(
+          Sum(sa).toAggregateExpression(),
+          Cast(Sum(ca).toAggregateExpression(),
+            org.apache.spark.sql.types.DoubleType),
+          EvalMode.LEGACY)
       case _ => None
     }
 
@@ -221,7 +312,10 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     // the two scopes apart
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-        reAgg(ae.aggregateFunction).map(nf => ae.copy(aggregateFunction = nf))
+        ae.aggregateFunction match {
+          case avg: Average => rewriteAvg(avg)
+          case fn => reAgg(fn).map(nf => ae.copy(aggregateFunction = nf))
+        }
       case _: AggregateExpression => None
       case a: AttributeReference => dimAttr(a)
       case other =>
@@ -235,9 +329,22 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val newResult: Option[Seq[NamedExpression]] =
       traverseOpt(agg.aggregateExpressions) {
         case a: AttributeReference =>
-          dimAttr(a).map(sa => Alias(sa, a.name)(exprId = a.exprId))
-        case ne => rewriteExpr(ne).map(_.asInstanceOf[NamedExpression])
+          dimAttr(a).map {
+            case same if same.exprId == a.exprId => same // dim-side: as-is
+            case sa => Alias(sa, a.name)(exprId = a.exprId)
+          }
+        case ne => rewriteExpr(ne) match {
+          // an un-aliased bare aggregate whose AVG rewrite is no longer a
+          // NamedExpression abandons the rewrite instead of crashing it
+          case Some(x: NamedExpression) => Some(x)
+          case _ => None
+        }
       }
+
+    // fact-dim attribute substitution for groupings / filters / join keys
+    def substitute(e: Expression): Expression = e.transform {
+      case a: AttributeReference if factOut.contains(a) => byName(a.name)
+    }
 
     newResult.flatMap { res =>
       // type identity gate — a widened or narrowed column kills the rewrite
@@ -246,15 +353,24 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       if (!sameTypes) None
       else {
         val newGroup = agg.groupingExpressions.map {
-          case a: AttributeReference => byName(a.name)
+          case a: AttributeReference =>
+            if (factOut.contains(a)) byName(a.name) else a
         }
-        val filtered: LogicalPlan = conds.foldRight(summary: LogicalPlan) {
-          (c, child) =>
-            Filter(c.transform {
-              case a: AttributeReference => byName(a.name)
-            }, child)
+        val factLeg: LogicalPlan = conds.foldRight(summary: LogicalPlan) {
+          (c, child) => Filter(substitute(c), child)
         }
-        Some(Aggregate(newGroup, res, filtered))
+        val newChild: LogicalPlan = joinCtx match {
+          case None => factLeg
+          case Some((above, join, factLeft)) =>
+            val rejoined = join.copy(
+              left = if (factLeft) factLeg else join.left,
+              right = if (factLeft) join.right else factLeg,
+              condition = join.condition.map(substitute))
+            above.foldRight(rejoined: LogicalPlan) {
+              (c, child) => Filter(substitute(c), child)
+            }
+        }
+        Some(Aggregate(newGroup, res, newChild))
       }
     }
   }

@@ -27,6 +27,7 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
            sum(col("l_extendedprice")).as("sum_price"),
            min(col("l_discount")).as("min_disc"),
            max(col("l_discount")).as("max_disc"),
+           count(col("l_quantity")).as("cnt_qty"),
            count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(sumDir)
     SummaryRewrite.register(spark, s"$sfDir/lineitem.parquet",
@@ -34,7 +35,8 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
       sums = Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
       mins = Map("l_discount" -> "min_disc"),
       maxs = Map("l_discount" -> "max_disc"),
-      countCol = Some("cnt"), summaryPath = sumDir)
+      countCol = Some("cnt"), summaryPath = sumDir,
+      cnts = Map("l_quantity" -> "cnt_qty"))
   }
 
   private def scansSummary(df: DataFrame): Boolean =
@@ -74,10 +76,11 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
 
   test("soundness gates: disqualified queries stay on the fact scan") {
     buildAndRegister()
-    // 1. avg has no partial-state column -> no rewrite
+    // 1. avg over a measure with NO declared count partial -> no rewrite
+    // (COUNT(*)'s row count cannot stand in: NULLs would divide wrong)
     val avgQ = li.groupBy(col("l_returnflag"))
-      .agg(avg(col("l_quantity")).as("a"))
-    assert(!scansSummary(avgQ), "avg must not rewrite")
+      .agg(avg(col("l_extendedprice")).as("a"))
+    assert(!scansSummary(avgQ), "avg without a count partial must not rewrite")
     // 2. DISTINCT aggregate -> no rewrite
     val distQ = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_linestatus")).as("d"))
@@ -295,7 +298,10 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
         ("mn", min(col("l_discount")), true),
         ("mx", max(col("l_discount")), true),
         ("ct", count(lit(1)), true),
-        ("rq", round(sum(col("l_quantity")), 1), false))
+        ("rq", round(sum(col("l_quantity")), 1), false),
+        ("aq", avg(col("l_quantity")), false),          // sum/cnt partials
+        ("cq", count(col("l_quantity")), true),          // non-null count
+        ("ra", round(avg(col("l_quantity")), 2), false))
     for (trial <- 1 to 15) {
       val gDims = rnd.shuffle(dims).take(1 + rnd.nextInt(dims.size))
       val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
