@@ -275,6 +275,60 @@ object PlanLint {
     "q197_equidepth_sketch" -> Set("nested-loop", "cartesian"),
   )
 
+  /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
+    * Verify (the `action-count` rule): each action is a driver→cluster
+    * scheduling round-trip, so a declarative query should spend at most
+    * [[defaultActionBound]] (tiny bounded collects — codebooks, clip
+    * cuts, partition offsets — plus the final result write). The
+    * intentional iteratives are listed with their DOCUMENTED round
+    * bounds; a query exceeding its bound has grown a hidden driver loop
+    * or a double-action fixpoint (the round-7 CC lesson) and fails
+    * Verify like any other lint finding. Bounds are worst-case fresh-
+    * session costs — memoized reuse (dupClusterLabels) only ever lowers
+    * them — and hold at ANY scale: every loop below is bounded by a
+    * constant or by log(n) with the log already generously priced in.
+    */
+  val defaultActionBound: Int = 4
+  val actionBounds: Map[String, Int] = Map(
+    // CC fixpoint family (measured 11/8/1/1 at sf0.001 with the shared
+    // label memo — each bound assumes the query runs FIRST and pays the
+    // whole loop): 1 fingerprint action per round + 1 exact confirm +
+    // the query's own stages; rounds ≤ O(log² n), generously priced
+    "q71_dup_clusters" -> 24,
+    "q198_canonical_keeper" -> 24,
+    "q199_lsh_dedup_funnel" -> 24,
+    // q90 chains CC dedup + clip + split + pack, each stage cached once
+    "q90_pipeline_funnel" -> 32,
+    // BFS frontier loop: ~2 actions per hop, diameter-bounded (meas. 14)
+    "q170_bfs_hops" -> 32,
+    // PageRank: fixed 10 iterations (measured exactly 10)
+    "q150_pagerank" -> 24,
+    // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
+    "q147_bpe_learn" -> 28,
+    // SQL-script binary search: ~2 actions per WHILE probe, probes =
+    // log2(max per-nation supplier count) — grows LOGARITHMICALLY with
+    // SF by design (measured 13 at sf0.001, 25 at sf0.01); 48 prices
+    // the log at ~4M suppliers/nation
+    "q152_sql_script" -> 48,
+    // MMR greedy selection: one action per selected item, k-bounded (8)
+    "q159_mmr_diversify" -> 16,
+    // recursive CTE: one action per recursion level (hierarchy depth, 6)
+    "q107_recursive_hierarchy" -> 12,
+    // session-variable SET/inspect statements (fixed statement list, 5)
+    "q138_sql_variables" -> 10,
+    // snapshot/manifest queries: version publishes + manifest reads (≤5)
+    "q130_snapshot_roundtrip" -> 10, "q133_snapshot_cdc" -> 10,
+    "q148_skipping_read" -> 8, "q151_bloom_lookup" -> 8,
+    // multi-statement SQL entries / registration actions (3–4 measured)
+    "q113_sql_udf" -> 8, "q97_jdbc_roundtrip" -> 8,
+    "q118_schema_evolution" -> 8, "q38_surrogate_keys" -> 8,
+    // MV queries build+register the summary (write + signature) first
+    "q181_summary_rewrite" -> 8, "q183_summary_refresh" -> 8,
+    "q188_sql_mv_rewrite" -> 8, "q200_summary_avg_dimjoin" -> 8,
+  )
+  def actionBound(name: String): Int =
+    actionBounds.getOrElse(name, defaultActionBound)
+
   /** Throw (with every finding listed) unless the plan is clean modulo
     * the allowlisted rules.
     */

@@ -27,20 +27,36 @@ object Verify {
     // to stderr-only for local iteration.
     val lintStrict = !sys.env.get("GRAFT_LINT").contains("warn")
     val lintDirty = Seq.newBuilder[String]
+    // GRAFT_ACTIONS=record prints every query's measured action count
+    // (bound calibration); otherwise counts are enforced like lint rules
+    val actionsRecord = sys.env.get("GRAFT_ACTIONS").contains("record")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        val bad = PlanLint.lint(df)
-          .filterNot(f => PlanLint.queryAllow.getOrElse(name, Set.empty)
-            .contains(f.rule))
-        if (bad.nonEmpty) {
-          val msg = s"$name -> ${bad.mkString("; ")}"
+        // runtime action audit wraps BOTH construction (where iterative
+        // fixpoints spend their jobs) and the result write — the same
+        // span a cluster pays scheduler round-trips for
+        val audited = ActionAudit.audit(spark) {
+          val df = fn(spark, sfDir)
+          val bad = PlanLint.lint(df)
+            .filterNot(f => PlanLint.queryAllow.getOrElse(name, Set.empty)
+              .contains(f.rule))
+          if (bad.nonEmpty) {
+            val msg = s"$name -> ${bad.mkString("; ")}"
+            System.err.println(s"[verify][lint] $msg")
+            lintDirty += msg
+          }
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+        if (actionsRecord)
+          System.err.println(s"[verify][actions] $name ${audited.actions}")
+        else if (audited.actions > PlanLint.actionBound(name)) {
+          val msg = s"$name -> [action-count] ${audited.actions} actions " +
+            s"> bound ${PlanLint.actionBound(name)} (hidden driver loop?)"
           System.err.println(s"[verify][lint] $msg")
           lintDirty += msg
         }
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

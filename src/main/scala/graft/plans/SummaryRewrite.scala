@@ -277,6 +277,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         // re-joins to the same dim rows as its k fact rows did, so
         // Σ k·cnt over the joined summary IS the joined-fact row count
         s.countCol.flatMap(byName.get).map(ca => Sum(ca))
+      case Count(Seq(a: AttributeReference))
+          if agg.groupingExpressions.nonEmpty =>
+        // COUNT(measure) = Σ of the measure's NON-NULL-count partial —
+        // the same `cnts` column AVG's denominator uses; Sum(LongType)
+        // keeps Count's LongType so the type-identity gate holds
+        measure(s.cnts, a)
+          .filter(_.dataType == org.apache.spark.sql.types.LongType)
+          .map(ca => Sum(ca))
       case _ => None
     }
 

@@ -125,4 +125,33 @@ class PlanLintSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries fail the plan lint:\n${failures.mkString("\n")}")
   }
+
+  test("ActionAudit counts exactly the actions the body launches") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(100).toDF("x")
+    // 0 actions: pure construction is free
+    assert(ActionAudit.audit(spark) {
+      df.filter(col("x") > 10).groupBy().count()
+    }.actions === 0)
+    // N actions: each collect/count/write is one driver round-trip
+    val a3 = ActionAudit.audit(spark) {
+      df.count(); df.filter(col("x") > 50).collect()
+      df.limit(5).write.format("noop").mode("overwrite").save()
+    }
+    assert(a3.actions === 3, s"expected 3 actions, counted ${a3.actions}")
+    // the round-7 pathology the rule exists for: a double-action
+    // fixpoint round (count + exceptAll-emptiness) costs 2, the
+    // single-action fingerprint form costs 1
+    val twoPerRound = ActionAudit.audit(spark) {
+      val next = df.filter(col("x") > 10)
+      next.count(); next.exceptAll(df).isEmpty
+    }
+    assert(twoPerRound.actions === 2)
+  }
+
+  test("actionBounds keys are live registry queries (no name drift)") {
+    val stale = PlanLint.actionBounds.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"actionBounds names not in SparkEntry.queries: $stale")
+  }
 }

@@ -564,4 +564,80 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("reference refresh loop end-to-end: paged source -> catalog fan-out " +
+       "-> exactly-once snapshot publish (forced replay no-ops)") {
+    // The reference's full refresh (README.md:156-163): walk the paginated
+    // API, fan each page out to the catalog relations, commit atomically —
+    // here as ONE pipeline: paged-api micro-batches -> CatalogPipeline
+    // fan-out inside foreachBatch -> SnapshotStore.publishVersion pinned to
+    // batchId+1. Version 1 is PRE-published from page 1's fan-out, i.e. a
+    // previous run crashed AFTER the sink committed but BEFORE the
+    // checkpoint advanced — the standard foreachBatch dup window — so the
+    // stream's first batch is a forced replay that must no-op.
+    import graft.ingest.{CatalogPipeline, CourseFixture}
+    import graft.sources.{PagedApiSource, Pagination, SnapshotStore}
+    import org.apache.spark.sql.functions.col
+    val recs = CourseFixture.records
+    val pages = Map(
+      "p1" -> Pagination.Page(recs.slice(0, 2), Some("p2")),
+      "p2" -> Pagination.Page(recs.slice(2, 3), Some("p3")),
+      "p3" -> Pagination.Page(recs.slice(3, 4), None))
+    PagedApiSource.register("refresh-e2e", PagedApiSource.FetchSpec(
+      startUrl = "p1",
+      fetch = url => Right(pages(url)),
+      policy = Pagination.catalogPolicy))
+    val dir = java.nio.file.Files.createTempDirectory("refresh-e2e").toString
+    val table = s"$dir/courses_snap"
+    def coursesOf(bodies: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val m = CatalogPipeline.fanoutManaged(spark,
+        spark.createDataset(bodies).toDF("body"))
+      val out = m.relations("courses").localCheckpoint()
+      m.release(); out
+    }
+    // the "crashed previous run" committed page 1 as version 1
+    assert(SnapshotStore.publishVersion(coursesOf(recs.slice(0, 2)), table, 1))
+    val publishLog =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    val q = spark.readStream
+      .format("graft.sources.PagedApiSource")
+      .option("fetcher", "refresh-e2e")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!df.isEmpty) {
+          val m = CatalogPipeline.fanoutManaged(spark, df.select(col("body")))
+          val committed = SnapshotStore.publishVersion(
+            m.relations("courses"), table, batchId.toInt + 1)
+          publishLog.synchronized {
+            publishLog += ((batchId, df.count(), committed))
+          }
+          m.release()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    PagedApiSource.unregister("refresh-e2e")
+    // batch 0 (page 1) hit the pre-committed version -> replay no-op;
+    // batches 1 and 2 committed fresh versions
+    val log = publishLog.sortBy(_._1)
+    assert(log.map(t => (t._1, t._3)) === Seq((0L, false), (1L, true), (2L, true)),
+      s"publish log: $log")
+    assert(SnapshotStore.versions(spark, table) === Seq(1, 2, 3))
+    // batch twin: the union of the committed snapshots IS the one-shot
+    // fan-out of the whole catalog (the 19-col wide projection carries no
+    // surrogate keys, so per-page fan-outs compose exactly)
+    val streamed = (1 to 3)
+      .map(v => SnapshotStore.read(spark, table, Some(v)))
+      .reduce(_ unionByName _)
+    val twin = CatalogPipeline.fanout(spark, CourseFixture.raw(spark))("courses")
+    assert(streamed.columns.sorted === twin.columns.sorted)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(twin.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(key(streamed) === key(twin))
+    assert(streamed.count() === 4)
+    spark.catalog.clearCache()
+  }
 }
