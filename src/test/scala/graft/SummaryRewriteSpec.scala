@@ -346,6 +346,147 @@ class SummaryRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  // ─── join shape (q200): summary keyed by the join key, dim above ─────
+
+  private val suppSumDir = "/tmp/graft_mv_spec/lineitem_by_supp"
+  private def sup = Tables.supplier(spark, sfDir)
+
+  private def buildAndRegisterSupp(): Unit = {
+    SummaryRewrite.ensureRule(spark)
+    li.groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice")).as("sum_price"),
+           count(col("l_extendedprice")).as("cnt_price"),
+           sum(col("l_quantity")).as("sum_qty"),
+           count(col("l_quantity")).as("cnt_qty"),
+           min(col("l_discount")).as("min_disc"),
+           count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(suppSumDir)
+    SummaryRewrite.register(spark, s"$sfDir/lineitem.parquet",
+      dims = Seq("l_suppkey"),
+      sums = Map("l_extendedprice" -> "sum_price", "l_quantity" -> "sum_qty"),
+      mins = Map("l_discount" -> "min_disc"), maxs = Map.empty,
+      countCol = Some("cnt"), summaryPath = suppSumDir,
+      cnts = Map("l_extendedprice" -> "cnt_price", "l_quantity" -> "cnt_qty"))
+  }
+
+  test("join shape: fact JOIN dim aggregate rewrites to summary JOIN dim " +
+       "and agrees with the fact plan") {
+    buildAndRegisterSupp()
+    def mk: DataFrame = li
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("l_quantity")).as("sq"),
+           avg(col("l_extendedprice")).as("ap"),
+           count(col("l_quantity")).as("cq"),
+           count(lit(1)).as("n"),
+           min(col("l_discount")).as("mn"))
+    val rewritten = mk
+    assert(scansSummary(rewritten), "join-shape query must rewrite:\n" +
+      rewritten.queryExecution.optimizedPlan)
+    val got = rewritten.collect().map(r => r.get(0) -> r).toMap
+    SummaryRewrite.clear()
+    val exp = mk.collect().map(r => r.get(0) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, g) =>
+      val e = exp(k)
+      assert(math.abs(g.getDouble(1) - e.getDouble(1)) < 1e-6, s"sq@$k")
+      assert(math.abs(g.getDouble(2) - e.getDouble(2)) <=
+        math.abs(e.getDouble(2)) * 1e-12 + 1e-9, s"ap@$k")
+      assert(g.getLong(3) == e.getLong(3), s"cq@$k")
+      assert(g.getLong(4) == e.getLong(4), s"n@$k")
+      assert(g.getDouble(5) == e.getDouble(5), s"mn@$k")
+    }
+  }
+
+  test("join shape soundness: dim measures, outer joins, non-dim keys, " +
+       "non-deterministic filters all stay on the fact") {
+    buildAndRegisterSupp()
+    val joined = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+    // 1. aggregate over a DIM-side column: its per-fact-row multiplicity
+    // is collapsed in the summary -> refused
+    assert(!scansSummary(joined.groupBy(col("s_nationkey"))
+      .agg(sum(col("s_acctbal")).as("x"))), "dim-side measure must not rewrite")
+    // 2. outer join: unmatched-side NULL rows are not reproducible from
+    // the summary contract -> refused (Inner only)
+    assert(!scansSummary(li.join(sup,
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("s_nationkey")).agg(sum(col("l_quantity")).as("x"))),
+      "outer join must not rewrite")
+    // 3. join keyed on a fact column the summary did not group by
+    assert(!scansSummary(li.join(sup,
+        col("l_partkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey")).agg(sum(col("l_quantity")).as("x"))),
+      "non-dim join key must not rewrite")
+    // 4. non-deterministic SELECTIVE filter above the join (evaluates
+    // once per summary row instead of once per fact row; a tautological
+    // rand() < 2.0 is eliminated by the optimizer's rand-bounds rule
+    // before this rule runs, so the rewrite firing there is sound)
+    assert(!scansSummary(joined.where(rand(7) < 0.5)
+      .groupBy(col("s_nationkey")).agg(sum(col("l_quantity")).as("x"))),
+      "rand() filter must not rewrite")
+    // 5. grouping by a fact column that is not a summary dim
+    assert(!scansSummary(joined.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("x"))),
+      "non-dim fact grouping must not rewrite")
+    // every refused shape still computes (fact path, not an error)
+    assert(joined.groupBy(col("s_nationkey"))
+      .agg(sum(col("s_acctbal")).as("x")).count() > 0)
+  }
+
+  test("seeded property: random join shapes rewrite and agree with the fact") {
+    buildAndRegisterSupp()
+    val rnd = new scala.util.Random(8484)
+    val dimCols = Vector("s_nationkey", "s_name")
+    val aggPool: Vector[(String, org.apache.spark.sql.Column, Boolean)] =
+      Vector(
+        ("sq", sum(col("l_quantity")), false),
+        ("sp", sum(col("l_extendedprice")), false),
+        ("ap", avg(col("l_extendedprice")), false),
+        ("cq", count(col("l_quantity")), true),
+        ("ct", count(lit(1)), true),
+        ("mn", min(col("l_discount")), true))
+    for (trial <- 1 to 8) {
+      val gDims = rnd.shuffle(dimCols).take(1 + rnd.nextInt(dimCols.size))
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(aggPool.size))
+      // filter placement: fact-side (below join, on the summary dim) or
+      // dim-side (above the join) or none — all three must stay sound
+      val mode = rnd.nextInt(3)
+      def mk: DataFrame = {
+        val fact = if (mode == 0) li.where(col("l_suppkey") % 7 === 0) else li
+        val j = fact.join(sup, col("l_suppkey") === col("s_suppkey"))
+        val base = if (mode == 1) j.where(col("s_nationkey") < 13) else j
+        base.groupBy(gDims.map(col): _*)
+          .agg(aggs.head._2.as(aggs.head._1),
+               aggs.tail.map(a => a._2.as(a._1)): _*)
+      }
+      val rewritten = mk
+      assert(scansSummary(rewritten), s"trial $trial: no rewrite for " +
+        s"dims=$gDims aggs=${aggs.map(_._1)} mode=$mode")
+      val got = rewritten.collect()
+      SummaryRewrite.clear()
+      val exp = mk.collect()
+      buildAndRegisterSupp()
+      val key = (r: org.apache.spark.sql.Row) =>
+        gDims.indices.map(r.get).mkString("|")
+      val gm = got.map(r => key(r) -> r).toMap
+      val em = exp.map(r => key(r) -> r).toMap
+      assert(gm.keySet == em.keySet, s"trial $trial: group sets differ")
+      gm.foreach { case (k, gr) =>
+        val er = em(k)
+        aggs.zipWithIndex.foreach { case ((label, _, exact), i) =>
+          val idx = gDims.size + i
+          if (exact) assert(gr.get(idx) == er.get(idx),
+            s"trial $trial $label@$k: ${gr.get(idx)} vs ${er.get(idx)}")
+          else {
+            val (g, e) = (gr.getDouble(idx), er.getDouble(idx))
+            assert(math.abs(g - e) <= math.abs(e) * 1e-9 + 1e-6,
+              s"trial $trial $label@$k: $g vs $e")
+          }
+        }
+      }
+    }
+  }
+
   test("sum/min/max re-aggregation matches the fact for every group") {
     buildAndRegister()
     val fromSummary = li
