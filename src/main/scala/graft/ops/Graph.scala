@@ -437,13 +437,22 @@ object Graph {
                base: Double = 0.15): DataFrame = {
     // base is a LITERAL, not 1−damping: the double `1.0 - 0.85` differs
     // from the double `0.15` by 2.2e-17, and the oracle types "0.15"
-    val eDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint()
-    // node universe is checkpointed too: it anchors BOTH joins of every
-    // round, and leaving it as a live plan would rescan the upstream
-    // source once per iteration
-    val nodes = eDeg.select(col("src").as("node")).distinct().localCheckpoint()
+    //
+    // deg lives on the NODE-sized rank frame, never on the edge frame:
+    // an (src, dst, deg) edge checkpoint carries 8 edge-count bytes per
+    // edge for a value that is a function of src — at 120M edges that is
+    // an extra GB of checkpoint blocks squeezing the aggregation's
+    // execution memory (found by the round-8 sf10 soak: the old layout
+    // OOMed the 8 GB single-JVM harness; same arithmetic holds per
+    // executor at cluster scale). The contribution join re-derives
+    // pr/deg from the broadcast node frame instead.
+    val eCk = edges.select(col("src"), col("dst")).localCheckpoint()
+    // node universe WITH out-degree: every node has outdeg ≥ 1 (callers
+    // pass bidirectional edges), so deg's key set IS the node set — one
+    // aggregate builds both, checkpointed once, anchoring both joins of
+    // every round (a live plan would rescan the upstream per iteration)
+    val nodes = eCk.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
     // localCheckpoint erases size stats (ExistingRDD defaults to "huge"),
     // so without help every round's edge⋈rank join would plan SMJ and
     // sort the edge list 5 times over. Cardinality-guard the hint the
@@ -456,15 +465,15 @@ object Graph {
       if (nNodes <= 5000000L) broadcast else identity
     var ranks = nodes.withColumn("pr", lit(1.0)).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contribs = eDeg.join(rankSide(ranks), eDeg("src") === ranks("node"))
+      val contribs = eCk.join(rankSide(ranks), eCk("src") === ranks("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select(col("node"), col("pr"))
   }
 
   /** Top-20 parts by authority after 5 damped iterations. Node ids fuse
