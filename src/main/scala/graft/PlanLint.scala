@@ -62,25 +62,75 @@ object PlanLint {
     * window or percentile partitioned ONLY by these keys concentrates
     * the fact table on a handful of tasks.
     *
-    * KNOWN LIMIT of the name-based stand-in (documented, not fixed — the
-    * real fix is the NDV wiring above): matching happens on the physical
-    * plan's OUTPUT attribute names, so `withColumnRenamed("lang", "x")`
-    * escapes the low-cardinality-window / exact-percentile rules, and a
-    * high-cardinality column ALIASED to a hinted name false-positives
-    * (whitelist it in [[queryAllow]] with the reason). Tracing each
-    * attribute back to its originating scan column would close the
-    * rename hole but requires exprId lineage through exchanges that AQE
-    * rewrites — with catalog NDV stats the hint set disappears entirely,
-    * so the lineage walk is not worth hardening here. Registry queries
-    * never alias enum columns, which is what keeps the gate honest in
-    * Verify's enforcement pass.
+    * Hints are matched against each attribute's ORIGIN columns, not its
+    * output name: [[originIndex]] follows `Alias` chains (every
+    * `withColumnRenamed`/`as` is an Alias in some Project) down to the
+    * leaf relations, so `withColumnRenamed("lang", "x")` still resolves
+    * to `lang` and is flagged, while a high-cardinality key aliased TO a
+    * hinted name resolves to its real origin and is not. A derived
+    * expression over only-enum origins (e.g. `concat(l_returnflag,
+    * l_linestatus)`) is itself enum-like and flagged too. Attributes
+    * whose lineage cannot be resolved (literal-derived, reused-exchange
+    * outputs) fall back to the output-name match — the pre-round-8
+    * behavior. With catalog NDV stats this hint set disappears entirely.
     */
   val lowCardinalityHints: Set[String] = Set(
     "l_returnflag", "l_linestatus", "event_type", "lang",
     "c_mktsegment", "o_orderpriority", "o_orderstatus", "p_brand")
 
+  /** True when the attribute's leaf origins are all low-cardinality
+    * hints (name fallback when lineage is unresolvable — see
+    * [[lowCardinalityHints]]).
+    */
+  private def lowCardAttr(
+      a: org.apache.spark.sql.catalyst.expressions.Attribute,
+      origins: org.apache.spark.sql.catalyst.expressions.ExprId => Set[String])
+      : Boolean = {
+    val os = origins(a.exprId)
+    if (os.nonEmpty) os.forall(lowCardinalityHints.contains)
+    else lowCardinalityHints.contains(a.name)
+  }
+
+  /** ExprId → leaf-column-name lineage for every attribute in the plan:
+    * leaf nodes bind their outputs to their own names; every `Alias`
+    * anywhere in any node's expressions binds its exprId to its child's
+    * references, resolved transitively. Cheap (one plan walk + bounded
+    * recursion over SSA-ish alias chains) and run only inside [[lint]].
+    */
+  private def originIndex(root: SparkPlan)
+      : org.apache.spark.sql.catalyst.expressions.ExprId => Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, Expression}
+    val bindings = scala.collection.mutable.Map.empty[ExprId, Expression]
+    val leaves = scala.collection.mutable.Map.empty[ExprId, String]
+    def visit(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => visit(a.initialPlan)
+      case _ =>
+        if (p.children.isEmpty)
+          p.output.foreach(a => leaves.getOrElseUpdate(a.exprId, a.name))
+        p.expressions.foreach(_.foreach {
+          case al: Alias => bindings.getOrElseUpdate(al.exprId, al.child)
+          case _ => ()
+        })
+        p.children.foreach(visit)
+        p.subqueries.foreach(visit)
+    }
+    visit(root)
+    def resolve(id: ExprId, seen: Set[ExprId]): Set[String] =
+      if (seen.contains(id)) Set.empty
+      else leaves.get(id) match {
+        case Some(n) => Set(n)
+        case None => bindings.get(id) match {
+          case Some(e) =>
+            e.references.toSeq.flatMap(a => resolve(a.exprId, seen + id)).toSet
+          case None => Set.empty
+        }
+      }
+    id => resolve(id, Set.empty)
+  }
+
   def lint(df: DataFrame): Seq[Finding] = {
     val root = df.queryExecution.executedPlan
+    val origins = originIndex(root)
     val out = Seq.newBuilder[Finding]
 
     def walk(p: SparkPlan): Unit = {
@@ -102,14 +152,14 @@ object PlanLint {
             "empty PARTITION BY — the whole input sorts through one task")
         case w: WindowExec if w.partitionSpec.forall(e =>
               e.references.nonEmpty &&
-              e.references.forall(a => lowCardinalityHints.contains(a.name))) &&
+              e.references.forall(a => lowCardAttr(a, origins))) &&
             !inputReduced(w.children.head) &&
             !rankLimited(w.children.head) =>
           out += Finding("low-cardinality-window", w.nodeName,
             s"PARTITION BY ${w.partitionSpec.map(_.sql).mkString(", ")} — " +
               "enum-only keys over un-reduced input: a handful of tasks " +
               "own the whole table")
-        case agg if exactPercentileOverFact(agg) =>
+        case agg if exactPercentileOverFact(agg, origins) =>
           out += Finding("exact-percentile", agg.nodeName,
             "exact percentile/median with empty-or-enum grouping over " +
               "un-reduced input — per-group value-count buffer " +
@@ -273,6 +323,12 @@ object PlanLint {
       "exact-percentile"),
     // q197: q190's crossJoin-the-tiny-frames shape (cuts, total, mult)
     "q197_equidepth_sketch" -> Set("nested-loop", "cartesian"),
+    // q202: the spine generator crosses the |types| frame with the
+    // |hours| frame (both calendar/enum-sized), and the LOCF window runs
+    // over that GRID — |hours| rows per type at any scale, never the
+    // fact (reduced in the one hash-agg below the join; q144 principle)
+    "q202_locf_gap_fill" -> Set("nested-loop", "cartesian",
+      "low-cardinality-window"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -454,7 +510,10 @@ object PlanLint {
     * counted once) whose grouping is empty or enum-only, over input
     * that is not already reduced.
     */
-  private def exactPercentileOverFact(p: SparkPlan): Boolean = {
+  private def exactPercentileOverFact(
+      p: SparkPlan,
+      origins: org.apache.spark.sql.catalyst.expressions.ExprId => Set[String])
+      : Boolean = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Partial}
     val (groupings, aggs) = p match {
       case h: HashAggregateExec => (h.groupingExpressions, h.aggregateExpressions)
@@ -468,8 +527,7 @@ object PlanLint {
           .contains(ae.aggregateFunction.getClass.getSimpleName)
     }
     hasExactPct &&
-      groupings.forall(g => g.references.forall(a =>
-        lowCardinalityHints.contains(a.name))) &&
+      groupings.forall(g => g.references.forall(a => lowCardAttr(a, origins))) &&
       !p.children.headOption.exists(inputReduced)
   }
 

@@ -1295,7 +1295,140 @@ object Insights {
       |  CAST(n AS BIGINT) AS n_docs
       |FROM agg""".stripMargin
 
+  // ─── q201: strict-order conversion funnel ─────────────────────────────
+  // The canonical product-analytics funnel with STRICT sequencing and a
+  // per-step deadline: a user converts step k only via an event strictly
+  // AFTER their step-(k-1) conversion time and within 24 h of it
+  // (view → click → purchase). Attribution (q177) credits touches and
+  // path mining (q180) counts unordered trigrams; neither answers "how
+  // many users progressed, in order, in time, and what fraction survived
+  // each gate" — the funnel's whole point. (The deadline also keeps the
+  // measure discriminating: without it every synthetic user converts.)
+  //
+  // Plan: each step is one hash-aggregate per user (min qualifying ts)
+  // joined to the previous step's frame ON user_id — per-step frames are
+  // |users| rows × 2 cols, so at 100 TB of events every join is a plain
+  // key shuffle (or broadcast while the surviving cohort is small, AQE's
+  // call) and work stays linear in |events| + |users|. The sequential
+  // dependency between steps is inherent to the semantics (step k's
+  // filter needs step k-1's time); three passes over the user key is the
+  // scalable shape, not a driver loop. Final census is one 1-row
+  // aggregate unpivoted with stack() — no window, no collect.
+  def q201ConversionFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val deadline = expr("INTERVAL 24 HOUR")
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id")
+      .where(col("ts") > col("t_view") &&
+             col("ts") <= col("t_view") + deadline)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .where(col("ts") > col("t_click") &&
+             col("ts") <= col("t_click") + deadline)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("t_view")).as("s1"), count(col("t_click")).as("s2"),
+           count(col("t_purchase")).as("s3"))
+      .select(expr("stack(3, CAST(1 AS BIGINT), 'view', s1, " +
+                   "CAST(2 AS BIGINT), 'click', s2, " +
+                   "CAST(3 AS BIGINT), 'purchase', s3) " +
+                   "AS (step, step_name, users)"),
+              col("s1"))
+      .select(col("step"), col("step_name"), col("users"),
+              round(col("users") * lit(1.0) / col("s1"), 6).as("pct_of_entry"))
+      .orderBy("step")
+  }
+
+  val q201Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 24 HOUR GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY 1),
+      |j AS (
+      |  SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)),
+      |agg AS (
+      |  SELECT count(t_view) AS s1, count(t_click) AS s2,
+      |    count(t_purchase) AS s3
+      |  FROM j),
+      |funnel AS (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |    s1 AS users, s1 AS entry FROM agg
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', s2, s1 FROM agg
+      |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', s3, s1 FROM agg)
+      |SELECT step, step_name, CAST(users AS BIGINT) AS users,
+      |  round(users * 1.0 / entry, 6) AS pct_of_entry
+      |FROM funnel ORDER BY step""".stripMargin
+
+  // ─── q202: hourly spine + last-observation-carried-forward fill ───────
+  // Dense per-type hourly series where silent hours repeat the LAST
+  // observed hourly mean — the LOCF interpolation every monitoring /
+  // feature-store layer runs. q95's spine zero-fills (a gap means zero
+  // revenue); LOCF is the other canonical fill (a gap means the metric
+  // HELD its value), needing the ignore-nulls running `last` that
+  // zero-fill never touches.
+  //
+  // Plan: the fact reduces to |types|×|hours| in ONE hash aggregate; the
+  // spine is generated from a 1-row (min,max) bounds frame (broadcast
+  // algebra — the crossJoin the allowlist documents) and the LOCF window
+  // partitions the GRID, not the fact: |hours| rows per type at any
+  // scale, which is why the enum-keyed window is sound here (and
+  // allowlisted with that reason — the input is calendar-sized by
+  // construction, the q144 principle).
+  def q202LocfGapFill(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("value"))
+    val hourly = e.groupBy("event_type", "hr")
+      .agg(round(avg(col("value")), 4).as("v_obs"))
+    val bounds = e.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val types = e.select("event_type").distinct()
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(spine)
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        col("v_obs").isNotNull.as("observed"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_locf"))
+      .orderBy("event_type", "hr")
+  }
+
+  val q202Sql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', ts) AS hr, event_type, value FROM events),
+      |hourly AS (
+      |  SELECT event_type, hr, round(avg(value), 4) AS v_obs
+      |  FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |grid AS (SELECT event_type, hr FROM types CROSS JOIN spine)
+      |SELECT g.event_type, g.hr, h.v_obs IS NOT NULL AS observed,
+      |  last_value(h.v_obs IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+      |FROM grid g
+      |LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+      |ORDER BY g.event_type, g.hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_conversion_funnel" -> (q201ConversionFunnel _),
+    "q202_locf_gap_fill"    -> (q202LocfGapFill _),
     "q196_cohens_kappa"     -> ((s, d) => q196CohensKappa(s, d)),
     "q191_feature_scaling"  -> (q191FeatureScaling _),
     "q192_target_encoding"  -> (q192TargetEncoding _),
@@ -1326,6 +1459,8 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q201_conversion_funnel" -> q201Sql,
+    "q202_locf_gap_fill"    -> q202Sql,
     "q196_cohens_kappa"     -> q196Sql,
     "q191_feature_scaling"  -> q191Sql,
     "q192_target_encoding"  -> q192Sql,

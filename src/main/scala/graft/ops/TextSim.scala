@@ -1288,7 +1288,77 @@ object TextSim {
        |ORDER BY n DESC, token
        |LIMIT 15""".stripMargin
 
+  // ─── q203: EXACT set-similarity self-join via prefix filtering ────────
+  // The AllPairs/PPJoin shape (Bayardo et al., WWW'07; public algorithm):
+  // find EVERY document pair with shingle-Jaccard >= 0.6 — exactly, no
+  // MinHash false negatives — without the all-pairs join. Under a global
+  // token order (rarest document-frequency first), two sets with
+  // jac >= t MUST share a token inside each one's PREFIX of length
+  // |x| - ceil(t*|x|) + 1, so joining prefixes on the token finds every
+  // qualifying pair; the exact intersect/union then verifies candidates.
+  // This is the exact counterpart to q45's banded LSH: LSH trades recall
+  // for a fixed candidate budget, the prefix filter keeps recall = 1 and
+  // prunes by rarity instead. The ORACLE is the brute-force token join —
+  // a green hash-match PROVES the prefix filter dropped nothing.
+  //
+  // 100 TB shape: shuffles carry (doc_id, token-hash, two ints), never
+  // text; the candidate join touches only prefix tokens, which the
+  // rarity order biases toward document frequency ~1 (a stopword-like
+  // shingle is in nobody's prefix unless the doc is near-duplicate
+  // everywhere); the size filter 5*min >= 3*max (integer form of
+  // min >= t*max, implied by jac >= t) prunes before the verify join.
+  // All bounds are EXACT integer arithmetic — (3*sz+4) DIV 5 is
+  // ceil(0.6*sz) — so no float rounding can shorten a prefix.
+  def q203PrefixFilterJoin(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+    val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+                         explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= expr("sz - (3 * sz + 4) DIV 5 + 1"))
+      .select(col("doc_id"), col("sz"), col("tok"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.tok") === col("y.tok") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        col("x.sz") * 5 >= col("y.sz") * 3 &&
+        col("y.sz") * 5 >= col("x.sz") * 3)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .where(jac >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q203Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    ${shinglesSql("toks")} AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+       |t AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+       |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(isect * 1.0 / (sa.sz + sb.sz - isect), 4) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_prefix_filter_join" -> (q203PrefixFilterJoin _),
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
     "q43_doc_quality"    -> (q43DocQuality _),
@@ -1308,6 +1378,7 @@ object TextSim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q203_prefix_filter_join" -> q203Sql,
     "q41_exact_dedup"    -> q41Sql,
     "q42_token_stats"    -> q42Sql,
     "q43_doc_quality"    -> q43Sql,

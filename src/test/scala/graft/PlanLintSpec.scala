@@ -64,6 +64,29 @@ class PlanLintSpec extends SparkSpec {
         .where($"rn" <= 5))
       .exists(_.rule == "low-cardinality-window"),
       "rank-limited windows are two-phase and must not be flagged")
+    // rename escape is CLOSED (round-8 lineage trace): an enum column
+    // renamed away from its hinted name still traces to the scan column
+    val wRenamed = org.apache.spark.sql.expressions.Window
+      .partitionBy($"seg").orderBy($"l_orderkey")
+    assert(lint(li.withColumnRenamed("l_returnflag", "seg")
+        .withColumn("rn", row_number().over(wRenamed)))
+      .exists(_.rule == "low-cardinality-window"),
+      "withColumnRenamed must not escape the lineage-based hint match")
+    // ...and the converse false positive is gone: a HIGH-cardinality key
+    // aliased to a hinted name traces to its real origin
+    val wShadow = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"l_quantity")
+    assert(!lint(li.withColumnRenamed("l_orderkey", "lang")
+        .withColumn("rn", row_number().over(wShadow)))
+      .exists(_.rule == "low-cardinality-window"),
+      "a high-cardinality column aliased to a hinted name must not flag")
+    // a derived expression over ONLY enum origins is itself enum-like
+    val wDerived = org.apache.spark.sql.expressions.Window
+      .partitionBy(concat($"l_returnflag", $"l_linestatus").as("k"))
+      .orderBy($"l_orderkey")
+    assert(lint(li.withColumn("rn", row_number().over(wDerived)))
+      .exists(_.rule == "low-cardinality-window"),
+      "enum-only derived partition keys must flag")
     // exact percentile, single group, straight over the fact: flagged
     assert(lint(li.agg(expr("percentile(l_quantity, 0.5D)")))
       .exists(_.rule == "exact-percentile"))

@@ -266,4 +266,34 @@ class TextSimSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q203 prefix-filter join is LOSSLESS vs the all-pairs brute force") {
+    import org.apache.spark.sql.functions._
+    val got = ops.TextSim.q203PrefixFilterJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force in-process: every pair, exact shingle Jaccard — the
+    // candidate-pruning path must reproduce it pair-for-pair
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        val sh =
+          if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+          else Set.empty[String]
+        (r.getLong(0), sh)
+      }
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs
+      if ia < ib && sa.nonEmpty
+      jac = (sa & sb).size.toDouble / (sa | sb).size
+      if jac >= 0.6
+    } yield (ia, ib,
+      BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq === want.toSeq,
+      s"prefix filter diverged from brute force: got ${got.length} pairs, " +
+        s"want ${want.length}")
+    assert(want.nonEmpty, "fixture has no qualifying pairs — test is vacuous")
+  }
 }
