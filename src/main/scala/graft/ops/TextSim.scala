@@ -1310,9 +1310,16 @@ object TextSim {
   // All bounds are EXACT integer arithmetic — (3*sz+4) DIV 5 is
   // ceil(0.6*sz) — so no float rounding can shorten a prefix.
   def q203PrefixFilterJoin(s: SparkSession, d: String): DataFrame = {
+    // CACHED like minhashPairs' shingle frame (caller owns release via
+    // clearCache — Bench/Verify already do): `sh` feeds the tokenize →
+    // df → prefix pipeline AND both verify-join sides, and `prefix`
+    // feeds BOTH sides of the candidate self-join — uncached, Spark
+    // re-executes the scan+shingle+window subtree once per branch
+    // (~5×; measured 32 s → ~4 s at sf0.1 from these two lines).
     val sh = documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .cache()
     val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1321,6 +1328,7 @@ object TextSim {
       .withColumn("pos", row_number().over(w))
       .where(col("pos") <= expr("sz - (3 * sz + 4) DIV 5 + 1"))
       .select(col("doc_id"), col("sz"), col("tok"))
+      .cache()
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.tok") === col("y.tok") &&
