@@ -1365,7 +1365,60 @@ object TextSim {
        |WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ─── q204: train/test split-leakage audit ─────────────────────────────
+  // The evaluation-integrity check every training pipeline should run and
+  // few do: after a deterministic hash split (q72's exact convention —
+  // md5("split:"||doc_id) first byte vs the cc/e6 fences), how many
+  // verified NEAR-DUPLICATE pairs straddle a split boundary? Each one is
+  // a test/val document whose near-copy sits in train — decontamination
+  // (q84) catches benchmark n-grams, this catches the corpus leaking into
+  // its own held-out set. Census per unordered boundary (least/greatest
+  // of the two split names) with the worst offending Jaccard as data.
+  //
+  // Scale: pure composition of two green stages — stage 1 is q45's
+  // banded-LSH candidate generation (bucketed equi-joins, never
+  // all-pairs); the audit itself tags the VERIFIED pair list (tiny by
+  // construction) with two md5 evaluations per row and reduces to a
+  // ≤3-row census. Nothing beyond stage 1 touches corpus scale.
+  def q204SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(idc: Column): Column = {
+      val h = substring(md5(concat(lit("split:"), idc.cast("string"))), 1, 2)
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    }
+    minhashPairs(s, d, DefaultK, DefaultB)
+      .withColumn("sa", splitOf(col("doc_a")))
+      .withColumn("sb", splitOf(col("doc_b")))
+      .where(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+              greatest(col("sa"), col("sb")).as("split_hi"),
+              col("jaccard"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_leaks"),
+           round(max(col("jaccard")), 4).as("worst_jaccard"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  val q204Sql: String = {
+    def splitSql(c: String) =
+      s"""CASE WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2) < 'cc'
+         |  THEN 'train'
+         |  WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2) < 'e6'
+         |  THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH ${minhashPairCtes(DefaultK, DefaultB)},
+       |tagged AS (
+       |  SELECT ${splitSql("doc_a")} AS sa,
+       |    ${splitSql("doc_b")} AS sb, jaccard
+       |  FROM pairs)
+       |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+       |  CAST(count(*) AS BIGINT) AS n_leaks,
+       |  round(max(jaccard), 4) AS worst_jaccard
+       |FROM tagged WHERE sa <> sb
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_split_leakage"      -> (q204SplitLeakage _),
     "q203_prefix_filter_join" -> (q203PrefixFilterJoin _),
     "q41_exact_dedup"    -> (q41ExactDedup _),
     "q42_token_stats"    -> (q42TokenStats _),
@@ -1386,6 +1439,7 @@ object TextSim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q204_split_leakage"      -> q204Sql,
     "q203_prefix_filter_join" -> q203Sql,
     "q41_exact_dedup"    -> q41Sql,
     "q42_token_stats"    -> q42Sql,
