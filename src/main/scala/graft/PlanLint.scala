@@ -115,17 +115,29 @@ object PlanLint {
         p.subqueries.foreach(visit)
     }
     visit(root)
-    def resolve(id: ExprId, seen: Set[ExprId]): Set[String] =
-      if (seen.contains(id)) Set.empty
-      else leaves.get(id) match {
-        case Some(n) => Set(n)
-        case None => bindings.get(id) match {
-          case Some(e) =>
-            e.references.toSeq.flatMap(a => resolve(a.exprId, seen + id)).toSet
-          case None => Set.empty
-        }
+    // Memoized: alias DAGs that fan out and reconverge (both sides of a
+    // self-join deriving from one aliased subtree) would otherwise re-expand
+    // shared chains exponentially. The memo doubles as the cycle guard — an
+    // id is pre-seeded with Set.empty before its children resolve, so a
+    // cyclic reference bottoms out instead of recursing.
+    val memo = scala.collection.mutable.Map.empty[ExprId, Set[String]]
+    def resolve(id: ExprId): Set[String] =
+      memo.get(id) match {
+        case Some(cached) => cached
+        case None =>
+          memo.update(id, Set.empty)
+          val res = leaves.get(id) match {
+            case Some(n) => Set(n)
+            case None => bindings.get(id) match {
+              case Some(e) =>
+                e.references.toSeq.flatMap(a => resolve(a.exprId)).toSet
+              case None => Set.empty[String]
+            }
+          }
+          memo.update(id, res)
+          res
       }
-    id => resolve(id, Set.empty)
+    id => resolve(id)
   }
 
   def lint(df: DataFrame): Seq[Finding] = {
@@ -355,8 +367,10 @@ object PlanLint {
     "q199_lsh_dedup_funnel" -> 24,
     // q90 chains CC dedup + clip + split + pack, each stage cached once
     "q90_pipeline_funnel" -> 32,
-    // BFS frontier loop: ~2 actions per hop, diameter-bounded (meas. 14)
-    "q170_bfs_hops" -> 32,
+    // BFS frontier loop: 1 count-materializes-checkpoint action per hop
+    // + seed checkpoint + fixed setup, diameter-bounded (measured 10
+    // after the round-9 frontier-only-checkpoint slimming; was 14)
+    "q170_bfs_hops" -> 20,
     // PageRank: fixed 10 iterations (measured exactly 10)
     "q150_pagerank" -> 24,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

@@ -536,32 +536,42 @@ object Graph {
   //
   // Scale: each round is one shuffle join keyed on the frontier node id
   // plus one anti join against the accumulated labels — both key-
-  // partitioned, no adjacency collection. `localCheckpoint` truncates the
-  // per-round lineage exactly as q150's PageRank loop does. Depth is
-  // capped (the oracle's recursive CTE carries the same cap), which is
-  // also the honest production posture: hop-bounded reachability, not
-  // unbounded transitive closure. The DuckDB oracle computes the same
-  // fixpoint via WITH RECURSIVE + min(d) — a completely independent
-  // evaluation strategy over the same semantics.
+  // partitioned, no adjacency collection. Only the per-round FRONTIER is
+  // checkpointed (lazily — the count() that decides termination is the
+  // same job that materializes the checkpoint, so the loop costs ONE
+  // action per hop); the accumulated label set is a lazy union over the
+  // already-materialized layers, built once at the end. The earlier form
+  // re-checkpointed dist every round, re-writing hop 0..i−1's rows to the
+  // block store i times — O(hops²) materialized rows vs O(hops·layer)
+  // here. Lineage stays truncated because every union leaf IS a
+  // checkpoint. Depth is capped (the oracle's recursive CTE carries the
+  // same cap), which is also the honest production posture: hop-bounded
+  // reachability, not unbounded transitive closure. The DuckDB oracle
+  // computes the same fixpoint via WITH RECURSIVE + min(d) — a completely
+  // independent evaluation strategy over the same semantics.
   def bfsHops(edges: DataFrame, seed: DataFrame, maxHops: Int): DataFrame = {
     // edges: (ftyp, fid, ttyp, tid) directed; seed: (typ, id)
-    var dist = seed.select(col("typ"), col("id"), lit(0L).as("hops"))
+    val seed0 = seed.select(col("typ"), col("id"), lit(0L).as("hops"))
       .localCheckpoint()
-    var frontier = dist
+    var layers = List(seed0)
+    var frontier = seed0
+    var frontierSize = 1L // seed materialization implies non-empty check ran
     var i = 1
-    while (i <= maxHops && !frontier.isEmpty) {
+    while (i <= maxHops && frontierSize > 0L) {
+      val labeled = layers.reduce(_ unionAll _)
       val nxt = frontier
         .join(edges, frontier("typ") === edges("ftyp") &&
                      frontier("id") === edges("fid"))
         .select(col("ttyp").as("typ"), col("tid").as("id")).distinct()
-        .join(dist, Seq("typ", "id"), "left_anti")
+        .join(labeled, Seq("typ", "id"), "left_anti")
         .withColumn("hops", lit(i.toLong))
-        .localCheckpoint()
-      dist = dist.unionAll(nxt).localCheckpoint()
+        .localCheckpoint(eager = false)
+      frontierSize = nxt.count() // materializes the checkpoint in this job
+      if (frontierSize > 0L) layers = nxt :: layers
       frontier = nxt
       i += 1
     }
-    dist
+    layers.reduce(_ unionAll _)
   }
 
   def q170BfsHops(s: SparkSession, d: String): DataFrame = {
@@ -610,24 +620,51 @@ object Graph {
   // Scale: the pair build shuffles on l_orderkey (bounded per-basket
   // fanout, see q163); the triangle join is the standard edge-edge-edge
   // plan — each join keys on a single node column, and the min-support
-  // cut keeps the oriented edge list sparse. On a power-law graph you'd
-  // additionally orient edges by (degree, id) instead of raw id so hub
-  // nodes don't own O(deg²) wedges; id-orientation is the oracle-clean
-  // form and the wedge counts here are basket-bounded anyway.
+  // cut keeps the oriented edge list sparse. Edges are oriented by
+  // (degree, id), not raw id: under id-orientation a hub that happens to
+  // land on a small id owns O(deg²) wedges (the power-law killer at
+  // 100×); under degree-orientation every node's out-degree is bounded
+  // by its count of HIGHER-degree neighbours, which for any graph caps
+  // the wedge total at O(m^1.5) (Schank–Wagner / Latapy bound). The
+  // total triangle count is orientation-invariant — each triangle is
+  // counted exactly once as the directed path a→b→c plus closing edge
+  // a→c under ANY acyclic orientation — so the id-oriented DuckDB oracle
+  // still checks the answer exactly.
+
+  /** Orient undirected canonical edges (p1 < p2) from the lower-(deg, id)
+    * endpoint to the higher, where deg is computed on the input edge set
+    * itself. Output columns (src, dst); one row per input edge. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("p1").as("n"))
+      .unionAll(edges.select(col("p2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.as("d1"), col("p1") === col("d1.n"))
+      .join(deg.as("d2"), col("p2") === col("d2.n"))
+      .select(
+        when(col("d1.deg") < col("d2.deg") ||
+             (col("d1.deg") === col("d2.deg") && col("p1") < col("p2")),
+             col("p1")).otherwise(col("p2")).as("src"),
+        when(col("d1.deg") < col("d2.deg") ||
+             (col("d1.deg") === col("d2.deg") && col("p1") < col("p2")),
+             col("p2")).otherwise(col("p1")).as("dst"))
+  }
+
   def q171TriangleCount(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = li.as("a")
+    val canonical = li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
       .select("p1", "p2")
+    val edges = orientByDegree(canonical)
     val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
-      .join(edges.as("e3"), col("e1.p1") === col("e3.p1") &&
-                            col("e2.p2") === col("e3.p2"))
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"), col("e1.src") === col("e3.src") &&
+                            col("e2.dst") === col("e3.dst"))
     tri.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_triangles"), col("n_edges"))

@@ -176,6 +176,33 @@ class GraphSpec extends SparkSpec {
     assert(nTri == expected, s"spark $nTri vs brute $expected")
   }
 
+  test("orientByDegree: a planted hub owns zero wedges regardless of its id") {
+    import org.apache.spark.sql.functions._
+    // hub = node 0 (the SMALLEST id — the adversarial case for raw
+    // id-orientation, which would hand it out-degree 20 and 190 wedges)
+    // connected to spokes 1..20; plus one spoke-spoke edge (1,2) so the
+    // graph holds a triangle (0,1,2) to prove count invariance too.
+    val canonical = ((1 to 20).map(i => (0L, i.toLong)) :+ (1L, 2L))
+      .toDF("p1", "p2")
+    val oriented = Graph.orientByDegree(canonical).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(oriented.length == canonical.count())
+    // every hub edge points INTO the hub: deg(spoke) ≤ 2 < deg(hub) = 20
+    oriented.filter(e => e._1 == 0L || e._2 == 0L)
+      .foreach { case (src, dst) =>
+        assert(dst == 0L, s"hub edge oriented out of the hub: ($src,$dst)") }
+    // wedge census: hub out-degree 0 ⇒ no O(deg²) blowup at the hub
+    val outDeg = oriented.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(!outDeg.contains(0L))
+    assert(outDeg.values.max <= 2)
+    // triangle (0,1,2) still counted exactly once under this orientation
+    val es = oriented.toSet
+    val tri = (for {
+      (a, b) <- es; (b2, c) <- es if b2 == b; if es.contains((a, c))
+    } yield (a, b, c)).size
+    assert(tri == 1, s"expected exactly 1 triangle, got $tri")
+  }
+
   test("q198: keeper is the max-(n_chars, sha2, doc_id) member of its own cluster") {
     import org.apache.spark.sql.functions._
     val labels = graft.ops.Graph.dupClusterLabels(spark, sfDir)

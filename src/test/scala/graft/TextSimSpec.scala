@@ -295,5 +295,7 @@ class TextSimSpec extends SparkSpec {
       s"prefix filter diverged from brute force: got ${got.length} pairs, " +
         s"want ${want.length}")
     assert(want.nonEmpty, "fixture has no qualifying pairs — test is vacuous")
+    // q203PrefixFilterJoin caches its sh/prefix frames; caller owns release.
+    spark.catalog.clearCache()
   }
 }
