@@ -1417,7 +1417,154 @@ object TextSim {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ─── q205: exact duplicated-SUBSTRING removal (suffix-window dedup) ───
+  // The published training-data step q100 provably misses: remove every
+  // substring of ≥ L tokens that repeats across documents, wherever it
+  // starts (the suffix-array dedup of Lee et al. 2021, "Deduplicating
+  // Training Data Makes Language Models Better" — re-derived for Spark
+  // without the suffix array). q100 hashes FIXED stride-3 segments from
+  // position 0, so a shared run whose offset differs by one token between
+  // two documents lands on different segment boundaries and is invisible
+  // to it (boilerplate headers shifted by a single leading word — the
+  // exact case this operator exists for). Here every OVERLAPPING L-token
+  // window is hashed (stride 1): a cross-doc run of m ≥ L tokens makes
+  // all m−L+1 of its windows collide, and the union of overlapping
+  // duplicated windows is precisely the maximal duplicated span — the
+  // "extend bidirectionally to maximal matches" step falls out of
+  // interval union, no extension loop needed. Token t is removed iff
+  // some duplicated window covers it; documents are reassembled from the
+  // surviving tokens in order.
+  //
+  // At 100 TB: windows shuffle as (md5, doc_id) — 32-byte rows, map-side
+  // combined; only DUPLICATED windows (a tiny fraction) fan out ×L into
+  // covered positions; the islands pass windows over doc_id (a leaf
+  // high-cardinality key — per-doc work bounded by doc length, never
+  // corpus size); reassembly is a HOF filter over the cached token
+  // arrays against each doc's own ≤doc-length islands array — no
+  // per-token rows ever shuffle.
+  private val SubstrL = 8
+
+  /** Per-document census of the L-token-window substring dedup over any
+    * (doc_id, lang, text) frame: n_toks, n_spans (maximal duplicated
+    * spans removed), n_rm (tokens removed), chars_out (length of the
+    * document reassembled from surviving tokens). Exposed separately
+    * from q205 so specs can run planted corpora through the REAL
+    * pipeline. Caches the tokenized frame; caller owns clearCache.
+    */
+  def substringDedupPerDoc(docs: DataFrame, L: Int): DataFrame = {
+    val toksFrame = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .cache()
+    val grams = toksFrame
+      .where(size(col("toks")) >= L)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - L),
+          i => struct(i.as("pos"),
+            md5(array_join(slice(col("toks"), i + 1, lit(L)), " "))
+              .as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val covpos = grams.join(dup, "h")
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + L - 1)).as("p"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = covpos
+      .withColumn("newisl",
+        when(col("p") - lag(col("p"), 1).over(w) > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("newisl"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("s"), max(col("p")).as("e"))
+    val perDocIsl = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(col("e") - col("s") + 1L).as("n_rm"),
+           array_sort(collect_list(struct(col("s"), col("e"))))
+             .as("islands"))
+    toksFrame.join(perDocIsl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_rm"), lit(0L)).as("n_rm"),
+        // null islands (doc untouched) ⇒ exists→null ⇒ coalesce keeps
+        length(array_join(
+          filter(col("toks"), (_, i) =>
+            coalesce(!exists(col("islands"),
+                             x => i >= x("s") && i <= x("e")),
+                     lit(true))),
+          " ")).cast("long").as("chars_out"))
+  }
+
+  def q205SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    // identical tokenize plan to q100's cached frame ⇒ one shared cache
+    // entry per session (lifecycle: caller/harness clearCache)
+    substringDedupPerDoc(documents(s, d), SubstrL)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+           sum(col("n_spans")).as("n_spans_removed"),
+           sum(col("n_toks")).as("n_toks"),
+           sum(col("n_rm")).as("n_removed_toks"),
+           sum(col("chars_out")).as("chars_out"))
+      .orderBy(col("lang"))
+  }
+
+  val q205Sql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+       |grams AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos,
+       |         md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS h
+       |  FROM t, unnest(range(0, len(toks)-8+1)) u(i)
+       |  WHERE len(toks) >= 8),
+       |dup AS (SELECT h FROM grams GROUP BY h
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |covpos AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, u.p
+       |  FROM grams JOIN dup USING (h), unnest(range(pos, pos+8)) u(p)),
+       |flags AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 1
+       |         THEN 1 ELSE 0 END AS newisl
+       |  FROM covpos),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM flags),
+       |spans AS (SELECT doc_id, isl, min(p) AS s, max(p) AS e
+       |          FROM isl GROUP BY doc_id, isl),
+       |perisl AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_rm
+       |           FROM spans GROUP BY doc_id),
+       |toksposkept AS (
+       |  SELECT tp.doc_id, coalesce(length(string_agg(tp.tok, ' ' ORDER BY tp.p)), 0)
+       |           AS chars_out
+       |  FROM (SELECT doc_id, u.p AS p, toks[u.p+1] AS tok
+       |        FROM t, unnest(range(0, len(toks))) u(p)) tp
+       |  LEFT JOIN covpos c ON tp.doc_id = c.doc_id AND tp.p = c.p
+       |  WHERE c.p IS NULL
+       |  GROUP BY tp.doc_id),
+       |perdoc AS (
+       |  SELECT t.doc_id, t.lang, len(t.toks) AS n_toks,
+       |    coalesce(pi.n_spans, 0) AS n_spans, coalesce(pi.n_rm, 0) AS n_rm,
+       |    coalesce(k.chars_out, 0) AS chars_out
+       |  FROM t LEFT JOIN perisl pi USING (doc_id)
+       |         LEFT JOIN toksposkept k ON t.doc_id = k.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_hit,
+       |  CAST(sum(n_spans) AS BIGINT) AS n_spans_removed,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       |  CAST(sum(n_rm) AS BIGINT) AS n_removed_toks,
+       |  CAST(sum(chars_out) AS BIGINT) AS chars_out
+       |FROM perdoc
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_substring_dedup"    -> (q205SubstringDedup _),
     "q204_split_leakage"      -> (q204SplitLeakage _),
     "q203_prefix_filter_join" -> (q203PrefixFilterJoin _),
     "q41_exact_dedup"    -> (q41ExactDedup _),
@@ -1439,6 +1586,7 @@ object TextSim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q205_substring_dedup"    -> q205Sql,
     "q204_split_leakage"      -> q204Sql,
     "q203_prefix_filter_join" -> q203Sql,
     "q41_exact_dedup"    -> q41Sql,

@@ -298,4 +298,100 @@ class TextSimSpec extends SparkSpec {
     // q203PrefixFilterJoin caches its sh/prefix frames; caller owns release.
     spark.catalog.clearCache()
   }
+
+  test("q205 catches a boundary-shifted shared substring that stride-3 " +
+       "segmenting (q100's shape) provably misses") {
+    import org.apache.spark.sql.functions._
+    // a 12-token run shared verbatim, but at offset 0 in doc 1 and
+    // offset 1 in doc 2 — every stride-3 segment of the run differs
+    // between the docs, so a q100-style fixed-boundary census sees no
+    // duplicate; the overlapping-window dedup must remove exactly the
+    // run from both.
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima"
+    val docs = Seq(
+      (1L, "en", s"$run unique tail one two three four five six seven"),
+      (2L, "en", s"shift $run different ending eight nine ten eleven twelve"),
+      (3L, "en", "completely unrelated filler text with no overlap at all " +
+        "whatsoever in any window of the corpus")
+    ).toDF("doc_id", "lang", "text")
+    val got = ops.TextSim.substringDedupPerDoc(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+                                  r.getLong(5)))).toMap
+    // both carriers lose ONE maximal span of exactly the 12 shared tokens
+    Seq(1L, 2L).foreach { id =>
+      val (_, nSpans, nRm, _) = got(id)
+      assert(nSpans == 1L, s"doc $id: expected 1 span, got $nSpans")
+      assert(nRm == 12L, s"doc $id: expected 12 removed tokens, got $nRm")
+    }
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0L, "untouched doc was hit")
+    // reassembly drops exactly the run: doc 1 keeps its 10-token tail
+    assert(got(1L)._4 ==
+      "unique tail one two three four five six seven".length.toLong)
+    assert(got(2L)._4 ==
+      "shift different ending eight nine ten eleven twelve".length.toLong,
+      s"doc 2 chars_out ${got(2L)._4}")
+    // and the q100 shape REALLY misses it: stride-3 segments from
+    // position 0 share no segment text between the two carriers
+    def segs3(t: String) = t.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).grouped(3).map(_.mkString(" ")).toSet
+    val inter = segs3(s"$run unique tail one two three four five six seven")
+      .intersect(segs3(
+        s"shift $run different ending eight nine ten eleven twelve"))
+    assert(inter.isEmpty,
+      s"stride-3 segments unexpectedly collide: $inter — fixture broken")
+    spark.catalog.clearCache()
+  }
+
+  test("q205 per-doc census equals a driver-side brute-force recompute " +
+       "on a seeded corpus") {
+    import org.apache.spark.sql.functions._
+    val L = 4
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("red", "blue", "green", "star", "moon", "rock",
+                       "tree", "fish")
+    // 12 docs of 6–20 tokens from a tiny vocab — collisions guaranteed
+    val corpus = (1 to 12).map { id =>
+      val n = 6 + rnd.nextInt(15)
+      (id.toLong, if (id % 2 == 0) "en" else "de",
+       Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "lang", "text")
+    val got = ops.TextSim.substringDedupPerDoc(docs, L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+                                  r.getLong(5)))).toMap
+    // brute force: gram -> set of docs; covered positions per doc
+    val toks = corpus.map { case (id, _, t) =>
+      id -> t.split(" ").toVector }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    toks.foreach { case (id, ts) =>
+      if (ts.size >= L) ts.sliding(L).foreach { g =>
+        val k = g.mkString(" ")
+        gramDocs(k) = gramDocs.getOrElse(k, Set.empty) + id
+      }
+    }
+    corpus.foreach { case (id, _, _) =>
+      val ts = toks(id)
+      val covered = scala.collection.mutable.Set.empty[Int]
+      if (ts.size >= L)
+        (0 to ts.size - L).foreach { p =>
+          if (gramDocs(ts.slice(p, p + L).mkString(" ")).size >= 2)
+            (p until p + L).foreach(covered += _)
+        }
+      val spans = // maximal runs of consecutive covered positions
+        if (covered.isEmpty) 0
+        else covered.toSeq.sorted.foldLeft((0, -2)) { case ((n, prev), p) =>
+          (if (p == prev + 1) n else n + 1, p) }._1
+      val keptChars = ts.zipWithIndex.collect {
+        case (t, i) if !covered.contains(i) => t }.mkString(" ").length
+      val (nToks, nSpans, nRm, charsOut) = got(id)
+      assert(nToks == ts.size.toLong, s"doc $id n_toks")
+      assert(nSpans == spans.toLong, s"doc $id spans: got $nSpans want $spans")
+      assert(nRm == covered.size.toLong, s"doc $id removed tokens")
+      assert(charsOut == keptChars.toLong, s"doc $id chars_out")
+    }
+    assert(got.values.exists(_._3 > 0), "no doc was hit — test is vacuous")
+    assert(got.values.exists(_._3 == 0), "every doc fully hit — degenerate")
+    spark.catalog.clearCache()
+  }
 }
