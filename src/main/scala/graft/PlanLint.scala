@@ -270,6 +270,17 @@ object PlanLint {
     "q102_weighted_sample" -> Set("nested-loop", "cartesian", "global-window"),
     "q104_quantized_topk" -> Set("nested-loop", "cartesian"),
     "q111_pq_topk" -> Set("nested-loop", "cartesian"),
+    // q206–q208: the k-means trainer crossJoins the 1-row folded
+    // codebook (the ivfAssigned idiom), the seed ranking is a global
+    // window over a LIMIT-k (≤8-row) frame, and the exact-recall twin
+    // is q49's broadcast 5-query BNLJ — all bounded builds, never a
+    // data-sized cartesian
+    "q206_kmeans_codebook" -> Set("nested-loop", "cartesian",
+                                  "global-window"),
+    "q207_kmeans_ivf_recall" -> Set("nested-loop", "cartesian",
+                                    "global-window"),
+    "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
+                                    "global-window"),
     "q131_jl_projection" -> Set("nested-loop"),
     "q132_zorder" -> Set("global-window"),
     // Insights batch (q162-q180): every flagged nested-loop is a ≤10-row
@@ -373,6 +384,11 @@ object PlanLint {
     "q170_bfs_hops" -> 20,
     // PageRank: fixed 10 iterations (measured exactly 10)
     "q150_pagerank" -> 24,
+    // k-means trainer: 1 pieces checkpoint + 1 checkpoint per Lloyd
+    // round (iters=2) = 3 actions before the query body (measured 3)
+    "q206_kmeans_codebook"   -> 8,
+    "q207_kmeans_ivf_recall" -> 8,
+    "q208_pq_learned_recall" -> 8,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
     "q147_bpe_learn" -> 28,
     // SQL-script binary search: ~2 actions per WHILE probe, probes =

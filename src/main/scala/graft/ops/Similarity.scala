@@ -1185,7 +1185,355 @@ object Similarity {
        |ORDER BY q_id, step""".stripMargin
   }
 
+  // ─── q206–q208: UNSUPERVISED codebook learning (distributed Lloyd's) ──
+  // The trainer the r8 verdict named as the ANN family's one supervised
+  // crutch: q59/q66's IVF centroids and q111's PQ codebooks were per-
+  // `label` means — a column real corpora don't have. This is the
+  // replacement: distributed Lloyd's k-means with the iterative-loop
+  // discipline the CC/PageRank/BPE loops established (localCheckpoint
+  // per round, one action per round, actionBounds entry), generalized
+  // over SUBSPACES so ONE trainer serves both consumers — M=1 ×
+  // width-64 learns the IVF coarse quantizer, M=8 × width-8 learns the
+  // PQ codebooks (k-means per subspace IS the published PQ training
+  // procedure, Jégou et al. 2011).
+  //
+  // Cross-engine determinism, the hard part of an iterative float
+  // recurrence: (a) seeds are the k vectors with the smallest
+  // (md5(vec_id), vec_id) — pure id-hash, both engines agree exactly;
+  // (b) assignment argmin breaks ties by cid; (c) centroid coordinates
+  // are ROUNDED to 6 decimals after every update — the q150 round-
+  // before-compare trick applied to the recurrence itself, so the
+  // ~1e-15 partial-aggregation summation noise is wiped at each
+  // iteration boundary instead of compounding across rounds.
+  //
+  // At 100 TB: each round is one map-side assignment against a
+  // broadcast ≤(M·k)-entry codebook row (the corpus NEVER shuffles for
+  // assignment) plus one map-side-combined (m, cid) average — fixed-
+  // width partials, rounds bounded by `iters`. Empty clusters carry
+  // their previous centroid (the standard Lloyd fallback), so k is
+  // stable by construction.
+
+  /** Subspace pieces of a (vec_id, e) frame: (vec_id, m, sub) with
+    * sub = e[m·w+1 .. m·w+w], m ∈ [0, mCount). */
+  private[graft] def pieces(emb: DataFrame, mCount: Int, w: Int): DataFrame =
+    emb.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(mCount - 1)),
+          m => struct(m.as("m"),
+                      slice(col("e"), m * w + 1, lit(w)).as("sub")))).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sub").as("sub"))
+
+  /** Squared L2 via three dots — the exact arithmetic DuckDB's
+    * list_dot_product closed form uses, so both engines rank candidates
+    * from the same floats. */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** One-row broadcast codebook: all (m, cid, carr) folded into a single
+    * array — the ivfAssigned idiom, ≤ M·k entries. */
+  private def centsRow(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(
+      collect_list(struct(col("m"), col("cid"), col("carr"))).as("cents")))
+
+  /** Map-side argmin assignment of every piece to its subspace's nearest
+    * centroid (ascending (d², cid) — ties to the lower cid). */
+  private[graft] def assignPieces(p: DataFrame, folded: DataFrame): DataFrame =
+    p.crossJoin(folded)
+      .withColumn("cid",
+        element_at(array_sort(transform(
+          filter(col("cents"), c => c("m") === col("m")),
+          c => struct(sqDist(col("sub"), c("carr")).as("d"),
+                      c("cid").as("cid")))), 1)("cid"))
+      .select(col("vec_id"), col("m"), col("sub"), col("cid"))
+
+  /** Distributed Lloyd's over M subspaces: returns (m, cid, carr) after
+    * `iters` assign+update rounds from id-hash seeds. */
+  def kmeansCodebooks(emb: DataFrame, mCount: Int, w: Int, k: Int,
+                      iters: Int): DataFrame = {
+    val p = pieces(emb, mCount, w).localCheckpoint()
+    val seedIds = emb
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("hh"))
+      .orderBy(col("hh"), col("vec_id")).limit(k)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("hh"), col("vec_id"))) - 1)
+          .as("cid"))
+    var cents = seedIds.join(p, "vec_id")
+      .select(col("m"), col("cid"), col("sub").as("carr"))
+    for (_ <- 1 to iters) {
+      val assigned = assignPieces(p, centsRow(cents))
+      val means = assigned.groupBy(col("m"), col("cid"))
+        .agg(array((1 to w).map(i =>
+          round(avg(element_at(col("sub"), i)), 6)): _*).as("carr"))
+      cents = cents.select(col("m"), col("cid"), col("carr").as("prev"))
+        .join(means, Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"),
+                coalesce(col("carr"), col("prev")).as("carr"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  private def embFrame(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  /** DuckDB twin of [[kmeansCodebooks]]: unrolled MATERIALIZED CTEs, one
+    * assignment + one update per round (the q150/q147 oracle pattern —
+    * inlining a recurrence would re-evaluate exponentially). */
+  private def kmeansCtes(mCount: Int, w: Int, k: Int, iters: Int): String = {
+    def d2(s: String, c: String) =
+      s"list_dot_product($s, $s) - 2*list_dot_product($s, $c)" +
+        s" + list_dot_product($c, $c)"
+    val avgArr = (1 to w).map(i => s"round(avg(sub[$i]), 6)")
+      .mkString("[", ", ", "]")
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, m, sub, cid FROM (
+         |    SELECT p.vec_id, p.m, p.sub, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id, p.m
+         |        ORDER BY ${d2("p.sub", "c.carr")}, c.cid) AS rn
+         |    FROM pieces p JOIN c${r - 1} c ON p.m = c.m)
+         |  WHERE rn = 1),
+         |cm$r AS (SELECT m, cid, $avgArr AS carr FROM a$r GROUP BY m, cid),
+         |c$r AS MATERIALIZED (
+         |  SELECT c.m, c.cid, coalesce(n.carr, c.carr) AS carr
+         |  FROM c${r - 1} c LEFT JOIN cm$r n
+         |    ON c.m = n.m AND c.cid = n.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pieces AS MATERIALIZED (
+       |  SELECT vec_id, m, e[(m*$w+1):(m*$w+$w)] AS sub
+       |  FROM emb, unnest(range(0, $mCount)) u(m)),
+       |seedids AS (
+       |  SELECT vec_id, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+       |c0 AS MATERIALIZED (
+       |  SELECT p.m, s.cid, p.sub AS carr
+       |  FROM seedids s JOIN pieces p ON s.vec_id = p.vec_id),
+       |$rounds""".stripMargin
+  }
+
+  // q206: the learned whole-vector codebook itself (k=8, 2 Lloyd
+  // rounds) plus the partition census it induces — the direct artifact
+  // consumers audit before trusting an index built on it.
+  def q206KmeansCodebook(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val cents = kmeansCodebooks(emb, 1, DIM, 8, 2)
+    val assigned = assignPieces(pieces(emb, 1, DIM), centsRow(cents))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(cents, Seq("cid"), "right")
+      .select(col("cid").cast("long").as("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        round(element_at(col("carr"), 1), 6).as("c0"),
+        round(element_at(col("carr"), 2), 6).as("c1"),
+        round(sqrt(dot(col("carr"), col("carr"))), 4).as("cnorm"))
+      .orderBy(col("cid"))
+  }
+
+  val q206Sql: String = {
+    val d2 = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |afin AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT p.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY $d2, c.cid) AS rn
+       |    FROM pieces p JOIN c2 c ON p.m = c.m)
+       |  WHERE rn = 1),
+       |members AS (SELECT cid, count(*) AS n FROM afin GROUP BY cid)
+       |SELECT CAST(c.cid AS BIGINT) AS cid,
+       |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_members,
+       |  round(c.carr[1], 6) AS c0, round(c.carr[2], 6) AS c1,
+       |  round(sqrt(list_dot_product(c.carr, c.carr)), 4) AS cnorm
+       |FROM c2 c LEFT JOIN members m ON c.cid = m.cid
+       |ORDER BY cid""".stripMargin
+  }
+
+  // q207: q59/q66's IVF rebuilt on the LEARNED coarse quantizer, with
+  // the recall-vs-exact census as DATA (the q104 contract: accuracy is
+  // oracle-checked, not asserted) — nprobe=2 over the 8 learned lists.
+  def q207KmeansIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val cents = kmeansCodebooks(emb, 1, DIM, 8, 2)
+    val ranked = pieces(emb, 1, DIM).crossJoin(centsRow(cents))
+      .withColumn("ranked", array_sort(transform(col("cents"),
+        c => struct(sqDist(col("sub"), c("carr")).as("d"),
+                    c("cid").as("cid")))))
+      .select(col("vec_id"), col("sub").as("e"), col("ranked"))
+    val q = ranked.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              explode(slice(col("ranked"), 1, 2)).as("rc"))
+      .select(col("q_id"), col("qe"), col("rc")("cid").as("cid"))
+    val corpus = ranked.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"),
+              element_at(col("ranked"), 1)("cid").as("cid"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val ivf5 = corpus.join(q, Seq("cid"))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val qSide = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val cSide = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+    val exact5 = cSide.join(broadcast(qSide))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    exact5.as("x")
+      .join(ivf5.as("i"), col("x.q_id") === col("i.q_id") &&
+                          col("x.c_id") === col("i.c_id"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("i.c_id")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+              round(col("n_hits") / 5.0, 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q207Sql: String = {
+    val d2 = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    val cosQc = "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(" +
+      "qe, qe)) * sqrt(list_dot_product(ce, ce))), 4)"
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |ranked AS MATERIALIZED (
+       |  SELECT p.vec_id, p.sub AS e, c.cid,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $d2, c.cid) AS arn
+       |  FROM pieces p JOIN c2 c ON p.m = c.m),
+       |q AS (SELECT vec_id AS q_id, e AS qe, cid FROM ranked
+       |      WHERE arn <= 2 AND vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, e AS ce, cid FROM ranked
+       |      WHERE arn = 1 AND vec_id >= 5),
+       |ivf5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rn FROM (
+       |      SELECT q.q_id, c.c_id, $cosQc AS cos
+       |      FROM c JOIN q ON c.cid = q.cid))
+       |  WHERE rn <= 5),
+       |exact5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rn FROM (
+       |      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |        round(list_dot_product(q.e, c.e)
+       |          / (sqrt(list_dot_product(q.e, q.e))
+       |             * sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+       |      FROM emb q CROSS JOIN emb c
+       |      WHERE q.vec_id < 5 AND c.vec_id >= 5))
+       |  WHERE rn <= 5),
+       |hits AS (
+       |  SELECT e.q_id, count(i.c_id) AS n_hits
+       |  FROM exact5 e LEFT JOIN ivf5 i
+       |    ON e.q_id = i.q_id AND e.c_id = i.c_id
+       |  GROUP BY e.q_id)
+       |SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  round(n_hits / 5.0, 4) AS recall
+       |FROM hits ORDER BY q_id""".stripMargin
+  }
+
+  // q208: q111's PQ rebuilt on LEARNED per-subspace codebooks (M=8
+  // subspaces × k=8 codes, 2 Lloyd rounds each — trained in ONE run of
+  // the subspace-generalized trainer), ADC ranking by summed per-
+  // subspace d² lookup, recall vs the exact L2 top-5 as data.
+  def q208PqLearnedRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val cents = kmeansCodebooks(emb, 8, DIM / 8, 8, 2)
+    val folded = centsRow(cents)
+    val corpusCodes =
+      assignPieces(pieces(emb.where(col("vec_id") >= 5), 8, DIM / 8), folded)
+        .select(col("vec_id").as("c_id"), col("m"), col("cid"))
+    val qdt = pieces(emb.where(col("vec_id") < 5), 8, DIM / 8)
+      .crossJoin(folded)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub"),
+              explode(filter(col("cents"), c => c("m") === col("m")))
+                .as("ce"))
+      .select(col("q_id"), col("m"), col("ce")("cid").as("cid"),
+              sqDist(col("sub"), col("ce")("carr")).as("dd"))
+    val adc = corpusCodes.join(broadcast(qdt), Seq("m", "cid"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(round(sum(col("dd")), 6).as("ad"))
+    val wAd = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad").asc, col("c_id"))
+    val pq5 = adc.withColumn("rn", row_number().over(wAd))
+      .where(col("rn") <= 5).select(col("q_id"), col("c_id"))
+    val exact5 = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))))
+      .select(col("q_id"), col("c_id"),
+              round(sqDist(col("qe"), col("ce")), 6).as("dd"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("dd").asc, col("c_id"))))
+      .where(col("rn") <= 5).select(col("q_id"), col("c_id"))
+    exact5.as("x")
+      .join(pq5.as("p"), col("x.q_id") === col("p.q_id") &&
+                         col("x.c_id") === col("p.c_id"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("p.c_id")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+              round(col("n_hits") / 5.0, 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q208Sql: String = {
+    val d2pc = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    s"""WITH ${kmeansCtes(8, DIM / 8, 8, 2)},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, m, cid FROM (
+       |    SELECT p.vec_id, p.m, c.cid,
+       |      row_number() OVER (PARTITION BY p.vec_id, p.m
+       |        ORDER BY $d2pc, c.cid) AS rn
+       |    FROM pieces p JOIN c2 c ON p.m = c.m
+       |    WHERE p.vec_id >= 5)
+       |  WHERE rn = 1),
+       |qdt AS MATERIALIZED (
+       |  SELECT p.vec_id AS q_id, p.m, c.cid, $d2pc AS dd
+       |  FROM pieces p JOIN c2 c ON p.m = c.m
+       |  WHERE p.vec_id < 5),
+       |adc AS (
+       |  SELECT q_id, c_id, round(sum(dd), 6) AS ad
+       |  FROM codes JOIN qdt ON codes.m = qdt.m AND codes.cid = qdt.cid
+       |  GROUP BY q_id, c_id),
+       |pq5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ad, c_id) AS rn FROM adc)
+       |  WHERE rn <= 5),
+       |exact5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.e, q.e)
+       |          - 2*list_dot_product(q.e, c.e)
+       |          + list_dot_product(c.e, c.e), 6), c.vec_id) AS rn
+       |    FROM emb q CROSS JOIN emb c
+       |    WHERE q.vec_id < 5 AND c.vec_id >= 5)
+       |  WHERE rn <= 5),
+       |hits AS (
+       |  SELECT e.q_id, count(p.c_id) AS n_hits
+       |  FROM exact5 e LEFT JOIN pq5 p
+       |    ON e.q_id = p.q_id AND e.c_id = p.c_id
+       |  GROUP BY e.q_id)
+       |SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  round(n_hits / 5.0, 4) AS recall
+       |FROM hits ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_kmeans_codebook"   -> (q206KmeansCodebook _),
+    "q207_kmeans_ivf_recall" -> (q207KmeansIvfRecall _),
+    "q208_pq_learned_recall" -> (q208PqLearnedRecall _),
     "q131_jl_projection"  -> (q131JlProjection _),
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q158_hybrid_rrf"     -> (q158HybridRrf _),
@@ -1204,6 +1552,9 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q206_kmeans_codebook"   -> q206Sql,
+    "q207_kmeans_ivf_recall" -> q207Sql,
+    "q208_pq_learned_recall" -> q208Sql,
     "q131_jl_projection"  -> q131Sql,
     "q49_cosine_topk"     -> q49Sql,
     "q158_hybrid_rrf"     -> q158Sql,

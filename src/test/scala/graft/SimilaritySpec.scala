@@ -385,4 +385,106 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._3).distinct.length === 5, s"q$q picks must be distinct")
     }
   }
+
+  // ─── k-means codebook trainer (q206–q208) ────────────────────────────
+
+  private def embFrame = Tables.embeddings(spark, sfDir)
+    .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Pure-driver Lloyd's recompute with the trainer's exact contract:
+    * id-hash seeds, three-dot d², cid tiebreak, round-6 update, empty-
+    * cluster carry. */
+  private def driverKmeans(vecs: Map[Long, Array[Double]], k: Int,
+                           iters: Int): Map[Int, Array[Double]] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    val seeds = vecs.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+    var cents: Map[Int, Array[Double]] =
+      seeds.zipWithIndex.map { case (id, i) => i -> vecs(id) }.toMap
+    (1 to iters).foreach { _ =>
+      val assigned = vecs.toSeq.map { case (id, v) =>
+        val cid = cents.toSeq.map { case (c, carr) => (d2(v, carr), c) }
+          .min._2
+        (cid, v)
+      }
+      val byC = assigned.groupBy(_._1)
+      cents = cents.map { case (c, prev) =>
+        byC.get(c) match {
+          case Some(members) =>
+            val n = members.size
+            val mean = Array.tabulate(prev.length) { i =>
+              round6(members.map(_._2(i)).sum / n) }
+            c -> mean
+          case None => c -> prev
+        }
+      }
+    }
+    cents
+  }
+
+  test("kmeansCodebooks ≡ driver-side Lloyd recompute (2 iterations, " +
+       "rounded-6 centroids exact)") {
+    val got = Similarity.kmeansCodebooks(embFrame, 1, Similarity.DIM, 8, 2)
+      .select($"cid", $"carr").as[(Int, Seq[Double])]
+      .collect().map { case (c, a) => c -> a.toArray }.toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, e) => id -> e.map(_.toDouble).toArray }
+      .toMap
+    val want = driverKmeans(vecs, 8, 2)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (c, arr) =>
+      val w = want(c)
+      assert(arr.length == w.length)
+      arr.indices.foreach { i =>
+        assert(arr(i) == w(i),
+          s"cid $c dim $i: spark ${arr(i)} vs driver ${w(i)}")
+      }
+    }
+  }
+
+  test("Lloyd iterations do not increase within-cluster SSE") {
+    def sse(cents: org.apache.spark.sql.DataFrame): Double = {
+      val folded = broadcast(cents.agg(
+        collect_list(struct($"m", $"cid", $"carr")).as("cents")))
+      def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      Similarity.pieces(embFrame, 1, Similarity.DIM).crossJoin(folded)
+        .select(element_at(array_sort(transform($"cents",
+          c => struct((dotC($"sub", $"sub") - lit(2.0) * dotC($"sub", c("carr"))
+                       + dotC(c("carr"), c("carr"))).as("d"),
+                      c("cid").as("cid")))), 1)("d").as("d"))
+        .agg(sum($"d")).as[Double].head()
+    }
+    // the trainer is deterministic, so the 1-iteration run IS the
+    // 2-iteration run's intermediate state
+    val after1 = sse(Similarity.kmeansCodebooks(embFrame, 1, Similarity.DIM, 8, 1))
+    val after2 = sse(Similarity.kmeansCodebooks(embFrame, 1, Similarity.DIM, 8, 2))
+    assert(after2 <= after1 + 1e-6,
+      s"SSE rose across a Lloyd round: $after1 -> $after2")
+    assert(after1 > 0.0, "degenerate zero SSE — fixture broken")
+  }
+
+  test("q206 membership census conserves the corpus") {
+    val rows = Similarity.q206KmeansCodebook(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val total = rows.map(_.getLong(1)).sum
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(total == n, s"members $total != corpus $n")
+    // unsupervised: no label column was consulted anywhere — clusters
+    // need not align with the 10 labels, but none may be empty here
+    assert(rows.forall(_.getLong(1) > 0), "empty cluster at sf0.001")
+  }
 }
