@@ -949,7 +949,146 @@ object Corpus {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ─── q209: TRAINED quality classifier (fastText-shape logistic LR) ───
+  // The model-based scoring gate the heuristic scores (q43/q69/q83/q153)
+  // approximate: production pipelines train a linear classifier over
+  // hashed n-gram features (the public fastText recipe) on weak labels —
+  // "looks like the curated source" vs not — and gate the corpus on its
+  // score. Trained ENTIRELY in-engine: one epoch = one scoring join
+  // (features ⋈ broadcast 65-row weight frame, map-side-combined per-doc
+  // dot product) + one gradient aggregate (map-side-combined per-bucket
+  // sum) — batch gradient descent where each epoch touches the sparse
+  // feature frame exactly twice and shuffles only (doc_id|j)-keyed
+  // fixed-width rows. Weak label: lang = 'en' (the fastText lang-ID
+  // shape; deterministic, both engines). Features: unigrams hashed into
+  // 64 buckets via md5-prefix (the q72/q102 cross-engine hash idiom),
+  // tf-normalized, plus an explicit bias feature at j = -1 so the bias
+  // rides the same gradient path as every weight. Honest caveat, as
+  // with q131's isotropic embeddings: the synthetic corpus draws every
+  // language from ONE shared vocabulary, so separability is weak by
+  // construction — the verified contract is the optimization itself
+  // (loss strictly below the zero-model ln 2, monotone per epoch,
+  // CorpusSpec) and cross-engine exactness of the trained model, not
+  // fixture accuracy.
+  //
+  // Cross-engine determinism: the k-means (q206) discipline — weights
+  // ROUNDED to 6 decimals after every update, so partial-aggregation
+  // summation noise is wiped at each epoch boundary; fixed zero init,
+  // fixed eta, fixed epoch count; the DuckDB oracle unrolls all epochs
+  // as MATERIALIZED CTEs and recomputes the identical model.
+  private val LrBuckets = 64
+  private val LrEpochs = 4
+  private val LrEta = 4.0
+
+  /** Sparse hashed-feature frame: (doc_id, y, j, x) — token buckets with
+    * tf-normalized x plus one bias row (j = -1, x = 1) per doc. */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
+      tokens(col("text")).as("toks"))
+    val featTok = base
+      .select(col("doc_id"), col("y"), size(col("toks")).as("n"),
+              explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("y"), col("n"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+             lit(LrBuckets.toLong)).as("j"))
+      .groupBy(col("doc_id"), col("y"), col("n"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("y"), col("j"),
+              (col("cnt").cast("double") / col("n")).as("x"))
+    featTok.unionByName(base.select(col("doc_id"), col("y"),
+      lit(-1L).as("j"), lit(1.0d).as("x")))
+  }
+
+  /** σ(w·x) per doc for a given weight frame. */
+  private[graft] def lrScores(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.join(broadcast(w), "j")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * col("w")).as("lin"))
+      .select(col("doc_id"), col("y"),
+              (lit(1.0) / (lit(1.0) + exp(-col("lin")))).as("s"))
+
+  /** Batch-GD logistic regression: returns the (j, w) weight frame after
+    * `epochs` rounds (zero init, η = [[LrEta]], round-6 updates). */
+  def trainQualityLr(s: SparkSession, docs: DataFrame,
+                     epochs: Int): DataFrame = {
+    val feat = lrFeatures(docs).localCheckpoint()
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("nn")))
+    var w = s.range(-1L, LrBuckets.toLong)
+      .select(col("id").as("j"), lit(0.0d).as("w"))
+    for (_ <- 1 to epochs) {
+      val sc = lrScores(feat, w).select(col("doc_id"), col("s"))
+      val g = feat.join(sc, "doc_id")
+        .groupBy(col("j"))
+        .agg(sum((col("s") - col("y")) * col("x")).as("gs"))
+      w = w.join(g, Seq("j"), "left").crossJoin(nRow)
+        .select(col("j"),
+          round(col("w") - lit(LrEta) * coalesce(col("gs"), lit(0.0))
+                  / col("nn"), 6).as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  def q209QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = trainQualityLr(s, docs, LrEpochs)
+    lrScores(lrFeatures(docs), w)
+      .where(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+              round(col("s"), 6).as("score"),
+              when(col("s") >= 0.5, 1L).otherwise(0L).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q209Sql: String = {
+    val epochCtes = (1 to LrEpochs).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT f.doc_id, 1/(1 + exp(-sum(f.x * w.w))) AS s
+         |  FROM feat f JOIN w${r - 1} w ON f.j = w.j
+         |  GROUP BY f.doc_id),
+         |g$r AS (
+         |  SELECT f.j, sum((sc.s - f.y) * f.x) AS gs
+         |  FROM feat f JOIN s$r sc ON f.doc_id = sc.doc_id
+         |  GROUP BY f.j),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.j, round(w.w - $LrEta * coalesce(g.gs, 0)
+         |    / (SELECT nn FROM n), 6) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g ON w.j = g.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM base),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, y, j, CAST(cnt AS DOUBLE) / n AS x FROM (
+       |    SELECT doc_id, y, n,
+       |      CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $LrBuckets
+       |        AS j,
+       |      count(*) AS cnt
+       |    FROM (SELECT doc_id, y, len(toks) AS n, unnest(toks) AS tok
+       |          FROM base)
+       |    GROUP BY doc_id, y, n, j)
+       |  UNION ALL
+       |  SELECT doc_id, y, -1 AS j, 1.0 AS x FROM base),
+       |w0 AS (SELECT CAST(u.j AS BIGINT) AS j, CAST(0 AS DOUBLE) AS w
+       |       FROM unnest(range(-1, $LrBuckets)) u(j)),
+       |$epochCtes,
+       |sfin AS (
+       |  SELECT f.doc_id, f.y, 1/(1 + exp(-sum(f.x * w.w))) AS s
+       |  FROM feat f JOIN w$LrEpochs w ON f.j = w.j
+       |  GROUP BY f.doc_id, f.y)
+       |SELECT doc_id, CAST(y AS BIGINT) AS y, round(s, 6) AS score,
+       |  CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM sfin
+       |WHERE doc_id % 17 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_quality_classifier" -> (q209QualityClassifier _),
     "q194_negative_sampling" -> (q194NegativeSampling _),
     "q195_class_balance"    -> (q195ClassBalance _),
     "q91_domain_mix"        -> (q91DomainMix _),
@@ -969,6 +1108,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q209_quality_classifier" -> q209Sql,
     "q194_negative_sampling" -> q194Sql,
     "q195_class_balance"    -> q195Sql,
     "q91_domain_mix"        -> q91Sql,

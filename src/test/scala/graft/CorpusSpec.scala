@@ -223,4 +223,29 @@ class CorpusSpec extends SparkSpec {
       assert(r.getLong(3) > 0, "checksum must reflect a real selection")
     }
   }
+
+  test("q209 trainer: log-loss decreases every epoch and beats the zero model") {
+    val docs = Tables.documents(spark, sfDir)
+    val feat = Corpus.lrFeatures(docs).localCheckpoint()
+    def loss(epochs: Int): Double = {
+      val w = Corpus.trainQualityLr(spark, docs, epochs)
+      Corpus.lrScores(feat, w)
+        .select((-($"y" * log($"s") + (lit(1.0) - $"y") * log(lit(1.0) - $"s")))
+          .as("l"))
+        .agg(avg($"l")).as[Double].head()
+    }
+    // the trainer is deterministic, so shorter runs ARE the longer run's
+    // intermediate states — the per-epoch loss trajectory is recoverable
+    val losses = (0 to 4).map(loss)
+    assert(math.abs(losses.head - math.log(2.0)) < 1e-9,
+      s"zero model must sit at ln 2, got ${losses.head}")
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss rose across an epoch: $losses") }
+    assert(losses.last < 0.69, s"4 epochs left loss at ${losses.last}")
+    // scores stay proper probabilities
+    val w4 = Corpus.trainQualityLr(spark, docs, 4)
+    val (mn, mx) = Corpus.lrScores(feat, w4)
+      .agg(min($"s"), max($"s")).as[(Double, Double)].head()
+    assert(mn > 0.0 && mx < 1.0)
+  }
 }
