@@ -273,6 +273,55 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.countOf(spark, t, 2) === 400)
   }
 
+  test("partitioned publish: hive layout, partition pruning, compaction " +
+       "and time travel all hold") {
+    val t = freshTable("partitioned")
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("pt", (col("id") % 5).cast("int"))
+      .withColumn("s", concat(lit("r"), col("id")))
+      .repartition(4, col("pt"))
+    SnapshotStore.publish(df, t, partitionBy = Seq("pt"))
+    // hive dirs: every manifest path carries its partition segment, and
+    // the partition column's stats are min = max = the dir value
+    val stats = SnapshotStore.statsOf(spark, t, 1)
+    assert(stats.nonEmpty)
+    stats.foreach { case (p, st) =>
+      assert(p.contains("/pt="), s"not a hive path: $p")
+      val (mn, mx) = st("pt")
+      assert(mn == mx, s"partition stat must be a point: $p -> $mn..$mx")
+      assert(p.contains(s"/pt=$mn/"), s"stat disagrees with dir: $p")
+    }
+    // read restores the partition column with the WRITER's type (int)
+    val got = SnapshotStore.read(spark, t)
+    assert(got.schema("pt").dataType.typeName === "integer")
+    assert(got.select($"id", $"pt", $"s").as[(Long, Int, String)]
+      .collect().toSet ===
+      (0L until 300L).map(i => (i, (i % 5).toInt, s"r$i")).toSet)
+    // partition pruning: one partition value keeps only its own files
+    val pr = SnapshotStore.readBetween(spark, t, None, "pt", 2L, 2L)
+    assert(pr.filesKept < pr.filesTotal, "no pruning on a partitioned read")
+    assert(pr.df.select($"id").as[Long].collect().toSet ===
+      (0L until 300L).filter(_ % 5 == 2).toSet)
+    // out-of-range probe opens zero files, schema intact
+    val none = SnapshotStore.readBetween(spark, t, None, "pt", 99L, 99L)
+    assert(none.filesKept === 0 && none.df.count() === 0)
+    assert(none.df.columns.toSeq === Seq("id", "pt", "s"))
+    // compaction republishes (unpartitioned relayout), data identical,
+    // old hive layout still time-travelable
+    val v2 = SnapshotStore.compact(spark, t, 1)
+    assert(SnapshotStore.diff(spark, t, 1, v2, Seq("id"))
+      .where(col("change_type") =!= "unchanged").count() === 0)
+    assert(SnapshotStore.read(spark, t, Some(1)).count() === 300)
+    // blooms on a partitioned layout: rel-path keying must route probes
+    val t2 = freshTable("partbloom")
+    SnapshotStore.publish(df, t2, bloomCols = Seq("id"),
+                          partitionBy = Seq("pt"))
+    val pt = SnapshotStore.readPoint(spark, t2, None, "id", Seq(42L, 137L))
+    assert(pt.df.select($"id").as[Long].collect().toSet === Set(42L, 137L))
+    assert(pt.filesKept < pt.filesTotal,
+      "bloom + partition stats pruned nothing")
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
