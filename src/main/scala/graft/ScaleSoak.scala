@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    the workload gets `factor`× rows, not `factor`× skew;
   *  - `region`/`nation` stay fixed (TPC-H semantics: dims that do not
   *    scale), so broadcast-side sizes stay broadcast-sized;
-  *  - `documents.text` is rotated through a per-copy substitution
+  *  - `documents.text` is mapped through a per-copy seeded permutation
   *    alphabet (copy 0 = identity): within a copy every shingle/token/
   *    length statistic and every near-dup relationship is preserved
   *    EXACTLY (the substitution is a bijection applied uniformly), while
@@ -47,12 +47,29 @@ object ScaleSoak {
     "q71", "q84", "q85", "q90", "q150", "q163", "q167", "q170", "q171",
     "q190", "q195", "q196", "q197", "q198", "q199")
 
-  private def rotAlphabet(i: Int): (String, String) = {
+  /** Per-copy letter PERMUTATION, copy 0 = identity. Replaces the r8
+    * ROTATION alphabet: rotations compose additively, so compounding
+    * two soak decades (10 copies × 10 copies) pigeonholes 100 effective
+    * copies into 26 distinct alphabets — copies with equal rotation
+    * sums carried IDENTICAL text, the sf10 corpus degenerated into
+    * ~6-deep exact-duplicate clusters, and q203's exact similarity join
+    * measured that synthesis artifact (candidate pairs 67× at 10× docs)
+    * instead of the corpus structure the soak means to preserve — the
+    * precise pathology this synthesis documents itself as avoiding.
+    * Seeded Fisher–Yates permutations compose into (essentially) unique
+    * permutations: collision probability across compounded decades is
+    * ~n²/26! ≈ 0. The seed mixes the copy index with a salt derived
+    * from the base dir, so each decade draws an independent family.
+    */
+  private def permAlphabet(i: Int, salt: Int): (String, String) = {
     val lower = ('a' to 'z').mkString
     val upper = ('A' to 'Z').mkString
-    val k = i % 26
-    (lower + upper,
-      lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k))
+    if (i == 0) (lower + upper, lower + upper)
+    else {
+      val rnd = new scala.util.Random((salt.toLong << 32) | (i.toLong & 0xFFFFFFFFL))
+      val p = rnd.shuffle(('a' to 'z').toIndexedSeq).mkString
+      (lower + upper, p + p.toUpperCase)
+    }
   }
 
   private def maxOf(df: DataFrame, c: String): Long =
@@ -98,7 +115,7 @@ object ScaleSoak {
       .withColumn("event_id", col("event_id") + lit(i * eMax))
       .withColumn("user_id", col("user_id") + lit(i * uMax))), "events")
     wr(copies(doc)((d, i) => {
-      val (from, to) = rotAlphabet(i)
+      val (from, to) = permAlphabet(i, baseDir.hashCode)
       d.withColumn("doc_id", col("doc_id") + lit(i * dMax))
         .withColumn("text", translate(col("text"), from, to))
     }), "documents")

@@ -1316,9 +1316,22 @@ object TextSim {
     // feeds BOTH sides of the candidate self-join — uncached, Spark
     // re-executes the scan+shingle+window subtree once per branch
     // (~5×; measured 32 s → ~4 s at sf0.1 from these two lines).
+    //
+    // Shingles are reduced to 60-bit md5-prefix HASHES before anything
+    // fans out (round-9 soak lesson: the verify join attaches BOTH
+    // candidate arrays per pair, so array bytes are the multiplier on
+    // the join's shuffle — hashing cuts them ~2.5× and makes the
+    // intersect a long compare). Distinct shingles stay distinct with
+    // probability 1 − |union|²/2⁶⁰ (~4e-15 per pair), so the STRING-
+    // based DuckDB oracle and the in-process brute-force spec still
+    // tie out hash-for-hash. Membership and counts are what matter;
+    // the hash is never emitted.
     val sh = documents(s, d)
       .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("toks")),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+          .as("sh"))
       .cache()
     val toks = sh.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("tok"))
@@ -1339,9 +1352,15 @@ object TextSim {
       .distinct()
     val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
               size(array_union(col("sa"), col("sb"))).cast("double")
+    // SHUFFLE_HASH on the doc-keyed side: sort-merge would SORT the
+    // array-attached intermediate (candidates × ~1 KB rows — the 50 GB
+    // spill the sf10 soak hit); hash-building the compact sh side
+    // streams the wide side through unsorted.
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+              .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+              .hint("SHUFFLE_HASH"), Seq("doc_b"))
       .where(jac >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
