@@ -1390,8 +1390,19 @@ object Insights {
   def q202LocfGapFill(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(
       date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("value"))
+    // EXACT integer mean: `value` is 2-decimal by construction, so the
+    // hourly mean is the rational sum(cents)/(100·n) — and at sf0.1 it
+    // lands EXACTLY on 1e-4 HALF_UP boundaries often enough that
+    // engines disagree on `round(avg(value), 4)` (Spark rounds the
+    // shortest decimal rendering of the nearest double, DuckDB the
+    // exact binary — the round-9 full sf0.1 sweep caught three cells
+    // exactly 1e-4 apart). Integer arithmetic removes the ambiguity:
+    // half-up(mean, 4) ≡ (200·sum(cents) + n) DIV (2·n), exact in both
+    // engines, then one deterministic double divide for the output.
     val hourly = e.groupBy("event_type", "hr")
-      .agg(round(avg(col("value")), 4).as("v_obs"))
+      .agg((expr("CAST((sum(CAST(round(value * 100) AS BIGINT)) * 200" +
+                 " + count(*)) DIV (2 * count(*)) AS DOUBLE)") / 10000.0)
+        .as("v_obs"))
     val bounds = e.agg(min("hr").as("lo"), max("hr").as("hi"))
     val spine = bounds.select(explode(
       sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
@@ -1410,7 +1421,9 @@ object Insights {
     """WITH e AS (
       |  SELECT date_trunc('hour', ts) AS hr, event_type, value FROM events),
       |hourly AS (
-      |  SELECT event_type, hr, round(avg(value), 4) AS v_obs
+      |  SELECT event_type, hr,
+      |    CAST((sum(CAST(round(value * 100) AS BIGINT)) * 200 + count(*))
+      |         // (2 * count(*)) AS DOUBLE) / 10000 AS v_obs
       |  FROM e GROUP BY 1, 2),
       |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
       |spine AS (
