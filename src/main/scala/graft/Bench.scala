@@ -91,7 +91,7 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    ops.Graph.clearLabelCache()
+    ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
     // timed passes, PASS-MAJOR (see protocol note above). A failed query
     // is decided after its first failure — remaining passes would burn
     // the same failure latency for the same -1.
@@ -111,7 +111,7 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
-      ops.Graph.clearLabelCache()
+      ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
     }
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name) || times(name).isEmpty) -1.0

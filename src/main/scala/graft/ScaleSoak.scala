@@ -164,7 +164,7 @@ object ScaleSoak {
           System.err.println(s"[soak] $n FAILED at $dir: ${e.getMessage}") }
         spark.catalog.clearCache()
       }
-      ops.Graph.clearLabelCache()
+      ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
       (1 to passes).foreach { _ =>
         names.foreach { case (n, fn) =>
           val t0 = System.nanoTime()
@@ -174,7 +174,7 @@ object ScaleSoak {
           } catch { case _: Throwable => () }
           spark.catalog.clearCache()
         }
-        ops.Graph.clearLabelCache()
+        ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
       }
       times.view.mapValues(_.min).toMap
     }

@@ -1276,6 +1276,25 @@ object Similarity {
     embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
+  /** Session-scoped codebook memo (the Graph.dupClusterLabels
+    * discipline): q206 and q207 train the IDENTICAL M=1 model, so one
+    * session prices that training once; the memoized frame is a
+    * localCheckpoint, alive until [[clearKmeansCache]] (Bench/ScaleSoak
+    * call it at pass boundaries so min-of-passes stays honest).
+    * ActionAudit bounds stay worst-case-fresh-session, as with the CC
+    * loop — memo reuse only ever lowers the measured count.
+    */
+  private val kmeansMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int, Int, Int, Int), DataFrame]
+
+  def clearKmeansCache(): Unit = kmeansMemo.clear()
+
+  private def kmeansFor(s: SparkSession, d: String, mCount: Int, w: Int,
+                        k: Int, iters: Int): DataFrame =
+    kmeansMemo.getOrElseUpdate(
+      (System.identityHashCode(s), d, mCount, w, k, iters),
+      kmeansCodebooks(embFrame(s, d), mCount, w, k, iters))
+
   /** DuckDB twin of [[kmeansCodebooks]]: unrolled MATERIALIZED CTEs, one
     * assignment + one update per round (the q150/q147 oracle pattern —
     * inlining a recurrence would re-evaluate exponentially). */
@@ -1319,7 +1338,7 @@ object Similarity {
   // consumers audit before trusting an index built on it.
   def q206KmeansCodebook(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
-    val cents = kmeansCodebooks(emb, 1, DIM, 8, 2)
+    val cents = kmeansFor(s, d, 1, DIM, 8, 2)
     val assigned = assignPieces(pieces(emb, 1, DIM), centsRow(cents))
     assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
       .join(cents, Seq("cid"), "right")
@@ -1357,7 +1376,7 @@ object Similarity {
   // oracle-checked, not asserted) — nprobe=2 over the 8 learned lists.
   def q207KmeansIvfRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
-    val cents = kmeansCodebooks(emb, 1, DIM, 8, 2)
+    val cents = kmeansFor(s, d, 1, DIM, 8, 2)
     val ranked = pieces(emb, 1, DIM).crossJoin(centsRow(cents))
       .withColumn("ranked", array_sort(transform(col("cents"),
         c => struct(sqDist(col("sub"), c("carr")).as("d"),
@@ -1446,7 +1465,7 @@ object Similarity {
   // subspace d² lookup, recall vs the exact L2 top-5 as data.
   def q208PqLearnedRecall(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
-    val cents = kmeansCodebooks(emb, 8, DIM / 8, 8, 2)
+    val cents = kmeansFor(s, d, 8, DIM / 8, 8, 2)
     val folded = centsRow(cents)
     val corpusCodes =
       assignPieces(pieces(emb.where(col("vec_id") >= 5), 8, DIM / 8), folded)
