@@ -587,7 +587,11 @@ object Graph {
     // dense from 1), unlike a nation filter which can be empty at tiny SF.
     val seed = supplier(s, d).where(col("s_suppkey") % 50 === 1)
       .select(lit("s").as("typ"), col("s_suppkey").as("id"))
-    bfsHops(dir, seed, maxHops = 4)
+    // checkpoint the edge list ONCE (the q150 edge-frame discipline):
+    // bfsHops joins it every hop, and an un-materialized lineage would
+    // re-run the orders⋈lineitem distinct per round — 5 rebuilds of the
+    // most expensive frame in the query for 1 extra action
+    bfsHops(dir.localCheckpoint(), seed, maxHops = 4)
       .orderBy("typ", "id")
   }
 
