@@ -865,6 +865,76 @@ object Corpus {
        |ORDER BY lang""".stripMargin
   }
 
+  // ─── q211: temperature-weighted language mixing ───────────────────────
+  // The multilingual corpus-balancing recipe (the XLM-R/mT5 sampling
+  // rule, public): language l is sampled ∝ N_l^α with α ∈ (0,1), which
+  // UP-weights low-resource languages relative to their natural share —
+  // α=1 is the natural distribution, α=0 uniform. q91 takes quotas as
+  // GIVEN constants; this derives them from the corpus itself: quota_l
+  // = min(N_l, round(T·N_l^α / Σ_m N_m^α)) with target T = half the
+  // corpus, then picks deterministically by salted-hash rank (the
+  // q72/q81 grow-stable contract — re-runs on a grown corpus keep prior
+  // picks up to quota shifts). The kept-id checksum proves WHICH rows
+  // were selected, cross-engine (the q195 pattern).
+  //
+  // Scale: one tiny per-lang count frame drives the quota algebra
+  // (broadcast both ways); the per-lang rank is Windows.densePos —
+  // range-aligned hash buckets + an offsets broadcast, never one task
+  // per language. Float caution: quotas pass through floor(x + 0.5) on
+  // a double product — exact half-integer products are measure-zero,
+  // same accepted class as q158's rank rounding.
+  def q211TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.5
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(counts.agg(
+      sum(pow(col("n"), alpha)).as("sw"), sum(col("n")).as("nt")))
+    val quotas = counts.crossJoin(tot)
+      .select(col("lang"), col("n"),
+        least(col("n"),
+          floor(expr("nt DIV 2") * pow(col("n"), alpha) / col("sw") + 0.5)
+            .cast("long")).as("quota"))
+    val hashed = docs.withColumn("h",
+      md5(concat(lit("tmix:"), col("doc_id").cast("string"))))
+    Windows.densePos(hashed, Seq("lang"), Windows.hexBucket(col("h")),
+        Seq(col("h"), col("doc_id")), "rk")
+      .join(broadcast(quotas), "lang")
+      .groupBy(col("lang"), col("n"), col("quota"))
+      .agg(sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+             .as("n_kept"),
+           sum(when(col("rk") <= col("quota"), col("doc_id"))
+             .otherwise(0L)).as("kept_checksum"))
+      .select(col("lang"), col("n").as("n_docs"), col("quota"),
+              col("n_kept"), col("kept_checksum"),
+              round(col("quota").cast("double") / col("n"), 4).as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  val q211Sql: String =
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents
+      |                GROUP BY lang),
+      |tot AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS nt FROM counts),
+      |quotas AS (
+      |  SELECT lang, n,
+      |    least(n, CAST(floor((nt // 2) * pow(n, 0.5) / sw + 0.5)
+      |                  AS BIGINT)) AS quota
+      |  FROM counts, tot),
+      |rk AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+      |  CAST(quota AS BIGINT) AS quota,
+      |  CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN rk <= quota THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_checksum,
+      |  round(CAST(quota AS DOUBLE) / n, 4) AS rate
+      |FROM rk JOIN quotas USING (lang)
+      |GROUP BY lang, n, quota
+      |ORDER BY lang""".stripMargin
+
   // ─── q194: deterministic negative sampling for contrastive pairs ──────
   // Contrastive/triplet training needs, per anchor, k negatives drawn
   // REPRODUCIBLY from the other classes. Selection key = md5 over the
@@ -1088,6 +1158,7 @@ object Corpus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_temperature_mix" -> (q211TemperatureMix _),
     "q209_quality_classifier" -> (q209QualityClassifier _),
     "q194_negative_sampling" -> (q194NegativeSampling _),
     "q195_class_balance"    -> (q195ClassBalance _),
@@ -1108,6 +1179,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q211_temperature_mix" -> q211Sql,
     "q209_quality_classifier" -> q209Sql,
     "q194_negative_sampling" -> q194Sql,
     "q195_class_balance"    -> q195Sql,

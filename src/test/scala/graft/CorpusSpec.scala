@@ -224,6 +224,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q211 temperature mixing up-weights low-resource languages and " +
+       "hits the target size") {
+    val rows = Corpus.q211TemperatureMix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(5)))
+    assert(rows.length >= 3)
+    // α < 1: keep-RATE strictly decreases as resource size grows —
+    // check the extremes (largest vs smallest lang)
+    val byN = rows.sortBy(_._2)
+    assert(byN.last._5 < byN.head._5,
+      s"largest lang ${byN.last} must keep a smaller share than ${byN.head}")
+    // quotas bind (kept == quota) and land within |langs| of the target
+    rows.foreach { case (l, n, q, kept, _) =>
+      assert(kept == math.min(q, n), s"$l kept $kept vs quota $q")
+    }
+    val total = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._4).sum - total / 2) <= rows.length.toLong,
+      s"kept ${rows.map(_._4).sum} strays from target ${total / 2}")
+  }
+
   test("q209 trainer: log-loss decreases every epoch and beats the zero model") {
     val docs = Tables.documents(spark, sfDir)
     val feat = Corpus.lrFeatures(docs).localCheckpoint()
