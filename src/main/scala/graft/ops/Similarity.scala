@@ -1298,7 +1298,13 @@ object Similarity {
   /** DuckDB twin of [[kmeansCodebooks]]: unrolled MATERIALIZED CTEs, one
     * assignment + one update per round (the q150/q147 oracle pattern —
     * inlining a recurrence would re-evaluate exponentially). */
-  private def kmeansCtes(mCount: Int, w: Int, k: Int, iters: Int): String = {
+  private val EmbeddingsCte =
+    """emb AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"""
+      .stripMargin
+
+  private def kmeansCtes(mCount: Int, w: Int, k: Int, iters: Int,
+                         embCte: String = EmbeddingsCte): String = {
     def d2(s: String, c: String) =
       s"list_dot_product($s, $s) - 2*list_dot_product($s, $c)" +
         s" + list_dot_product($c, $c)"
@@ -1318,8 +1324,7 @@ object Similarity {
          |  FROM c${r - 1} c LEFT JOIN cm$r n
          |    ON c.m = n.m AND c.cid = n.cid)""".stripMargin
     }.mkString(",\n")
-    s"""emb AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""$embCte,
        |pieces AS MATERIALIZED (
        |  SELECT vec_id, m, e[(m*$w+1):(m*$w+$w)] AS sub
        |  FROM emb, unnest(range(0, $mCount)) u(m)),
@@ -1549,7 +1554,90 @@ object Similarity {
        |FROM hits ORDER BY q_id""".stripMargin
   }
 
+  // ─── q212: unsupervised DOCUMENT clustering (trainer generality) ─────
+  // The cluster-then-curate corpus step (SemDeDup's outer loop, topic-
+  // balanced sampling, cluster-level dedup): documents embed as 16-dim
+  // hashed-tf vectors (md5-bucketed unigrams, tf-normalized — the q209
+  // feature family as a DENSE array) and the SAME subspace k-means
+  // trainer that learns ANN codebooks clusters them — no new iterative
+  // machinery, one more consumer of [[kmeansCodebooks]]. Output is the
+  // cluster × language census: with a shared cross-lang vocabulary the
+  // clusters cut across languages (the honest q209 caveat again), but
+  // the census is exactly reproduced by the unrolled-CTE oracle, which
+  // is the contract under test.
+  def q212DocClusters(s: SparkSession, d: String): DataFrame = {
+    val W = 16
+    val toksF = documents(s, d)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")
+          .as("toks"))
+      .where(size(col("toks")) > 0)
+    val cnts = toksF
+      .select(col("doc_id"), size(col("toks")).as("n"),
+              explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("n"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+             lit(W.toLong)).as("j"))
+      .groupBy(col("doc_id"), col("n"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    val feats = cnts.groupBy(col("doc_id"), col("n"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
+        .as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(W - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+                 .cast("double") / col("n")).as("e"))
+    val cents = kmeansCodebooks(feats, 1, W, 5, 2)
+    val assigned = assignPieces(pieces(feats, 1, W), centsRow(cents))
+    assigned
+      .join(documents(s, d).select(col("doc_id").as("vec_id"),
+                                          col("lang")), "vec_id")
+      .groupBy(col("cid"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("cid").cast("long").as("cid"), col("lang"),
+              col("n_docs"))
+      .orderBy(col("cid"), col("lang"))
+  }
+
+  val q212Sql: String = {
+    val entries = (0 until 16).map(i =>
+      s"CAST(sum(CASE WHEN j=$i THEN c ELSE 0 END) AS DOUBLE)/any_value(n)")
+      .mkString("[", ", ", "]")
+    val embCte =
+      s"""cnts AS MATERIALIZED (
+         |  SELECT doc_id, n, j, count(*) AS c FROM (
+         |    SELECT t.doc_id, len(t.toks) AS n,
+         |      CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) % 16 AS j
+         |    FROM (SELECT doc_id,
+         |            list_filter(regexp_split_to_array(lower(text),
+         |                                              '[^a-z0-9]+'),
+         |                        x -> x <> '') AS toks
+         |          FROM documents) t, unnest(t.toks) AS u(tok)
+         |    WHERE len(t.toks) > 0)
+         |  GROUP BY doc_id, n, j),
+         |emb AS MATERIALIZED (
+         |  SELECT doc_id AS vec_id, $entries AS e
+         |  FROM cnts GROUP BY doc_id)""".stripMargin
+    val d2 = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    s"""WITH ${kmeansCtes(1, 16, 5, 2, embCte)},
+       |afin AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT p.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY $d2, c.cid) AS rn
+       |    FROM pieces p JOIN c2 c ON p.m = c.m)
+       |  WHERE rn = 1)
+       |SELECT CAST(a.cid AS BIGINT) AS cid, d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM afin a JOIN documents d ON a.vec_id = d.doc_id
+       |GROUP BY a.cid, d.lang
+       |ORDER BY cid, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_doc_clusters"      -> (q212DocClusters _),
     "q206_kmeans_codebook"   -> (q206KmeansCodebook _),
     "q207_kmeans_ivf_recall" -> (q207KmeansIvfRecall _),
     "q208_pq_learned_recall" -> (q208PqLearnedRecall _),
@@ -1571,6 +1659,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q212_doc_clusters"      -> q212Sql,
     "q206_kmeans_codebook"   -> q206Sql,
     "q207_kmeans_ivf_recall" -> q207Sql,
     "q208_pq_learned_recall" -> q208Sql,

@@ -477,6 +477,20 @@ class SimilaritySpec extends SparkSpec {
     assert(after1 > 0.0, "degenerate zero SSE — fixture broken")
   }
 
+  test("q212 document clustering conserves the tokenized corpus") {
+    val rows = Similarity.q212DocClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clustered = rows.map(_._3).sum
+    val tokenized = Tables.documents(spark, sfDir)
+      .where(length(regexp_replace(lower($"text"), "[^a-z0-9]", "")) > 0)
+      .count()
+    assert(clustered == tokenized,
+      s"clustered $clustered docs vs $tokenized tokenizable")
+    val nClusters = rows.map(_._1).distinct.length
+    assert(nClusters >= 2 && nClusters <= 5,
+      s"expected 2..5 live clusters, got $nClusters")
+  }
+
   test("q206 membership census conserves the corpus") {
     val rows = Similarity.q206KmeansCodebook(spark, sfDir).collect()
     assert(rows.length == 8)
