@@ -284,9 +284,12 @@ object PlanLint {
     // q209: the LR trainer crossJoins the 1-row corpus-count frame into
     // the 65-row weight update — broadcast algebra, the q85/q103 idiom
     "q209_quality_classifier" -> Set("nested-loop", "cartesian"),
-    // q212: same trainer shapes as q206 over document tf vectors
+    // q212/q213: same trainer shapes as q206 over document tf vectors
+    // (+ q213's 1-row min-cluster-size cross)
     "q212_doc_clusters" -> Set("nested-loop", "cartesian",
                                "global-window"),
+    "q213_cluster_balanced_sample" -> Set("nested-loop", "cartesian",
+                                          "global-window"),
     "q131_jl_projection" -> Set("nested-loop"),
     "q132_zorder" -> Set("global-window"),
     // Insights batch (q162-q180): every flagged nested-loop is a ≤10-row
@@ -396,6 +399,7 @@ object PlanLint {
     "q207_kmeans_ivf_recall" -> 8,
     "q208_pq_learned_recall" -> 8,
     "q212_doc_clusters" -> 8,
+    "q213_cluster_balanced_sample" -> 8,
     // LR trainer: 1 feature checkpoint + 1 checkpoint per epoch
     // (epochs=4) before the query body (measured 5 total at epochs=3;
     // 10 prices epochs=4 with headroom)

@@ -1565,7 +1565,18 @@ object Similarity {
   // clusters cut across languages (the honest q209 caveat again), but
   // the census is exactly reproduced by the unrolled-CTE oracle, which
   // is the contract under test.
-  def q212DocClusters(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, cid) cluster assignment of every tokenizable document
+    * under the 16-dim hashed-tf k-means (k=5, 2 rounds) — shared by
+    * q212's census and q213's balanced sampler.
+    */
+  private[graft] def docClusterAssign(s: SparkSession,
+                                      d: String): DataFrame =
+    kmeansMemo.getOrElseUpdate(
+      (System.identityHashCode(s), s"docclusters:$d", 1, 16, 5, 2),
+      docClusterAssignUncached(s, d).localCheckpoint())
+
+  private def docClusterAssignUncached(s: SparkSession,
+                                       d: String): DataFrame = {
     val W = 16
     val toksF = documents(s, d)
       .select(col("doc_id"),
@@ -1588,8 +1599,12 @@ object Similarity {
           i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
                  .cast("double") / col("n")).as("e"))
     val cents = kmeansCodebooks(feats, 1, W, 5, 2)
-    val assigned = assignPieces(pieces(feats, 1, W), centsRow(cents))
-    assigned
+    assignPieces(pieces(feats, 1, W), centsRow(cents))
+      .select(col("vec_id"), col("cid"))
+  }
+
+  def q212DocClusters(s: SparkSession, d: String): DataFrame = {
+    docClusterAssign(s, d)
       .join(documents(s, d).select(col("doc_id").as("vec_id"),
                                           col("lang")), "vec_id")
       .groupBy(col("cid"), col("lang"))
@@ -1599,7 +1614,9 @@ object Similarity {
       .orderBy(col("cid"), col("lang"))
   }
 
-  val q212Sql: String = {
+  /** Shared CTE chain for q212/q213: document tf features → unrolled
+    * k-means → `afin(vec_id, cid)` final assignment. */
+  private val docClusterCtes: String = {
     val entries = (0 until 16).map(i =>
       s"CAST(sum(CASE WHEN j=$i THEN c ELSE 0 END) AS DOUBLE)/any_value(n)")
       .mkString("[", ", ", "]")
@@ -1621,22 +1638,78 @@ object Similarity {
     val d2 = "list_dot_product(p.sub, p.sub)" +
       " - 2*list_dot_product(p.sub, c.carr)" +
       " + list_dot_product(c.carr, c.carr)"
-    s"""WITH ${kmeansCtes(1, 16, 5, 2, embCte)},
-       |afin AS (
+    s"""${kmeansCtes(1, 16, 5, 2, embCte)},
+       |afin AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT p.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY p.vec_id
        |        ORDER BY $d2, c.cid) AS rn
        |    FROM pieces p JOIN c2 c ON p.m = c.m)
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val q212Sql: String =
+    s"""WITH $docClusterCtes
        |SELECT CAST(a.cid AS BIGINT) AS cid, d.lang,
        |  CAST(count(*) AS BIGINT) AS n_docs
        |FROM afin a JOIN documents d ON a.vec_id = d.doc_id
        |GROUP BY a.cid, d.lang
        |ORDER BY cid, lang""".stripMargin
+
+  // ─── q213: cluster-balanced corpus sampling (composition funnel) ─────
+  // Topic-balanced curation: after q212's unsupervised clustering, keep
+  // the SAME number of documents from every cluster (the minority-
+  // cluster size — q195's class-balance contract with LEARNED classes
+  // instead of labels), picked by salted-hash rank so the selection is
+  // deterministic and grow-stable. Composes trainer + Windows.densePos
+  // + checksum audit; the kept-id checksum proves WHICH documents
+  // survive, cross-engine.
+  def q213ClusterBalancedSample(s: SparkSession, d: String): DataFrame = {
+    val assigned = docClusterAssign(s, d)
+    val minSize = broadcast(
+      assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+        .agg(min(col("csz")).as("minsz")))
+    val hashed = assigned
+      .withColumn("h",
+        md5(concat(lit("cmix:"), col("vec_id").cast("string"))))
+      .withColumn("cidkey", col("cid").cast("string"))
+    graft.ops.Windows.densePos(hashed, Seq("cidkey"),
+        graft.ops.Windows.hexBucket(col("h")),
+        Seq(col("h"), col("vec_id")), "rk")
+      .crossJoin(minSize)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rk") <= col("minsz"), 1L).otherwise(0L))
+             .as("n_kept"),
+           sum(when(col("rk") <= col("minsz"), col("vec_id"))
+             .otherwise(0L)).as("kept_checksum"))
+      .select(col("cid").cast("long").as("cid"), col("n_docs"),
+              col("n_kept"), col("kept_checksum"))
+      .orderBy(col("cid"))
   }
 
+  val q213Sql: String =
+    s"""WITH $docClusterCtes,
+       |sizes AS (SELECT cid, count(*) AS csz FROM afin GROUP BY cid),
+       |minsz AS (SELECT min(csz) AS minsz FROM sizes),
+       |rk AS (
+       |  SELECT cid, vec_id,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY md5('cmix:' || CAST(vec_id AS VARCHAR)), vec_id)
+       |      AS rk
+       |  FROM afin)
+       |SELECT CAST(cid AS BIGINT) AS cid,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rk <= minsz THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN rk <= minsz THEN vec_id ELSE 0 END) AS BIGINT)
+       |    AS kept_checksum
+       |FROM rk, minsz
+       |GROUP BY cid
+       |ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_cluster_balanced_sample" -> (q213ClusterBalancedSample _),
     "q212_doc_clusters"      -> (q212DocClusters _),
     "q206_kmeans_codebook"   -> (q206KmeansCodebook _),
     "q207_kmeans_ivf_recall" -> (q207KmeansIvfRecall _),
@@ -1659,6 +1732,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q213_cluster_balanced_sample" -> q213Sql,
     "q212_doc_clusters"      -> q212Sql,
     "q206_kmeans_codebook"   -> q206Sql,
     "q207_kmeans_ivf_recall" -> q207Sql,
