@@ -284,6 +284,8 @@ object PlanLint {
     // q209: the LR trainer crossJoins the 1-row corpus-count frame into
     // the 65-row weight update — broadcast algebra, the q85/q103 idiom
     "q209_quality_classifier" -> Set("nested-loop", "cartesian"),
+    // q211: the 1-row Σ-weights/total frame crosses the per-lang counts
+    "q211_temperature_mix" -> Set("nested-loop", "cartesian"),
     // q212/q213: same trainer shapes as q206 over document tf vectors
     // (+ q213's 1-row min-cluster-size cross)
     "q212_doc_clusters" -> Set("nested-loop", "cartesian",
