@@ -422,6 +422,9 @@ object PlanLint {
     // snapshot/manifest queries: version publishes + manifest reads (≤5)
     "q130_snapshot_roundtrip" -> 10, "q133_snapshot_cdc" -> 10,
     "q148_skipping_read" -> 8, "q151_bloom_lookup" -> 8,
+    // merge/delete: publish (2) + key-uniqueness probe + touched-file
+    // discovery + touched count + staged write/stats + census
+    "q214_snapshot_merge" -> 16, "q215_snapshot_delete" -> 12,
     // multi-statement SQL entries / registration actions (3–4 measured)
     "q113_sql_udf" -> 8, "q97_jdbc_roundtrip" -> 8,
     "q118_schema_evolution" -> 8, "q38_surrogate_keys" -> 8,

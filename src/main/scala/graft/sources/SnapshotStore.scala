@@ -67,6 +67,42 @@ object SnapshotStore {
   private def relPath(p: String, dataDirName: String): String =
     p.substring(p.indexOf(dataDirName) + dataDirName.length + 1)
 
+  private val SnapSegRe = "snap-v\\d{5}".r
+
+  /** Canonical file key starting at the file's OWN snap dir —
+    * `snap-v00003/om=199601/part-...parquet`. Scheme/URI-form agnostic
+    * (manifest lines say `file:/…`, `_metadata.file_path` says
+    * `file:///…`; both collapse to the same key), and stable for files
+    * a later version carries over BY REFERENCE from an earlier dir.
+    */
+  private def snapKey(p: String): String = {
+    val m = SnapSegRe.findAllMatchIn(p).toSeq.last
+    p.substring(m.start)
+  }
+
+  private def snapDirNameOf(p: String): String =
+    SnapSegRe.findAllMatchIn(p).toSeq.last.matched
+
+  /** (absolute prefix up to and including the file's snap dir, rel path
+    * beneath it). The prefix is each file's basePath for hive partition
+    * discovery and the root its `_bloom` side files live under —
+    * correct even when the file is referenced from an older version.
+    */
+  private def splitAtSnapDir(p: String): (String, String) = {
+    val m = SnapSegRe.findAllMatchIn(p).toSeq.last
+    (p.substring(0, m.end), p.substring(m.end + 1))
+  }
+
+  /** Partition columns of a committed layout, recovered from the hive
+    * `k=v` dir segments of its file rel paths (the manifest stores
+    * paths, not a partition spec — the paths ARE the spec).
+    */
+  private def partitionColsOf(fileLines: Seq[String]): Seq[String] =
+    fileLines.headOption.toSeq.flatMap { line =>
+      val rel = splitAtSnapDir(line.split('\t')(0))._2
+      rel.split('/').dropRight(1).toSeq.map(_.split("=", 2)(0))
+    }
+
   /** All part files under `dir`, recursively (hive partition dirs). */
   private def listParquet(f: org.apache.hadoop.fs.FileSystem,
                           dir: Path): Seq[Path] = {
@@ -95,12 +131,29 @@ object SnapshotStore {
                         bloomCols: Seq[String] = Nil,
                         bloomBits: Long = 1L << 20,
                         partitionBy: Seq[String] = Nil): String = {
+    val (count0, fileLines) =
+      stageFiles(df, dataDir, bloomCols, bloomBits, partitionBy)
+    s"count=$count0\nschema=${df.schema.toDDL}\n" + fileLines.mkString("\n")
+  }
+
+  /** [[stageBody]]'s engine, returning (row count, manifest file lines)
+    * so a MERGE can splice freshly staged lines together with lines
+    * carried over from the previous version.
+    */
+  private def stageFiles(df: DataFrame, dataDir: Path,
+                         bloomCols: Seq[String] = Nil,
+                         bloomBits: Long = 1L << 20,
+                         partitionBy: Seq[String] = Nil): (Long, Seq[String]) = {
     val spark = df.sparkSession
     val f = fs(spark, dataDir)
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(dataDir.toString)
     val files = listParquet(f, dataDir).map(_.toString)
+    // a write whose every task produced zero rows (e.g. a delete that
+    // emptied all touched files) leaves no part files at all — nothing
+    // to stat, nothing to list
+    if (files.isEmpty) return (0L, Seq.empty)
     val statCols = df.schema.fields.collect {
       case fld if Seq("tinyint", "smallint", "int", "bigint")
         .contains(fld.dataType.simpleString) => fld.name
@@ -157,7 +210,7 @@ object SnapshotStore {
         val stats = statsByRel(relPath(p, dirName))
         if (stats.isEmpty) p else s"$p\t$stats"
     }
-    s"count=$count0\nschema=${df.schema.toDDL}\n" + fileLines.mkString("\n")
+    (count0, fileLines)
   }
 
   private val ManifestRe = "v(\\d{5})\\.manifest".r
@@ -261,10 +314,21 @@ object SnapshotStore {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = versions(spark, table)
     val expire = all.dropRight(keepLast)
+    // REACHABILITY fence: a merge-produced manifest references earlier
+    // versions' data dirs, so an expired version's dir is deletable only
+    // if no RETAINED manifest still points into it (Delta VACUUM's
+    // reasoning — the manifest set, not the version number, defines
+    // liveness). Its manifest always goes: the version itself stops
+    // being time-travelable either way.
+    val referenced = all.takeRight(keepLast).flatMap { v =>
+      manifestLines(spark, table, v).drop(3).filter(_.nonEmpty)
+        .map(l => snapDirNameOf(l.split('\t')(0)))
+    }.toSet
     val f = fs(spark, new Path(table))
     expire.foreach { v =>
       f.delete(new Path(manifestDir(table), f"v$v%05d.manifest"), false)
-      f.delete(new Path(table, f"snap-v$v%05d"), true)
+      if (!referenced.contains(f"snap-v$v%05d"))
+        f.delete(new Path(table, f"snap-v$v%05d"), true)
     }
     expire
   }
@@ -283,7 +347,15 @@ object SnapshotStore {
     val tableP = new Path(table)
     val f = fs(spark, tableP)
     if (!f.exists(tableP)) return Seq.empty
-    val committed = versions(spark, table).map(v => f"snap-v$v%05d").toSet
+    // live = dirs of committed versions PLUS dirs any committed manifest
+    // references (a vacuumed version's dir can outlive its manifest when
+    // a later merge carried its files forward)
+    val vs = versions(spark, table)
+    val committed = vs.map(v => f"snap-v$v%05d").toSet ++
+      vs.flatMap { v =>
+        manifestLines(spark, table, v).drop(3).filter(_.nonEmpty)
+          .map(l => snapDirNameOf(l.split('\t')(0)))
+      }
     val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(tableP).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-v")
@@ -305,26 +377,31 @@ object SnapshotStore {
       s"version $v not committed (have: ${committed.mkString(",")})")
     val lines = manifestLines(spark, table, v)
     val files = lines.drop(3).filter(_.nonEmpty).map(_.split('\t')(0))
-    loadFiles(spark, table, v, files, lines)
+    loadFiles(spark, files, lines)
   }
 
-  /** Load a version's (possibly pruned) file list. basePath = the
-    * version's data dir, so hive partition dirs rebuild their column;
-    * the result is then cast/ordered to the MANIFEST schema — partition
-    * discovery infers `om=199601` as int whatever the writer's type
-    * was, and a reader must not see that drift.
+  /** Load a version's (possibly pruned) file list. Files are grouped by
+    * the snap dir they LIVE in (a post-merge manifest references
+    * earlier versions' dirs by design), each group read with its own
+    * dir as basePath so hive partition dirs rebuild their column, then
+    * cast/ordered to the MANIFEST schema — partition discovery infers
+    * `om=199601` as int whatever the writer's type was, and a reader
+    * must not see that drift. The union width = number of distinct
+    * source versions, bounded in practice by [[compact]] (which
+    * rewrites everything into one dir, collapsing the references).
     */
-  private def loadFiles(spark: SparkSession, table: String, v: Int,
-                        files: Seq[String],
+  private def loadFiles(spark: SparkSession, files: Seq[String],
                         lines: List[String]): DataFrame =
     if (files.isEmpty) emptyFrame(spark, lines)
     else {
-      val dataDir = new Path(new Path(table), f"snap-v$v%05d")
       val schema = org.apache.spark.sql.types.StructType
         .fromDDL(lines(2).stripPrefix("schema="))
-      spark.read.option("basePath", dataDir.toString).parquet(files: _*)
-        .select(schema.fields.toIndexedSeq
-          .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
+      def conform(df: DataFrame) = df.select(schema.fields.toIndexedSeq
+        .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
+      files.groupBy(p => splitAtSnapDir(p)._1).toSeq.sortBy(_._1)
+        .map { case (dir, grp) =>
+          conform(spark.read.option("basePath", dir).parquet(grp: _*)) }
+        .reduce(_.unionAll(_))
     }
 
   private def emptyFrame(spark: SparkSession, lines: List[String]): DataFrame = {
@@ -374,8 +451,7 @@ object SnapshotStore {
     val kept = all.collect {
       case (p, st) if st.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi } => p
     }
-    val base = loadFiles(spark, table, v, kept,
-                         manifestLines(spark, table, v))
+    val base = loadFiles(spark, kept, manifestLines(spark, table, v))
     PrunedRead(base.where(col(column).between(lo, hi)), all.size, kept.size)
   }
 
@@ -402,11 +478,13 @@ object SnapshotStore {
     import spark.implicits._
     val hashes = values.toDF("v").select(xxhash64(col("v")))
       .as[Long].collect()
-    val dataDirName = f"snap-v$v%05d"
-    val bloomDir = new Path(new Path(table, dataDirName), "_bloom")
-    val f = fs(spark, bloomDir)
-    def bloomKeeps(rel: String): Boolean = {
-      val bp = new Path(bloomDir, s"$rel.$column.bloom")
+    val f = fs(spark, new Path(table))
+    // bloom side files live under the _bloom dir of the snap dir each
+    // file LIVES in — for carried-over references that is the ORIGINAL
+    // version's dir, where publish wrote them
+    def bloomKeeps(path: String): Boolean = {
+      val (prefix, rel) = splitAtSnapDir(path)
+      val bp = new Path(new Path(prefix, "_bloom"), s"$rel.$column.bloom")
       if (!f.exists(bp)) true // no index for this file/column: must keep
       else {
         val in = f.open(bp)
@@ -426,10 +504,9 @@ object SnapshotStore {
     val kept = all.collect {
       case (p, st) if st.get(column).forall { case (mn, mx) =>
             values.exists(x => x >= mn && x <= mx) } &&
-          bloomKeeps(relPath(p, dataDirName)) => p
+          bloomKeeps(p) => p
     }
-    val base = loadFiles(spark, table, v, kept,
-                         manifestLines(spark, table, v))
+    val base = loadFiles(spark, kept, manifestLines(spark, table, v))
     PrunedRead(base.where(col(column).isin(values: _*)), all.size, kept.size)
   }
 
@@ -531,6 +608,181 @@ object SnapshotStore {
         when(col("change_type").isin("insert", "update"), col("c_payload"))
           .otherwise(col("b_payload")).as("m"): _*)
       .select(keyCols.map(col) ++ payload.map(c => col(s"m.$c").as(c)): _*)
+  }
+
+  /** Outcome of a file-granular write ([[mergeUpsert]] /
+    * [[deleteBetween]]): the committed version plus the carried-vs-
+    * rewritten file split — the number that makes the 100 TB cost
+    * visible (a merge touching 3 of 80 000 files costs 3 rewrites).
+    */
+  case class MergeStats(version: Int, filesTotal: Int,
+                        filesRewritten: Int, filesCarried: Int)
+
+  /** MERGE INTO (upsert form): matched keys take the source row,
+    * unmatched source rows insert, everything else is untouched — and
+    * "untouched" is FILE-granular, not row-granular: files proven to
+    * contain no matched key are carried into the new version's manifest
+    * BY REFERENCE (zero bytes moved); only files that hold at least one
+    * matched key are read, anti-joined, and re-staged together with the
+    * source rows. Touched files are found the way Delta's MERGE does
+    * it: a column-pruned scan of (key, `_metadata.file_path`)
+    * semi-joined against the source's keys — one distributed join whose
+    * result is ≤ one row per FILE, never a driver-side key set. At
+    * 100 TB with a clustered key layout this rewrites only the files
+    * the source actually lands in; the worst case (source scattered
+    * across every file) degrades to [[publish]], never beyond.
+    *
+    * The staged rewrite reuses the base version's hive partitioning
+    * (recovered from its file paths) so partition pruning keeps
+    * composing, and writes fresh stats/blooms for the new files while
+    * carried lines keep theirs verbatim. Commit is the same exclusive-
+    * create manifest as [[publish]]; on a lost race the merge RECOMPUTES
+    * from the new latest (the base changed — restaging alone would be
+    * wrong). The source must be key-unique (checked; Delta errors on
+    * multi-match too). Readers of merge-produced versions union one
+    * scan per referenced dir ([[loadFiles]]); [[compact]] collapses the
+    * references when chains grow. [[vacuum]]/[[gcOrphans]] are
+    * reference-aware so carried files survive their origin version's
+    * expiry.
+    */
+  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
+                  keyCols: Seq[String],
+                  bloomCols: Seq[String] = Nil): MergeStats = {
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    var attempt = 0
+    var out: Option[MergeStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val lines = manifestLines(spark, table, v)
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(lines(2).stripPrefix("schema="))
+      require(source.columns.sorted.sameElements(schema.fieldNames.sorted),
+        s"source schema ${source.columns.sorted.mkString(",")} != table " +
+          s"schema ${schema.fieldNames.sorted.mkString(",")}")
+      val src = source.select(schema.fields.toIndexedSeq
+        .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
+      require(dup == 0,
+        "mergeUpsert source has duplicate keys — multi-match is ambiguous")
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      val allFiles = fileLines.map(_.split('\t')(0))
+      // touched-file discovery: key+path scan (parquet reads ONLY the
+      // key columns) semi-joined with the source's keys; the distinct
+      // file list is ≤ |files| rows — driver-bounded by construction
+      val touchedKeys: Set[String] =
+        if (allFiles.isEmpty) Set.empty
+        else {
+          val keyScan = allFiles.groupBy(p => splitAtSnapDir(p)._1)
+            .toSeq.sortBy(_._1).map { case (dir, grp) =>
+              spark.read.option("basePath", dir).parquet(grp: _*)
+                .select(keyCols.map(col) :+
+                  col("_metadata.file_path").as("_fp"): _*) }
+            .reduce(_.unionAll(_))
+          keyScan
+            .join(src.select(keyCols.map(col): _*), keyCols, "left_semi")
+            .select(col("_fp")).distinct()
+            .collect().map(r => snapKey(r.getString(0))).toSet
+        }
+      val (rewriteLines, carryLines) = fileLines.partition(l =>
+        touchedKeys.contains(snapKey(l.split('\t')(0))))
+      val rewriteFiles = rewriteLines.map(_.split('\t')(0))
+      val touchedDf = loadFiles(spark, rewriteFiles, lines)
+      val touchedRows =
+        if (rewriteFiles.isEmpty) 0L else touchedDf.count()
+      val merged = touchedDf
+        .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionAll(src)
+      val newV = v + 1
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      val (stagedCount, stagedLines) = stageFiles(merged, dataDir,
+        bloomCols, partitionBy = partitionColsOf(fileLines))
+      val total = countOf(spark, table, v) - touchedRows + stagedCount
+      val body = s"count=$total\nschema=${lines(2).stripPrefix("schema=")}\n" +
+        (carryLines ++ stagedLines).mkString("\n")
+      val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+      val f = fs(spark, manifest)
+      f.mkdirs(manifestDir(table))
+      try {
+        val outS = f.create(manifest, false)
+        outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+        outS.close()
+        out = Some(MergeStats(newV, fileLines.size,
+          rewriteLines.size, carryLines.size))
+      } catch {
+        case _: java.io.IOException =>
+          // lost the race: the base ADVANCED — drop the stage and redo
+          // the whole merge against the new latest (serializable
+          // outcome, optimistic-concurrency style)
+          f.delete(dataDir, true)
+          attempt += 1
+          require(attempt < 8, s"mergeUpsert lost $attempt commit races")
+      }
+    }
+    out.get
+  }
+
+  /** Targeted DELETE (`DELETE WHERE column BETWEEN lo AND hi`) with
+    * stats-granular file pruning: manifest min/max ranges prove most
+    * files hold no in-range row — those carry over by reference; only
+    * intersecting files (and files with no stats for the column —
+    * stats are an optimization, never a correctness gate) are read and
+    * re-staged minus the deleted rows. A file falling ENTIRELY inside
+    * the range rewrites to zero rows and simply drops from the
+    * manifest. NULLs survive (BETWEEN never matches them). Same
+    * optimistic commit/retry and reference discipline as
+    * [[mergeUpsert]] — this is the GDPR-delete shape: cost ∝ files the
+    * predicate actually lands in, which a range-clustered layout makes
+    * a tiny fraction of the table.
+    */
+  def deleteBetween(spark: SparkSession, table: String, column: String,
+                    lo: Long, hi: Long,
+                    bloomCols: Seq[String] = Nil): MergeStats = {
+    var attempt = 0
+    var out: Option[MergeStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val lines = manifestLines(spark, table, v)
+      val stats = statsOf(spark, table, v).toMap
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      val (rewriteLines, carryLines) = fileLines.partition { l =>
+        val p = l.split('\t')(0)
+        stats(p).get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+      val rewriteFiles = rewriteLines.map(_.split('\t')(0))
+      val touchedDf = loadFiles(spark, rewriteFiles, lines)
+      val touchedRows =
+        if (rewriteFiles.isEmpty) 0L else touchedDf.count()
+      val survivors = touchedDf
+        .where(!col(column).between(lo, hi) || col(column).isNull)
+      val newV = v + 1
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      val (stagedCount, stagedLines) = stageFiles(survivors, dataDir,
+        bloomCols, partitionBy = partitionColsOf(fileLines))
+      val total = countOf(spark, table, v) - touchedRows + stagedCount
+      val body = s"count=$total\nschema=${lines(2).stripPrefix("schema=")}\n" +
+        (carryLines ++ stagedLines).mkString("\n")
+      val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+      val f = fs(spark, manifest)
+      f.mkdirs(manifestDir(table))
+      try {
+        val outS = f.create(manifest, false)
+        outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+        outS.close()
+        out = Some(MergeStats(newV, fileLines.size,
+          rewriteLines.size, carryLines.size))
+      } catch {
+        case _: java.io.IOException =>
+          f.delete(dataDir, true)
+          attempt += 1
+          require(attempt < 8, s"deleteBetween lost $attempt commit races")
+      }
+    }
+    out.get
   }
 
   // ─── q130: snapshot round-trip + time travel, oracle-checked ─────────
@@ -723,17 +975,149 @@ object SnapshotStore {
       |GROUP BY om
       |ORDER BY om""".stripMargin
 
+  // ─── q214: MERGE INTO with file-granular rewrite, oracle-checked ─────
+  // v1 = orders hive-partitioned by month (one file per `om` dir, the
+  // q210 layout). The source upserts HALF the keys of 1996Q1 (even
+  // orderkeys, price +10 — so touched files keep survivors and the
+  // anti-join half matters) and inserts brand-new keys under a brand-new
+  // month 210001. Exactly the 3 month files of 1996Q1 hold matched keys;
+  // every other file must carry over BY REFERENCE. The carried/rewritten
+  // counters ride in the output AS DATA and the oracle derives them from
+  // the month population itself — a merge that rewrites more files than
+  // the keys demand is a hash MISMATCH, not just a slow write. The
+  // census reads months through the POST-merge manifest: updated months
+  // prove the upsert, 199604–06 prove carried files serve unchanged
+  // bytes, 210001 proves the insert path.
+  def q214SnapshotMerge(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/merge"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("om"))
+      .repartition(8, col("om"))
+    publish(orders, table, partitionBy = Seq("om"))
+    val updates = orders
+      .where(col("om").between(199601, 199603) && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10)
+    val inserts = orders.where(col("om") === 199601)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("om", lit(210001).cast("int"))
+    val st = mergeUpsert(s, table, updates.unionAll(inserts),
+      Seq("o_orderkey"))
+    read(s, table)
+      .where(col("om").between(199601, 199606) || col("om") === 210001)
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total"),
+           min(col("o_orderkey")).as("first_key"))
+      .select(col("om").cast("long").as("om"), col("n_orders"),
+              col("total"), col("first_key"),
+              lit(st.filesTotal.toLong).as("files_total"),
+              lit(st.filesRewritten.toLong).as("files_rewritten"),
+              lit(st.filesCarried.toLong).as("files_carried"))
+      .orderBy(col("om"))
+  }
+
+  val q214Sql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS om
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey, om,
+      |    CASE WHEN om BETWEEN 199601 AND 199603 AND o_orderkey % 2 = 0
+      |         THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
+      |  FROM m
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 210001, o_totalprice
+      |  FROM m WHERE om = 199601),
+      |cnt AS (
+      |  SELECT CAST(count(DISTINCT om) AS BIGINT) AS files_total,
+      |    CAST(count(DISTINCT CASE WHEN om BETWEEN 199601 AND 199603
+      |           AND o_orderkey % 2 = 0 THEN om END) AS BIGINT)
+      |      AS files_rewritten
+      |  FROM m)
+      |SELECT om, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS first_key,
+      |  (SELECT files_total FROM cnt) AS files_total,
+      |  (SELECT files_rewritten FROM cnt) AS files_rewritten,
+      |  (SELECT files_total - files_rewritten FROM cnt) AS files_carried
+      |FROM merged
+      |WHERE om BETWEEN 199601 AND 199606 OR om = 210001
+      |GROUP BY om
+      |ORDER BY om""".stripMargin
+
+  // ─── q215: stats-pruned DELETE (GDPR shape), oracle-checked ──────────
+  // documents hive-partitioned into 100-id buckets (one file per `b`
+  // dir), then DELETE doc_id BETWEEN 150 AND 449: bucket 1 and 4
+  // rewrite partially, buckets 2 and 3 fall ENTIRELY inside the range
+  // and must VANISH from the manifest (zero-row rewrite), every other
+  // bucket carries by reference. Counters as data, oracle-derived from
+  // the bucket population; census of the survivors ≡ DuckDB's direct
+  // NOT-BETWEEN filter — pruning may skip files, never change rows.
+  def q215SnapshotDelete(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/del"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100))
+      .repartition(8, col("b"))
+    publish(docs, table, partitionBy = Seq("b"))
+    val st = deleteBetween(s, table, "doc_id", 150L, 449L)
+    read(s, table)
+      .where(col("b") <= 5)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"),
+           min(col("doc_id")).as("first_id"),
+           max(col("doc_id")).as("last_id"))
+      .select(col("b").cast("long").as("b"), col("n_docs"), col("chars"),
+              col("first_id"), col("last_id"),
+              lit(st.filesTotal.toLong).as("files_total"),
+              lit(st.filesRewritten.toLong).as("files_rewritten"),
+              lit(st.filesCarried.toLong).as("files_carried"))
+      .orderBy(col("b"))
+  }
+
+  val q215Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, CAST(floor(doc_id / 100) AS BIGINT) AS b
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS files_total,
+      |    CAST(count(DISTINCT CASE WHEN b BETWEEN 1 AND 4 THEN b END)
+      |      AS BIGINT) AS files_rewritten
+      |  FROM d)
+      |SELECT b, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+      |  (SELECT files_total FROM cnt) AS files_total,
+      |  (SELECT files_rewritten FROM cnt) AS files_rewritten,
+      |  (SELECT files_total - files_rewritten FROM cnt) AS files_carried
+      |FROM d
+      |WHERE doc_id NOT BETWEEN 150 AND 449 AND b <= 5
+      |GROUP BY b
+      |ORDER BY b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
     "q133_snapshot_cdc" -> (q133SnapshotCdc _),
     "q148_skipping_read" -> (q148SkippingRead _),
     "q151_bloom_lookup" -> (q151BloomLookup _),
-    "q210_partitioned_read" -> (q210PartitionedRead _))
+    "q210_partitioned_read" -> (q210PartitionedRead _),
+    "q214_snapshot_merge" -> (q214SnapshotMerge _),
+    "q215_snapshot_delete" -> (q215SnapshotDelete _))
 
   val oracleSql: Map[String, String] = Map(
     "q130_snapshot_roundtrip" -> q130Sql,
     "q133_snapshot_cdc" -> q133Sql,
     "q148_skipping_read" -> q148Sql,
     "q151_bloom_lookup" -> q151Sql,
-    "q210_partitioned_read" -> q210Sql)
+    "q210_partitioned_read" -> q210Sql,
+    "q214_snapshot_merge" -> q214Sql,
+    "q215_snapshot_delete" -> q215Sql)
 }

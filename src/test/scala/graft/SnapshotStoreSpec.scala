@@ -322,6 +322,160 @@ class SnapshotStoreSpec extends SparkSpec {
       "bloom + partition stats pruned nothing")
   }
 
+  test("mergeUpsert rewrites only files holding matched keys; carried " +
+       "files are referenced verbatim from the old version's dir") {
+    val t = freshTable("merge")
+    // 3 bucket dirs, one file each: ids 0-9 / 10-19 / 20-29
+    val base = spark.range(30)
+      .select(col("id"), (col("id") * 100).as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(4, col("b"))
+    SnapshotStore.publish(base, t, partitionBy = Seq("b"))
+    // update two keys in bucket 1, insert a key landing in a NEW bucket
+    val src = Seq((12L, -1L, 1L), (17L, -2L, 1L), (35L, -3L, 3L))
+      .toDF("id", "pay", "b")
+    val st = SnapshotStore.mergeUpsert(spark, t, src, Seq("id"))
+    assert(st.version === 2)
+    assert(st.filesTotal === 3 && st.filesRewritten === 1
+      && st.filesCarried === 2,
+      s"expected exactly bucket 1 rewritten, got $st")
+    val got = SnapshotStore.read(spark, t)
+      .select("id", "pay").as[(Long, Long)].collect().toMap
+    assert(got.size === 31)
+    assert(got(12L) === -1L && got(17L) === -2L && got(35L) === -3L)
+    assert(got(11L) === 1100L && got(5L) === 500L, "untouched rows changed")
+    assert(SnapshotStore.countOf(spark, t, 2) === 31L)
+    // carried manifest lines still point INTO snap-v00001 (by reference)
+    val v2lines = scala.io.Source.fromInputStream(
+      new Path(t, "_snapshots/v00002.manifest")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .open(new Path(t, "_snapshots/v00002.manifest")), "UTF-8")
+      .getLines().mkString("\n")
+    assert(v2lines.contains("snap-v00001/b=0/")
+      && v2lines.contains("snap-v00001/b=2/"),
+      "carried buckets must be referenced from v1's dir")
+    assert(!v2lines.contains("snap-v00001/b=1/"),
+      "the touched bucket must NOT be referenced from v1")
+    // time travel: v1 still serves the pre-merge rows
+    assert(SnapshotStore.read(spark, t, Some(1)).count() === 30)
+  }
+
+  test("mergeUpsert rejects a source with duplicate keys") {
+    val t = freshTable("merge-dup")
+    SnapshotStore.publish(Seq((1L, 10L)).toDF("id", "pay"), t)
+    val dup = Seq((5L, 1L), (5L, 2L)).toDF("id", "pay")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.mergeUpsert(spark, t, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("merge commit race: loser recomputes against the NEW latest, " +
+       "not its stale base") {
+    val t = freshTable("merge-race")
+    SnapshotStore.publish(Seq((1L, 10L), (2L, 20L)).toDF("id", "pay"), t)
+    // plant a committed v2 (as if a concurrent writer won): v2 = {(9,90)}
+    SnapshotStore.publish(Seq((9L, 90L)).toDF("id", "pay"), t)
+    // merge sees latest v2 and must apply against IT
+    val st = SnapshotStore.mergeUpsert(spark, t,
+      Seq((9L, -9L), (3L, 30L)).toDF("id", "pay"), Seq("id"))
+    assert(st.version === 3)
+    assert(SnapshotStore.read(spark, t).as[(Long, Long)].collect().toSet
+      === Set((9L, -9L), (3L, 30L)), "merge must apply to the new latest")
+  }
+
+  test("vacuum and gcOrphans keep a dir that retained manifests still " +
+       "reference; compact collapses the references") {
+    val t = freshTable("merge-vacuum")
+    val base = spark.range(20)
+      .select(col("id"), col("id").as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(2, col("b"))
+    SnapshotStore.publish(base, t, partitionBy = Seq("b"))
+    SnapshotStore.mergeUpsert(spark, t,
+      Seq((3L, -3L, 0L)).toDF("id", "pay", "b"), Seq("id"))
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v2 references snap-v00001/b=1 — vacuum to keepLast=1 must delete
+    // v1's MANIFEST but leave its data dir alive
+    assert(SnapshotStore.vacuum(spark, t, keepLast = 1) === Seq(1))
+    assert(SnapshotStore.versions(spark, t) === Seq(2))
+    assert(f.exists(new Path(t, "snap-v00001")),
+      "referenced dir must survive vacuum")
+    assert(!f.exists(new Path(t, "_snapshots/v00001.manifest")))
+    // gcOrphans must ALSO see the reference (v1 now has no manifest)
+    assert(SnapshotStore.gcOrphans(spark, t, minAgeMs = 0) === Seq.empty)
+    assert(SnapshotStore.read(spark, t).count() === 20)
+    // compact rewrites everything into its own dir — references collapse
+    val v3 = SnapshotStore.compact(spark, t, numFiles = 1)
+    val v3lines = scala.io.Source.fromInputStream(
+      f.open(new Path(t, f"_snapshots/v$v3%05d.manifest")), "UTF-8")
+      .getLines().toList
+    assert(v3lines.drop(3).filter(_.nonEmpty)
+      .forall(_.contains(f"snap-v$v3%05d/")), "compact must self-contain")
+    // now nothing references v1/v2 dirs: vacuum reclaims v2 (an expired
+    // VERSION), and v1's dir — whose manifest is long gone — falls to
+    // gcOrphans, which now sees no manifest referencing it
+    SnapshotStore.vacuum(spark, t, keepLast = 1)
+    assert(!f.exists(new Path(t, "snap-v00002")))
+    assert(SnapshotStore.gcOrphans(spark, t, minAgeMs = 0)
+      === Seq("snap-v00001"))
+    assert(!f.exists(new Path(t, "snap-v00001")))
+    assert(SnapshotStore.read(spark, t).count() === 20)
+  }
+
+  test("deleteBetween: fully-covered file vanishes, partial file " +
+       "rewrites, out-of-range files carry; NULLs survive") {
+    val t = freshTable("delete")
+    // buckets 0/1/2 (one file each); bucket 1 = ids 10..19
+    val withNull = spark.range(30)
+      .select(when(col("id") === 25, lit(null).cast("long"))
+                .otherwise(col("id")).as("k"),
+              col("id").as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(4, col("b"))
+    SnapshotStore.publish(withNull, t, partitionBy = Seq("b"))
+    // [10,19] covers bucket 1 entirely and nothing else
+    val st = SnapshotStore.deleteBetween(spark, t, "k", 10L, 19L)
+    assert(st.filesRewritten === 1 && st.filesCarried === 2, s"got $st")
+    val left = SnapshotStore.read(spark, t)
+    assert(left.count() === 20)
+    assert(left.where(col("k").isNull).count() === 1,
+      "NULL keys must survive a BETWEEN delete")
+    // the emptied bucket is gone from the manifest (no zero-row files)
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2lines = scala.io.Source.fromInputStream(
+      f.open(new Path(t, "_snapshots/v00002.manifest")), "UTF-8")
+      .getLines().toList
+    assert(!v2lines.exists(_.contains("b=1/")),
+      "fully-deleted bucket must vanish from the manifest")
+    // partial range: [5,14] touches buckets 0 and... bucket 1 is gone,
+    // so only bucket 0 rewrites now
+    val st2 = SnapshotStore.deleteBetween(spark, t, "k", 5L, 14L)
+    assert(st2.filesRewritten === 1, s"got $st2")
+    assert(SnapshotStore.read(spark, t).count() === 15)
+  }
+
+  test("readPoint blooms keep working through carried references") {
+    val t = freshTable("merge-bloom")
+    // scattered layout (hash on pay) so range stats cannot prune, with
+    // blooms on k
+    val base = spark.range(40)
+      .select(col("id").as("k"), (col("id") % 7).as("pay"))
+      .repartition(6, col("pay"))
+    SnapshotStore.publish(base, t, bloomCols = Seq("k"))
+    SnapshotStore.mergeUpsert(spark, t,
+      Seq((2L, -2L)).toDF("k", "pay"), Seq("k"))
+    // probe keys that live in CARRIED files: their blooms sit under
+    // snap-v00001/_bloom and must still prune/serve
+    val pr = SnapshotStore.readPoint(spark, t, None, "k", Seq(7L, 31L))
+    assert(pr.df.select("k").as[Long].collect().toSet === Set(7L, 31L))
+    assert(pr.filesKept < pr.filesTotal,
+      "blooms should prune at least one file in a scattered layout")
+    // and the rewritten key reads back through its fresh file
+    val pr2 = SnapshotStore.readPoint(spark, t, None, "k", Seq(2L))
+    assert(pr2.df.select("pay").as[Long].collect().toSeq === Seq(-2L))
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
