@@ -286,6 +286,9 @@ object PlanLint {
     "q209_quality_classifier" -> Set("nested-loop", "cartesian"),
     // q211: the 1-row Σ-weights/total frame crosses the per-lang counts
     "q211_temperature_mix" -> Set("nested-loop", "cartesian"),
+    // q216: the 1-row distribution-totals frame crosses the 64-row
+    // bucket table (scalar-broadcast idiom)
+    "q216_dsir_select" -> Set("nested-loop", "cartesian"),
     // q212/q213: same trainer shapes as q206 over document tf vectors
     // (+ q213's 1-row min-cluster-size cross)
     "q212_doc_clusters" -> Set("nested-loop", "cartesian",

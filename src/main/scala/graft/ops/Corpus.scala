@@ -1157,7 +1157,95 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ─── q216: DSIR importance selection (target-distribution matching) ──
+  // The published data-selection method (Xie et al. 2023, "Data Selection
+  // for Language Models via Importance Resampling"): score every raw
+  // document by how much more likely its hashed-n-gram bag is under the
+  // TARGET distribution than under the raw distribution, then keep the
+  // highest-weight documents. Complements q209 (a trained per-doc
+  // classifier) with the distribution-matching selector production
+  // pipelines run when the "target" is a corpus, not a label. Target
+  // here = the lang='en' slice (the q209 weak-target; honest fixture
+  // caveat applies — shared vocabulary, weak separation; the contract is
+  // the estimator and cross-engine exactness).
+  //
+  // Spark shape, all linear: one token explode → 64-bucket md5 hash (the
+  // q72/q102/q209 idiom) → per-doc sparse counts; BOTH distributions are
+  // one map-side-combined aggregate over that frame; the 64-row
+  // log-ratio table broadcasts back and the per-doc weight is one more
+  // map-side-combined sum — no shuffle ever carries text. Determinism
+  // discipline: log-ratios rounded to 9dp before the per-doc sum,
+  // per-doc weights to 6dp before ranking (ties broken by doc_id), the
+  // q206/q209 round-at-the-boundary rule.
+  private val DsirBuckets = 64
+  private val DsirTopK = 24
+
+  /** Per-doc DSIR log importance weight over `docs` (doc_id, lang,
+    * text): (doc_id, lang, logw) with target = lang='en'. */
+  private[graft] def dsirWeights(s: SparkSession, docs: DataFrame): DataFrame = {
+    val perDocJ = docs
+      .select(col("doc_id"), col("lang"),
+              explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+             lit(DsirBuckets.toLong)).as("j"))
+      .groupBy(col("doc_id"), col("lang"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    val rawDist = perDocJ.groupBy(col("j")).agg(sum(col("c")).as("rc"))
+    val tgtDist = perDocJ.where(col("lang") === "en")
+      .groupBy(col("j")).agg(sum(col("c")).as("tc"))
+    // dense 64-row table (unseen buckets still need their smoothed mass)
+    val dist = s.range(0, DsirBuckets.toLong).select(col("id").as("j"))
+      .join(rawDist, Seq("j"), "left").join(tgtDist, Seq("j"), "left")
+      .na.fill(0L, Seq("rc", "tc"))
+    val tot = dist.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+    val lr = dist.crossJoin(broadcast(tot))
+      .select(col("j"), round(
+        log((col("tc") + 1.0) / (col("ttot") + DsirBuckets)) -
+        log((col("rc") + 1.0) / (col("rtot") + DsirBuckets)), 9).as("lr"))
+    perDocJ.join(broadcast(lr), "j")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("c") * col("lr")), 6).as("logw"))
+  }
+
+  def q216DsirSelect(s: SparkSession, d: String): DataFrame =
+    dsirWeights(s, documents(s, d))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(DsirTopK)
+
+  val q216Sql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, lang, $tokensSql AS toks FROM documents),
+       |pd AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $DsirBuckets
+       |      AS j,
+       |    count(*) AS c
+       |  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM base)
+       |  GROUP BY 1, 2, 3),
+       |dist AS (
+       |  SELECT u.j, coalesce(r.rc, 0) AS rc, coalesce(t.tc, 0) AS tc
+       |  FROM unnest(range(0, $DsirBuckets)) u(j)
+       |  LEFT JOIN (SELECT j, sum(c) AS rc FROM pd GROUP BY j) r
+       |    ON u.j = r.j
+       |  LEFT JOIN (SELECT j, sum(c) AS tc FROM pd WHERE lang = 'en'
+       |             GROUP BY j) t
+       |    ON u.j = t.j),
+       |tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM dist),
+       |lr AS MATERIALIZED (
+       |  SELECT j, round(ln((tc + 1.0) / (ttot + $DsirBuckets))
+       |               - ln((rc + 1.0) / (rtot + $DsirBuckets)), 9) AS lr
+       |  FROM dist, tot),
+       |wdoc AS (
+       |  SELECT pd.doc_id, pd.lang, round(sum(pd.c * lr.lr), 6) AS logw
+       |  FROM pd JOIN lr ON pd.j = lr.j
+       |  GROUP BY pd.doc_id, pd.lang)
+       |SELECT doc_id, lang, logw FROM wdoc
+       |ORDER BY logw DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_dsir_select" -> (q216DsirSelect _),
     "q211_temperature_mix" -> (q211TemperatureMix _),
     "q209_quality_classifier" -> (q209QualityClassifier _),
     "q194_negative_sampling" -> (q194NegativeSampling _),
@@ -1179,6 +1267,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q216_dsir_select" -> q216Sql,
     "q211_temperature_mix" -> q211Sql,
     "q209_quality_classifier" -> q209Sql,
     "q194_negative_sampling" -> q194Sql,

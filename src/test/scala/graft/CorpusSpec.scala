@@ -268,4 +268,29 @@ class CorpusSpec extends SparkSpec {
       .agg(min($"s"), max($"s")).as[(Double, Double)].head()
     assert(mn > 0.0 && mx < 1.0)
   }
+
+  test("q216 DSIR selects by CONTENT similarity to the target, not by " +
+       "the target label itself") {
+    // two disjoint vocabularies; two docs carry target-like content
+    // under a NON-target label — distribution matching must rank them
+    // above every genuinely off-target doc (that's the method's whole
+    // point: select what LOOKS like the target corpus)
+    val tgtText = "alpha beta gamma delta alpha beta"
+    val offText = "zulu yankee xray whiskey zulu yankee"
+    val docs = (
+      (1L to 10L).map(i => (i, "en", tgtText)) ++
+      (11L to 20L).map(i => (i, "xx", offText)) ++
+      Seq((21L, "xx", tgtText), (22L, "xx", tgtText))
+    ).toDF("doc_id", "lang", "text")
+    val w = Corpus.dsirWeights(spark, docs)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    val lookalike = Seq(21L, 22L).map(w)
+    val offTarget = (11L to 20L).map(w)
+    assert(lookalike.min > offTarget.max,
+      s"target-like content must outrank off-target: $w")
+    // and weights depend on content only: identical text ⇒ identical w
+    assert(w(21L) === w(1L) && w(21L) === w(22L))
+    assert(lookalike.min > 0 && offTarget.max < 0,
+      "log-ratio sign must separate target-like from off-target here")
+  }
 }
