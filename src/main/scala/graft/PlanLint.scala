@@ -289,6 +289,9 @@ object PlanLint {
     // q216: the 1-row distribution-totals frame crosses the 64-row
     // bucket table (scalar-broadcast idiom)
     "q216_dsir_select" -> Set("nested-loop", "cartesian"),
+    // q217: the ≤5-row broadcast codebook crosses the piece frame (the
+    // assignPieces idiom kept as rows for the argmin AND runner-up)
+    "q217_cluster_silhouette" -> Set("nested-loop", "cartesian"),
     // q212/q213: same trainer shapes as q206 over document tf vectors
     // (+ q213's 1-row min-cluster-size cross)
     "q212_doc_clusters" -> Set("nested-loop", "cartesian",
@@ -405,6 +408,7 @@ object PlanLint {
     "q208_pq_learned_recall" -> 8,
     "q212_doc_clusters" -> 8,
     "q213_cluster_balanced_sample" -> 8,
+    "q217_cluster_silhouette" -> 8,
     // LR trainer: 1 feature checkpoint + 1 checkpoint per epoch
     // (epochs=4) before the query body (measured 5 total at epochs=3;
     // 10 prices epochs=4 with headroom)

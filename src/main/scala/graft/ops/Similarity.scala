@@ -1575,8 +1575,9 @@ object Similarity {
       (System.identityHashCode(s), s"docclusters:$d", 1, 16, 5, 2),
       docClusterAssignUncached(s, d).localCheckpoint())
 
-  private def docClusterAssignUncached(s: SparkSession,
-                                       d: String): DataFrame = {
+  /** 16-dim hashed-tf document features (vec_id, e) — the q212/q213/
+    * q217 embedding. */
+  private[graft] def docTfFeatures(s: SparkSession, d: String): DataFrame = {
     val W = 16
     val toksF = documents(s, d)
       .select(col("doc_id"),
@@ -1591,15 +1592,26 @@ object Similarity {
              lit(W.toLong)).as("j"))
       .groupBy(col("doc_id"), col("n"), col("j"))
       .agg(count(lit(1)).as("c"))
-    val feats = cnts.groupBy(col("doc_id"), col("n"))
+    cnts.groupBy(col("doc_id"), col("n"))
       .agg(map_from_entries(collect_list(struct(col("j"), col("c"))))
         .as("m"))
       .select(col("doc_id").as("vec_id"),
         transform(sequence(lit(0), lit(W - 1)),
           i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
                  .cast("double") / col("n")).as("e"))
-    val cents = kmeansCodebooks(feats, 1, W, 5, 2)
-    assignPieces(pieces(feats, 1, W), centsRow(cents))
+  }
+
+  /** Trained document-cluster codebook (k=5, 2 rounds over the 16-dim
+    * tf features), memoized per session like the embedding codebooks. */
+  private def docClusterCents(s: SparkSession, d: String): DataFrame =
+    kmeansMemo.getOrElseUpdate(
+      (System.identityHashCode(s), s"doccents:$d", 1, 16, 5, 2),
+      kmeansCodebooks(docTfFeatures(s, d), 1, 16, 5, 2))
+
+  private def docClusterAssignUncached(s: SparkSession,
+                                       d: String): DataFrame = {
+    val feats = docTfFeatures(s, d)
+    assignPieces(pieces(feats, 1, 16), centsRow(docClusterCents(s, d)))
       .select(col("vec_id"), col("cid"))
   }
 
@@ -1616,37 +1628,39 @@ object Similarity {
 
   /** Shared CTE chain for q212/q213: document tf features → unrolled
     * k-means → `afin(vec_id, cid)` final assignment. */
-  private val docClusterCtes: String = {
+  private val docEmbCte: String = {
     val entries = (0 until 16).map(i =>
       s"CAST(sum(CASE WHEN j=$i THEN c ELSE 0 END) AS DOUBLE)/any_value(n)")
       .mkString("[", ", ", "]")
-    val embCte =
-      s"""cnts AS MATERIALIZED (
-         |  SELECT doc_id, n, j, count(*) AS c FROM (
-         |    SELECT t.doc_id, len(t.toks) AS n,
-         |      CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) % 16 AS j
-         |    FROM (SELECT doc_id,
-         |            list_filter(regexp_split_to_array(lower(text),
-         |                                              '[^a-z0-9]+'),
-         |                        x -> x <> '') AS toks
-         |          FROM documents) t, unnest(t.toks) AS u(tok)
-         |    WHERE len(t.toks) > 0)
-         |  GROUP BY doc_id, n, j),
-         |emb AS MATERIALIZED (
-         |  SELECT doc_id AS vec_id, $entries AS e
-         |  FROM cnts GROUP BY doc_id)""".stripMargin
-    val d2 = "list_dot_product(p.sub, p.sub)" +
-      " - 2*list_dot_product(p.sub, c.carr)" +
-      " + list_dot_product(c.carr, c.carr)"
-    s"""${kmeansCtes(1, 16, 5, 2, embCte)},
+    s"""cnts AS MATERIALIZED (
+       |  SELECT doc_id, n, j, count(*) AS c FROM (
+       |    SELECT t.doc_id, len(t.toks) AS n,
+       |      CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT) % 16 AS j
+       |    FROM (SELECT doc_id,
+       |            list_filter(regexp_split_to_array(lower(text),
+       |                                              '[^a-z0-9]+'),
+       |                        x -> x <> '') AS toks
+       |          FROM documents) t, unnest(t.toks) AS u(tok)
+       |    WHERE len(t.toks) > 0)
+       |  GROUP BY doc_id, n, j),
+       |emb AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id, $entries AS e
+       |  FROM cnts GROUP BY doc_id)""".stripMargin
+  }
+
+  private val docD2Sql = "list_dot_product(p.sub, p.sub)" +
+    " - 2*list_dot_product(p.sub, c.carr)" +
+    " + list_dot_product(c.carr, c.carr)"
+
+  private val docClusterCtes: String =
+    s"""${kmeansCtes(1, 16, 5, 2, docEmbCte)},
        |afin AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT p.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY p.vec_id
-       |        ORDER BY $d2, c.cid) AS rn
+       |        ORDER BY $docD2Sql, c.cid) AS rn
        |    FROM pieces p JOIN c2 c ON p.m = c.m)
        |  WHERE rn = 1)""".stripMargin
-  }
 
   val q212Sql: String =
     s"""WITH $docClusterCtes
@@ -1708,7 +1722,84 @@ object Similarity {
        |GROUP BY cid
        |ORDER BY cid""".stripMargin
 
+  // ─── q217: silhouette census (unsupervised cluster-quality audit) ────
+  // The acceptance gate for everything built ON the learned clusters
+  // (q212's census, q213's balanced sample, SemDeDup's within-cluster
+  // dedup): the simplified silhouette (Rousseeuw 1987, centroid form —
+  // a = distance to own centroid, b = nearest OTHER centroid,
+  // s = (b−a)/max(a,b)) says per cluster how separated the clustering
+  // actually is, BEFORE a pipeline trusts it. Spark shape: the distance
+  // matrix is one map-side cross of each doc piece against the ≤5-row
+  // broadcast codebook (the assignPieces idiom, kept as rows because
+  // both the argmin AND the runner-up matter here), then two keyed
+  // aggregations — nothing shuffles text or vectors, only (vec_id, cid,
+  // d²). Determinism discipline: per-doc silhouettes round to 6dp, and
+  // the per-cluster SUM rides as exact integer micros (the q202
+  // integer-arithmetic rule) so partial-agg float order can't flip the
+  // hash.
+  def q217ClusterSilhouette(s: SparkSession, d: String): DataFrame = {
+    val p = pieces(docTfFeatures(s, d), 1, 16)
+    val dmat = p.crossJoin(centsRow(docClusterCents(s, d)))
+      .select(col("vec_id"), col("sub"), explode(col("cents")).as("c"))
+      .select(col("vec_id"), col("c.cid").as("cid"),
+              sqDist(col("sub"), col("c.carr")).as("d2"))
+    val own = dmat
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"),
+              sqrt(greatest(col("d2"), lit(0.0))).as("a"))
+    val oth = dmat
+      .join(own.select(col("vec_id"), col("cid").as("ocid")), "vec_id")
+      .where(col("cid") =!= col("ocid"))
+      .groupBy(col("vec_id"))
+      .agg(sqrt(greatest(min(col("d2")), lit(0.0))).as("b"))
+    own.join(oth, "vec_id")
+      .select(col("vec_id"), col("cid"),
+        round(when(greatest(col("a"), col("b")) === 0.0, 0.0)
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))),
+          6).as("sd"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("sd") > 0, 1L).otherwise(0L)).as("n_separated"),
+           sum(round(col("sd") * 1000000, 0).cast("long")).as("sil_micro"))
+      .select(col("cid").cast("long").as("cid"), col("n_docs"),
+              col("n_separated"), col("sil_micro"))
+      .orderBy(col("cid"))
+  }
+
+  val q217Sql: String =
+    s"""WITH ${kmeansCtes(1, 16, 5, 2, docEmbCte)},
+       |dmat AS MATERIALIZED (
+       |  SELECT p.vec_id, c.cid, $docD2Sql AS d2
+       |  FROM pieces p JOIN c2 c ON p.m = c.m),
+       |own AS (
+       |  SELECT vec_id, cid, sqrt(greatest(d2, 0)) AS a FROM (
+       |    SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cid) AS rn
+       |    FROM dmat)
+       |  WHERE rn = 1),
+       |oth AS (
+       |  SELECT m.vec_id, sqrt(greatest(min(m.d2), 0)) AS b
+       |  FROM dmat m JOIN own o ON m.vec_id = o.vec_id AND m.cid <> o.cid
+       |  GROUP BY m.vec_id),
+       |sil AS (
+       |  SELECT o.vec_id, o.cid,
+       |    round(CASE WHEN greatest(o.a, t.b) = 0 THEN 0
+       |               ELSE (t.b - o.a) / greatest(o.a, t.b) END, 6) AS sd
+       |  FROM own o JOIN oth t ON o.vec_id = t.vec_id)
+       |SELECT CAST(cid AS BIGINT) AS cid,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN sd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_separated,
+       |  CAST(sum(CAST(round(sd * 1000000, 0) AS BIGINT)) AS BIGINT)
+       |    AS sil_micro
+       |FROM sil
+       |GROUP BY cid
+       |ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_cluster_silhouette" -> (q217ClusterSilhouette _),
     "q213_cluster_balanced_sample" -> (q213ClusterBalancedSample _),
     "q212_doc_clusters"      -> (q212DocClusters _),
     "q206_kmeans_codebook"   -> (q206KmeansCodebook _),
@@ -1732,6 +1823,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q217_cluster_silhouette" -> q217Sql,
     "q213_cluster_balanced_sample" -> q213Sql,
     "q212_doc_clusters"      -> q212Sql,
     "q206_kmeans_codebook"   -> q206Sql,

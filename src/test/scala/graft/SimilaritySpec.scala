@@ -491,6 +491,49 @@ class SimilaritySpec extends SparkSpec {
       s"expected 2..5 live clusters, got $nClusters")
   }
 
+  test("q217 silhouette census ≡ driver-side exact recompute") {
+    val feats = Similarity.docTfFeatures(spark, sfDir)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => id -> e.toArray }
+    val cents = Similarity.kmeansCodebooks(
+        Similarity.docTfFeatures(spark, sfDir), 1, 16, 5, 2)
+      .select($"cid", $"carr").as[(Int, Seq[Double])]
+      .collect().map { case (c, a) => c -> a.toArray }.sortBy(_._1)
+    // identical arithmetic: left-to-right dot accumulation, the three-dot
+    // d² form, (d², cid) argmin, HALF_UP rounding — so equality is EXACT
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = feats.map { case (_, e) =>
+      val ds = cents.map { case (c, arr) =>
+        (dotLR(e, e) - 2.0 * dotLR(e, arr) + dotLR(arr, arr), c) }
+      val (d2own, cid) = ds.minBy(identity)
+      val a = math.sqrt(math.max(d2own, 0.0))
+      val b = math.sqrt(math.max(
+        ds.collect { case (d2, c) if c != cid => d2 }.min, 0.0))
+      val sd = if (math.max(a, b) == 0.0) 0.0 else r6((b - a) / math.max(a, b))
+      (cid, sd)
+    }
+    val want = per.groupBy(_._1).map { case (c, xs) =>
+      c.toLong -> ((xs.length.toLong, xs.count(_._2 > 0).toLong,
+        xs.map(t => BigDecimal(t._2 * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum))
+    }
+    val got = Similarity.q217ClusterSilhouette(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+    // sanity: silhouettes live in [-1, 1] ⇒ micro sums bounded by 1e6·n
+    got.foreach { case (c, (n, npos, micro)) =>
+      assert(npos <= n && math.abs(micro) <= n * 1000000L,
+        s"cid $c out of bounds: n=$n npos=$npos micro=$micro")
+    }
+  }
+
   test("q206 membership census conserves the corpus") {
     val rows = Similarity.q206KmeansCodebook(spark, sfDir).collect()
     assert(rows.length == 8)
