@@ -281,6 +281,11 @@ object PlanLint {
                                     "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
+    // q219: q207's probe shapes reused as a miner (1-row folded
+    // codebook cross + ≤8-row seed window); the anchor↔candidate join
+    // itself is a cid equi-join, never a cartesian
+    "q219_hard_negatives" -> Set("nested-loop", "cartesian",
+                                 "global-window"),
     // q209: the LR trainer crossJoins the 1-row corpus-count frame into
     // the 65-row weight update — broadcast algebra, the q85/q103 idiom
     "q209_quality_classifier" -> Set("nested-loop", "cartesian"),
@@ -289,6 +294,9 @@ object PlanLint {
     // q216: the 1-row distribution-totals frame crosses the 64-row
     // bucket table (scalar-broadcast idiom)
     "q216_dsir_select" -> Set("nested-loop", "cartesian"),
+    // q218: q216's cross plus the 1-row corpus-totals frame crossing the
+    // per-source aggregate
+    "q218_source_gate" -> Set("nested-loop", "cartesian"),
     // q217: the ≤5-row broadcast codebook crosses the piece frame (the
     // assignPieces idiom kept as rows for the argmin AND runner-up)
     "q217_cluster_silhouette" -> Set("nested-loop", "cartesian"),
@@ -409,6 +417,7 @@ object PlanLint {
     "q212_doc_clusters" -> 8,
     "q213_cluster_balanced_sample" -> 8,
     "q217_cluster_silhouette" -> 8,
+    "q219_hard_negatives" -> 8,
     // LR trainer: 1 feature checkpoint + 1 checkpoint per epoch
     // (epochs=4) before the query body (measured 5 total at epochs=3;
     // 10 prices epochs=4 with headroom)

@@ -1199,22 +1199,34 @@ object Corpus {
       .join(rawDist, Seq("j"), "left").join(tgtDist, Seq("j"), "left")
       .na.fill(0L, Seq("rc", "tc"))
     val tot = dist.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+    // log-ratios quantized to integer NANO units so the per-doc weight
+    // is an EXACT integer sum — round(Σ doubles, 6) can flip at a
+    // boundary under partial-agg order (the q202 lesson, hit here by
+    // q218's per-source sums); the float division back to `logw`
+    // happens once, per doc, from identical integers in both engines
     val lr = dist.crossJoin(broadcast(tot))
-      .select(col("j"), round(
+      .select(col("j"), round(round(
         log((col("tc") + 1.0) / (col("ttot") + DsirBuckets)) -
-        log((col("rc") + 1.0) / (col("rtot") + DsirBuckets)), 9).as("lr"))
+        log((col("rc") + 1.0) / (col("rtot") + DsirBuckets)), 9) * 1e9, 0)
+        .cast("long").as("lrn"))
     perDocJ.join(broadcast(lr), "j")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(sum(col("c") * col("lr")), 6).as("logw"))
+      .agg(sum(col("c") * col("lrn")).as("logw_nano"))
+      .select(col("doc_id"), col("lang"),
+              round(col("logw_nano") / 1e9, 6).as("logw"),
+              col("logw_nano"))
   }
 
   def q216DsirSelect(s: SparkSession, d: String): DataFrame =
     dsirWeights(s, documents(s, d))
+      .select(col("doc_id"), col("lang"), col("logw"))
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(DsirTopK)
 
-  val q216Sql: String =
-    s"""WITH base AS MATERIALIZED (
+  /** Shared CTE chain for q216/q218: hashed-token distributions →
+    * per-doc DSIR log weight `wdoc(doc_id, lang, logw)`. */
+  private val dsirCtes: String =
+    s"""base AS MATERIALIZED (
        |  SELECT doc_id, lang, $tokensSql AS toks FROM documents),
        |pd AS MATERIALIZED (
        |  SELECT doc_id, lang,
@@ -1233,19 +1245,73 @@ object Corpus {
        |    ON u.j = t.j),
        |tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM dist),
        |lr AS MATERIALIZED (
-       |  SELECT j, round(ln((tc + 1.0) / (ttot + $DsirBuckets))
-       |               - ln((rc + 1.0) / (rtot + $DsirBuckets)), 9) AS lr
+       |  SELECT j, CAST(round(round(
+       |      ln((tc + 1.0) / (ttot + $DsirBuckets))
+       |      - ln((rc + 1.0) / (rtot + $DsirBuckets)), 9) * 1e9, 0)
+       |    AS BIGINT) AS lrn
        |  FROM dist, tot),
-       |wdoc AS (
-       |  SELECT pd.doc_id, pd.lang, round(sum(pd.c * lr.lr), 6) AS logw
+       |wdoc AS MATERIALIZED (
+       |  SELECT pd.doc_id, pd.lang,
+       |    CAST(sum(pd.c * lr.lrn) AS BIGINT) AS logw_nano,
+       |    round(CAST(sum(pd.c * lr.lrn) AS BIGINT) / 1e9, 6) AS logw
        |  FROM pd JOIN lr ON pd.j = lr.j
-       |  GROUP BY pd.doc_id, pd.lang)
+       |  GROUP BY pd.doc_id, pd.lang)""".stripMargin
+
+  val q216Sql: String =
+    s"""WITH $dsirCtes
        |SELECT doc_id, lang, logw FROM wdoc
        |ORDER BY logw DESC, doc_id
        |LIMIT $DsirTopK""".stripMargin
 
+  // ─── q218: SOURCE-level quality gating (the C4/RefinedWeb lever) ─────
+  // Production corpora gate whole SOURCES, not just documents: a crawl
+  // slice whose average target-likeness falls below the corpus mean is
+  // dropped wholesale (cheaper and more robust than per-doc filtering
+  // for systematically-bad sources). Composes q216's per-doc DSIR
+  // weight with one per-source aggregate; the keep decision is the
+  // integer cross-multiplication `sum_s · N > T · n_s` (⇔ source mean >
+  // corpus mean with n_s, N > 0) over exact nano-unit sums — no float
+  // comparison anywhere near the gate, so the flag can't flip on
+  // engine-summation noise (the q202 rule applied to a PREDICATE; the
+  // product rides decimal(38)/HUGEINT so it can't overflow at scale).
+  def q218SourceGate(s: SparkSession, d: String): DataFrame = {
+    val perSource = dsirWeights(s, documents(s, d))
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("logw_nano")).as("logw_nano"))
+    val tot = perSource
+      .agg(sum(col("n_docs")).as("nn"), sum(col("logw_nano")).as("tt"))
+    // cross-multiply in decimal(38): nano-sums reach ~1e13/source at
+    // sf10 and the corpus-total × per-source product would overflow
+    // bigint at scale (DuckDB side rides HUGEINT)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("logw_nano"),
+        when(dec(col("logw_nano")) * dec(col("nn")) >
+             dec(col("tt")) * dec(col("n_docs")), 1L)
+          .otherwise(0L).as("kept"))
+      .orderBy(col("source"))
+  }
+
+  val q218Sql: String =
+    s"""WITH $dsirCtes,
+       |per AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w.logw_nano) AS BIGINT) AS logw_nano
+       |  FROM wdoc w JOIN documents d ON w.doc_id = d.doc_id
+       |  GROUP BY d.source),
+       |ctot AS (SELECT sum(n_docs) AS nn, sum(logw_nano) AS tt FROM per)
+       |SELECT source, n_docs, logw_nano,
+       |  CAST(CASE WHEN CAST(logw_nano AS HUGEINT) * nn
+       |              > CAST(tt AS HUGEINT) * n_docs
+       |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM per, ctot
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_dsir_select" -> (q216DsirSelect _),
+    "q218_source_gate" -> (q218SourceGate _),
     "q211_temperature_mix" -> (q211TemperatureMix _),
     "q209_quality_classifier" -> (q209QualityClassifier _),
     "q194_negative_sampling" -> (q194NegativeSampling _),
@@ -1268,6 +1334,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q216_dsir_select" -> q216Sql,
+    "q218_source_gate" -> q218Sql,
     "q211_temperature_mix" -> q211Sql,
     "q209_quality_classifier" -> q209Sql,
     "q194_negative_sampling" -> q194Sql,

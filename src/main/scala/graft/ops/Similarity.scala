@@ -1798,7 +1798,77 @@ object Similarity {
        |GROUP BY cid
        |ORDER BY cid""".stripMargin
 
+  // ─── q219: contrastive hard-negative mining through the learned IVF ──
+  // Embedding-model training needs, per anchor, the most SIMILAR
+  // examples of a DIFFERENT class (the published in-batch/ANN
+  // hard-negative recipe) — random negatives are too easy and teach
+  // nothing. Scale shape: this is q207's learned-IVF probe (nprobe=2)
+  // reused as a MINER, not a recall check — anchors join candidates on
+  // the centroid id (an equi-join that shuffles by cid as the anchor
+  // set grows; nothing broadcasts the corpus), the label filter rides
+  // the join, and the exact cosine only prices the ≤2-cluster candidate
+  // set. The anchor slice (vec_id % 40 = 0) grows WITH the corpus —
+  // deliberately, because a production miner runs over every training
+  // example; the per-anchor cost stays |cluster|-bounded.
+  def q219HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansFor(s, d, 1, DIM, 8, 2)
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val ranked = pieces(embFrame(s, d), 1, DIM).crossJoin(centsRow(cents))
+      .withColumn("ranked", array_sort(transform(col("cents"),
+        c => struct(sqDist(col("sub"), c("carr")).as("d"),
+                    c("cid").as("cid")))))
+      .select(col("vec_id"), col("sub").as("e"), col("ranked"))
+      .join(lab, "vec_id")
+    val q = ranked.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("e").as("qe"), explode(slice(col("ranked"), 1, 2)).as("rc"))
+      .select(col("q_id"), col("q_label"), col("qe"),
+              col("rc")("cid").as("cid"))
+    val corpus = ranked.where(col("vec_id") % 40 =!= 0)
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+              col("e").as("ce"), element_at(col("ranked"), 1)("cid").as("cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    corpus.join(q, Seq("cid"))
+      .where(col("c_label") =!= col("q_label"))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 4)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q219Sql: String = {
+    val d2 = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    val cosQc = "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(" +
+      "qe, qe)) * sqrt(list_dot_product(ce, ce))), 4)"
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |ranked AS MATERIALIZED (
+       |  SELECT p.vec_id, p.sub AS e, c.cid,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $d2, c.cid) AS arn
+       |  FROM pieces p JOIN c2 c ON p.m = c.m),
+       |q AS (SELECT r.vec_id AS q_id, l.label AS q_label, r.e AS qe, r.cid
+       |      FROM ranked r JOIN embeddings l ON r.vec_id = l.vec_id
+       |      WHERE r.arn <= 2 AND r.vec_id % 40 = 0),
+       |c AS (SELECT r.vec_id AS c_id, l.label AS c_label, r.e AS ce, r.cid
+       |      FROM ranked r JOIN embeddings l ON r.vec_id = l.vec_id
+       |      WHERE r.arn = 1 AND r.vec_id % 40 <> 0)
+       |SELECT q_id, c_id, cos, rn FROM (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS BIGINT) AS rn
+       |  FROM (SELECT q.q_id, c.c_id, $cosQc AS cos
+       |        FROM c JOIN q ON c.cid = q.cid
+       |        WHERE c.c_label <> q.q_label))
+       |WHERE rn <= 4
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_hard_negatives" -> (q219HardNegatives _),
     "q217_cluster_silhouette" -> (q217ClusterSilhouette _),
     "q213_cluster_balanced_sample" -> (q213ClusterBalancedSample _),
     "q212_doc_clusters"      -> (q212DocClusters _),
@@ -1823,6 +1893,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q219_hard_negatives" -> q219Sql,
     "q217_cluster_silhouette" -> q217Sql,
     "q213_cluster_balanced_sample" -> q213Sql,
     "q212_doc_clusters"      -> q212Sql,

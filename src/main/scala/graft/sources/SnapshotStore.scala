@@ -1001,8 +1001,12 @@ object SnapshotStore {
     val updates = orders
       .where(col("om").between(199601, 199603) && col("o_orderkey") % 2 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 10)
+    // insert keys shift past the ACTUAL max key (a fixed offset would
+    // collide with real keys once the corpus outgrows it — caught by the
+    // sf10 soak; the 1-row max is a metadata-cheap aggregate)
+    val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
     val inserts = orders.where(col("om") === 199601)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(maxK))
       .withColumn("om", lit(210001).cast("int"))
     val st = mergeUpsert(s, table, updates.unionAll(inserts),
       Seq("o_orderkey"))
@@ -1031,7 +1035,8 @@ object SnapshotStore {
       |         THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice
       |  FROM m
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, 210001, o_totalprice
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM m), 210001,
+      |    o_totalprice
       |  FROM m WHERE om = 199601),
       |cnt AS (
       |  SELECT CAST(count(DISTINCT om) AS BIGINT) AS files_total,

@@ -283,7 +283,8 @@ class CorpusSpec extends SparkSpec {
       Seq((21L, "xx", tgtText), (22L, "xx", tgtText))
     ).toDF("doc_id", "lang", "text")
     val w = Corpus.dsirWeights(spark, docs)
-      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+      .select($"doc_id", $"logw")
+      .as[(Long, Double)].collect().toMap
     val lookalike = Seq(21L, 22L).map(w)
     val offTarget = (11L to 20L).map(w)
     assert(lookalike.min > offTarget.max,
