@@ -103,6 +103,73 @@ object Multimodal {
       decodeBmp(payload)
         .orElse(decodeWav(payload))
         .getOrElse(decodeFake(kind, payload))
+
+    /** Pixel-level BMP decode for 24-bpp images: returns (w, h, gray)
+      * where `gray(y*w + x)` is the per-pixel channel sum (b+g+r — a
+      * grayscale proxy that skips the /3, which every consumer below
+      * only ever compares, never displays) in TOP-DOWN row-major order.
+      * Honors the header's pixel-array offset (byte 10), the 4-byte row
+      * padding rule, and both row orders (positive height = bottom-up
+      * rows, the format's default; negative = top-down).
+      */
+    private[graft] def decodeBmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte ||
+          le32(p, 14) < 40 || le16(p, 28) != 24) None
+      else {
+        val pixOff = le32(p, 10)
+        val w = le32(p, 18)
+        val rawH = le32(p, 22)
+        val h = math.abs(rawH)
+        val bottomUp = rawH > 0
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        if (w <= 0 || h == 0 || pixOff + rowSize.toLong * h > p.length) None
+        else {
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val fileRow = if (bottomUp) h - 1 - y else y
+            val base = pixOff + fileRow * rowSize
+            var x = 0
+            while (x < w) {
+              val off = base + x * 3
+              gray(y * w + x) =
+                (p(off) & 0xff) + (p(off + 1) & 0xff) + (p(off + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, gray))
+        }
+      }
+  }
+
+  /** 64-bit average hash (aHash) over a decoded grayscale grid: sample an
+    * 8×8 nearest-neighbor grid (y = ⌊sy·h/8⌋, x = ⌊sx·w/8⌋ — the
+    * standard "resize to 8×8" degenerated to point sampling, which both
+    * engines can reproduce exactly), then bit k = 1 iff sample k is
+    * STRICTLY above the 64-sample mean. The mean compare is the integer
+    * cross-multiplication `v·64 > Σv` — float-free, and invariant under
+    * any uniform brightness shift (v→v+c shifts both sides by 64c), which
+    * is the property that makes aHash a perceptual rather than exact
+    * fingerprint. Returned as a 64-char '0'/'1' string (bit 0 first):
+    * lexicographic equality == hash equality in every engine.
+    */
+  private[graft] def aHash64(w: Int, h: Int, gray: Array[Int]): String = {
+    val v = new Array[Int](64)
+    var total = 0L
+    var k = 0
+    while (k < 64) {
+      v(k) = gray((k / 8 * h / 8) * w + (k % 8 * w / 8))
+      total += v(k)
+      k += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    k = 0
+    while (k < 64) {
+      sb.append(if (v(k).toLong * 64 > total) '1' else '0')
+      k += 1
+    }
+    sb.toString
   }
 
   /** Fixture-side builders emitting REAL container bytes (the files any
@@ -340,15 +407,107 @@ object Multimodal {
       |    FROM documents))
       |ORDER BY media_id""".stripMargin
 
+  // ─── q220: image near-dup dedup by perceptual hash (aHash) ────────────
+  // The dedup family's missing modality: every other dedup operator in
+  // this engine keys on text or embeddings; image corpora dedup on
+  // PERCEPTUAL hashes, which survive re-encodes and brightness/contrast
+  // tweaks that break byte-exact fingerprints. Pipeline (all inside one
+  // partition iterator — payload bytes never reach a shuffle):
+  //   synthesize pixel pattern → encode a REAL 24-bpp BMP container →
+  //   decode it back through the header-driven pixel parser
+  //   (MediaCodec.decodeBmpGray — offset/padding/row-order honored, spec
+  //   has a golden-hex pin so encode/decode can't share a symmetric bug)
+  //   → 8×8 average-hash → emit (media_id, 64-bit hash).
+  // The catalog plants duplicate groups (pattern keyed by doc_id % 97,
+  // shared geometry + pixel gradient) and perturbs every 5th image with a
+  // uniform +8-per-channel brightness shift: a byte-exact dedup (q41's
+  // sha2 shape) splits those off; aHash provably does not (the strict
+  // mean-compare is shift-invariant), and the census's n_bright column
+  // counts the shifted members each hash bucket absorbed — the oracle
+  // recomputes the whole pixel→hash arithmetic relationally, so a wrong
+  // pad rule, row order, or sampling index hash-mismatches.
+  //
+  // Scale: the shuffle carries (64-char hash, id, flag) — fixed-width,
+  // map-side combined groupBy; decode cost is one linear pass over
+  // payload bytes per image. At 100 TB the same plan holds with the
+  // hash as the dedup key feeding the q199 CC funnel for banded-hamming
+  // near-misses (q68's machinery composes unchanged — aHash is just
+  // another fixed-width signature column).
+  private[graft] def patternBmpCatalog(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id % 97).toInt
+        val w = g % 12 + 5
+        val h = g % 7 + 4
+        val bright = if (id % 5 == 0) 8 else 0
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val content = Array.tabulate(rowSize * h) { i =>
+          ((g * 37 + i * 11) % 200 + bright).toByte
+        }
+        MediaRecord(id, "image", MediaEncode.bmp(w, h, content))
+      })
+  }
+
+  def q220ImagePhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = patternBmpCatalog(s, d)
+      .mapPartitions(_.map { r =>
+        val (w, h, gray) = MediaCodec.decodeBmpGray(r.payload)
+          .getOrElse(sys.error(s"undecodable BMP for media ${r.media_id}"))
+        (r.media_id, aHash64(w, h, gray))
+      })
+      .toDF("media_id", "ahash")
+    hashed
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"),
+           min(col("media_id")).as("keeper_id"),
+           sum(when(pmod(col("media_id"), lit(5)) === 0, 1L).otherwise(0L))
+             .as("n_bright"))
+      .orderBy(col("ahash"))
+  }
+
+  val q220Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 97 AS INT) AS g,
+      |    CAST(doc_id % 97 % 12 + 5 AS INT) AS w,
+      |    CAST(doc_id % 97 % 7 + 4 AS INT) AS h,
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END AS bright
+      |  FROM documents),
+      |geom AS (SELECT *, (w * 3 + 3) // 4 * 4 AS rs FROM imgs),
+      |samples AS (
+      |  SELECT doc_id, bright, k,
+      |    (g*37 + ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3) * 11) % 200
+      |    + (g*37 + ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3 + 1) * 11) % 200
+      |    + (g*37 + ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3 + 2) * 11) % 200
+      |    + 3 * bright AS v
+      |  FROM geom, unnest(range(0, 64)) AS t(k)),
+      |bits AS (
+      |  SELECT doc_id, bright, k,
+      |    CASE WHEN v * 64 > sum(v) OVER (PARTITION BY doc_id)
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM samples),
+      |hashes AS (
+      |  SELECT doc_id, bright, string_agg(b, '' ORDER BY k) AS ahash
+      |  FROM bits GROUP BY doc_id, bright)
+      |SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+      |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |  CAST(sum(CASE WHEN bright = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+      |FROM hashes GROUP BY ahash
+      |ORDER BY ahash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
     "q92_frame_sample"    -> (q92FrameSample _),
     "q98_container_decode" -> (q98ContainerDecode _),
+    "q220_image_phash_dedup" -> (q220ImagePhashDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q58_multimodal_meta" -> q58Sql,
     "q92_frame_sample"    -> q92Sql,
     "q98_container_decode" -> q98Sql,
+    "q220_image_phash_dedup" -> q220Sql,
   )
 }

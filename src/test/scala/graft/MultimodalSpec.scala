@@ -124,4 +124,61 @@ class MultimodalSpec extends SparkSpec {
     val img = Multimodal.sampleFrames(Seq(rec(6, "image", 50)).toDS(), 2).collect()
     assert(img.map(_.frame_idx).toSeq === Seq(0))
   }
+
+  // ─── q220 components: pixel decode + aHash, pinned independently ──────
+
+  test("decodeBmpGray reads padded bottom-up pixel rows from golden bytes") {
+    // Same 2x3 header as the decodeBmp golden, now with hand-picked pixel
+    // bytes. File rows are BOTTOM-UP: file row 0 is image row 2.
+    val golden = hex(
+      "424D 4E000000 00000000 36000000" +
+      "28000000 02000000 03000000 0100 1800" +
+      "00000000 18000000 130B0000 130B0000 00000000 00000000" +
+      "0A141E 283C32 0000" +   // file row 0 → image row 2: 10+20+30, 40+60+50
+      "010203 040506 0000" +   // file row 1 → image row 1: 6, 15
+      "646E78 070809 0000")    // file row 2 → image row 0: 330, 24
+    val Some((w, h, gray)) = Multimodal.MediaCodec.decodeBmpGray(golden)
+    assert((w, h) === ((2, 3)))
+    assert(gray.toSeq === Seq(330, 24, 6, 15, 60, 150))
+    // negative height = top-down rows: same bytes, row order NOT flipped
+    val topDown = golden.clone()
+    topDown(22) = 0xFD.toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    val Some((_, _, td)) = Multimodal.MediaCodec.decodeBmpGray(topDown)
+    assert(td.toSeq === Seq(60, 150, 6, 15, 330, 24))
+    // non-24-bpp and truncated payloads are rejected, not misread
+    val bpp8 = golden.clone(); bpp8(28) = 8
+    assert(Multimodal.MediaCodec.decodeBmpGray(bpp8) === None)
+    assert(Multimodal.MediaCodec.decodeBmpGray(golden.take(60)) === None)
+  }
+
+  test("aHash64 bits follow the strict integer mean-compare") {
+    // 1x1 image: all 64 samples identical, strictly-greater never fires
+    assert(Multimodal.aHash64(1, 1, Array(42)) === "0" * 64)
+    // 2x1 grid (10 | 100): sample x = (k%8 * 2) / 8 → left half of every
+    // 8-bit row samples 10, right half 100; mean sits between
+    assert(Multimodal.aHash64(2, 1, Array(10, 100)) === "00001111" * 8)
+  }
+
+  test("aHash survives a uniform brightness shift that breaks exact hashing") {
+    // Two q220-catalog images with the same pattern group (g = 5) but a
+    // +8-per-channel brightness shift — byte-distinct payloads (an exact
+    // sha2 dedup separates them), same perceptual hash.
+    def img(bright: Int): Array[Byte] = {
+      val g = 5; val w = g % 12 + 5; val h = g % 7 + 4
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      Multimodal.MediaEncode.bmp(w, h, Array.tabulate(rowSize * h) { i =>
+        ((g * 37 + i * 11) % 200 + bright).toByte
+      })
+    }
+    val (base, shifted) = (img(0), img(8))
+    assert(!java.util.Arrays.equals(base, shifted))
+    def hash(p: Array[Byte]): String = {
+      val Some((w, h, gray)) = Multimodal.MediaCodec.decodeBmpGray(p)
+      Multimodal.aHash64(w, h, gray)
+    }
+    assert(hash(base) === hash(shifted))
+    // and the hash is not degenerate (both bit values present)
+    assert(hash(base).distinct.sorted === "01")
+  }
 }
