@@ -1309,7 +1309,66 @@ object Corpus {
        |FROM per, ctot
        |ORDER BY source""".stripMargin
 
+  // ─── q221: the shard writer — global shuffle into fixed training shards
+  // The LAST step of every training-data pipeline: deterministically
+  // shuffle the corpus and cut it into S fixed shards for the trainer's
+  // data loader. Two independent salted hashes split the two concerns:
+  //   shard  = first md5("shard:"||id) hex digit → 16 shards (grow-stable
+  //            hash-bucketing, the q72 argument — a doc's shard never
+  //            changes when the corpus grows);
+  //   order  = md5("order:"||id) — the within-shard "global shuffle"
+  //            order, independent of the shard key so sorting by it can't
+  //            recluster what sharding spread.
+  // The census proves the exact layout: per shard, doc count, char sum,
+  // and an ORDER-SENSITIVE checksum Σ rank·doc_id over the within-shard
+  // rank — any engine disagreement on which docs land in a shard OR the
+  // order they'd be written in hash-mismatches.
+  //
+  // Scale: this is precisely the plan `df.repartition(S, shard)
+  // .sortWithinPartitions(ord).write` executes at 100 TB — ONE shuffle
+  // keyed on the shard id, in-partition sort, zero global sort. The
+  // window below is partitioned by shard, so Catalyst plans the same
+  // exchange+local-sort pair; nothing orders the corpus globally.
+  // CorpusSpec drives the actual writer form and asserts the on-disk
+  // shard layout matches this census.
+  private[graft] val ShardCount = 16
+
+  private[graft] def shardedDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+                       1, 1), 16, 10).cast("int").as("shard"),
+        md5(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
+
+  def q221ShardWriter(s: SparkSession, d: String): DataFrame = {
+    val win = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    shardedDocs(s, d)
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars").cast("long")).as("char_sum"),
+           sum(col("rk") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  val q221Sql: String =
+    """SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS char_sum,
+      |  CAST(sum(rk * doc_id) AS BIGINT) AS order_checksum
+      |FROM (
+      |  SELECT shard, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rk
+      |  FROM (
+      |    SELECT doc_id, n_chars,
+      |      CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+      |                               1, 1) AS BIGINT) AS INT) AS shard,
+      |      md5('order:' || CAST(doc_id AS VARCHAR)) AS ord
+      |    FROM documents))
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_shard_writer" -> (q221ShardWriter _),
     "q216_dsir_select" -> (q216DsirSelect _),
     "q218_source_gate" -> (q218SourceGate _),
     "q211_temperature_mix" -> (q211TemperatureMix _),
@@ -1333,6 +1392,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q221_shard_writer" -> q221Sql,
     "q216_dsir_select" -> q216Sql,
     "q218_source_gate" -> q218Sql,
     "q211_temperature_mix" -> q211Sql,

@@ -294,4 +294,42 @@ class CorpusSpec extends SparkSpec {
     assert(lookalike.min > 0 && offTarget.max < 0,
       "log-ratio sign must separate target-like from off-target here")
   }
+
+  test("q221's census matches what the physical shard writer puts on disk") {
+    // Drive the ACTUAL writer plan the census stands for —
+    // repartition(shard) → sortWithinPartitions → write.partitionBy —
+    // and reconcile the on-disk layout against the q221 aggregate.
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Corpus.shardedDocs(spark, sfDir)
+      .repartition(Corpus.ShardCount, $"shard")
+      .sortWithinPartitions($"shard", $"ord", $"doc_id")
+      .write.partitionBy("shard").mode("overwrite").parquet(out)
+    // one hive dir per shard value
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length === Corpus.ShardCount)
+    val census = Corpus.q221ShardWriter(spark, sfDir)
+      .select($"shard", $"n_docs", $"char_sum")
+      .as[(Int, Long, Long)].collect().map { case (s, n, c) => s -> (n, c) }.toMap
+    val onDisk = spark.read.parquet(out)
+      .groupBy($"shard").agg(count(lit(1)).as("n"),
+        sum($"n_chars".cast("long")).as("c"))
+      .as[(Int, Long, Long)].collect().map { case (s, n, c) => s -> (n, c) }.toMap
+    assert(onDisk === census)
+    // the written order is the salted-hash order, not id order: within a
+    // shard file, doc_ids must NOT be monotonically sorted (the point of
+    // the shuffle) while ord IS (the writer's sort contract)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"file", $"row")
+    val seq = spark.read.parquet(out)
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("row", col("_metadata.row_index"))
+      .withColumn("ordLag", lag($"ord", 1).over(w))
+      .withColumn("idLag", lag($"doc_id", 1).over(w))
+      .where($"ordLag".isNotNull)
+    assert(seq.where($"ord" < $"ordLag").count() === 0L,
+      "rows inside each shard must be in salted-hash order")
+    assert(seq.where($"doc_id" < $"idLag").count() > 0L,
+      "a shard in doc_id order means no global shuffle happened")
+  }
 }
