@@ -401,6 +401,7 @@ object PlanLint {
     "q71_dup_clusters" -> 24,
     "q198_canonical_keeper" -> 24,
     "q199_lsh_dedup_funnel" -> 24,
+    "q222_leakage_safe_split" -> 24,
     // q90 chains CC dedup + clip + split + pack, each stage cached once
     "q90_pipeline_funnel" -> 32,
     // BFS frontier loop: 1 count-materializes-checkpoint action per hop

@@ -690,7 +690,120 @@ object Graph {
       |    AS n_triangles,
       |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges""".stripMargin
 
+  // ─── q222: leakage-safe train/val/test split — split by CLUSTER ───────
+  // q204 AUDITS split leakage after the fact; this is the CONSTRUCTIVE
+  // counterpart: assign splits by hashing the near-dup CLUSTER id (q199's
+  // connected components over verified LSH pairs), not the doc id, so a
+  // document and its near-duplicates land in the same split BY
+  // CONSTRUCTION — the published held-out-set discipline (a test doc
+  // whose near-twin sits in train is a leak no post-hoc filter fully
+  // repairs). Both schemes hash with the SAME salt, so singleton docs
+  // (cluster_id = doc_id) get identical assignments under either — the
+  // leak contrast below isolates exactly the near-dup population.
+  //
+  // The census carries the proof: per split, alongside docs/clusters/char
+  // sums, `leak_doc_pairs` counts verified near-dup pairs the naive
+  // doc-id hash split would straddle (attributed to doc_a's split), and
+  // `leak_cluster_pairs` the same count under the cluster split — zero by
+  // construction, and the oracle RECOMPUTES it (recursive closure + both
+  // assignments) rather than trusting the claim.
+  //
+  // Scale: pairs/CC as q199 (fixed-width, bucket-joined); assignment is a
+  // projection; the leak joins key on doc ids; census aggregates are
+  // map-side combined. The 3-row leak frames join the 3-row census —
+  // nothing here grows beyond the pair count.
+  def q222LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextSim.minhashPairs(s, d, TextSim.DefaultK, TextSim.DefaultB)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      "src", "dst")
+    def splitOf(c: Column): Column = {
+      val h = substring(md5(concat(lit("gsplit:"), c.cast("string"))), 1, 2)
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    }
+    val corpus = TextSim.dedupCorpus(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val assigned = corpus
+      .join(comp, corpus("doc_id") === comp("node"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", splitOf(col("cluster_id")))
+      .withColumn("doc_split", splitOf(col("doc_id")))
+    val a = assigned.select(col("doc_id").as("doc_a"),
+      col("split").as("split_a"), col("doc_split").as("dsplit_a"))
+    val b = assigned.select(col("doc_id").as("doc_b"),
+      col("split").as("split_b"), col("doc_split").as("dsplit_b"))
+    val pairSplits = pairs.join(a, "doc_a").join(b, "doc_b")
+    val leakDoc = pairSplits.where(col("dsplit_a") =!= col("dsplit_b"))
+      .groupBy(col("dsplit_a").as("split"))
+      .agg(count(lit(1)).as("leak_doc_pairs"))
+    val leakCluster = pairSplits.where(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a").as("split"))
+      .agg(count(lit(1)).as("leak_cluster_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("cluster_id")).as("n_clusters"),
+           sum(col("n_chars")).as("char_sum"))
+      .join(leakDoc, Seq("split"), "left")
+      .join(leakCluster, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("char_sum"),
+        coalesce(col("leak_doc_pairs"), lit(0L)).as("leak_doc_pairs"),
+        coalesce(col("leak_cluster_pairs"), lit(0L)).as("leak_cluster_pairs"))
+      .orderBy(col("split"))
+  }
+
+  val q222Sql: String =
+    s"""WITH RECURSIVE ${TextSim.minhashPairCtes(TextSim.DefaultK, TextSim.DefaultB)},
+       |bidir AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM bidir
+       |  UNION
+       |  SELECT b.v AS node, r.lab FROM reach r JOIN bidir b ON b.u = r.node),
+       |compo AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+       |sp AS (
+       |  SELECT doc_id, n_chars, cluster_id,
+       |    CASE WHEN substr(md5('gsplit:' || CAST(cluster_id AS VARCHAR)), 1, 2)
+       |           < 'cc' THEN 'train'
+       |         WHEN substr(md5('gsplit:' || CAST(cluster_id AS VARCHAR)), 1, 2)
+       |           < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN substr(md5('gsplit:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           < 'cc' THEN 'train'
+       |         WHEN substr(md5('gsplit:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |           < 'e6' THEN 'val'
+       |         ELSE 'test' END AS doc_split
+       |  FROM (
+       |    SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |      coalesce(component, c.doc_id) AS cluster_id
+       |    FROM corpus c LEFT JOIN compo ON c.doc_id = node)),
+       |ps AS (
+       |  SELECT sa.split AS split_a, sb.split AS split_b,
+       |    sa.doc_split AS dsplit_a, sb.doc_split AS dsplit_b
+       |  FROM pairs p
+       |  JOIN sp sa ON p.doc_a = sa.doc_id
+       |  JOIN sp sb ON p.doc_b = sb.doc_id),
+       |ld AS (SELECT dsplit_a AS split, count(*) AS leak_doc_pairs
+       |       FROM ps WHERE dsplit_a <> dsplit_b GROUP BY dsplit_a),
+       |lc AS (SELECT split_a AS split, count(*) AS leak_cluster_pairs
+       |       FROM ps WHERE split_a <> split_b GROUP BY split_a),
+       |census AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |    CAST(sum(n_chars) AS BIGINT) AS char_sum
+       |  FROM sp GROUP BY split)
+       |SELECT c.split, n_docs, n_clusters, char_sum,
+       |  CAST(coalesce(leak_doc_pairs, 0) AS BIGINT) AS leak_doc_pairs,
+       |  CAST(coalesce(leak_cluster_pairs, 0) AS BIGINT) AS leak_cluster_pairs
+       |FROM census c
+       |LEFT JOIN ld ON c.split = ld.split
+       |LEFT JOIN lc ON c.split = lc.split
+       |ORDER BY c.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_leakage_safe_split" -> (q222LeakageSafeSplit _),
     "q71_dup_clusters" -> (q71DupClusters _),
     "q198_canonical_keeper" -> (q198CanonicalKeeper _),
     "q199_lsh_dedup_funnel" -> (q199LshDedupFunnel _),
@@ -699,6 +812,7 @@ object Graph {
     "q171_triangle_count" -> (q171TriangleCount _))
 
   val oracleSql: Map[String, String] = Map(
+    "q222_leakage_safe_split" -> q222Sql,
     "q71_dup_clusters" -> q71Sql,
     "q198_canonical_keeper" -> q198Sql,
     "q199_lsh_dedup_funnel" -> q199Sql,

@@ -310,4 +310,23 @@ class GraphSpec extends SparkSpec {
                             13L -> texts(3), 12L -> texts(2)))
     assert(t1 == t2, s"keeper content changed with id assignment: $t1 vs $t2")
   }
+
+  test("q222: cluster split leaks nothing while the doc split provably would") {
+    import spark.implicits._
+    val out = Graph.q222LeakageSafeSplit(spark, sfDir)
+      .select($"split", $"n_docs", $"leak_doc_pairs", $"leak_cluster_pairs")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq === Seq("test", "train", "val"))
+    // the constructive guarantee: zero near-dup pairs straddle splits
+    assert(out.map(_._4).sum === 0L,
+      "cluster-hash split let a near-dup pair straddle splits")
+    // and the contrast is non-vacuous: the naive doc-hash split leaks
+    assert(out.map(_._3).sum > 0L,
+      "fixture produced no doc-split leaks — the contrast is vacuous")
+    // every corpus member is assigned exactly once
+    val corpusSize = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val planted = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(pmod($"doc_id", lit(20)) === 0).count()
+    assert(out.map(_._2).sum === corpusSize + planted)
+  }
 }
