@@ -497,11 +497,143 @@ object Multimodal {
       |FROM hashes GROUP BY ahash
       |ORDER BY ahash""".stripMargin
 
+  // ─── q223: image NEAR-MISS dedup — banded hamming over aHash ──────────
+  // q220 buckets byte-different images whose aHash is IDENTICAL; real
+  // image corpora also carry near-misses whose hashes differ by a few
+  // bits (a logo stamped in a corner, a small crop). The standard answer
+  // is hamming-radius search over the perceptual hashes, and the
+  // standard scale shape — demonstrated here — is candidate generation
+  // over DISTINCT SIGNATURES, not images: the signature table is orders
+  // of magnitude smaller than the corpus (94 hashes for 5 000 images at
+  // sf0.1), so the banded self-join runs on the small frame and image
+  // multiplicities ride along as counts. Banding: 4 blocks of 16 bits —
+  // hashes within hamming ≤ 6 of each other share an exact block unless
+  // the flips spread across all 4 (the usual LSH recall trade, mirrored
+  // bit-for-bit by the oracle).
+  //
+  // The catalog plants the near-misses: every 9th image gets a copy
+  // (media_id + 1000000) with its top-left pixel burned to white — a
+  // localized edit that flips the sampled bits it touches plus any
+  // borderline bits the shifted mean tips, leaving the hash a few bits
+  // off its group's. The oracle recomputes pixel→hash→bands→hamming
+  // relationally, including the burned pixel.
+  private[graft] def perturbedBmpCatalog(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val g = (id % 97).toInt
+        val w = g % 12 + 5
+        val h = g % 7 + 4
+        val bright = if (id % 5 == 0) 8 else 0
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        val content = Array.tabulate(rowSize * h) { i =>
+          ((g * 37 + i * 11) % 200 + bright).toByte
+        }
+        val base = MediaRecord(id, "image", MediaEncode.bmp(w, h, content))
+        if (id % 9 != 0) Iterator(base)
+        else {
+          // burn image pixel (0,0) — file row h-1 (bottom-up) — to white
+          val p = content.clone()
+          val off = (h - 1) * rowSize
+          p(off) = -1; p(off + 1) = -1; p(off + 2) = -1
+          Iterator(base,
+            MediaRecord(id + 1000000, "image", MediaEncode.bmp(w, h, p)))
+        }
+      })
+  }
+
+  def q223ImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = perturbedBmpCatalog(s, d)
+      .mapPartitions(_.map { r =>
+        val (w, h, gray) = MediaCodec.decodeBmpGray(r.payload)
+          .getOrElse(sys.error(s"undecodable BMP for media ${r.media_id}"))
+        (r.media_id, aHash64(w, h, gray))
+      })
+      .toDF("media_id", "ahash")
+    val sigs = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_images"))
+    val banded = sigs.select(col("ahash"), col("n_images"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b AS band_id, substring(ahash, b*16+1, 16) AS band_key))"))
+          .as("bk"))
+      .select(col("ahash"), col("n_images"),
+              col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.ahash") < col("y.ahash"))
+      .select(col("x.ahash").as("ahash_a"), col("x.n_images").as("n_a"),
+              col("y.ahash").as("ahash_b"), col("y.n_images").as("n_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("size(filter(sequence(1, 64), " +
+        "i -> substring(ahash_a, i, 1) != substring(ahash_b, i, 1)))"))
+      .where(col("hamming").between(1, 6))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_sig_pairs"),
+           sum(col("n_a").cast("long") * col("n_b")).as("n_image_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  val q223Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 97 AS INT) AS g,
+      |    CAST(doc_id % 97 % 12 + 5 AS INT) AS w,
+      |    CAST(doc_id % 97 % 7 + 4 AS INT) AS h,
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END AS bright,
+      |    0 AS perturbed
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    CAST(doc_id % 97 AS INT), CAST(doc_id % 97 % 12 + 5 AS INT),
+      |    CAST(doc_id % 97 % 7 + 4 AS INT),
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END, 1
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |geom AS (SELECT *, (w * 3 + 3) // 4 * 4 AS rs FROM imgs),
+      |samples AS (
+      |  SELECT media_id, k,
+      |    CASE WHEN perturbed = 1
+      |           AND k // 8 * h // 8 = 0 AND k % 8 * w // 8 = 0 THEN 765
+      |    ELSE
+      |      (g*37 + ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3) * 11) % 200
+      |    + (g*37 + ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3 + 1) * 11) % 200
+      |    + (g*37 + ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3 + 2) * 11) % 200
+      |    + 3 * bright END AS v
+      |  FROM geom, unnest(range(0, 64)) AS t(k)),
+      |bits AS (
+      |  SELECT media_id, k,
+      |    CASE WHEN v * 64 > sum(v) OVER (PARTITION BY media_id)
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM samples),
+      |hashes AS (
+      |  SELECT media_id, string_agg(b, '' ORDER BY k) AS ahash
+      |  FROM bits GROUP BY media_id),
+      |sigs AS (SELECT ahash, count(*) AS n FROM hashes GROUP BY ahash),
+      |banded AS (
+      |  SELECT ahash, n, b, substr(ahash, CAST(b*16+1 AS INT), 16) AS key
+      |  FROM sigs, unnest(range(0, 4)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.ahash AS ha, x.n AS na, y.ahash AS hb, y.n AS nb
+      |  FROM banded x JOIN banded y
+      |    ON x.b = y.b AND x.key = y.key AND x.ahash < y.ahash),
+      |ham AS (
+      |  SELECT *, CAST(length(list_filter(range(1, 65),
+      |    i -> substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)))
+      |    AS INT) AS hamming
+      |  FROM cand)
+      |SELECT hamming, CAST(count(*) AS BIGINT) AS n_sig_pairs,
+      |  CAST(sum(na * nb) AS BIGINT) AS n_image_pairs
+      |FROM ham WHERE hamming BETWEEN 1 AND 6
+      |GROUP BY hamming
+      |ORDER BY hamming""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
     "q92_frame_sample"    -> (q92FrameSample _),
     "q98_container_decode" -> (q98ContainerDecode _),
     "q220_image_phash_dedup" -> (q220ImagePhashDedup _),
+    "q223_image_near_dup" -> (q223ImageNearDup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -509,5 +641,6 @@ object Multimodal {
     "q92_frame_sample"    -> q92Sql,
     "q98_container_decode" -> q98Sql,
     "q220_image_phash_dedup" -> q220Sql,
+    "q223_image_near_dup" -> q223Sql,
   )
 }

@@ -181,4 +181,25 @@ class MultimodalSpec extends SparkSpec {
     // and the hash is not degenerate (both bit values present)
     assert(hash(base).distinct.sorted === "01")
   }
+
+  test("q223's burned-pixel perturbation lands in the banded-hamming radius") {
+    // For each planted near-miss (media_id + 1000000), the perturbed hash
+    // must sit a SMALL hamming distance from its source's — close enough
+    // that 4×16 banding can catch it, far enough that q220's exact-hash
+    // census provably cannot (at least one pair strictly between 1 and 6).
+    import spark.implicits._
+    val hashes = Multimodal.perturbedBmpCatalog(spark, sfDir)
+      .map { r =>
+        val Some((w, h, gray)) = Multimodal.MediaCodec.decodeBmpGray(r.payload)
+        (r.media_id, Multimodal.aHash64(w, h, gray))
+      }.collect().toMap
+    val dists = hashes.keys.filter(_ >= 1000000L).toSeq.sorted.map { pid =>
+      val (a, b) = (hashes(pid - 1000000L), hashes(pid))
+      a.zip(b).count { case (x, y) => x != y }
+    }
+    assert(dists.nonEmpty)
+    assert(dists.max <= 10, s"burned pixel moved a hash too far: $dists")
+    assert(dists.exists(d => d >= 1 && d <= 6),
+      "no pair in the 1..6 near-miss band — q223's planting is vacuous")
+  }
 }
