@@ -425,6 +425,8 @@ object PlanLint {
     "q209_quality_classifier" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
     "q147_bpe_learn" -> 28,
+    // learned-fertility census: the full q147 trainer + 1 census pass
+    "q224_learned_fertility" -> 30,
     // SQL-script binary search: ~2 actions per WHILE probe, probes =
     // log2(max per-nation supplier count) — grows LOGARITHMICALLY with
     // SF by design (measured 13 at sf0.001, 25 at sf0.01); 48 prices
@@ -442,6 +444,8 @@ object PlanLint {
     // merge/delete: publish (2) + key-uniqueness probe + touched-file
     // discovery + touched count + staged write/stats + census
     "q214_snapshot_merge" -> 16, "q215_snapshot_delete" -> 12,
+    // WAP: 3 publishes (stage stats + write each) + 3 audits + census
+    "q225_wap_publish" -> 16,
     // multi-statement SQL entries / registration actions (3–4 measured)
     "q113_sql_udf" -> 8, "q97_jdbc_roundtrip" -> 8,
     "q118_schema_evolution" -> 8, "q38_surrogate_keys" -> 8,

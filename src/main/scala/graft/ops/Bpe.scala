@@ -230,11 +230,87 @@ object Bpe {
        |) ORDER BY merge_rank""".stripMargin
   }
 
+  // ─── q224: learned-tokenizer fertility census ─────────────────────────
+  // The step after training a tokenizer: measure what it DOES to the
+  // corpus — per-language fertility (tokens emitted per word), the
+  // metric multilingual pipelines gate vocab size and language mix on
+  // (a language the vocab under-serves shows inflated tokens/word and
+  // eats training budget). q146 measures this for a FIXED merge table;
+  // here the table is the q147-LEARNED one, so the result is
+  // data-dependent end to end: train (8 argmax rounds on the vocab
+  // dict) → encode the per-lang dict through the learned table (the
+  // native kernel, arbitrary merge list) → exact integer census.
+  // The oracle re-trains independently (q147's unrolled stages, with
+  // lang carried through — pair weights sum identically, so the argmax
+  // sequence is the same) and reads its fertility off w8's strings.
+  //
+  // Scale: one corpus-shuffle to the (lang, word) dict; 8 trainer
+  // rounds on the dict (q147's shape and bounds); the census is one
+  // map-side-combined aggregate. Fertility stays exact-integer
+  // (n_tokens, n_words) — the ratio is the consumer's division.
+  def q224LearnedFertility(s: SparkSession, d: String): DataFrame = {
+    val learned = q147BpeLearn(s, d)
+      .orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val enc = graft.expr.BpeFunctions.bpe_encode(col("word"), learned)
+    documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        (col("cnt") * length(col("word"))).as("wc"),
+        (col("cnt") * size(enc)).as("tc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("wc")).cast("long").as("n_chars"),
+        sum(col("tc")).cast("long").as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** q147's unrolled trainer with `lang` carried through the stages: the
+    * per-(lang, word) dict's pair weights sum to the same global counts,
+    * so every round's argmax (and tie-break) matches the engine's; w8's
+    * comma-counts then ARE the learned-vocab token counts per dict row.
+    */
+  private val q224Sql: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT lang, regexp_replace(word, '(.)', ',\\1', 'g') AS s,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY 1, 2)""".stripMargin
+    val stages = (1 to LearnRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
+         |         recursive := true), cnt
+         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt FROM w${k - 1})),
+         |m$k AS MATERIALIZED (
+         |  SELECT lhs, rhs FROM p$k
+         |  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT lang,
+         |    replace(s, ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
+         |            ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS s, cnt
+         |  FROM w${k - 1})""".stripMargin
+    }
+    s"""WITH $w0,
+       |${stages.mkString(",\n")}
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * (length(replace(s, ',', '')))) AS BIGINT) AS n_chars,
+       |  CAST(sum(cnt * (length(s) - length(replace(s, ',', '')))) AS BIGINT)
+       |    AS n_tokens
+       |FROM w$LearnRounds GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bpe_encode" -> (q146BpeEncode _),
-    "q147_bpe_learn" -> (q147BpeLearn _))
+    "q147_bpe_learn" -> (q147BpeLearn _),
+    "q224_learned_fertility" -> (q224LearnedFertility _))
 
   val oracleSql: Map[String, String] = Map(
     "q146_bpe_encode" -> q146Sql,
-    "q147_bpe_learn" -> q147Sql)
+    "q147_bpe_learn" -> q147Sql,
+    "q224_learned_fertility" -> q224Sql)
 }

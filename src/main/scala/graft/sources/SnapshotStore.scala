@@ -310,17 +310,110 @@ object SnapshotStore {
     * surviving version list. Safe order: manifest first (the version
     * disappears from readers atomically), then the data dir.
     */
+  // ─── named refs (branches/tags) ───────────────────────────────────────
+  // A ref decouples "committed" from "visible": versions commit freely
+  // (staging, audits, experiments) while readers following a ref see
+  // only what the ref points at — the Iceberg branch/tag model, and the
+  // gate that makes write-audit-publish possible. Updates follow the
+  // manifest discipline exactly: each update is its own exclusive-create
+  // file `ref-<name>-u<seq>.ref`, current value = highest committed seq
+  // — atomic and lock-free, racing writers loop to the next seq and
+  // last-committed wins deterministically.
+  private val RefUpdateRe = "ref-([A-Za-z0-9_-]+)-u(\\d{5})\\.ref".r
+
+  /** Atomically point `name` at `version`; returns the update seq. */
+  def setRef(spark: SparkSession, table: String, name: String,
+             version: Int): Int = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad ref name: $name")
+    require(versions(spark, table).contains(version),
+      s"ref $name -> $version: version not committed")
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    var seq = refSeqs(spark, table, name).lastOption.getOrElse(0) + 1
+    while (true) {
+      try {
+        val out = f.create(new Path(dir, f"ref-$name-u$seq%05d.ref"), false)
+        out.write(s"version=$version\n".getBytes(UTF_8)); out.close()
+        return seq
+      } catch {
+        case _: java.io.IOException =>
+          seq = refSeqs(spark, table, name).lastOption.getOrElse(seq) + 1
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def refSeqs(spark: SparkSession, table: String,
+                      name: String): Seq[Int] = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case RefUpdateRe(n, s) if n == name => s.toInt
+    }.sorted
+  }
+
+  /** Current target of every ref on the table. */
+  def refs(spark: SparkSession, table: String): Map[String, Int] = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Map.empty
+    val updates = f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case RefUpdateRe(n, s) => (n, s.toInt)
+    }
+    updates.groupBy(_._1).map { case (n, us) =>
+      val top = us.map(_._2).max
+      val in = f.open(new Path(dir, f"ref-$n-u$top%05d.ref"))
+      val line = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .next()
+      in.close()
+      n -> line.stripPrefix("version=").toInt
+    }
+  }
+
+  def refOf(spark: SparkSession, table: String, name: String): Option[Int] =
+    refs(spark, table).get(name)
+
+  /** Read what a ref points at (the branch-follower's read path). */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = refOf(spark, table, name)
+      .getOrElse(sys.error(s"no ref '$name' on $table"))
+    read(spark, table, Some(v))
+  }
+
+  /** WRITE-AUDIT-PUBLISH: commit `df` as a new version (invisible to
+    * `ref` followers), run `audit` against the COMMITTED snapshot (what
+    * readers would actually see, not the input frame), and advance the
+    * ref only on pass. A crash anywhere leaves the ref untouched — the
+    * staged version is time-travelable for debugging and reclaimable by
+    * vacuum. Returns (staged version, promoted?).
+    */
+  def wapPublish(spark: SparkSession, table: String, df: DataFrame,
+                 ref: String, audit: DataFrame => Boolean): (Int, Boolean) = {
+    val v = publish(df, table)
+    val ok = audit(read(spark, table, Some(v)))
+    if (ok) setRef(spark, table, ref, v)
+    (v, ok)
+  }
+
   def vacuum(spark: SparkSession, table: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = versions(spark, table)
-    val expire = all.dropRight(keepLast)
+    // refs are retention ROOTS: a version a branch/tag still points at
+    // is live regardless of age (Iceberg's ref-aware expiry), and its
+    // manifest must survive so the ref stays readable
+    val refRoots = refs(spark, table).values.toSet
+    val expire = all.dropRight(keepLast).filterNot(refRoots.contains)
     // REACHABILITY fence: a merge-produced manifest references earlier
     // versions' data dirs, so an expired version's dir is deletable only
     // if no RETAINED manifest still points into it (Delta VACUUM's
     // reasoning — the manifest set, not the version number, defines
     // liveness). Its manifest always goes: the version itself stops
     // being time-travelable either way.
-    val referenced = all.takeRight(keepLast).flatMap { v =>
+    val kept = (all.takeRight(keepLast) ++ all.filter(refRoots.contains))
+      .distinct
+    val referenced = kept.flatMap { v =>
       manifestLines(spark, table, v).drop(3).filter(_.nonEmpty)
         .map(l => snapDirNameOf(l.split('\t')(0)))
     }.toSet
@@ -1108,7 +1201,72 @@ object SnapshotStore {
       |GROUP BY b
       |ORDER BY b""".stripMargin
 
+  // ─── q225: branch refs + write-audit-publish (WAP) ────────────────────
+  // The Iceberg/Delta "WAP" production pattern end to end: every batch
+  // COMMITS as a version (time-travelable, debuggable), but the `main`
+  // ref — what downstream readers follow — advances only after an audit
+  // of the committed snapshot passes. A poisoned batch (negative prices
+  // planted on every 7th odd order) therefore lands, fails its audit,
+  // and stays invisible; the clean retry lands and promotes. The census
+  // reads THROUGH the ref after each stage, so the result encodes what
+  // a ref follower would actually have seen at each point — the oracle
+  // derives the same three states straight from `orders` (even keys;
+  // even again, bad batch rejected; all keys) with the ref versions as
+  // structural constants (1, 1, 3: three commits, second unpromoted).
+  //
+  // Scale: refs and audits are manifest-level metadata plus one
+  // aggregate over the staged snapshot; the data path is publish's
+  // (stats/bloom collection bounded per file). Nothing here reads more
+  // than the batch being audited.
+  def q225WapPublish(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/wap"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val orders = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val even = orders.where(col("o_orderkey") % 2 === 0)
+    val odd = orders.where(col("o_orderkey") % 2 === 1)
+    val poisoned = odd.select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, -col("cents"))
+        .otherwise(col("cents")).as("cents"))
+    def audit(df: DataFrame): Boolean =
+      df.agg(min(col("cents"))).head.getLong(0) >= 0L
+    def visible(stage: String): DataFrame =
+      readRef(s, table, "main")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(stage).as("stage"),
+          lit(refOf(s, table, "main").get).cast("long").as("main_version"),
+          col("n_rows"), col("total_cents"))
+    val (_, ok1) = wapPublish(s, table, even, "main", audit)
+    require(ok1, "baseline batch must pass its own audit")
+    val s1 = visible("1_init")
+    val (_, ok2) = wapPublish(s, table, poisoned, "main", audit)
+    require(!ok2, "poisoned batch must fail the audit")
+    val s2 = visible("2_bad_rejected")
+    val (_, ok3) = wapPublish(s, table, orders, "main", audit)
+    require(ok3, "clean retry must pass")
+    val s3 = visible("3_good_promoted")
+    s1.unionAll(s2).unionAll(s3).orderBy(col("stage"))
+  }
+
+  val q225Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |ev AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+      |       FROM o WHERE o_orderkey % 2 = 0),
+      |al AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+      |       FROM o)
+      |SELECT '1_init' AS stage, CAST(1 AS BIGINT) AS main_version,
+      |  n AS n_rows, t AS total_cents FROM ev
+      |UNION ALL
+      |SELECT '2_bad_rejected', 1, n, t FROM ev
+      |UNION ALL
+      |SELECT '3_good_promoted', 3, n, t FROM al
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_wap_publish" -> (q225WapPublish _),
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
     "q133_snapshot_cdc" -> (q133SnapshotCdc _),
     "q148_skipping_read" -> (q148SkippingRead _),
@@ -1118,6 +1276,7 @@ object SnapshotStore {
     "q215_snapshot_delete" -> (q215SnapshotDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "q225_wap_publish" -> q225Sql,
     "q130_snapshot_roundtrip" -> q130Sql,
     "q133_snapshot_cdc" -> q133Sql,
     "q148_skipping_read" -> q148Sql,

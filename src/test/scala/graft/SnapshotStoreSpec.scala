@@ -476,6 +476,68 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(pr2.df.select("pay").as[Long].collect().toSeq === Seq(-2L))
   }
 
+  test("refs: atomic updates, last-set wins, readRef follows the pointer") {
+    val t = freshTable("refs")
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), t)
+    SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), t)
+    // a ref must point at a committed version
+    intercept[IllegalArgumentException] {
+      SnapshotStore.setRef(spark, t, "main", 9)
+    }
+    intercept[RuntimeException] { SnapshotStore.readRef(spark, t, "main") }
+    SnapshotStore.setRef(spark, t, "main", 1)
+    SnapshotStore.setRef(spark, t, "audit", 2)
+    assert(SnapshotStore.refs(spark, t) === Map("main" -> 1, "audit" -> 2))
+    assert(SnapshotStore.readRef(spark, t, "main")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // re-pointing is an append (new update file), not an overwrite:
+    // last committed seq wins, and the history of updates remains
+    SnapshotStore.setRef(spark, t, "main", 2)
+    assert(SnapshotStore.refOf(spark, t, "main") === Some(2))
+    assert(SnapshotStore.readRef(spark, t, "main")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+  }
+
+  test("WAP: audit failure leaves the ref untouched; pass promotes") {
+    val t = freshTable("wap")
+    val audit: org.apache.spark.sql.DataFrame => Boolean =
+      df => df.agg(min($"id")).head.getLong(0) >= 0L
+    val (v1, ok1) = SnapshotStore.wapPublish(spark, t,
+      Seq((1L, "a")).toDF("id", "s"), "main", audit)
+    assert(v1 === 1 && ok1)
+    val (v2, ok2) = SnapshotStore.wapPublish(spark, t,
+      Seq((-5L, "poison")).toDF("id", "s"), "main", audit)
+    assert(v2 === 2 && !ok2)
+    // the bad batch COMMITTED (debuggable, time-travelable)…
+    assert(SnapshotStore.read(spark, t, Some(2)).count() === 1L)
+    // …but ref followers never saw it
+    assert(SnapshotStore.refOf(spark, t, "main") === Some(1))
+    val (v3, ok3) = SnapshotStore.wapPublish(spark, t,
+      Seq((5L, "fixed")).toDF("id", "s"), "main", audit)
+    assert(v3 === 3 && ok3)
+    assert(SnapshotStore.readRef(spark, t, "main")
+      .as[(Long, String)].collect().toSeq === Seq((5L, "fixed")))
+  }
+
+  test("vacuum treats refs as retention roots") {
+    val t = freshTable("refvacuum")
+    SnapshotStore.publish(Seq((1L, "a")).toDF("id", "s"), t)
+    SnapshotStore.publish(Seq((2L, "b")).toDF("id", "s"), t)
+    SnapshotStore.publish(Seq((3L, "c")).toDF("id", "s"), t)
+    SnapshotStore.setRef(spark, t, "prod", 1)
+    // keepLast=1 would normally expire v1 and v2; the prod ref pins v1
+    val expired = SnapshotStore.vacuum(spark, t, keepLast = 1)
+    assert(expired === Seq(2))
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 3))
+    assert(SnapshotStore.readRef(spark, t, "prod")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+    // re-point the ref forward: v1 loses its root and the next vacuum
+    // reclaims it
+    SnapshotStore.setRef(spark, t, "prod", 3)
+    assert(SnapshotStore.vacuum(spark, t, keepLast = 1) === Seq(1))
+    assert(SnapshotStore.versions(spark, t) === Seq(3))
+  }
+
   test("q130 census conserves: v1 ⊆ v2 by construction") {
     val out = SnapshotStore.q130SnapshotRoundtrip(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
