@@ -234,6 +234,9 @@ object PlanLint {
     "q44_lang_id" -> Set("nested-loop", "cartesian"),
     // q103: the CMS sketch collapses to a 1-row frame crossJoined back
     "q103_cms_heavy_hitters" -> Set("nested-loop", "cartesian"),
+    // q226: the 1-row exact-tercile frame crossJoined back (the scalar-
+    // broadcast idiom; approx_percentile is the documented 100 TB knob)
+    "q226_curriculum_plan" -> Set("nested-loop", "cartesian", "exact-percentile"),
     // q38: the surrogate-key window over a DIMENSION (≤4M keys, documented
     // in ops/Merge.scala) + a 1-row max-id frame cross
     "q38_surrogate_keys" -> Set("global-window", "nested-loop", "cartesian"),

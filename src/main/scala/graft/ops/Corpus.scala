@@ -1367,7 +1367,69 @@ object Corpus {
       |GROUP BY shard
       |ORDER BY shard""".stripMargin
 
+  // ─── q226: curriculum shard plan — DSIR phases × writer shards ────────
+  // The published mid-training/annealing discipline: pretrain on general
+  // data, anneal on target-like data last. Phases come from the q216
+  // DSIR importance weight (exact integer nano-units), cut at the exact
+  // DISCRETE terciles — percentile_disc returns an ACTUAL logw_nano
+  // value (q137's cross-engine-stable contract), so every phase boundary
+  // is an integer comparison, no interpolation float ever decides a
+  // doc's phase. Each phase then gets q221's shard assignment, yielding
+  // the (phase, shard) write plan a curriculum data loader consumes.
+  //
+  // Scale: the weight pass is q216's (one token pass, 64-row broadcast);
+  // the tercile cut is one exact-percentile aggregate (the documented
+  // oracle-contract form — approx_percentile is the 100 TB knob, q96's
+  // argument) crossJoined back as a 1-row broadcast; phase+shard are
+  // projections; the census is map-side combined. Nothing sorts
+  // globally — the "curriculum order" is the (phase, shard) key, not a
+  // total order.
+  def q226CurriculumPlan(s: SparkSession, d: String): DataFrame = {
+    val w = dsirWeights(s, documents(s, d))
+      .select(col("doc_id"), col("logw_nano"))
+    val cuts = w.agg(
+      expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY logw_nano)")
+        .as("t1"),
+      expr("percentile_disc(0.6667) WITHIN GROUP (ORDER BY logw_nano)")
+        .as("t2"))
+    w.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        when(col("logw_nano") <= col("t1"), "p1_general")
+          .when(col("logw_nano") <= col("t2"), "p2_mixed")
+          .otherwise("p3_target").as("phase"),
+        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+                       1, 1), 16, 10).cast("int").as("shard"))
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars").cast("long")).as("char_sum"))
+      .orderBy(col("phase"), col("shard"))
+  }
+
+  val q226Sql: String =
+    s"""WITH $dsirCtes,
+       |cuts AS (
+       |  SELECT percentile_disc(0.3333) WITHIN GROUP (ORDER BY logw_nano)
+       |           AS t1,
+       |         percentile_disc(0.6667) WITHIN GROUP (ORDER BY logw_nano)
+       |           AS t2
+       |  FROM wdoc),
+       |ph AS (
+       |  SELECT w.doc_id,
+       |    CASE WHEN logw_nano <= t1 THEN 'p1_general'
+       |         WHEN logw_nano <= t2 THEN 'p2_mixed'
+       |         ELSE 'p3_target' END AS phase,
+       |    CAST(CAST('0x' || substr(md5('shard:' || CAST(w.doc_id AS VARCHAR)),
+       |                             1, 1) AS BIGINT) AS INT) AS shard
+       |  FROM wdoc w, cuts)
+       |SELECT phase, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+       |FROM ph JOIN documents USING (doc_id)
+       |GROUP BY phase, shard
+       |ORDER BY phase, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_curriculum_plan" -> (q226CurriculumPlan _),
     "q221_shard_writer" -> (q221ShardWriter _),
     "q216_dsir_select" -> (q216DsirSelect _),
     "q218_source_gate" -> (q218SourceGate _),
@@ -1392,6 +1454,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q226_curriculum_plan" -> q226Sql,
     "q221_shard_writer" -> q221Sql,
     "q216_dsir_select" -> q216Sql,
     "q218_source_gate" -> q218Sql,

@@ -295,6 +295,20 @@ class CorpusSpec extends SparkSpec {
       "log-ratio sign must separate target-like from off-target here")
   }
 
+  test("q226 phases are weight-ordered terciles that conserve the corpus") {
+    val out = Corpus.q226CurriculumPlan(spark, sfDir)
+      .select($"phase", $"n_docs").as[(String, Long)].collect()
+    val byPhase = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byPhase.keySet === Set("p1_general", "p2_mixed", "p3_target"))
+    val n = byPhase.values.sum
+    assert(n === spark.read.parquet(s"$sfDir/documents.parquet").count())
+    // discrete terciles: each phase holds ~n/3 docs, off only by weight
+    // ties at the cut values (DSIR weights are near-unique here)
+    byPhase.values.foreach(c =>
+      assert(math.abs(c - n / 3.0) <= n * 0.08 + 4,
+        s"phase sizes far from terciles: $byPhase"))
+  }
+
   test("q221's census matches what the physical shard writer puts on disk") {
     // Drive the ACTUAL writer plan the census stands for —
     // repartition(shard) → sortWithinPartitions → write.partitionBy —
