@@ -264,6 +264,9 @@ object PlanLint {
     "q63_embedding_neardup_p8" -> Set("nested-loop"),
     "q65_ann_lsh_multitable" -> Set("nested-loop"),
     "q66_ann_ivf_nprobe2" -> Set("nested-loop", "cartesian"),
+    // q227: the ≤8-row folded-codebook frame crossJoined for assignment
+    // + the broadcast 5-row query side of the exact-recall census
+    "q227_ivf_snapshot_probe" -> Set("nested-loop", "cartesian"),
     "q69_repetition_quality" -> Set("nested-loop", "cartesian"),
     "q74_tfidf" -> Set("nested-loop", "cartesian"),
     "q83_unigram_score" -> Set("nested-loop", "cartesian"),
@@ -417,6 +420,9 @@ object PlanLint {
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,
     "q207_kmeans_ivf_recall" -> 8,
+    // IVF-as-table: trainer (3) + probe-cid collect + publish stage
+    // stats/write + readPoint manifest reads + census
+    "q227_ivf_snapshot_probe" -> 16,
     "q208_pq_learned_recall" -> 8,
     "q212_doc_clusters" -> 8,
     "q213_cluster_balanced_sample" -> 8,

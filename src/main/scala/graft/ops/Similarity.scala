@@ -1464,6 +1464,125 @@ object Similarity {
        |FROM hits ORDER BY q_id""".stripMargin
   }
 
+  // ─── q227: the IVF index AS a partitioned snapshot table ──────────────
+  // The 100 TB form of an IVF index is not an in-memory structure — it
+  // is a TABLE LAYOUT: corpus vectors hive-partitioned by their learned
+  // coarse-quantizer cell, so "probe nprobe cells" IS partition pruning
+  // (q210's machinery, zero new read code). This query materializes
+  // exactly that: q206's learned centroids assign the corpus, the
+  // assignment publishes to the snapshot store partitioned by cid, and
+  // the nprobe=2 probe reads back through readPoint — whose files_kept /
+  // files_total counters ride in the output AS DATA, oracle-derived
+  // from the trainer's own cell population (a probe that opens more
+  // files than its cells is a hash mismatch, not just a slow read).
+  // Recall vs the exact top-5 is the same oracle-checked census as q207:
+  // the index layout must not change WHAT the probe finds, only what it
+  // reads.
+  def q227IvfSnapshotProbe(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/ivf"
+    val tableP = new org.apache.hadoop.fs.Path(table)
+    tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(tableP, true)
+    val emb = embFrame(s, d)
+    val cents = kmeansFor(s, d, 1, DIM, 8, 2)
+    val ranked = pieces(emb, 1, DIM).crossJoin(centsRow(cents))
+      .withColumn("ranked", array_sort(transform(col("cents"),
+        c => struct(sqDist(col("sub"), c("carr")).as("d"),
+                    c("cid").as("cid")))))
+      .select(col("vec_id"), col("sub").as("e"), col("ranked"))
+    // the index build: one shuffle by cell, one file per non-empty cell
+    val corpus = ranked.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"),
+              element_at(col("ranked"), 1)("cid").cast("int").as("cid"))
+    SnapshotStore.publish(corpus.repartition(8, col("cid")), table,
+      partitionBy = Seq("cid"))
+    val q = ranked.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+              explode(slice(col("ranked"), 1, 2)).as("rc"))
+      .select(col("q_id"), col("qe"), col("rc")("cid").cast("int").as("cid"))
+    // ≤ k = 8 distinct probe cells — bounded driver traffic by design
+    val probeCids = q.select(col("cid")).distinct()
+      .collect().map(_.getInt(0).toLong).sorted.toSeq
+    val pr = SnapshotStore.readPoint(s, table, None, "cid", probeCids)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val ivf5 = pr.df.join(q, Seq("cid"))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val exact5 = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))))
+      .select(col("q_id"), col("c_id"),
+              round(cosine(col("qe"), col("ce")), 4).as("cos"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= 5)
+      .select(col("q_id"), col("c_id"))
+    exact5.as("x")
+      .join(ivf5.as("i"), col("x.q_id") === col("i.q_id") &&
+                          col("x.c_id") === col("i.c_id"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("i.c_id")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+              round(col("n_hits") / 5.0, 4).as("recall"),
+              lit(pr.filesTotal.toLong).as("files_total"),
+              lit(pr.filesKept.toLong).as("files_probed"))
+      .orderBy(col("q_id"))
+  }
+
+  val q227Sql: String = {
+    val d2 = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    val cosQc = "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(" +
+      "qe, qe)) * sqrt(list_dot_product(ce, ce))), 4)"
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |ranked AS MATERIALIZED (
+       |  SELECT p.vec_id, p.sub AS e, c.cid,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $d2, c.cid) AS arn
+       |  FROM pieces p JOIN c2 c ON p.m = c.m),
+       |q AS (SELECT vec_id AS q_id, e AS qe, cid FROM ranked
+       |      WHERE arn <= 2 AND vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, e AS ce, cid FROM ranked
+       |      WHERE arn = 1 AND vec_id >= 5),
+       |cnt AS (
+       |  SELECT CAST(count(DISTINCT cid) AS BIGINT) AS files_total,
+       |    CAST(count(DISTINCT CASE WHEN cid IN (SELECT cid FROM q)
+       |                             THEN cid END) AS BIGINT) AS files_probed
+       |  FROM c),
+       |ivf5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rn FROM (
+       |      SELECT q.q_id, c.c_id, $cosQc AS cos
+       |      FROM c JOIN q ON c.cid = q.cid))
+       |  WHERE rn <= 5),
+       |exact5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rn FROM (
+       |      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |        round(list_dot_product(q.e, c.e)
+       |          / (sqrt(list_dot_product(q.e, q.e))
+       |             * sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+       |      FROM emb q CROSS JOIN emb c
+       |      WHERE q.vec_id < 5 AND c.vec_id >= 5))
+       |  WHERE rn <= 5),
+       |hits AS (
+       |  SELECT e.q_id, count(i.c_id) AS n_hits
+       |  FROM exact5 e LEFT JOIN ivf5 i
+       |    ON e.q_id = i.q_id AND e.c_id = i.c_id
+       |  GROUP BY e.q_id)
+       |SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+       |  round(n_hits / 5.0, 4) AS recall,
+       |  (SELECT files_total FROM cnt) AS files_total,
+       |  (SELECT files_probed FROM cnt) AS files_probed
+       |FROM hits ORDER BY q_id""".stripMargin
+  }
+
   // q208: q111's PQ rebuilt on LEARNED per-subspace codebooks (M=8
   // subspaces × k=8 codes, 2 Lloyd rounds each — trained in ONE run of
   // the subspace-generalized trainer), ADC ranking by summed per-
@@ -1874,6 +1993,7 @@ object Similarity {
     "q212_doc_clusters"      -> (q212DocClusters _),
     "q206_kmeans_codebook"   -> (q206KmeansCodebook _),
     "q207_kmeans_ivf_recall" -> (q207KmeansIvfRecall _),
+    "q227_ivf_snapshot_probe" -> (q227IvfSnapshotProbe _),
     "q208_pq_learned_recall" -> (q208PqLearnedRecall _),
     "q131_jl_projection"  -> (q131JlProjection _),
     "q49_cosine_topk"     -> (q49CosineTopk _),
@@ -1899,6 +2019,7 @@ object Similarity {
     "q212_doc_clusters"      -> q212Sql,
     "q206_kmeans_codebook"   -> q206Sql,
     "q207_kmeans_ivf_recall" -> q207Sql,
+    "q227_ivf_snapshot_probe" -> q227Sql,
     "q208_pq_learned_recall" -> q208Sql,
     "q131_jl_projection"  -> q131Sql,
     "q49_cosine_topk"     -> q49Sql,
