@@ -237,6 +237,9 @@ object PlanLint {
     // q226: the 1-row exact-tercile frame crossJoined back (the scalar-
     // broadcast idiom; approx_percentile is the documented 100 TB knob)
     "q226_curriculum_plan" -> Set("nested-loop", "cartesian", "exact-percentile"),
+    // q228: the 325-row weight-grid build (range×range) + the 1-row n
+    // frame crossJoined back each epoch — all O(1)-sized sides
+    "q228_softmax_langid" -> Set("nested-loop", "cartesian"),
     // q38: the surrogate-key window over a DIMENSION (≤4M keys, documented
     // in ops/Merge.scala) + a 1-row max-id frame cross
     "q38_surrogate_keys" -> Set("global-window", "nested-loop", "cartesian"),
@@ -432,6 +435,8 @@ object PlanLint {
     // (epochs=4) before the query body (measured 5 total at epochs=3;
     // 10 prices epochs=4 with headroom)
     "q209_quality_classifier" -> 10,
+    // softmax trainer: feat checkpoint + 1 per epoch (3) + census
+    "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
     "q147_bpe_learn" -> 28,
     // learned-fertility census: the full q147 trainer + 1 census pass

@@ -1157,6 +1157,159 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
+  // q44 is the heuristic lang-ID (marker scoring); q209 the binary
+  // trained classifier. This is the canonical fastText deployment —
+  // supervised language identification — as a 5-class softmax over the
+  // same hashed-token features: z_k = Σ_j x·w_jk, p = softmax(z),
+  // per-epoch gradient for (j, k) = Σ_docs (p_k − 1[y=k])·x — one
+  // map-side-combined aggregate per epoch over the sparse feature frame,
+  // exactly q209's scale shape with a 5× wider (325-row broadcast)
+  // weight grid. Weights round to 6dp per epoch (the q206/q209
+  // round-at-the-boundary discipline); the oracle re-trains the
+  // IDENTICAL fixed-seed, fixed-epoch model as unrolled CTE stages and
+  // both engines must agree on every reported doc's argmax AND
+  // probability.
+  private val SmClasses = Seq("de", "en", "es", "fr", "zh")
+  private val SmEpochs = 3
+  private val SmEta = 2.0
+
+  private[graft] def smClassIdx(lang: Column): Column =
+    SmClasses.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (l, i)) =>
+      when(lang === l, i.toLong).otherwise(acc)
+    }
+
+  /** (doc_id, y=class idx, j, x) — q209's feature frame with the label
+    * generalized to the class index. */
+  private[graft] def smFeatures(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), smClassIdx(col("lang")).as("y"),
+      tokens(col("text")).as("toks"))
+    base
+      .select(col("doc_id"), col("y"), size(col("toks")).as("n"),
+              explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("y"), col("n"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+             lit(LrBuckets.toLong)).as("j"))
+      .groupBy(col("doc_id"), col("y"), col("n"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("y"), col("j"),
+              (col("cnt").cast("double") / col("n")).as("x"))
+      .unionByName(base.select(col("doc_id"), col("y"),
+        lit(-1L).as("j"), lit(1.0d).as("x")))
+  }
+
+  /** Per-(doc, class) softmax probabilities under weight frame `w`
+    * ((j, k, w), broadcast — 65×5 rows). */
+  private[graft] def smProbs(feat: DataFrame, w: DataFrame): DataFrame = {
+    val z = feat.join(broadcast(w), "j")
+      .groupBy(col("doc_id"), col("y"), col("k"))
+      .agg(sum(col("x") * col("w")).as("z"))
+      .select(col("doc_id"), col("y"), col("k"), exp(col("z")).as("ez"))
+    val den = z.groupBy(col("doc_id")).agg(sum(col("ez")).as("den"))
+    z.join(den, "doc_id")
+      .select(col("doc_id"), col("y"), col("k"),
+              (col("ez") / col("den")).as("p"))
+  }
+
+  /** Batch-GD softmax trainer: (j, k, w) after `epochs` rounds (zero
+    * init, η = [[SmEta]], round-6 updates — q209's discipline per class).
+    */
+  def trainSoftmaxLangId(s: SparkSession, docs: DataFrame,
+                         epochs: Int): DataFrame = {
+    val feat = smFeatures(docs).localCheckpoint()
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("nn")))
+    var w = s.range(-1L, LrBuckets.toLong).select(col("id").as("j"))
+      .crossJoin(s.range(0L, SmClasses.length.toLong).select(col("id").as("k")))
+      .select(col("j"), col("k"), lit(0.0d).as("w"))
+    for (_ <- 1 to epochs) {
+      val p = smProbs(feat, w).select(col("doc_id"), col("k"), col("p"))
+      val g = feat.join(p, "doc_id")
+        .groupBy(col("j"), col("k"))
+        .agg(sum((col("p") -
+          when(col("y") === col("k"), 1.0d).otherwise(0.0d)) * col("x"))
+          .as("gs"))
+      w = w.join(g, Seq("j", "k"), "left").crossJoin(nRow)
+        .select(col("j"), col("k"),
+          round(col("w") - lit(SmEta) * coalesce(col("gs"), lit(0.0))
+                  / col("nn"), 6).as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  def q228SoftmaxLangId(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = trainSoftmaxLangId(s, docs, SmEpochs)
+    smProbs(smFeatures(docs), w)
+      .where(col("doc_id") % 17 === 0)
+      .groupBy(col("doc_id"), col("y"))
+      .agg(expr("max_by(k, struct(p, -k))").as("pred"),
+           round(max(col("p")), 6).as("score"))
+      .select(col("doc_id"), col("y"), col("pred"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q228Sql: String = {
+    val classCase = SmClasses.zipWithIndex
+      .map { case (l, i) => s"WHEN lang = '$l' THEN $i" }
+      .mkString(" ")
+    val epochCtes = (1 to SmEpochs).map { r =>
+      s"""z$r AS (
+         |  SELECT f.doc_id, w.k, exp(sum(f.x * w.w)) AS ez
+         |  FROM feat f JOIN w${r - 1} w ON f.j = w.j
+         |  GROUP BY 1, 2),
+         |p$r AS MATERIALIZED (
+         |  SELECT doc_id, k,
+         |    ez / sum(ez) OVER (PARTITION BY doc_id) AS p
+         |  FROM z$r),
+         |g$r AS (
+         |  SELECT f.j, p.k,
+         |    sum((p.p - CASE WHEN f.y = p.k THEN 1.0 ELSE 0.0 END) * f.x)
+         |      AS gs
+         |  FROM feat f JOIN p$r p ON f.doc_id = p.doc_id
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.j, w.k, round(w.w - $SmEta * coalesce(g.gs, 0)
+         |    / (SELECT nn FROM n), 6) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g ON w.j = g.j AND w.k = g.k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, CAST(CASE $classCase ELSE -1 END AS BIGINT) AS y,
+       |    $tokensSql AS toks
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM base),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, y, j, CAST(cnt AS DOUBLE) / n AS x FROM (
+       |    SELECT doc_id, y, n,
+       |      CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $LrBuckets
+       |        AS j,
+       |      count(*) AS cnt
+       |    FROM (SELECT doc_id, y, len(toks) AS n, unnest(toks) AS tok
+       |          FROM base)
+       |    GROUP BY doc_id, y, n, j)
+       |  UNION ALL
+       |  SELECT doc_id, y, -1 AS j, 1.0 AS x FROM base),
+       |w0 AS (SELECT CAST(u.j AS BIGINT) AS j, CAST(v.k AS BIGINT) AS k,
+       |         CAST(0 AS DOUBLE) AS w
+       |       FROM unnest(range(-1, $LrBuckets)) u(j),
+       |            unnest(range(0, ${SmClasses.length})) v(k)),
+       |$epochCtes,
+       |zf AS (
+       |  SELECT f.doc_id, f.y, w.k, exp(sum(f.x * w.w)) AS ez
+       |  FROM feat f JOIN w$SmEpochs w ON f.j = w.j
+       |  WHERE f.doc_id % 17 = 0
+       |  GROUP BY 1, 2, 3),
+       |pf AS (
+       |  SELECT doc_id, y, k, ez / sum(ez) OVER (PARTITION BY doc_id) AS p
+       |  FROM zf)
+       |SELECT doc_id, y, k AS pred, round(p, 6) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY p DESC, k) AS rn FROM pf)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ─── q216: DSIR importance selection (target-distribution matching) ──
   // The published data-selection method (Xie et al. 2023, "Data Selection
   // for Language Models via Importance Resampling"): score every raw
@@ -1435,6 +1588,7 @@ object Corpus {
     "q218_source_gate" -> (q218SourceGate _),
     "q211_temperature_mix" -> (q211TemperatureMix _),
     "q209_quality_classifier" -> (q209QualityClassifier _),
+    "q228_softmax_langid" -> (q228SoftmaxLangId _),
     "q194_negative_sampling" -> (q194NegativeSampling _),
     "q195_class_balance"    -> (q195ClassBalance _),
     "q91_domain_mix"        -> (q91DomainMix _),
@@ -1460,6 +1614,7 @@ object Corpus {
     "q218_source_gate" -> q218Sql,
     "q211_temperature_mix" -> q211Sql,
     "q209_quality_classifier" -> q209Sql,
+    "q228_softmax_langid" -> q228Sql,
     "q194_negative_sampling" -> q194Sql,
     "q195_class_balance"    -> q195Sql,
     "q91_domain_mix"        -> q91Sql,

@@ -295,6 +295,28 @@ class CorpusSpec extends SparkSpec {
       "log-ratio sign must separate target-like from off-target here")
   }
 
+  test("q228 softmax trainer: cross-entropy falls every epoch from ln 5") {
+    val docs = Tables.documents(spark, sfDir)
+    val feat = Corpus.smFeatures(docs).localCheckpoint()
+    def loss(epochs: Int): Double = {
+      val w = Corpus.trainSoftmaxLangId(spark, docs, epochs)
+      Corpus.smProbs(feat, w)
+        .where($"y" === $"k")
+        .agg(avg(-log($"p"))).as[Double].head()
+    }
+    val losses = (0 to 3).map(loss)
+    assert(math.abs(losses.head - math.log(5.0)) < 1e-9,
+      s"zero model must sit at ln 5, got ${losses.head}")
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss rose across an epoch: $losses") }
+    // probabilities stay a proper distribution per doc
+    val w3 = Corpus.trainSoftmaxLangId(spark, docs, 3)
+    val sums = Corpus.smProbs(feat, w3)
+      .groupBy($"doc_id").agg(sum($"p").as("t"))
+      .agg(min($"t"), max($"t")).as[(Double, Double)].head()
+    assert(math.abs(sums._1 - 1.0) < 1e-9 && math.abs(sums._2 - 1.0) < 1e-9)
+  }
+
   test("q226 phases are weight-ordered terciles that conserve the corpus") {
     val out = Corpus.q226CurriculumPlan(spark, sfDir)
       .select($"phase", $"n_docs").as[(String, Long)].collect()
