@@ -1582,7 +1582,117 @@ object TextSim {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ─── q229: content-defined chunk dedup (CDC / rolling-boundary) ───────
+  // The storage-layer dedup technique the fixed-boundary family can't
+  // replicate: chunk boundaries are declared wherever a content hash of
+  // the trailing 4-gram ≡ 0 (mod 16), so an INSERTION near the head of a
+  // document shifts every token position yet the boundaries RE-SYNC as
+  // soon as the window clears the edit — all chunks after the first
+  // changed one hash identically to the source's (the rsync/LBFS
+  // chunking argument; q75's fixed-stride chunks would misalign to the
+  // end of the document). The catalog plants exactly that case: every
+  // 30th doc gets a copy with a 2-token prefix, and the census counts
+  // shared distinct chunk hashes per (source, copy) pair — near-total
+  // overlap is the operator working; the oracle recomputes boundary
+  // positions, chunk strings, and the intersection from scratch.
+  //
+  // Scale: boundaries and chunk hashes are computed INSIDE the token
+  // array (one projection, zero shuffle, no per-token window); the only
+  // shuffles carry (doc_id, 32-hex chunk hash) pairs — fixed-width, and
+  // every aggregate below is map-side combined.
+  private def cdcChunks(toksCol: Column): Column = {
+    val n = size(toksCol)
+    def gramAt(i: Column): Column =
+      concat_ws(" ", slice(toksCol, i - 3, lit(4)))
+    val bpos = when(n >= 4,
+      filter(sequence(lit(4), n), i =>
+        pmod(conv(substring(md5(gramAt(i)), 1, 8), 16, 10).cast("long"),
+             lit(16L)) === 0))
+      .otherwise(array().cast("array<int>"))
+    // interior boundaries only: strictly < n, so bounds is sorted+unique
+    // by construction (no order-fragile distinct needed)
+    val bounds = concat(array(lit(0)), filter(bpos, x => x < n), array(n))
+    when(n >= 1,
+      transform(sequence(lit(1), size(bounds) - 1), k =>
+        md5(concat_ws(" ", slice(toksCol,
+          element_at(bounds, k) + 1,
+          element_at(bounds, k + 1) - element_at(bounds, k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def q229CdcChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val copies = base.where(pmod(col("doc_id"), lit(30)) === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+              concat(lit("zq zr "), col("text")).as("text"))
+    val chunked = base.unionByName(copies)
+      .select(col("doc_id"),
+              explode(array_distinct(cdcChunks(tokens(col("text"))))).as("h"))
+    val srcEx = chunked.where(col("doc_id") < 200000 &&
+        pmod(col("doc_id"), lit(30)) === 0)
+      .select(col("doc_id").as("src_id"), col("h"))
+    val copyEx = chunked.where(col("doc_id") >= 200000)
+      .select((col("doc_id") - 200000).as("src_id"), col("h"))
+    val nSrc = srcEx.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("n_src_chunks"))
+    val nCopy = copyEx.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("n_copy_chunks"))
+    val shared = srcEx.join(copyEx, Seq("src_id", "h"))
+      .groupBy(col("src_id")).agg(count(lit(1)).as("n_shared"))
+    nSrc.join(nCopy, "src_id").join(shared, Seq("src_id"), "left")
+      .select(col("src_id"), col("n_src_chunks"), col("n_copy_chunks"),
+              coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("src_id"))
+  }
+
+  val q229Sql: String = {
+    val gram = "concat_ws(' ', toks[i-3], toks[i-2], toks[i-1], toks[i])"
+    val chunks =
+      s"""list_transform(generate_series(1, len(bounds) - 1),
+         |        k -> md5(array_to_string(
+         |               toks[bounds[k] + 1 : bounds[k + 1]], ' ')))"""
+        .stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, 'zq zr ' || text
+       |  FROM documents WHERE doc_id % 30 = 0),
+       |tk AS (SELECT doc_id, $tokensSql AS toks FROM corpus),
+       |bd AS (
+       |  SELECT doc_id, toks,
+       |    list_concat(list_concat([0],
+       |      list_filter(
+       |        CASE WHEN len(toks) >= 4 THEN
+       |          list_filter(generate_series(4, len(toks)),
+       |            i -> CAST(('0x' || substr(md5($gram), 1, 8)) AS BIGINT)
+       |                   % 16 = 0)
+       |        ELSE [] END,
+       |        x -> x < len(toks))),
+       |      [len(toks)]) AS bounds
+       |  FROM tk WHERE len(toks) >= 1),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_distinct($chunks)) AS h
+       |  FROM bd),
+       |srcx AS (SELECT doc_id AS src_id, h FROM ch
+       |         WHERE doc_id < 200000 AND doc_id % 30 = 0),
+       |copyx AS (SELECT doc_id - 200000 AS src_id, h FROM ch
+       |          WHERE doc_id >= 200000),
+       |ns AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_src_chunks
+       |       FROM srcx GROUP BY src_id),
+       |nc AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_copy_chunks
+       |       FROM copyx GROUP BY src_id),
+       |sh AS (SELECT s.src_id, CAST(count(*) AS BIGINT) AS n_shared
+       |       FROM srcx s JOIN copyx c ON s.src_id = c.src_id AND s.h = c.h
+       |       GROUP BY s.src_id)
+       |SELECT ns.src_id, n_src_chunks, n_copy_chunks,
+       |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared
+       |FROM ns JOIN nc ON ns.src_id = nc.src_id
+       |LEFT JOIN sh ON ns.src_id = sh.src_id
+       |ORDER BY ns.src_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_cdc_chunk_dedup" -> (q229CdcChunkDedup _),
     "q205_substring_dedup"    -> (q205SubstringDedup _),
     "q204_split_leakage"      -> (q204SplitLeakage _),
     "q203_prefix_filter_join" -> (q203PrefixFilterJoin _),
@@ -1605,6 +1715,7 @@ object TextSim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q229_cdc_chunk_dedup" -> q229Sql,
     "q205_substring_dedup"    -> q205Sql,
     "q204_split_leakage"      -> q204Sql,
     "q203_prefix_filter_join" -> q203Sql,

@@ -394,4 +394,42 @@ class TextSimSpec extends SparkSpec {
     assert(got.values.exists(_._3 == 0), "every doc fully hit — degenerate")
     spark.catalog.clearCache()
   }
+
+  test("q229: CDC chunking re-syncs after a prefix insertion where " +
+       "fixed-stride chunking cannot") {
+    val out = TextSim.q229CdcChunkDedup(spark, sfDir)
+      .select($"src_id", $"n_src_chunks", $"n_copy_chunks", $"n_shared")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // CDC: the 2-token prefix can only disturb chunks up to the first
+    // re-synchronized boundary — everything after hashes identically
+    out.foreach { case (id, ns, _, sh) =>
+      assert(sh >= ns - 3,
+        s"doc $id: only $sh of $ns chunks survived a 2-token prefix")
+      // a doc with interior boundaries must re-sync to SOME shared chunk;
+      // a single-chunk doc legitimately loses its only chunk to the edit
+      if (ns >= 4)
+        assert(sh >= 1, s"doc $id: $ns chunks but zero re-synced")
+    }
+    assert(out.exists(_._4 > 0), "no pair shared anything — vacuous")
+    // the contrast is real: FIXED 16-token chunking on the same pairs
+    // shares (almost) nothing, because every boundary shifted by 2
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(pmod($"doc_id", lit(30)) === 0)
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "").as("t"))
+      .as[(Long, Seq[String])].collect()
+    val fixedShared = docs.map { case (_, toks) =>
+      def chunksOf(ts: Seq[String]) =
+        ts.grouped(16).map(_.mkString(" ")).toSet
+      val src = chunksOf(toks)
+      val copy = chunksOf(Seq("zq", "zr") ++ toks)
+      (src & copy).size.toDouble / math.max(src.size, 1)
+    }
+    val cdcFrac = out.map(r => r._4.toDouble / r._2)
+    assert(fixedShared.sum / fixedShared.length <
+           cdcFrac.sum / cdcFrac.length - 0.5,
+      s"fixed-stride ${fixedShared.sum / fixedShared.length} vs " +
+      s"CDC ${cdcFrac.sum / cdcFrac.length}: contrast collapsed")
+  }
 }
