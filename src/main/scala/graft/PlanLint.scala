@@ -275,6 +275,9 @@ object PlanLint {
     "q83_unigram_score" -> Set("nested-loop", "cartesian"),
     // q153: same shape as q83 — the 1-row vocab-size frame crosses back
     "q153_bigram_score" -> Set("nested-loop", "cartesian"),
+    // q231: the 1-row corpus-token-total frame crossJoined back into the
+    // vocab freq table (q83's scalar-broadcast shape)
+    "q231_ccnet_buckets" -> Set("nested-loop", "cartesian"),
     "q91_domain_mix" -> Set("nested-loop", "cartesian"),
     "q102_weighted_sample" -> Set("nested-loop", "cartesian", "global-window"),
     "q104_quantized_topk" -> Set("nested-loop", "cartesian"),

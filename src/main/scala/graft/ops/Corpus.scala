@@ -1581,7 +1581,281 @@ object Corpus {
        |GROUP BY phase, shard
        |ORDER BY phase, shard""".stripMargin
 
+  // ─── q230: Gopher quality-rule battery (Rae et al. 2021, Table A1) ────
+  // The published heuristic filter set production corpora run BEFORE any
+  // model-based scoring (q209): per-doc structural signals, each gated by
+  // a fixed rule, reported as a per-rule failure census plus the
+  // pass-everything survivor count. Five rules, chosen so the fixture
+  // exercises every one (the corpus ships no symbols or numerals, so the
+  // symbol and non-alpha violations are PLANTED deterministically — the
+  // q73 PII discipline: doc_id % 13 plants a '#' run, doc_id % 11 plants
+  // 30 numeric words — and the word-count / stopword rules vary
+  // naturally):
+  //   R1 word count outside [50, 100000]
+  //   R2 mean word length outside [3, 10]   (integer cross-multiply —
+  //      3·n ≤ Σlen ≤ 10·n — no float division near a gate, q218's rule)
+  //   R3 '#'-symbol-to-word ratio > 0.1     (10·n_hash > n_words)
+  //   R4 alphabetic-word fraction < 0.8     (5·n_alpha < 4·n_words)
+  //   R5 fewer than 2 stopword occurrences  (stop set = {the, a}, the
+  //      corpus's function words; Gopher's 8-word set shrunk to what the
+  //      synthetic vocabulary contains, documented adaptation)
+  // Scale: every signal is a pure projection over the token array (HOFs,
+  // no explode — nothing shuffles per token); the census is ONE
+  // map-side-combined aggregate. This is the cheapest operator class in
+  // the pipeline and the first gate 100 TB of raw crawl meets.
+  private val PlantHash = " # # # # # # # # # # # #"
+  private val PlantNum: String =
+    " " + (0 until 30).mkString(" ")
+
+  def q230GopherRules(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d).select(col("doc_id"), col("n_chars"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(PlantHash)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(PlantNum)).otherwise(lit("")))
+        .as("t"))
+    val sig = planted.select(col("doc_id"), col("n_chars"),
+      (length(col("t")) - length(regexp_replace(col("t"), "#", "")))
+        .cast("long").as("n_hash"),
+      tokens(col("t")).as("tk"))
+      .select(col("doc_id"), col("n_chars"), col("n_hash"),
+        size(col("tk")).cast("long").as("n_words"),
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("sum_len"),
+        size(filter(col("tk"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(col("tk"), x => x === "the" || x === "a")).cast("long")
+          .as("n_stop"))
+    val f1 = col("n_words") < 50L || col("n_words") > 100000L
+    val f2 = col("sum_len") < lit(3L) * col("n_words") ||
+             col("sum_len") > lit(10L) * col("n_words")
+    val f3 = lit(10L) * col("n_hash") > col("n_words")
+    val f4 = lit(5L) * col("n_alpha") < lit(4L) * col("n_words")
+    val f5 = col("n_stop") < 2L
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    sig.agg(count(lit(1)).as("n_docs"),
+      cnt(f1).as("f_wordcount"), cnt(f2).as("f_meanlen"),
+      cnt(f3).as("f_symbol"), cnt(f4).as("f_alpha"), cnt(f5).as("f_stopword"),
+      cnt(!f1 && !f2 && !f3 && !f4 && !f5).as("kept"),
+      sum(when(!f1 && !f2 && !f3 && !f4 && !f5, col("n_chars").cast("long"))
+        .otherwise(0L)).as("kept_chars"))
+  }
+
+  val q230Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, n_chars,
+       |    text || CASE WHEN doc_id % 13 = 0 THEN '$PlantHash' ELSE '' END
+       |         || CASE WHEN doc_id % 11 = 0 THEN '$PlantNum' ELSE '' END AS t
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+       |      AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(tk, x -> x = 'the' OR x = 'a'))
+       |      AS BIGINT) AS n_stop
+       |  FROM (SELECT doc_id, n_chars,
+       |          list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+       |                      x -> x <> '') AS tk, t
+       |        FROM planted)),
+       |flags AS (
+       |  SELECT n_chars,
+       |    (n_words < 50 OR n_words > 100000) AS f1,
+       |    (sum_len < 3 * n_words OR sum_len > 10 * n_words) AS f2,
+       |    (10 * n_hash > n_words) AS f3,
+       |    (5 * n_alpha < 4 * n_words) AS f4,
+       |    (n_stop < 2) AS f5
+       |  FROM sig)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+       |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+       |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol,
+       |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+       |  CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword,
+       |  CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS kept,
+       |  CAST(sum(CASE WHEN NOT (f1 OR f2 OR f3 OR f4 OR f5) THEN n_chars
+       |           ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM flags""".stripMargin
+
+  // ─── q231: CCNet perplexity bucketing (head / middle / tail) ──────────
+  // The published CCNet discipline (Wenzek et al. 2020): score every doc
+  // with a language model, cut each LANGUAGE at its own perplexity
+  // terciles, and keep the "head" (lowest-perplexity third) for training.
+  // The LM here is the exact corpus unigram model (q83's model, scored
+  // over ALL docs, not q83's 1/25 sample); the bucket boundary discipline
+  // is q226's: per-token log-probs quantized to integer NANO units so the
+  // per-doc total is an exact integer sum, the per-doc mean is a
+  // TRUNCATING integer division (`div` ≡ DuckDB's `//`), and the cuts are
+  // percentile_disc — ACTUAL attained integers — so no float ever decides
+  // a doc's bucket.
+  // Scale: one token pass; the vocab freq table is map-side combined and
+  // the scoring join keys on the token (at 100 TB: md5 the token and swap
+  // the exact-total pass for approx_count_distinct — the q153 note); the
+  // tercile frame is |langs| rows, broadcast back.
+  def q231CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val perDocTok = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val freqs = perDocTok.groupBy(col("token")).agg(sum(col("c")).as("cnt"))
+    val total = freqs.agg(sum(col("cnt")).cast("double").as("total"))
+    val lpn = freqs.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(round(log(col("cnt").cast("double") / col("total")), 9) * 1e9, 0)
+          .cast("long").as("lpn"))
+    val perDoc = perDocTok.join(lpn, "token")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("lpn")).as("sum_nano"), sum(col("c")).as("n_toks"))
+      .withColumn("avg_tr", expr("sum_nano div n_toks"))
+    val cuts = perDoc.groupBy(col("lang")).agg(
+      expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY avg_tr)").as("t1"),
+      expr("percentile_disc(0.6667) WITHIN GROUP (ORDER BY avg_tr)").as("t2"))
+    perDoc.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"),
+        when(col("avg_tr") <= col("t1"), "tail")
+          .when(col("avg_tr") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars").cast("long")).as("char_sum"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val q231Sql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS token FROM documents),
+       |pdt AS MATERIALIZED (
+       |  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2, 3),
+       |freqs AS (SELECT token, sum(c) AS cnt FROM pdt GROUP BY token),
+       |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freqs),
+       |lpn AS MATERIALIZED (
+       |  SELECT token, CAST(round(round(
+       |      ln(CAST(cnt AS DOUBLE) / total), 9) * 1e9, 0) AS BIGINT) AS lpn
+       |  FROM freqs, total),
+       |perdoc AS MATERIALIZED (
+       |  SELECT pdt.doc_id, pdt.lang,
+       |    CAST(sum(pdt.c * lpn.lpn) AS BIGINT) // CAST(sum(pdt.c) AS BIGINT)
+       |      AS avg_tr
+       |  FROM pdt JOIN lpn USING (token)
+       |  GROUP BY 1, 2),
+       |cuts AS (
+       |  SELECT lang,
+       |    percentile_disc(0.3333) WITHIN GROUP (ORDER BY avg_tr) AS t1,
+       |    percentile_disc(0.6667) WITHIN GROUP (ORDER BY avg_tr) AS t2
+       |  FROM perdoc GROUP BY lang)
+       |SELECT p.lang,
+       |  CASE WHEN avg_tr <= t1 THEN 'tail'
+       |       WHEN avg_tr <= t2 THEN 'middle'
+       |       ELSE 'head' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS char_sum
+       |FROM perdoc p
+       |JOIN cuts USING (lang)
+       |JOIN documents d ON p.doc_id = d.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY lang, bucket""".stripMargin
+
+  // ─── q232: per-domain document caps (the per-host crawl cap) ──────────
+  // Crawl-derived corpora cap documents PER DOMAIN so no single host
+  // dominates the mix (the C4/RefinedWeb per-host discipline). Keep = the
+  // Cap lowest salted-hash ranks within each source — deterministic and
+  // grow-stable in the q72 sense for the docs already under the cap, and
+  // a pure function of ids, so reruns agree. The census reports per
+  // source: total, kept, dropped, kept-id checksum (proves WHICH docs
+  // survive, cross-engine) and kept chars.
+  // Scale: the rank ≤ Cap filter plans as a two-phase partial
+  // WindowGroupLimit — map tasks emit at most Cap rows per source below
+  // the exchange, so the shuffle never carries the over-cap mass (the
+  // q81/q102 plan shape); totals come from a separate map-side-combined
+  // aggregate, and the final join is |sources|-sized.
+  private[graft] val DomainCap = 18
+
+  def q232DomainCaps(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d).select(col("doc_id"), col("source"),
+      col("n_chars"),
+      md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val kept = hashed.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= DomainCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"),
+           sum(col("n_chars").cast("long")).as("kept_chars"))
+    val tot = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    tot.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_id_sum"), col("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q232Sql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, n_chars,
+       |    md5('cap:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |kept AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+       |    CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |  FROM (SELECT source, doc_id, n_chars,
+       |          row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |            AS rn
+       |        FROM hashed)
+       |  WHERE rn <= $DomainCap
+       |  GROUP BY source),
+       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |        FROM hashed GROUP BY source)
+       |SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+       |  kept_id_sum, kept_chars
+       |FROM tot JOIN kept USING (source)
+       |ORDER BY source""".stripMargin
+
+  // ─── q235: stratified k-fold cross-validation assignment ──────────────
+  // Evaluation-side counterpart of q72's one-shot split: k folds with
+  // EXACT per-stratum balance (±1), not hash-proportional balance —
+  // fold = (dense position within the language under a salted-hash
+  // order) mod k. The hash supplies the shuffle, the position mod k
+  // supplies the exact balance; both are pure functions of ids.
+  // Scale: the position comes from the scalable densePos helper (local
+  // prefix within 256 hash-led buckets + a broadcast offsets frame, the
+  // q47/q76 machinery) — no one-task-per-language window ever runs; the
+  // census is map-side combined.
+  private val KFolds = 5
+
+  def q235KFold(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d).select(col("doc_id"), col("lang"),
+      md5(concat(lit("fold:"), col("doc_id").cast("string"))).as("h"))
+    val pos = Windows.densePos(hashed, Seq("lang"), Windows.hexBucket(col("h")),
+      Seq(col("h"), col("doc_id")), "pos")
+    pos.select(col("lang"), col("doc_id"),
+        pmod(col("pos") - 1L, lit(KFolds.toLong)).as("fold"))
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"), col("fold"))
+  }
+
+  val q235Sql: String =
+    s"""SELECT lang, (rn - 1) % $KFolds AS fold,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |  FROM (SELECT lang, doc_id,
+       |          md5('fold:' || CAST(doc_id AS VARCHAR)) AS h
+       |        FROM documents))
+       |GROUP BY lang, fold
+       |ORDER BY lang, fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_gopher_rules" -> (q230GopherRules _),
+    "q231_ccnet_buckets" -> (q231CcnetBuckets _),
+    "q232_domain_caps" -> (q232DomainCaps _),
+    "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
     "q221_shard_writer" -> (q221ShardWriter _),
     "q216_dsir_select" -> (q216DsirSelect _),
@@ -1608,6 +1882,10 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q230_gopher_rules" -> q230Sql,
+    "q231_ccnet_buckets" -> q231Sql,
+    "q232_domain_caps" -> q232Sql,
+    "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,
     "q221_shard_writer" -> q221Sql,
     "q216_dsir_select" -> q216Sql,

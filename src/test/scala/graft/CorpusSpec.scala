@@ -368,4 +368,70 @@ class CorpusSpec extends SparkSpec {
     assert(seq.where($"doc_id" < $"idLag").count() > 0L,
       "a shard in doc_id order means no global shuffle happened")
   }
+
+  test("q230 planted violations are caught exactly; rule flags conserve") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val n13 = docs.where(pmod($"doc_id", lit(13)) === 0).count()
+    val n11 = docs.where(pmod($"doc_id", lit(11)) === 0).count()
+    val r = Corpus.q230GopherRules(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") === n)
+    // every planted doc has < 120 words (fixture max ≈ 110), so the '#'
+    // run always tips the 0.1 ratio and the 30 numeric words always tip
+    // the 0.8 alpha fraction — planted hits are EXACTLY the fail counts
+    assert(r.getAs[Long]("f_symbol") === n13,
+      "symbol-rule failures must be exactly the planted '#' docs")
+    assert(r.getAs[Long]("f_alpha") === n11,
+      "alpha-rule failures must be exactly the planted numeric docs")
+    // natural rules fire on this corpus and the survivor count is sane
+    assert(r.getAs[Long]("f_wordcount") > 0 && r.getAs[Long]("f_stopword") > 0)
+    assert(r.getAs[Long]("kept") > 0 && r.getAs[Long]("kept") < n)
+  }
+
+  test("q231 buckets are per-language terciles that conserve each language") {
+    val out = Corpus.q231CcnetBuckets(spark, sfDir)
+      .select($"lang", $"bucket", $"n_docs").as[(String, String, Long)]
+      .collect()
+    val perLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).toSet === Set("head", "middle", "tail"),
+        s"$lang missing a bucket")
+      val total = rows.map(_._3).sum
+      assert(total === perLang(lang), s"$lang bucket counts don't conserve")
+      // discrete terciles: ±(ties + 1) of n/3 — unigram means are
+      // near-unique on this corpus
+      rows.foreach { case (_, b, c) =>
+        assert(math.abs(c - total / 3.0) <= total * 0.12 + 4,
+          s"$lang/$b far from a tercile: $c of $total") }
+    }
+  }
+
+  test("q232 keeps exactly min(cap, population) per source") {
+    val out = Corpus.q232DomainCaps(spark, sfDir)
+      .select($"source", $"n_docs", $"n_kept", $"n_dropped")
+      .as[(String, Long, Long, Long)].collect()
+    val perSource = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(out.map(_._1).toSet === perSource.keySet)
+    out.foreach { case (src, nd, nk, ndr) =>
+      assert(nd === perSource(src))
+      assert(nk === math.min(Corpus.DomainCap.toLong, nd))
+      assert(ndr === nd - nk)
+    }
+  }
+
+  test("q235 folds are exactly balanced (±1) within every language") {
+    val out = Corpus.q235KFold(spark, sfDir)
+      .select($"lang", $"fold", $"n_docs").as[(String, Long, Long)].collect()
+    val perLang = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum === perLang(lang))
+      assert(rows.map(_._2).toSet === (0L until 5L).toSet)
+      val sizes = rows.map(_._3)
+      assert(sizes.max - sizes.min <= 1L,
+        s"$lang folds unbalanced: ${rows.mkString(",")}")
+    }
+  }
 }
