@@ -654,16 +654,24 @@ object Graph {
              col("p2")).otherwise(col("p1")).as("dst"))
   }
 
-  def q171TriangleCount(s: SparkSession, d: String): DataFrame = {
+  /** Canonical co-purchase edge list (p1 < p2): part pairs co-occurring
+    * in ≥ 2 orders. Shared by q171 (triangles) and q233 (communities);
+    * the pair build shuffles on l_orderkey with basket-bounded fanout
+    * (the q163 argument). */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val canonical = li.as("a")
+    li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
       .select("p1", "p2")
+  }
+
+  def q171TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val canonical = coPurchaseEdges(s, d)
     val edges = orientByDegree(canonical)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
@@ -689,6 +697,91 @@ object Graph {
       |        JOIN edges e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2) AS BIGINT)
       |    AS n_triangles,
       |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges""".stripMargin
+
+  // ─── q233: label-propagation community detection (sync LPA) ───────────
+  // Communities in the co-purchase graph — the modularity-style signal
+  // beyond connected components (q71 merges everything touching;
+  // LPA splits a connected graph into densely-linked regions). The
+  // SYNCHRONOUS deterministic variant (Raghavan et al. 2007 made
+  // reproducible): every node starts as its own label; each round, every
+  // node simultaneously adopts the most frequent label among its
+  // neighbours, ties broken by the SMALLEST label — argmax over
+  // (count, −label), the q198 fused-ordering discipline — for a FIXED
+  // 4 rounds (async/random LPA converges faster but is run-order
+  // dependent, useless against a cross-engine oracle).
+  //
+  // Scale: each round is one equi-join of the (src, dst) edge list
+  // against the (node, label) frame — both fixed-width long pairs — plus
+  // two map-side-combined aggregates; the same per-round shape as
+  // PageRank (q150) without the broadcast (labels key the join on dst).
+  // The edge list is built once and cached (caller-owned release —
+  // Bench/Verify clearCache per query); rounds are a fixed count, so the
+  // whole computation is ONE action with a 4-round-deep lazy plan — no
+  // fixpoint probe, no driver loop (ActionAudit-bounded).
+  // Fixture note: at sf0.001 the w≥2 graph is DENSE (avg degree ~23 over
+  // 200 parts) and sync LPA correctly collapses it to one community; the
+  // interesting structure appears from the driver's gate SF up (sf0.01:
+  // 349 communities over 1 880 nodes; sf0.1: 4 784 — GraphSpec pins the
+  // update rule itself on a planted two-clique graph).
+  private val LpaRounds = 4
+
+  /** Synchronous LPA over a SYMMETRIZED (src, dst) edge list: `rounds`
+    * simultaneous most-frequent-neighbour-label updates, ties to the
+    * smallest label. Returns (node, lbl) for every edge endpoint. */
+  private[graft] def lpaLabels(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+    }
+    labels
+  }
+
+  def q233LabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val canon = coPurchaseEdges(s, d)
+    val edges = canon.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(canon.select(col("p2").as("src"), col("p1").as("dst")))
+      .cache()
+    lpaLabels(edges, LpaRounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("member_id_sum"))
+      .orderBy(col("community"))
+  }
+
+  val q233Sql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT e.src AS node, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |                             ORDER BY c DESC, lbl) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |canon AS (
+       |  SELECT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk
+       |  HAVING count(*) >= 2),
+       |edges AS (SELECT p1 AS src, p2 AS dst FROM canon
+       |          UNION ALL SELECT p2, p1 FROM canon),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(node) AS BIGINT) AS member_id_sum
+       |FROM l$LpaRounds
+       |GROUP BY lbl
+       |ORDER BY community""".stripMargin
+  }
 
   // ─── q222: leakage-safe train/val/test split — split by CLUSTER ───────
   // q204 AUDITS split leakage after the fact; this is the CONSTRUCTIVE
@@ -809,7 +902,8 @@ object Graph {
     "q199_lsh_dedup_funnel" -> (q199LshDedupFunnel _),
     "q150_pagerank" -> (q150PageRank _),
     "q170_bfs_hops" -> (q170BfsHops _),
-    "q171_triangle_count" -> (q171TriangleCount _))
+    "q171_triangle_count" -> (q171TriangleCount _),
+    "q233_label_propagation" -> (q233LabelPropagation _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -818,5 +912,6 @@ object Graph {
     "q199_lsh_dedup_funnel" -> q199Sql,
     "q150_pagerank" -> q150Sql,
     "q170_bfs_hops" -> q170Sql,
-    "q171_triangle_count" -> q171Sql)
+    "q171_triangle_count" -> q171Sql,
+    "q233_label_propagation" -> q233Sql)
 }

@@ -1439,7 +1439,77 @@ object Insights {
       |LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
       |ORDER BY g.event_type, g.hr""".stripMargin
 
+  // ─── q234: seasonal robust anomaly screen (weekday-median MAD) ────────
+  // Time-series quality monitoring without a model: the daily revenue
+  // series is compared against its own WEEKDAY's median (the seasonal-
+  // naive baseline — weekends and weekdays have different normals), and
+  // a day is anomalous when its absolute deviation exceeds 3.5 modified
+  // z-scores of the weekday's median absolute deviation (Iglewicz–
+  // Hoaglin: 0.6745·dev/MAD > 3.5). Robust twin of the q166 IQR screen:
+  // median/MAD ignore the outliers they hunt, where mean/σ absorb them.
+  // Everything stays in exact integers: revenue in cents, the two
+  // medians are percentile_disc (ACTUAL attained values), and the flag
+  // is the cross-multiplication 6745·dev > 35000·mad — no float division
+  // near the gate (q218's rule). MAD = 0 degenerates to dev > 0,
+  // documented.
+  // Scale: the fact reduces to ≤ |calendar days| rows (~2 500 at ANY SF
+  // — the date range is fixed) in one map-side-combined aggregate;
+  // exact percentiles run over that bounded frame, never the fact
+  // (the q137 contract), and the per-weekday frames broadcast back.
+  def q234SeasonalMad(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("wd", weekday(col("day")).cast("long") + 1L)
+    // Spark's percentile_disc returns DOUBLE even over integer input;
+    // the value is an ATTAINED cents amount (< 2^53), so the cast back
+    // to long is exact — and keeps the gate arithmetic all-integer
+    val med = daily.groupBy(col("wd")).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("med"))
+    val dev = daily.join(broadcast(med), "wd")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("wd")).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("long").as("mad"))
+    dev.join(broadcast(mad), "wd")
+      .groupBy(col("wd"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
+        sum(when((col("mad") > 0L && lit(6745L) * col("dev") >
+                    lit(35000L) * col("mad")) ||
+                 (col("mad") === 0L && col("dev") > 0L), 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .orderBy(col("wd"))
+  }
+
+  val q234Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    CAST(isodow(o_orderdate) AS BIGINT) AS wd
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT wd, percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+      |  FROM daily GROUP BY wd),
+      |dev AS (
+      |  SELECT d.wd, d.cents, m.med, abs(d.cents - m.med) AS dev
+      |  FROM daily d JOIN med m USING (wd)),
+      |mad AS (
+      |  SELECT wd, percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      |  FROM dev GROUP BY wd)
+      |SELECT d.wd, CAST(count(*) AS BIGINT) AS n_days,
+      |  max(d.med) AS med_cents, max(m.mad) AS mad_cents,
+      |  CAST(sum(CASE WHEN (m.mad > 0 AND 6745 * d.dev > 35000 * m.mad)
+      |                  OR (m.mad = 0 AND d.dev > 0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM dev d JOIN mad m USING (wd)
+      |GROUP BY d.wd
+      |ORDER BY d.wd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_seasonal_mad" -> (q234SeasonalMad _),
     "q201_conversion_funnel" -> (q201ConversionFunnel _),
     "q202_locf_gap_fill"    -> (q202LocfGapFill _),
     "q196_cohens_kappa"     -> ((s, d) => q196CohensKappa(s, d)),
@@ -1472,6 +1542,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q234_seasonal_mad" -> q234Sql,
     "q201_conversion_funnel" -> q201Sql,
     "q202_locf_gap_fill"    -> q202Sql,
     "q196_cohens_kappa"     -> q196Sql,

@@ -329,4 +329,48 @@ class GraphSpec extends SparkSpec {
       .where(pmod($"doc_id", lit(20)) === 0).count()
     assert(out.map(_._2).sum === corpusSize + planted)
   }
+
+  test("q233 sync LPA matches a driver-side recompute on planted + random graphs") {
+    // independent reference: simultaneous most-frequent-neighbour update,
+    // ties to the smallest label, over an adjacency map
+    def refLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lbl = adj.map { case (n, nbrs) =>
+          val counts = nbrs.groupBy(lbl).view.mapValues(_.size)
+          n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl
+    }
+    def engine(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val e = edges.toDF("src", "dst")
+      val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      Graph.lpaLabels(sym, 4).as[(Long, Long)].collect().toMap
+    }
+    // two 4-cliques bridged by one edge: LPA keeps them as (at most) two
+    // communities where CC would merge them into one
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val planted = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) ++ Seq((4L, 11L))
+    assert(engine(planted) === refLpa(planted, 4))
+    assert(engine(planted).values.toSet.size >= 2,
+      "bridged cliques must not all merge (that would be CC, not LPA)")
+    // seeded sparse random graph: exact agreement with the reference
+    val rnd = new scala.util.Random(4242)
+    val random = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    assert(engine(random) === refLpa(random, 4))
+    // real-data census conserves the node universe
+    val census = Graph.q233LabelPropagation(spark, sfDir)
+      .agg(sum($"n_members"), sum($"member_id_sum")).head()
+    val nodes = Graph.coPurchaseEdges(spark, sfDir)
+      .select(explode(array($"p1", $"p2")).as("n")).distinct()
+      .agg(count(lit(1)), sum($"n")).head()
+    assert(census.getLong(0) === nodes.getLong(0))
+    assert(census.getLong(1) === nodes.getLong(1))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Insights
+import org.apache.spark.sql.functions._
 
 /** Invariant tests for the OLAP-insight batch (ops/Insights.scala). The
   * DuckDB oracle proves cell-level equality at sf0.01; these pin the
@@ -399,5 +400,33 @@ class InsightsSpec extends SparkSpec {
     assert(e.getLong(2) == a.getLong(2))
     assert(math.abs(e.getDouble(0) - a.getDouble(0)) <= 0.1,
       s"kappa ${e.getDouble(0)} vs sketched ${a.getDouble(0)}")
+  }
+
+  test("q234 MAD screen matches a driver-side robust recompute") {
+    import spark.implicits._
+    val daily = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy($"o_orderdate")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .withColumn("wd", weekday($"o_orderdate").cast("long") + 1L)
+      .select($"wd", $"cents").as[(Long, Long)].collect()
+    def medianOf(xs: Seq[Long]): Long = {
+      // percentile_disc(0.5): smallest attained value with cume_dist >= 0.5
+      val sorted = xs.sorted
+      sorted((xs.size - 1) / 2)
+    }
+    val expected = daily.groupBy(_._1).map { case (wd, rows) =>
+      val cents = rows.map(_._2).toSeq
+      val med = medianOf(cents)
+      val devs = cents.map(c => math.abs(c - med))
+      val mad = medianOf(devs)
+      val anom = devs.count(d =>
+        if (mad > 0) 6745L * d > 35000L * mad else d > 0)
+      wd -> (cents.size.toLong, med, mad, anom.toLong)
+    }
+    val got = Insights.q234SeasonalMad(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (wd, n, med, mad, a) => wd -> (n, med, mad, a) }.toMap
+    assert(got === expected)
+    assert(got.values.map(_._4).sum > 0, "fixture produced no anomalies")
   }
 }
