@@ -270,6 +270,9 @@ object PlanLint {
     // q227: the ≤8-row folded-codebook frame crossJoined for assignment
     // + the broadcast 5-row query side of the exact-recall census
     "q227_ivf_snapshot_probe" -> Set("nested-loop", "cartesian"),
+    // q236: 1-row folded-codebook frames crossJoined for assignment and
+    // lookup-table builds (coarse + residual-PQ, the q207/q208 shapes)
+    "q236_ivfpq_residual" -> Set("nested-loop", "cartesian"),
     "q69_repetition_quality" -> Set("nested-loop", "cartesian"),
     "q74_tfidf" -> Set("nested-loop", "cartesian"),
     "q83_unigram_score" -> Set("nested-loop", "cartesian"),
@@ -430,6 +433,9 @@ object PlanLint {
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,
     "q208_pq_learned_recall" -> 8,
+    // residual IVF-PQ: coarse trainer (3) + corpus-residual checkpoint +
+    // residual-PQ trainer (3) + query body (measured 8 fresh-session)
+    "q236_ivfpq_residual" -> 12,
     "q212_doc_clusters" -> 8,
     "q213_cluster_balanced_sample" -> 8,
     "q217_cluster_silhouette" -> 8,

@@ -1304,37 +1304,46 @@ object Similarity {
       .stripMargin
 
   private def kmeansCtes(mCount: Int, w: Int, k: Int, iters: Int,
-                         embCte: String = EmbeddingsCte): String = {
+                         embCte: String = EmbeddingsCte,
+                         prefix: String = ""): String = {
+    // `prefix` namespaces every CTE this helper emits (emb, pieces,
+    // seedids, c0..cN, a*/cm*) so TWO trainings can live in one WITH
+    // chain — the q236 residual-PQ oracle trains a coarse quantizer and
+    // then PQ codebooks over its residuals. `embCte` must then define
+    // `${prefix}emb`.
+    val P = prefix
     def d2(s: String, c: String) =
       s"list_dot_product($s, $s) - 2*list_dot_product($s, $c)" +
         s" + list_dot_product($c, $c)"
     val avgArr = (1 to w).map(i => s"round(avg(sub[$i]), 6)")
       .mkString("[", ", ", "]")
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS MATERIALIZED (
+      s"""${P}a$r AS MATERIALIZED (
          |  SELECT vec_id, m, sub, cid FROM (
          |    SELECT p.vec_id, p.m, p.sub, c.cid,
          |      row_number() OVER (PARTITION BY p.vec_id, p.m
          |        ORDER BY ${d2("p.sub", "c.carr")}, c.cid) AS rn
-         |    FROM pieces p JOIN c${r - 1} c ON p.m = c.m)
+         |    FROM ${P}pieces p JOIN ${P}c${r - 1} c ON p.m = c.m)
          |  WHERE rn = 1),
-         |cm$r AS (SELECT m, cid, $avgArr AS carr FROM a$r GROUP BY m, cid),
-         |c$r AS MATERIALIZED (
+         |${P}cm$r AS (SELECT m, cid, $avgArr AS carr FROM ${P}a$r
+         |             GROUP BY m, cid),
+         |${P}c$r AS MATERIALIZED (
          |  SELECT c.m, c.cid, coalesce(n.carr, c.carr) AS carr
-         |  FROM c${r - 1} c LEFT JOIN cm$r n
+         |  FROM ${P}c${r - 1} c LEFT JOIN ${P}cm$r n
          |    ON c.m = n.m AND c.cid = n.cid)""".stripMargin
     }.mkString(",\n")
     s"""$embCte,
-       |pieces AS MATERIALIZED (
+       |${P}pieces AS MATERIALIZED (
        |  SELECT vec_id, m, e[(m*$w+1):(m*$w+$w)] AS sub
-       |  FROM emb, unnest(range(0, $mCount)) u(m)),
-       |seedids AS (
+       |  FROM ${P}emb, unnest(range(0, $mCount)) u(m)),
+       |${P}seedids AS (
        |  SELECT vec_id, row_number() OVER (
        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-       |c0 AS MATERIALIZED (
+       |  FROM ${P}emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $k),
+       |${P}c0 AS MATERIALIZED (
        |  SELECT p.m, s.cid, p.sub AS carr
-       |  FROM seedids s JOIN pieces p ON s.vec_id = p.vec_id),
+       |  FROM ${P}seedids s JOIN ${P}pieces p ON s.vec_id = p.vec_id),
        |$rounds""".stripMargin
   }
 
@@ -1673,6 +1682,174 @@ object Similarity {
        |FROM hits ORDER BY q_id""".stripMargin
   }
 
+  // ─── q236: residual IVF-PQ — the production ANN composition ──────────
+  // q207 (learned IVF) and q208 (learned PQ) are the two halves of the
+  // index structure actually deployed at scale (FAISS's IVFADC, Jégou et
+  // al. 2011 §III): vectors are bucketed by a coarse quantizer, and PQ
+  // codebooks are trained ON THE RESIDUALS (vector − its cell centroid),
+  // which carry far less variance than raw vectors — same code budget,
+  // tighter quantization. The search path composes both learned stages:
+  //   probe the nprobe=2 closest coarse cells (the IVF part), then rank
+  //   ONLY those cells' candidates by ADC lookups computed against the
+  //   QUERY's residual in each probed cell (the PQ part — the lookup
+  //   table is rebuilt per (query, cell) because the residual depends on
+  //   the cell, the detail naive IVF+PQ compositions get wrong).
+  // Recall vs the exact L2 top-5 and the candidate count (proof the
+  // probe restricted the search) both ride in the output as
+  // oracle-computed data (the q104/q207/q208 contract). Fixture recall
+  // sits in q208's 0–0.2 band: the synthetic embeddings are near-
+  // isotropic (the q131 JL caveat), the worst case for any 8-codes-per-
+  // subspace quantizer — the contract under test is the composition's
+  // cross-engine exactness, with recall as honest data, not a quality
+  // claim about 64 random dimensions.
+  //
+  // Scale: both trainers are the bounded Lloyd loop (map-side assignment
+  // vs a 1-row broadcast codebook); corpus codes are (id, cell, m, code)
+  // — 8 bytes of payload per subspace, the 32× compression — and the ADC
+  // join keys on (cell, m, code) against a ≤(q·nprobe·M·k)-row broadcast
+  // table. The corpus never shuffles by content; candidate generation is
+  // cell-keyed, exactly q227's partition-pruning shape.
+  def q236IvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val W = DIM / 8
+    val emb = embFrame(s, d)
+    val coarse = kmeansFor(s, d, 1, DIM, 8, 2)
+    val ranked = pieces(emb, 1, DIM).crossJoin(centsRow(coarse))
+      .withColumn("ranked", array_sort(transform(col("cents"),
+        c => struct(sqDist(col("sub"), c("carr")).as("d"),
+                    c("cid").as("cid"), c("carr").as("carr")))))
+      .select(col("vec_id"), col("sub").as("e"), col("ranked"))
+    // corpus residuals (vector − own-cell centroid), checkpointed once:
+    // both the PQ trainer and the code assignment consume them
+    val corpusRes = ranked.where(col("vec_id") >= 5)
+      .select(col("vec_id"),
+        element_at(col("ranked"), 1)("cid").as("cell"),
+        zip_with(col("e"), element_at(col("ranked"), 1)("carr"),
+                 (x, c) => x - c).as("e"))
+      .localCheckpoint()
+    val pqCents =
+      kmeansCodebooks(corpusRes.select(col("vec_id"), col("e")), 8, W, 8, 2)
+    val pqFolded = centsRow(pqCents)
+    val codes = assignPieces(pieces(corpusRes.select(col("vec_id"), col("e")),
+                                    8, W), pqFolded)
+      .select(col("vec_id").as("c_id"), col("m"), col("cid"))
+      .join(corpusRes.select(col("vec_id").as("c_id"), col("cell")), "c_id")
+    // per-(query, probed cell) residuals → ADC lookup tables
+    val qRes = ranked.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("e"),
+              explode(slice(col("ranked"), 1, 2)).as("rc"))
+      .select(col("q_id"), col("rc")("cid").as("cell"),
+              zip_with(col("e"), col("rc")("carr"), (x, c) => x - c).as("qr"))
+    val qdt = qRes
+      .select(col("q_id"), col("cell"),
+        explode(transform(sequence(lit(0), lit(7)),
+          m => struct(m.as("m"),
+                      slice(col("qr"), m * W + 1, lit(W)).as("sub")))).as("p"))
+      .select(col("q_id"), col("cell"), col("p.m").as("m"),
+              col("p.sub").as("sub"))
+      .crossJoin(pqFolded)
+      .select(col("q_id"), col("cell"), col("m"), col("sub"),
+        explode(filter(col("cents"), c => c("m") === col("m"))).as("ce"))
+      .select(col("q_id"), col("cell"), col("m"),
+        col("ce")("cid").as("cid"),
+        sqDist(col("sub"), col("ce")("carr")).as("dd"))
+    val adc = codes.join(broadcast(qdt), Seq("cell", "m", "cid"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(round(sum(col("dd")), 6).as("ad"))
+    val ncand = adc.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    val wAd = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad").asc, col("c_id"))
+    val pq5 = adc.withColumn("rn", row_number().over(wAd))
+      .where(col("rn") <= 5).select(col("q_id"), col("c_id"))
+    val exact5 = emb.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))))
+      .select(col("q_id"), col("c_id"),
+              round(sqDist(col("qe"), col("ce")), 6).as("dd"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("dd").asc, col("c_id"))))
+      .where(col("rn") <= 5).select(col("q_id"), col("c_id"))
+    exact5.as("x")
+      .join(pq5.as("p"), col("x.q_id") === col("p.q_id") &&
+                         col("x.c_id") === col("p.c_id"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("p.c_id")).as("n_hits"))
+      .join(broadcast(ncand), "q_id")
+      .select(col("q_id"), col("n_cand"), col("n_hits"),
+              round(col("n_hits") / 5.0, 4).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q236Sql: String = {
+    val W = DIM / 8
+    val d2 = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    val rembCte =
+      """remb AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(list_zip(e, carr),
+        |                                x -> x[1] - x[2]) AS e
+        |  FROM ranked WHERE arn = 1 AND vec_id >= 5)""".stripMargin
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |ranked AS MATERIALIZED (
+       |  SELECT p.vec_id, p.sub AS e, c.cid, c.carr,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY $d2, c.cid) AS arn
+       |  FROM pieces p JOIN c2 c ON p.m = c.m),
+       |${kmeansCtes(8, W, 8, 2, rembCte, "r")},
+       |cells AS (SELECT vec_id AS c_id, cid AS cell FROM ranked
+       |          WHERE arn = 1 AND vec_id >= 5),
+       |codes AS MATERIALIZED (
+       |  SELECT a.vec_id AS c_id, l.cell, a.m, a.cid
+       |  FROM (SELECT vec_id, m, cid FROM (
+       |          SELECT p.vec_id, p.m, c.cid,
+       |            row_number() OVER (PARTITION BY p.vec_id, p.m
+       |              ORDER BY $d2, c.cid) AS rn
+       |          FROM rpieces p JOIN rc2 c ON p.m = c.m)
+       |        WHERE rn = 1) a
+       |  JOIN cells l ON a.vec_id = l.c_id),
+       |rq AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, cid AS cell,
+       |    list_transform(list_zip(e, carr), x -> x[1] - x[2]) AS qr
+       |  FROM ranked WHERE arn <= 2 AND vec_id < 5),
+       |qdt AS MATERIALIZED (
+       |  SELECT p.q_id, p.cell, p.m, c.cid, $d2 AS dd
+       |  FROM (SELECT q_id, cell, m, qr[(m*$W+1):(m*$W+$W)] AS sub
+       |        FROM rq, unnest(range(0, 8)) u(m)) p
+       |  JOIN rc2 c ON p.m = c.m),
+       |adc AS MATERIALIZED (
+       |  SELECT q.q_id, k.c_id, round(sum(q.dd), 6) AS ad
+       |  FROM codes k JOIN qdt q
+       |    ON k.cell = q.cell AND k.m = q.m AND k.cid = q.cid
+       |  GROUP BY 1, 2),
+       |ncand AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |          FROM adc GROUP BY q_id),
+       |pq5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ad, c_id) AS rn FROM adc)
+       |  WHERE rn <= 5),
+       |exact5 AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.e, q.e)
+       |          - 2*list_dot_product(q.e, c.e)
+       |          + list_dot_product(c.e, c.e), 6), c.vec_id) AS rn
+       |    FROM emb q CROSS JOIN emb c
+       |    WHERE q.vec_id < 5 AND c.vec_id >= 5)
+       |  WHERE rn <= 5),
+       |hits AS (
+       |  SELECT e.q_id, count(p.c_id) AS n_hits
+       |  FROM exact5 e LEFT JOIN pq5 p
+       |    ON e.q_id = p.q_id AND e.c_id = p.c_id
+       |  GROUP BY e.q_id)
+       |SELECT h.q_id, n.n_cand, CAST(h.n_hits AS BIGINT) AS n_hits,
+       |  round(h.n_hits / 5.0, 4) AS recall
+       |FROM hits h JOIN ncand n USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   // ─── q212: unsupervised DOCUMENT clustering (trainer generality) ─────
   // The cluster-then-curate corpus step (SemDeDup's outer loop, topic-
   // balanced sampling, cluster-level dedup): documents embed as 16-dim
@@ -1995,6 +2172,7 @@ object Similarity {
     "q207_kmeans_ivf_recall" -> (q207KmeansIvfRecall _),
     "q227_ivf_snapshot_probe" -> (q227IvfSnapshotProbe _),
     "q208_pq_learned_recall" -> (q208PqLearnedRecall _),
+    "q236_ivfpq_residual" -> (q236IvfPqResidual _),
     "q131_jl_projection"  -> (q131JlProjection _),
     "q49_cosine_topk"     -> (q49CosineTopk _),
     "q158_hybrid_rrf"     -> (q158HybridRrf _),
@@ -2021,6 +2199,7 @@ object Similarity {
     "q207_kmeans_ivf_recall" -> q207Sql,
     "q227_ivf_snapshot_probe" -> q227Sql,
     "q208_pq_learned_recall" -> q208Sql,
+    "q236_ivfpq_residual" -> q236Sql,
     "q131_jl_projection"  -> q131Sql,
     "q49_cosine_topk"     -> q49Sql,
     "q158_hybrid_rrf"     -> q158Sql,
