@@ -281,6 +281,8 @@ object PlanLint {
     // q231: the 1-row corpus-token-total frame crossJoined back into the
     // vocab freq table (q83's scalar-broadcast shape)
     "q231_ccnet_buckets" -> Set("nested-loop", "cartesian"),
+    // q238: the 1-row checksum/counter frames crossJoined into one row
+    "q238_cdc_summary_maintain" -> Set("nested-loop", "cartesian"),
     "q91_domain_mix" -> Set("nested-loop", "cartesian"),
     "q102_weighted_sample" -> Set("nested-loop", "cartesian", "global-window"),
     "q104_quantized_topk" -> Set("nested-loop", "cartesian"),
@@ -467,6 +469,9 @@ object PlanLint {
     // merge/delete: publish (2) + key-uniqueness probe + touched-file
     // discovery + touched count + staged write/stats + census
     "q214_snapshot_merge" -> 16, "q215_snapshot_delete" -> 12,
+    // CDC-fed summary maintenance: 2 publishes (stage stats/write each)
+    // + manifest reads + the final single-action maintenance plan
+    "q238_cdc_summary_maintain" -> 16,
     // WAP: 3 publishes (stage stats + write each) + 3 audits + census
     "q225_wap_publish" -> 16,
     // multi-statement SQL entries / registration actions (3–4 measured)

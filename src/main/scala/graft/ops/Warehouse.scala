@@ -1012,7 +1012,60 @@ object Warehouse {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  // ─── q237: trailing-window feature backfill (leak-safe rolling aggs) ──
+  // The feature-engineering twin of q161's point-in-time JOIN: compute,
+  // for EVERY fact row, the entity's own trailing-window aggregates as
+  // of that row — "orders this customer placed in the 90 days BEFORE
+  // this one" — the bread-and-butter features of churn/LTV models. Leak
+  // safety is the frame bound: RANGE BETWEEN 90 PRECEDING AND 1
+  // PRECEDING over an integer day index, so same-day (and the row's
+  // own) activity is excluded — a [-90, 0] frame would leak the label
+  // day's signal into its own feature, the classic backfill bug.
+  // Revenue stays in exact cents; the census aggregates the per-order
+  // features by trailing-count so the output is bounded while every
+  // row's feature pair still feeds the hash (count + summed revenue).
+  //
+  // Scale: ONE window, partitioned by o_custkey (unbounded cardinality —
+  // grows with the data, the opposite of the enum-partition trap) and
+  // RANGE-framed on the day index, so each partition sorts ~|orders per
+  // customer| rows; the census is map-side combined. No joins, no
+  // self-join-per-window-size (the naive backfill runs one join per
+  // trailing horizon).
+  def q237TrailingFeatures(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val base = orders(s, d).select(col("o_custkey"),
+      day.cast("long").as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-90L, -1L)
+    base
+      .withColumn("cnt90", coalesce(count(lit(1)).over(w), lit(0L)))
+      .withColumn("rev90", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .groupBy(col("cnt90"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("rev90")).as("rev90_sum"))
+      .orderBy(col("cnt90"))
+  }
+
+  val q237Sql: String =
+    """SELECT cnt90, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(rev90) AS BIGINT) AS rev90_sum
+      |FROM (
+      |  SELECT
+      |    CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS cnt90,
+      |    CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS rev90
+      |  FROM (
+      |    SELECT o_custkey,
+      |      CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+      |        AS day,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |    FROM orders)
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |               RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING))
+      |GROUP BY cnt90
+      |ORDER BY cnt90""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_trailing_features" -> (q237TrailingFeatures _),
     "q183_summary_refresh" -> (q183SummaryRefresh _),
     "q188_sql_mv_rewrite" -> (q188SqlMvRewrite _),
     "q200_summary_avg_dimjoin" -> (q200SummaryAvgDimJoin _),
@@ -1035,6 +1088,7 @@ object Warehouse {
     "q96_approx_percentiles" -> (q96ApproxPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
+    "q237_trailing_features" -> q237Sql,
     "q137_percentile_inverse" -> q137Sql,
     "q145_null_aware_anti" -> q145Sql,
     "q106_incremental_agg" -> q106Sql,

@@ -681,6 +681,36 @@ object SnapshotStore {
         payload.map(c => col(s"n_payload.$c").as(c)): _*)
   }
 
+  /** Full-row CDC with BOTH images: [[diffRows]]' classification plus
+    * the old payload as `pre_<col>` and the new as `post_<col>` — the
+    * Delta CDF preimage/postimage shape, what RETRACTING consumers need
+    * (an incremental aggregate must subtract the pre-image of an update
+    * before adding its post-image; see q238). Same one co-partitioned
+    * full-outer join; unchanged rows are filtered out — a CDC feed
+    * carries changes, not the table.
+    */
+  def diffRowsPrePost(spark: SparkSession, table: String, vOld: Int,
+                      vNew: Int, keyCols: Seq[String]): DataFrame = {
+    val old = read(spark, table, Some(vOld))
+    val neu = read(spark, table, Some(vNew))
+    require(old.columns.sameElements(neu.columns),
+      s"schema drift between v$vOld and v$vNew")
+    val payload = old.columns.filterNot(keyCols.contains)
+    def pack(df: DataFrame, side: String) = df.select(
+      keyCols.map(col) :+
+        struct(payload.map(col): _*).as(s"${side}_payload"): _*)
+    pack(old, "o").join(pack(neu, "n"), keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        when(col("o_payload").isNull && col("n_payload").isNotNull,
+          lit("insert"))
+          .when(col("n_payload").isNull, lit("delete"))
+          .when(col("o_payload") <=> col("n_payload"), lit("unchanged"))
+          .otherwise(lit("update")).as("change_type")) ++
+        payload.map(c => col(s"o_payload.$c").as(s"pre_$c")) ++
+        payload.map(c => col(s"n_payload.$c").as(s"post_$c")): _*)
+      .where(col("change_type") =!= "unchanged")
+  }
+
   /** MERGE: apply a [[diffRows]] changeset to a base frame — deletes
     * drop, updates/inserts take the changeset's payload, unchanged keys
     * keep the base row. One co-partitioned outer join, same key; the
@@ -935,6 +965,164 @@ object SnapshotStore {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("change_type"))
   }
+
+  // ─── q238: CDC-fed incremental summary maintenance (with retraction) ──
+  // The composition the snapshot store + summary machinery exist for:
+  // keep an aggregate CURRENT as the table moves v1 → v2, doing O(delta)
+  // work — WITHOUT rescanning the fact. The changeset comes from
+  // [[diffRowsPrePost]] (time-travel CDC — both images, no change log
+  // needed); maintenance applies the textbook retraction algebra:
+  //   delete → subtract the pre-image's partials; insert → add the
+  //   post-image's; update → both (which also handles group-moving
+  //   updates for free).
+  // SUM/COUNT retract exactly. MIN/MAX famously do NOT (dropping the
+  // minimum says nothing about the runner-up), so the maintained form
+  // recomputes min/max ONLY for the groups the changeset touched — the
+  // group-local recompute every production IVM engine (Materialize,
+  // DBSP) falls back to for non-invertible aggregates. Groups whose
+  // count retracts to zero vanish.
+  // The output packs change-class counters, the touched/total group
+  // counts (the O(delta)-work evidence), and full-summary checksums; the
+  // oracle recomputes the summary FROM SCRATCH on v2 — checksum equality
+  // IS the maintenance theorem, and the counters prove how little of the
+  // table the engine had to look at.
+  // Scale: one co-partitioned CDC join, one |delta|-sized aggregate, one
+  // |summary|-sized outer merge, one key-filtered rescan bounded by the
+  // touched groups. Nothing scans v2 whole except the published bytes
+  // already on disk.
+  def q238CdcSummaryMaintain(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcmv"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    // orders is the keyed table (o_orderkey IS unique — lineitem's
+    // synthetic (orderkey, linenumber) is not, and keyed CDC without a
+    // key is meaningless); dims = priority x status x order month
+    val dims = Seq("prio", "status", "omonth")
+    val keys = Seq("o_orderkey")
+    def slice(df: DataFrame, bump: Boolean) = df.select(
+      col("o_orderkey"),
+      col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("omonth"),
+      (round(col("o_totalprice") * 100).cast("long") +
+        (if (bump) when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L)
+         else lit(0L))).as("price_c"))
+    val od = Tables.orders(s, d)
+    publish(slice(od.where(col("o_orderkey") % 10 =!= 0), bump = false), table)
+    publish(slice(od.where(col("o_orderkey") % 13 =!= 0), bump = true), table)
+    val ch = diffRowsPrePost(s, table, 1, 2, keys)
+    // v1's summary — the state being maintained
+    def summarize(df: DataFrame) = df.groupBy(dims.map(col): _*)
+      .agg(sum(col("price_c")).as("sum_price"), count(lit(1)).as("cnt"),
+           min(col("price_c")).as("min_price"),
+           max(col("price_c")).as("max_price"))
+    val base = summarize(read(s, table, Some(1)))
+    // retraction deltas: −pre for delete/update, +post for insert/update
+    val neg = ch.where(col("change_type").isin("delete", "update"))
+      .select(dims.map(c => col(s"pre_$c").as(c)) ++ Seq(
+        (-col("pre_price_c")).as("d_price"), lit(-1L).as("d_cnt")): _*)
+    val pos = ch.where(col("change_type").isin("insert", "update"))
+      .select(dims.map(c => col(s"post_$c").as(c)) ++ Seq(
+        col("post_price_c").as("d_price"), lit(1L).as("d_cnt")): _*)
+    val delta = neg.unionAll(pos).groupBy(dims.map(col): _*)
+      .agg(sum(col("d_price")).as("d_price"), sum(col("d_cnt")).as("d_cnt"))
+    val merged = base.join(delta, dims, "full_outer")
+      .select(dims.map(col) ++ Seq(
+        (coalesce(col("sum_price"), lit(0L)) + coalesce(col("d_price"), lit(0L)))
+          .as("sum_price"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt"),
+        col("min_price"), col("max_price"),
+        col("d_cnt").isNotNull.as("touched")): _*)
+      .where(col("cnt") > 0L)
+    // min/max don't retract: recompute them for TOUCHED groups only
+    val touchedMm = summarize(
+        read(s, table, Some(2)).join(
+          broadcast(delta.select(dims.map(col): _*)), dims, "left_semi"))
+      .select(dims.map(col) ++ Seq(
+        col("min_price").as("r_min"), col("max_price").as("r_max")): _*)
+    val fin = merged.join(broadcast(touchedMm), dims, "left")
+      .select(dims.map(col) ++ Seq(
+        col("sum_price"), col("cnt"), col("touched"),
+        when(col("touched"), col("r_min")).otherwise(col("min_price"))
+          .as("min_price"),
+        when(col("touched"), col("r_max")).otherwise(col("max_price"))
+          .as("max_price")): _*)
+    val sums = fin.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("touched"), 1L).otherwise(0L)).as("n_touched"),
+      sum(col("sum_price")).as("tot_price"), sum(col("cnt")).as("tot_cnt"),
+      sum(col("min_price")).as("min_price_sum"),
+      sum(col("max_price")).as("max_price_sum"))
+    val chCnt = ch.agg(
+      sum(when(col("change_type") === "insert", 1L).otherwise(0L)).as("n_ins"),
+      sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("n_del"),
+      sum(when(col("change_type") === "update", 1L).otherwise(0L)).as("n_upd"))
+    chCnt.crossJoin(broadcast(sums))
+  }
+
+  val q238Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio, o_orderstatus AS status,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS omonth,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders WHERE o_orderkey % 10 <> 0),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio, o_orderstatus AS status,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |      AS omonth,
+      |    CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS price_c
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |chf AS (
+      |  SELECT * FROM (
+      |    SELECT
+      |      CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+      |           WHEN n.o_orderkey IS NULL THEN 'delete'
+      |           WHEN o.price_c = n.price_c THEN 'unchanged'
+      |           ELSE 'update' END AS change_type,
+      |      o.prio AS pre_prio, o.status AS pre_status,
+      |      o.omonth AS pre_omonth,
+      |      n.prio AS post_prio, n.status AS post_status,
+      |      n.omonth AS post_omonth
+      |    FROM v1 o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey)
+      |  WHERE change_type <> 'unchanged'),
+      |touched AS (
+      |  SELECT DISTINCT prio, status, omonth FROM (
+      |    SELECT pre_prio AS prio, pre_status AS status,
+      |      pre_omonth AS omonth FROM chf
+      |    WHERE change_type IN ('delete', 'update')
+      |    UNION
+      |    SELECT post_prio, post_status, post_omonth FROM chf
+      |    WHERE change_type IN ('insert', 'update'))),
+      |scratch AS (
+      |  SELECT prio, status, omonth,
+      |    sum(price_c) AS sum_price, count(*) AS cnt,
+      |    min(price_c) AS min_price, max(price_c) AS max_price
+      |  FROM v2 GROUP BY 1, 2, 3),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |    CAST(sum(CASE WHEN t.prio IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_touched,
+      |    CAST(sum(sum_price) AS BIGINT) AS tot_price,
+      |    CAST(sum(cnt) AS BIGINT) AS tot_cnt,
+      |    CAST(sum(min_price) AS BIGINT) AS min_price_sum,
+      |    CAST(sum(max_price) AS BIGINT) AS max_price_sum
+      |  FROM scratch s LEFT JOIN touched t
+      |    ON s.prio = t.prio AND s.status = t.status AND s.omonth = t.omonth),
+      |cc AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN change_type = 'insert' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_ins,
+      |    CAST(sum(CASE WHEN change_type = 'delete' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_del,
+      |    CAST(sum(CASE WHEN change_type = 'update' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_upd
+      |  FROM chf)
+      |SELECT n_ins, n_del, n_upd, n_groups, n_touched, tot_price, tot_cnt,
+      |  min_price_sum, max_price_sum
+      |FROM cc, sums""".stripMargin
 
   val q133Sql: String =
     """WITH v1 AS (
@@ -1269,6 +1457,7 @@ object SnapshotStore {
     "q225_wap_publish" -> (q225WapPublish _),
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
     "q133_snapshot_cdc" -> (q133SnapshotCdc _),
+    "q238_cdc_summary_maintain" -> (q238CdcSummaryMaintain _),
     "q148_skipping_read" -> (q148SkippingRead _),
     "q151_bloom_lookup" -> (q151BloomLookup _),
     "q210_partitioned_read" -> (q210PartitionedRead _),
@@ -1279,6 +1468,7 @@ object SnapshotStore {
     "q225_wap_publish" -> q225Sql,
     "q130_snapshot_roundtrip" -> q130Sql,
     "q133_snapshot_cdc" -> q133Sql,
+    "q238_cdc_summary_maintain" -> q238Sql,
     "q148_skipping_read" -> q148Sql,
     "q151_bloom_lookup" -> q151Sql,
     "q210_partitioned_read" -> q210Sql,

@@ -546,4 +546,25 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(v1._2 < v2._2 && v1._3 < v2._3,
       "v1 (even doc_ids) must be a strict subset of v2 (all docs)")
   }
+
+  test("diffRowsPrePost carries both images and drops unchanged rows") {
+    val t = freshTable("prepost")
+    SnapshotStore.publish(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), t)
+    SnapshotStore.publish(
+      Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("id", "v"), t)
+    val ch = SnapshotStore.diffRowsPrePost(spark, t, 1, 2, Seq("id"))
+      .select($"id", $"change_type", $"pre_v", $"post_v")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    assert(ch === Set(
+      (1L, "delete", Some(10L), None),     // pre-image only
+      (3L, "update", Some(30L), Some(31L)), // BOTH images — the CDF shape
+      (4L, "insert", None, Some(40L))))    // post-image only; 2L filtered
+    // retraction algebra over the feed rebuilds the v2 sum from v1's
+    val v1sum = 10L + 20L + 30L
+    val maintained = v1sum +
+      ch.toSeq.map { case (_, _, pre, post) =>
+        post.getOrElse(0L) - pre.getOrElse(0L) }.sum
+    assert(maintained === 20L + 31L + 40L)
+  }
 }
