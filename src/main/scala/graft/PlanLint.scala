@@ -472,6 +472,8 @@ object PlanLint {
     // CDC-fed summary maintenance: 2 publishes (stage stats/write each)
     // + manifest reads + the final single-action maintenance plan
     "q238_cdc_summary_maintain" -> 16,
+    // AS-OF reads: 3 publishes (stage+ts sidecar each) + manifest scans
+    "q239_asof_timestamp" -> 16,
     // WAP: 3 publishes (stage stats + write each) + 3 audits + census
     "q225_wap_publish" -> 16,
     // multi-statement SQL entries / registration actions (3–4 measured)

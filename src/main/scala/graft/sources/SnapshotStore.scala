@@ -420,10 +420,63 @@ object SnapshotStore {
     val f = fs(spark, new Path(table))
     expire.foreach { v =>
       f.delete(new Path(manifestDir(table), f"v$v%05d.manifest"), false)
+      f.delete(new Path(manifestDir(table), f"v$v%05d.ts"), false)
       if (!referenced.contains(f"snap-v$v%05d"))
         f.delete(new Path(table, f"snap-v$v%05d"), true)
     }
     expire
+  }
+
+  // ─── AS-OF-timestamp time travel ───────────────────────────────────────
+  // Version numbers are an ENGINE handle; consumers reason in event time
+  // ("the table as of last midnight" — the Iceberg/Delta TIMESTAMP AS OF
+  // read). The commit time is a CALLER-SUPPLIED logical timestamp (a
+  // wall clock would make reads non-reproducible — the engine's
+  // determinism rule), recorded as a `vNNNNN.ts` sidecar next to the
+  // manifest. The sidecar lands AFTER the manifest commit: `read(v)`
+  // visibility is unchanged, AS-OF visibility trails the commit by one
+  // metadata write, and a crash between the two leaves a version that is
+  // version-addressable but not time-addressable — safe (never the
+  // reverse). Vacuum expires sidecars with their manifests.
+
+  /** [[publish]] stamped with a logical commit timestamp. */
+  def publishAt(df: DataFrame, table: String, commitTs: Long,
+                partitionBy: Seq[String] = Nil): Int = {
+    val spark = df.sparkSession
+    val v = publish(df, table, partitionBy = partitionBy)
+    val f = fs(spark, new Path(table))
+    val out = f.create(new Path(manifestDir(table), f"v$v%05d.ts"), false)
+    out.write(commitTs.toString.getBytes(UTF_8))
+    out.close()
+    v
+  }
+
+  /** Commit timestamps of all time-addressable versions. */
+  def commitTimes(spark: SparkSession, table: String): Seq[(Int, Long)] = {
+    val dir = manifestDir(table)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val TsRe = "v(\\d{5})\\.ts".r
+      f.listStatus(dir).toSeq.map(_.getPath).collect {
+        case p if TsRe.pattern.matcher(p.getName).matches() =>
+          val TsRe(n) = p.getName: @unchecked
+          val in = f.open(p)
+          val bytes = new Array[Byte](64)
+          val len = in.read(bytes); in.close()
+          (n.toInt, new String(bytes, 0, len, UTF_8).trim.toLong)
+      }.sortBy(_._1)
+    }
+  }
+
+  /** Snapshot-isolated read of the newest version whose commit time is
+    * ≤ `asOf` — fails loudly when nothing was committed that early.
+    */
+  def readAsOf(spark: SparkSession, table: String, asOf: Long): DataFrame = {
+    val eligible = commitTimes(spark, table).filter(_._2 <= asOf)
+    require(eligible.nonEmpty,
+      s"no version committed at or before ts=$asOf in $table")
+    read(spark, table, Some(eligible.maxBy(t => (t._2, t._1))._1))
   }
 
   /** GC: delete `snap-v*` data dirs with NO committed manifest — crash
@@ -917,6 +970,45 @@ object SnapshotStore {
   // v1 bytes untouched after v2 landed. (The table dir is rebuilt each
   // run — version numbers restart at 1, keeping the output
   // deterministic under bench's repeated passes.)
+  // ─── q239: TIMESTAMP AS OF time travel ────────────────────────────────
+  // Three epochs of the table commit at logical times 100/200/300; three
+  // AS-OF reads (mid-epoch, exact-boundary — inclusive, the Iceberg
+  // contract — and far-future) each census the snapshot they resolve to.
+  // The oracle recomputes every census from the epoch predicates, so the
+  // hash only matches if timestamp resolution picks exactly the right
+  // version each time.
+  def q239AsofTimestamp(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/asof"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+    publishAt(docs.where(col("doc_id") % 4 === 0), table, 100L)
+    publishAt(docs.where(col("doc_id") % 4 <= 1), table, 200L)
+    publishAt(docs.where(col("doc_id") % 4 <= 2), table, 300L)
+    Seq(150L, 200L, 999L).map { ts =>
+      readAsOf(s, table, ts)
+        .agg(lit(ts).as("as_of"), count(lit(1)).as("n_docs"),
+             sum(col("n_chars").cast("long")).as("char_sum"))
+        .select(col("as_of"), col("n_docs"), col("char_sum"))
+    }.reduce(_.unionAll(_)).orderBy(col("as_of"))
+  }
+
+  val q239Sql: String =
+    """SELECT CAST(150 AS BIGINT) AS as_of,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+      |FROM documents WHERE doc_id % 4 = 0
+      |UNION ALL
+      |SELECT CAST(200 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 4 <= 1
+      |UNION ALL
+      |SELECT CAST(999 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE doc_id % 4 <= 2
+      |ORDER BY as_of""".stripMargin
+
   def q130SnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
     val table = sys.props("java.io.tmpdir") + "/graft-snapshots/docs"
     val tableP = new Path(table)
@@ -1458,6 +1550,7 @@ object SnapshotStore {
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
     "q133_snapshot_cdc" -> (q133SnapshotCdc _),
     "q238_cdc_summary_maintain" -> (q238CdcSummaryMaintain _),
+    "q239_asof_timestamp" -> (q239AsofTimestamp _),
     "q148_skipping_read" -> (q148SkippingRead _),
     "q151_bloom_lookup" -> (q151BloomLookup _),
     "q210_partitioned_read" -> (q210PartitionedRead _),
@@ -1469,6 +1562,7 @@ object SnapshotStore {
     "q130_snapshot_roundtrip" -> q130Sql,
     "q133_snapshot_cdc" -> q133Sql,
     "q238_cdc_summary_maintain" -> q238Sql,
+    "q239_asof_timestamp" -> q239Sql,
     "q148_skipping_read" -> q148Sql,
     "q151_bloom_lookup" -> q151Sql,
     "q210_partitioned_read" -> q210Sql,

@@ -567,4 +567,23 @@ class SnapshotStoreSpec extends SparkSpec {
         post.getOrElse(0L) - pre.getOrElse(0L) }.sum
     assert(maintained === 20L + 31L + 40L)
   }
+
+  test("AS-OF timestamp resolves inclusively, rejects pre-history, vacuums") {
+    val t = freshTable("asof")
+    SnapshotStore.publishAt(Seq((1L, "a")).toDF("id", "s"), t, 100L)
+    SnapshotStore.publishAt(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, 200L)
+    def n(asOf: Long) = SnapshotStore.readAsOf(spark, t, asOf).count()
+    assert(n(100L) === 1L, "boundary must be inclusive")
+    assert(n(150L) === 1L)
+    assert(n(200L) === 2L)
+    assert(n(9999L) === 2L)
+    val err = intercept[IllegalArgumentException](n(99L))
+    assert(err.getMessage.contains("no version committed"))
+    // vacuum drops the expired version's ts sidecar with its manifest:
+    // the old timestamp stops resolving instead of dangling
+    SnapshotStore.vacuum(spark, t, keepLast = 1)
+    assert(SnapshotStore.commitTimes(spark, t).map(_._1) === Seq(2))
+    intercept[IllegalArgumentException](n(150L))
+    assert(n(200L) === 2L)
+  }
 }
