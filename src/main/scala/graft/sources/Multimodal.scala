@@ -86,6 +86,41 @@ object Multimodal {
         else None
       }
 
+    /** SAMPLE-level WAV decode: the same RIFF walk as [[decodeWav]], but
+      * folding the `data` chunk's little-endian PCM16 samples into
+      * fixed-width stats — (n_samples, Σ sample², n_quiet) with quiet =
+      * |s| < `quietBelow` — inside the codec, so the media-sized byte
+      * array dies in the partition that decoded it. Integer-exact: a
+      * 16-bit sample squares below 2^30; 2^33 samples fit the Long sum.
+      */
+    private[graft] def pcm16Stats(p: Array[Byte], quietBelow: Int)
+        : Option[(Long, Long, Long)] =
+      if (p.length < 44 || ascii4(p, 0) != "RIFF" || ascii4(p, 8) != "WAVE")
+        None
+      else {
+        var off = 12
+        var dataOff, dataBytes = -1
+        while (off + 8 <= p.length && dataBytes < 0) {
+          val id = ascii4(p, off)
+          val size = le32(p, off + 4)
+          if (id == "data") { dataOff = off + 8; dataBytes = size }
+          off = if (size < 0) p.length else off + 8 + size + (size & 1)
+        }
+        if (dataBytes < 0) None
+        else {
+          val end = math.min(dataOff + dataBytes, p.length)
+          var i = dataOff
+          var n = 0L; var ss = 0L; var quiet = 0L
+          while (i + 1 < end) {
+            val s = ((p(i) & 0xff) | (p(i + 1) << 8)).toShort.toInt
+            n += 1; ss += s.toLong * s
+            if (math.abs(s) < quietBelow) quiet += 1
+            i += 2
+          }
+          Some((n, ss, quiet))
+        }
+      }
+
     /** ──────────────────────────  STUB  ────────────────────────────────
       * Deterministic fake for payloads that are no recognized container
       * (derives metadata from byte content so tests stay exact). Real
@@ -407,6 +442,58 @@ object Multimodal {
       |    FROM documents))
       |ORDER BY media_id""".stripMargin
 
+  // ─── q240: audio energy census from REAL PCM sample decode ────────────
+  // The audio twin of q220's pixel-level step: q98 stops at container
+  // HEADERS (rates, frame counts); curation needs the SAMPLES — energy
+  // (Σ s², the loudness/VAD signal) and the quiet-sample fraction are
+  // what an audio pipeline gates clips on before transcription. The
+  // codec walks RIFF chunks to `data` and folds little-endian PCM16
+  // samples into three Longs INSIDE the partition (mapPartitions is the
+  // documented legitimate seam: an opaque byte codec) — integer-exact,
+  // so the census is hashable cross-engine, and the media-sized payload
+  // never reaches a shuffle. "Quiet" = |s| < 16384: the in-engine WAVs
+  // carry text bytes as PCM, so a sample is quiet exactly when its high
+  // byte is a space/digit — content-dependent, non-degenerate.
+  // The oracle recomputes every sample relationally from the text bytes
+  // (dataSize = len − len mod 4 never wraps the cyclic fill: min doc is
+  // 47 chars).
+  final case class AudioStats(
+    media_id: Long, n_samples: Long, sum_sq: Long, n_quiet: Long)
+
+  /** Sample-level audio stats through the real codec path; non-audio and
+    * undecodable payloads drop out (a census, not a validator). */
+  def audioStats(ds: Dataset[MediaRecord], quietBelow: Int)
+      : Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      if (r.kind != "audio") Iterator.empty
+      else MediaCodec.pcm16Stats(r.payload, quietBelow).iterator.map {
+        case (n, ss, q) => AudioStats(r.media_id, n, ss, q) }
+    })
+  }
+
+  def q240AudioEnergy(s: SparkSession, d: String): DataFrame =
+    audioStats(bmpWavCatalog(s, d), quietBelow = 16384).toDF()
+      .orderBy(col("media_id"))
+
+  val q240Sql: String =
+    """SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+      |  CAST(sum(CASE WHEN s < 16384 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quiet
+      |FROM (
+      |  SELECT doc_id,
+      |    ord(substr(text, CAST(2*i+1 AS INT), 1))
+      |      + 256 * ord(substr(text, CAST(2*i+2 AS INT), 1)) AS s
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      greatest(octet_length(encode(text))
+      |               - octet_length(encode(text)) % 4, 4) AS ds
+      |    FROM documents WHERE doc_id % 2 = 1),
+      |    unnest(range(0, ds // 2)) u(i))
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   // ─── q220: image near-dup dedup by perceptual hash (aHash) ────────────
   // The dedup family's missing modality: every other dedup operator in
   // this engine keys on text or embeddings; image corpora dedup on
@@ -632,6 +719,7 @@ object Multimodal {
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
     "q92_frame_sample"    -> (q92FrameSample _),
     "q98_container_decode" -> (q98ContainerDecode _),
+    "q240_audio_energy" -> (q240AudioEnergy _),
     "q220_image_phash_dedup" -> (q220ImagePhashDedup _),
     "q223_image_near_dup" -> (q223ImageNearDup _),
   )
@@ -640,6 +728,7 @@ object Multimodal {
     "q58_multimodal_meta" -> q58Sql,
     "q92_frame_sample"    -> q92Sql,
     "q98_container_decode" -> q98Sql,
+    "q240_audio_energy" -> q240Sql,
     "q220_image_phash_dedup" -> q220Sql,
     "q223_image_near_dup" -> q223Sql,
   )

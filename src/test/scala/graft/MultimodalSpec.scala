@@ -202,4 +202,27 @@ class MultimodalSpec extends SparkSpec {
     assert(dists.exists(d => d >= 1 && d <= 6),
       "no pair in the 1..6 near-miss band — q223's planting is vacuous")
   }
+
+  test("pcm16Stats folds golden little-endian samples past a LIST chunk") {
+    // same golden layout as the decodeWav case; data bytes
+    // 01 02 03 04 05 06 07 08 decode little-endian to samples
+    // 0x0201=513, 0x0403=1027, 0x0605=1541, 0x0807=2055
+    val golden = hex(
+      "52494646 38000000 57415645" +
+      "666D7420 10000000 0100 0200 803E0000 00FA0000 0400 1000" +
+      "4C495354 03000000 414243 00" +
+      "64617461 08000000 0102030405060708")
+    val expSq = Seq(513L, 1027L, 1541L, 2055L).map(x => x * x).sum
+    assert(Multimodal.MediaCodec.pcm16Stats(golden, quietBelow = 1100) ===
+      Some((4L, expSq, 2L)))  // 513 and 1027 are under the quiet bar
+    // negative samples: FF FF = -1, 00 80 = -32768 — abs() must apply
+    val neg = hex(
+      "52494646 28000000 57415645" +
+      "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 04000000 FFFF 0080")
+    val negSq = 1L + 32768L * 32768L
+    assert(Multimodal.MediaCodec.pcm16Stats(neg, quietBelow = 16384) ===
+      Some((2L, negSq, 1L)))  // |-1| quiet, |-32768| loud
+    assert(Multimodal.MediaCodec.pcm16Stats("nope".getBytes, 1) === None)
+  }
 }
