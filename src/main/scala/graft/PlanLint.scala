@@ -427,6 +427,7 @@ object PlanLint {
     "q170_bfs_hops" -> 20,
     // PageRank: fixed 10 iterations (measured exactly 10)
     "q150_pagerank" -> 24,
+    "q242_personalized_pagerank" -> 24,
     // k-means trainer: 1 pieces checkpoint + 1 checkpoint per Lloyd
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,

@@ -434,7 +434,14 @@ object Graph {
     * bidirectional edges), so there is no dangling-mass term.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               base: Double = 0.15): DataFrame = {
+               base: Double = 0.15, tele: Option[DataFrame] = None)
+      : DataFrame = {
+    // `tele` generalizes to PERSONALIZED PageRank (Page et al. 1999 §6 /
+    // Haveliwala 2002): a (node, tele) frame concentrates the teleport
+    // mass on seed nodes — pr₀ = tele, prₖ = base·tele + damping·Σ —
+    // so authority flows FROM the seeds outward instead of globally.
+    // None keeps the uniform tele ≡ 1.0 of the classic form bit-for-bit
+    // (base·1.0 IS base in IEEE; missing tele rows fill 0.0).
     // base is a LITERAL, not 1−damping: the double `1.0 - 0.85` differs
     // from the double `0.15` by 2.2e-17, and the oracle types "0.15"
     //
@@ -451,8 +458,13 @@ object Graph {
     // pass bidirectional edges), so deg's key set IS the node set — one
     // aggregate builds both, checkpointed once, anchoring both joins of
     // every round (a live plan would rescan the upstream per iteration)
-    val nodes = eCk.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes0 = eCk.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = (tele match {
+      case Some(t) => nodes0.join(t, Seq("node"), "left")
+        .na.fill(0.0, Seq("tele"))
+      case None => nodes0.withColumn("tele", lit(1.0))
+    }).localCheckpoint()
     // localCheckpoint erases size stats (ExistingRDD defaults to "huge"),
     // so without help every round's edge⋈rank join would plan SMJ and
     // sort the edge list 5 times over. Cardinality-guard the hint the
@@ -463,14 +475,15 @@ object Graph {
     val nNodes = nodes.count()
     val rankSide: DataFrame => DataFrame =
       if (nNodes <= 5000000L) broadcast else identity
-    var ranks = nodes.withColumn("pr", lit(1.0)).localCheckpoint()
+    var ranks = nodes.withColumn("pr", col("tele")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val contribs = eCk.join(rankSide(ranks), eCk("src") === ranks("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"), col("deg"),
-          (lit(base) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .select(col("node"), col("deg"), col("tele"),
+          (lit(base) * col("tele") + lit(damping) * coalesce(col("s"), lit(0.0)))
+            .as("pr"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("pr"))
@@ -522,6 +535,65 @@ object Graph {
        |${stages.mkString(",\n")}
        |SELECT (node - 1) // 2 AS part_key, round(pr, 5) AS pr
        |FROM r5 WHERE node % 2 = 1
+       |ORDER BY pr DESC, part_key
+       |LIMIT 20""".stripMargin
+  }
+
+  // ─── q242: personalized PageRank (seed-anchored authority) ────────────
+  // The recommendation form of q150: teleport mass concentrated on a
+  // SEED set (every 50th part — "the basket"), so the stationary mass
+  // measures proximity to the seeds through the co-supply structure,
+  // not global authority. Same loop (localCheckpoint per round, node
+  // frame carries deg+tele, cardinality-guarded broadcast), same
+  // ROUNDED-rank ordering contract; output keeps the seeds' own rows
+  // flagged so the census shows mass concentrating around — not just
+  // on — the seed set.
+  def q242PersonalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+    val sp = li.select((col("sk") * 2).as("src"), (col("pk") * 2 + 1).as("dst"))
+    val ps = li.select((col("pk") * 2 + 1).as("src"), (col("sk") * 2).as("dst"))
+    val seeds = li.where(col("pk") % 50 === 0)
+      .select((col("pk") * 2 + 1).as("node")).distinct()
+      .withColumn("tele", lit(1.0))
+    // the recommendation read: rank NON-seed parts by proximity mass
+    // (seeds themselves hold most of the stationary mass by construction
+    // — recommending the basket back is vacuous)
+    pageRank(sp.unionAll(ps), iterations = 5, tele = Some(seeds))
+      .where(col("node") % 2 === 1 &&
+             expr("(node - 1) DIV 2") % 50 =!= 0)
+      .select(expr("(node - 1) DIV 2").as("part_key"),
+        round(col("pr"), 5).as("pr"))
+      .orderBy(col("pr").desc, col("part_key"))
+      .limit(20)
+  }
+
+  val q242Sql: String = {
+    val stages = (1 to 5).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    0.15 * n.tele + 0.85 * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr / d.deg) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT sk * 2 AS src, pk * 2 + 1 AS dst FROM li
+       |  UNION ALL
+       |  SELECT pk * 2 + 1, sk * 2 FROM li),
+       |d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |n AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node,
+       |    CASE WHEN src % 2 = 1 AND ((src - 1) // 2) % 50 = 0
+       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS tele
+       |  FROM e),
+       |r0 AS MATERIALIZED (SELECT node, tele AS pr FROM n),
+       |${stages.mkString(",\n")}
+       |SELECT (node - 1) // 2 AS part_key, round(pr, 5) AS pr
+       |FROM r5 WHERE node % 2 = 1 AND ((node - 1) // 2) % 50 <> 0
        |ORDER BY pr DESC, part_key
        |LIMIT 20""".stripMargin
   }
@@ -903,7 +975,8 @@ object Graph {
     "q150_pagerank" -> (q150PageRank _),
     "q170_bfs_hops" -> (q170BfsHops _),
     "q171_triangle_count" -> (q171TriangleCount _),
-    "q233_label_propagation" -> (q233LabelPropagation _))
+    "q233_label_propagation" -> (q233LabelPropagation _),
+    "q242_personalized_pagerank" -> (q242PersonalizedPageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -913,5 +986,6 @@ object Graph {
     "q150_pagerank" -> q150Sql,
     "q170_bfs_hops" -> q170Sql,
     "q171_triangle_count" -> q171Sql,
-    "q233_label_propagation" -> q233Sql)
+    "q233_label_propagation" -> q233Sql,
+    "q242_personalized_pagerank" -> q242Sql)
 }

@@ -373,4 +373,35 @@ class GraphSpec extends SparkSpec {
     assert(census.getLong(0) === nodes.getLong(0))
     assert(census.getLong(1) === nodes.getLong(1))
   }
+
+  test("personalized PageRank: uniform tele reduces to classic; seeds anchor") {
+    val e = Seq((1L,2L),(2L,1L),(2L,3L),(3L,2L),(3L,4L),(4L,3L))
+      .toDF("src", "dst")
+    val classic = Graph.pageRank(e, 4).as[(Long, Double)].collect().toMap
+    val uniform = Graph.pageRank(e, 4,
+        tele = Some(e.select($"src".as("node")).distinct()
+          .withColumn("tele", lit(1.0))))
+      .as[(Long, Double)].collect().toMap
+    assert(uniform === classic,
+      "an all-ones tele frame must reproduce classic PageRank bit-for-bit")
+    // seed-anchored: teleport only to node 1 — driver-side recompute of
+    // the exact recurrence pr_k = 0.15*tele + 0.85*sum(pr/deg)
+    val seeded = Graph.pageRank(e, 4,
+        tele = Some(Seq((1L, 1.0)).toDF("node", "tele")))
+      .as[(Long, Double)].collect().toMap
+    val adjIn = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+                    4L -> Seq(3L))
+    val deg = Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0)
+    val tele = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0)
+    var pr = tele
+    for (_ <- 1 to 4)
+      pr = adjIn.map { case (n, ins) =>
+        n -> (0.15 * tele(n) + 0.85 * ins.map(i => pr(i) / deg(i)).sum) }
+    pr.foreach { case (n, v) =>
+      assert(math.abs(seeded(n) - v) < 1e-12, s"node $n: ${seeded(n)} vs $v") }
+    // the seed anchors the distribution; proximity mass reaches everyone
+    // (no monotone-decay claim: path ends reflect mass back)
+    assert(seeded(1L) === seeded.values.max)
+    assert(seeded.values.forall(_ > 0.0))
+  }
 }
