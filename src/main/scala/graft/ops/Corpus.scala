@@ -1851,7 +1851,50 @@ object Corpus {
        |GROUP BY lang, fold
        |ORDER BY lang, fold""".stripMargin
 
+  // ─── q241: length-bucketed batching — the padding-waste census ────────
+  // Trainers batch fixed-shape tensors: every sequence pads up to its
+  // batch's length. Bucketing by length (the dynamic-batching lever)
+  // bounds that waste; this census PRICES it — per power-of-two bucket
+  // cap (16..512, longer docs truncate): doc count, real tokens, pad
+  // tokens (cap − len), truncated tokens (len − cap past the top) — the
+  // numbers that decide bucket boundaries before a training run. The
+  // cap is a CASE chain over fixed thresholds, not ceil(log2(len)):
+  // integer comparisons can't disagree cross-engine at exact powers of
+  // two the way float log2 boundaries can.
+  // Scale: a pure projection over the token count + one map-side-
+  // combined ≤6-row aggregate — the cheapest class of corpus pass.
+  def q241LengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val len = size(tokens(col("text"))).cast("long")
+    val cap = when(len <= 16L, 16L).when(len <= 32L, 32L)
+      .when(len <= 64L, 64L).when(len <= 128L, 128L)
+      .when(len <= 256L, 256L).otherwise(512L)
+    documents(s, d)
+      .select(len.as("len"), cap.as("cap"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("len"), col("cap"))).as("tok_sum"),
+        sum(greatest(col("cap") - col("len"), lit(0L))).as("pad_waste"),
+        sum(greatest(col("len") - col("cap"), lit(0L))).as("truncated"))
+      .orderBy(col("cap"))
+  }
+
+  val q241Sql: String =
+    s"""SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(least(len, cap)) AS BIGINT) AS tok_sum,
+       |  CAST(sum(greatest(cap - len, 0)) AS BIGINT) AS pad_waste,
+       |  CAST(sum(greatest(len - cap, 0)) AS BIGINT) AS truncated
+       |FROM (
+       |  SELECT len,
+       |    CASE WHEN len <= 16 THEN 16 WHEN len <= 32 THEN 32
+       |         WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+       |         WHEN len <= 256 THEN 256 ELSE 512 END AS cap
+       |  FROM (SELECT CAST(len($tokensSql) AS BIGINT) AS len
+       |        FROM documents))
+       |GROUP BY cap
+       |ORDER BY cap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_length_buckets" -> (q241LengthBuckets _),
     "q230_gopher_rules" -> (q230GopherRules _),
     "q231_ccnet_buckets" -> (q231CcnetBuckets _),
     "q232_domain_caps" -> (q232DomainCaps _),
@@ -1882,6 +1925,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q241_length_buckets" -> q241Sql,
     "q230_gopher_rules" -> q230Sql,
     "q231_ccnet_buckets" -> q231Sql,
     "q232_domain_caps" -> q232Sql,
