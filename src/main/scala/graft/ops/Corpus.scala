@@ -1893,7 +1893,119 @@ object Corpus {
        |GROUP BY cap
        |ORDER BY cap""".stripMargin
 
+  // ─── q243: first-fit-decreasing sequence packing (fewer truncations) ──
+  // q76 packs by concat-and-chunk: simple, but every chunk boundary
+  // TRUNCATES a document mid-stream — the training-quality cost the
+  // "fewer truncations" line of work (Ding et al. 2024) eliminates by
+  // BIN-PACKING whole documents into fixed-capacity sequences. The
+  // published approximation is first-fit-decreasing; packing globally
+  // is a sequential fold, so the scalable form is BATCH-BOUNDED FFD:
+  // within each (shard, 32-doc salted-hash batch), sort docs by length
+  // desc and first-fit into capacity-128 bins. Each batch's fold runs
+  // as ONE higher-order `aggregate` over a ≤32-element collected array
+  // (the bounded-group contract, q121/q160) — embarrassingly parallel
+  // across batches, no driver loop, no mapPartitions. Docs longer than
+  // the capacity clip to it (they'd occupy a full bin either way).
+  // The census prices the result per shard: bins used vs the ⌈Σlen/C⌉
+  // lower bound, pad waste — and zero truncation by construction, the
+  // number q76 can't offer. DuckDB's oracle replays the identical fold
+  // as a recursive CTE over the same deterministic order, so every
+  // bin-assignment decision is cross-engine checked.
+  private val FfdCap = 128L
+  private val FfdBatch = 32
+
+  /** Bin loads after a first-fit fold of `its` — a SORTED array of
+    * struct(nl = −len, id) (ascending nl ⇒ descending length, the
+    * "decreasing" in FFD; id breaks ties) — into capacity-[[FfdCap]]
+    * bins. Pure Column function so the spec can drive planted batches
+    * through the exact production fold. */
+  private[graft] def ffdLoads(its: Column): Column =
+    aggregate(its, expr("CAST(array() AS ARRAY<BIGINT>)"),
+      (acc, x) => {
+        val ln = -x("nl")
+        val p = array_position(transform(acc, l => l + ln <= FfdCap), true)
+        when(p === 0L, concat(acc, array(ln)))
+          .otherwise(concat(
+            slice(acc, lit(1), (p - 1L).cast("int")),
+            array(element_at(acc, p.cast("int")) + ln),
+            slice(acc, (p + 1L).cast("int"), lit(FfdBatch))))
+      })
+
+  def q243FfdPacking(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"),
+      least(size(tokens(col("text"))).cast("long"), lit(FfdCap)).as("len"),
+      conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+                     1, 1), 16, 10).cast("int").as("shard"),
+      md5(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
+    val pos = Windows.densePos(base, Seq("shard"), Windows.hexBucket(col("ord")),
+      Seq(col("ord"), col("doc_id")), "pos")
+    val items = pos.withColumn("batch", expr(s"(pos - 1) div $FfdBatch"))
+    val folded = items.groupBy(col("shard"), col("batch"))
+      .agg(sort_array(collect_list(struct((-col("len")).as("nl"),
+             col("doc_id").as("id")))).as("its"),
+           sum(col("len")).as("tok_sum"))
+      .withColumn("loads", ffdLoads(col("its")))
+    folded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(size(col("loads")).cast("long")).as("n_bins"),
+        sum(expr(s"(tok_sum + ${FfdCap - 1}) div $FfdCap")).as("lb_bins"),
+        sum(col("tok_sum")).as("tok_sum"),
+        sum(size(col("loads")).cast("long") * FfdCap - col("tok_sum"))
+          .as("pad_waste"))
+      .orderBy(col("shard"))
+  }
+
+  val q243Sql: String =
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    least(CAST(len($tokensSql) AS BIGINT), $FfdCap) AS len,
+       |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+       |                             1, 1) AS BIGINT) AS INT) AS shard,
+       |    md5('order:' || CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents),
+       |items AS MATERIALIZED (
+       |  SELECT shard, (pos - 1) // $FfdBatch AS batch, len, doc_id,
+       |    row_number() OVER (PARTITION BY shard, (pos - 1) // $FfdBatch
+       |                       ORDER BY len DESC, doc_id) AS r
+       |  FROM (SELECT shard, len, doc_id,
+       |          row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |            AS pos
+       |        FROM base)),
+       |bsz AS MATERIALIZED (
+       |  SELECT shard, batch, max(r) AS n, CAST(sum(len) AS BIGINT)
+       |    AS tok_sum
+       |  FROM items GROUP BY 1, 2),
+       |fold AS (
+       |  SELECT shard, batch, 0 AS r, CAST([] AS BIGINT[]) AS loads FROM bsz
+       |  UNION ALL
+       |  SELECT f.shard, f.batch, f.r + 1,
+       |    CASE WHEN q.p = 0 THEN list_append(f.loads, i.len)
+       |         ELSE f.loads[1:CAST(q.p AS INT) - 1]
+       |              || [f.loads[CAST(q.p AS INT)] + i.len]
+       |              || f.loads[CAST(q.p AS INT) + 1:]
+       |    END AS loads
+       |  FROM fold f
+       |  JOIN items i ON i.shard = f.shard AND i.batch = f.batch
+       |    AND i.r = f.r + 1,
+       |  LATERAL (SELECT coalesce(list_position(
+       |      list_transform(f.loads, l -> l + i.len <= $FfdCap), true), 0)
+       |    AS p) q),
+       |packed AS (
+       |  SELECT f.shard, f.batch, f.loads, b.tok_sum
+       |  FROM fold f JOIN bsz b
+       |    ON f.shard = b.shard AND f.batch = b.batch AND f.r = b.n)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_batches,
+       |  CAST(sum(len(loads)) AS BIGINT) AS n_bins,
+       |  CAST(sum((tok_sum + ${FfdCap - 1}) // $FfdCap) AS BIGINT)
+       |    AS lb_bins,
+       |  CAST(sum(tok_sum) AS BIGINT) AS tok_sum,
+       |  CAST(sum(len(loads) * $FfdCap - tok_sum) AS BIGINT) AS pad_waste
+       |FROM packed
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_ffd_packing" -> (q243FfdPacking _),
     "q241_length_buckets" -> (q241LengthBuckets _),
     "q230_gopher_rules" -> (q230GopherRules _),
     "q231_ccnet_buckets" -> (q231CcnetBuckets _),
@@ -1925,6 +2037,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q243_ffd_packing" -> q243Sql,
     "q241_length_buckets" -> q241Sql,
     "q230_gopher_rules" -> q230Sql,
     "q231_ccnet_buckets" -> q231Sql,

@@ -434,4 +434,37 @@ class CorpusSpec extends SparkSpec {
         s"$lang folds unbalanced: ${rows.mkString(",")}")
     }
   }
+
+  test("q243 FFD fold matches a driver recompute, incl. above-lower-bound") {
+    // drive the exact production fold over planted batches
+    def engine(lens: Seq[Long]): Seq[Long] = {
+      val its = lens.zipWithIndex
+        .map { case (l, i) => (-l, i.toLong) }.sorted
+        .map { case (nl, id) => s"struct(CAST($nl AS BIGINT), CAST($id AS BIGINT))" }
+      val arr = expr(s"CAST(array(${its.mkString(",")}) AS " +
+        "ARRAY<STRUCT<nl: BIGINT, id: BIGINT>>)")
+      spark.range(1).select(Corpus.ffdLoads(arr).as("loads"))
+        .collect().head.getSeq[Long](0)
+    }
+    def refFfd(lens: Seq[Long], cap: Long = 128L): Seq[Long] = {
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      lens.sorted(Ordering[Long].reverse).foreach { l =>
+        bins.indexWhere(_ + l <= cap) match {
+          case -1 => bins += l
+          case i  => bins(i) += l
+        }
+      }
+      bins.toSeq
+    }
+    // FFD strictly above the lower bound: three 70s need 3 bins, lb = 2
+    assert(engine(Seq(70L, 70L, 70L)) === Seq(70L, 70L, 70L))
+    // second-fit behavior: 100 then 60 opens bin 2, then 28 tops bin 1
+    assert(engine(Seq(100L, 60L, 28L)) === refFfd(Seq(100L, 60L, 28L)))
+    // randomized agreement with the independent driver FFD
+    val rnd = new scala.util.Random(4242)
+    (1 to 25).foreach { _ =>
+      val lens = Seq.fill(rnd.nextInt(30) + 2)(rnd.nextInt(128).toLong + 1L)
+      assert(engine(lens) === refFfd(lens), s"diverged on $lens")
+    }
+  }
 }
