@@ -281,6 +281,10 @@ object PlanLint {
     // q231: the 1-row corpus-token-total frame crossJoined back into the
     // vocab freq table (q83's scalar-broadcast shape)
     "q231_ccnet_buckets" -> Set("nested-loop", "cartesian"),
+    // q244: 1-row decile-cuts frame crossJoined back; exact percentile
+    // over the per-doc frame (approx_percentile is the 100 TB knob)
+    "q244_calibration_census" ->
+      Set("nested-loop", "cartesian", "exact-percentile"),
     // q238: the 1-row checksum/counter frames crossJoined into one row
     "q238_cdc_summary_maintain" -> Set("nested-loop", "cartesian"),
     "q91_domain_mix" -> Set("nested-loop", "cartesian"),
@@ -447,6 +451,7 @@ object PlanLint {
     // (epochs=4) before the query body (measured 5 total at epochs=3;
     // 10 prices epochs=4 with headroom)
     "q209_quality_classifier" -> 10,
+    "q244_calibration_census" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

@@ -1111,7 +1111,10 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val q209Sql: String = {
+  /** Shared oracle CTE chain for the q209 trainer: everything up to
+    * `sfin(doc_id, y, s)` — the fully-trained per-doc score frame —
+    * reused verbatim by q209 (per-doc sample) and q244 (calibration). */
+  private val lrOracleCtes: String = {
     val epochCtes = (1 to LrEpochs).map { r =>
       s"""s$r AS MATERIALIZED (
          |  SELECT f.doc_id, 1/(1 + exp(-sum(f.x * w.w))) AS s
@@ -1126,7 +1129,7 @@ object Corpus {
          |    / (SELECT nn FROM n), 6) AS w
          |  FROM w${r - 1} w LEFT JOIN g$r g ON w.j = g.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS MATERIALIZED (
+    s"""base AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    $tokensSql AS toks
@@ -1149,12 +1152,67 @@ object Corpus {
        |sfin AS (
        |  SELECT f.doc_id, f.y, 1/(1 + exp(-sum(f.x * w.w))) AS s
        |  FROM feat f JOIN w$LrEpochs w ON f.j = w.j
-       |  GROUP BY f.doc_id, f.y)
+       |  GROUP BY f.doc_id, f.y)""".stripMargin
+  }
+
+  val q209Sql: String =
+    s"""WITH $lrOracleCtes
        |SELECT doc_id, CAST(y AS BIGINT) AS y, round(s, 6) AS score,
        |  CAST(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
        |FROM sfin
        |WHERE doc_id % 17 = 0
        |ORDER BY doc_id""".stripMargin
+
+  // ─── q244: calibration census of the trained classifier ──────────────
+  // The standard post-training eval (reliability diagram / ECE inputs):
+  // bucket every doc by its PREDICTED probability and compare against
+  // the EMPIRICAL positive rate per bin — the gap is miscalibration.
+  // Bins are EQUAL-MASS score deciles (the reliability-diagram variant
+  // robust to score concentration — this weak-label model's scores span
+  // ~0.004, so absolute-width bins would all collapse into one), cut at
+  // percentile_disc values of the INTEGER micro-quantized score
+  // (micro = round(s·1e6), the 6-dp precision q209's per-doc check
+  // already pins cross-engine): every boundary is an attained integer,
+  // bin = count of cuts strictly below micro. The census carries exact
+  // integer micro sums, never a float average — consumers divide.
+  // Scale: one scoring pass; the decile cut is one exact-percentile
+  // aggregate over the per-doc frame crossJoined back as a 1-row
+  // broadcast (q226's contract — approx_percentile is the 100 TB knob).
+  def q244CalibrationCensus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = trainQualityLr(s, docs, LrEpochs)
+    val scored = lrScores(lrFeatures(docs), w)
+      .select(col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"))
+    val cuts = scored.agg(array((1 to 9).map(k =>
+      expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")): _*)
+      .as("cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("y"), col("micro"),
+        size(filter(col("cuts"), c => c < col("micro"))).cast("long")
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+           sum(col("micro")).as("micro_sum"))
+      .orderBy(col("bin"))
+  }
+
+  val q244Sql: String = {
+    val cutList = (1 to 9).map(k =>
+      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")
+      .mkString("[", ", ", "]")
+    s"""WITH $lrOracleCtes,
+       |q AS (SELECT CAST(y AS BIGINT) AS y,
+       |        CAST(round(s * 1e6, 0) AS BIGINT) AS micro
+       |      FROM sfin),
+       |cuts AS (SELECT $cutList AS cuts FROM q)
+       |SELECT CAST(len(list_filter(cuts, c -> c < micro)) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(micro) AS BIGINT) AS micro_sum
+       |FROM q, cuts
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
   }
 
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
@@ -2006,6 +2064,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_ffd_packing" -> (q243FfdPacking _),
+    "q244_calibration_census" -> (q244CalibrationCensus _),
     "q241_length_buckets" -> (q241LengthBuckets _),
     "q230_gopher_rules" -> (q230GopherRules _),
     "q231_ccnet_buckets" -> (q231CcnetBuckets _),
@@ -2038,6 +2097,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q243_ffd_packing" -> q243Sql,
+    "q244_calibration_census" -> q244Sql,
     "q241_length_buckets" -> q241Sql,
     "q230_gopher_rules" -> q230Sql,
     "q231_ccnet_buckets" -> q231Sql,
