@@ -92,6 +92,7 @@ object Bench {
       spark.catalog.clearCache()
     }
     ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+      ops.Corpus.clearLrCache()
     // timed passes, PASS-MAJOR (see protocol note above). A failed query
     // is decided after its first failure — remaining passes would burn
     // the same failure latency for the same -1.
@@ -112,6 +113,7 @@ object Bench {
         }
       }
       ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+      ops.Corpus.clearLrCache()
     }
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name) || times(name).isEmpty) -1.0

@@ -165,6 +165,7 @@ object ScaleSoak {
         spark.catalog.clearCache()
       }
       ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+      ops.Corpus.clearLrCache()
       (1 to passes).foreach { _ =>
         names.foreach { case (n, fn) =>
           val t0 = System.nanoTime()
@@ -175,6 +176,7 @@ object ScaleSoak {
           spark.catalog.clearCache()
         }
         ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+      ops.Corpus.clearLrCache()
       }
       times.view.mapValues(_.min).toMap
     }

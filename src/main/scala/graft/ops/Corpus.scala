@@ -1100,9 +1100,24 @@ object Corpus {
     w
   }
 
+  /** Session-scoped memo of the trained LR weight frame (the
+    * Similarity.kmeansFor discipline): q209 and q244 train the IDENTICAL
+    * fixed-seed model, so one session prices the 4-epoch loop once.
+    * Bench/ScaleSoak clear it at pass boundaries via [[clearLrCache]];
+    * ActionAudit bounds stay worst-case-fresh-session.
+    */
+  private val lrMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  def clearLrCache(): Unit = lrMemo.clear()
+
+  private def lrWeightsFor(s: SparkSession, d: String): DataFrame =
+    lrMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      trainQualityLr(s, documents(s, d), LrEpochs))
+
   def q209QualityClassifier(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val w = trainQualityLr(s, docs, LrEpochs)
+    val w = lrWeightsFor(s, d)
     lrScores(lrFeatures(docs), w)
       .where(col("doc_id") % 17 === 0)
       .select(col("doc_id"), col("y").cast("long").as("y"),
@@ -1180,7 +1195,7 @@ object Corpus {
   // broadcast (q226's contract — approx_percentile is the 100 TB knob).
   def q244CalibrationCensus(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val w = trainQualityLr(s, docs, LrEpochs)
+    val w = lrWeightsFor(s, d)
     val scored = lrScores(lrFeatures(docs), w)
       .select(col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
