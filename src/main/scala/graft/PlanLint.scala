@@ -285,6 +285,8 @@ object PlanLint {
     // over the per-doc frame (approx_percentile is the 100 TB knob)
     "q244_calibration_census" ->
       Set("nested-loop", "cartesian", "exact-percentile"),
+    // q245: two 1-row count frames crossJoined into the census row
+    "q245_detector_eval" -> Set("nested-loop", "cartesian"),
     // q238: the 1-row checksum/counter frames crossJoined into one row
     "q238_cdc_summary_maintain" -> Set("nested-loop", "cartesian"),
     "q91_domain_mix" -> Set("nested-loop", "cartesian"),

@@ -1384,6 +1384,71 @@ object TextSim {
        |WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ─── q245: dedup-detector evaluation census (LSH vs exact truth) ──────
+  // The audit that closes the near-dup family's loop: q203's prefix-
+  // filter join is recall-1 BY CONSTRUCTION (the brute-force oracle
+  // proves zero dropped pairs), which makes it the GROUND TRUTH an
+  // approximate detector can finally be measured against — the
+  // precision/recall numbers a production pipeline quotes when it picks
+  // (K, B). Detected = the verified banded-MinHash pairs (q45's K=8,
+  // B=4); correct = detected ∩ truth (an equi-join on the pair key);
+  // precision lands 1.0 — the verify stage removes band false positives
+  // — and recall is the banding's true miss rate, both emitted as
+  // oracle-computed DATA (the q104 contract: the accuracy number itself
+  // is cross-engine checked, not asserted). Fixture reading: recall
+  // also measures 1.0 at every SF — (8, 4) banding at θ=0.6 collides
+  // every natural pair in this corpus (their Jaccards sit well above
+  // the S-curve's steep region); the operator's value is that the
+  // number is MEASURED against a recall-1 truth, not assumed.
+  // Scale: composes two green pipelines (each bucket-joined, never
+  // all-pairs) plus one pair-keyed join and a ≤1-row reduce.
+  def q245DetectorEval(s: SparkSession, d: String): DataFrame = {
+    // minhashPairs runs over the dedup-TEST corpus (documents + planted
+    // +100000-id near-dup copies); the truth side covers the raw corpus
+    // — so the evaluation restricts detected to raw-id pairs and scores
+    // the detector on the NATURAL near-dups only
+    val det = minhashPairs(s, d, DefaultK, DefaultB)
+      .where(col("doc_a") < 100000L && col("doc_b") < 100000L)
+      .select(col("doc_a"), col("doc_b"))
+    val truth = q203PrefixFilterJoin(s, d).select(col("doc_a"), col("doc_b"))
+    val nDet = det.agg(count(lit(1)).as("n_detected"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCorrect = det.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_correct"))
+    nDet.crossJoin(broadcast(nCorrect)).crossJoin(broadcast(nTruth))
+      .select(col("n_detected"), col("n_correct"), col("n_truth"),
+        round(col("n_correct") / col("n_detected"), 4).as("precision"),
+        round(col("n_correct") / col("n_truth"), 4).as("recall"))
+  }
+
+  val q245Sql: String =
+    s"""WITH ${minhashPairCtes(DefaultK, DefaultB)},
+       |esh AS MATERIALIZED (
+       |  SELECT doc_id, ${shinglesSql("toks")} AS esh
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+       |et AS (SELECT doc_id, unnest(esh) AS tok FROM esh),
+       |esz AS (SELECT doc_id, count(*) AS sz FROM et GROUP BY 1),
+       |einter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+       |  FROM et a JOIN et b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM einter
+       |  JOIN esz sa ON doc_a = sa.doc_id JOIN esz sb ON doc_b = sb.doc_id
+       |  WHERE isect * 1.0 / (sa.sz + sb.sz - isect) >= 0.6),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_detected FROM pairs
+       |       WHERE doc_a < 100000 AND doc_b < 100000),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_correct
+       |       FROM pairs p JOIN truth t
+       |         ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+       |       WHERE p.doc_a < 100000 AND p.doc_b < 100000)
+       |SELECT n_detected, n_correct, n_truth,
+       |  round(n_correct * 1.0 / n_detected, 4) AS precision,
+       |  round(n_correct * 1.0 / n_truth, 4) AS recall
+       |FROM nd, nc, nt""".stripMargin
+
   // ─── q204: train/test split-leakage audit ─────────────────────────────
   // The evaluation-integrity check every training pipeline should run and
   // few do: after a deterministic hash split (q72's exact convention —
@@ -1701,6 +1766,7 @@ object TextSim {
     "q43_doc_quality"    -> (q43DocQuality _),
     "q44_lang_id"        -> (q44LangId _),
     "q45_minhash_lsh"    -> (q45MinhashLsh _),
+    "q245_detector_eval" -> (q245DetectorEval _),
     "q46_simhash"        -> (q46SimHash _),
     "q47_ngram_jaccard"  -> (q47NgramJaccard _),
     "q48_fingerprint"    -> (q48Fingerprint _),
@@ -1724,6 +1790,7 @@ object TextSim {
     "q43_doc_quality"    -> q43Sql,
     "q44_lang_id"        -> q44Sql,
     "q45_minhash_lsh"    -> q45Sql,
+    "q245_detector_eval" -> q245Sql,
     "q46_simhash"        -> q46Sql,
     "q47_ngram_jaccard"  -> q47Sql,
     "q48_fingerprint"    -> q48Sql,
