@@ -147,13 +147,57 @@ object Skew {
        |ORDER BY layout""".stripMargin
   }
 
+  // ─── q246: salted SHUFFLE JOIN (the hot-key join at 100 TB) ───────────
+  // q61 salts a skewed AGGREGATION; this salts the skewed JOIN — the
+  // case where the dim is too big to broadcast (forced here with a
+  // SHUFFLE_MERGE hint, since the fixture dim would auto-broadcast) and
+  // one fact key dominates: a third of the fact collapses onto part 1
+  // (planted: l_orderkey % 3). Unsalted, that key's entire mass lands on
+  // ONE reducer of the shuffle join. The standard fix, exactly as a
+  // cluster runs it: fact rows take a deterministic salt in [0, SALTS)
+  // (a pure function of the row's own keys — no rand(), the engine's
+  // reproducibility rule), the dim REPLICATES SALTS× via explode, and
+  // the join keys on (key, salt) — the hot key now spreads across SALTS
+  // reducers at the price of a SALTS× dim. The result is EXACTLY the
+  // unsalted join (each fact row still matches its dim row exactly
+  // once, under its own salt), which is what the oracle computes
+  // directly — and what makes the technique oracle-checkable at all.
+  def q246SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = lineitem(s, d).select(
+      when(col("l_orderkey") % 3 === 0, 1L)
+        .otherwise(col("l_partkey")).as("pk"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      pmod(col("l_orderkey") + col("l_linenumber"), lit(SALTS.toLong))
+        .as("salt"))
+    val dim = part(s, d).select(col("p_partkey").as("pk"), col("p_brand"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(SALTS - 1L))))
+    fact.join(dim.hint("SHUFFLE_MERGE"), Seq("pk", "salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q246Sql: String =
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS cents_sum
+      |FROM (
+      |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
+      |              ELSE l_partkey END AS pk,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem) f
+      |JOIN part p ON f.pk = p.p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_salted_agg" -> (q61SaltedAgg _),
     "q132_zorder"    -> (q132ZOrder _),
+    "q246_salted_skew_join" -> (q246SaltedSkewJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q61_salted_agg" -> q61Sql,
     "q132_zorder"    -> q132Sql,
+    "q246_salted_skew_join" -> q246Sql,
   )
 }

@@ -226,4 +226,29 @@ class StorageSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
     }
   }
+
+  test("q246 salted join plans SMJ keyed on (pk, salt) and ties out") {
+    val df = graft.ops.Skew.q246SaltedSkewJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the hint forced a shuffle join (no broadcast of the replicated dim)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"salted join did not plan a shuffle join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "dim was broadcast — salting demo degenerated")
+    // the join's key set includes the salt: the hot key's rows spread
+    // across SALTS reducers instead of one
+    assert(plan.contains("salt"), "salt column missing from the plan")
+    // and the result is EXACTLY the unsalted join
+    import spark.implicits._
+    val unsalted = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(when($"l_orderkey" % 3 === 0, 1L).otherwise($"l_partkey")
+        .as("pk"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .join(spark.read.parquet(s"$sfDir/part.parquet")
+        .select($"p_partkey".as("pk"), $"p_brand"), "pk")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("cents_sum"))
+      .orderBy($"p_brand")
+    assert(df.collect().toSeq === unsalted.collect().toSeq)
+  }
 }
