@@ -287,6 +287,8 @@ object PlanLint {
       Set("nested-loop", "cartesian", "exact-percentile"),
     // q245: two 1-row count frames crossJoined into the census row
     "q245_detector_eval" -> Set("nested-loop", "cartesian"),
+    // q247: the 1-row (T, U) totals frame crossJoined back
+    "q247_pmi_cooccurrence" -> Set("nested-loop", "cartesian"),
     // q238: the 1-row checksum/counter frames crossJoined into one row
     "q238_cdc_summary_maintain" -> Set("nested-loop", "cartesian"),
     "q91_domain_mix" -> Set("nested-loop", "cartesian"),

@@ -1449,6 +1449,86 @@ object TextSim {
        |  round(n_correct * 1.0 / n_truth, 4) AS recall
        |FROM nd, nc, nt""".stripMargin
 
+  // ─── q247: windowed PMI co-occurrence (word-association mining) ───────
+  // The word2vec-era statistic (Church & Hanks 1990): which token pairs
+  // co-occur within a ±3 window more than chance — the signal behind
+  // co-occurrence embeddings, collocation extraction, and phrase
+  // mining. Pair generation is a PURE PROJECTION: per doc, a nested
+  // sequence/transform fans each position out to its ≤3 successors and
+  // canonicalizes the pair alphabetically — no self-join, no shuffle
+  // keyed on doc or position (the naive positions⋈positions join
+  // shuffles the corpus twice for the same pairs; this is the flatMap
+  // form, map-side until ONE pair-keyed aggregate). PMI =
+  // ln(c_ab·U²/(T·c_a·c_b)) over exact integer counts, rounded to 4dp
+  // BEFORE the ordering (the q150 round-before-sort rule); min-support
+  // 20 keeps the tail's unstable estimates out.
+  // Scale: token pairs fan out ≤3× the token count; the aggregate is
+  // map-side combined; the two unigram joins key on the token (at
+  // 100 TB: md5 the token — the q153 note); T and U ride 1-row
+  // broadcasts.
+  private val PmiWindow = 3
+  private val PmiMinCount = 20
+
+  def q247PmiCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val toksF = documents(s, d).select(tokens(col("text")).as("ts"))
+    val pairs = toksF.select(explode(flatten(
+      transform(sequence(lit(1), size(col("ts")) - 1), i =>
+        transform(sequence(i + 1, least(i + PmiWindow, size(col("ts")))),
+          j => struct(
+            least(element_at(col("ts"), i), element_at(col("ts"), j))
+              .as("a"),
+            greatest(element_at(col("ts"), i), element_at(col("ts"), j))
+              .as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val uni = toksF.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = pc.agg(sum(col("cab")).cast("double").as("tt"))
+      .crossJoin(uni.agg(sum(col("c")).cast("double").as("uu")))
+    pc.where(col("cab") >= PmiMinCount.toLong)
+      .join(uni.select(col("tok").as("a"), col("c").as("ca")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("cab"),
+        round(log(col("cab").cast("double") * col("uu") * col("uu") /
+                  (col("tt") * col("ca").cast("double") *
+                   col("cb").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
+  val q247Sql: String =
+    s"""WITH toksf AS MATERIALIZED (
+       |  SELECT $tokensSql AS ts FROM documents),
+       |pairs AS (
+       |  SELECT p['a'] AS a, p['b'] AS b FROM (
+       |    SELECT unnest(flatten(list_transform(
+       |      generate_series(1, len(ts) - 1), i ->
+       |        list_transform(generate_series(i + 1,
+       |                                       least(i + $PmiWindow, len(ts))),
+       |          j -> {'a': least(ts[i], ts[j]),
+       |                'b': greatest(ts[i], ts[j])})))) AS p
+       |    FROM toksf)),
+       |pc AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+       |  FROM pairs GROUP BY a, b),
+       |uni AS MATERIALIZED (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ts) AS tok FROM toksf) GROUP BY tok),
+       |tot AS (SELECT (SELECT CAST(sum(cab) AS DOUBLE) FROM pc) AS tt,
+       |               (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS uu)
+       |SELECT a, b, cab,
+       |  round(ln(CAST(cab AS DOUBLE) * uu * uu
+       |           / (tt * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4)
+       |    AS pmi
+       |FROM pc
+       |JOIN uni ua ON pc.a = ua.tok
+       |JOIN uni ub ON pc.b = ub.tok
+       |CROSS JOIN tot
+       |WHERE cab >= $PmiMinCount
+       |ORDER BY pmi DESC, a, b
+       |LIMIT 25""".stripMargin
+
   // ─── q204: train/test split-leakage audit ─────────────────────────────
   // The evaluation-integrity check every training pipeline should run and
   // few do: after a deterministic hash split (q72's exact convention —
@@ -1767,6 +1847,7 @@ object TextSim {
     "q44_lang_id"        -> (q44LangId _),
     "q45_minhash_lsh"    -> (q45MinhashLsh _),
     "q245_detector_eval" -> (q245DetectorEval _),
+    "q247_pmi_cooccurrence" -> (q247PmiCooccurrence _),
     "q46_simhash"        -> (q46SimHash _),
     "q47_ngram_jaccard"  -> (q47NgramJaccard _),
     "q48_fingerprint"    -> (q48Fingerprint _),
@@ -1791,6 +1872,7 @@ object TextSim {
     "q44_lang_id"        -> q44Sql,
     "q45_minhash_lsh"    -> q45Sql,
     "q245_detector_eval" -> q245Sql,
+    "q247_pmi_cooccurrence" -> q247Sql,
     "q46_simhash"        -> q46Sql,
     "q47_ngram_jaccard"  -> q47Sql,
     "q48_fingerprint"    -> q48Sql,
