@@ -402,6 +402,14 @@ object PlanLint {
     // fact (reduced in the one hash-agg below the join; q144 principle)
     "q202_locf_gap_fill" -> Set("nested-loop", "cartesian",
       "low-cardinality-window"),
+    // q248: the 1-row (N, avgdl) corpus-stats frame crosses the
+    // query-term postings (scalar-broadcast idiom); everything else is
+    // broadcast equi-joins + the partial-stepped top_k_by
+    "q248_bm25_topk" -> Set("nested-loop", "cartesian"),
+    // q250: the cumulative-negatives scan runs over the micro-score
+    // HISTOGRAM (≤ distinct quantized scores, ≤1e6 for any model at
+    // 6 dp), already reduced by the hash agg below it — q144 principle
+    "q250_auc_census" -> Set("global-window"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -456,6 +464,7 @@ object PlanLint {
     // 10 prices epochs=4 with headroom)
     "q209_quality_classifier" -> 10,
     "q244_calibration_census" -> 10,
+    "q250_auc_census" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

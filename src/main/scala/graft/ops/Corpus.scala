@@ -2077,7 +2077,289 @@ object Corpus {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // ─── q248: Okapi BM25 top-k retrieval ────────────────────────────────
+  // The classic probabilistic ranking function (Robertson–Spärck Jones /
+  // Okapi, k1 = 1.2, b = 0.75) the TF-IDF salience (q74) and RRF fusion
+  // (q158) bracket: score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b +
+  // b·dl/avgdl)), idf = ln(1 + (N−df+0.5)/(df+0.5)). Scale shape: the
+  // corpus token stream is SEMI-JOINED against the broadcast query-term
+  // list before anything shuffles — tf/df frames are bounded by the
+  // postings of the query terms, never the corpus; dl rides the token
+  // projection (no per-doc join-back); (N, avgdl) is a 1-row broadcast.
+  // The per-query top-k is `top_k_by` (q139's partial-stepped
+  // ObjectHashAggregate) — each map task emits ≤ k docs per query, so
+  // the final shuffle carries O(queries·k), immune to per-query skew a
+  // window rank would concentrate.
+  //
+  // Cross-engine determinism: each (term, doc) contribution is computed
+  // by the IDENTICAL double expression tree on both engines, quantized
+  // to integer micros at the term boundary, and only the INTEGER micro
+  // sum ranks docs (ties broken by fused micro·1e8 + doc_id — the q139
+  // fused-ordering trick), so summation order can never flip a rank.
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "merge", 1L -> "window",
+    2L -> "hash", 2L -> "join", 2L -> "table",
+    3L -> "stream", 3L -> "batch")
+
+  def q248Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(col("toks"))).cast("double") / count(lit(1))).as("avgdl"))
+    val toks = base.select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("token"))
+    val qframe = Bm25Queries.toDF("qid", "term")
+    val terms = qframe.select(col("term")).distinct()
+    val tf = toks.join(broadcast(terms), toks("token") === terms("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+                             (col("df") + lit(0.5)))
+    val denom = tfD + lit(1.2) * (lit(0.25) +
+      lit(0.75) * col("dl").cast("double") / col("avgdl"))
+    val contrib = tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        round(idf * (tfD * lit(2.2)) / denom * lit(1e6), 0)
+          .cast("long").as("micro"))
+    val perDoc = contrib.join(broadcast(qframe), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("micro")).as("micro"))
+    val fused = col("micro") * lit(100000000L) + col("doc_id")
+    perDoc.groupBy(col("qid"))
+      .agg(graft.expr.TopKByAgg.top_k_by(col("doc_id"), fused, 5).as("top"),
+        count(lit(1)).as("n_matched"), max(col("micro")).as("best_micro"))
+      .select(col("qid"),
+        concat_ws(",", transform(col("top"), _.cast("string")))
+          .as("top_docs"),
+        col("n_matched"), col("best_micro"))
+      .orderBy(col("qid"))
+  }
+
+  val q248Sql: String = {
+    val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $qVals),
+       |base AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM base),
+       |toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token
+       |         FROM base),
+       |tf AS (SELECT token AS term, doc_id, dl,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks WHERE token IN (SELECT DISTINCT term FROM q)
+       |       GROUP BY token, doc_id, dl),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (CAST(tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |      * 1e6, 0) AS BIGINT) AS micro
+       |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats),
+       |perdoc AS (
+       |  SELECT CAST(q.qid AS BIGINT) AS qid, c.doc_id,
+       |         CAST(sum(c.micro) AS BIGINT) AS micro
+       |  FROM contrib c JOIN q ON c.term = q.term
+       |  GROUP BY q.qid, c.doc_id),
+       |ranked AS (
+       |  SELECT qid, doc_id, micro,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY micro * 100000000 + doc_id DESC) AS rn
+       |  FROM perdoc)
+       |SELECT qid,
+       |  string_agg(CAST(doc_id AS VARCHAR), ','
+       |    ORDER BY micro * 100000000 + doc_id DESC)
+       |    FILTER (WHERE rn <= 5) AS top_docs,
+       |  CAST(count(*) AS BIGINT) AS n_matched,
+       |  CAST(max(micro) AS BIGINT) AS best_micro
+       |FROM ranked
+       |GROUP BY qid
+       |ORDER BY qid""".stripMargin
+  }
+
+  // ─── q249: funnel removal-attribution census ─────────────────────────
+  // The governance read every published cleaning pipeline reports
+  // (C4/Gopher/RefinedWeb ablation tables): not just how many documents
+  // each gate removes (q70's per-stage counts) but WHICH SOURCE loses
+  // them and HOW MANY TOKENS go with them — the per-(stage, source)
+  // docs/tokens attribution that tells a 100 TB curation run where its
+  // data actually went. Each doc is attributed to the FIRST gate that
+  // drops it (length → stopword → repetition → exact-dup), so the rows
+  // partition the corpus exactly: Σ n_docs = |corpus|. The fixture's
+  // word-soup never exceeds an 0.18 top-bigram fraction (max ~0.17
+  // measured), so repetition violations are PLANTED deterministically
+  // (the q73 pattern): doc_id % 13 gets a 30-token "spam" run appended
+  // BEFORE the dup copies are taken, so copies inherit the planted
+  // text and stay exact dups. Exact-dup copies are planted q70-style
+  // (doc_id % 10, id + 500000, source preserved) so stage 4 is
+  // exercised; the keeper is min-id AMONG gate-survivors
+  // (a dup group whose keeper fails an earlier gate still keeps its
+  // best surviving member — the subtle case a naive global min gets
+  // wrong). Scale: one projection computes gates 1–2 in-row; the
+  // repetition gate is the q70 bigram aggregate (doc_id-keyed, integer
+  // cross-multiplied max·100 > 18·total, never a float fraction); dup
+  // keeper is ONE window over the content hash (32-byte key, group size
+  // = dup multiplicity). Census output is enum × source sized.
+  def q249RemovalAttribution(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" spam" * 30)))
+          .otherwise(col("text")).as("text"))
+    val corpus = base.unionByName(
+      base.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("source"),
+                col("text")))
+    val toksF = corpus.select(col("doc_id"), col("source"), col("text"),
+      tokens(col("text")).as("toks"))
+    val perDoc = toksF.select(col("doc_id"), col("source"), col("text"),
+      size(col("toks")).as("n_toks"),
+      size(filter(col("toks"), t => t === "the" || t === "a")).as("n_stop"))
+    val bg = toksF.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+                            element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("tot_cnt"))
+    val flagged = perDoc.join(bg, Seq("doc_id"), "left")
+      .withColumn("g1", col("n_toks") < 12)
+      .withColumn("g2", col("n_stop") === 0)
+      .withColumn("g3",
+        coalesce(col("max_cnt") * 100 > col("tot_cnt") * 18, lit(false)))
+    val wk = Window.partitionBy(sha2(col("text"), 256))
+    flagged
+      .withColumn("min_keep",
+        min(when(!col("g1") && !col("g2") && !col("g3"), col("doc_id")))
+          .over(wk))
+      .withColumn("stage",
+        when(col("g1"), "1_short")
+          .when(col("g2"), "2_no_stopword")
+          .when(col("g3"), "3_repetitive")
+          .when(col("doc_id") =!= col("min_keep"), "4_exact_dup")
+          .otherwise("kept"))
+      .groupBy(col("stage"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("stage"), col("source"))
+  }
+
+  val q249Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || repeat(' spam', 30)
+       |         ELSE text END AS text
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, source, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 500000, source, text FROM base
+       |  WHERE doc_id % 10 = 0),
+       |toksf AS (SELECT doc_id, source, text, $tokensSql AS toks
+       |          FROM corpus),
+       |perdoc AS (
+       |  SELECT doc_id, source, text, len(toks) AS n_toks,
+       |    len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop
+       |  FROM toksf),
+       |bg AS (
+       |  SELECT doc_id, max(cnt) AS max_cnt, sum(cnt) AS tot_cnt FROM (
+       |    SELECT doc_id, bg, count(*) AS cnt FROM (
+       |      SELECT doc_id,
+       |        unnest(list_transform(generate_series(1, len(toks) - 1),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |      FROM toksf WHERE len(toks) >= 2)
+       |    GROUP BY doc_id, bg)
+       |  GROUP BY doc_id),
+       |flagged AS (
+       |  SELECT p.doc_id, p.source, p.text, p.n_toks,
+       |    (p.n_toks < 12) AS g1,
+       |    (p.n_stop = 0) AS g2,
+       |    coalesce(b.max_cnt * 100 > b.tot_cnt * 18, false) AS g3
+       |  FROM perdoc p LEFT JOIN bg b ON p.doc_id = b.doc_id),
+       |reasoned AS (
+       |  SELECT doc_id, source, n_toks, g1, g2, g3,
+       |    min(CASE WHEN NOT g1 AND NOT g2 AND NOT g3 THEN doc_id END)
+       |      OVER (PARTITION BY sha256(text)) AS min_keep
+       |  FROM flagged)
+       |SELECT CASE WHEN g1 THEN '1_short'
+       |            WHEN g2 THEN '2_no_stopword'
+       |            WHEN g3 THEN '3_repetitive'
+       |            WHEN doc_id <> min_keep THEN '4_exact_dup'
+       |            ELSE 'kept' END AS stage,
+       |  source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM reasoned
+       |GROUP BY 1, 2
+       |ORDER BY stage, source""".stripMargin
+
+  // ─── q250: exact ROC-AUC census of the trained classifier ────────────
+  // q244 answers "is the model calibrated"; this answers "does it RANK"
+  // — the Mann–Whitney AUC, computed EXACTLY (ties at half credit) from
+  // the score histogram, never from per-row global ranks: group docs by
+  // micro-quantized score (the q244 integer discipline), then one
+  // ordered scan of the DISTINCT-score frame accumulates
+  // Σ (2·np·cumneg + np·ne) — concordant pairs doubled plus ties once.
+  // The global window runs over the score DOMAIN (≤ |distinct micros|,
+  // ~4k for this model's 0.004 span; bounded by 1e6 for ANY model at
+  // 6-dp quantization), not the corpus — the q144 window-over-aggregate
+  // principle, so the operator scales as one map-side-combined
+  // histogram aggregate regardless of corpus size. The census emits the
+  // INTEGER numerator/denominator (auc_num2 / auc_den2, both exact) and
+  // the 6-dp double only as a convenience projection.
+  def q250AucCensus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val hist = lrScores(lrFeatures(docs), w)
+      .select(col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"))
+      .groupBy(col("micro"))
+      .agg(count_if(col("y") === 1L).as("np"),
+           count_if(col("y") === 0L).as("ne"))
+    val wOrd = Window.orderBy(col("micro"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumneg", coalesce(sum(col("ne")).over(wOrd), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("ne")).as("n_neg"),
+        sum(col("np") * lit(2L) * col("cumneg") + col("np") * col("ne"))
+          .as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"),
+        round(col("auc_num2").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  val q250Sql: String =
+    s"""WITH $lrOracleCtes,
+       |hist AS (
+       |  SELECT CAST(round(s * 1e6, 0) AS BIGINT) AS micro,
+       |    CAST(count(*) FILTER (WHERE y = 1.0) AS BIGINT) AS np,
+       |    CAST(count(*) FILTER (WHERE y = 0.0) AS BIGINT) AS ne
+       |  FROM sfin
+       |  GROUP BY 1),
+       |scanned AS (
+       |  SELECT np, ne,
+       |    coalesce(sum(ne) OVER (ORDER BY micro
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cumneg
+       |  FROM hist)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(ne) AS BIGINT) AS n_neg,
+       |  CAST(sum(np * 2 * cumneg + np * ne) AS BIGINT) AS auc_num2,
+       |  CAST(2 * sum(np) * sum(ne) AS BIGINT) AS auc_den2,
+       |  round(CAST(sum(np * 2 * cumneg + np * ne) AS DOUBLE)
+       |    / (2.0 * sum(np) * sum(ne)), 6) AS auc
+       |FROM scanned""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_bm25_topk" -> (q248Bm25TopK _),
+    "q249_removal_attribution" -> (q249RemovalAttribution _),
+    "q250_auc_census" -> (q250AucCensus _),
     "q243_ffd_packing" -> (q243FfdPacking _),
     "q244_calibration_census" -> (q244CalibrationCensus _),
     "q241_length_buckets" -> (q241LengthBuckets _),
@@ -2111,6 +2393,9 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q248_bm25_topk" -> q248Sql,
+    "q249_removal_attribution" -> q249Sql,
+    "q250_auc_census" -> q250Sql,
     "q243_ffd_packing" -> q243Sql,
     "q244_calibration_census" -> q244Sql,
     "q241_length_buckets" -> q241Sql,

@@ -467,4 +467,90 @@ class CorpusSpec extends SparkSpec {
       assert(engine(lens) === refFfd(lens), s"diverged on $lens")
     }
   }
+
+  test("q248 BM25 ranking matches an independent driver recompute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val queries = Map(1L -> Seq("merge", "window"),
+      2L -> Seq("hash", "join", "table"), 3L -> Seq("stream", "batch"))
+    val allTerms = queries.values.flatten.toSet
+    val df = allTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    def contribMicro(tf: Long, dfT: Long, dl: Int): Long = {
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      math.round(idf * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)) * 1e6)
+    }
+    val expected = queries.map { case (qid, terms) =>
+      val scored = docs.flatMap { case (id, toks) =>
+        val micro = terms.map { t =>
+          val tf = toks.count(_ == t).toLong
+          if (tf == 0) 0L else contribMicro(tf, df(t), toks.length)
+        }.sum
+        if (terms.exists(toks.contains)) Some((id, micro)) else None
+      }
+      val top = scored.sortBy { case (id, m) => -(m * 100000000L + id) }
+        .take(5).map(_._1).mkString(",")
+      qid -> ((top, scored.length.toLong, scored.map(_._2).max))
+    }
+    val got = Corpus.q248Bm25TopK(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expected)
+  }
+
+  test("q249 attribution partitions the corpus exactly (docs AND tokens)") {
+    val census = Corpus.q249RemovalAttribution(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+    // same planting as the operator: doc_id % 13 gets the 30-token spam run
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        filter(split(lower(
+          when($"doc_id" % 13 === 0, concat($"text", lit(" spam" * 30)))
+            .otherwise($"text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val planted = docs.filter(_._1 % 10 == 0)
+    // every corpus doc lands in exactly one (stage, source) cell
+    assert(census.map(_._3).sum === docs.length + planted.length)
+    assert(census.map(_._4).sum ===
+      docs.map(_._2.length.toLong).sum + planted.map(_._2.length.toLong).sum)
+    // all four gates plus survivors are exercised on this fixture
+    val stages = census.map(_._1).toSet
+    assert(stages === Set("1_short", "2_no_stopword", "3_repetitive",
+      "4_exact_dup", "kept"))
+    // a planted copy whose original survives is ALWAYS dropped as a dup:
+    // dup drops are at least the number of surviving planted pairs
+    val kept = census.filter(_._1 == "kept").map(_._3).sum
+    val dupDropped = census.filter(_._1 == "4_exact_dup").map(_._3).sum
+    assert(dupDropped > 0 && kept > 0)
+  }
+
+  test("q250 AUC equals the naive pairwise count over per-doc scores") {
+    val row = Corpus.q250AucCensus(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val (nPos, nNeg, num2, den2, auc) = row
+    // independent recompute: quantized per-doc scores, counted pairwise
+    val scored = Corpus.q209QualityClassifier(spark, sfDir) // sampled...
+    val full = {
+      val docs = Tables.documents(spark, sfDir)
+      val w = Corpus.trainQualityLr(spark, docs, 4)
+      Corpus.lrScores(Corpus.lrFeatures(docs), w)
+        .select($"y".cast("long"), round($"s" * 1e6, 0).cast("long"))
+        .as[(Long, Long)].collect()
+    }
+    val pos = full.filter(_._1 == 1L).map(_._2)
+    val neg = full.filter(_._1 == 0L).map(_._2)
+    assert(nPos === pos.length.toLong && nNeg === neg.length.toLong)
+    val pairNum2 = pos.iterator.map { p =>
+      2L * neg.count(_ < p) + neg.count(_ == p).toLong
+    }.sum
+    assert(num2 === pairNum2)
+    assert(den2 === 2L * pos.length * neg.length)
+    assert(math.abs(auc - pairNum2.toDouble / den2) < 1e-6)
+    assert(scored.count() > 0)
+  }
 }
