@@ -1836,7 +1836,101 @@ object TextSim {
        |ORDER BY ns.src_id""".stripMargin
   }
 
+  // ─── q251: asymmetric containment dedup (near-subset detection) ──────
+  // The Jaccard family (q45/q47/q203) misses the FRAGMENT case: a doc
+  // that is 90 % *contained* in a larger one (a quoted excerpt, a
+  // syndicated article inside a longer page) scores a low Jaccard
+  // because the union is host-sized. Broder's containment
+  // C(A,B) = |S(A)∩S(B)| / |S(A)| is the asymmetric measure that
+  // catches it. Fragments are planted deterministically (doc_id % 15 →
+  // first ⌈n/2⌉ tokens under id + 700000), so every planted fragment's
+  // shingle set is a strict subset of its host's.
+  //
+  // Scale shape: candidate pairs come from the shingle postings join,
+  // after STOP-SHINGLE removal (df > MaxShingleDf postings dropped —
+  // the PPJoin-style frequency cap that bounds the join fanout to
+  // df² per surviving shingle; the standard lever against boilerplate
+  // 3-grams that would otherwise pair everything with everything).
+  // Containment is then computed ENTIRELY within the filtered universe
+  // — |S(frag)| is the FILTERED shingle count, so a subset relation
+  // survives the cap exactly (g ∈ frag ⇒ g ∈ host, and the cap drops g
+  // from both or neither). Shuffles carry (md5, id, count) rows only;
+  // the integer gate shared·10 ≥ 9·|S(frag)| avoids float fractions;
+  // best host per fragment = one window over frag_id (shared DESC,
+  // smaller host first). Pairs orient by FILTERED size a < b (equal
+  // sizes are exact-dup territory, q41's).
+  private val MaxShingleDf = 50
+
+  def q251ContainmentDedup(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val frags = base.where(pmod(col("doc_id"), lit(15)) === 0)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        expr("slice(toks, 1, (size(toks) + 1) div 2)").as("toks"))
+    val corpus = base.unionByName(frags)
+    val posts = corpus.select(col("doc_id"),
+        explode(shingles(col("toks"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("g"))
+    val keepG = posts.groupBy(col("g"))
+      .agg(count(lit(1)).as("dfg"))
+      .where(col("dfg") <= MaxShingleDf)
+      .select(col("g"))
+    val p = posts.join(keepG, "g")
+    val nshF = p.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val pn = p.join(nshF, "doc_id")
+    val pairs = pn.as("a").join(pn.as("b"),
+        col("a.g") === col("b.g") && col("a.nsh") < col("b.nsh"))
+      .groupBy(col("a.doc_id").as("frag_id"), col("b.doc_id").as("host_id"),
+               col("a.nsh").as("nsh_frag"), col("b.nsh").as("nsh_host"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") * 10 >= col("nsh_frag") * 9)
+    val w = Window.partitionBy(col("frag_id"))
+      .orderBy(col("shared").desc, col("nsh_host"), col("host_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("frag_id"), col("host_id"), col("shared"),
+        col("nsh_frag"),
+        expr("shared * 100 div nsh_frag").as("cont_pct"))
+      .orderBy(col("frag_id"))
+  }
+
+  val q251Sql: String =
+    s"""WITH base AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |frags AS (
+       |  SELECT doc_id + 700000 AS doc_id,
+       |    list_slice(toks, 1, (len(toks) + 1) // 2) AS toks
+       |  FROM base WHERE doc_id % 15 = 0),
+       |corpus AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM frags),
+       |posts AS (
+       |  SELECT doc_id, md5(unnest(sh)) AS g FROM (
+       |    SELECT doc_id, ${shinglesSql("toks").replace("\n", " ")} AS sh
+       |    FROM corpus)),
+       |keepg AS (
+       |  SELECT g FROM posts GROUP BY g HAVING count(*) <= $MaxShingleDf),
+       |p AS (SELECT posts.* FROM posts JOIN keepg USING (g)),
+       |nshf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+       |         FROM p GROUP BY doc_id),
+       |pn AS (SELECT p.doc_id, p.g, n.nsh FROM p JOIN nshf n USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id AS frag_id, b.doc_id AS host_id,
+       |    a.nsh AS nsh_frag, b.nsh AS nsh_host,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM pn a JOIN pn b ON a.g = b.g AND a.nsh < b.nsh
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(*) * 10 >= a.nsh * 9),
+       |best AS (
+       |  SELECT frag_id, host_id, shared, nsh_frag,
+       |    row_number() OVER (PARTITION BY frag_id
+       |      ORDER BY shared DESC, nsh_host ASC, host_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT frag_id, host_id, shared, nsh_frag,
+       |  CAST(shared * 100 // nsh_frag AS BIGINT) AS cont_pct
+       |FROM best WHERE rn = 1
+       |ORDER BY frag_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_containment_dedup" -> (q251ContainmentDedup _),
     "q229_cdc_chunk_dedup" -> (q229CdcChunkDedup _),
     "q205_substring_dedup"    -> (q205SubstringDedup _),
     "q204_split_leakage"      -> (q204SplitLeakage _),
@@ -1862,6 +1956,7 @@ object TextSim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q251_containment_dedup" -> q251Sql,
     "q229_cdc_chunk_dedup" -> q229Sql,
     "q205_substring_dedup"    -> q205Sql,
     "q204_split_leakage"      -> q204Sql,

@@ -432,4 +432,29 @@ class TextSimSpec extends SparkSpec {
       s"fixed-stride ${fixedShared.sum / fixedShared.length} vs " +
       s"CDC ${cdcFrac.sum / cdcFrac.length}: contrast collapsed")
   }
+
+  test("q251 containment flags every planted fragment against its host") {
+    // every doc_id % 15 spawns a half-doc fragment under id + 700000
+    // whose shingles are a strict subset of the host's; stop-shingle
+    // filtering drops a shingle from frag and host together, so
+    // containment must survive the cap at exactly 100 %
+    val rows = TextSim.q251ContainmentDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val planted = rows.filter(_._1 >= 700000L)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // fragments with >= 3 tokens after halving (all on this fixture)
+    val expected = (0L until nDocs).count(_ % 15 == 0)
+    assert(planted.length === expected,
+      s"detected ${planted.length} of $expected planted fragments")
+    planted.foreach { case (fid, _, shared, nsh, pct) =>
+      // the best host need not be the origin doc — a smaller doc that
+      // also covers every fragment shingle wins the (nsh_host, id)
+      // tie-break — but full containment itself must always be found
+      assert(pct === 100L && shared === nsh,
+        s"fragment $fid: containment $pct < 100 (shared $shared/$nsh)")
+    }
+    // the gate itself: no reported pair may sit below 90 %
+    rows.foreach { case (fid, _, shared, nsh, _) =>
+      assert(shared * 10 >= nsh * 9, s"pair $fid below the 0.9 gate") }
+  }
 }
