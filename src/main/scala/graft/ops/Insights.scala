@@ -1508,7 +1508,86 @@ object Insights {
       |GROUP BY d.wd
       |ORDER BY d.wd""".stripMargin
 
+  // ─── q252: k-anonymity suppression census with one generalization ───
+  // The release-gating read for any dataset that leaves the warehouse
+  // (the training-data governance twin of the PII scrub q73): rows
+  // whose quasi-identifier tuple (nation, segment, 1000-unit balance
+  // band) is shared by fewer than K=5 customers are re-identifiable
+  // and must be suppressed — unless one ladder step of generalization
+  // (coarsening the balance band 1000 → 5000) pools them into a
+  // compliant group. The census reports, per segment: rows, QI groups,
+  // kept-at-fine rows, rescued-by-generalization rows, and the residual
+  // suppression — the exact table a privacy review asks for.
+  //
+  // Scale: two hash aggregates over fixed-width QI keys (the group-size
+  // census) + one group-keyed join back to attach sizes to rows —
+  // map-side-combined, never a window. Balance bands use exact cents
+  // integers (`div`, truncating identically to DuckDB's `//`); no float
+  // ever reaches a group key or a gate.
+  private val KAnon = 5
+
+  def q252KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val rows = customer(s, d).select(col("c_custkey"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .withColumn("band1", expr("cents div 100000"))
+      .withColumn("band2", expr("cents div 500000"))
+    val fine = rows.groupBy(col("nation"), col("segment"), col("band1"))
+      .agg(count(lit(1)).as("n_fine"))
+    val tagged = rows.join(fine, Seq("nation", "segment", "band1"))
+    val suppressed = tagged.where(col("n_fine") < KAnon)
+    val coarse = suppressed.groupBy(col("nation"), col("segment"),
+        col("band2"))
+      .agg(count(lit(1)).as("n_coarse"))
+    val rescued = suppressed.join(coarse, Seq("nation", "segment", "band2"))
+      .withColumn("ok2", col("n_coarse") >= KAnon)
+    tagged.where(col("n_fine") >= KAnon)
+      .select(col("segment"), lit(1L).as("kept"), lit(0L).as("rescue"),
+        lit(0L).as("supp"))
+      .unionByName(rescued.select(col("segment"), lit(0L).as("kept"),
+        when(col("ok2"), 1L).otherwise(0L).as("rescue"),
+        when(col("ok2"), 0L).otherwise(1L).as("supp")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("kept")).as("n_kept_fine"),
+        sum(col("rescue")).as("n_rescued"),
+        sum(col("supp")).as("n_suppressed"))
+      .orderBy(col("segment"))
+  }
+
+  val q252Sql: String =
+    s"""WITH rows_ AS (
+       |  SELECT c_custkey, c_nationkey AS nation, c_mktsegment AS segment,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band1,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // 500000 AS band2
+       |  FROM customer),
+       |fine AS (
+       |  SELECT nation, segment, band1, CAST(count(*) AS BIGINT) AS n_fine
+       |  FROM rows_ GROUP BY 1, 2, 3),
+       |tagged AS (
+       |  SELECT r.*, f.n_fine FROM rows_ r
+       |  JOIN fine f USING (nation, segment, band1)),
+       |coarse AS (
+       |  SELECT nation, segment, band2, CAST(count(*) AS BIGINT) AS n_coarse
+       |  FROM tagged WHERE n_fine < $KAnon GROUP BY 1, 2, 3),
+       |labeled AS (
+       |  SELECT segment, 1 AS kept, 0 AS rescue, 0 AS supp
+       |  FROM tagged WHERE n_fine >= $KAnon
+       |  UNION ALL
+       |  SELECT t.segment,
+       |    0, CASE WHEN c.n_coarse >= $KAnon THEN 1 ELSE 0 END,
+       |    CASE WHEN c.n_coarse >= $KAnon THEN 0 ELSE 1 END
+       |  FROM tagged t JOIN coarse c USING (nation, segment, band2)
+       |  WHERE t.n_fine < $KAnon)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept_fine,
+       |  CAST(sum(rescue) AS BIGINT) AS n_rescued,
+       |  CAST(sum(supp) AS BIGINT) AS n_suppressed
+       |FROM labeled
+       |GROUP BY segment
+       |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_k_anonymity" -> (q252KAnonymity _),
     "q234_seasonal_mad" -> (q234SeasonalMad _),
     "q201_conversion_funnel" -> (q201ConversionFunnel _),
     "q202_locf_gap_fill"    -> (q202LocfGapFill _),
@@ -1542,6 +1621,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q252_k_anonymity" -> q252Sql,
     "q234_seasonal_mad" -> q234Sql,
     "q201_conversion_funnel" -> q201Sql,
     "q202_locf_gap_fill"    -> q202Sql,

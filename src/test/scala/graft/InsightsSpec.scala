@@ -429,4 +429,24 @@ class InsightsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.values.map(_._4).sum > 0, "fixture produced no anomalies")
   }
+
+  test("q252 census partitions every customer; kept rows are k-anonymous") {
+    import spark.implicits._
+    val census = Insights.q252KAnonymity(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // per-segment identity and full-corpus conservation
+    census.foreach { case (seg, n, kept, resc, supp) =>
+      assert(n === kept + resc + supp, s"$seg census does not partition") }
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("b1"))
+      .as[(Int, String, Long)].collect()
+    assert(census.map(_._2).sum === cust.length.toLong)
+    // driver recompute of the fine gate: kept-at-fine per segment
+    val fineSizes = cust.groupBy(identity).view.mapValues(_.length)
+    val keptRef = cust.filter(r => fineSizes(r) >= 5)
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    census.foreach { case (seg, _, kept, _, _) =>
+      assert(kept === keptRef.getOrElse(seg, 0L), s"$seg kept mismatch") }
+  }
 }
