@@ -484,6 +484,8 @@ object PlanLint {
     "q138_sql_variables" -> 10,
     // snapshot/manifest queries: version publishes + manifest reads (≤5)
     "q130_snapshot_roundtrip" -> 10, "q133_snapshot_cdc" -> 10,
+    // drift audit: 2 publishes (stage stats/write each) + manifest reads
+    "q253_snapshot_drift" -> 12,
     "q148_skipping_read" -> 8, "q151_bloom_lookup" -> 8,
     // merge/delete: publish (2) + key-uniqueness probe + touched-file
     // discovery + touched count + staged write/stats + census

@@ -1545,7 +1545,123 @@ object SnapshotStore {
       |SELECT '3_good_promoted', 3, n, t FROM al
       |ORDER BY stage""".stripMargin
 
+  // ─── q253: snapshot version drift audit ──────────────────────────────
+  // The data-quality read a versioned table makes possible and a plain
+  // directory can't: WHAT CHANGED statistically between two published
+  // versions — row count, per-column null rate, cardinality, and (for
+  // the money column) total — the inputs a drift monitor alarms on
+  // before a bad publish poisons a training run. v1/v2 are derived
+  // DETERMINISTICALLY from `orders` (v2 drops priority to NULL for
+  // key % 7, inflates every key % 5 price by 10 %, and admits the
+  // key % 6 rows v1 excluded), so the DuckDB oracle replays the same
+  // derivation and must land on identical per-column stats — proving
+  // the store's publish→time-travel-read roundtrip loses nothing.
+  //
+  // Scale: per version, ONE pass over the table — the wide row is
+  // unpivoted into (column, value) cells in-row (explode of a 3-entry
+  // literal array), then a two-level hash aggregate ((col, value) →
+  // col) computes count/nulls/distinct without an Expand (the
+  // multi-distinct trap) and without collecting a value list; the
+  // distinct count is exact because level 2's input IS one row per
+  // distinct value. Output is |columns|-sized.
+  def q253SnapshotDrift(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/drift"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    publish(base.where(col("k") % 3 =!= 0), table)
+    publish(base.where(col("k") % 3 =!= 0 || col("k") % 6 === 0)
+      .withColumn("o_orderpriority",
+        when(col("k") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("cents",
+        when(col("k") % 5 === 0, col("cents") + expr("cents div 10"))
+          .otherwise(col("cents"))), table)
+    def stats(ver: Int): DataFrame =
+      read(s, table, Some(ver)).select(explode(array(
+          struct(lit("o_custkey").as("c"),
+            col("o_custkey").cast("string").as("v"), lit(0L).as("cents")),
+          struct(lit("o_orderpriority").as("c"),
+            col("o_orderpriority").as("v"), lit(0L).as("cents")),
+          struct(lit("o_totalprice").as("c"),
+            col("cents").cast("string").as("v"), col("cents").as("cents"))
+        )).as("s"))
+        .select(col("s.c").as("column_name"), col("s.v").as("v"),
+                col("s.cents").as("cents"))
+        .groupBy(col("column_name"), col("v"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sc"))
+        .groupBy(col("column_name"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("nulls"),
+          count_if(col("v").isNotNull).as("n_distinct"),
+          sum(col("sc")).as("cents_sum"))
+        .withColumn("ver", lit(ver))
+    stats(1).unionByName(stats(2))
+      .groupBy(col("column_name"))
+      .agg(
+        max(when(col("ver") === 1, col("n"))).as("n_v1"),
+        max(when(col("ver") === 2, col("n"))).as("n_v2"),
+        max(when(col("ver") === 1, col("nulls"))).as("nulls_v1"),
+        max(when(col("ver") === 2, col("nulls"))).as("nulls_v2"),
+        max(when(col("ver") === 1, col("n_distinct"))).as("distinct_v1"),
+        max(when(col("ver") === 2, col("n_distinct"))).as("distinct_v2"),
+        max(when(col("ver") === 1, col("cents_sum"))).as("cents_v1"),
+        max(when(col("ver") === 2, col("cents_sum"))).as("cents_v2"))
+      .orderBy(col("column_name"))
+  }
+
+  val q253Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |v1 AS (SELECT * FROM base WHERE k % 3 <> 0),
+      |v2 AS (
+      |  SELECT k, o_custkey,
+      |    CASE WHEN k % 7 = 0 THEN NULL ELSE o_orderpriority END
+      |      AS o_orderpriority,
+      |    CASE WHEN k % 5 = 0 THEN cents + cents // 10 ELSE cents END
+      |      AS cents
+      |  FROM base WHERE k % 3 <> 0 OR k % 6 = 0),
+      |cells AS (
+      |  SELECT 1 AS ver, 'o_custkey' AS column_name,
+      |    CAST(o_custkey AS VARCHAR) AS v, 0 AS cents FROM v1
+      |  UNION ALL SELECT 1, 'o_orderpriority', o_orderpriority, 0 FROM v1
+      |  UNION ALL SELECT 1, 'o_totalprice', CAST(cents AS VARCHAR), cents
+      |    FROM v1
+      |  UNION ALL SELECT 2, 'o_custkey', CAST(o_custkey AS VARCHAR), 0
+      |    FROM v2
+      |  UNION ALL SELECT 2, 'o_orderpriority', o_orderpriority, 0 FROM v2
+      |  UNION ALL SELECT 2, 'o_totalprice', CAST(cents AS VARCHAR), cents
+      |    FROM v2),
+      |l1 AS (
+      |  SELECT ver, column_name, v, count(*) AS cnt, sum(cents) AS sc
+      |  FROM cells GROUP BY 1, 2, 3),
+      |l2 AS (
+      |  SELECT ver, column_name, sum(cnt) AS n,
+      |    sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS nulls,
+      |    count(*) FILTER (WHERE v IS NOT NULL) AS n_distinct,
+      |    sum(sc) AS sc
+      |  FROM l1 GROUP BY 1, 2)
+      |SELECT column_name,
+      |  CAST(max(CASE WHEN ver = 1 THEN n END) AS BIGINT) AS n_v1,
+      |  CAST(max(CASE WHEN ver = 2 THEN n END) AS BIGINT) AS n_v2,
+      |  CAST(max(CASE WHEN ver = 1 THEN nulls END) AS BIGINT) AS nulls_v1,
+      |  CAST(max(CASE WHEN ver = 2 THEN nulls END) AS BIGINT) AS nulls_v2,
+      |  CAST(max(CASE WHEN ver = 1 THEN n_distinct END) AS BIGINT)
+      |    AS distinct_v1,
+      |  CAST(max(CASE WHEN ver = 2 THEN n_distinct END) AS BIGINT)
+      |    AS distinct_v2,
+      |  CAST(max(CASE WHEN ver = 1 THEN sc END) AS BIGINT) AS cents_v1,
+      |  CAST(max(CASE WHEN ver = 2 THEN sc END) AS BIGINT) AS cents_v2
+      |FROM l2
+      |GROUP BY column_name
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_snapshot_drift" -> (q253SnapshotDrift _),
     "q225_wap_publish" -> (q225WapPublish _),
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
     "q133_snapshot_cdc" -> (q133SnapshotCdc _),
@@ -1558,6 +1674,7 @@ object SnapshotStore {
     "q215_snapshot_delete" -> (q215SnapshotDelete _))
 
   val oracleSql: Map[String, String] = Map(
+    "q253_snapshot_drift" -> q253Sql,
     "q225_wap_publish" -> q225Sql,
     "q130_snapshot_roundtrip" -> q130Sql,
     "q133_snapshot_cdc" -> q133Sql,

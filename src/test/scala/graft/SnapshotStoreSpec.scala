@@ -586,4 +586,38 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](n(150L))
     assert(n(200L) === 2L)
   }
+
+  test("q253 drift audit: roundtrip is lossless and drifts point the " +
+       "right way") {
+    val rows = SnapshotStore.q253SnapshotDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ===
+      Set("o_custkey", "o_orderpriority", "o_totalprice"))
+    // v2 admits the k % 6 rows v1 excluded: every column gains rows
+    rows.values.foreach { r =>
+      assert(r.getLong(2) > r.getLong(1), s"${r.getString(0)} n did not grow")
+    }
+    // only the priority column drifts to null, and only in v2
+    assert(rows("o_orderpriority").getLong(3) === 0L)
+    assert(rows("o_orderpriority").getLong(4) > 0L)
+    assert(rows("o_custkey").getLong(4) === 0L)
+    assert(rows("o_totalprice").getLong(4) === 0L)
+    // the 10 % inflation plus the admitted rows push the money total up
+    assert(rows("o_totalprice").getLong(8) > rows("o_totalprice").getLong(7))
+    // roundtrip losslessness: the store's v2 read equals the derivation
+    val t = sys.props("java.io.tmpdir") + "/graft-snapshots/drift"
+    val base = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"),
+      col("o_custkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val v2 = base.where(col("k") % 3 =!= 0 || col("k") % 6 === 0)
+      .withColumn("o_orderpriority",
+        when(col("k") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("cents",
+        when(col("k") % 5 === 0, col("cents") + expr("cents div 10"))
+          .otherwise(col("cents")))
+    val stored = SnapshotStore.read(spark, t, Some(2))
+    assert(stored.count() === v2.count())
+    assert(stored.exceptAll(v2).isEmpty && v2.exceptAll(stored).isEmpty)
+  }
 }
