@@ -1929,7 +1929,124 @@ object TextSim {
        |FROM best WHERE rn = 1
        |ORDER BY frag_id""".stripMargin
 
+  // ─── q254: winnowing fingerprint match census (Schleimer 2003) ───────
+  // q48's mod-p sampling has no locality guarantee — two documents can
+  // share a long run yet sample disjoint shingles. Winnowing (the MOSS
+  // algorithm) fixes that: hash every k-gram (k=4), slide a w=4 window
+  // over the hash sequence, keep each window's minimum — any shared run
+  // of ≥ w+k−1 = 7 tokens is then GUARANTEED to share a fingerprint,
+  // because the ≥ w windows fully inside the run are identical in both
+  // documents and select identically. Planted pairs (doc_id % 18 → its
+  // id+9 partner) share a 12-token run of per-pair-unique synthetic
+  // tokens: 6 interior windows ⇒ ≥ ⌈6/w⌉ = 2 shared fingerprints, the
+  // census threshold.
+  //
+  // Scale: selection is a PURE projection (in-row transform/slice/min —
+  // no explode until the selected set, which winnowing bounds to ~2/(w+1)
+  // of the k-grams); the match join is fingerprint-keyed postings with
+  // the q251 stop-fingerprint df-cap bounding fanout; shuffles carry
+  // (hash, id) pairs. The ≥ 2 shared threshold plus the cap keeps the
+  // pair census noise-bounded on a small-vocabulary corpus.
+  private val WinK = 4 // k-gram width (tokens)
+  private val WinW = 4 // winnowing window (hashes)
+
+  /** Winnowing selection: (doc_id, toks) → (doc_id, fps). Both
+    * intermediate frames are CACHED — the q48/q84/q100 CollapseProject
+    * trap: without the InMemoryRelation barrier the k-gram lambda
+    * inlines the tokenizer into every slice() reference and the window
+    * lambda inlines the WHOLE hash-array expression into every
+    * array_min — O(n²) md5 evaluations per document (observed: sf0.1
+    * ran minutes instead of seconds). Lifecycle: caller/harness
+    * clearCache, as q45/q84/q203.
+    */
+  private def winnowSelect(toksFrame: DataFrame): DataFrame = {
+    val hashes = toksFrame.cache().select(col("doc_id"),
+      expr(s"transform(sequence(1, size(toks) - ${WinK - 1}), " +
+        s"i -> CAST(conv(substring(md5(concat_ws(' ', slice(toks, i, " +
+        s"$WinK))), 1, 8), 16, 10) AS BIGINT))").as("hs")).cache()
+    hashes.select(col("doc_id"),
+      expr(s"array_distinct(transform(sequence(1, size(hs) - ${WinW - 1}), " +
+        s"j -> array_min(slice(hs, j, $WinW))))").as("fps"))
+  }
+
+  /** Test hook: winnowing fingerprint sets for the given RAW (unplanted)
+    * docs. */
+  private[graft] def q254FingerprintsForTest(
+      s: SparkSession, d: String, ids: Seq[Long]): Map[Long, Set[Long]] = {
+    val toksF = documents(s, d)
+      .where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    winnowSelect(toksF).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+  }
+
+  def q254WinnowingMatch(s: SparkSession, d: String): DataFrame = {
+    val runTok = (i: Int) => concat(lit("run"), col("anchor"), lit("x" + i))
+    val planted = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("anchor",
+        when(pmod(col("doc_id"), lit(18)) === 0, col("doc_id"))
+          .when(pmod(col("doc_id"), lit(9)) === 0, col("doc_id") - 9))
+      .withColumn("toks",
+        when(col("anchor").isNotNull,
+          concat(col("toks"), array((0 until 12).map(runTok): _*)))
+          .otherwise(col("toks")))
+      .select(col("doc_id"), col("toks"))
+    val sels = winnowSelect(planted)
+    val posts = sels.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val keep = posts.groupBy(col("fp")).agg(count(lit(1)).as("dfp"))
+      .where(col("dfp") <= MaxShingleDf).select(col("fp"))
+    val p = posts.join(keep, "fp")
+    p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q254Sql: String = {
+    val runList = (0 until 12)
+      .map(i => s"'run' || CAST(anchor AS VARCHAR) || 'x$i'")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks,
+       |    CASE WHEN doc_id % 18 = 0 THEN doc_id
+       |         WHEN doc_id % 9 = 0 THEN doc_id - 9 END AS anchor
+       |  FROM documents),
+       |planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN anchor IS NOT NULL THEN toks || $runList
+       |         ELSE toks END AS toks
+       |  FROM base),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(toks) - ${WinK - 1}),
+       |      i -> CAST(('0x' || substr(md5(
+       |             array_to_string(list_slice(toks, i, i + ${WinK - 1}),
+       |               ' ')), 1, 8)) AS BIGINT)) AS hs
+       |  FROM planted),
+       |sels AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(1, len(hs) - ${WinW - 1}),
+       |      j -> list_min(list_slice(hs, j, j + ${WinW - 1})))) AS fps
+       |  FROM hashes),
+       |posts AS (SELECT doc_id, unnest(fps) AS fp FROM sels),
+       |keep AS (
+       |  SELECT fp FROM posts GROUP BY fp
+       |  HAVING count(*) <= $MaxShingleDf),
+       |p AS (SELECT posts.* FROM posts JOIN keep USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_winnowing_match" -> (q254WinnowingMatch _),
     "q251_containment_dedup" -> (q251ContainmentDedup _),
     "q229_cdc_chunk_dedup" -> (q229CdcChunkDedup _),
     "q205_substring_dedup"    -> (q205SubstringDedup _),
@@ -1956,6 +2073,7 @@ object TextSim {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q254_winnowing_match" -> q254Sql,
     "q251_containment_dedup" -> q251Sql,
     "q229_cdc_chunk_dedup" -> q229Sql,
     "q205_substring_dedup"    -> q205Sql,

@@ -457,4 +457,46 @@ class TextSimSpec extends SparkSpec {
     rows.foreach { case (fid, _, shared, nsh, _) =>
       assert(shared * 10 >= nsh * 9, s"pair $fid below the 0.9 gate") }
   }
+
+  test("q254 winnowing: every planted run pair is detected (the w+k-1 " +
+       "guarantee) and selection matches a driver recompute") {
+    val pairs = TextSim.q254WinnowingMatch(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    spark.catalog.clearCache() // q254's two cached frames (documented)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val expected = (0L until nDocs by 18).filter(_ + 9 < nDocs)
+    val detected = pairs.filter { case (a, b, _) =>
+      a % 18 == 0 && b == a + 9 }.map(_._1).toSet
+    assert(detected === expected.toSet,
+      s"missing planted pairs: ${expected.toSet -- detected}")
+    // driver recompute of the selection for the first planted pair:
+    // interior-run windows are identical, so the shared-count must be
+    // >= ceil(interiorWindows / w) = 2
+    pairs.filter(p => p._1 % 18 == 0 && p._2 == p._1 + 9)
+      .foreach { case (a, b, n) =>
+        assert(n >= 2L, s"planted pair ($a,$b) shares only $n fingerprints")
+      }
+    // winnowing selection itself, recomputed in Scala for 20 raw docs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" % 9 =!= 0).limit(20)
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val refFps = docs.map { case (id, toks) =>
+      val hs = toks.sliding(4).filter(_.length == 4)
+        .map(g => java.lang.Long.parseLong(md5hex(g.mkString(" ")).take(8), 16))
+        .toIndexedSeq
+      id -> hs.sliding(4).filter(_.length == 4).map(_.min).toSeq.distinct.toSet
+    }.toMap
+    val engineFps = TextSim.q254FingerprintsForTest(spark, sfDir,
+        docs.map(_._1))
+    spark.catalog.clearCache()
+    refFps.foreach { case (id, ref) =>
+      assert(engineFps(id) === ref, s"doc $id selection diverged") }
+  }
 }
