@@ -2077,6 +2077,109 @@ object Corpus {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // ─── q255: LPT worker balancing (Graham's longest-processing-time) ───
+  // q243 answers the CAPACITY question (fewest fixed-size bins); this
+  // answers the MAKESPAN one — spread each batch's documents across a
+  // fixed pool of $LptWorkers workers so the slowest worker finishes
+  // earliest (the dataloader/straggler shape: preprocessing tasks onto
+  // a fixed executor pool). Graham's LPT: items length-desc, each onto
+  // the currently least-loaded worker — 4/3-optimal, and the entire
+  // fold is ONE higher-order `aggregate` per (shard, batch) group over
+  // the same salted 32-doc batches as q243 (bounded-group contract,
+  // embarrassingly parallel). The census prices the result against the
+  // per-batch lower bound max(⌈Σlen/M⌉, max_len) — the gap IS the
+  // balance quality, reported as data, never asserted by magnitude.
+  // The DuckDB oracle replays the IDENTICAL fold as a recursive CTE
+  // (argmin via list_position over an equality mask — first-least wins
+  // on both engines), so every assignment decision is cross-checked.
+  private val LptWorkers = 8
+
+  private[graft] def lptLoads(its: Column): Column =
+    aggregate(its,
+      expr(s"array_repeat(CAST(0 AS BIGINT), $LptWorkers)"),
+      (acc, x) => {
+        val ln = -x("nl")
+        val p = array_position(
+          transform(acc, l => l === array_min(acc)), true)
+        concat(
+          slice(acc, lit(1), (p - 1L).cast("int")),
+          array(element_at(acc, p.cast("int")) + ln),
+          slice(acc, (p + 1L).cast("int"), lit(LptWorkers)))
+      })
+
+  def q255LptBalance(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("len"),
+      conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+                     1, 1), 16, 10).cast("int").as("shard"),
+      md5(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
+    val pos = Windows.densePos(base, Seq("shard"),
+      Windows.hexBucket(col("ord")), Seq(col("ord"), col("doc_id")), "pos")
+    val items = pos.withColumn("batch", expr(s"(pos - 1) div $FfdBatch"))
+    val folded = items.groupBy(col("shard"), col("batch"))
+      .agg(sort_array(collect_list(struct((-col("len")).as("nl"),
+             col("doc_id").as("id")))).as("its"),
+           sum(col("len")).as("tok_sum"), max(col("len")).as("max_len"))
+      .withColumn("loads", lptLoads(col("its")))
+    folded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(expr("array_max(loads)")).as("makespan_sum"),
+        sum(greatest(
+          expr(s"(tok_sum + ${LptWorkers - 1}) div $LptWorkers"),
+          col("max_len"))).as("lb_sum"),
+        sum(col("tok_sum")).as("tok_sum"))
+      .orderBy(col("shard"))
+  }
+
+  val q255Sql: String = {
+    val zeros = Seq.fill(LptWorkers)("0").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS len,
+       |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+       |                             1, 1) AS BIGINT) AS INT) AS shard,
+       |    md5('order:' || CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents),
+       |items AS MATERIALIZED (
+       |  SELECT shard, (pos - 1) // $FfdBatch AS batch, len, doc_id,
+       |    row_number() OVER (PARTITION BY shard, (pos - 1) // $FfdBatch
+       |                       ORDER BY len DESC, doc_id) AS r
+       |  FROM (SELECT shard, len, doc_id,
+       |          row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |            AS pos
+       |        FROM base)),
+       |bsz AS MATERIALIZED (
+       |  SELECT shard, batch, max(r) AS n,
+       |    CAST(sum(len) AS BIGINT) AS tok_sum,
+       |    CAST(max(len) AS BIGINT) AS max_len
+       |  FROM items GROUP BY 1, 2),
+       |fold AS (
+       |  SELECT shard, batch, 0 AS r, CAST($zeros AS BIGINT[]) AS loads
+       |  FROM bsz
+       |  UNION ALL
+       |  SELECT f.shard, f.batch, f.r + 1,
+       |    f.loads[1:CAST(q.p AS INT) - 1]
+       |      || [f.loads[CAST(q.p AS INT)] + i.len]
+       |      || f.loads[CAST(q.p AS INT) + 1:] AS loads
+       |  FROM fold f
+       |  JOIN items i ON i.shard = f.shard AND i.batch = f.batch
+       |    AND i.r = f.r + 1,
+       |  LATERAL (SELECT list_position(
+       |      list_transform(f.loads, l -> l = list_min(f.loads)), true)
+       |    AS p) q),
+       |packed AS (
+       |  SELECT f.shard, f.batch, f.loads, b.tok_sum, b.max_len
+       |  FROM fold f JOIN bsz b
+       |    ON f.shard = b.shard AND f.batch = b.batch AND f.r = b.n)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_batches,
+       |  CAST(sum(list_max(loads)) AS BIGINT) AS makespan_sum,
+       |  CAST(sum(greatest((tok_sum + ${LptWorkers - 1}) // $LptWorkers,
+       |                    max_len)) AS BIGINT) AS lb_sum,
+       |  CAST(sum(tok_sum) AS BIGINT) AS tok_sum
+       |FROM packed
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
+
   // ─── q248: Okapi BM25 top-k retrieval ────────────────────────────────
   // The classic probabilistic ranking function (Robertson–Spärck Jones /
   // Okapi, k1 = 1.2, b = 0.75) the TF-IDF salience (q74) and RRF fusion
@@ -2357,6 +2460,7 @@ object Corpus {
        |FROM scanned""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_lpt_balance" -> (q255LptBalance _),
     "q248_bm25_topk" -> (q248Bm25TopK _),
     "q249_removal_attribution" -> (q249RemovalAttribution _),
     "q250_auc_census" -> (q250AucCensus _),
@@ -2393,6 +2497,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q255_lpt_balance" -> q255Sql,
     "q248_bm25_topk" -> q248Sql,
     "q249_removal_attribution" -> q249Sql,
     "q250_auc_census" -> q250Sql,

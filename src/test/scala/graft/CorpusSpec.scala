@@ -468,6 +468,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q255 LPT fold matches a driver recompute; makespan >= lower bound") {
+    def engine(lens: Seq[Long]): Seq[Long] = {
+      val its = lens.zipWithIndex
+        .map { case (l, i) => (-l, i.toLong) }.sorted
+        .map { case (nl, id) => s"struct(CAST($nl AS BIGINT), CAST($id AS BIGINT))" }
+      val arr = expr(s"CAST(array(${its.mkString(",")}) AS " +
+        "ARRAY<STRUCT<nl: BIGINT, id: BIGINT>>)")
+      spark.range(1).select(Corpus.lptLoads(arr).as("loads"))
+        .collect().head.getSeq[Long](0)
+    }
+    def refLpt(lens: Seq[Long], m: Int = 8): Seq[Long] = {
+      val loads = Array.fill(m)(0L)
+      lens.sorted(Ordering[Long].reverse).foreach { l =>
+        loads(loads.zipWithIndex.minBy { case (v, i) => (v, i) }._2) += l
+      }
+      loads.toSeq
+    }
+    // 10 jobs of 9 across 8 workers: one worker gets two
+    assert(engine(Seq.fill(10)(9L)).sorted === refLpt(Seq.fill(10)(9L)).sorted)
+    val rnd = new scala.util.Random(2552)
+    (1 to 25).foreach { _ =>
+      val lens = Seq.fill(rnd.nextInt(30) + 2)(rnd.nextInt(120).toLong + 1L)
+      val e = engine(lens)
+      assert(e === refLpt(lens), s"diverged on $lens")
+      val lb = math.max((lens.sum + 7) / 8, lens.max)
+      assert(e.max >= lb, s"makespan below lower bound on $lens")
+    }
+  }
+
   test("q248 BM25 ranking matches an independent driver recompute") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id",
