@@ -406,6 +406,9 @@ object PlanLint {
     // query-term postings (scalar-broadcast idiom); everything else is
     // broadcast equi-joins + the partial-stepped top_k_by
     "q248_bm25_topk" -> Set("nested-loop", "cartesian"),
+    // q256: same 1-row BM25 stats cross as q248; its windows run over
+    // the per-(query, grade) COUNT frame (≤4 rows/query — q144 principle)
+    "q256_ranking_quality" -> Set("nested-loop", "cartesian"),
     // q250: the cumulative-negatives scan runs over the micro-score
     // HISTOGRAM (≤ distinct quantized scores, ≤1e6 for any model at
     // 6 dp), already reduced by the hash agg below it — q144 principle

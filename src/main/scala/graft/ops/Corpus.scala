@@ -2204,7 +2204,11 @@ object Corpus {
     2L -> "hash", 2L -> "join", 2L -> "table",
     3L -> "stream", 3L -> "batch")
 
-  def q248Bm25TopK(s: SparkSession, d: String): DataFrame = {
+  /** Shared BM25 scoring frame: (qid, doc_id, micro, g) — integer micro
+    * score plus the coverage grade g = min(3, #distinct query terms
+    * present), the relevance label q256's metrics judge the ranking by.
+    */
+  private def bm25PerDoc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -2229,9 +2233,14 @@ object Corpus {
       .select(col("term"), col("doc_id"),
         round(idf * (tfD * lit(2.2)) / denom * lit(1e6), 0)
           .cast("long").as("micro"))
-    val perDoc = contrib.join(broadcast(qframe), "term")
+    contrib.join(broadcast(qframe), "term")
       .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("micro")).as("micro"))
+      .agg(sum(col("micro")).as("micro"),
+           least(count(lit(1)), lit(3L)).as("g"))
+  }
+
+  def q248Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val perDoc = bm25PerDoc(s, d)
     val fused = col("micro") * lit(100000000L) + col("doc_id")
     perDoc.groupBy(col("qid"))
       .agg(graft.expr.TopKByAgg.top_k_by(col("doc_id"), fused, 5).as("top"),
@@ -2243,9 +2252,11 @@ object Corpus {
       .orderBy(col("qid"))
   }
 
-  val q248Sql: String = {
+  /** Shared oracle CTE chain mirroring [[bm25PerDoc]]: everything up to
+    * `perdoc(qid, doc_id, micro, g)`. */
+  private val bm25Ctes: String = {
     val qVals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-    s"""WITH q(qid, term) AS (VALUES $qVals),
+    s"""q(qid, term) AS (VALUES $qVals),
        |base AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |  CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM base),
@@ -2267,9 +2278,14 @@ object Corpus {
        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats),
        |perdoc AS (
        |  SELECT CAST(q.qid AS BIGINT) AS qid, c.doc_id,
-       |         CAST(sum(c.micro) AS BIGINT) AS micro
+       |         CAST(sum(c.micro) AS BIGINT) AS micro,
+       |         least(CAST(count(*) AS BIGINT), 3) AS g
        |  FROM contrib c JOIN q ON c.term = q.term
-       |  GROUP BY q.qid, c.doc_id),
+       |  GROUP BY q.qid, c.doc_id)""".stripMargin
+  }
+
+  val q248Sql: String =
+    s"""WITH $bm25Ctes,
        |ranked AS (
        |  SELECT qid, doc_id, micro,
        |    row_number() OVER (PARTITION BY qid
@@ -2284,7 +2300,103 @@ object Corpus {
        |FROM ranked
        |GROUP BY qid
        |ORDER BY qid""".stripMargin
+
+  // ─── q256: ranking-quality census (nDCG@10 / first-full-hit rank) ────
+  // The eval loop that closes q248's retrieval story: judge the BM25
+  // ranking against a relevance label it does NOT optimize — coverage
+  // grade g = min(3, #distinct query terms present) — with the standard
+  // graded metric. nDCG@10 = DCG/IDCG where DCG = Σ (2^g−1)/log2(i+1)
+  // over the top-10, IDCG the same over the grade-ideal ordering.
+  //
+  // Cross-engine exactness: every per-position term is quantized to
+  // integer micros BEFORE summation (the q248 discipline — float sums
+  // are order-dependent, integer sums are not), so dcg/idcg are exact
+  // BIGINTs and ndcg one double division of two identical integers.
+  // Scale: top-10 via the partial-stepped top_k_by (no per-query window
+  // over the match set); IDCG needs no ranking at all — it is computed
+  // CLOSED-FORM from the per-(query, grade) COUNT frame (≤4 rows per
+  // query): grade block [s+1, min(10, s+c)] contributes its positions'
+  // micro weights, an in-row transform over ≤10 positions. The census
+  // also reports the rank of the first FULL-coverage hit (the MRR
+  // input) and the matched-set size.
+  def q256RankingQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = bm25PerDoc(s, d).cache()
+    val fused = col("micro") * lit(100000000L) + col("doc_id")
+    val top10 = perDoc.groupBy(col("qid"))
+      .agg(graft.expr.TopKByAgg.top_k_by(col("doc_id"), fused, 10).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+              col("col").as("doc_id"))
+    val nterms = broadcast(Bm25Queries.toDF("qid", "term")
+      .groupBy("qid").agg(least(count(lit(1)), lit(3L)).as("gfull")))
+    val dcg = top10.join(perDoc, Seq("qid", "doc_id"))
+      .join(nterms, "qid")
+      .groupBy(col("qid"))
+      .agg(sum(expr("CAST(round((pow(2, g) - 1) / log2(rank + 1) * 1e6, 0)" +
+             " AS BIGINT)")).as("dcg_micro"),
+           min(when(col("g") === col("gfull"), col("rank")))
+             .as("first_full_rank"))
+    val gcounts = perDoc.groupBy(col("qid"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("qid")).orderBy(col("g").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val idcg = gcounts
+      .withColumn("s", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .withColumn("e", least(lit(10L), col("s") + col("c")))
+      .withColumn("part",
+        when(col("s") + 1 > col("e"), lit(0L)).otherwise(
+          expr("aggregate(transform(sequence(CAST(s + 1 AS INT), " +
+            "CAST(e AS INT)), i -> CAST(round((pow(2, g) - 1) / " +
+            "log2(i + 1) * 1e6, 0) AS BIGINT)), CAST(0 AS BIGINT), " +
+            "(a, x) -> a + x)")))
+      .groupBy(col("qid"))
+      .agg(sum(col("part")).as("idcg_micro"),
+           sum(col("c")).as("n_matched"))
+    dcg.join(idcg, "qid")
+      .select(col("qid"), col("dcg_micro"), col("idcg_micro"),
+        round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
+          .as("ndcg"),
+        coalesce(col("first_full_rank"), lit(0L)).as("first_full_rank"),
+        col("n_matched"))
+      .orderBy(col("qid"))
   }
+
+  val q256Sql: String =
+    s"""WITH $bm25Ctes,
+       |nterms AS (
+       |  SELECT CAST(qid AS BIGINT) AS qid,
+       |    least(CAST(count(*) AS BIGINT), 3) AS gfull
+       |  FROM q GROUP BY qid),
+       |ranked AS (
+       |  SELECT qid, doc_id, micro, g,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY micro * 100000000 + doc_id DESC) AS rank
+       |  FROM perdoc),
+       |dcg AS (
+       |  SELECT r.qid,
+       |    CAST(sum(CAST(round((2 ** g - 1) / log2(rank + 1) * 1e6, 0)
+       |      AS BIGINT)) AS BIGINT) AS dcg_micro,
+       |    min(CASE WHEN g = n.gfull THEN rank END) AS first_full_rank
+       |  FROM ranked r JOIN nterms n USING (qid)
+       |  WHERE rank <= 10
+       |  GROUP BY r.qid),
+       |ideal AS (
+       |  SELECT qid,
+       |    CAST(sum(CAST(round((2 ** g - 1) / log2(rank + 1) * 1e6, 0)
+       |      AS BIGINT)) FILTER (WHERE rank <= 10) AS BIGINT) AS idcg_micro,
+       |    CAST(count(*) AS BIGINT) AS n_matched
+       |  FROM (SELECT qid, g,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY g DESC, doc_id) AS rank
+       |        FROM perdoc)
+       |  GROUP BY qid)
+       |SELECT d.qid, d.dcg_micro, i.idcg_micro,
+       |  round(CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro, 6) AS ndcg,
+       |  CAST(coalesce(d.first_full_rank, 0) AS BIGINT) AS first_full_rank,
+       |  i.n_matched
+       |FROM dcg d JOIN ideal i USING (qid)
+       |ORDER BY d.qid""".stripMargin
 
   // ─── q249: funnel removal-attribution census ─────────────────────────
   // The governance read every published cleaning pipeline reports
@@ -2461,6 +2573,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q255_lpt_balance" -> (q255LptBalance _),
+    "q256_ranking_quality" -> (q256RankingQuality _),
     "q248_bm25_topk" -> (q248Bm25TopK _),
     "q249_removal_attribution" -> (q249RemovalAttribution _),
     "q250_auc_census" -> (q250AucCensus _),
@@ -2498,6 +2611,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q255_lpt_balance" -> q255Sql,
+    "q256_ranking_quality" -> q256Sql,
     "q248_bm25_topk" -> q248Sql,
     "q249_removal_attribution" -> q249Sql,
     "q250_auc_census" -> q250Sql,

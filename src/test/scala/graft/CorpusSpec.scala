@@ -532,6 +532,55 @@ class CorpusSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q256 nDCG census matches an independent driver recompute") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val queries = Map(1L -> Seq("merge", "window"),
+      2L -> Seq("hash", "join", "table"), 3L -> Seq("stream", "batch"))
+    val df = queries.values.flatten.toSet.map((t: String) =>
+      t -> docs.count(_._2.contains(t)).toLong).toMap
+    def contribMicro(tf: Long, dfT: Long, dl: Int): Long = {
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      math.round(idf * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)) * 1e6)
+    }
+    def posMicro(g: Long, rank: Int): Long =
+      math.round((math.pow(2.0, g.toDouble) - 1.0) /
+        (math.log(rank + 1.0) / math.log(2.0)) * 1e6)
+    val expected = queries.map { case (qid, terms) =>
+      val gfull = math.min(3, terms.length).toLong
+      val scored = docs.flatMap { case (id, toks) =>
+        val present = terms.filter(toks.contains)
+        if (present.isEmpty) None else Some((id,
+          present.map(t => contribMicro(toks.count(_ == t).toLong,
+            df(t), toks.length)).sum,
+          math.min(3, present.length).toLong))
+      }
+      val top10 = scored.sortBy { case (id, m, _) =>
+        -(m * 100000000L + id) }.take(10)
+      val dcg = top10.zipWithIndex
+        .map { case ((_, _, g), i) => posMicro(g, i + 1) }.sum
+      val idcg = scored.map(_._3).sorted(Ordering[Long].reverse).take(10)
+        .zipWithIndex.map { case (g, i) => posMicro(g, i + 1) }.sum
+      val ffr = top10.zipWithIndex.collectFirst {
+        case ((_, _, g), i) if g == gfull => (i + 1).toLong }.getOrElse(0L)
+      qid -> ((dcg, idcg, ffr, scored.length.toLong))
+    }
+    val got = Corpus.q256RankingQuality(spark, sfDir)
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+    spark.catalog.clearCache() // q256 caches the shared BM25 frame
+    got.foreach { case (qid, dcg, idcg, ndcg, ffr, nm) =>
+      val (edcg, eidcg, effr, enm) = expected(qid)
+      assert((dcg, idcg, ffr, nm) === ((edcg, eidcg, effr, enm)),
+        s"query $qid diverged")
+      assert(dcg <= idcg && ndcg <= 1.0, s"query $qid nDCG > 1")
+    }
+  }
+
   test("q249 attribution partitions the corpus exactly (docs AND tokens)") {
     val census = Corpus.q249RemovalAttribution(spark, sfDir)
       .as[(String, String, Long, Long)].collect()
