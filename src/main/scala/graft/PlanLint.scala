@@ -413,6 +413,8 @@ object PlanLint {
     // HISTOGRAM (≤ distinct quantized scores, ≤1e6 for any model at
     // 6 dp), already reduced by the hash agg below it — q144 principle
     "q250_auc_census" -> Set("global-window"),
+    // q257: the 1-row decile-cut array crosses the score histogram
+    "q257_pr_sweep" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -468,6 +470,7 @@ object PlanLint {
     "q209_quality_classifier" -> 10,
     "q244_calibration_census" -> 10,
     "q250_auc_census" -> 10,
+    "q257_pr_sweep" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

@@ -1230,6 +1230,96 @@ object Corpus {
        |ORDER BY bin""".stripMargin
   }
 
+  // ─── q257: precision/recall threshold sweep of the trained gate ──────
+  // Completes the classifier-eval family (q209 scores, q244 calibration,
+  // q250 AUC): the operating-point table — at each of the 9 equal-mass
+  // score cuts (q244's percentile_disc deciles of the integer micro
+  // score), the confusion counts and precision/recall a gate deployed
+  // at that threshold would see. "Positive" = micro STRICTLY above the
+  // cut. Counts are exact integers folded from the score HISTOGRAM
+  // (micro → (np, ne)) crossed with the broadcast 9-cut frame — the
+  // fact is touched once, the sweep costs |hist|×9 tiny rows; the top
+  // cut can leave an empty positive set (every micro ≤ cut), reported
+  // as precision 0 by convention on both engines.
+  def q257PrSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val hist = lrScores(lrFeatures(docs), w)
+      .select(col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"))
+      .groupBy(col("micro"))
+      .agg(count_if(col("y") === 1L).as("np"),
+           count_if(col("y") === 0L).as("ne"))
+    // cuts come from the ROW-level frame exactly as q244's (a percentile
+    // over the histogram would mis-weight); 1-row broadcast array
+    val scored = lrScores(lrFeatures(docs), w)
+      .select(col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"))
+    val cutArr = scored.agg(array((1 to 9).map(k =>
+      expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")): _*)
+      .as("cuts"))
+    hist.crossJoin(broadcast(cutArr))
+      .select(col("micro"), col("np"), col("ne"),
+        posexplode(col("cuts")))
+      .select((col("pos") + 1).as("cut_idx"),
+        col("col").cast("long").as("threshold"), // percentile_disc → DOUBLE
+        col("micro"), col("np"), col("ne"))
+      .groupBy(col("cut_idx"), col("threshold"))
+      .agg(
+        sum(when(col("micro") > col("threshold"), col("np"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("micro") > col("threshold"), col("ne"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("micro") <= col("threshold"), col("np"))
+          .otherwise(0L)).as("fn"))
+      .select(col("cut_idx"), col("threshold"), col("tp"), col("fp"),
+        col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(0.0d))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(0.0d))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fn")), 6)).as("recall"))
+      .orderBy(col("cut_idx"))
+  }
+
+  val q257Sql: String = {
+    val cutList = (1 to 9).map(k =>
+      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")
+      .mkString("[", ", ", "]")
+    s"""WITH $lrOracleCtes,
+       |sc AS (SELECT CAST(y AS BIGINT) AS y,
+       |         CAST(round(s * 1e6, 0) AS BIGINT) AS micro FROM sfin),
+       |hist AS (
+       |  SELECT micro, CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS np,
+       |    CAST(count(*) FILTER (WHERE y = 0) AS BIGINT) AS ne
+       |  FROM sc GROUP BY micro),
+       |cuts AS (SELECT $cutList AS cuts FROM sc),
+       |sweep AS (
+       |  SELECT u.k AS cut_idx, cuts[u.k] AS threshold,
+       |    h.micro, h.np, h.ne
+       |  FROM hist h CROSS JOIN cuts
+       |  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS k) u),
+       |conf AS (
+       |  SELECT CAST(cut_idx AS BIGINT) AS cut_idx,
+       |    CAST(threshold AS BIGINT) AS threshold,
+       |    CAST(sum(CASE WHEN micro > threshold THEN np ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN micro > threshold THEN ne ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN micro <= threshold THEN np ELSE 0 END)
+       |      AS BIGINT) AS fn
+       |  FROM sweep GROUP BY 1, 2)
+       |SELECT cut_idx, threshold, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+       |    AS precision,
+       |  CASE WHEN tp + fn = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+       |FROM conf
+       |ORDER BY cut_idx""".stripMargin
+  }
+
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
   // q44 is the heuristic lang-ID (marker scoring); q209 the binary
   // trained classifier. This is the canonical fastText deployment —
@@ -2574,6 +2664,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q255_lpt_balance" -> (q255LptBalance _),
     "q256_ranking_quality" -> (q256RankingQuality _),
+    "q257_pr_sweep" -> (q257PrSweep _),
     "q248_bm25_topk" -> (q248Bm25TopK _),
     "q249_removal_attribution" -> (q249RemovalAttribution _),
     "q250_auc_census" -> (q250AucCensus _),
@@ -2612,6 +2703,7 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "q255_lpt_balance" -> q255Sql,
     "q256_ranking_quality" -> q256Sql,
+    "q257_pr_sweep" -> q257Sql,
     "q248_bm25_topk" -> q248Sql,
     "q249_removal_attribution" -> q249Sql,
     "q250_auc_census" -> q250Sql,
