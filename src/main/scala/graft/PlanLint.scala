@@ -415,6 +415,16 @@ object PlanLint {
     "q250_auc_census" -> Set("global-window"),
     // q257: the 1-row decile-cut array crosses the score histogram
     "q257_pr_sweep" -> Set("nested-loop", "cartesian"),
+    // q259: the 1-row mean / v / stats frames crossJoined back into the
+    // corpus pass each power-iteration round (the k-means folded-state
+    // idiom — every build side is exactly one row)
+    "q259_pca_power" -> Set("nested-loop", "cartesian"),
+    // q260: the 1-row N1+(··) bigram-type total crossJoined into the
+    // bigram-type model frame (q231's scalar-broadcast shape)
+    "q260_kneser_ney" -> Set("nested-loop", "cartesian"),
+    // q262: the risk-set / prefix-sum / zero-flag windows run over the
+    // ≤(horizon+1)-row duration GRID, never the fact (q144 principle)
+    "q262_kaplan_meier" -> Set("global-window"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -449,6 +459,8 @@ object PlanLint {
     // PageRank: fixed 10 iterations (measured exactly 10)
     "q150_pagerank" -> 24,
     "q242_personalized_pagerank" -> 24,
+    // TextRank rides the same pageRank loop over the word graph
+    "q261_textrank" -> 24,
     // k-means trainer: 1 pieces checkpoint + 1 checkpoint per Lloyd
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,

@@ -1922,6 +1922,115 @@ object Corpus {
        |GROUP BY 1, 2
        |ORDER BY lang, bucket""".stripMargin
 
+  // ─── q260: Kneser–Ney bigram LM perplexity census ─────────────────────
+  // The smoothing the n-gram-LM literature settled on (Kneser & Ney 1995;
+  // Chen & Goodman 1999 form, single discount D = 0.75): q231's unigram
+  // CCNet scorer upgraded to an interpolated bigram model whose backoff
+  // weight is the CONTINUATION count — "how many contexts does w2
+  // complete" — not raw frequency (the insight that makes "francisco"
+  // unlikely outside "san _"):
+  //   P(w2|w1) = (c(w1w2) − D)/c(w1·)
+  //            + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+  // Every model statistic is an exact integer (bigram counts, context
+  // totals, distinct-successor/predecessor/type counts); P is evaluated
+  // once per bigram TYPE in one fixed expression shape both engines
+  // parse identically, then quantized to integer nanos (the q231
+  // double-round), so per-doc sums/means and the census are float-free.
+  // Scored corpus = training corpus, so c(w1w2) ≥ 1 > D and no zero-prob
+  // branch exists; docs with < 2 tokens have no bigram and are excluded
+  // by contract.
+  // Scale: one bigram projection pass (transform over the token array —
+  // no positions self-join); model frames are bigram-TYPE-sized,
+  // map-side combined, joined on the bigram key (at 100 TB: md5 the
+  // pair — the q153 note); N1+(··) rides a 1-row broadcast; the census
+  // reduces per-doc rows to |langs|.
+  private val KnDiscount = 0.75
+
+  def q260KneserNey(s: SparkSession, d: String): DataFrame = {
+    val toksF = documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 2)
+    val pdb = toksF.select(col("doc_id"), col("lang"), explode(
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+                      element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("doc_id"), col("lang"),
+               col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val bg = pdb.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb"))
+    val ctx = bg.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("ct"), count(lit(1)).as("n1f"))
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val n1t = bg.agg(count(lit(1)).cast("double").as("n1t"))
+    val model = bg.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(n1t))
+      .select(col("w1"), col("w2"),
+        round(round(log(
+          (col("cb").cast("double") - lit(KnDiscount)) /
+            col("ct").cast("double") +
+          lit(KnDiscount) * col("n1f").cast("double") /
+            col("ct").cast("double") *
+            (col("n1p").cast("double") / col("n1t"))), 9) * 1e9, 0)
+          .cast("long").as("lpn"))
+    val perDoc = pdb.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("lpn")).as("sum_nano"),
+           sum(col("c")).as("nb"))
+      .withColumn("avg_tr", expr("sum_nano div nb"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           expr("sum(avg_tr) div count(*)").as("mean_lp"),
+           // percentile_disc returns DOUBLE; the attained value is an
+           // integer nano mean, so the cast back to long is lossless
+           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_tr)")
+             .cast("long").as("med_lp"),
+           min(col("avg_tr")).as("min_lp"),
+           max(col("avg_tr")).as("max_lp"))
+      .orderBy(col("lang"))
+  }
+
+  val q260Sql: String =
+    s"""WITH toksf AS MATERIALIZED (
+       |  SELECT doc_id, lang, $tokensSql AS ts FROM documents),
+       |pdb AS MATERIALIZED (
+       |  SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(generate_series(1, len(ts) - 1),
+       |        i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+       |    FROM toksf WHERE len(ts) >= 2)
+       |  GROUP BY 1, 2, 3, 4),
+       |bg AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb
+       |  FROM pdb GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ct,
+       |               CAST(count(*) AS BIGINT) AS n1f
+       |        FROM bg GROUP BY w1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p
+       |         FROM bg GROUP BY w2),
+       |n1t AS (SELECT CAST(count(*) AS DOUBLE) AS n1t FROM bg),
+       |model AS MATERIALIZED (
+       |  SELECT bg.w1, bg.w2, CAST(round(round(ln(
+       |      (CAST(cb AS DOUBLE) - $KnDiscount) / CAST(ct AS DOUBLE)
+       |      + $KnDiscount * CAST(n1f AS DOUBLE) / CAST(ct AS DOUBLE)
+       |        * (CAST(n1p AS DOUBLE) / n1t)), 9) * 1e9, 0) AS BIGINT)
+       |    AS lpn
+       |  FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), n1t),
+       |perdoc AS MATERIALIZED (
+       |  SELECT pdb.doc_id, pdb.lang,
+       |    CAST(sum(pdb.c * m.lpn) AS BIGINT) // CAST(sum(pdb.c) AS BIGINT)
+       |      AS avg_tr
+       |  FROM pdb JOIN model m USING (w1, w2)
+       |  GROUP BY 1, 2)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(avg_tr) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_lp,
+       |  percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_tr) AS med_lp,
+       |  min(avg_tr) AS min_lp, max(avg_tr) AS max_lp
+       |FROM perdoc
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   // ─── q232: per-domain document caps (the per-host crawl cap) ──────────
   // Crawl-derived corpora cap documents PER DOMAIN so no single host
   // dominates the mix (the C4/RefinedWeb per-host discipline). Keep = the
@@ -2673,6 +2782,7 @@ object Corpus {
     "q241_length_buckets" -> (q241LengthBuckets _),
     "q230_gopher_rules" -> (q230GopherRules _),
     "q231_ccnet_buckets" -> (q231CcnetBuckets _),
+    "q260_kneser_ney" -> (q260KneserNey _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -2712,6 +2822,7 @@ object Corpus {
     "q241_length_buckets" -> q241Sql,
     "q230_gopher_rules" -> q230Sql,
     "q231_ccnet_buckets" -> q231Sql,
+    "q260_kneser_ney" -> q260Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

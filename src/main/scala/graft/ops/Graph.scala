@@ -855,6 +855,88 @@ object Graph {
        |ORDER BY community""".stripMargin
   }
 
+  // ─── q258: Adamic–Adar link prediction over the co-purchase graph ─────
+  // The classic common-neighbour link predictor (Adamic & Adar 2003):
+  // score(x, y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln(deg(z)) over non-adjacent pairs
+  // — the feature recommendation/graph-completion pipelines rank missing
+  // edges by. Wedge generation is the q171 shape (incident-list self-join
+  // on the shared neighbour z); two disciplines make it 100 TB-safe:
+  //  - DEGREE CAP: a neighbour z fans out deg(z)² candidate pairs, so a
+  //    power-law hub on z is quadratic. Capping contributing neighbours
+  //    at deg ≤ [[AaDegCap]] bounds per-z fanout at cap² AND is the
+  //    standard semantic prune — a hub's per-pair weight 1/ln(deg) is
+  //    the smallest in the graph, so dropping it barely moves the
+  //    ranking (the cap is part of the operator's contract; the oracle
+  //    applies the identical cap).
+  //  - INTEGER-MICRO WEIGHTS: each wedge weight round(1e6/ln(deg(z)))
+  //    is quantized to a BIGINT before any aggregation, so the per-pair
+  //    sum is order-independent and exact in both engines (the q231
+  //    quantize-then-sum rule; ln runs on an integer degree, identical
+  //    IEEE doubles on both sides).
+  // deg(z) = 1 neighbours are skipped up front: a degree-1 node has no
+  // pair of distinct neighbours (no wedge) and its ln is 0. Existing
+  // edges leave via a LEFT ANTI join on the canonical (p1 < p2) edge
+  // list — fixed-width long pairs, like every shuffle here. Top-20 by
+  // the exact integer score (ties to (p1, p2)) is TakeOrderedAndProject.
+  private val AaDegCap = 64
+
+  /** Adamic–Adar scores for non-adjacent pairs of a canonical (p1 < p2)
+    * edge list: (p1, p2, aa_micro, n_common). Factored from [[q258AdamicAdar]]
+    * so GraphSpec can drive planted graphs through the exact operator. */
+  private[graft] def adamicAdarPairs(canon: DataFrame): DataFrame = {
+    val sym = canon.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(canon.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val inc = sym.select(col("dst").as("z"), col("src").as("x"))
+      .join(deg.where(col("deg") >= 2 && col("deg") <= AaDegCap), "z")
+      .withColumn("w",
+        round(lit(1e6) / log(col("deg").cast("double"))).cast("long"))
+    inc.as("a")
+      .join(inc.as("b"),
+        col("a.z") === col("b.z") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("p1"), col("b.x").as("p2"))
+      .agg(sum(col("a.w")).as("aa_micro"), count(lit(1)).as("n_common"))
+      .join(canon, Seq("p1", "p2"), "left_anti")
+  }
+
+  def q258AdamicAdar(s: SparkSession, d: String): DataFrame = {
+    // canon feeds the wedge join twice (via sym) and the anti join once;
+    // cache so the w>=2 co-purchase aggregation prices once (caller-owned
+    // release — Bench/Verify clearCache per query, the q233 contract).
+    val canon = coPurchaseEdges(s, d).cache()
+    adamicAdarPairs(canon)
+      .orderBy(col("aa_micro").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val q258Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |canon AS MATERIALIZED (
+       |  SELECT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk
+       |  HAVING count(*) >= 2),
+       |sym AS (SELECT p1 AS src, p2 AS dst FROM canon
+       |        UNION ALL SELECT p2, p1 FROM canon),
+       |deg AS (SELECT src AS z, count(*) AS deg FROM sym GROUP BY src),
+       |inc AS MATERIALIZED (
+       |  SELECT s.dst AS z, s.src AS x,
+       |    CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT) AS w
+       |  FROM sym s JOIN deg d ON s.dst = d.z
+       |  WHERE d.deg BETWEEN 2 AND $AaDegCap),
+       |pairs AS (
+       |  SELECT a.x AS p1, b.x AS p2, CAST(sum(a.w) AS BIGINT) AS aa_micro,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM inc a JOIN inc b ON a.z = b.z AND a.x < b.x
+       |  GROUP BY a.x, b.x)
+       |SELECT p1, p2, aa_micro, n_common
+       |FROM pairs
+       |WHERE NOT EXISTS (SELECT 1 FROM canon c
+       |                  WHERE c.p1 = pairs.p1 AND c.p2 = pairs.p2)
+       |ORDER BY aa_micro DESC, p1, p2
+       |LIMIT 20""".stripMargin
+
   // ─── q222: leakage-safe train/val/test split — split by CLUSTER ───────
   // q204 AUDITS split leakage after the fact; this is the CONSTRUCTIVE
   // counterpart: assign splits by hashing the near-dup CLUSTER id (q199's
@@ -976,7 +1058,8 @@ object Graph {
     "q170_bfs_hops" -> (q170BfsHops _),
     "q171_triangle_count" -> (q171TriangleCount _),
     "q233_label_propagation" -> (q233LabelPropagation _),
-    "q242_personalized_pagerank" -> (q242PersonalizedPageRank _))
+    "q242_personalized_pagerank" -> (q242PersonalizedPageRank _),
+    "q258_adamic_adar" -> (q258AdamicAdar _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -987,5 +1070,6 @@ object Graph {
     "q170_bfs_hops" -> q170Sql,
     "q171_triangle_count" -> q171Sql,
     "q233_label_propagation" -> q233Sql,
-    "q242_personalized_pagerank" -> q242Sql)
+    "q242_personalized_pagerank" -> q242Sql,
+    "q258_adamic_adar" -> q258Sql)
 }

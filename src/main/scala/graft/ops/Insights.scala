@@ -1586,7 +1586,120 @@ object Insights {
        |GROUP BY segment
        |ORDER BY segment""".stripMargin
 
+  // ─── q262: Kaplan–Meier time-to-first-failure survival curve ──────────
+  // The nonparametric survival estimator (Kaplan & Meier 1958) — the
+  // standard read for "how long until a user hits their first error",
+  // churn curves, and reliability analyses with CENSORED observations.
+  // Subject = user; clock starts at the user's first event; the event is
+  // their first 'error'; observation is administratively censored at a
+  // fixed [[KmHorizonDays]]-day horizon (users whose first error falls
+  // at or beyond the horizon — or who never error — contribute risk up
+  // to the horizon but no event; both engines apply the identical rule).
+  //   S(t) = Π_{t' ≤ t, d_{t'} > 0} (1 − d_{t'}/n_{t'})
+  // The cumulative product is evaluated float-free across rows: each
+  // step's ln(1 − d/n) is quantized to integer NANOS (the q231 double-
+  // round), the running product becomes an exact integer prefix SUM, and
+  // only the final exp/scale to survival_micro touches a double — on
+  // identical integer inputs in both engines. A step where d = n drives
+  // survival to exactly 0 (ln is −∞); a running flag zeroes that step
+  // and everything after it instead of feeding ±∞ into the quantizer.
+  //
+  // Scale: one shuffle to the per-user frame (groupBy user_id), then
+  // everything runs on the ≤(horizon+1)-row duration GRID — the risk
+  // set, the prefix sums, and the flag are global windows over that
+  // enum-sized frame, never the fact (the q144/q202 principle).
+  private val KmHorizonDays = 10L
+
+  def q262KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val fd = ev.groupBy("user_id").agg(min(col("day")).as("fd"))
+    val fe = ev.where(col("event_type") === "error")
+      .groupBy("user_id").agg(min(col("day")).as("ed"))
+    val durs = fd.join(fe, Seq("user_id"), "left")
+      .select(
+        when(col("ed").isNotNull &&
+             col("ed") - col("fd") < KmHorizonDays,
+          col("ed") - col("fd")).otherwise(KmHorizonDays).as("t"),
+        when(col("ed").isNotNull &&
+             col("ed") - col("fd") < KmHorizonDays, 1L).otherwise(0L)
+          .as("e"))
+    val grid = durs.groupBy(col("t"))
+      .agg(sum(col("e")).as("d_events"),
+           sum(lit(1L) - col("e")).as("n_censored"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk",
+        sum(col("d_events") + col("n_censored")).over(wRisk))
+      .withColumn("term_nano",
+        when(col("d_events") === 0L || col("d_events") >= col("n_risk"), 0L)
+          .otherwise(round(round(log(lit(1.0) -
+            col("d_events").cast("double") / col("n_risk").cast("double")),
+            9) * 1e9, 0).cast("long")))
+      .withColumn("zeroed",
+        max(when(col("d_events") === col("n_risk"), 1L).otherwise(0L))
+          .over(wCum))
+      .withColumn("cum_nano", sum(col("term_nano")).over(wCum))
+      .where(col("d_events") > 0L)
+      .select(col("t"), col("n_risk"), col("d_events"), col("n_censored"),
+        when(col("zeroed") === 1L, 0L)
+          .otherwise(round(exp(col("cum_nano").cast("double") / lit(1e9)) *
+            lit(1e6), 0).cast("long")).as("survival_micro"))
+      .orderBy(col("t"))
+  }
+
+  val q262Sql: String =
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events),
+       |fd AS (SELECT user_id, min(day) AS fd FROM ev GROUP BY 1),
+       |fe AS (SELECT user_id, min(day) AS ed FROM ev
+       |       WHERE event_type = 'error' GROUP BY 1),
+       |durs AS (
+       |  SELECT
+       |    CASE WHEN e.ed IS NOT NULL AND e.ed - f.fd < $KmHorizonDays
+       |         THEN e.ed - f.fd ELSE $KmHorizonDays END AS t,
+       |    CASE WHEN e.ed IS NOT NULL AND e.ed - f.fd < $KmHorizonDays
+       |         THEN 1 ELSE 0 END AS e
+       |  FROM fd f LEFT JOIN fe e USING (user_id)),
+       |grid AS (
+       |  SELECT t, CAST(sum(e) AS BIGINT) AS d_events,
+       |    CAST(sum(1 - e) AS BIGINT) AS n_censored
+       |  FROM durs GROUP BY t),
+       |risk AS (
+       |  SELECT *, CAST(sum(d_events + n_censored) OVER (ORDER BY t
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |    AS n_risk
+       |  FROM grid),
+       |terms AS (
+       |  SELECT *,
+       |    CASE WHEN d_events = 0 OR d_events >= n_risk THEN 0
+       |         ELSE CAST(round(round(ln(1.0 - CAST(d_events AS DOUBLE)
+       |           / CAST(n_risk AS DOUBLE)), 9) * 1e9, 0) AS BIGINT)
+       |    END AS term_nano
+       |  FROM risk),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(sum(term_nano) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nano,
+       |    max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |            CURRENT ROW) AS zeroed
+       |  FROM terms)
+       |SELECT t, n_risk, d_events, n_censored,
+       |  CASE WHEN zeroed = 1 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(round(exp(CAST(cum_nano AS DOUBLE) / 1e9) * 1e6, 0)
+       |                 AS BIGINT) END AS survival_micro
+       |FROM cum
+       |WHERE d_events > 0
+       |ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_kaplan_meier" -> (q262KaplanMeier _),
     "q252_k_anonymity" -> (q252KAnonymity _),
     "q234_seasonal_mad" -> (q234SeasonalMad _),
     "q201_conversion_funnel" -> (q201ConversionFunnel _),
@@ -1621,6 +1734,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q262_kaplan_meier" -> q262Sql,
     "q252_k_anonymity" -> q252Sql,
     "q234_seasonal_mad" -> q234Sql,
     "q201_conversion_funnel" -> q201Sql,

@@ -2163,7 +2163,96 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  // ─── q259: top principal component via distributed power iteration ───
+  // The embedding-decorrelation primitive (PCA/whitening step of every
+  // representation pipeline — outlier axes, anisotropy audits, JL's
+  // data-aware sibling): the dominant eigenvector of the mean-centered
+  // second-moment matrix E[xxᵀ], found by [[PcaRounds]] fixed power-
+  // iteration rounds v ← normalize(E[(vᵀx)·x]) from the exact literal
+  // v₀ = 1/√64 = 0.125 (representable, both engines type it).
+  //
+  // Cross-engine determinism, the k-means discipline applied to a FLOAT
+  // recurrence: (a) every cross-ROW reduction (the mean vector, each
+  // round's 64 component means, λ, total variance) is rounded to 6
+  // decimals at the aggregate boundary, wiping the ~1e-15 summation-
+  // order noise before it can compound (the q206 round-per-update rule);
+  // (b) every within-row reduction (vᵀx, xᵀx) is the fixed left-to-right
+  // 64-term fold q49 proved identical to DuckDB's list_dot_product;
+  // (c) normalization is 1-row arithmetic on already-rounded inputs.
+  //
+  // At 100 TB: per round = ONE streamed pass over the corpus computing a
+  // 64-wide map-side-combined average against a broadcast 1-row v — the
+  // corpus never shuffles; rounds are a fixed constant; the centered
+  // frame is checkpointed once and reused by all rounds + the λ pass.
+  // Output: the 64 loadings plus the Rayleigh eigenvalue λ and its
+  // explained-variance share — the numbers a whitening stage consumes.
+  private val PcaRounds = 3
+
+  def q259PcaPower(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val muRow = broadcast(emb.agg(array((1 to DIM).map(i =>
+      round(avg(element_at(col("e"), i)), 6)): _*).as("mu")))
+    val centered = emb.crossJoin(muRow)
+      .select(col("vec_id"),
+        zip_with(col("e"), col("mu"), (a, b) => a - b).as("x"))
+      .localCheckpoint()
+    var v = s.range(1).select(array(Seq.fill(DIM)(lit(0.125)): _*).as("v"))
+    for (_ <- 1 to PcaRounds) {
+      val sRow = centered.crossJoin(broadcast(v))
+        .select(dot(col("v"), col("x")).as("t"), col("x"))
+        .agg(array((1 to DIM).map(j =>
+          round(avg(col("t") * element_at(col("x"), j)), 6)): _*).as("sarr"))
+      v = sRow.select(transform(col("sarr"),
+        c => round(c / sqrt(dot(col("sarr"), col("sarr"))), 6)).as("v"))
+    }
+    val stats = centered.crossJoin(broadcast(v))
+      .select(dot(col("v"), col("x")).as("t"),
+              dot(col("x"), col("x")).as("xx"))
+      .agg(round(avg(col("t") * col("t")), 6).as("lambda"),
+           round(avg(col("xx")), 6).as("totvar"))
+    v.select(posexplode(col("v")).as(Seq("pos", "loading")))
+      .crossJoin(broadcast(stats))
+      .select((col("pos") + 1).cast("long").as("dim_idx"),
+              col("loading"), col("lambda"),
+              round(col("lambda") / col("totvar"), 4).as("var_share"))
+      .orderBy(col("dim_idx"))
+  }
+
+  val q259Sql: String = {
+    val muArr = (1 to DIM).map(i => s"round(avg(e[$i]), 6)")
+      .mkString("[", ", ", "]")
+    val v0Arr = Seq.fill(DIM)("0.125").mkString("[", ", ", "]")
+    val sArr = (1 to DIM).map(j => s"round(avg(t * x[$j]), 6)")
+      .mkString("[", ", ", "]")
+    val rounds = (1 to PcaRounds).map { r =>
+      s"""t$r AS (SELECT x, list_dot_product(v, x) AS t FROM cent, v${r - 1}),
+         |s$r AS (SELECT $sArr AS sarr FROM t$r),
+         |v$r AS (SELECT list_transform(sarr,
+         |  c -> round(c / sqrt(list_dot_product(sarr, sarr)), 6)) AS v
+         |  FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |mu AS (SELECT $muArr AS mu FROM emb),
+       |cent AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${DIM + 1}),
+       |    i -> e[i] - mu[i]) AS x
+       |  FROM emb, mu),
+       |v0 AS (SELECT $v0Arr AS v),
+       |$rounds,
+       |stats AS (
+       |  SELECT round(avg(t * t), 6) AS lambda FROM (
+       |    SELECT list_dot_product(v, x) AS t FROM cent, v$PcaRounds)),
+       |tot AS (SELECT round(avg(list_dot_product(x, x)), 6) AS totvar
+       |        FROM cent)
+       |SELECT CAST(i AS BIGINT) AS dim_idx, v[i] AS loading, lambda,
+       |  round(lambda / totvar, 4) AS var_share
+       |FROM v$PcaRounds, stats, tot, unnest(range(1, ${DIM + 1})) u(i)
+       |ORDER BY dim_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_pca_power" -> (q259PcaPower _),
     "q219_hard_negatives" -> (q219HardNegatives _),
     "q217_cluster_silhouette" -> (q217ClusterSilhouette _),
     "q213_cluster_balanced_sample" -> (q213ClusterBalancedSample _),
@@ -2191,6 +2280,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q259_pca_power" -> q259Sql,
     "q219_hard_negatives" -> q219Sql,
     "q217_cluster_silhouette" -> q217Sql,
     "q213_cluster_balanced_sample" -> q213Sql,

@@ -1529,6 +1529,81 @@ object TextSim {
        |ORDER BY pmi DESC, a, b
        |LIMIT 25""".stripMargin
 
+  // ─── q261: TextRank keyphrase extraction ──────────────────────────────
+  // The graph-based keyword extractor (Mihalcea & Tarau 2004): build the
+  // word co-occurrence graph (q247's ±3-window pair projection — the
+  // flatMap form, no positions self-join), keep edges seen ≥ 20 times,
+  // drop self-loops (a repeated token inside its own window would feed
+  // rank mass back to itself), and run the SAME damped PageRank loop the
+  // link-graph queries use (Graph.pageRank — localCheckpoint per round,
+  // cardinality-guarded broadcast, 5 fixed iterations). Top-20 tokens by
+  // the 5-dp ROUNDED rank (ties to the token) — corpus-level salient
+  // vocabulary, the unsupervised keyphrase signal.
+  //
+  // Scale: pair generation is one projection pass (≤3× token fanout);
+  // the graph is VOCAB-sized, so every per-round frame is tiny relative
+  // to the corpus and the rank frame rides the ≤5M-node broadcast guard;
+  // node ids here are token strings (at 100 TB: md5 the token — the
+  // q153 note — so shuffles carry 16 bytes, not words).
+  private val TrMinCount = 20
+
+  def q261TextRank(s: SparkSession, d: String): DataFrame = {
+    val toksF = documents(s, d).select(tokens(col("text")).as("ts"))
+    val pairs = toksF.select(explode(flatten(
+      transform(sequence(lit(1), size(col("ts")) - 1), i =>
+        transform(sequence(i + 1, least(i + PmiWindow, size(col("ts")))),
+          j => struct(
+            least(element_at(col("ts"), i), element_at(col("ts"), j))
+              .as("a"),
+            greatest(element_at(col("ts"), i), element_at(col("ts"), j))
+              .as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= TrMinCount.toLong && col("a") =!= col("b"))
+    val edges = pc.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pc.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(edges, iterations = 5)
+      .select(col("node").as("token"), round(col("pr"), 5).as("pr"))
+      .orderBy(col("pr").desc, col("token"))
+      .limit(20)
+  }
+
+  val q261Sql: String = {
+    val stages = (1 to 5).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node, 0.15 + 0.85 * coalesce(c.s, CAST(0 AS DOUBLE)) AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.pr / d.deg) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node JOIN d ON e.src = d.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH toksf AS MATERIALIZED (
+       |  SELECT $tokensSql AS ts FROM documents),
+       |pairs AS (
+       |  SELECT p['a'] AS a, p['b'] AS b FROM (
+       |    SELECT unnest(flatten(list_transform(
+       |      generate_series(1, len(ts) - 1), i ->
+       |        list_transform(generate_series(i + 1,
+       |                                       least(i + $PmiWindow, len(ts))),
+       |          j -> {'a': least(ts[i], ts[j]),
+       |                'b': greatest(ts[i], ts[j])})))) AS p
+       |    FROM toksf)),
+       |pc AS MATERIALIZED (
+       |  SELECT a, b FROM pairs GROUP BY a, b
+       |  HAVING count(*) >= $TrMinCount AND a <> b),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pc
+       |  UNION ALL SELECT b, a FROM pc),
+       |d AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |n AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n),
+       |${stages.mkString(",\n")}
+       |SELECT node AS token, round(pr, 5) AS pr
+       |FROM r5
+       |ORDER BY pr DESC, token
+       |LIMIT 20""".stripMargin
+  }
+
   // ─── q204: train/test split-leakage audit ─────────────────────────────
   // The evaluation-integrity check every training pipeline should run and
   // few do: after a deterministic hash split (q72's exact convention —
@@ -2059,6 +2134,7 @@ object TextSim {
     "q45_minhash_lsh"    -> (q45MinhashLsh _),
     "q245_detector_eval" -> (q245DetectorEval _),
     "q247_pmi_cooccurrence" -> (q247PmiCooccurrence _),
+    "q261_textrank" -> (q261TextRank _),
     "q46_simhash"        -> (q46SimHash _),
     "q47_ngram_jaccard"  -> (q47NgramJaccard _),
     "q48_fingerprint"    -> (q48Fingerprint _),
@@ -2086,6 +2162,7 @@ object TextSim {
     "q45_minhash_lsh"    -> q45Sql,
     "q245_detector_eval" -> q245Sql,
     "q247_pmi_cooccurrence" -> q247Sql,
+    "q261_textrank" -> q261Sql,
     "q46_simhash"        -> q46Sql,
     "q47_ngram_jaccard"  -> q47Sql,
     "q48_fingerprint"    -> q48Sql,

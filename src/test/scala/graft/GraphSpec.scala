@@ -404,4 +404,33 @@ class GraphSpec extends SparkSpec {
     assert(seeded(1L) === seeded.values.max)
     assert(seeded.values.forall(_ > 0.0))
   }
+
+  test("q258 Adamic–Adar: exact scores on a planted square; hubs capped") {
+    // square 1-2-3-4-1: every node has degree 2; the two diagonals
+    // (1,3) and (2,4) each share two common neighbours, so
+    // aa_micro = 2 * round(1e6 / ln 2) and adjacent pairs never appear.
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("p1", "p2")
+    val got = Graph.adamicAdarPairs(square)
+      .orderBy($"p1", $"p2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val w2 = math.round(1e6 / math.log(2.0))
+    assert(got === Seq((1L, 3L, 2 * w2, 2L), (2L, 4L, 2 * w2, 2L)))
+
+    // a star whose centre exceeds the degree cap contributes NOTHING:
+    // centre degree 65 > AaDegCap, leaves have degree 1 (no wedge) —
+    // the quadratic-hub prune, exercised end to end.
+    val star = (1L to 65L).map(l => (0L, l)).toDF("p1", "p2")
+    assert(Graph.adamicAdarPairs(star).count() === 0L)
+
+    // path 1-2-3 plus hub 4 connected to all three: wedges through the
+    // hub AND through path nodes combine; driver recompute of the full
+    // formula for the one non-adjacent pair (1,3): common neighbours are
+    // 2 (deg 3) and 4 (deg 3).
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L))
+      .toDF("p1", "p2")
+    val w3 = math.round(1e6 / math.log(3.0))
+    val gotMixed = Graph.adamicAdarPairs(mixed)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotMixed === Seq((1L, 3L, 2 * w3, 2L)))
+  }
 }

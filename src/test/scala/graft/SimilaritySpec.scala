@@ -575,4 +575,51 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (q, n) =>
       assert(n > 0L && n < corpusN, s"query $q candidates $n of $corpusN") }
   }
+
+  test("q259 PCA power iteration matches an exact driver-side recompute") {
+    import spark.implicits._
+    // Spark's Round(DoubleType) semantics: BigDecimal HALF_UP at scale 6
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val rows = Tables.embeddings(spark, sfDir)
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val dim = rows.head.length
+    // the operator's exact recurrence, re-run on the driver: round-6 at
+    // every cross-row aggregate, left-to-right within-row folds
+    val mu = Array.tabulate(dim)(j => r6(rows.map(_(j)).sum / rows.length))
+    val xs = rows.map(r => Array.tabulate(dim)(j => r(j) - mu(j)))
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to 3) {
+      val ts = xs.map(x => dotLR(v, x))
+      val sArr = Array.tabulate(dim) { j =>
+        r6(xs.zip(ts).map { case (x, t) => t * x(j) }.sum / xs.length) }
+      val n = math.sqrt(dotLR(sArr, sArr))
+      v = sArr.map(c => r6(c / n))
+    }
+    val lambda = r6(xs.map(x => { val t = dotLR(v, x); t * t }).sum / xs.length)
+    val totvar = r6(xs.map(x => dotLR(x, x)).sum / xs.length)
+    val got = Similarity.q259PcaPower(spark, sfDir)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length === dim)
+    got.foreach { case (j, loading, l, share) =>
+      // cross-row driver sums can differ from Spark's partial-agg order
+      // by ~1e-15 pre-round; the 6-dp boundary absorbs it, so equality
+      // here is exact — the same argument the DuckDB oracle rides on
+      assert(loading === v(j.toInt - 1), s"dim $j")
+      assert(l === lambda)
+      assert(share === BigDecimal.valueOf(lambda / totvar)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the learned axis is a unit vector (post-rounding, to 1e-4) and
+    // explains a sane share of total variance
+    val norm = math.sqrt(dotLR(v, v))
+    assert(math.abs(norm - 1.0) < 1e-4)
+    assert(got.head._4 > 0.0 && got.head._4 <= 1.0)
+  }
 }
