@@ -425,6 +425,10 @@ object PlanLint {
     // q262: the risk-set / prefix-sum / zero-flag windows run over the
     // ≤(horizon+1)-row duration GRID, never the fact (q144 principle)
     "q262_kaplan_meier" -> Set("global-window"),
+    // q264: the conformal-rank window runs over the micro-score
+    // HISTOGRAM (q250's shape); q̂ and k ride 1-row crossJoins
+    "q264_conformal_gate" -> Set("nested-loop", "cartesian",
+                                 "global-window"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -483,6 +487,7 @@ object PlanLint {
     "q244_calibration_census" -> 10,
     "q250_auc_census" -> 10,
     "q257_pr_sweep" -> 10,
+    "q264_conformal_gate" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

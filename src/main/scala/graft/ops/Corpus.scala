@@ -1320,6 +1320,108 @@ object Corpus {
        |ORDER BY cut_idx""".stripMargin
   }
 
+  // ─── q264: split conformal prediction gate ────────────────────────────
+  // Distribution-free uncertainty for the trained gate (split/inductive
+  // conformal prediction — Vovk et al. 2005; Angelopoulos & Bates 2021
+  // form): instead of a point threshold (q257's operating points), emit
+  // a PREDICTION SET per document that covers the true label with
+  // probability ≥ 1 − α by construction. Entirely rank-based, so it is
+  // integer-exact end to end:
+  //  - calibration = the 'val' slice of q72/q204's deterministic md5
+  //    hash split (cc/e6 fences — both engines type the same CASE);
+  //  - nonconformity αᵢ = 1 − p̂_{yᵢ} in integer micros (1e6 − micro for
+  //    positives, micro for negatives);
+  //  - q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score, α = 0.10 —
+  //    an exact RANK statistic: k = (9(n+1)+9) div 10, q̂ = the smallest
+  //    histogram value whose cumulative count reaches k. When k > n
+  //    (tiny calibration sets) the conformal convention is q̂ = ∞ — the
+  //    1 000 001 sentinel, every set becomes {0, 1};
+  //  - test-set prediction set = {y : 1 − p̂_y ≤ q̂}; the census counts
+  //    set compositions (both / pos_only / neg_only / empty) and how
+  //    often the TRUE label landed inside — the empirical coverage the
+  //    1 − α guarantee is checked against.
+  // Scale: one scoring pass; the cumulative rank runs over the ≤1e6-row
+  // micro HISTOGRAM (the q250 shape), never per-doc rows; q̂ and k ride
+  // 1-row broadcasts.
+  def q264ConformalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val h2 = substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    val scored = lrScores(lrFeatures(docs), w)
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"),
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+          .as("split"))
+    val hist = scored.where(col("split") === "val")
+      .select(when(col("y") === 1L, lit(1000000L) - col("micro"))
+        .otherwise(col("micro")).as("alpha"))
+      .groupBy(col("alpha")).agg(count(lit(1)).as("c"))
+    val kRow = hist.agg(sum(col("c")).as("nn"))
+      .select(expr("(9 * (nn + 1) + 9) div 10").as("k"))
+    val wCum = Window.orderBy(col("alpha"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhatRow = broadcast(hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(kRow))
+      .where(col("cum") >= col("k"))
+      .agg(coalesce(min(col("alpha")), lit(1000001L)).as("qhat")))
+    scored.where(col("split") === "test")
+      .crossJoin(qhatRow)
+      .select(col("y"), col("qhat"),
+        (lit(1000000L) - col("micro") <= col("qhat")).as("in1"),
+        (col("micro") <= col("qhat")).as("in0"))
+      .select(col("y"), col("qhat"),
+        when(col("in1") && col("in0"), "both")
+          .when(col("in1"), "pos_only")
+          .when(col("in0"), "neg_only")
+          .otherwise("empty").as("set_type"),
+        when((col("y") === 1L && col("in1")) ||
+             (col("y") === 0L && col("in0")), 1L).otherwise(0L).as("cov"))
+      .groupBy(col("set_type"), col("qhat"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cov")).as("n_covered"))
+      .orderBy(col("set_type"))
+  }
+
+  val q264Sql: String = {
+    def splitCase(c: String) =
+      s"""CASE WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2) < 'cc'
+         |  THEN 'train'
+         |  WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 2) < 'e6'
+         |  THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH $lrOracleCtes,
+       |sc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |    CAST(round(s * 1e6, 0) AS BIGINT) AS micro,
+       |    ${splitCase("doc_id")} AS split
+       |  FROM sfin),
+       |hist AS (
+       |  SELECT CASE WHEN y = 1 THEN 1000000 - micro ELSE micro END
+       |    AS alpha, CAST(count(*) AS BIGINT) AS c
+       |  FROM sc WHERE split = 'val' GROUP BY 1),
+       |kf AS (SELECT (9 * (CAST(sum(c) AS BIGINT) + 1) + 9) // 10 AS k
+       |       FROM hist),
+       |qh AS (
+       |  SELECT CAST(coalesce(min(alpha), 1000001) AS BIGINT) AS qhat
+       |  FROM (SELECT alpha, sum(c) OVER (ORDER BY alpha ROWS BETWEEN
+       |          UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+       |       kf
+       |  WHERE cum >= k),
+       |test AS (
+       |  SELECT y, qhat, (1000000 - micro <= qhat) AS in1,
+       |    (micro <= qhat) AS in0
+       |  FROM sc, qh WHERE split = 'test')
+       |SELECT CASE WHEN in1 AND in0 THEN 'both'
+       |            WHEN in1 THEN 'pos_only'
+       |            WHEN in0 THEN 'neg_only' ELSE 'empty' END AS set_type,
+       |  qhat, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN (y = 1 AND in1) OR (y = 0 AND in0)
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |FROM test
+       |GROUP BY 1, 2
+       |ORDER BY set_type""".stripMargin
+  }
+
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
   // q44 is the heuristic lang-ID (marker scoring); q209 the binary
   // trained classifier. This is the canonical fastText deployment —
@@ -2783,6 +2885,7 @@ object Corpus {
     "q230_gopher_rules" -> (q230GopherRules _),
     "q231_ccnet_buckets" -> (q231CcnetBuckets _),
     "q260_kneser_ney" -> (q260KneserNey _),
+    "q264_conformal_gate" -> (q264ConformalGate _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -2823,6 +2926,7 @@ object Corpus {
     "q230_gopher_rules" -> q230Sql,
     "q231_ccnet_buckets" -> q231Sql,
     "q260_kneser_ney" -> q260Sql,
+    "q264_conformal_gate" -> q264Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

@@ -1698,7 +1698,68 @@ object Insights {
        |WHERE d_events > 0
        |ORDER BY t""".stripMargin
 
+  // ─── q263: seasonal-naïve forecast backtest (sMAPE / MAE census) ──────
+  // The forecasting-evaluation primitive: before any model ships, its
+  // errors are benchmarked against the seasonal-naïve baseline
+  // ŷ(d) = y(d − 7) (same weekday last week — the standard yardstick in
+  // the M-competition literature; a model that can't beat it isn't a
+  // model). This runs that baseline's backtest over the daily event
+  // counts and prices it with the standard scale-free metrics, all
+  // integer-exact: per-point sMAPE = (2·10⁶·|y−ŷ|) div (y+ŷ) (counts
+  // are integers, the denominator is ≥ 2 after the inner join), MAE in
+  // millis, and the signed bias — no float ever enters a metric.
+  // Days are epoch-day indices (micros div 86 400 000 000); the lag is
+  // an equi-join of the daily frame against itself shifted +7, which —
+  // unlike a rows-based window lag — is gap-correct by construction.
+  //
+  // Scale: one shuffle reduces the fact to the |types|×|days| daily
+  // frame; the shifted self-join and census run entirely on that
+  // calendar-sized grid (q144 principle — never the fact).
+  def q263ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val fc = daily.select(col("event_type"), (col("day") + 7L).as("day"),
+      col("y").as("yhat"))
+    daily.join(fc, Seq("event_type", "day"))
+      .select(col("event_type"),
+        abs(col("y") - col("yhat")).as("aerr"),
+        (col("y") - col("yhat")).as("serr"),
+        expr("(2000000 * abs(y - yhat)) div (y + yhat)").as("sm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_points"),
+           sum(col("aerr")).as("sum_abs_err"),
+           sum(col("serr")).as("bias"),
+           expr("(1000 * sum(aerr)) div count(*)").as("mae_milli"),
+           expr("sum(sm) div count(*)").as("smape_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val q263Sql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |joined AS (
+      |  SELECT a.event_type, abs(a.y - f.y) AS aerr, a.y - f.y AS serr,
+      |    (2000000 * abs(a.y - f.y)) // (a.y + f.y) AS sm
+      |  FROM daily a JOIN daily f
+      |    ON a.event_type = f.event_type AND a.day = f.day + 7)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+      |  CAST(sum(aerr) AS BIGINT) AS sum_abs_err,
+      |  CAST(sum(serr) AS BIGINT) AS bias,
+      |  (1000 * CAST(sum(aerr) AS BIGINT)) // CAST(count(*) AS BIGINT)
+      |    AS mae_milli,
+      |  CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT) AS smape_micro
+      |FROM joined
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_forecast_backtest" -> (q263ForecastBacktest _),
     "q262_kaplan_meier" -> (q262KaplanMeier _),
     "q252_k_anonymity" -> (q252KAnonymity _),
     "q234_seasonal_mad" -> (q234SeasonalMad _),
@@ -1734,6 +1795,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q263_forecast_backtest" -> q263Sql,
     "q262_kaplan_meier" -> q262Sql,
     "q252_k_anonymity" -> q252Sql,
     "q234_seasonal_mad" -> q234Sql,
