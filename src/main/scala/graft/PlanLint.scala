@@ -429,6 +429,15 @@ object PlanLint {
     // HISTOGRAM (q250's shape); q̂ and k ride 1-row crossJoins
     "q264_conformal_gate" -> Set("nested-loop", "cartesian",
                                  "global-window"),
+    // q266: each round crossJoins the 1-row folded ≤k-center selection
+    // (the centsRow idiom); nothing data-sized ever builds
+    "q266_kcenter_coreset" -> Set("nested-loop", "cartesian"),
+    // q267: the 1-row (components, weight) census frame crossJoined
+    // into the 3-row per-round summary
+    "q267_boruvka_forest" -> Set("nested-loop", "cartesian"),
+    // q268: the 1-row N frame crosses the ≤65-row feature stats
+    // (scalar-broadcast idiom)
+    "q268_feature_attribution" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -456,6 +465,9 @@ object PlanLint {
     "q222_leakage_safe_split" -> 24,
     // q90 chains CC dedup + clip + split + pack, each stage cached once
     "q90_pipeline_funnel" -> 32,
+    // Borůvka: 3 rounds × (one CC fixpoint + round checkpoint) + the
+    // final labeling — each CC is the q71 loop, generously priced
+    "q267_boruvka_forest" -> 64,
     // BFS frontier loop: 1 count-materializes-checkpoint action per hop
     // + seed checkpoint + fixed setup, diameter-bounded (measured 10
     // after the round-9 frontier-only-checkpoint slimming; was 14)
@@ -488,6 +500,7 @@ object PlanLint {
     "q250_auc_census" -> 10,
     "q257_pr_sweep" -> 10,
     "q264_conformal_gate" -> 10,
+    "q268_feature_attribution" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
@@ -501,6 +514,8 @@ object PlanLint {
     "q152_sql_script" -> 48,
     // MMR greedy selection: one action per selected item, k-bounded (8)
     "q159_mmr_diversify" -> 16,
+    // k-center farthest-first: emb checkpoint + 1 per round (k=6)
+    "q266_kcenter_coreset" -> 16,
     // recursive CTE: one action per recursion level (hierarchy depth, 6)
     "q107_recursive_hierarchy" -> 12,
     // session-variable SET/inspect statements (fixed statement list, 5)

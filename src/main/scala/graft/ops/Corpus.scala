@@ -1422,6 +1422,69 @@ object Corpus {
        |ORDER BY set_type""".stripMargin
   }
 
+  // ─── q268: exact feature attribution for the trained gate ─────────────
+  // Model interpretability as a first-class pipeline op: for a LINEAR
+  // model the Shapley value of feature j on the logit is EXACT and
+  // closed-form — φ_ij = w_j·(x_ij − E[x_j]) (the "linear SHAP"
+  // identity; no sampling, no background-set approximation). The global
+  // importance census every model card reports is mean |φ_j| over the
+  // corpus, computed here without densifying the sparse feature frame:
+  // docs NOT containing feature j contribute the constant |w_j·μ_j|
+  // each, so mean|φ_j| = (Σ_present |w_j(x−μ_j)| + (N−n_j)·|w_j·μ_j|)/N
+  // — one aggregate over the sparse rows plus integer arithmetic for
+  // the absent mass. Per-row magnitudes quantize to integer NANOS (the
+  // q231 double-round) before summation; μ_j rounds to 6 dp at its
+  // aggregate boundary; the final mean is a truncating integer div.
+  // Scale: two map-side-combined aggregates over the sparse frame; the
+  // weight/stat frames are ≤65 rows, broadcast; N rides a 1-row cross.
+  def q268FeatureAttribution(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val feat = lrFeatures(docs)
+    val nRow = broadcast(docs.agg(count(lit(1)).as("n")))
+    val stats = feat.groupBy(col("j"))
+      .agg(count(lit(1)).as("n_present"), sum(col("x")).as("sx"))
+      .crossJoin(nRow)
+      .select(col("j"), col("n_present"), col("n"),
+        round(col("sx") / col("n").cast("double"), 6).as("mu6"))
+    val present = feat.join(broadcast(w), "j")
+      .join(broadcast(stats.select(col("j"), col("mu6"))), "j")
+      .select(col("j"),
+        round(round(abs(col("w") * (col("x") - col("mu6"))), 9) * 1e9, 0)
+          .cast("long").as("anano"))
+      .groupBy(col("j")).agg(sum(col("anano")).as("present_nano"))
+    stats.join(w, "j").join(present, Seq("j"), "left")
+      .select(col("j"), col("n_present"), col("w"), col("mu6"),
+        col("n"), coalesce(col("present_nano"), lit(0L)).as("pn"),
+        round(round(abs(col("w") * col("mu6")), 9) * 1e9, 0).cast("long")
+          .as("absent_nano"))
+      .select(col("j"), col("n_present"), col("w"), col("mu6"),
+        expr("(pn + (n - n_present) * absent_nano) div n")
+          .as("mean_abs_nano"))
+      .orderBy(col("j"))
+  }
+
+  val q268Sql: String =
+    s"""WITH $lrOracleCtes,
+       |stats AS (
+       |  SELECT j, CAST(count(*) AS BIGINT) AS n_present,
+       |    round(sum(x) / (SELECT nn FROM n), 6) AS mu6
+       |  FROM feat GROUP BY j),
+       |pres AS (
+       |  SELECT f.j,
+       |    CAST(sum(CAST(round(round(abs(w.w * (f.x - st.mu6)), 9) * 1e9,
+       |      0) AS BIGINT)) AS BIGINT) AS pn
+       |  FROM feat f JOIN w$LrEpochs w USING (j) JOIN stats st USING (j)
+       |  GROUP BY f.j)
+       |SELECT st.j, st.n_present, w.w, st.mu6,
+       |  (coalesce(p.pn, 0)
+       |   + (CAST((SELECT nn FROM n) AS BIGINT) - st.n_present)
+       |     * CAST(round(round(abs(w.w * st.mu6), 9) * 1e9, 0) AS BIGINT))
+       |  // CAST((SELECT nn FROM n) AS BIGINT) AS mean_abs_nano
+       |FROM stats st JOIN w$LrEpochs w USING (j)
+       |LEFT JOIN pres p USING (j)
+       |ORDER BY st.j""".stripMargin
+
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
   // q44 is the heuristic lang-ID (marker scoring); q209 the binary
   // trained classifier. This is the canonical fastText deployment —
@@ -2886,6 +2949,7 @@ object Corpus {
     "q231_ccnet_buckets" -> (q231CcnetBuckets _),
     "q260_kneser_ney" -> (q260KneserNey _),
     "q264_conformal_gate" -> (q264ConformalGate _),
+    "q268_feature_attribution" -> (q268FeatureAttribution _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -2927,6 +2991,7 @@ object Corpus {
     "q231_ccnet_buckets" -> q231Sql,
     "q260_kneser_ney" -> q260Sql,
     "q264_conformal_gate" -> q264Sql,
+    "q268_feature_attribution" -> q268Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

@@ -937,6 +937,160 @@ object Graph {
        |ORDER BY aa_micro DESC, p1, p2
        |LIMIT 20""".stripMargin
 
+  // ─── q267: Borůvka maximum spanning forest ────────────────────────────
+  // THE parallel MST algorithm (Borůvka 1926; the one every distributed
+  // graph framework implements, because each round is embarrassingly
+  // parallel): every component simultaneously grabs its best incident
+  // edge, components merge, repeat — components at least halve per
+  // round. Here it runs as a MAXIMUM spanning forest over the weighted
+  // co-purchase graph (w = co-purchase count): the backbone of strongest
+  // affinities, the skeleton recommendation/taxonomy layers are built
+  // on. [[MstRounds]] fixed rounds (the census reports what each round
+  // added; a converged graph simply adds nothing — at sf0.1 round 3 is
+  // already empty, and the row disappears identically in both engines).
+  //
+  // Determinism: per-component argmax orders by (w DESC, p1, p2) —
+  // integer weight, integer tie-breaks; component labels come from the
+  // same min-label contract [[connectedComponents]] and the oracle's
+  // recursive closure both compute, and only the PARTITION BLOCKS
+  // matter (grouping is label-invariant). Two components picking the
+  // same edge dedup via DISTINCT — the standard Borůvka union step.
+  //
+  // Scale: per round = two label equi-joins on (long, long) edges + one
+  // per-component window whose input shrinks with the surviving
+  // cross-component edge set + the CC fixpoint (O(log² n), lineage-
+  // truncated). Forest size is node-bounded, never edge-bounded.
+  private val MstRounds = 3
+
+  /** Borůvka maximum-spanning-forest rounds over a canonical weighted
+    * (p1 < p2, w) edge list: returns (p1, p2, w, round) — the forest,
+    * tagged by the round each edge joined in. Factored from
+    * [[q267BoruvkaForest]] so GraphSpec can drive planted graphs. */
+  private[graft] def boruvkaForest(wEdgesIn: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val wEdges = wEdgesIn.localCheckpoint()
+    val nodes = wEdges.select(col("p1").as("node"))
+      .union(wEdges.select(col("p2").as("node"))).distinct()
+      .localCheckpoint()
+    var forest = wEdges
+      .select(col("p1"), col("p2"), col("w"), lit(0L).as("round"))
+      .limit(0).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val lbl = boruvkaLabels(nodes, forest)
+      val cand = wEdges
+        .join(lbl.select(col("node").as("p1"), col("comp").as("ca")), "p1")
+        .join(lbl.select(col("node").as("p2"), col("comp").as("cb")), "p2")
+        .where(col("ca") =!= col("cb"))
+      val views = cand
+        .select(col("ca").as("comp"), col("p1"), col("p2"), col("w"))
+        .unionAll(cand
+          .select(col("cb").as("comp"), col("p1"), col("p2"), col("w")))
+      val wSel = Window.partitionBy(col("comp"))
+        .orderBy(col("w").desc, col("p1"), col("p2"))
+      val sel = views.withColumn("rn", row_number().over(wSel))
+        .where(col("rn") === 1)
+        .select(col("p1"), col("p2"), col("w")).distinct()
+      forest = forest
+        .unionAll(sel.withColumn("round", lit(r.toLong)))
+        .localCheckpoint()
+    }
+    forest
+  }
+
+  private[graft] def boruvkaLabels(nodes: DataFrame,
+                                   forest: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      forest.select(col("p1").as("src"), col("p2").as("dst")),
+      "src", "dst")
+    nodes.join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("comp"))
+  }
+
+  def q267BoruvkaForest(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val wEdges = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2L)
+    val forest = boruvkaForest(wEdges, MstRounds)
+    val nodes = forest.select(col("p1").as("node"))
+      .union(forest.select(col("p2").as("node"))).distinct()
+    val fin = broadcast(boruvkaLabels(nodes, forest)
+      .agg(countDistinct(col("comp")).as("n_components_final"))
+      .crossJoin(forest.agg(sum(col("w")).as("forest_weight"))))
+    forest.groupBy(col("round"))
+      .agg(count(lit(1)).as("n_edges_added"),
+           sum(col("w")).as("weight_added"),
+           sum(col("p1") + col("p2")).as("added_checksum"))
+      .crossJoin(fin)
+      .orderBy(col("round"))
+  }
+
+  val q267Sql: String = {
+    def closure(r: Int) =
+      s"""bidir$r AS (SELECT p1 AS u, p2 AS v FROM forest$r
+         |            UNION SELECT p2, p1 FROM forest$r),
+         |reach$r AS (
+         |  SELECT u AS node, u AS lab FROM bidir$r
+         |  UNION
+         |  SELECT b.v AS node, x.lab FROM reach$r x
+         |  JOIN bidir$r b ON b.u = x.node),
+         |comp$r AS (SELECT node, min(lab) AS component
+         |           FROM reach$r GROUP BY node),
+         |lbl$r AS (SELECT n.node, coalesce(c.component, n.node) AS comp
+         |          FROM nodes n LEFT JOIN comp$r c USING (node))"""
+        .stripMargin
+    def rnd(r: Int) =
+      s"""cand$r AS (
+         |  SELECT e.p1, e.p2, e.w, la.comp AS ca, lb.comp AS cb
+         |  FROM wedges e JOIN lbl${r - 1} la ON e.p1 = la.node
+         |                JOIN lbl${r - 1} lb ON e.p2 = lb.node
+         |  WHERE la.comp <> lb.comp),
+         |sel$r AS MATERIALIZED (
+         |  SELECT DISTINCT p1, p2, w FROM (
+         |    SELECT comp, p1, p2, w, row_number() OVER (PARTITION BY comp
+         |        ORDER BY w DESC, p1, p2) AS rn
+         |    FROM (SELECT ca AS comp, p1, p2, w FROM cand$r
+         |          UNION ALL SELECT cb, p1, p2, w FROM cand$r))
+         |  WHERE rn = 1),
+         |forest$r AS MATERIALIZED (
+         |  SELECT p1, p2, w, CAST($r AS BIGINT) AS round FROM sel$r
+         |  UNION ALL SELECT p1, p2, w, round FROM forest${r - 1})"""
+        .stripMargin
+    val rounds = (1 to MstRounds)
+      .map(r => s"${rnd(r)},\n${closure(r)}").mkString(",\n")
+    s"""WITH RECURSIVE li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |wedges AS MATERIALIZED (
+       |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT p1 AS node FROM wedges
+       |  UNION SELECT DISTINCT p2 FROM wedges),
+       |forest0 AS (SELECT p1, p2, w, CAST(0 AS BIGINT) AS round
+       |            FROM wedges WHERE 1=0),
+       |lbl0 AS (SELECT node, node AS comp FROM nodes),
+       |$rounds,
+       |fin AS (
+       |  SELECT CAST(count(DISTINCT comp) AS BIGINT) AS n_components_final,
+       |    (SELECT CAST(sum(w) AS BIGINT) FROM forest$MstRounds)
+       |      AS forest_weight
+       |  FROM lbl$MstRounds)
+       |SELECT round, CAST(count(*) AS BIGINT) AS n_edges_added,
+       |  CAST(sum(w) AS BIGINT) AS weight_added,
+       |  CAST(sum(p1 + p2) AS BIGINT) AS added_checksum,
+       |  n_components_final, forest_weight
+       |FROM forest$MstRounds, fin
+       |GROUP BY round, n_components_final, forest_weight
+       |ORDER BY round""".stripMargin
+  }
+
   // ─── q222: leakage-safe train/val/test split — split by CLUSTER ───────
   // q204 AUDITS split leakage after the fact; this is the CONSTRUCTIVE
   // counterpart: assign splits by hashing the near-dup CLUSTER id (q199's
@@ -1059,7 +1213,8 @@ object Graph {
     "q171_triangle_count" -> (q171TriangleCount _),
     "q233_label_propagation" -> (q233LabelPropagation _),
     "q242_personalized_pagerank" -> (q242PersonalizedPageRank _),
-    "q258_adamic_adar" -> (q258AdamicAdar _))
+    "q258_adamic_adar" -> (q258AdamicAdar _),
+    "q267_boruvka_forest" -> (q267BoruvkaForest _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -1071,5 +1226,6 @@ object Graph {
     "q171_triangle_count" -> q171Sql,
     "q233_label_propagation" -> q233Sql,
     "q242_personalized_pagerank" -> q242Sql,
-    "q258_adamic_adar" -> q258Sql)
+    "q258_adamic_adar" -> q258Sql,
+    "q267_boruvka_forest" -> q267Sql)
 }

@@ -2251,7 +2251,98 @@ object Similarity {
        |ORDER BY dim_idx""".stripMargin
   }
 
+  // ─── q266: greedy k-center coreset (Gonzalez farthest-first) ──────────
+  // Diversity-maximizing subset selection — the data-curation read of
+  // the classic 2-approximation for the k-center objective (Gonzalez
+  // 1985): repeatedly take the point FARTHEST from everything selected
+  // so far. Production pipelines use exactly this farthest-first
+  // traversal to pick maximally-diverse exemplars (seed sets for
+  // annotation, coverage probes, prototype selection) — the greedy dual
+  // of q159's MMR (which diversifies a RANKED list; this diversifies
+  // the corpus itself).
+  //
+  // Determinism: seed = smallest (md5(vec_id), vec_id) — the q206 seed
+  // discipline; each round's argmax compares the 6-dp ROUNDED min-d²
+  // (ties to vec_id), so cross-engine float drift cannot reorder a
+  // selection; raw d² uses the three-dot closed form both engines
+  // evaluate identically (q206-pinned).
+  //
+  // Scale: each of the k−1 rounds is ONE streamed corpus pass against
+  // the ≤k-row broadcast folded selection (the centsRow idiom) ending
+  // in a TakeOrdered(1) — the corpus never shuffles; the selection
+  // frame is localCheckpointed per round (k-bounded actions, the
+  // q159/BPE loop discipline). Output carries each pick's selection
+  // distance plus the final coverage RADIUS (the k-center objective
+  // value) — both oracle-recomputed.
+  private val KcK = 6
+
+  def q266KCenterCoreset(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d).localCheckpoint()
+    def minD(cents: Column): Column =
+      round(array_min(transform(cents, c => sqDist(col("e"), c))), 6)
+    var sel = emb
+      .select(col("vec_id"), col("e"),
+        md5(col("vec_id").cast("string")).as("hh"))
+      .orderBy(col("hh"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e"), lit(0.0d).as("d6"),
+              lit(1L).as("step"))
+      .localCheckpoint()
+    for (step <- 2 to KcK) {
+      val folded = broadcast(sel.agg(collect_list(col("e")).as("cents")))
+      val nxt = emb.crossJoin(folded)
+        .withColumn("md", minD(col("cents")))
+        .orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("e"), col("md").as("d6"),
+                lit(step.toLong).as("step"))
+      sel = sel.unionAll(nxt).localCheckpoint()
+    }
+    val folded = broadcast(sel.agg(collect_list(col("e")).as("cents")))
+    val rad = emb.crossJoin(folded)
+      .select(minD(col("cents")).as("md"))
+      .agg(round(max(col("md")), 6).as("radius"))
+    sel.select(col("step"), col("vec_id"), col("d6"))
+      .crossJoin(broadcast(rad))
+      .orderBy(col("step"))
+  }
+
+  val q266Sql: String = {
+    def d2(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2*list_dot_product($a, $b)" +
+        s" + list_dot_product($b, $b)"
+    val rounds = (2 to KcK).map { r =>
+      s"""m$r AS (
+         |  SELECT c.vec_id, round(min(${d2("c.e", "s.e")}), 6) AS md
+         |  FROM emb c CROSS JOIN selu${r - 1} s GROUP BY c.vec_id),
+         |sel$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.e, m.md AS d6, CAST($r AS BIGINT) AS step
+         |  FROM m$r m JOIN emb e USING (vec_id)
+         |  ORDER BY m.md DESC, m.vec_id LIMIT 1),
+         |selu$r AS (SELECT vec_id, e FROM selu${r - 1}
+         |           UNION ALL SELECT vec_id, e FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to KcK)
+      .map(r => s"UNION ALL SELECT step, vec_id, d6 FROM sel$r")
+      .mkString("\n  ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, e, CAST(0.0 AS DOUBLE) AS d6,
+       |    CAST(1 AS BIGINT) AS step
+       |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |selu1 AS (SELECT vec_id, e FROM sel1),
+       |$rounds,
+       |mfin AS (
+       |  SELECT c.vec_id, round(min(${d2("c.e", "s.e")}), 6) AS md
+       |  FROM emb c CROSS JOIN selu$KcK s GROUP BY c.vec_id),
+       |rad AS (SELECT round(max(md), 6) AS radius FROM mfin),
+       |allsel AS (SELECT step, vec_id, d6 FROM sel1
+       |  $unions)
+       |SELECT step, vec_id, d6, radius FROM allsel, rad
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_kcenter_coreset" -> (q266KCenterCoreset _),
     "q259_pca_power" -> (q259PcaPower _),
     "q219_hard_negatives" -> (q219HardNegatives _),
     "q217_cluster_silhouette" -> (q217ClusterSilhouette _),
@@ -2280,6 +2371,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q266_kcenter_coreset" -> q266Sql,
     "q259_pca_power" -> q259Sql,
     "q219_hard_negatives" -> q219Sql,
     "q217_cluster_silhouette" -> q217Sql,

@@ -385,6 +385,115 @@ object Warehouse {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  // ─── q265: Fellegi–Sunter probabilistic record linkage ────────────────
+  // Entity resolution for STRUCTURED records (the document-dedup family
+  // handles text; this is the master-data twin): the published
+  // Fellegi–Sunter 1969 decision model. Two deterministic "systems" are
+  // synthesized from the customer dim (the q41 perturbed-copies idiom):
+  // system B carries 80% of customers re-keyed (+1e7) with field noise —
+  // every 2nd name gets a 1-char corruption, every 3rd balance shifts
+  // $1.50, every 7th segment is mangled — so the truth (same original
+  // key) is known and emitted AS DATA per decision class (the q245
+  // detector-eval contract). Names are md5-derived so string similarity
+  // actually discriminates (TPC-H-style constant-prefix names would
+  // make every JW ≈ 1).
+  //
+  // The model: BLOCK on (nation, name[1:2]) — the corruption sits at
+  // char 3 so blocking provably loses no true pair here (real pipelines
+  // pick blocking keys away from noisy positions; at 100 TB the key
+  // gets finer — more prefix chars — keeping block fanout bounded).
+  // Per candidate pair, the agreement vector over (name JW ≥ 0.92 at
+  // the 4-dp pinned precision, |Δbalance| ≤ $1 in exact cents, segment
+  // equality) maps to log₂(m/u) weights in integer MILLIS (literal
+  // m/u estimates in the scaladoc tradition of documented priors:
+  // name .95/.001 → +9893/−4322; balance .9/.05 → +4170/−3248;
+  // segment .98/.2 → +2293/−5322). Decision fences: match ≥ 12 000 >
+  // possible ≥ 0 > non-match — the upper band holds fully-agreeing
+  // pairs, the clerical-review band catches single-field corruptions.
+  // Census per decision: pair count, TRUE-match count, score range.
+  def q265RecordLinkage(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    def nameOf(idc: Column): Column =
+      substring(md5(concat(lit("nm:"), idc.cast("string"))), 1, 10)
+    val a = cust.select(col("c_custkey").as("a_id"),
+      col("c_nationkey").as("nk"), nameOf(col("c_custkey")).as("a_name"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("a_bal"),
+      col("c_mktsegment").as("a_seg"))
+    val b = cust.where(col("c_custkey") % 5 =!= 0)
+      .select((col("c_custkey") + 10000000L).as("b_id"),
+        col("c_nationkey").as("nk"),
+        when(col("c_custkey") % 2 === 0,
+          concat(substring(nameOf(col("c_custkey")), 1, 2), lit("z"),
+                 substring(nameOf(col("c_custkey")), 4, 7)))
+          .otherwise(nameOf(col("c_custkey"))).as("b_name"),
+        (round(col("c_acctbal") * 100, 0).cast("long") +
+          when(col("c_custkey") % 3 === 0, 150L).otherwise(0L)).as("b_bal"),
+        when(col("c_custkey") % 7 === 0, reverse(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("b_seg"))
+    val jw10k = round(graft.expr.JaroWinklerFunctions.jaro_winkler(
+      col("a_name"), col("b_name")) * 10000, 0).cast("long")
+    a.withColumn("blk", substring(col("a_name"), 1, 2))
+      .join(b.withColumn("blk", substring(col("b_name"), 1, 2)),
+            Seq("nk", "blk"))
+      .select(col("a_id"), col("b_id"),
+        (when(jw10k >= 9200L, 9893L).otherwise(-4322L) +
+         when(abs(col("a_bal") - col("b_bal")) <= 100L, 4170L)
+           .otherwise(-3248L) +
+         when(col("a_seg") === col("b_seg"), 2293L).otherwise(-5322L))
+          .as("score"))
+      .select(col("score"),
+        when(col("score") >= 12000L, "match")
+          .when(col("score") >= 0L, "possible")
+          .otherwise("non_match").as("decision"),
+        when(col("a_id") + 10000000L === col("b_id"), 1L).otherwise(0L)
+          .as("truth"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("truth")).as("n_true"),
+           min(col("score")).as("min_score"),
+           max(col("score")).as("max_score"))
+      .orderBy(col("decision"))
+  }
+
+  val q265Sql: String = {
+    val nm = "substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 10)"
+    s"""WITH a AS MATERIALIZED (
+       |  SELECT c_custkey AS a_id, c_nationkey AS nk, $nm AS a_name,
+       |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS a_bal,
+       |    c_mktsegment AS a_seg
+       |  FROM customer),
+       |b AS MATERIALIZED (
+       |  SELECT c_custkey + 10000000 AS b_id, c_nationkey AS nk,
+       |    CASE WHEN c_custkey % 2 = 0 THEN
+       |      substr($nm, 1, 2) || 'z' || substr($nm, 4, 7)
+       |    ELSE $nm END AS b_name,
+       |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
+       |      + CASE WHEN c_custkey % 3 = 0 THEN 150 ELSE 0 END AS b_bal,
+       |    CASE WHEN c_custkey % 7 = 0 THEN reverse(c_mktsegment)
+       |         ELSE c_mktsegment END AS b_seg
+       |  FROM customer WHERE c_custkey % 5 <> 0),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |    CASE WHEN CAST(round(jaro_winkler_similarity(a_name, b_name)
+       |                    * 10000, 0) AS BIGINT) >= 9200
+       |         THEN 9893 ELSE -4322 END
+       |    + CASE WHEN abs(a_bal - b_bal) <= 100 THEN 4170
+       |           ELSE -3248 END
+       |    + CASE WHEN a_seg = b_seg THEN 2293 ELSE -5322 END AS score
+       |  FROM a JOIN b ON a.nk = b.nk
+       |    AND substr(a_name, 1, 2) = substr(b_name, 1, 2))
+       |SELECT CASE WHEN score >= 12000 THEN 'match'
+       |            WHEN score >= 0 THEN 'possible'
+       |            ELSE 'non_match' END AS decision,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN a_id + 10000000 = b_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_true,
+       |  CAST(min(score) AS BIGINT) AS min_score,
+       |  CAST(max(score) AS BIGINT) AS max_score
+       |FROM pairs
+       |GROUP BY 1
+       |ORDER BY decision""".stripMargin
+  }
+
   // ─── q87: gaps-and-islands sessionization (batch twin of q54) ─────────
   // Session ids from 30-minute inactivity gaps: flag session starts with
   // lag, number them with a running sum — the pure-relational form of
@@ -1083,6 +1192,7 @@ object Warehouse {
     "q85_rank_family" -> (q85RankFamily _),
     "q86_edit_distance" -> (q86EditDistance _),
     "q155_jaro_winkler" -> (q155JaroWinkler _),
+    "q265_record_linkage" -> (q265RecordLinkage _),
     "q87_sessionize"  -> (q87Sessionize _),
     "q88_unpivot"     -> (q88Unpivot _),
     "q96_approx_percentiles" -> (q96ApproxPercentiles _))
@@ -1102,6 +1212,7 @@ object Warehouse {
     "q85_rank_family" -> q85Sql,
     "q86_edit_distance" -> q86Sql,
     "q155_jaro_winkler" -> q155Sql,
+    "q265_record_linkage" -> q265Sql,
     "q87_sessionize"  -> q87Sql,
     "q88_unpivot"     -> q88Sql,
     "q96_approx_percentiles" -> q96Sql,

@@ -631,4 +631,27 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(auc - pairNum2.toDouble / den2) < 1e-6)
     assert(scored.count() > 0)
   }
+
+  test("q268 attribution: the bias feature has zero Shapley mass") {
+    // j = -1 is x = 1 for EVERY doc, so mu = 1 and w·(x − mu) ≡ 0 —
+    // the closed-form sanity anchor of the linear-SHAP identity
+    val rows = graft.ops.Corpus.q268FeatureAttribution(spark, sfDir)
+      .as[(Long, Long, Double, Double, Long)].collect()
+    val bias = rows.find(_._1 == -1L).get
+    assert(bias._4 === 1.0 && bias._5 === 0L)
+    // every non-bias feature with any weight carries positive mass
+    assert(rows.count(r => r._1 >= 0L && r._5 > 0L) > 0)
+  }
+
+  test("q264 conformal: 'both' sets always cover; counts are consistent") {
+    val rows = graft.ops.Corpus.q264ConformalGate(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (set, qhat, n, cov) =>
+      assert(cov <= n)
+      assert(qhat > 0L)
+      if (set == "both") assert(cov === n, "a {0,1} set covers any label")
+      if (set == "empty") assert(cov === 0L, "an empty set covers nothing")
+    }
+  }
 }

@@ -405,6 +405,22 @@ class GraphSpec extends SparkSpec {
     assert(seeded.values.forall(_ > 0.0))
   }
 
+  test("q267 Borůvka: exact max spanning tree on planted bridged triangles") {
+    // two triangles joined by a light bridge — the MST is known by hand:
+    // each triangle keeps its two heaviest edges, the bridge joins them.
+    val g = Seq((1L, 2L, 5L), (1L, 3L, 4L), (2L, 3L, 3L),
+                (4L, 5L, 5L), (4L, 6L, 4L), (5L, 6L, 3L),
+                (3L, 4L, 1L)).toDF("p1", "p2", "w")
+    val forest = Graph.boruvkaForest(g, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(forest === Set(
+      (1L, 2L, 5L, 1L), (1L, 3L, 4L, 1L),   // round 1: per-node argmax
+      (4L, 5L, 5L, 1L), (4L, 6L, 4L, 1L),
+      (3L, 4L, 1L, 2L)))                    // round 2: the bridge merges
+    // spanning-tree arithmetic: |V| − components edges, no cycles
+    assert(forest.size === 6 - 1)
+  }
+
   test("q258 Adamic–Adar: exact scores on a planted square; hubs capped") {
     // square 1-2-3-4-1: every node has degree 2; the two diagonals
     // (1,3) and (2,4) each share two common neighbours, so

@@ -56,4 +56,19 @@ class JaroWinklerSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString(""),
       org.apache.spark.unsafe.types.UTF8String.fromString("")) === 0.0)
   }
+
+  test("q265 Fellegi–Sunter: the match band is exactly the all-agree score") {
+    import spark.implicits._
+    val rows = graft.ops.Warehouse.q265RecordLinkage(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dec, n, nTrue, lo, hi) =>
+      assert(n > 0L && nTrue <= n)
+      assert(lo >= -12892L && hi <= 16356L, s"$dec [$lo, $hi]")
+      // with these weights the only score ≥ 12000 is full agreement
+      // (best single-disagreement = 9893 + 4170 − 5322 = 8741), so the
+      // match band is a single point by construction
+      if (dec == "match") assert(lo === 16356L && hi === 16356L)
+    }
+  }
 }

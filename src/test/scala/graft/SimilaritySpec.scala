@@ -576,6 +576,23 @@ class SimilaritySpec extends SparkSpec {
       assert(n > 0L && n < corpusN, s"query $q candidates $n of $corpusN") }
   }
 
+  test("q266 farthest-first: selection distances decrease, radius bounded") {
+    import spark.implicits._
+    val got = Similarity.q266KCenterCoreset(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.length === 6)
+    assert(got.map(_._2).distinct.length === 6, "picks must be distinct")
+    // the classic farthest-first monotonicity: each new pick is at most
+    // as far from the selected set as the previous one was
+    val ds = got.drop(1).map(_._3) // steps 2..6
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a }, ds.toSeq)
+    // the k-center objective after 6 picks cannot exceed the 6th pick's
+    // own selection distance (it WAS the farthest point at selection)
+    val radius = got.head._4
+    assert(radius <= ds.last + 1e-9, s"radius $radius vs ${ds.last}")
+    assert(radius > 0.0)
+  }
+
   test("q259 PCA power iteration matches an exact driver-side recompute") {
     import spark.implicits._
     // Spark's Round(DoubleType) semantics: BigDecimal HALF_UP at scale 6
