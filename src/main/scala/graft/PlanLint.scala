@@ -438,6 +438,17 @@ object PlanLint {
     // q268: the 1-row N frame crosses the ≤65-row feature stats
     // (scalar-broadcast idiom)
     "q268_feature_attribution" -> Set("nested-loop", "cartesian"),
+    // q269: the 1-row trigram total crossJoined into the path counts
+    "q269_journey_paths" -> Set("nested-loop", "cartesian"),
+    // q271: the doubled-midrank window runs over the cents HISTOGRAM
+    // (q250 shape), never per-row ranks
+    "q271_mann_whitney" -> Set("global-window"),
+    // q270: the 1-row L1-normalization totals crossJoined back each
+    // half-step (PageRank's scalar-broadcast shape)
+    "q270_hits" -> Set("nested-loop", "cartesian"),
+    // q272: the 1-row corpus token total crossJoined into the
+    // vocab-sized per-source frame (q231 shape)
+    "q272_js_drift" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -477,6 +488,8 @@ object PlanLint {
     "q242_personalized_pagerank" -> 24,
     // TextRank rides the same pageRank loop over the word graph
     "q261_textrank" -> 24,
+    // HITS: 4 rounds × (a + h checkpoints) + edge/init checkpoints
+    "q270_hits" -> 24,
     // k-means trainer: 1 pieces checkpoint + 1 checkpoint per Lloyd
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,

@@ -1485,6 +1485,81 @@ object Corpus {
        |LEFT JOIN pres p USING (j)
        |ORDER BY st.j""".stripMargin
 
+  // ─── q272: Jensen–Shannon source-drift audit ──────────────────────────
+  // The bounded, symmetric distribution distance (Lin 1991) corpus
+  // pipelines alarm on: how far has each SOURCE's unigram distribution
+  // drifted from the corpus pool (new crawl snapshot vs trained mix,
+  // domain rebalance checks — the drift twin of q253's schema-stats
+  // diff). JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2; Q here is the
+  // full corpus INCLUDING the source (the standard drift-vs-pool read;
+  // JSD's bounds don't require disjointness). Tokens absent from the
+  // source close in CLOSED FORM — their whole contribution is
+  // ½·ln2·(1 − Σ_{p>0} q) — so the join only ever touches tokens the
+  // source actually has.
+  // Determinism: p and q are integer-count ratios (identical doubles);
+  // each present-token term and each q mass quantize to integer NANOS
+  // (the q231 double-round) before summation; the final assembly is
+  // 1-row-per-source double math on exact integers, rounded to 6 dp.
+  // Scale: one token pass; freq frames are vocab-sized, map-side
+  // combined, joined on the token (md5 it at 100 TB — the q153 note);
+  // totals ride broadcasts.
+  def q272JsDrift(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val srcF = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTot = srcF.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val corpF = srcF.groupBy(col("t")).agg(sum(col("cs")).as("cc"))
+    val corpTot = broadcast(corpF.agg(sum(col("cc")).as("nc")))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = col("cc").cast("double") / col("nc").cast("double")
+    val perTok = srcF.join(broadcast(srcTot), "source").join(corpF, "t")
+      .crossJoin(corpTot)
+      .select(col("source"),
+        round(round(p * log(lit(2.0) * p / (p + q)) +
+                    q * log(lit(2.0) * q / (p + q)), 9) * 1e9, 0)
+          .cast("long").as("t_nano"),
+        round(round(q, 9) * 1e9, 0).cast("long").as("q_nano"))
+    perTok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+           sum(col("t_nano")).as("s1"), sum(col("q_nano")).as("s2"))
+      .select(col("source"), col("n_types"),
+        round((col("s1").cast("double") / 1e9 +
+          log(lit(2.0)) * (lit(1.0) - col("s2").cast("double") / 1e9)) /
+          2.0, 6).as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  val q272Sql: String = {
+    val p = "CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)"
+    val q = "CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE)"
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, unnest($tokensSql) AS t FROM documents),
+       |srcf AS MATERIALIZED (
+       |  SELECT source, t, CAST(count(*) AS BIGINT) AS cs
+       |  FROM tok GROUP BY 1, 2),
+       |srctot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+       |           FROM srcf GROUP BY source),
+       |corpf AS (SELECT t, CAST(sum(cs) AS BIGINT) AS cc
+       |          FROM srcf GROUP BY t),
+       |corptot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpf),
+       |pertok AS (
+       |  SELECT source,
+       |    CAST(round(round(($p) * ln(2.0 * ($p) / (($p) + ($q)))
+       |      + ($q) * ln(2.0 * ($q) / (($p) + ($q))), 9) * 1e9, 0)
+       |      AS BIGINT) AS t_nano,
+       |    CAST(round(round(($q), 9) * 1e9, 0) AS BIGINT) AS q_nano
+       |  FROM srcf JOIN srctot USING (source) JOIN corpf USING (t),
+       |       corptot)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |  round((CAST(sum(t_nano) AS DOUBLE) / 1e9
+       |    + ln(2.0) * (1.0 - CAST(sum(q_nano) AS DOUBLE) / 1e9)) / 2.0, 6)
+       |    AS jsd
+       |FROM pertok
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
   // q44 is the heuristic lang-ID (marker scoring); q209 the binary
   // trained classifier. This is the canonical fastText deployment —
@@ -2950,6 +3025,7 @@ object Corpus {
     "q260_kneser_ney" -> (q260KneserNey _),
     "q264_conformal_gate" -> (q264ConformalGate _),
     "q268_feature_attribution" -> (q268FeatureAttribution _),
+    "q272_js_drift" -> (q272JsDrift _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -2992,6 +3068,7 @@ object Corpus {
     "q260_kneser_ney" -> q260Sql,
     "q264_conformal_gate" -> q264Sql,
     "q268_feature_attribution" -> q268Sql,
+    "q272_js_drift" -> q272Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

@@ -598,6 +598,86 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  // ─── q270: HITS hubs & authorities (Kleinberg 1999) ───────────────────
+  // PageRank's bipartite sibling: mutually-reinforcing hub scores
+  // (suppliers that stock the important parts) and authority scores
+  // (parts stocked by the important suppliers) over the directed
+  // supplier → part incidence from lineitem. The classic power
+  // iteration with L1 normalization each half-step (sum-normalization
+  // keeps the recurrence in plain ratios; the published L2 variant only
+  // changes the scale, not the ranking): a ← Eᵀh / ‖Eᵀh‖₁,
+  // h ← Ea / ‖Ea‖₁, [[HitsRounds]] fixed rounds from h₀ = 1.
+  //
+  // Determinism: the q150 contract — raw doubles through the rounds
+  // (summation noise stays ~1e-15 relative), scores ROUNDED to 5 dp at
+  // output and the top-10 cut sorts on the ROUNDED value with id
+  // tie-breaks. Normalization totals ride 1-row broadcasts.
+  // Scale: per half-step = one equi-join of the static edge list with
+  // the node-sized score frame + one map-side-combined aggregate —
+  // PageRank's per-round shape exactly; scores are localCheckpointed
+  // per round (lineage truncation, the CC discipline).
+  private val HitsRounds = 4
+
+  def q270Hits(s: SparkSession, d: String): DataFrame = {
+    val e = lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint()
+    var h = e.select(col("sk")).distinct()
+      .withColumn("h", lit(1.0d)).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val araw = e.join(h, "sk").groupBy(col("pk"))
+        .agg(sum(col("h")).as("ar"))
+      val ta = broadcast(araw.agg(sum(col("ar")).as("ta")))
+      a = araw.crossJoin(ta)
+        .select(col("pk"), (col("ar") / col("ta")).as("a"))
+        .localCheckpoint()
+      val hraw = e.join(a, "pk").groupBy(col("sk"))
+        .agg(sum(col("a")).as("hr"))
+      val th = broadcast(hraw.agg(sum(col("hr")).as("th")))
+      h = hraw.crossJoin(th)
+        .select(col("sk"), (col("hr") / col("th")).as("h"))
+        .localCheckpoint()
+    }
+    val hubs = h.select(lit("hub").as("kind"), col("sk").as("node_id"),
+        round(col("h"), 5).as("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(10)
+    val auths = a.select(lit("authority").as("kind"),
+        col("pk").as("node_id"), round(col("a"), 5).as("score"))
+      .orderBy(col("score").desc, col("node_id")).limit(10)
+    hubs.unionAll(auths)
+      .orderBy(col("kind"), col("score").desc, col("node_id"))
+  }
+
+  val q270Sql: String = {
+    val rounds = (1 to HitsRounds).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT pk, sum(h) AS ar FROM e JOIN h${k - 1} USING (sk)
+         |  GROUP BY pk),
+         |a$k AS MATERIALIZED (
+         |  SELECT pk, ar / (SELECT sum(ar) FROM ar$k) AS a FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         |  SELECT sk, sum(a) AS hr FROM e JOIN a$k USING (pk)
+         |  GROUP BY sk),
+         |h$k AS MATERIALIZED (
+         |  SELECT sk, hr / (SELECT sum(hr) FROM hr$k) AS h FROM hr$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+       |h0 AS (SELECT DISTINCT sk, CAST(1.0 AS DOUBLE) AS h FROM e),
+       |$rounds,
+       |hubs AS (
+       |  SELECT 'hub' AS kind, sk AS node_id, round(h, 5) AS score
+       |  FROM h$HitsRounds ORDER BY score DESC, node_id LIMIT 10),
+       |auths AS (
+       |  SELECT 'authority' AS kind, pk AS node_id, round(a, 5) AS score
+       |  FROM a$HitsRounds ORDER BY score DESC, node_id LIMIT 10)
+       |SELECT kind, node_id, score FROM (
+       |  SELECT * FROM hubs UNION ALL SELECT * FROM auths)
+       |ORDER BY kind, score DESC, node_id""".stripMargin
+  }
+
   // ─── q170: BFS hop distance (multi-source shortest unweighted path) ───
   // "How far is every customer/supplier from the nation-0 supplier base"
   // over the bipartite trade graph (customer —ordered-from— supplier,
@@ -1214,7 +1294,8 @@ object Graph {
     "q233_label_propagation" -> (q233LabelPropagation _),
     "q242_personalized_pagerank" -> (q242PersonalizedPageRank _),
     "q258_adamic_adar" -> (q258AdamicAdar _),
-    "q267_boruvka_forest" -> (q267BoruvkaForest _))
+    "q267_boruvka_forest" -> (q267BoruvkaForest _),
+    "q270_hits" -> (q270Hits _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -1227,5 +1308,6 @@ object Graph {
     "q233_label_propagation" -> q233Sql,
     "q242_personalized_pagerank" -> q242Sql,
     "q258_adamic_adar" -> q258Sql,
-    "q267_boruvka_forest" -> q267Sql)
+    "q267_boruvka_forest" -> q267Sql,
+    "q270_hits" -> q270Sql)
 }

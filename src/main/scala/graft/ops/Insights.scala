@@ -1758,7 +1758,131 @@ object Insights {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ─── q269: user-journey path mining (top event trigrams) ──────────────
+  // q165's Markov matrix sees one step at a time; journey analysis wants
+  // the actual PATHS — which 3-step sequences dominate user behaviour
+  // (the "view → click → purchase vs view → error → view" read product
+  // analytics tools sell). Consecutive event triples per user via two
+  // lags over the (ts, event_id)-ordered per-user window — fixed-width,
+  // user-partitioned (the q87 sessionization shape; per-user event
+  // counts are retention-bounded, never corpus-bounded) — then one
+  // path-keyed count. Share in basis points by exact integer division
+  // against the 1-row total. Top-15 by (count DESC, path) — ties cannot
+  // reorder across engines.
+  def q269JourneyPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e3"))
+      .withColumn("e2", lag(col("e3"), 1).over(w))
+      .withColumn("e1", lag(col("e3"), 2).over(w))
+      .where(col("e1").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+    val total = broadcast(tri.agg(count(lit(1)).as("nn")))
+    tri.groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .crossJoin(total)
+      .select(col("path"), col("n_paths"),
+        expr("(10000 * n_paths) div nn").as("share_bp"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(15)
+  }
+
+  val q269Sql: String =
+    """WITH tri AS MATERIALIZED (
+      |  SELECT e1 || '>' || e2 || '>' || e3 AS path FROM (
+      |    SELECT event_type AS e3,
+      |      lag(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS e2,
+      |      lag(event_type, 2) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS e1
+      |    FROM events)
+      |  WHERE e1 IS NOT NULL),
+      |total AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tri)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_paths,
+      |  (10000 * CAST(count(*) AS BIGINT)) // nn AS share_bp
+      |FROM tri, total
+      |GROUP BY path, nn
+      |ORDER BY n_paths DESC, path
+      |LIMIT 15""".stripMargin
+
+  // ─── q271: Mann–Whitney U test (nonparametric A/B comparison) ─────────
+  // The rank-sum test experimentation platforms run when normality is
+  // off the table (Mann & Whitney 1947): do BUILDING and MACHINERY
+  // customers draw order totals from the same distribution? Exact and
+  // float-free via the tie-aware rank identity on the VALUE HISTOGRAM:
+  // for a value with L strictly-smaller observations and E ties, the
+  // DOUBLED midrank is 2L + E + 1 (integer!), so the doubled rank sum
+  // R₁ₓ₂ = Σ_v n₁(v)·(2L(v) + E(v) + 1) folds from per-value counts and
+  // one cumulative window over the histogram — never per-row ranks.
+  // U₁ₓ₂ = 2n₁n₂ + n₁(n₁+1) − R₁ₓ₂. The normal-approximation z (no tie
+  // correction — documented) is emitted in integer micros from one-row
+  // double math on identical integer inputs. Values are exact CENTS.
+  // Scale: one shuffle to the cents histogram; the cumulative window
+  // runs over the ≤|distinct cents| reduced frame (q250 shape).
+  def q271MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(
+      customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .where(col("seg").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("seg") === "BUILDING", 1L).otherwise(0L).as("g1"))
+    val hist = o.groupBy(col("cents"))
+      .agg(sum(col("g1")).as("n1v"), sum(lit(1L) - col("g1")).as("n2v"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val ranked = hist
+      .withColumn("lcum",
+        coalesce(sum(col("n1v") + col("n2v")).over(wCum), lit(0L)))
+      .select(col("n1v"), col("n2v"),
+        (col("n1v") * (lit(2L) * col("lcum") + col("n1v") + col("n2v") +
+          1L)).as("r1x2_part"))
+    ranked.agg(sum(col("n1v")).as("n1"), sum(col("n2v")).as("n2"),
+        sum(col("r1x2_part")).as("r1x2"))
+      .select(col("n1"), col("n2"),
+        (lit(2L) * col("n1") * col("n2") + col("n1") * (col("n1") + 1L) -
+          col("r1x2")).as("u1x2"))
+      .select(col("n1"), col("n2"), col("u1x2"),
+        round((col("u1x2").cast("double") / 2.0 -
+          col("n1").cast("double") * col("n2").cast("double") / 2.0) /
+          sqrt(col("n1").cast("double") * col("n2").cast("double") *
+            (col("n1") + col("n2") + 1L).cast("double") / 12.0) * 1e6, 0)
+          .cast("long").as("z_micro"))
+  }
+
+  val q271Sql: String =
+    """WITH o AS MATERIALIZED (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (
+      |  SELECT cents, CAST(sum(g1) AS BIGINT) AS n1v,
+      |    CAST(sum(1 - g1) AS BIGINT) AS n2v
+      |  FROM o GROUP BY cents),
+      |ranked AS (
+      |  SELECT n1v, n2v,
+      |    n1v * (2 * coalesce(sum(n1v + n2v) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + n1v + n2v + 1) AS r1x2_part
+      |  FROM hist),
+      |agg AS (
+      |  SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+      |    CAST(sum(n2v) AS BIGINT) AS n2,
+      |    CAST(sum(r1x2_part) AS BIGINT) AS r1x2
+      |  FROM ranked)
+      |SELECT n1, n2,
+      |  2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS u1x2,
+      |  CAST(round((CAST(2 * n1 * n2 + n1 * (n1 + 1) - r1x2 AS DOUBLE) / 2.0
+      |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) * 1e6, 0) AS BIGINT)
+      |    AS z_micro
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_journey_paths" -> (q269JourneyPaths _),
+    "q271_mann_whitney" -> (q271MannWhitney _),
     "q263_forecast_backtest" -> (q263ForecastBacktest _),
     "q262_kaplan_meier" -> (q262KaplanMeier _),
     "q252_k_anonymity" -> (q252KAnonymity _),
@@ -1795,6 +1919,8 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q269_journey_paths" -> q269Sql,
+    "q271_mann_whitney" -> q271Sql,
     "q263_forecast_backtest" -> q263Sql,
     "q262_kaplan_meier" -> q262Sql,
     "q252_k_anonymity" -> q252Sql,

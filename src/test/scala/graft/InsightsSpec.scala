@@ -449,4 +449,48 @@ class InsightsSpec extends SparkSpec {
     census.foreach { case (seg, _, kept, _, _) =>
       assert(kept === keptRef.getOrElse(seg, 0L), s"$seg kept mismatch") }
   }
+
+  test("q271 Mann–Whitney matches a per-row midrank driver recompute") {
+    import spark.implicits._
+    val rows = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+        .select($"c_custkey".as("o_custkey"), $"c_mktsegment".as("seg")),
+        "o_custkey")
+      .where($"seg".isin("BUILDING", "MACHINERY"))
+      .select(round($"o_totalprice" * 100, 0).cast("long"),
+        ($"seg" === "BUILDING").cast("long"))
+      .as[(Long, Long)].collect()
+    // brute-force doubled midranks per observation — the textbook form
+    // the histogram fold must agree with
+    val vals = rows.map(_._1)
+    def rank2x(v: Long): Long =
+      2L * vals.count(_ < v) + vals.count(_ == v) + 1L
+    val n1 = rows.count(_._2 == 1L).toLong
+    val n2 = rows.length - n1
+    val r1x2 = rows.filter(_._2 == 1L).map(r => rank2x(r._1)).sum
+    val u1x2Ref = 2L * n1 * n2 + n1 * (n1 + 1L) - r1x2
+    val got = Insights.q271MannWhitney(spark, sfDir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 === n1 && got._2 === n2)
+    assert(got._3 === u1x2Ref, s"U×2: got ${got._3}, ref $u1x2Ref")
+    // doubled U is bounded by 2·n1·n2 and z is finite
+    assert(got._3 >= 0L && got._3 <= 2L * n1 * n2)
+  }
+
+  test("q269 journey paths: trigram shares are consistent") {
+    import spark.implicits._
+    val paths = Insights.q269JourneyPaths(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(paths.nonEmpty && paths.length <= 15)
+    // counts are non-increasing (the top-15 contract) and every path is
+    // three valid event types
+    val counts = paths.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    val types = Set("view", "click", "purchase", "signup", "error")
+    paths.foreach { case (p, n, bp) =>
+      assert(p.split(">").length === 3 &&
+             p.split(">").forall(types.contains), p)
+      assert(n > 0L && bp >= 0L && bp <= 10000L)
+    }
+  }
 }
