@@ -449,6 +449,12 @@ object PlanLint {
     // q272: the 1-row corpus token total crossJoined into the
     // vocab-sized per-source frame (q231 shape)
     "q272_js_drift" -> Set("nested-loop", "cartesian"),
+    // q274: the rank window runs over the ≤K-row top-vocab frame
+    "q274_zipf_fit" -> Set("global-window"),
+    // q275: the 1-row full-mean frame crossJoined into the B-row
+    // replicate census; the exact percentile runs over B = 32 rows
+    "q275_poisson_bootstrap" -> Set("nested-loop", "cartesian",
+                                    "exact-percentile"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in

@@ -713,6 +713,163 @@ object Corpus {
        |ORDER BY train_id""".stripMargin
   }
 
+  // ─── q273: held-out 8-gram memorization/novelty audit ─────────────────
+  // q84 checks train against an external BENCHMARK; this is the
+  // self-referential risk read (the Lee et al. 2022 dedup-paper
+  // diagnostic): how much of the held-out split's 8-gram mass already
+  // sits verbatim in train? High overlap means eval perplexity measures
+  // memorization, not generalization — the number a training run's eval
+  // integrity rides on. Splits = q72's deterministic md5 fences; grams
+  // = q84's md5-keyed word 8-grams (distinct per doc, one tokenization
+  // pass cached — the q84 CollapseProject lesson). The train side
+  // dedups to the distinct gram SET before the join, so the probe is
+  // |held grams| ⋈ |train vocab| on fixed-width md5 keys; novelty in
+  // exact integer basis points per split.
+  def q273MemorizationAudit(s: SparkSession, d: String): DataFrame = {
+    def grams8(toks: Column): Column =
+      when(size(toks) >= 8,
+        array_distinct(transform(sequence(lit(1), size(toks) - 7),
+          i => md5(concat_ws(" ",
+            (0 until 8).map(o => element_at(toks, i + o)): _*)))))
+        .otherwise(array().cast("array<string>"))
+    val h2 = substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    val base = documents(s, d)
+      .select(col("doc_id"),
+        when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+          .as("split"),
+        tokens(col("text")).as("toks"))
+      .cache()
+    val trainG = base.where(col("split") === "train")
+      .select(explode(grams8(col("toks"))).as("g")).distinct()
+    val held = base.where(col("split") =!= "train")
+      .select(col("split"), explode(grams8(col("toks"))).as("g"))
+    val grams = held
+      .join(trainG.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("grams_total"),
+           sum(coalesce(col("hit"), lit(0L))).as("grams_seen"))
+    base.where(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(grams, "split")
+      .select(col("split"), col("n_docs"), col("grams_total"),
+        col("grams_seen"),
+        expr("(10000 * (grams_total - grams_seen)) div grams_total")
+          .as("novelty_bp"))
+      .orderBy(col("split"))
+  }
+
+  val q273Sql: String = {
+    val cat = (0 until 8).map(o => s"toks[i+$o]").mkString(", ")
+    val grams =
+      s"""CASE WHEN len(toks) >= 8 THEN
+         |      list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |        i -> md5(concat_ws(' ', $cat))))
+         |    ELSE [] END""".stripMargin
+    def splitCase =
+      """CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |       < 'cc' THEN 'train'
+        |     WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |       < 'e6' THEN 'val' ELSE 'test' END""".stripMargin
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, $splitCase AS split, $tokensSql AS toks
+       |  FROM documents),
+       |traing AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(g) AS g FROM (
+       |    SELECT $grams AS g FROM base WHERE split = 'train')),
+       |held AS MATERIALIZED (
+       |  SELECT split, unnest(g) AS g FROM (
+       |    SELECT split, $grams AS g FROM base WHERE split <> 'train')),
+       |grams AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS grams_total,
+       |    CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS grams_seen
+       |  FROM held h LEFT JOIN traing t USING (g)
+       |  GROUP BY split),
+       |docs AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+       |         FROM base WHERE split <> 'train' GROUP BY split)
+       |SELECT split, n_docs, grams_total, grams_seen,
+       |  (10000 * (grams_total - grams_seen)) // grams_total AS novelty_bp
+       |FROM docs JOIN grams USING (split)
+       |ORDER BY split""".stripMargin
+  }
+
+  // ─── q274: Zipf's-law conformance census ──────────────────────────────
+  // The classic natural-language sanity gate (Zipf 1949): token
+  // frequency should fall as f ∝ r^(−s) with s ≈ 1; corpora that
+  // deviate hard (templated spam, tables, machine noise) flag on the
+  // fitted slope. Fit = ordinary least squares on (ln r, ln f) over the
+  // top-[[ZipfTopK]] vocabulary, computed ENTIRELY from exact integer
+  // sums: ln values quantize to integer MILLIS (slope is invariant to
+  // the common scale), the OLS closed form nΣxy − ΣxΣy etc. folds in
+  // BIGINT (milli bounds keep every product < 2⁶³), and only the final
+  // slope/R² divisions touch doubles — on identical integers.
+  // Scale: one token pass; the window ranks the ≤K-row top-vocab frame
+  // (q144 principle).
+  // Fixture honesty (the q209 caveat): the synthetic corpus draws from
+  // a ~31-token shared vocabulary with near-uniform frequencies, so the
+  // fitted slope (≈ −0.18, R² ≈ 0.06 at sf0.01) correctly reports
+  // "NOT Zipfian" — the verified contract is the exact integer OLS
+  // machinery cross-engine, and the gate reading is exactly what this
+  // screen exists to flag on unnatural corpora.
+  private val ZipfTopK = 1000
+
+  def q274ZipfFit(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val top = vocab.orderBy(col("cnt").desc, col("t")).limit(ZipfTopK)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("t"))).cast("long"))
+      .select(
+        round(round(log(col("r").cast("double")), 3) * 1e3, 0)
+          .cast("long").as("x"),
+        round(round(log(col("cnt").cast("double")), 3) * 1e3, 0)
+          .cast("long").as("y"))
+    top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_ranks"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n_ranks"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("slope"),
+        round(col("num").cast("double") * col("num").cast("double") /
+          (col("den").cast("double") * col("deny").cast("double")), 6)
+          .as("r2"))
+  }
+
+  val q274Sql: String =
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest($tokensSql) AS t FROM documents)
+       |  GROUP BY t),
+       |top AS (
+       |  SELECT CAST(round(round(ln(CAST(r AS DOUBLE)), 3) * 1e3, 0)
+       |           AS BIGINT) AS x,
+       |    CAST(round(round(ln(CAST(cnt AS DOUBLE)), 3) * 1e3, 0)
+       |         AS BIGINT) AS y
+       |  FROM (
+       |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS r
+       |    FROM vocab ORDER BY cnt DESC, t LIMIT $ZipfTopK)),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+       |  FROM top),
+       |ols AS (
+       |  SELECT n AS n_ranks, n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS den, n * syy - sy * sy AS deny
+       |  FROM sums)
+       |SELECT n_ranks,
+       |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope,
+       |  round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+       |    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
+       |FROM ols""".stripMargin
+
   // ─── q90: the whole training-data pipeline as one funnel ──────────────
   // What a user of this engine actually runs, end to end: duplicate-
   // CLUSTER resolution (keep one doc per connected component of the
@@ -3026,6 +3183,8 @@ object Corpus {
     "q264_conformal_gate" -> (q264ConformalGate _),
     "q268_feature_attribution" -> (q268FeatureAttribution _),
     "q272_js_drift" -> (q272JsDrift _),
+    "q273_memorization_audit" -> (q273MemorizationAudit _),
+    "q274_zipf_fit" -> (q274ZipfFit _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -3069,6 +3228,8 @@ object Corpus {
     "q264_conformal_gate" -> q264Sql,
     "q268_feature_attribution" -> q268Sql,
     "q272_js_drift" -> q272Sql,
+    "q273_memorization_audit" -> q273Sql,
+    "q274_zipf_fit" -> q274Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

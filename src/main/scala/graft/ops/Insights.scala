@@ -1880,7 +1880,101 @@ object Insights {
       |    AS z_micro
       |FROM agg""".stripMargin
 
+  // ─── q275: Poisson-bootstrap confidence interval ──────────────────────
+  // THE bootstrap that works at data scale (the classic multinomial
+  // resample needs n draws coordinated across the cluster; the Poisson
+  // approximation — each row enters replicate b with an independent
+  // Poisson(1) weight — is the published streaming/map-reduce form,
+  // e.g. Chamandy et al. 2012): a CI for the mean order value without
+  // any distributional assumption. Fully deterministic: replicate
+  // weights come from md5("boot:"||b||":"||id) mapped through the
+  // EXACT Poisson(1) inverse CDF — the fences are plan-time integer
+  // literals on the 2³² hash scale, identical in both engines (the
+  // plane-weights idiom). Replicate means are exact integer
+  // MILLI-cents (truncating div); the 2.5/97.5 CI bounds are
+  // percentile_disc order statistics over the [[BootB]]-row replicate
+  // frame — attained integers, no interpolation.
+  // Scale: the explode is a ×B map-side fanout folded immediately by a
+  // B-group partial aggregate — nothing B-sized ever shuffles per row;
+  // the replicate frame is B rows.
+  private val BootB = 32
+
+  /** floor(2³² · P(Poisson(1) ≤ k)) for k = 0..5 — weight = first fence
+    * the hash draw falls under, else 6. Driver-computed once; both
+    * engines receive the same literals. */
+  private val BootFences: Seq[Long] = {
+    var cum = 0.0
+    var fact = 1.0
+    (0 to 5).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      math.floor(cum * 4294967296.0).toLong
+    }
+  }
+
+  def q275PoissonBootstrap(s: SparkSession, d: String): DataFrame = {
+    val cents = orders(s, d).select(col("o_orderkey").as("id"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+    val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+      lit(":"), col("id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = BootFences.zipWithIndex
+      .foldRight(lit(6L): Column) { case ((fence, k), rest) =>
+        when(col("u") < fence, k.toLong).otherwise(rest) }
+    val reps = cents
+      .select(col("id"), col("v"),
+        explode(sequence(lit(1), lit(BootB))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(expr("(1000 * sum(w * v)) div sum(w)").as("mean_milli"))
+    val full = broadcast(cents.agg(
+      expr("(1000 * sum(v)) div count(*)").as("mean_full_milli"),
+      count(lit(1)).as("n_rows")))
+    reps.agg(count(lit(1)).as("n_reps"),
+        expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_milli)")
+          .cast("long").as("ci_lo_milli"),
+        expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_milli)")
+          .cast("long").as("ci_hi_milli"),
+        min(col("mean_milli")).as("rep_min"),
+        max(col("mean_milli")).as("rep_max"))
+      .crossJoin(full)
+  }
+
+  val q275Sql: String = {
+    val whenChain = BootFences.zipWithIndex
+      .map { case (f, k) => s"WHEN u < $f THEN $k" }.mkString(" ")
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT o_orderkey AS id,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+       |  FROM orders),
+       |expl AS (
+       |  SELECT v, b,
+       |    CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+       |      || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+       |  FROM cents, unnest(range(1, ${BootB + 1})) t(b)),
+       |reps AS (
+       |  SELECT b, (1000 * CAST(sum(w * v) AS BIGINT))
+       |      // CAST(sum(w) AS BIGINT) AS mean_milli
+       |  FROM (SELECT v, b, CASE $whenChain ELSE 6 END AS w FROM expl)
+       |  GROUP BY b),
+       |fullm AS (
+       |  SELECT (1000 * CAST(sum(v) AS BIGINT)) // CAST(count(*) AS BIGINT)
+       |      AS mean_full_milli,
+       |    CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM cents)
+       |SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       |  percentile_disc(0.025) WITHIN GROUP (ORDER BY mean_milli)
+       |    AS ci_lo_milli,
+       |  percentile_disc(0.975) WITHIN GROUP (ORDER BY mean_milli)
+       |    AS ci_hi_milli,
+       |  min(mean_milli) AS rep_min, max(mean_milli) AS rep_max,
+       |  mean_full_milli, n_rows
+       |FROM reps, fullm
+       |GROUP BY mean_full_milli, n_rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_poisson_bootstrap" -> (q275PoissonBootstrap _),
     "q269_journey_paths" -> (q269JourneyPaths _),
     "q271_mann_whitney" -> (q271MannWhitney _),
     "q263_forecast_backtest" -> (q263ForecastBacktest _),
@@ -1919,6 +2013,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q275_poisson_bootstrap" -> q275Sql,
     "q269_journey_paths" -> q269Sql,
     "q271_mann_whitney" -> q271Sql,
     "q263_forecast_backtest" -> q263Sql,
