@@ -455,6 +455,11 @@ object PlanLint {
     // replicate census; the exact percentile runs over B = 32 rows
     "q275_poisson_bootstrap" -> Set("nested-loop", "cartesian",
                                     "exact-percentile"),
+    // q277: the ECDF window runs over the cents HISTOGRAM (q271 shape);
+    // the 1-row totals frame crossJoins back
+    "q277_ks_test" -> Set("nested-loop", "cartesian", "global-window"),
+    // q278: the 1-row pool-mean frame crossJoins the |labels|-row census
+    "q278_mmd_drift" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -480,6 +485,9 @@ object PlanLint {
     "q198_canonical_keeper" -> 24,
     "q199_lsh_dedup_funnel" -> 24,
     "q222_leakage_safe_split" -> 24,
+    // incremental CC runs TWO fixpoints (yesterday's labels + the
+    // incremental merge) — two q71-style loops priced generously
+    "q276_incremental_cc" -> 48,
     // q90 chains CC dedup + clip + split + pack, each stage cached once
     "q90_pipeline_funnel" -> 32,
     // Borůvka: 3 rounds × (one CC fixpoint + round checkpoint) + the

@@ -598,6 +598,61 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  // ─── q276: incremental connected-components maintenance ───────────────
+  // The operation a 100 TB dedup pipeline actually performs DAILY: a new
+  // batch of similarity edges arrives and cluster labels must update
+  // WITHOUT re-walking yesterday's edge set. The standard contraction
+  // trick: yesterday's labeling is itself a connectivity-preserving
+  // edge set (node → component root), so CC over (label edges ∪ new
+  // edges) equals CC over (old edges ∪ new edges) — while the input is
+  // |nodes| + |delta| instead of |all edges ever|, and the old
+  // components arrive pre-contracted (star-shaped, so the fixpoint
+  // converges in O(1) extra rounds for untouched clusters).
+  //
+  // The fixture splits the verified LSH pair set deterministically
+  // ((doc_a + doc_b) % 4) into a "yesterday" batch and a delta; the
+  // DuckDB oracle recomputes the census from the FULL edge set's
+  // recursive closure — so the hash match IS the correctness proof of
+  // the incremental identity on this data, not a replay of the same
+  // computation. Min-label equality holds because every root is a
+  // member of its own component.
+  def q276IncrementalCc(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextSim.minhashPairs(s, d, TextSim.DefaultK,
+        TextSim.DefaultB)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val e1 = pairs.where((col("src") + col("dst")) % 4 =!= 0)
+    val delta = pairs.where((col("src") + col("dst")) % 4 === 0)
+    val lblEdges = connectedComponents(e1, "src", "dst")
+      .select(col("node").as("src"), col("component").as("dst"))
+    connectedComponents(lblEdges.unionAll(delta), "src", "dst")
+      .groupBy(col("component").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node"))
+        .as("member_id_sum"))
+      .where(col("n_members") >= 2L)
+      .orderBy(col("cluster_id"))
+  }
+
+  val q276Sql: String =
+    s"""WITH RECURSIVE ${TextSim.minhashPairCtes(TextSim.DefaultK,
+          TextSim.DefaultB)},
+       |bidir AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM bidir
+       |  UNION
+       |  SELECT b.v AS node, r.lab
+       |  FROM reach r JOIN bidir b ON b.u = r.node),
+       |comp AS (SELECT node, min(lab) AS component
+       |         FROM reach GROUP BY node)
+       |SELECT component AS cluster_id, CAST(count(*) AS BIGINT)
+       |    AS n_members,
+       |  CAST(sum(node) AS BIGINT) AS member_id_sum
+       |FROM comp
+       |GROUP BY component
+       |HAVING count(*) >= 2
+       |ORDER BY cluster_id""".stripMargin
+
   // ─── q270: HITS hubs & authorities (Kleinberg 1999) ───────────────────
   // PageRank's bipartite sibling: mutually-reinforcing hub scores
   // (suppliers that stock the important parts) and authority scores
@@ -1295,7 +1350,8 @@ object Graph {
     "q242_personalized_pagerank" -> (q242PersonalizedPageRank _),
     "q258_adamic_adar" -> (q258AdamicAdar _),
     "q267_boruvka_forest" -> (q267BoruvkaForest _),
-    "q270_hits" -> (q270Hits _))
+    "q270_hits" -> (q270Hits _),
+    "q276_incremental_cc" -> (q276IncrementalCc _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -1309,5 +1365,6 @@ object Graph {
     "q242_personalized_pagerank" -> q242Sql,
     "q258_adamic_adar" -> q258Sql,
     "q267_boruvka_forest" -> q267Sql,
-    "q270_hits" -> q270Sql)
+    "q270_hits" -> q270Sql,
+    "q276_incremental_cc" -> q276Sql)
 }

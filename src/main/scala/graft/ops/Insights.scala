@@ -1973,8 +1973,82 @@ object Insights {
        |GROUP BY mean_full_milli, n_rows""".stripMargin
   }
 
+  // ─── q277: two-sample Kolmogorov–Smirnov test ─────────────────────────
+  // q271's rank-sum asks "is one distribution shifted"; KS asks the
+  // stronger "are they the SAME distribution" — sensitive to shape, not
+  // just location. The D statistic is max |F₁(v) − F₂(v)|, computed
+  // EXACTLY as integers by cross-multiplication: over the shared cents
+  // histogram, d_num(v) = |c₁(v)·n₂ − c₂(v)·n₁| with c = cumulative
+  // counts — one window over the reduced value histogram (the q271/q250
+  // shape), one max. D itself and the one-term Smirnov tail
+  // p ≈ 2·exp(−2λ²), λ = D·√(n₁n₂/(n₁+n₂)) (documented approximation)
+  // are emitted in integer micros from 1-row double math on the exact
+  // integer inputs.
+  def q277KsTest(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(
+      customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .where(col("seg").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("seg") === "BUILDING", 1L).otherwise(0L).as("g1"))
+    val hist = o.groupBy(col("cents"))
+      .agg(sum(col("g1")).as("n1v"), sum(lit(1L) - col("g1")).as("n2v"))
+    val tot = broadcast(hist.agg(sum(col("n1v")).as("n1"),
+      sum(col("n2v")).as("n2")))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("c1", sum(col("n1v")).over(wCum))
+      .withColumn("c2", sum(col("n2v")).over(wCum))
+      .crossJoin(tot)
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+        .as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("(1000000 * d_num) div (n1 * n2)").as("d_micro"),
+        round(lit(2.0) * exp(lit(-2.0) *
+          pow(col("d_num").cast("double") /
+              (col("n1").cast("double") * col("n2").cast("double")), 2) *
+          (col("n1").cast("double") * col("n2").cast("double") /
+           (col("n1") + col("n2")).cast("double"))) * 1e6, 0)
+          .cast("long").as("p_micro"))
+  }
+
+  val q277Sql: String =
+    """WITH o AS MATERIALIZED (
+      |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |hist AS (
+      |  SELECT cents, CAST(sum(g1) AS BIGINT) AS n1v,
+      |    CAST(sum(1 - g1) AS BIGINT) AS n2v
+      |  FROM o GROUP BY cents),
+      |tot AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+      |               CAST(sum(n2v) AS BIGINT) AS n2 FROM hist),
+      |cum AS (
+      |  SELECT
+      |    CAST(sum(n1v) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+      |    CAST(sum(n2v) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+      |  FROM hist),
+      |dmax AS (
+      |  SELECT n1, n2, max(abs(c1 * n2 - c2 * n1)) AS d_num
+      |  FROM cum, tot GROUP BY n1, n2)
+      |SELECT n1, n2, d_num,
+      |  (1000000 * d_num) // (n1 * n2) AS d_micro,
+      |  CAST(round(2.0 * exp(-2.0
+      |      * pow(CAST(d_num AS DOUBLE)
+      |            / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 2)
+      |      * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |         / CAST(n1 + n2 AS DOUBLE))) * 1e6, 0) AS BIGINT)
+      |    AS p_micro
+      |FROM dmax""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_poisson_bootstrap" -> (q275PoissonBootstrap _),
+    "q277_ks_test" -> (q277KsTest _),
     "q269_journey_paths" -> (q269JourneyPaths _),
     "q271_mann_whitney" -> (q271MannWhitney _),
     "q263_forecast_backtest" -> (q263ForecastBacktest _),
@@ -2014,6 +2088,7 @@ object Insights {
 
   val oracleSql: Map[String, String] = Map(
     "q275_poisson_bootstrap" -> q275Sql,
+    "q277_ks_test" -> q277Sql,
     "q269_journey_paths" -> q269Sql,
     "q271_mann_whitney" -> q271Sql,
     "q263_forecast_backtest" -> q263Sql,

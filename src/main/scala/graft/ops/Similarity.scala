@@ -2341,7 +2341,57 @@ object Similarity {
        |ORDER BY step""".stripMargin
   }
 
+  // ─── q278: linear-kernel MMD embedding-drift census ───────────────────
+  // The embedding-space twin of q272's token-level JSD: maximum mean
+  // discrepancy with the linear kernel reduces to the closed form
+  // MMD² = ‖μ_A − μ_B‖² (Gretton et al. 2012, eq. 4 with k(x,y)=x·y) —
+  // the cheapest rigorous "did this slice's embedding distribution
+  // move" monitor. Here each LABEL slice is tested against the corpus
+  // pool: per-dimension means round to 6 dp at their aggregate
+  // boundary (the k-means discipline — wiping summation-order noise),
+  // the 64-term difference fold is the fixed left-to-right dot q49
+  // pinned, and MMD² rounds to 8 dp (values are ~1e-3 on unit-norm
+  // embeddings).
+  // Scale: ONE map-side-combined grouped aggregate over the corpus
+  // (64 avg columns per label) + a 1-row corpus mean crossJoined back;
+  // nothing pairwise, nothing shuffled but the |labels|-row frame.
+  def q278MmdDrift(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("label").cast("long").as("label"),
+      col("embedding").cast("array<double>").as("e"))
+    def muArr = array((1 to DIM).map(i =>
+      round(avg(element_at(col("e"), i)), 6)): _*)
+    val perLabel = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), muArr.as("mu_l"))
+    val pool = broadcast(emb.agg(muArr.as("mu")))
+    perLabel.crossJoin(pool)
+      .select(col("label"), col("n_vecs"),
+        round(aggregate(zip_with(col("mu_l"), col("mu"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, v) => acc + v), 8)
+          .as("mmd2"))
+      .orderBy(col("label"))
+  }
+
+  val q278Sql: String = {
+    def muArr(src: String) = (1 to DIM)
+      .map(i => s"round(avg(e[$i]), 6)").mkString("[", ", ", "]")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |perlabel AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    ${muArr("emb")} AS mu_l
+       |  FROM emb GROUP BY label),
+       |pool AS (SELECT ${muArr("emb")} AS mu FROM emb)
+       |SELECT label, n_vecs,
+       |  round(list_sum(list_transform(range(1, ${DIM + 1}),
+       |    i -> (mu_l[i] - mu[i]) * (mu_l[i] - mu[i]))), 8) AS mmd2
+       |FROM perlabel, pool
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_mmd_drift" -> (q278MmdDrift _),
     "q266_kcenter_coreset" -> (q266KCenterCoreset _),
     "q259_pca_power" -> (q259PcaPower _),
     "q219_hard_negatives" -> (q219HardNegatives _),
@@ -2371,6 +2421,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q278_mmd_drift" -> q278Sql,
     "q266_kcenter_coreset" -> q266Sql,
     "q259_pca_power" -> q259Sql,
     "q219_hard_negatives" -> q219Sql,
