@@ -460,6 +460,14 @@ object PlanLint {
     "q277_ks_test" -> Set("nested-loop", "cartesian", "global-window"),
     // q278: the 1-row pool-mean frame crossJoins the |labels|-row census
     "q278_mmd_drift" -> Set("nested-loop", "cartesian"),
+    // q280: percentile_disc over the per-user REDUCED latency frame
+    "q280_conversion_latency" -> Set("exact-percentile"),
+    // q281: the 1-row reference-group frame crossJoins the |sources| rows
+    "q281_disparate_impact" -> Set("nested-loop", "cartesian"),
+    // q282: the 1-row p10/p90 cut frame crossJoins the scored rows
+    // (q244's shape; approx_percentile is the 100 TB knob)
+    "q282_suspect_labels" -> Set("nested-loop", "cartesian",
+                                 "exact-percentile"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -528,6 +536,8 @@ object PlanLint {
     "q257_pr_sweep" -> 10,
     "q264_conformal_gate" -> 10,
     "q268_feature_attribution" -> 10,
+    "q281_disparate_impact" -> 10,
+    "q282_suspect_labels" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

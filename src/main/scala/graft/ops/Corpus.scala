@@ -1717,6 +1717,128 @@ object Corpus {
        |ORDER BY source""".stripMargin
   }
 
+  // ─── q281: disparate-impact audit of the trained gate ─────────────────
+  // Governance for the quality gate (the q252 k-anonymity family): does
+  // the trained classifier pass documents from every SOURCE at
+  // comparable rates? The published four-fifths (80%) rule from
+  // disparate-impact doctrine, evaluated as an exact INTEGER
+  // cross-multiplication (the q218 float-free-predicate discipline):
+  // group i flags iff 5·pass_i·n_ref < 4·pass_ref·n_i, where ref is
+  // the group with the highest pass rate (rate ties broken by source
+  // name via exact fraction comparison). Census per source: docs, pass
+  // count, pass rate in exact basis points, the reference group, and
+  // the flag — the table a data-governance review reads.
+  // Scale: one scoring pass reduced to the |sources|-row frame; the
+  // 1-row reference rides a broadcast.
+  def q281DisparateImpact(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val scored = lrScores(lrFeatures(docs), w)
+      .select(col("doc_id"), when(col("s") >= 0.5, 1L).otherwise(0L)
+        .as("pass"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val grp = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+    // reference = max exact pass rate: argmax by integer cross-mult via
+    // max_by on the exact fraction ordering (rate, then source)
+    val ref = broadcast(grp
+      .agg(expr("max_by(struct(n_pass, n_docs, source)," +
+        " struct(CAST(n_pass AS DOUBLE) / n_docs, source))").as("r"))
+      .select(col("r.n_pass").as("ref_pass"), col("r.n_docs")
+        .as("ref_docs"), col("r.source").as("ref_source")))
+    grp.crossJoin(ref)
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr("(10000 * n_pass) div n_docs").as("pass_bp"),
+        col("ref_source"),
+        when(lit(5L) * col("n_pass") * col("ref_docs") <
+             lit(4L) * col("ref_pass") * col("n_docs"), 1L).otherwise(0L)
+          .as("di_flag"))
+      .orderBy(col("source"))
+  }
+
+  val q281Sql: String =
+    s"""WITH $lrOracleCtes,
+       |scored AS (
+       |  SELECT d.source,
+       |    CASE WHEN f.s >= 0.5 THEN 1 ELSE 0 END AS pass
+       |  FROM sfin f JOIN documents d USING (doc_id)),
+       |grp AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(pass) AS BIGINT) AS n_pass
+       |  FROM scored GROUP BY source),
+       |ref AS (
+       |  SELECT n_pass AS ref_pass, n_docs AS ref_docs,
+       |    source AS ref_source
+       |  FROM grp
+       |  ORDER BY CAST(n_pass AS DOUBLE) / n_docs DESC, source DESC
+       |  LIMIT 1)
+       |SELECT g.source, g.n_docs, g.n_pass,
+       |  (10000 * g.n_pass) // g.n_docs AS pass_bp,
+       |  ref_source,
+       |  CAST(CASE WHEN 5 * g.n_pass * ref_docs < 4 * ref_pass * g.n_docs
+       |            THEN 1 ELSE 0 END AS BIGINT) AS di_flag
+       |FROM grp g, ref
+       |ORDER BY g.source""".stripMargin
+
+  // ─── q282: suspect-label census (confident-learning screen) ──────────
+  // Label-noise triage (the Northcutt et al. 2021 "confident learning"
+  // read, reduced to its actionable census): documents where the
+  // trained model CONFIDENTLY disagrees with their weak label are the
+  // ones a relabeling pass should look at first. Confidence bands cut
+  // at the exact p10/p90 percentile_disc values of the integer micro
+  // score (attained integers — the q244 discipline); suspects =
+  // high-scoring negatives and low-scoring positives. The census
+  // carries per (band, y) counts plus the suspect id checksum — WHICH
+  // docs are suspect is pinned cross-engine, not just how many.
+  def q282SuspectLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val scored = lrScores(lrFeatures(docs), w)
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"))
+    val cuts = broadcast(scored.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY micro)").as("lo"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY micro)").as("hi")))
+    scored.crossJoin(cuts)
+      .select(col("doc_id"), col("y"),
+        when(col("micro") > col("hi"), "high")
+          .when(col("micro") < col("lo"), "low")
+          .otherwise("mid").as("band"))
+      .withColumn("suspect",
+        when((col("band") === "high" && col("y") === 0L) ||
+             (col("band") === "low" && col("y") === 1L), 1L)
+          .otherwise(0L))
+      .groupBy(col("band"), col("y"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("suspect")).as("n_suspect"),
+           sum(col("doc_id") * col("suspect")).as("suspect_id_sum"))
+      .orderBy(col("band"), col("y"))
+  }
+
+  val q282Sql: String =
+    s"""WITH $lrOracleCtes,
+       |sc AS (SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |         CAST(round(s * 1e6, 0) AS BIGINT) AS micro FROM sfin),
+       |cuts AS (
+       |  SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY micro) AS lo,
+       |    percentile_disc(0.9) WITHIN GROUP (ORDER BY micro) AS hi
+       |  FROM sc),
+       |banded AS (
+       |  SELECT doc_id, y,
+       |    CASE WHEN micro > hi THEN 'high'
+       |         WHEN micro < lo THEN 'low' ELSE 'mid' END AS band
+       |  FROM sc, cuts),
+       |tagged AS (
+       |  SELECT doc_id, y, band,
+       |    CASE WHEN (band = 'high' AND y = 0) OR (band = 'low' AND y = 1)
+       |         THEN 1 ELSE 0 END AS suspect
+       |  FROM banded)
+       |SELECT band, y, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(suspect) AS BIGINT) AS n_suspect,
+       |  CAST(sum(doc_id * suspect) AS BIGINT) AS suspect_id_sum
+       |FROM tagged
+       |GROUP BY band, y
+       |ORDER BY band, y""".stripMargin
+
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
   // q44 is the heuristic lang-ID (marker scoring); q209 the binary
   // trained classifier. This is the canonical fastText deployment —
@@ -3185,6 +3307,8 @@ object Corpus {
     "q272_js_drift" -> (q272JsDrift _),
     "q273_memorization_audit" -> (q273MemorizationAudit _),
     "q274_zipf_fit" -> (q274ZipfFit _),
+    "q281_disparate_impact" -> (q281DisparateImpact _),
+    "q282_suspect_labels" -> (q282SuspectLabels _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -3230,6 +3354,8 @@ object Corpus {
     "q272_js_drift" -> q272Sql,
     "q273_memorization_audit" -> q273Sql,
     "q274_zipf_fit" -> q274Sql,
+    "q281_disparate_impact" -> q281Sql,
+    "q282_suspect_labels" -> q282Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

@@ -2046,7 +2046,126 @@ object Insights {
       |    AS p_micro
       |FROM dmax""".stripMargin
 
+  // ─── q279: distribution-shape census (skewness / kurtosis) ────────────
+  // Higher-moment profiling per return flag — the shape diagnostics
+  // (heavy tails, asymmetry) that decide whether mean/stddev monitoring
+  // (q166's z-screen) is even valid. Built WITHOUT the engines'
+  // skewness/kurtosis builtins (their sample-vs-population conventions
+  // differ across engines): raw power sums S₁..S₄ over exact integer
+  // CENTS accumulate in DECIMAL(38,0) — cents⁴ ≈ 1e28 and its corpus
+  // sum stay exact where int64 would overflow (the q218 wide-decimal
+  // discipline; DuckDB mirrors in HUGEINT) — and the population
+  // moments m₂/m₃/m₄, skew = m₃/m₂^1.5, excess kurtosis = m₄/m₂² − 3
+  // are assembled in identically-shaped double expressions from those
+  // exact sums, rounded to 6 dp.
+  // Scale: ONE map-side-combined grouped aggregate; decimal partials
+  // are fixed-width.
+  def q279MomentsCensus(s: SparkSession, d: String): DataFrame = {
+    val v = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+    val sums = v
+      .withColumn("v1", col("v").cast("decimal(38,0)"))
+      .withColumn("v2", (col("v") * col("v")).cast("decimal(38,0)"))
+      .withColumn("v3", col("v2") * col("v").cast("decimal(38,0)"))
+      .withColumn("v4", col("v2") * col("v2"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("v1")).as("s1"),
+           sum(col("v2")).as("s2"), sum(col("v3")).as("s3"),
+           sum(col("v4")).as("s4"))
+    val n = col("n").cast("double")
+    val mu = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mu * mu
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * mu * (col("s2").cast("double") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * mu * (col("s3").cast("double") / n) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / n) -
+      lit(3.0) * mu * mu * mu * mu
+    sums.select(col("flag"), col("n"),
+        expr("CAST(s1 AS BIGINT) div n").as("mean_cents"),
+        round(sqrt(m2), 4).as("sd_cents"),
+        round(m3 / pow(m2, 1.5), 6).as("skew"),
+        round(m4 / (m2 * m2) - 3.0, 6).as("ex_kurtosis"))
+      .orderBy(col("flag"))
+  }
+
+  val q279Sql: String = {
+    val n = "CAST(n AS DOUBLE)"
+    val mu = s"(CAST(s1 AS DOUBLE) / $n)"
+    val m2 = s"(CAST(s2 AS DOUBLE) / $n - $mu * $mu)"
+    val m3 = s"(CAST(s3 AS DOUBLE) / $n - 3.0 * $mu * (CAST(s2 AS DOUBLE)" +
+      s" / $n) + 2.0 * $mu * $mu * $mu)"
+    val m4 = s"(CAST(s4 AS DOUBLE) / $n - 4.0 * $mu * (CAST(s3 AS DOUBLE)" +
+      s" / $n) + 6.0 * $mu * $mu * (CAST(s2 AS DOUBLE) / $n)" +
+      s" - 3.0 * $mu * $mu * $mu * $mu)"
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+       |  FROM lineitem),
+       |sums AS (
+       |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(v AS HUGEINT)) AS s1,
+       |    sum(CAST(v AS HUGEINT) * v) AS s2,
+       |    sum(CAST(v AS HUGEINT) * v * v) AS s3,
+       |    sum(CAST(v AS HUGEINT) * v * v * v) AS s4
+       |  FROM v GROUP BY flag)
+       |SELECT flag, n,
+       |  CAST(s1 AS BIGINT) // n AS mean_cents,
+       |  round(sqrt($m2), 4) AS sd_cents,
+       |  round($m3 / pow($m2, 1.5), 6) AS skew,
+       |  round($m4 / ($m2 * $m2) - 3.0, 6) AS ex_kurtosis
+       |FROM sums
+       |ORDER BY flag""".stripMargin
+  }
+
+  // ─── q280: conversion-latency percentiles (time to convert) ──────────
+  // The funnel-velocity read next to q201's conversion COUNTS: how long
+  // from a user's first 'view' to their first 'purchase' AFTER it.
+  // Latencies are exact integer SECONDS (micros div 1e6); the
+  // distribution summary uses percentile_disc — attained values, no
+  // interpolation float — over the |users|-sized converted frame
+  // (reduced input, the q231 cut discipline).
+  def q280ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val fv = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val lat = ev.where(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .where(col("us") >= col("v_us"))
+      .groupBy("user_id").agg(min(col("us")).as("p_us"))
+      .join(fv, "user_id")
+      .select(expr("(p_us - v_us) div 1000000").as("lat_s"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("long").as("p50_s"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s)")
+        .cast("long").as("p90_s"),
+      min(col("lat_s")).as("min_s"), max(col("lat_s")).as("max_s"))
+  }
+
+  val q280Sql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |fv AS (SELECT user_id, min(us) AS v_us FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |lat AS (
+      |  SELECT (min(e.us) - any_value(f.v_us)) // 1000000 AS lat_s
+      |  FROM ev e JOIN fv f USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us >= f.v_us
+      |  GROUP BY e.user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_s) AS p50_s,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_s) AS p90_s,
+      |  min(lat_s) AS min_s, max(lat_s) AS max_s
+      |FROM lat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_moments_census" -> (q279MomentsCensus _),
+    "q280_conversion_latency" -> (q280ConversionLatency _),
     "q275_poisson_bootstrap" -> (q275PoissonBootstrap _),
     "q277_ks_test" -> (q277KsTest _),
     "q269_journey_paths" -> (q269JourneyPaths _),
@@ -2089,6 +2208,8 @@ object Insights {
   val oracleSql: Map[String, String] = Map(
     "q275_poisson_bootstrap" -> q275Sql,
     "q277_ks_test" -> q277Sql,
+    "q279_moments_census" -> q279Sql,
+    "q280_conversion_latency" -> q280Sql,
     "q269_journey_paths" -> q269Sql,
     "q271_mann_whitney" -> q271Sql,
     "q263_forecast_backtest" -> q263Sql,
