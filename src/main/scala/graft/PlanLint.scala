@@ -468,6 +468,8 @@ object PlanLint {
     // (q244's shape; approx_percentile is the 100 TB knob)
     "q282_suspect_labels" -> Set("nested-loop", "cartesian",
                                  "exact-percentile"),
+    // q284: the 1-row reach count crossJoins the top-20 distance rows
+    "q284_bellman_ford" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -512,6 +514,8 @@ object PlanLint {
     "q261_textrank" -> 24,
     // HITS: 4 rounds × (a + h checkpoints) + edge/init checkpoints
     "q270_hits" -> 24,
+    // Bellman–Ford: 4 relaxation-round checkpoints + edge/seed setup
+    "q284_bellman_ford" -> 16,
     // k-means trainer: 1 pieces checkpoint + 1 checkpoint per Lloyd
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,

@@ -598,6 +598,87 @@ object Graph {
        |LIMIT 20""".stripMargin
   }
 
+  // ─── q284: bounded-hop cheapest paths (distributed Bellman–Ford) ──────
+  // q170's BFS measures HOPS; this measures COST — the weighted
+  // shortest-path read (supply-chain proximity, recommendation
+  // distance) via the round-synchronous Bellman–Ford relaxation every
+  // distributed graph framework ships: dₖ(v) = min(dₖ₋₁(v),
+  // min over edges (u,v) of dₖ₋₁(u) + cost(u,v)), k fixed rounds — the
+  // honest production posture (hop-bounded cheapest paths, like the
+  // BFS cap). Edge cost = 1 000 000 div w over the weighted co-purchase
+  // graph — stronger affinity = cheaper hop, and costs stay exact
+  // BIGINTs, so every distance is integer-exact (no float relaxation).
+  // Seeds: parts with pk % 100 = 0, distance 0.
+  //
+  // Scale: each round is one equi-join of the static bidirected edge
+  // list with the node-sized distance frame + one map-side-combined
+  // min — PageRank's per-round shape with min instead of sum; distance
+  // frames localCheckpoint per round (lineage truncation).
+  private val BfRounds = 4
+
+  def q284BellmanFord(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val canon = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(expr("1000000 div count(*)").as("cost"))
+    val edges = canon.select(col("p1").as("src"), col("p2").as("dst"),
+        col("cost"))
+      .unionAll(canon.select(col("p2"), col("p1"), col("cost")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .where(col("node") % 100 === 0)
+      .withColumn("dv", lit(0L)).localCheckpoint()
+    for (_ <- 1 to BfRounds) {
+      dist = dist
+        .unionAll(edges.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dv") + col("cost"))
+            .as("dv")))
+        .groupBy(col("node")).agg(min(col("dv")).as("dv"))
+        .localCheckpoint()
+    }
+    val reach = broadcast(dist.agg(count(lit(1)).as("n_reached")))
+    dist.where(col("node") % 100 =!= 0)
+      .crossJoin(reach)
+      .orderBy(col("dv"), col("node"))
+      .limit(20)
+  }
+
+  val q284Sql: String = {
+    val rounds = (1 to BfRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, min(dv) AS dv FROM (
+         |    SELECT node, dv FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, x.dv + e.cost AS dv
+         |    FROM e JOIN d${r - 1} x ON e.src = x.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |canon AS MATERIALIZED (
+       |  SELECT a.pk AS p1, b.pk AS p2,
+       |    1000000 // CAST(count(*) AS BIGINT) AS cost
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk),
+       |e AS MATERIALIZED (
+       |  SELECT p1 AS src, p2 AS dst, cost FROM canon
+       |  UNION ALL SELECT p2, p1, cost FROM canon),
+       |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dv
+       |       FROM e WHERE src % 100 = 0),
+       |$rounds,
+       |reach AS (SELECT CAST(count(*) AS BIGINT) AS n_reached
+       |          FROM d$BfRounds)
+       |SELECT node, dv, n_reached
+       |FROM d$BfRounds, reach
+       |WHERE node % 100 <> 0
+       |ORDER BY dv, node
+       |LIMIT 20""".stripMargin
+  }
+
   // ─── q276: incremental connected-components maintenance ───────────────
   // The operation a 100 TB dedup pipeline actually performs DAILY: a new
   // batch of similarity edges arrives and cluster labels must update
@@ -1351,7 +1432,8 @@ object Graph {
     "q258_adamic_adar" -> (q258AdamicAdar _),
     "q267_boruvka_forest" -> (q267BoruvkaForest _),
     "q270_hits" -> (q270Hits _),
-    "q276_incremental_cc" -> (q276IncrementalCc _))
+    "q276_incremental_cc" -> (q276IncrementalCc _),
+    "q284_bellman_ford" -> (q284BellmanFord _))
 
   val oracleSql: Map[String, String] = Map(
     "q222_leakage_safe_split" -> q222Sql,
@@ -1366,5 +1448,6 @@ object Graph {
     "q258_adamic_adar" -> q258Sql,
     "q267_boruvka_forest" -> q267Sql,
     "q270_hits" -> q270Sql,
-    "q276_incremental_cc" -> q276Sql)
+    "q276_incremental_cc" -> q276Sql,
+    "q284_bellman_ford" -> q284Sql)
 }

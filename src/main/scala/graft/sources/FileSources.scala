@@ -266,7 +266,43 @@ object FileSources {
       |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
       |FROM lineitem""".stripMargin
 
+  // ─── q283: ORC sink → source round-trip with predicate pushdown ───────
+  // The third columnar format next to parquet (Tables) and the text
+  // family above: a lineitem slice goes through the REAL ORC writer
+  // (zlib) and back through `spark.read.orc` with a quantity predicate —
+  // ORC translates it into its own search argument (PushedFilters), so
+  // the scan skips stripes the way a 100 TB ORC lake would. The census
+  // is oracle-checked against the ORIGINAL parquet rows: equality is
+  // the losslessness proof of the round-trip (types, timestamps,
+  // doubles), not a replay of the same read path.
+  def q283OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = Paths.get(fixtureDir, "lineitem_orc").toString
+    graft.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+              col("l_shipdate"))
+      .write.mode("overwrite").format("orc")
+      .option("compression", "zlib").save(out)
+    s.read.orc(out)
+      .where(col("l_quantity") >= 25.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(sum(col("l_quantity")), 2).as("sum_qty"),
+           min(col("l_shipdate")).as("first_ship"),
+           max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q283Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+      |FROM lineitem
+      |WHERE l_quantity >= 25.0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_orc_roundtrip"   -> (q283OrcRoundtrip _),
     "q127_agg_pushdown"    -> (q127AggPushdown _),
     "q55_json_source"      -> (q55JsonSource _),
     "q56_csv_source"       -> (q56CsvSource _),
@@ -276,6 +312,7 @@ object FileSources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q283_orc_roundtrip"   -> q283Sql,
     "q127_agg_pushdown"    -> q127Sql,
     "q55_json_source"      -> q55Sql,
     "q56_csv_source"       -> q56Sql,
