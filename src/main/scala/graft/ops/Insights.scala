@@ -1973,17 +1973,20 @@ object Insights {
        |GROUP BY mean_full_milli, n_rows""".stripMargin
   }
 
-  // ─── q277: two-sample Kolmogorov–Smirnov test ─────────────────────────
-  // q271's rank-sum asks "is one distribution shifted"; KS asks the
-  // stronger "are they the SAME distribution" — sensitive to shape, not
-  // just location. The D statistic is max |F₁(v) − F₂(v)|, computed
-  // EXACTLY as integers by cross-multiplication: over the shared cents
-  // histogram, d_num(v) = |c₁(v)·n₂ − c₂(v)·n₁| with c = cumulative
-  // counts — one window over the reduced value histogram (the q271/q250
-  // shape), one max. D itself and the one-term Smirnov tail
-  // p ≈ 2·exp(−2λ²), λ = D·√(n₁n₂/(n₁+n₂)) (documented approximation)
-  // are emitted in integer micros from 1-row double math on the exact
-  // integer inputs.
+  // ─── q277: exact-integer KS test with significance ────────────────────
+  // q174 computes the KS D over event values in rounded floats; this is
+  // its EXACT twin (the exact-vs-float pairing q96/q99 set for
+  // percentiles) on a different comparison (order totals across
+  // customer segments), plus the significance read q174 lacks. The D
+  // statistic is max |F₁(v) − F₂(v)| computed EXACTLY as integers by
+  // cross-multiplication: over the shared cents histogram,
+  // d_num(v) = |c₁(v)·n₂ − c₂(v)·n₁| with c = cumulative counts — one
+  // window over the reduced value histogram (the q271/q250 shape), one
+  // max; no float division ever enters the argmax. The one-term
+  // Smirnov tail p ≈ 2·exp(−2λ²), λ = D·√(n₁n₂/(n₁+n₂)) (documented
+  // approximation) is emitted in integer micros from 1-row double math
+  // on the exact integer inputs. (At sf10³ scales, 1e6·d_num needs the
+  // q218 decimal widening if the distributions truly diverge — noted.)
   def q277KsTest(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).join(
       customer(s, d).select(col("c_custkey").as("o_custkey"),
