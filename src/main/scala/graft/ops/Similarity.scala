@@ -2390,7 +2390,71 @@ object Similarity {
        |ORDER BY label""".stripMargin
   }
 
+  // ─── q285: embedding geometry census (pair-distance histogram) ────────
+  // The intrinsic-geometry audit run before trusting ANY similarity
+  // threshold: the distribution of pairwise distances (concentrated
+  // distances ⇒ the curse-of-dimensionality regime where near-dup
+  // thresholds stop separating; a left tail ⇒ real cluster structure).
+  // Pairs come from a deterministic BUCKET sample — md5-hash each
+  // vector into [[GeoBuckets]] buckets and pair only within a bucket
+  // (a bucket-keyed equi-join, the LSH join shape). The census is the
+  // histogram of squared distances in deci-units (round(10·d²) — an
+  // attained integer, no floor-on-float boundary), plus exact
+  // integer-micro moments. At scale the bucket count grows ∝ n so
+  // pairs stay ∝ n·(bucket size) — the [[DefaultPlanes]] scale rule,
+  // documented there.
+  private val GeoBuckets = 16
+
+  def q285GeometryCensus(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+      .withColumn("bkt", pmod(conv(substring(md5(concat(lit("geo:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(GeoBuckets.toLong)))
+    val pairs = emb.as("a")
+      .join(emb.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .select(sqDist(col("a.e"), col("b.e")).as("d2"))
+      .select(round(col("d2") * 10, 0).cast("long").as("d2_deci"),
+        round(round(col("d2"), 6) * 1e6, 0).cast("long").as("d2_micro"))
+    val stats = broadcast(pairs.agg(
+      count(lit(1)).as("n_pairs_total"),
+      expr("sum(d2_micro) div count(*)").as("mean_d2_micro"),
+      min(col("d2_micro")).as("min_d2_micro"),
+      max(col("d2_micro")).as("max_d2_micro")))
+    pairs.groupBy(col("d2_deci")).agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(stats)
+      .orderBy(col("d2_deci"))
+  }
+
+  val q285Sql: String = {
+    val d2 = "list_dot_product(a.e, a.e) - 2*list_dot_product(a.e, b.e)" +
+      " + list_dot_product(b.e, b.e)"
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    CAST(('0x' || substr(md5('geo:' || CAST(vec_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % $GeoBuckets AS bkt
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT CAST(round(($d2) * 10, 0) AS BIGINT) AS d2_deci,
+       |    CAST(round(round($d2, 6) * 1e6, 0) AS BIGINT) AS d2_micro
+       |  FROM emb a JOIN emb b
+       |    ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pairs_total,
+       |    CAST(sum(d2_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |      AS mean_d2_micro,
+       |    min(d2_micro) AS min_d2_micro, max(d2_micro) AS max_d2_micro
+       |  FROM pairs)
+       |SELECT d2_deci, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  n_pairs_total, mean_d2_micro, min_d2_micro, max_d2_micro
+       |FROM pairs, stats
+       |GROUP BY d2_deci, n_pairs_total, mean_d2_micro, min_d2_micro,
+       |         max_d2_micro
+       |ORDER BY d2_deci""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_geometry_census" -> (q285GeometryCensus _),
     "q278_mmd_drift" -> (q278MmdDrift _),
     "q266_kcenter_coreset" -> (q266KCenterCoreset _),
     "q259_pca_power" -> (q259PcaPower _),
@@ -2421,6 +2485,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q285_geometry_census" -> q285Sql,
     "q278_mmd_drift" -> q278Sql,
     "q266_kcenter_coreset" -> q266Sql,
     "q259_pca_power" -> q259Sql,
