@@ -470,6 +470,11 @@ object PlanLint {
                                  "exact-percentile"),
     // q284: the 1-row reach count crossJoins the top-20 distance rows
     "q284_bellman_ford" -> Set("nested-loop", "cartesian"),
+    // q285: the 1-row moment stats crossJoin the deci-bucket histogram
+    "q285_geometry_census" -> Set("nested-loop", "cartesian"),
+    // q286: the 1-row transition total / chain-rate frames crossJoin
+    // the |states|²-sized term frame (q231 shape)
+    "q286_entropy_rate" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in

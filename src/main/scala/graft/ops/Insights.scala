@@ -2166,7 +2166,80 @@ object Insights {
       |  min(lat_s) AS min_s, max(lat_s) AS max_s
       |FROM lat""".stripMargin
 
+  // ─── q286: behavioural entropy-rate census ────────────────────────────
+  // "How predictable is user behaviour" as one number per state and one
+  // for the chain: the plug-in entropy rate of the first-order event
+  // process (Shannon; the standard predictability read over q165's
+  // transition matrix): H = −Σ_s π(s)·Σ_t p(t|s)·ln p(t|s), with π the
+  // empirical state frequency and p the empirical transition row. All
+  // inputs are exact integer transition counts; each (s, t) term
+  // quantizes to integer NANOS at two grains (conditional, weighted by
+  // π) so both the per-state conditional entropy AND the chain rate
+  // fold as exact integer sums. Per-user transitions via one lag over
+  // the (ts, event_id)-ordered user window (the q269 shape).
+  def q286EntropyRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t"))
+      .withColumn("st", lag(col("t"), 1).over(w))
+      .where(col("st").isNotNull)
+      .groupBy(col("st"), col("t")).agg(count(lit(1)).as("c"))
+    val byS = tr.groupBy(col("st")).agg(sum(col("c")).as("cs"))
+    val tot = broadcast(byS.agg(sum(col("cs")).as("tt")))
+    val terms = tr.join(byS, "st").crossJoin(tot)
+      .select(col("st"), col("cs"), col("tt"),
+        round(round(lit(-1.0) * (col("c").cast("double") /
+          col("cs").cast("double")) *
+          log(col("c").cast("double") / col("cs").cast("double")), 9) *
+          1e9, 0).cast("long").as("cond_nano"),
+        round(round(lit(-1.0) * (col("c").cast("double") /
+          col("tt").cast("double")) *
+          log(col("c").cast("double") / col("cs").cast("double")), 9) *
+          1e9, 0).cast("long").as("rate_nano"))
+    val rate = broadcast(terms.agg(sum(col("rate_nano"))
+      .as("h_rate_nano")))
+    terms.groupBy(col("st"), col("cs"), col("tt"))
+      .agg(sum(col("cond_nano")).as("h_state_nano"))
+      .crossJoin(rate)
+      .select(col("st").as("state"), col("cs").as("n_obs"),
+        expr("(1000000 * cs) div tt").as("pi_micro"),
+        col("h_state_nano"), col("h_rate_nano"))
+      .orderBy(col("state"))
+  }
+
+  val q286Sql: String =
+    """WITH tr AS MATERIALIZED (
+      |  SELECT st, t, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT event_type AS t,
+      |      lag(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS st
+      |    FROM events)
+      |  WHERE st IS NOT NULL
+      |  GROUP BY st, t),
+      |bys AS (SELECT st, CAST(sum(c) AS BIGINT) AS cs FROM tr GROUP BY st),
+      |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS tt FROM bys),
+      |terms AS (
+      |  SELECT tr.st, cs, tt,
+      |    CAST(round(round(-1.0 * (CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)), 9) * 1e9, 0)
+      |      AS BIGINT) AS cond_nano,
+      |    CAST(round(round(-1.0 * (CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)), 9) * 1e9, 0)
+      |      AS BIGINT) AS rate_nano
+      |  FROM tr JOIN bys USING (st), tot),
+      |rate AS (SELECT CAST(sum(rate_nano) AS BIGINT) AS h_rate_nano
+      |         FROM terms)
+      |SELECT st AS state, cs AS n_obs,
+      |  (1000000 * cs) // tt AS pi_micro,
+      |  CAST(sum(cond_nano) AS BIGINT) AS h_state_nano, h_rate_nano
+      |FROM terms, rate
+      |GROUP BY st, cs, tt, h_rate_nano
+      |ORDER BY state""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_entropy_rate" -> (q286EntropyRate _),
     "q279_moments_census" -> (q279MomentsCensus _),
     "q280_conversion_latency" -> (q280ConversionLatency _),
     "q275_poisson_bootstrap" -> (q275PoissonBootstrap _),
@@ -2211,6 +2284,7 @@ object Insights {
   val oracleSql: Map[String, String] = Map(
     "q275_poisson_bootstrap" -> q275Sql,
     "q277_ks_test" -> q277Sql,
+    "q286_entropy_rate" -> q286Sql,
     "q279_moments_census" -> q279Sql,
     "q280_conversion_latency" -> q280Sql,
     "q269_journey_paths" -> q269Sql,
