@@ -475,6 +475,13 @@ object PlanLint {
     // q286: the 1-row transition total / chain-rate frames crossJoin
     // the |states|²-sized term frame (q231 shape)
     "q286_entropy_rate" -> Set("nested-loop", "cartesian"),
+    // q288: exact per-segment fences ARE the oracle contract;
+    // approx_percentile is the documented 100 TB knob (q226's note)
+    "q288_robust_means" -> Set("exact-percentile"),
+    // q290: the 1-row total/leftover frames crossJoin the |langs| rows;
+    // the remainder-rank window runs over that enum-sized frame
+    "q290_quota_apportion" -> Set("nested-loop", "cartesian",
+                                  "global-window"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in

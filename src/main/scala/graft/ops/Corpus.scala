@@ -870,6 +870,127 @@ object Corpus {
        |    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2
        |FROM ols""".stripMargin
 
+  // ─── q287: intra-document repetition collapse ─────────────────────────
+  // The CLEANING counterpart of q69's repetition SCORE: crawl text
+  // arrives with consecutively repeated sentences (boilerplate stutter,
+  // pagination artifacts), and the standard fix collapses ADJACENT
+  // duplicates — order-preserving, one pass, purely positional (global
+  // sentence dedup would merge legitimate refrains; adjacency is the
+  // published conservative rule). Corpus = documents ∪ planted
+  // stutter copies (first sentence doubled, new ids — the q41 idiom) so
+  // the operator provably fires. The collapse is an index lambda over
+  // the sentence array (keep i=1 or s[i] ≠ s[i−1]) — no explode, no
+  // shuffle carries text; the census reduces to |langs| rows with
+  // docs affected / sentences removed / exact post-collapse char sums.
+  def q287RepetitionCollapse(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      col("text"))
+    val planted = base.where(pmod(col("doc_id"), lit(6)) === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("lang"),
+        concat(element_at(split(col("text"), "\\."), 1), lit("."),
+               col("text")).as("text"))
+    val corpus = base.unionByName(planted)
+      .withColumn("sents", split(col("text"), "\\."))
+    val collapsed = corpus.withColumn("kept",
+      filter(col("sents"),
+        (x, i) => i === 0 || x =!= element_at(col("sents"), i)))
+    collapsed
+      .select(col("lang"),
+        (size(col("sents")) - size(col("kept"))).cast("long")
+          .as("removed"),
+        length(concat_ws(".", col("kept"))).cast("long").as("chars_after"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("removed") > 0L, 1L).otherwise(0L))
+             .as("n_affected"),
+           sum(col("removed")).as("sentences_removed"),
+           sum(col("chars_after")).as("chars_after_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val q287Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 500000, lang,
+      |    string_split(text, '.')[1] || '.' || text
+      |  FROM documents WHERE doc_id % 6 = 0),
+      |c AS (
+      |  SELECT lang, sents,
+      |    list_transform(
+      |      list_filter(range(1, len(sents) + 1),
+      |        i -> i = 1 OR sents[i] <> sents[i - 1]),
+      |      i -> sents[i]) AS kept
+      |  FROM (SELECT lang, string_split(text, '.') AS sents FROM base)),
+      |per AS (
+      |  SELECT lang, CAST(len(sents) - len(kept) AS BIGINT) AS removed,
+      |    CAST(length(array_to_string(kept, '.')) AS BIGINT)
+      |      AS chars_after
+      |  FROM c)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_affected,
+      |  CAST(sum(removed) AS BIGINT) AS sentences_removed,
+      |  CAST(sum(chars_after) AS BIGINT) AS chars_after_sum
+      |FROM per
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ─── q290: largest-remainder quota apportionment ──────────────────────
+  // Allocating a FIXED budget of training slots across languages
+  // proportionally to token mass — the integer-quota problem every
+  // sampling mix ultimately hits (q211's temperature weights still need
+  // whole examples). The published Hamilton/largest-remainder method,
+  // exactly: base_i = ⌊N·t_i/T⌋ via truncating division, remainders
+  // ranked as the exact integers N·t_i − base_i·T (no fraction ever
+  // materializes), and the leftover N − Σ base goes one-per to the
+  // largest remainders (ties to lang). Σ alloc = N holds by
+  // construction in both engines — the apportionment invariant, carried
+  // in the output. Scale: one token pass reduced to |langs| rows.
+  private val QuotaN = 10000L
+
+  def q290QuotaApportion(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("t"))
+    val tot = broadcast(tok.agg(sum(col("t")).as("tt")))
+    val based = tok.crossJoin(tot)
+      .select(col("lang"), col("t"), col("tt"),
+        expr(s"($QuotaN * t) div tt").as("base"),
+        expr(s"$QuotaN * t - (($QuotaN * t) div tt) * tt").as("rem"))
+    val leftover = broadcast(based
+      .agg((lit(QuotaN) - sum(col("base"))).as("k")))
+    val wR = Window.orderBy(col("rem").desc, col("lang"))
+    based.crossJoin(leftover)
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .select(col("lang"), col("t").as("tokens"), col("base"),
+        when(col("rk") <= col("k"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base") + col("extra"))
+      .orderBy(col("lang"))
+  }
+
+  val q290Sql: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT lang, CAST(sum(len($tokensSql)) AS BIGINT) AS t
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM tok),
+       |based AS (
+       |  SELECT lang, t, ($QuotaN * t) // tt AS base,
+       |    $QuotaN * t - (($QuotaN * t) // tt) * tt AS rem
+       |  FROM tok, tot),
+       |lo AS (SELECT $QuotaN - CAST(sum(base) AS BIGINT) AS k FROM based),
+       |ranked AS (
+       |  SELECT lang, t, base,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT)
+       |      AS rk
+       |  FROM based)
+       |SELECT lang, t AS tokens, base,
+       |  CASE WHEN rk <= k THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+       |    END AS extra,
+       |  base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS alloc
+       |FROM ranked, lo
+       |ORDER BY lang""".stripMargin
+
   // ─── q90: the whole training-data pipeline as one funnel ──────────────
   // What a user of this engine actually runs, end to end: duplicate-
   // CLUSTER resolution (keep one doc per connected component of the
@@ -3309,6 +3430,8 @@ object Corpus {
     "q274_zipf_fit" -> (q274ZipfFit _),
     "q281_disparate_impact" -> (q281DisparateImpact _),
     "q282_suspect_labels" -> (q282SuspectLabels _),
+    "q287_repetition_collapse" -> (q287RepetitionCollapse _),
+    "q290_quota_apportion" -> (q290QuotaApportion _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -3356,6 +3479,8 @@ object Corpus {
     "q274_zipf_fit" -> q274Sql,
     "q281_disparate_impact" -> q281Sql,
     "q282_suspect_labels" -> q282Sql,
+    "q287_repetition_collapse" -> q287Sql,
+    "q290_quota_apportion" -> q290Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

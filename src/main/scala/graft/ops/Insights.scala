@@ -2238,7 +2238,130 @@ object Insights {
       |GROUP BY st, cs, tt, h_rate_nano
       |ORDER BY state""".stripMargin
 
+  // ─── q288: trimmed & winsorized mean census ───────────────────────────
+  // Completes the robust-aggregation family (q166 IQR screen, q234 MAD,
+  // q175 Gini): the two standard outlier-resistant means, per segment,
+  // entirely integer-exact. Fences are percentile_disc(0.05/0.95)
+  // values of exact CENTS — attained integers per segment;
+  // trimmed mean = mean of values inside the fences (truncating div),
+  // winsorized mean = mean after CLAMPING to the fences. Both sit next
+  // to the raw mean so the census reads as "how much do the tails move
+  // this metric".
+  // Scale: one grouped pass; the exact per-segment percentile is the
+  // oracle contract, approx_percentile fences are the 100 TB knob
+  // (q226's note).
+  def q288RobustMeans(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(
+      customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .select(col("seg"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+    val fences = o.groupBy(col("seg")).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("hi"))
+    o.join(broadcast(fences), "seg")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+           expr("sum(v) div count(*)").as("raw_mean_cents"),
+           expr("sum(CASE WHEN v BETWEEN lo AND hi THEN v END) div " +
+             "count(CASE WHEN v BETWEEN lo AND hi THEN 1 END)")
+             .as("trimmed_mean_cents"),
+           expr("sum(greatest(lo, least(hi, v))) div count(*)")
+             .as("winsor_mean_cents"))
+      .orderBy(col("seg"))
+  }
+
+  val q288Sql: String =
+    """WITH o AS MATERIALIZED (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |fences AS (
+      |  SELECT seg,
+      |    percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS lo,
+      |    percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS hi
+      |  FROM o GROUP BY seg)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |    AS raw_mean_cents,
+      |  CAST(sum(CASE WHEN v BETWEEN lo AND hi THEN v END) AS BIGINT)
+      |    // CAST(count(CASE WHEN v BETWEEN lo AND hi THEN 1 END)
+      |         AS BIGINT) AS trimmed_mean_cents,
+      |  CAST(sum(greatest(lo, least(hi, v))) AS BIGINT)
+      |    // CAST(count(*) AS BIGINT) AS winsor_mean_cents
+      |FROM o JOIN fences USING (seg)
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin
+
+  // ─── q289: price-volume-mix revenue bridge ────────────────────────────
+  // The FP&A waterfall every revenue review runs: decompose the change
+  // in revenue between two periods (orders before vs from 1998) into a
+  // PRICE effect ((p₂−p₁)·q₁), a VOLUME effect (p₁·(q₂−q₁)) and the
+  // mix/cross residual — per brand, entirely integer-exact: revenues
+  // are exact cents, per-unit prices are truncating milli-cents
+  // (1000·rev div qty), and the residual is defined by exact closure
+  // Δrev·1000 − price − volume, so the three effects reconcile to the
+  // bridge total BY CONSTRUCTION in both engines.
+  // Scale: one join-reduce to the (brand, period) frame; the bridge is
+  // a self-join of that 25×2 frame.
+  def q289PvmBridge(s: SparkSession, d: String): DataFrame = {
+    val per = lineitem(s, d)
+      .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        (year(col("o_orderdate")) >= 1998).cast("int").as("period")),
+        "l_orderkey")
+      .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand").as("brand")), "l_partkey")
+      .groupBy(col("brand"), col("period"))
+      .agg(sum(round(col("l_quantity"), 0).cast("long")).as("qty"),
+           sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+             .as("rev"))
+      .withColumn("p_milli", expr("(1000 * rev) div qty"))
+    val a = per.where(col("period") === 0)
+      .select(col("brand"), col("qty").as("q1"), col("rev").as("rev1"),
+        col("p_milli").as("p1"))
+    val b = per.where(col("period") === 1)
+      .select(col("brand"), col("qty").as("q2"), col("rev").as("rev2"),
+        col("p_milli").as("p2"))
+    a.join(b, "brand")
+      .select(col("brand"), col("q1"), col("q2"),
+        col("rev1").as("rev1_cents"), col("rev2").as("rev2_cents"),
+        ((col("p2") - col("p1")) * col("q1")).as("price_eff_milli"),
+        (col("p1") * (col("q2") - col("q1"))).as("volume_eff_milli"))
+      .withColumn("mix_resid_milli",
+        lit(1000L) * (col("rev2_cents") - col("rev1_cents")) -
+          col("price_eff_milli") - col("volume_eff_milli"))
+      .orderBy(col("brand"))
+  }
+
+  val q289Sql: String =
+    """WITH per AS MATERIALIZED (
+      |  SELECT p_brand AS brand,
+      |    CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END AS period,
+      |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |         AS BIGINT) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |pm AS (SELECT *, (1000 * rev) // qty AS p_milli FROM per),
+      |a AS (SELECT brand, qty AS q1, rev AS rev1, p_milli AS p1
+      |      FROM pm WHERE period = 0),
+      |b AS (SELECT brand, qty AS q2, rev AS rev2, p_milli AS p2
+      |      FROM pm WHERE period = 1)
+      |SELECT a.brand, q1, q2, rev1 AS rev1_cents, rev2 AS rev2_cents,
+      |  (p2 - p1) * q1 AS price_eff_milli,
+      |  p1 * (q2 - q1) AS volume_eff_milli,
+      |  1000 * (rev2 - rev1) - (p2 - p1) * q1 - p1 * (q2 - q1)
+      |    AS mix_resid_milli
+      |FROM a JOIN b USING (brand)
+      |ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_pvm_bridge" -> (q289PvmBridge _),
+    "q288_robust_means" -> (q288RobustMeans _),
     "q286_entropy_rate" -> (q286EntropyRate _),
     "q279_moments_census" -> (q279MomentsCensus _),
     "q280_conversion_latency" -> (q280ConversionLatency _),
@@ -2284,6 +2407,8 @@ object Insights {
   val oracleSql: Map[String, String] = Map(
     "q275_poisson_bootstrap" -> q275Sql,
     "q277_ks_test" -> q277Sql,
+    "q289_pvm_bridge" -> q289Sql,
+    "q288_robust_means" -> q288Sql,
     "q286_entropy_rate" -> q286Sql,
     "q279_moments_census" -> q279Sql,
     "q280_conversion_latency" -> q280Sql,

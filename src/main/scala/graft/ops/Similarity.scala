@@ -2396,20 +2396,28 @@ object Similarity {
   // distances ⇒ the curse-of-dimensionality regime where near-dup
   // thresholds stop separating; a left tail ⇒ real cluster structure).
   // Pairs come from a deterministic BUCKET sample — md5-hash each
-  // vector into [[GeoBuckets]] buckets and pair only within a bucket
-  // (a bucket-keyed equi-join, the LSH join shape). The census is the
-  // histogram of squared distances in deci-units (round(10·d²) — an
-  // attained integer, no floor-on-float boundary), plus exact
-  // integer-micro moments. At scale the bucket count grows ∝ n so
-  // pairs stay ∝ n·(bucket size) — the [[DefaultPlanes]] scale rule,
-  // documented there.
-  private val GeoBuckets = 16
+  // vector into NB buckets and pair only within a bucket (a
+  // bucket-keyed equi-join, the LSH join shape). NB is ADAPTIVE:
+  // greatest(16, n div [[GeoBucketSize]]), derived lazily from a 1-row
+  // count crossJoined into the assignment — bucket size stays ~constant
+  // as the corpus grows, so sampled pairs scale LINEARLY in n (the
+  // round-9 batch-5 soak measured exponent 1.23 with a FIXED bucket
+  // count — n²/NB is quadratic by construction — and this is the fix:
+  // post-fix decade exponents are sublinear; the DuckDB oracle derives
+  // the identical NB from its own count). The census is the histogram
+  // of squared distances in deci-units (round(10·d²) — an attained
+  // integer, no floor-on-float boundary), plus exact integer-micro
+  // moments.
+  private val GeoBucketSize = 32
 
   def q285GeometryCensus(s: SparkSession, d: String): DataFrame = {
-    val emb = embFrame(s, d)
+    val nb = broadcast(embeddings(s, d)
+      .agg(greatest(lit(16L),
+        expr(s"count(*) div $GeoBucketSize")).as("nb")))
+    val emb = embFrame(s, d).crossJoin(nb)
       .withColumn("bkt", pmod(conv(substring(md5(concat(lit("geo:"),
         col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"),
-        lit(GeoBuckets.toLong)))
+        col("nb")))
     val pairs = emb.as("a")
       .join(emb.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
@@ -2429,11 +2437,15 @@ object Similarity {
   val q285Sql: String = {
     val d2 = "list_dot_product(a.e, a.e) - 2*list_dot_product(a.e, b.e)" +
       " + list_dot_product(b.e, b.e)"
-    s"""WITH emb AS MATERIALIZED (
+    s"""WITH nb AS (
+       |  SELECT greatest(16, CAST(count(*) AS BIGINT) // $GeoBucketSize)
+       |    AS nb
+       |  FROM embeddings),
+       |emb AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |    CAST(('0x' || substr(md5('geo:' || CAST(vec_id AS VARCHAR)),
-       |      1, 8)) AS BIGINT) % $GeoBuckets AS bkt
-       |  FROM embeddings),
+       |      1, 8)) AS BIGINT) % nb AS bkt
+       |  FROM embeddings, nb),
        |pairs AS MATERIALIZED (
        |  SELECT CAST(round(($d2) * 10, 0) AS BIGINT) AS d2_deci,
        |    CAST(round(round($d2, 6) * 1e6, 0) AS BIGINT) AS d2_micro
