@@ -1263,16 +1263,13 @@ object TextSim {
       count(lit(1)).as("n_total"))
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(15)
-    // 15-row probe: deserializing inside a UDF keeps the whole thing one
-    // declarative plan (no driver-side collect of the sketch bytes).
-    val probe = udf { (bytes: Array[Byte], tok: String) =>
-      org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-        .estimateCount(tok)
-    }
+    // native codegen probe (expr/CmsProbe.scala — expression #9, retiring
+    // the repo's last UDF): per-thread deserialize-once memo, so probing
+    // stays declarative AND one counter lookup per row at any fan-out.
     top.crossJoin(broadcast(sk))
       .select(col("token"), col("n"),
-              probe(col("sk"), col("token")).as("est"), col("n_total"))
+              graft.expr.CmsProbeFunctions.cms_probe(col("sk"), col("token"))
+                .as("est"), col("n_total"))
       .select(col("token"), col("n"),
         (col("est") >= col("n")).as("no_underest"),
         (col("est") <= col("n") + ceil(col("n_total") * 0.0001d))

@@ -132,4 +132,25 @@ class SketchAggSpec extends SparkSpec {
     val dailyMax = byDay.groupBy(_._1).map(_._2.map(_._2).distinct.length).max
     assert(rows.map(_.getLong(1)).max >= dailyMax)
   }
+
+  test("cms_probe (native expression #9) ≡ the library's estimateCount") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "beta", "gamma", "gamma", "gamma",
+      "delta", "alpha", "beta", "unseen-probe-target")
+    val sk = words.toDF("w")
+      .agg(expr("count_min_sketch(w, 0.001d, 0.99d, 7)").as("sk"))
+    // bit-for-bit twin: the native probe on a DataFrame vs the library
+    // API on the driver, for seen AND unseen keys
+    val lib = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sk.head().getAs[Array[Byte]](0)))
+    val probes = Seq("alpha", "beta", "gamma", "delta", "never-added")
+    val got = probes.toDF("w").crossJoin(sk)
+      .select($"w", graft.expr.CmsProbeFunctions.cms_probe($"sk", $"w"))
+      .as[(String, Long)].collect().toMap
+    probes.foreach { p =>
+      assert(got(p) === lib.estimateCount(p), p)
+      // CMS never undercounts the true frequency
+      assert(got(p) >= words.count(_ == p).toLong, p)
+    }
+  }
 }
