@@ -333,6 +333,8 @@ object PlanLint {
                                           "global-window"),
     "q131_jl_projection" -> Set("nested-loop"),
     "q132_zorder" -> Set("global-window"),
+    // q291: q132's ntile-as-repartitionByRange stand-in, three layouts
+    "q291_hilbert_layout" -> Set("global-window"),
     // Insights batch (q162-q180): every flagged nested-loop is a ≤10-row
     // derived frame (grand total, min/max pair, decile cuts, marginal
     // count) crossJoined back — broadcast algebra, not a data-sized scan.

@@ -147,6 +147,115 @@ object Skew {
        |ORDER BY layout""".stripMargin
   }
 
+  // ─── q291: Hilbert-curve layout vs z-order vs linear ──────────────────
+  // q132's census extended with the space-filling curve z-order
+  // approximates: along the HILBERT walk every consecutive cell is
+  // plane-adjacent (Manhattan distance 1 — the property StorageSpec
+  // proves for the kernel by full enumeration), while the Z walk jumps
+  // across the key space at every quadrant boundary — so
+  // Hilbert-clustered file bounding boxes are tighter and a 2-D box
+  // predicate touches fewer of them. Same 8-bit (date × price) grid,
+  // same 64-way ntile layout, same probe box, THREE layouts side by
+  // side — the ranking emitted as data, oracle-recomputed (the oracle
+  // evaluates the curve by unrolling the 8-level rotate-and-accumulate
+  // state machine as chained CTEs; the Spark side is the native codegen
+  // expression expr/HilbertIndex.scala, #10). The 16-bit kernel on
+  // 8-bit inputs reduces EXACTLY to the 8-level curve: each empty
+  // leading level adds 0 to d and one x↔y swap, and 8 swaps are the
+  // identity.
+  def q291HilbertLayout(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      col("o_orderkey"),
+      least(lit(255), floor(datediff(col("o_orderdate"),
+        lit("1992-01-01").cast("date")) / 10).cast("int")).as("qx"),
+      least(lit(255), floor(col("o_totalprice") / 2400).cast("int")).as("qy"))
+    val keyed = base
+      .withColumn("zkey",
+        expr(morton("qx", "qy", (c, b) => s"shiftright($c, $b)")))
+      .withColumn("hkey", graft.expr.HilbertFunctions.hilbert_index(
+        col("qx").cast("long"), col("qy").cast("long")))
+    def layout(name: String, ordCol: Column) = {
+      val w = Window.orderBy(ordCol, col("o_orderkey"))
+      keyed.withColumn("bucket", ntile(ZBuckets).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("qx")).as("x0"), max(col("qx")).as("x1"),
+             min(col("qy")).as("y0"), max(col("qy")).as("y1"))
+        .withColumn("touched",
+          col("x1") >= 60 && col("x0") <= 200 &&
+          col("y1") >= 80 && col("y0") <= 120)
+        .agg(count(lit(1)).as("n_buckets"),
+             count(when(col("touched"), 1)).as("buckets_touched"),
+             sum(when(col("touched"), col("n")).otherwise(0))
+               .as("rows_scanned"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+                col("buckets_touched"), col("rows_scanned"))
+    }
+    layout("hilbert", col("hkey"))
+      .unionAll(layout("linear", col("qx")))
+      .unionAll(layout("zorder", col("zkey")))
+      .orderBy(col("layout"))
+  }
+
+  val q291Sql: String = {
+    val z = morton("qx", "qy", (c, b) => s"($c >> $b)")
+    // unrolled 8-level Hilbert state machine: per level s, classify the
+    // quadrant, accumulate d, reflect-and-swap the frame
+    val steps = (0 until ZBits).map { k =>
+      val s = 1 << (ZBits - 1 - k)
+      val p = k      // previous stage suffix
+      val n = k + 1  // this stage suffix
+      s"""h$n AS (
+         |  SELECT o_orderkey, zkey, qx, qy,
+         |    d$p + ${s.toLong * s} * xor(3 * rx, ry) AS d$n,
+         |    CASE WHEN ry = 0 THEN
+         |      CASE WHEN rx = 1 THEN $s - 1 - y$p ELSE y$p END
+         |    ELSE x$p END AS x$n,
+         |    CASE WHEN ry = 0 THEN
+         |      CASE WHEN rx = 1 THEN $s - 1 - x$p ELSE x$p END
+         |    ELSE y$p END AS y$n
+         |  FROM (SELECT *,
+         |          CASE WHEN (x$p & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (y$p & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$p))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |    least(255, CAST(floor(datediff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE)) / 10) AS INT)) AS qx,
+       |    least(255, CAST(floor(o_totalprice / 2400) AS INT)) AS qy
+       |  FROM orders),
+       |h0 AS (SELECT o_orderkey, qx, qy, $z AS zkey,
+       |         CAST(0 AS BIGINT) AS d0, qx AS x0, qy AS y0 FROM base),
+       |$steps,
+       |keyed AS (SELECT o_orderkey, qx, qy, zkey, d$ZBits AS hkey
+       |          FROM h$ZBits),
+       |layouts AS (
+       |  SELECT 'hilbert' AS layout,
+       |    ntile($ZBuckets) OVER (ORDER BY hkey, o_orderkey) AS bucket,
+       |    qx, qy FROM keyed
+       |  UNION ALL
+       |  SELECT 'linear', ntile($ZBuckets) OVER (ORDER BY qx, o_orderkey),
+       |    qx, qy FROM keyed
+       |  UNION ALL
+       |  SELECT 'zorder', ntile($ZBuckets) OVER (ORDER BY zkey, o_orderkey),
+       |    qx, qy FROM keyed),
+       |boxes AS (
+       |  SELECT layout, bucket, count(*) AS n,
+       |    min(qx) AS x0, max(qx) AS x1, min(qy) AS y0, max(qy) AS y1
+       |  FROM layouts GROUP BY layout, bucket)
+       |SELECT layout, count(*) AS n_buckets,
+       |  count(CASE WHEN x1 >= 60 AND x0 <= 200
+       |             AND y1 >= 80 AND y0 <= 120 THEN 1 END)
+       |    AS buckets_touched,
+       |  CAST(sum(CASE WHEN x1 >= 60 AND x0 <= 200
+       |             AND y1 >= 80 AND y0 <= 120 THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_scanned
+       |FROM boxes
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+  }
+
   // ─── q246: salted SHUFFLE JOIN (the hot-key join at 100 TB) ───────────
   // q61 salts a skewed AGGREGATION; this salts the skewed JOIN — the
   // case where the dim is too big to broadcast (forced here with a
@@ -192,12 +301,14 @@ object Skew {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_salted_agg" -> (q61SaltedAgg _),
     "q132_zorder"    -> (q132ZOrder _),
+    "q291_hilbert_layout" -> (q291HilbertLayout _),
     "q246_salted_skew_join" -> (q246SaltedSkewJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q61_salted_agg" -> q61Sql,
     "q132_zorder"    -> q132Sql,
+    "q291_hilbert_layout" -> q291Sql,
     "q246_salted_skew_join" -> q246Sql,
   )
 }
