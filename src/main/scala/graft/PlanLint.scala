@@ -484,6 +484,11 @@ object PlanLint {
     // the remainder-rank window runs over that enum-sized frame
     "q290_quota_apportion" -> Set("nested-loop", "cartesian",
                                   "global-window"),
+    // q293: the (i, j, k) PAV lattice is built from ≤10-row bin frames
+    // (theta joins over the DECILE state, never the docs); the 1-row
+    // cut array crosses the scored rows (q244's shape)
+    "q293_isotonic_calibration" -> Set("nested-loop", "cartesian",
+                                       "exact-percentile"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -556,6 +561,7 @@ object PlanLint {
     "q268_feature_attribution" -> 10,
     "q281_disparate_impact" -> 10,
     "q282_suspect_labels" -> 10,
+    "q293_isotonic_calibration" -> 10,
     // softmax trainer: feat checkpoint + 1 per epoch (3) + census
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)

@@ -1960,6 +1960,87 @@ object Corpus {
        |GROUP BY band, y
        |ORDER BY band, y""".stripMargin
 
+  // ─── q293: isotonic calibration of the trained gate (PAV) ────────────
+  // q244 DIAGNOSES miscalibration; this REPAIRS it — isotonic
+  // regression, the standard nonparametric recalibration (Zadrozny &
+  // Elkan 2002), fitted over the same equal-mass score deciles. Instead
+  // of the sequential pool-adjacent-violators loop, the fit uses PAV's
+  // closed MINIMAX characterization (Robertson et al. 1988):
+  //   iso_i = max_{j ≤ i} min_{k ≥ i} (Σ_{j..k} pos) / (Σ_{j..k} n)
+  // — exact over the 10-row bin frame: interval sums come from integer
+  // prefix sums, the two quantifiers are two grouped aggregates over
+  // the bounded (i, j, k) lattice (≤ 10·55 rows at any corpus size —
+  // the bins are the state, never the docs), and ratios of identical
+  // integers compare identically in both engines. Output keeps the raw
+  // decile rates next to the isotonic fit; monotonicity of the fit is
+  // spec-asserted (CorpusSpec) and the minimax form GUARANTEES it.
+  def q293IsotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val w = lrWeightsFor(s, d)
+    val scored = lrScores(lrFeatures(docs), w)
+      .select(col("y").cast("long").as("y"),
+        round(col("s") * 1e6, 0).cast("long").as("micro"))
+    val cuts = scored.agg(array((1 to 9).map(k =>
+      expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")): _*)
+      .as("cuts"))
+    val bins = scored.crossJoin(broadcast(cuts))
+      .select(col("y"),
+        size(filter(col("cuts"), c => c < col("micro"))).cast("long")
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val b2 = bins.localCheckpoint() // ≤10 rows; anchors the lattice joins
+    val jk = b2.select(col("bin").as("j"))
+      .crossJoin(b2.select(col("bin").as("k")))
+      .where(col("j") <= col("k"))
+    val iv = jk.join(b2, col("bin").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("n")).as("ivn"), sum(col("pos")).as("ivp"))
+    val inner = b2.select(col("bin").as("i"))
+      .join(iv, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("ivp").cast("double") / col("ivn").cast("double"))
+        .as("mn"))
+    val iso = inner.groupBy(col("i")).agg(max(col("mn")).as("iso"))
+    b2.join(iso, b2("bin") === iso("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(10000 * pos) div n").as("raw_rate_bp"),
+        round(col("iso") * 1e6, 0).cast("long").as("iso_rate_micro"))
+      .orderBy(col("bin"))
+  }
+
+  val q293Sql: String = {
+    val cutList = (1 to 9).map(k =>
+      s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")
+      .mkString("[", ", ", "]")
+    s"""WITH $lrOracleCtes,
+       |q AS (SELECT CAST(y AS BIGINT) AS y,
+       |        CAST(round(s * 1e6, 0) AS BIGINT) AS micro FROM sfin),
+       |cuts AS (SELECT $cutList AS cuts FROM q),
+       |bins AS MATERIALIZED (
+       |  SELECT CAST(len(list_filter(cuts, c -> c < micro)) AS BIGINT)
+       |    AS bin,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+       |  FROM q, cuts GROUP BY 1),
+       |jk AS (SELECT a.bin AS j, b.bin AS k FROM bins a, bins b
+       |       WHERE a.bin <= b.bin),
+       |iv AS (
+       |  SELECT j, k, CAST(sum(n) AS BIGINT) AS ivn,
+       |    CAST(sum(pos) AS BIGINT) AS ivp
+       |  FROM jk JOIN bins ON bin BETWEEN j AND k
+       |  GROUP BY j, k),
+       |inner_min AS (
+       |  SELECT i.bin AS i, j,
+       |    min(CAST(ivp AS DOUBLE) / CAST(ivn AS DOUBLE)) AS mn
+       |  FROM bins i JOIN iv ON j <= i.bin AND i.bin <= k
+       |  GROUP BY i.bin, j),
+       |iso AS (SELECT i, max(mn) AS iso FROM inner_min GROUP BY i)
+       |SELECT bin, n, pos, (10000 * pos) // n AS raw_rate_bp,
+       |  CAST(round(iso * 1e6, 0) AS BIGINT) AS iso_rate_micro
+       |FROM bins JOIN iso ON bin = i
+       |ORDER BY bin""".stripMargin
+  }
+
   // ─── q228: TRAINED multi-class language ID (softmax regression) ──────
   // q44 is the heuristic lang-ID (marker scoring); q209 the binary
   // trained classifier. This is the canonical fastText deployment —
@@ -3432,6 +3513,7 @@ object Corpus {
     "q282_suspect_labels" -> (q282SuspectLabels _),
     "q287_repetition_collapse" -> (q287RepetitionCollapse _),
     "q290_quota_apportion" -> (q290QuotaApportion _),
+    "q293_isotonic_calibration" -> (q293IsotonicCalibration _),
     "q232_domain_caps" -> (q232DomainCaps _),
     "q235_kfold" -> (q235KFold _),
     "q226_curriculum_plan" -> (q226CurriculumPlan _),
@@ -3481,6 +3563,7 @@ object Corpus {
     "q282_suspect_labels" -> q282Sql,
     "q287_repetition_collapse" -> q287Sql,
     "q290_quota_apportion" -> q290Sql,
+    "q293_isotonic_calibration" -> q293Sql,
     "q232_domain_caps" -> q232Sql,
     "q235_kfold" -> q235Sql,
     "q226_curriculum_plan" -> q226Sql,

@@ -2359,7 +2359,75 @@ object Insights {
       |FROM a JOIN b USING (brand)
       |ORDER BY brand""".stripMargin
 
+  // ─── q292: weighted percentile census ─────────────────────────────────
+  // Every percentile in the library so far weights rows equally; the
+  // business read usually doesn't ("median order value weighted by
+  // units sold" ≠ median order value). Weighted quartiles, rank-exact:
+  // over the per-segment cents histogram with integer weights
+  // (quantity), the weighted p-quantile is the smallest value whose
+  // cumulative weight reaches p·W — evaluated as INTEGER
+  // cross-multiplications (4·cumw ≥ W, 2·cumw ≥ W, 4·cumw ≥ 3·W), so
+  // no float ever decides a quantile. One cumulative window per
+  // segment over the reduced value histogram (the q250/q271 shape).
+  def q292WeightedPercentiles(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(
+      customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .join(lineitem(s, d).groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(round(col("l_quantity"), 0).cast("long")).as("w")),
+        "o_orderkey")
+      .select(col("seg"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"), col("w"))
+    val hist = o.groupBy(col("seg"), col("v")).agg(sum(col("w")).as("wv"))
+    val tot = hist.groupBy(col("seg")).agg(sum(col("wv")).as("tw"))
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cumw", sum(col("wv")).over(wCum))
+      .join(broadcast(tot), "seg")
+      .groupBy(col("seg"), col("tw"))
+      .agg(
+        min(when(lit(4L) * col("cumw") >= col("tw"), col("v"))).as("wp25"),
+        min(when(lit(2L) * col("cumw") >= col("tw"), col("v"))).as("wp50"),
+        min(when(lit(4L) * col("cumw") >= lit(3L) * col("tw"), col("v")))
+          .as("wp75"))
+      .select(col("seg"), col("tw").as("total_weight"), col("wp25"),
+        col("wp50"), col("wp75"))
+      .orderBy(col("seg"))
+  }
+
+  val q292Sql: String =
+    """WITH o AS MATERIALIZED (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+      |    w
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN (SELECT l_orderkey,
+      |          CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+      |            AS w
+      |        FROM lineitem GROUP BY l_orderkey) li
+      |    ON o_orderkey = li.l_orderkey),
+      |hist AS (
+      |  SELECT seg, v, CAST(sum(w) AS BIGINT) AS wv
+      |  FROM o GROUP BY seg, v),
+      |tot AS (SELECT seg, CAST(sum(wv) AS BIGINT) AS tw
+      |        FROM hist GROUP BY seg),
+      |cum AS (
+      |  SELECT seg, v,
+      |    CAST(sum(wv) OVER (PARTITION BY seg ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumw
+      |  FROM hist)
+      |SELECT c.seg, tw AS total_weight,
+      |  min(CASE WHEN 4 * cumw >= tw THEN v END) AS wp25,
+      |  min(CASE WHEN 2 * cumw >= tw THEN v END) AS wp50,
+      |  min(CASE WHEN 4 * cumw >= 3 * tw THEN v END) AS wp75
+      |FROM cum c JOIN tot USING (seg)
+      |GROUP BY c.seg, tw
+      |ORDER BY c.seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_weighted_percentiles" -> (q292WeightedPercentiles _),
     "q289_pvm_bridge" -> (q289PvmBridge _),
     "q288_robust_means" -> (q288RobustMeans _),
     "q286_entropy_rate" -> (q286EntropyRate _),
@@ -2407,6 +2475,7 @@ object Insights {
   val oracleSql: Map[String, String] = Map(
     "q275_poisson_bootstrap" -> q275Sql,
     "q277_ks_test" -> q277Sql,
+    "q292_weighted_percentiles" -> q292Sql,
     "q289_pvm_bridge" -> q289Sql,
     "q288_robust_means" -> q288Sql,
     "q286_entropy_rate" -> q286Sql,

@@ -643,6 +643,22 @@ class CorpusSpec extends SparkSpec {
     assert(rows.count(r => r._1 >= 0L && r._5 > 0L) > 0)
   }
 
+  test("q293 isotonic fit is monotone and pools violating deciles") {
+    val rows = graft.ops.Corpus.q293IsotonicCalibration(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 10)
+    val iso = rows.map(_._5)
+    // the minimax form guarantees a non-decreasing fit
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b }, iso.toSeq)
+    // the fit conserves the overall positive rate direction: first fit
+    // value ≤ overall rate ≤ last fit value (pooling can't escape the
+    // data's range)
+    val totalN = rows.map(_._2).sum
+    val totalP = rows.map(_._3).sum
+    val overall = totalP.toDouble / totalN * 1e6
+    assert(iso.head <= overall + 1 && iso.last >= overall - 1)
+  }
+
   test("q264 conformal: 'both' sets always cover; counts are consistent") {
     val rows = graft.ops.Corpus.q264ConformalGate(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()
