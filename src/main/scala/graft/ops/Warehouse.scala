@@ -411,7 +411,12 @@ object Warehouse {
   // possible ≥ 0 > non-match — the upper band holds fully-agreeing
   // pairs, the clerical-review band catches single-field corruptions.
   // Census per decision: pair count, TRUE-match count, score range.
-  def q265RecordLinkage(s: SparkSession, d: String): DataFrame = {
+  /** The two "systems" of the linkage fixture (q265/q294): A = the
+    * customer dim verbatim; B = 80% of it re-keyed (+1e7) with
+    * deterministic field noise. Factored so the golden-record builder
+    * (q294) consumes the identical sides. */
+  private[graft] def linkSides(s: SparkSession,
+                               d: String): (DataFrame, DataFrame) = {
     val cust = customer(s, d)
     def nameOf(idc: Column): Column =
       substring(md5(concat(lit("nm:"), idc.cast("string"))), 1, 10)
@@ -430,17 +435,29 @@ object Warehouse {
           when(col("c_custkey") % 3 === 0, 150L).otherwise(0L)).as("b_bal"),
         when(col("c_custkey") % 7 === 0, reverse(col("c_mktsegment")))
           .otherwise(col("c_mktsegment")).as("b_seg"))
+    (a, b)
+  }
+
+  /** Blocked candidate pairs with the Fellegi–Sunter score (shared by
+    * q265's census and q294's golden-record build). */
+  private[graft] def linkScored(s: SparkSession, d: String): DataFrame = {
+    val (a, b) = linkSides(s, d)
     val jw10k = round(graft.expr.JaroWinklerFunctions.jaro_winkler(
       col("a_name"), col("b_name")) * 10000, 0).cast("long")
     a.withColumn("blk", substring(col("a_name"), 1, 2))
       .join(b.withColumn("blk", substring(col("b_name"), 1, 2)),
             Seq("nk", "blk"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("a_id"), col("b_id"), col("a_name"), col("a_bal"),
+        col("a_seg"), col("b_bal"), col("b_seg"),
         (when(jw10k >= 9200L, 9893L).otherwise(-4322L) +
          when(abs(col("a_bal") - col("b_bal")) <= 100L, 4170L)
            .otherwise(-3248L) +
          when(col("a_seg") === col("b_seg"), 2293L).otherwise(-5322L))
           .as("score"))
+  }
+
+  def q265RecordLinkage(s: SparkSession, d: String): DataFrame = {
+    linkScored(s, d)
       .select(col("score"),
         when(col("score") >= 12000L, "match")
           .when(col("score") >= 0L, "possible")
@@ -492,6 +509,92 @@ object Warehouse {
        |FROM pairs
        |GROUP BY 1
        |ORDER BY decision""".stripMargin
+  }
+
+  // ─── q294: golden-record survivorship (MDM consolidation) ────────────
+  // What entity resolution exists FOR: after q265 links the two systems,
+  // each accepted pair (score ≥ 0 — the auto-match band plus the
+  // clerical-accept band, the standard consolidation policy) collapses
+  // into ONE golden record under per-field survivorship rules:
+  //  - best match wins first: one B per A, ranked (score DESC, b_id) —
+  //    the dedup every MDM hub applies before survivorship;
+  //  - balance: MAX of the two (the "latest shift wins" recency proxy —
+  //    system B's planted +$1.50 drift is the newer value);
+  //  - segment: deterministic canonicalization to the LEAST string
+  //    (conflicting categoricals need a total order, not a coin flip);
+  //  - name: system A verbatim (system-of-record rule, documented).
+  // The census reports, per golden segment, how often each rule
+  // actually FIRED (balances taken from B, segments changed) plus the
+  // exact golden balance sum — the numbers an MDM reconciliation signs
+  // off on. Scale: q265's blocked join + one per-A window + one
+  // |segments|-row census.
+  def q294GoldenRecords(s: SparkSession, d: String): DataFrame = {
+    val wBest = Window.partitionBy(col("a_id"))
+      .orderBy(col("score").desc, col("b_id"))
+    linkScored(s, d)
+      .where(col("score") >= 0L)
+      .withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(
+        greatest(col("a_bal"), col("b_bal")).as("g_bal"),
+        least(col("a_seg"), col("b_seg")).as("g_seg"),
+        when(col("b_bal") > col("a_bal"), 1L).otherwise(0L)
+          .as("bal_from_b"),
+        when(col("a_seg") =!= col("b_seg"), 1L).otherwise(0L)
+          .as("seg_changed"))
+      .groupBy(col("g_seg"))
+      .agg(count(lit(1)).as("n_golden"),
+           sum(col("bal_from_b")).as("n_bal_from_b"),
+           sum(col("seg_changed")).as("n_seg_changed"),
+           sum(col("g_bal")).as("golden_bal_sum"))
+      .orderBy(col("g_seg"))
+  }
+
+  val q294Sql: String = {
+    val nm = "substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 10)"
+    s"""WITH a AS MATERIALIZED (
+       |  SELECT c_custkey AS a_id, c_nationkey AS nk, $nm AS a_name,
+       |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS a_bal,
+       |    c_mktsegment AS a_seg
+       |  FROM customer),
+       |b AS MATERIALIZED (
+       |  SELECT c_custkey + 10000000 AS b_id, c_nationkey AS nk,
+       |    CASE WHEN c_custkey % 2 = 0 THEN
+       |      substr($nm, 1, 2) || 'z' || substr($nm, 4, 7)
+       |    ELSE $nm END AS b_name,
+       |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
+       |      + CASE WHEN c_custkey % 3 = 0 THEN 150 ELSE 0 END AS b_bal,
+       |    CASE WHEN c_custkey % 7 = 0 THEN reverse(c_mktsegment)
+       |         ELSE c_mktsegment END AS b_seg
+       |  FROM customer WHERE c_custkey % 5 <> 0),
+       |pairs AS (
+       |  SELECT a_id, b_id, a_bal, a_seg, b_bal, b_seg,
+       |    CASE WHEN CAST(round(jaro_winkler_similarity(a_name, b_name)
+       |                    * 10000, 0) AS BIGINT) >= 9200
+       |         THEN 9893 ELSE -4322 END
+       |    + CASE WHEN abs(a_bal - b_bal) <= 100 THEN 4170
+       |           ELSE -3248 END
+       |    + CASE WHEN a_seg = b_seg THEN 2293 ELSE -5322 END AS score
+       |  FROM a JOIN b ON a.nk = b.nk
+       |    AND substr(a_name, 1, 2) = substr(b_name, 1, 2)),
+       |best AS (
+       |  SELECT a_bal, a_seg, b_bal, b_seg FROM pairs
+       |  WHERE score >= 0
+       |  QUALIFY row_number() OVER (PARTITION BY a_id
+       |    ORDER BY score DESC, b_id) = 1),
+       |golden AS (
+       |  SELECT greatest(a_bal, b_bal) AS g_bal,
+       |    least(a_seg, b_seg) AS g_seg,
+       |    CASE WHEN b_bal > a_bal THEN 1 ELSE 0 END AS bal_from_b,
+       |    CASE WHEN a_seg <> b_seg THEN 1 ELSE 0 END AS seg_changed
+       |  FROM best)
+       |SELECT g_seg, CAST(count(*) AS BIGINT) AS n_golden,
+       |  CAST(sum(bal_from_b) AS BIGINT) AS n_bal_from_b,
+       |  CAST(sum(seg_changed) AS BIGINT) AS n_seg_changed,
+       |  CAST(sum(g_bal) AS BIGINT) AS golden_bal_sum
+       |FROM golden
+       |GROUP BY g_seg
+       |ORDER BY g_seg""".stripMargin
   }
 
   // ─── q87: gaps-and-islands sessionization (batch twin of q54) ─────────
@@ -1193,6 +1296,7 @@ object Warehouse {
     "q86_edit_distance" -> (q86EditDistance _),
     "q155_jaro_winkler" -> (q155JaroWinkler _),
     "q265_record_linkage" -> (q265RecordLinkage _),
+    "q294_golden_records" -> (q294GoldenRecords _),
     "q87_sessionize"  -> (q87Sessionize _),
     "q88_unpivot"     -> (q88Unpivot _),
     "q96_approx_percentiles" -> (q96ApproxPercentiles _))
@@ -1213,6 +1317,7 @@ object Warehouse {
     "q86_edit_distance" -> q86Sql,
     "q155_jaro_winkler" -> q155Sql,
     "q265_record_linkage" -> q265Sql,
+    "q294_golden_records" -> q294Sql,
     "q87_sessionize"  -> q87Sql,
     "q88_unpivot"     -> q88Sql,
     "q96_approx_percentiles" -> q96Sql,
