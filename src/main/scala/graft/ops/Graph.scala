@@ -613,7 +613,14 @@ object Graph {
   // Scale: each round is one equi-join of the static bidirected edge
   // list with the node-sized distance frame + one map-side-combined
   // min — PageRank's per-round shape with min instead of sum; distance
-  // frames localCheckpoint per round (lineage truncation).
+  // frames localCheckpoint per round (lineage truncation) and ride the
+  // same cardinality-guarded broadcast as q150's rank frame (a
+  // checkpoint erases size stats, so without the hint every round
+  // re-SORTS the edge list for an SMJ — the round-9 batch-5 sf10 soak
+  // measured exactly that as a 1.11 exponent before this fix; with the
+  // guard + the w ≥ 2 affinity filter the decade is sublinear). The
+  // w ≥ 2 filter also makes this the SAME graph q171/q258/q267 walk —
+  // repeated co-purchase, not one-off basket noise.
   private val BfRounds = 4
 
   def q284BellmanFord(s: SparkSession, d: String): DataFrame = {
@@ -624,17 +631,23 @@ object Graph {
       .join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(expr("1000000 div count(*)").as("cost"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2L)
+      .select(col("p1"), col("p2"), expr("1000000 div w").as("cost"))
     val edges = canon.select(col("p1").as("src"), col("p2").as("dst"),
         col("cost"))
       .unionAll(canon.select(col("p2"), col("p1"), col("cost")))
       .localCheckpoint()
+    val nNodes = edges.select(col("src")).distinct().count()
+    val distSide: DataFrame => DataFrame =
+      if (nNodes <= 5000000L) broadcast else identity
     var dist = edges.select(col("src").as("node")).distinct()
       .where(col("node") % 100 === 0)
       .withColumn("dv", lit(0L)).localCheckpoint()
     for (_ <- 1 to BfRounds) {
       dist = dist
-        .unionAll(edges.join(dist.withColumnRenamed("node", "src"), "src")
+        .unionAll(edges.join(
+            distSide(dist.withColumnRenamed("node", "src")), "src")
           .select(col("dst").as("node"), (col("dv") + col("cost"))
             .as("dv")))
         .groupBy(col("node")).agg(min(col("dv")).as("dv"))
@@ -663,7 +676,8 @@ object Graph {
        |  SELECT a.pk AS p1, b.pk AS p2,
        |    1000000 // CAST(count(*) AS BIGINT) AS cost
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-       |  GROUP BY a.pk, b.pk),
+       |  GROUP BY a.pk, b.pk
+       |  HAVING count(*) >= 2),
        |e AS MATERIALIZED (
        |  SELECT p1 AS src, p2 AS dst, cost FROM canon
        |  UNION ALL SELECT p2, p1, cost FROM canon),
