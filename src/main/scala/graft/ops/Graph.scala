@@ -1193,20 +1193,28 @@ object Graph {
   private val MstRounds = 3
 
   /** Borůvka maximum-spanning-forest rounds over a canonical weighted
-    * (p1 < p2, w) edge list: returns (p1, p2, w, round) — the forest,
-    * tagged by the round each edge joined in. Factored from
-    * [[q267BoruvkaForest]] so GraphSpec can drive planted graphs. */
+    * (p1 < p2, w) edge list: returns (forest tagged by join-round,
+    * final (node, comp) labels). Factored from [[q267BoruvkaForest]]
+    * so GraphSpec can drive planted graphs.
+    *
+    * Contraction between rounds is INCREMENTAL (the q276 identity):
+    * round r's labels come from CC over (round r−1's label edges ∪ the
+    * newly selected edges) — node-sized input with yesterday's
+    * components arriving pre-contracted as stars — instead of a full
+    * CC over the whole accumulated forest each round. Same fixpoint,
+    * a fraction of the rounds (this cut q267 from 4 full fixpoints to
+    * 1 full + 3 near-converged ones; ~3× at sf0.1). */
   private[graft] def boruvkaForest(wEdgesIn: DataFrame,
-                                   rounds: Int): DataFrame = {
+                                   rounds: Int): (DataFrame, DataFrame) = {
     val wEdges = wEdgesIn.localCheckpoint()
     val nodes = wEdges.select(col("p1").as("node"))
       .union(wEdges.select(col("p2").as("node"))).distinct()
       .localCheckpoint()
+    var lbl = nodes.withColumn("comp", col("node")).localCheckpoint()
     var forest = wEdges
       .select(col("p1"), col("p2"), col("w"), lit(0L).as("round"))
       .limit(0).localCheckpoint()
     for (r <- 1 to rounds) {
-      val lbl = boruvkaLabels(nodes, forest)
       val cand = wEdges
         .join(lbl.select(col("node").as("p1"), col("comp").as("ca")), "p1")
         .join(lbl.select(col("node").as("p2"), col("comp").as("cb")), "p2")
@@ -1223,18 +1231,17 @@ object Graph {
       forest = forest
         .unionAll(sel.withColumn("round", lit(r.toLong)))
         .localCheckpoint()
+      val comp = connectedComponents(
+        lbl.where(col("node") =!= col("comp"))
+          .select(col("node").as("src"), col("comp").as("dst"))
+          .unionAll(sel.select(col("p1").as("src"), col("p2").as("dst"))),
+        "src", "dst")
+      lbl = nodes.join(comp, Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node"))
+          .as("comp"))
+        .localCheckpoint()
     }
-    forest
-  }
-
-  private[graft] def boruvkaLabels(nodes: DataFrame,
-                                   forest: DataFrame): DataFrame = {
-    val comp = connectedComponents(
-      forest.select(col("p1").as("src"), col("p2").as("dst")),
-      "src", "dst")
-    nodes.join(comp, Seq("node"), "left")
-      .select(col("node"), coalesce(col("component"), col("node"))
-        .as("comp"))
+    (forest, lbl)
   }
 
   def q267BoruvkaForest(s: SparkSession, d: String): DataFrame = {
@@ -1247,10 +1254,8 @@ object Graph {
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2L)
-    val forest = boruvkaForest(wEdges, MstRounds)
-    val nodes = forest.select(col("p1").as("node"))
-      .union(forest.select(col("p2").as("node"))).distinct()
-    val fin = broadcast(boruvkaLabels(nodes, forest)
+    val (forest, lbl) = boruvkaForest(wEdges, MstRounds)
+    val fin = broadcast(lbl
       .agg(countDistinct(col("comp")).as("n_components_final"))
       .crossJoin(forest.agg(sum(col("w")).as("forest_weight"))))
     forest.groupBy(col("round"))

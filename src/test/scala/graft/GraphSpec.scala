@@ -411,8 +411,10 @@ class GraphSpec extends SparkSpec {
     val g = Seq((1L, 2L, 5L), (1L, 3L, 4L), (2L, 3L, 3L),
                 (4L, 5L, 5L), (4L, 6L, 4L), (5L, 6L, 3L),
                 (3L, 4L, 1L)).toDF("p1", "p2", "w")
-    val forest = Graph.boruvkaForest(g, 3)
-      .as[(Long, Long, Long, Long)].collect().toSet
+    val (forestDf, lbl) = Graph.boruvkaForest(g, 3)
+    val forest = forestDf.as[(Long, Long, Long, Long)].collect().toSet
+    // the incremental contraction converges: one component, min label
+    assert(lbl.as[(Long, Long)].collect().toMap.values.toSet === Set(1L))
     assert(forest === Set(
       (1L, 2L, 5L, 1L), (1L, 3L, 4L, 1L),   // round 1: per-node argmax
       (4L, 5L, 5L, 1L), (4L, 6L, 4L, 1L),
