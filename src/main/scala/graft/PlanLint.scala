@@ -489,6 +489,13 @@ object PlanLint {
     // cut array crosses the scored rows (q244's shape)
     "q293_isotonic_calibration" -> Set("nested-loop", "cartesian",
                                        "exact-percentile"),
+    // q295: each peel round's 1-row edge-count frame crossJoined into
+    // its census row (scalar-broadcast idiom, 4 fixed rounds)
+    "q295_kcore" -> Set("nested-loop", "cartesian"),
+    // q297: the |langs|-row prior/default frame crossJoined onto the
+    // token stream (the scoring fanout IS the classifier's semantics);
+    // the 1-row vocab/doc-count frames cross the |langs|-row priors
+    "q297_naive_bayes" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in

@@ -2194,6 +2194,131 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ─── q297: multinomial Naive Bayes language classifier ────────────────
+  // The GENERATIVE counterpart of q228's discriminative softmax — the
+  // textbook multinomial NB (McCallum–Nigam 1998) that production
+  // pipelines reach for first because training is ONE counting pass (no
+  // epochs, no learning rate): P(l | doc) ∝ P(l) · Π_t P(t | l)^cnt_t
+  // with add-1 (Laplace) smoothing, argmax in log space. Unlike q228 it
+  // models raw TOKENS (no hash buckets), so the model is the per-(lang,
+  // token) count table — the thing a counting aggregate already builds.
+  //
+  // Exactness discipline: all model statistics (class token totals N_l,
+  // vocab size V, per-(l,t) counts c, doc counts) are exact integers;
+  // each log term ln((c+1)/(N_l+V)) and prior ln(n_l/N) is quantized to
+  // integer NANOS at the model-row boundary (round(·,9)·1e9 — the q262
+  // double-rounding guard), so per-doc scores are exact BIGINT sums that
+  // no summation order can perturb. Argmax ties break to the smallest
+  // class index (never fires on real scores; pinned for the oracle).
+  //
+  // Scale: train = one map-side-combined count over the token stream +
+  // a ≤|langs| totals frame. Scoring joins the (doc, tok, cnt) frame
+  // against the model on tok — the token stream shuffles ONCE, by token
+  // — with the |langs|-row default/prior frame broadcast; the |langs|×
+  // fanout of scoring is the classifier's semantics (5 posteriors per
+  // doc), map-side after the model join. Census = confusion matrix.
+  def q297NaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val docTok = docs
+      .select(col("doc_id"), col("lang").as("y"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("y"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    // model: per-(lang, token) counts, class totals, vocab, priors
+    val classTok = docTok.groupBy(col("y").as("ml"), col("tok"))
+      .agg(sum(col("cnt")).as("c"))
+    val classTot = classTok.groupBy(col("ml")).agg(sum(col("c")).as("nl"))
+    val vocab = classTok.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val priors = docs.groupBy(col("lang").as("ml"))
+      .agg(count(lit(1)).as("cl"))
+      .crossJoin(broadcast(nDocs))
+      .join(classTot, "ml")
+      .crossJoin(broadcast(vocab))
+      .select(col("ml"), col("nl"), col("v"),
+        (round(round(log(col("cl").cast("double") / col("nd")), 9)
+          * lit(1e9)).cast("long")).as("prior_nano"),
+        (round(round(log(lit(1.0) / (col("nl") + col("v")).cast("double")),
+          9) * lit(1e9)).cast("long")).as("default_nano"))
+    val model = classTok.join(broadcast(priors.select("ml", "nl", "v")), "ml")
+      .select(col("ml"), col("tok"),
+        (round(round(log((col("c") + 1L).cast("double") /
+          (col("nl") + col("v")).cast("double")), 9) * lit(1e9))
+          .cast("long")).as("lp_nano"))
+    // scoring: every doc token scored under every class; unseen
+    // (class, token) pairs fall back to the class default
+    val scored = docTok
+      .crossJoin(broadcast(priors.select(col("ml"), col("default_nano"))))
+      .join(model, Seq("ml", "tok"), "left")
+      .select(col("doc_id"), col("y"), col("ml"),
+        (col("cnt") * coalesce(col("lp_nano"), col("default_nano")))
+          .as("term_nano"))
+      .groupBy(col("doc_id"), col("y"), col("ml"))
+      .agg(sum(col("term_nano")).as("sum_nano"))
+      .join(broadcast(priors.select(col("ml"), col("prior_nano"))), "ml")
+      .select(col("doc_id"), col("y"), col("ml"),
+        (col("sum_nano") + col("prior_nano")).as("score_nano"))
+    scored
+      .groupBy(col("doc_id"), col("y"))
+      .agg(expr("max_by(ml, struct(score_nano, -" +
+        "(CASE WHEN ml='de' THEN 0 WHEN ml='en' THEN 1 WHEN ml='es' THEN 2 " +
+        "WHEN ml='fr' THEN 3 ELSE 4 END)))").as("pred"))
+      .groupBy(col("y").as("actual"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("pred"))
+  }
+
+  val q297Sql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, lang AS y, $tokensSql AS toks FROM documents),
+       |doctok AS MATERIALIZED (
+       |  SELECT doc_id, y, tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, y, unnest(toks) AS tok FROM base)
+       |  GROUP BY doc_id, y, tok),
+       |classtok AS MATERIALIZED (
+       |  SELECT y AS ml, tok, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM doctok GROUP BY y, tok),
+       |classtot AS (SELECT ml, CAST(sum(c) AS BIGINT) AS nl
+       |             FROM classtok GROUP BY ml),
+       |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |        FROM classtok),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM base),
+       |priors AS MATERIALIZED (
+       |  SELECT t.ml, t.nl, voc.v,
+       |    CAST(round(round(ln(CAST(cl AS DOUBLE) / nd), 9) * 1e9)
+       |      AS BIGINT) AS prior_nano,
+       |    CAST(round(round(ln(1.0 / CAST(t.nl + voc.v AS DOUBLE)), 9)
+       |      * 1e9) AS BIGINT) AS default_nano
+       |  FROM (SELECT y AS ml, count(*) AS cl FROM base GROUP BY y) p
+       |  JOIN classtot t ON p.ml = t.ml, voc, nd),
+       |model AS MATERIALIZED (
+       |  SELECT k.ml, k.tok,
+       |    CAST(round(round(ln(CAST(k.c + 1 AS DOUBLE)
+       |      / CAST(p.nl + p.v AS DOUBLE)), 9) * 1e9) AS BIGINT) AS lp_nano
+       |  FROM classtok k JOIN priors p ON k.ml = p.ml),
+       |scored AS (
+       |  SELECT dt.doc_id, dt.y, pr.ml,
+       |    CAST(sum(dt.cnt * coalesce(m.lp_nano, pr.default_nano))
+       |      AS BIGINT) + pr.prior_nano AS score_nano
+       |  FROM doctok dt
+       |  CROSS JOIN priors pr
+       |  LEFT JOIN model m ON m.ml = pr.ml AND m.tok = dt.tok
+       |  GROUP BY dt.doc_id, dt.y, pr.ml, pr.prior_nano),
+       |pred AS (
+       |  SELECT doc_id, y, ml AS pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_nano DESC,
+       |        CASE WHEN ml='de' THEN 0 WHEN ml='en' THEN 1
+       |             WHEN ml='es' THEN 2 WHEN ml='fr' THEN 3 ELSE 4 END)
+       |      AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT y AS actual, pred, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred
+       |GROUP BY y, pred
+       |ORDER BY actual, pred""".stripMargin
+
   // ─── q216: DSIR importance selection (target-distribution matching) ──
   // The published data-selection method (Xie et al. 2023, "Data Selection
   // for Language Models via Importance Resampling"): score every raw
@@ -3492,6 +3617,7 @@ object Corpus {
        |FROM scanned""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_naive_bayes" -> (q297NaiveBayes _),
     "q255_lpt_balance" -> (q255LptBalance _),
     "q256_ranking_quality" -> (q256RankingQuality _),
     "q257_pr_sweep" -> (q257PrSweep _),
@@ -3542,6 +3668,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q297_naive_bayes" -> q297Sql,
     "q255_lpt_balance" -> q255Sql,
     "q256_ranking_quality" -> q256Sql,
     "q257_pr_sweep" -> q257Sql,

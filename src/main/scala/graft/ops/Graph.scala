@@ -1438,7 +1438,185 @@ object Graph {
        |LEFT JOIN lc ON c.split = lc.split
        |ORDER BY c.split""".stripMargin
 
+  // ─── q295: k-core decomposition (iterative peel census) ───────────────
+  // The degeneracy-ordering primitive (Seidman 1983; Batagelj–Zaveršnik
+  // peel): repeatedly delete nodes of degree < k until every survivor has
+  // ≥ k neighbours INSIDE the survivor set. The k-core is the standard
+  // "dense backbone" filter graph-quality priors gate on — PageRank ranks
+  // nodes, the core/periphery CUT says which nodes sit in a cohesive
+  // region at all (spam/boilerplate link farms shed in the first peels).
+  //
+  // Determinism: the peel is label-free — each round's survivor set is a
+  // pure function of the edge set, so no tie-break is ever needed. Runs
+  // [[KCoreRounds]] FIXED synchronous rounds (the q233 discipline: a
+  // converged peel removes nothing and the census row shows it — the
+  // honest cross-engine form; sf0.01 converges by round 3).
+  //
+  // Scale: per round = one map-side-combined degree aggregate over the
+  // current edge list + two semi-joins keyed on single long node columns
+  // — fixed-width shuffles, input MONOTONICALLY SHRINKING (peeling never
+  // adds). Fixed round count ⇒ one lazy 4-round-deep plan, a single
+  // action; per-round frames are cached because each round's edge set
+  // feeds BOTH the next round and its own census row (caller-owned
+  // release — Bench/Verify clearCache per query, the q258 contract).
+  private val KCoreK = 3
+  private val KCoreRounds = 4
+
+  /** One census row per peel round over a canonical (p1 < p2) edge list:
+    * (round, n_before, n_kept, n_removed, n_edges) where n_before counts
+    * nodes incident to the round's input edges, n_kept those with
+    * degree ≥ k, and n_edges the surviving edges. Factored from
+    * [[q295KCore]] so GraphSpec can drive planted graphs. */
+  private[graft] def kCorePeel(canon: DataFrame, k: Int,
+                               rounds: Int): DataFrame = {
+    var edges = canon.select("p1", "p2")
+    val census = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val deg = edges.select(col("p1").as("n"))
+        .unionAll(edges.select(col("p2").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("n")
+      val next = edges
+        .join(keep.select(col("n").as("p1")), Seq("p1"), "left_semi")
+        .join(keep.select(col("n").as("p2")), Seq("p2"), "left_semi")
+        .select("p1", "p2")
+        .cache()
+      // coalesce: a fully-peeled (empty) round has count 0 but a NULL
+      // sum — the census must read (0, 0), matching the oracle's
+      // scalar-subquery counts (bit at sf0.1, where 3-core converges
+      // to empty by round 3)
+      census += deg
+        .agg(count(lit(1)).as("n_before"),
+             coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)),
+               lit(0L)).as("n_kept"))
+        .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(r.toLong).as("round"), col("n_before"), col("n_kept"),
+          (col("n_before") - col("n_kept")).as("n_removed"), col("n_edges"))
+      edges = next
+    }
+    census.result().reduce(_ unionAll _)
+  }
+
+  def q295KCore(s: SparkSession, d: String): DataFrame = {
+    val canon = coPurchaseEdges(s, d).cache()
+    kCorePeel(canon, KCoreK, KCoreRounds).orderBy(col("round"))
+  }
+
+  val q295Sql: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""d$r AS (SELECT n, count(*) AS deg FROM (
+         |  SELECT p1 AS n FROM e${r - 1} UNION ALL SELECT p2 FROM e${r - 1})
+         |  GROUP BY n),
+         |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= $KCoreK),
+         |e$r AS MATERIALIZED (
+         |  SELECT p1, p2 FROM e${r - 1}
+         |  WHERE p1 IN (SELECT n FROM k$r) AND p2 IN (SELECT n FROM k$r)),
+         |c$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d$r) AS n_before,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k$r) AS n_kept,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to KCoreRounds)
+      .map(r => s"SELECT * FROM c$r").mkString(" UNION ALL ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |            FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.pk AS p1, b.pk AS p2
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+       |$rounds
+       |SELECT round, n_before, n_kept, n_before - n_kept AS n_removed,
+       |  n_edges
+       |FROM ($unions)
+       |ORDER BY round""".stripMargin
+  }
+
+  // ─── q301: local clustering coefficient (degree-stratified census) ────
+  // Per-node clustering c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close
+  // each node's neighbourhood is to a clique — aggregated BY DEGREE: the
+  // Ravasz–Barabási hierarchical-structure read (c(deg) falling with deg
+  // signals modular hierarchy; flat c(deg) signals a random graph). This
+  // is the node-local refinement of q171's single global triangle count.
+  //
+  // Per-node triangle counts come from the SAME degree-oriented
+  // enumeration as q171 — each triangle surfaces exactly once as a
+  // directed wedge plus closing edge, then credits all three of its
+  // corners (a 3× projection of the triangle frame, no new join). The
+  // per-node count is orientation-invariant, so the id-oriented DuckDB
+  // oracle checks it exactly. Per-node c is quantized to integer micros
+  // (round — integer inputs, identical IEEE division), and the
+  // per-degree mean uses truncating integer division (div ≡ DuckDB //).
+  //
+  // Scale: inherits q171's O(m^1.5) wedge bound; everything after the
+  // triangle frame is node-sized; the census output is degree-sized.
+  def q301ClusteringCoefficient(s: SparkSession, d: String): DataFrame = {
+    val canon = coPurchaseEdges(s, d).cache()
+    val edges = orientByDegree(canon).cache()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"), col("e1.src") === col("e3.src") &&
+                            col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+              col("e2.dst").as("c"))
+    val nodeTri = tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    val deg = canon.select(col("p1").as("n"))
+      .unionAll(canon.select(col("p2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(nodeTri, Seq("n"), "left")
+      .select(col("n"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_micro",
+        round(lit(2000000.0) * col("n_tri") /
+          (col("deg") * (col("deg") - 1))).cast("long"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("n_tri")).as("tri_sum"),
+           expr("sum(cc_micro) div count(*)").as("mean_cc_micro"))
+      .orderBy(col("deg"))
+  }
+
+  val q301Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |canon AS MATERIALIZED (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      |  FROM canon e1
+      |  JOIN canon e2 ON e1.p2 = e2.p1
+      |  JOIN canon e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2),
+      |nodetri AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY n),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT p1 AS n FROM canon UNION ALL SELECT p2 FROM canon)
+      |  GROUP BY n),
+      |pernode AS (
+      |  SELECT d.deg, coalesce(t.n_tri, 0) AS n_tri,
+      |    CAST(round(2000000.0 * coalesce(t.n_tri, 0)
+      |      / (d.deg * (d.deg - 1))) AS BIGINT) AS cc_micro
+      |  FROM deg d LEFT JOIN nodetri t ON d.n = t.n
+      |  WHERE d.deg >= 2)
+      |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(n_tri) AS BIGINT) AS tri_sum,
+      |  CAST(sum(cc_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+      |    AS mean_cc_micro
+      |FROM pernode
+      |GROUP BY deg
+      |ORDER BY deg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_kcore" -> (q295KCore _),
+    "q301_clustering_coefficient" -> (q301ClusteringCoefficient _),
     "q222_leakage_safe_split" -> (q222LeakageSafeSplit _),
     "q71_dup_clusters" -> (q71DupClusters _),
     "q198_canonical_keeper" -> (q198CanonicalKeeper _),
@@ -1455,6 +1633,8 @@ object Graph {
     "q284_bellman_ford" -> (q284BellmanFord _))
 
   val oracleSql: Map[String, String] = Map(
+    "q295_kcore" -> q295Sql,
+    "q301_clustering_coefficient" -> q301Sql,
     "q222_leakage_safe_split" -> q222Sql,
     "q71_dup_clusters" -> q71Sql,
     "q198_canonical_keeper" -> q198Sql,

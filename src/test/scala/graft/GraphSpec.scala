@@ -451,4 +451,35 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(gotMixed === Seq((1L, 3L, 2 * w3, 2L)))
   }
+
+  test("q295 k-core peel: planted core survives, tendrils shed in order") {
+    // a 4-clique (every node degree 3 — the 3-core) with a 2-hop tendril
+    // hanging off node 1: 1-10-11. Peel at k=3:
+    //   round 1: 11 (deg 1) and 10 (deg 2) both drop — degree is
+    //            evaluated on the round's INPUT edges, synchronously;
+    //   round 2: nothing changes (the clique is the fixpoint).
+    val g = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+                 (3L, 4L), (1L, 10L), (10L, 11L)))
+      .toDF("p1", "p2")
+    val got = Graph.kCorePeel(g, 3, 3)
+      .orderBy($"round")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // (round, n_before, n_kept, n_removed, n_edges)
+    assert(got === Seq(
+      (1L, 6L, 4L, 2L, 6L),   // 10 and 11 shed together; clique edges stay
+      (2L, 4L, 4L, 0L, 6L),   // fixpoint: peeling removes nothing
+      (3L, 4L, 4L, 0L, 6L)))
+    spark.catalog.clearCache()
+
+    // a 6-cycle is pure 2-core: at k=3 EVERYTHING sheds in round 1 and
+    // the empty-graph census stays (0, 0) — the coalesce path sf0.1 hits.
+    val cyc = (0L until 6L).map(i => (i, (i + 1) % 6))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("p1", "p2")
+    val gotCyc = Graph.kCorePeel(cyc, 3, 2)
+      .orderBy($"round")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotCyc === Seq((1L, 6L, 0L, 6L, 0L), (2L, 0L, 0L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
 }
