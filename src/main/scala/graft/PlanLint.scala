@@ -496,6 +496,18 @@ object PlanLint {
     // token stream (the scoring fanout IS the classifier's semantics);
     // the 1-row vocab/doc-count frames cross the |langs|-row priors
     "q297_naive_bayes" -> Set("nested-loop", "cartesian"),
+    // q296: three 1-row census frames (degree stats, edge stats,
+    // triangle count) crossJoined into the single output row
+    "q296_topology_census" -> Set("nested-loop", "cartesian"),
+    // q298: the 5-row variant frame crosses the ≤30-row transition
+    // frame; 1-row base/total frames cross the 4-row removal census
+    "q298_markov_attribution" -> Set("nested-loop", "cartesian"),
+    // q299: the 1-row calendar-span frame crosses the |types| frame to
+    // build the day spine (scalar-broadcast idiom)
+    "q299_holt_backtest" -> Set("nested-loop", "cartesian"),
+    // q302: the exact-recall twin is q49's broadcast 5-query BNLJ; the
+    // candidate path itself is four band equi-joins
+    "q302_sign_ann" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in

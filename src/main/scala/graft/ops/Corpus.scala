@@ -2217,8 +2217,13 @@ object Corpus {
   // — with the |langs|-row default/prior frame broadcast; the |langs|×
   // fanout of scoring is the classifier's semantics (5 posteriors per
   // doc), map-side after the model join. Census = confusion matrix.
-  def q297NaiveBayes(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def q297NaiveBayes(s: SparkSession, d: String): DataFrame =
+    nbConfusion(documents(s, d))
+
+  /** Train-and-score body over any (doc_id, lang, text) frame. Factored
+    * from [[q297NaiveBayes]] so CorpusSpec can prove the model classifies
+    * by CONTENT on a planted two-vocabulary corpus. */
+  private[graft] def nbConfusion(docs: DataFrame): DataFrame = {
     val docTok = docs
       .select(col("doc_id"), col("lang").as("y"),
         explode(tokens(col("text"))).as("tok"))

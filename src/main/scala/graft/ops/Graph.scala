@@ -1614,8 +1614,117 @@ object Graph {
       |GROUP BY deg
       |ORDER BY deg""".stripMargin
 
+  // ─── q296: graph topology census (the "trust this graph?" audit) ──────
+  // The one-row summary computed before ANY graph-quality prior is
+  // believed: size (n, m), degree extremes/mean, wedge count, global
+  // transitivity 3·triangles/wedges (Newman's clustering — the ratio
+  // form that weights hubs honestly, unlike q301's per-node mean), and
+  // DEGREE ASSORTATIVITY (Newman 2002): the Pearson correlation of
+  // endpoint degrees over edges — positive = social-network-like core,
+  // negative = hub-and-spoke (disassortative), the single number that
+  // says which scaling pathologies (q171's hub wedges, q150's rank
+  // sinks) this graph can even exhibit.
+  //
+  // Exactness: assortativity is computed from the closed form cleared of
+  // halves — r = (4·M·Σjk − (Σ(j+k))²) / (2·M·Σ(j²+k²) − (Σ(j+k))²) —
+  // so every term is an exact integer SUM over edges; the squares run in
+  // DECIMAL(38,0) (the q279 HUGEINT rule: deg ≤ 10⁶ and M ≤ 10¹² keep
+  // every product inside 38 digits where int64 would overflow at 100 TB
+  // edge counts). Only the final ratio becomes a micro-quantized double.
+  //
+  // Scale: one degree aggregate + one edge⋈degree join (the q258 shape)
+  // + q171's oriented triangle count; census terms are map-side-combined
+  // sums — the whole query reduces to a handful of 1-row frames.
+  def q296TopologyCensus(s: SparkSession, d: String): DataFrame =
+    topologyCensus(coPurchaseEdges(s, d).cache())
+
+  /** The census body over any canonical (p1 < p2) edge list. Factored
+    * from [[q296TopologyCensus]] so GraphSpec can drive planted graphs
+    * (star = assortativity −1, clique = regular-graph guard path). */
+  private[graft] def topologyCensus(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("p1").as("n"))
+      .unionAll(canon.select(col("p2").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .cache()
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"), max(col("deg")).as("max_deg"),
+      sum(col("deg")).as("deg_sum"),
+      expr("sum((deg * (deg - 1)) div 2)").as("wedges"))
+    val edgeDeg = canon
+      .join(deg.select(col("n").as("p1"), col("deg").as("j")), "p1")
+      .join(deg.select(col("n").as("p2"), col("deg").as("k")), "p2")
+    val edgeStats = edgeDeg.agg(
+      count(lit(1)).as("m"),
+      sum((col("j") * col("k")).cast("decimal(38,0)")).as("s_jk"),
+      sum((col("j") + col("k")).cast("decimal(38,0)")).as("s_sum"),
+      sum((col("j") * col("j") + col("k") * col("k"))
+        .cast("decimal(38,0)")).as("s_sq"))
+    val oriented = orientByDegree(canon)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"), col("e1.src") === col("e3.src") &&
+                               col("e2.dst") === col("e3.dst"))
+      .agg(count(lit(1)).as("triangles"))
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("max_deg"),
+        expr("(1000000 * deg_sum) div n_nodes").as("mean_deg_micro"),
+        col("wedges"), col("triangles"),
+        when(col("wedges") > 0L,
+          round(lit(3e6) * col("triangles") / col("wedges")))
+          .otherwise(lit(0.0)).cast("long").as("transitivity_micro"),
+        {
+          val num = (lit(4).cast("decimal(38,0)") * col("m") * col("s_jk")
+            - col("s_sum") * col("s_sum")).cast("double")
+          val den = (lit(2).cast("decimal(38,0)") * col("m") * col("s_sq")
+            - col("s_sum") * col("s_sum")).cast("double")
+          // a perfectly REGULAR graph has zero degree variance — r is
+          // undefined there; pin it to 0 so both engines agree
+          when(den =!= 0.0, round(lit(1e6) * num / den))
+            .otherwise(lit(0.0)).cast("long").as("assortativity_micro")
+        })
+  }
+
+  val q296Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |canon AS MATERIALIZED (
+      |  SELECT a.pk AS p1, b.pk AS p2
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |deg AS MATERIALIZED (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT p1 AS n FROM canon UNION ALL SELECT p2 FROM canon)
+      |  GROUP BY n),
+      |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(max(deg) AS BIGINT) AS max_deg,
+      |  CAST(sum(deg) AS BIGINT) AS deg_sum,
+      |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS wedges FROM deg),
+      |es AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |  sum(CAST(d1.deg * d2.deg AS HUGEINT)) AS s_jk,
+      |  sum(CAST(d1.deg + d2.deg AS HUGEINT)) AS s_sum,
+      |  sum(CAST(d1.deg * d1.deg + d2.deg * d2.deg AS HUGEINT)) AS s_sq
+      |  FROM canon e JOIN deg d1 ON e.p1 = d1.n JOIN deg d2 ON e.p2 = d2.n),
+      |tr AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+      |  FROM canon e1
+      |  JOIN canon e2 ON e1.p2 = e2.p1
+      |  JOIN canon e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2)
+      |SELECT n_nodes, m AS n_edges, max_deg,
+      |  (1000000 * deg_sum) // n_nodes AS mean_deg_micro,
+      |  wedges, triangles,
+      |  CAST(CASE WHEN wedges > 0
+      |    THEN round(3e6 * triangles / wedges) ELSE 0 END AS BIGINT)
+      |    AS transitivity_micro,
+      |  CAST(CASE WHEN CAST(2::HUGEINT * m * s_sq - s_sum * s_sum
+      |              AS DOUBLE) <> 0
+      |    THEN round(1e6 *
+      |      CAST(4::HUGEINT * m * s_jk - s_sum * s_sum AS DOUBLE) /
+      |      CAST(2::HUGEINT * m * s_sq - s_sum * s_sum AS DOUBLE))
+      |    ELSE 0 END AS BIGINT) AS assortativity_micro
+      |FROM ds, es, tr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_kcore" -> (q295KCore _),
+    "q296_topology_census" -> (q296TopologyCensus _),
     "q301_clustering_coefficient" -> (q301ClusteringCoefficient _),
     "q222_leakage_safe_split" -> (q222LeakageSafeSplit _),
     "q71_dup_clusters" -> (q71DupClusters _),
@@ -1634,6 +1743,7 @@ object Graph {
 
   val oracleSql: Map[String, String] = Map(
     "q295_kcore" -> q295Sql,
+    "q296_topology_census" -> q296Sql,
     "q301_clustering_coefficient" -> q301Sql,
     "q222_leakage_safe_split" -> q222Sql,
     "q71_dup_clusters" -> q71Sql,

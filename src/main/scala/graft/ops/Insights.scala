@@ -2426,7 +2426,356 @@ object Insights {
       |GROUP BY c.seg, tw
       |ORDER BY c.seg""".stripMargin
 
+  // ─── q298: Markov removal-effect channel attribution ──────────────────
+  // The data-driven attribution model (Anderl et al. 2016's removal
+  // effect over q165's first-order chain) that replaced heuristic
+  // position rules (q177 last-touch, q185 linear): each user's journey
+  // up to their FIRST purchase becomes a chain START → events → CONV
+  // (purchase) / DROP (journey ends unconverted); a channel's credit is
+  // how much the absorption probability P(reach CONV from START) FALLS
+  // when every transition into that channel is redirected to DROP — the
+  // counterfactual "what if this channel didn't exist".
+  //
+  // Absorption probabilities come from [[MrRounds]] fixed rounds of
+  // value iteration v(s) ← Σ_t P(s,t)·v(t) with v(CONV)=1, v(DROP)=0 —
+  // run SIMULTANEOUSLY for the base chain and all four removal variants
+  // as one variant-keyed frame (≤ |variants|·|states|² rows). Each term
+  // P(s,t)·v(t) is quantized to integer NANOS before the sum (the q258
+  // quantize-then-sum rule), so round values are exact BIGINTs.
+  //
+  // Scale: the corpus-sized work is ONE per-user window pass (journey
+  // truncation + lead, the q87/q165 linear shape) and one transition
+  // count; everything after lives on the ≤150-row transition frame —
+  // 8 rounds of broadcast equi-joins on a driver-negligible frame, one
+  // lazy plan, one action. The counts frame is cached because base and
+  // removal variants all derive from it.
+  private val MrRounds = 8
+
+  def q298MarkovAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("st"))
+      .withColumn("prevPurch",
+        sum(when(col("st") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .where(coalesce(col("prevPurch"), lit(0L)) === 0L)
+    val steps = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+    val trans = steps.where(col("rn") === 1)
+      .select(lit("START").as("src"),
+        when(col("st") === "purchase", "CONV").otherwise(col("st"))
+          .as("dst"))
+      .unionAll(steps.where(col("st") =!= "purchase")
+        .select(col("st").as("src"),
+          when(col("nxt").isNull, "DROP")
+            .when(col("nxt") === "purchase", "CONV")
+            .otherwise(col("nxt")).as("dst")))
+    val counts = trans.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .cache()
+    val totals = counts.groupBy("src").agg(sum(col("n")).as("tn"))
+    val p = counts.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") / col("tn").cast("double")).as("p"))
+    val variants = s.range(1).select(explode(array(
+      lit("base"), lit("click"), lit("error"), lit("signup"),
+      lit("view"))).as("variant"))
+    // removal = redirect every transition INTO the removed channel to
+    // DROP; denominators (and so all other probabilities) are unchanged
+    val vp = p.crossJoin(broadcast(variants))
+      .select(col("variant"), col("src"),
+        when(col("dst") === col("variant"), lit("DROP"))
+          .otherwise(col("dst")).as("dst"),
+        col("p"))
+    var vv = vp.select(col("variant").as("vv_variant"),
+        col("src").as("state")).distinct()
+      .withColumn("v_nano", lit(0L))
+    for (_ <- 1 to MrRounds) {
+      vv = vp.join(vv, col("variant") === col("vv_variant") &&
+             col("dst") === col("state"), "left")
+        .select(col("variant"), col("src"),
+          round(col("p") * (
+            when(col("dst") === "CONV", lit(1e9))
+              .when(col("dst") === "DROP", lit(0.0))
+              .otherwise(coalesce(col("v_nano").cast("double"),
+                lit(0.0))))).cast("long").as("term"))
+        .groupBy(col("variant"), col("src"))
+        .agg(sum(col("term")).as("v_nano"))
+        .select(col("variant").as("vv_variant"), col("src").as("state"),
+          col("v_nano"))
+    }
+    val fin = vv.where(col("state") === "START")
+      .select(col("vv_variant").as("variant"), col("v_nano"))
+    val base = fin.where(col("variant") === "base")
+      .select(col("v_nano").as("base_nano"))
+    val rem = fin.where(col("variant") =!= "base")
+      .crossJoin(broadcast(base))
+      .select(col("variant").as("channel"), col("base_nano"),
+        col("v_nano").as("removed_nano"),
+        greatest(lit(0L), col("base_nano") - col("v_nano"))
+          .as("removal_nano"))
+    val tot = rem.agg(sum(col("removal_nano")).as("rt"))
+    rem.crossJoin(broadcast(tot))
+      .select(col("channel"), col("base_nano"), col("removed_nano"),
+        col("removal_nano"),
+        when(col("rt") > 0L, expr("(10000 * removal_nano) div rt"))
+          .otherwise(lit(0L)).as("share_bp"))
+      .orderBy(col("channel"))
+  }
+
+  val q298Sql: String = {
+    val rounds = (1 to MrRounds).map { r =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT t.variant, t.src AS state,
+         |    CAST(sum(CAST(round(t.p * CASE WHEN t.dst = 'CONV' THEN 1e9
+         |      WHEN t.dst = 'DROP' THEN 0
+         |      ELSE coalesce(v.v_nano, 0) END) AS BIGINT)) AS BIGINT)
+         |      AS v_nano
+         |  FROM vp t LEFT JOIN v${r - 1} v
+         |    ON v.variant = t.variant AND v.state = t.dst
+         |  GROUP BY t.variant, t.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |    event_type AS st
+       |  FROM events),
+       |ev AS (
+       |  SELECT * FROM (
+       |    SELECT user_id, ts, event_id, st,
+       |      coalesce(sum(CASE WHEN st = 'purchase' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |        0) AS prevpurch
+       |    FROM e)
+       |  WHERE prevpurch = 0),
+       |steps AS (
+       |  SELECT st,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn,
+       |    lead(st) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS nxt
+       |  FROM ev),
+       |trans AS (
+       |  SELECT 'START' AS src,
+       |    CASE WHEN st = 'purchase' THEN 'CONV' ELSE st END AS dst
+       |  FROM steps WHERE rn = 1
+       |  UNION ALL
+       |  SELECT st AS src,
+       |    CASE WHEN nxt IS NULL THEN 'DROP'
+       |         WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS dst
+       |  FROM steps WHERE st <> 'purchase'),
+       |counts AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |           FROM trans GROUP BY src, dst),
+       |totals AS (SELECT src, CAST(sum(n) AS BIGINT) AS tn
+       |           FROM counts GROUP BY src),
+       |variants AS (SELECT unnest(['base', 'click', 'error', 'signup',
+       |                            'view']) AS variant),
+       |vp AS MATERIALIZED (
+       |  SELECT va.variant, c.src,
+       |    CASE WHEN c.dst = va.variant THEN 'DROP' ELSE c.dst END AS dst,
+       |    CAST(c.n AS DOUBLE) / CAST(t.tn AS DOUBLE) AS p
+       |  FROM counts c JOIN totals t ON c.src = t.src
+       |  CROSS JOIN variants va),
+       |v0 AS (SELECT DISTINCT variant, src AS state, CAST(0 AS BIGINT)
+       |         AS v_nano
+       |       FROM vp),
+       |$rounds,
+       |fin AS (SELECT variant, v_nano FROM v$MrRounds
+       |        WHERE state = 'START'),
+       |bs AS (SELECT v_nano AS base_nano FROM fin WHERE variant = 'base'),
+       |rem AS (
+       |  SELECT f.variant AS channel, b.base_nano, f.v_nano AS removed_nano,
+       |    greatest(0, b.base_nano - f.v_nano) AS removal_nano
+       |  FROM fin f, bs b WHERE f.variant <> 'base'),
+       |tot AS (SELECT CAST(sum(removal_nano) AS BIGINT) AS rt FROM rem)
+       |SELECT channel, base_nano, removed_nano, removal_nano,
+       |  CAST(CASE WHEN rt > 0 THEN (10000 * removal_nano) // rt
+       |       ELSE 0 END AS BIGINT) AS share_bp
+       |FROM rem, tot
+       |ORDER BY channel""".stripMargin
+  }
+
+  // ─── q299: Holt double-exponential-smoothing forecast backtest ────────
+  // The level+trend forecaster (Holt 1957) one notch above q263's
+  // seasonal-naïve yardstick: l_t = α·y_t + (1−α)·(l_{t−1}+b_{t−1}),
+  // b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1}, one-step forecast ŷ_t =
+  // l_{t−1}+b_{t−1}, here with α = 1/5, β = 1/10 so every update is a
+  // RATIONAL recurrence over integer micros: l/b live as exact BIGINTs,
+  // each update is floor((2·y + 8·(l+b))/10) and floor((Δl + 9·b)/10) —
+  // floor (not truncate) because b can go negative and DuckDB // floors;
+  // both engines evaluate the identical floor(double) on values far
+  // inside 2^53.
+  //
+  // The recurrence is inherently sequential IN TIME but the time axis is
+  // calendar-bounded (|days| per series, never corpus-sized) — so each
+  // series folds its day array in ONE higher-order `aggregate` over the
+  // grid-completed (gap = 0, spine-joined) daily counts: the q243
+  // bounded-group contract. The corpus-sized work is one daily count.
+  // Census: per event type, one-step MAE (micros) and sMAPE plus the
+  // final level/trend the forecast would ship with.
+  def q299HoltBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("y"), lit(0L)) * 1000000L).as("ym"))
+    def fdiv10(c: Column): Column =
+      floor(c.cast("double") / lit(10.0)).cast("long")
+    val folded = series.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("ym"))))
+        .as("pts"))
+      .withColumn("acc", aggregate(
+        expr("slice(pts, 3, size(pts))"),
+        struct(
+          expr("pts[0].ym").as("l"),
+          (expr("pts[1].ym") - expr("pts[0].ym")).as("b"),
+          lit(0L).as("sae"), lit(0L).as("sms"), lit(0L).as("np")),
+        (acc, pt) => {
+          val f = acc("l") + acc("b")
+          val err = abs(pt("ym") - f)
+          val sm = when(pt("ym") + f > 0L,
+            floor((lit(2000000L) * err).cast("double") /
+              (pt("ym") + f).cast("double")).cast("long"))
+            .otherwise(lit(0L))
+          val l2 = fdiv10(lit(2L) * pt("ym") + lit(8L) * (acc("l") + acc("b")))
+          val b2 = fdiv10((l2 - acc("l")) + lit(9L) * acc("b"))
+          struct(l2.as("l"), b2.as("b"),
+            (acc("sae") + err).as("sae"), (acc("sms") + sm).as("sms"),
+            (acc("np") + 1L).as("np"))
+        }))
+    folded.select(col("event_type"),
+      col("acc.np").as("n_points"),
+      expr("acc.sae div acc.np").as("mae_micro"),
+      expr("acc.sms div acc.np").as("smape_micro"),
+      col("acc.l").as("level_micro"), col("acc.b").as("trend_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val q299Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, g.day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT unnest(generate_series(
+      |    (SELECT d0 FROM span), (SELECT d1 FROM span))) AS day) g),
+      |series AS MATERIALIZED (
+      |  SELECT s.event_type, s.day, coalesce(d.y, 0) * 1000000 AS ym
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day),
+      |idx AS MATERIALIZED (
+      |  SELECT event_type, ym,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM series),
+      |base AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN i = 1 THEN ym END) AS y1,
+      |    min(CASE WHEN i = 2 THEN ym END) AS y2,
+      |    max(i) AS n
+      |  FROM idx GROUP BY event_type),
+      |rec AS (
+      |  SELECT event_type, CAST(2 AS BIGINT) AS i, y1 AS l,
+      |    y2 - y1 AS b, CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS sms,
+      |    CAST(0 AS BIGINT) AS np, n
+      |  FROM base
+      |  UNION ALL
+      |  SELECT r.event_type, r.i + 1,
+      |    CAST(floor((2 * x.ym + 8 * (r.l + r.b)) / 10.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((2 * x.ym + 8 * (r.l + r.b)) / 10.0)
+      |        AS BIGINT) - r.l + 9 * r.b) / 10.0) AS BIGINT),
+      |    r.sae + abs(x.ym - (r.l + r.b)),
+      |    r.sms + CASE WHEN x.ym + r.l + r.b > 0
+      |      THEN CAST(floor((2000000 * abs(x.ym - (r.l + r.b)))
+      |        / CAST(x.ym + r.l + r.b AS DOUBLE)) AS BIGINT)
+      |      ELSE 0 END,
+      |    r.np + 1, r.n
+      |  FROM rec r JOIN idx x
+      |    ON x.event_type = r.event_type AND x.i = r.i + 1)
+      |SELECT event_type, np AS n_points,
+      |  sae // np AS mae_micro, sms // np AS smape_micro,
+      |  l AS level_micro, b AS trend_micro
+      |FROM rec WHERE i = n
+      |ORDER BY event_type""".stripMargin
+
+  // ─── q300: differentially-private histogram release ───────────────────
+  // The governance release primitive past q73's PII scrub and q252's
+  // k-anonymity: publish per-(event type, day) activity counts under
+  // ε-differential privacy (Dwork et al. 2006) — Laplace(1/ε) noise on
+  // every bucket, clamped at zero. Sensitivity is 1 (one user-event
+  // moves one bucket count by one), so scale b = 1/ε with ε = 1.
+  //
+  // Noise is SEEDED, not sampled: each bucket's Laplace draw comes from
+  // inverse-transform over a 52-bit md5 hash of the bucket key —
+  // u = (2k+1)/2^53 (the midpoint trick: u can never hit 0, ½, or 1, so
+  // ln(1−2|u−½|) is always finite), lap = −sign(u−½)·ln(1−2|u−½|).
+  // Determinism is what makes the release oracle-checkable; a production
+  // deployment would swap the hash for a drawn seed per release and keep
+  // every other line. ln runs on dyadic-rational doubles both engines
+  // construct identically; the result is 9-dp-rounded then quantized to
+  // integer micros (the q262 double-rounding guard).
+  //
+  // Scale: one map-side-combined count to the |types|×|days| grid; the
+  // noise projection is per-row arithmetic on that calendar-sized frame.
+  def q300DpHistogram(s: SparkSession, d: String): DataFrame = {
+    val grid = events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    grid
+      .withColumn("k",
+        conv(substring(md5(concat(lit("dp:"), col("event_type"), lit(":"),
+          col("day").cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("u",
+        (col("k") * 2L + 1L).cast("double") / lit(9007199254740992.0))
+      .withColumn("lap_micro",
+        round(round(-signum(col("u") - 0.5)
+          * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 9)
+          * lit(1e6)).cast("long"))
+      .select(col("event_type"), col("day"),
+        greatest(lit(0L), col("n") * 1000000L + col("lap_micro"))
+          .as("noisy_count_micro"),
+        lit(1000000L).as("epsilon_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q300Sql: String =
+    """WITH grid AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |noise AS (
+      |  SELECT event_type, day, n,
+      |    CAST(round(round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+      |      9) * 1e6) AS BIGINT) AS lap_micro
+      |  FROM (
+      |    SELECT event_type, day, n,
+      |      CAST(2 * CAST(('0x' || substr(md5('dp:' || event_type || ':'
+      |        || CAST(day AS VARCHAR)), 1, 13)) AS BIGINT) + 1 AS DOUBLE)
+      |        / 9007199254740992.0 AS u
+      |    FROM grid))
+      |SELECT event_type, day,
+      |  greatest(0, n * 1000000 + lap_micro) AS noisy_count_micro,
+      |  CAST(1000000 AS BIGINT) AS epsilon_micro
+      |FROM noise
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_markov_attribution" -> (q298MarkovAttribution _),
+    "q299_holt_backtest" -> (q299HoltBacktest _),
+    "q300_dp_histogram" -> (q300DpHistogram _),
     "q292_weighted_percentiles" -> (q292WeightedPercentiles _),
     "q289_pvm_bridge" -> (q289PvmBridge _),
     "q288_robust_means" -> (q288RobustMeans _),
@@ -2473,6 +2822,9 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q298_markov_attribution" -> q298Sql,
+    "q299_holt_backtest" -> q299Sql,
+    "q300_dp_histogram" -> q300Sql,
     "q275_poisson_bootstrap" -> q275Sql,
     "q277_ks_test" -> q277Sql,
     "q292_weighted_percentiles" -> q292Sql,

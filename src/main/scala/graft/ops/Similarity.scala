@@ -2465,7 +2465,158 @@ object Similarity {
        |ORDER BY d2_deci""".stripMargin
   }
 
+  // ─── q302: binary sign quantization + banded-hamming ANN rerank ───────
+  // The 32× compression rung below q104's int8 (4×) and q111's PQ (32×,
+  // but codebook-trained): one SIGN BIT per dimension (Charikar 2002's
+  // hyperplane sketch degenerated to the coordinate axes — the "binary
+  // embedding" every vector database ships as its cheapest tier). A
+  // 64-dim vector becomes four 16-bit words; hamming distance approximates
+  // angle; exact cosine reranks only the hamming-shortlisted candidates.
+  //
+  // Candidate generation is the q223 BANDED discipline, not a scan: a
+  // candidate must match the query in ≥ 1 of EIGHT 8-bit bands (8×8,
+  // not 4×16: random 64-dim sign vectors collide on a 16-bit band with
+  // probability 2⁻¹⁶ — vacuously never; 8-bit bands put the expected
+  // shortlist in the tens, the banding-theory S-curve knob), so
+  // candidates come from eight (band-value) EQUI-JOINS — the plan that
+  // holds when the query side is millions of vectors, not a broadcast
+  // scan that dies past a few thousand. Per-query: top-20 by (hamming,
+  // id), exact cosine rerank to top-5, with candidate counts and
+  // recall@5 vs the exact top-5 emitted AS DATA (the q104 contract —
+  // accuracy is oracle-checked, not asserted).
+  //
+  // Determinism: sign bits compare e[j] > 0 on the float-exact doubles
+  // both engines read from parquet; hamming is integer; rerank orders by
+  // the 4-dp-rounded cosine with id tie-breaks (the q49 rule).
+  def q302SignAnn(s: SparkSession, d: String): DataFrame = {
+    def word(w: Int): Column =
+      (0 until 8).map(i =>
+        when(element_at(col("e"), 8 * w + i + 1) > 0.0,
+          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val sig = embeddings(s, d)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val sigW = (0 until 8).foldLeft(sig)((df, w) =>
+      df.withColumn(s"b$w", word(w))).cache()
+    val q = sigW.where(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
+        (0 until 8).map(w => col(s"b$w").as(s"q$w")): _*)
+    val c = sigW.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("c_id") +: col("e").as("ce") +:
+        (0 until 8).map(w => col(s"b$w").as(s"c$w")): _*)
+    val cand = (0 until 8).map { w =>
+      c.select(col("c_id"), col(s"c$w").as("bk"))
+        .join(q.select(col("q_id"), col(s"q$w").as("bk")), "bk")
+        .select(col("q_id"), col("c_id"))
+    }.reduce(_ unionAll _).distinct()
+    val scored = cand.join(broadcast(q), "q_id").join(c, "c_id")
+      .withColumn("hamming",
+        expr((0 until 8).map(w => s"bit_count(q$w ^ c$w)")
+          .mkString(" + ")).cast("long"))
+    val nCand = scored.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val top20 = scored
+      .withColumn("hrn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("c_id"))))
+      .where(col("hrn") <= 20)
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 4))
+    val top5 = top20
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))).cast("long"))
+      .where(col("rn") <= 5)
+    val exact = c.join(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("ecos"))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("ecos").desc, col("c_id"))))
+      .where(col("ern") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val hits = top5.join(exact, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    top5.join(broadcast(nCand), "q_id")
+      .join(broadcast(hits), Seq("q_id"), "left")
+      .select(col("q_id"), col("rn"), col("c_id"), col("hamming"),
+        col("cos"), col("n_cand"),
+        (coalesce(col("hits"), lit(0L)) / 5.0).as("recall5"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val q302Sql: String = {
+    def wordSql(src: String, w: Int): String =
+      (0 until 8).map(i =>
+        s"(CASE WHEN $src[${8 * w + i + 1}] > 0 THEN ${1L << i} " +
+          "ELSE 0 END)").mkString(" + ")
+    val wordCols = (0 until 8).map(w =>
+      s"    CAST(${wordSql("CAST(embedding AS DOUBLE[])", w)} AS BIGINT)" +
+        s"\n      AS b$w").mkString(",\n")
+    val qCols = (0 until 8).map(w => s"b$w AS q$w").mkString(", ")
+    val cCols = (0 until 8).map(w => s"b$w AS c$w").mkString(", ")
+    val candUnions = (0 until 8)
+      .map(w => s"  SELECT q_id, c_id FROM c JOIN q ON c.c$w = q.q$w")
+      .mkString("\n  UNION\n")
+    val hammingSql = (0 until 8)
+      .map(w => s"bit_count(xor(q.q$w, c.c$w))").mkString(" + ")
+    s"""WITH sig AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |$wordCols
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe, $qCols
+       |      FROM sig WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, e AS ce, $cCols
+       |      FROM sig WHERE vec_id >= 5),
+       |cand AS (
+       |$candUnions),
+       |scored AS MATERIALIZED (
+       |  SELECT cd.q_id, cd.c_id,
+       |    CAST($hammingSql AS BIGINT) AS hamming,
+       |    round(list_dot_product(q.qe, c.ce)
+       |      / (sqrt(list_dot_product(q.qe, q.qe))
+       |         * sqrt(list_dot_product(c.ce, c.ce))), 4) AS cos
+       |  FROM cand cd JOIN q ON cd.q_id = q.q_id
+       |  JOIN c ON cd.c_id = c.c_id),
+       |ncand AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+       |          FROM scored GROUP BY q_id),
+       |top20 AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, c_id) AS hrn
+       |    FROM scored)
+       |  WHERE hrn <= 20),
+       |top5 AS MATERIALIZED (
+       |  SELECT q_id, c_id, hamming, cos,
+       |    CAST(rn AS BIGINT) AS rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rn
+       |    FROM top20)
+       |  WHERE rn <= 5),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_dot_product(q.qe, c.ce)
+       |          / (sqrt(list_dot_product(q.qe, q.qe))
+       |             * sqrt(list_dot_product(c.ce, c.ce))), 4) DESC,
+       |          c.c_id) AS ern
+       |    FROM c CROSS JOIN q)
+       |  WHERE ern <= 5),
+       |hits AS (
+       |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM top5 t
+       |  WHERE EXISTS (SELECT 1 FROM exact e
+       |                WHERE e.q_id = t.q_id AND e.c_id = t.c_id)
+       |  GROUP BY t.q_id)
+       |SELECT t.q_id, t.rn, t.c_id, t.hamming, t.cos, n.n_cand,
+       |  coalesce(h.hits, 0) / 5.0 AS recall5
+       |FROM top5 t
+       |JOIN ncand n ON t.q_id = n.q_id
+       |LEFT JOIN hits h ON t.q_id = h.q_id
+       |ORDER BY t.q_id, t.rn""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_sign_ann" -> (q302SignAnn _),
     "q285_geometry_census" -> (q285GeometryCensus _),
     "q278_mmd_drift" -> (q278MmdDrift _),
     "q266_kcenter_coreset" -> (q266KCenterCoreset _),
@@ -2497,6 +2648,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q302_sign_ann" -> q302Sql,
     "q285_geometry_census" -> q285Sql,
     "q278_mmd_drift" -> q278Sql,
     "q266_kcenter_coreset" -> q266Sql,

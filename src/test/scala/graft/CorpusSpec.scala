@@ -295,6 +295,26 @@ class CorpusSpec extends SparkSpec {
       "log-ratio sign must separate target-like from off-target here")
   }
 
+  test("q297 Naive Bayes classifies by CONTENT on a two-vocabulary corpus") {
+    // disjoint vocabularies per class: NB must recover the label from
+    // tokens alone — a perfect confusion diagonal. One held-out-style
+    // mixed doc (majority-en tokens under label de) must land where its
+    // CONTENT points, proving the argmax reads the model, not the label.
+    val enText = "alpha beta gamma delta alpha beta"
+    val deText = "zulu yankee xray whiskey zulu yankee"
+    val docs = (
+      (1L to 10L).map(i => (i, "en", enText)) ++
+      (11L to 20L).map(i => (i, "de", deText)) ++
+      Seq((21L, "de", "alpha beta gamma alpha zulu"))
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.nbConfusion(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("en", "en", 10L),   // pure-vocab docs: perfect diagonal
+      ("de", "de", 10L),
+      ("de", "en", 1L)))   // the majority-en doc crosses BY CONTENT
+  }
+
   test("q228 softmax trainer: cross-entropy falls every epoch from ln 5") {
     val docs = Tables.documents(spark, sfDir)
     val feat = Corpus.smFeatures(docs).localCheckpoint()

@@ -482,4 +482,29 @@ class GraphSpec extends SparkSpec {
     assert(gotCyc === Seq((1L, 6L, 0L, 6L, 0L), (2L, 0L, 0L, 0L, 0L)))
     spark.catalog.clearCache()
   }
+
+  test("q296 topology census: star is assortativity −1, clique hits the " +
+       "regular-graph guard") {
+    // K_{1,4} star: endpoint degrees are always (1, 4) — perfectly
+    // DISASSORTATIVE, textbook r = −1; no triangles, wedges = C(4,2).
+    val star = (1L to 4L).map(l => (0L, l)).toDF("p1", "p2")
+    val gotStar = Graph.topologyCensus(star)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // (n_nodes, n_edges, max_deg, mean_deg_micro, wedges, triangles,
+    //  transitivity_micro, assortativity_micro)
+    assert(gotStar === ((5L, 4L, 4L, 1600000L, 6L, 0L, 0L, -1000000L)))
+    spark.catalog.clearCache()
+
+    // K_4 clique: 2-regular in endpoint terms (every deg = 3) — zero
+    // degree variance, r undefined → pinned 0 (the guard path); every
+    // wedge closes, transitivity exactly 1.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+                 (3L, 4L)).toDF("p1", "p2")
+    val gotK4 = Graph.topologyCensus(k4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(gotK4 === ((4L, 6L, 3L, 3000000L, 12L, 4L, 1000000L, 0L)))
+    spark.catalog.clearCache()
+  }
 }

@@ -493,4 +493,83 @@ class InsightsSpec extends SparkSpec {
       assert(n > 0L && bp >= 0L && bp <= 10000L)
     }
   }
+
+  test("q298 removal attribution: removing a channel never helps, shares " +
+       "partition 10000 bp") {
+    import spark.implicits._
+    val rows = Insights.q298MarkovAttribution(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === Set("click", "error", "signup", "view"))
+    val base = rows.head._2
+    assert(base > 0L && base <= 1000000000L,
+      "base conversion must be a probability in nanos")
+    rows.foreach { case (ch, b, rem, eff, bp) =>
+      assert(b === base, "every row carries the same base")
+      assert(rem <= b, s"$ch: removal cannot INCREASE conversion")
+      assert(eff === math.max(0L, b - rem))
+      assert(bp >= 0L && bp <= 10000L)
+    }
+    // truncating shares: each div drops < 1 bp, so the sum lands in
+    // (10000 - 4, 10000]
+    val shareSum = rows.map(_._5).sum
+    assert(shareSum > 9996L && shareSum <= 10000L, s"shares: $shareSum")
+  }
+
+  test("q299 Holt backtest matches a driver-side fold of the recurrence") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .as[(String, Long, Long)].collect()
+    val (d0, d1) = (daily.map(_._2).min, daily.map(_._2).max)
+    def fdiv10(x: Long): Long = math.floor(x / 10.0).toLong
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3 * 1000000L).toMap
+      val ys = (d0 to d1).map(d => byDay.getOrElse(d, 0L))
+      var l = ys(0); var b = ys(1) - ys(0)
+      var sae = 0L; var sms = 0L; var np = 0L
+      ys.drop(2).foreach { y =>
+        val f = l + b
+        val err = math.abs(y - f)
+        if (y + f > 0)
+          sms += math.floor(2000000L * err / (y + f).toDouble).toLong
+        sae += err; np += 1
+        val l2 = fdiv10(2 * y + 8 * (l + b))
+        b = fdiv10((l2 - l) + 9 * b); l = l2
+      }
+      t -> ((np, sae / np, sms / np, l, b))
+    }
+    val got = Insights.q299HoltBacktest(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (t, np, mae, sm, l, b) =>
+      assert(expected(t) === ((np, mae, sm, l, b)), s"series $t")
+    }
+    assert(got.map(_._1).toSet === expected.keySet)
+  }
+
+  test("q300 DP release: noise is the pinned hash-seeded Laplace draw, " +
+       "clamped at zero") {
+    import spark.implicits._
+    val rows = Insights.q300DpHistogram(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.forall(_._3 >= 0L), "released counts are clamped at 0")
+    assert(rows.forall(_._4 === 1000000L))
+    // recompute one bucket's draw on the driver: same md5 → same integer
+    // → same inverse-transform Laplace, micro-quantized
+    val (et, day, noisy, _) = rows.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"dp:$et:$day".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13)
+    val k = java.lang.Long.parseLong(hex, 16)
+    val u = (2.0 * k + 1.0) / 9007199254740992.0
+    val lap = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    val lapMicro = BigDecimal(BigDecimal(lap)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val trueN = Tables.events(spark, sfDir)
+      .where(col("event_type") === et &&
+        expr("unix_micros(ts) div 86400000000") === day).count()
+    assert(noisy === math.max(0L, trueN * 1000000L + lapMicro))
+  }
 }
