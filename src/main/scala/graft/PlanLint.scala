@@ -508,6 +508,13 @@ object PlanLint {
     // q302: the exact-recall twin is q49's broadcast 5-query BNLJ; the
     // candidate path itself is four band equi-joins
     "q302_sign_ann" -> Set("nested-loop", "cartesian"),
+    // q303: the LR trainer's 1-row n frame + the 1-row median-cuts frame
+    // crossJoined back (q209/q244 shapes); exact medians per q244's note
+    "q303_dataset_cartography" -> Set("nested-loop", "cartesian",
+                                      "exact-percentile"),
+    // q306: per-scheme 1-row candidate/found/size frames crossJoined
+    // into each census row (scalar-broadcast idiom)
+    "q306_blocking_quality" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -573,6 +580,7 @@ object PlanLint {
     // (epochs=4) before the query body (measured 5 total at epochs=3;
     // 10 prices epochs=4 with headroom)
     "q209_quality_classifier" -> 10,
+    "q303_dataset_cartography" -> 10,
     "q244_calibration_census" -> 10,
     "q250_auc_census" -> 10,
     "q257_pr_sweep" -> 10,
@@ -608,6 +616,8 @@ object PlanLint {
     // merge/delete: publish (2) + key-uniqueness probe + touched-file
     // discovery + touched count + staged write/stats + census
     "q214_snapshot_merge" -> 16, "q215_snapshot_delete" -> 12,
+    // evolution merge: q214's merge pipeline on a wider schema
+    "q304_schema_evolution" -> 16,
     // CDC-fed summary maintenance: 2 publishes (stage stats/write each)
     // + manifest reads + the final single-action maintenance plan
     "q238_cdc_summary_maintain" -> 16,

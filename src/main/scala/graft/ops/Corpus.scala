@@ -1490,6 +1490,107 @@ object Corpus {
       .orderBy(col("bin"))
   }
 
+  // ─── q303: dataset cartography (training-dynamics data map) ───────────
+  // Swayamdipta et al. 2020's "Data Maps": track each example's predicted
+  // probability of its TRUE label across training epochs; the corpus
+  // splits into easy-to-learn (high confidence, low variability),
+  // ambiguous (high variability — the examples worth labeling twice),
+  // and hard-to-learn (low confidence — the mislabel/noise suspects the
+  // q282 census triages). Here over q209's 4-epoch LR trainer: the
+  // per-epoch scores are the SAME frames the gradient passes already
+  // compute, so the oracle reuses the trainer CTE chain verbatim
+  // (epoch-r scores ≡ the chain's s_{r+1}).
+  //
+  // Exactness: per-epoch true-class probability quantized to integer
+  // micros (q209's 6-dp pin), confidence = truncating-div mean of 4
+  // integers, variability carried as the EXACT integer 16·σ² =
+  // 4·Σm² − (Σm)² — no sqrt ever computed, consumers take it. Region
+  // cuts are percentile_disc medians of those integers (attained
+  // values, the q244 rule; approx_percentile is the 100 TB knob).
+  def q303DatasetCartography(s: SparkSession, d: String): DataFrame = {
+    val per = lrEpochScores(s, documents(s, d))
+      .select(col("doc_id"), col("y"),
+        round(when(col("y") === 1.0, col("s"))
+          .otherwise(lit(1.0) - col("s")) * 1e6, 0).cast("long").as("m"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("m")).as("sm"), sum(col("m") * col("m")).as("sm2"))
+      .select(col("doc_id"), col("y").cast("long").as("y"),
+        expr(s"sm div $LrEpochs").as("conf_micro"),
+        (lit(LrEpochs.toLong) * col("sm2") - col("sm") * col("sm"))
+          .as("var_x16"))
+    val meds = per.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY conf_micro)")
+        .as("cmed"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY var_x16)")
+        .as("vmed"))
+    per.crossJoin(broadcast(meds))
+      .where(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("y"), col("conf_micro"), col("var_x16"),
+        when(col("conf_micro") < col("cmed"), "hard")
+          .when(col("var_x16") > col("vmed"), "ambiguous")
+          .otherwise("easy").as("region"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q209 trainer with per-epoch score capture: (doc_id, y, ep, s)
+    * for ep = 1..epochs, where epoch-r scores are σ(w_r·x) — the same
+    * values the NEXT gradient pass consumes (and the oracle's s_{r+1}
+    * CTEs). Factored for [[q303DatasetCartography]]. */
+  private[graft] def lrEpochScores(s: SparkSession,
+                                   docs: DataFrame): DataFrame = {
+    val feat = lrFeatures(docs).localCheckpoint()
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("nn")))
+    var w = s.range(-1L, LrBuckets.toLong)
+      .select(col("id").as("j"), lit(0.0d).as("w"))
+    val eps = Seq.newBuilder[DataFrame]
+    for (r <- 1 to LrEpochs) {
+      val sc = lrScores(feat, w).select(col("doc_id"), col("s"))
+      val g = feat.join(sc, "doc_id")
+        .groupBy(col("j"))
+        .agg(sum((col("s") - col("y")) * col("x")).as("gs"))
+      w = w.join(g, Seq("j"), "left").crossJoin(nRow)
+        .select(col("j"),
+          round(col("w") - lit(LrEta) * coalesce(col("gs"), lit(0.0))
+                  / col("nn"), 6).as("w"))
+        .localCheckpoint()
+      eps += lrScores(feat, w)
+        .select(col("doc_id"), col("y"), lit(r.toLong).as("ep"), col("s"))
+    }
+    eps.result().reduce(_ unionByName _)
+  }
+
+  val q303Sql: String =
+    s"""WITH $lrOracleCtes,
+       |em AS (
+       |  SELECT doc_id, s FROM s2
+       |  UNION ALL SELECT doc_id, s FROM s3
+       |  UNION ALL SELECT doc_id, s FROM s4
+       |  UNION ALL SELECT doc_id, s FROM sfin),
+       |lab AS (SELECT doc_id, y FROM sfin),
+       |pm AS (
+       |  SELECT e.doc_id, l.y,
+       |    CAST(round((CASE WHEN l.y = 1.0 THEN e.s ELSE 1 - e.s END)
+       |      * 1e6, 0) AS BIGINT) AS m
+       |  FROM em e JOIN lab l USING (doc_id)),
+       |per AS MATERIALIZED (
+       |  SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |    CAST(sum(m) AS BIGINT) // $LrEpochs AS conf_micro,
+       |    $LrEpochs * CAST(sum(m * m) AS BIGINT)
+       |      - CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT) AS var_x16
+       |  FROM pm GROUP BY doc_id, y),
+       |meds AS (
+       |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY conf_micro)
+       |      AS cmed,
+       |    percentile_disc(0.5) WITHIN GROUP (ORDER BY var_x16) AS vmed
+       |  FROM per)
+       |SELECT doc_id, y, conf_micro, var_x16,
+       |  CASE WHEN conf_micro < cmed THEN 'hard'
+       |       WHEN var_x16 > vmed THEN 'ambiguous'
+       |       ELSE 'easy' END AS region
+       |FROM per, meds
+       |WHERE doc_id % 17 = 0
+       |ORDER BY doc_id""".stripMargin
+
   val q244Sql: String = {
     val cutList = (1 to 9).map(k =>
       s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY micro)")
@@ -3623,6 +3724,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_naive_bayes" -> (q297NaiveBayes _),
+    "q303_dataset_cartography" -> (q303DatasetCartography _),
     "q255_lpt_balance" -> (q255LptBalance _),
     "q256_ranking_quality" -> (q256RankingQuality _),
     "q257_pr_sweep" -> (q257PrSweep _),
@@ -3674,6 +3776,7 @@ object Corpus {
 
   val oracleSql: Map[String, String] = Map(
     "q297_naive_bayes" -> q297Sql,
+    "q303_dataset_cartography" -> q303Sql,
     "q255_lpt_balance" -> q255Sql,
     "q256_ranking_quality" -> q256Sql,
     "q257_pr_sweep" -> q257Sql,

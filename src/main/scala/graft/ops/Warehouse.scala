@@ -456,6 +456,124 @@ object Warehouse {
           .as("score"))
   }
 
+  // ─── q306: blocking-quality census (reduction ratio / completeness) ──
+  // The metric pair every entity-resolution survey grades blocking
+  // schemes on (Christen 2012): REDUCTION RATIO (how much of the |A|·|B|
+  // cross product the blocks prune) vs PAIRS COMPLETENESS (how many true
+  // matches still share a block). Three schemes over q265's sides:
+  // the production (nation, name-prefix) key, a (nation, $100-balance-
+  // band) key — which provably LOSES the truth pairs whose planted
+  // +$1.50 drift crosses a band boundary, the measured trade-off — and
+  // nation-only (complete but barely reduces).
+  //
+  // Scale: candidate counts are NEVER enumerated — per-key count frames
+  // multiply (Σ_k |A_k|·|B_k|, two map-side aggregates + one tiny join),
+  // and completeness joins B to its twin on the UNIQUE id, then compares
+  // block keys — so pricing a scheme costs O(|A|+|B|), not O(candidates)
+  // (nation-only at 100 TB has ~10¹⁰ candidates; this census still runs
+  // in seconds). Ratios are exact integer cross-multiplications.
+  def q306BlockingQuality(s: SparkSession, d: String): DataFrame = {
+    val (a0, b0) = linkSides(s, d)
+    val a = a0.cache()
+    val b = b0.cache()
+    val sizes = broadcast(a.agg(count(lit(1)).as("na"))
+      .crossJoin(b.agg(count(lit(1)).as("nb"))))
+    // band arithmetic shifts balances positive first: Spark `div`
+    // truncates while DuckDB `//` floors, and acctbal goes negative
+    def aKey(scheme: String): Column = scheme match {
+      case "name_prefix" => concat_ws("|", col("nk"),
+        substring(col("a_name"), 1, 2))
+      case "balance_band" => concat_ws("|", col("nk"),
+        expr("(a_bal + 1000000) div 10000"))
+      case _ => col("nk").cast("string")
+    }
+    def bKey(scheme: String): Column = scheme match {
+      case "name_prefix" => concat_ws("|", col("nk"),
+        substring(col("b_name"), 1, 2))
+      case "balance_band" => concat_ws("|", col("nk"),
+        expr("(b_bal + 1000000) div 10000"))
+      case _ => col("nk").cast("string")
+    }
+    def census(scheme: String): DataFrame = {
+      val aK = a.select(aKey(scheme).as("k"), col("a_id"))
+      val bK = b.select(bKey(scheme).as("k"), col("b_id"))
+      val cand = aK.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(bK.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("n_candidates"))
+      val found = aK
+        .select(col("k").as("ak"), (col("a_id") + 10000000L).as("b_id"))
+        .join(bK, "b_id")
+        .agg(coalesce(sum(when(col("ak") === col("k"), 1L)
+          .otherwise(0L)), lit(0L)).as("truth_found"))
+      cand.crossJoin(broadcast(found)).crossJoin(sizes)
+        .select(lit(scheme).as("scheme"), col("n_candidates"),
+          expr("(10000 * (na * nb - n_candidates)) div (na * nb)")
+            .as("reduction_bp"),
+          col("truth_found"),
+          expr("(10000 * truth_found) div nb").as("completeness_bp"))
+    }
+    census("name_prefix")
+      .unionAll(census("balance_band"))
+      .unionAll(census("nation_only"))
+      .orderBy(col("scheme"))
+  }
+
+  val q306Sql: String = {
+    val nm = "substr(md5('nm:' || CAST(c_custkey AS VARCHAR)), 1, 10)"
+    s"""WITH a AS MATERIALIZED (
+       |  SELECT c_custkey AS a_id, c_nationkey AS nk, $nm AS a_name,
+       |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS a_bal
+       |  FROM customer),
+       |b AS MATERIALIZED (
+       |  SELECT c_custkey + 10000000 AS b_id, c_nationkey AS nk,
+       |    CASE WHEN c_custkey % 2 = 0 THEN
+       |      substr($nm, 1, 2) || 'z' || substr($nm, 4, 7)
+       |    ELSE $nm END AS b_name,
+       |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
+       |      + CASE WHEN c_custkey % 3 = 0 THEN 150 ELSE 0 END AS b_bal
+       |  FROM customer WHERE c_custkey % 5 <> 0),
+       |sizes AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS na,
+       |                 (SELECT CAST(count(*) AS BIGINT) FROM b) AS nb),
+       |ak AS MATERIALIZED (
+       |  SELECT a_id, 'name_prefix' AS scheme,
+       |    CAST(nk AS VARCHAR) || '|' || substr(a_name, 1, 2) AS k FROM a
+       |  UNION ALL
+       |  SELECT a_id, 'balance_band',
+       |    CAST(nk AS VARCHAR) || '|'
+       |      || CAST((a_bal + 1000000) // 10000 AS VARCHAR) FROM a
+       |  UNION ALL
+       |  SELECT a_id, 'nation_only', CAST(nk AS VARCHAR) FROM a),
+       |bk AS MATERIALIZED (
+       |  SELECT b_id, 'name_prefix' AS scheme,
+       |    CAST(nk AS VARCHAR) || '|' || substr(b_name, 1, 2) AS k FROM b
+       |  UNION ALL
+       |  SELECT b_id, 'balance_band',
+       |    CAST(nk AS VARCHAR) || '|'
+       |      || CAST((b_bal + 1000000) // 10000 AS VARCHAR) FROM b
+       |  UNION ALL
+       |  SELECT b_id, 'nation_only', CAST(nk AS VARCHAR) FROM b),
+       |cand AS (
+       |  SELECT x.scheme, CAST(sum(ca * cb) AS BIGINT) AS n_candidates
+       |  FROM (SELECT scheme, k, count(*) AS ca FROM ak GROUP BY 1, 2) x
+       |  JOIN (SELECT scheme, k, count(*) AS cb FROM bk GROUP BY 1, 2) y
+       |    ON x.scheme = y.scheme AND x.k = y.k
+       |  GROUP BY x.scheme),
+       |found AS (
+       |  SELECT x.scheme,
+       |    CAST(sum(CASE WHEN x.k = y.k THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS truth_found
+       |  FROM ak x JOIN bk y
+       |    ON y.b_id = x.a_id + 10000000 AND x.scheme = y.scheme
+       |  GROUP BY x.scheme)
+       |SELECT c.scheme, n_candidates,
+       |  (10000 * (na * nb - n_candidates)) // (na * nb) AS reduction_bp,
+       |  truth_found,
+       |  (10000 * truth_found) // nb AS completeness_bp
+       |FROM cand c JOIN found f ON c.scheme = f.scheme, sizes
+       |ORDER BY c.scheme""".stripMargin
+  }
+
   def q265RecordLinkage(s: SparkSession, d: String): DataFrame = {
     linkScored(s, d)
       .select(col("score"),
@@ -1296,6 +1414,7 @@ object Warehouse {
     "q86_edit_distance" -> (q86EditDistance _),
     "q155_jaro_winkler" -> (q155JaroWinkler _),
     "q265_record_linkage" -> (q265RecordLinkage _),
+    "q306_blocking_quality" -> (q306BlockingQuality _),
     "q294_golden_records" -> (q294GoldenRecords _),
     "q87_sessionize"  -> (q87Sessionize _),
     "q88_unpivot"     -> (q88Unpivot _),
@@ -1317,6 +1436,7 @@ object Warehouse {
     "q86_edit_distance" -> q86Sql,
     "q155_jaro_winkler" -> q155Sql,
     "q265_record_linkage" -> q265Sql,
+    "q306_blocking_quality" -> q306Sql,
     "q294_golden_records" -> q294Sql,
     "q87_sessionize"  -> q87Sql,
     "q88_unpivot"     -> q88Sql,

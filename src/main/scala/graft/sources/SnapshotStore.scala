@@ -542,8 +542,14 @@ object SnapshotStore {
     else {
       val schema = org.apache.spark.sql.types.StructType
         .fromDDL(lines(2).stripPrefix("schema="))
+      // a column the file group predates (schema evolution: mergeUpsert
+      // widens the manifest schema while CARRYING old files verbatim)
+      // reads as NULL — the Delta/Iceberg add-column contract; files
+      // never rewrite for a metadata change
       def conform(df: DataFrame) = df.select(schema.fields.toIndexedSeq
-        .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
+        .map(fl =>
+          (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
+            .cast(fl.dataType).as(fl.name)): _*)
       files.groupBy(p => splitAtSnapDir(p)._1).toSeq.sortBy(_._1)
         .map { case (dir, grp) =>
           conform(spark.read.option("basePath", dir).parquet(grp: _*)) }
@@ -834,10 +840,20 @@ object SnapshotStore {
       val lines = manifestLines(spark, table, v)
       val schema = org.apache.spark.sql.types.StructType
         .fromDDL(lines(2).stripPrefix("schema="))
-      require(source.columns.sorted.sameElements(schema.fieldNames.sorted),
-        s"source schema ${source.columns.sorted.mkString(",")} != table " +
-          s"schema ${schema.fieldNames.sorted.mkString(",")}")
-      val src = source.select(schema.fields.toIndexedSeq
+      // SCHEMA EVOLUTION: the source must cover every existing column
+      // (a missing one is almost always a typo — fail loudly, the Delta
+      // default) but may ADD new ones; the new manifest schema appends
+      // them in source order, rewritten files carry the full width, and
+      // CARRIED files stay narrow — loadFiles null-fills on read, so an
+      // add-column evolution rewrites exactly the files the merge
+      // touched anyway, zero extra bytes
+      require(schema.fieldNames.forall(source.columns.contains),
+        s"source is missing table columns ${schema.fieldNames
+          .filterNot(source.columns.contains).mkString(",")}")
+      val widened = org.apache.spark.sql.types.StructType(
+        schema.fields ++ source.schema.fields
+          .filterNot(f => schema.fieldNames.contains(f.name)))
+      val src = source.select(widened.fields.toIndexedSeq
         .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val dup = src.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
@@ -870,13 +886,15 @@ object SnapshotStore {
         if (rewriteFiles.isEmpty) 0L else touchedDf.count()
       val merged = touchedDf
         .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionAll(src)
+        .unionByName(src, allowMissingColumns = true)
+        .select(widened.fields.toIndexedSeq
+          .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val newV = v + 1
       val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
       val (stagedCount, stagedLines) = stageFiles(merged, dataDir,
         bloomCols, partitionBy = partitionColsOf(fileLines))
       val total = countOf(spark, table, v) - touchedRows + stagedCount
-      val body = s"count=$total\nschema=${lines(2).stripPrefix("schema=")}\n" +
+      val body = s"count=$total\nschema=${widened.toDDL}\n" +
         (carryLines ++ stagedLines).mkString("\n")
       val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
       val f = fs(spark, manifest)
@@ -1428,6 +1446,76 @@ object SnapshotStore {
       |GROUP BY om
       |ORDER BY om""".stripMargin
 
+  // ─── q304: schema evolution — add-column merge, zero-rewrite reads ───
+  // The lakehouse metadata-change contract (Delta/Iceberg ADD COLUMN):
+  // a merge whose source carries a NEW column widens the manifest
+  // schema; only the files the merge touched anyway rewrite at the
+  // full width, every carried file stays narrow ON DISK and reads as
+  // NULL through [[loadFiles]]'s conform — an add-column evolution
+  // moves ZERO extra bytes. Here: orders published month-partitioned,
+  // then ONE month re-lands with a `priority` column (and a price
+  // bump, so the merge is a real upsert, not a metadata no-op). The
+  // census reads the evolved LATEST and groups by the new column —
+  // carried months must surface as priority = 'none' with their
+  // original totals, the evolved month with its bumped totals under
+  // its real priorities; file counters ride as oracle-derived data
+  // (files_total = |months|, rewritten = 1). Time travel to v1 still
+  // serves the narrow schema (SnapshotStoreSpec pins that half).
+  def q304SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/evolve"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("om"))
+      .repartition(8, col("om"))
+    publish(orders, table, partitionBy = Seq("om"))
+    val evolved = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 5).as("o_totalprice"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("om"),
+        col("o_orderpriority").as("priority"))
+      .where(col("om") === 199601)
+    val st = mergeUpsert(s, table, evolved, Seq("o_orderkey"))
+    read(s, table)
+      .groupBy(coalesce(col("priority"), lit("none")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total"),
+           countDistinct(col("om")).as("n_months"))
+      .select(col("priority"), col("n_orders"), col("total"),
+        col("n_months"),
+        lit(st.filesTotal.toLong).as("files_total"),
+        lit(st.filesRewritten.toLong).as("files_rewritten"),
+        lit(st.filesCarried.toLong).as("files_carried"))
+      .orderBy(col("priority"))
+  }
+
+  val q304Sql: String =
+    """WITH m AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+      |    CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS om
+      |  FROM orders),
+      |evolved AS (
+      |  SELECT om,
+      |    CASE WHEN om = 199601 THEN o_totalprice + 5
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN om = 199601 THEN o_orderpriority
+      |         ELSE 'none' END AS priority
+      |  FROM m),
+      |cnt AS (SELECT CAST(count(DISTINCT om) AS BIGINT) AS files_total
+      |        FROM m)
+      |SELECT priority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(count(DISTINCT om) AS BIGINT) AS n_months,
+      |  (SELECT files_total FROM cnt) AS files_total,
+      |  CAST(1 AS BIGINT) AS files_rewritten,
+      |  (SELECT files_total - 1 FROM cnt) AS files_carried
+      |FROM evolved
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
   // ─── q215: stats-pruned DELETE (GDPR shape), oracle-checked ──────────
   // documents hive-partitioned into 100-id buckets (one file per `b`
   // dir), then DELETE doc_id BETWEEN 150 AND 449: bucket 1 and 4
@@ -1671,7 +1759,8 @@ object SnapshotStore {
     "q151_bloom_lookup" -> (q151BloomLookup _),
     "q210_partitioned_read" -> (q210PartitionedRead _),
     "q214_snapshot_merge" -> (q214SnapshotMerge _),
-    "q215_snapshot_delete" -> (q215SnapshotDelete _))
+    "q215_snapshot_delete" -> (q215SnapshotDelete _),
+    "q304_schema_evolution" -> (q304SchemaEvolution _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -1684,5 +1773,6 @@ object SnapshotStore {
     "q151_bloom_lookup" -> q151Sql,
     "q210_partitioned_read" -> q210Sql,
     "q214_snapshot_merge" -> q214Sql,
-    "q215_snapshot_delete" -> q215Sql)
+    "q215_snapshot_delete" -> q215Sql,
+    "q304_schema_evolution" -> q304Sql)
 }

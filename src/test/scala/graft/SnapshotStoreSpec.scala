@@ -360,6 +360,45 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, t, Some(1)).count() === 30)
   }
 
+  test("schema evolution: add-column merge widens the manifest, carried " +
+       "files read as NULL, time travel keeps the narrow schema") {
+    val t = freshTable("evolve")
+    val base = spark.range(30)
+      .select(col("id"), (col("id") * 100).as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(4, col("b"))
+    SnapshotStore.publish(base, t, partitionBy = Seq("b"))
+    // the evolving source touches bucket 1 only, adding `tag`
+    val src = Seq((12L, -1L, 1L, "x"), (17L, -2L, 1L, "y"))
+      .toDF("id", "pay", "b", "tag")
+    val st = SnapshotStore.mergeUpsert(spark, t, src, Seq("id"))
+    assert(st.filesRewritten === 1 && st.filesCarried === 2,
+      s"evolution must not rewrite untouched files: $st")
+    val v2 = SnapshotStore.read(spark, t)
+    assert(v2.columns.toSeq === Seq("id", "pay", "b", "tag"))
+    val tags = v2.select("id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(tags(12L) === Some("x") && tags(17L) === Some("y"))
+    assert(tags(5L).isEmpty && tags(25L).isEmpty,
+      "carried narrow files must read tag as NULL")
+    // a SECOND merge without the new column is rejected (a widened
+    // schema is table schema from then on — missing columns fail loudly)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.mergeUpsert(spark, t,
+        Seq((1L, 0L, 0L)).toDF("id", "pay", "b"), Seq("id"))
+    }
+    assert(e.getMessage.contains("missing table columns"))
+    // compact materializes the widened schema everywhere; data unchanged
+    SnapshotStore.compact(spark, t, 2)
+    val v3 = SnapshotStore.read(spark, t)
+    assert(v3.columns.toSeq === Seq("id", "pay", "b", "tag"))
+    assert(v3.where(col("tag").isNotNull).count() === 2)
+    assert(v3.count() === 30)
+    // time travel: v1 still serves the ORIGINAL narrow schema
+    assert(SnapshotStore.read(spark, t, Some(1)).columns.toSeq
+      === Seq("id", "pay", "b"))
+  }
+
   test("mergeUpsert rejects a source with duplicate keys") {
     val t = freshTable("merge-dup")
     SnapshotStore.publish(Seq((1L, 10L)).toDF("id", "pay"), t)
