@@ -515,6 +515,10 @@ object PlanLint {
     // q306: per-scheme 1-row candidate/found/size frames crossJoined
     // into each census row (scalar-broadcast idiom)
     "q306_blocking_quality" -> Set("nested-loop", "cartesian"),
+    // q305: 1-row Σweights/leftover frames cross the |strata| rows; the
+    // remainder-rank window runs over that enum-sized frame (q290 shape)
+    "q305_neyman_sample" -> Set("nested-loop", "cartesian",
+                                "global-window"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -595,6 +599,9 @@ object PlanLint {
     "q147_bpe_learn" -> 28,
     // learned-fertility census: the full q147 trainer + 1 census pass
     "q224_learned_fertility" -> 30,
+    // vocab curve: the full q147 trainer + dict checkpoint + 4 curve
+    // points folded into one union action
+    "q307_vocab_curve" -> 30,
     // SQL-script binary search: ~2 actions per WHILE probe, probes =
     // log2(max per-nation supplier count) — grows LOGARITHMICALLY with
     // SF by design (measured 13 at sf0.001, 25 at sf0.01); 48 prices

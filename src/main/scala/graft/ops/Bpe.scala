@@ -304,13 +304,95 @@ object Bpe {
        |FROM w$LearnRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ─── q307: vocab-size compression curve ───────────────────────────────
+  // The "how big should the vocabulary be" read: apply the LEARNED merge
+  // table (q147) at PREFIX lengths K = 0/2/4/8 and price each vocabulary
+  // by its corpus token count — the compression-vs-vocab-size curve
+  // every tokenizer design doc opens with (diminishing returns per added
+  // merge; the knee picks the vocab). K = 0 is the character baseline
+  // (tokens ≡ chars); each K is one projection of the SAME word dict
+  // through the native encode kernel with the truncated merge list —
+  // greedy sequential application, so dict-at-K ≡ the trainer's own
+  // round-K state, which is exactly what the oracle reads off its wK
+  // stages. saved_bp = basis points of characters eliminated, an exact
+  // integer cross-multiplication.
+  //
+  // Scale: trainer as q147 (dict-sized rounds); the curve is 4
+  // projections of the checkpointed dict, one tiny union.
+  private val CurveKs = Seq(0, 2, 4, 8)
+
+  def q307VocabCurve(s: SparkSession, d: String): DataFrame = {
+    val learned = q147BpeLearn(s, d)
+      .orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val dict = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rows = CurveKs.map { k =>
+      val toks =
+        if (k == 0) length(col("word")).cast("long")
+        else size(graft.expr.BpeFunctions.bpe_encode(col("word"),
+          learned.take(k))).cast("long")
+      dict.agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("word"))).as("n_chars"),
+          sum(col("cnt") * toks).as("n_tokens"))
+        .select(lit(k.toLong).as("vocab_merges"), col("n_words"),
+          col("n_chars"), col("n_tokens"),
+          expr("(10000 * (n_chars - n_tokens)) div n_chars")
+            .as("saved_bp"))
+    }
+    rows.reduce(_ unionAll _).orderBy(col("vocab_merges"))
+  }
+
+  private val q307Sql: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)', ',\\1', 'g') AS s,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY 1)""".stripMargin
+    val stages = (1 to LearnRounds).map { k =>
+      s"""p$k AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
+         |         recursive := true), cnt
+         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt FROM w${k - 1})),
+         |m$k AS MATERIALIZED (
+         |  SELECT lhs, rhs FROM p$k
+         |  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(s, ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
+         |                 ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS s, cnt
+         |  FROM w${k - 1})""".stripMargin
+    }
+    val union = CurveKs.map { k =>
+      s"""SELECT $k AS vocab_merges,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * length(replace(s, ',', ''))) AS BIGINT)
+         |    AS n_chars,
+         |  CAST(sum(cnt * (length(s) - length(replace(s, ',', ''))))
+         |    AS BIGINT) AS n_tokens
+         |FROM w$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $w0,
+       |${stages.mkString(",\n")}
+       |SELECT vocab_merges, n_words, n_chars, n_tokens,
+       |  (10000 * (n_chars - n_tokens)) // n_chars AS saved_bp
+       |FROM ($union)
+       |ORDER BY vocab_merges""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_bpe_encode" -> (q146BpeEncode _),
     "q147_bpe_learn" -> (q147BpeLearn _),
-    "q224_learned_fertility" -> (q224LearnedFertility _))
+    "q224_learned_fertility" -> (q224LearnedFertility _),
+    "q307_vocab_curve" -> (q307VocabCurve _))
 
   val oracleSql: Map[String, String] = Map(
     "q146_bpe_encode" -> q146Sql,
     "q147_bpe_learn" -> q147Sql,
-    "q224_learned_fertility" -> q224Sql)
+    "q224_learned_fertility" -> q224Sql,
+    "q307_vocab_curve" -> q307Sql)
 }

@@ -2772,7 +2772,120 @@ object Insights {
       |FROM noise
       |ORDER BY event_type, day""".stripMargin
 
+  // ─── q305: Neyman-allocation stratified sampling ──────────────────────
+  // The survey-sampling workhorse (Neyman 1934): a fixed audit budget of
+  // [[NeyBudget]] rows allocated across strata ∝ N_h·σ_h — high-variance
+  // strata get more budget, which minimizes the estimator's variance for
+  // a fixed cost (vs q75's proportional rule, which ignores σ). The ML
+  // counterpart is variance-aware eval-set construction.
+  //
+  // Exactness: N_h·σ_h = √(N_h·Σx² − (Σx)²) — an exact integer under the
+  // root (cents² sums run in DECIMAL(38), the q279 rule), rounded once
+  // to an integer weight; allocation integerizes by LARGEST REMAINDER
+  // (q290's Hamilton method: base = truncating div, remainders ranked as
+  // exact integers, Σ = budget by construction). The draw is salted-hash
+  // rank (grow-stable, the q102/q232 discipline) with the kept-id
+  // checksum emitted as data.
+  //
+  // Scale: one grouped aggregate to |strata| rows; allocation arithmetic
+  // on that enum-sized frame; the draw ranks per-stratum under a LITERAL
+  // rank ≤ budget prefilter (WindowGroupLimit prunes partitions before
+  // the full sort), then the per-stratum cut joins on the broadcast
+  // 5-row allocation.
+  private val NeyBudget = 1000
+
+  def q305NeymanSample(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), "o_custkey")
+      .select(col("seg"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        md5(concat(lit("ney:"), col("o_orderkey").cast("string")))
+          .as("h"))
+    val strat = base.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+          .as("sx2"))
+      .select(col("seg"), col("n_pop"),
+        round(sqrt((col("n_pop").cast("decimal(38,0)") * col("sx2")
+          - col("sx") * col("sx")).cast("double"))).cast("long")
+          .as("w_sigma"))
+    val tot = strat.agg(sum(col("w_sigma")).as("tw"),
+      count(lit(1)).as("n_strata"))
+    val withBase = strat.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_pop"), col("w_sigma"),
+        expr(s"($NeyBudget * w_sigma) div tw").as("alloc0"),
+        expr(s"($NeyBudget * w_sigma) % tw").as("rem"))
+    val leftover = withBase.agg(
+      (lit(NeyBudget.toLong) - sum(col("alloc0"))).as("left"))
+    val alloc = withBase.crossJoin(broadcast(leftover))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("seg"))))
+      .select(col("seg"), col("n_pop"), col("w_sigma"),
+        (col("alloc0") + when(col("rr") <= col("left"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val kept = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("h"),
+          col("o_orderkey"))))
+      .where(col("rn") <= NeyBudget)
+      .join(broadcast(alloc.select(col("seg"), col("alloc"))), "seg")
+      .where(col("rn") <= col("alloc"))
+    kept.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("o_orderkey")).as("id_sum"),
+           sum(col("cents")).as("cents_sum"))
+      .join(alloc, Seq("seg"))
+      .select(col("seg"), col("n_pop"), col("w_sigma"), col("alloc"),
+        col("n_kept"), col("id_sum"), col("cents_sum"))
+      .orderBy(col("seg"))
+  }
+
+  val q305Sql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT c_mktsegment AS seg, o_orderkey,
+       |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+       |    md5('ney:' || CAST(o_orderkey AS VARCHAR)) AS h
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |strat AS (
+       |  SELECT seg, CAST(count(*) AS BIGINT) AS n_pop,
+       |    CAST(round(sqrt(CAST(CAST(count(*) AS HUGEINT)
+       |      * sum(CAST(cents AS HUGEINT) * cents)
+       |      - sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT))
+       |      AS DOUBLE))) AS BIGINT) AS w_sigma
+       |  FROM base GROUP BY seg),
+       |tot AS (SELECT CAST(sum(w_sigma) AS BIGINT) AS tw FROM strat),
+       |wb AS (
+       |  SELECT seg, n_pop, w_sigma,
+       |    ($NeyBudget * w_sigma) // tw AS alloc0,
+       |    ($NeyBudget * w_sigma) % tw AS rem
+       |  FROM strat, tot),
+       |lo AS (SELECT $NeyBudget - CAST(sum(alloc0) AS BIGINT) AS lft
+       |       FROM wb),
+       |alloc AS (
+       |  SELECT seg, n_pop, w_sigma,
+       |    alloc0 + CASE WHEN row_number()
+       |        OVER (ORDER BY rem DESC, seg) <= lft
+       |      THEN 1 ELSE 0 END AS alloc
+       |  FROM wb, lo),
+       |kept AS (
+       |  SELECT b.seg, b.o_orderkey, b.cents FROM (
+       |    SELECT seg, o_orderkey, cents,
+       |      row_number() OVER (PARTITION BY seg ORDER BY h, o_orderkey)
+       |        AS rn
+       |    FROM base) b
+       |  JOIN alloc a ON b.seg = a.seg
+       |  WHERE b.rn <= a.alloc)
+       |SELECT a.seg, a.n_pop, a.w_sigma, CAST(a.alloc AS BIGINT) AS alloc,
+       |  CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(k.o_orderkey) AS BIGINT) AS id_sum,
+       |  CAST(sum(k.cents) AS BIGINT) AS cents_sum
+       |FROM kept k JOIN alloc a ON k.seg = a.seg
+       |GROUP BY a.seg, a.n_pop, a.w_sigma, a.alloc
+       |ORDER BY a.seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_neyman_sample" -> (q305NeymanSample _),
     "q298_markov_attribution" -> (q298MarkovAttribution _),
     "q299_holt_backtest" -> (q299HoltBacktest _),
     "q300_dp_histogram" -> (q300DpHistogram _),
@@ -2822,6 +2935,7 @@ object Insights {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q305_neyman_sample" -> q305Sql,
     "q298_markov_attribution" -> q298Sql,
     "q299_holt_backtest" -> q299Sql,
     "q300_dp_histogram" -> q300Sql,
