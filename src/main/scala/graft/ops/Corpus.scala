@@ -2425,6 +2425,60 @@ object Corpus {
        |GROUP BY y, pred
        |ORDER BY actual, pred""".stripMargin
 
+  // ─── q308: vocabulary richness census (Good–Turing / Chao1) ───────────
+  // The "how much vocabulary haven't we seen yet" estimators every
+  // corpus-growth decision leans on, both driven by the frequency-of-
+  // frequencies profile (hapax/dis legomena): Good–Turing's unseen
+  // probability mass P₀ = N₁/T (Good 1953) and Chao1's lower bound on
+  // the TRUE vocabulary size (Chao 1984, bias-corrected form
+  // D + N₁(N₁−1)/(2(N₂+1)) — defined even when doubletons are absent).
+  // Per language, entirely in exact integers: chao1 in millis via
+  // integer division, unseen mass in basis points, plus the GT-adjusted
+  // effective count for hapaxes r₁* = 2N₂/N₁ in millis — a vocabulary
+  // whose r₁* ≪ 1000 is hapax-heavy and still growing fast.
+  //
+  // Scale: one map-side-combined (lang, token) count, one (lang, freq)
+  // count over the vocab frame, one |langs|-row census. The vocab frame
+  // is the only slim shuffle; nothing carries text past it.
+  def q308VocabularyRichness(s: SparkSession, d: String): DataFrame = {
+    val freq = documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("r"))
+    freq.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("r")).as("n_tokens"),
+        sum(when(col("r") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("r") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("n_tokens"), col("n_distinct"), col("n1"),
+        col("n2"),
+        (lit(1000L) * col("n_distinct") +
+          expr("(1000 * n1 * (n1 - 1)) div (2 * (n2 + 1))"))
+          .as("chao1_milli"),
+        expr("(10000 * n1) div n_tokens").as("unseen_mass_bp"),
+        when(col("n1") > 0L, expr("(1000 * 2 * n2) div n1"))
+          .otherwise(lit(0L)).as("r1_star_milli"))
+      .orderBy(col("lang"))
+  }
+
+  val q308Sql: String =
+    s"""WITH freq AS (
+       |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+       |  FROM (SELECT lang, unnest($tokensSql) AS tok FROM documents)
+       |  GROUP BY lang, tok),
+       |prof AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(r) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM freq GROUP BY lang)
+       |SELECT lang, n_tokens, n_distinct, n1, n2,
+       |  1000 * n_distinct + (1000 * n1 * (n1 - 1)) // (2 * (n2 + 1))
+       |    AS chao1_milli,
+       |  (10000 * n1) // n_tokens AS unseen_mass_bp,
+       |  CASE WHEN n1 > 0 THEN (1000 * 2 * n2) // n1 ELSE 0 END
+       |    AS r1_star_milli
+       |FROM prof
+       |ORDER BY lang""".stripMargin
+
   // ─── q216: DSIR importance selection (target-distribution matching) ──
   // The published data-selection method (Xie et al. 2023, "Data Selection
   // for Language Models via Importance Resampling"): score every raw
@@ -3725,6 +3779,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_naive_bayes" -> (q297NaiveBayes _),
     "q303_dataset_cartography" -> (q303DatasetCartography _),
+    "q308_vocabulary_richness" -> (q308VocabularyRichness _),
     "q255_lpt_balance" -> (q255LptBalance _),
     "q256_ranking_quality" -> (q256RankingQuality _),
     "q257_pr_sweep" -> (q257PrSweep _),
@@ -3777,6 +3832,7 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "q297_naive_bayes" -> q297Sql,
     "q303_dataset_cartography" -> q303Sql,
+    "q308_vocabulary_richness" -> q308Sql,
     "q255_lpt_balance" -> q255Sql,
     "q256_ranking_quality" -> q256Sql,
     "q257_pr_sweep" -> q257Sql,

@@ -2884,8 +2884,90 @@ object Insights {
        |GROUP BY a.seg, a.n_pop, a.w_sigma, a.alloc
        |ORDER BY a.seg""".stripMargin
 
+  // ─── q309: next-event prediction backtest (leave-last-out Markov) ─────
+  // Does the q165 transition model actually PREDICT? The standard
+  // sequence-model eval under the standard leakage discipline: hold out
+  // every user's LAST transition, train the first-order model on the
+  // rest, predict argmax P(next | current), score hit rate per source
+  // state. Leave-last-out (not in-sample) matters: the test pair must
+  // not vote for its own prediction — the q204/q222 leakage principle
+  // applied to sequences.
+  //
+  // Determinism: prediction per source = rank-1 of (count DESC, dst) —
+  // integer counts, string tie-break; hit rates are exact integer basis
+  // points. Scale: one per-user window pass tags each user's last
+  // transition; train counts are one map-side-combined aggregate; the
+  // prediction table is |states|² rows; the eval joins the |users|-row
+  // test frame against the broadcast prediction table.
+  def q309NextEventBacktest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val trans = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      // tag BEFORE dropping the pair-less final event: the user's last
+      // transition is the pair whose source is the penultimate event —
+      // rn 2 in the descending order over ALL events (rn 1 is the final
+      // event, which emits no pair)
+      .withColumn("isTest", row_number().over(wDesc) === 2)
+      .where(col("dst").isNotNull)
+    val counts = trans.where(!col("isTest"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val pred = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("n").desc, col("dst"))))
+      .where(col("rk") === 1)
+      .select(col("src"), col("dst").as("pred"))
+    trans.where(col("isTest"))
+      .join(broadcast(pred), Seq("src"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_tests"),
+        sum(when(col("dst") === col("pred"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("src"), col("n_tests"), col("n_hits"),
+        expr("(10000 * n_hits) div n_tests").as("hit_bp"))
+      .orderBy(col("src"))
+  }
+
+  val q309Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type AS src
+      |  FROM events),
+      |trans AS MATERIALIZED (
+      |  SELECT * FROM (
+      |    SELECT user_id, src,
+      |      lead(src) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |        AS dst,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) = 2 AS istest
+      |    FROM e)
+      |  WHERE dst IS NOT NULL),
+      |counts AS (
+      |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |  FROM trans WHERE NOT istest GROUP BY src, dst),
+      |pred AS (
+      |  SELECT src, dst AS pred FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY src
+      |      ORDER BY n DESC, dst) AS rk
+      |    FROM counts)
+      |  WHERE rk = 1)
+      |SELECT t.src, CAST(count(*) AS BIGINT) AS n_tests,
+      |  CAST(sum(CASE WHEN t.dst = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hits,
+      |  (10000 * CAST(sum(CASE WHEN t.dst = p.pred THEN 1 ELSE 0 END)
+      |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS hit_bp
+      |FROM trans t LEFT JOIN pred p ON t.src = p.src
+      |WHERE t.istest
+      |GROUP BY t.src
+      |ORDER BY t.src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q305_neyman_sample" -> (q305NeymanSample _),
+    "q309_next_event_backtest" -> (q309NextEventBacktest _),
     "q298_markov_attribution" -> (q298MarkovAttribution _),
     "q299_holt_backtest" -> (q299HoltBacktest _),
     "q300_dp_histogram" -> (q300DpHistogram _),
@@ -2936,6 +3018,7 @@ object Insights {
 
   val oracleSql: Map[String, String] = Map(
     "q305_neyman_sample" -> q305Sql,
+    "q309_next_event_backtest" -> q309Sql,
     "q298_markov_attribution" -> q298Sql,
     "q299_holt_backtest" -> q299Sql,
     "q300_dp_histogram" -> q300Sql,
