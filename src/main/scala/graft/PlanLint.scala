@@ -565,6 +565,8 @@ object PlanLint {
     "q270_hits" -> 24,
     // Bellman–Ford: 4 relaxation-round checkpoints + edge/seed setup
     "q284_bellman_ford" -> 16,
+    // k-core: seed checkpoint + 1 checkpoint per peel round (4)
+    "q295_kcore" -> 12,
     // k-means trainer: 1 pieces checkpoint + 1 checkpoint per Lloyd
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,

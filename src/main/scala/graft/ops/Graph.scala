@@ -1455,10 +1455,9 @@ object Graph {
   // Scale: per round = one map-side-combined degree aggregate over the
   // current edge list + two semi-joins keyed on single long node columns
   // — fixed-width shuffles, input MONOTONICALLY SHRINKING (peeling never
-  // adds). Fixed round count ⇒ one lazy 4-round-deep plan, a single
-  // action; per-round frames are cached because each round's edge set
-  // feeds BOTH the next round and its own census row (caller-owned
-  // release — Bench/Verify clearCache per query, the q258 contract).
+  // adds). One localCheckpoint action per round (the CC/PageRank
+  // discipline — see kCorePeel's note for the measured cost of the lazy
+  // alternative), ActionAudit-bounded.
   private val KCoreK = 3
   private val KCoreRounds = 4
 
@@ -1469,7 +1468,13 @@ object Graph {
     * [[q295KCore]] so GraphSpec can drive planted graphs. */
   private[graft] def kCorePeel(canon: DataFrame, k: Int,
                                rounds: Int): DataFrame = {
-    var edges = canon.select("p1", "p2")
+    // localCheckpoint per round (the CC/PageRank iterative discipline):
+    // each round's edge set feeds the next round AND its own census row
+    // AND (via deg) the round after — a lazy chain would re-expand the
+    // shared peel subtree once per census branch of the final union
+    // (measured 16.6 s at sf0.1; checkpointed ~1 s). One bounded action
+    // per round, lineage truncated.
+    var edges = canon.select("p1", "p2").localCheckpoint()
     val census = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
       val deg = edges.select(col("p1").as("n"))
@@ -1480,7 +1485,7 @@ object Graph {
         .join(keep.select(col("n").as("p1")), Seq("p1"), "left_semi")
         .join(keep.select(col("n").as("p2")), Seq("p2"), "left_semi")
         .select("p1", "p2")
-        .cache()
+        .localCheckpoint()
       // coalesce: a fully-peeled (empty) round has count 0 but a NULL
       // sum — the census must read (0, 0), matching the oracle's
       // scalar-subquery counts (bit at sf0.1, where 3-core converges
@@ -1497,10 +1502,9 @@ object Graph {
     census.result().reduce(_ unionAll _)
   }
 
-  def q295KCore(s: SparkSession, d: String): DataFrame = {
-    val canon = coPurchaseEdges(s, d).cache()
-    kCorePeel(canon, KCoreK, KCoreRounds).orderBy(col("round"))
-  }
+  def q295KCore(s: SparkSession, d: String): DataFrame =
+    kCorePeel(coPurchaseEdges(s, d), KCoreK, KCoreRounds)
+      .orderBy(col("round"))
 
   val q295Sql: String = {
     val rounds = (1 to KCoreRounds).map { r =>
