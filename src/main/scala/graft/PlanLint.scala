@@ -519,6 +519,13 @@ object PlanLint {
     // remainder-rank window runs over that enum-sized frame (q290 shape)
     "q305_neyman_sample" -> Set("nested-loop", "cartesian",
                                 "global-window"),
+    // q310: the BH rank window sorts the 35-row hypothesis frame; the
+    // 1-row k* frame crosses back (q271's shapes); the midrank window
+    // runs over the value DOMAIN per type, never the fact
+    "q310_bh_screen" -> Set("nested-loop", "cartesian", "global-window"),
+    // q311: the 1-row window-total frame crossJoined into the ≤25-row
+    // census (scalar-broadcast idiom)
+    "q311_sequential_rules" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in

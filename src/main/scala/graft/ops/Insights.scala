@@ -2971,9 +2971,279 @@ object Insights {
       |GROUP BY t.src
       |ORDER BY t.src""".stripMargin
 
+  // ─── q310: multiple-testing screen (Mann–Whitney × Benjamini–Hochberg) ─
+  // The anomaly-screening discipline at scale: 35 simultaneous hypotheses
+  // (each event type × weekday: "does this weekday's value distribution
+  // differ from the type's other days?"), each tested with q271's
+  // histogram-folded Mann–Whitney U, then FDR-controlled with
+  // Benjamini–Hochberg step-up at α = 0.10 — the correction that keeps a
+  // 35-cell screen from crying wolf 3.5 times by chance (Bonferroni's
+  // over-conservative cousin is the strawman; BH is what monitoring
+  // pipelines ship).
+  //
+  // Exactness: midranks fold from the per-type value histogram exactly
+  // as q271 (doubled midranks, integer U; per-weekday rank sums join the
+  // per-(type, value) day counts against the type's midrank frame — the
+  // histogram is computed ONCE per type, 35 hypotheses price one
+  // aggregate). The normal CDF uses the Abramowitz–Stegun 26.2.17
+  // polynomial — exp + fixed literals evaluated in the same order by
+  // both engines, on the ALREADY-QUANTIZED z (micro), with the result
+  // 9-dp-rounded before micro-quantization (the q262 guard). The BH
+  // threshold is a pure integer cross-multiplication:
+  // reject rank k iff 10·m·p_micro ≤ 10⁶·k; step-up rejects everything
+  // at or below the LARGEST satisfying k.
+  //
+  // Scale: one fact reduction to the (type, value) histogram and one to
+  // the (type, weekday, value) counts; ranks run over the value DOMAIN
+  // (q144/q250 principle); the BH window sorts 35 rows.
+  def q310BhScreen(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d)
+      .select(col("event_type").as("et"),
+        round(col("value") * 100, 0).cast("long").as("v"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("wd"))
+    val histAll = base.groupBy(col("et"), col("v"))
+      .agg(count(lit(1)).as("nv"))
+    val wCum = Window.partitionBy(col("et")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val m2 = histAll
+      .withColumn("lcum", coalesce(sum(col("nv")).over(wCum), lit(0L)))
+      .select(col("et"), col("v"),
+        (lit(2L) * col("lcum") + col("nv") + 1L).as("m2"))
+    val totals = histAll.groupBy(col("et")).agg(sum(col("nv")).as("nt"))
+    val histDay = base.groupBy(col("et"), col("wd"), col("v"))
+      .agg(count(lit(1)).as("ndv"))
+    val hyp = histDay.join(m2, Seq("et", "v"))
+      .groupBy(col("et"), col("wd"))
+      .agg(sum(col("ndv")).as("n1"),
+           sum(col("ndv") * col("m2")).as("r1x2"))
+      .join(broadcast(totals), "et")
+      .select(col("et"), col("wd"), col("n1"),
+        (col("nt") - col("n1")).as("n2"), col("r1x2"))
+      .select(col("et"), col("wd"), col("n1"), col("n2"),
+        round(((col("r1x2") - col("n1") * (col("n1") + 1L))
+          .cast("double") / 2.0 -
+          col("n1").cast("double") * col("n2").cast("double") / 2.0) /
+          sqrt(col("n1").cast("double") * col("n2").cast("double") *
+            (col("n1") + col("n2") + 1L).cast("double") / 12.0) * 1e6, 0)
+          .cast("long").as("z_micro"))
+    // two-sided p from the quantized z: Abramowitz–Stegun 26.2.17 on
+    // x = |z|; identical literals and nesting on both engines
+    val x = abs(col("z_micro")).cast("double") / lit(1e6)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = (((((lit(1.330274429) * t - lit(1.821255978)) * t
+      + lit(1.781477937)) * t - lit(0.356563782)) * t
+      + lit(0.319381530)) * t)
+    val phi = exp(-(x * x) / lit(2.0)) * lit(0.3989422804014327)
+    val pv = hyp.withColumn("p_micro",
+      round(round(lit(2.0) * phi * poly, 9) * lit(1e6)).cast("long"))
+    bhStepUp(pv, Seq("et", "wd"), m = 35)
+      .select(col("et").as("event_type"), col("wd").as("weekday"),
+        col("n1"), col("z_micro"), col("p_micro"), col("p_rank"),
+        col("rejected"))
+      .orderBy(col("event_type"), col("weekday"))
+  }
+
+  /** Benjamini–Hochberg step-up at α = 0.10 over a frame carrying
+    * `p_micro`: adds `p_rank` (ascending p, ties by `tieCols`) and
+    * `rejected` (1 for every rank ≤ the LARGEST k with
+    * 10·m·p_micro ≤ 10⁶·k — the step-up rejects hypotheses whose own
+    * inequality fails when a later rank passes, the property that
+    * distinguishes BH from per-test thresholding). Pure integer gate.
+    * Factored from [[q310BhScreen]] so InsightsSpec can drive planted
+    * p-value sets through the textbook cases — the sf fixture's null
+    * result (zero rejections) never exercises the step-up path. */
+  private[graft] def bhStepUp(pv: DataFrame, tieCols: Seq[String],
+                              m: Int): DataFrame = {
+    val ranked = pv.withColumn("p_rank", row_number().over(
+      Window.orderBy(col("p_micro") +: tieCols.map(col): _*)).cast("long"))
+    val kStar = ranked.agg(coalesce(max(when(
+      lit(10L * m) * col("p_micro") <= lit(1000000L) * col("p_rank"),
+      col("p_rank"))), lit(0L)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("rejected",
+        when(col("p_rank") <= col("k_star"), 1L).otherwise(0L))
+      .drop("k_star")
+  }
+
+  val q310Sql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT event_type AS et,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS wd
+      |  FROM events),
+      |histall AS MATERIALIZED (
+      |  SELECT et, v, CAST(count(*) AS BIGINT) AS nv
+      |  FROM base GROUP BY et, v),
+      |m2 AS (
+      |  SELECT et, v,
+      |    2 * coalesce(sum(nv) OVER (PARTITION BY et ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + nv + 1 AS m2
+      |  FROM histall),
+      |totals AS (SELECT et, CAST(sum(nv) AS BIGINT) AS nt
+      |           FROM histall GROUP BY et),
+      |histday AS (
+      |  SELECT et, wd, v, CAST(count(*) AS BIGINT) AS ndv
+      |  FROM base GROUP BY et, wd, v),
+      |hyp AS (
+      |  SELECT h.et, h.wd, sum(h.ndv) AS n1, t.nt - sum(h.ndv) AS n2,
+      |    sum(h.ndv * m.m2) AS r1x2
+      |  FROM histday h JOIN m2 m ON h.et = m.et AND h.v = m.v
+      |  JOIN totals t ON h.et = t.et
+      |  GROUP BY h.et, h.wd, t.nt),
+      |zs AS (
+      |  SELECT et, wd, CAST(n1 AS BIGINT) AS n1,
+      |    CAST(round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+      |        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+      |      / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |          * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0) * 1e6, 0)
+      |      AS BIGINT) AS z_micro
+      |  FROM hyp),
+      |pv AS (
+      |  SELECT et, wd, n1, z_micro,
+      |    CAST(round(round(2.0
+      |      * (exp(-(x * x) / 2.0) * 0.3989422804014327)
+      |      * ((((( 1.330274429 * (1.0 / (1.0 + 0.2316419 * x))
+      |          - 1.821255978) * (1.0 / (1.0 + 0.2316419 * x))
+      |          + 1.781477937) * (1.0 / (1.0 + 0.2316419 * x))
+      |          - 0.356563782) * (1.0 / (1.0 + 0.2316419 * x))
+      |          + 0.319381530) * (1.0 / (1.0 + 0.2316419 * x))),
+      |      9) * 1e6) AS BIGINT) AS p_micro
+      |  FROM (SELECT *, CAST(abs(z_micro) AS DOUBLE) / 1e6 AS x FROM zs)),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY p_micro, et, wd)
+      |    AS BIGINT) AS p_rank
+      |  FROM pv),
+      |ks AS (
+      |  SELECT coalesce(max(CASE WHEN 350 * p_micro <= 1000000 * p_rank
+      |    THEN p_rank END), 0) AS k_star
+      |  FROM ranked)
+      |SELECT et AS event_type, wd AS weekday, n1, z_micro, p_micro,
+      |  p_rank,
+      |  CAST(CASE WHEN p_rank <= k_star THEN 1 ELSE 0 END AS BIGINT)
+      |    AS rejected
+      |FROM ranked, ks
+      |ORDER BY event_type, weekday""".stripMargin
+
+  // ─── q311: sequential association rules (X followed by Y within 3) ────
+  // The directional counterpart of q163's basket rules and the k-step
+  // widening of q165's adjacent transitions: "users who do X go on to do
+  // Y within 3 events" — the sequence pattern product analytics mines
+  // for intervention points. Windows = the three leads per event (the
+  // q269 shape); a (src, dst) pair counts once per (position, offset)
+  // occurrence. Confidence = share of X's forward windows that hit Y;
+  // lift normalizes by Y's share of ALL windows — both exact integer
+  // ratios (bp / milli).
+  //
+  // Scale: one per-user window pass (three leads), one pair-keyed
+  // count, |types|²-row census; totals broadcast back.
+  def q311SequentialRules(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val leads = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("x"))
+      .withColumn("y1", lead(col("x"), 1).over(w))
+      .withColumn("y2", lead(col("x"), 2).over(w))
+      .withColumn("y3", lead(col("x"), 3).over(w))
+    val pairs = Seq("y1", "y2", "y3").map(c =>
+      leads.where(col(c).isNotNull)
+        .select(col("x"), col(c).as("y"))).reduce(_ unionAll _)
+    val nx = pairs.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+    val ny = pairs.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+    val tot = pairs.agg(count(lit(1)).as("n_w"))
+    pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .join(broadcast(nx), "x")
+      .join(broadcast(ny), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("n_xy"),
+        expr("(10000 * n_xy) div n_x").as("confidence_bp"),
+        expr("(1000 * n_xy * n_w) div (n_x * n_y)").as("lift_milli"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  val q311Sql: String =
+    """WITH leads AS (
+      |  SELECT event_type AS x,
+      |    lead(event_type, 1) OVER w AS y1,
+      |    lead(event_type, 2) OVER w AS y2,
+      |    lead(event_type, 3) OVER w AS y3
+      |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |          event_type FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |pairs AS MATERIALIZED (
+      |  SELECT x, y1 AS y FROM leads WHERE y1 IS NOT NULL
+      |  UNION ALL SELECT x, y2 FROM leads WHERE y2 IS NOT NULL
+      |  UNION ALL SELECT x, y3 FROM leads WHERE y3 IS NOT NULL),
+      |nx AS (SELECT x, CAST(count(*) AS BIGINT) AS n_x
+      |       FROM pairs GROUP BY x),
+      |ny AS (SELECT y, CAST(count(*) AS BIGINT) AS n_y
+      |       FROM pairs GROUP BY y),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_w FROM pairs)
+      |SELECT p.x, p.y, CAST(count(*) AS BIGINT) AS n_xy,
+      |  (10000 * CAST(count(*) AS BIGINT)) // n_x AS confidence_bp,
+      |  (1000 * CAST(count(*) AS BIGINT) * n_w) // (n_x * n_y)
+      |    AS lift_milli
+      |FROM pairs p
+      |JOIN nx ON p.x = nx.x
+      |JOIN ny ON p.y = ny.y
+      |CROSS JOIN tot
+      |GROUP BY p.x, p.y, n_x, n_y, n_w
+      |ORDER BY p.x, p.y""".stripMargin
+
+  // ─── q312: overdispersion census (Poisson sanity of daily counts) ─────
+  // Before any count-based anomaly alert ships, the dispersion check:
+  // a Poisson process has variance ≈ mean; real traffic is usually
+  // OVERDISPERSED (bursts, weekly cycles), and alerting with Poisson
+  // thresholds on overdispersed counts pages people at 3 am. Per event
+  // type over the daily-count series: the variance/mean ratio in exact
+  // millis — sample variance folds from integer power sums, the
+  // overdispersion FLAG is the pure integer comparison
+  // n·Σy² − (Σy)² > (n−1)·Σy (no float ever decides it).
+  def q312OverdispersionCensus(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("y_sum"),
+           sum(col("y") * col("y")).as("y_sq"))
+      .select(col("event_type"), col("n_days"), col("y_sum"),
+        expr("(1000 * y_sum) div n_days").as("mean_milli"),
+        expr("(1000 * (n_days * y_sq - y_sum * y_sum)) div " +
+          "((n_days - 1) * y_sum)").as("dispersion_milli"),
+        when(col("n_days") * col("y_sq") - col("y_sum") * col("y_sum")
+          > (col("n_days") - 1L) * col("y_sum"), 1L).otherwise(0L)
+          .as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  val q312Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(y) AS BIGINT) AS y_sum,
+      |    CAST(sum(y * y) AS BIGINT) AS y_sq
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days, y_sum,
+      |  (1000 * y_sum) // n_days AS mean_milli,
+      |  (1000 * (n_days * y_sq - y_sum * y_sum))
+      |    // ((n_days - 1) * y_sum) AS dispersion_milli,
+      |  CAST(CASE WHEN n_days * y_sq - y_sum * y_sum
+      |         > (n_days - 1) * y_sum THEN 1 ELSE 0 END AS BIGINT)
+      |    AS overdispersed
+      |FROM prof
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q305_neyman_sample" -> (q305NeymanSample _),
     "q309_next_event_backtest" -> (q309NextEventBacktest _),
+    "q310_bh_screen" -> (q310BhScreen _),
+    "q311_sequential_rules" -> (q311SequentialRules _),
+    "q312_overdispersion" -> (q312OverdispersionCensus _),
     "q298_markov_attribution" -> (q298MarkovAttribution _),
     "q299_holt_backtest" -> (q299HoltBacktest _),
     "q300_dp_histogram" -> (q300DpHistogram _),
@@ -3025,6 +3295,9 @@ object Insights {
   val oracleSql: Map[String, String] = Map(
     "q305_neyman_sample" -> q305Sql,
     "q309_next_event_backtest" -> q309Sql,
+    "q310_bh_screen" -> q310Sql,
+    "q311_sequential_rules" -> q311Sql,
+    "q312_overdispersion" -> q312Sql,
     "q298_markov_attribution" -> q298Sql,
     "q299_holt_backtest" -> q299Sql,
     "q300_dp_histogram" -> q300Sql,

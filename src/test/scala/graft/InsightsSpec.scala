@@ -548,6 +548,29 @@ class InsightsSpec extends SparkSpec {
     assert(got.map(_._1).toSet === expected.keySet)
   }
 
+  test("q310 BH step-up: rejects through a failing earlier rank; " +
+       "all-null set rejects nothing") {
+    import spark.implicits._
+    def run(ps: Seq[Long]): Seq[(Long, Long)] =
+      Insights.bhStepUp(
+        ps.zipWithIndex.map { case (p, i) => (i.toString, p) }
+          .toDF("id", "p_micro"), Seq("id"), ps.length)
+        .select($"p_rank", $"rejected").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    // textbook: k* = 3 (0.01 ≤ .02, 0.03 ≤ .04, 0.05 ≤ .06; 0.4 / 0.9
+    // fail) — exactly ranks 1..3 rejected
+    assert(run(Seq(10000L, 30000L, 50000L, 400000L, 900000L))
+      .map(_._2) === Seq(1L, 1L, 1L, 0L, 0L))
+    // STEP-UP: rank 1 (p = .03 > .02) fails its own test but ranks 2..5
+    // pass, so k* = 5 and EVERYTHING rejects — the property per-test
+    // thresholding lacks
+    assert(run(Seq(30000L, 31000L, 32000L, 33000L, 50000L))
+      .map(_._2) === Seq(1L, 1L, 1L, 1L, 1L))
+    // null set: no rank satisfies, zero rejections
+    assert(run(Seq(200000L, 500000L, 900000L)).map(_._2)
+      === Seq(0L, 0L, 0L))
+  }
+
   test("q300 DP release: noise is the pinned hash-seeded Laplace draw, " +
        "clamped at zero") {
     import spark.implicits._
