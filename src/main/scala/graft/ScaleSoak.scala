@@ -195,7 +195,14 @@ object ScaleSoak {
       s""""${n.split("_").head}":{"base":${fmt(b)},"soak":${fmt(s)},"ratio":${fmt(r)},"exponent":${fmt(e)}}"""
     }.mkString("{", ",", "}")
     val out = s"""{"metric":"scale_soak","factor":$factor,"passes":$passes,"base_dir":"$baseDir","queries":$json}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.json"), out)
+    // write a RUN-KEYED sidecar instead of clobbering SOAK.json —
+    // SOAK.json accumulates many named runs across sessions, and one
+    // overwrite once cost the whole history (restored from git);
+    // the curator merges the sidecar under its chosen section name
+    val runKey = sys.env.getOrElse("SPARK_GRAFT_SOAK_KEY",
+      s"run_${baseDir.replaceAll("[^A-Za-z0-9]", "_")}_x$factor")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"SOAK_$runKey.json"), out)
     println(out)
     spark.stop()
   }
