@@ -526,6 +526,12 @@ object PlanLint {
     // q311: the 1-row window-total frame crossJoined into the ≤25-row
     // census (scalar-broadcast idiom)
     "q311_sequential_rules" -> Set("nested-loop", "cartesian"),
+    // q313: the 2-row variant-stats frame crosses the eval-token frame
+    // (the scoring fanout is the ablation's semantics — 2 models);
+    // 1-row/2-row stats frames cross the 2-row census
+    "q313_dedup_ablation" -> Set("nested-loop", "cartesian"),
+    // q314: the 1-row totals frame crosses the 64-row bucket profile
+    "q314_feature_hash_audit" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -551,6 +557,9 @@ object PlanLint {
     "q198_canonical_keeper" -> 24,
     "q199_lsh_dedup_funnel" -> 24,
     "q222_leakage_safe_split" -> 24,
+    // dedup-ablation: the q199 funnel (LSH pairs + CC fixpoint) feeds
+    // the dedup arm — same loop, same generous pricing
+    "q313_dedup_ablation" -> 24,
     // incremental CC runs TWO fixpoints (yesterday's labels + the
     // incremental merge) — two q71-style loops priced generously
     "q276_incremental_cc" -> 48,

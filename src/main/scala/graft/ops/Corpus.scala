@@ -2479,6 +2479,216 @@ object Corpus {
        |FROM prof
        |ORDER BY lang""".stripMargin
 
+  // ─── q313: deduplication ablation (the Lee et al. 2021 headline) ──────
+  // WHY dedup at all? The published answer: language models trained on
+  // deduplicated data are better (and leak less). This query runs that
+  // ablation in-engine as a controlled experiment: the SAME unigram LM
+  // (add-1 smoothing) trained twice — once on the raw train split, once
+  // on the NEAR-DUP-deduplicated train split (the q199 funnel: verified
+  // LSH pairs restricted to train→train, connected components, min-id
+  // keeper per cluster — this corpus's duplicates are near-identical
+  // tails, never byte-identical, so exact hashing would dedup nothing)
+  // — and both evaluated on the SAME held-out split (q72's hash rule,
+  // so membership never moves). The census carries the exact model
+  // statistics and the held-out mean log-prob per token; the
+  // direction/size of the shift is the data's answer, not an assertion.
+  //
+  // Exactness: model counts are integers; per-token ln((c+1)/(N+V))
+  // quantized to nanos at the (variant, token) boundary (the q297
+  // discipline), unseen tokens take the variant's closed-form default;
+  // the eval sum is an exact BIGINT; mean = truncating div.
+  //
+  // Scale: the dedup arm is q199's bucketed funnel (never all-pairs) +
+  // one keeper semi-join; two counting passes over the train split; one
+  // eval join keyed on token; |variants| = 2 rides as a column.
+  def q313DedupAblation(s: SparkSession, d: String): DataFrame = {
+    val docs = TextSim.dedupCorpus(s, d)
+      .withColumn("split",
+        when(substring(md5(concat(lit("split:"),
+          col("doc_id").cast("string"))), 1, 2) < "cc", "train")
+          .otherwise("heldout"))
+    val train = docs.where(col("split") === "train")
+      .select(col("doc_id"), col("text"))
+    val trainIds = train.select(col("doc_id"))
+    val tp = TextSim.minhashPairs(s, d, TextSim.DefaultK, TextSim.DefaultB)
+      .select(col("doc_a"), col("doc_b"))
+      .join(trainIds.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+        "left_semi")
+      .join(trainIds.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
+    val comp = Graph.connectedComponents(
+      tp.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      "src", "dst")
+    val keepIds = train
+      .join(comp, train("doc_id") === comp("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val variants =
+      train.select(col("doc_id"), col("text"), lit("raw").as("variant"))
+        .unionAll(train.join(keepIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"), lit("dedup").as("variant")))
+    val toks = variants
+      .select(col("variant"), explode(tokens(col("text"))).as("tok"))
+    val model = toks.groupBy(col("variant"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val stats = model.groupBy(col("variant"))
+      .agg(sum(col("c")).as("nt"), count(lit(1)).as("v"))
+    val trainDocs = variants.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_train_docs"))
+    val evalTok = docs.where(col("split") === "heldout")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val scored = evalTok
+      .crossJoin(broadcast(stats))
+      .join(model, Seq("variant", "tok"), "left")
+      .select(col("variant"), col("cnt"),
+        (col("cnt") * round(round(
+          log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+            (col("nt") + col("v")).cast("double")), 9) * lit(1e9))
+          .cast("long")).as("lp_nano"))
+      .groupBy(col("variant"))
+      .agg(sum(col("cnt")).as("n_eval_tokens"),
+           sum(col("lp_nano")).as("sum_lp_nano"))
+    scored.join(broadcast(stats), "variant")
+      .join(broadcast(trainDocs), "variant")
+      .select(col("variant"), col("n_train_docs"),
+        col("nt").as("n_train_tokens"), col("v").as("vocab"),
+        col("n_eval_tokens"),
+        expr("sum_lp_nano div n_eval_tokens").as("mean_lp_nano"))
+      .orderBy(col("variant"))
+  }
+
+  val q313Sql: String =
+    s"""WITH RECURSIVE ${TextSim.minhashPairCtes(TextSim.DefaultK,
+          TextSim.DefaultB)},
+       |docs AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+       |           1, 2) < 'cc' THEN 'train' ELSE 'heldout' END AS split
+       |  FROM corpus),
+       |train AS MATERIALIZED (SELECT doc_id, text FROM docs
+       |                       WHERE split = 'train'),
+       |tp AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  WHERE doc_a IN (SELECT doc_id FROM train)
+       |    AND doc_b IN (SELECT doc_id FROM train)),
+       |bidir AS (SELECT doc_a AS u, doc_b AS v FROM tp
+       |          UNION SELECT doc_b, doc_a FROM tp),
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM bidir
+       |  UNION
+       |  SELECT b.v AS node, r.lab FROM reach r JOIN bidir b
+       |    ON b.u = r.node),
+       |compo AS (SELECT node, min(lab) AS component FROM reach
+       |          GROUP BY node),
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT t.doc_id, coalesce(c.component, t.doc_id) AS cluster
+       |    FROM train t LEFT JOIN compo c ON t.doc_id = c.node)
+       |  GROUP BY cluster),
+       |variants AS MATERIALIZED (
+       |  SELECT doc_id, text, 'raw' AS variant FROM train
+       |  UNION ALL
+       |  SELECT t.doc_id, t.text, 'dedup' FROM train t
+       |  WHERE t.doc_id IN (SELECT doc_id FROM keepers)),
+       |toks AS (
+       |  SELECT variant, unnest($tokensSql) AS tok FROM variants),
+       |model AS MATERIALIZED (
+       |  SELECT variant, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY variant, tok),
+       |stats AS (SELECT variant, CAST(sum(c) AS BIGINT) AS nt,
+       |            CAST(count(*) AS BIGINT) AS v
+       |          FROM model GROUP BY variant),
+       |traindocs AS (SELECT variant, CAST(count(*) AS BIGINT)
+       |                AS n_train_docs
+       |              FROM variants GROUP BY variant),
+       |evaltok AS MATERIALIZED (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+       |      '[^a-z0-9]+'), x -> x <> '')) AS tok
+       |    FROM docs WHERE split = 'heldout')
+       |  GROUP BY tok),
+       |scored AS (
+       |  SELECT s.variant,
+       |    CAST(sum(e.cnt) AS BIGINT) AS n_eval_tokens,
+       |    CAST(sum(e.cnt * CAST(round(round(
+       |      ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
+       |        / CAST(s.nt + s.v AS DOUBLE)), 9) * 1e9) AS BIGINT))
+       |      AS BIGINT) AS sum_lp_nano
+       |  FROM evaltok e
+       |  CROSS JOIN stats s
+       |  LEFT JOIN model m ON m.variant = s.variant AND m.tok = e.tok
+       |  GROUP BY s.variant)
+       |SELECT sc.variant, n_train_docs, nt AS n_train_tokens, v AS vocab,
+       |  n_eval_tokens, sum_lp_nano // n_eval_tokens AS mean_lp_nano
+       |FROM scored sc
+       |JOIN stats st ON sc.variant = st.variant
+       |JOIN traindocs td ON sc.variant = td.variant
+       |ORDER BY sc.variant""".stripMargin
+
+  // ─── q314: feature-hash collision audit ───────────────────────────────
+  // Is 64 buckets enough? The diagnosis every hashed-feature model
+  // (q209/q228/q303) should ship with: how many distinct tokens land in
+  // each bucket, how skewed the bucket MASS is, and the effective
+  // dimensionality exp(H) of the bucket distribution — if eff-dim ≪ 64
+  // the hash space is wasted; if max-collisions ≫ avg the model
+  // conflates unrelated tokens. One-row census, all from the (bucket)
+  // profile: entropy terms quantized to nanos per bucket (q231 rule)
+  // before the exact integer sum; eff_dim = exp(quantized H) micro.
+  def q314FeatureHashAudit(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), col("cnt"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(64L)).as("j"))
+    val buckets = tok.groupBy(col("j"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("mass"))
+    val tot = buckets.agg(sum(col("mass")).as("tm"),
+      sum(col("n_tokens")).as("td"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("j"), col("n_tokens"), col("mass"),
+        (-round(round(
+          (col("mass").cast("double") / col("tm")) *
+            log(col("mass").cast("double") / col("tm")), 9) * lit(1e9))
+          .cast("long")).as("h_nano"))
+      .agg(count(lit(1)).as("buckets_used"),
+        max(col("n_tokens")).as("max_bucket_tokens"),
+        min(col("n_tokens")).as("min_bucket_tokens"),
+        sum(col("h_nano")).as("entropy_nano"))
+      .select(col("buckets_used"), col("max_bucket_tokens"),
+        col("min_bucket_tokens"), col("entropy_nano"),
+        round(exp(col("entropy_nano").cast("double") / lit(1e9))
+          * lit(1e6)).cast("long").as("eff_dim_micro"))
+  }
+
+  val q314Sql: String =
+    s"""WITH tok AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS j
+       |  FROM (SELECT unnest($tokensSql) AS tok FROM documents)
+       |  GROUP BY tok),
+       |buckets AS (
+       |  SELECT j, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cnt) AS BIGINT) AS mass
+       |  FROM tok GROUP BY j),
+       |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tm FROM buckets),
+       |terms AS (
+       |  SELECT n_tokens, mass,
+       |    -CAST(round(round((CAST(mass AS DOUBLE) / tm)
+       |      * ln(CAST(mass AS DOUBLE) / tm), 9) * 1e9) AS BIGINT)
+       |      AS h_nano
+       |  FROM buckets, tot)
+       |SELECT CAST(count(*) AS BIGINT) AS buckets_used,
+       |  max(n_tokens) AS max_bucket_tokens,
+       |  min(n_tokens) AS min_bucket_tokens,
+       |  CAST(sum(h_nano) AS BIGINT) AS entropy_nano,
+       |  CAST(round(exp(CAST(sum(h_nano) AS DOUBLE) / 1e9) * 1e6)
+       |    AS BIGINT) AS eff_dim_micro
+       |FROM terms""".stripMargin
+
   // ─── q216: DSIR importance selection (target-distribution matching) ──
   // The published data-selection method (Xie et al. 2023, "Data Selection
   // for Language Models via Importance Resampling"): score every raw
@@ -3780,6 +3990,8 @@ object Corpus {
     "q297_naive_bayes" -> (q297NaiveBayes _),
     "q303_dataset_cartography" -> (q303DatasetCartography _),
     "q308_vocabulary_richness" -> (q308VocabularyRichness _),
+    "q313_dedup_ablation" -> (q313DedupAblation _),
+    "q314_feature_hash_audit" -> (q314FeatureHashAudit _),
     "q255_lpt_balance" -> (q255LptBalance _),
     "q256_ranking_quality" -> (q256RankingQuality _),
     "q257_pr_sweep" -> (q257PrSweep _),
@@ -3833,6 +4045,8 @@ object Corpus {
     "q297_naive_bayes" -> q297Sql,
     "q303_dataset_cartography" -> q303Sql,
     "q308_vocabulary_richness" -> q308Sql,
+    "q313_dedup_ablation" -> q313Sql,
+    "q314_feature_hash_audit" -> q314Sql,
     "q255_lpt_balance" -> q255Sql,
     "q256_ranking_quality" -> q256Sql,
     "q257_pr_sweep" -> q257Sql,
