@@ -2489,14 +2489,14 @@ object Similarity {
   // both engines read from parquet; hamming is integer; rerank orders by
   // the 4-dp-rounded cosine with id tie-breaks (the q49 rule).
   def q302SignAnn(s: SparkSession, d: String): DataFrame = {
-    def word(w: Int): Column =
-      (0 until 8).map(i =>
-        when(element_at(col("e"), 8 * w + i + 1) > 0.0,
-          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    // native one-pass packing (graft.expr.SignBands, codegen'd) —
+    // bit-identical to the 64-term when-chain it replaced
+    // (SimilaritySpec cross-checks the two formulations)
     val sig = embeddings(s, d)
       .withColumn("e", col("embedding").cast("array<double>"))
+      .withColumn("bs", graft.expr.SignFunctions.sign_bands(col("e"), 8))
     val sigW = (0 until 8).foldLeft(sig)((df, w) =>
-      df.withColumn(s"b$w", word(w))).cache()
+      df.withColumn(s"b$w", element_at(col("bs"), w + 1))).cache()
     val q = sigW.where(col("vec_id") < 5)
       .select(col("vec_id").as("q_id") +: col("e").as("qe") +:
         (0 until 8).map(w => col(s"b$w").as(s"q$w")): _*)

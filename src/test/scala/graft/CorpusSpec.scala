@@ -315,6 +315,21 @@ class CorpusSpec extends SparkSpec {
       ("de", "en", 1L)))   // the majority-en doc crosses BY CONTENT
   }
 
+  test("q313 ablation arms differ: near-dedup removes docs, never adds; " +
+       "shared columns agree") {
+    val rows = Corpus.q313DedupAblation(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (raw, ddp) = (rows("raw"), rows("dedup"))
+    assert(ddp._2 < raw._2, "dedup must remove at least one train doc " +
+      "(the corpus plants near-dup tails)")
+    assert(ddp._3 < raw._3, "fewer docs ⇒ fewer train tokens")
+    assert(ddp._4 <= raw._4, "dedup can only shrink the vocabulary")
+    assert(ddp._5 === raw._5, "the held-out token count is variant-" +
+      "independent by construction")
+    spark.catalog.clearCache()
+  }
+
   test("q228 softmax trainer: cross-entropy falls every epoch from ln 5") {
     val docs = Tables.documents(spark, sfDir)
     val feat = Corpus.smFeatures(docs).localCheckpoint()

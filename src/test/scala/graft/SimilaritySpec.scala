@@ -639,4 +639,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-4)
     assert(got.head._4 > 0.0 && got.head._4 <= 1.0)
   }
+
+  test("sign_bands kernel ≡ the when-chain formulation, bit for bit") {
+    import org.apache.spark.sql.functions._
+    // the expression q302's native kernel replaced — kept here as the
+    // reference formulation
+    def word(w: Int) =
+      (0 until 8).map(i =>
+        when(element_at(col("e"), 8 * w + i + 1) > 0.0,
+          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val both = emb
+      .withColumn("bs", graft.expr.SignFunctions.sign_bands(col("e"), 8))
+      .select((0 until 8).flatMap(w => Seq(
+        element_at(col("bs"), w + 1).as(s"n$w"), word(w).as(s"r$w"))): _*)
+    val bad = both.where((0 until 8)
+      .map(w => col(s"n$w") =!= col(s"r$w")).reduce(_ || _)).count()
+    assert(bad === 0L, "native and when-chain sign bands must agree")
+
+    // hand-pinned edge cases: zeros are NOT set (strict > 0), negatives
+    // are not set, band boundaries land where they should
+    val one = Seq((1L,
+      Array.fill(8)(0.0) ++ Array.fill(8)(1.0) ++
+        Array.fill(8)(-1.0) ++ Array(1.0, 0.0, -2.0, 3.0, 0.0, 5.0, -6.0,
+          7.0) ++ Array.fill(32)(2.0)))
+      .toDF("id", "e")
+      .select(graft.expr.SignFunctions.sign_bands(col("e"), 8).as("bs"))
+      .head().getSeq[Long](0)
+    assert(one === Seq(0L, 255L, 0L,
+      1L + 8L + 32L + 128L, 255L, 255L, 255L, 255L))
+  }
 }
