@@ -532,6 +532,8 @@ object PlanLint {
     "q313_dedup_ablation" -> Set("nested-loop", "cartesian"),
     // q314: the 1-row totals frame crosses the 64-row bucket profile
     "q314_feature_hash_audit" -> Set("nested-loop", "cartesian"),
+    // q316: the 1-row corpus-count frame crosses the size histogram
+    "q316_cluster_size_census" -> Set("nested-loop", "cartesian"),
   )
 
   /** Per-query ACTION bounds for [[ActionAudit]]'s runtime check in
@@ -560,6 +562,8 @@ object PlanLint {
     // dedup-ablation: the q199 funnel (LSH pairs + CC fixpoint) feeds
     // the dedup arm — same loop, same generous pricing
     "q313_dedup_ablation" -> 24,
+    // cluster-size census: the same funnel feeds the histogram
+    "q316_cluster_size_census" -> 24,
     // incremental CC runs TWO fixpoints (yesterday's labels + the
     // incremental merge) — two q71-style loops priced generously
     "q276_incremental_cc" -> 48,

@@ -1726,9 +1726,74 @@ object Graph {
       |    ELSE 0 END AS BIGINT) AS assortativity_micro
       |FROM ds, es, tr""".stripMargin
 
+  // ─── q316: duplicate-cluster size distribution ─────────────────────────
+  // The observability read on the dedup pipeline itself: after the q199
+  // funnel finds near-dup clusters, HOW duplicated is the corpus —
+  // cluster-size histogram (most clusters are pairs; a heavy tail of
+  // large clusters signals template spam / mirror sites and predicts how
+  // much the keeper pass will delete). Per cluster size: cluster count,
+  // docs covered, docs the keeper rule deletes (size − 1 each), and the
+  // corpus share in exact basis points. Singletons (docs in no verified
+  // pair) ride as size 1, so Σ n_docs ≡ |corpus| — the conservation the
+  // oracle recomputes through its recursive closure.
+  //
+  // Scale: pairs/CC as q199 (bucketed, fixed-width); the histogram is
+  // two map-side aggregates over the node-sized label frame.
+  def q316ClusterSizeCensus(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextSim.minhashPairs(s, d, TextSim.DefaultK,
+      TextSim.DefaultB).select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      "src", "dst")
+    val corpus = TextSim.dedupCorpus(s, d).select(col("doc_id"))
+    val sizes = corpus
+      .join(comp, corpus("doc_id") === comp("node"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+    val tot = broadcast(corpus.agg(count(lit(1)).as("n_corpus")))
+    sizes.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("size")).as("n_docs"),
+           sum(col("size") - 1L).as("n_deletable"))
+      .crossJoin(tot)
+      .select(col("size"), col("n_clusters"), col("n_docs"),
+        col("n_deletable"),
+        expr("(10000 * n_docs) div n_corpus").as("corpus_share_bp"))
+      .orderBy(col("size"))
+  }
+
+  val q316Sql: String =
+    s"""WITH RECURSIVE ${TextSim.minhashPairCtes(TextSim.DefaultK,
+          TextSim.DefaultB)},
+       |bidir AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM bidir
+       |  UNION
+       |  SELECT b.v AS node, r.lab FROM reach r JOIN bidir b
+       |    ON b.u = r.node),
+       |compo AS (SELECT node, min(lab) AS component FROM reach
+       |          GROUP BY node),
+       |sizes AS (
+       |  SELECT coalesce(c.component, d.doc_id) AS cluster,
+       |    CAST(count(*) AS BIGINT) AS size
+       |  FROM corpus d LEFT JOIN compo c ON d.doc_id = c.node
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM corpus)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(size) AS BIGINT) AS n_docs,
+       |  CAST(sum(size - 1) AS BIGINT) AS n_deletable,
+       |  (10000 * CAST(sum(size) AS BIGINT)) // n_corpus
+       |    AS corpus_share_bp
+       |FROM sizes, tot
+       |GROUP BY size, n_corpus
+       |ORDER BY size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q295_kcore" -> (q295KCore _),
     "q296_topology_census" -> (q296TopologyCensus _),
+    "q316_cluster_size_census" -> (q316ClusterSizeCensus _),
     "q301_clustering_coefficient" -> (q301ClusteringCoefficient _),
     "q222_leakage_safe_split" -> (q222LeakageSafeSplit _),
     "q71_dup_clusters" -> (q71DupClusters _),
@@ -1748,6 +1813,7 @@ object Graph {
   val oracleSql: Map[String, String] = Map(
     "q295_kcore" -> q295Sql,
     "q296_topology_census" -> q296Sql,
+    "q316_cluster_size_census" -> q316Sql,
     "q301_clustering_coefficient" -> q301Sql,
     "q222_leakage_safe_split" -> q222Sql,
     "q71_dup_clusters" -> q71Sql,

@@ -3238,9 +3238,139 @@ object Insights {
       |FROM prof
       |ORDER BY event_type""".stripMargin
 
+  // ─── q315: two-proportion A/B census with Wilson intervals ────────────
+  // The conversion-rate comparison every experiment readout leads with:
+  // per event-type cohort split (user_id parity as the deterministic
+  // A/B assignment), the share of users who go on to purchase, with
+  // WILSON score intervals (Wilson 1927 — the interval that behaves at
+  // small n and extreme p, unlike the Wald interval textbooks warn
+  // about) and the pooled two-proportion z. Bounds and z are computed
+  // from exact integer (conversions, cohort size) pairs, quantized to
+  // micros after the closed forms (sqrt/division on integer-derived
+  // doubles — identical IEEE both engines, the q271 discipline).
+  //
+  // Scale: one per-user reduction (first event type per user = the
+  // exposure; any purchase = conversion), one |types|×2 aggregate;
+  // everything after is enum-sized arithmetic.
+  def q315AbWilson(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val users = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("et"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("conv",
+        max(when(col("et") === "purchase", 1L).otherwise(0L))
+          .over(Window.partitionBy("user_id")))
+      .where(col("rn") === 1 && col("et") =!= "purchase")
+      .select(col("et").as("exposure"),
+        (col("user_id") % 2).as("cohort"), col("conv"))
+    val cells = users.groupBy(col("exposure"), col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    def wilson(x: Column, n: Column, upper: Boolean): Column = {
+      val z2 = lit(3.84145882) // z² for z = 1.959964 (95%), fixed literal
+      val p = x.cast("double") / n.cast("double")
+      val den = lit(1.0) + z2 / n.cast("double")
+      val centre = p + z2 / (lit(2.0) * n.cast("double"))
+      val rad = sqrt(z2) * sqrt(p * (lit(1.0) - p) / n.cast("double")
+        + z2 / (lit(4.0) * n.cast("double") * n.cast("double")))
+      val bound = if (upper) (centre + rad) / den else (centre - rad) / den
+      round(round(bound, 9) * lit(1e6)).cast("long")
+    }
+    val ab = cells.groupBy(col("exposure"))
+      .agg(min(when(col("cohort") === 0L, col("n"))).as("n_a"),
+           min(when(col("cohort") === 0L, col("x"))).as("x_a"),
+           min(when(col("cohort") === 1L, col("n"))).as("n_b"),
+           min(when(col("cohort") === 1L, col("x"))).as("x_b"))
+    ab.select(col("exposure"), col("n_a"), col("x_a"), col("n_b"),
+        col("x_b"),
+        wilson(col("x_a"), col("n_a"), upper = false).as("a_lo_micro"),
+        wilson(col("x_a"), col("n_a"), upper = true).as("a_hi_micro"),
+        wilson(col("x_b"), col("n_b"), upper = false).as("b_lo_micro"),
+        wilson(col("x_b"), col("n_b"), upper = true).as("b_hi_micro"),
+        {
+          val pp = (col("x_a") + col("x_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")
+          val se = sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double")))
+          // a degenerate pool (zero or unanimous conversions) has se = 0
+          // and z undefined — pinned to 0, and guarded BEFORE the divide
+          // because ANSI mode raises on double division by zero
+          when(col("x_a") + col("x_b") === 0L ||
+               col("x_a") + col("x_b") === col("n_a") + col("n_b"),
+            lit(0L))
+            .otherwise(round(round(
+              (col("x_a").cast("double") / col("n_a")
+                - col("x_b").cast("double") / col("n_b")) / se, 9)
+              * lit(1e6)).cast("long")).as("z_micro")
+        })
+      .orderBy(col("exposure"))
+  }
+
+  val q315Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type AS et
+      |  FROM events),
+      |users AS MATERIALIZED (
+      |  SELECT et AS exposure, user_id % 2 AS cohort, conv FROM (
+      |    SELECT user_id, et,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS rn,
+      |      max(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id) AS conv
+      |    FROM e)
+      |  WHERE rn = 1 AND et <> 'purchase'),
+      |cells AS (
+      |  SELECT exposure, cohort, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(conv) AS BIGINT) AS x
+      |  FROM users GROUP BY exposure, cohort),
+      |ab AS (
+      |  SELECT exposure,
+      |    min(CASE WHEN cohort = 0 THEN n END) AS n_a,
+      |    min(CASE WHEN cohort = 0 THEN x END) AS x_a,
+      |    min(CASE WHEN cohort = 1 THEN n END) AS n_b,
+      |    min(CASE WHEN cohort = 1 THEN x END) AS x_b
+      |  FROM cells GROUP BY exposure)
+      |SELECT exposure, n_a, x_a, n_b, x_b,
+      |  CAST(round(round(((CAST(x_a AS DOUBLE)/n_a
+      |      + 3.84145882/(2.0*n_a))
+      |    - sqrt(3.84145882) * sqrt((CAST(x_a AS DOUBLE)/n_a)
+      |        * (1.0 - CAST(x_a AS DOUBLE)/n_a) / n_a
+      |        + 3.84145882/(4.0*CAST(n_a AS DOUBLE)*n_a)))
+      |    / (1.0 + 3.84145882/n_a), 9) * 1e6) AS BIGINT) AS a_lo_micro,
+      |  CAST(round(round(((CAST(x_a AS DOUBLE)/n_a
+      |      + 3.84145882/(2.0*n_a))
+      |    + sqrt(3.84145882) * sqrt((CAST(x_a AS DOUBLE)/n_a)
+      |        * (1.0 - CAST(x_a AS DOUBLE)/n_a) / n_a
+      |        + 3.84145882/(4.0*CAST(n_a AS DOUBLE)*n_a)))
+      |    / (1.0 + 3.84145882/n_a), 9) * 1e6) AS BIGINT) AS a_hi_micro,
+      |  CAST(round(round(((CAST(x_b AS DOUBLE)/n_b
+      |      + 3.84145882/(2.0*n_b))
+      |    - sqrt(3.84145882) * sqrt((CAST(x_b AS DOUBLE)/n_b)
+      |        * (1.0 - CAST(x_b AS DOUBLE)/n_b) / n_b
+      |        + 3.84145882/(4.0*CAST(n_b AS DOUBLE)*n_b)))
+      |    / (1.0 + 3.84145882/n_b), 9) * 1e6) AS BIGINT) AS b_lo_micro,
+      |  CAST(round(round(((CAST(x_b AS DOUBLE)/n_b
+      |      + 3.84145882/(2.0*n_b))
+      |    + sqrt(3.84145882) * sqrt((CAST(x_b AS DOUBLE)/n_b)
+      |        * (1.0 - CAST(x_b AS DOUBLE)/n_b) / n_b
+      |        + 3.84145882/(4.0*CAST(n_b AS DOUBLE)*n_b)))
+      |    / (1.0 + 3.84145882/n_b), 9) * 1e6) AS BIGINT) AS b_hi_micro,
+      |  CAST(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0
+      |    ELSE round(round((CAST(x_a AS DOUBLE)/n_a
+      |        - CAST(x_b AS DOUBLE)/n_b)
+      |      / sqrt((CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+      |          * (1.0 - CAST(x_a + x_b AS DOUBLE)/(n_a + n_b))
+      |          * (1.0/n_a + 1.0/n_b)), 9) * 1e6)
+      |    END AS BIGINT) AS z_micro
+      |FROM ab
+      |ORDER BY exposure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q305_neyman_sample" -> (q305NeymanSample _),
     "q309_next_event_backtest" -> (q309NextEventBacktest _),
+    "q315_ab_wilson" -> (q315AbWilson _),
     "q310_bh_screen" -> (q310BhScreen _),
     "q311_sequential_rules" -> (q311SequentialRules _),
     "q312_overdispersion" -> (q312OverdispersionCensus _),
@@ -3296,6 +3426,7 @@ object Insights {
     "q305_neyman_sample" -> q305Sql,
     "q309_next_event_backtest" -> q309Sql,
     "q310_bh_screen" -> q310Sql,
+    "q315_ab_wilson" -> q315Sql,
     "q311_sequential_rules" -> q311Sql,
     "q312_overdispersion" -> q312Sql,
     "q298_markov_attribution" -> q298Sql,
