@@ -2609,9 +2609,11 @@ object Insights {
   // l_{t−1}+b_{t−1}, here with α = 1/5, β = 1/10 so every update is a
   // RATIONAL recurrence over integer micros: l/b live as exact BIGINTs,
   // each update is floor((2·y + 8·(l+b))/10) and floor((Δl + 9·b)/10) —
-  // floor (not truncate) because b can go negative and DuckDB // floors;
-  // both engines evaluate the identical floor(double) on values far
-  // inside 2^53.
+  // explicit floor() on BOTH engines (NB: DuckDB's // truncates toward
+  // zero exactly like Spark's div — -7 // 2 = -3 — so neither integer
+  // division would do here: b can go negative and Holt's update wants
+  // floor, not truncation); both engines evaluate the identical
+  // floor(double) on values far inside 2^53.
   //
   // The recurrence is inherently sequential IN TIME but the time axis is
   // calendar-bounded (|days| per series, never corpus-sized) — so each
@@ -3157,7 +3159,10 @@ object Insights {
       .crossJoin(broadcast(tot))
       .select(col("x"), col("y"), col("n_xy"),
         expr("(10000 * n_xy) div n_x").as("confidence_bp"),
-        expr("(1000 * n_xy * n_w) div (n_x * n_y)").as("lift_milli"))
+        // n_xy*n_w and n_x*n_y are corpus-scale products that pass 2^63
+        // at large SF — ride DECIMAL(38,0)/HUGEINT (q279 rule) into div.
+        expr("""(1000 * cast(n_xy as decimal(38,0)) * n_w)
+                div (cast(n_x as decimal(38,0)) * n_y)""").as("lift_milli"))
       .orderBy(col("x"), col("y"))
   }
 
@@ -3181,8 +3186,8 @@ object Insights {
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_w FROM pairs)
       |SELECT p.x, p.y, CAST(count(*) AS BIGINT) AS n_xy,
       |  (10000 * CAST(count(*) AS BIGINT)) // n_x AS confidence_bp,
-      |  (1000 * CAST(count(*) AS BIGINT) * n_w) // (n_x * n_y)
-      |    AS lift_milli
+      |  CAST((1000 * CAST(count(*) AS HUGEINT) * n_w)
+      |    // (CAST(n_x AS HUGEINT) * n_y) AS BIGINT) AS lift_milli
       |FROM pairs p
       |JOIN nx ON p.x = nx.x
       |JOIN ny ON p.y = ny.y

@@ -2470,7 +2470,7 @@ object Similarity {
   // but codebook-trained): one SIGN BIT per dimension (Charikar 2002's
   // hyperplane sketch degenerated to the coordinate axes — the "binary
   // embedding" every vector database ships as its cheapest tier). A
-  // 64-dim vector becomes four 16-bit words; hamming distance approximates
+  // 64-dim vector becomes eight 8-bit words; hamming distance approximates
   // angle; exact cosine reranks only the hamming-shortlisted candidates.
   //
   // Candidate generation is the q223 BANDED discipline, not a scan: a

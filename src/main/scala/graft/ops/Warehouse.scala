@@ -506,9 +506,13 @@ object Warehouse {
         .join(bK, "b_id")
         .agg(coalesce(sum(when(col("ak") === col("k"), 1L)
           .otherwise(0L)), lit(0L)).as("truth_found"))
+      // na*nb*10000 overflows int64 once |customer| ≳ 3e7 (sf ≳ 200):
+      // ride the q279 DECIMAL(38,0)/HUGEINT rule for the cross-products
+      // before the integer division (div still yields BIGINT).
       cand.crossJoin(broadcast(found)).crossJoin(sizes)
         .select(lit(scheme).as("scheme"), col("n_candidates"),
-          expr("(10000 * (na * nb - n_candidates)) div (na * nb)")
+          expr("""(10000 * (cast(na as decimal(38,0)) * nb - n_candidates))
+                  div (cast(na as decimal(38,0)) * nb)""")
             .as("reduction_bp"),
           col("truth_found"),
           expr("(10000 * truth_found) div nb").as("completeness_bp"))
@@ -567,7 +571,8 @@ object Warehouse {
        |    ON y.b_id = x.a_id + 10000000 AND x.scheme = y.scheme
        |  GROUP BY x.scheme)
        |SELECT c.scheme, n_candidates,
-       |  (10000 * (na * nb - n_candidates)) // (na * nb) AS reduction_bp,
+       |  CAST((10000 * (CAST(na AS HUGEINT) * nb - n_candidates))
+       |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS reduction_bp,
        |  truth_found,
        |  (10000 * truth_found) // nb AS completeness_bp
        |FROM cand c JOIN found f ON c.scheme = f.scheme, sizes

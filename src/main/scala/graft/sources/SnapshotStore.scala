@@ -847,12 +847,26 @@ object SnapshotStore {
       // CARRIED files stay narrow — loadFiles null-fills on read, so an
       // add-column evolution rewrites exactly the files the merge
       // touched anyway, zero extra bytes
-      require(schema.fieldNames.forall(source.columns.contains),
+      // name matching is CASE-INSENSITIVE, matching Spark's default
+      // analyzer resolution (spark.sql.caseSensitive=false): a source
+      // column differing only in case is the SAME column (else it would
+      // widen the manifest with a case-variant twin that later reads
+      // resolve ambiguously), and a source carrying two case-variants
+      // of one name is rejected outright
+      val srcLower = source.columns.map(_.toLowerCase)
+      require(srcLower.distinct.length == srcLower.length,
+        s"source has case-only column collisions: ${source.columns
+          .groupBy(_.toLowerCase).filter(_._2.length > 1)
+          .values.map(_.mkString("/")).mkString(",")}")
+      require(schema.fieldNames.forall(n =>
+          srcLower.contains(n.toLowerCase)),
         s"source is missing table columns ${schema.fieldNames
-          .filterNot(source.columns.contains).mkString(",")}")
+          .filterNot(n => srcLower.contains(n.toLowerCase))
+          .mkString(",")}")
+      val existingLower = schema.fieldNames.map(_.toLowerCase).toSet
       val widened = org.apache.spark.sql.types.StructType(
         schema.fields ++ source.schema.fields
-          .filterNot(f => schema.fieldNames.contains(f.name)))
+          .filterNot(f => existingLower.contains(f.name.toLowerCase)))
       val src = source.select(widened.fields.toIndexedSeq
         .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val dup = src.groupBy(keyCols.map(col): _*)

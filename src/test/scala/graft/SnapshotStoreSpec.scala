@@ -399,6 +399,29 @@ class SnapshotStoreSpec extends SparkSpec {
       === Seq("id", "pay", "b"))
   }
 
+  test("schema evolution matches names case-insensitively (Spark's " +
+       "default resolution) and rejects case-only collisions") {
+    val t = freshTable("evolve-case")
+    SnapshotStore.publish(
+      spark.range(10).select(col("id"), (col("id") * 100).as("pay")), t)
+    // a case-variant of an existing column is the SAME column — must
+    // NOT widen the manifest with a `Pay` twin
+    val src = Seq((3L, -1L)).toDF("id", "Pay")
+    SnapshotStore.mergeUpsert(spark, t, src, Seq("id"))
+    val got = SnapshotStore.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "pay"),
+      s"case-variant source column must not widen: ${got.columns.toSeq}")
+    assert(got.where(col("id") === 3L).select("pay").as[Long].head()
+      === -1L)
+    // a source carrying BOTH case-variants of one name is ambiguous
+    val bad = spark.range(1).select(col("id"), lit(1L).as("pay"),
+      lit(2L).as("PAY"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.mergeUpsert(spark, t, bad, Seq("id"))
+    }
+    assert(e.getMessage.contains("case-only"))
+  }
+
   test("mergeUpsert rejects a source with duplicate keys") {
     val t = freshTable("merge-dup")
     SnapshotStore.publish(Seq((1L, 10L)).toDF("id", "pay"), t)
