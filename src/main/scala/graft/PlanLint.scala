@@ -304,6 +304,12 @@ object PlanLint {
                                   "global-window"),
     "q207_kmeans_ivf_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
+    // q317: inherits the trainer's 1-row folded-codebook crossJoin and
+    // ≤8-row seed window; the probe-recall exact side is q49's
+    // broadcast 10-query BNLJ; the global census is a 1-row crossJoin —
+    // all bounded builds, never a data-sized cartesian
+    "q317_nndescent_knn" -> Set("nested-loop", "cartesian",
+                                "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
     // q219: q207's probe shapes reused as a miner (1-row folded
@@ -591,6 +597,9 @@ object PlanLint {
     // round (iters=2) = 3 actions before the query body (measured 3)
     "q206_kmeans_codebook"   -> 8,
     "q207_kmeans_ivf_recall" -> 8,
+    // NN-descent: coarse trainer (3) + seed-graph checkpoint + 1
+    // checkpoint per refinement round (2) + census write
+    "q317_nndescent_knn" -> 10,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,

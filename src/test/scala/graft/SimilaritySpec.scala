@@ -670,4 +670,43 @@ class SimilaritySpec extends SparkSpec {
     assert(one === Seq(0L, 255L, 0L,
       1L + 8L + 32L + 128L, 255L, 255L, 255L, 255L))
   }
+
+  test("q317 NN-descent rounds ≡ exact driver recompute from the seed " +
+       "graph (reverse cap, candidate join, integer-bp top-K)") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble).toArray).toMap
+    def bp(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // Spark round(x, 0) = HALF_UP (away from zero on ties)
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)) * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def topK(edges: Set[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+      edges.groupBy(_._1).values.flatMap(g =>
+        g.toSeq.sortBy(e => (-e._3, e._2)).take(4)).toSet
+    var g: Set[(Long, Long, Long)] = Similarity.nnSeedGraph(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    for (_ <- 1 to 2) {
+      val rev = g.map(e => (e._2, e._1, e._3)).groupBy(_._1).values
+        .flatMap(r => r.toSeq.sortBy(e => (-e._3, e._2)).take(8)).toSet
+      val b = g.map(e => (e._1, e._2)) ++ rev.map(e => (e._1, e._2))
+      val byMid = b.groupBy(_._1)
+      val cand = b.flatMap { case (u, v) =>
+        byMid.getOrElse(v, Set.empty).collect {
+          case (_, w) if w != u => (u, w) } }
+      val scored = cand.map { case (u, w) => (u, w, bp(vecs(u), vecs(w))) }
+      g = topK(scored ++ g)
+    }
+    val fromSpark = Similarity.nnDescentGraph(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromSpark === g,
+      s"graph mismatch: spark-only ${(fromSpark -- g).take(5)}, " +
+        s"driver-only ${(g -- fromSpark).take(5)}")
+    // graph sanity: no self-edges, ≤ 4 neighbors per vertex
+    assert(fromSpark.forall(e => e._1 != e._2))
+    assert(fromSpark.groupBy(_._1).values.forall(_.size <= 4))
+  }
 }
