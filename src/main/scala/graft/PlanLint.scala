@@ -654,6 +654,9 @@ object PlanLint {
     // merge/delete: publish (2) + key-uniqueness probe + touched-file
     // discovery + touched count + staged write/stats + census
     "q214_snapshot_merge" -> 16, "q215_snapshot_delete" -> 12,
+    // publish (stage + stats) + 2 dvDelete waves (checkpoint + touched
+    // collect + DV write + count each) + census write (measured 11)
+    "q318_deletion_vectors" -> 14,
     // evolution merge: q214's merge pipeline on a wider schema
     "q304_schema_evolution" -> 16,
     // CDC-fed summary maintenance: 2 publishes (stage stats/write each)

@@ -110,7 +110,10 @@ object SnapshotStore {
     val buf = Seq.newBuilder[Path]
     while (it.hasNext) {
       val p = it.next().getPath
-      if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      // underscore-prefixed subdirs (_bloom, _dv) hold side files, not
+      // data — a deletion-vector parquet must never list as a data file
+      if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet")
+          && !p.getParent.getName.startsWith("_"))
         buf += p
     }
     buf.result().sortBy(_.toString)
@@ -413,9 +416,17 @@ object SnapshotStore {
     // being time-travelable either way.
     val kept = (all.takeRight(keepLast) ++ all.filter(refRoots.contains))
       .distinct
+    // both data files AND deletion-vector refs pin their snap dir: a
+    // retained manifest whose file line says dv:…/snap-v00002/_dv keeps
+    // snap-v00002 alive even after version 2's own manifest expires
     val referenced = kept.flatMap { v =>
       manifestLines(spark, table, v).drop(3).filter(_.nonEmpty)
-        .map(l => snapDirNameOf(l.split('\t')(0)))
+        .flatMap { l =>
+          val parts = l.split('\t')
+          snapDirNameOf(parts(0)) +: parts.drop(1)
+            .filter(_.startsWith("dv:"))
+            .map(r => snapDirNameOf(r.stripPrefix("dv:"))).toSeq
+        }
     }.toSet
     val f = fs(spark, new Path(table))
     expire.foreach { v =>
@@ -500,7 +511,12 @@ object SnapshotStore {
     val committed = vs.map(v => f"snap-v$v%05d").toSet ++
       vs.flatMap { v =>
         manifestLines(spark, table, v).drop(3).filter(_.nonEmpty)
-          .map(l => snapDirNameOf(l.split('\t')(0)))
+          .flatMap { l =>
+            val parts = l.split('\t')
+            snapDirNameOf(parts(0)) +: parts.drop(1)
+              .filter(_.startsWith("dv:"))
+              .map(r => snapDirNameOf(r.stripPrefix("dv:"))).toSeq
+          }
       }
     val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(tableP).toSeq
@@ -539,22 +555,56 @@ object SnapshotStore {
   private def loadFiles(spark: SparkSession, files: Seq[String],
                         lines: List[String]): DataFrame =
     if (files.isEmpty) emptyFrame(spark, lines)
-    else {
-      val schema = org.apache.spark.sql.types.StructType
-        .fromDDL(lines(2).stripPrefix("schema="))
-      // a column the file group predates (schema evolution: mergeUpsert
-      // widens the manifest schema while CARRYING old files verbatim)
-      // reads as NULL — the Delta/Iceberg add-column contract; files
-      // never rewrite for a metadata change
-      def conform(df: DataFrame) = df.select(schema.fields.toIndexedSeq
-        .map(fl =>
-          (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
-            .cast(fl.dataType).as(fl.name)): _*)
-      files.groupBy(p => splitAtSnapDir(p)._1).toSeq.sortBy(_._1)
-        .map { case (dir, grp) =>
-          conform(spark.read.option("basePath", dir).parquet(grp: _*)) }
-        .reduce(_.unionAll(_))
+    else loadFilesWithPos(spark, files, lines).drop("_k", "_pos")
+
+  /** [[loadFiles]] with the row's canonical file key and in-file row
+    * position retained as `_k`/`_pos` — the handle [[dvDelete]] needs to
+    * address rows without rewriting files. Applies any deletion vectors
+    * the manifest references: suppressed (k, pos) rows are removed by a
+    * LEFT ANTI join against the DV parquet(s) — distributed, so a DV of
+    * any size never lands on the driver. When no referenced file carries
+    * a DV, the plan is identical to the plain read (no metadata columns,
+    * no join).
+    */
+  private def loadFilesWithPos(spark: SparkSession, files: Seq[String],
+                               lines: List[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(lines(2).stripPrefix("schema="))
+    // a column the file group predates (schema evolution: mergeUpsert
+    // widens the manifest schema while CARRYING old files verbatim)
+    // reads as NULL — the Delta/Iceberg add-column contract; files
+    // never rewrite for a metadata change
+    def conform(df: DataFrame) = df.select(schema.fields.toIndexedSeq
+      .map(fl =>
+        (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
+          .cast(fl.dataType).as(fl.name)) ++
+      Seq(col("_k"), col("_pos")): _*)
+    val base = files.groupBy(p => splitAtSnapDir(p)._1).toSeq.sortBy(_._1)
+      .map { case (dir, grp) =>
+        // every file in a group lives under the same snap dir, so its
+        // canonical key is that dir's name + the path tail after it —
+        // the Column twin of [[snapKey]], per-group constant dir name
+        val dirName = new Path(dir).getName
+        val keyCol = concat(lit(dirName + "/"), regexp_extract(
+          col("_metadata.file_path"),
+          java.util.regex.Pattern.quote(dirName) + "/(.*)", 1))
+        conform(spark.read.option("basePath", dir).parquet(grp: _*)
+          .withColumn("_k", keyCol)
+          .withColumn("_pos", col("_metadata.row_index"))) }
+      .reduce(_.unionAll(_))
+    val dvDirs = {
+      val refs = dvRefsOf(lines.drop(3).filter(_.nonEmpty))
+      files.flatMap(p => refs.get(snapKey(p))).distinct.sorted
     }
+    if (dvDirs.isEmpty) base
+    else {
+      val dv = dvDirs.map(dir => spark.read.parquet(dir))
+        .reduce(_.unionAll(_))
+        .select(col("k").as("_dvk"), col("pos").as("_dvpos"))
+      base.join(dv, base("_k") === col("_dvk") &&
+        base("_pos") === col("_dvpos"), "left_anti")
+    }
+  }
 
   private def emptyFrame(spark: SparkSession, lines: List[String]): DataFrame = {
     // empty snapshot / all files pruned: schema comes from the manifest
@@ -570,14 +620,29 @@ object SnapshotStore {
               version: Int): Seq[(String, Map[String, (Long, Long)])] =
     manifestLines(spark, table, version).drop(3).filter(_.nonEmpty).map { line =>
       val parts = line.split('\t')
-      val stats = if (parts.length < 2) Map.empty[String, (Long, Long)]
-      else parts(1).split(',').map { kv =>
-        val Array(c, range) = kv.split("=", 2)
-        val Array(lo, hi) = range.split("\\.\\.", 2)
-        c -> (lo.toLong, hi.toLong)
-      }.toMap
+      // fields after the path: at most one stats field (col=lo..hi,…)
+      // and at most one deletion-vector ref (dv:<dir>) — order-free
+      val stats = parts.drop(1)
+        .filterNot(p => p.isEmpty || p.startsWith("dv:")).headOption match {
+        case None => Map.empty[String, (Long, Long)]
+        case Some(field) => field.split(',').map { kv =>
+          val Array(c, range) = kv.split("=", 2)
+          val Array(lo, hi) = range.split("\\.\\.", 2)
+          c -> (lo.toLong, hi.toLong)
+        }.toMap
+      }
       parts(0) -> stats
     }
+
+  /** Deletion-vector refs of a manifest's file lines: canonical file
+    * key → absolute DV parquet dir holding that file's suppressed
+    * (k, pos) rows. */
+  private def dvRefsOf(fileLines: Seq[String]): Map[String, String] =
+    fileLines.flatMap { l =>
+      val parts = l.split('\t')
+      parts.drop(1).find(_.startsWith("dv:"))
+        .map(ref => snapKey(parts(0)) -> ref.stripPrefix("dv:"))
+    }.toMap
 
   /** A stat-pruned read: `df` contains exactly the rows of the snapshot
     * with `column` BETWEEN lo AND hi, but only `filesKept` of
@@ -988,6 +1053,120 @@ object SnapshotStore {
           f.delete(dataDir, true)
           attempt += 1
           require(attempt < 8, s"deleteBetween lost $attempt commit races")
+      }
+    }
+    out.get
+  }
+
+  // ─── deletion vectors: DELETE without rewriting data files ───────────
+  // deleteBetween/mergeUpsert are correct but rewrite every touched
+  // file — a 1-row GDPR delete in a 1 GB file costs a 1 GB rewrite. The
+  // modern Delta/Iceberg answer is a DELETION VECTOR: a side file of
+  // suppressed row positions, consulted at read time, materialized
+  // lazily by compaction. Here a DV is a PARQUET dataset (k = canonical
+  // file key, pos = in-file row position from `_metadata.row_index` —
+  // stable for an immutable committed file), staged under the new
+  // version's `snap-vNNNNN/_dv` dir and referenced per file line as a
+  // `dv:<dir>` manifest field — the same no-manifest-⇒-invisible atomic
+  // commit, vacuum and GC reachability as data files. Reads apply DVs
+  // as a distributed LEFT ANTI join on (k, pos) (loadFilesWithPos), so
+  // a DV of any size never lands on the driver.
+  //
+  // Semantics downstream, all for free through loadFiles: time travel
+  // to the pre-delete version never sees the DV (the old manifest has
+  // no ref); CDC diff classifies DV-suppressed rows as deletes;
+  // mergeUpsert/deleteBetween read DV-applied rows, so a rewrite
+  // MATERIALIZES any DV on the files it touches (rewritten lines carry
+  // no dv field); compact materializes every DV. A second dvDelete on
+  // an already-vectorized file writes the UNION of old + new positions
+  // to the new version's dir (one ref per file, cumulative), leaving
+  // the old dir to serve time travel until vacuum expires it. File
+  // min/max stats and blooms are not tightened by a DV — pruning may
+  // keep a file whose matches are all suppressed (the anti join still
+  // removes them), never the reverse, so skipping stays sound.
+
+  case class DvStats(version: Int, filesTotal: Int, filesWithDv: Int,
+                     filesRewritten: Int, rowsDeleted: Long)
+
+  /** Point DELETE (`column IN values`) via deletion vectors: ZERO data
+    * files rewrite. Stats/bloom pruning narrows the scan to candidate
+    * files; one column-pruned pass over their LIVE rows (existing DVs
+    * applied — idempotent by construction) yields the new suppressed
+    * positions. Optimistic commit/retry like [[mergeUpsert]].
+    */
+  def dvDelete(spark: SparkSession, table: String, column: String,
+               values: Seq[Long]): DvStats = {
+    require(values.nonEmpty, "dvDelete needs at least one value")
+    var attempt = 0
+    var out: Option[DvStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val lines = manifestLines(spark, table, v)
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      val stats = statsOf(spark, table, v).toMap
+      // candidate files by min/max (files without stats always kept —
+      // stats are an optimization, never a correctness gate)
+      val candidates = fileLines.map(_.split('\t')(0)).filter { p =>
+        stats(p).get(column).forall { case (mn, mx) =>
+          values.exists(x => x >= mn && x <= mx) }
+      }
+      val newV = v + 1
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      val dvDir = new Path(dataDir, "_dv").toString
+      val refs = dvRefsOf(fileLines)
+      val (touchedKeys, rowsDeleted) =
+        if (candidates.isEmpty) (Set.empty[String], 0L)
+        else {
+          val newDv = loadFilesWithPos(spark, candidates, lines)
+            .where(col(column).isin(values: _*))
+            .select(col("_k").as("k"), col("_pos").as("pos"))
+            .localCheckpoint()
+          // per-file touched set: ≤ |files| rows, driver-bounded
+          val touched = newDv.select(col("k")).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (touched.isEmpty) (touched, 0L)
+          else {
+            val oldDirs = touched.flatMap(refs.get).toSeq.distinct.sorted
+            val carried =
+              if (oldDirs.isEmpty) None
+              else Some(oldDirs.map(dir => spark.read.parquet(dir))
+                .reduce(_.unionAll(_))
+                .where(col("k").isin(touched.toSeq: _*)))
+            val full = carried.fold(newDv)(newDv.unionAll).distinct()
+            full.coalesce(1).write.mode("overwrite").parquet(dvDir)
+            (touched, newDv.count())
+          }
+        }
+      if (touchedKeys.isEmpty) {
+        // nothing matched: no new version, report against the current
+        out = Some(DvStats(v, fileLines.size, 0, 0, 0L))
+      } else {
+        val newLines = fileLines.map { l =>
+          val parts = l.split('\t')
+          if (touchedKeys.contains(snapKey(parts(0))))
+            (parts.filterNot(_.startsWith("dv:")) :+ s"dv:$dvDir")
+              .mkString("\t")
+          else l
+        }
+        val total = countOf(spark, table, v) - rowsDeleted
+        val body = s"count=$total\n${lines(2)}\n" + newLines.mkString("\n")
+        val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+        val f = fs(spark, manifest)
+        f.mkdirs(manifestDir(table))
+        try {
+          val outS = f.create(manifest, false)
+          outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+          outS.close()
+          out = Some(DvStats(newV, fileLines.size, touchedKeys.size, 0,
+            rowsDeleted))
+        } catch {
+          case _: java.io.IOException =>
+            f.delete(dataDir, true)
+            attempt += 1
+            require(attempt < 8, s"dvDelete lost $attempt commit races")
+        }
       }
     }
     out.get
@@ -1583,6 +1762,88 @@ object SnapshotStore {
       |GROUP BY b
       |ORDER BY b""".stripMargin
 
+  // ─── q318: deletion-vector DELETE — zero data files rewritten ────────
+  // The DV contract end to end, counters as oracle-derived data: publish
+  // documents hive-partitioned into 100-id buckets (one file per dir),
+  // then two point-delete waves through [[dvDelete]] — ids {0,37,…,407}
+  // (touches buckets 0–4) then {1,2,38} (bucket 0 AGAIN, proving the
+  // cumulative per-file DV union). files_on_disk counts the data part
+  // files physically present after both deletes and must equal
+  // files_total — the zero-rewrite proof is the filesystem itself, not
+  // a stats struct. The survivor census reads through the DV anti-join
+  // and must equal DuckDB's direct NOT-IN filter; n_rows_v1 (time
+  // travel, pre-delete manifest count) and n_rows_live pin the
+  // manifest-count bookkeeping of both waves.
+  private val Dv1Ids: Seq[Long] = (0 to 11).map(_ * 37L)
+  private val Dv2Ids: Seq[Long] = Seq(1L, 2L, 38L)
+
+  def q318DeletionVectors(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/dv"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100))
+      .repartition(8, col("b"))
+    publish(docs, table, partitionBy = Seq("b"))
+    val st1 = dvDelete(s, table, "doc_id", Dv1Ids)
+    val st2 = dvDelete(s, table, "doc_id", Dv2Ids)
+    val onDisk = listParquet(fs(s, tableP), tableP).size
+    read(s, table)
+      .where(col("b") <= 5)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"),
+           min(col("doc_id")).as("first_id"),
+           max(col("doc_id")).as("last_id"))
+      .select(col("b").cast("long").as("b"), col("n_docs"), col("chars"),
+              col("first_id"), col("last_id"),
+              lit(st1.filesTotal.toLong).as("files_total"),
+              lit(onDisk.toLong).as("files_on_disk"),
+              lit((st1.filesRewritten + st2.filesRewritten).toLong)
+                .as("files_rewritten"),
+              lit(st1.filesWithDv.toLong).as("files_dv_w1"),
+              lit(st2.filesWithDv.toLong).as("files_dv_w2"),
+              lit(st1.rowsDeleted + st2.rowsDeleted).as("rows_deleted"),
+              lit(countOf(s, table, 1)).as("n_rows_v1"),
+              lit(countOf(s, table, st2.version)).as("n_rows_live"))
+      .orderBy(col("b"))
+  }
+
+  val q318Sql: String = {
+    val all = (Dv1Ids ++ Dv2Ids).mkString(", ")
+    val w1 = Dv1Ids.mkString(", ")
+    val w2 = Dv2Ids.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, CAST(floor(doc_id / 100) AS BIGINT) AS b
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT CAST(count(DISTINCT b) AS BIGINT) AS files_total,
+       |    CAST(count(DISTINCT CASE WHEN doc_id IN ($w1) THEN b END)
+       |      AS BIGINT) AS files_dv_w1,
+       |    CAST(count(DISTINCT CASE WHEN doc_id IN ($w2) THEN b END)
+       |      AS BIGINT) AS files_dv_w2,
+       |    CAST(count(CASE WHEN doc_id IN ($all) THEN 1 END) AS BIGINT)
+       |      AS rows_deleted,
+       |    CAST(count(*) AS BIGINT) AS n_rows_v1
+       |  FROM d)
+       |SELECT b, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+       |  (SELECT files_total FROM cnt) AS files_total,
+       |  (SELECT files_total FROM cnt) AS files_on_disk,
+       |  CAST(0 AS BIGINT) AS files_rewritten,
+       |  (SELECT files_dv_w1 FROM cnt) AS files_dv_w1,
+       |  (SELECT files_dv_w2 FROM cnt) AS files_dv_w2,
+       |  (SELECT rows_deleted FROM cnt) AS rows_deleted,
+       |  (SELECT n_rows_v1 FROM cnt) AS n_rows_v1,
+       |  (SELECT n_rows_v1 - rows_deleted FROM cnt) AS n_rows_live
+       |FROM d
+       |WHERE doc_id NOT IN ($all) AND b <= 5
+       |GROUP BY b
+       |ORDER BY b""".stripMargin
+  }
+
   // ─── q225: branch refs + write-audit-publish (WAP) ────────────────────
   // The Iceberg/Delta "WAP" production pattern end to end: every batch
   // COMMITS as a version (time-travelable, debuggable), but the `main`
@@ -1774,7 +2035,8 @@ object SnapshotStore {
     "q210_partitioned_read" -> (q210PartitionedRead _),
     "q214_snapshot_merge" -> (q214SnapshotMerge _),
     "q215_snapshot_delete" -> (q215SnapshotDelete _),
-    "q304_schema_evolution" -> (q304SchemaEvolution _))
+    "q304_schema_evolution" -> (q304SchemaEvolution _),
+    "q318_deletion_vectors" -> (q318DeletionVectors _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -1788,5 +2050,6 @@ object SnapshotStore {
     "q210_partitioned_read" -> q210Sql,
     "q214_snapshot_merge" -> q214Sql,
     "q215_snapshot_delete" -> q215Sql,
-    "q304_schema_evolution" -> q304Sql)
+    "q304_schema_evolution" -> q304Sql,
+    "q318_deletion_vectors" -> q318Sql)
 }

@@ -422,6 +422,104 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("case-only"))
   }
 
+  test("deletion vectors: point delete rewrites zero files, time travel " +
+       "is DV-free, second delete unions cumulatively") {
+    val t = freshTable("dv")
+    val base = spark.range(40)
+      .select(col("id"), (col("id") * 10).as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(4, col("b"))
+    SnapshotStore.publish(base, t, partitionBy = Seq("b"))
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles: Set[String] = {
+      val it = f.listFiles(new Path(t), true)
+      val buf = Set.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")
+            && !p.getParent.getName.startsWith("_")
+            && !p.toString.contains("_snapshots")) buf += p.toString
+      }
+      buf.result()
+    }
+    val before = dataFiles
+    val st1 = SnapshotStore.dvDelete(spark, t, "id", Seq(3L, 17L, 35L))
+    assert(st1.version === 2 && st1.filesRewritten === 0
+      && st1.rowsDeleted === 3L && st1.filesWithDv === 3,
+      s"unexpected $st1")
+    assert(dataFiles === before, "a DV delete must not touch data files")
+    val live = SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert(live === (0L until 40L).toSet -- Set(3L, 17L, 35L))
+    assert(SnapshotStore.countOf(spark, t, 2) === 37L)
+    // time travel: v1 still serves every row
+    assert(SnapshotStore.read(spark, t, Some(1)).count() === 40L)
+    // second wave hits bucket 0 AGAIN (cumulative union) + bucket 2
+    val st2 = SnapshotStore.dvDelete(spark, t, "id", Seq(5L, 25L))
+    assert(st2.rowsDeleted === 2L && st2.filesWithDv === 2)
+    assert(dataFiles === before)
+    val live2 = SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert(live2 === (0L until 40L).toSet -- Set(3L, 17L, 35L, 5L, 25L))
+    // idempotence: re-deleting already-suppressed ids is a no-op version
+    val st3 = SnapshotStore.dvDelete(spark, t, "id", Seq(3L, 5L))
+    assert(st3.rowsDeleted === 0L && st3.filesWithDv === 0
+      && st3.version === st2.version,
+      s"re-delete of suppressed rows must not commit: $st3")
+    // CDC sees DV-suppressed rows as deletes
+    val d = SnapshotStore.diff(spark, t, 1, 3, Seq("id"))
+    assert(d.where(col("change_type") === "delete").count() === 5L)
+    // compaction materializes: new version has no dv refs, same rows
+    SnapshotStore.compact(spark, t, 2)
+    val live3 = SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert(live3 === live2)
+    val mf = scala.io.Source.fromInputStream(
+      f.open(new Path(t, "_snapshots/v00004.manifest")), "UTF-8")
+      .getLines().mkString("\n")
+    assert(!mf.contains("dv:"), "compaction must materialize DVs")
+  }
+
+  test("deletion vectors: vacuum keeps a DV dir a retained manifest " +
+       "references; merge rewrite materializes the touched file's DV") {
+    val t = freshTable("dv-vacuum")
+    SnapshotStore.publish(
+      spark.range(20).select(col("id"), (col("id") * 10).as("pay")), t)
+    SnapshotStore.dvDelete(spark, t, "id", Seq(7L))         // v2: dv dir
+    SnapshotStore.publish(                                  // v3 (fresh data)
+      SnapshotStore.read(spark, t).unionAll(
+        Seq((100L, 1000L)).toDF("id", "pay")), t)
+    // v4 carries v1's file + v2's DV ref forward via a dv re-delete
+    SnapshotStore.dvDelete(spark, t, "id", Seq(100L))       // v4
+    // drop v1..v2; v4 (and v3) retained. v2's _dv is NOT referenced by
+    // any retained manifest (v3/v4 re-staged), so its dir may go — but
+    // a retained dv ref must keep ITS dir
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.vacuum(spark, t, keepLast = 2)
+    assert(SnapshotStore.versions(spark, t) === Seq(3, 4))
+    assert(f.exists(new Path(t, "snap-v00004/_dv")),
+      "retained manifest's DV dir must survive vacuum")
+    assert(SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet === (0L until 20L).toSet -- Set(7L))
+    // a mergeUpsert touching a DV'd file reads DV-applied rows and
+    // re-stages them: the rewritten line sheds its dv ref
+    val t2 = freshTable("dv-merge")
+    SnapshotStore.publish(
+      spark.range(10).select(col("id"), (col("id") * 10).as("pay")), t2)
+    SnapshotStore.dvDelete(spark, t2, "id", Seq(4L))
+    SnapshotStore.mergeUpsert(spark, t2,
+      Seq((2L, -1L)).toDF("id", "pay"), Seq("id"))
+    val got = SnapshotStore.read(spark, t2).select("id", "pay")
+      .as[(Long, Long)].collect().toMap
+    assert(!got.contains(4L), "merge must not resurrect a DV-deleted row")
+    assert(got(2L) === -1L && got.size === 9)
+    val mf2 = scala.io.Source.fromInputStream(
+      f.open(new Path(t2, "_snapshots/v00003.manifest")), "UTF-8")
+      .getLines().mkString("\n")
+    assert(!mf2.contains("dv:"),
+      "rewrite of the only file must materialize its DV")
+  }
+
   test("mergeUpsert rejects a source with duplicate keys") {
     val t = freshTable("merge-dup")
     SnapshotStore.publish(Seq((1L, 10L)).toDF("id", "pay"), t)
