@@ -237,6 +237,11 @@ object PlanLint {
     // q226: the 1-row exact-tercile frame crossJoined back (the scalar-
     // broadcast idiom; approx_percentile is the documented 100 TB knob)
     "q226_curriculum_plan" -> Set("nested-loop", "cartesian", "exact-percentile"),
+    // q319 capstone: inherits q209's broadcast weight join, q226's
+    // 1-row percentile-cut crossJoins and q216's 64-row log-ratio
+    // broadcast — every cartesian is a 1-row or ≤64-row bounded build
+    "q319_pretrain_funnel" -> Set("nested-loop", "cartesian",
+                                  "exact-percentile"),
     // q228: the 325-row weight-grid build (range×range) + the 1-row n
     // frame crossJoined back each epoch — all O(1)-sized sides
     "q228_softmax_langid" -> Set("nested-loop", "cartesian"),
@@ -657,6 +662,9 @@ object PlanLint {
     // publish (stage + stats) + 2 dvDelete waves (checkpoint + touched
     // collect + DV write + count each) + census write (measured 11)
     "q318_deletion_vectors" -> 14,
+    // capstone funnel: CC fixpoint + LR epochs + 7 stage-boundary
+    // checkpoints + census write (measured 21 fresh-session)
+    "q319_pretrain_funnel" -> 26,
     // evolution merge: q214's merge pipeline on a wider schema
     "q304_schema_evolution" -> 16,
     // CDC-fed summary maintenance: 2 publishes (stage stats/write each)

@@ -3986,7 +3986,528 @@ object Corpus {
        |    / (2.0 * sum(np) * sum(ne)), 6) AS auc
        |FROM scanned""".stripMargin
 
+  // ─── q319: the pretraining capstone funnel (C4/RefinedWeb/Dolma shape) ─
+  // Every stage of the modern pretraining pipeline exists in this repo
+  // as a tested operator; this query CHAINS them end to end — the
+  // composition is where stage-boundary bugs live (q313's lesson), so
+  // the whole funnel gets ONE DuckDB twin whose per-stage conservation
+  // law (n_docs monotonically non-increasing, each stage's output = the
+  // next stage's input) is pinned by the shared CTE chain itself:
+  //
+  //   0 ingest     documents ∪ planted exact (id%7 → +2e6) and near
+  //                (id%9 → +1e6, one-token tail) duplicates — the
+  //                plants give the dedup stages real work at every SF
+  //   1 gopher     Rae et al. 2021 rule battery (q230's five rules)
+  //   2 exact      sha2(text) groups, min-id keeper (q41 shape)
+  //   3 neardup    MinHash K=8/B=4 banding → Jaccard≥0.6 verify →
+  //                connected components → min-id keeper (q199 funnel)
+  //   4 substring  Lee et al. duplicated-substring removal (q205) —
+  //                token accounting switches to post-removal counts
+  //   5 classifier corpus-trained LR gate (q209's memoized trainer),
+  //                keep micro-score > the survivor median
+  //                (percentile_disc — an attained integer, q226 rule)
+  //   6 tempmix    per-lang temperature quota α=0.5, T=half (q211)
+  //   7 pack       DSIR terciles (q216) → curriculum phase × writer
+  //                shard × 32-doc batch → FFD bins at cap 128 (q226 +
+  //                q243), zero truncation by construction
+  //
+  // Census: one row per stage — (stage, n_docs, n_toks, aux) with aux
+  // the stage's own proof-of-work (drops, dup groups, clusters, spans,
+  // median cut, Σquota, bins). Admission counters for the pack stage
+  // also ride a Dataset.observe on the pack-input frame (q115's
+  // machinery — free at any scale, no second scan); the spec asserts
+  // the observed values equal the census row.
+  //
+  // At 100 TB: stages 1/5/6/7 are projections + map-side-combined
+  // aggregates; stage 2 shuffles (hash, id) pairs only; stage 3 is the
+  // banded LSH equi-join + the q71 CC fixpoint over near-dup edges
+  // (cluster-sized, not corpus-sized); stage 4 fans out only duplicated
+  // windows. The corpus is re-scanned per stage rather than cached —
+  // at scale a parquet re-read with column pruning beats pinning text
+  // in memory. Gates are evaluated on original text (the fastText-on-
+  // raw-crawl production pattern); token ACCOUNTING from stage 4 on
+  // uses post-substring counts, which also set the pack lengths.
+  private val FunnelK = 8
+  private val FunnelB = 4
+
+  def q319PretrainFunnel(s: SparkSession, d: String): DataFrame =
+    funnelWithObservation(s, d)._1
+
+  /** [[q319PretrainFunnel]] plus the pack-stage Observation — exposed so
+    * the spec can assert the free counters against the census row. */
+  private[graft] def funnelWithObservation(
+      s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    import graft.ops.{TextSim, Graph, Windows}
+    val packObs = org.apache.spark.sql.Observation()
+    val raw = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = raw
+      .unionByName(raw.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+                col("text")))
+      .unionByName(raw.where(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                concat(col("text"), lit(" zz xtra7 tail")).as("text")))
+    val tk = corpus.withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+
+    // stage 1: gopher rules (q230's battery, un-planted)
+    val gsig = tk.select(col("doc_id"), col("n_toks").as("n_words"),
+      aggregate(col("toks"), lit(0L),
+        (acc, x) => acc + length(x).cast("long")).as("sum_len"),
+      size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("long")
+        .as("n_alpha"),
+      size(filter(col("toks"), x => x === "the" || x === "a")).cast("long")
+        .as("n_stop"),
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+        .cast("long").as("n_hash"))
+    val p1 = gsig.where(
+      !(col("n_words") < 50L || col("n_words") > 100000L) &&
+      !(col("sum_len") < lit(3L) * col("n_words") ||
+        col("sum_len") > lit(10L) * col("n_words")) &&
+      !(lit(10L) * col("n_hash") > col("n_words")) &&
+      !(lit(5L) * col("n_alpha") < lit(4L) * col("n_words")) &&
+      !(col("n_stop") < 2L)).select("doc_id").localCheckpoint()
+
+    // stage 2: exact dedup — min-id keeper per content hash
+    val ex = tk.join(p1, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("grp_n"))
+      .localCheckpoint()
+    val p2 = ex.select("doc_id")
+
+    // stage 3: near-dup — banded MinHash candidates, Jaccard verify, CC
+    val sh2 = tk.join(p2, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+      .cache()
+    val r = FunnelK / FunnelB
+    val sigs = sh2.withColumn("sigsArr",
+      graft.expr.MinHashFunctions.minhash_sigs(col("sh"), FunnelK))
+    val banded = (0 until FunnelB).foldLeft(sigs) { (df, i) =>
+      df.withColumn(s"band$i", md5(concat(
+        (0 until r).map(j => col("sigsArr").getItem(r * i + j)): _*)))
+    }
+    val bands = banded.select(col("doc_id"),
+      posexplode(array((0 until FunnelB).map(i => col(s"band$i")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+    val jac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double")
+    val edges = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .join(sh2.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+            Seq("doc_a"))
+      .join(sh2.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+            Seq("doc_b"))
+      .where(round(jac, 4) >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Graph.connectedComponents(edges, "doc_a", "doc_b")
+    val p3 = tk.join(p2, Seq("doc_id"), "left_semi")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .where(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .select("doc_id").localCheckpoint()
+    val nClusters = comp.agg(countDistinct(col("component")).as("aux"))
+
+    // stage 4: substring dedup — post-removal token accounting from here
+    val spost = TextSim.substringDedupPerDoc(
+        tk.join(p3, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text")), 8)
+      .select(col("doc_id"), col("lang"), col("n_spans"),
+              col("n_toks"), (col("n_toks") - col("n_rm")).as("post"))
+      .localCheckpoint()
+
+    // stage 5: classifier gate — corpus-trained weights, median cut
+    val w = lrWeightsFor(s, d)
+    val micro = lrScores(lrFeatures(
+        tk.join(p3, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("text"))), w)
+      .select(col("doc_id"), round(col("s") * 1e6, 0).cast("long")
+        .as("micro"))
+      // materialized ONCE: the median cut and the gate filter must read
+      // the SAME bytes — re-evaluating the scoring join in the broadcast
+      // subtree is what the checkpoint forbids
+      .localCheckpoint()
+    val cut = micro.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY micro)").as("c"))
+    val p5 = micro.crossJoin(broadcast(cut))
+      .where(col("micro") > col("c")).select("doc_id").localCheckpoint()
+
+    // stage 6: temperature mix (α = 0.5, T = half the survivors)
+    val tc = tk.join(p5, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tt = broadcast(tc.agg(sum(pow(col("n"), 0.5)).as("sw"),
+                              sum(col("n")).as("nt")))
+    val tq = tc.crossJoin(tt).select(col("lang"), col("n"),
+      least(col("n"), floor(expr("nt DIV 2") * pow(col("n"), 0.5)
+        / col("sw") + 0.5).cast("long")).as("quota"))
+    val hashed = tk.join(p5, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", md5(concat(lit("tmix:"), col("doc_id")
+        .cast("string"))))
+    val p6 = Windows.densePos(hashed, Seq("lang"),
+        Windows.hexBucket(col("h")), Seq(col("h"), col("doc_id")), "rk")
+      .join(broadcast(tq), "lang")
+      .where(col("rk") <= col("quota")).select("doc_id").localCheckpoint()
+
+    // stage 7: DSIR curriculum phases × shards × batches → FFD bins
+    val dw = dsirWeights(s, tk.join(p6, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("logw_nano"))
+    val cuts = dw.agg(
+      expr("percentile_disc(0.3333) WITHIN GROUP (ORDER BY logw_nano)")
+        .as("t1"),
+      expr("percentile_disc(0.6667) WITHIN GROUP (ORDER BY logw_nano)")
+        .as("t2"))
+    val phased = dw.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        when(col("logw_nano") <= col("t1"), "p1_general")
+          .when(col("logw_nano") <= col("t2"), "p2_mixed")
+          .otherwise("p3_target").as("phase"),
+        conv(substring(md5(concat(lit("shard:"),
+          col("doc_id").cast("string"))), 1, 1), 16, 10).cast("int")
+          .as("shard"),
+        md5(concat(lit("order:"), col("doc_id").cast("string"))).as("ord"))
+      .join(spost.select(col("doc_id"),
+        least(col("post"), lit(FfdCap)).as("len")), "doc_id")
+    val items = Windows.densePos(phased, Seq("phase", "shard"),
+        Windows.hexBucket(col("ord")), Seq(col("ord"), col("doc_id")),
+        "pos")
+      .withColumn("batch", expr(s"(pos - 1) div $FfdBatch"))
+      .observe(packObs,
+        count(lit(1)).as("pack_docs"),
+        sum(col("len")).as("pack_toks"))
+    val folded = items.groupBy(col("phase"), col("shard"), col("batch"))
+      .agg(sort_array(collect_list(struct((-col("len")).as("nl"),
+             col("doc_id").as("id")))).as("its"),
+           count(lit(1)).as("n_docs"), sum(col("len")).as("len_sum"))
+      .withColumn("loads", ffdLoads(col("its")))
+
+    // census: one row per stage, conservation pinned by the shared chain
+    def stageRow(no: Int, name: String, docs: DataFrame,
+                 aux: DataFrame): DataFrame =
+      docs.agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_toks"))
+        .crossJoin(broadcast(aux))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_toks"),
+                col("aux").cast("long").as("aux"))
+    val tkAll = tk.select(col("doc_id"), col("n_toks").as("t"))
+    def through(p: DataFrame) = tkAll.join(p, Seq("doc_id"), "left_semi")
+    val postAll = spost.select(col("doc_id"), col("post").as("t"))
+    val s0 = stageRow(0, "0_ingest", tkAll,
+      tk.agg(sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+        .as("aux")))
+    val s1 = stageRow(1, "1_gopher", through(p1),
+      tk.crossJoin(broadcast(p1.agg(count(lit(1)).as("pn"))))
+        .agg((count(lit(1)) - first(col("pn"))).as("aux")))
+    val s2 = stageRow(2, "2_exact", through(p2),
+      ex.agg(sum(when(col("grp_n") >= 2, 1L).otherwise(0L)).as("aux")))
+    val s3 = stageRow(3, "3_neardup", through(p3), nClusters)
+    val s4 = stageRow(4, "4_substring", postAll,
+      spost.agg(sum(col("n_spans")).as("aux")))
+    val s5 = stageRow(5, "5_classifier",
+      postAll.join(p5, Seq("doc_id"), "left_semi"),
+      cut.select(col("c").as("aux")))
+    val s6 = stageRow(6, "6_tempmix",
+      postAll.join(p6, Seq("doc_id"), "left_semi"),
+      tq.agg(sum(col("quota")).as("aux")))
+    val s7 = folded.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("len_sum")).as("n_toks"),
+        sum(size(col("loads")).cast("long")).as("aux"))
+      .select(lit("7_pack").as("stage"), col("n_docs"), col("n_toks"),
+              col("aux"))
+    (s0.unionAll(s1).unionAll(s2).unionAll(s3).unionAll(s4)
+      .unionAll(s5).unionAll(s6).unionAll(s7)
+      .orderBy(col("stage")), packObs)
+  }
+
+  val q319Sql: String = {
+    val toksE = tokensSql
+    // MinHash K=8/B=4 on the stage-3 survivor shingles (the
+    // TextSim.minhashPairCtes shape, specialized and prefixed `f`)
+    val digestCols = (0 to 1).map(m =>
+      s"list_transform(sh, x -> md5('$m:' || x)) AS h$m").mkString(",\n    ")
+    val sigCols = (0 until FunnelK).map { j =>
+      val off = (j % 4) * 8 + 1
+      s"list_aggregate(list_transform(h${j / 4}, h -> substring(h, $off, 8)), 'min') AS sig$j"
+    }.mkString(",\n    ")
+    val bandCols = (0 until FunnelB).map { i =>
+      val cat = (0 until 2).map(j => s"sig${2 * i + j}").mkString(" || ")
+      s"md5($cat) AS band$i"
+    }.mkString(",\n    ")
+    val bandArray = (0 until FunnelB).map(i => s"band$i")
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE c0 AS MATERIALIZED (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, lang, text FROM documents
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text || ' zz xtra7 tail'
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |tk AS MATERIALIZED (
+       |  SELECT doc_id, lang, text, $toksE AS toks,
+       |    CAST(len($toksE) AS BIGINT) AS n_toks
+       |  FROM c0),
+       |gsig AS (
+       |  SELECT doc_id, n_toks AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |      AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+       |      AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+       |      AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      AS n_hash
+       |  FROM tk),
+       |p1 AS MATERIALIZED (
+       |  SELECT doc_id FROM gsig
+       |  WHERE NOT (n_words < 50 OR n_words > 100000)
+       |    AND NOT (sum_len < 3 * n_words OR sum_len > 10 * n_words)
+       |    AND NOT (10 * n_hash > n_words)
+       |    AND NOT (5 * n_alpha < 4 * n_words)
+       |    AND NOT (n_stop < 2)),
+       |ex AS MATERIALIZED (
+       |  SELECT sha256(text) AS h, min(doc_id) AS doc_id,
+       |    count(*) AS grp_n
+       |  FROM tk JOIN p1 USING (doc_id) GROUP BY 1),
+       |p2 AS MATERIALIZED (SELECT doc_id FROM ex),
+       |sh2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3 THEN
+       |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    ELSE [] END AS sh
+       |  FROM tk JOIN p2 USING (doc_id)),
+       |fhashed AS (
+       |  SELECT doc_id, sh,
+       |    $digestCols
+       |  FROM sh2),
+       |fsigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM fhashed),
+       |fbandkeys AS (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM fsigs),
+       |fbands AS (
+       |  SELECT doc_id, u.b AS band_id, $bandArray[u.b + 1] AS band_key
+       |  FROM fbandkeys CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u),
+       |fpairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM fbands x JOIN fbands y
+       |      ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |     AND x.doc_id < y.doc_id) c
+       |  JOIN sh2 sa ON sa.doc_id = c.doc_a
+       |  JOIN sh2 sb ON sb.doc_id = c.doc_b
+       |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+       |    4) >= 0.6),
+       |fb AS (SELECT doc_a AS u, doc_b AS v FROM fpairs
+       |       UNION SELECT doc_b, doc_a FROM fpairs),
+       |fr AS (
+       |  SELECT u AS node, u AS lab FROM fb
+       |  UNION
+       |  SELECT b.v AS node, r.lab FROM fr r JOIN fb b ON b.u = r.node),
+       |fc AS (SELECT node, min(lab) AS component FROM fr GROUP BY node),
+       |p3 AS MATERIALIZED (
+       |  SELECT p2.doc_id FROM p2 LEFT JOIN fc ON p2.doc_id = fc.node
+       |  WHERE coalesce(component, doc_id) = doc_id),
+       |sbt AS MATERIALIZED (
+       |  SELECT tk.doc_id, tk.toks FROM tk JOIN p3 USING (doc_id)),
+       |sbgrams AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS h
+       |  FROM sbt, unnest(range(0, len(toks)-8+1)) u(i)
+       |  WHERE len(toks) >= 8),
+       |sbdup AS (SELECT h FROM sbgrams GROUP BY h
+       |          HAVING count(DISTINCT doc_id) >= 2),
+       |sbcov AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, u.p
+       |  FROM sbgrams JOIN sbdup USING (h), unnest(range(pos, pos+8)) u(p)),
+       |sbisl AS (
+       |  SELECT doc_id, p, sum(newisl) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM (SELECT doc_id, p,
+       |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |               > 1 THEN 1 ELSE 0 END AS newisl
+       |        FROM sbcov)),
+       |sbspans AS (SELECT doc_id, isl, min(p) AS s, max(p) AS e
+       |            FROM sbisl GROUP BY doc_id, isl),
+       |sbper AS (SELECT doc_id, count(*) AS n_spans,
+       |            CAST(sum(e - s + 1) AS BIGINT) AS n_rm
+       |          FROM sbspans GROUP BY doc_id),
+       |spost AS MATERIALIZED (
+       |  SELECT sbt.doc_id, CAST(len(sbt.toks) AS BIGINT) AS n_toks,
+       |    coalesce(pi.n_spans, 0) AS n_spans,
+       |    CAST(len(sbt.toks) - coalesce(pi.n_rm, 0) AS BIGINT) AS post
+       |  FROM sbt LEFT JOIN sbper pi USING (doc_id)),
+       |$lrOracleCtes,
+       |pfeat AS MATERIALIZED (
+       |  SELECT doc_id, j, CAST(cnt AS DOUBLE) / n AS x FROM (
+       |    SELECT doc_id, n,
+       |      CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $LrBuckets
+       |        AS j,
+       |      count(*) AS cnt
+       |    FROM (SELECT tk.doc_id, len(toks) AS n, unnest(toks) AS tok
+       |          FROM tk JOIN p3 USING (doc_id))
+       |    GROUP BY doc_id, n, j)
+       |  UNION ALL
+       |  SELECT doc_id, -1, 1.0 FROM p3),
+       |micro AS MATERIALIZED (
+       |  SELECT f.doc_id,
+       |    CAST(round(1/(1 + exp(-sum(f.x * w.w))) * 1e6, 0) AS BIGINT)
+       |      AS micro
+       |  FROM pfeat f JOIN w$LrEpochs w ON f.j = w.j
+       |  GROUP BY f.doc_id),
+       |mcut AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY micro)
+       |           AS c FROM micro),
+       |p5 AS MATERIALIZED (
+       |  SELECT doc_id FROM micro, mcut WHERE micro > c),
+       |tmc AS (SELECT lang, count(*) AS n FROM tk JOIN p5 USING (doc_id)
+       |        GROUP BY lang),
+       |tmt AS (SELECT sum(pow(n, 0.5)) AS sw, sum(n) AS nt FROM tmc),
+       |tmq AS (SELECT lang, n,
+       |          least(n, CAST(floor((nt // 2) * pow(n, 0.5) / sw + 0.5)
+       |                        AS BIGINT)) AS quota
+       |        FROM tmc, tmt),
+       |tmrk AS (SELECT lang, doc_id,
+       |           row_number() OVER (PARTITION BY lang
+       |             ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)),
+       |               doc_id) AS rk
+       |         FROM tk JOIN p5 USING (doc_id)),
+       |p6 AS MATERIALIZED (
+       |  SELECT doc_id FROM tmrk JOIN tmq USING (lang) WHERE rk <= quota),
+       |dpd AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS j,
+       |    count(*) AS c
+       |  FROM (SELECT tk.doc_id, tk.lang, unnest(toks) AS tok
+       |        FROM tk JOIN p6 USING (doc_id))
+       |  GROUP BY 1, 2, 3),
+       |ddist AS (
+       |  SELECT u.j, coalesce(r.rc, 0) AS rc, coalesce(t.tc, 0) AS tc
+       |  FROM unnest(range(0, 64)) u(j)
+       |  LEFT JOIN (SELECT j, sum(c) AS rc FROM dpd GROUP BY j) r
+       |    ON u.j = r.j
+       |  LEFT JOIN (SELECT j, sum(c) AS tc FROM dpd WHERE lang = 'en'
+       |             GROUP BY j) t
+       |    ON u.j = t.j),
+       |dtot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM ddist),
+       |dlr AS MATERIALIZED (
+       |  SELECT j, CAST(round(round(
+       |      ln((tc + 1.0) / (ttot + 64)) - ln((rc + 1.0) / (rtot + 64)),
+       |      9) * 1e9, 0) AS BIGINT) AS lrn
+       |  FROM ddist, dtot),
+       |dwd AS MATERIALIZED (
+       |  SELECT dpd.doc_id, CAST(sum(dpd.c * dlr.lrn) AS BIGINT)
+       |    AS logw_nano
+       |  FROM dpd JOIN dlr ON dpd.j = dlr.j
+       |  GROUP BY dpd.doc_id),
+       |dcuts AS (
+       |  SELECT percentile_disc(0.3333) WITHIN GROUP (ORDER BY logw_nano)
+       |           AS t1,
+       |         percentile_disc(0.6667) WITHIN GROUP (ORDER BY logw_nano)
+       |           AS t2
+       |  FROM dwd),
+       |fitems AS MATERIALIZED (
+       |  SELECT phase, shard, (pos - 1) // $FfdBatch AS batch, len, doc_id,
+       |    row_number() OVER (PARTITION BY phase, shard,
+       |                       (pos - 1) // $FfdBatch
+       |                       ORDER BY len DESC, doc_id) AS r
+       |  FROM (
+       |    SELECT phase, shard, len, doc_id,
+       |      row_number() OVER (PARTITION BY phase, shard
+       |        ORDER BY ord, doc_id) AS pos
+       |    FROM (
+       |      SELECT w.doc_id,
+       |        CASE WHEN logw_nano <= t1 THEN 'p1_general'
+       |             WHEN logw_nano <= t2 THEN 'p2_mixed'
+       |             ELSE 'p3_target' END AS phase,
+       |        CAST(CAST('0x' || substr(md5('shard:'
+       |          || CAST(w.doc_id AS VARCHAR)), 1, 1) AS BIGINT) AS INT)
+       |          AS shard,
+       |        md5('order:' || CAST(w.doc_id AS VARCHAR)) AS ord,
+       |        least(sp.post, $FfdCap) AS len
+       |      FROM dwd w, dcuts
+       |      JOIN spost sp ON w.doc_id = sp.doc_id))),
+       |fbsz AS MATERIALIZED (
+       |  SELECT phase, shard, batch, max(r) AS n,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len) AS BIGINT) AS len_sum
+       |  FROM fitems GROUP BY 1, 2, 3),
+       |ffold AS (
+       |  SELECT phase, shard, batch, 0 AS r, CAST([] AS BIGINT[]) AS loads
+       |  FROM fbsz
+       |  UNION ALL
+       |  SELECT f.phase, f.shard, f.batch, f.r + 1,
+       |    CASE WHEN q.p = 0 THEN list_append(f.loads, i.len)
+       |         ELSE f.loads[1:CAST(q.p AS INT) - 1]
+       |              || [f.loads[CAST(q.p AS INT)] + i.len]
+       |              || f.loads[CAST(q.p AS INT) + 1:]
+       |    END AS loads
+       |  FROM ffold f
+       |  JOIN fitems i ON i.phase = f.phase AND i.shard = f.shard
+       |    AND i.batch = f.batch AND i.r = f.r + 1,
+       |  LATERAL (SELECT coalesce(list_position(
+       |      list_transform(f.loads, l -> l + i.len <= $FfdCap), true), 0)
+       |    AS p) q),
+       |fpacked AS (
+       |  SELECT f.phase, f.shard, f.batch, f.loads, b.n_docs, b.len_sum
+       |  FROM ffold f JOIN fbsz b
+       |    ON f.phase = b.phase AND f.shard = b.shard
+       |   AND f.batch = b.batch AND f.r = b.n)
+       |SELECT '0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       |  CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS aux
+       |FROM tk
+       |UNION ALL
+       |SELECT '1_gopher', count(*), CAST(sum(n_toks) AS BIGINT),
+       |  (SELECT count(*) FROM tk) - count(*)
+       |FROM tk JOIN p1 USING (doc_id)
+       |UNION ALL
+       |SELECT '2_exact', count(*), CAST(sum(n_toks) AS BIGINT),
+       |  (SELECT CAST(sum(CASE WHEN grp_n >= 2 THEN 1 ELSE 0 END)
+       |     AS BIGINT) FROM ex)
+       |FROM tk JOIN p2 USING (doc_id)
+       |UNION ALL
+       |SELECT '3_neardup', count(*), CAST(sum(n_toks) AS BIGINT),
+       |  (SELECT CAST(count(DISTINCT component) AS BIGINT) FROM fc)
+       |FROM tk JOIN p3 USING (doc_id)
+       |UNION ALL
+       |SELECT '4_substring', count(*), CAST(sum(post) AS BIGINT),
+       |  CAST(sum(n_spans) AS BIGINT)
+       |FROM spost
+       |UNION ALL
+       |SELECT '5_classifier', count(*), CAST(sum(post) AS BIGINT),
+       |  (SELECT c FROM mcut)
+       |FROM spost JOIN p5 USING (doc_id)
+       |UNION ALL
+       |SELECT '6_tempmix', count(*), CAST(sum(post) AS BIGINT),
+       |  (SELECT CAST(sum(quota) AS BIGINT) FROM tmq)
+       |FROM spost JOIN p6 USING (doc_id)
+       |UNION ALL
+       |SELECT '7_pack', CAST(sum(n_docs) AS BIGINT),
+       |  CAST(sum(len_sum) AS BIGINT),
+       |  CAST(sum(len(loads)) AS BIGINT)
+       |FROM fpacked
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_pretrain_funnel" -> (q319PretrainFunnel _),
     "q297_naive_bayes" -> (q297NaiveBayes _),
     "q303_dataset_cartography" -> (q303DatasetCartography _),
     "q308_vocabulary_richness" -> (q308VocabularyRichness _),
@@ -4042,6 +4563,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q319_pretrain_funnel" -> q319Sql,
     "q297_naive_bayes" -> q297Sql,
     "q303_dataset_cartography" -> q303Sql,
     "q308_vocabulary_richness" -> q308Sql,

@@ -705,4 +705,32 @@ class CorpusSpec extends SparkSpec {
       if (set == "empty") assert(cov === 0L, "an empty set covers nothing")
     }
   }
+
+  test("q319 funnel: conservation law holds stage to stage; pack-stage " +
+       "observe counters equal the census row") {
+    val (df, obs) = Corpus.funnelWithObservation(spark, sfDir)
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // monotone non-increasing doc counts through the drop stages
+    val order = Seq("0_ingest", "1_gopher", "2_exact", "3_neardup")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 <= rows(a)._1, s"$b grew vs $a") }
+    // substring keeps every doc, only tokens shrink
+    assert(rows("4_substring")._1 === rows("3_neardup")._1)
+    assert(rows("4_substring")._2 <= rows("3_neardup")._2)
+    // classifier + tempmix only drop
+    assert(rows("5_classifier")._1 <= rows("4_substring")._1)
+    assert(rows("6_tempmix")._1 <= rows("5_classifier")._1)
+    // pack carries every tempmix survivor; bins ≥ the capacity bound
+    assert(rows("7_pack")._1 === rows("6_tempmix")._1)
+    assert(rows("7_pack")._3 * 128L >= rows("7_pack")._2,
+      "bins × cap must cover the packed tokens")
+    // gopher aux is exactly the drop count
+    assert(rows("1_gopher")._3 === rows("0_ingest")._1 - rows("1_gopher")._1)
+    // the observation rode the same job — no extra scan, same numbers
+    val m = obs.get
+    assert(m("pack_docs") === rows("7_pack")._1,
+      s"observed ${m("pack_docs")} vs census ${rows("7_pack")._1}")
+    assert(m("pack_toks") === rows("7_pack")._2)
+  }
 }
