@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real: binary columns, typed metadata
   * structs, per-partition batched feature extraction, and oracle-checked
-  * catalog queries (q58/q92/q98). The codec parses REAL containers (BMP,
-  * WAV — pure-JVM header parsers, q98) and falls back to a clearly
-  * marked deterministic fake for formats whose decoders need native
-  * image/audio libraries this container doesn't ship; the fake is
+  * catalog queries (q58/q92/q98). The codec parses REAL containers —
+  * BMP and WAV via pure-JVM header parsers (q98), PNG via the JDK's own
+  * `javax.imageio` reader (q320, lossless and deterministic) — and
+  * falls back to a clearly marked deterministic fake for formats whose
+  * decoders need native libraries this container doesn't ship (JPEG,
+  * MP4 — decoder-dependent, so census-as-data territory); the fake is
   * confined to [[MediaCodec]], so further decoders drop in without
   * touching schema, partitioning, or batch shape.
   *
@@ -137,7 +139,54 @@ object Multimodal {
     def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
       decodeBmp(payload)
         .orElse(decodeWav(payload))
+        .orElse(decodePngMeta(payload))
         .getOrElse(decodeFake(kind, payload))
+
+    private def be32(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 24 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+    /** PNG metadata from the IHDR chunk (always first, fixed offsets):
+      * big-endian width/height, one frame. Header-only — no inflate. */
+    private[graft] def decodePngMeta(p: Array[Byte]): Option[(Int, Int, Int)] =
+      if (!isPng(p)) None else Some((be32(p, 16), be32(p, 20), 1))
+
+    /** REAL pixel-level PNG decode through `javax.imageio` — pure JDK,
+      * lossless and deterministic for PNG (unlike JPEG, whose decoders
+      * legitimately differ — that format stays census-as-data). Returns
+      * the same (w, h, gray) contract as [[decodeBmpGray]]: per-pixel
+      * channel sum in top-down row-major order (a 1-band grayscale
+      * raster contributes its single sample; RGB sums 3 bands, matching
+      * the BMP b+g+r convention).
+      */
+    private[graft] def decodePngGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (!isPng(p)) None
+      else scala.util.Try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p))
+        require(img != null, "ImageIO could not read PNG")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bands = math.min(raster.getNumBands, 3)
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var sum = 0
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            gray(y * w + x) = sum
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, gray)
+      }.toOption
 
     /** Pixel-level BMP decode for 24-bpp images: returns (w, h, gray)
       * where `gray(y*w + x)` is the per-pixel channel sum (b+g+r — a
@@ -240,6 +289,53 @@ object Multimodal {
       cyclic(buf, dataSize, content)
       buf.array()
     }
+    /** Minimal 8-bit GRAYSCALE PNG (color type 0): signature + IHDR +
+      * one IDAT (zlib-deflated scanlines, filter 0 per row, pixel bytes
+      * cyclic from `content`) + IEND, CRC32s per the spec — pure JDK
+      * (`Deflater`/`CRC32`), a file any external PNG reader accepts.
+      */
+    def png(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val out = new java.io.ByteArrayOutputStream()
+      def chunk(tag: String, data: Array[Byte]): Unit = {
+        val t = tag.getBytes("US-ASCII")
+        val buf = ByteBuffer.allocate(12 + data.length) // big-endian
+        buf.putInt(data.length).put(t).put(data)
+        crc.reset(); crc.update(t); crc.update(data)
+        buf.putInt(crc.getValue.toInt)
+        out.write(buf.array())
+      }
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      val ihdr = ByteBuffer.allocate(13)
+      ihdr.putInt(width).putInt(height)
+        .put(8.toByte).put(0.toByte)            // bit depth 8, grayscale
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", ihdr.array())
+      val raw = new Array[Byte]((width + 1) * height)
+      var y = 0
+      while (y < height) {
+        raw(y * (width + 1)) = 0                // filter type 0 (None)
+        var x = 0
+        while (x < width) {
+          val i = y * width + x
+          raw(y * (width + 1) + 1 + x) =
+            if (content.isEmpty) 0.toByte else content(i % content.length)
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zipped = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) zipped.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      chunk("IDAT", zipped.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
     /** Canonical 44-byte-header PCM16 WAV; data bytes filled from
       * `content`, sized to a whole number of sample frames (≥ 1).
       */
@@ -715,7 +811,88 @@ object Multimodal {
       |GROUP BY hamming
       |ORDER BY hamming""".stripMargin
 
+  // ─── q320: PNG perceptual-hash dedup through REAL javax.imageio decode ─
+  // q220's pipeline on a SECOND real image format: synthesize a
+  // grayscale pixel pattern → encode a genuine PNG (zlib scanlines,
+  // CRC'd chunks — MediaEncode.png) → decode it back through
+  // `javax.imageio.ImageIO` (pure JDK, lossless for PNG) → 8×8
+  // average-hash → hash-group census. Encode and decode share NOTHING:
+  // the encoder builds chunk bytes by hand, the decoder is the JDK's
+  // own PNG reader, and MultimodalSpec pins golden pixel values — a
+  // symmetric bug cannot pass. Every 5th image carries the +8
+  // brightness shift that aHash's strict mean-compare provably absorbs
+  // (n_bright counts the shifted members per bucket). JPEG stays out by
+  // design: its decoders legitimately differ, so it remains
+  // census-as-data territory.
+  //
+  // Scale: identical plan to q220 — decode + hash inside one partition
+  // iterator, payload bytes never shuffle, the groupBy carries a
+  // 64-char hash + id. The grayscale content generator is padding-free
+  // (sample i sits at pixel (i div w, i mod w) top-down), which is what
+  // lets the oracle replay pixel→hash arithmetic relationally.
+  private[graft] def pngCatalog(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = (id % 89).toInt
+        val w = g % 11 + 6
+        val h = g % 6 + 5
+        val bright = if (id % 5 == 0) 8 else 0
+        val content = Array.tabulate(w * h) { i =>
+          ((g * 31 + i * 13) % 180 + bright).toByte
+        }
+        MediaRecord(id, "image", MediaEncode.png(w, h, content))
+      })
+  }
+
+  def q320PngPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = pngCatalog(s, d)
+      .mapPartitions(_.map { r =>
+        val (w, h, gray) = MediaCodec.decodePngGray(r.payload)
+          .getOrElse(sys.error(s"undecodable PNG for media ${r.media_id}"))
+        (r.media_id, aHash64(w, h, gray))
+      })
+      .toDF("media_id", "ahash")
+    hashed
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"),
+           min(col("media_id")).as("keeper_id"),
+           sum(when(pmod(col("media_id"), lit(5)) === 0, 1L).otherwise(0L))
+             .as("n_bright"))
+      .orderBy(col("ahash"))
+  }
+
+  val q320Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 89 AS INT) AS g,
+      |    CAST(doc_id % 89 % 11 + 6 AS INT) AS w,
+      |    CAST(doc_id % 89 % 6 + 5 AS INT) AS h,
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END AS bright
+      |  FROM documents),
+      |samples AS (
+      |  SELECT doc_id, bright, k,
+      |    (g*31 + ((k // 8 * h // 8) * w + (k % 8 * w // 8)) * 13) % 180
+      |      + bright AS v
+      |  FROM imgs, unnest(range(0, 64)) AS t(k)),
+      |bits AS (
+      |  SELECT doc_id, bright, k,
+      |    CASE WHEN v * 64 > sum(v) OVER (PARTITION BY doc_id)
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM samples),
+      |hashes AS (
+      |  SELECT doc_id, bright, string_agg(b, '' ORDER BY k) AS ahash
+      |  FROM bits GROUP BY doc_id, bright)
+      |SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+      |  CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |  CAST(sum(CASE WHEN bright = 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bright
+      |FROM hashes GROUP BY ahash
+      |ORDER BY ahash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_png_phash_dedup" -> (q320PngPhashDedup _),
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
     "q92_frame_sample"    -> (q92FrameSample _),
     "q98_container_decode" -> (q98ContainerDecode _),
@@ -725,6 +902,7 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q320_png_phash_dedup" -> q320Sql,
     "q58_multimodal_meta" -> q58Sql,
     "q92_frame_sample"    -> q92Sql,
     "q98_container_decode" -> q98Sql,

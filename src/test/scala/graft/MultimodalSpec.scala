@@ -225,4 +225,43 @@ class MultimodalSpec extends SparkSpec {
       Some((2L, negSq, 1L)))  // |-1| quiet, |-32768| loud
     assert(Multimodal.MediaCodec.pcm16Stats("nope".getBytes, 1) === None)
   }
+
+  test("PNG roundtrip: javax.imageio decodes MediaEncode.png to exact " +
+       "golden pixels; IHDR metadata; brightness-shift hash invariance") {
+    import Multimodal.{MediaCodec, MediaEncode}
+    // 3×2 grayscale with known content — pixel (y, x) carries content
+    // byte y*w + x, top-down, no padding
+    val content = Array[Byte](10, 20, 30, 40, 50, 60)
+    val png = MediaEncode.png(3, 2, content)
+    // container sanity: signature + IHDR dims (header-only parse)
+    assert(MediaCodec.decodePngMeta(png) === Some((3, 2, 1)))
+    // golden pixels through the JDK's own PNG reader
+    val Some((w, h, gray)) = MediaCodec.decodePngGray(png): @unchecked
+    assert((w, h) === (3, 2))
+    assert(gray.toSeq === Seq(10, 20, 30, 40, 50, 60))
+    // the JDK reader must also accept a large cyclic payload
+    val big = MediaEncode.png(17, 9, Array.tabulate(40)(i => (i * 7).toByte))
+    val Some((bw, bh, bg)) = MediaCodec.decodePngGray(big): @unchecked
+    assert(bw === 17 && bh === 9)
+    assert(bg(0) === 0 && bg(1) === 7 && bg(40) === 0,
+      "cyclic content must wrap at 40 bytes")
+    // aHash is invariant under a uniform brightness shift (the q220
+    // property, now on the PNG path)
+    val base = Array.tabulate(64)(i => ((i * 13) % 120).toByte)
+    val shifted = base.map(b => (b + 8).toByte)
+    val h1 = {
+      val Some((w1, hh1, g1)) =
+        MediaCodec.decodePngGray(MediaEncode.png(8, 8, base)): @unchecked
+      Multimodal.aHash64(w1, hh1, g1)
+    }
+    val h2 = {
+      val Some((w2, hh2, g2)) =
+        MediaCodec.decodePngGray(MediaEncode.png(8, 8, shifted)): @unchecked
+      Multimodal.aHash64(w2, hh2, g2)
+    }
+    assert(h1 === h2, "uniform shift must not change the aHash")
+    // garbage is rejected, not mis-decoded
+    assert(MediaCodec.decodePngGray("notapng".getBytes) === None)
+    assert(MediaCodec.decodePngMeta(Array[Byte](1, 2, 3)) === None)
+  }
 }
