@@ -4506,7 +4506,70 @@ object Corpus {
        |ORDER BY stage""".stripMargin
   }
 
+  // ─── q321: gazetteer blocklist census — native Aho–Corasick (#12) ─────
+  // The standard CC-pipeline gating stage the regex scrub (q73) and
+  // per-source gates (q218/q232) could not express: match a DICTIONARY
+  // of terms (URL blocklist, PII gazetteer) against every document in
+  // ONE linear pass — graft.expr.AcCountExpr, Aho & Corasick 1975.
+  // The dictionary is chosen to exercise the automaton's hard parts:
+  // `an` is EMBEDDED in `scan` (nested outputs via the fail-link
+  // closure — one position reports both), `merge batch` crosses a word
+  // boundary (substring semantics, not token semantics), and
+  // `zz secret7` is the planted PII term (doc_id % 23 gets two copies,
+  // so per-term occurrence totals separate docs-hit from hits). The
+  // DuckDB twin counts occurrences POSITIONALLY (every start offset
+  // compared — overlapping matches included), which is exactly the AC
+  // count, so the oracle pins all-substring-occurrence semantics, not
+  // a replace()-style non-overlapping approximation.
+  //
+  // Scale: per doc the scan is O(|text|) whatever the dictionary size;
+  // the shuffle carries (lang, term, count) — fixed width. The
+  // automaton builds once per (task thread, dictionary literal).
+  private val AcDict = Seq("an", "scan", "table", "merge batch",
+    "zz secret7")
+
+  def q321GazetteerCensus(s: SparkSession, d: String): DataFrame = {
+    val dict = array(AcDict.map(lit): _*)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(23)) === 0,
+          lit(" zz secret7 zz secret7")).otherwise(lit(""))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        posexplode(graft.expr.AcFunctions.ac_count(col("t"), dict)))
+      .select(col("lang"), element_at(dict, col("pos") + 1).as("term"),
+              col("col").as("occ"))
+      .groupBy(col("lang"), col("term"))
+      .agg(sum(when(col("occ") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+           sum(col("occ")).as("n_occurrences"))
+      .orderBy(col("lang"), col("term"))
+  }
+
+  val q321Sql: String = {
+    val vals = AcDict.map(t => s"('$t')").mkString(", ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |    text || CASE WHEN doc_id % 23 = 0
+       |                 THEN ' zz secret7 zz secret7' ELSE '' END AS t
+       |  FROM documents),
+       |terms(term) AS (VALUES $vals),
+       |occ AS (
+       |  SELECT p.lang, v.term,
+       |    len(list_filter(range(1, length(p.t) - length(v.term) + 2),
+       |      i -> substring(p.t, CAST(i AS INT),
+       |                     CAST(length(v.term) AS INT)) = v.term))
+       |      AS occ
+       |  FROM planted p CROSS JOIN terms v)
+       |SELECT lang, term,
+       |  CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_hit,
+       |  CAST(sum(occ) AS BIGINT) AS n_occurrences
+       |FROM occ
+       |GROUP BY lang, term
+       |ORDER BY lang, term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_gazetteer_census" -> (q321GazetteerCensus _),
     "q319_pretrain_funnel" -> (q319PretrainFunnel _),
     "q297_naive_bayes" -> (q297NaiveBayes _),
     "q303_dataset_cartography" -> (q303DatasetCartography _),
@@ -4563,6 +4626,7 @@ object Corpus {
     "q84_decontaminate"     -> (q84Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q321_gazetteer_census" -> q321Sql,
     "q319_pretrain_funnel" -> q319Sql,
     "q297_naive_bayes" -> q297Sql,
     "q303_dataset_cartography" -> q303Sql,

@@ -733,4 +733,37 @@ class CorpusSpec extends SparkSpec {
       s"observed ${m("pack_docs")} vs census ${rows("7_pack")._1}")
     assert(m("pack_toks") === rows("7_pack")._2)
   }
+
+  test("ac_count kernel ≡ positional HOF fallback bit-for-bit; " +
+       "overlap/nesting/edge pins") {
+    import graft.expr.AcFunctions.ac_count
+    val dict = Seq("an", "scan", "table", "merge batch", "zz secret7")
+    val dictCol = array(dict.map(lit): _*)
+    // HOF fallback: count every start position where the term matches
+    def hofOcc(t: org.apache.spark.sql.Column, term: String) =
+      size(filter(sequence(lit(1),
+          greatest(length(t) - (term.length - 1), lit(0))),
+        i => t.substr(i, lit(term.length)) === lit(term)))
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text".as("t"))
+    val both = docs.select($"doc_id",
+        ac_count($"t", dictCol).as("ac"),
+        array(dict.map(term => hofOcc($"t", term).cast("long")): _*)
+          .as("hof"))
+      .where($"ac" =!= $"hof")
+    assert(both.count() === 0L, "native AC and HOF fallback must agree")
+    // hand pins: overlapping, nested, phrase, absent, short text
+    val pins = Seq(
+      ("aaaa", Seq("aa"), Seq(3L)),                 // overlapping counted
+      ("the scan ran", Seq("an", "scan"), Seq(2L, 1L)), // nested output
+      ("merge batch merge batch", Seq("merge batch"), Seq(2L)),
+      ("tiny", Seq("elephant"), Seq(0L)),
+      ("", Seq("an"), Seq(0L)))
+    pins.foreach { case (t, ps, want) =>
+      val got = Seq(t).toDF("t")
+        .select(ac_count($"t", array(ps.map(lit): _*)))
+        .head().getSeq[Long](0)
+      assert(got === want, s"text='$t' dict=$ps: got $got want $want")
+    }
+  }
 }
