@@ -582,7 +582,7 @@ object PlanLint {
     "q90_pipeline_funnel" -> 32,
     // Borůvka: 3 rounds × (one CC fixpoint + round checkpoint) + the
     // final labeling — each CC is the q71 loop, generously priced
-    "q267_boruvka_forest" -> 64,
+    "q267_boruvka_forest" -> 56,
     // BFS frontier loop: 1 count-materializes-checkpoint action per hop
     // + seed checkpoint + fixed setup, diameter-bounded (measured 10
     // after the round-9 frontier-only-checkpoint slimming; was 14)

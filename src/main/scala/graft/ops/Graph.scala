@@ -1197,13 +1197,17 @@ object Graph {
     * final (node, comp) labels). Factored from [[q267BoruvkaForest]]
     * so GraphSpec can drive planted graphs.
     *
-    * Contraction between rounds is INCREMENTAL (the q276 identity):
-    * round r's labels come from CC over (round r−1's label edges ∪ the
-    * newly selected edges) — node-sized input with yesterday's
-    * components arriving pre-contracted as stars — instead of a full
-    * CC over the whole accumulated forest each round. Same fixpoint,
-    * a fraction of the rounds (this cut q267 from 4 full fixpoints to
-    * 1 full + 3 near-converged ones; ~3× at sf0.1). */
+    * Contraction between rounds runs on the COMPONENT GRAPH (the r10
+    * shave of the r9 incremental form): the selected edges are mapped
+    * to their endpoint components (ca, cb) and CC runs over THOSE —
+    * an input bounded by the selection (≤ |components| edges), not by
+    * the node count, so every post-round-1 fixpoint works on a frame
+    * that shrinks geometrically with Borůvka's component halving.
+    * Labels are provably unchanged: inductively each comp label is the
+    * min node id of its members, so min-over-merged-comps of old
+    * labels = min node id of the union — the same min-label contract
+    * the full CC over stars ∪ edges computed (GraphSpec pins this on
+    * planted graphs; the oracle's closure is label-identical). */
   private[graft] def boruvkaForest(wEdgesIn: DataFrame,
                                    rounds: Int): (DataFrame, DataFrame) = {
     val wEdges = wEdgesIn.localCheckpoint()
@@ -1214,31 +1218,43 @@ object Graph {
     var forest = wEdges
       .select(col("p1"), col("p2"), col("w"), lit(0L).as("round"))
       .limit(0).localCheckpoint()
+    // the live edge set SHRINKS with contraction: an edge that lands
+    // intra-component can never become cross-component again
+    // (components only grow), so each round re-labels only the edges
+    // that survived the previous round's ca ≠ cb filter — round 1 pays
+    // the full edge set, later rounds a geometrically smaller one
+    var live = wEdges
     for (r <- 1 to rounds) {
-      val cand = wEdges
+      val cand = live
         .join(lbl.select(col("node").as("p1"), col("comp").as("ca")), "p1")
         .join(lbl.select(col("node").as("p2"), col("comp").as("cb")), "p2")
         .where(col("ca") =!= col("cb"))
+        .localCheckpoint()
+      live = cand.select(col("p1"), col("p2"), col("w"))
       val views = cand
-        .select(col("ca").as("comp"), col("p1"), col("p2"), col("w"))
+        .select(col("ca").as("comp"), col("p1"), col("p2"), col("w"),
+                col("ca"), col("cb"))
         .unionAll(cand
-          .select(col("cb").as("comp"), col("p1"), col("p2"), col("w")))
+          .select(col("cb").as("comp"), col("p1"), col("p2"), col("w"),
+                  col("ca"), col("cb")))
       val wSel = Window.partitionBy(col("comp"))
         .orderBy(col("w").desc, col("p1"), col("p2"))
       val sel = views.withColumn("rn", row_number().over(wSel))
         .where(col("rn") === 1)
-        .select(col("p1"), col("p2"), col("w")).distinct()
+        .select(col("p1"), col("p2"), col("w"), col("ca"), col("cb"))
+        .distinct()
+        .localCheckpoint()
       forest = forest
-        .unionAll(sel.withColumn("round", lit(r.toLong)))
+        .unionAll(sel.select(col("p1"), col("p2"), col("w"),
+          lit(r.toLong).as("round")))
         .localCheckpoint()
       val comp = connectedComponents(
-        lbl.where(col("node") =!= col("comp"))
-          .select(col("node").as("src"), col("comp").as("dst"))
-          .unionAll(sel.select(col("p1").as("src"), col("p2").as("dst"))),
-        "src", "dst")
-      lbl = nodes.join(comp, Seq("node"), "left")
-        .select(col("node"), coalesce(col("component"), col("node"))
-          .as("comp"))
+          sel.select(col("ca").as("src"), col("cb").as("dst")),
+          "src", "dst")
+        .select(col("node").as("old_comp"), col("component"))
+      lbl = lbl.join(comp, lbl("comp") === comp("old_comp"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("comp")).as("comp"))
         .localCheckpoint()
     }
     (forest, lbl)
