@@ -118,6 +118,7 @@ object Bench {
       spark.catalog.clearCache()
     }
     ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+    ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
     // timed passes, PASS-MAJOR (see protocol note above). A failed query
     // is decided after its first failure — remaining passes would burn
@@ -139,6 +140,7 @@ object Bench {
         }
       }
       ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+    ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
     }
     val results = names.map { case (name, _) =>

@@ -315,6 +315,10 @@ object PlanLint {
     // all bounded builds, never a data-sized cartesian
     "q317_nndescent_knn" -> Set("nested-loop", "cartesian",
                                 "global-window"),
+    // q322: the graph trainer's bounded builds + a 4-row entry-point
+    // crossJoin and the broadcast 10-probe scoring BNLJ
+    "q322_nn_beam_serve" -> Set("nested-loop", "cartesian",
+                                "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
     // q219: q207's probe shapes reused as a miner (1-row folded
@@ -605,6 +609,9 @@ object PlanLint {
     // NN-descent: coarse trainer (3) + seed-graph checkpoint + 1
     // checkpoint per refinement round (2) + census write
     "q317_nndescent_knn" -> 10,
+    // beam serve: trainer (6, memoized — priced fresh) + adjacency
+    // checkpoint + entry scoring checkpoint + 3 hop checkpoints + write
+    "q322_nn_beam_serve" -> 14,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,

@@ -165,6 +165,7 @@ object ScaleSoak {
         spark.catalog.clearCache()
       }
       ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+    ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
       (1 to passes).foreach { _ =>
         names.foreach { case (n, fn) =>
@@ -176,6 +177,7 @@ object ScaleSoak {
           spark.catalog.clearCache()
         }
         ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+    ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
       }
       times.view.mapValues(_.min).toMap

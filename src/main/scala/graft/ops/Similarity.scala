@@ -2729,9 +2729,22 @@ object Similarity {
     g
   }
 
+  /** Session-scoped memo of the trained k-NN graph (the kmeansFor
+    * discipline): q317's census and q322's beam serving walk the
+    * IDENTICAL graph, so one session prices the NN-descent rounds once;
+    * Bench/ScaleSoak clear it at pass boundaries. */
+  private val nnGraphMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  def clearNnGraphCache(): Unit = nnGraphMemo.clear()
+
+  private def nnGraphFor(s: SparkSession, d: String): DataFrame =
+    nnGraphMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      nnDescentGraph(s, d))
+
   def q317NnDescentKnn(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
-    val g = nnDescentGraph(s, d)
+    val g = nnGraphFor(s, d)
     val probes = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val exactK = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
@@ -2756,13 +2769,18 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  val q317Sql: String = {
+  /** Integer-bp cosine in DuckDB — the oracle twin of [[cosBp]]. */
+  private def bpSql(a: String, b: String): String =
+    s"CAST(round(list_dot_product($a, $b) / (sqrt(list_dot_product(" +
+      s"$a, $a)) * sqrt(list_dot_product($b, $b))) * 10000, 0) AS BIGINT)"
+
+  /** WITH-body CTE chain training the k-NN graph up to `g$NnRounds` —
+    * shared by the q317 census twin and the q322 beam-serving twin. */
+  private def nnGraphCtes: String = {
     val d2 = "list_dot_product(p.sub, p.sub)" +
       " - 2*list_dot_product(p.sub, c.carr)" +
       " + list_dot_product(c.carr, c.carr)"
-    def bp(a: String, b: String) =
-      s"CAST(round(list_dot_product($a, $b) / (sqrt(list_dot_product(" +
-        s"$a, $a)) * sqrt(list_dot_product($b, $b))) * 10000, 0) AS BIGINT)"
+    def bp(a: String, b: String) = bpSql(a, b)
     val rounds = (1 to NnRounds).map { r =>
       s"""rev$r AS (
          |  SELECT u, v FROM (
@@ -2788,7 +2806,7 @@ object Similarity {
          |      SELECT * FROM sc$r UNION ALL SELECT * FROM g${r - 1})))
          |  WHERE trn <= $NnK)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+    s"""${kmeansCtes(1, DIM, 8, 2)},
        |pos AS MATERIALIZED (
        |  SELECT vec_id, e, cid,
        |    ${bucketSqlExpr("e", DefaultPlanes)} AS bkt,
@@ -2822,7 +2840,12 @@ object Similarity {
        |      ORDER BY bp DESC, v) AS trn
        |    FROM (SELECT DISTINCT u, v, bp FROM p0))
        |  WHERE trn <= $NnK),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val q317Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    s"""WITH $nnGraphCtes,
        |exactk AS (
        |  SELECT q_id, c_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -2845,7 +2868,153 @@ object Similarity {
        |ORDER BY h.q_id""".stripMargin
   }
 
+  // ─── q322: graph-ANN SERVING — beam search over the k-NN graph ────────
+  // q317 trains the neighbor graph; this is how production retrieval
+  // QUERIES it (the HNSW ground layer / DiskANN search loop): start at
+  // fixed entry vertices, repeatedly expand the current best-W beam's
+  // neighbors, keep a growing visited set, answer with the best K found.
+  // Greedy graph search is inherently sequential PER HOP but the hop
+  // count is a fixed constant (3 here; production ~log n), so the whole
+  // serve is H joins: frontier ⋈ undirected adjacency → score by
+  // integer-bp cosine against the broadcast probe panel → union into
+  // the visited set → re-cut the beam. Everything that ranks is the
+  // same integer bp + id tiebreak as the trainer, so the walk is
+  // bit-deterministic across engines.
+  //
+  // Census (the q104 accuracy-as-data contract): per probe, recall@4 of
+  // the beam answer vs the exact top-4 PLUS n_visited — the compute
+  // budget the walk actually spent, which is the number graph-ANN
+  // papers trade against recall. The oracle replays every hop as an
+  // unrolled CTE over the SAME trained graph (shared nnGraphCtes), so
+  // each beam cut is cross-engine pinned. Fixture honesty: these
+  // near-random embeddings are graph ANN's ADVERSARIAL case (no
+  // small-world structure to navigate — within-label cosine ≈ 0.0016),
+  // so measured recall is low at a ~2% visit budget; the contract is
+  // the measured (recall, n_visited) pair, not a recall threshold.
+  //
+  // At 100 TB: the adjacency is the node-bounded k-NN graph (n·K
+  // edges); each hop joins a (queries × W)-row frontier against it —
+  // query-side-linear, corpus-side indexed by the graph; embeddings
+  // are fetched per-candidate by vec_id equi-join. The visited set is
+  // bounded by W·deg·H per query.
+  private val NnBeam = 4
+  private val NnHops = 3
+  private val NnEntries = 4
+
+  def q322NnBeamServe(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val g = nnGraphFor(s, d)
+    val und = g.select("u", "v")
+      .unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val entries = emb
+      .select(col("vec_id").as("v"),
+        md5(concat(lit("entry:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(NnEntries).select("v")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .join(broadcast(probes), "q_id")
+      .where(col("v") =!= col("q_id"))
+      .select(col("q_id"), col("v"), cosBp(col("qe"), col("ve")).as("bp"))
+    def beamOf(vis: DataFrame): DataFrame = vis
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnBeam).drop("rn")
+    var visited = score(
+        probes.select("q_id").crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    for (_ <- 1 to NnHops) {
+      val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
+        .join(und, "u").select(col("q_id"), col("v")).distinct()
+      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+    }
+    val answer = beamOf(visited).select("q_id", "v")
+    val exact = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("q_id", "c_id")
+    val nvis = visited.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_visited"))
+    exact.as("x")
+      .join(answer.as("a"), col("x.q_id") === col("a.q_id") &&
+        col("x.c_id") === col("a.v"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("a.v")).as("n_hits"))
+      .join(nvis, "q_id")
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / lit(NnK.toDouble), 4).as("recall"),
+        col("n_visited"))
+      .orderBy(col("q_id"))
+  }
+
+  val q322Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    val hops = (1 to NnHops).map { h =>
+      s"""fr${h - 1} AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM vis${h - 1})
+         |  WHERE rn <= $NnBeam),
+         |nb$h AS (
+         |  SELECT DISTINCT f.q_id, u2.v FROM fr${h - 1} f
+         |  JOIN und u2 ON f.v = u2.u),
+         |sv$h AS (
+         |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+         |  FROM nb$h s JOIN emb ev ON s.v = ev.vec_id
+         |  JOIN qprobes q ON s.q_id = q.q_id
+         |  WHERE s.v <> s.q_id),
+         |vis$h AS MATERIALIZED (
+         |  SELECT DISTINCT q_id, v, bp FROM (
+         |    SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sv$h))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $nnGraphCtes,
+       |qprobes AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |            WHERE vec_id < 10),
+       |entries AS (
+       |  SELECT vec_id AS v FROM emb
+       |  ORDER BY md5('entry:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NnEntries),
+       |und AS (SELECT u, v FROM g$NnRounds
+       |        UNION SELECT v, u FROM g$NnRounds),
+       |vis0 AS MATERIALIZED (
+       |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM qprobes q CROSS JOIN entries en
+       |  JOIN emb ev ON en.v = ev.vec_id
+       |  WHERE en.v <> q.q_id),
+       |$hops,
+       |answer AS (
+       |  SELECT q_id, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bp DESC, v) AS rn FROM vis$NnHops)
+       |  WHERE rn <= $NnBeam),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${bp("q.qe", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM emb c JOIN qprobes q ON c.vec_id <> q.q_id)
+       |  WHERE ern <= $NnK),
+       |nvis AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_visited
+       |         FROM vis$NnHops GROUP BY q_id),
+       |hits AS (
+       |  SELECT e.q_id, CAST(count(a.v) AS BIGINT) AS n_hits
+       |  FROM exact e LEFT JOIN answer a
+       |    ON e.q_id = a.q_id AND e.c_id = a.v
+       |  GROUP BY e.q_id)
+       |SELECT h.q_id, h.n_hits, round(h.n_hits / $NnK.0, 4) AS recall,
+       |  n.n_visited
+       |FROM hits h JOIN nvis n ON h.q_id = n.q_id
+       |ORDER BY h.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_nn_beam_serve" -> (q322NnBeamServe _),
     "q317_nndescent_knn" -> (q317NnDescentKnn _),
     "q302_sign_ann" -> (q302SignAnn _),
     "q285_geometry_census" -> (q285GeometryCensus _),
@@ -2879,6 +3048,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q322_nn_beam_serve" -> q322Sql,
     "q317_nndescent_knn" -> q317Sql,
     "q302_sign_ann" -> q302Sql,
     "q285_geometry_census" -> q285Sql,

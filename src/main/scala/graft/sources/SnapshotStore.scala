@@ -598,6 +598,13 @@ object SnapshotStore {
     }
     if (dvDirs.isEmpty) base
     else {
+      // NB: reading a dir whose own name starts with '_' makes Spark's
+      // DataSource log a benign "All paths were ignored" warning during
+      // schema inference (the hidden-file filter sees the root segment);
+      // the relation itself loads every row — SnapshotStoreSpec and the
+      // q318 oracle pin that. The underscore is deliberate: it keeps DV
+      // files invisible to any directory-level DATA listing (the same
+      // convention as _bloom and Delta's _delta_log).
       val dv = dvDirs.map(dir => spark.read.parquet(dir))
         .reduce(_.unionAll(_))
         .select(col("k").as("_dvk"), col("pos").as("_dvpos"))

@@ -709,4 +709,32 @@ class SimilaritySpec extends SparkSpec {
     assert(fromSpark.forall(e => e._1 != e._2))
     assert(fromSpark.groupBy(_._1).values.forall(_.size <= 4))
   }
+
+  test("q322 beam serve: answers are graph-reachable from the entries " +
+       "within the hop budget; visited set contains the answer") {
+    val g = Tables.embeddings(spark, sfDir).sparkSession // session handle
+    val graph = Similarity.nnDescentGraph(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val und = (graph.map(e => (e._1, e._2)) ++
+      graph.map(e => (e._2, e._1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val entries = Tables.embeddings(spark, sfDir)
+      .select($"vec_id").as[Long].collect()
+      .sortBy(v => (md5Hex(s"entry:$v"), v)).take(4).toSet
+    // BFS reachability within 3 hops of the entry set
+    var reach = entries
+    for (_ <- 1 to 3)
+      reach = reach ++ reach.flatMap(v => und.getOrElse(v, Set.empty))
+    val served = Similarity.q322NnBeamServe(spark, sfDir)
+      .select($"q_id", $"n_visited").as[(Long, Long)].collect()
+    assert(served.length === 10)
+    // the visited budget can never exceed the 3-hop reachable set + self
+    served.foreach { case (q, n) =>
+      assert(n <= reach.size.toLong,
+        s"probe $q visited $n > ${reach.size} reachable") }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
