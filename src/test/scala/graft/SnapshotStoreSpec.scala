@@ -780,4 +780,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(stored.count() === v2.count())
     assert(stored.exceptAll(v2).isEmpty && v2.exceptAll(stored).isEmpty)
   }
+
+  test("deletion vectors compose with stats-pruned and bloom reads: " +
+       "pruning skips files, the DV anti-join still applies") {
+    val t = freshTable("dv-pruned")
+    val base = spark.range(40)
+      .select(col("id"), (col("id") * 10).as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(4, col("b"))
+    SnapshotStore.publish(base, t, partitionBy = Seq("b"),
+      bloomCols = Seq("id"))
+    SnapshotStore.dvDelete(spark, t, "id", Seq(12L, 15L, 37L))
+    // range read: bucket 1 only (ids 10..19); DV must still suppress
+    val pr = SnapshotStore.readBetween(spark, t, None, "id", 10L, 19L)
+    assert(pr.filesKept < pr.filesTotal, "range stats must prune files")
+    assert(pr.df.select("id").as[Long].collect().toSet
+      === (10L to 19L).toSet -- Set(12L, 15L))
+    // bloom point read: a deleted id resolves to ZERO rows, a live one
+    // to its row — through the same pruned path
+    val dead = SnapshotStore.readPoint(spark, t, None, "id", Seq(37L))
+    assert(dead.df.count() === 0L, "bloom read resurrected a DV-deleted row")
+    val live = SnapshotStore.readPoint(spark, t, None, "id", Seq(36L))
+    assert(live.df.select("id").as[Long].collect().toSeq === Seq(36L))
+  }
 }
