@@ -669,9 +669,13 @@ object PlanLint {
     // publish (stage + stats) + 2 dvDelete waves (checkpoint + touched
     // collect + DV write + count each) + census write (measured 11)
     "q318_deletion_vectors" -> 14,
+    // MoR merge: publish (stage+stats) + dup probe + DV checkpoint +
+    // touched collect + DV count + append stage/stats + DV write + census
+    "q323_merge_on_read" -> 16,
     // capstone funnel: CC fixpoint + LR epochs + 7 stage-boundary
-    // checkpoints + census write (measured 21 fresh-session)
-    "q319_pretrain_funnel" -> 26,
+    // checkpoints + plant-offset guard max() + census write
+    // (measured 22 fresh-session)
+    "q319_pretrain_funnel" -> 27,
     // evolution merge: q214's merge pipeline on a wider schema
     "q304_schema_evolution" -> 16,
     // CDC-fed summary maintenance: 2 publishes (stage stats/write each)

@@ -40,7 +40,14 @@ case class AcCountExpr(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(StringType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+        // The dictionary must be a plan-time constant: the per-thread
+        // automaton memo keys on the ArrayData REFERENCE, which is only
+        // sound when one immutable literal serves every row. A per-row
+        // array would rebuild the automaton per row (quadratic) and a
+        // buffer-reused ArrayData could scan with a stale dictionary.
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable (literal) pattern dictionary")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, array<string>), got " +
           s"(${l.simpleString}, ${r.simpleString})")

@@ -4041,6 +4041,15 @@ object Corpus {
     import graft.ops.{TextSim, Graph, Windows}
     val packObs = org.apache.spark.sql.Observation()
     val raw = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    // The planted-duplicate ids live at +1e6/+2e6; a corpus whose real
+    // ids reach 1e6 would collide with the plants and silently corrupt
+    // the min-id keeper (both engines would drift together, so the
+    // oracle gate could not catch it). Fail loudly instead — one
+    // column-pruned max() over a bigint column, microseconds at any SF.
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"q319 plant offsets assume doc_id < 1e6; corpus max is $maxId — " +
+        "raise the plant offsets past the next power of ten")
     val corpus = raw
       .unionByName(raw.where(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
