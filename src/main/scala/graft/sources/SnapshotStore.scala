@@ -1121,7 +1121,13 @@ object SnapshotStore {
       }
       val newV = v + 1
       val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
-      val dvDir = new Path(dataDir, "_dv").toString
+      // Writer-unique DV dir: on a lost commit race the cleanup below
+      // deletes ONLY this dir — never dataDir, which a concurrent winner
+      // of version newV may already own. The underscore prefix keeps it
+      // out of data-file listings; snapDirNameOf still resolves the ref
+      // to snap-v<newV> so vacuum reachability pins the enclosing dir.
+      val dvDir = new Path(dataDir,
+        "_dv-" + java.util.UUID.randomUUID.toString.take(8)).toString
       val refs = dvRefsOf(fileLines)
       val (touchedKeys, rowsDeleted) =
         if (candidates.isEmpty) (Set.empty[String], 0L)
@@ -1170,10 +1176,147 @@ object SnapshotStore {
             rowsDeleted))
         } catch {
           case _: java.io.IOException =>
-            f.delete(dataDir, true)
+            // lost the race: drop only OUR staged DV dir — the winner's
+            // committed snap-v<newV> data/DV files are untouchable
+            f.delete(new Path(dvDir), true)
             attempt += 1
             require(attempt < 8, s"dvDelete lost $attempt commit races")
         }
+      }
+    }
+    out.get
+  }
+
+  /** Outcome of a merge-on-read MERGE: version plus the DV/append split
+    * — `filesRewritten` is structurally absent because MoR never
+    * rewrites a data file.
+    */
+  case class MoRStats(version: Int, filesTotal: Int, filesWithDv: Int,
+                      filesAppended: Int, rowsSuppressed: Long,
+                      rowsAppended: Long)
+
+  /** MERGE INTO, merge-on-read form: ZERO data files rewrite. Where
+    * [[mergeUpsert]] (copy-on-write) re-stages every file holding a
+    * matched key — a 1-row update in a 1 GB file costs a 1 GB rewrite —
+    * MoR composes the two primitives the store already has: matched
+    * LIVE rows are suppressed by a deletion vector (the [[dvDelete]]
+    * machinery: (file key, `_metadata.row_index`) parquet staged under
+    * the new version, `dv:` manifest refs, read-time anti-join) and the
+    * FULL source (updates and inserts alike) appends as fresh data
+    * files. Every pre-existing file line carries into the new manifest
+    * by reference — touched ones gain/replace a dv ref, the rest verbatim
+    * — so the write cost is O(matched-row positions + source bytes),
+    * never O(touched file bytes). This is Delta's DV-backed MERGE /
+    * Iceberg v2 merge-on-read; [[compact]] is the materialize path that
+    * folds DVs back into plain files when read amplification grows.
+    *
+    * Touched-row discovery is one column-pruned key scan with positions
+    * ([[loadFilesWithPos]] — existing DVs applied, so re-merging a key
+    * is idempotent) semi-joined against the source's keys; the per-file
+    * touched set is ≤ one row per file, driver-bounded. Schema
+    * evolution follows [[mergeUpsert]]: the source must cover every
+    * existing column (case-insensitively) and may append new ones —
+    * carried files stay narrow and null-fill on read. Commit is the
+    * same exclusive-create manifest; on a lost race the merge recomputes
+    * against the new latest. Like mergeUpsert, race-loss cleanup assumes
+    * a single writer per table (the staged dir is keyed by version).
+    */
+  def mergeMoR(spark: SparkSession, table: String, source: DataFrame,
+               keyCols: Seq[String],
+               bloomCols: Seq[String] = Nil): MoRStats = {
+    require(keyCols.nonEmpty, "mergeMoR needs at least one key column")
+    var attempt = 0
+    var out: Option[MoRStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val lines = manifestLines(spark, table, v)
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(lines(2).stripPrefix("schema="))
+      val srcLower = source.columns.map(_.toLowerCase)
+      require(srcLower.distinct.length == srcLower.length,
+        s"source has case-only column collisions: ${source.columns
+          .groupBy(_.toLowerCase).filter(_._2.length > 1)
+          .values.map(_.mkString("/")).mkString(",")}")
+      require(schema.fieldNames.forall(n =>
+          srcLower.contains(n.toLowerCase)),
+        s"source is missing table columns ${schema.fieldNames
+          .filterNot(n => srcLower.contains(n.toLowerCase))
+          .mkString(",")}")
+      val existingLower = schema.fieldNames.map(_.toLowerCase).toSet
+      val widened = org.apache.spark.sql.types.StructType(
+        schema.fields ++ source.schema.fields
+          .filterNot(f => existingLower.contains(f.name.toLowerCase)))
+      val src = source.select(widened.fields.toIndexedSeq
+        .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
+      val dup = src.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
+      require(dup == 0,
+        "mergeMoR source has duplicate keys — multi-match is ambiguous")
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      val allFiles = fileLines.map(_.split('\t')(0))
+      val refs = dvRefsOf(fileLines)
+      val newV = v + 1
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      val dvDir = new Path(dataDir,
+        "_dv-" + java.util.UUID.randomUUID.toString.take(8)).toString
+      // matched LIVE rows → suppressed positions. The key-only select
+      // lets Catalyst prune the parquet scan to keyCols + metadata.
+      val (touchedKeys, rowsSuppressed, dvFrame) =
+        if (allFiles.isEmpty) (Set.empty[String], 0L, None)
+        else {
+          val newDv = loadFilesWithPos(spark, allFiles, lines)
+            .select(keyCols.map(col) :+ col("_k") :+ col("_pos"): _*)
+            .join(src.select(keyCols.map(col): _*), keyCols, "left_semi")
+            .select(col("_k").as("k"), col("_pos").as("pos"))
+            .localCheckpoint()
+          val touched = newDv.select(col("k")).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (touched.isEmpty) (touched, 0L, None)
+          else {
+            val oldDirs = touched.flatMap(refs.get).toSeq.distinct.sorted
+            val carried =
+              if (oldDirs.isEmpty) None
+              else Some(oldDirs.map(dir => spark.read.parquet(dir))
+                .reduce(_.unionAll(_))
+                .where(col("k").isin(touched.toSeq: _*)))
+            val full = carried.fold(newDv)(newDv.unionAll).distinct()
+              .localCheckpoint()
+            (touched, newDv.count(), Some(full))
+          }
+        }
+      // stage the appended data FIRST (stageFiles overwrites dataDir),
+      // then the DV parquet beside it — both under the same atomic
+      // commit and vacuum reachability as any version's files
+      val (stagedCount, stagedLines) = stageFiles(src, dataDir,
+        bloomCols, partitionBy = partitionColsOf(fileLines))
+      dvFrame.foreach(
+        _.coalesce(1).write.mode("overwrite").parquet(dvDir))
+      val carryLines = fileLines.map { l =>
+        val parts = l.split('\t')
+        if (touchedKeys.contains(snapKey(parts(0))))
+          (parts.filterNot(_.startsWith("dv:")) :+ s"dv:$dvDir")
+            .mkString("\t")
+        else l
+      }
+      val total = countOf(spark, table, v) - rowsSuppressed + stagedCount
+      val body = s"count=$total\nschema=${widened.toDDL}\n" +
+        (carryLines ++ stagedLines).mkString("\n")
+      val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+      val f = fs(spark, manifest)
+      f.mkdirs(manifestDir(table))
+      try {
+        val outS = f.create(manifest, false)
+        outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+        outS.close()
+        out = Some(MoRStats(newV, fileLines.size, touchedKeys.size,
+          stagedLines.size, rowsSuppressed, stagedCount))
+      } catch {
+        case _: java.io.IOException =>
+          f.delete(dataDir, true)
+          attempt += 1
+          require(attempt < 8, s"mergeMoR lost $attempt commit races")
       }
     }
     out.get
@@ -1851,6 +1994,105 @@ object SnapshotStore {
        |ORDER BY b""".stripMargin
   }
 
+  // ─── q323: merge-on-read MERGE INTO — zero data files rewritten ──────
+  // The MoR contract end to end, counters as oracle-derived data:
+  // publish documents hive-partitioned into 100-id buckets (one file per
+  // dir), then ONE mergeMoR whose source mixes updates (every 37th id,
+  // payload doubled+7) and inserts (every 41st id shifted +1e6, payload
+  // +13). files_v1_on_disk counts the data part files physically present
+  // under the ORIGINAL version's dir after the merge and must equal
+  // files_total — the zero-rewrite proof is the filesystem, q318's
+  // contract. The census reads THROUGH the DV anti-join + appended
+  // files: a matched id must appear exactly once with the UPDATED
+  // payload (a DV miss doubles the row count; a lost append loses the
+  // update — either flips the hash), and the inserted buckets
+  // (10000..) census alongside the updated ones. The DuckDB twin is the
+  // full-outer merge it should equal, with the file counters derived
+  // relationally from the bucket layout.
+  def q323MergeOnRead(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/mor"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100).cast("long"))
+      .repartition(8, col("b"))
+    publish(docs, table, partitionBy = Seq("b"))
+    val v1Dir = new Path(table, "snap-v00001")
+    val v1Files = listParquet(fs(s, tableP), v1Dir).size
+    val src = docs.where(pmod(col("doc_id"), lit(37)) === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") * 2 + 7).as("n_chars"), col("b"))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(41)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          (col("n_chars") + 13).as("n_chars"),
+          (col("b") + 10000L).as("b")))
+      .repartition(8, col("b"))
+    val st = mergeMoR(s, table, src, Seq("doc_id"))
+    val v1OnDisk = listParquet(fs(s, tableP), v1Dir).size
+    read(s, table)
+      .where(col("b") <= 5 || col("b").between(10000, 10005))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"),
+           min(col("doc_id")).as("first_id"),
+           max(col("doc_id")).as("last_id"))
+      .select(col("b"), col("n_docs"), col("chars"),
+              col("first_id"), col("last_id"),
+              lit(v1Files.toLong).as("files_total"),
+              lit(v1OnDisk.toLong).as("files_v1_on_disk"),
+              lit(st.filesWithDv.toLong).as("files_dv"),
+              lit(st.filesAppended.toLong).as("files_appended"),
+              lit(st.rowsSuppressed).as("rows_suppressed"),
+              lit(st.rowsAppended).as("rows_appended"),
+              lit(countOf(s, table, 1)).as("n_rows_v1"),
+              lit(countOf(s, table, st.version)).as("n_rows_live"))
+      .orderBy(col("b"))
+  }
+
+  val q323Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(floor(doc_id / 100) AS BIGINT) AS b
+      |  FROM documents),
+      |src AS (
+      |  SELECT doc_id, n_chars * 2 + 7 AS n_chars, b
+      |  FROM d WHERE doc_id % 37 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n_chars + 13, b + 10000
+      |  FROM d WHERE doc_id % 41 = 0),
+      |m AS (
+      |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+      |         coalesce(s.b, d.b) AS b,
+      |         coalesce(s.n_chars, d.n_chars) AS n_chars
+      |  FROM d FULL OUTER JOIN src s ON d.doc_id = s.doc_id),
+      |cnt AS (
+      |  SELECT
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d) AS files_total,
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |       WHERE doc_id % 37 = 0) AS files_dv,
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM src)
+      |      AS files_appended,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 37 = 0)
+      |      AS rows_suppressed,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM src) AS rows_appended,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_rows_v1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_rows_live)
+      |SELECT b, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+      |  (SELECT files_total FROM cnt) AS files_total,
+      |  (SELECT files_total FROM cnt) AS files_v1_on_disk,
+      |  (SELECT files_dv FROM cnt) AS files_dv,
+      |  (SELECT files_appended FROM cnt) AS files_appended,
+      |  (SELECT rows_suppressed FROM cnt) AS rows_suppressed,
+      |  (SELECT rows_appended FROM cnt) AS rows_appended,
+      |  (SELECT n_rows_v1 FROM cnt) AS n_rows_v1,
+      |  (SELECT n_rows_live FROM cnt) AS n_rows_live
+      |FROM m
+      |WHERE b <= 5 OR b BETWEEN 10000 AND 10005
+      |GROUP BY b
+      |ORDER BY b""".stripMargin
+
   // ─── q225: branch refs + write-audit-publish (WAP) ────────────────────
   // The Iceberg/Delta "WAP" production pattern end to end: every batch
   // COMMITS as a version (time-travelable, debuggable), but the `main`
@@ -2043,7 +2285,8 @@ object SnapshotStore {
     "q214_snapshot_merge" -> (q214SnapshotMerge _),
     "q215_snapshot_delete" -> (q215SnapshotDelete _),
     "q304_schema_evolution" -> (q304SchemaEvolution _),
-    "q318_deletion_vectors" -> (q318DeletionVectors _))
+    "q318_deletion_vectors" -> (q318DeletionVectors _),
+    "q323_merge_on_read" -> (q323MergeOnRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -2058,5 +2301,6 @@ object SnapshotStore {
     "q214_snapshot_merge" -> q214Sql,
     "q215_snapshot_delete" -> q215Sql,
     "q304_schema_evolution" -> q304Sql,
-    "q318_deletion_vectors" -> q318Sql)
+    "q318_deletion_vectors" -> q318Sql,
+    "q323_merge_on_read" -> q323Sql)
 }

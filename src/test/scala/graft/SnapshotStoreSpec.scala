@@ -497,7 +497,11 @@ class SnapshotStoreSpec extends SparkSpec {
     val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     SnapshotStore.vacuum(spark, t, keepLast = 2)
     assert(SnapshotStore.versions(spark, t) === Seq(3, 4))
-    assert(f.exists(new Path(t, "snap-v00004/_dv")),
+    val v4Dv = new String(org.apache.commons.io.IOUtils.toByteArray(
+        f.open(new Path(t, "_snapshots/v00004.manifest"))), "UTF-8")
+      .linesIterator.flatMap(_.split('\t').find(_.startsWith("dv:")))
+      .map(_.stripPrefix("dv:")).toSeq
+    assert(v4Dv.nonEmpty && v4Dv.forall(d => f.exists(new Path(d))),
       "retained manifest's DV dir must survive vacuum")
     assert(SnapshotStore.read(spark, t).select("id").as[Long]
       .collect().toSet === (0L until 20L).toSet -- Set(7L))
@@ -802,5 +806,97 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(dead.df.count() === 0L, "bloom read resurrected a DV-deleted row")
     val live = SnapshotStore.readPoint(spark, t, None, "id", Seq(36L))
     assert(live.df.select("id").as[Long].collect().toSeq === Seq(36L))
+  }
+
+  test("merge-on-read MERGE: zero data files rewrite, matched rows read " +
+       "back updated exactly once, inserts land, time travel clean") {
+    val t = freshTable("mor")
+    val base = spark.range(40)
+      .select(col("id"), (col("id") * 10).as("pay"),
+              (col("id") / 10).cast("long").as("b"))
+      .repartition(4, col("b"))
+    SnapshotStore.publish(base, t, partitionBy = Seq("b"))
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def v1Files: Set[String] = {
+      val it = f.listFiles(new Path(t, "snap-v00001"), true)
+      val buf = Set.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")
+            && !p.getParent.getName.startsWith("_")) buf += p.toString
+      }
+      buf.result()
+    }
+    val before = v1Files
+    // updates: ids 3, 17 (buckets 0, 1); inserts: ids 100, 101 (bucket 10)
+    val src = Seq((3L, -30L, 0L), (17L, -170L, 1L),
+                  (100L, 1000L, 10L), (101L, 1010L, 10L))
+      .toDF("id", "pay", "b")
+    val st = SnapshotStore.mergeMoR(spark, t, src, Seq("id"))
+    assert(st.version === 2 && st.filesWithDv === 2
+      && st.rowsSuppressed === 2L && st.rowsAppended === 4L,
+      s"unexpected $st")
+    assert(v1Files === before, "MoR merge must not touch v1 data files")
+    val got = SnapshotStore.read(spark, t).select("id", "pay")
+      .as[(Long, Long)].collect()
+    assert(got.length === 42, "40 base - 2 suppressed + 4 appended")
+    val byId = got.toMap
+    assert(byId.size === 42, "a matched id must appear exactly once")
+    assert(byId(3L) === -30L && byId(17L) === -170L, "updates must win")
+    assert(byId(100L) === 1000L && byId(101L) === 1010L, "inserts must land")
+    assert(byId(5L) === 50L, "unmatched base rows untouched")
+    assert(SnapshotStore.countOf(spark, t, 2) === 42L)
+    // time travel: v1 serves the pre-merge image
+    assert(SnapshotStore.read(spark, t, Some(1)).count() === 40L)
+    assert(SnapshotStore.read(spark, t, Some(1)).where(col("id") === 3)
+      .select("pay").as[Long].head() === 30L)
+    // CDC: 2 updates + 2 inserts, zero deletes
+    val d = SnapshotStore.diff(spark, t, 1, 2, Seq("id"))
+      .groupBy("change_type").count().as[(String, Long)].collect().toMap
+    assert(d.get("update").contains(2L) && d.get("insert").contains(2L)
+      && !d.contains("delete"), s"unexpected CDC census $d")
+    // second MoR wave re-touches bucket 0 (cumulative DV union) and
+    // re-updates an already-updated id (idempotent via live-row scan)
+    val st2 = SnapshotStore.mergeMoR(spark, t,
+      Seq((3L, -31L, 0L), (8L, -80L, 0L)).toDF("id", "pay", "b"), Seq("id"))
+    assert(st2.rowsSuppressed === 2L && st2.filesWithDv >= 1)
+    assert(v1Files === before)
+    val byId2 = SnapshotStore.read(spark, t).select("id", "pay")
+      .as[(Long, Long)].collect().toMap
+    assert(byId2.size === 42 && byId2(3L) === -31L && byId2(8L) === -80L)
+    // compaction materializes every DV; rows unchanged
+    SnapshotStore.compact(spark, t, 2)
+    val mf = scala.io.Source.fromInputStream(
+      f.open(new Path(t, "_snapshots/v00004.manifest")), "UTF-8")
+      .getLines().mkString("\n")
+    assert(!mf.contains("dv:"), "compaction must materialize MoR DVs")
+    assert(SnapshotStore.read(spark, t).select("id", "pay")
+      .as[(Long, Long)].collect().toMap === byId2)
+    // vacuum: the retained v3 manifest's DV dirs survive, reads stay green
+    SnapshotStore.vacuum(spark, t, keepLast = 2)
+    assert(SnapshotStore.versions(spark, t) === Seq(3, 4))
+    assert(SnapshotStore.read(spark, t, Some(3)).count() === 42L)
+  }
+
+  test("merge-on-read MERGE: add-column schema evolution appends wide " +
+       "files, carried files null-fill; duplicate source keys rejected") {
+    val t = freshTable("mor-evolve")
+    SnapshotStore.publish(
+      spark.range(10).select(col("id"), (col("id") * 10).as("pay")), t)
+    val src = Seq((4L, -40L, "x"), (20L, 200L, "y"))
+      .toDF("id", "pay", "tag")
+    val st = SnapshotStore.mergeMoR(spark, t, src, Seq("id"))
+    assert(st.rowsSuppressed === 1L && st.rowsAppended === 2L)
+    val byId = SnapshotStore.read(spark, t).select("id", "pay", "tag")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.getString(2)))).toMap
+    assert(byId.size === 11)
+    assert(byId(4L) === ((-40L, Some("x"))) && byId(20L) === ((200L, Some("y"))))
+    assert(byId(5L) === ((50L, None)), "carried narrow file must null-fill")
+    intercept[IllegalArgumentException] {
+      SnapshotStore.mergeMoR(spark, t,
+        Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("id", "pay", "tag"),
+        Seq("id"))
+    }
   }
 }
