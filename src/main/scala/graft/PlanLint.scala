@@ -319,6 +319,11 @@ object PlanLint {
     // crossJoin and the broadcast 10-probe scoring BNLJ
     "q322_nn_beam_serve" -> Set("nested-loop", "cartesian",
                                 "global-window"),
+    // q324: the trainer's bounded builds + a 4-row entry crossJoin, the
+    // broadcast 10-probe exact side, and the 1-row maintained-graph
+    // stat crossJoin — batch-side scoring is plain equi-joins
+    "q324_nn_incremental_insert" -> Set("nested-loop", "cartesian",
+                                        "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
     // q219: q207's probe shapes reused as a miner (1-row folded
@@ -612,6 +617,10 @@ object PlanLint {
     // beam serve: trainer (6, memoized — priced fresh) + adjacency
     // checkpoint + entry scoring checkpoint + 3 hop checkpoints + write
     "q322_nn_beam_serve" -> 14,
+    // incremental insert: base trainer (6) + adjacency + 4 beam
+    // checkpoints + tch/g1/aff/g2 + full retrain (3, memoized — priced
+    // fresh) + census write (measured 19 fresh-session)
+    "q324_nn_incremental_insert" -> 22,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,

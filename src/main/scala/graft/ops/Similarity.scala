@@ -2688,15 +2688,20 @@ object Similarity {
       .where(col("trn") <= NnK).drop("trn")
 
   /** The seed graph (top-K over the ring pairs, before any refinement
-    * round) — exposed so the spec can drive the rounds independently. */
-  private[graft] def nnSeedGraph(s: SparkSession, d: String): DataFrame = {
+    * round) — exposed so the spec can drive the rounds independently.
+    * `member` optionally restricts which vectors participate (q324's
+    * base-corpus training); the kmeans cells stay full-corpus — they
+    * are a seeding heuristic, not membership. */
+  private[graft] def nnSeedGraph(s: SparkSession, d: String,
+                                 member: Option[Column] = None): DataFrame = {
     val emb = embFrame(s, d)
     val cents = kmeansFor(s, d, 1, DIM, 8, 2)
-    val pos = assignPieces(pieces(emb, 1, DIM), centsRow(cents))
+    val posAll = assignPieces(pieces(emb, 1, DIM), centsRow(cents))
       .select(col("vec_id"), col("sub").as("e"), col("cid"))
       .withColumn("bkt", bucketCol(col("e"), DefaultPlanes))
       .withColumn("h",
         md5(concat(lit("nn:"), col("vec_id").cast("string"))))
+    val pos = member.fold(posAll)(posAll.where)
     val raw = ringPairs(pos, "cid", 5).unionAll(ringPairs(pos, "bkt", 3))
     val seedScored = raw
       .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
@@ -2707,9 +2712,10 @@ object Similarity {
 
   /** The trained k-NN graph itself: (u, v, bp) with ≤ [[NnK]] neighbors
     * per vertex — exposed for the spec's exact driver recompute. */
-  private[graft] def nnDescentGraph(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nnDescentGraph(s: SparkSession, d: String,
+                                    member: Option[Column] = None): DataFrame = {
     val emb = embFrame(s, d)
-    var g = nnSeedGraph(s, d).localCheckpoint()
+    var g = nnSeedGraph(s, d, member).localCheckpoint()
     for (_ <- 1 to NnRounds) {
       val rev = g
         .select(col("v").as("u"), col("u").as("v"), col("bp"))
@@ -2774,40 +2780,48 @@ object Similarity {
     s"CAST(round(list_dot_product($a, $b) / (sqrt(list_dot_product(" +
       s"$a, $a)) * sqrt(list_dot_product($b, $b))) * 10000, 0) AS BIGINT)"
 
-  /** WITH-body CTE chain training the k-NN graph up to `g$NnRounds` —
-    * shared by the q317 census twin and the q322 beam-serving twin. */
-  private def nnGraphCtes: String = {
+  /** Core k-NN-graph CTE chain (`pos` … `g$NnRounds`), every name
+    * prefixed with `P` so TWO trainings can live in one WITH chain (the
+    * kmeansCtes discipline — q324 trains a base graph AND the full
+    * retrain in one oracle). Membership is optionally restricted by
+    * `posWhere` (a predicate over `vec_id`): seeds, rounds and the
+    * final graph then cover only member vectors, while the SHARED
+    * kmeans cells/buckets (pieces/c2, assumed in scope unprefixed)
+    * still come from the full corpus — cells are a seeding heuristic,
+    * not membership. */
+  private def nnGraphCtesCore(P: String, posWhere: String): String = {
     val d2 = "list_dot_product(p.sub, p.sub)" +
       " - 2*list_dot_product(p.sub, c.carr)" +
       " + list_dot_product(c.carr, c.carr)"
     def bp(a: String, b: String) = bpSql(a, b)
+    val memberFilter = if (posWhere.isEmpty) "" else s"\n  WHERE $posWhere"
     val rounds = (1 to NnRounds).map { r =>
-      s"""rev$r AS (
+      s"""${P}rev$r AS (
          |  SELECT u, v FROM (
          |    SELECT g.v AS u, g.u AS v,
          |      row_number() OVER (PARTITION BY g.v
          |        ORDER BY g.bp DESC, g.u) AS rrn
-         |    FROM g${r - 1} g)
+         |    FROM ${P}g${r - 1} g)
          |  WHERE rrn <= $NnRevCap),
-         |b$r AS (SELECT u, v FROM g${r - 1}
-         |        UNION SELECT u, v FROM rev$r),
-         |cand$r AS (
-         |  SELECT DISTINCT x.u, y.v FROM b$r x JOIN b$r y ON x.v = y.u
+         |${P}b$r AS (SELECT u, v FROM ${P}g${r - 1}
+         |        UNION SELECT u, v FROM ${P}rev$r),
+         |${P}cand$r AS (
+         |  SELECT DISTINCT x.u, y.v
+         |  FROM ${P}b$r x JOIN ${P}b$r y ON x.v = y.u
          |  WHERE x.u <> y.v),
-         |sc$r AS (
+         |${P}sc$r AS (
          |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
-         |  FROM cand$r c JOIN emb eu ON c.u = eu.vec_id
+         |  FROM ${P}cand$r c JOIN emb eu ON c.u = eu.vec_id
          |                JOIN emb ev ON c.v = ev.vec_id),
-         |g$r AS MATERIALIZED (
+         |${P}g$r AS MATERIALIZED (
          |  SELECT u, v, bp FROM (
          |    SELECT *, row_number() OVER (PARTITION BY u
          |      ORDER BY bp DESC, v) AS trn
          |    FROM (SELECT DISTINCT u, v, bp FROM (
-         |      SELECT * FROM sc$r UNION ALL SELECT * FROM g${r - 1})))
+         |      SELECT * FROM ${P}sc$r UNION ALL SELECT * FROM ${P}g${r - 1})))
          |  WHERE trn <= $NnK)""".stripMargin
     }.mkString(",\n")
-    s"""${kmeansCtes(1, DIM, 8, 2)},
-       |pos AS MATERIALIZED (
+    s"""${P}pos AS MATERIALIZED (
        |  SELECT vec_id, e, cid,
        |    ${bucketSqlExpr("e", DefaultPlanes)} AS bkt,
        |    md5('nn:' || CAST(vec_id AS VARCHAR)) AS h
@@ -2817,31 +2831,37 @@ object Similarity {
        |        row_number() OVER (PARTITION BY p.vec_id
        |          ORDER BY $d2, c.cid) AS arn
        |      FROM pieces p JOIN c2 c ON p.m = c.m)
-       |    WHERE arn = 1)),
-       |cpos AS (SELECT *, row_number() OVER (PARTITION BY cid
-       |           ORDER BY h, vec_id) AS rn FROM pos),
-       |bpos AS (SELECT *, row_number() OVER (PARTITION BY bkt
-       |           ORDER BY h, vec_id) AS rn FROM pos),
-       |raw AS (
+       |    WHERE arn = 1)$memberFilter),
+       |${P}cpos AS (SELECT *, row_number() OVER (PARTITION BY cid
+       |           ORDER BY h, vec_id) AS rn FROM ${P}pos),
+       |${P}bpos AS (SELECT *, row_number() OVER (PARTITION BY bkt
+       |           ORDER BY h, vec_id) AS rn FROM ${P}pos),
+       |${P}raw AS (
        |  SELECT a.vec_id AS u, a.e AS ue, b.vec_id AS v, b.e AS ve
-       |  FROM cpos a JOIN cpos b
+       |  FROM ${P}cpos a JOIN ${P}cpos b
        |    ON a.cid = b.cid AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
        |  UNION ALL
        |  SELECT a.vec_id, a.e, b.vec_id, b.e
-       |  FROM bpos a JOIN bpos b
+       |  FROM ${P}bpos a JOIN ${P}bpos b
        |    ON a.bkt = b.bkt AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
-       |p0 AS (
-       |  SELECT u, v, ${bp("ue", "ve")} AS bp FROM raw
+       |${P}p0 AS (
+       |  SELECT u, v, ${bp("ue", "ve")} AS bp FROM ${P}raw
        |  UNION ALL
-       |  SELECT v, u, ${bp("ve", "ue")} FROM raw),
-       |g0 AS MATERIALIZED (
+       |  SELECT v, u, ${bp("ve", "ue")} FROM ${P}raw),
+       |${P}g0 AS MATERIALIZED (
        |  SELECT u, v, bp FROM (
        |    SELECT *, row_number() OVER (PARTITION BY u
        |      ORDER BY bp DESC, v) AS trn
-       |    FROM (SELECT DISTINCT u, v, bp FROM p0))
+       |    FROM (SELECT DISTINCT u, v, bp FROM ${P}p0))
        |  WHERE trn <= $NnK),
        |$rounds""".stripMargin
   }
+
+  /** WITH-body CTE chain training the k-NN graph up to `g$NnRounds` —
+    * shared by the q317 census twin and the q322 beam-serving twin. */
+  private def nnGraphCtes: String =
+    s"""${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("", "")}""".stripMargin
 
   val q317Sql: String = {
     def bp(a: String, b: String) = bpSql(a, b)
@@ -3013,7 +3033,256 @@ object Similarity {
        |ORDER BY h.q_id""".stripMargin
   }
 
+  // ─── q324: incremental k-NN-graph maintenance (insert a batch) ───────
+  // q317's trainer is train-once; a production corpus GROWS. Retraining
+  // the whole graph per ingest batch is O(corpus); the maintenance path
+  // inserts a batch at O(batch): (1) each new vector beam-searches the
+  // EXISTING base graph from its fixed entries (q322's serve loop — the
+  // index answers "where do I belong?" for its own maintenance), (2)
+  // the visited base vertices seed the new vertex's forward list AND
+  // become back-edge candidates (only THEIR top-K re-cut — untouched
+  // vertices carry by anti-join, the q323 carry discipline), (3) ONE
+  // localized NN-descent round refines only pairs involving a new
+  // vertex (candidate generation is restricted to new-incident b-list
+  // rows, so the round costs O(batch·K·(K+revcap)), never O(n·K²)).
+  //
+  // The base graph trains on the 90% slice (vec_id % 10 ≠ 9) with the
+  // FULL-corpus kmeans cells as seeding heuristic; the batch is the
+  // held-out 10%. Census (accuracy-as-data, the q104/q322 contract):
+  // recall@4 vs the exact top-K for the 10-probe panel of the
+  // MAINTAINED graph side by side with the FROM-SCRATCH full retrain
+  // (q317's memoized graph), plus the maintained graph's edge count and
+  // mean bp — the oracle hash pins the entire maintained graph and the
+  // maintenance-vs-retrain quality gap as data. Probe 9 is itself a new
+  // vector, so the panel exercises both directions of the insert.
+  //
+  // At 100 TB: the batch side never broadcasts (plain equi-joins — the
+  // batch is corpus-scale-able), per-hop state is (batch × beam) rows,
+  // the re-cut windows run only over touched/affected vertices
+  // (semi-join restricted), and the retrain column exists only because
+  // the census DEMANDS the comparison — production runs maintenance
+  // alone.
+  private def isNnBatch(c: Column): Column = pmod(c, lit(10)) === 9
+
+  /** (base graph, maintained graph after the batch insert) — exposed so
+    * the spec can pin the carry discipline (untouched vertices keep
+    * their base lists verbatim) and batch coverage structurally. */
+  private[graft] def nnMaintainedGraph(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = embFrame(s, d)
+    val bg = nnDescentGraph(s, d,
+      Some(pmod(col("vec_id"), lit(10)) =!= 9)).localCheckpoint()
+    val und = bg.select("u", "v")
+      .unionAll(bg.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val newq = emb.where(isNnBatch(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val entries = emb.where(!isNnBatch(col("vec_id")))
+      .select(col("vec_id").as("v"),
+        md5(concat(lit("entry:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(NnEntries).select("v")
+    // batch-side scoring is a plain equi-join (NOT a broadcast — the
+    // batch grows with the corpus, unlike q322's 10-probe panel)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .join(newq, "q_id")
+      .select(col("q_id"), col("v"), cosBp(col("qe"), col("ve")).as("bp"))
+    def beamOf(vis: DataFrame): DataFrame = vis
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnBeam).drop("rn")
+    var visited = score(
+        newq.select("q_id").crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    for (_ <- 1 to NnHops) {
+      val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
+        .join(und, "u").select(col("q_id"), col("v")).distinct()
+      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+    }
+    val fwd = visited
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnK)
+      .select(col("q_id").as("u"), col("v"), col("bp"))
+    val back = visited
+      .select(col("v").as("u"), col("q_id").as("v"), col("bp"))
+    val tch = back.select("u").distinct().localCheckpoint()
+    val g1 = bg.join(tch, Seq("u"), "left_anti")
+      .unionAll(nnTopK(
+        bg.join(tch, Seq("u"), "left_semi").unionAll(back)))
+      .unionAll(fwd)
+      .localCheckpoint()
+    // one localized refinement round: only new-incident candidate pairs
+    val rev = g1.select(col("v").as("u"), col("u").as("v"), col("bp"))
+      .withColumn("rrn", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rrn") <= NnRevCap).drop("rrn")
+    val b = g1.select("u", "v").unionAll(rev.select("u", "v")).distinct()
+    val bNew = b.where(isNnBatch(col("u")))
+    val bvNew = b.where(isNnBatch(col("v")))
+    val cand = bNew.as("x").join(b.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+      .unionAll(b.as("x").join(bvNew.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("u"), col("e").as("ue")), "u")
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+    val aff = cand.select("u").distinct().localCheckpoint()
+    val g2 = g1.join(aff, Seq("u"), "left_anti")
+      .unionAll(nnTopK(
+        g1.join(aff, Seq("u"), "left_semi").unionAll(scored)))
+      .localCheckpoint()
+    (bg, g2)
+  }
+
+  def q324NnIncrementalInsert(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val (_, g2) = nnMaintainedGraph(s, d)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val exactK = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("q_id", "c_id")
+    val full = nnGraphFor(s, d)
+    def hitsOf(g: DataFrame, nm: String) = exactK.as("x")
+      .join(g.as("gg"), col("x.q_id") === col("gg.u") &&
+        col("x.c_id") === col("gg.v"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("gg.v")).as(nm))
+    val glob = broadcast(g2.agg(count(lit(1)).as("mg_edges"),
+      sum(col("bp")).as("msbp")))
+    hitsOf(g2, "n_hits_inc").join(hitsOf(full, "n_hits_full"), "q_id")
+      .crossJoin(glob)
+      .select(col("q_id"), col("n_hits_inc"),
+        round(col("n_hits_inc") / lit(NnK.toDouble), 4).as("recall_inc"),
+        col("n_hits_full"),
+        round(col("n_hits_full") / lit(NnK.toDouble), 4).as("recall_full"),
+        col("mg_edges"), expr("msbp div mg_edges").as("mg_avg_bp"))
+      .orderBy(col("q_id"))
+  }
+
+  val q324Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    val hops = (1 to NnHops).map { h =>
+      s"""ifr${h - 1} AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM ivis${h - 1})
+         |  WHERE rn <= $NnBeam),
+         |inb$h AS (
+         |  SELECT DISTINCT f.q_id, u2.v FROM ifr${h - 1} f
+         |  JOIN bund u2 ON f.v = u2.u),
+         |isv$h AS (
+         |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+         |  FROM inb$h s JOIN emb ev ON s.v = ev.vec_id
+         |  JOIN newq q ON s.q_id = q.q_id),
+         |ivis$h AS MATERIALIZED (
+         |  SELECT DISTINCT q_id, v, bp FROM (
+         |    SELECT * FROM ivis${h - 1} UNION ALL SELECT * FROM isv$h))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("bg_", "vec_id % 10 <> 9")},
+       |${nnGraphCtesCore("", "")},
+       |newq AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |         WHERE vec_id % 10 = 9),
+       |bents AS (
+       |  SELECT vec_id AS v FROM emb WHERE vec_id % 10 <> 9
+       |  ORDER BY md5('entry:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NnEntries),
+       |bund AS (SELECT u, v FROM bg_g$NnRounds
+       |         UNION SELECT v, u FROM bg_g$NnRounds),
+       |ivis0 AS MATERIALIZED (
+       |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM newq q CROSS JOIN bents en
+       |  JOIN emb ev ON en.v = ev.vec_id),
+       |$hops,
+       |mfwd AS (
+       |  SELECT q_id AS u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bp DESC, v) AS rn FROM ivis$NnHops)
+       |  WHERE rn <= $NnK),
+       |mback AS (SELECT v AS u, q_id AS v, bp FROM ivis$NnHops),
+       |tch AS (SELECT DISTINCT u FROM mback),
+       |mg1 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM bg_g$NnRounds
+       |  WHERE u NOT IN (SELECT u FROM tch)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM bg_g$NnRounds g
+       |        JOIN tch t ON g.u = t.u
+       |      UNION ALL SELECT * FROM mback)))
+       |  WHERE trn <= $NnK
+       |  UNION ALL
+       |  SELECT u, v, bp FROM mfwd),
+       |mrev AS (
+       |  SELECT u, v FROM (
+       |    SELECT g.v AS u, g.u AS v, row_number() OVER (PARTITION BY g.v
+       |      ORDER BY g.bp DESC, g.u) AS rrn FROM mg1 g)
+       |  WHERE rrn <= $NnRevCap),
+       |mb AS (SELECT u, v FROM mg1 UNION SELECT u, v FROM mrev),
+       |mcand AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT x.u, y.v FROM mb x JOIN mb y ON x.v = y.u
+       |    WHERE x.u % 10 = 9
+       |    UNION ALL
+       |    SELECT x.u, y.v FROM mb x JOIN mb y ON x.v = y.u
+       |    WHERE y.v % 10 = 9)
+       |  WHERE u <> v),
+       |msc AS (
+       |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
+       |  FROM mcand c JOIN emb eu ON c.u = eu.vec_id
+       |               JOIN emb ev ON c.v = ev.vec_id),
+       |maff AS (SELECT DISTINCT u FROM mcand),
+       |mg2 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM mg1 WHERE u NOT IN (SELECT u FROM maff)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM mg1 g JOIN maff t ON g.u = t.u
+       |      UNION ALL SELECT * FROM msc)))
+       |  WHERE trn <= $NnK),
+       |exactk AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${bp("q.e", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE ern <= $NnK),
+       |ih AS (
+       |  SELECT e.q_id, CAST(count(g.v) AS BIGINT) AS n_hits_inc
+       |  FROM exactk e LEFT JOIN mg2 g ON e.q_id = g.u AND e.c_id = g.v
+       |  GROUP BY e.q_id),
+       |fh AS (
+       |  SELECT e.q_id, CAST(count(g.v) AS BIGINT) AS n_hits_full
+       |  FROM exactk e LEFT JOIN g$NnRounds g
+       |    ON e.q_id = g.u AND e.c_id = g.v
+       |  GROUP BY e.q_id),
+       |mstat AS (SELECT CAST(count(*) AS BIGINT) AS mg_edges,
+       |            CAST(sum(bp) // count(*) AS BIGINT) AS mg_avg_bp
+       |          FROM mg2)
+       |SELECT i.q_id, i.n_hits_inc,
+       |  round(i.n_hits_inc / $NnK.0, 4) AS recall_inc,
+       |  f.n_hits_full, round(f.n_hits_full / $NnK.0, 4) AS recall_full,
+       |  mg_edges, mg_avg_bp
+       |FROM ih i JOIN fh f ON i.q_id = f.q_id CROSS JOIN mstat
+       |ORDER BY i.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_nn_incremental_insert" -> (q324NnIncrementalInsert _),
     "q322_nn_beam_serve" -> (q322NnBeamServe _),
     "q317_nndescent_knn" -> (q317NnDescentKnn _),
     "q302_sign_ann" -> (q302SignAnn _),
@@ -3048,6 +3317,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q324_nn_incremental_insert" -> q324Sql,
     "q322_nn_beam_serve" -> q322Sql,
     "q317_nndescent_knn" -> q317Sql,
     "q302_sign_ann" -> q302Sql,

@@ -734,6 +734,45 @@ class SimilaritySpec extends SparkSpec {
         s"probe $q visited $n > ${reach.size} reachable") }
   }
 
+  test("q324 incremental insert: base graph excludes the batch, every " +
+       "new vector serves K edges, untouched lists carry, quality is " +
+       "monotone under the re-cuts") {
+    val (bgDf, g2Df) = Similarity.nnMaintainedGraph(spark, sfDir)
+    val base = bgDf.as[(Long, Long, Long)].collect().toSet
+    val maint = g2Df.as[(Long, Long, Long)].collect().toSet
+    def isNew(v: Long) = v % 10 == 9
+    assert(base.forall(e => !isNew(e._1) && !isNew(e._2)),
+      "base graph must not touch the held-out batch")
+    assert(maint.forall(e => e._1 != e._2), "no self-edges")
+    assert(maint.groupBy(_._1).values.forall(_.size <= 4), "degree bound")
+    // K-coverage: every inserted vector has exactly K forward edges
+    val newIds = Tables.embeddings(spark, sfDir).select($"vec_id")
+      .as[Long].collect().filter(isNew).toSet
+    val newLists = maint.filter(e => isNew(e._1)).groupBy(_._1)
+    assert(newLists.keySet === newIds,
+      "every inserted vector must be servable from the maintained graph")
+    assert(newLists.values.forall(_.size === 4))
+    // carry discipline: a base vertex's maintained list may differ from
+    // its base list ONLY by adopting new vertices — base-targeted edges
+    // must come verbatim from the base graph (re-cuts never invent or
+    // rescore a base pair)
+    val baseByU = base.groupBy(_._1)
+    maint.filter(e => !isNew(e._1) && !isNew(e._2)).foreach { e =>
+      assert(baseByU.getOrElse(e._1, Set.empty).contains(e),
+        s"base-pair edge $e not in the base graph") }
+    // monotone quality: each re-cut selects top-K over a SUPERSET of
+    // the previous list, so per-vertex sorted bp can only improve
+    val maintByU = maint.groupBy(_._1)
+    baseByU.foreach { case (u, bl) =>
+      val ml = maintByU.getOrElse(u, Set.empty)
+      val bs = bl.toSeq.map(_._3).sorted.reverse
+      val ms = ml.toSeq.map(_._3).sorted.reverse
+      assert(ms.size >= bs.size, s"vertex $u lost edges")
+      bs.zip(ms).foreach { case (bbp, mbp) =>
+        assert(mbp >= bbp, s"vertex $u quality regressed: $bbp -> $mbp") }
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
