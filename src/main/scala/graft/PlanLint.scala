@@ -324,6 +324,10 @@ object PlanLint {
     // stat crossJoin — batch-side scoring is plain equi-joins
     "q324_nn_incremental_insert" -> Set("nested-loop", "cartesian",
                                         "global-window"),
+    // q325: q322's bounded builds + the probe × 8-centroid broadcast
+    // cell ranking and the 1-row stat crossJoins — never data-sized
+    "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian",
+                                     "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
     // q219: q207's probe shapes reused as a miner (1-row folded
@@ -621,6 +625,10 @@ object PlanLint {
     // checkpoints + tch/g1/aff/g2 + full retrain (3, memoized — priced
     // fresh) + census write (measured 19 fresh-session)
     "q324_nn_incremental_insert" -> 22,
+    // IVF-entry serve: trainer (6, memoized — priced fresh) + its own
+    // adjacency/entry/3-hop checkpoints (5) + the embedded fixed walk
+    // (q322's 5) + census write (measured ~17 fresh-session)
+    "q325_nn_ivf_entry_serve" -> 20,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,

@@ -734,6 +734,26 @@ class SimilaritySpec extends SparkSpec {
         s"probe $q visited $n > ${reach.size} reachable") }
   }
 
+  test("q325 IVF-seeded serving: panel totals are internally consistent " +
+       "and the 2-hop IVF walk spends no more visits than the 3-hop " +
+       "fixed walk in aggregate") {
+    val rows = Similarity.q325NnIvfEntryServe(spark, sfDir)
+      .select($"n_hits_ivf", $"n_visited_ivf", $"n_hits_fixed",
+        $"n_visited_fixed", $"tot_hits_ivf", $"tot_vis_ivf",
+        $"tot_hits_fixed", $"tot_vis_fixed")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 40, "40-probe panel")
+    // the pinned totals are exactly the per-probe sums
+    assert(rows.map(_._1).sum === rows.head._5)
+    assert(rows.map(_._2).sum === rows.head._6)
+    assert(rows.map(_._3).sum === rows.head._7)
+    assert(rows.map(_._4).sum === rows.head._8)
+    // hop budget: the shorter IVF walk must not out-visit the fixed one
+    assert(rows.head._6 <= rows.head._8,
+      s"ivf visits ${rows.head._6} > fixed ${rows.head._8}")
+    rows.foreach { r => assert(r._1 <= 4 && r._3 <= 4, "hits bounded by K") }
+  }
+
   test("q324 incremental insert: base graph excludes the batch, every " +
        "new vector serves K edges, untouched lists carry, quality is " +
        "monotone under the re-cuts") {
