@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
@@ -120,6 +120,36 @@ object Multimodal {
             i += 2
           }
           Some((n, ss, quiet))
+        }
+      }
+
+    /** SAMPLE-level WAV decode returning the raw PCM16 samples (the
+      * handle the spectral path needs) — same RIFF chunk walk as
+      * [[pcm16Stats]]. The array lives only inside the partition that
+      * decoded it; callers fold it to fixed-width features immediately.
+      */
+    private[graft] def pcm16Samples(p: Array[Byte]): Option[Array[Int]] =
+      if (p.length < 44 || ascii4(p, 0) != "RIFF" || ascii4(p, 8) != "WAVE")
+        None
+      else {
+        var off = 12
+        var dataOff, dataBytes = -1
+        while (off + 8 <= p.length && dataBytes < 0) {
+          val id = ascii4(p, off)
+          val size = le32(p, off + 4)
+          if (id == "data") { dataOff = off + 8; dataBytes = size }
+          off = if (size < 0) p.length else off + 8 + size + (size & 1)
+        }
+        if (dataBytes < 0) None
+        else {
+          val end = math.min(dataOff + dataBytes, p.length)
+          val out = new Array[Int]((end - dataOff) / 2)
+          var i = dataOff; var j = 0
+          while (i + 1 < end) {
+            out(j) = ((p(i) & 0xff) | (p(i + 1) << 8)).toShort.toInt
+            i += 2; j += 1
+          }
+          Some(out)
         }
       }
 
@@ -891,7 +921,297 @@ object Multimodal {
       |FROM hashes GROUP BY ahash
       |ORDER BY ahash""".stripMargin
 
+  // ─── q326: audio near-dup dedup by spectral-peak constellation ───────
+  // Completes the multimodal dedup triad (text: many tiers; images:
+  // q220/q223/q320): AUDIO near-dups keyed on what survives re-encoding
+  // and gain changes — the spectrum's PEAKS, not the bytes. The shape is
+  // Shazam's (Wang, ISMIR 2003): frame the clip, find each frame's
+  // dominant frequency, and hash PAIRS of peaks (f1, f2, Δt) so a match
+  // is a multiset of landmark tokens, not a fragile whole-clip digest.
+  // Two token families split the robustness space:
+  //   - constellation tokens (pa, pb, gap): amplitude scaling preserves
+  //     every peak (argmax is scale-invariant) and a time shift
+  //     preserves all but the wrap-boundary pairs → matched by a
+  //     min-count token join with a ≥8-of-13 threshold;
+  //   - the Δ-sequence fingerprint (consecutive peak DELTAS, exact
+  //     equi-join): a uniform pitch (bin) shift moves every peak but no
+  //     delta → pitch-shifted copies collapse into one fingerprint
+  //     group. Division of labor is pinned by the census: amp copies
+  //     match under BOTH, time-rotated under constellation only,
+  //     pitch-shifted under fingerprint only.
+  //
+  // The clips are TONAL by construction (per-frame sinusoid, bin mixed
+  // from (src, frame)) — planted copies halve the samples (amp), shift
+  // every tone bin (+1, pitch) or rotate the frame order (time). Each
+  // clip round-trips a REAL WAV container (independent encode/decode
+  // paths), and the spectral pass is an integer fixed-point DFT: the
+  // sine/cosine tables are literal Int arrays BAKED INTO the oracle SQL
+  // from the same Scala source, so C/S sums, powers and argmax ties are
+  // integer-exact cross-engine. (The double radix-2 FFT ships alongside
+  // as the production O(N log N) path — MultimodalSpec pins FFT ≡ DFT
+  // peak-for-peak; the DFT is its exactness twin for hashing, N=32.)
+  //
+  // At 100 TB: payloads never shuffle (synth → encode → decode → 6
+  // peaks inside one partition iterator); matching joins fixed-width
+  // tokens. The toy 15-bin spectrum gives ~10² distinct tokens — a
+  // production 1024-bin FFT gives ~10⁶, which is what makes the token
+  // equi-join banded (q45's discipline) rather than hot.
+  private val AcFrames = 8
+  private val AcN = 32
+  private val AcBins = 15
+  private val AcTones = 12
+  private val AcThresh = 8
+  private[graft] val ToneTab: Array[Int] =
+    Array.tabulate(AcN)(i => math.round(math.sin(2 * math.Pi * i / AcN) * 12000).toInt)
+  private[graft] val CosTab: Array[Int] =
+    Array.tabulate(AcN)(i => math.round(math.cos(2 * math.Pi * i / AcN) * 128).toInt)
+  private[graft] val SinTab: Array[Int] =
+    Array.tabulate(AcN)(i => math.round(math.sin(2 * math.Pi * i / AcN) * 128).toInt)
+
+  final case class AudioPeaks(clip_id: Long, peaks: Seq[Int])
+
+  /** Per-(clip source, frame) tone bin via md5 (the engine's standard
+    * deterministic-hash derivation — an arithmetic mix mod 12 turned
+    * out to be badly non-uniform across sources, flooding the
+    * fingerprint join with accidental whole-sequence collisions). */
+  private def toneBin(src: Long, f: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"tone:$src:$f".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (1L + java.lang.Long.parseLong(hex, 16) % AcTones).toInt
+  }
+
+  /** Integer fixed-point DFT peak per frame: argmax over bins 1..AcBins
+    * of C² + S² (C = Σ s·cosq, S = Σ s·sinq), ties to the lower bin —
+    * every quantity a Long, so cross-engine exact. */
+  private[graft] def dftPeaks(samples: Array[Int]): Array[Int] =
+    Array.tabulate(AcFrames) { f =>
+      var bestK = 1
+      var bestP = -1L
+      var k = 1
+      while (k <= AcBins) {
+        var c = 0L; var sn = 0L; var t = 0
+        while (t < AcN) {
+          val s = samples(f * AcN + t).toLong
+          val idx = (k * t) % AcN
+          c += s * CosTab(idx); sn += s * SinTab(idx)
+          t += 1
+        }
+        val p = c * c + sn * sn
+        if (p > bestP) { bestP = p; bestK = k }
+        k += 1
+      }
+      bestK
+    }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT — the O(N log N) path
+    * a production spectral pipeline runs (the integer DFT above is its
+    * exactness twin for cross-engine hashing). Length must be a power
+    * of two. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, "fft length must be a power of two")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var p = 0
+        while (p < len / 2) {
+          val ur = re(blk + p); val ui = im(blk + p)
+          val vr = re(blk + p + len / 2) * cr - im(blk + p + len / 2) * ci
+          val vi = re(blk + p + len / 2) * ci + im(blk + p + len / 2) * cr
+          re(blk + p) = ur + vr; im(blk + p) = ui + vi
+          re(blk + p + len / 2) = ur - vr; im(blk + p + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          p += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Synthesize each clip spec's tonal samples, round-trip a REAL WAV
+    * container (independent encode/decode), and emit the per-frame DFT
+    * peaks — payload bytes never leave the partition iterator. Spec:
+    * (clip_id, src, kshift, frot, halve). */
+  private[graft] def clipPeaks(
+      specs: Dataset[(Long, Long, Int, Int, Int)]): Dataset[AudioPeaks] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions(_.map { case (clipId, src, kshift, frot, halve) =>
+      val samples = new Array[Int](AcFrames * AcN)
+      var f = 0
+      while (f < AcFrames) {
+        val k = toneBin(src, (f + frot) % AcFrames) + kshift
+        var t = 0
+        while (t < AcN) {
+          val s0 = ToneTab((k * t) % AcN)
+          samples(f * AcN + t) = if (halve == 1) s0 / 2 else s0
+          t += 1
+        }
+        f += 1
+      }
+      val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => pcm.putShort(s.toShort))
+      val wav = MediaEncode.wav(1, 8000, pcm.array())
+      val decoded = MediaCodec.pcm16Samples(wav).get
+      AudioPeaks(clipId, dftPeaks(decoded).toSeq)
+    })
+  }
+
+  def q326AudioConstellation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m0 = documents(s, d).select(col("doc_id").as("src"))
+    def sp(idOff: Long, only: Column, kshift: Int, frot: Int, halve: Int) =
+      m0.where(only).select((col("src") + idOff).as("clip_id"), col("src"),
+        lit(kshift).as("kshift"), lit(frot).as("frot"),
+        lit(halve).as("halve"))
+    val specs = sp(0L, lit(true), 0, 0, 0)
+      .unionAll(sp(100000L, pmod(col("src"), lit(3)) === 0, 0, 0, 1))
+      .unionAll(sp(200000L, pmod(col("src"), lit(4)) === 1, 1, 0, 0))
+      .unionAll(sp(300000L, pmod(col("src"), lit(5)) === 2, 0, 2, 0))
+      .as[(Long, Long, Int, Int, Int)]
+    // materialized: peaks feed both token families
+    val pk = clipPeaks(specs).toDF().localCheckpoint()
+    val F = AcFrames
+    val tok = pk.select(col("clip_id"), explode(expr(
+        s"concat(transform(sequence(1, ${F - 1}), i -> " +
+          "struct(element_at(peaks, i) AS pa, " +
+          "element_at(peaks, cast(i + 1 AS int)) AS pb, 1 AS gap)), " +
+        s"transform(sequence(1, ${F - 2}), i -> " +
+          "struct(element_at(peaks, i) AS pa, " +
+          "element_at(peaks, cast(i + 2 AS int)) AS pb, 2 AS gap)))"))
+        .as("tk"))
+      .select(col("clip_id"), col("tk.pa"), col("tk.pb"), col("tk.gap"))
+    val tokCnt = tok.groupBy("clip_id", "pa", "pb", "gap")
+      .agg(count(lit(1)).as("n"))
+    val shz = tokCnt.as("a").join(tokCnt.as("b"),
+        col("a.pa") === col("b.pa") && col("a.pb") === col("b.pb") &&
+        col("a.gap") === col("b.gap") &&
+        col("a.clip_id") < col("b.clip_id"))
+      .groupBy(col("a.clip_id").as("a"), col("b.clip_id").as("b"))
+      .agg(sum(least(col("a.n"), col("b.n"))).as("score"))
+      .where(col("score") >= AcThresh)
+      .select("a", "b")
+    val fpDf = pk.select(col("clip_id"), expr(
+      s"concat_ws(',', transform(sequence(1, ${F - 1}), i -> " +
+        "cast(element_at(peaks, cast(i + 1 AS int)) - " +
+        "element_at(peaks, i) AS string)))").as("fpv"))
+    val fpp = fpDf.as("x").join(fpDf.as("y"),
+        col("x.fpv") === col("y.fpv") &&
+        col("x.clip_id") < col("y.clip_id"))
+      .select(col("x.clip_id").as("a"), col("y.clip_id").as("b"))
+    val allp = shz.select(lit("shazam").as("method"), col("a"), col("b"))
+      .unionAll(fpp.select(lit("fingerprint").as("method"), col("a"),
+        col("b")))
+    allp.groupBy(col("method"),
+        when(col("a") % 100000 === col("b") % 100000, 1L).otherwise(0L)
+          .as("same_src"),
+        expr("a div 100000").as("ta"), expr("b div 100000").as("tb"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("method"), col("same_src"), col("ta"), col("tb"))
+  }
+
+  private def acTblSql: String = (0 until AcN).map(i =>
+    s"($i, ${ToneTab(i)}, ${CosTab(i)}, ${SinTab(i)})").mkString(", ")
+
+  val q326Sql: String =
+    s"""WITH tbl AS (SELECT * FROM (VALUES $acTblSql) v(i, sa, cq, sq)),
+       |m0 AS (SELECT doc_id AS src FROM documents),
+       |clips AS (
+       |  SELECT src AS clip_id, src, 0 AS kshift, 0 AS frot, 0 AS halve
+       |  FROM m0
+       |  UNION ALL SELECT src + 100000, src, 0, 0, 1 FROM m0
+       |    WHERE src % 3 = 0
+       |  UNION ALL SELECT src + 200000, src, 1, 0, 0 FROM m0
+       |    WHERE src % 4 = 1
+       |  UNION ALL SELECT src + 300000, src, 0, 2, 0 FROM m0
+       |    WHERE src % 5 = 2),
+       |samp AS MATERIALIZED (
+       |  SELECT c.clip_id, ff.f, tt.t,
+       |    CASE WHEN c.halve = 1 THEN tb.sa // 2 ELSE tb.sa END AS s
+       |  FROM clips c
+       |  CROSS JOIN unnest(range(0, $AcFrames)) ff(f)
+       |  CROSS JOIN unnest(range(0, $AcN)) tt(t)
+       |  JOIN tbl tb ON tb.i =
+       |    ((1 + CAST(('0x' || substr(md5('tone:'
+       |        || CAST(c.src AS VARCHAR) || ':'
+       |        || CAST((ff.f + c.frot) % $AcFrames AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $AcTones + c.kshift) * tt.t) % $AcN),
+       |dft AS MATERIALIZED (
+       |  SELECT s.clip_id, s.f, kk.k,
+       |    sum(s.s * tw.cq) AS c, sum(s.s * tw.sq) AS sn
+       |  FROM samp s
+       |  CROSS JOIN unnest(range(1, ${AcBins + 1})) kk(k)
+       |  JOIN tbl tw ON tw.i = (kk.k * s.t) % $AcN
+       |  GROUP BY s.clip_id, s.f, kk.k),
+       |peaks AS (
+       |  SELECT clip_id, f, k AS pk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY clip_id, f
+       |      ORDER BY c*c + sn*sn DESC, k) AS rn FROM dft)
+       |  WHERE rn = 1),
+       |pseq AS MATERIALIZED (
+       |  SELECT clip_id, list(pk ORDER BY f) AS pks
+       |  FROM peaks GROUP BY clip_id),
+       |tok AS (
+       |  SELECT clip_id, pks[i] AS pa, pks[i + 1] AS pb, 1 AS gap
+       |  FROM pseq, unnest(range(1, $AcFrames)) u(i)
+       |  UNION ALL
+       |  SELECT clip_id, pks[i], pks[i + 2], 2
+       |  FROM pseq, unnest(range(1, ${AcFrames - 1})) u(i)),
+       |tokcnt AS (
+       |  SELECT clip_id, pa, pb, gap, CAST(count(*) AS BIGINT) AS n
+       |  FROM tok GROUP BY clip_id, pa, pb, gap),
+       |shz AS (
+       |  SELECT a.clip_id AS a, b.clip_id AS b
+       |  FROM tokcnt a JOIN tokcnt b
+       |    ON a.pa = b.pa AND a.pb = b.pb AND a.gap = b.gap
+       |    AND a.clip_id < b.clip_id
+       |  GROUP BY 1, 2
+       |  HAVING sum(least(a.n, b.n)) >= $AcThresh),
+       |fpv AS (
+       |  SELECT clip_id, string_agg(CAST(d AS VARCHAR), ',' ORDER BY i)
+       |    AS fpv
+       |  FROM (SELECT clip_id, i, pks[i + 1] - pks[i] AS d
+       |        FROM pseq, unnest(range(1, $AcFrames)) u(i))
+       |  GROUP BY clip_id),
+       |fpp AS (
+       |  SELECT x.clip_id AS a, y.clip_id AS b
+       |  FROM fpv x JOIN fpv y
+       |    ON x.fpv = y.fpv AND x.clip_id < y.clip_id),
+       |allp AS (
+       |  SELECT 'shazam' AS method, a, b FROM shz
+       |  UNION ALL
+       |  SELECT 'fingerprint', a, b FROM fpp)
+       |SELECT method,
+       |  CAST(CASE WHEN a % 100000 = b % 100000 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS same_src,
+       |  CAST(a // 100000 AS BIGINT) AS ta,
+       |  CAST(b // 100000 AS BIGINT) AS tb,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM allp
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY method, same_src, ta, tb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_audio_constellation" -> (q326AudioConstellation _),
     "q320_png_phash_dedup" -> (q320PngPhashDedup _),
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
     "q92_frame_sample"    -> (q92FrameSample _),
@@ -902,6 +1222,7 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q326_audio_constellation" -> q326Sql,
     "q320_png_phash_dedup" -> q320Sql,
     "q58_multimodal_meta" -> q58Sql,
     "q92_frame_sample"    -> q92Sql,

@@ -264,4 +264,72 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodePngGray("notapng".getBytes) === None)
     assert(MediaCodec.decodePngMeta(Array[Byte](1, 2, 3)) === None)
   }
+
+  test("pcm16Samples round-trips a synthesized WAV sample-for-sample") {
+    val samples = Array(0, 12000, -12000, 7, -7, 32767, -32768, 1)
+    val pcm = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => pcm.putShort(s.toShort))
+    val wav = Multimodal.MediaEncode.wav(1, 8000, pcm.array())
+    assert(Multimodal.MediaCodec.pcm16Samples(wav).get.toSeq === samples.toSeq)
+  }
+
+  test("integer DFT peaks: a pure tone at bin k peaks at bin k (golden), " +
+       "and the double radix-2 FFT agrees peak-for-peak") {
+    // golden: frame f carries tone bin f+1 (1..8); peaks must read back
+    val n = 32
+    val samples = Array.tabulate(8 * n) { i =>
+      val f = i / n; val t = i % n
+      Multimodal.ToneTab(((f + 1) * t) % n)
+    }
+    assert(Multimodal.dftPeaks(samples).toSeq === (1 to 8),
+      "pure-tone peaks must land on their bins")
+    // FFT agreement: per frame, argmax of |FFT|^2 over bins 1..15
+    // equals the integer DFT peak
+    (0 until 8).foreach { f =>
+      val re = Array.tabulate(n)(t => samples(f * n + t).toDouble)
+      val im = new Array[Double](n)
+      Multimodal.fft(re, im)
+      val powers = (1 to 15).map(k => re(k) * re(k) + im(k) * im(k))
+      val fftPeak = 1 + powers.indexOf(powers.max)
+      assert(fftPeak === f + 1, s"frame $f: fft peak $fftPeak")
+    }
+    // golden energy pin: Parseval for a pure bin-1 tone — the FFT bin
+    // magnitude equals N/2 * amplitude within float tolerance
+    val re = Array.tabulate(n)(t => Multimodal.ToneTab(t % n).toDouble)
+    val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    val mag = math.sqrt(re(1) * re(1) + im(1) * im(1))
+    assert(math.abs(mag - n / 2.0 * 12000.0) < n / 2.0 * 12000.0 * 1e-3,
+      s"bin-1 magnitude $mag")
+  }
+
+  test("constellation robustness: halved samples keep every peak; a " +
+       "one-bin tone shift keeps every delta; rotation keeps interior " +
+       "tokens") {
+    val n = 32
+    def clip(bins: Seq[Int], halve: Boolean): Array[Int] =
+      Array.tabulate(bins.length * n) { i =>
+        val s = Multimodal.ToneTab((bins(i / n) * (i % n)) % n)
+        if (halve) s / 2 else s
+      }
+    val bins = Seq(3, 7, 1, 12, 5, 9, 2, 11)
+    val orig = Multimodal.dftPeaks(clip(bins, halve = false)).toSeq
+    val amp = Multimodal.dftPeaks(clip(bins, halve = true)).toSeq
+    assert(orig === bins && amp === bins, "amplitude must not move peaks")
+    val pitch = Multimodal.dftPeaks(
+      clip(bins.map(_ + 1), halve = false)).toSeq
+    assert(pitch === bins.map(_ + 1))
+    assert(pitch.sliding(2).map(p => p(1) - p(0)).toSeq ===
+      orig.sliding(2).map(p => p(1) - p(0)).toSeq,
+      "pitch shift must preserve the delta fingerprint")
+    val rot = Multimodal.dftPeaks(
+      clip(bins.drop(2) ++ bins.take(2), halve = false)).toSeq
+    def toks(p: Seq[Int]) =
+      (p.sliding(2).map(w => (w(0), w(1), 1)) ++
+       p.sliding(3).map(w => (w(0), w(2), 2))).toSeq
+    val shared = toks(orig).intersect(toks(rot))
+    assert(shared.size >= 8,
+      s"rotation must keep >= 8 of 13 tokens, got ${shared.size}")
+  }
 }
