@@ -248,6 +248,10 @@ object PlanLint {
     // q38: the surrogate-key window over a DIMENSION (≤4M keys, documented
     // in ops/Merge.scala) + a 1-row max-id frame cross
     "q38_surrogate_keys" -> Set("global-window", "nested-loop", "cartesian"),
+    // q327: vocab cut/rank windows are global over the vocab-CANDIDATE
+    // dimension (bounded by corpus char diversity, never the corpus);
+    // the 1-row totals frame crossJoins back (scalar-broadcast idiom)
+    "q327_unigram_lm" -> Set("global-window", "nested-loop", "cartesian"),
     // q53: sliding windows DUPLICATE rows by construction (each event in
     // size/slide windows) — that Expand is the operator's semantics
     "q53_sliding_window" -> Set("expand"),
@@ -657,6 +661,9 @@ object PlanLint {
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
     "q147_bpe_learn" -> 28,
+    // unigram EM: dict + seed checkpoints + 3 vocab collects + embedded
+    // 8-round BPE twin (q147's 16) + final encode checkpoint + census
+    "q327_unigram_lm" -> 32,
     // learned-fertility census: the full q147 trainer + 1 census pass
     "q224_learned_fertility" -> 30,
     // vocab curve: the full q147 trainer + dict checkpoint + 4 curve

@@ -16,7 +16,7 @@ object SparkEntry {
     ops.Skew.queries ++ ops.Graph.queries ++ ops.Corpus.queries ++
     ops.Warehouse.queries ++ ops.Insights.queries ++ sources.JdbcSink.queries ++
     ops.SqlText.queries ++ ops.Observe.queries ++
-    sources.SnapshotStore.queries ++ ops.Bpe.queries
+    sources.SnapshotStore.queries ++ ops.Bpe.queries ++ ops.Unigram.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +29,5 @@ object SparkEntry {
     ops.Skew.oracleSql ++ ops.Graph.oracleSql ++ ops.Corpus.oracleSql ++
     ops.Warehouse.oracleSql ++ ops.Insights.oracleSql ++ sources.JdbcSink.oracleSql ++
     ops.SqlText.oracleSql ++ ops.Observe.oracleSql ++
-    sources.SnapshotStore.oracleSql ++ ops.Bpe.oracleSql
+    sources.SnapshotStore.oracleSql ++ ops.Bpe.oracleSql ++ ops.Unigram.oracleSql
 }

@@ -42,17 +42,17 @@ object Bpe {
   /** Same tokenizer family as TextSim (ASCII-only by construction, so
     * char-level symbol splitting is multi-byte-safe).
     */
-  private def tokens(c: Column): Column =
+  private[graft] def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
-  private val tokensSql =
+  private[graft] val tokensSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   /** Word → initial symbol array (single chars). The empty-string filter
     * makes the result independent of Java split's zero-width-match edge
     * behavior.
     */
-  private def charSyms(word: Column): Column =
+  private[graft] def charSyms(word: Column): Column =
     filter(split(word, ""), x => x =!= "")
 
   /** One merge pass: left-to-right, non-overlapping. Fold the symbol
@@ -61,7 +61,7 @@ object Bpe {
     * re-trigger within its own pass (that would need l+r == l), which is
     * what makes this equal to the oracle's single `replace` scan.
     */
-  private def mergePass(syms: Column, l: String, r: String): Column =
+  private[graft] def mergePass(syms: Column, l: String, r: String): Column =
     aggregate(
       syms,
       array().cast("array<string>"),
