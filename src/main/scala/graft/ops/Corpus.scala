@@ -4030,6 +4030,7 @@ object Corpus {
   private val FunnelK = 8
   private val FunnelB = 4
 
+
   def q319PretrainFunnel(s: SparkSession, d: String): DataFrame =
     funnelWithObservation(s, d)._1
 
@@ -4059,6 +4060,14 @@ object Corpus {
                 concat(col("text"), lit(" zz xtra7 tail")).as("text")))
     val tk = corpus.withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")).cast("long"))
+    // SLIM census spine, checkpointed once: (doc_id, lang, n_toks) is
+    // fixed-width — pinning it is the stage-boundary discipline, NOT
+    // pinning text (tk with text/toks stays re-derived per consumer,
+    // the documented 100 TB trade). Every census row and every stage
+    // that needs only ids/counts reads this frame instead of
+    // re-tokenizing the corpus (was ~8 re-derivations per run).
+    val tkSlim = tk.select(col("doc_id"), col("lang"), col("n_toks"))
+      .localCheckpoint()
 
     // stage 1: gopher rules (q230's battery, un-planted)
     val gsig = tk.select(col("doc_id"), col("n_toks").as("n_words"),
@@ -4121,8 +4130,11 @@ object Corpus {
             Seq("doc_b"))
       .where(round(jac, 4) >= 0.6)
       .select(col("doc_a"), col("doc_b"))
+    // label frame checkpointed once: p3 AND the census aux both read it
+    // (re-deriving it re-ran the CC fixpoint's tail for nClusters)
     val comp = Graph.connectedComponents(edges, "doc_a", "doc_b")
-    val p3 = tk.join(p2, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val p3 = p2
       .join(comp, col("doc_id") === col("node"), "left")
       .where(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .select("doc_id").localCheckpoint()
@@ -4152,15 +4164,16 @@ object Corpus {
     val p5 = micro.crossJoin(broadcast(cut))
       .where(col("micro") > col("c")).select("doc_id").localCheckpoint()
 
-    // stage 6: temperature mix (α = 0.5, T = half the survivors)
-    val tc = tk.join(p5, Seq("doc_id"), "left_semi")
+    // stage 6: temperature mix (α = 0.5, T = half the survivors) —
+    // needs only ids + lang, so it reads the slim spine
+    val tc = tkSlim.join(p5, Seq("doc_id"), "left_semi")
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val tt = broadcast(tc.agg(sum(pow(col("n"), 0.5)).as("sw"),
                               sum(col("n")).as("nt")))
     val tq = tc.crossJoin(tt).select(col("lang"), col("n"),
       least(col("n"), floor(expr("nt DIV 2") * pow(col("n"), 0.5)
         / col("sw") + 0.5).cast("long")).as("quota"))
-    val hashed = tk.join(p5, Seq("doc_id"), "left_semi")
+    val hashed = tkSlim.join(p5, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"))
       .withColumn("h", md5(concat(lit("tmix:"), col("doc_id")
         .cast("string"))))
@@ -4209,14 +4222,14 @@ object Corpus {
         .crossJoin(broadcast(aux))
         .select(lit(name).as("stage"), col("n_docs"), col("n_toks"),
                 col("aux").cast("long").as("aux"))
-    val tkAll = tk.select(col("doc_id"), col("n_toks").as("t"))
+    val tkAll = tkSlim.select(col("doc_id"), col("n_toks").as("t"))
     def through(p: DataFrame) = tkAll.join(p, Seq("doc_id"), "left_semi")
     val postAll = spost.select(col("doc_id"), col("post").as("t"))
     val s0 = stageRow(0, "0_ingest", tkAll,
-      tk.agg(sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
+      tkSlim.agg(sum(when(col("doc_id") >= 1000000L, 1L).otherwise(0L))
         .as("aux")))
     val s1 = stageRow(1, "1_gopher", through(p1),
-      tk.crossJoin(broadcast(p1.agg(count(lit(1)).as("pn"))))
+      tkSlim.crossJoin(broadcast(p1.agg(count(lit(1)).as("pn"))))
         .agg((count(lit(1)) - first(col("pn"))).as("aux")))
     val s2 = stageRow(2, "2_exact", through(p2),
       ex.agg(sum(when(col("grp_n") >= 2, 1L).otherwise(0L)).as("aux")))
