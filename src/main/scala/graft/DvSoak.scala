@@ -1,0 +1,127 @@
+package graft
+
+import graft.sources.SnapshotStore
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operator-only scale soak for deletion-vector DELETE (q318's claim):
+  * "DV deletes are O(touched files), independent of table size."
+  *
+  * The r10 soak ran q318 END TO END, so its decade-2 exponent (0.895)
+  * priced the harness's per-run table PUBLISH — files_total grows
+  * linearly with SF (one hive bucket per 100 ids), and staging those
+  * files dominates. This main amortizes the publish behind a
+  * `_DVSOAK_OK` marker (the `_SOAK_OK` pattern): each SF's bucketed
+  * documents table is published ONCE, and the timed section is exactly
+  * the operator —
+  *   reset table → v1 (untimed: drop manifests/dirs > v1, plain fs ops)
+  *   TIMED: dvDelete wave 1 (q318's 12 ids) + dvDelete wave 2 (3 ids,
+  *   re-touching bucket 0 — the cumulative-union path) + the b<=5
+  *   census read THROUGH the DVs (partition-pruned, anti-join applied)
+  * What still grows with SF inside the timed section: the manifest
+  * parse (one line per file, linear but tiny), the stats-pruned
+  * candidate discovery (driver-side min/max filter over file lines),
+  * and countOf's metadata reads. What must NOT grow: the data scanned
+  * (stats pin the touched ids to buckets 0–4 at every SF).
+  *
+  * Usage: `runMain graft.DvSoak <sfDirCsv> <workDir>` — e.g.
+  * `/root/testdata/sf0.1,/tmp/soak-sf1,/tmp/soak-sf10 /tmp/dvsoak`.
+  * Emits one JSON line with per-SF seconds and per-decade exponents;
+  * writes the SOAK sidecar `SOAK_<key>.json` for the curator to merge.
+  */
+object DvSoak {
+
+  private val Dv1Ids: Seq[Long] = (0 to 11).map(_ * 37L)
+  private val Dv2Ids: Seq[Long] = Seq(1L, 2L, 38L)
+
+  /** Publish the q318-shaped table once per SF dir (marker-gated). */
+  private def stage(s: SparkSession, sfDir: String, table: String): Unit = {
+    val marker = java.nio.file.Paths.get(table, "_DVSOAK_OK")
+    if (java.nio.file.Files.exists(marker)) {
+      System.err.println(s"[dvsoak] reusing $table"); return
+    }
+    val tableP = new Path(table)
+    tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(tableP, true)
+    val docs = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100))
+      .repartition(8, col("b"))
+    System.err.println(s"[dvsoak] staging $sfDir -> $table")
+    SnapshotStore.publish(docs, table, partitionBy = Seq("b"))
+    java.nio.file.Files.createFile(marker)
+  }
+
+  /** Drop every version above v1 — manifests first (atomic for readers),
+    * then the data/DV dirs. Plain fs ops, runs UNTIMED between passes.
+    */
+  private def resetToV1(s: SparkSession, table: String): Unit = {
+    val tableP = new Path(table)
+    val f = tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    SnapshotStore.versions(s, table).filter(_ > 1).foreach { v =>
+      f.delete(new Path(new Path(table, "_snapshots"), f"v$v%05d.manifest"),
+        false)
+      f.delete(new Path(table, f"snap-v$v%05d"), true)
+    }
+  }
+
+  /** The timed section: both delete waves + the census read through
+    * the cumulative DVs (q318's read shape, counters omitted).
+    */
+  private def operator(s: SparkSession, table: String): Unit = {
+    SnapshotStore.dvDelete(s, table, "doc_id", Dv1Ids)
+    SnapshotStore.dvDelete(s, table, "doc_id", Dv2Ids)
+    SnapshotStore.read(s, table)
+      .where(col("b") <= 5)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DvSoak <sfDirCsv> <workDir>")
+    val sfDirs = args(0).split(",").toSeq
+    val workDir = args(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SOAK_PASSES", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val secs = sfDirs.map { sfDir =>
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val table = s"$workDir/dv-$key"
+      stage(spark, sfDir, table)
+      resetToV1(spark, table); operator(spark, table) // warm-up, untimed
+      val t = (1 to passes).map { _ =>
+        resetToV1(spark, table)
+        val t0 = System.nanoTime()
+        operator(spark, table)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      System.err.println(f"[dvsoak] $sfDir: $t%.3f s")
+      sfDir -> t
+    }
+    def fmt(v: Double) = f"$v%.3f"
+    val decades = secs.sliding(2).collect { case Seq((d0, t0), (d1, t1)) =>
+      s""""${d0.split('/').last}_to_${d1.split('/').last}":""" +
+        s"""{"base":${fmt(t0)},"soak":${fmt(t1)},"ratio":${fmt(t1 / t0)},""" +
+        s""""exponent":${fmt(math.log(t1 / t0) / math.log(10.0))}}"""
+    }.mkString(",")
+    val runs = secs.map { case (d, t) =>
+      s""""${d.split('/').last}":${fmt(t)}""" }.mkString(",")
+    val out = s"""{"metric":"dv_delete_operator_soak","passes":$passes,""" +
+      s""""seconds":{$runs},"decades":{$decades}}"""
+    val runKey = sys.env.getOrElse("SPARK_GRAFT_SOAK_KEY", "dv_operator")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"SOAK_$runKey.json"), out)
+    println(out)
+    spark.stop()
+  }
+}

@@ -696,6 +696,14 @@ object PlanLint {
     // MoR merge: publish (stage+stats) + dup probe + DV checkpoint +
     // touched collect + DV count + append stage/stats + DV write + census
     "q323_merge_on_read" -> 16,
+    // streaming-CDC batch twin: publish (stage+stats) + 2 applyCdc waves
+    // (op probe + dup probe + DV checkpoint + touched collect + DV count
+    // + isEmpty probe + append stage/stats + DV write each) + a no-op
+    // replay (zero actions) + census write
+    "q328_streaming_cdc_ingest" -> 26,
+    // change-feed twin: q328's publish + 2 applyCdc waves, then 2
+    // feed steps (manifest parses are fs reads, not actions) + census
+    "q329_change_feed" -> 28,
     // capstone funnel: CC fixpoint + LR epochs + 7 stage-boundary
     // checkpoints + plant-offset guard max() + census write
     // (measured 22 fresh-session)

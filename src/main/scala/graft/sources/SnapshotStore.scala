@@ -1322,6 +1322,520 @@ object SnapshotStore {
     out.get
   }
 
+  /** Outcome of one CDC micro-batch apply. `committed=false` means the
+    * version already existed — a replayed micro-batch (the foreachBatch
+    * at-least-once window) observed as a no-op.
+    */
+  case class CdcApplyStats(version: Int, committed: Boolean,
+                           filesWithDv: Int, filesAppended: Int,
+                           rowsSuppressed: Long, rowsAppended: Long)
+
+  /** Apply ONE CDC micro-batch at a FIXED version — the exactly-once
+    * building block for STREAMING INGESTION into the store. The batch
+    * carries an op column (`I`nsert / `U`pdate / `D`elete, post-image
+    * rows for I/U) and applies merge-on-read: live pre-images of every
+    * batch key are suppressed by a deletion vector (the [[dvDelete]]
+    * machinery — zero data files rewrite) and the I/U post-images append
+    * as fresh data files under the version's dir, following the carried
+    * layout's hive partitioning. Cost is O(matched positions + batch
+    * bytes) — a 3-row micro-batch against a 100 TB table touches the
+    * key-column chunks of candidate files plus 3 rows of writes, never
+    * a data-file rewrite (the q318/q323 contract, now per micro-batch).
+    *
+    * Exactly-once: the version is PINNED by the caller (batchId-derived
+    * — see [[streamCdcSink]]); if it is already committed the call
+    * returns immediately with `committed=false` and writes nothing, so
+    * Structured Streaming's replay window upgrades to a no-op. Versions
+    * must chain densely (`version == latest+1`) — a gap means the feed
+    * and the table disagree about history, and the CDC semantics (each
+    * batch applies to its predecessor) would silently skew. Like
+    * [[mergeUpsert]]/[[mergeMoR]], one writer per table is assumed —
+    * for a stream that is the checkpoint's own serialization guarantee.
+    */
+  def applyCdcVersion(spark: SparkSession, table: String, batch: DataFrame,
+                      keyCols: Seq[String], opCol: String,
+                      version: Int): CdcApplyStats = {
+    require(keyCols.nonEmpty, "applyCdcVersion needs at least one key column")
+    val committed = versions(spark, table)
+    require(committed.nonEmpty, s"no committed snapshots under $table")
+    if (committed.contains(version))
+      return CdcApplyStats(version, committed = false, 0, 0, 0L, 0L)
+    val v = committed.last
+    require(v == version - 1,
+      s"CDC version gap: table at v$v, batch pinned to v$version")
+    val lines = manifestLines(spark, table, v)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(lines(2).stripPrefix("schema="))
+    val batchLower = batch.columns.map(_.toLowerCase)
+    require(batchLower.contains(opCol.toLowerCase),
+      s"batch is missing op column $opCol")
+    require(schema.fieldNames.forall(n => batchLower.contains(n.toLowerCase)),
+      s"batch is missing table columns ${schema.fieldNames
+        .filterNot(n => batchLower.contains(n.toLowerCase)).mkString(",")}")
+    val ops = upper(col(opCol))
+    val badOps = batch.where(!ops.isin("I", "U", "D")).limit(1).count()
+    require(badOps == 0, s"op column $opCol has values outside I/U/D")
+    val dup = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
+    require(dup == 0,
+      "CDC batch has duplicate keys — per-batch apply order is ambiguous")
+    val conformed = batch.select(schema.fields.toIndexedSeq
+      .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)) :+
+      ops.as("_op"): _*)
+    val upserts = conformed.where(col("_op").isin("I", "U")).drop("_op")
+    val fileLines = lines.drop(3).filter(_.nonEmpty)
+    val allFiles = fileLines.map(_.split('\t')(0))
+    val refs = dvRefsOf(fileLines)
+    val dataDir = new Path(new Path(table), f"snap-v$version%05d")
+    val dvDir = new Path(dataDir,
+      "_dv-" + java.util.UUID.randomUUID.toString.take(8)).toString
+    // ALL batch keys suppress their live pre-image (an I on a key that
+    // already exists therefore behaves as an upsert — idempotent feeds)
+    val (touchedKeys, rowsSuppressed, dvFrame) =
+      if (allFiles.isEmpty) (Set.empty[String], 0L, None)
+      else {
+        val newDv = loadFilesWithPos(spark, allFiles, lines)
+          .select(keyCols.map(col) :+ col("_k") :+ col("_pos"): _*)
+          .join(conformed.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .select(col("_k").as("k"), col("_pos").as("pos"))
+          .localCheckpoint()
+        val touched = newDv.select(col("k")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (touched.isEmpty) (touched, 0L, None)
+        else {
+          val oldDirs = touched.flatMap(refs.get).toSeq.distinct.sorted
+          val carried =
+            if (oldDirs.isEmpty) None
+            else Some(oldDirs.map(dir => spark.read.parquet(dir))
+              .reduce(_.unionAll(_))
+              .where(col("k").isin(touched.toSeq: _*)))
+          val full = carried.fold(newDv)(newDv.unionAll).distinct()
+            .localCheckpoint()
+          (touched, newDv.count(), Some(full))
+        }
+      }
+    // delete-only batches stage no data files; the dir still hosts the DV
+    val hasUpserts = !upserts.isEmpty
+    val (stagedCount, stagedLines) =
+      if (hasUpserts)
+        stageFiles(upserts, dataDir, partitionBy = partitionColsOf(fileLines))
+      else { fs(spark, dataDir).mkdirs(dataDir); (0L, Seq.empty[String]) }
+    dvFrame.foreach(_.coalesce(1).write.mode("overwrite").parquet(dvDir))
+    val carryLines = fileLines.map { l =>
+      val parts = l.split('\t')
+      if (touchedKeys.contains(snapKey(parts(0))))
+        (parts.filterNot(_.startsWith("dv:")) :+ s"dv:$dvDir").mkString("\t")
+      else l
+    }
+    val total = countOf(spark, table, v) - rowsSuppressed + stagedCount
+    val body = s"count=$total\n${lines(2)}\n" +
+      (carryLines ++ stagedLines).mkString("\n")
+    val manifest = new Path(manifestDir(table), f"v$version%05d.manifest")
+    val f = fs(spark, manifest)
+    f.mkdirs(manifestDir(table))
+    try {
+      val outS = f.create(manifest, false)
+      outS.write(s"version=$version\n$body".getBytes(UTF_8))
+      outS.close()
+      CdcApplyStats(version, committed = true, touchedKeys.size,
+        stagedLines.size, rowsSuppressed, stagedCount)
+    } catch {
+      case _: java.io.IOException =>
+        // a concurrent replay of the SAME pinned batch committed first;
+        // drop only OUR writer-unique DV dir (the winner's staged data
+        // under snap-v<version> is byte-identical by determinism)
+        f.delete(new Path(dvDir), true)
+        CdcApplyStats(version, committed = false, 0, 0, 0L, 0L)
+    }
+  }
+
+  /** EXACTLY-ONCE streaming CDC INGESTION: each micro-batch of
+    * I/U/D change rows applies to the snapshot table as version
+    * `baseVersion + batchId + 1` via [[applyCdcVersion]] — merge-on-read
+    * per batch (DV-suppress pre-images + append post-images), version
+    * chain == micro-batch chain, every batch boundary time-travelable.
+    * `baseVersion` is the table's version when the FEED begins (1 for a
+    * freshly seeded table) — a constant of the pipeline, so the mapping
+    * survives restarts: batchId comes from the checkpoint, and a
+    * replayed batch finds its version committed and no-ops. This is the
+    * Delta streaming-sink idempotence discipline (txnVersion=batchId)
+    * applied to CDC upserts rather than blind appends.
+    */
+  def streamCdcSink(stream: DataFrame, table: String, checkpoint: String,
+                    keyCols: Seq[String], opCol: String, baseVersion: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcVersion(batch.sparkSession, table, batch, keyCols, opCol,
+          baseVersion + batchId.toInt + 1); ()
+      }
+      .start()
+
+  // ─── q328: streaming CDC ingestion into the store (batch twin) ───────
+  // The composition of the store's two oldest guarantees: an exactly-once
+  // micro-batch feed (q189's sink discipline) whose every batch applies
+  // as a MERGE-ON-READ version (q318's deletion vectors + q323's append
+  // path), leaving the full micro-batch history time-travelable. Two
+  // deterministic CDC waves over a seeded documents table:
+  //   v1 seed: all docs, hive-bucketed by b = doc_id/100 (one file/dir).
+  //   batch 1 → v2: D every 37th id; U every 41st-not-37th (n_chars →
+  //     2n+5); I every 43rd id shifted +1e6 (n_chars+11, bucket+10000).
+  //   replay of batch 1 at v2: must be a committed=false NO-OP — the
+  //     exactly-once proof, recorded as data.
+  //   batch 2 → v3: D every 86th INSERTED id (+1e6 — suppresses rows in
+  //     v2-APPENDED files, proving DVs compose over appended data);
+  //     U every 53rd-not-37th live id (+3 on its CURRENT value, which
+  //     for 41-multiples lives in a v2-appended file — an update of an
+  //     update).
+  // files_v1_on_disk must equal files_total after both waves (the
+  // filesystem zero-rewrite proof), the DV/append counters per wave are
+  // derived relationally by the twin from the bucket layout, and
+  // n_rows_v1/v2/v3 pin time travel across micro-batch versions.
+  def q328StreamingCdcIngest(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcstream"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100).cast("long"))
+      .repartition(8, col("b"))
+    publish(docs, table, partitionBy = Seq("b"))
+    val v1Dir = new Path(table, "snap-v00001")
+    val v1Files = listParquet(fs(s, tableP), v1Dir).size
+    def feed(rows: DataFrame) = rows.repartition(8, col("b"))
+    val b1 = feed(
+      docs.where(pmod(col("doc_id"), lit(37)) === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("b"),
+                lit("D").as("op"))
+      .unionByName(docs
+        .where(pmod(col("doc_id"), lit(41)) === 0 && pmod(col("doc_id"), lit(37)) =!= 0)
+        .select(col("doc_id"), col("lang"),
+                (col("n_chars") * 2 + 5).as("n_chars"), col("b"),
+                lit("U").as("op")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(43)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                (col("n_chars") + 11).as("n_chars"),
+                (col("b") + 10000L).as("b"), lit("I").as("op"))))
+    val st1 = applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
+    val replay = applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
+    val b2 = feed(
+      docs.where(pmod(col("doc_id"), lit(86)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                col("n_chars"), (col("b") + 10000L).as("b"),
+                lit("D").as("op"))
+      .unionByName(docs
+        .where(pmod(col("doc_id"), lit(53)) === 0 && pmod(col("doc_id"), lit(37)) =!= 0)
+        .select(col("doc_id"), col("lang"),
+                (when(pmod(col("doc_id"), lit(41)) === 0,
+                      col("n_chars") * 2 + 5).otherwise(col("n_chars")) + 3)
+                  .as("n_chars"),
+                col("b"), lit("U").as("op"))))
+    val st2 = applyCdcVersion(s, table, b2, Seq("doc_id"), "op", 3)
+    val v1OnDisk = listParquet(fs(s, tableP), v1Dir).size
+    read(s, table)
+      .where(col("b") <= 5 || col("b").between(10000, 10005))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"),
+           min(col("doc_id")).as("first_id"),
+           max(col("doc_id")).as("last_id"))
+      .select(col("b"), col("n_docs"), col("chars"),
+              col("first_id"), col("last_id"),
+              lit(versions(s, table).size.toLong).as("n_versions"),
+              lit(if (replay.committed) 1L else 0L).as("replay_committed"),
+              lit(v1Files.toLong).as("files_total"),
+              lit(v1OnDisk.toLong).as("files_v1_on_disk"),
+              lit(st1.filesWithDv.toLong).as("dv_files_b1"),
+              lit(st1.filesAppended.toLong).as("app_files_b1"),
+              lit(st2.filesWithDv.toLong).as("dv_files_b2"),
+              lit(st1.rowsSuppressed).as("rows_supp_b1"),
+              lit(st1.rowsAppended).as("rows_app_b1"),
+              lit(st2.rowsSuppressed).as("rows_supp_b2"),
+              lit(st2.rowsAppended).as("rows_app_b2"),
+              lit(countOf(s, table, 1)).as("n_rows_v1"),
+              lit(countOf(s, table, 2)).as("n_rows_v2"),
+              lit(countOf(s, table, 3)).as("n_rows_v3"))
+      .orderBy(col("b"))
+  }
+
+  val q328Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(floor(doc_id / 100) AS BIGINT) AS b
+      |  FROM documents),
+      |fin AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN doc_id % 41 = 0 THEN n_chars * 2 + 5 ELSE n_chars END
+      |      + CASE WHEN doc_id % 53 = 0 THEN 3 ELSE 0 END AS n_chars
+      |  FROM d WHERE doc_id % 37 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, b + 10000, n_chars + 11
+      |  FROM d WHERE doc_id % 43 = 0 AND doc_id % 86 <> 0),
+      |cnt AS (
+      |  SELECT
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d) AS files_total,
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |       WHERE doc_id % 37 = 0 OR doc_id % 41 = 0) AS dv_files_b1,
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |       WHERE doc_id % 41 = 0 AND doc_id % 37 <> 0)
+      |     + (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |        WHERE doc_id % 43 = 0) AS app_files_b1,
+      |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |       WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0 AND doc_id % 41 <> 0)
+      |     + (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |        WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0 AND doc_id % 41 = 0)
+      |     + (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM d
+      |        WHERE doc_id % 86 = 0) AS dv_files_b2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d
+      |       WHERE doc_id % 37 = 0 OR doc_id % 41 = 0) AS rows_supp_b1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d
+      |       WHERE (doc_id % 41 = 0 AND doc_id % 37 <> 0)
+      |          OR doc_id % 43 = 0) AS rows_app_b1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d
+      |       WHERE (doc_id % 53 = 0 AND doc_id % 37 <> 0)
+      |          OR doc_id % 86 = 0) AS rows_supp_b2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d
+      |       WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0) AS rows_app_b2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_rows_v1,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d) -
+      |      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 37 = 0) +
+      |      (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 43 = 0)
+      |      AS n_rows_v2,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 86 = 0)
+      |      AS del_b2)
+      |SELECT b, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+      |  CAST(3 AS BIGINT) AS n_versions,
+      |  CAST(0 AS BIGINT) AS replay_committed,
+      |  (SELECT files_total FROM cnt) AS files_total,
+      |  (SELECT files_total FROM cnt) AS files_v1_on_disk,
+      |  (SELECT dv_files_b1 FROM cnt) AS dv_files_b1,
+      |  (SELECT app_files_b1 FROM cnt) AS app_files_b1,
+      |  (SELECT dv_files_b2 FROM cnt) AS dv_files_b2,
+      |  (SELECT rows_supp_b1 FROM cnt) AS rows_supp_b1,
+      |  (SELECT rows_app_b1 FROM cnt) AS rows_app_b1,
+      |  (SELECT rows_supp_b2 FROM cnt) AS rows_supp_b2,
+      |  (SELECT rows_app_b2 FROM cnt) AS rows_app_b2,
+      |  (SELECT n_rows_v1 FROM cnt) AS n_rows_v1,
+      |  (SELECT n_rows_v2 FROM cnt) AS n_rows_v2,
+      |  (SELECT n_rows_v2 - del_b2 FROM cnt) AS n_rows_v3
+      |FROM fin
+      |WHERE b <= 5 OR b BETWEEN 10000 AND 10005
+      |GROUP BY b
+      |ORDER BY b""".stripMargin
+
+  /** O(delta) CHANGE DATA FEED between committed versions — the Delta
+    * CDF / Iceberg changelog-scan answer, derived ENTIRELY from what the
+    * store already persists (manifest diffs + deletion vectors), no
+    * change log written on the hot path. Where [[diffRowsPrePost]]
+    * recomputes a full-outer join over BOTH versions (O(table) — correct
+    * for any two versions, blind to how they relate), the feed walks
+    * each commit step v→v+1 and reads only what that commit touched:
+    *
+    *  - files APPENDED by the step (in v+1's manifest, not in v's) —
+    *    their live rows are insert post-images;
+    *  - per-file DV GROWTH (the step's dv ref differs from v's) — the
+    *    newly suppressed (file, pos) pairs, read back as pre-images by a
+    *    position join against the file's v-live rows, are deletes;
+    *  - files REMOVED by the step (copy-on-write rewrites, compaction,
+    *    replace-publish) — their v-live rows are deletes.
+    *
+    * A key appearing on both sides of one step pairs into
+    * `update_preimage`/`update_postimage` (Delta CDF's vocabulary);
+    * unpaired rows stay `delete`/`insert`. MERGE-ON-READ steps
+    * ([[applyCdcVersion]], [[mergeMoR]], [[dvDelete]]) therefore yield
+    * the MINIMAL feed — O(changed rows + touched file reads). Copy-on-
+    * write steps ([[mergeUpsert]], [[compact]], replace-[[publish]])
+    * remain correct but amplified: every row of a rewritten file
+    * surfaces as a self-paired update — the read-side cost of rewriting
+    * files, and the reason the MoR path exists. Either way the feed is
+    * COMPLETE: replaying it over read(v) reproduces read(v') exactly
+    * (the round-trip theorem, spec-pinned).
+    *
+    * 100 TB shape: per step, appended/removed/touched file lists come
+    * from two driver-side manifest parses; data reads are column-pruned
+    * scans of exactly those files; the pair-classification joins are
+    * delta-sized on both sides. Nothing scans the table.
+    */
+  def changeFeed(spark: SparkSession, table: String, vFrom: Int, vTo: Int,
+                 keyCols: Seq[String]): DataFrame = {
+    val committed = versions(spark, table)
+    require(committed.contains(vFrom) && committed.contains(vTo),
+      s"need committed versions, have ${committed.mkString(",")}")
+    require(vFrom < vTo, s"vFrom=$vFrom must precede vTo=$vTo")
+    val toSchema = org.apache.spark.sql.types.StructType
+      .fromDDL(manifestLines(spark, table, vTo)(2).stripPrefix("schema="))
+    def conform(df: DataFrame) = df.select(toSchema.fields.toIndexedSeq
+      .map(fl =>
+        (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
+          .cast(fl.dataType).as(fl.name)) ++
+      Seq(col("_change_type"), col("_commit_version")): _*)
+    (vFrom until vTo).map(v => conform(stepChanges(spark, table, v, keyCols)))
+      .reduce(_.unionAll(_))
+  }
+
+  /** One commit step's changes (v → v+1); see [[changeFeed]]. */
+  private def stepChanges(spark: SparkSession, table: String, v: Int,
+                          keyCols: Seq[String]): DataFrame = {
+    val w = v + 1
+    val linesV = manifestLines(spark, table, v)
+    val linesW = manifestLines(spark, table, w)
+    val flV = linesV.drop(3).filter(_.nonEmpty)
+    val flW = linesW.drop(3).filter(_.nonEmpty)
+    val keysV = flV.map(l => snapKey(l.split('\t')(0))).toSet
+    val keysW = flW.map(l => snapKey(l.split('\t')(0))).toSet
+    val refsV = dvRefsOf(flV)
+    val refsW = dvRefsOf(flW)
+    val filesW = flW.map(_.split('\t')(0))
+    val filesV = flV.map(_.split('\t')(0))
+    val appended = filesW.filterNot(p => keysV.contains(snapKey(p)))
+    val removed = filesV.filterNot(p => keysW.contains(snapKey(p)))
+    val touched = filesW.filter { p =>
+      val k = snapKey(p)
+      keysV.contains(k) && refsW.get(k) != refsV.get(k)
+    }
+    val wSchema = org.apache.spark.sql.types.StructType
+      .fromDDL(linesW(2).stripPrefix("schema="))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], wSchema)
+    def conformW(df: DataFrame) = df.select(wSchema.fields.toIndexedSeq
+      .map(fl =>
+        (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
+          .cast(fl.dataType).as(fl.name)): _*)
+    // insert post-images: the appended files' live rows
+    val ins =
+      if (appended.isEmpty) empty
+      else conformW(loadFiles(spark, appended, linesW))
+    // delete pre-images, two sources: DV growth on carried files
+    // (positions in the step's DV not in v's) + removed files' v-live rows
+    val dvPre =
+      if (touched.isEmpty) empty
+      else {
+        val tKeys = touched.map(snapKey)
+        def dvOf(refs: Map[String, String]): Option[DataFrame] = {
+          val dirs = tKeys.flatMap(refs.get).distinct.sorted
+          if (dirs.isEmpty) None
+          else Some(dirs.map(dir => spark.read.parquet(dir))
+            .reduce(_.unionAll(_)).where(col("k").isin(tKeys: _*)))
+        }
+        val dvW = dvOf(refsW).get // touched ⇒ ref present in w
+        val delta = dvOf(refsV).fold(dvW)(old =>
+          dvW.join(old, Seq("k", "pos"), "left_anti"))
+        conformW(loadFilesWithPos(spark, touched, linesV)
+          .join(delta, col("_k") === col("k") && col("_pos") === col("pos"),
+                "left_semi"))
+      }
+    val removedPre =
+      if (removed.isEmpty) empty
+      else conformW(loadFiles(spark, removed, linesV))
+    val del = dvPre.unionAll(removedPre)
+    // pair by key WITHIN the step: both sides → update pre/post images
+    val delKeys = del.select(keyCols.map(col): _*).distinct()
+    val insKeys = ins.select(keyCols.map(col): _*).distinct()
+    def tag(df: DataFrame, t: String) =
+      df.withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(w.toLong))
+    tag(del.join(insKeys, keyCols, "left_anti"), "delete")
+      .unionAll(tag(del.join(insKeys, keyCols, "left_semi"),
+                    "update_preimage"))
+      .unionAll(tag(ins.join(delKeys, keyCols, "left_anti"), "insert"))
+      .unionAll(tag(ins.join(delKeys, keyCols, "left_semi"),
+                    "update_postimage"))
+  }
+
+  // ─── q329: O(delta) change feed over the streaming-CDC history ───────
+  // The consumption side of q328: replay the same two MoR waves, then
+  // read the CHANGE FEED for each commit step and census it by (version,
+  // change_type) with payload checksums. The twin derives every class
+  // from the wave predicates — insert/delete/update_pre/update_post
+  // memberships AND their n_chars sums — so the hash only matches if the
+  // feed reads exactly the delta (a missed DV position, a spurious
+  // carried-file read, or a mis-paired update flips a class); the
+  // round-trip law (replaying the feed over v1 reproduces v3) is
+  // spec-pinned in SnapshotStoreSpec, including a copy-on-write step.
+  def q329ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdf"
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("b", floor(col("doc_id") / 100).cast("long"))
+      .repartition(8, col("b"))
+    publish(docs, table, partitionBy = Seq("b"))
+    def feed(rows: DataFrame) = rows.repartition(8, col("b"))
+    val b1 = feed(
+      docs.where(pmod(col("doc_id"), lit(37)) === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("b"),
+                lit("D").as("op"))
+      .unionByName(docs
+        .where(pmod(col("doc_id"), lit(41)) === 0 &&
+               pmod(col("doc_id"), lit(37)) =!= 0)
+        .select(col("doc_id"), col("lang"),
+                (col("n_chars") * 2 + 5).as("n_chars"), col("b"),
+                lit("U").as("op")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(43)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                (col("n_chars") + 11).as("n_chars"),
+                (col("b") + 10000L).as("b"), lit("I").as("op"))))
+    applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
+    val b2 = feed(
+      docs.where(pmod(col("doc_id"), lit(86)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                col("n_chars"), (col("b") + 10000L).as("b"),
+                lit("D").as("op"))
+      .unionByName(docs
+        .where(pmod(col("doc_id"), lit(53)) === 0 &&
+               pmod(col("doc_id"), lit(37)) =!= 0)
+        .select(col("doc_id"), col("lang"),
+                (when(pmod(col("doc_id"), lit(41)) === 0,
+                      col("n_chars") * 2 + 5).otherwise(col("n_chars")) + 3)
+                  .as("n_chars"),
+                col("b"), lit("U").as("op"))))
+    applyCdcVersion(s, table, b2, Seq("doc_id"), "op", 3)
+    changeFeed(s, table, 1, 3, Seq("doc_id"))
+      .groupBy(col("_commit_version").as("version"),
+               col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).cast("long").as("chars"),
+           min(col("doc_id")).as("first_id"),
+           max(col("doc_id")).as("last_id"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
+  val q329Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars FROM documents),
+      |cls AS (
+      |  SELECT 2 AS version, 'delete' AS change_type, doc_id, n_chars
+      |  FROM d WHERE doc_id % 37 = 0
+      |  UNION ALL
+      |  SELECT 2, 'update_preimage', doc_id, n_chars
+      |  FROM d WHERE doc_id % 41 = 0 AND doc_id % 37 <> 0
+      |  UNION ALL
+      |  SELECT 2, 'update_postimage', doc_id, n_chars * 2 + 5
+      |  FROM d WHERE doc_id % 41 = 0 AND doc_id % 37 <> 0
+      |  UNION ALL
+      |  SELECT 2, 'insert', doc_id + 1000000, n_chars + 11
+      |  FROM d WHERE doc_id % 43 = 0
+      |  UNION ALL
+      |  SELECT 3, 'delete', doc_id + 1000000, n_chars + 11
+      |  FROM d WHERE doc_id % 86 = 0
+      |  UNION ALL
+      |  SELECT 3, 'update_preimage', doc_id,
+      |    CASE WHEN doc_id % 41 = 0 THEN n_chars * 2 + 5 ELSE n_chars END
+      |  FROM d WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0
+      |  UNION ALL
+      |  SELECT 3, 'update_postimage', doc_id,
+      |    CASE WHEN doc_id % 41 = 0 THEN n_chars * 2 + 5 ELSE n_chars END + 3
+      |  FROM d WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0)
+      |SELECT CAST(version AS BIGINT) AS version, change_type,
+      |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM cls
+      |GROUP BY version, change_type
+      |ORDER BY version, change_type""".stripMargin
+
   // ─── q130: snapshot round-trip + time travel, oracle-checked ─────────
   // Publish v1 (even doc_ids) then v2 (all docs) into a fresh table,
   // then read v1 by TIME TRAVEL and v2 as latest — the census of each
@@ -2286,7 +2800,9 @@ object SnapshotStore {
     "q215_snapshot_delete" -> (q215SnapshotDelete _),
     "q304_schema_evolution" -> (q304SchemaEvolution _),
     "q318_deletion_vectors" -> (q318DeletionVectors _),
-    "q323_merge_on_read" -> (q323MergeOnRead _))
+    "q323_merge_on_read" -> (q323MergeOnRead _),
+    "q328_streaming_cdc_ingest" -> (q328StreamingCdcIngest _),
+    "q329_change_feed" -> (q329ChangeFeed _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -2302,5 +2818,7 @@ object SnapshotStore {
     "q215_snapshot_delete" -> q215Sql,
     "q304_schema_evolution" -> q304Sql,
     "q318_deletion_vectors" -> q318Sql,
-    "q323_merge_on_read" -> q323Sql)
+    "q323_merge_on_read" -> q323Sql,
+    "q328_streaming_cdc_ingest" -> q328Sql,
+    "q329_change_feed" -> q329Sql)
 }

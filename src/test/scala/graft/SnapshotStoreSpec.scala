@@ -104,6 +104,120 @@ class SnapshotStoreSpec extends SparkSpec {
       .collect().toSet === Set((1L, "a"), (2L, "b")))
   }
 
+  test("streaming CDC sink: cross-batch version chain, MoR per batch, " +
+       "time travel across micro-batches, replay no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = freshTable("cdcstream")
+    val ckpt = freshTable("cdcstream-ckpt")
+    // seed v1 with two files' worth of rows (bucketed layout)
+    SnapshotStore.publish(
+      Seq((1L, "a", 0L), (2L, "b", 0L), (101L, "c", 1L), (102L, "d", 1L))
+        .toDF("id", "s", "b").repartition(2, col("b")),
+      t, partitionBy = Seq("b"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = SnapshotStore.streamCdcSink(
+      in.toDF().toDF("id", "s", "b", "op"), t, ckpt,
+      keyCols = Seq("id"), opCol = "op", baseVersion = 1)
+    try {
+      // batch 0 → v2: delete 1, update 2, insert 201
+      in.addData((1L, "", 0L, "D"), (2L, "B", 0L, "U"), (201L, "e", 2L, "I"))
+      q.processAllAvailable()
+      // batch 1 → v3: delete the v2-INSERTED row (DV over appended file),
+      // update 101 (DV over a v1 file untouched by batch 0)
+      in.addData((201L, "", 2L, "D"), (101L, "C", 1L, "U"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2, 3))
+    // final state reads through DVs + appends
+    assert(SnapshotStore.read(spark, t).select("id", "s")
+      .as[(Long, String)].collect().toSet
+      === Set((2L, "B"), (101L, "C"), (102L, "d")))
+    // time travel: every micro-batch boundary is a committed snapshot
+    assert(SnapshotStore.read(spark, t, Some(1)).select("id", "s")
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (101L, "c"), (102L, "d")))
+    assert(SnapshotStore.read(spark, t, Some(2)).select("id", "s")
+      .as[(Long, String)].collect().toSet
+      === Set((2L, "B"), (101L, "c"), (102L, "d"), (201L, "e")))
+    // zero-rewrite: v1's data files are physically untouched
+    val v1Dir = new Path(t, "snap-v00001")
+    val fs = v1Dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path): Seq[String] = {
+      val it = fs.listFiles(dir, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.startsWith("part-") && p.getName.endsWith(".parquet")
+            && !p.getParent.getName.startsWith("_")) buf += p.toString
+      }
+      buf.result()
+    }
+    assert(dataFiles(v1Dir).size === 2, "seed layout must be 2 files")
+    // crash-replay window: the SAME pinned version applies again → no-op
+    val replay = SnapshotStore.applyCdcVersion(spark, t,
+      Seq((999L, "x", 0L, "I")).toDF("id", "s", "b", "op"),
+      Seq("id"), "op", 3)
+    assert(!replay.committed, "replayed batch must be a no-op")
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2, 3))
+    assert(SnapshotStore.read(spark, t).select("id", "s")
+      .as[(Long, String)].collect().toSet
+      === Set((2L, "B"), (101L, "C"), (102L, "d")))
+    // version gaps are refused loudly (feed/table history disagreement)
+    val gap = intercept[IllegalArgumentException] {
+      SnapshotStore.applyCdcVersion(spark, t,
+        Seq((999L, "x", 0L, "I")).toDF("id", "s", "b", "op"),
+        Seq("id"), "op", 9)
+    }
+    assert(gap.getMessage.contains("version gap"))
+  }
+
+  test("changeFeed round-trip: replaying the feed over v reproduces v', " +
+       "minimal over MoR steps, complete over a copy-on-write step") {
+    val t = freshTable("cdf")
+    SnapshotStore.publish(
+      Seq((1L, "a", 0L), (2L, "b", 0L), (101L, "c", 1L), (102L, "d", 1L))
+        .toDF("id", "s", "b").repartition(2, col("b")),
+      t, partitionBy = Seq("b"))
+    // v2 (MoR): delete 1, update 2, insert 201
+    SnapshotStore.applyCdcVersion(spark, t,
+      Seq((1L, "", 0L, "D"), (2L, "B", 0L, "U"), (201L, "e", 2L, "I"))
+        .toDF("id", "s", "b", "op"), Seq("id"), "op", 2)
+    // v3 (MoR): delete the v2-inserted row, update 101
+    SnapshotStore.applyCdcVersion(spark, t,
+      Seq((201L, "", 2L, "D"), (101L, "C", 1L, "U"))
+        .toDF("id", "s", "b", "op"), Seq("id"), "op", 3)
+    // MoR steps yield the MINIMAL feed: exactly the changed rows
+    val feed = SnapshotStore.changeFeed(spark, t, 1, 3, Seq("id"))
+    val got = feed.select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", "delete", 2L),
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (201L, "e", "insert", 2L),
+      (201L, "e", "delete", 3L),
+      (101L, "c", "update_preimage", 3L), (101L, "C", "update_postimage", 3L)))
+    // round-trip theorem across a COPY-ON-WRITE step too: v4 rewrites
+    // the files holding key 102 (mergeUpsert), amplified but complete
+    SnapshotStore.mergeUpsert(spark, t,
+      Seq((102L, "D2", 1L)).toDF("id", "s", "b"), Seq("id"))
+    (1 to 3).foreach { v =>
+      val step = SnapshotStore.changeFeed(spark, t, v, v + 1, Seq("id"))
+      val pre = SnapshotStore.read(spark, t, Some(v))
+        .select("id", "s").as[(Long, String)].collect().toSet
+      val dels = step.where(col("_change_type")
+          .isin("delete", "update_preimage"))
+        .select("id", "s").as[(Long, String)].collect().toSet
+      val adds = step.where(col("_change_type")
+          .isin("insert", "update_postimage"))
+        .select("id", "s").as[(Long, String)].collect().toSet
+      val replayed = pre -- dels ++ adds
+      val post = SnapshotStore.read(spark, t, Some(v + 1))
+        .select("id", "s").as[(Long, String)].collect().toSet
+      assert(replayed === post, s"round-trip failed at step $v -> ${v + 1}")
+    }
+  }
+
   test("vacuum expires old versions atomically, keeps time travel for the rest") {
     val t = freshTable("vacuum")
     (1 to 4).foreach(i =>
