@@ -1210,7 +1210,156 @@ object Multimodal {
        |GROUP BY 1, 2, 3, 4
        |ORDER BY method, same_src, ta, tb""".stripMargin
 
+  // ─── q330: VIDEO near-dup dedup — frame-pHash posting-list join ───────
+  // Completes the multimodal dedup family's fourth modality (text has
+  // many tiers, images q220/q223/q320, audio q326): video near-dups are
+  // found on SEQUENCES of per-frame perceptual hashes — the industry
+  // shape (frame-sample → pHash per frame → set/shingle overlap), which
+  // survives re-encodes (aHash is brightness-invariant) AND temporal
+  // trims (set overlap tolerates dropped frames) that break any
+  // container-byte fingerprint.
+  //
+  // Fixture: each doc is a "video" of 3–5 REAL 24-bpp BMP frames
+  // (pattern keyed by group g = doc_id % 89, frame index shifts the
+  // gradient by f*13). Every 4th video is TRIMMED (drops frame 0) and
+  // every 5th is brightness-shifted (+8/channel — aHash-invariant by
+  // the strict mean compare, so it lands in the same class as its
+  // group's clean members). Pipeline, all payload work inside one
+  // partition pass (encode → header-driven decode → aHash; bytes never
+  // shuffle):
+  //   frames(video_id, f, fhash) → per-video ordered-signature classes
+  //   (identical frame sequences collapse; keeper = min id) → DISTINCT
+  //   (class, fhash) postings → equi-join on fhash, keeper_a < keeper_b
+  //   → frame-set Jaccard ≥ 2/3 keeps a pair.
+  // Trimmed variants share n-1 of n frames with their group's clean
+  // class — Jaccard (n-1)/n ≥ 2/3 for n ≥ 3 — so every group with both
+  // variants yields exactly its class pair. The twin recomputes the
+  // whole BMP→aHash arithmetic relationally (q220's machinery plus the
+  // frame dimension), so a wrong row order, pad rule, sample index, or
+  // pairing flips the hash.
+  //
+  // Scale: candidate generation runs over DISTINCT CLASSES (bounded by
+  // distinct content, orders of magnitude below the corpus — q223's
+  // argument); the posting join is an equi-join on a 64-bit hash; the
+  // per-class pair census is delta-sized. Never a video × video scan.
+  def q330VideoNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = documents(s, d).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val g = (id % 89).toInt
+        val n = g % 3 + 3
+        val start = if (id % 4 == 0) 1 else 0
+        val bright = if (id % 5 == 0) 8 else 0
+        val w = g % 12 + 5
+        val h = g % 7 + 4
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        (start until n).iterator.map { f =>
+          val content = Array.tabulate(rowSize * h)(i =>
+            ((g * 37 + f * 13 + i * 11) % 200 + bright).toByte)
+          val payload = MediaEncode.bmp(w, h, content)
+          val (dw, dh, gray) = MediaCodec.decodeBmpGray(payload)
+            .getOrElse(sys.error(s"undecodable BMP frame for video $id"))
+          (id, f, aHash64(dw, dh, gray))
+        }
+      }).toDF("video_id", "f", "fhash")
+    val sigs = frames.groupBy(col("video_id"))
+      .agg(md5(concat_ws("|",
+             transform(array_sort(collect_list(struct(col("f"), col("fhash")))),
+                       x => x.getField("fhash")))).as("sig"),
+           count(lit(1)).as("n_frames"))
+    val classes = sigs.groupBy(col("sig"))
+      .agg(min(col("video_id")).as("keeper"),
+           count(lit(1)).as("n_videos"),
+           max(col("n_frames")).as("n_frames"))
+    val postings = frames
+      .join(sigs.select(col("video_id"), col("sig")), Seq("video_id"))
+      .join(classes.select(col("sig"), col("keeper")), Seq("sig"))
+      .select(col("keeper"), col("fhash")).distinct()
+    val pairs = postings.as("a")
+      .join(postings.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.keeper") < col("b.keeper"))
+      .groupBy(col("a.keeper").as("keeper_a"), col("b.keeper").as("keeper_b"))
+      .agg(count(lit(1)).as("shared"))
+    val ca = classes.select(col("keeper").as("keeper_a"),
+      col("n_frames").as("n_frames_a"), col("n_videos").as("n_videos_a"))
+    val cb = classes.select(col("keeper").as("keeper_b"),
+      col("n_frames").as("n_frames_b"), col("n_videos").as("n_videos_b"))
+    pairs.join(ca, "keeper_a").join(cb, "keeper_b")
+      .withColumn("n_union",
+        col("n_frames_a") + col("n_frames_b") - col("shared"))
+      .where(col("shared") * 3 >= col("n_union") * 2)
+      .select(col("keeper_a"), col("keeper_b"), col("shared"), col("n_union"),
+        expr("CAST(shared * 100 DIV n_union AS BIGINT)").as("jacc_pct"),
+        col("n_frames_a"), col("n_frames_b"),
+        col("n_videos_a"), col("n_videos_b"))
+      .orderBy(col("keeper_a"), col("keeper_b"))
+  }
+
+  val q330Sql: String =
+    """WITH vids AS (
+      |  SELECT doc_id AS video_id,
+      |    CAST(doc_id % 89 AS INT) AS g,
+      |    CAST(doc_id % 89 % 12 + 5 AS INT) AS w,
+      |    CAST(doc_id % 89 % 7 + 4 AS INT) AS h,
+      |    CAST(doc_id % 89 % 3 + 3 AS INT) AS nf,
+      |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS fstart,
+      |    CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 0 END AS bright
+      |  FROM documents),
+      |geom AS (SELECT *, (w * 3 + 3) // 4 * 4 AS rs FROM vids),
+      |frames AS (
+      |  SELECT video_id, g, w, h, rs, bright, CAST(f AS INT) AS fi
+      |  FROM geom, unnest(range(fstart, nf)) AS t(f)),
+      |samples AS (
+      |  SELECT video_id, fi, k,
+      |    (g*37 + fi*13 +
+      |      ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3) * 11) % 200
+      |    + (g*37 + fi*13 +
+      |      ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3 + 1) * 11) % 200
+      |    + (g*37 + fi*13 +
+      |      ((h - 1 - (k // 8 * h // 8)) * rs + (k % 8 * w // 8) * 3 + 2) * 11) % 200
+      |    + 3 * bright AS v
+      |  FROM frames, unnest(range(0, 64)) AS tk(k)),
+      |bits AS (
+      |  SELECT video_id, fi, k,
+      |    CASE WHEN v * 64 > sum(v) OVER (PARTITION BY video_id, fi)
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM samples),
+      |fhashes AS (
+      |  SELECT video_id, fi, string_agg(b, '' ORDER BY k) AS fhash
+      |  FROM bits GROUP BY video_id, fi),
+      |sigs AS (
+      |  SELECT video_id, md5(string_agg(fhash, '|' ORDER BY fi)) AS sig,
+      |    count(*) AS n_frames
+      |  FROM fhashes GROUP BY video_id),
+      |classes AS (
+      |  SELECT sig, min(video_id) AS keeper, count(*) AS n_videos,
+      |    max(n_frames) AS n_frames
+      |  FROM sigs GROUP BY sig),
+      |postings AS (
+      |  SELECT DISTINCT c.keeper, f.fhash
+      |  FROM fhashes f
+      |  JOIN sigs s ON f.video_id = s.video_id
+      |  JOIN classes c ON s.sig = c.sig),
+      |pairs AS (
+      |  SELECT a.keeper AS keeper_a, b.keeper AS keeper_b,
+      |    count(*) AS shared
+      |  FROM postings a JOIN postings b
+      |    ON a.fhash = b.fhash AND a.keeper < b.keeper
+      |  GROUP BY 1, 2)
+      |SELECT p.keeper_a, p.keeper_b, p.shared,
+      |  ca.n_frames + cb.n_frames - p.shared AS n_union,
+      |  CAST(p.shared * 100 // (ca.n_frames + cb.n_frames - p.shared)
+      |    AS BIGINT) AS jacc_pct,
+      |  ca.n_frames AS n_frames_a, cb.n_frames AS n_frames_b,
+      |  ca.n_videos AS n_videos_a, cb.n_videos AS n_videos_b
+      |FROM pairs p
+      |JOIN classes ca ON p.keeper_a = ca.keeper
+      |JOIN classes cb ON p.keeper_b = cb.keeper
+      |WHERE p.shared * 3 >= (ca.n_frames + cb.n_frames - p.shared) * 2
+      |ORDER BY keeper_a, keeper_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_video_near_dup" -> (q330VideoNearDup _),
     "q326_audio_constellation" -> (q326AudioConstellation _),
     "q320_png_phash_dedup" -> (q320PngPhashDedup _),
     "q58_multimodal_meta" -> (q58MultimodalMeta _),
@@ -1222,6 +1371,7 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q330_video_near_dup" -> q330Sql,
     "q326_audio_constellation" -> q326Sql,
     "q320_png_phash_dedup" -> q320Sql,
     "q58_multimodal_meta" -> q58Sql,
