@@ -330,6 +330,10 @@ object PlanLint {
                                         "global-window"),
     // q325: q322's bounded builds + the probe × 8-centroid broadcast
     // cell ranking and the 1-row stat crossJoins — never data-sized
+    // q331: q322's bounded builds + the 32-row layer crossJoin, the
+    // 1-row layer-entry crossJoin, and the bounded ranking windows
+    "q331_nn_hnsw_serve" -> Set("nested-loop", "cartesian",
+                                "global-window"),
     "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian",
                                      "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
@@ -633,6 +637,10 @@ object PlanLint {
     // adjacency/entry/3-hop checkpoints (5) + the embedded fixed walk
     // (q322's 5) + census write (measured ~17 fresh-session)
     "q325_nn_ivf_entry_serve" -> 20,
+    // HNSW serve: trainer (6, memoized — priced fresh) + adjacency +
+    // layer emb/adjacency checkpoints (2) + layer walk (1+2) + ground
+    // walk (1+3) + embedded fixed walk (1+3) + per checkpoint + write
+    "q331_nn_hnsw_serve" -> 24,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,
@@ -661,6 +669,9 @@ object PlanLint {
     "q228_softmax_langid" -> 10,
     // BPE trainer: 8 merge rounds × (argmax + refresh) + encode (18)
     "q147_bpe_learn" -> 28,
+    // WordPiece trainer: dict checkpoint + 6 rounds × (argmax collect +
+    // merge checkpoint) + final symbol-total agg + census write
+    "q332_wordpiece_learn" -> 20,
     // unigram EM: dict + seed checkpoints + 3 vocab collects + embedded
     // 8-round BPE twin (q147's 16) + final encode checkpoint + census
     "q327_unigram_lm" -> 32,

@@ -384,13 +384,163 @@ object Bpe {
        |ORDER BY vocab_merges""".stripMargin
   }
 
+  // ─── q332: WordPiece trainer (likelihood-scored merges) ──────────────
+  // The third production tokenizer family beside BPE (q147) and
+  // unigram-LM (q327): WordPiece (Schuster & Nakajima 2012; BERT's
+  // tokenizer — public algorithm). Two deltas from BPE, both visible in
+  // the learned table and therefore oracle-pinned:
+  //  - SYMBOLS mark word position: the first character is bare, every
+  //    continuation is `##`-prefixed, and a fusion keeps its lhs's
+  //    prefix (`##t`+`##h` → `##th`, `t`+`##h` → `th`) — so the vocab
+  //    distinguishes "the"-initial from "-the-"-medial, the property
+  //    WordPiece exists for.
+  //  - The merge SCORE is the likelihood ratio n(ab) / (n(a)·n(b)), not
+  //    raw frequency: a pair wins by being SURPRISINGLY frequent given
+  //    its parts. Counts are exact BIGINTs; the score division is one
+  //    IEEE double op, bit-identical across engines; ties break on
+  //    (lhs, rhs) so the argmax is deterministic.
+  // Training loop is q147's dict discipline exactly: corpus read ONCE
+  // into the distinct-word frequency dict, every round is vocab-sized
+  // (one adjacent-pair agg + one symbol-count agg + a 1-row argmax
+  // collect), lineage truncated per round. The census carries each
+  // round's n_pair/c_lhs/c_rhs (exact) + floor(score·1e6) + the final
+  // weighted symbol total (conservation: merges only ever reduce it).
+  private val WpRounds = 6
+
+  /** Initial WordPiece symbols: first char bare, continuations `##`-ed. */
+  private[graft] def wpSyms(word: Column): Column =
+    transform(charSyms(word),
+      (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c)))
+
+  /** [[mergePass]] with an explicit fused symbol (WordPiece fusion drops
+    * the rhs's `##`). Fused ≠ lhs always (rhs is nonempty), so a fusion
+    * can never re-trigger within its own pass.
+    */
+  private[graft] def wpMergePass(syms: Column, l: String, r: String,
+                                 fused: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, size(acc)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+          .otherwise(concat(acc, array(x))))
+
+  def q332WordpieceLearn(s: SparkSession, d: String): DataFrame = {
+    val pairStructT = "array<struct<lhs:string,rhs:string>>"
+    var cur = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), wpSyms(col("word")).as("syms"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
+    for (round <- 1 to WpRounds) {
+      val pairs = cur
+        .select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("lhs"),
+                element_at(col("syms"), i + 1).as("rhs"))))
+            .otherwise(array().cast(pairStructT))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+      val symc = cur.select(col("cnt"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("c"))
+      val top = pairs
+        .join(symc.select(col("sym").as("lhs"), col("c").as("c_lhs")), "lhs")
+        .join(symc.select(col("sym").as("rhs"), col("c").as("c_rhs")), "rhs")
+        .withColumn("score",
+          col("n") / (col("c_lhs").cast("double") * col("c_rhs")))
+        .orderBy(col("score").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"WordPiece round $round: no adjacent pairs left")
+      val row = top(0)
+      val (l, r) = (row.getAs[String]("lhs"), row.getAs[String]("rhs"))
+      val fused = l + r.stripPrefix("##")
+      learned += ((round, l, r, row.getAs[Long]("n"),
+        row.getAs[Long]("c_lhs"), row.getAs[Long]("c_rhs"),
+        math.floor(row.getAs[Double]("score") * 1e6).toLong))
+      cur = cur.withColumn("syms", wpMergePass(col("syms"), l, r, fused))
+        .localCheckpoint()
+    }
+    val symsFinal = cur
+      .agg(sum(col("cnt") * size(col("syms")))).head().getLong(0)
+    val spark = s; import spark.implicits._
+    learned.result()
+      .toDF("merge_rank", "lhs", "rhs", "n_pair", "c_lhs", "c_rhs",
+            "score_e6")
+      .withColumn("syms_final", lit(symsFinal))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Unrolled WordPiece rounds: wK = dict symbol strings after K merges
+    * (`,sym,sym` form — symbols never contain a comma, `#` is safe),
+    * cK = weighted symbol counts, mK = the likelihood-ratio argmax.
+    */
+  private val q332Sql: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT ',' || substr(word, 1, 1) ||
+         |    regexp_replace(substr(word, 2), '(.)', ',##\\1', 'g') AS s,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY 1)""".stripMargin
+    val stages = (1 to WpRounds).map { k =>
+      s"""a$k AS (SELECT str_split(substr(s, 2), ',') AS arr, cnt
+         |        FROM w${k - 1}),
+         |p$k AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
+         |         recursive := true), cnt
+         |  FROM a$k),
+         |c$k AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT unnest(arr) AS sym, cnt FROM a$k)
+         |  GROUP BY sym),
+         |m$k AS MATERIALIZED (
+         |  SELECT p.lhs, p.rhs, p.n, cl.c AS c_lhs, cr.c AS c_rhs,
+         |    p.n / (CAST(cl.c AS DOUBLE) * cr.c) AS score
+         |  FROM (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM p$k GROUP BY 1, 2) p
+         |  JOIN c$k cl ON p.lhs = cl.sym
+         |  JOIN c$k cr ON p.rhs = cr.sym
+         |  ORDER BY score DESC, p.lhs, p.rhs LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(s,
+         |      ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
+         |      ',' || (SELECT lhs FROM m$k) ||
+         |        (SELECT CASE WHEN rhs LIKE '##%' THEN substr(rhs, 3)
+         |                     ELSE rhs END FROM m$k)) AS s, cnt
+         |  FROM w${k - 1})""".stripMargin
+    }
+    val union = (1 to WpRounds)
+      .map(k => s"""SELECT $k AS merge_rank, lhs, rhs, n AS n_pair,
+                   |  c_lhs, c_rhs,
+                   |  CAST(floor(score * 1000000) AS BIGINT) AS score_e6
+                   |FROM m$k""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $w0,
+       |${stages.mkString(",\n")},
+       |fin AS (
+       |  SELECT CAST(sum(cnt * (len(s) - len(replace(s, ',', ''))))
+       |    AS BIGINT) AS syms_final
+       |  FROM w$WpRounds)
+       |SELECT u.*, fin.syms_final FROM (
+       |$union
+       |) u CROSS JOIN fin
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_wordpiece_learn" -> (q332WordpieceLearn _),
     "q146_bpe_encode" -> (q146BpeEncode _),
     "q147_bpe_learn" -> (q147BpeLearn _),
     "q224_learned_fertility" -> (q224LearnedFertility _),
     "q307_vocab_curve" -> (q307VocabCurve _))
 
   val oracleSql: Map[String, String] = Map(
+    "q332_wordpiece_learn" -> q332Sql,
     "q146_bpe_encode" -> q146Sql,
     "q147_bpe_learn" -> q147Sql,
     "q224_learned_fertility" -> q224Sql,

@@ -3268,6 +3268,249 @@ object Similarity {
        |ORDER BY p.q_id""".stripMargin
   }
 
+  // ─── q331: HNSW-shape sampled UPPER LAYER for graph serving ──────────
+  // The other production fix for q322's fixed-entry limitation (q325
+  // took the IVF branch): HNSW's hierarchy — a sparse sampled upper
+  // layer with its own small k-NN graph, greedily descended per query
+  // to pick the GROUND-layer entry. Here: 32 md5-sampled vertices
+  // (panel ids excluded so the single entry can never be the probe
+  // itself), exact within-layer top-4 adjacency (a 32×32 bounded
+  // build — the layer is a constant-size structure by design, exactly
+  // like HNSW's top levels), a 2-hop beam-2 walk on the layer from ONE
+  // fixed entry, then the best layer vertex found seeds q322's ground
+  // walk (same 3-hop/beam-4 budget, ONE entry instead of four).
+  // n_visited_hnsw honestly counts BOTH layers' scored vertices. The
+  // census reports the hierarchical and fixed walks side by side over
+  // the q325 40-probe panel plus panel totals — the hierarchy's
+  // cheaper-entry claim lands as oracle-pinned data. At 100 TB the
+  // layer is O(sample) (HNSW keeps ~n/m^level per level), its
+  // adjacency build O(sample²) ≪ corpus, and the per-query descent
+  // adds a constant handful of bp evaluations before the ground walk.
+  private val HnswLayer = 32
+  private val HnswLayerK = 4
+  private val HnswLayerBeam = 2
+  private val HnswLayerHops = 2
+
+  def q331NnHnswServe(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val g = nnGraphFor(s, d)
+    val und = g.select("u", "v")
+      .unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val probes = emb.where(col("vec_id") < NnPanel)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .join(broadcast(probes), "q_id")
+      .where(col("v") =!= col("q_id"))
+      .select(col("q_id"), col("v"), cosBp(col("qe"), col("ve")).as("bp"))
+    def beamOf(vis: DataFrame, width: Int): DataFrame = vis
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= width).drop("rn")
+    def walk(adj: DataFrame, entries: DataFrame, hops: Int,
+             width: Int): DataFrame = {
+      var visited = score(entries).localCheckpoint()
+      for (_ <- 1 to hops) {
+        val nbrs = beamOf(visited, width).select(col("q_id"), col("v").as("u"))
+          .join(adj, "u").select(col("q_id"), col("v")).distinct()
+        visited = visited.unionAll(score(nbrs)).distinct()
+          .localCheckpoint()
+      }
+      visited
+    }
+    // upper layer + its own exact top-K adjacency (32-row bounded build)
+    val layer = emb.where(col("vec_id") >= NnPanel)
+      .select(col("vec_id").as("v"),
+        md5(concat(lit("layer:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(HnswLayer).select("v")
+    val lemb = layer.join(emb.select(col("vec_id").as("v"), col("e")), "v")
+      .localCheckpoint()
+    val lpairs = lemb.select(col("v").as("u"), col("e").as("ue"))
+      .crossJoin(broadcast(lemb.select(col("v"), col("e").as("ve"))))
+      .where(col("u") =!= col("v"))
+      .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+    val ladj = lpairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= HnswLayerK).select("u", "v")
+    val lund = ladj.unionAll(ladj.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val lent = layer
+      .select(col("v"),
+        md5(concat(lit("entry:"), col("v").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(1).select("v")
+    // descend: layer walk picks the ground entry per probe
+    val lvis = walk(lund,
+      probes.select("q_id").crossJoin(broadcast(lent)),
+      HnswLayerHops, HnswLayerBeam)
+    val gent = beamOf(lvis, 1).select("q_id", "v")
+    val gvis = walk(und, gent, NnHops, NnBeam)
+    // fixed 4-entry walk — q322's serve on the same panel
+    val fent = emb
+      .select(col("vec_id").as("v"),
+        md5(concat(lit("entry:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(NnEntries).select("v")
+    val fvis = walk(und,
+      probes.select("q_id").crossJoin(broadcast(fent)), NnHops, NnBeam)
+    val exact = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("q_id", "c_id")
+    def hitsOf(vis: DataFrame, tag: String): DataFrame = {
+      val answer = beamOf(vis, NnBeam).select("q_id", "v")
+      exact.as("x")
+        .join(answer.as("a"), col("x.q_id") === col("a.q_id") &&
+          col("x.c_id") === col("a.v"), "left")
+        .groupBy(col("x.q_id").as("q_id"))
+        .agg(count(col("a.v")).as(s"n_hits_$tag"))
+    }
+    val hvis = lvis.groupBy(col("q_id")).agg(count(lit(1)).as("nl"))
+      .join(gvis.groupBy(col("q_id")).agg(count(lit(1)).as("ng")), "q_id")
+      .select(col("q_id"), (col("nl") + col("ng")).as("n_visited_hnsw"))
+    val per = hitsOf(gvis, "hnsw").join(hvis, "q_id")
+      .join(hitsOf(fvis, "fixed"), "q_id")
+      .join(fvis.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_visited_fixed")), "q_id")
+      .localCheckpoint()
+    val tot = broadcast(per.agg(
+      sum(col("n_hits_hnsw")).as("tot_hits_hnsw"),
+      sum(col("n_visited_hnsw")).as("tot_vis_hnsw"),
+      sum(col("n_hits_fixed")).as("tot_hits_fixed"),
+      sum(col("n_visited_fixed")).as("tot_vis_fixed")))
+    per.crossJoin(tot)
+      .select(col("q_id"), col("n_hits_hnsw"),
+        round(col("n_hits_hnsw") / lit(NnK.toDouble), 4).as("recall_hnsw"),
+        col("n_visited_hnsw"), col("n_hits_fixed"),
+        round(col("n_hits_fixed") / lit(NnK.toDouble), 4).as("recall_fixed"),
+        col("n_visited_fixed"),
+        col("tot_hits_hnsw"), col("tot_vis_hnsw"),
+        col("tot_hits_fixed"), col("tot_vis_fixed"))
+      .orderBy(col("q_id"))
+  }
+
+  val q331Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    def hopsOf(p: String, adj: String, hops: Int, width: Int) =
+      (1 to hops).map { h =>
+        s"""${p}fr${h - 1} AS (
+           |  SELECT q_id, v FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY bp DESC, v) AS rn FROM ${p}vis${h - 1})
+           |  WHERE rn <= $width),
+           |${p}nb$h AS (
+           |  SELECT DISTINCT f.q_id, u2.v FROM ${p}fr${h - 1} f
+           |  JOIN $adj u2 ON f.v = u2.u),
+           |${p}sv$h AS (
+           |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+           |  FROM ${p}nb$h s JOIN emb ev ON s.v = ev.vec_id
+           |  JOIN qprobes q ON s.q_id = q.q_id
+           |  WHERE s.v <> s.q_id),
+           |${p}vis$h AS MATERIALIZED (
+           |  SELECT DISTINCT q_id, v, bp FROM (
+           |    SELECT * FROM ${p}vis${h - 1} UNION ALL
+           |    SELECT * FROM ${p}sv$h))""".stripMargin
+      }.mkString(",\n")
+    def answerOf(p: String, hops: Int) =
+      s"""${p}answer AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM ${p}vis$hops)
+         |  WHERE rn <= $NnBeam),
+         |${p}nvis AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_visited
+         |         FROM ${p}vis$hops GROUP BY q_id),
+         |${p}hits AS (
+         |  SELECT e.q_id, CAST(count(a.v) AS BIGINT) AS n_hits
+         |  FROM exact e LEFT JOIN ${p}answer a
+         |    ON e.q_id = a.q_id AND e.c_id = a.v
+         |  GROUP BY e.q_id)""".stripMargin
+    s"""WITH $nnGraphCtes,
+       |qprobes AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |            WHERE vec_id < $NnPanel),
+       |und AS (SELECT u, v FROM g$NnRounds
+       |        UNION SELECT v, u FROM g$NnRounds),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${bp("q.qe", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM emb c JOIN qprobes q ON c.vec_id <> q.q_id)
+       |  WHERE ern <= $NnK),
+       |layer AS (
+       |  SELECT vec_id AS v, e FROM emb WHERE vec_id >= $NnPanel
+       |  ORDER BY md5('layer:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $HnswLayer),
+       |lpairs AS (
+       |  SELECT x.v AS u, y.v AS v, ${bp("x.e", "y.e")} AS bp
+       |  FROM layer x JOIN layer y ON x.v <> y.v),
+       |ladj AS (
+       |  SELECT u, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS rn FROM lpairs)
+       |  WHERE rn <= $HnswLayerK),
+       |lund AS (SELECT u, v FROM ladj UNION SELECT v, u FROM ladj),
+       |lent AS (
+       |  SELECT v FROM layer
+       |  ORDER BY md5('entry:' || CAST(v AS VARCHAR)), v LIMIT 1),
+       |lvis0 AS MATERIALIZED (
+       |  SELECT q.q_id, l.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM qprobes q CROSS JOIN lent l
+       |  JOIN emb ev ON l.v = ev.vec_id
+       |  WHERE l.v <> q.q_id),
+       |${hopsOf("l", "lund", HnswLayerHops, HnswLayerBeam)},
+       |gent AS (
+       |  SELECT q_id, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bp DESC, v) AS rn FROM lvis$HnswLayerHops)
+       |  WHERE rn <= 1),
+       |gvis0 AS MATERIALIZED (
+       |  SELECT ge.q_id, ge.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM gent ge JOIN emb ev ON ge.v = ev.vec_id
+       |  JOIN qprobes q ON ge.q_id = q.q_id
+       |  WHERE ge.v <> ge.q_id),
+       |${hopsOf("g", "und", NnHops, NnBeam)},
+       |${answerOf("g", NnHops)},
+       |lnvis AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_lvis
+       |          FROM lvis$HnswLayerHops GROUP BY q_id),
+       |entries AS (
+       |  SELECT vec_id AS v FROM emb
+       |  ORDER BY md5('entry:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NnEntries),
+       |fvis0 AS MATERIALIZED (
+       |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM qprobes q CROSS JOIN entries en
+       |  JOIN emb ev ON en.v = ev.vec_id
+       |  WHERE en.v <> q.q_id),
+       |${hopsOf("f", "und", NnHops, NnBeam)},
+       |${answerOf("f", NnHops)},
+       |per AS MATERIALIZED (
+       |  SELECT g.q_id, g.n_hits AS n_hits_hnsw,
+       |    ln.n_lvis + gn.n_visited AS n_visited_hnsw,
+       |    f.n_hits AS n_hits_fixed,
+       |    fn.n_visited AS n_visited_fixed
+       |  FROM ghits g JOIN gnvis gn ON g.q_id = gn.q_id
+       |  JOIN lnvis ln ON g.q_id = ln.q_id
+       |  JOIN fhits f ON g.q_id = f.q_id
+       |  JOIN fnvis fn ON g.q_id = fn.q_id),
+       |tot AS (
+       |  SELECT CAST(sum(n_hits_hnsw) AS BIGINT) AS tot_hits_hnsw,
+       |    CAST(sum(n_visited_hnsw) AS BIGINT) AS tot_vis_hnsw,
+       |    CAST(sum(n_hits_fixed) AS BIGINT) AS tot_hits_fixed,
+       |    CAST(sum(n_visited_fixed) AS BIGINT) AS tot_vis_fixed
+       |  FROM per)
+       |SELECT p.q_id, p.n_hits_hnsw,
+       |  round(p.n_hits_hnsw / $NnK.0, 4) AS recall_hnsw,
+       |  p.n_visited_hnsw, p.n_hits_fixed,
+       |  round(p.n_hits_fixed / $NnK.0, 4) AS recall_fixed,
+       |  p.n_visited_fixed,
+       |  tot_hits_hnsw, tot_vis_hnsw, tot_hits_fixed, tot_vis_fixed
+       |FROM per p CROSS JOIN tot
+       |ORDER BY p.q_id""".stripMargin
+  }
+
   // ─── q324: incremental k-NN-graph maintenance (insert a batch) ───────
   // q317's trainer is train-once; a production corpus GROWS. Retraining
   // the whole graph per ingest batch is O(corpus); the maintenance path
@@ -3518,6 +3761,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q325_nn_ivf_entry_serve" -> (q325NnIvfEntryServe _),
+    "q331_nn_hnsw_serve" -> (q331NnHnswServe _),
     "q324_nn_incremental_insert" -> (q324NnIncrementalInsert _),
     "q322_nn_beam_serve" -> (q322NnBeamServe _),
     "q317_nndescent_knn" -> (q317NnDescentKnn _),
@@ -3554,6 +3798,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "q325_nn_ivf_entry_serve" -> q325Sql,
+    "q331_nn_hnsw_serve" -> q331Sql,
     "q324_nn_incremental_insert" -> q324Sql,
     "q322_nn_beam_serve" -> q322Sql,
     "q317_nndescent_knn" -> q317Sql,

@@ -953,9 +953,18 @@ object Multimodal {
   //
   // At 100 TB: payloads never shuffle (synth → encode → decode → 6
   // peaks inside one partition iterator); matching joins fixed-width
-  // tokens. The toy 15-bin spectrum gives ~10² distinct tokens — a
-  // production 1024-bin FFT gives ~10⁶, which is what makes the token
-  // equi-join banded (q45's discipline) rather than hot.
+  // tokens. Constellation CANDIDATES come from 4-peak contiguous
+  // WINDOWS, not single tokens: the toy 15-bin spectrum has only ~450
+  // distinct (pa, pb, gap) tokens, so a token-bucket pair join is
+  // corpus-quadratic (the r11 decade-1 soak MEASURED it: exponent 1.49,
+  // 18.6 → 576 s at 10×), while the 15⁴ ≈ 5·10⁴ window space — ~10¹²
+  // for a production 1024-bin FFT, Shazam's actual ~2³⁰-hash shape —
+  // keeps buckets near-dup-sized. The ≥8-of-13 min-count token score
+  // then verifies ONLY candidate pairs (two equi-joins keyed by clip +
+  // token). Amp copies share every window (identical peaks); rotated
+  // copies share every window not crossing the rotation wrap; scattered
+  // coincidental 8-token matches with no shared 4-window are no longer
+  // surfaced — by design, both engines alike.
   private val AcFrames = 8
   private val AcN = 32
   private val AcBins = 15
@@ -1102,11 +1111,25 @@ object Multimodal {
       .select(col("clip_id"), col("tk.pa"), col("tk.pb"), col("tk.gap"))
     val tokCnt = tok.groupBy("clip_id", "pa", "pb", "gap")
       .agg(count(lit(1)).as("n"))
-    val shz = tokCnt.as("a").join(tokCnt.as("b"),
+    // candidates on near-unique 4-peak windows; verify by token score
+    val wnd = pk.select(col("clip_id"), explode(expr(
+        s"transform(sequence(1, ${F - 3}), i -> " +
+          "concat_ws(':', element_at(peaks, i), " +
+          "element_at(peaks, cast(i + 1 AS int)), " +
+          "element_at(peaks, cast(i + 2 AS int)), " +
+          "element_at(peaks, cast(i + 3 AS int))))")).as("w"))
+      .distinct()
+    val cand = wnd.as("wa").join(wnd.as("wb"),
+        col("wa.w") === col("wb.w") &&
+        col("wa.clip_id") < col("wb.clip_id"))
+      .select(col("wa.clip_id").as("ca"), col("wb.clip_id").as("cb"))
+      .distinct()
+    val shz = cand
+      .join(tokCnt.as("a"), col("ca") === col("a.clip_id"))
+      .join(tokCnt.as("b"), col("cb") === col("b.clip_id") &&
         col("a.pa") === col("b.pa") && col("a.pb") === col("b.pb") &&
-        col("a.gap") === col("b.gap") &&
-        col("a.clip_id") < col("b.clip_id"))
-      .groupBy(col("a.clip_id").as("a"), col("b.clip_id").as("b"))
+        col("a.gap") === col("b.gap"))
+      .groupBy(col("ca").as("a"), col("cb").as("b"))
       .agg(sum(least(col("a.n"), col("b.n"))).as("score"))
       .where(col("score") >= AcThresh)
       .select("a", "b")
@@ -1179,11 +1202,20 @@ object Multimodal {
        |tokcnt AS (
        |  SELECT clip_id, pa, pb, gap, CAST(count(*) AS BIGINT) AS n
        |  FROM tok GROUP BY clip_id, pa, pb, gap),
+       |wnd AS (
+       |  SELECT DISTINCT clip_id,
+       |    concat_ws(':', pks[i], pks[i + 1], pks[i + 2], pks[i + 3]) AS w
+       |  FROM pseq, unnest(range(1, ${AcFrames - 2})) u(i)),
+       |cand AS (
+       |  SELECT DISTINCT wa.clip_id AS ca, wb.clip_id AS cb
+       |  FROM wnd wa JOIN wnd wb
+       |    ON wa.w = wb.w AND wa.clip_id < wb.clip_id),
        |shz AS (
-       |  SELECT a.clip_id AS a, b.clip_id AS b
-       |  FROM tokcnt a JOIN tokcnt b
-       |    ON a.pa = b.pa AND a.pb = b.pb AND a.gap = b.gap
-       |    AND a.clip_id < b.clip_id
+       |  SELECT c.ca AS a, c.cb AS b
+       |  FROM cand c
+       |  JOIN tokcnt a ON a.clip_id = c.ca
+       |  JOIN tokcnt b ON b.clip_id = c.cb
+       |    AND a.pa = b.pa AND a.pb = b.pb AND a.gap = b.gap
        |  GROUP BY 1, 2
        |  HAVING sum(least(a.n, b.n)) >= $AcThresh),
        |fpv AS (

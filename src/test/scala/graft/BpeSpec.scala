@@ -75,6 +75,36 @@ class BpeSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("WordPiece: position-marked symbols, ##-dropping fusion, " +
+       "driver reference agrees with the fold") {
+    // reference fusion: one left-to-right pass; fused = l + r minus ##
+    def refWp(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val init = word.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c }
+      merges.foldLeft(init: Seq[String]) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.Buffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r)
+            out(out.length - 1) = l + s.stripPrefix("##")
+          else out += s
+        }
+        out.toSeq
+      }
+    }
+    val merges = Seq("t" -> "##h", "th" -> "##e", "##i" -> "##n")
+    val words = Seq("the", "thin", "tint", "bathing", "t", "h")
+    val got = words.toDF("w")
+      .select(col("w"),
+        merges.foldLeft(Bpe.wpSyms(col("w"))) { case (s, (l, r)) =>
+          Bpe.wpMergePass(s, l, r, l + r.stripPrefix("##")) }.as("enc"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(got(w) == refWp(w, merges), s"word '$w'"))
+    // position marking distinguishes initial from medial: word-initial
+    // "th" fused; medial "##t ##h" untouched by the (t, ##h) merge
+    assert(got("the") == Seq("the"))
+    assert(got("bathing") == Seq("b", "##a", "##t", "##h", "##in", "##g"))
+  }
+
   test("encoding is lossless over the whole sf0.001 corpus") {
     val words = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
