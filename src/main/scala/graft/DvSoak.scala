@@ -80,6 +80,32 @@ object DvSoak {
       .write.format("noop").mode("overwrite").save()
   }
 
+  /** Operator-only CDC apply (q328's applyCdcVersion with a FIXED
+    * 18-row batch): where the q328 fixture's waves grow WITH the corpus
+    * (rows_suppressed ∝ documents — its near-1 decade exponents price
+    * the fixture, by design), this holds the batch constant so the
+    * exponent prices exactly the claim "one micro-batch costs O(batch +
+    * touched files), not O(table)". Deletes/updates hit ids < 500
+    * (stats-pruned to buckets 0–4 at every SF); inserts land at +1e6.
+    */
+  private def cdcOperator(s: SparkSession, table: String): Unit = {
+    import s.implicits._
+    val batch =
+      (Dv1Ids.map(id => (id, "en", 100L, id / 100, "D")) ++
+       Seq(5L, 410L, 233L).map(id => (id, "en", 777L, id / 100, "U")) ++
+       Seq(1000001L, 1000002L, 1000003L)
+         .map(id => (id, "en", 50L, 10000L, "I")))
+        .toDF("doc_id", "lang", "n_chars", "b", "op")
+        .repartition(4, col("b"))
+    SnapshotStore.applyCdcVersion(s, table, batch, Seq("doc_id"), "op", 2)
+    SnapshotStore.read(s, table)
+      .where(col("b") <= 5 || col("b") === 10000L)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DvSoak <sfDirCsv> <workDir>")
     val sfDirs = args(0).split(",").toSeq
@@ -105,19 +131,33 @@ object DvSoak {
         operator(spark, table)
         (System.nanoTime() - t0) / 1e9
       }.min
-      System.err.println(f"[dvsoak] $sfDir: $t%.3f s")
-      sfDir -> t
+      resetToV1(spark, table); cdcOperator(spark, table) // warm-up
+      val tc = (1 to passes).map { _ =>
+        resetToV1(spark, table)
+        val t0 = System.nanoTime()
+        cdcOperator(spark, table)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      System.err.println(f"[dvsoak] $sfDir: dv $t%.3f s, cdc $tc%.3f s")
+      (sfDir, t, tc)
     }
     def fmt(v: Double) = f"$v%.3f"
-    val decades = secs.sliding(2).collect { case Seq((d0, t0), (d1, t1)) =>
-      s""""${d0.split('/').last}_to_${d1.split('/').last}":""" +
-        s"""{"base":${fmt(t0)},"soak":${fmt(t1)},"ratio":${fmt(t1 / t0)},""" +
-        s""""exponent":${fmt(math.log(t1 / t0) / math.log(10.0))}}"""
-    }.mkString(",")
-    val runs = secs.map { case (d, t) =>
-      s""""${d.split('/').last}":${fmt(t)}""" }.mkString(",")
-    val out = s"""{"metric":"dv_delete_operator_soak","passes":$passes,""" +
-      s""""seconds":{$runs},"decades":{$decades}}"""
+    def decadesOf(pick: ((String, Double, Double)) => Double) =
+      secs.sliding(2).collect { case Seq(a, b) =>
+        val (t0, t1) = (pick(a), pick(b))
+        s""""${a._1.split('/').last}_to_${b._1.split('/').last}":""" +
+          s"""{"base":${fmt(t0)},"soak":${fmt(t1)},"ratio":${fmt(t1 / t0)},""" +
+          s""""exponent":${fmt(math.log(t1 / t0) / math.log(10.0))}}"""
+      }.mkString(",")
+    def runsOf(pick: ((String, Double, Double)) => Double) =
+      secs.map(r => s""""${r._1.split('/').last}":${fmt(pick(r))}""")
+        .mkString(",")
+    val out =
+      s"""{"metric":"dv_operator_soak","passes":$passes,""" +
+      s""""dv_delete":{"seconds":{${runsOf(_._2)}},""" +
+      s""""decades":{${decadesOf(_._2)}}},""" +
+      s""""cdc_apply":{"seconds":{${runsOf(_._3)}},""" +
+      s""""decades":{${decadesOf(_._3)}}}}"""
     val runKey = sys.env.getOrElse("SPARK_GRAFT_SOAK_KEY", "dv_operator")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"SOAK_$runKey.json"), out)

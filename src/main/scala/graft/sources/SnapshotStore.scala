@@ -1384,8 +1384,47 @@ object SnapshotStore {
       ops.as("_op"): _*)
     val upserts = conformed.where(col("_op").isin("I", "U")).drop("_op")
     val fileLines = lines.drop(3).filter(_.nonEmpty)
-    val allFiles = fileLines.map(_.split('\t')(0))
+    val allFilesUnpruned = fileLines.map(_.split('\t')(0))
     val refs = dvRefsOf(fileLines)
+    // A micro-batch is SMALL by nature — when its (single, integral)
+    // key set fits a driver-side cap, min/max file stats prune the
+    // pre-image discovery to candidate files exactly like [[dvDelete]],
+    // so one batch against a 100 TB table opens only the files whose
+    // range can hold a batch key. Multi-column / non-integral keys or
+    // an oversized batch fall back to the full key-column scan (the
+    // mergeMoR path — correct at any size, just not file-pruned).
+    val CdcPruneCap = 10000
+    val allFiles: Seq[String] =
+      if (keyCols.size != 1 || fileLines.isEmpty) allFilesUnpruned
+      else {
+        val kc = keyCols.head
+        val integral = schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(kc) && (f.dataType.simpleString match {
+            case "tinyint" | "smallint" | "int" | "bigint" => true
+            case _ => false
+          }))
+        if (!integral) allFilesUnpruned
+        else {
+          // null keys equi-join-match nothing — they can't suppress,
+          // so they don't constrain pruning either
+          val ks = conformed.select(col(kc).cast("long"))
+            .where(col(kc).isNotNull).distinct()
+            .limit(CdcPruneCap + 1).collect().map(_.getLong(0))
+          if (ks.length > CdcPruneCap) allFilesUnpruned
+          else {
+            val sorted = ks.sorted
+            val stats = statsOf(spark, table, v).toMap
+            allFilesUnpruned.filter { p =>
+              stats(p).get(kc).forall { case (mn, mx) =>
+                // any batch key in [mn, mx]? binary search the sorted keys
+                val i = java.util.Arrays.binarySearch(sorted, mn)
+                val at = if (i >= 0) i else -i - 1
+                at < sorted.length && sorted(at) <= mx
+              }
+            }
+          }
+        }
+      }
     val dataDir = new Path(new Path(table), f"snap-v$version%05d")
     val dvDir = new Path(dataDir,
       "_dv-" + java.util.UUID.randomUUID.toString.take(8)).toString
