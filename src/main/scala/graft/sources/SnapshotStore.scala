@@ -1629,11 +1629,13 @@ object SnapshotStore {
       |    (SELECT CAST(count(*) AS BIGINT) FROM d
       |       WHERE doc_id % 37 = 0 OR doc_id % 41 = 0) AS rows_supp_b1,
       |    (SELECT CAST(count(*) AS BIGINT) FROM d
-      |       WHERE (doc_id % 41 = 0 AND doc_id % 37 <> 0)
-      |          OR doc_id % 43 = 0) AS rows_app_b1,
+      |       WHERE doc_id % 41 = 0 AND doc_id % 37 <> 0)
+      |     + (SELECT CAST(count(*) AS BIGINT) FROM d
+      |        WHERE doc_id % 43 = 0) AS rows_app_b1,
       |    (SELECT CAST(count(*) AS BIGINT) FROM d
-      |       WHERE (doc_id % 53 = 0 AND doc_id % 37 <> 0)
-      |          OR doc_id % 86 = 0) AS rows_supp_b2,
+      |       WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0)
+      |     + (SELECT CAST(count(*) AS BIGINT) FROM d
+      |        WHERE doc_id % 86 = 0) AS rows_supp_b2,
       |    (SELECT CAST(count(*) AS BIGINT) FROM d
       |       WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0) AS rows_app_b2,
       |    (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_rows_v1,
