@@ -120,6 +120,7 @@ object Bench {
     ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
+    sources.SnapshotStore.clearCdcCache()
     // timed passes, PASS-MAJOR (see protocol note above). A failed query
     // is decided after its first failure — remaining passes would burn
     // the same failure latency for the same -1.
@@ -142,6 +143,7 @@ object Bench {
       ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
+    sources.SnapshotStore.clearCdcCache()
     }
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name) || times(name).isEmpty) -1.0

@@ -167,6 +167,7 @@ object ScaleSoak {
       ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
+    sources.SnapshotStore.clearCdcCache()
       (1 to passes).foreach { _ =>
         names.foreach { case (n, fn) =>
           val t0 = System.nanoTime()
@@ -179,6 +180,7 @@ object ScaleSoak {
         ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
+    sources.SnapshotStore.clearCdcCache()
       }
       times.view.mapValues(_.min).toMap
     }

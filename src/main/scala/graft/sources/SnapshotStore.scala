@@ -1531,46 +1531,70 @@ object SnapshotStore {
   // filesystem zero-rewrite proof), the DV/append counters per wave are
   // derived relationally by the twin from the bucket layout, and
   // n_rows_v1/v2/v3 pin time travel across micro-batch versions.
+  /** The q328/q329 two-wave CDC fixture, staged ONCE per (session, SF
+    * dir) — the kmeansFor/nnGraphFor memo discipline: q328 censuses the
+    * counters and q329 consumes the change feed of the SAME immutable
+    * 3-version table, so the suite prices the publish + waves once.
+    * Cleared at bench/soak pass boundaries like every session memo.
+    */
+  private val cdcFixtureMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, Int, CdcApplyStats, CdcApplyStats,
+                           CdcApplyStats)]
+  def clearCdcCache(): Unit = cdcFixtureMemo.clear()
+
+  private def cdcFixtureFor(s: SparkSession, d: String)
+      : (String, Int, CdcApplyStats, CdcApplyStats, CdcApplyStats) =
+    cdcFixtureMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcfix"
+      val tableP = new Path(table)
+      fs(s, tableP).delete(tableP, true)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("b", floor(col("doc_id") / 100).cast("long"))
+        .repartition(8, col("b"))
+      publish(docs, table, partitionBy = Seq("b"))
+      // v1's data-file count BEFORE any wave — the zero-rewrite proof
+      // compares the post-wave filesystem against this
+      val v1Files = listParquet(fs(s, tableP),
+        new Path(table, "snap-v00001")).size
+      def feed(rows: DataFrame) = rows.repartition(8, col("b"))
+      val b1 = feed(
+        docs.where(pmod(col("doc_id"), lit(37)) === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("b"),
+                  lit("D").as("op"))
+        .unionByName(docs
+          .where(pmod(col("doc_id"), lit(41)) === 0 &&
+                 pmod(col("doc_id"), lit(37)) =!= 0)
+          .select(col("doc_id"), col("lang"),
+                  (col("n_chars") * 2 + 5).as("n_chars"), col("b"),
+                  lit("U").as("op")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(43)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                  (col("n_chars") + 11).as("n_chars"),
+                  (col("b") + 10000L).as("b"), lit("I").as("op"))))
+      val st1 = applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
+      val replay = applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
+      val b2 = feed(
+        docs.where(pmod(col("doc_id"), lit(86)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+                  col("n_chars"), (col("b") + 10000L).as("b"),
+                  lit("D").as("op"))
+        .unionByName(docs
+          .where(pmod(col("doc_id"), lit(53)) === 0 &&
+                 pmod(col("doc_id"), lit(37)) =!= 0)
+          .select(col("doc_id"), col("lang"),
+                  (when(pmod(col("doc_id"), lit(41)) === 0,
+                        col("n_chars") * 2 + 5).otherwise(col("n_chars")) + 3)
+                    .as("n_chars"),
+                  col("b"), lit("U").as("op"))))
+      val st2 = applyCdcVersion(s, table, b2, Seq("doc_id"), "op", 3)
+      (table, v1Files, st1, st2, replay)
+    })
+
   def q328StreamingCdcIngest(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcstream"
+    val (table, v1Files, st1, st2, replay) = cdcFixtureFor(s, d)
     val tableP = new Path(table)
-    fs(s, tableP).delete(tableP, true)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("b", floor(col("doc_id") / 100).cast("long"))
-      .repartition(8, col("b"))
-    publish(docs, table, partitionBy = Seq("b"))
     val v1Dir = new Path(table, "snap-v00001")
-    val v1Files = listParquet(fs(s, tableP), v1Dir).size
-    def feed(rows: DataFrame) = rows.repartition(8, col("b"))
-    val b1 = feed(
-      docs.where(pmod(col("doc_id"), lit(37)) === 0)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("b"),
-                lit("D").as("op"))
-      .unionByName(docs
-        .where(pmod(col("doc_id"), lit(41)) === 0 && pmod(col("doc_id"), lit(37)) =!= 0)
-        .select(col("doc_id"), col("lang"),
-                (col("n_chars") * 2 + 5).as("n_chars"), col("b"),
-                lit("U").as("op")))
-      .unionByName(docs.where(pmod(col("doc_id"), lit(43)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-                (col("n_chars") + 11).as("n_chars"),
-                (col("b") + 10000L).as("b"), lit("I").as("op"))))
-    val st1 = applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
-    val replay = applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
-    val b2 = feed(
-      docs.where(pmod(col("doc_id"), lit(86)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-                col("n_chars"), (col("b") + 10000L).as("b"),
-                lit("D").as("op"))
-      .unionByName(docs
-        .where(pmod(col("doc_id"), lit(53)) === 0 && pmod(col("doc_id"), lit(37)) =!= 0)
-        .select(col("doc_id"), col("lang"),
-                (when(pmod(col("doc_id"), lit(41)) === 0,
-                      col("n_chars") * 2 + 5).otherwise(col("n_chars")) + 3)
-                  .as("n_chars"),
-                col("b"), lit("U").as("op"))))
-    val st2 = applyCdcVersion(s, table, b2, Seq("doc_id"), "op", 3)
     val v1OnDisk = listParquet(fs(s, tableP), v1Dir).size
     read(s, table)
       .where(col("b") <= 5 || col("b").between(10000, 10005))
@@ -1786,7 +1810,8 @@ object SnapshotStore {
   }
 
   // ─── q329: O(delta) change feed over the streaming-CDC history ───────
-  // The consumption side of q328: replay the same two MoR waves, then
+  // The consumption side of q328: over the SAME two-wave fixture table
+  // (shared session memo — staged once, both queries consume it),
   // read the CHANGE FEED for each commit step and census it by (version,
   // change_type) with payload checksums. The twin derives every class
   // from the wave predicates — insert/delete/update_pre/update_post
@@ -1796,44 +1821,7 @@ object SnapshotStore {
   // round-trip law (replaying the feed over v1 reproduces v3) is
   // spec-pinned in SnapshotStoreSpec, including a copy-on-write step.
   def q329ChangeFeed(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdf"
-    val tableP = new Path(table)
-    fs(s, tableP).delete(tableP, true)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("b", floor(col("doc_id") / 100).cast("long"))
-      .repartition(8, col("b"))
-    publish(docs, table, partitionBy = Seq("b"))
-    def feed(rows: DataFrame) = rows.repartition(8, col("b"))
-    val b1 = feed(
-      docs.where(pmod(col("doc_id"), lit(37)) === 0)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("b"),
-                lit("D").as("op"))
-      .unionByName(docs
-        .where(pmod(col("doc_id"), lit(41)) === 0 &&
-               pmod(col("doc_id"), lit(37)) =!= 0)
-        .select(col("doc_id"), col("lang"),
-                (col("n_chars") * 2 + 5).as("n_chars"), col("b"),
-                lit("U").as("op")))
-      .unionByName(docs.where(pmod(col("doc_id"), lit(43)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-                (col("n_chars") + 11).as("n_chars"),
-                (col("b") + 10000L).as("b"), lit("I").as("op"))))
-    applyCdcVersion(s, table, b1, Seq("doc_id"), "op", 2)
-    val b2 = feed(
-      docs.where(pmod(col("doc_id"), lit(86)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
-                col("n_chars"), (col("b") + 10000L).as("b"),
-                lit("D").as("op"))
-      .unionByName(docs
-        .where(pmod(col("doc_id"), lit(53)) === 0 &&
-               pmod(col("doc_id"), lit(37)) =!= 0)
-        .select(col("doc_id"), col("lang"),
-                (when(pmod(col("doc_id"), lit(41)) === 0,
-                      col("n_chars") * 2 + 5).otherwise(col("n_chars")) + 3)
-                  .as("n_chars"),
-                col("b"), lit("U").as("op"))))
-    applyCdcVersion(s, table, b2, Seq("doc_id"), "op", 3)
+    val (table, _, _, _, _) = cdcFixtureFor(s, d)
     changeFeed(s, table, 1, 3, Seq("doc_id"))
       .groupBy(col("_commit_version").as("version"),
                col("_change_type").as("change_type"))
