@@ -702,19 +702,21 @@ object PlanLint {
     // discovery + touched count + staged write/stats + census
     "q214_snapshot_merge" -> 16, "q215_snapshot_delete" -> 12,
     // publish (stage + stats) + 2 dvDelete waves (checkpoint + touched
-    // collect + DV write + count each) + census write (measured 11)
-    "q318_deletion_vectors" -> 14,
+    // collect + cumulative-DV checkpoint + size probe + DV write + count
+    // each) + census write (measured 15 after the stageDv size probe)
+    "q318_deletion_vectors" -> 18,
     // MoR merge: publish (stage+stats) + dup probe + DV checkpoint +
-    // touched collect + DV count + append stage/stats + DV write + census
-    "q323_merge_on_read" -> 16,
+    // touched collect + DV count + append stage/stats + DV size probe +
+    // DV write + census
+    "q323_merge_on_read" -> 18,
     // streaming-CDC batch twin: publish (stage+stats) + 2 applyCdc waves
     // (op probe + dup probe + DV checkpoint + touched collect + DV count
-    // + isEmpty probe + append stage/stats + DV write each) + a no-op
-    // replay (zero actions) + census write
-    "q328_streaming_cdc_ingest" -> 26,
+    // + isEmpty probe + append stage/stats + DV size probe + DV write
+    // each) + a no-op replay (zero actions) + census write
+    "q328_streaming_cdc_ingest" -> 28,
     // change-feed twin: q328's publish + 2 applyCdc waves, then 2
     // feed steps (manifest parses are fs reads, not actions) + census
-    "q329_change_feed" -> 28,
+    "q329_change_feed" -> 30,
     // capstone funnel: CC fixpoint + LR epochs + 7 stage-boundary
     // checkpoints + plant-offset guard max() + census write
     // (measured 22 fresh-session)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    (chained higher-order `aggregate` calls — codegen-planned
   *    projection, no UDF); the DuckDB oracle implements the SAME contract
   *    completely differently, as a delimiter-anchored `replace` chain
-  *    over `,sym,sym,…` strings. Identical output ⇒ the merge semantics
+  *    over `,sym,,sym,…` strings. Identical output ⇒ the merge semantics
   *    match, not the implementation.
   *
   *  - LEARN (q147): train the merge table itself. The corpus is read
@@ -71,13 +71,32 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
-  /** The oracle's form of the same pass: symbols ride as `,a,b,c` (comma
-    * BEFORE each symbol, none after — the asymmetry is load-bearing: a
-    * trailing delimiter would be shared between adjacent matches and
-    * break left-to-right non-overlap parity for runs like `a a a a`).
+  /** The oracle's form of the same pass: symbols ride as `,a,,b,,c,` —
+    * joined by a DOUBLE comma, wrapped in single commas. Every symbol is
+    * delimited on BOTH sides, so the pattern `,lhs,,rhs,` can only match
+    * whole symbols (with the old `,a,b,c` form, a dict symbol that
+    * merely STARTED with rhs — e.g. rhs=`e` inside `er` — falsely fused
+    * and split its tail). The trailing comma of a match is only ever the
+    * FIRST half of the next `,,` separator (or the final wrap comma), so
+    * the remaining input still opens with `,sym,,…` and adjacent runs
+    * like `a a a a` keep left-to-right non-overlap parity with the
+    * engine's fold — the property a fully-consumed shared delimiter
+    * would break.
     */
   private def mergeSqlPass(inner: String, l: String, r: String): String =
-    s"replace($inner, ',$l,$r', ',$l$r')"
+    s"replace($inner, ',$l,,$r,', ',$l$r,')"
+
+  /** Word → the oracle's double-comma symbol string: `abc` → `,a,,b,,c,`. */
+  private def charSymsSql(wordExpr: String): String =
+    s"',' || substr(regexp_replace($wordExpr, '(.)', ',,\\1', 'g'), 2) || ','"
+
+  /** Symbol string → DuckDB list of symbols: `,a,,bc,` → [a, bc]. */
+  private def symsArrSql(sExpr: String): String =
+    s"str_split(trim($sExpr, ','), ',,')"
+
+  /** Weighted token count off the carrier: commas = 2 × symbols. */
+  private def nTokensSql(sExpr: String): String =
+    s"((length($sExpr) - length(replace($sExpr, ',', ''))) // 2)"
 
   // ─── q146: encode with a fixed merge table ────────────────────────────
 
@@ -133,21 +152,21 @@ object Bpe {
       .orderBy(col("lang"))
 
   private val q146Sql: String = {
-    val probeInner = "regexp_replace('interesting', '(.)', ',\\1', 'g')"
+    val probeInner = charSymsSql("'interesting'")
     s"""WITH vocab AS (
        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
        |  GROUP BY 1, 2
        |), enc AS (
        |  SELECT lang, cnt, cnt * length(word) AS wc,
-       |         ${encodeSqlChain("regexp_replace(word, '(.)', ',\\1', 'g')")} AS s
+       |         ${encodeSqlChain(charSymsSql("word"))} AS s
        |  FROM vocab
        |)
        |SELECT lang,
        |  CAST(sum(cnt) AS BIGINT) AS n_words,
        |  CAST(sum(wc) AS BIGINT) AS n_chars,
-       |  CAST(sum(cnt * (length(s) - length(replace(s, ',', '')))) AS BIGINT) AS n_tokens,
-       |  replace(substr(${encodeSqlChain(probeInner)}, 2), ',', ' ') AS probe
+       |  CAST(sum(cnt * ${nTokensSql("s")}) AS BIGINT) AS n_tokens,
+       |  replace(trim(${encodeSqlChain(probeInner)}, ','), ',,', ' ') AS probe
        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -202,7 +221,7 @@ object Bpe {
   private val q147Sql: String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT regexp_replace(word, '(.)', ',\\1', 'g') AS s,
+         |  SELECT ${charSymsSql("word")} AS s,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
          |  GROUP BY 1)""".stripMargin
@@ -211,13 +230,14 @@ object Bpe {
          |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
          |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
          |         recursive := true), cnt
-         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt FROM w${k - 1})),
+         |  FROM (SELECT ${symsArrSql("s")} AS arr, cnt FROM w${k - 1})),
          |m$k AS MATERIALIZED (
          |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n FROM p$k
          |  GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT replace(s, ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
-         |                 ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS s, cnt
+         |  SELECT replace(s,
+         |      ',' || (SELECT lhs FROM m$k) || ',,' || (SELECT rhs FROM m$k) || ',',
+         |      ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k) || ',') AS s, cnt
          |  FROM w${k - 1})""".stripMargin
     }
     val union = (1 to LearnRounds)
@@ -275,7 +295,7 @@ object Bpe {
   private val q224Sql: String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT lang, regexp_replace(word, '(.)', ',\\1', 'g') AS s,
+         |  SELECT lang, ${charSymsSql("word")} AS s,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
          |  GROUP BY 1, 2)""".stripMargin
@@ -284,14 +304,15 @@ object Bpe {
          |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
          |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
          |         recursive := true), cnt
-         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt FROM w${k - 1})),
+         |  FROM (SELECT ${symsArrSql("s")} AS arr, cnt FROM w${k - 1})),
          |m$k AS MATERIALIZED (
          |  SELECT lhs, rhs FROM p$k
          |  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
          |w$k AS MATERIALIZED (
          |  SELECT lang,
-         |    replace(s, ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
-         |            ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS s, cnt
+         |    replace(s,
+         |      ',' || (SELECT lhs FROM m$k) || ',,' || (SELECT rhs FROM m$k) || ',',
+         |      ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k) || ',') AS s, cnt
          |  FROM w${k - 1})""".stripMargin
     }
     s"""WITH $w0,
@@ -299,7 +320,7 @@ object Bpe {
        |SELECT lang,
        |  CAST(sum(cnt) AS BIGINT) AS n_words,
        |  CAST(sum(cnt * (length(replace(s, ',', '')))) AS BIGINT) AS n_chars,
-       |  CAST(sum(cnt * (length(s) - length(replace(s, ',', '')))) AS BIGINT)
+       |  CAST(sum(cnt * ${nTokensSql("s")}) AS BIGINT)
        |    AS n_tokens
        |FROM w$LearnRounds GROUP BY lang ORDER BY lang""".stripMargin
   }
@@ -349,7 +370,7 @@ object Bpe {
   private val q307Sql: String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
-         |  SELECT regexp_replace(word, '(.)', ',\\1', 'g') AS s,
+         |  SELECT ${charSymsSql("word")} AS s,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
          |  GROUP BY 1)""".stripMargin
@@ -358,13 +379,14 @@ object Bpe {
          |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
          |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
          |         recursive := true), cnt
-         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt FROM w${k - 1})),
+         |  FROM (SELECT ${symsArrSql("s")} AS arr, cnt FROM w${k - 1})),
          |m$k AS MATERIALIZED (
          |  SELECT lhs, rhs FROM p$k
          |  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT replace(s, ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
-         |                 ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS s, cnt
+         |  SELECT replace(s,
+         |      ',' || (SELECT lhs FROM m$k) || ',,' || (SELECT rhs FROM m$k) || ',',
+         |      ',' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k) || ',') AS s, cnt
          |  FROM w${k - 1})""".stripMargin
     }
     val union = CurveKs.map { k =>
@@ -372,7 +394,7 @@ object Bpe {
          |  CAST(sum(cnt) AS BIGINT) AS n_words,
          |  CAST(sum(cnt * length(replace(s, ',', ''))) AS BIGINT)
          |    AS n_chars,
-         |  CAST(sum(cnt * (length(s) - length(replace(s, ',', ''))))
+         |  CAST(sum(cnt * ${nTokensSql("s")})
          |    AS BIGINT) AS n_tokens
          |FROM w$k""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -475,19 +497,20 @@ object Bpe {
   }
 
   /** Unrolled WordPiece rounds: wK = dict symbol strings after K merges
-    * (`,sym,sym` form — symbols never contain a comma, `#` is safe),
-    * cK = weighted symbol counts, mK = the likelihood-ratio argmax.
+    * (double-comma `,sym,,sym,` form — see [[mergeSqlPass]]; symbols
+    * never contain a comma, `#` is safe), cK = weighted symbol counts,
+    * mK = the likelihood-ratio argmax.
     */
   private val q332Sql: String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
          |  SELECT ',' || substr(word, 1, 1) ||
-         |    regexp_replace(substr(word, 2), '(.)', ',##\\1', 'g') AS s,
+         |    regexp_replace(substr(word, 2), '(.)', ',,##\\1', 'g') || ',' AS s,
          |    CAST(count(*) AS BIGINT) AS cnt
          |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
          |  GROUP BY 1)""".stripMargin
     val stages = (1 to WpRounds).map { k =>
-      s"""a$k AS (SELECT str_split(substr(s, 2), ',') AS arr, cnt
+      s"""a$k AS (SELECT ${symsArrSql("s")} AS arr, cnt
          |        FROM w${k - 1}),
          |p$k AS (
          |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
@@ -508,10 +531,10 @@ object Bpe {
          |  ORDER BY score DESC, p.lhs, p.rhs LIMIT 1),
          |w$k AS MATERIALIZED (
          |  SELECT replace(s,
-         |      ',' || (SELECT lhs FROM m$k) || ',' || (SELECT rhs FROM m$k),
+         |      ',' || (SELECT lhs FROM m$k) || ',,' || (SELECT rhs FROM m$k) || ',',
          |      ',' || (SELECT lhs FROM m$k) ||
          |        (SELECT CASE WHEN rhs LIKE '##%' THEN substr(rhs, 3)
-         |                     ELSE rhs END FROM m$k)) AS s, cnt
+         |                     ELSE rhs END FROM m$k) || ',') AS s, cnt
          |  FROM w${k - 1})""".stripMargin
     }
     val union = (1 to WpRounds)
@@ -523,7 +546,7 @@ object Bpe {
     s"""WITH $w0,
        |${stages.mkString(",\n")},
        |fin AS (
-       |  SELECT CAST(sum(cnt * (len(s) - len(replace(s, ',', ''))))
+       |  SELECT CAST(sum(cnt * ${nTokensSql("s")})
        |    AS BIGINT) AS syms_final
        |  FROM w$WpRounds)
        |SELECT u.*, fin.syms_final FROM (

@@ -605,14 +605,16 @@ object Corpus {
   }
 
   val q154Sql: String = {
-    val enc = "regexp_replace(word, '(.)', ',\\1', 'g')"
+    val enc =
+      "',' || substr(regexp_replace(word, '(.)', ',,\\1', 'g'), 2) || ','"
     val chain = Bpe.fixedMerges.foldLeft(enc) { case (sql, (l, r)) =>
-      s"replace($sql, ',$l,$r', ',$l$r')" }
+      s"replace($sql, ',$l,,$r,', ',$l$r,')" }
     s"""WITH words AS MATERIALIZED (
        |  SELECT doc_id, lang, unnest($tokensSql) AS word FROM documents),
        |vocab AS MATERIALIZED (
        |  SELECT word,
-       |    CAST(length(s) - length(replace(s, ',', '')) AS BIGINT) AS tc
+       |    CAST((length(s) - length(replace(s, ',', ''))) // 2 AS BIGINT)
+       |      AS tc
        |  FROM (SELECT DISTINCT word FROM words),
        |       LATERAL (SELECT $chain AS s)),
        |doctoks AS (

@@ -204,16 +204,17 @@ object Unigram {
          |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
          |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
          |         recursive := true), cnt
-         |  FROM (SELECT str_split(substr(s, 2), ',') AS arr, cnt
+         |  FROM (SELECT str_split(trim(s, ','), ',,') AS arr, cnt
          |        FROM bw${k - 1})),
          |bm$k AS MATERIALIZED (
          |  SELECT lhs, rhs FROM bp$k
          |  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
          |bw$k AS MATERIALIZED (
          |  SELECT replace(s,
-         |      ',' || (SELECT lhs FROM bm$k) || ',' || (SELECT rhs FROM bm$k),
-         |      ',' || (SELECT lhs FROM bm$k) || (SELECT rhs FROM bm$k)) AS s,
-         |    cnt
+         |      ',' || (SELECT lhs FROM bm$k) || ',,' ||
+         |        (SELECT rhs FROM bm$k) || ',',
+         |      ',' || (SELECT lhs FROM bm$k) || (SELECT rhs FROM bm$k) || ',')
+         |    AS s, cnt
          |  FROM bw${k - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH wd AS MATERIALIZED (
@@ -238,7 +239,8 @@ object Unigram {
        |${cutSql("v2", "e2use", VocabKeep)},
        |${dpSql("e3", "v2")},
        |bw0 AS MATERIALIZED (
-       |  SELECT regexp_replace(word, '(.)', ',\\1', 'g') AS s, cnt
+       |  SELECT ',' || substr(regexp_replace(word, '(.)', ',,\\1', 'g'), 2)
+       |    || ',' AS s, cnt
        |  FROM wd),
        |$bpeStages,
        |vr AS (SELECT piece, w, row_number()
@@ -250,7 +252,8 @@ object Unigram {
        |      AS BIGINT) AS n_toks_uni
        |  FROM e3fin),
        |btot AS (
-       |  SELECT CAST(sum(cnt * (length(s) - length(replace(s, ',', ''))))
+       |  SELECT CAST(sum(cnt *
+       |      ((length(s) - length(replace(s, ',', ''))) // 2))
        |    AS BIGINT) AS n_toks_bpe
        |  FROM bw$BpeRounds)
        |SELECT CAST(rank AS BIGINT) AS rank, piece, w AS usage,

@@ -1095,6 +1095,30 @@ object SnapshotStore {
   case class DvStats(version: Int, filesTotal: Int, filesWithDv: Int,
                      filesRewritten: Int, rowsDeleted: Long)
 
+  /** DV parquet files above this row count stop funneling through one
+    * task (overridable for specs via `graft.dv.singleFileCap`).
+    */
+  private[graft] def dvSingleFileCap: Long =
+    sys.props.get("graft.dv.singleFileCap").map(_.toLong).getOrElse(100000L)
+
+  /** Stage a DV frame. A micro-batch-sized DV (the common case) writes
+    * as ONE file — a 50-row DV must not open 32 writers. Once the
+    * cumulative DV crosses [[dvSingleFileCap]] rows (a long CDC feed, or
+    * compaction-scale position sets), it hash-partitions by file key `k`
+    * so the write parallelizes and each task's positions cluster by the
+    * file they suppress — the read side's anti-join build is per-file
+    * anyway, so co-clustering costs nothing and caps task memory.
+    */
+  private def stageDv(dv: DataFrame, dvDir: String, rows: Long): Unit = {
+    // the explicit partition count sizes each writer at ~cap rows and
+    // keeps AQE from coalescing the keyed shuffle back into one task
+    val shaped =
+      if (rows <= dvSingleFileCap) dv.coalesce(1)
+      else dv.repartition(
+        math.min(200L, rows / dvSingleFileCap + 1).toInt, col("k"))
+    shaped.write.mode("overwrite").parquet(dvDir)
+  }
+
   /** Point DELETE (`column IN values`) via deletion vectors: ZERO data
     * files rewrite. Stats/bloom pruning narrows the scan to candidate
     * files; one column-pruned pass over their LIVE rows (existing DVs
@@ -1148,7 +1172,8 @@ object SnapshotStore {
                 .reduce(_.unionAll(_))
                 .where(col("k").isin(touched.toSeq: _*)))
             val full = carried.fold(newDv)(newDv.unionAll).distinct()
-            full.coalesce(1).write.mode("overwrite").parquet(dvDir)
+              .localCheckpoint()
+            stageDv(full, dvDir, full.count())
             (touched, newDv.count())
           }
         }
@@ -1291,8 +1316,7 @@ object SnapshotStore {
       // commit and vacuum reachability as any version's files
       val (stagedCount, stagedLines) = stageFiles(src, dataDir,
         bloomCols, partitionBy = partitionColsOf(fileLines))
-      dvFrame.foreach(
-        _.coalesce(1).write.mode("overwrite").parquet(dvDir))
+      dvFrame.foreach(dv => stageDv(dv, dvDir, dv.count()))
       val carryLines = fileLines.map { l =>
         val parts = l.split('\t')
         if (touchedKeys.contains(snapKey(parts(0))))
@@ -1373,7 +1397,12 @@ object SnapshotStore {
       s"batch is missing table columns ${schema.fieldNames
         .filterNot(n => batchLower.contains(n.toLowerCase)).mkString(",")}")
     val ops = upper(col(opCol))
-    val badOps = batch.where(!ops.isin("I", "U", "D")).limit(1).count()
+    // NULL op must be caught here: `!isin` is NULL for NULL input (row
+    // filtered OUT of the probe), and a null-op row downstream would
+    // silently act as a delete — key suppresses its pre-image, no
+    // post-image appends
+    val badOps = batch.where(ops.isNull || !ops.isin("I", "U", "D"))
+      .limit(1).count()
     require(badOps == 0, s"op column $opCol has values outside I/U/D")
     val dup = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
@@ -1459,7 +1488,7 @@ object SnapshotStore {
       if (hasUpserts)
         stageFiles(upserts, dataDir, partitionBy = partitionColsOf(fileLines))
       else { fs(spark, dataDir).mkdirs(dataDir); (0L, Seq.empty[String]) }
-    dvFrame.foreach(_.coalesce(1).write.mode("overwrite").parquet(dvDir))
+    dvFrame.foreach(dv => stageDv(dv, dvDir, dv.count()))
     val carryLines = fileLines.map { l =>
       val parts = l.split('\t')
       if (touchedKeys.contains(snapKey(parts(0))))
@@ -1480,9 +1509,14 @@ object SnapshotStore {
         stagedLines.size, rowsSuppressed, stagedCount)
     } catch {
       case _: java.io.IOException =>
-        // a concurrent replay of the SAME pinned batch committed first;
-        // drop only OUR writer-unique DV dir (the winner's staged data
-        // under snap-v<version> is byte-identical by determinism)
+        // a replay of the SAME pinned batch committed first; drop only
+        // OUR writer-unique DV dir. This handler is BEST-EFFORT for
+        // serialized foreachBatch replays (the checkpoint's guarantee):
+        // a truly CONCURRENT loser would have clobbered the winner's
+        // staged part files via stageFiles' overwrite before this race
+        // resolved — one writer per table is the documented contract
+        // ([[mergeUpsert]]/[[mergeMoR]]), not something this path can
+        // repair after the fact.
         f.delete(new Path(dvDir), true)
         CdcApplyStats(version, committed = false, 0, 0, 0L, 0L)
     }
@@ -1545,13 +1579,26 @@ object SnapshotStore {
   private def cdcFixtureFor(s: SparkSession, d: String)
       : (String, Int, CdcApplyStats, CdcApplyStats, CdcApplyStats) =
     cdcFixtureMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcfix"
+      // the on-disk path must honor the memo key's dataset dir: a
+      // session touching two SF dirs between cache clears would
+      // otherwise leave the first dir's memo entry pointing at a table
+      // rebuilt from the second (and concurrent JVMs sharing /tmp
+      // would clobber each other's fixture)
+      val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcfix-" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_")
       val tableP = new Path(table)
       fs(s, tableP).delete(tableP, true)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("b", floor(col("doc_id") / 100).cast("long"))
         .repartition(8, col("b"))
+      // the insert waves shift keys by +1e6 (buckets by +10000); at a
+      // corpus where doc_ids reach 1e6 the "inserts" would collide with
+      // live originals and upsert them while the oracle models pure
+      // inserts — fail loudly instead of silently skewing counters
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 1000000L,
+        s"cdc fixture insert-key offset collides: max(doc_id)=$maxId >= 1e6")
       publish(docs, table, partitionBy = Seq("b"))
       // v1's data-file count BEFORE any wave — the zero-rewrite proof
       // compares the post-wave filesystem against this

@@ -170,6 +170,16 @@ class SnapshotStoreSpec extends SparkSpec {
         Seq("id"), "op", 9)
     }
     assert(gap.getMessage.contains("version gap"))
+    // a NULL op is refused loudly too — it would otherwise silently act
+    // as a delete (pre-image suppressed, no post-image appended)
+    val nullOp = intercept[IllegalArgumentException] {
+      SnapshotStore.applyCdcVersion(spark, t,
+        Seq((2L, "x", 0L, null: String)).toDF("id", "s", "b", "op"),
+        Seq("id"), "op", 4)
+    }
+    assert(nullOp.getMessage.contains("outside I/U/D"))
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2, 3),
+      "a rejected batch must not commit")
   }
 
   test("changeFeed round-trip: replaying the feed over v reproduces v', " +
@@ -592,6 +602,44 @@ class SnapshotStoreSpec extends SparkSpec {
       f.open(new Path(t, "_snapshots/v00004.manifest")), "UTF-8")
       .getLines().mkString("\n")
     assert(!mf.contains("dv:"), "compaction must materialize DVs")
+  }
+
+  test("DV staging: a micro-batch DV writes ONE file; an over-cap DV " +
+       "partitions by file key and reads stay correct") {
+    val t = freshTable("dv-partitioned")
+    val n = 1000L
+    SnapshotStore.publish(
+      spark.range(n).select(col("id"), (col("id") % 8).as("b"))
+        .repartition(8, col("b")),
+      t, partitionBy = Seq("b"))
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvParquet(version: Int): Seq[String] = {
+      val snap = new Path(t, f"snap-v$version%05d")
+      val dirs = f.listStatus(snap).map(_.getPath)
+        .filter(_.getName.startsWith("_dv-"))
+      dirs.flatMap(d => f.listStatus(d).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))).toSeq
+    }
+    // small wave: default cap (100k) → plan unchanged, exactly one file
+    SnapshotStore.dvDelete(spark, t, "id", Seq(3L, 11L))
+    assert(dvParquet(2).size === 1,
+      s"a 2-position DV must stay a single file, got ${dvParquet(2)}")
+    // adversarial wave: force the cap tiny — 60 positions across all 8
+    // file keys must fan out across tasks instead of funneling through
+    // one coalesced writer
+    sys.props("graft.dv.singleFileCap") = "10"
+    try {
+      SnapshotStore.dvDelete(spark, t, "id", (100L until 160L))
+      assert(dvParquet(3).size > 1,
+        "an over-cap DV must hash-partition by file key")
+    } finally sys.props.remove("graft.dv.singleFileCap")
+    val live = SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert(live === (0L until n).toSet -- Set(3L, 11L) --
+      (100L until 160L).toSet,
+      "reads over a multi-file DV must apply every suppressed position")
+    // time travel before the big wave still sees its rows
+    assert(SnapshotStore.read(spark, t, Some(2)).count() === n - 2)
   }
 
   test("deletion vectors: vacuum keeps a DV dir a retained manifest " +
