@@ -717,6 +717,10 @@ object PlanLint {
     // change-feed twin: q328's publish + 2 applyCdc waves, then 2
     // feed steps (manifest parses are fs reads, not actions) + census
     "q329_change_feed" -> 30,
+    // summary-follow twin: q329's fixture cost + per step a feed
+    // checkpoint, a maintained-summary checkpoint, the class-counter
+    // collect, and the maintained/scratch 1-row heads + census
+    "q333_cdf_summary_follow" -> 44,
     // capstone funnel: CC fixpoint + LR epochs + 7 stage-boundary
     // checkpoints + plant-offset guard max() + census write
     // (measured 22 fresh-session)

@@ -527,6 +527,12 @@ object SnapshotStore {
       .sorted
   }
 
+  /** A committed version's schema (driver-side manifest parse). */
+  def schemaOf(spark: SparkSession, table: String, version: Int)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      manifestLines(spark, table, version)(2).stripPrefix("schema="))
+
   /** Read a committed snapshot (default: latest). Reads exactly the
     * manifest's file list — never a directory scan of the table root.
     */
@@ -2167,6 +2173,134 @@ object SnapshotStore {
       |  min_price_sum, max_price_sum
       |FROM cc, sums""".stripMargin
 
+  /** Apply ONE micro-batch of change-feed rows to a maintained summary
+    * `(dims…, sum_val, cnt)` — the q238 retraction algebra factored out
+    * for [[graft.sources.ChangeFeedSource]] consumers: pre-images
+    * (`delete`/`update_preimage`) subtract their partials, post-images
+    * (`insert`/`update_postimage`) add theirs, and a group whose count
+    * retracts to zero vanishes. SUM/COUNT retract exactly; a MIN/MAX
+    * consumer recomputes those for the touched groups only (q238's
+    * group-local fallback — the non-invertible-aggregate discipline).
+    * Cost per batch: one delta-sized aggregate + one |summary|-sized
+    * outer merge; the fact table is never read.
+    */
+  def retractApply(summary: DataFrame, changes: DataFrame,
+                   dims: Seq[String], valCol: String): DataFrame = {
+    val sgn = when(
+      col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(1L)
+    val delta = changes
+      .select(dims.map(col) :+ (sgn * col(valCol)).as("d_val") :+
+        sgn.as("d_cnt"): _*)
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("d_val")).as("d_val"), sum(col("d_cnt")).as("d_cnt"))
+    summary.join(delta, dims, "full_outer")
+      .select(dims.map(col) ++ Seq(
+        (coalesce(col("sum_val"), lit(0L)) +
+          coalesce(col("d_val"), lit(0L))).as("sum_val"),
+        (coalesce(col("cnt"), lit(0L)) +
+          coalesce(col("d_cnt"), lit(0L))).as("cnt")): _*)
+      .where(col("cnt") > 0L)
+  }
+
+  // ─── q333: summary FOLLOWS the table through the change-feed source ──
+  // The last link of the CDC story: q328 ingests a stream INTO the
+  // table, q329 derives the per-commit feed back OUT, and here a
+  // maintained aggregate CONSUMES that feed step by step — the batch
+  // twin of subscribing via ChangeFeedSource (the DSv2 subscription
+  // itself — offsets = versions, one commit step per micro-batch,
+  // restart replay — is spec-pinned in StreamingSpec over a
+  // streamCdcSink-fed table). Over the SAME two-wave fixture as
+  // q328/q329 (session memo — the publish is priced once), the per-lang
+  // (sum(n_chars), count) summary is maintained v1→v2→v3 by
+  // [[retractApply]] alone; each step emits the MAINTAINED totals next
+  // to the FROM-SCRATCH recompute of that version. The oracle derives
+  // both from the wave predicates, so the hash only matches if
+  // maintained ≡ scratch at every step — the incremental-view
+  // maintenance theorem as oracle data — alongside the step's feed
+  // class counters (the O(delta)-work evidence).
+  // Scale: per step, one delta-sized feed read + delta-sized aggregate +
+  // |summary|-sized merge; the scratch arm is the CONTROL, priced
+  // per-version only to make the theorem data.
+  def q333CdfSummaryFollow(s: SparkSession, d: String): DataFrame = {
+    val (table, _, _, _, _) = cdcFixtureFor(s, d)
+    val dims = Seq("lang")
+    def summarize(df: DataFrame) = df.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).cast("long").as("sum_val"),
+           count(lit(1)).as("cnt"))
+    var maintained = summarize(read(s, table, Some(1))).localCheckpoint()
+    val out = (2 to 3).map { v =>
+      val feed = changeFeed(s, table, v - 1, v, Seq("doc_id"))
+        .localCheckpoint()
+      maintained = retractApply(maintained, feed, dims, "n_chars")
+        .localCheckpoint()
+      val cls = feed.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val m = maintained
+        .agg(count(lit(1)), sum(col("sum_val")), sum(col("cnt"))).head()
+      val sc = summarize(read(s, table, Some(v)))
+        .agg(count(lit(1)), sum(col("sum_val")), sum(col("cnt"))).head()
+      (v.toLong, cls.getOrElse("delete", 0L), cls.getOrElse("insert", 0L),
+        cls.getOrElse("update_preimage", 0L),
+        m.getLong(0), m.getLong(1), m.getLong(2),
+        sc.getLong(0), sc.getLong(1), sc.getLong(2))
+    }
+    val spark = s; import spark.implicits._
+    out.toDF("version", "n_del", "n_ins", "n_upd",
+        "m_groups", "m_chars", "m_cnt", "s_groups", "s_chars", "s_cnt")
+      .orderBy(col("version"))
+  }
+
+  /** The fixture's v2/v3 states and per-step feed classes, all derived
+    * from the wave predicates (q328/q329's vocabulary); maintained and
+    * scratch columns are the SAME expression — equality is the theorem.
+    */
+  val q333Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+      |s2 AS (
+      |  SELECT lang, CASE WHEN doc_id % 41 = 0 THEN n_chars * 2 + 5
+      |                    ELSE n_chars END AS n_chars
+      |  FROM d WHERE doc_id % 37 <> 0
+      |  UNION ALL
+      |  SELECT lang, n_chars + 11 FROM d WHERE doc_id % 43 = 0),
+      |s3 AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 41 = 0 THEN n_chars * 2 + 5
+      |         ELSE n_chars END +
+      |    CASE WHEN doc_id % 53 = 0 THEN 3 ELSE 0 END AS n_chars
+      |  FROM d WHERE doc_id % 37 <> 0
+      |  UNION ALL
+      |  SELECT lang, n_chars + 11
+      |  FROM d WHERE doc_id % 43 = 0 AND doc_id % 86 <> 0),
+      |g2 AS (
+      |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS groups,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(count(*) AS BIGINT) AS cnt FROM s2),
+      |g3 AS (
+      |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS groups,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(count(*) AS BIGINT) AS cnt FROM s3)
+      |SELECT * FROM (
+      |  SELECT CAST(2 AS BIGINT) AS version,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 37 = 0)
+      |      AS n_del,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 43 = 0)
+      |      AS n_ins,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d
+      |     WHERE doc_id % 41 = 0 AND doc_id % 37 <> 0) AS n_upd,
+      |    groups AS m_groups, chars AS m_chars, cnt AS m_cnt,
+      |    groups AS s_groups, chars AS s_chars, cnt AS s_cnt
+      |  FROM g2
+      |  UNION ALL
+      |  SELECT 3,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 86 = 0),
+      |    0,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM d
+      |     WHERE doc_id % 53 = 0 AND doc_id % 37 <> 0),
+      |    groups, chars, cnt, groups, chars, cnt
+      |  FROM g3)
+      |ORDER BY version""".stripMargin
+
   val q133Sql: String =
     """WITH v1 AS (
       |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
@@ -2878,7 +3012,8 @@ object SnapshotStore {
     "q318_deletion_vectors" -> (q318DeletionVectors _),
     "q323_merge_on_read" -> (q323MergeOnRead _),
     "q328_streaming_cdc_ingest" -> (q328StreamingCdcIngest _),
-    "q329_change_feed" -> (q329ChangeFeed _))
+    "q329_change_feed" -> (q329ChangeFeed _),
+    "q333_cdf_summary_follow" -> (q333CdfSummaryFollow _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -2896,5 +3031,6 @@ object SnapshotStore {
     "q318_deletion_vectors" -> q318Sql,
     "q323_merge_on_read" -> q323Sql,
     "q328_streaming_cdc_ingest" -> q328Sql,
-    "q329_change_feed" -> q329Sql)
+    "q329_change_feed" -> q329Sql,
+    "q333_cdf_summary_follow" -> q333Sql)
 }

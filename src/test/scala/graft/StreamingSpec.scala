@@ -166,6 +166,76 @@ class StreamingSpec extends SparkSpec {
     PagedApiSource.unregister("commit-restart-fx")
   }
 
+  test("change-feed DSv2 source: one commit step per micro-batch, a " +
+       "retractApply-maintained summary follows a streamCdcSink-fed table") {
+    import graft.sources.{ChangeFeedSource, SnapshotStore}
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val t = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-follow"
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-follow-ckpt"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(t, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    // seed v1, then two CDC waves → v2, v3 (the q328 write side)
+    SnapshotStore.publish(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+        .toDF("id", "g", "v"), t)
+    SnapshotStore.applyCdcVersion(spark, t,
+      Seq((1L, "a", 0L, "D"), (2L, "a", 25L, "U"), (5L, "b", 50L, "I"))
+        .toDF("id", "g", "v", "op"), Seq("id"), "op", 2)
+    SnapshotStore.applyCdcVersion(spark, t,
+      Seq((5L, "b", 0L, "D"), (3L, "c", 33L, "U"))
+        .toDF("id", "g", "v", "op"), Seq("id"), "op", 3)
+    // subscribe from v1 and maintain a (g -> sum(v), cnt) summary with
+    // the retraction algebra — no polling, no fact rescan
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(sum(col("v")).as("sum_val"),
+        count(lit(1)).as("cnt"))
+    var maintained = summarize(SnapshotStore.read(spark, t, Some(1)))
+      .localCheckpoint()
+    val seenVersions = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = ChangeFeedSource.readStream(spark, t, Seq("id"), 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seenVersions += batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        maintained = SnapshotStore
+          .retractApply(maintained, batch, Seq("g"), "v").localCheckpoint()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // one commit step per micro-batch, in order
+    assert(seenVersions.toSeq === Seq(Set(2L), Set(3L)),
+      s"expected one version per batch, got $seenVersions")
+    val got = maintained.orderBy(col("g"))
+      .as[(String, Long, Long)].collect().toSeq
+    val scratch = summarize(SnapshotStore.read(spark, t)).orderBy(col("g"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === scratch,
+      s"maintained $got must equal from-scratch $scratch")
+    assert(got === Seq(("a", 25L, 1L), ("b", 40L, 1L), ("c", 33L, 1L)))
+    // a NEW commit arrives while subscribed: the running query picks it
+    // up as its own micro-batch (the no-polling contract)
+    val q2 = ChangeFeedSource.readStream(spark, t, Seq("id"), 1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        maintained = SnapshotStore
+          .retractApply(maintained, batch, Seq("g"), "v").localCheckpoint()
+        ()
+      }.start()
+    try {
+      SnapshotStore.applyCdcVersion(spark, t,
+        Seq((6L, "a", 60L, "I")).toDF("id", "g", "v", "op"),
+        Seq("id"), "op", 4)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the restarted checkpoint resumes AFTER v3 (no replay of consumed
+    // steps) and folds only the new commit
+    assert(maintained.orderBy(col("g")).as[(String, Long, Long)]
+      .collect().toSeq === Seq(("a", 85L, 2L), ("b", 40L, 1L),
+        ("c", 33L, 1L)))
+  }
+
   test("stream-stream interval join matches batch semantics with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[EvU]
