@@ -328,6 +328,11 @@ object PlanLint {
     // stat crossJoin — batch-side scoring is plain equi-joins
     "q324_nn_incremental_insert" -> Set("nested-loop", "cartesian",
                                         "global-window"),
+    // q334: q324's shapes inverted — trainer's bounded builds, the
+    // broadcast survivor-probe exact side, the 1-row maintained-graph
+    // stat crossJoin; all repair joins are damage-restricted equi-joins
+    "q334_nn_incremental_delete" -> Set("nested-loop", "cartesian",
+                                        "global-window"),
     // q325: q322's bounded builds + the probe × 8-centroid broadcast
     // cell ranking and the 1-row stat crossJoins — never data-sized
     // q331: q322's bounded builds + the 32-row layer crossJoin, the
@@ -633,6 +638,9 @@ object PlanLint {
     // checkpoints + tch/g1/aff/g2 + full retrain (3, memoized — priced
     // fresh) + census write (measured 19 fresh-session)
     "q324_nn_incremental_insert" -> 22,
+    // incremental delete: full trainer (6, memoized — priced fresh) +
+    // damaged/g1/aff/g2 checkpoints + survivor retrain (3) + census
+    "q334_nn_incremental_delete" -> 18,
     // IVF-entry serve: trainer (6, memoized — priced fresh) + its own
     // adjacency/entry/3-hop checkpoints (5) + the embedded fixed walk
     // (q322's 5) + census write (measured ~17 fresh-session)

@@ -2744,7 +2744,7 @@ object Similarity {
 
   def clearNnGraphCache(): Unit = nnGraphMemo.clear()
 
-  private def nnGraphFor(s: SparkSession, d: String): DataFrame =
+  private[graft] def nnGraphFor(s: SparkSession, d: String): DataFrame =
     nnGraphMemo.getOrElseUpdate((System.identityHashCode(s), d),
       nnDescentGraph(s, d))
 
@@ -3759,7 +3759,223 @@ object Similarity {
        |ORDER BY i.q_id""".stripMargin
   }
 
+  // ─── q334: incremental k-NN-graph maintenance (delete a batch) ───────
+  // The q324 contract INVERTED: a production corpus also SHRINKS (GDPR
+  // erasure, retention expiry), and retraining per tombstone batch is
+  // O(corpus). The maintenance path deletes a batch at O(touched):
+  // (1) tombstoned vertices' own adjacency rows drop outright, (2) a
+  // SURVIVOR that pointed at a tombstone is DAMAGED — its list re-cuts
+  // from its surviving edges plus BRIDGE candidates (the tombstone's
+  // other surviving neighbors, both edge directions: the deleted vertex
+  // was the 2-hop bridge, so its adjacency is exactly where the
+  // replacement neighbors live), (3) ONE localized NN-descent round
+  // restricted to damaged-incident pairs (the q324 localization with
+  // "new" ⇒ "damaged"). Untouched vertices carry by anti-join — the
+  // q323 carry discipline — so the cost is O(|damaged|·K·(K+revcap)),
+  // never O(n·K²).
+  //
+  // The tombstone batch is the 10% slice vec_id % 10 = 7 of the FULL
+  // memoized graph (q317's — priced once per session). Census
+  // (accuracy-as-data): recall@4 of the maintained graph vs the
+  // FROM-SCRATCH retrain on survivors, for the survivor probe panel,
+  // plus the maintained graph's edge count, mean bp, and its count of
+  // edges still referencing a tombstone — the no-deleted-id invariant
+  // as ORACLE DATA (both engines must derive 0), not just a spec
+  // assert.
+  //
+  // At 100 TB: every stage is semi/anti-join restricted to the damaged
+  // frontier; the bridge join's width is the tombstones' adjacency
+  // (≤ (K + indegree-cap) rows per tombstone); the retrain column
+  // exists only because the census demands the comparison.
+  private def isNnDel(c: Column): Column = pmod(c, lit(10)) === 7
+
+  /** The maintained graph after tombstoning the delete batch — exposed
+    * so the spec can pin the carry discipline and the no-tombstone
+    * invariant structurally. */
+  private[graft] def nnDeletedGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val g = nnGraphFor(s, d)
+    val delU = isNnDel(col("u"))
+    val delV = isNnDel(col("v"))
+    // tombstoned lists drop; edges INTO tombstones damage their owner
+    val gp = g.where(!delU && !delV)
+    val damaged = g.where(!delU && delV).select("u").distinct()
+      .localCheckpoint()
+    // bridge candidates: u lost u→x (x tombstoned); x's other surviving
+    // neighbors w — both directions of x's adjacency — are the natural
+    // replacements
+    val toDel = g.where(!delU && delV).select(col("u"), col("v").as("x"))
+    val undDel = g.where(delU).select(col("u").as("x"), col("v").as("w"))
+      .unionAll(g.where(delV).select(col("v").as("x"), col("u").as("w")))
+      .where(!isNnDel(col("w"))).distinct()
+    val cand = toDel.join(undDel, "x")
+      .where(col("w") =!= col("u"))
+      .select(col("u"), col("w").as("v")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("u"), col("e").as("ue")), "u")
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+    val g1 = gp.join(damaged, Seq("u"), "left_anti")
+      .unionAll(nnTopK(
+        gp.join(damaged, Seq("u"), "left_semi").unionAll(scored)))
+      .localCheckpoint()
+    // one localized refinement round: damaged-incident pairs only
+    val rev = g1.select(col("v").as("u"), col("u").as("v"), col("bp"))
+      .withColumn("rrn", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rrn") <= NnRevCap).drop("rrn")
+    val b = g1.select("u", "v").unionAll(rev.select("u", "v")).distinct()
+    val bDam = b.join(damaged, Seq("u"), "left_semi")
+    val bvDam = b.join(damaged.select(col("u").as("v")), Seq("v"),
+      "left_semi")
+    val cand2 = bDam.as("x").join(b.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+      .unionAll(b.as("x").join(bvDam.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+    val scored2 = cand2
+      .join(emb.select(col("vec_id").as("u"), col("e").as("ue")), "u")
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+    val aff = cand2.select("u").distinct().localCheckpoint()
+    g1.join(aff, Seq("u"), "left_anti")
+      .unionAll(nnTopK(
+        g1.join(aff, Seq("u"), "left_semi").unionAll(scored2)))
+      .localCheckpoint()
+  }
+
+  def q334NnIncrementalDelete(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val mg = nnDeletedGraph(s, d)
+    val scr = nnDescentGraph(s, d,
+      Some(pmod(col("vec_id"), lit(10)) =!= 7))
+    val probes = emb.where(col("vec_id") < 10 && !isNnDel(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val exactK = emb.where(!isNnDel(col("vec_id")))
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("q_id", "c_id")
+    def hitsOf(g: DataFrame, nm: String) = exactK.as("x")
+      .join(g.as("gg"), col("x.q_id") === col("gg.u") &&
+        col("x.c_id") === col("gg.v"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("gg.v")).as(nm))
+    val glob = broadcast(mg.agg(count(lit(1)).as("mg_edges"),
+      sum(col("bp")).as("msbp"),
+      sum(when(isNnDel(col("u")) || isNnDel(col("v")), 1L).otherwise(0L))
+        .as("n_ghost")))
+    hitsOf(mg, "n_hits_del").join(hitsOf(scr, "n_hits_scr"), "q_id")
+      .crossJoin(glob)
+      .select(col("q_id"), col("n_hits_del"),
+        round(col("n_hits_del") / lit(NnK.toDouble), 4).as("recall_del"),
+        col("n_hits_scr"),
+        round(col("n_hits_scr") / lit(NnK.toDouble), 4).as("recall_scr"),
+        col("mg_edges"), expr("msbp div mg_edges").as("mg_avg_bp"),
+        col("n_ghost"))
+      .orderBy(col("q_id"))
+  }
+
+  val q334Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("", "")},
+       |${nnGraphCtesCore("s_", "vec_id % 10 <> 7")},
+       |dgp AS (SELECT u, v, bp FROM g$NnRounds
+       |        WHERE u % 10 <> 7 AND v % 10 <> 7),
+       |ddam AS (SELECT DISTINCT u FROM g$NnRounds
+       |         WHERE u % 10 <> 7 AND v % 10 = 7),
+       |dtodel AS (SELECT u, v AS x FROM g$NnRounds
+       |           WHERE u % 10 <> 7 AND v % 10 = 7),
+       |dund AS (
+       |  SELECT DISTINCT x, w FROM (
+       |    SELECT u AS x, v AS w FROM g$NnRounds WHERE u % 10 = 7
+       |    UNION ALL
+       |    SELECT v AS x, u AS w FROM g$NnRounds WHERE v % 10 = 7)
+       |  WHERE w % 10 <> 7),
+       |dcand AS (
+       |  SELECT DISTINCT t.u, d.w AS v FROM dtodel t
+       |  JOIN dund d ON t.x = d.x WHERE d.w <> t.u),
+       |dsc AS (
+       |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
+       |  FROM dcand c JOIN emb eu ON c.u = eu.vec_id
+       |               JOIN emb ev ON c.v = ev.vec_id),
+       |dg1 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM dgp WHERE u NOT IN (SELECT u FROM ddam)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM dgp g JOIN ddam t ON g.u = t.u
+       |      UNION ALL SELECT * FROM dsc)))
+       |  WHERE trn <= $NnK),
+       |drev AS (
+       |  SELECT u, v FROM (
+       |    SELECT g.v AS u, g.u AS v, row_number() OVER (PARTITION BY g.v
+       |      ORDER BY g.bp DESC, g.u) AS rrn FROM dg1 g)
+       |  WHERE rrn <= $NnRevCap),
+       |db AS (SELECT u, v FROM dg1 UNION SELECT u, v FROM drev),
+       |dcand2 AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT x.u, y.v FROM db x JOIN db y ON x.v = y.u
+       |    WHERE x.u IN (SELECT u FROM ddam)
+       |    UNION ALL
+       |    SELECT x.u, y.v FROM db x JOIN db y ON x.v = y.u
+       |    WHERE y.v IN (SELECT u FROM ddam))
+       |  WHERE u <> v),
+       |dsc2 AS (
+       |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
+       |  FROM dcand2 c JOIN emb eu ON c.u = eu.vec_id
+       |                JOIN emb ev ON c.v = ev.vec_id),
+       |daff AS (SELECT DISTINCT u FROM dcand2),
+       |dg2 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM dg1 WHERE u NOT IN (SELECT u FROM daff)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM dg1 g JOIN daff t ON g.u = t.u
+       |      UNION ALL SELECT * FROM dsc2)))
+       |  WHERE trn <= $NnK),
+       |exactk AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${bp("q.e", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM emb q JOIN emb c
+       |      ON c.vec_id <> q.vec_id AND c.vec_id % 10 <> 7
+       |    WHERE q.vec_id < 10 AND q.vec_id % 10 <> 7)
+       |  WHERE ern <= $NnK),
+       |dh AS (
+       |  SELECT e.q_id, CAST(count(g.v) AS BIGINT) AS n_hits_del
+       |  FROM exactk e LEFT JOIN dg2 g ON e.q_id = g.u AND e.c_id = g.v
+       |  GROUP BY e.q_id),
+       |sh AS (
+       |  SELECT e.q_id, CAST(count(g.v) AS BIGINT) AS n_hits_scr
+       |  FROM exactk e LEFT JOIN s_g$NnRounds g
+       |    ON e.q_id = g.u AND e.c_id = g.v
+       |  GROUP BY e.q_id),
+       |dstat AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS mg_edges,
+       |    CAST(sum(bp) // count(*) AS BIGINT) AS mg_avg_bp,
+       |    CAST(sum(CASE WHEN u % 10 = 7 OR v % 10 = 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ghost
+       |  FROM dg2)
+       |SELECT d.q_id, d.n_hits_del,
+       |  round(d.n_hits_del / $NnK.0, 4) AS recall_del,
+       |  s.n_hits_scr, round(s.n_hits_scr / $NnK.0, 4) AS recall_scr,
+       |  mg_edges, mg_avg_bp, n_ghost
+       |FROM dh d JOIN sh s ON d.q_id = s.q_id CROSS JOIN dstat
+       |ORDER BY d.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_nn_incremental_delete" -> (q334NnIncrementalDelete _),
     "q325_nn_ivf_entry_serve" -> (q325NnIvfEntryServe _),
     "q331_nn_hnsw_serve" -> (q331NnHnswServe _),
     "q324_nn_incremental_insert" -> (q324NnIncrementalInsert _),
@@ -3797,6 +4013,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q334_nn_incremental_delete" -> q334Sql,
     "q325_nn_ivf_entry_serve" -> q325Sql,
     "q331_nn_hnsw_serve" -> q331Sql,
     "q324_nn_incremental_insert" -> q324Sql,

@@ -793,6 +793,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q334 incremental delete: no tombstoned id survives in any list, " +
+       "undamaged lists carry verbatim, damaged re-cuts stay degree-" +
+       "bounded and only improve") {
+    val full = Similarity.nnGraphFor(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val maint = Similarity.nnDeletedGraph(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    def isDel(v: Long) = v % 10 == 7
+    // the invariant the verdict asked for: NO deleted id anywhere
+    assert(maint.forall(e => !isDel(e._1) && !isDel(e._2)),
+      "a tombstoned id survived in the maintained graph")
+    assert(maint.forall(e => e._1 != e._2), "no self-edges")
+    assert(maint.groupBy(_._1).values.forall(_.size <= 4), "degree bound")
+    // carry discipline: a survivor that never pointed at a tombstone
+    // and gained no damage-round candidates keeps its full-graph list
+    // minus nothing — its surviving edges are a subset of its full list
+    val fullByU = full.groupBy(_._1)
+    maint.groupBy(_._1).foreach { case (u, ml) =>
+      val fl = fullByU.getOrElse(u, Set.empty)
+      // monotone quality per slot vs the PRUNED full list: the re-cut
+      // selects top-K over a superset of the pruned survivors
+      val pruned = fl.filter(e => !isDel(e._2)).toSeq.map(_._3)
+        .sorted.reverse
+      val ms = ml.toSeq.map(_._3).sorted.reverse
+      pruned.zip(ms).foreach { case (pbp, mbp) =>
+        assert(mbp >= pbp, s"vertex $u quality regressed: $pbp -> $mbp") }
+    }
+    // damaged vertices (lost an edge to a tombstone) must not end up
+    // with FEWER edges than their pruned list — repair only adds
+    val damaged = full.filter(e => !isDel(e._1) && isDel(e._2))
+      .map(_._1).toSet
+    val maintByU = maint.groupBy(_._1)
+    damaged.foreach { u =>
+      val prunedN = fullByU(u).count(e => !isDel(e._2))
+      val maintN = maintByU.get(u).map(_.size).getOrElse(0)
+      assert(maintN >= prunedN,
+        s"damaged vertex $u shrank: $prunedN -> $maintN")
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
