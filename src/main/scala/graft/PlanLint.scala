@@ -685,6 +685,10 @@ object PlanLint {
     "q327_unigram_lm" -> 32,
     // learned-fertility census: the full q147 trainer + 1 census pass
     "q224_learned_fertility" -> 30,
+    // byte-BPE: its own 8-round trainer (dict + 8 collects + 8 ckpts) +
+    // the embedded char trainer (q147's 18) + 3 census heads + probe +
+    // census write
+    "q335_byte_bpe_learn" -> 46,
     // vocab curve: the full q147 trainer + dict checkpoint + 4 curve
     // points folded into one union action
     "q307_vocab_curve" -> 30,
