@@ -339,6 +339,10 @@ object PlanLint {
     // 1-row layer-entry crossJoin, and the bounded ranking windows
     "q331_nn_hnsw_serve" -> Set("nested-loop", "cartesian",
                                 "global-window"),
+    // q336: q331's bounded builds × 3 nested layers (≤64-row crossJoins,
+    // 64-row global ranking window, 1-row entry crossJoins)
+    "q336_nn_hnsw_multilevel" -> Set("nested-loop", "cartesian",
+                                     "global-window"),
     "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian",
                                      "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
@@ -649,6 +653,11 @@ object PlanLint {
     // layer emb/adjacency checkpoints (2) + layer walk (1+2) + ground
     // walk (1+3) + embedded fixed walk (1+3) + per checkpoint + write
     "q331_nn_hnsw_serve" -> 24,
+    // multi-level HNSW: trainer (6) + und + lrank ckpt + 4 layer-adj
+    // ckpts + 3 layer walks (2 each) + pool ckpt + efWalk (init + empty
+    // expanded + 3 hops × front/expanded/visited) + single-layer arm
+    // (walk 3 + ground 4) + per ckpt + census write (measured 40)
+    "q336_nn_hnsw_multilevel" -> 44,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,
