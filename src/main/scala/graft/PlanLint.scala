@@ -742,6 +742,12 @@ object PlanLint {
     // checkpoint, a maintained-summary checkpoint, the class-counter
     // collect, and the maintained/scratch 1-row heads + census
     "q333_cdf_summary_follow" -> 44,
+    // DV auto-compaction: publish (stage+stats) + 3 delete-only
+    // applyCdc waves (op/dup probes + DV ckpt + touched collect + count
+    // + size probe + write each) + 2 amp censuses (one DV agg each) +
+    // the materialization stage/stats + 2 time-travel counts + the
+    // never-DV'd bucket count + census write
+    "q337_dv_auto_compact" -> 42,
     // capstone funnel: CC fixpoint + LR epochs + 7 stage-boundary
     // checkpoints + plant-offset guard max() + census write
     // (measured 22 fresh-session)

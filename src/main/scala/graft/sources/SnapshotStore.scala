@@ -753,6 +753,113 @@ object SnapshotStore {
     publish(read(spark, table).coalesce(numFiles), table)
   }
 
+  /** One file's read-amplification census row: physical rows in the
+    * file (parquet footer — no data read) and positions its DV
+    * suppresses. Read cost of the file is rows; useful output is
+    * rows − suppressed.
+    */
+  case class DvAmp(fileKey: String, path: String, rows: Long,
+                   suppressed: Long)
+
+  /** Per-file DV read-amplification of a committed version —
+    * METADATA-ONLY: file row counts come from parquet footers (driver,
+    * one footer per DV'd file), suppressed counts from one DV-sized
+    * aggregate per distinct DV dir (≤ one output row per file). Files
+    * without a dv ref are omitted (amplification zero).
+    */
+  def dvAmplification(spark: SparkSession, table: String,
+                      version: Option[Int] = None): Seq[DvAmp] = {
+    val committed = versions(spark, table)
+    require(committed.nonEmpty, s"no committed snapshots under $table")
+    val v = version.getOrElse(committed.last)
+    val fileLines = manifestLines(spark, table, v).drop(3).filter(_.nonEmpty)
+    val refs = dvRefsOf(fileLines)
+    if (refs.isEmpty) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerRows(p: String): Long = {
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), conf))
+      try rdr.getRecordCount finally rdr.close()
+    }
+    val suppressed = refs.values.toSeq.distinct.sorted
+      .map(dir => spark.read.parquet(dir))
+      .reduce(_.unionAll(_))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fileLines.map(_.split('\t')(0))
+      .filter(p => refs.contains(snapKey(p)))
+      .map { p =>
+        val k = snapKey(p)
+        DvAmp(k, p, footerRows(p), suppressed.getOrElse(k, 0L))
+      }
+  }
+
+  case class AutoCompactStats(version: Int, filesTotal: Int,
+                              filesMaterialized: Int, rowsRewritten: Long)
+
+  /** The DV read-amplification POLICY the feed needs (a long CDC chain
+    * silently accretes read-time anti-join cost): materialize exactly
+    * the files whose suppressed fraction crosses `thresholdBp` (basis
+    * points of the file's physical rows). The decision is the
+    * metadata-only [[dvAmplification]] census; the mechanism is the
+    * OPTIMIZE rewrite scoped to the offending files — their LIVE rows
+    * re-stage (DV applied, ref shed), every other file line carries by
+    * reference, dv refs intact. Live rows are preserved exactly
+    * (count unchanged), old versions still time-travel to the
+    * amplified layout, and a chain whose files all sit under the
+    * threshold commits NOTHING (no-op, no version). Same optimistic
+    * commit/retry as [[deleteBetween]].
+    */
+  def autoCompactDv(spark: SparkSession, table: String,
+                    thresholdBp: Long): AutoCompactStats = {
+    var attempt = 0
+    var out: Option[AutoCompactStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val amp = dvAmplification(spark, table, Some(v))
+      val over = amp.filter(a =>
+        a.rows > 0 && a.suppressed * 10000L >= thresholdBp * a.rows)
+      val lines = manifestLines(spark, table, v)
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      if (over.isEmpty) {
+        out = Some(AutoCompactStats(v, fileLines.size, 0, 0L))
+      } else {
+        val overKeys = over.map(_.fileKey).toSet
+        val (rewriteLines, carryLines) = fileLines.partition(l =>
+          overKeys.contains(snapKey(l.split('\t')(0))))
+        // live rows of the offending files — DVs applied by loadFiles,
+        // so the rewrite IS the materialization
+        val live = loadFiles(spark, rewriteLines.map(_.split('\t')(0)),
+          lines)
+        val newV = v + 1
+        val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+        val (stagedCount, stagedLines) = stageFiles(live, dataDir,
+          partitionBy = partitionColsOf(fileLines))
+        val body = s"count=${countOf(spark, table, v)}\n${lines(2)}\n" +
+          (carryLines ++ stagedLines).mkString("\n")
+        val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+        val f = fs(spark, manifest)
+        f.mkdirs(manifestDir(table))
+        try {
+          val outS = f.create(manifest, false)
+          outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+          outS.close()
+          out = Some(AutoCompactStats(newV, fileLines.size,
+            rewriteLines.size, stagedCount))
+        } catch {
+          case _: java.io.IOException =>
+            f.delete(dataDir, true)
+            attempt += 1
+            require(attempt < 8, s"autoCompactDv lost $attempt commit races")
+        }
+      }
+    }
+    out.get
+  }
+
   /** Manifest-declared row count (metadata read, no data scan). */
   def countOf(spark: SparkSession, table: String, version: Int): Long =
     manifestLines(spark, table, version)(1).stripPrefix("count=").toLong
@@ -2251,6 +2358,122 @@ object SnapshotStore {
       .orderBy(col("version"))
   }
 
+  // ─── q337: DV read-amplification policy → selective materialization ──
+  // The missing WHEN of the DV story (q318 writes them, q328's feed
+  // accretes them, compact folds them): a policy that measures each
+  // file's suppressed fraction from metadata alone and materializes
+  // EXACTLY the files over threshold. Fixture: documents hive-bucketed
+  // by doc_id % 4 (one file per bucket), then a delete-only CDC chain
+  // with engineered per-bucket skew — bucket 0 loses every 3rd row
+  // (33% ≥ threshold), bucket 1 every 5th (20% ≥), bucket 2 every
+  // 25th-in-class (4% — under), bucket 3 untouched. autoCompactDv at
+  // 15% must rewrite exactly buckets 0 and 1: the census emits each
+  // bucket's rows, suppressed count, amplification (bp), the rewrite
+  // decision, the post-compaction residual DV, and the live count —
+  // all derived by the oracle from the wave predicates, so the hash
+  // only matches if the POLICY fired on exactly the right files and
+  // the materialization preserved every live row. Time travel to the
+  // amplified layout is asserted engine-side (v4 live == v5 live) and
+  // spec-pinned.
+  // Scale: the decision is footers + DV-sized aggregates; the rewrite
+  // reads only the offending files' live rows. Nothing scans the table.
+  def q337DvAutoCompact(s: SparkSession, d: String): DataFrame = {
+    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/dvamp-" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("b", pmod(col("doc_id"), lit(4)).cast("long"))
+      .repartition(4, col("b"))
+    publish(docs, table, partitionBy = Seq("b"))
+    def dels(pred: org.apache.spark.sql.Column) = docs.where(pred)
+      .select(col("doc_id"), col("n_chars"), col("b"), lit("D").as("op"))
+      .repartition(4, col("b"))
+    applyCdcVersion(s, table,
+      dels(pmod(col("doc_id"), lit(4)) === 0 &&
+           pmod(col("doc_id"), lit(3)) === 0), Seq("doc_id"), "op", 2)
+    applyCdcVersion(s, table,
+      dels(pmod(col("doc_id"), lit(4)) === 1 &&
+           pmod(col("doc_id"), lit(5)) === 0), Seq("doc_id"), "op", 3)
+    applyCdcVersion(s, table,
+      dels(pmod(col("doc_id"), lit(4)) === 2 &&
+           pmod(col("doc_id"), lit(50)) === 0), Seq("doc_id"), "op", 4)
+    val before = dvAmplification(s, table)
+    val st = autoCompactDv(s, table, thresholdBp = 1500L)
+    require(st.version == 5, s"expected materialization commit, got $st")
+    val after = dvAmplification(s, table)
+    // time travel intact: the amplified layout still serves, and the
+    // materialization preserved every live row
+    val livePre = read(s, table, Some(4)).count()
+    val livePost = read(s, table, Some(5)).count()
+    require(livePre == livePost,
+      s"materialization changed live rows: $livePre -> $livePost")
+    // census per BUCKET: file → bucket via the manifest's partition
+    // stats (metadata), before/after amp joined in
+    def bucketOf(stats: Map[String, (Long, Long)]): Long = stats("b")._1
+    val v4Files = statsOf(s, table, 4).toMap
+    val beforeByB = before.map(a => bucketOf(v4Files(a.path)) ->
+      (a.rows, a.suppressed)).toMap
+    val v5Files = statsOf(s, table, 5).toMap
+    val afterByB = after.map(a => bucketOf(v5Files(a.path)) ->
+      a.suppressed).toMap
+    val perBucket = (0L to 3L).map { b =>
+      val (rows, supp) = beforeByB.getOrElse(b, {
+        // never-DV'd bucket: physical rows == live rows
+        val n = read(s, table, Some(4))
+          .where(col("b") === b).count()
+        (n, 0L)
+      })
+      val ampBp = if (rows == 0) 0L else supp * 10000L / rows
+      val rewritten = if (ampBp >= 1500L) 1L else 0L
+      (b, rows, supp, ampBp, rewritten, afterByB.getOrElse(b, 0L),
+        rows - supp)
+    }
+    val spark = s; import spark.implicits._
+    perBucket.toDF("b", "n_rows", "n_supp", "amp_bp", "rewritten",
+        "n_supp_after", "n_live")
+      .withColumn("files_materialized", lit(st.filesMaterialized.toLong))
+      .withColumn("live_total", lit(livePost))
+      .orderBy(col("b"))
+  }
+
+  /** Every column derived from the wave predicates: per bucket the
+    * class size, the engineered delete density, the amplification in
+    * bp, the ≥15% policy decision, and the residual DV (zero where the
+    * policy fired). */
+  val q337Sql: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |per AS (
+      |  SELECT CAST(doc_id % 4 AS BIGINT) AS b,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE
+      |      WHEN doc_id % 4 = 0 AND doc_id % 3 = 0 THEN 1
+      |      WHEN doc_id % 4 = 1 AND doc_id % 5 = 0 THEN 1
+      |      WHEN doc_id % 4 = 2 AND doc_id % 50 = 0 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_supp
+      |  FROM d GROUP BY 1),
+      |amp AS (
+      |  SELECT b, n_rows, n_supp,
+      |    CASE WHEN n_rows = 0 THEN 0
+      |         ELSE n_supp * 10000 // n_rows END AS amp_bp
+      |  FROM per),
+      |fin AS (
+      |  SELECT b, n_rows, n_supp, amp_bp,
+      |    CASE WHEN amp_bp >= 1500 THEN 1 ELSE 0 END AS rewritten,
+      |    CASE WHEN amp_bp >= 1500 THEN 0 ELSE n_supp END AS n_supp_after,
+      |    n_rows - n_supp AS n_live
+      |  FROM amp)
+      |SELECT CAST(b AS BIGINT) AS b, n_rows, n_supp,
+      |  CAST(amp_bp AS BIGINT) AS amp_bp,
+      |  CAST(rewritten AS BIGINT) AS rewritten,
+      |  CAST(n_supp_after AS BIGINT) AS n_supp_after, n_live,
+      |  (SELECT CAST(sum(rewritten) AS BIGINT) FROM fin)
+      |    AS files_materialized,
+      |  (SELECT CAST(sum(n_live) AS BIGINT) FROM fin) AS live_total
+      |FROM fin
+      |ORDER BY b""".stripMargin
+
   /** The fixture's v2/v3 states and per-step feed classes, all derived
     * from the wave predicates (q328/q329's vocabulary); maintained and
     * scratch columns are the SAME expression — equality is the theorem.
@@ -3013,7 +3236,8 @@ object SnapshotStore {
     "q323_merge_on_read" -> (q323MergeOnRead _),
     "q328_streaming_cdc_ingest" -> (q328StreamingCdcIngest _),
     "q329_change_feed" -> (q329ChangeFeed _),
-    "q333_cdf_summary_follow" -> (q333CdfSummaryFollow _))
+    "q333_cdf_summary_follow" -> (q333CdfSummaryFollow _),
+    "q337_dv_auto_compact" -> (q337DvAutoCompact _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -3032,5 +3256,6 @@ object SnapshotStore {
     "q323_merge_on_read" -> q323Sql,
     "q328_streaming_cdc_ingest" -> q328Sql,
     "q329_change_feed" -> q329Sql,
-    "q333_cdf_summary_follow" -> q333Sql)
+    "q333_cdf_summary_follow" -> q333Sql,
+    "q337_dv_auto_compact" -> q337Sql)
 }

@@ -642,6 +642,54 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, t, Some(2)).count() === n - 2)
   }
 
+  test("DV auto-compaction: a long CDC chain triggers exactly the " +
+       "over-threshold files' materialization; time travel intact; " +
+       "an under-threshold chain is a no-op") {
+    val t = freshTable("dv-autocompact")
+    SnapshotStore.publish(
+      spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .repartition(3, col("b")),
+      t, partitionBy = Seq("b"))
+    // CDC chain, delete-only: bucket 0 loses 40% (over a 25% threshold),
+    // bucket 1 loses 10% (under), bucket 2 untouched
+    def dels(ids: Seq[Long], v: Int): Unit = {
+      val batch = spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .where(col("id").isin(ids: _*))
+        .withColumn("op", lit("D"))
+      SnapshotStore.applyCdcVersion(spark, t, batch, Seq("id"), "op", v)
+      ()
+    }
+    val b0 = (0L until 300L).filter(_ % 3 == 0)
+    val b1 = (0L until 300L).filter(_ % 3 == 1)
+    dels(b0.take(20), 2)               // wave 1: bucket 0
+    dels(b0.slice(20, 40) ++ b1.take(10), 3) // wave 2: bucket 0 + a few b1
+    val amp = SnapshotStore.dvAmplification(spark, t)
+    assert(amp.size === 2, s"two buckets carry DVs, got $amp")
+    assert(amp.map(a => (a.rows, a.suppressed)).toSet
+      === Set((100L, 40L), (100L, 10L)))
+    val st = SnapshotStore.autoCompactDv(spark, t, thresholdBp = 2500L)
+    assert(st.filesMaterialized === 1 && st.rowsRewritten === 60L,
+      s"exactly bucket 0 (40% > 25%) must rewrite, got $st")
+    // live rows preserved; the amplified layout still time-travels
+    assert(SnapshotStore.read(spark, t).count() === 250L)
+    assert(SnapshotStore.read(spark, t, Some(3)).count() === 250L)
+    assert(SnapshotStore.read(spark, t, Some(1)).count() === 300L)
+    // the new manifest sheds bucket 0's dv ref, keeps bucket 1's
+    val after = SnapshotStore.dvAmplification(spark, t)
+    assert(after.map(_.suppressed) === Seq(10L),
+      s"only bucket 1's DV must remain, got $after")
+    // no deleted id resurrects
+    val live = SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert((b0.take(40) ++ b1.take(10)).forall(!live.contains(_)))
+    // everything now under threshold: the policy commits NOTHING
+    val st2 = SnapshotStore.autoCompactDv(spark, t, thresholdBp = 2500L)
+    assert(st2.version === st.version && st2.filesMaterialized === 0,
+      s"under-threshold chain must be a no-op, got $st2")
+  }
+
   test("deletion vectors: vacuum keeps a DV dir a retained manifest " +
        "references; merge rewrite materializes the touched file's DV") {
     val t = freshTable("dv-vacuum")
