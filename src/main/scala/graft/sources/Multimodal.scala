@@ -953,18 +953,21 @@ object Multimodal {
   //
   // At 100 TB: payloads never shuffle (synth → encode → decode → 6
   // peaks inside one partition iterator); matching joins fixed-width
-  // tokens. Constellation CANDIDATES come from 4-peak contiguous
+  // tokens. Constellation CANDIDATES come from 5-peak contiguous
   // WINDOWS, not single tokens: the toy 15-bin spectrum has only ~450
   // distinct (pa, pb, gap) tokens, so a token-bucket pair join is
   // corpus-quadratic (the r11 decade-1 soak MEASURED it: exponent 1.49,
-  // 18.6 → 576 s at 10×), while the 15⁴ ≈ 5·10⁴ window space — ~10¹²
-  // for a production 1024-bin FFT, Shazam's actual ~2³⁰-hash shape —
-  // keeps buckets near-dup-sized. The ≥8-of-13 min-count token score
-  // then verifies ONLY candidate pairs (two equi-joins keyed by clip +
-  // token). Amp copies share every window (identical peaks); rotated
-  // copies share every window not crossing the rotation wrap; scattered
-  // coincidental 8-token matches with no shared 4-window are no longer
-  // surfaced — by design, both engines alike.
+  // 18.6 → 576 s at 10×), and even the 4-peak window space (observed
+  // ~13⁴ ≈ 2.9·10⁴ keys — tones only span 13 bins) saturated at sf10
+  // (r11's documented ENOSPC boundary). Five peaks widen the observed
+  // key space 13× (13⁵ ≈ 3.7·10⁵ — ~10¹⁵ for a production 1024-bin
+  // FFT, beyond Shazam's actual ~2³⁰-hash shape), keeping buckets
+  // near-dup-sized a decade further. The ≥8-of-13 min-count token
+  // score then verifies ONLY candidate pairs (two equi-joins keyed by
+  // clip + token). Amp copies share every window (identical peaks);
+  // rotated copies still share the two windows not crossing the
+  // rotation wrap; scattered coincidental 8-token matches with no
+  // shared 5-window are not surfaced — by design, both engines alike.
   private val AcFrames = 8
   private val AcN = 32
   private val AcBins = 15
@@ -1113,11 +1116,12 @@ object Multimodal {
       .agg(count(lit(1)).as("n"))
     // candidates on near-unique 4-peak windows; verify by token score
     val wnd = pk.select(col("clip_id"), explode(expr(
-        s"transform(sequence(1, ${F - 3}), i -> " +
+        s"transform(sequence(1, ${F - 4}), i -> " +
           "concat_ws(':', element_at(peaks, i), " +
           "element_at(peaks, cast(i + 1 AS int)), " +
           "element_at(peaks, cast(i + 2 AS int)), " +
-          "element_at(peaks, cast(i + 3 AS int))))")).as("w"))
+          "element_at(peaks, cast(i + 3 AS int)), " +
+          "element_at(peaks, cast(i + 4 AS int))))")).as("w"))
       .distinct()
     val cand = wnd.as("wa").join(wnd.as("wb"),
         col("wa.w") === col("wb.w") &&
@@ -1204,8 +1208,9 @@ object Multimodal {
        |  FROM tok GROUP BY clip_id, pa, pb, gap),
        |wnd AS (
        |  SELECT DISTINCT clip_id,
-       |    concat_ws(':', pks[i], pks[i + 1], pks[i + 2], pks[i + 3]) AS w
-       |  FROM pseq, unnest(range(1, ${AcFrames - 2})) u(i)),
+       |    concat_ws(':', pks[i], pks[i + 1], pks[i + 2], pks[i + 3],
+       |              pks[i + 4]) AS w
+       |  FROM pseq, unnest(range(1, ${AcFrames - 3})) u(i)),
        |cand AS (
        |  SELECT DISTINCT wa.clip_id AS ca, wb.clip_id AS cb
        |  FROM wnd wa JOIN wnd wb
