@@ -1489,7 +1489,7 @@ object Similarity {
   // reads.
   def q227IvfSnapshotProbe(s: SparkSession, d: String): DataFrame = {
     import graft.sources.SnapshotStore
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/ivf"
+    val table = graft.sources.SnapshotStore.fixturePath("ivf", d)
     val tableP = new org.apache.hadoop.fs.Path(table)
     tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
       .delete(tableP, true)

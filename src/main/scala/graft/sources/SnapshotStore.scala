@@ -527,6 +527,15 @@ object SnapshotStore {
       .sorted
   }
 
+  /** Per-(fixture, dataset dir) table path: the on-disk fixture must
+    * honor the query's dataset input — a session touching two SF dirs
+    * (or concurrent JVMs sharing /tmp) must not clobber each other's
+    * staged tables, the collision two parallel sweeps measured on q148.
+    */
+  private[graft] def fixturePath(name: String, d: String): String =
+    sys.props("java.io.tmpdir") + s"/graft-snapshots/$name-" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** A committed version's schema (driver-side manifest parse). */
   def schemaOf(spark: SparkSession, table: String, version: Int)
       : org.apache.spark.sql.types.StructType =
@@ -1697,8 +1706,7 @@ object SnapshotStore {
       // otherwise leave the first dir's memo entry pointing at a table
       // rebuilt from the second (and concurrent JVMs sharing /tmp
       // would clobber each other's fixture)
-      val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcfix-" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val table = fixturePath("cdcfix", d)
       val tableP = new Path(table)
       fs(s, tableP).delete(tableP, true)
       val docs = Tables.documents(s, d)
@@ -2042,7 +2050,7 @@ object SnapshotStore {
   // hash only matches if timestamp resolution picks exactly the right
   // version each time.
   def q239AsofTimestamp(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/asof"
+    val table = fixturePath("asof", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2074,7 +2082,7 @@ object SnapshotStore {
       |ORDER BY as_of""".stripMargin
 
   def q130SnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/docs"
+    val table = fixturePath("docs", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2106,7 +2114,7 @@ object SnapshotStore {
   // the store's versions are faithful AND the CDC classification
   // (including null-safe payload equality) is right.
   def q133SnapshotCdc(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdc"
+    val table = fixturePath("cdc", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2147,7 +2155,7 @@ object SnapshotStore {
   // touched groups. Nothing scans v2 whole except the published bytes
   // already on disk.
   def q238CdcSummaryMaintain(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/cdcmv"
+    val table = fixturePath("cdcmv", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     // orders is the keyed table (o_orderkey IS unique — lineitem's
@@ -2378,8 +2386,7 @@ object SnapshotStore {
   // Scale: the decision is footers + DV-sized aggregates; the rewrite
   // reads only the offending files' live rows. Nothing scans the table.
   def q337DvAutoCompact(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/dvamp-" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val table = fixturePath("dvamp", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2554,7 +2561,7 @@ object SnapshotStore {
   // skip-rate itself (filesKept < filesTotal) is layout-dependent and is
   // asserted in SnapshotStoreSpec on a controlled layout instead.
   def q148SkippingRead(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/skip"
+    val table = fixturePath("skip", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2585,7 +2592,7 @@ object SnapshotStore {
   // pruned read must equal DuckDB's direct IN-filter — blooms may only
   // skip files, never rows (false negatives impossible by construction).
   def q151BloomLookup(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/bloomidx"
+    val table = fixturePath("bloomidx", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2616,7 +2623,7 @@ object SnapshotStore {
   // is a hash mismatch, not just a slow read. Census ≡ DuckDB's direct
   // filter of the raw table: pruning may skip files, never rows.
   def q210PartitionedRead(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/parts"
+    val table = fixturePath("parts", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val orders = Tables.orders(s, d)
@@ -2670,7 +2677,7 @@ object SnapshotStore {
   // prove the upsert, 199604–06 prove carried files serve unchanged
   // bytes, 210001 proves the insert path.
   def q214SnapshotMerge(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/merge"
+    val table = fixturePath("merge", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val orders = Tables.orders(s, d)
@@ -2752,7 +2759,7 @@ object SnapshotStore {
   // (files_total = |months|, rewritten = 1). Time travel to v1 still
   // serves the narrow schema (SnapshotStoreSpec pins that half).
   def q304SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/evolve"
+    val table = fixturePath("evolve", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val orders = Tables.orders(s, d)
@@ -2815,7 +2822,7 @@ object SnapshotStore {
   // the bucket population; census of the survivors ≡ DuckDB's direct
   // NOT-BETWEEN filter — pruning may skip files, never change rows.
   def q215SnapshotDelete(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/del"
+    val table = fixturePath("del", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2875,7 +2882,7 @@ object SnapshotStore {
   private val Dv2Ids: Seq[Long] = Seq(1L, 2L, 38L)
 
   def q318DeletionVectors(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/dv"
+    val table = fixturePath("dv", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -2957,7 +2964,7 @@ object SnapshotStore {
   // full-outer merge it should equal, with the file counters derived
   // relationally from the bucket layout.
   def q323MergeOnRead(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/mor"
+    val table = fixturePath("mor", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val docs = Tables.documents(s, d)
@@ -3058,7 +3065,7 @@ object SnapshotStore {
   // (stats/bloom collection bounded per file). Nothing here reads more
   // than the batch being audited.
   def q225WapPublish(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/wap"
+    val table = fixturePath("wap", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val orders = Tables.orders(s, d).select(col("o_orderkey"),
@@ -3124,7 +3131,7 @@ object SnapshotStore {
   // distinct count is exact because level 2's input IS one row per
   // distinct value. Output is |columns|-sized.
   def q253SnapshotDrift(s: SparkSession, d: String): DataFrame = {
-    val table = sys.props("java.io.tmpdir") + "/graft-snapshots/drift"
+    val table = fixturePath("drift", d)
     val tableP = new Path(table)
     fs(s, tableP).delete(tableP, true)
     val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
