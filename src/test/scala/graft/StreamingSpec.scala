@@ -236,6 +236,55 @@ class StreamingSpec extends SparkSpec {
         ("c", 33L, 1L)))
   }
 
+  test("full CDC loop: streamCdcSink ingests a MemoryStream while a " +
+       "ChangeFeedSource subscription maintains a summary downstream") {
+    import graft.sources.{ChangeFeedSource, SnapshotStore}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val t = sys.props("java.io.tmpdir") + "/graft-snapspec/cdc-loop"
+    val ckptIn = sys.props("java.io.tmpdir") + "/graft-snapspec/cdc-loop-in"
+    val ckptOut = sys.props("java.io.tmpdir") + "/graft-snapspec/cdc-loop-out"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(t, ckptIn, ckptOut).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    SnapshotStore.publish(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "g", "v"), t)
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(sum(col("v")).as("sum_val"),
+        count(lit(1)).as("cnt"))
+    var maintained = summarize(SnapshotStore.read(spark, t, Some(1)))
+      .localCheckpoint()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, String)]
+    val ingest = SnapshotStore.streamCdcSink(
+      in.toDF().toDF("id", "g", "v", "op"), t, ckptIn,
+      keyCols = Seq("id"), opCol = "op", baseVersion = 1)
+    val follow = ChangeFeedSource.readStream(spark, t, Seq("id"), 1)
+      .writeStream.option("checkpointLocation", ckptOut)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        maintained = SnapshotStore
+          .retractApply(maintained, batch, Seq("g"), "v").localCheckpoint()
+        ()
+      }.start()
+    try {
+      in.addData((1L, "a", 0L, "D"), (3L, "b", 30L, "I"))
+      ingest.processAllAvailable()
+      follow.processAllAvailable()
+      in.addData((2L, "b", 25L, "U"), (4L, "a", 40L, "I"))
+      ingest.processAllAvailable()
+      follow.processAllAvailable()
+    } finally { ingest.stop(); follow.stop() }
+    // table state: {2→(b,25), 3→(b,30), 4→(a,40)}; the maintained
+    // summary followed commit-by-commit with no polling and no rescan
+    val got = maintained.orderBy(col("g"))
+      .as[(String, Long, Long)].collect().toSeq
+    val scratch = summarize(SnapshotStore.read(spark, t)).orderBy(col("g"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === scratch, s"maintained $got != from-scratch $scratch")
+    assert(got === Seq(("a", 40L, 1L), ("b", 55L, 2L)))
+  }
+
   test("stream-stream interval join matches batch semantics with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[EvU]
