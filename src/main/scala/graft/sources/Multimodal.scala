@@ -953,21 +953,24 @@ object Multimodal {
   //
   // At 100 TB: payloads never shuffle (synth → encode → decode → 6
   // peaks inside one partition iterator); matching joins fixed-width
-  // tokens. Constellation CANDIDATES come from 5-peak contiguous
+  // tokens. Constellation CANDIDATES come from 6-peak contiguous
   // WINDOWS, not single tokens: the toy 15-bin spectrum has only ~450
   // distinct (pa, pb, gap) tokens, so a token-bucket pair join is
   // corpus-quadratic (the r11 decade-1 soak MEASURED it: exponent 1.49,
-  // 18.6 → 576 s at 10×), and even the 4-peak window space (observed
-  // ~13⁴ ≈ 2.9·10⁴ keys — tones only span 13 bins) saturated at sf10
-  // (r11's documented ENOSPC boundary). Five peaks widen the observed
-  // key space 13× (13⁵ ≈ 3.7·10⁵ — ~10¹⁵ for a production 1024-bin
-  // FFT, beyond Shazam's actual ~2³⁰-hash shape), keeping buckets
-  // near-dup-sized a decade further. The ≥8-of-13 min-count token
+  // 18.6 → 576 s at 10×); the 4-peak window space (~13⁴ observed keys —
+  // tones only span 13 bins) saturated at sf10 (r11's ENOSPC boundary),
+  // and 5 peaks (13⁵ ≈ 3.7·10⁵) RAN sf10 but saturated exactly there
+  // (r12 decade-2 measured exp 1.61: sf10's ~3.6M window instances
+  // over 371k keys). Six peaks put the key space at 13⁶ ≈ 4.8·10⁶ —
+  // above sf10's instance count, so buckets stay near-dup-sized
+  // (production: a 1024-bin FFT's 6-peak space is ~10¹⁸, beyond
+  // Shazam's actual ~2³⁰-hash shape; the toy saturation SF tracks the
+  // tone-alphabet, not the algorithm). The ≥8-of-13 min-count token
   // score then verifies ONLY candidate pairs (two equi-joins keyed by
   // clip + token). Amp copies share every window (identical peaks);
-  // rotated copies still share the two windows not crossing the
+  // rotated copies share exactly the one 6-window clear of the
   // rotation wrap; scattered coincidental 8-token matches with no
-  // shared 5-window are not surfaced — by design, both engines alike.
+  // shared 6-window are not surfaced — by design, both engines alike.
   private val AcFrames = 8
   private val AcN = 32
   private val AcBins = 15
@@ -1116,12 +1119,13 @@ object Multimodal {
       .agg(count(lit(1)).as("n"))
     // candidates on near-unique 4-peak windows; verify by token score
     val wnd = pk.select(col("clip_id"), explode(expr(
-        s"transform(sequence(1, ${F - 4}), i -> " +
+        s"transform(sequence(1, ${F - 5}), i -> " +
           "concat_ws(':', element_at(peaks, i), " +
           "element_at(peaks, cast(i + 1 AS int)), " +
           "element_at(peaks, cast(i + 2 AS int)), " +
           "element_at(peaks, cast(i + 3 AS int)), " +
-          "element_at(peaks, cast(i + 4 AS int))))")).as("w"))
+          "element_at(peaks, cast(i + 4 AS int)), " +
+          "element_at(peaks, cast(i + 5 AS int))))")).as("w"))
       .distinct()
     val cand = wnd.as("wa").join(wnd.as("wb"),
         col("wa.w") === col("wb.w") &&
@@ -1209,8 +1213,8 @@ object Multimodal {
        |wnd AS (
        |  SELECT DISTINCT clip_id,
        |    concat_ws(':', pks[i], pks[i + 1], pks[i + 2], pks[i + 3],
-       |              pks[i + 4]) AS w
-       |  FROM pseq, unnest(range(1, ${AcFrames - 3})) u(i)),
+       |              pks[i + 4], pks[i + 5]) AS w
+       |  FROM pseq, unnest(range(1, ${AcFrames - 4})) u(i)),
        |cand AS (
        |  SELECT DISTINCT wa.clip_id AS ca, wb.clip_id AS cb
        |  FROM wnd wa JOIN wnd wb
