@@ -106,6 +106,26 @@ object DvSoak {
       .write.format("noop").mode("overwrite").save()
   }
 
+  /** Operator-only DV AUTO-COMPACTION (q337's autoCompactDv): the two
+    * delete waves leave bucket 0 with 13 of its 100 rows suppressed
+    * (13% ≥ the 10% threshold) and buckets 1–4 under it, so the policy
+    * must census every DV'd file (5 footers + one DV-sized aggregate —
+    * CONSTANT across SF: the waves only ever touch buckets 0–4) and
+    * materialize exactly bucket 0's file (constant bytes — buckets are
+    * 100 ids wide at every SF). What grows: the manifest parse/write
+    * (one line per file, linear but tiny). The waves run UNTIMED as
+    * prep; the timed section is the policy + census read.
+    */
+  private def compactOperator(s: SparkSession, table: String): Unit = {
+    SnapshotStore.autoCompactDv(s, table, thresholdBp = 1000L)
+    SnapshotStore.read(s, table)
+      .where(col("b") <= 5)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).cast("long").as("chars"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DvSoak <sfDirCsv> <workDir>")
     val sfDirs = args(0).split(",").toSeq
@@ -138,18 +158,31 @@ object DvSoak {
         cdcOperator(spark, table)
         (System.nanoTime() - t0) / 1e9
       }.min
-      System.err.println(f"[dvsoak] $sfDir: dv $t%.3f s, cdc $tc%.3f s")
-      (sfDir, t, tc)
+      def prepWaves(): Unit = {
+        resetToV1(spark, table)
+        SnapshotStore.dvDelete(spark, table, "doc_id", Dv1Ids)
+        SnapshotStore.dvDelete(spark, table, "doc_id", Dv2Ids)
+      }
+      prepWaves(); compactOperator(spark, table) // warm-up
+      val ta = (1 to passes).map { _ =>
+        prepWaves()
+        val t0 = System.nanoTime()
+        compactOperator(spark, table)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      System.err.println(
+        f"[dvsoak] $sfDir: dv $t%.3f s, cdc $tc%.3f s, compact $ta%.3f s")
+      (sfDir, t, tc, ta)
     }
     def fmt(v: Double) = f"$v%.3f"
-    def decadesOf(pick: ((String, Double, Double)) => Double) =
+    def decadesOf(pick: ((String, Double, Double, Double)) => Double) =
       secs.sliding(2).collect { case Seq(a, b) =>
         val (t0, t1) = (pick(a), pick(b))
         s""""${a._1.split('/').last}_to_${b._1.split('/').last}":""" +
           s"""{"base":${fmt(t0)},"soak":${fmt(t1)},"ratio":${fmt(t1 / t0)},""" +
           s""""exponent":${fmt(math.log(t1 / t0) / math.log(10.0))}}"""
       }.mkString(",")
-    def runsOf(pick: ((String, Double, Double)) => Double) =
+    def runsOf(pick: ((String, Double, Double, Double)) => Double) =
       secs.map(r => s""""${r._1.split('/').last}":${fmt(pick(r))}""")
         .mkString(",")
     val out =
@@ -157,7 +190,9 @@ object DvSoak {
       s""""dv_delete":{"seconds":{${runsOf(_._2)}},""" +
       s""""decades":{${decadesOf(_._2)}}},""" +
       s""""cdc_apply":{"seconds":{${runsOf(_._3)}},""" +
-      s""""decades":{${decadesOf(_._3)}}}}"""
+      s""""decades":{${decadesOf(_._3)}}},""" +
+      s""""auto_compact":{"seconds":{${runsOf(_._4)}},""" +
+      s""""decades":{${decadesOf(_._4)}}}}"""
     val runKey = sys.env.getOrElse("SPARK_GRAFT_SOAK_KEY", "dv_operator")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"SOAK_$runKey.json"), out)
