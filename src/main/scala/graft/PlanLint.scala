@@ -698,6 +698,9 @@ object PlanLint {
     // the embedded char trainer (q147's 18) + 3 census heads + probe +
     // census write
     "q335_byte_bpe_learn" -> 46,
+    // byte fertility: the byte trainer (18) + 1 census pass (q224's
+    // discipline)
+    "q338_byte_fertility" -> 30,
     // vocab curve: the full q147 trainer + dict checkpoint + 4 curve
     // points folded into one union action
     "q307_vocab_curve" -> 30,

@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference object, flattened to [l, r, fused] triples so the hot loop
   * does no tuple unboxing or string concat.
   */
-case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+                         byteLevel: Boolean = false)
     extends UnaryExpression {
   require(merges.nonEmpty && merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty },
     "merges must be non-empty pairs of non-empty symbols")
@@ -49,12 +50,14 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     merges.flatMap { case (l, r) => Seq(l, r, l + r) }.toArray
 
   override def nullSafeEval(in: Any): Any =
-    BpeEncodeExpr.compute(in.asInstanceOf[UTF8String], flat)
+    if (byteLevel) BpeEncodeExpr.computeBytes(in.asInstanceOf[UTF8String], flat)
+    else BpeEncodeExpr.compute(in.asInstanceOf[UTF8String], flat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tableRef = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    val fn = if (byteLevel) "computeBytes" else "compute"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.BpeEncodeExpr.compute($c, $tableRef);")
+      s"${ev.value} = graft.expr.BpeEncodeExpr.$fn($c, $tableRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
@@ -91,10 +94,54 @@ object BpeEncodeExpr {
     while (i < len) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** BYTE-LEVEL kernel (GPT-2 shape): initial symbols are the word's
+    * UTF-8 BYTES as 2-hex-digit strings (uppercase, matching `hex` on
+    * both engines), then the same in-place merge scan as [[compute]].
+    * Every byte is in the base alphabet, so any string encodes with no
+    * unknown token and decoding is exact hex concatenation.
+    */
+  def computeBytes(word: UTF8String, flat: Array[String]): ArrayData = {
+    val bytes = word.getBytes
+    val n = bytes.length
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      syms(i) = new String(
+        Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))
+      i += 1
+    }
+    var len = n
+    var m = 0
+    while (m < flat.length) {
+      val l = flat(m); val r = flat(m + 1); val fused = flat(m + 2)
+      var w = 0
+      i = 0
+      while (i < len) {
+        if (w > 0 && syms(i) == r && syms(w - 1) == l) syms(w - 1) = fused
+        else { syms(w) = syms(i); w += 1 }
+        i += 1
+      }
+      len = w
+      m += 3
+    }
+    val out = new Array[AnyRef](len)
+    i = 0
+    while (i < len) { out(i) = UTF8String.fromString(syms(i)); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 object BpeFunctions {
   /** DataFrame-DSL entry point. */
   def bpe_encode(word: Column, merges: Seq[(String, String)]): Column =
     bridge.column(BpeEncodeExpr(bridge.expression(word), merges))
+
+  /** Byte-level entry point: symbols are 2-hex-digit UTF-8 bytes. */
+  def bpe_encode_bytes(word: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(
+      BpeEncodeExpr(bridge.expression(word), merges, byteLevel = true))
 }

@@ -591,7 +591,12 @@ object Bpe {
       i => h.substr(i * 2 - 1, lit(2)))
   }
 
-  def q335ByteBpeLearn(s: SparkSession, d: String): DataFrame = {
+  /** The byte-level trainer: (word dict, final dict symbol state,
+    * learned merges) — shared by q335's census and q338's
+    * native-encode consumer (both RETRAIN, the q224/q307 discipline).
+    */
+  private def byteBpeTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[(Int, String, String, Long)]) = {
     val pairStructT = "array<struct<lhs:string,rhs:string>>"
     val dict = documents(s, d)
       .select(explode(tokens(col("text"))).as("word"))
@@ -601,7 +606,6 @@ object Bpe {
       .select(col("cnt"), byteSyms(col("word")).as("syms"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
-    val learnedPairs = Seq.newBuilder[(String, String)]
     for (round <- 1 to ByteRounds) {
       val top = cur
         .select(col("cnt"), explode(
@@ -618,10 +622,15 @@ object Bpe {
       val (l, r, n) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       learned += ((round, l, r, n))
-      learnedPairs += ((l, r))
       cur = cur.withColumn("syms", mergePass(col("syms"), l, r))
         .localCheckpoint()
     }
+    (dict, cur, learned.result())
+  }
+
+  def q335ByteBpeLearn(s: SparkSession, d: String): DataFrame = {
+    val (dict, cur, learnedRows) = byteBpeTrain(s, d)
+    val learnedPairs = learnedRows.map { case (_, l, r, _) => (l, r) }
     // byte census on the final dict state + the byte count off the dict
     val byteRow = cur
       .agg(sum(col("cnt")).cast("long").as("n_words"),
@@ -639,15 +648,17 @@ object Bpe {
         .bpe_encode(col("word"), charLearned))).cast("long"))
       .head().getLong(0)
     // multi-script probe through the LEARNED byte merges: encoding +
-    // exact byte-concatenation decode (lossless by construction)
-    val probeSyms = learnedPairs.result().foldLeft(byteSyms(lit(byteProbe))) {
+    // exact byte-concatenation decode (lossless by construction). The
+    // HOF fold here, the NATIVE kernel in q338 — the shared oracle
+    // expression pins fold ≡ kernel on the same learned table.
+    val probeSyms = learnedPairs.foldLeft(byteSyms(lit(byteProbe))) {
       case (sy, (l, r)) => mergePass(sy, l, r) }
     val probeRow = s.range(1)
       .select(array_join(probeSyms, " ").as("enc"),
         decode(unhex(concat_ws("", probeSyms)), "UTF-8").as("rt"))
       .head()
     val spark = s; import spark.implicits._
-    learned.result().toDF("merge_rank", "lhs", "rhs", "n_pair")
+    learnedRows.toDF("merge_rank", "lhs", "rhs", "n_pair")
       .withColumn("n_words", lit(byteRow.getLong(0)))
       .withColumn("n_bytes", lit(nBytes))
       .withColumn("n_toks_byte", lit(byteRow.getLong(1)))
@@ -741,7 +752,86 @@ object Bpe {
        |ORDER BY u.merge_rank""".stripMargin
   }
 
+  // ─── q338: byte-level fertility census via the NATIVE byte kernel ────
+  // The encode half of the GPT-2 shape (q335 trains, this consumes):
+  // the corpus-wide per-language fertility of the LEARNED byte vocab,
+  // encoded by native kernel #14 (`bpe_encode_bytes` — the char
+  // kernel's in-place merge scan over 2-hex-digit byte symbols, one
+  // StaticInvoke per word, WholeStageCodegen intact). This is q224's
+  // census for the byte family: the q338/q335 pair also cross-pins the
+  // kernel against the HOF fold — q335's probe encodes through the
+  // fold, q338's through the kernel, and BOTH hash against the same
+  // oracle expression on the same learned table.
+  // Scale: q224's exactly — one corpus shuffle to the (lang, word)
+  // dict, trainer rounds vocab-sized, census one map-side-combined
+  // aggregate; the kernel does no per-element lambda dispatch.
+  def q338ByteFertility(s: SparkSession, d: String): DataFrame = {
+    val (_, _, learnedRows) = byteBpeTrain(s, d)
+    val pairs = learnedRows.map { case (_, l, r, _) => (l, r) }
+    val enc = graft.expr.BpeFunctions.bpe_encode_bytes(col("word"), pairs)
+    documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        (col("cnt") * octet_length(col("word"))).as("bc"),
+        (col("cnt") * size(enc)).as("tc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("bc")).cast("long").as("n_bytes"),
+        sum(col("tc")).cast("long").as("n_toks"))
+      .withColumn("probe", array_join(graft.expr.BpeFunctions
+        .bpe_encode_bytes(lit(byteProbe), pairs), " "))
+      .orderBy(col("lang"))
+  }
+
+  /** The byte trainer unrolled with `lang` carried (the q224Sql
+    * discipline — per-(lang, word) pair weights sum to the same global
+    * counts, so the argmax sequence matches); fertility reads off the
+    * final carrier strings, the probe off its own replace chain.
+    */
+  private val q338Sql: String = {
+    val stages = (1 to ByteRounds).map { k =>
+      s"""zp$k AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |           i -> struct_pack(lhs := arr[i], rhs := arr[i + 1])),
+         |         recursive := true), cnt
+         |  FROM (SELECT ${symsArrSql("s")} AS arr, cnt FROM zw${k - 1})),
+         |zm$k AS MATERIALIZED (
+         |  SELECT lhs, rhs FROM zp$k
+         |  GROUP BY 1, 2 ORDER BY sum(cnt) DESC, lhs, rhs LIMIT 1),
+         |zw$k AS MATERIALIZED (
+         |  SELECT lang, replace(s,
+         |      ',' || (SELECT lhs FROM zm$k) || ',,' ||
+         |        (SELECT rhs FROM zm$k) || ',',
+         |      ',' || (SELECT lhs FROM zm$k) ||
+         |        (SELECT rhs FROM zm$k) || ',') AS s, cnt
+         |  FROM zw${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val probeChain = (1 to ByteRounds).foldLeft(
+      byteSymsSql(s"'$byteProbe'")) { (sql, k) =>
+      s"""replace($sql,
+         |  ',' || (SELECT lhs FROM zm$k) || ',,' ||
+         |    (SELECT rhs FROM zm$k) || ',',
+         |  ',' || (SELECT lhs FROM zm$k) ||
+         |    (SELECT rhs FROM zm$k) || ',')""".stripMargin
+    }
+    s"""WITH zw0 AS MATERIALIZED (
+       |  SELECT lang, ${byteSymsSql("word")} AS s,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang, unnest($tokensSql) AS word FROM documents)
+       |  GROUP BY 1, 2),
+       |$stages
+       |SELECT lang,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * (length(replace(s, ',', '')) // 2)) AS BIGINT)
+       |    AS n_bytes,
+       |  CAST(sum(cnt * ${nTokensSql("s")}) AS BIGINT) AS n_toks,
+       |  replace(trim($probeChain, ','), ',,', ' ') AS probe
+       |FROM zw$ByteRounds GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_byte_fertility" -> (q338ByteFertility _),
     "q335_byte_bpe_learn" -> (q335ByteBpeLearn _),
     "q332_wordpiece_learn" -> (q332WordpieceLearn _),
     "q146_bpe_encode" -> (q146BpeEncode _),
@@ -750,6 +840,7 @@ object Bpe {
     "q307_vocab_curve" -> (q307VocabCurve _))
 
   val oracleSql: Map[String, String] = Map(
+    "q338_byte_fertility" -> q338Sql,
     "q335_byte_bpe_learn" -> q335Sql,
     "q332_wordpiece_learn" -> q332Sql,
     "q146_bpe_encode" -> q146Sql,

@@ -105,6 +105,31 @@ class BpeSpec extends SparkSpec {
     assert(got("bathing") == Seq("b", "##a", "##t", "##h", "##in", "##g"))
   }
 
+  test("byte-level native kernel ≡ HOF fold over byteSyms, incl. " +
+       "multi-byte UTF-8, and decoding is exact byte concatenation") {
+    import graft.expr.BpeFunctions.bpe_encode_bytes
+    // merges chosen to compose (65+72, then 6572+6C) and to include a
+    // multi-byte UTF-8 lead byte (C3+A9 = 'é')
+    val merges = Seq("65" -> "72", "6572" -> "6C", "C3" -> "A9",
+      "6C" -> "6C")
+    val words = Seq("hello", "erl", "héllo", "ell", "",
+      "wörld", "你好", "aerlerl").toDF("w")
+      .where(col("w") =!= "")
+    val diff = words
+      .select(col("w"), bpe_encode_bytes(col("w"), merges).as("native"),
+        merges.foldLeft(Bpe.byteSyms(col("w"))) { case (sy, (l, r)) =>
+          Bpe.mergePass(sy, l, r) }.as("hof"))
+      .where(not(col("native") === col("hof")))
+    assert(diff.count() == 0, "kernel diverged from the fold")
+    // lossless: unhex(concat(tokens)) decodes back to the input
+    val bad = words
+      .select(col("w"),
+        decode(unhex(concat_ws("", bpe_encode_bytes(col("w"), merges))),
+          "UTF-8").as("rt"))
+      .where(col("w") =!= col("rt"))
+    assert(bad.count() == 0, "byte round-trip lost bytes")
+  }
+
   test("encoding is lossless over the whole sf0.001 corpus") {
     val words = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
