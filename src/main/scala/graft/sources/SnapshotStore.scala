@@ -2298,6 +2298,11 @@ object SnapshotStore {
     * group-local fallback — the non-invertible-aggregate discipline).
     * Cost per batch: one delta-sized aggregate + one |summary|-sized
     * outer merge; the fact table is never read.
+    *
+    * `dims` values must be NON-NULL (the q238 contract): the merge is
+    * an equi-join, and a NULL group key would never pair its delta
+    * with its summary row — derive a sentinel dimension upstream if
+    * the data can carry nulls.
     */
   def retractApply(summary: DataFrame, changes: DataFrame,
                    dims: Seq[String], valCol: String): DataFrame = {

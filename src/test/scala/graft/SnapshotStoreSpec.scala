@@ -979,7 +979,7 @@ class SnapshotStoreSpec extends SparkSpec {
     // the 10 % inflation plus the admitted rows push the money total up
     assert(rows("o_totalprice").getLong(8) > rows("o_totalprice").getLong(7))
     // roundtrip losslessness: the store's v2 read equals the derivation
-    val t = sys.props("java.io.tmpdir") + "/graft-snapshots/drift"
+    val t = SnapshotStore.fixturePath("drift", sfDir)
     val base = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"),
       col("o_custkey"), col("o_orderpriority"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
