@@ -3784,7 +3784,7 @@ object Similarity {
          |    SELECT x.v AS u, y.v AS v, row_number() OVER (PARTITION BY x.v
          |      ORDER BY ${bp("x.e", "y.e")} DESC, y.v) AS arn
          |    FROM ${p}mem x JOIN ${p}mem y ON x.v <> y.v)
-         |  WHERE arn <= $HnswLayerK),
+         |  WHERE arn <= $Hnsw2AdjK),
          |${p}adj AS (SELECT u, v FROM ${p}adjd
          |            UNION SELECT v, u FROM ${p}adjd)""".stripMargin
     def answerOf(p: String, hops: Int) =

@@ -1117,7 +1117,7 @@ object Multimodal {
       .select(col("clip_id"), col("tk.pa"), col("tk.pb"), col("tk.gap"))
     val tokCnt = tok.groupBy("clip_id", "pa", "pb", "gap")
       .agg(count(lit(1)).as("n"))
-    // candidates on near-unique 4-peak windows; verify by token score
+    // candidates on near-unique 6-peak windows; verify by token score
     val wnd = pk.select(col("clip_id"), explode(expr(
         s"transform(sequence(1, ${F - 5}), i -> " +
           "concat_ws(':', element_at(peaks, i), " +

@@ -791,8 +791,15 @@ object SnapshotStore {
           .fromPath(new Path(p), conf))
       try rdr.getRecordCount finally rdr.close()
     }
-    val suppressed = refs.values.toSeq.distinct.sorted
-      .map(dir => spark.read.parquet(dir))
+    // Count each file's positions from the ONE dir its manifest line
+    // references. dvDelete/applyCdcVersion carry a touched file's
+    // CUMULATIVE positions into the new dir, so an older dir still
+    // referenced by OTHER files retains stale copies of the touched
+    // file's rows — a bare union would double-count them (the read
+    // path's anti-join is idempotent and immune; a census is not).
+    val suppressed = refs.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (dir, kvs) =>
+        spark.read.parquet(dir).where(col("k").isin(kvs.map(_._1): _*)) }
       .reduce(_.unionAll(_))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -860,7 +867,15 @@ object SnapshotStore {
             rewriteLines.size, stagedCount))
         } catch {
           case _: java.io.IOException =>
-            f.delete(dataDir, true)
+            // lost the race: drop only the files THIS writer staged —
+            // never dataDir wholesale, which a concurrent winner of
+            // version newV may already own (the dvDelete discipline).
+            // NB the stage itself writes mode=overwrite into the shared
+            // dir, so true concurrent writers remain outside the store's
+            // single-writer contract; this keeps the CLEANUP from being
+            // the step that destroys a winner's committed files.
+            stagedLines.foreach(l =>
+              f.delete(new Path(l.split('\t')(0)), false))
             attempt += 1
             require(attempt < 8, s"autoCompactDv lost $attempt commit races")
         }
@@ -2303,6 +2318,17 @@ object SnapshotStore {
     * an equi-join, and a NULL group key would never pair its delta
     * with its summary row — derive a sentinel dimension upstream if
     * the data can carry nulls.
+    *
+    * MULTI-STEP batches (a catch-up subscription draining several
+    * commit versions per trigger) fold in ONE call: the algebra is
+    * order-independent, because each row contributes a signed
+    * (sum, count) delta and addition commutes — Σ over all steps
+    * applied at once ≡ the steps applied in version order. The one
+    * seeming hazard, a group retracting to zero in step k and
+    * re-inserting in step k+1, is benign: sequential application drops
+    * the group then full-outer-merges it back; combined application
+    * sums both deltas BEFORE the `cnt > 0` filter. Spec-pinned by the
+    * backlog-drain case in StreamingSpec.
     */
   def retractApply(summary: DataFrame, changes: DataFrame,
                    dims: Seq[String], valCol: String): DataFrame = {
@@ -2327,8 +2353,9 @@ object SnapshotStore {
   // The last link of the CDC story: q328 ingests a stream INTO the
   // table, q329 derives the per-commit feed back OUT, and here a
   // maintained aggregate CONSUMES that feed step by step — the batch
-  // twin of subscribing via ChangeFeedSource (the DSv2 subscription
-  // itself — offsets = versions, one commit step per micro-batch,
+  // twin of subscribing via ChangeFeedSource (the subscription itself —
+  // a DSv1 Source whose getBatch IS the distributed feed plan, offsets
+  // = versions, one commit step per micro-batch, catch-up admission,
   // restart replay — is spec-pinned in StreamingSpec over a
   // streamCdcSink-fed table). Over the SAME two-wave fixture as
   // q328/q329 (session memo — the publish is priced once), the per-lang

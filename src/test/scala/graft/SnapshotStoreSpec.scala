@@ -690,6 +690,42 @@ class SnapshotStoreSpec extends SparkSpec {
       s"under-threshold chain must be a no-op, got $st2")
   }
 
+  test("DV census: overlapping waves (wave 2 touches a SUBSET of wave " +
+       "1's files) count each file from its OWN referenced dir — no " +
+       "double-count from stale copies, no spurious compaction") {
+    val t = freshTable("dv-census-overlap")
+    SnapshotStore.publish(
+      spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .repartition(3, col("b")),
+      t, partitionBy = Seq("b"))
+    def dels(ids: Seq[Long], v: Int): Unit = {
+      val batch = spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .where(col("id").isin(ids: _*))
+        .withColumn("op", lit("D"))
+      SnapshotStore.applyCdcVersion(spark, t, batch, Seq("id"), "op", v)
+      ()
+    }
+    val b0 = (0L until 300L).filter(_ % 3 == 0)
+    val b1 = (0L until 300L).filter(_ % 3 == 1)
+    // wave 1 (dir D2) touches b0 AND b1; wave 2 (dir D3) touches ONLY
+    // b0, carrying its cumulative 12+8=20 positions into D3 while b1
+    // still references D2 — which retains a STALE copy of b0's 12.
+    dels(b0.take(12) ++ b1.take(10), 2)
+    dels(b0.slice(12, 20), 3)
+    val amp = SnapshotStore.dvAmplification(spark, t)
+    assert(amp.map(a => (a.rows, a.suppressed)).toSet
+      === Set((100L, 20L), (100L, 10L)),
+      s"a union census would inflate b0 to 32 (12 stale + 20), got $amp")
+    // both files sit under 25%: the policy must commit NOTHING (the
+    // inflated 32% census would spuriously materialize b0)
+    val st = SnapshotStore.autoCompactDv(spark, t, thresholdBp = 2500L)
+    assert(st.filesMaterialized === 0 && st.version === 3,
+      s"under-threshold overlapping chain must be a no-op, got $st")
+    assert(SnapshotStore.read(spark, t).count() === 270L)
+  }
+
   test("deletion vectors: vacuum keeps a DV dir a retained manifest " +
        "references; merge rewrite materializes the touched file's DV") {
     val t = freshTable("dv-vacuum")
