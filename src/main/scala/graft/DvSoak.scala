@@ -126,6 +126,44 @@ object DvSoak {
       .write.format("noop").mode("overwrite").save()
   }
 
+  /** Second fixed CDC wave for the FEED chain: deletes the first wave's
+    * inserts, updates 3 more low ids — constant size at every SF, and
+    * cross-step interactions (insert then delete) so the fold exercises
+    * the order-independent algebra, not just disjoint deltas.
+    */
+  private def cdcWave2(s: SparkSession, table: String): Unit = {
+    import s.implicits._
+    val batch =
+      (Seq(1000001L, 1000002L, 1000003L)
+         .map(id => (id, "en", 0L, 10000L, "D")) ++
+       Seq(7L, 113L, 301L).map(id => (id, "en", 888L, id / 100, "U")))
+        .toDF("doc_id", "lang", "n_chars", "b", "op")
+        .repartition(4, col("b"))
+    SnapshotStore.applyCdcVersion(s, table, batch, Seq("doc_id"), "op", 3)
+    ()
+  }
+
+  /** Operator-only FEED CONSUMPTION (q333's claim): changeFeed +
+    * retractApply ALONE over a pre-staged constant-delta chain
+    * (v1 → v2 → v3, both waves fixed-size). The maintained summary is
+    * built from v1 ONCE per SF (untimed — the subscriber owns it long
+    * before the steps arrive); the timed section is exactly what a
+    * ChangeFeedSource subscriber pays per trigger: derive the 2-step
+    * feed from the manifests, read the touched files/DV deltas, fold
+    * through the retraction algebra, materialize the merged summary.
+    * What grows with SF: the manifest parse (one line per file) and the
+    * pre-image position joins' file reads — stats-pinned to the same
+    * buckets at every SF. What must NOT grow: rows read (delta-sized)
+    * and the merge (|summary| = |langs|). This row replaces q333's
+    * decade-2 fixture-publish attribution with a measurement.
+    */
+  private def feedOperator(s: SparkSession, table: String,
+                           summary: DataFrame): Unit = {
+    val feed = SnapshotStore.changeFeed(s, table, 1, 3, Seq("doc_id"))
+    SnapshotStore.retractApply(summary, feed, Seq("lang"), "n_chars")
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DvSoak <sfDirCsv> <workDir>")
     val sfDirs = args(0).split(",").toSeq
@@ -170,19 +208,39 @@ object DvSoak {
         compactOperator(spark, table)
         (System.nanoTime() - t0) / 1e9
       }.min
+      // feed consumption: v1 summary built once per SF (untimed), the
+      // 2-wave chain re-staged per pass (untimed), feed+fold timed
+      val summary = SnapshotStore.read(spark, table, Some(1))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).cast("long").as("sum_val"),
+             count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      def prepChain(): Unit = {
+        resetToV1(spark, table)
+        cdcOperator(spark, table) // wave 1 → v2 (incl. its census read)
+        cdcWave2(spark, table)    // wave 2 → v3
+      }
+      prepChain(); feedOperator(spark, table, summary) // warm-up
+      val tf = (1 to passes).map { _ =>
+        prepChain()
+        val t0 = System.nanoTime()
+        feedOperator(spark, table, summary)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       System.err.println(
-        f"[dvsoak] $sfDir: dv $t%.3f s, cdc $tc%.3f s, compact $ta%.3f s")
-      (sfDir, t, tc, ta)
+        f"[dvsoak] $sfDir: dv $t%.3f s, cdc $tc%.3f s, compact $ta%.3f s, " +
+        f"feed $tf%.3f s")
+      (sfDir, t, tc, ta, tf)
     }
     def fmt(v: Double) = f"$v%.3f"
-    def decadesOf(pick: ((String, Double, Double, Double)) => Double) =
+    def decadesOf(pick: ((String, Double, Double, Double, Double)) => Double) =
       secs.sliding(2).collect { case Seq(a, b) =>
         val (t0, t1) = (pick(a), pick(b))
         s""""${a._1.split('/').last}_to_${b._1.split('/').last}":""" +
           s"""{"base":${fmt(t0)},"soak":${fmt(t1)},"ratio":${fmt(t1 / t0)},""" +
           s""""exponent":${fmt(math.log(t1 / t0) / math.log(10.0))}}"""
       }.mkString(",")
-    def runsOf(pick: ((String, Double, Double, Double)) => Double) =
+    def runsOf(pick: ((String, Double, Double, Double, Double)) => Double) =
       secs.map(r => s""""${r._1.split('/').last}":${fmt(pick(r))}""")
         .mkString(",")
     val out =
@@ -192,7 +250,9 @@ object DvSoak {
       s""""cdc_apply":{"seconds":{${runsOf(_._3)}},""" +
       s""""decades":{${decadesOf(_._3)}}},""" +
       s""""auto_compact":{"seconds":{${runsOf(_._4)}},""" +
-      s""""decades":{${decadesOf(_._4)}}}}"""
+      s""""decades":{${decadesOf(_._4)}}},""" +
+      s""""feed_consume":{"seconds":{${runsOf(_._5)}},""" +
+      s""""decades":{${decadesOf(_._5)}}}}"""
     val runKey = sys.env.getOrElse("SPARK_GRAFT_SOAK_KEY", "dv_operator")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"SOAK_$runKey.json"), out)

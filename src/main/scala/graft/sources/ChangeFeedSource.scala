@@ -1,53 +1,67 @@
 package graft.sources
 
-import java.util
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** The CHANGE FEED as a streaming SOURCE: a DataSource V2
-  * `MicroBatchStream` over [[SnapshotStore.changeFeed]] — the Delta
-  * `readChangeFeed` streaming mode for the snapshot store. A downstream
-  * job SUBSCRIBES to a table's commits instead of polling it:
+/** The CHANGE FEED as a streaming SOURCE — the Delta `readChangeFeed`
+  * streaming mode for the snapshot store. A downstream job SUBSCRIBES
+  * to a table's commits instead of polling it:
   *
   *   spark.readStream.format("graft.sources.ChangeFeedSource")
   *     .option("table", path).option("keyCols", "id")
   *     .option("startVersion", "3").load()
   *
-  * OFFSETS ARE VERSIONS and one micro-batch = one commit step's change
-  * rows (`SupportsAdmissionControl` caps admission at `start + 1`, the
-  * [[PagedApiSource]] discipline — here because a commit step is the
-  * unit downstream retraction algebra composes over; see
-  * [[SnapshotStore.retractApply]]). The schema is the table's manifest
-  * schema plus `_change_type`/`_commit_version`, fixed at stream start.
+  * OFFSETS ARE VERSIONS; by default one micro-batch = one commit step's
+  * change rows, because a commit step is the unit downstream retraction
+  * algebra composes over (see [[SnapshotStore.retractApply]]). A
+  * subscriber that has fallen behind drains its backlog with
+  * `maxVersionsPerTrigger`: admission then spans up to that many commit
+  * steps per micro-batch, each row still tagged `_commit_version`.
+  * Folding a MULTI-step batch through `retractApply` in ONE call is
+  * sound because the algebra is ORDER-INDEPENDENT: every step
+  * contributes signed (sum, count) deltas and addition commutes, so
+  * Σ_steps(post − pre) applied at once equals the steps applied in
+  * sequence (the transient per-step `cnt = 0` group-drop is invisible —
+  * the full-outer merge re-creates the group, and combined counts are
+  * summed before the `cnt > 0` filter). The schema is the table's
+  * manifest schema plus `_change_type`/`_commit_version`, fixed at
+  * stream start.
+  *
+  * ARCHITECTURE — DataSource V1 `Source`, the tier Delta's own CDF
+  * streaming source rides, chosen deliberately over DSv2
+  * `MicroBatchStream`: `getBatch` returns the DISTRIBUTED
+  * [[SnapshotStore.changeFeed]] plan itself (manifest-listed parquet
+  * files planned as real file splits, DV-delta positions applied as a
+  * distributed anti-join, delete pre-images synthesized executor-side,
+  * update pre/post pairing as delta-sized joins), re-wrapped streaming
+  * via its compiled RDD lineage. NO change row ever passes through the
+  * driver — a DSv2 source would have to materialize the batch into
+  * `InputPartition`s because its readers cannot express the feed's
+  * joins, which is exactly the driver funnel a CoW-amplified commit or
+  * a `startVersion` backfill cannot afford. There is no collected-row
+  * fallback because none is needed.
   *
   * DETERMINISTIC REPLAY with ZERO admission state: committed versions
-  * are immutable, so `planInputPartitions(start, end)` derives the
-  * batch from the manifests alone — a crash-restarted stream replays
-  * the offset-log batch bit-identically with nothing buffered, which is
-  * strictly stronger than the cursor source's re-walk (the API serves
-  * whatever it serves NOW; a snapshot serves what it committed THEN).
-  * The only retention contract is vacuum's: versions inside the
-  * checkpoint lag must not be expired (the Delta CDF caveat verbatim).
+  * are immutable, so `getBatch(start, end)` derives the batch from the
+  * manifests alone — a crash-restarted stream replays the offset-log
+  * batch bit-identically with nothing buffered. The only retention
+  * contract is vacuum's: versions inside the checkpoint lag must not
+  * be expired (the Delta CDF caveat verbatim).
   *
   * 100 TB shape: admission (`latestOffset`) is one driver-side manifest
-  * listing per trigger — no data touched. Per batch, the step's feed is
-  * computed by the DISTRIBUTED [[SnapshotStore.changeFeed]] plan
-  * (column-pruned reads of exactly the files the commit touched) and
-  * its result rows ship to the executors through driver partitions —
-  * bounded by the micro-batch delta, the same bound [[PagedApiSource]]
-  * rides for API pages and [[SnapshotStore.applyCdcVersion]] guarantees
-  * on the write side (a merge-on-read commit's delta IS its batch).
-  * Copy-on-write steps (compaction, full rewrites) amplify the delta to
-  * the rewritten bytes — subscribe past those with `startVersion`, or
-  * consume them through the batch [[SnapshotStore.changeFeed]] API.
+  * listing per trigger — no data touched. Per batch, driver work is
+  * plan construction (two manifest parses per admitted step); data
+  * work is column-pruned executor-side scans of exactly the files the
+  * admitted commits touched. Copy-on-write steps (compaction, full
+  * rewrites) amplify the delta to the rewritten bytes — that cost now
+  * lands on the EXECUTORS as a normal distributed scan instead of on
+  * driver memory; subscribe past them with `startVersion` if even the
+  * scan is unwanted.
   */
 object ChangeFeedSource {
   private[sources] val CdfCols = Seq(
@@ -64,72 +78,85 @@ object ChangeFeedSource {
 
   /** Convenience reader: subscribe to `table`'s commits after
     * `startVersion` (exclusive). Rows arrive one commit step per
-    * micro-batch, tagged `_change_type`/`_commit_version`.
+    * micro-batch (raise `maxVersionsPerTrigger` to drain a backlog in
+    * multi-step batches), tagged `_change_type`/`_commit_version`.
     */
   def readStream(spark: SparkSession, table: String, keyCols: Seq[String],
-                 startVersion: Int): DataFrame =
+                 startVersion: Int,
+                 maxVersionsPerTrigger: Int = 1): DataFrame =
     spark.readStream.format(classOf[ChangeFeedSource].getName)
       .option("table", table)
       .option("keyCols", keyCols.mkString(","))
       .option("startVersion", startVersion.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
       .load()
 }
 
-final class ChangeFeedSource extends TableProvider with DataSourceRegister {
+final class ChangeFeedSource extends StreamSourceProvider
+    with DataSourceRegister {
   override def shortName(): String = "snapshot-cdf"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val table = options.get("table")
-    require(table != null, "option 'table' is required")
-    ChangeFeedSource.schemaFor(SparkSession.active, table)
+
+  private def opt(parameters: Map[String, String],
+                  key: String): Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val table = opt(parameters, "table").getOrElse(
+      throw new IllegalArgumentException("option 'table' is required"))
+    (shortName(),
+      schema.getOrElse(
+        ChangeFeedSource.schemaFor(sqlContext.sparkSession, table)))
   }
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table = {
-    val keyCols = Option(properties.get("keyCols"))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val table = opt(parameters, "table").getOrElse(
+      throw new IllegalArgumentException("option 'table' is required"))
+    val keyCols = opt(parameters, "keyCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     require(keyCols.nonEmpty, "option 'keyCols' is required " +
       "(update pre/post pairing is keyed)")
-    new CdfTable(properties.get("table"), keyCols,
-      Option(properties.get("startVersion")).map(_.toInt), schema)
+    val maxVersions = opt(parameters, "maxVersionsPerTrigger")
+      .map(_.toInt).getOrElse(1)
+    require(maxVersions >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $maxVersions")
+    val declared = schema.getOrElse(
+      ChangeFeedSource.schemaFor(sqlContext.sparkSession, table))
+    new CdfSource(sqlContext.sparkSession, table, keyCols,
+      opt(parameters, "startVersion").map(_.toInt), maxVersions, declared)
   }
 }
 
-private final class CdfTable(table: String, keyCols: Seq[String],
-                             startVersion: Option[Int], declared: StructType)
-  extends Table with SupportsRead {
-  override def name(): String = s"snapshot-cdf($table)"
-  override def schema(): StructType = declared
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = declared
-        override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream =
-          new CdfMicroBatchStream(table, keyCols, startVersion, declared)
-      }
-    }
-}
-
 /** Offset = committed table version the stream has emitted through. */
-private final case class VersionOffset(version: Int) extends Offset {
+private[graft] final case class VersionOffset(version: Int) extends OffsetV1 {
   override def json(): String = version.toString
 }
 
-private final class CdfMicroBatchStream(table: String, keyCols: Seq[String],
-                                        startVersion: Option[Int],
-                                        declared: StructType)
-  extends MicroBatchStream with SupportsAdmissionControl {
+private[graft] final class CdfSource(spark: SparkSession, table: String,
+                              keyCols: Seq[String],
+                              startVersion: Option[Int], maxVersions: Int,
+                              declared: StructType)
+    extends Source with SupportsAdmissionControl {
 
-  private def spark = SparkSession.active
+  override def schema: StructType = declared
+
+  private def verOf(o: AnyRef): Int = o match {
+    case v: OffsetV1 => v.json().trim.toInt // incl. SerializedOffset replay
+    case v: OffsetV2 => v.json().trim.toInt
+  }
 
   /** Fresh-checkpoint start: the given version, or the table's latest
     * at stream creation (subscribe to FUTURE commits — the common
     * "summary follows table" posture; pass an explicit earlier version
-    * to backfill history).
+    * to backfill history — now a distributed scan, not a driver walk).
     */
-  override def initialOffset(): Offset = {
+  override def initialOffset(): OffsetV2 = {
     val committed = SnapshotStore.versions(spark, table)
     require(committed.nonEmpty, s"no committed snapshots under $table")
     val v = startVersion.getOrElse(committed.last)
@@ -138,57 +165,57 @@ private final class CdfMicroBatchStream(table: String, keyCols: Seq[String],
     VersionOffset(v)
   }
 
-  override def latestOffset(): Offset =
+  override def getOffset: Option[OffsetV1] =
     throw new UnsupportedOperationException(
       "latestOffset(startOffset, limit) is used (SupportsAdmissionControl)")
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-
-  /** Admit ONE commit step per micro-batch: downstream retraction
-    * algebra composes per step, and a step is the store's atomicity
-    * unit. One driver-side manifest listing; no data touched.
+  /** A commit step is the admission unit; `maxVersionsPerTrigger` rides
+    * the engine's ReadLimit channel as maxFiles(steps).
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[VersionOffset].version
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(maxVersions)
+
+  /** Admit up to the limit's commit steps per micro-batch: one
+    * driver-side manifest listing; no data touched. A backlog of N
+    * commits drains in ceil(N / maxVersionsPerTrigger) triggers.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // first trigger passes start = null (the v1+admission contract —
+    // KafkaSource's Option(start).getOrElse(initial) discipline)
+    val s = Option(start).map(verOf).getOrElse(verOf(initialOffset()))
     val latest = SnapshotStore.versions(spark, table).lastOption.getOrElse(s)
-    VersionOffset(math.min(latest, s + 1))
+    val cap: Long = limit match {
+      case _: ReadAllAvailable => Int.MaxValue.toLong
+      case mf: ReadMaxFiles => mf.maxFiles().toLong
+      case _ => maxVersions.toLong
+    }
+    VersionOffset(math.min(latest.toLong, s.toLong + cap).toInt)
   }
 
-  override def planInputPartitions(start: Offset,
-                                   end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].version
-    val e = end.asInstanceOf[VersionOffset].version
-    if (s >= e) return Array.empty
-    // distributed compute, then conform to the DECLARED schema so the
-    // shipped UnsafeRows match readSchema even if the table widened
-    // after stream start (a column the declared schema lacks is an
-    // analysis error here — loud, not silent corruption)
-    val feed = SnapshotStore.changeFeed(spark, table, s, e, keyCols)
+  /** The batch's DISTRIBUTED plan, conformed to the declared schema so
+    * emitted rows match `schema` even if the table widened after stream
+    * start (a column the declared schema lacks is an analysis error
+    * here — loud, not silent corruption). Exposed for the spec that
+    * pins the no-driver-materialization shape: the executed plan scans
+    * parquet FILE SPLITS and joins executor-side.
+    */
+  private[graft] def batchPlan(s: Int, e: Int): DataFrame =
+    SnapshotStore.changeFeed(spark, table, s, e, keyCols)
       .select(declared.fields.toIndexedSeq
         .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
-    val rows = feed.queryExecution.executedPlan.executeCollect()
-    rows.grouped(4096).map(g => CdfPartition(g.toArray): InputPartition)
-      .toArray
-  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val p = partition.asInstanceOf[CdfPartition]
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < p.rows.length }
-        override def get(): InternalRow = p.rows(i)
-        override def close(): Unit = ()
-      }
-    }
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val s = start.map(verOf).getOrElse(verOf(initialOffset()))
+    val e = verOf(end)
+    if (s >= e) // defensive: an already-drained (start, end] replays empty
+      bridge.asStreamingFrame(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared))
+    else bridge.asStreamingFrame(batchPlan(s, e))
+  }
 
   // versions are immutable and the batch is derived from manifests, so
   // there is nothing to free or advance
-  override def commit(end: Offset): Unit = ()
-  override def deserializeOffset(json: String): Offset =
+  override def commit(end: OffsetV2): Unit = ()
+  override def deserializeOffset(json: String): OffsetV2 =
     VersionOffset(json.toInt)
   override def stop(): Unit = ()
 }
-
-private final case class CdfPartition(rows: Array[InternalRow])
-  extends InputPartition

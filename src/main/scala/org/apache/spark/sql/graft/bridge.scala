@@ -70,6 +70,23 @@ object bridge {
         bloomScalar.queryExecution.analyzed),
       expression(value)))
 
+  /** Re-wrap a BATCH DataFrame as a STREAMING one for a DSv1
+    * `Source.getBatch` return value — the KafkaSource construction
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`, which
+    * went private[sql]). The plan stays fully DISTRIBUTED: `toRdd` is
+    * the lazily-compiled physical RDD lineage (file-split scans,
+    * shuffles, joins — nothing executes here, and nothing ever passes
+    * through the driver), and MicroBatchExecution's
+    * `assert(batch.isStreaming)` contract is satisfied by the flag.
+    */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Register a SQL function on an ALREADY-RUNNING session (the
     * extensions path requires configuring the session builder up front;
     * this covers notebooks/tests attaching to an existing one).

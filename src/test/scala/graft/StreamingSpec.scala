@@ -285,6 +285,139 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(("a", 40L, 1L), ("b", 55L, 2L)))
   }
 
+  test("change-feed source plans DISTRIBUTED batches: parquet file " +
+       "splits + executor-side joins, no driver materialization of " +
+       "change rows") {
+    import graft.sources.{ChangeFeedSource, CdfSource, SnapshotStore}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+    val t = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-planned"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t), true)
+    SnapshotStore.publish(
+      spark.range(500).select(col("id"), (col("id") % 7).as("g"),
+        (col("id") * 3).as("v")), t)
+    SnapshotStore.applyCdcVersion(spark, t,
+      spark.range(100).select(col("id"), (col("id") % 7).as("g"),
+          (col("id") * 5).as("v"))
+        .withColumn("op",
+          org.apache.spark.sql.functions.when(col("id") < 40,
+            org.apache.spark.sql.functions.lit("D"))
+          .otherwise(org.apache.spark.sql.functions.lit("U"))),
+      Seq("id"), "op", 2)
+    val src = new ChangeFeedSource().createSource(spark.sqlContext,
+      t + "-meta", None, "snapshot-cdf",
+      Map("table" -> t, "keyCols" -> "id")).asInstanceOf[CdfSource]
+    // the batch's plan scans the commit's parquet files as real file
+    // splits — a collected-row source would show none
+    val plan = src.batchPlan(1, 2)
+    val executed = plan.queryExecution.executedPlan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: FileSourceScanExec => 1
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(scans).sum
+    }
+    assert(scans(executed) > 0,
+      s"batch must plan parquet FILE SPLITS, got:\n$executed")
+    // the batch's rows equal the batch changeFeed's — getBatch wraps
+    // batchPlan's compiled RDD verbatim (no executeCollect path exists
+    // in ChangeFeedSource at all), so plan equality IS row equality
+    val gotRows = plan.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    val expect = SnapshotStore.changeFeed(spark, t, 1, 2, Seq("id"))
+      .groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(gotRows === expect, s"planned $gotRows != batch feed $expect")
+    assert(gotRows("delete") === 40L &&
+      gotRows("update_preimage") === 60L &&
+      gotRows("update_postimage") === 60L)
+    // the v1 getBatch contract: a STREAMING-flagged frame of the same
+    // schema (a batch execution of it is rejected by analysis, so the
+    // flag itself is the assert)
+    val batch = src.getBatch(None, graft.sources.VersionOffset(2))
+    assert(batch.isStreaming, "getBatch must return a streaming frame")
+    assert(batch.schema.map(f => (f.name, f.dataType))
+      === plan.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("change-feed catch-up admission: a 10-commit backlog drains in " +
+       "2 triggers under maxVersionsPerTrigger=8; multi-step batches " +
+       "fold through retractApply in one call; replay stays a no-op") {
+    import graft.sources.{ChangeFeedSource, SnapshotStore}
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val t = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-backlog"
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-backlog-ckpt"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(t, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    SnapshotStore.publish(
+      (1L to 20L).map(i => (i, s"g${i % 3}", i * 10L)).toDF("id", "g", "v"),
+      t)
+    // 10 commits pile up BEFORE the subscriber attaches — each wave
+    // inserts a fresh row, updates a seed row, and deletes the
+    // previous wave's insert (cross-step interactions, so a one-shot
+    // fold only matches if the composed algebra is order-independent)
+    for (w <- 1 to 10) {
+      val rows = Seq(
+        (100L * w, s"g${w % 3}", 100L * w, "I"),
+        (w.toLong, s"g${w % 3}", w * 1000L, "U")) ++
+        (if (w > 1)
+           Seq((100L * (w - 1), s"g${(w - 1) % 3}", 100L * (w - 1), "D"))
+         else Seq.empty)
+      SnapshotStore.applyCdcVersion(spark, t,
+        rows.toDF("id", "g", "v", "op"), Seq("id"), "op", w + 1)
+    }
+    assert(SnapshotStore.versions(spark, t).last === 11)
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(sum(col("v")).as("sum_val"),
+        count(lit(1)).as("cnt"))
+    var maintained = summarize(SnapshotStore.read(spark, t, Some(1)))
+      .localCheckpoint()
+    val batchVersions = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = ChangeFeedSource.readStream(spark, t, Seq("id"), 1,
+        maxVersionsPerTrigger = 8)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchVersions += batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        // ONE retractApply over the whole multi-step batch — sound
+        // because the algebra is order-independent (scaladoc proof)
+        maintained = SnapshotStore
+          .retractApply(maintained, batch, Seq("g"), "v").localCheckpoint()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchVersions.size === 2,
+      s"10 commits at 8/trigger must drain in 2 batches, got $batchVersions")
+    assert(batchVersions(0) === (2L to 9L) &&
+      batchVersions(1) === (10L to 11L),
+      s"admission must span versions in order, got $batchVersions")
+    val got = maintained.orderBy(col("g"))
+      .as[(String, Long, Long)].collect().toSeq
+    val scratch = summarize(SnapshotStore.read(spark, t)).orderBy(col("g"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === scratch,
+      s"multi-step maintained $got must equal from-scratch $scratch")
+    // restart on the drained checkpoint: nothing replays
+    val q2 = ChangeFeedSource.readStream(spark, t, Seq("id"), 1,
+        maxVersionsPerTrigger = 8)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchVersions += batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batchVersions.size === 2,
+      s"drained checkpoint must not replay, got $batchVersions")
+  }
+
   test("stream-stream interval join matches batch semantics with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[EvU]
