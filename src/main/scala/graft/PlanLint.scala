@@ -757,6 +757,15 @@ object PlanLint {
     "q319_pretrain_funnel" -> 27,
     // evolution merge: q214's merge pipeline on a wider schema
     "q304_schema_evolution" -> 16,
+    // column mapping: publish (stage+stats) + 2 metadata-only commits
+    // (zero actions) + 2 merges (dup probe + key-scan collect + touched
+    // count + stage/stats each) + 5 per-version census aggregates
+    // (measured 18 fresh-session)
+    "q339_column_mapping" -> 22,
+    // index health: 2 delete waves (damaged/aff checkpoints + counts) +
+    // 3 censuses (agg + degree count each) + live counts + the fired
+    // retrain (NN-descent checkpoints) + census write
+    "q340_nn_health_policy" -> 40,
     // CDC-fed summary maintenance: 2 publishes (stage stats/write each)
     // + manifest reads + the final single-action maintenance plan
     "q238_cdc_summary_maintain" -> 16,

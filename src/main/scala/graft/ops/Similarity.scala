@@ -4178,11 +4178,20 @@ object Similarity {
   /** The maintained graph after tombstoning the delete batch — exposed
     * so the spec can pin the carry discipline and the no-tombstone
     * invariant structurally. */
-  private[graft] def nnDeletedGraph(s: SparkSession, d: String): DataFrame = {
-    val emb = embFrame(s, d)
-    val g = nnGraphFor(s, d)
-    val delU = isNnDel(col("u"))
-    val delV = isNnDel(col("v"))
+  private[graft] def nnDeletedGraph(s: SparkSession, d: String): DataFrame =
+    nnDeleteWave(embFrame(s, d), nnGraphFor(s, d), c => isNnDel(c))._1
+
+  /** One delete-maintenance WAVE on an arbitrary input graph (q334's
+    * machinery factored for chained waves — q340's health-policy chain):
+    * returns the maintained graph and the RE-CUT vertex set (damaged ∪
+    * second-round affected), the accumulating approximation debt the
+    * health census tracks. `isDel` is the wave's tombstone predicate
+    * over a vertex-id column. */
+  private[graft] def nnDeleteWave(emb: DataFrame, g: DataFrame,
+                                  isDel: Column => Column)
+      : (DataFrame, DataFrame) = {
+    val delU = isDel(col("u"))
+    val delV = isDel(col("v"))
     // tombstoned lists drop; edges INTO tombstones damage their owner
     val gp = g.where(!delU && !delV)
     val damaged = g.where(!delU && delV).select("u").distinct()
@@ -4193,7 +4202,7 @@ object Similarity {
     val toDel = g.where(!delU && delV).select(col("u"), col("v").as("x"))
     val undDel = g.where(delU).select(col("u").as("x"), col("v").as("w"))
       .unionAll(g.where(delV).select(col("v").as("x"), col("u").as("w")))
-      .where(!isNnDel(col("w"))).distinct()
+      .where(!isDel(col("w"))).distinct()
     val cand = toDel.join(undDel, "x")
       .where(col("w") =!= col("u"))
       .select(col("u"), col("w").as("v")).distinct()
@@ -4224,10 +4233,11 @@ object Similarity {
       .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
       .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
     val aff = cand2.select("u").distinct().localCheckpoint()
-    g1.join(aff, Seq("u"), "left_anti")
+    val g2 = g1.join(aff, Seq("u"), "left_anti")
       .unionAll(nnTopK(
         g1.join(aff, Seq("u"), "left_semi").unionAll(scored2)))
       .localCheckpoint()
+    (g2, damaged.unionAll(aff).distinct().localCheckpoint())
   }
 
   def q334NnIncrementalDelete(s: SparkSession, d: String): DataFrame = {
@@ -4360,7 +4370,218 @@ object Similarity {
        |ORDER BY d.q_id""".stripMargin
   }
 
+  // ─── q340: k-NN index HEALTH POLICY (when to rebuild) ────────────────
+  // q324 inserts and q334 deletes keep the graph correct, but each
+  // delete wave re-cuts damaged lists with ONE localized round — an
+  // approximation of the full NN-descent, so quality debt accumulates
+  // across waves exactly like read amplification accumulates across DV
+  // commits. This is the q337 policy shape applied to the index tier:
+  // the DECISION is metadata (deleted-since-retrain fraction, the
+  // Lucene segment-merge / FAISS rebuild trigger), the MECHANISM is the
+  // full retrain on survivors, and the CENSUS is graph-health evidence
+  // (edges, mean bp, degree deficits, ghost edges, per-wave re-cut
+  // width). Chain: base graph → wave 1 deletes class vec_id%10=7
+  // (~1 class in 9 ⇒ ~1111 bp, UNDER the 1500 bp threshold — policy
+  // holds) → wave 2 deletes class 3 (~2 in 8 ⇒ ~2500 bp — policy FIRES
+  // and the after-columns flip to the retrained graph's census). The
+  // oracle recomputes both maintained waves AND the retrain from the
+  // class predicates, so the hash only matches if the chained
+  // maintenance, the census arithmetic, and the fired/not-fired
+  // decisions all agree — the decision itself is oracle data.
+  // Scale: censuses are graph-sized aggregates (the graph is K·n edges,
+  // a metadata-scale artifact next to the corpus); the retrain arm runs
+  // only when the policy fires, which is the point of having one.
+  def q340NnHealthPolicy(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val g0 = nnGraphFor(s, d)
+    def cls(c: Column, m: Int) = pmod(c, lit(10)) === m
+    val (g1, r1) = nnDeleteWave(emb, g0, c => cls(c, 7))
+    val (g2, r2) = nnDeleteWave(emb, g1, c => cls(c, 3))
+    val live0 = emb.count()
+    val live1 = emb.where(!cls(col("vec_id"), 7)).count()
+    val live2 = emb.where(!cls(col("vec_id"), 7) &&
+      !cls(col("vec_id"), 3)).count()
+    val ThresholdBp = 1500L
+    def census(g: DataFrame, live: Long,
+               ghost: Column): (Long, Long, Long, Long) = {
+      val a = g.agg(count(lit(1)).as("n"), sum(col("bp")).as("sbp"),
+        sum(when(ghost, 1L).otherwise(0L)).as("gh")).head()
+      val nFull = g.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= NnK).count()
+      val edges = a.getLong(0)
+      (edges, if (edges == 0) 0L else a.getLong(1) / edges,
+        live - nFull, a.getLong(2))
+    }
+    def ghost1(c1: Column, c2: Column) = cls(c1, 7) || cls(c2, 7)
+    def ghost2(c1: Column, c2: Column) =
+      ghost1(c1, c2) || cls(c1, 3) || cls(c2, 3)
+    val c0 = census(g0, live0, lit(false))
+    val c1 = census(g1, live1, ghost1(col("u"), col("v")))
+    val c2 = census(g2, live2, ghost2(col("u"), col("v")))
+    def delBp(live: Long) = if (live == 0) 0L else
+      (live0 - live) * 10000L / live
+    val (d1, d2) = (delBp(live1), delBp(live2))
+    val (fired1, fired2) =
+      (if (d1 >= ThresholdBp) 1L else 0L, if (d2 >= ThresholdBp) 1L else 0L)
+    // the policy's mechanism: full retrain on survivors — priced only
+    // when the decision fires (the fixture's wave-2 fraction crosses by
+    // class arithmetic at every SF; the CASE is still honored both
+    // sides so the decision stays data, not an assumption)
+    val cA =
+      if (fired2 == 1L)
+        census(nnDescentGraph(s, d, Some(!cls(col("vec_id"), 7) &&
+          !cls(col("vec_id"), 3))), live2, ghost2(col("u"), col("v")))
+      else c2
+    val rows = Seq(
+      (0L, live0, 0L, 0L, 0L, c0._1, c0._2, c0._3, c0._4, c0._1, c0._2,
+        c0._3),
+      (1L, live1, r1.count(), d1, fired1, c1._1, c1._2, c1._3, c1._4,
+        c1._1, c1._2, c1._3),
+      (2L, live2, r2.count(), d2, fired2, c2._1, c2._2, c2._3, c2._4,
+        cA._1, cA._2, cA._3))
+    val spark = s; import spark.implicits._
+    rows.toDF("wave", "n_live", "n_recut", "del_bp", "fired", "n_edges",
+        "avg_bp", "n_deficit", "n_ghost", "n_edges_after", "avg_bp_after",
+        "n_deficit_after")
+      .orderBy(col("wave"))
+  }
+
+  /** One delete-maintenance wave as CTEs over input graph `gin`
+    * (tombstones = `vec_id % 10 = m`), prefix-isolated — the q334
+    * d-block factored for q340's chained waves. Emits `${P}g2` (the
+    * maintained graph) and `${P}recut` (damaged ∪ affected). */
+  private def delWaveCtes(gin: String, P: String, m: Int): String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    s"""${P}gp AS (SELECT u, v, bp FROM $gin
+       |        WHERE u % 10 <> $m AND v % 10 <> $m),
+       |${P}dam AS (SELECT DISTINCT u FROM $gin
+       |         WHERE u % 10 <> $m AND v % 10 = $m),
+       |${P}todel AS (SELECT u, v AS x FROM $gin
+       |           WHERE u % 10 <> $m AND v % 10 = $m),
+       |${P}und AS (
+       |  SELECT DISTINCT x, w FROM (
+       |    SELECT u AS x, v AS w FROM $gin WHERE u % 10 = $m
+       |    UNION ALL
+       |    SELECT v AS x, u AS w FROM $gin WHERE v % 10 = $m)
+       |  WHERE w % 10 <> $m),
+       |${P}cand AS (
+       |  SELECT DISTINCT t.u, d.w AS v FROM ${P}todel t
+       |  JOIN ${P}und d ON t.x = d.x WHERE d.w <> t.u),
+       |${P}sc AS (
+       |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
+       |  FROM ${P}cand c JOIN emb eu ON c.u = eu.vec_id
+       |               JOIN emb ev ON c.v = ev.vec_id),
+       |${P}g1 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM ${P}gp
+       |  WHERE u NOT IN (SELECT u FROM ${P}dam)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM ${P}gp g
+       |      JOIN ${P}dam t ON g.u = t.u
+       |      UNION ALL SELECT * FROM ${P}sc)))
+       |  WHERE trn <= $NnK),
+       |${P}rev AS (
+       |  SELECT u, v FROM (
+       |    SELECT g.v AS u, g.u AS v, row_number() OVER (PARTITION BY g.v
+       |      ORDER BY g.bp DESC, g.u) AS rrn FROM ${P}g1 g)
+       |  WHERE rrn <= $NnRevCap),
+       |${P}b AS (SELECT u, v FROM ${P}g1 UNION SELECT u, v FROM ${P}rev),
+       |${P}cand2 AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT x.u, y.v FROM ${P}b x JOIN ${P}b y ON x.v = y.u
+       |    WHERE x.u IN (SELECT u FROM ${P}dam)
+       |    UNION ALL
+       |    SELECT x.u, y.v FROM ${P}b x JOIN ${P}b y ON x.v = y.u
+       |    WHERE y.v IN (SELECT u FROM ${P}dam))
+       |  WHERE u <> v),
+       |${P}sc2 AS (
+       |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
+       |  FROM ${P}cand2 c JOIN emb eu ON c.u = eu.vec_id
+       |                JOIN emb ev ON c.v = ev.vec_id),
+       |${P}aff AS (SELECT DISTINCT u FROM ${P}cand2),
+       |${P}g2 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM ${P}g1
+       |  WHERE u NOT IN (SELECT u FROM ${P}aff)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM ${P}g1 g
+       |      JOIN ${P}aff t ON g.u = t.u
+       |      UNION ALL SELECT * FROM ${P}sc2)))
+       |  WHERE trn <= $NnK),
+       |${P}recut AS (SELECT u FROM ${P}dam UNION SELECT u FROM ${P}aff)"""
+      .stripMargin
+  }
+
+  val q340Sql: String = {
+    def censusCtes(g: String, P: String, ghost: String): String =
+      s"""${P}c AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS edges,
+         |    CAST(sum(bp) // count(*) AS BIGINT) AS avgbp,
+         |    CAST(sum(CASE WHEN $ghost THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ghost
+         |  FROM $g),
+         |${P}f AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nfull FROM (
+         |    SELECT u FROM $g GROUP BY u HAVING count(*) >= $NnK))"""
+        .stripMargin
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("", "")},
+       |${delWaveCtes(s"g$NnRounds", "w1", 7)},
+       |${delWaveCtes("w1g2", "w2", 3)},
+       |${nnGraphCtesCore("s2", "vec_id % 10 <> 7 AND vec_id % 10 <> 3")},
+       |lv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS l0,
+       |    CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS l1,
+       |    CAST(sum(CASE WHEN vec_id % 10 <> 7 AND vec_id % 10 <> 3
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS l2
+       |  FROM emb),
+       |${censusCtes(s"g$NnRounds", "c0", "FALSE")},
+       |${censusCtes("w1g2", "c1", "u % 10 = 7 OR v % 10 = 7")},
+       |${censusCtes("w2g2", "c2",
+           "u % 10 = 7 OR v % 10 = 7 OR u % 10 = 3 OR v % 10 = 3")},
+       |${censusCtes(s"s2g$NnRounds", "ca",
+           "u % 10 = 7 OR v % 10 = 7 OR u % 10 = 3 OR v % 10 = 3")},
+       |pol AS (
+       |  SELECT l0, l1, l2,
+       |    (l0 - l1) * 10000 // l1 AS d1, (l0 - l2) * 10000 // l2 AS d2,
+       |    CASE WHEN (l0 - l1) * 10000 // l1 >= 1500 THEN 1 ELSE 0 END
+       |      AS fired1,
+       |    CASE WHEN (l0 - l2) * 10000 // l2 >= 1500 THEN 1 ELSE 0 END
+       |      AS fired2
+       |  FROM lv),
+       |r1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w1recut),
+       |r2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w2recut)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS wave, l0 AS n_live,
+       |    CAST(0 AS BIGINT) AS n_recut, CAST(0 AS BIGINT) AS del_bp,
+       |    CAST(0 AS BIGINT) AS fired, edges AS n_edges, avgbp AS avg_bp,
+       |    l0 - nfull AS n_deficit, ghost AS n_ghost,
+       |    edges AS n_edges_after, avgbp AS avg_bp_after,
+       |    l0 - nfull AS n_deficit_after
+       |  FROM pol, c0c, c0f
+       |  UNION ALL
+       |  SELECT 1, l1, (SELECT n FROM r1), CAST(d1 AS BIGINT), fired1,
+       |    edges, avgbp, l1 - nfull, ghost, edges, avgbp, l1 - nfull
+       |  FROM pol, c1c, c1f
+       |  UNION ALL
+       |  SELECT 2, l2, (SELECT n FROM r2), CAST(d2 AS BIGINT), fired2,
+       |    m.edges, m.avgbp, l2 - mf.nfull, m.ghost,
+       |    CASE WHEN fired2 = 1 THEN a.edges ELSE m.edges END,
+       |    CASE WHEN fired2 = 1 THEN a.avgbp ELSE m.avgbp END,
+       |    CASE WHEN fired2 = 1 THEN l2 - af.nfull ELSE l2 - mf.nfull END
+       |  FROM pol, c2c m, c2f mf, cac a, caf af)
+       |ORDER BY wave""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_nn_health_policy" -> (q340NnHealthPolicy _),
     "q336_nn_hnsw_multilevel" -> (q336NnHnswMulti _),
     "q334_nn_incremental_delete" -> (q334NnIncrementalDelete _),
     "q325_nn_ivf_entry_serve" -> (q325NnIvfEntryServe _),
@@ -4400,6 +4621,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q340_nn_health_policy" -> q340Sql,
     "q336_nn_hnsw_multilevel" -> q336Sql,
     "q334_nn_incremental_delete" -> q334Sql,
     "q325_nn_ivf_entry_serve" -> q325Sql,

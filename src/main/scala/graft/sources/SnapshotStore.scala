@@ -540,7 +540,7 @@ object SnapshotStore {
   def schemaOf(spark: SparkSession, table: String, version: Int)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
-      manifestLines(spark, table, version)(2).stripPrefix("schema="))
+      ddlOfLine(manifestLines(spark, table, version)(2)))
 
   /** Read a committed snapshot (default: latest). Reads exactly the
     * manifest's file list — never a directory scan of the table root.
@@ -584,15 +584,19 @@ object SnapshotStore {
   private def loadFilesWithPos(spark: SparkSession, files: Seq[String],
                                lines: List[String]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType
-      .fromDDL(lines(2).stripPrefix("schema="))
+      .fromDDL(ddlOfLine(lines(2)))
+    val colmap = colmapOfLine(lines(2))
     // a column the file group predates (schema evolution: mergeUpsert
     // widens the manifest schema while CARRYING old files verbatim)
     // reads as NULL — the Delta/Iceberg add-column contract; files
-    // never rewrite for a metadata change
+    // never rewrite for a metadata change. Files store PHYSICAL names;
+    // the colmap resolves each LOGICAL schema field to the file column
+    // (identity when the table never renamed/dropped).
     def conform(df: DataFrame) = df.select(schema.fields.toIndexedSeq
-      .map(fl =>
-        (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
-          .cast(fl.dataType).as(fl.name)) ++
+      .map { fl =>
+        val phys = physOf(colmap, fl.name)
+        (if (df.columns.contains(phys)) col(phys) else lit(null))
+          .cast(fl.dataType).as(fl.name) } ++
       Seq(col("_k"), col("_pos")): _*)
     val base = files.groupBy(p => splitAtSnapDir(p)._1).toSeq.sortBy(_._1)
       .map { case (dir, grp) =>
@@ -630,7 +634,7 @@ object SnapshotStore {
 
   private def emptyFrame(spark: SparkSession, lines: List[String]): DataFrame = {
     // empty snapshot / all files pruned: schema comes from the manifest
-    val ddl = lines(2).stripPrefix("schema=")
+    val ddl = ddlOfLine(lines(2))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
@@ -686,11 +690,13 @@ object SnapshotStore {
     val v = version.getOrElse(committed.last)
     require(committed.contains(v),
       s"version $v not committed (have: ${committed.mkString(",")})")
+    val lines = manifestLines(spark, table, v)
+    val phys = physOf(colmapOfLine(lines(2)), column) // stats key physically
     val all = statsOf(spark, table, v)
     val kept = all.collect {
-      case (p, st) if st.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi } => p
+      case (p, st) if st.get(phys).forall { case (mn, mx) => mx >= lo && mn <= hi } => p
     }
-    val base = loadFiles(spark, kept, manifestLines(spark, table, v))
+    val base = loadFiles(spark, kept, lines)
     PrunedRead(base.where(col(column).between(lo, hi)), all.size, kept.size)
   }
 
@@ -718,12 +724,14 @@ object SnapshotStore {
     val hashes = values.toDF("v").select(xxhash64(col("v")))
       .as[Long].collect()
     val f = fs(spark, new Path(table))
+    val linesV = manifestLines(spark, table, v)
+    val phys = physOf(colmapOfLine(linesV(2)), column) // stats/bloom keys
     // bloom side files live under the _bloom dir of the snap dir each
     // file LIVES in — for carried-over references that is the ORIGINAL
     // version's dir, where publish wrote them
     def bloomKeeps(path: String): Boolean = {
       val (prefix, rel) = splitAtSnapDir(path)
-      val bp = new Path(new Path(prefix, "_bloom"), s"$rel.$column.bloom")
+      val bp = new Path(new Path(prefix, "_bloom"), s"$rel.$phys.bloom")
       if (!f.exists(bp)) true // no index for this file/column: must keep
       else {
         val in = f.open(bp)
@@ -741,11 +749,11 @@ object SnapshotStore {
     }
     val all = statsOf(spark, table, v)
     val kept = all.collect {
-      case (p, st) if st.get(column).forall { case (mn, mx) =>
+      case (p, st) if st.get(phys).forall { case (mn, mx) =>
             values.exists(x => x >= mn && x <= mx) } &&
           bloomKeeps(p) => p
     }
-    val base = loadFiles(spark, kept, manifestLines(spark, table, v))
+    val base = loadFiles(spark, kept, linesV)
     PrunedRead(base.where(col(column).isin(values: _*)), all.size, kept.size)
   }
 
@@ -852,7 +860,8 @@ object SnapshotStore {
           lines)
         val newV = v + 1
         val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
-        val (stagedCount, stagedLines) = stageFiles(live, dataDir,
+        val (stagedCount, stagedLines) = stageFiles(
+          toPhysical(live, colmapOfLine(lines(2))), dataDir,
           partitionBy = partitionColsOf(fileLines))
         val body = s"count=${countOf(spark, table, v)}\n${lines(2)}\n" +
           (carryLines ++ stagedLines).mkString("\n")
@@ -887,6 +896,159 @@ object SnapshotStore {
   /** Manifest-declared row count (metadata read, no data scan). */
   def countOf(spark: SparkSession, table: String, version: Int): Long =
     manifestLines(spark, table, version)(1).stripPrefix("count=").toLong
+
+  // ─── column mapping (Delta 'name' mode): rename/drop without rewrite ──
+  // The manifest schema line optionally carries a LOGICAL→PHYSICAL map
+  // as a tab-separated suffix: `schema=<DDL>\tcolmap=log:phys,…`. Data
+  // files always store PHYSICAL names; the DDL is LOGICAL. Absent map =
+  // identity (every pre-existing table, and every fresh publish). The
+  // suffix rides the schema line, so the many writers that carry
+  // `lines(2)` verbatim (dvDelete, applyCdcVersion, autoCompactDv, …)
+  // propagate the mapping for free; writers that REBUILD the schema
+  // line (mergeUpsert/mergeMoR widening) extend it explicitly. A full
+  // rewrite (compact / replace-publish) re-baselines to identity —
+  // every file is fresh, so no old physical name can resurrect.
+  //
+  // INVARIANT: renameColumn/dropColumn MATERIALIZE the full map (every
+  // remaining logical → its physical). A table with a non-empty map is
+  // "mapping-active": widening merges then assign FRESH physical names
+  // (`<name>_p<hex>`) to new columns, so re-adding a dropped column
+  // never resurrects old files' data, and adding a column with a
+  // renamed-away logical name never aliases the old bytes — the
+  // Delta/Iceberg column-mapping contract.
+
+  /** Logical→physical map of a manifest's schema line (empty = identity). */
+  private def colmapOfLine(schemaLine: String): Map[String, String] =
+    schemaLine.split("\tcolmap=", 2) match {
+      case Array(_, m) => m.split(',').filter(_.nonEmpty).map { kv =>
+        val Array(l, p) = kv.split(":", 2); l -> p }.toMap
+      case _ => Map.empty
+    }
+
+  /** Logical DDL of a manifest's schema line (colmap suffix stripped). */
+  private def ddlOfLine(schemaLine: String): String =
+    schemaLine.split("\tcolmap=", 2)(0).stripPrefix("schema=")
+
+  private def schemaLineOf(ddl: String, colmap: Map[String, String]): String =
+    "schema=" + ddl + (if (colmap.isEmpty) "" else
+      "\tcolmap=" + colmap.toSeq.sorted
+        .map { case (l, p) => s"$l:$p" }.mkString(","))
+
+  /** Physical name of logical `name` (case-insensitive, analyzer-style). */
+  private def physOf(colmap: Map[String, String], name: String): String =
+    colmap.collectFirst { case (l, p) if l.equalsIgnoreCase(name) => p }
+      .getOrElse(name)
+
+  /** Rename a LOGICAL frame to PHYSICAL names for staging (no-op on
+    * identity tables — zero plan change anywhere mapping is unused).
+    */
+  private def toPhysical(df: DataFrame,
+                         colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(df.columns.toIndexedSeq
+      .map(c => col(c).as(physOf(colmap, c))): _*)
+
+  /** Fresh physical name for a column added to a mapping-active table. */
+  private def freshPhys(name: String): String =
+    name + "_p" + java.util.UUID.randomUUID.toString.take(8)
+
+  case class SchemaEvoStats(version: Int, filesCarried: Int)
+
+  /** RENAME COLUMN — a METADATA-ONLY commit: every file line carries by
+    * reference, the logical DDL renames the field, and the colmap pins
+    * the new logical name to the column's existing PHYSICAL name, so
+    * old files' data keeps reading under the new name with zero bytes
+    * rewritten. Time travel to pre-rename versions still reads the old
+    * name (manifests are immutable). Activation materializes the FULL
+    * map, so later widenings mint fresh physical names (see invariant
+    * above). Case-insensitive collision with a remaining column is
+    * rejected — the analyzer could not resolve the twin.
+    */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+                   newName: String): SchemaEvoStats =
+    evolveSchema(spark, table, s"rename $oldName -> $newName", oldName) {
+      (schema, colmap) =>
+        val fld = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column $oldName in ${schema.fieldNames.mkString(",")}"))
+        require(!schema.fields.exists(f =>
+            !f.name.equalsIgnoreCase(oldName) &&
+            f.name.equalsIgnoreCase(newName)),
+          s"rename target $newName collides with an existing column")
+        val full = schema.fields.map(f => f.name -> physOf(colmap, f.name))
+        val newSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.map(f =>
+            if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName)
+            else f))
+        val newMap = full.map { case (l, p) =>
+          (if (l.equalsIgnoreCase(oldName)) newName else l) -> p }.toMap
+        (newSchema, newMap)
+    }
+
+  /** DROP COLUMN — a METADATA-ONLY commit: the field leaves the logical
+    * DDL and the map; old files keep the physical bytes (time travel
+    * still serves them) but no current read selects them. Dropping a
+    * PARTITION column is rejected (the hive layout carries it; later
+    * partitioned restagings would need it). Activation materializes the
+    * full map, so a later re-add of the same name mints a FRESH
+    * physical — drop + add ≠ rename, old data never resurrects.
+    */
+  def dropColumn(spark: SparkSession, table: String,
+                 name: String): SchemaEvoStats =
+    evolveSchema(spark, table, s"drop $name", name) { (schema, colmap) =>
+      require(schema.fields.exists(_.name.equalsIgnoreCase(name)),
+        s"no column $name in ${schema.fieldNames.mkString(",")}")
+      require(schema.fields.length > 1, "cannot drop the only column")
+      (org.apache.spark.sql.types.StructType(
+         schema.fields.filterNot(_.name.equalsIgnoreCase(name))),
+       schema.fields.filterNot(_.name.equalsIgnoreCase(name))
+         .map(f => f.name -> physOf(colmap, f.name)).toMap)
+    }
+
+  /** Shared metadata-only schema-evolution commit: same count, same
+    * file lines, new schema line; optimistic create/retry like every
+    * other writer. The evolved column must not be a partition column.
+    */
+  private def evolveSchema(spark: SparkSession, table: String, what: String,
+                           touched: String)(
+      evolve: (org.apache.spark.sql.types.StructType, Map[String, String]) =>
+        (org.apache.spark.sql.types.StructType, Map[String, String]))
+      : SchemaEvoStats = {
+    var attempt = 0
+    var out: Option[SchemaEvoStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val lines = manifestLines(spark, table, v)
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(ddlOfLine(lines(2)))
+      val colmap = colmapOfLine(lines(2))
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      val partCols = partitionColsOf(fileLines).map(_.toLowerCase).toSet
+      require(!partCols.contains(physOf(colmap, touched).toLowerCase),
+        s"cannot $what: $touched is a hive partition column")
+      val (newSchema, newMap) = evolve(schema, colmap)
+      val newV = v + 1
+      val body = s"count=${countOf(spark, table, v)}\n" +
+        s"${schemaLineOf(newSchema.toDDL, newMap)}\n" +
+        fileLines.mkString("\n")
+      val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+      val f = fs(spark, manifest)
+      f.mkdirs(manifestDir(table))
+      try {
+        val outS = f.create(manifest, false)
+        outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+        outS.close()
+        out = Some(SchemaEvoStats(newV, fileLines.size))
+      } catch {
+        case _: java.io.IOException => // metadata-only: nothing staged
+          attempt += 1
+          require(attempt < 8, s"$what lost $attempt commit races")
+      }
+    }
+    out.get
+  }
 
   private def manifestLines(spark: SparkSession, table: String,
                             v: Int): List[String] = {
@@ -1048,7 +1210,8 @@ object SnapshotStore {
       val v = committed.last
       val lines = manifestLines(spark, table, v)
       val schema = org.apache.spark.sql.types.StructType
-        .fromDDL(lines(2).stripPrefix("schema="))
+        .fromDDL(ddlOfLine(lines(2)))
+      val colmap = colmapOfLine(lines(2))
       // SCHEMA EVOLUTION: the source must cover every existing column
       // (a missing one is almost always a typo — fail loudly, the Delta
       // default) but may ADD new ones; the new manifest schema appends
@@ -1073,9 +1236,16 @@ object SnapshotStore {
           .filterNot(n => srcLower.contains(n.toLowerCase))
           .mkString(",")}")
       val existingLower = schema.fieldNames.map(_.toLowerCase).toSet
+      val newFields = source.schema.fields
+        .filterNot(f => existingLower.contains(f.name.toLowerCase))
       val widened = org.apache.spark.sql.types.StructType(
-        schema.fields ++ source.schema.fields
-          .filterNot(f => existingLower.contains(f.name.toLowerCase)))
+        schema.fields ++ newFields)
+      // mapping-active tables mint FRESH physical names for widened
+      // columns: a re-added dropped column (or an add reusing a
+      // renamed-away name) must never alias old files' bytes
+      val newColmap =
+        if (colmap.isEmpty) colmap
+        else colmap ++ newFields.map(f => f.name -> freshPhys(f.name))
       val src = source.select(widened.fields.toIndexedSeq
         .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val dup = src.groupBy(keyCols.map(col): _*)
@@ -1093,7 +1263,8 @@ object SnapshotStore {
           val keyScan = allFiles.groupBy(p => splitAtSnapDir(p)._1)
             .toSeq.sortBy(_._1).map { case (dir, grp) =>
               spark.read.option("basePath", dir).parquet(grp: _*)
-                .select(keyCols.map(col) :+
+                .select(keyCols.map(k =>
+                  col(physOf(colmap, k)).as(k)) :+
                   col("_metadata.file_path").as("_fp"): _*) }
             .reduce(_.unionAll(_))
           keyScan
@@ -1114,10 +1285,15 @@ object SnapshotStore {
           .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val newV = v + 1
       val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
-      val (stagedCount, stagedLines) = stageFiles(merged, dataDir,
-        bloomCols, partitionBy = partitionColsOf(fileLines))
+      // staged files store PHYSICAL names (no-op on identity tables);
+      // partition cols from hive rel paths are already physical
+      val (stagedCount, stagedLines) = stageFiles(
+        toPhysical(merged, newColmap), dataDir,
+        bloomCols.map(physOf(newColmap, _)),
+        partitionBy = partitionColsOf(fileLines))
       val total = countOf(spark, table, v) - touchedRows + stagedCount
-      val body = s"count=$total\nschema=${widened.toDDL}\n" +
+      val body = s"count=$total\n" +
+        s"${schemaLineOf(widened.toDDL, newColmap)}\n" +
         (carryLines ++ stagedLines).mkString("\n")
       val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
       val f = fs(spark, manifest)
@@ -1164,11 +1340,13 @@ object SnapshotStore {
       require(committed.nonEmpty, s"no committed snapshots under $table")
       val v = committed.last
       val lines = manifestLines(spark, table, v)
+      val colmap = colmapOfLine(lines(2))
+      val phys = physOf(colmap, column) // stats are keyed physically
       val stats = statsOf(spark, table, v).toMap
       val fileLines = lines.drop(3).filter(_.nonEmpty)
       val (rewriteLines, carryLines) = fileLines.partition { l =>
         val p = l.split('\t')(0)
-        stats(p).get(column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        stats(p).get(phys).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
       val rewriteFiles = rewriteLines.map(_.split('\t')(0))
       val touchedDf = loadFiles(spark, rewriteFiles, lines)
@@ -1178,8 +1356,10 @@ object SnapshotStore {
         .where(!col(column).between(lo, hi) || col(column).isNull)
       val newV = v + 1
       val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
-      val (stagedCount, stagedLines) = stageFiles(survivors, dataDir,
-        bloomCols, partitionBy = partitionColsOf(fileLines))
+      val (stagedCount, stagedLines) = stageFiles(
+        toPhysical(survivors, colmap), dataDir,
+        bloomCols.map(physOf(colmap, _)),
+        partitionBy = partitionColsOf(fileLines))
       val total = countOf(spark, table, v) - touchedRows + stagedCount
       val body = s"count=$total\nschema=${lines(2).stripPrefix("schema=")}\n" +
         (carryLines ++ stagedLines).mkString("\n")
@@ -1273,11 +1453,12 @@ object SnapshotStore {
       val v = committed.last
       val lines = manifestLines(spark, table, v)
       val fileLines = lines.drop(3).filter(_.nonEmpty)
+      val physC = physOf(colmapOfLine(lines(2)), column) // stats key
       val stats = statsOf(spark, table, v).toMap
       // candidate files by min/max (files without stats always kept —
       // stats are an optimization, never a correctness gate)
       val candidates = fileLines.map(_.split('\t')(0)).filter { p =>
-        stats(p).get(column).forall { case (mn, mx) =>
+        stats(p).get(physC).forall { case (mn, mx) =>
           values.exists(x => x >= mn && x <= mx) }
       }
       val newV = v + 1
@@ -1395,7 +1576,8 @@ object SnapshotStore {
       val v = committed.last
       val lines = manifestLines(spark, table, v)
       val schema = org.apache.spark.sql.types.StructType
-        .fromDDL(lines(2).stripPrefix("schema="))
+        .fromDDL(ddlOfLine(lines(2)))
+      val colmap = colmapOfLine(lines(2))
       val srcLower = source.columns.map(_.toLowerCase)
       require(srcLower.distinct.length == srcLower.length,
         s"source has case-only column collisions: ${source.columns
@@ -1407,9 +1589,13 @@ object SnapshotStore {
           .filterNot(n => srcLower.contains(n.toLowerCase))
           .mkString(",")}")
       val existingLower = schema.fieldNames.map(_.toLowerCase).toSet
+      val newFields = source.schema.fields
+        .filterNot(f => existingLower.contains(f.name.toLowerCase))
       val widened = org.apache.spark.sql.types.StructType(
-        schema.fields ++ source.schema.fields
-          .filterNot(f => existingLower.contains(f.name.toLowerCase)))
+        schema.fields ++ newFields)
+      val newColmap =
+        if (colmap.isEmpty) colmap
+        else colmap ++ newFields.map(f => f.name -> freshPhys(f.name))
       val src = source.select(widened.fields.toIndexedSeq
         .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val dup = src.groupBy(keyCols.map(col): _*)
@@ -1451,8 +1637,10 @@ object SnapshotStore {
       // stage the appended data FIRST (stageFiles overwrites dataDir),
       // then the DV parquet beside it — both under the same atomic
       // commit and vacuum reachability as any version's files
-      val (stagedCount, stagedLines) = stageFiles(src, dataDir,
-        bloomCols, partitionBy = partitionColsOf(fileLines))
+      val (stagedCount, stagedLines) = stageFiles(
+        toPhysical(src, newColmap), dataDir,
+        bloomCols.map(physOf(newColmap, _)),
+        partitionBy = partitionColsOf(fileLines))
       dvFrame.foreach(dv => stageDv(dv, dvDir, dv.count()))
       val carryLines = fileLines.map { l =>
         val parts = l.split('\t')
@@ -1462,7 +1650,8 @@ object SnapshotStore {
         else l
       }
       val total = countOf(spark, table, v) - rowsSuppressed + stagedCount
-      val body = s"count=$total\nschema=${widened.toDDL}\n" +
+      val body = s"count=$total\n" +
+        s"${schemaLineOf(widened.toDDL, newColmap)}\n" +
         (carryLines ++ stagedLines).mkString("\n")
       val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
       val f = fs(spark, manifest)
@@ -1526,7 +1715,8 @@ object SnapshotStore {
       s"CDC version gap: table at v$v, batch pinned to v$version")
     val lines = manifestLines(spark, table, v)
     val schema = org.apache.spark.sql.types.StructType
-      .fromDDL(lines(2).stripPrefix("schema="))
+      .fromDDL(ddlOfLine(lines(2)))
+    val colmap = colmapOfLine(lines(2))
     val batchLower = batch.columns.map(_.toLowerCase)
     require(batchLower.contains(opCol.toLowerCase),
       s"batch is missing op column $opCol")
@@ -1579,9 +1769,10 @@ object SnapshotStore {
           if (ks.length > CdcPruneCap) allFilesUnpruned
           else {
             val sorted = ks.sorted
+            val physKc = physOf(colmap, kc) // stats are keyed physically
             val stats = statsOf(spark, table, v).toMap
             allFilesUnpruned.filter { p =>
-              stats(p).get(kc).forall { case (mn, mx) =>
+              stats(p).get(physKc).forall { case (mn, mx) =>
                 // any batch key in [mn, mx]? binary search the sorted keys
                 val i = java.util.Arrays.binarySearch(sorted, mn)
                 val at = if (i >= 0) i else -i - 1
@@ -1623,7 +1814,8 @@ object SnapshotStore {
     val hasUpserts = !upserts.isEmpty
     val (stagedCount, stagedLines) =
       if (hasUpserts)
-        stageFiles(upserts, dataDir, partitionBy = partitionColsOf(fileLines))
+        stageFiles(toPhysical(upserts, colmap), dataDir,
+          partitionBy = partitionColsOf(fileLines))
       else { fs(spark, dataDir).mkdirs(dataDir); (0L, Seq.empty[String]) }
     dvFrame.foreach(dv => stageDv(dv, dvDir, dv.count()))
     val carryLines = fileLines.map { l =>
@@ -1913,7 +2105,7 @@ object SnapshotStore {
       s"need committed versions, have ${committed.mkString(",")}")
     require(vFrom < vTo, s"vFrom=$vFrom must precede vTo=$vTo")
     val toSchema = org.apache.spark.sql.types.StructType
-      .fromDDL(manifestLines(spark, table, vTo)(2).stripPrefix("schema="))
+      .fromDDL(ddlOfLine(manifestLines(spark, table, vTo)(2)))
     def conform(df: DataFrame) = df.select(toSchema.fields.toIndexedSeq
       .map(fl =>
         (if (df.columns.contains(fl.name)) col(fl.name) else lit(null))
@@ -1944,7 +2136,7 @@ object SnapshotStore {
       keysV.contains(k) && refsW.get(k) != refsV.get(k)
     }
     val wSchema = org.apache.spark.sql.types.StructType
-      .fromDDL(linesW(2).stripPrefix("schema="))
+      .fromDDL(ddlOfLine(linesW(2)))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], wSchema)
     def conformW(df: DataFrame) = df.select(wSchema.fields.toIndexedSeq
@@ -2512,6 +2704,94 @@ object SnapshotStore {
       |  (SELECT CAST(sum(n_live) AS BIGINT) FROM fin) AS live_total
       |FROM fin
       |ORDER BY b""".stripMargin
+
+  // ─── q339: column-mapping schema evolution (rename/drop, no rewrite) ──
+  // The long-lived-table contract the widen-only evolution (q304)
+  // lacks: RENAME is a metadata-only commit that keeps reading old
+  // files' bytes under the new logical name, and DROP hides a column
+  // without touching a file — then a MERGE that re-adds the dropped
+  // name mints a FRESH physical name, so the old bytes never
+  // resurrect (rename ≠ drop+add, the Delta/Iceberg column-mapping
+  // contract). Chain over documents: publish(doc_id, lang, n_chars)
+  // → rename n_chars→chars → merge (doubles chars for doc_id%10=0,
+  // widens qscore) → drop lang → merge re-adding lang='xx' for
+  // doc_id%100=0. The census emits each version's LOGICAL schema and
+  // value aggregates; the oracle derives all five rows from the
+  // fixture predicates, so the hash only matches if the rename
+  // preserved every value, the drop hid the column, and the re-add
+  // resurrected NOTHING (lang_nonnull at v5 = the %100 class alone —
+  // a mapping bug that aliases the old physical reads ~every row).
+  // Scale: rename/drop are one manifest write each (zero data I/O at
+  // any SF); the merges pay exactly the q304 touched-file contract.
+  def q339ColumnMapping(s: SparkSession, d: String): DataFrame = {
+    val table = fixturePath("colmap", d)
+    val tableP = new Path(table)
+    fs(s, tableP).delete(tableP, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    publish(docs.repartition(4), table)                            // v1
+    renameColumn(s, table, "n_chars", "chars")                     // v2
+    val upd = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") * 2).cast("long").as("chars"),
+        pmod(col("doc_id"), lit(5)).cast("long").as("qscore"))
+    mergeUpsert(s, table, upd, Seq("doc_id"))                      // v3
+    dropColumn(s, table, "lang")                                   // v4
+    val readd = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id"),
+        (col("n_chars") * 2).cast("long").as("chars"),
+        pmod(col("doc_id"), lit(5)).cast("long").as("qscore"),
+        lit("xx").as("lang"))
+    mergeUpsert(s, table, readd, Seq("doc_id"))                    // v5
+    val rows = (1 to 5).map { v =>
+      val df = read(s, table, Some(v))
+      val cols = df.columns.toSeq
+      def cnt(c: String) =
+        if (cols.contains(c)) count(col(c)) else lit(0L)
+      val charsCol = if (cols.contains("chars")) "chars" else "n_chars"
+      val a = df.agg(count(lit(1)).as("n"),
+        sum(col(charsCol)).cast("long").as("cs"),
+        cnt("lang").as("ln"), cnt("qscore").as("qn")).head()
+      (v.toLong, cols.mkString(","), a.getLong(0), a.getLong(1),
+        a.getLong(2), a.getLong(3))
+    }
+    val spark = s; import spark.implicits._
+    rows.toDF("version", "cols", "n_rows", "chars_sum", "lang_nonnull",
+        "qscore_nonnull")
+      .orderBy(col("version"))
+  }
+
+  /** Every row derived from the fixture predicates: the rename keeps
+    * v1's sums under the new name, the merge shifts exactly the %10
+    * class, the drop zeroes lang, and the re-add surfaces ONLY the
+    * %100 class (resurrected old values would explode lang_nonnull).
+    */
+  val q339Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+      |base AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS cs0,
+      |    CAST(count(lang) AS BIGINT) AS ln0 FROM d),
+      |m AS (
+      |  SELECT CAST(sum(CASE WHEN doc_id % 10 = 0 THEN n_chars * 2
+      |                       ELSE n_chars END) AS BIGINT) AS cs1,
+      |    CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS qn,
+      |    CAST(sum(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ln5
+      |  FROM d)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, 'doc_id,lang,n_chars' AS cols,
+      |    n AS n_rows, cs0 AS chars_sum, ln0 AS lang_nonnull,
+      |    CAST(0 AS BIGINT) AS qscore_nonnull FROM base
+      |  UNION ALL SELECT 2, 'doc_id,lang,chars', n, cs0, ln0, 0 FROM base
+      |  UNION ALL SELECT 3, 'doc_id,lang,chars,qscore', n, cs1, ln0, qn
+      |    FROM base, m
+      |  UNION ALL SELECT 4, 'doc_id,chars,qscore', n, cs1, 0, qn
+      |    FROM base, m
+      |  UNION ALL SELECT 5, 'doc_id,chars,qscore,lang', n, cs1, ln5, qn
+      |    FROM base, m)
+      |ORDER BY version""".stripMargin
 
   /** The fixture's v2/v3 states and per-step feed classes, all derived
     * from the wave predicates (q328/q329's vocabulary); maintained and
@@ -3276,7 +3556,8 @@ object SnapshotStore {
     "q328_streaming_cdc_ingest" -> (q328StreamingCdcIngest _),
     "q329_change_feed" -> (q329ChangeFeed _),
     "q333_cdf_summary_follow" -> (q333CdfSummaryFollow _),
-    "q337_dv_auto_compact" -> (q337DvAutoCompact _))
+    "q337_dv_auto_compact" -> (q337DvAutoCompact _),
+    "q339_column_mapping" -> (q339ColumnMapping _))
 
   val oracleSql: Map[String, String] = Map(
     "q253_snapshot_drift" -> q253Sql,
@@ -3296,5 +3577,6 @@ object SnapshotStore {
     "q328_streaming_cdc_ingest" -> q328Sql,
     "q329_change_feed" -> q329Sql,
     "q333_cdf_summary_follow" -> q333Sql,
-    "q337_dv_auto_compact" -> q337Sql)
+    "q337_dv_auto_compact" -> q337Sql,
+    "q339_column_mapping" -> q339Sql)
 }

@@ -833,6 +833,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q340 health policy: a long delete chain crosses the threshold, " +
+       "the decision flips exactly there, and the fired wave's after-" +
+       "census is the retrained graph's") {
+    case class W(wave: Long, live: Long, delBp: Long, fired: Long,
+                 edges: Long, ghost: Long, edgesAfter: Long)
+    val rows = Similarity.q340NnHealthPolicy(spark, sfDir)
+      .collect().map(r => W(r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(8), r.getLong(9)))
+    assert(rows.map(_.wave).toSeq === Seq(0L, 1L, 2L))
+    val Seq(w0, w1, w2) = rows.toSeq
+    // the deleted-since-retrain fraction accumulates across the chain
+    assert(w0.delBp === 0L && w1.delBp > 0L && w2.delBp > w1.delBp,
+      s"del_bp must accumulate, got ${rows.map(_.delBp).toSeq}")
+    // one 10%-class wave sits under the 1500 bp threshold; two cross it
+    assert(w1.fired === 0L, s"wave 1 (~1111 bp) must hold, got $w1")
+    assert(w2.fired === 1L, s"wave 2 (~2500 bp) must fire, got $w2")
+    // ghost-free at every step (the q334 invariant, policy input #1)
+    assert(rows.forall(_.ghost === 0L),
+      s"ghost edges: ${rows.map(_.ghost).toSeq}")
+    // live census shrinks with the corpus; the fired wave's after-
+    // census is the survivors' full retrain (non-empty, re-linked)
+    assert(w2.live < w1.live && w1.live < w0.live,
+      "live counts must shrink")
+    assert(w2.edgesAfter > 0L, "retrained graph must be non-empty")
+    // not-fired waves carry their maintained census into the after-cols
+    assert(w1.edges === w1.edgesAfter,
+      "wave 1 after-census must equal maintained")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -726,6 +726,98 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, t).count() === 270L)
   }
 
+  test("column mapping: RENAME is metadata-only and keeps old files' " +
+       "values; time travel reads the old name; collisions rejected") {
+    val t = freshTable("colmap-rename")
+    SnapshotStore.publish(
+      spark.range(100).select(col("id"), (col("id") * 3).as("val"),
+        (col("id") % 4).as("b")).repartition(2), t)
+    val st = SnapshotStore.renameColumn(spark, t, "val", "score")
+    assert(st.version === 2 && st.filesCarried === 2,
+      s"rename must carry every file by reference, got $st")
+    // zero data files under v2's dir — metadata-only commit
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(t, "snap-v00002")),
+      "a rename must stage no data files")
+    // values survive under the NEW name
+    val got = SnapshotStore.read(spark, t).orderBy(col("id"))
+      .select(sum(col("score")).cast("long")).head().getLong(0)
+    assert(got === (0L until 100L).map(_ * 3).sum)
+    assert(SnapshotStore.read(spark, t).columns.toSeq
+      === Seq("id", "score", "b"))
+    // time travel reads the OLD name
+    assert(SnapshotStore.read(spark, t, Some(1)).columns.toSeq
+      === Seq("id", "val", "b"))
+    // case-insensitive collision with a remaining column is rejected
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.renameColumn(spark, t, "score", "ID")
+    }
+    assert(e.getMessage.contains("collides"))
+    // a DV delete on the MAPPED table prunes/filters through the map
+    SnapshotStore.dvDelete(spark, t, "id", Seq(7L, 11L))
+    assert(SnapshotStore.read(spark, t).count() === 98L)
+    // and a stats-pruned read under the new logical name still works
+    val pr = SnapshotStore.readBetween(spark, t, None, "score", 30L, 60L)
+    assert(pr.df.count() === 11L -
+      Seq(7L, 11L).count(i => i * 3 >= 30 && i * 3 <= 60))
+  }
+
+  test("column mapping: DROP hides without rewrite and a later re-add " +
+       "mints a fresh physical name — old values never resurrect") {
+    val t = freshTable("colmap-drop")
+    SnapshotStore.publish(
+      spark.range(60).select(col("id"), concat(lit("u"), col("id"))
+        .as("email"), (col("id") * 2).as("v")).repartition(2), t)
+    val st = SnapshotStore.dropColumn(spark, t, "email")
+    assert(st.version === 2 && st.filesCarried === 2)
+    assert(SnapshotStore.read(spark, t).columns.toSeq === Seq("id", "v"))
+    // time travel still serves the dropped column (manifests immutable)
+    assert(SnapshotStore.read(spark, t, Some(1))
+      .where(col("email").isNotNull).count() === 60L)
+    // re-add the SAME logical name via a widening merge: only the
+    // merge's own rows carry values — drop+add is NOT a rename
+    val src = spark.range(5).select(col("id"), (col("id") * 2).as("v"),
+      lit("fresh").as("email"))
+    SnapshotStore.mergeUpsert(spark, t, src, Seq("id"))
+    val re = SnapshotStore.read(spark, t)
+    assert(re.columns.toSeq === Seq("id", "v", "email"))
+    assert(re.where(col("email").isNotNull).count() === 5L,
+      "re-added column must NOT resurrect dropped files' values")
+    assert(re.where(col("email") === "fresh").count() === 5L)
+    // the fresh physical name is distinct from the dropped one
+    val lines = scala.io.Source.fromInputStream(
+      new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .open(new Path(t, "_snapshots/v00003.manifest")), "UTF-8")
+      .getLines().toList
+    assert(lines(2).contains("colmap=") &&
+      lines(2).matches(".*email:email_p[0-9a-f]{8}.*"),
+      s"expected a fresh physical for the re-add, got: ${lines(2)}")
+    // CDC apply on the mapped table: op rows route through the map too
+    import spark.implicits._
+    SnapshotStore.applyCdcVersion(spark, t,
+      Seq((2L, 4L, "fresh", "D"), (100L, 200L, "new", "I"))
+        .toDF("id", "v", "email", "op"), Seq("id"), "op", 4)
+    val v4 = SnapshotStore.read(spark, t)
+    assert(v4.count() === 60L)
+    assert(v4.where(col("email").isNotNull).count() === 5L) // -2L +100L
+    // change feed across the mapped chain still pairs by key
+    val feed = SnapshotStore.changeFeed(spark, t, 3, 4, Seq("id"))
+    assert(feed.groupBy(col("_change_type")).count()
+      .as[(String, Long)].collect().toMap
+      === Map("delete" -> 1L, "insert" -> 1L))
+    // a partition column cannot be renamed or dropped
+    val tp = freshTable("colmap-part")
+    SnapshotStore.publish(
+      spark.range(20).select(col("id"), (col("id") % 2).as("p"))
+        .repartition(2, col("p")), tp, partitionBy = Seq("p"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.dropColumn(spark, tp, "p")
+    }.getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotStore.renameColumn(spark, tp, "p", "q")
+    }.getMessage.contains("partition"))
+  }
+
   test("deletion vectors: vacuum keeps a DV dir a retained manifest " +
        "references; merge rewrite materializes the touched file's DV") {
     val t = freshTable("dv-vacuum")
