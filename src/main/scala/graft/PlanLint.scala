@@ -343,6 +343,10 @@ object PlanLint {
     // 64-row global ranking window, 1-row entry crossJoins)
     "q336_nn_hnsw_multilevel" -> Set("nested-loop", "cartesian",
                                      "global-window"),
+    // q341: q336's serve shapes on the clustered synthesis (the blend's
+    // 16-row anchor broadcast adds one more bounded crossJoin)
+    "q341_nn_hnsw_clustered" -> Set("nested-loop", "cartesian",
+                                    "global-window"),
     "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian",
                                      "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
@@ -658,6 +662,10 @@ object PlanLint {
     // expanded + 3 hops × front/expanded/visited) + single-layer arm
     // (walk 3 + ground 4) + per ckpt + census write (measured 40)
     "q336_nn_hnsw_multilevel" -> 44,
+    // clustered-geometry arm: q336's serve actions minus the shared
+    // trainer, plus the blend checkpoint and ring-ground build
+    // (measured 36 fresh-session)
+    "q341_nn_hnsw_clustered" -> 40,
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,

