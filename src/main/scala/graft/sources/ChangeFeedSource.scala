@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.bridge
@@ -142,9 +142,22 @@ private[graft] final class CdfSource(spark: SparkSession, table: String,
                               keyCols: Seq[String],
                               startVersion: Option[Int], maxVersions: Int,
                               declared: StructType)
-    extends Source with SupportsAdmissionControl {
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def schema: StructType = declared
+
+  // Trigger.AvailableNow: pin the drain target at query start (the
+  // KafkaSource discipline) so per-trigger admission still honors
+  // maxVersionsPerTrigger while the run self-terminates at the pinned
+  // version — without this the engine's generic wrapper admits the
+  // whole backlog as ONE batch, defeating the catch-up cap.
+  private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val committed = SnapshotStore.versions(spark, table)
+    require(committed.nonEmpty, s"no committed snapshots under $table")
+    availableNowTarget = Some(committed.last)
+  }
 
   private def verOf(o: AnyRef): Int = o match {
     case v: OffsetV1 => v.json().trim.toInt // incl. SerializedOffset replay
@@ -182,7 +195,8 @@ private[graft] final class CdfSource(spark: SparkSession, table: String,
     // first trigger passes start = null (the v1+admission contract —
     // KafkaSource's Option(start).getOrElse(initial) discipline)
     val s = Option(start).map(verOf).getOrElse(verOf(initialOffset()))
-    val latest = SnapshotStore.versions(spark, table).lastOption.getOrElse(s)
+    val latest = availableNowTarget.getOrElse(
+      SnapshotStore.versions(spark, table).lastOption.getOrElse(s))
     val cap: Long = limit match {
       case _: ReadAllAvailable => Int.MaxValue.toLong
       case mf: ReadMaxFiles => mf.maxFiles().toLong

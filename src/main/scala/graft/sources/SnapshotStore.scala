@@ -2560,7 +2560,11 @@ object SnapshotStore {
   // class counters (the O(delta)-work evidence).
   // Scale: per step, one delta-sized feed read + delta-sized aggregate +
   // |summary|-sized merge; the scratch arm is the CONTROL, priced
-  // per-version only to make the theorem data.
+  // per-version only to make the theorem data. MEASURED in isolation:
+  // DvSoak's feed_consume section times changeFeed + retractApply alone
+  // over a constant-delta chain — ~1.7–1.9 s at sf0.1, sf1 AND sf10
+  // (exponents −0.04/−0.02, SOAK_r13_dv_operator.json), so this query's
+  // decade rows price the shared fixture publish, not the operator.
   def q333CdfSummaryFollow(s: SparkSession, d: String): DataFrame = {
     val (table, _, _, _, _) = cdcFixtureFor(s, d)
     val dims = Seq("lang")

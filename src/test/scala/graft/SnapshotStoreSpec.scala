@@ -818,6 +818,40 @@ class SnapshotStoreSpec extends SparkSpec {
     }.getMessage.contains("partition"))
   }
 
+  test("column mapping: a full rewrite (compact) re-baselines to " +
+       "identity — mapping collapses, values survive, and a later " +
+       "re-add of a dropped name is safe because the old bytes are gone") {
+    val t = freshTable("colmap-compact")
+    SnapshotStore.publish(
+      spark.range(40).select(col("id"), concat(lit("e"), col("id"))
+        .as("email"), (col("id") * 5).as("v")).repartition(2), t)
+    SnapshotStore.renameColumn(spark, t, "v", "score")
+    SnapshotStore.dropColumn(spark, t, "email")
+    SnapshotStore.compact(spark, t, 1)
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = scala.io.Source.fromInputStream(
+      f.open(new Path(t, "_snapshots/v00004.manifest")), "UTF-8")
+      .getLines().toList
+    assert(!lines(2).contains("colmap="),
+      s"a full rewrite must re-baseline to identity, got: ${lines(2)}")
+    val df = SnapshotStore.read(spark, t)
+    assert(df.columns.toSeq === Seq("id", "score"))
+    assert(df.select(sum(col("score")).cast("long")).head().getLong(0)
+      === (0L until 40L).map(_ * 5).sum)
+    // re-adding the dropped name after the rewrite is identity-mapped
+    // AND safe: the old physical bytes were not carried
+    SnapshotStore.mergeUpsert(spark, t,
+      spark.range(3).select(col("id"), (col("id") * 5).as("score"),
+        lit("new").as("email")), Seq("id"))
+    val re = SnapshotStore.read(spark, t)
+    assert(re.where(col("email").isNotNull).count() === 3L)
+    // time travel across the whole chain still serves each epoch
+    assert(SnapshotStore.read(spark, t, Some(1)).columns.toSeq
+      === Seq("id", "email", "v"))
+    assert(SnapshotStore.read(spark, t, Some(3))
+      .columns.toSeq === Seq("id", "score"))
+  }
+
   test("deletion vectors: vacuum keeps a DV dir a retained manifest " +
        "references; merge rewrite materializes the touched file's DV") {
     val t = freshTable("dv-vacuum")

@@ -418,6 +418,40 @@ class StreamingSpec extends SparkSpec {
       s"drained checkpoint must not replay, got $batchVersions")
   }
 
+  test("change-feed Trigger.AvailableNow: the engine's wrapper drains " +
+       "the whole backlog under the source's admission cap, then stops") {
+    import graft.sources.{ChangeFeedSource, SnapshotStore}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val t = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-avnow"
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-snapspec/cdf-avnow-ckpt"
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(t, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    SnapshotStore.publish(
+      (1L to 6L).map(i => (i, i * 10L)).toDF("id", "v"), t)
+    for (w <- 1 to 5)
+      SnapshotStore.applyCdcVersion(spark, t,
+        Seq((100L + w, 1000L + w, "I")).toDF("id", "v", "op"),
+        Seq("id"), "op", w + 1)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = ChangeFeedSource.readStream(spark, t, Seq("id"), 1,
+        maxVersionsPerTrigger = 2)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen += batch.select(col("_commit_version")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    // 5 commits at 2/trigger: 3 batches, in version order, then done
+    assert(seen.toSeq === Seq(Seq(2L, 3L), Seq(4L, 5L), Seq(6L)),
+      s"AvailableNow must drain the backlog under the cap, got $seen")
+    assert(!q.isActive, "AvailableNow query must self-terminate")
+  }
+
   test("stream-stream interval join matches batch semantics with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[EvU]
