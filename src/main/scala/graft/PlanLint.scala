@@ -333,6 +333,12 @@ object PlanLint {
     // stat crossJoin; all repair joins are damage-restricted equi-joins
     "q334_nn_incremental_delete" -> Set("nested-loop", "cartesian",
                                         "global-window"),
+    // q342: q324 + q334's shapes chained (the 4-entry placement
+    // crossJoin, the broadcast survivor-probe exact side, the 1-row
+    // stat crossJoin); every feed-driven membership is a semi/anti
+    // equi-join
+    "q342_index_follows_table" -> Set("nested-loop", "cartesian",
+                                      "global-window"),
     // q325: q322's bounded builds + the probe × 8-centroid broadcast
     // cell ranking and the 1-row stat crossJoins — never data-sized
     // q331: q322's bounded builds + the 32-row layer crossJoin, the
@@ -649,6 +655,11 @@ object PlanLint {
     // incremental delete: full trainer (6, memoized — priced fresh) +
     // damaged/g1/aff/g2 checkpoints + survivor retrain (3) + census
     "q334_nn_incremental_delete" -> 18,
+    // feed-driven index maintenance: publish + CDC apply (probes/DV
+    // ckpt/stage) + feed/tombs/new-rows ckpts + delete wave + insert
+    // placement hops + refinement + retrain + ghost/class counts +
+    // census write (measured 42 fresh-session)
+    "q342_index_follows_table" -> 48,
     // IVF-entry serve: trainer (6, memoized — priced fresh) + its own
     // adjacency/entry/3-hop checkpoints (5) + the embedded fixed walk
     // (q322's 5) + census write (measured ~17 fresh-session)

@@ -4608,6 +4608,40 @@ object Similarity {
     val undDel = g.where(delU).select(col("u").as("x"), col("v").as("w"))
       .unionAll(g.where(delV).select(col("v").as("x"), col("u").as("w")))
       .where(!isDel(col("w"))).distinct()
+    nnDeleteWaveTail(emb, gp, damaged, toDel, undDel)
+  }
+
+  /** [[nnDeleteWave]] with the tombstones as a FRAME (column `t`) —
+    * the feed-driven form: a change-feed subscriber learns the delete
+    * batch as data (q342), so membership is semi/anti-joins, never a
+    * predicate. Same algebra, same bounds.
+    */
+  private[graft] def nnDeleteWaveKeys(emb: DataFrame, g: DataFrame,
+                                      tombs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tU = tombs.select(col("t").as("u"))
+    val tV = tombs.select(col("t").as("v"))
+    val tW = tombs.select(col("t").as("w"))
+    val gp = g.join(tU, Seq("u"), "left_anti")
+      .join(tV, Seq("v"), "left_anti")
+    val intoTomb = g.join(tU, Seq("u"), "left_anti")
+      .join(tV, Seq("v"), "left_semi")
+    val damaged = intoTomb.select("u").distinct().localCheckpoint()
+    val toDel = intoTomb.select(col("u"), col("v").as("x"))
+    val undDel = g.join(tU, Seq("u"), "left_semi")
+        .select(col("u").as("x"), col("v").as("w"))
+      .unionAll(g.join(tV, Seq("v"), "left_semi")
+        .select(col("v").as("x"), col("u").as("w")))
+      .join(tW, Seq("w"), "left_anti").distinct()
+    nnDeleteWaveTail(emb, gp, damaged, toDel, undDel)
+  }
+
+  /** Shared tail of the two delete-wave fronts: re-cut damaged lists
+    * from survivors + bridge candidates, then one damage-restricted
+    * refinement round; untouched vertices carry by anti-join. */
+  private def nnDeleteWaveTail(emb: DataFrame, gp: DataFrame,
+                               damaged: DataFrame, toDel: DataFrame,
+                               undDel: DataFrame): (DataFrame, DataFrame) = {
     val cand = toDel.join(undDel, "x")
       .where(col("w") =!= col("u"))
       .select(col("u"), col("w").as("v")).distinct()
@@ -4985,7 +5019,295 @@ object Similarity {
        |ORDER BY wave""".stripMargin
   }
 
+  // ─── q342: the index FOLLOWS the table through the change feed ───────
+  // The round's two pillars close into one loop: the SNAPSHOT TABLE is
+  // the source of truth for the vectors, and the ANN index is a
+  // DOWNSTREAM SUBSCRIBER that maintains itself from the table's CHANGE
+  // FEED — never a predicate, never a rescan. Chain: publish v1 (class
+  // vec_id%10=3 held out) → train the base graph on v1's members → ONE
+  // CDC commit deletes class 7 and inserts class 3 (applyCdcVersion,
+  // zero rewrites) → the subscriber derives the feed (changeFeed v1→v2)
+  // and applies BOTH maintenance paths from the feed's rows alone:
+  // tombstones as a key FRAME into the delete wave (nnDeleteWaveKeys —
+  // the q334 algebra with semi/anti-join membership) and the insert
+  // batch's ids AND embeddings from the feed's post-images into the
+  // q324 machinery (beam-search placement, back-edge re-cut, one
+  // localized round). Census: maintained-vs-from-scratch-retrain recall
+  // on a survivor panel (incl. probe 3 — itself a feed-inserted
+  // vector), the maintained graph's edges/mean-bp, the zero-ghost
+  // invariant, the feed's class counts, and the TABLE's metadata live
+  // count. The oracle recomputes base graph, delete wave, insert wave,
+  // retrain and censuses from the class predicates — so the hash only
+  // matches if the FEED-DRIVEN path lands bit-identical to the
+  // predicate-driven twin: the subscription is proven equivalent to
+  // omniscience.
+  // At 100 TB: the feed is delta-sized (measured flat — DvSoak's
+  // feed_consume), both maintenance paths are O(touched) (q324/q334
+  // bounds), and the retrain arm runs only because the census demands
+  // the control.
+  def q342IndexFollowsTable(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val table = SnapshotStore.fixturePath("annfeed", d)
+    val tableP = new org.apache.hadoop.fs.Path(table)
+    tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(tableP, true)
+    val emb = embFrame(s, d)
+    def m10(c: Column) = pmod(c, lit(10))
+    SnapshotStore.publish(emb.where(m10(col("vec_id")) =!= 3), table)
+    val bg = nnDescentGraph(s, d, Some(m10(col("vec_id")) =!= 3))
+      .localCheckpoint()
+    val batch = emb.where(m10(col("vec_id")) === 7)
+        .select(col("vec_id"), col("e"), lit("D").as("op"))
+      .unionAll(emb.where(m10(col("vec_id")) === 3)
+        .select(col("vec_id"), col("e"), lit("I").as("op")))
+    SnapshotStore.applyCdcVersion(s, table, batch, Seq("vec_id"), "op", 2)
+    // ── the SUBSCRIBER's side: everything below derives from the feed
+    val feed = SnapshotStore.changeFeed(s, table, 1, 2, Seq("vec_id"))
+      .localCheckpoint()
+    val tombs = feed.where(col("_change_type") === "delete")
+      .select(col("vec_id").as("t")).localCheckpoint()
+    val newRows = feed.where(col("_change_type") === "insert")
+      .select(col("vec_id"), col("e")).localCheckpoint()
+    // 1) delete maintenance, tombstones as DATA
+    val (gd, _) = nnDeleteWaveKeys(emb, bg, tombs)
+    // 2) insert maintenance (q324's machinery), new ids + embeddings
+    //    from the feed's post-images
+    val newq = newRows.select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val und = gd.select("u", "v")
+      .unionAll(gd.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val entries = emb
+      .where(m10(col("vec_id")) =!= 3 && m10(col("vec_id")) =!= 7)
+      .select(col("vec_id").as("v"),
+        md5(concat(lit("entry:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("v")).limit(NnEntries).select("v")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .join(newq, "q_id")
+      .select(col("q_id"), col("v"), cosBp(col("qe"), col("ve")).as("bp"))
+    def beamOf(vis: DataFrame): DataFrame = vis
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnBeam).drop("rn")
+    var visited = score(
+        newq.select("q_id").crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    for (_ <- 1 to NnHops) {
+      val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
+        .join(und, "u").select(col("q_id"), col("v")).distinct()
+      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+    }
+    val fwd = visited
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnK)
+      .select(col("q_id").as("u"), col("v"), col("bp"))
+    val back = visited
+      .select(col("v").as("u"), col("q_id").as("v"), col("bp"))
+    val tch = back.select("u").distinct().localCheckpoint()
+    val g1 = gd.join(tch, Seq("u"), "left_anti")
+      .unionAll(nnTopK(
+        gd.join(tch, Seq("u"), "left_semi").unionAll(back)))
+      .unionAll(fwd)
+      .localCheckpoint()
+    // one localized refinement round: new-incident pairs, markers as
+    // FRAMES (the feed's insert keys), never predicates
+    val rev = g1.select(col("v").as("u"), col("u").as("v"), col("bp"))
+      .withColumn("rrn", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rrn") <= NnRevCap).drop("rrn")
+    val b = g1.select("u", "v").unionAll(rev.select("u", "v")).distinct()
+    val bNew = b.join(newRows.select(col("vec_id").as("u")),
+      Seq("u"), "left_semi")
+    val bvNew = b.join(newRows.select(col("vec_id").as("v")),
+      Seq("v"), "left_semi")
+    val cand = bNew.as("x").join(b.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v"))
+      .unionAll(b.as("x").join(bvNew.as("y"), col("x.v") === col("y.u"))
+        .select(col("x.u").as("u"), col("y.v").as("v")))
+      .where(col("u") =!= col("v")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("u"), col("e").as("ue")), "u")
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .select(col("u"), col("v"), cosBp(col("ue"), col("ve")).as("bp"))
+    val aff = cand.select("u").distinct().localCheckpoint()
+    val g2 = g1.join(aff, Seq("u"), "left_anti")
+      .unionAll(nnTopK(
+        g1.join(aff, Seq("u"), "left_semi").unionAll(scored)))
+      .localCheckpoint()
+    // ── census: maintained vs retrain, ghosts, feed classes, table count
+    val scr = nnDescentGraph(s, d, Some(m10(col("vec_id")) =!= 7))
+    val probes = emb
+      .where(col("vec_id") < 10 && m10(col("vec_id")) =!= 7)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val exactK = emb.where(m10(col("vec_id")) =!= 7)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("q_id", "c_id")
+    def hitsOf(g: DataFrame, nm: String) = exactK.as("x")
+      .join(g.as("gg"), col("x.q_id") === col("gg.u") &&
+        col("x.c_id") === col("gg.v"), "left")
+      .groupBy(col("x.q_id").as("q_id"))
+      .agg(count(col("gg.v")).as(nm))
+    val nDel = tombs.count()
+    val nIns = newRows.count()
+    val liveTotal = SnapshotStore.countOf(s, table, 2)
+    val ghostCnt = g2
+      .join(tombs.select(col("t").as("u")).withColumn("gu", lit(1)),
+        Seq("u"), "left")
+      .join(tombs.select(col("t").as("v")).withColumn("gv", lit(1)),
+        Seq("v"), "left")
+      .where(col("gu").isNotNull || col("gv").isNotNull).count()
+    val glob = broadcast(g2.agg(count(lit(1)).as("mg_edges"),
+      sum(col("bp")).as("msbp")))
+    hitsOf(g2, "n_hits_m").join(hitsOf(scr, "n_hits_scr"), "q_id")
+      .crossJoin(glob)
+      .select(col("q_id"), col("n_hits_m"),
+        round(col("n_hits_m") / lit(NnK.toDouble), 4).as("recall_m"),
+        col("n_hits_scr"),
+        round(col("n_hits_scr") / lit(NnK.toDouble), 4).as("recall_scr"),
+        col("mg_edges"), expr("msbp div mg_edges").as("mg_avg_bp"),
+        lit(ghostCnt).as("n_ghost"), lit(nDel).as("n_del"),
+        lit(nIns).as("n_ins"), lit(liveTotal).as("live_total"))
+      .orderBy(col("q_id"))
+  }
+
+  val q342Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    val hops = (1 to NnHops).map { h =>
+      s"""ifr${h - 1} AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM ivis${h - 1})
+         |  WHERE rn <= $NnBeam),
+         |inb$h AS (
+         |  SELECT DISTINCT f.q_id, u2.v FROM ifr${h - 1} f
+         |  JOIN bund u2 ON f.v = u2.u),
+         |isv$h AS (
+         |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+         |  FROM inb$h s JOIN emb ev ON s.v = ev.vec_id
+         |  JOIN newq q ON s.q_id = q.q_id),
+         |ivis$h AS MATERIALIZED (
+         |  SELECT DISTINCT q_id, v, bp FROM (
+         |    SELECT * FROM ivis${h - 1} UNION ALL SELECT * FROM isv$h))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("b_", "vec_id % 10 <> 3")},
+       |${delWaveCtes(s"b_g$NnRounds", "w1", 7)},
+       |newq AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |         WHERE vec_id % 10 = 3),
+       |bents AS (
+       |  SELECT vec_id AS v FROM emb
+       |  WHERE vec_id % 10 <> 3 AND vec_id % 10 <> 7
+       |  ORDER BY md5('entry:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NnEntries),
+       |bund AS (SELECT u, v FROM w1g2
+       |         UNION SELECT v, u FROM w1g2),
+       |ivis0 AS MATERIALIZED (
+       |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM newq q CROSS JOIN bents en
+       |  JOIN emb ev ON en.v = ev.vec_id),
+       |$hops,
+       |mfwd AS (
+       |  SELECT q_id AS u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bp DESC, v) AS rn FROM ivis$NnHops)
+       |  WHERE rn <= $NnK),
+       |mback AS (SELECT v AS u, q_id AS v, bp FROM ivis$NnHops),
+       |tch AS (SELECT DISTINCT u FROM mback),
+       |mg1 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM w1g2
+       |  WHERE u NOT IN (SELECT u FROM tch)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM w1g2 g
+       |        JOIN tch t ON g.u = t.u
+       |      UNION ALL SELECT * FROM mback)))
+       |  WHERE trn <= $NnK
+       |  UNION ALL
+       |  SELECT u, v, bp FROM mfwd),
+       |mrev AS (
+       |  SELECT u, v FROM (
+       |    SELECT g.v AS u, g.u AS v, row_number() OVER (PARTITION BY g.v
+       |      ORDER BY g.bp DESC, g.u) AS rrn FROM mg1 g)
+       |  WHERE rrn <= $NnRevCap),
+       |mb AS (SELECT u, v FROM mg1 UNION SELECT u, v FROM mrev),
+       |mcand AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT x.u, y.v FROM mb x JOIN mb y ON x.v = y.u
+       |    WHERE x.u % 10 = 3
+       |    UNION ALL
+       |    SELECT x.u, y.v FROM mb x JOIN mb y ON x.v = y.u
+       |    WHERE y.v % 10 = 3)
+       |  WHERE u <> v),
+       |msc AS (
+       |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
+       |  FROM mcand c JOIN emb eu ON c.u = eu.vec_id
+       |               JOIN emb ev ON c.v = ev.vec_id),
+       |maff AS (SELECT DISTINCT u FROM mcand),
+       |mg2 AS MATERIALIZED (
+       |  SELECT u, v, bp FROM mg1 WHERE u NOT IN (SELECT u FROM maff)
+       |  UNION ALL
+       |  SELECT u, v, bp FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u
+       |      ORDER BY bp DESC, v) AS trn
+       |    FROM (SELECT DISTINCT u, v, bp FROM (
+       |      SELECT g.u, g.v, g.bp FROM mg1 g JOIN maff t ON g.u = t.u
+       |      UNION ALL SELECT * FROM msc)))
+       |  WHERE trn <= $NnK),
+       |${nnGraphCtesCore("s_", "vec_id % 10 <> 7")},
+       |exactk AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${bp("q.e", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM emb q JOIN emb c
+       |      ON c.vec_id <> q.vec_id AND c.vec_id % 10 <> 7
+       |    WHERE q.vec_id < 10 AND q.vec_id % 10 <> 7)
+       |  WHERE ern <= $NnK),
+       |ih AS (
+       |  SELECT e.q_id, CAST(count(g.v) AS BIGINT) AS n_hits_m
+       |  FROM exactk e LEFT JOIN mg2 g ON e.q_id = g.u AND e.c_id = g.v
+       |  GROUP BY e.q_id),
+       |sh AS (
+       |  SELECT e.q_id, CAST(count(g.v) AS BIGINT) AS n_hits_scr
+       |  FROM exactk e LEFT JOIN s_g$NnRounds g
+       |    ON e.q_id = g.u AND e.c_id = g.v
+       |  GROUP BY e.q_id),
+       |gstat AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS mg_edges,
+       |    CAST(sum(bp) // count(*) AS BIGINT) AS mg_avg_bp,
+       |    CAST(sum(CASE WHEN u % 10 = 7 OR v % 10 = 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ghost
+       |  FROM mg2),
+       |cnts AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_del,
+       |    CAST(sum(CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ins,
+       |    CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS live_total
+       |  FROM emb)
+       |SELECT i.q_id, i.n_hits_m,
+       |  round(i.n_hits_m / $NnK.0, 4) AS recall_m,
+       |  s.n_hits_scr, round(s.n_hits_scr / $NnK.0, 4) AS recall_scr,
+       |  mg_edges, mg_avg_bp, n_ghost, n_del, n_ins, live_total
+       |FROM ih i JOIN sh s ON i.q_id = s.q_id
+       |CROSS JOIN gstat CROSS JOIN cnts
+       |ORDER BY i.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_index_follows_table" -> (q342IndexFollowsTable _),
     "q341_nn_hnsw_clustered" -> (q341NnHnswClustered _),
     "q340_nn_health_policy" -> (q340NnHealthPolicy _),
     "q336_nn_hnsw_multilevel" -> (q336NnHnswMulti _),
@@ -5027,6 +5349,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q342_index_follows_table" -> q342Sql,
     "q341_nn_hnsw_clustered" -> q341Sql,
     "q340_nn_health_policy" -> q340Sql,
     "q336_nn_hnsw_multilevel" -> q336Sql,

@@ -862,6 +862,26 @@ class SimilaritySpec extends SparkSpec {
       "wave 1 after-census must equal maintained")
   }
 
+  test("q342 feed-driven maintenance: the frame-based delete wave is " +
+       "bit-identical to the predicate form — subscription equals " +
+       "omniscience") {
+    import org.apache.spark.sql.functions.pmod
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val g = Similarity.nnGraphFor(spark, sfDir)
+    val (gPred, rPred) = Similarity.nnDeleteWave(emb, g,
+      c => pmod(c, lit(10)) === 7)
+    val tombs = emb.where(pmod($"vec_id", lit(10)) === 7)
+      .select($"vec_id".as("t"))
+    val (gKeys, rKeys) = Similarity.nnDeleteWaveKeys(emb, g, tombs)
+    assert(gKeys.as[(Long, Long, Long)].collect().toSet
+      === gPred.as[(Long, Long, Long)].collect().toSet,
+      "frame-based wave must equal the predicate wave edge-for-edge")
+    assert(rKeys.as[Long].collect().toSet
+      === rPred.as[Long].collect().toSet,
+      "re-cut sets must agree")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
