@@ -2742,11 +2742,32 @@ object Similarity {
   private val nnGraphMemo = scala.collection.concurrent.TrieMap
     .empty[(Int, String), DataFrame]
 
-  def clearNnGraphCache(): Unit = nnGraphMemo.clear()
+  /** Session memo for MEMBER-restricted trainings (keyed by a caller-
+    * supplied stable predicate key): q334's survivor retrain, q340's
+    * fired rebuild and q342's retrain control all train the IDENTICAL
+    * `vec_id % 10 <> 7` graph — one session prices it once, the same
+    * discipline as [[nnGraphFor]]/the q328 fixture memo. Cleared with
+    * the full-graph memo at Bench/ScaleSoak pass boundaries, so
+    * min-of-passes stays honest.
+    */
+  private val nnMemberGraphMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), DataFrame]
+
+  def clearNnGraphCache(): Unit = {
+    nnGraphMemo.clear()
+    nnMemberGraphMemo.clear()
+  }
 
   private[graft] def nnGraphFor(s: SparkSession, d: String): DataFrame =
     nnGraphMemo.getOrElseUpdate((System.identityHashCode(s), d),
       nnDescentGraph(s, d))
+
+  private[graft] def nnMemberGraphFor(s: SparkSession, d: String,
+                                      key: String,
+                                      member: Column): DataFrame =
+    nnMemberGraphMemo.getOrElseUpdate(
+      (System.identityHashCode(s), d, key),
+      nnDescentGraph(s, d, Some(member)))
 
   def q317NnDescentKnn(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
@@ -4339,8 +4360,8 @@ object Similarity {
   private[graft] def nnMaintainedGraph(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = embFrame(s, d)
-    val bg = nnDescentGraph(s, d,
-      Some(pmod(col("vec_id"), lit(10)) =!= 9)).localCheckpoint()
+    val bg = nnMemberGraphFor(s, d, "not9",
+      pmod(col("vec_id"), lit(10)) =!= 9).localCheckpoint()
     val und = bg.select("u", "v")
       .unionAll(bg.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
@@ -4682,8 +4703,8 @@ object Similarity {
   def q334NnIncrementalDelete(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
     val mg = nnDeletedGraph(s, d)
-    val scr = nnDescentGraph(s, d,
-      Some(pmod(col("vec_id"), lit(10)) =!= 7))
+    val scr = nnMemberGraphFor(s, d, "not7",
+      pmod(col("vec_id"), lit(10)) =!= 7)
     val probes = emb.where(col("vec_id") < 10 && !isNnDel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val exactK = emb.where(!isNnDel(col("vec_id")))
@@ -4868,8 +4889,9 @@ object Similarity {
     // sides so the decision stays data, not an assumption)
     val cA =
       if (fired2 == 1L)
-        census(nnDescentGraph(s, d, Some(!cls(col("vec_id"), 7) &&
-          !cls(col("vec_id"), 3))), live2, ghost2(col("u"), col("v")))
+        census(nnMemberGraphFor(s, d, "not7not3",
+          !cls(col("vec_id"), 7) && !cls(col("vec_id"), 3)),
+          live2, ghost2(col("u"), col("v")))
       else c2
     val rows = Seq(
       (0L, live0, 0L, 0L, 0L, c0._1, c0._2, c0._3, c0._4, c0._1, c0._2,
@@ -5054,8 +5076,7 @@ object Similarity {
     val emb = embFrame(s, d)
     def m10(c: Column) = pmod(c, lit(10))
     SnapshotStore.publish(emb.where(m10(col("vec_id")) =!= 3), table)
-    val bg = nnDescentGraph(s, d, Some(m10(col("vec_id")) =!= 3))
-      .localCheckpoint()
+    val bg = nnMemberGraphFor(s, d, "not3", m10(col("vec_id")) =!= 3)
     val batch = emb.where(m10(col("vec_id")) === 7)
         .select(col("vec_id"), col("e"), lit("D").as("op"))
       .unionAll(emb.where(m10(col("vec_id")) === 3)
@@ -5136,7 +5157,8 @@ object Similarity {
         g1.join(aff, Seq("u"), "left_semi").unionAll(scored)))
       .localCheckpoint()
     // ── census: maintained vs retrain, ghosts, feed classes, table count
-    val scr = nnDescentGraph(s, d, Some(m10(col("vec_id")) =!= 7))
+    val scr = nnMemberGraphFor(s, d, "not7",
+      m10(col("vec_id")) =!= 7)
     val probes = emb
       .where(col("vec_id") < 10 && m10(col("vec_id")) =!= 7)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
