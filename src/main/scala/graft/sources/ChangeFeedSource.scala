@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * subscriber that has fallen behind drains its backlog with
   * `maxVersionsPerTrigger`: admission then spans up to that many commit
   * steps per micro-batch, each row still tagged `_commit_version`.
+  * NB `Trigger.Once` (and any other ReadAllAvailable admission path)
+  * is EXEMPT from the cap: the engine asks for everything in one
+  * micro-batch and the source complies — the Kafka-source convention,
+  * but a surprise if the cap was set specifically to bound batch size.
+  * Use `Trigger.AvailableNow` for a capped self-terminating drain: the
+  * target version is pinned at query start while per-trigger admission
+  * still honors `maxVersionsPerTrigger`.
   * Folding a MULTI-step batch through `retractApply` in ONE call is
   * sound because the algebra is ORDER-INDEPENDENT: every step
   * contributes signed (sum, count) deltas and addition commutes, so

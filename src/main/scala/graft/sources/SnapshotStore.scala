@@ -56,6 +56,20 @@ object SnapshotStore {
 
   private def manifestDir(table: String) = new Path(table, "_snapshots")
 
+  /** The LOST-RACE signal of an exclusive-create commit: the manifest
+    * (or ref/DV) file already exists because another writer committed
+    * that version first. ONLY FileAlreadyExists means race — any other
+    * IOException (permissions, disk full, a transient FS fault) is a
+    * genuine I/O failure and must surface AS ITSELF on the first
+    * attempt, never be retried into a misleading "lost N commit races"
+    * diagnosis.
+    */
+  private def isCommitRace(e: java.io.IOException): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case _ => false
+  }
+
   /** Path of `p` relative to the version's data dir (e.g.
     * `om=199601/part-...parquet` for a hive-partitioned layout, plain
     * `part-...parquet` otherwise). Rel paths — not bare names — key the
@@ -67,7 +81,13 @@ object SnapshotStore {
   private def relPath(p: String, dataDirName: String): String =
     p.substring(p.indexOf(dataDirName) + dataDirName.length + 1)
 
-  private val SnapSegRe = "snap-v\\d{5}".r
+  // `-ac<hex>` is [[autoCompactDv]]'s WRITER-UNIQUE staging suffix: the
+  // compaction rewrite stages into its own sibling snap dir, so a lost
+  // commit race never clobbers (at stage time) nor deletes (at cleanup
+  // time) a winner's files. The suffixed dir is a first-class snap dir:
+  // it is its own basePath (hive partition discovery stays clean), its
+  // own stats/bloom root, and vacuum/GC treat it like any other.
+  private val SnapSegRe = "snap-v\\d{5}(?:-ac[0-9a-f]{8})?".r
 
   /** Canonical file key starting at the file's OWN snap dir —
     * `snap-v00003/om=199601/part-...parquet`. Scheme/URI-form agnostic
@@ -253,7 +273,7 @@ object SnapshotStore {
         out.close()
         committed = v
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException if isCommitRace(e) =>
           // lost the race: drop the stage, re-publish as the next version
           f.delete(dataDir, true)
           v = versions(spark, table).lastOption.getOrElse(v) + 1
@@ -285,7 +305,7 @@ object SnapshotStore {
     } catch {
       // lost a concurrent replay race: the OTHER attempt committed this
       // exact batch — drop the re-staged files, report not-committed
-      case _: java.io.IOException => f.delete(dataDir, true); false
+      case e: java.io.IOException if isCommitRace(e) => f.delete(dataDir, true); false
     }
   }
 
@@ -340,7 +360,7 @@ object SnapshotStore {
         out.write(s"version=$version\n".getBytes(UTF_8)); out.close()
         return seq
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException if isCommitRace(e) =>
           seq = refSeqs(spark, table, name).lastOption.getOrElse(seq) + 1
       }
     }
@@ -429,11 +449,19 @@ object SnapshotStore {
         }
     }.toSet
     val f = fs(spark, new Path(table))
+    // a version's data can live in `snap-vNNNNN` or in a suffixed
+    // `snap-vNNNNN-ac<hex>` staging-unique dir (autoCompactDv) — expire
+    // every dir of the version that no retained manifest references
+    val onDisk = f.listStatus(new Path(table)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => SnapSegRe.pattern.matcher(n).matches())
     expire.foreach { v =>
       f.delete(new Path(manifestDir(table), f"v$v%05d.manifest"), false)
       f.delete(new Path(manifestDir(table), f"v$v%05d.ts"), false)
-      if (!referenced.contains(f"snap-v$v%05d"))
-        f.delete(new Path(table, f"snap-v$v%05d"), true)
+      onDisk.filter(n => n == f"snap-v$v%05d" ||
+          n.startsWith(f"snap-v$v%05d-"))
+        .filterNot(referenced.contains)
+        .foreach(n => f.delete(new Path(table, n), true))
     }
     expire
   }
@@ -859,7 +887,13 @@ object SnapshotStore {
         val live = loadFiles(spark, rewriteLines.map(_.split('\t')(0)),
           lines)
         val newV = v + 1
-        val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+        // writer-unique staging dir (the dvDelete `_dv-<uuid>`
+        // discipline, applied to data files): a concurrent winner of
+        // version newV can never share this dir, so neither the
+        // overwrite-mode stage nor the lost-race cleanup below can
+        // touch files that are not ours
+        val dataDir = new Path(new Path(table), f"snap-v$newV%05d-ac" +
+          java.util.UUID.randomUUID.toString.take(8))
         val (stagedCount, stagedLines) = stageFiles(
           toPhysical(live, colmapOfLine(lines(2))), dataDir,
           partitionBy = partitionColsOf(fileLines))
@@ -875,16 +909,11 @@ object SnapshotStore {
           out = Some(AutoCompactStats(newV, fileLines.size,
             rewriteLines.size, stagedCount))
         } catch {
-          case _: java.io.IOException =>
-            // lost the race: drop only the files THIS writer staged —
-            // never dataDir wholesale, which a concurrent winner of
-            // version newV may already own (the dvDelete discipline).
-            // NB the stage itself writes mode=overwrite into the shared
-            // dir, so true concurrent writers remain outside the store's
-            // single-writer contract; this keeps the CLEANUP from being
-            // the step that destroys a winner's committed files.
-            stagedLines.foreach(l =>
-              f.delete(new Path(l.split('\t')(0)), false))
+          case e: java.io.IOException if isCommitRace(e) =>
+            // lost the race: the staging dir is writer-unique, so
+            // dropping it wholesale is race-free — no winner's staged
+            // or committed file can live under it
+            f.delete(dataDir, true)
             attempt += 1
             require(attempt < 8, s"autoCompactDv lost $attempt commit races")
         }
@@ -929,10 +958,21 @@ object SnapshotStore {
   private def ddlOfLine(schemaLine: String): String =
     schemaLine.split("\tcolmap=", 2)(0).stripPrefix("schema=")
 
-  private def schemaLineOf(ddl: String, colmap: Map[String, String]): String =
+  private def schemaLineOf(ddl: String, colmap: Map[String, String]): String = {
+    // the colmap suffix is tab/comma/colon-delimited; a mapped name
+    // containing a delimiter would commit a manifest whose suffix later
+    // fails to parse (or silently mis-maps) — reject BEFORE the write,
+    // so no corrupt manifest is ever committed
+    colmap.foreach { case (l, p) =>
+      require(!(l + p).exists(c => c == '\t' || c == ',' || c == ':'),
+        s"column-mapping name '$l' -> '$p' contains a manifest " +
+          "delimiter (tab, comma or colon) — rename/add it under a " +
+          "delimiter-free name")
+    }
     "schema=" + ddl + (if (colmap.isEmpty) "" else
       "\tcolmap=" + colmap.toSeq.sorted
         .map { case (l, p) => s"$l:$p" }.mkString(","))
+  }
 
   /** Physical name of logical `name` (case-insensitive, analyzer-style). */
   private def physOf(colmap: Map[String, String], name: String): String =
@@ -1042,7 +1082,7 @@ object SnapshotStore {
         outS.close()
         out = Some(SchemaEvoStats(newV, fileLines.size))
       } catch {
-        case _: java.io.IOException => // metadata-only: nothing staged
+        case e: java.io.IOException if isCommitRace(e) => // metadata-only: nothing staged
           attempt += 1
           require(attempt < 8, s"$what lost $attempt commit races")
       }
@@ -1305,7 +1345,7 @@ object SnapshotStore {
         out = Some(MergeStats(newV, fileLines.size,
           rewriteLines.size, carryLines.size))
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException if isCommitRace(e) =>
           // lost the race: the base ADVANCED — drop the stage and redo
           // the whole merge against the new latest (serializable
           // outcome, optimistic-concurrency style)
@@ -1373,7 +1413,7 @@ object SnapshotStore {
         out = Some(MergeStats(newV, fileLines.size,
           rewriteLines.size, carryLines.size))
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException if isCommitRace(e) =>
           f.delete(dataDir, true)
           attempt += 1
           require(attempt < 8, s"deleteBetween lost $attempt commit races")
@@ -1518,7 +1558,7 @@ object SnapshotStore {
           out = Some(DvStats(newV, fileLines.size, touchedKeys.size, 0,
             rowsDeleted))
         } catch {
-          case _: java.io.IOException =>
+          case e: java.io.IOException if isCommitRace(e) =>
             // lost the race: drop only OUR staged DV dir — the winner's
             // committed snap-v<newV> data/DV files are untouchable
             f.delete(new Path(dvDir), true)
@@ -1663,7 +1703,7 @@ object SnapshotStore {
         out = Some(MoRStats(newV, fileLines.size, touchedKeys.size,
           stagedLines.size, rowsSuppressed, stagedCount))
       } catch {
-        case _: java.io.IOException =>
+        case e: java.io.IOException if isCommitRace(e) =>
           f.delete(dataDir, true)
           attempt += 1
           require(attempt < 8, s"mergeMoR lost $attempt commit races")
@@ -1837,7 +1877,7 @@ object SnapshotStore {
       CdcApplyStats(version, committed = true, touchedKeys.size,
         stagedLines.size, rowsSuppressed, stagedCount)
     } catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException if isCommitRace(e) =>
         // a replay of the SAME pinned batch committed first; drop only
         // OUR writer-unique DV dir. This handler is BEST-EFFORT for
         // serialized foreachBatch replays (the checkpoint's guarantee):

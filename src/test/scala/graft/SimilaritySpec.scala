@@ -882,6 +882,29 @@ class SimilaritySpec extends SparkSpec {
       "re-cut sets must agree")
   }
 
+  test("member-graph memo keys on the predicate's CANONICAL SQL — the " +
+       "same predicate shares one training; different predicates can " +
+       "never alias, whatever the caller calls them") {
+    import org.apache.spark.sql.functions.pmod
+    // same predicate from two independently built Column trees → ONE
+    // memo entry (reference-equal frames: the second call is a hit)
+    val g1 = Similarity.nnMemberGraphFor(spark, sfDir,
+      pmod($"vec_id", lit(10)) =!= 7)
+    val g2 = Similarity.nnMemberGraphFor(spark, sfDir,
+      pmod(col("vec_id"), lit(10)) =!= 7)
+    assert(g1 eq g2, "identical predicates must share one training")
+    // a DIFFERENT predicate — even if a careless caller would have
+    // labeled it with the same string key pre-r14 — gets its own graph
+    val g3 = Similarity.nnMemberGraphFor(spark, sfDir,
+      pmod($"vec_id", lit(10)) =!= 9)
+    assert(!(g1 eq g3), "different predicates must never share a memo")
+    val m1 = g1.select("u").distinct().as[Long].collect().toSet
+    val m3 = g3.select("u").distinct().as[Long].collect().toSet
+    assert(m1.forall(_ % 10 != 7) && m3.forall(_ % 10 != 9))
+    assert(m1.exists(_ % 10 == 9) && m3.exists(_ % 10 == 7),
+      "each restricted graph keeps the other's excluded class")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -1271,4 +1271,106 @@ class SnapshotStoreSpec extends SparkSpec {
         Seq("id"))
     }
   }
+
+  test("a NON-race I/O failure at the commit point surfaces as itself " +
+       "on attempt 1 — never retried into 'lost N commit races'") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultInjectFs].getName)
+    val t = "faultfs://" +
+      sys.props("java.io.tmpdir") + "/graft-snapspec/fault-io"
+    val p = new Path(t)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    SnapshotStore.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    assert(SnapshotStore.versions(spark, t) === Seq(1))
+    // armed: the manifest create fails with a PLAIN IOException. The
+    // old broad catch would have retried publish forever (and the
+    // attempt-counted writers would have died as "lost 8 commit
+    // races"); the narrow catch surfaces the failure as itself.
+    FaultInjectFs.armed.set(true)
+    try {
+      val e = intercept[java.io.IOException] {
+        SnapshotStore.publish(Seq((3L, "c")).toDF("id", "s"), t)
+      }
+      assert(e.getMessage.contains("injected"), s"got: ${e.getMessage}")
+      // a metadata-only writer (attempt-counted) must ALSO surface it
+      val e2 = intercept[java.io.IOException] {
+        SnapshotStore.renameColumn(spark, t, "s", "s2")
+      }
+      assert(e2.getMessage.contains("injected"), s"got: ${e2.getMessage}")
+      assert(!e2.getMessage.contains("commit races"))
+    } finally FaultInjectFs.armed.set(false)
+    // nothing committed during the outage; disarmed, the table resumes
+    assert(SnapshotStore.versions(spark, t) === Seq(1))
+    assert(SnapshotStore.publish(Seq((3L, "c")).toDF("id", "s"), t) === 2)
+    assert(SnapshotStore.read(spark, t).as[(Long, String)].collect().toSet
+      === Set((3L, "c")))
+  }
+
+  test("column-mapping names containing manifest delimiters are " +
+       "rejected BEFORE any manifest write") {
+    val t = freshTable("colmap-delims")
+    SnapshotStore.publish(
+      spark.range(10).select(col("id"), (col("id") * 3).as("v")), t)
+    Seq("a,b", "a:b", "a\tb").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.renameColumn(spark, t, "v", bad)
+      }
+      assert(e.getMessage.contains("delimiter"), s"got: ${e.getMessage}")
+    }
+    // nothing committed — the guard fires before the exclusive create
+    assert(SnapshotStore.versions(spark, t) === Seq(1))
+    // a mapping-ACTIVE widening with a delimiter name is rejected too
+    SnapshotStore.renameColumn(spark, t, "v", "score")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.mergeUpsert(spark, t,
+        spark.range(2).select(col("id"), (col("id") * 5).as("score"),
+          lit(1L).as("x:y")), Seq("id"))
+    }
+    assert(e.getMessage.contains("delimiter"))
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2))
+    // clean names still evolve freely
+    val st = SnapshotStore.mergeUpsert(spark, t,
+      spark.range(2).select(col("id"), (col("id") * 5).as("score"),
+        lit(1L).as("xy")), Seq("id"))
+    assert(st.version === 3)
+    assert(SnapshotStore.read(spark, t).columns.toSeq
+      === Seq("id", "score", "xy"))
+  }
+
+  test("autoCompactDv stages into a WRITER-UNIQUE snap dir (race-free " +
+       "staging AND cleanup); vacuum expires it with its version") {
+    val t = freshTable("ac-unique-dir")
+    SnapshotStore.publish(
+      spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .repartition(3, col("b")),
+      t, partitionBy = Seq("b"))
+    val b0 = (0L until 300L).filter(_ % 3 == 0)
+    SnapshotStore.applyCdcVersion(spark, t,
+      spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .where(col("id").isin(b0.take(40): _*))
+        .withColumn("op", lit("D")),
+      Seq("id"), "op", 2)
+    val st = SnapshotStore.autoCompactDv(spark, t, thresholdBp = 2500L)
+    assert(st.version === 3 && st.filesMaterialized === 1)
+    val f = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acDirs = f.listStatus(new Path(t)).toSeq.map(_.getPath.getName)
+      .filter(_.matches("snap-v00003-ac[0-9a-f]{8}"))
+    assert(acDirs.size === 1,
+      s"the rewrite must stage under its own snap-v00003-ac* dir, got " +
+        f.listStatus(new Path(t)).toSeq.map(_.getPath.getName).toString)
+    // the unique dir is a clean hive basePath: the partition column
+    // reads back and live rows are intact
+    assert(SnapshotStore.read(spark, t).count() === 260L)
+    assert(SnapshotStore.read(spark, t)
+      .where(col("b") === 0).count() === 60L)
+    // a later full publish supersedes it; vacuum expires the ac dir
+    // along with its version's manifest
+    SnapshotStore.publish(SnapshotStore.read(spark, t), t)
+    SnapshotStore.vacuum(spark, t, keepLast = 1)
+    assert(!f.exists(new Path(t, acDirs.head)),
+      "vacuum must expire the unique staging dir with its version")
+    assert(SnapshotStore.read(spark, t).count() === 260L)
+  }
 }
