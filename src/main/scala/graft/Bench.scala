@@ -121,6 +121,7 @@ object Bench {
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
     sources.SnapshotStore.clearCdcCache()
+    ops.IndexMaintain.clearIndexFixtureCache()
     // timed passes, PASS-MAJOR (see protocol note above). A failed query
     // is decided after its first failure — remaining passes would burn
     // the same failure latency for the same -1.
@@ -144,6 +145,7 @@ object Bench {
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
     sources.SnapshotStore.clearCdcCache()
+    ops.IndexMaintain.clearIndexFixtureCache()
     }
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name) || times(name).isEmpty) -1.0

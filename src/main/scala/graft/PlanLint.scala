@@ -339,6 +339,11 @@ object PlanLint {
     // equi-join
     "q342_index_follows_table" -> Set("nested-loop", "cartesian",
                                       "global-window"),
+    // q343: q342's census shapes over the PUBLISHED index (the same
+    // broadcast probe panel + 1-row stat/lineage crossJoins); the live
+    // subscriber's maintenance joins are all semi/anti equi-joins
+    "q343_durable_index" -> Set("nested-loop", "cartesian",
+                                "global-window"),
     // q325: q322's bounded builds + the probe × 8-centroid broadcast
     // cell ranking and the 1-row stat crossJoins — never data-sized
     // q331: q322's bounded builds + the 32-row layer crossJoin, the
@@ -355,6 +360,11 @@ object PlanLint {
                                     "global-window"),
     "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian",
                                      "global-window"),
+    // q345: the probe × 8-centroid broadcast cell ranking, the 2-row
+    // filter-tier cross and the broadcast 8-probe scoring BNLJ — all
+    // bounded; candidates/filters are cell/key equi- and semi-joins
+    "q345_filtered_ann" -> Set("nested-loop", "cartesian",
+                               "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
     // q219: q207's probe shapes reused as a miner (1-row folded
@@ -660,6 +670,13 @@ object PlanLint {
     // placement hops + refinement + retrain + ghost/class counts +
     // census write (measured 42 fresh-session)
     "q342_index_follows_table" -> 48,
+    // durable subscriber: publish + bootstrap + 2 CDC commits + per
+    // micro-batch (meta read, counters, wave checkpoints, 2 publishes)
+    // + census reads (measured 80 fresh-session)
+    "q343_durable_index" -> 88,
+    // policy subscriber: q343's loop with a fired survivor retrain in
+    // batch 2 instead of the insert wave (measured 69 fresh-session)
+    "q344_auto_retrain_policy" -> 76,
     // IVF-entry serve: trainer (6, memoized — priced fresh) + its own
     // adjacency/entry/3-hop checkpoints (5) + the embedded fixed walk
     // (q322's 5) + census write (measured ~17 fresh-session)
@@ -680,6 +697,9 @@ object PlanLint {
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,
+    // filtered ANN: kmeans trainer (3, memoized — priced fresh) +
+    // scored/pass checkpoints + census write (measured 6 fresh-session)
+    "q345_filtered_ann" -> 10,
     "q208_pq_learned_recall" -> 8,
     // residual IVF-PQ: coarse trainer (3) + corpus-residual checkpoint +
     // residual-PQ trainer (3) + query body (measured 8 fresh-session)

@@ -168,6 +168,7 @@ object ScaleSoak {
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
     sources.SnapshotStore.clearCdcCache()
+    ops.IndexMaintain.clearIndexFixtureCache()
       (1 to passes).foreach { _ =>
         names.foreach { case (n, fn) =>
           val t0 = System.nanoTime()
@@ -181,6 +182,7 @@ object ScaleSoak {
     ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
     sources.SnapshotStore.clearCdcCache()
+    ops.IndexMaintain.clearIndexFixtureCache()
       }
       times.view.mapValues(_.min).toMap
     }

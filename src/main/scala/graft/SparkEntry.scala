@@ -15,6 +15,7 @@ object SparkEntry {
     sources.FileSources.queries ++ sources.Multimodal.queries ++
     ops.Skew.queries ++ ops.Graph.queries ++ ops.Corpus.queries ++
     ops.Warehouse.queries ++ ops.Insights.queries ++ sources.JdbcSink.queries ++
+    ops.IndexMaintain.queries ++
     ops.SqlText.queries ++ ops.Observe.queries ++
     sources.SnapshotStore.queries ++ ops.Bpe.queries ++ ops.Unigram.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,6 +29,7 @@ object SparkEntry {
     sources.FileSources.oracleSql ++ sources.Multimodal.oracleSql ++
     ops.Skew.oracleSql ++ ops.Graph.oracleSql ++ ops.Corpus.oracleSql ++
     ops.Warehouse.oracleSql ++ ops.Insights.oracleSql ++ sources.JdbcSink.oracleSql ++
+    ops.IndexMaintain.oracleSql ++
     ops.SqlText.oracleSql ++ ops.Observe.oracleSql ++
     sources.SnapshotStore.oracleSql ++ ops.Bpe.oracleSql ++ ops.Unigram.oracleSql
 }

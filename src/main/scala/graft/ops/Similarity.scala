@@ -1272,7 +1272,7 @@ object Similarity {
     cents
   }
 
-  private def embFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def embFrame(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
@@ -1303,7 +1303,7 @@ object Similarity {
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"""
       .stripMargin
 
-  private def kmeansCtes(mCount: Int, w: Int, k: Int, iters: Int,
+  private[graft] def kmeansCtes(mCount: Int, w: Int, k: Int, iters: Int,
                          embCte: String = EmbeddingsCte,
                          prefix: String = ""): String = {
     // `prefix` namespaces every CTE this helper emits (emb, pieces,
@@ -2655,14 +2655,14 @@ object Similarity {
   // with fixed-width (u, v, bp) state on the wire, embeddings are
   // fetched per-candidate by vec_id equi-join. Rounds are a fixed
   // constant (2 here; production ~4–6 converges, Dong §4).
-  private val NnK = 4        // graph degree (top-K neighbors kept)
-  private val NnRounds = 2   // NN-descent refinement rounds
-  private val NnRevCap = 2 * NnK
+  private[graft] val NnK = 4        // graph degree (top-K neighbors kept)
+  private[graft] val NnRounds = 2   // NN-descent refinement rounds
+  private[graft] val NnRevCap = 2 * NnK
 
   /** Integer-bp cosine: round(cos·10⁴) as BIGINT — identical floats on
     * both engines (same left-to-right dot products), then one shared
     * away-from-zero rounding; all downstream ranking is integer. */
-  private def cosBp(a: Column, b: Column): Column =
+  private[graft] def cosBp(a: Column, b: Column): Column =
     round(cosine(a, b) * 10000, 0).cast("long")
 
   /** Hash-ring seed pairs within a grouping key: members sorted by
@@ -2825,7 +2825,7 @@ object Similarity {
   }
 
   /** Integer-bp cosine in DuckDB — the oracle twin of [[cosBp]]. */
-  private def bpSql(a: String, b: String): String =
+  private[graft] def bpSql(a: String, b: String): String =
     s"CAST(round(list_dot_product($a, $b) / (sqrt(list_dot_product(" +
       s"$a, $a)) * sqrt(list_dot_product($b, $b))) * 10000, 0) AS BIGINT)"
 
@@ -2838,7 +2838,7 @@ object Similarity {
     * kmeans cells/buckets (pieces/c2, assumed in scope unprefixed)
     * still come from the full corpus — cells are a seeding heuristic,
     * not membership. */
-  private def nnGraphCtesCore(P: String, posWhere: String): String = {
+  private[graft] def nnGraphCtesCore(P: String, posWhere: String): String = {
     val d2 = "list_dot_product(p.sub, p.sub)" +
       " - 2*list_dot_product(p.sub, c.carr)" +
       " + list_dot_product(c.carr, c.carr)"
@@ -2966,9 +2966,9 @@ object Similarity {
   // query-side-linear, corpus-side indexed by the graph; embeddings
   // are fetched per-candidate by vec_id equi-join. The visited set is
   // bounded by W·deg·H per query.
-  private val NnBeam = 4
-  private val NnHops = 3
-  private val NnEntries = 4
+  private[graft] val NnBeam = 4
+  private[graft] val NnHops = 3
+  private[graft] val NnEntries = 4
 
   def q322NnBeamServe(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
@@ -4943,6 +4943,217 @@ object Similarity {
        |ORDER BY d.q_id""".stripMargin
   }
 
+  // ─── q345: FILTERED ANN — "top-k WHERE predicate" ────────────────────
+  // The production vector-search staple every serving arm lacked: rank
+  // only vectors passing a metadata predicate. Two strategies, census'd
+  // side by side at two selectivities over the IVF index (the shared
+  // k=8 kmeans cells):
+  //  - PRE-FILTER: apply the predicate to the probed cells' members
+  //    BEFORE ranking, answer = top-k of the filtered candidates. The
+  //    q210 partition-pruning posture — at 100 TB the predicate pushes
+  //    into the cell scan (stats/partition pruning on the metadata
+  //    column), so the work is |probed ∩ filtered|. Recall equals the
+  //    unfiltered IVF recall profile: every candidate counts.
+  //  - POST-FILTER: rank the probed cells unfiltered, take an
+  //    overfetch of 2k, THEN filter and cut to k. The serve path stays
+  //    predicate-oblivious (one shared index walk for every caller),
+  //    but selective predicates starve the answer: an overfetch row
+  //    spent on a non-matching candidate is recall thrown away — the
+  //    classic trade this census turns into DATA (recall_pre ≥
+  //    recall_post by construction, gap widening as selectivity drops
+  //    from ~1/2 to ~1/10).
+  // Both arms are recomputed by the oracle from the same cells, so the
+  // hash pins strategy arithmetic, not just the winner. Scale: probes
+  // broadcast (8 rows), candidates are cell-equi-joins, the filter is
+  // a key semi-join; nothing data-sized crosses.
+  private val FilterK = 5
+
+  def q345FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val cents = kmeansFor(s, d, 1, DIM, 8, 2)
+    val afin = assignPieces(pieces(emb, 1, DIM), centsRow(cents))
+      .select("vec_id", "cid")
+    val probes = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val pc = probes
+      .crossJoin(broadcast(cents.select(col("cid"), col("carr"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(sqDist(col("qe"), col("carr")), col("cid"))))
+      .where(col("rn") <= NnProbeCells).select("q_id", "cid")
+    val cand = pc.join(afin, "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("c_id"), col("e").as("ce")), "c_id")
+      .join(broadcast(probes), "q_id")
+      .select(col("q_id"), col("c_id"), cosBp(col("qe"), col("ce")).as("bp"))
+      .localCheckpoint()
+    // predicate tiers: ~1/2 of labels, and exactly one label (~1/10)
+    val pass = lab.where(pmod(col("label"), lit(2)) === 0)
+        .select(lit("half").as("filt"), col("vec_id"))
+      .unionAll(lab.where(col("label") === 3)
+        .select(lit("decile").as("filt"), col("vec_id")))
+      .localCheckpoint()
+    val sp = s; import sp.implicits._
+    val base = Seq("half", "decile").toDF("filt")
+      .crossJoin(probes.select("q_id"))
+    // exact filtered ground truth (brute force over members ∩ filter)
+    val ex = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(pass.select(col("filt"), col("vec_id").as("c_id")), "c_id")
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("filt"), col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy(col("filt"), col("q_id"))
+          .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= FilterK).select("filt", "q_id", "c_id")
+    // PRE-FILTER arm: filter, then rank
+    val preScored = scored
+      .join(pass.select(col("filt"), col("vec_id").as("c_id")), "c_id")
+    val pre = preScored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("filt"), col("q_id"))
+          .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("rn") <= FilterK).select("filt", "q_id", "c_id")
+    val nPre = preScored.groupBy(col("filt"), col("q_id"))
+      .agg(count(lit(1)).as("n_cand_pre"))
+    // POST-FILTER arm: rank unfiltered, overfetch 2k, then filter + cut
+    val over = scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("rn") <= 2 * FilterK)
+    val post = over
+      .join(pass.select(col("filt"), col("vec_id").as("c_id")), "c_id")
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("filt"), col("q_id")).orderBy(col("rn"))))
+      .where(col("rn2") <= FilterK).select("filt", "q_id", "c_id")
+    val nPost = scored.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cand_post"))
+    def hitsOf(arm: DataFrame, nm: String) = ex.as("x")
+      .join(arm.as("a"), col("x.filt") === col("a.filt") &&
+        col("x.q_id") === col("a.q_id") && col("x.c_id") === col("a.c_id"),
+        "left")
+      .groupBy(col("x.filt").as("filt"), col("x.q_id").as("q_id"))
+      .agg(count(col("a.c_id")).as(nm))
+    base
+      .join(nPre, Seq("filt", "q_id"), "left")
+      .join(nPost, Seq("q_id"), "left")
+      .join(hitsOf(pre, "n_hits_pre"), Seq("filt", "q_id"), "left")
+      .join(hitsOf(post, "n_hits_post"), Seq("filt", "q_id"), "left")
+      .select(col("filt"), col("q_id"),
+        coalesce(col("n_cand_pre"), lit(0L)).as("n_cand_pre"),
+        coalesce(col("n_cand_post"), lit(0L)).as("n_cand_post"),
+        coalesce(col("n_hits_pre"), lit(0L)).as("n_hits_pre"),
+        round(coalesce(col("n_hits_pre"), lit(0L)) / lit(FilterK.toDouble),
+          4).as("recall_pre"),
+        coalesce(col("n_hits_post"), lit(0L)).as("n_hits_post"),
+        round(coalesce(col("n_hits_post"), lit(0L)) / lit(FilterK.toDouble),
+          4).as("recall_post"))
+      .orderBy(col("filt"), col("q_id"))
+  }
+
+  val q345Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    val d2q = "list_dot_product(q.qe, q.qe)" +
+      " - 2*list_dot_product(q.qe, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    val d2p = "list_dot_product(p.sub, p.sub)" +
+      " - 2*list_dot_product(p.sub, c.carr)" +
+      " + list_dot_product(c.carr, c.carr)"
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |lemb AS (SELECT vec_id, label FROM embeddings),
+       |afin AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT p.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY $d2p, c.cid) AS arn
+       |    FROM pieces p JOIN c2 c ON p.m = c.m)
+       |  WHERE arn = 1),
+       |probes AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |           WHERE vec_id < 8),
+       |pc AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY $d2q, c.cid) AS rn
+       |    FROM probes q CROSS JOIN c2 c)
+       |  WHERE rn <= $NnProbeCells),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM pc p JOIN afin a ON p.cid = a.cid
+       |  WHERE a.vec_id <> p.q_id),
+       |scored AS MATERIALIZED (
+       |  SELECT cd.q_id, cd.c_id, ${bp("q.qe", "e.e")} AS bp
+       |  FROM cand cd JOIN emb e ON cd.c_id = e.vec_id
+       |  JOIN probes q ON cd.q_id = q.q_id),
+       |pass AS MATERIALIZED (
+       |  SELECT 'half' AS filt, vec_id FROM lemb WHERE label % 2 = 0
+       |  UNION ALL
+       |  SELECT 'decile', vec_id FROM lemb WHERE label = 3),
+       |base AS (
+       |  SELECT f.filt, q.q_id
+       |  FROM (SELECT 'half' AS filt UNION ALL SELECT 'decile') f
+       |  CROSS JOIN probes q),
+       |ex AS (
+       |  SELECT filt, q_id, c_id FROM (
+       |    SELECT ps.filt, q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY ps.filt, q.q_id
+       |        ORDER BY ${bp("q.qe", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM probes q JOIN emb c ON c.vec_id <> q.q_id
+       |    JOIN pass ps ON ps.vec_id = c.vec_id)
+       |  WHERE ern <= $FilterK),
+       |prescored AS (
+       |  SELECT ps.filt, s.q_id, s.c_id, s.bp
+       |  FROM scored s JOIN pass ps ON ps.vec_id = s.c_id),
+       |pre AS (
+       |  SELECT filt, q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY filt, q_id
+       |      ORDER BY bp DESC, c_id) AS rn FROM prescored)
+       |  WHERE rn <= $FilterK),
+       |npre AS (
+       |  SELECT filt, q_id, CAST(count(*) AS BIGINT) AS n_cand_pre
+       |  FROM prescored GROUP BY filt, q_id),
+       |over10 AS (
+       |  SELECT q_id, c_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bp DESC, c_id) AS rn FROM scored)
+       |  WHERE rn <= ${2 * FilterK}),
+       |post AS (
+       |  SELECT filt, q_id, c_id FROM (
+       |    SELECT ps.filt, o.q_id, o.c_id,
+       |      row_number() OVER (PARTITION BY ps.filt, o.q_id
+       |        ORDER BY o.rn) AS rn2
+       |    FROM over10 o JOIN pass ps ON ps.vec_id = o.c_id)
+       |  WHERE rn2 <= $FilterK),
+       |npost AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand_post
+       |  FROM scored GROUP BY q_id),
+       |ph AS (
+       |  SELECT x.filt, x.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hits_pre
+       |  FROM ex x LEFT JOIN pre a
+       |    ON x.filt = a.filt AND x.q_id = a.q_id AND x.c_id = a.c_id
+       |  GROUP BY x.filt, x.q_id),
+       |oh AS (
+       |  SELECT x.filt, x.q_id, CAST(count(a.c_id) AS BIGINT) AS n_hits_post
+       |  FROM ex x LEFT JOIN post a
+       |    ON x.filt = a.filt AND x.q_id = a.q_id AND x.c_id = a.c_id
+       |  GROUP BY x.filt, x.q_id)
+       |SELECT b.filt, b.q_id,
+       |  coalesce(np.n_cand_pre, 0) AS n_cand_pre,
+       |  coalesce(no.n_cand_post, 0) AS n_cand_post,
+       |  coalesce(ph.n_hits_pre, 0) AS n_hits_pre,
+       |  round(coalesce(ph.n_hits_pre, 0) / $FilterK.0, 4) AS recall_pre,
+       |  coalesce(oh.n_hits_post, 0) AS n_hits_post,
+       |  round(coalesce(oh.n_hits_post, 0) / $FilterK.0, 4) AS recall_post
+       |FROM base b
+       |LEFT JOIN npre np ON b.filt = np.filt AND b.q_id = np.q_id
+       |LEFT JOIN npost no ON b.q_id = no.q_id
+       |LEFT JOIN ph ON b.filt = ph.filt AND b.q_id = ph.q_id
+       |LEFT JOIN oh ON b.filt = oh.filt AND b.q_id = oh.q_id
+       |ORDER BY b.filt, b.q_id""".stripMargin
+  }
+
   // ─── q340: k-NN index HEALTH POLICY (when to rebuild) ────────────────
   // q324 inserts and q334 deletes keep the graph correct, but each
   // delete wave re-cuts damaged lists with ONE localized round — an
@@ -5024,7 +5235,7 @@ object Similarity {
     * (tombstones = `vec_id % 10 = m`), prefix-isolated — the q334
     * d-block factored for q340's chained waves. Emits `${P}g2` (the
     * maintained graph) and `${P}recut` (damaged ∪ affected). */
-  private def delWaveCtes(gin: String, P: String, m: Int): String = {
+  private[graft] def delWaveCtes(gin: String, P: String, m: Int): String = {
     def bp(a: String, b: String) = bpSql(a, b)
     s"""${P}gp AS (SELECT u, v, bp FROM $gin
        |        WHERE u % 10 <> $m AND v % 10 <> $m),
@@ -5092,18 +5303,26 @@ object Similarity {
       .stripMargin
   }
 
+  /** Graph-health census CTEs over graph CTE `g`, prefix-isolated:
+    * `${P}c` = (edges, avgbp, ghost-count under `ghost`), `${P}f` =
+    * full-degree vertex count — q340's census block, shared with the
+    * q344 lineage oracle. */
+  private[graft] def nnCensusCtes(g: String, P: String,
+                                  ghost: String): String =
+    s"""${P}c AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS edges,
+       |    CAST(sum(bp) // count(*) AS BIGINT) AS avgbp,
+       |    CAST(sum(CASE WHEN $ghost THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ghost
+       |  FROM $g),
+       |${P}f AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nfull FROM (
+       |    SELECT u FROM $g GROUP BY u HAVING count(*) >= $NnK))"""
+      .stripMargin
+
   val q340Sql: String = {
     def censusCtes(g: String, P: String, ghost: String): String =
-      s"""${P}c AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS edges,
-         |    CAST(sum(bp) // count(*) AS BIGINT) AS avgbp,
-         |    CAST(sum(CASE WHEN $ghost THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS ghost
-         |  FROM $g),
-         |${P}f AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS nfull FROM (
-         |    SELECT u FROM $g GROUP BY u HAVING count(*) >= $NnK))"""
-        .stripMargin
+      nnCensusCtes(g, P, ghost)
     s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
        |${nnGraphCtesCore("", "")},
        |${delWaveCtes(s"g$NnRounds", "w1", 7)},
@@ -5260,7 +5479,17 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  val q342Sql: String = {
+  /** Insert-wave CTE chain (the q324 placement machinery as SQL,
+    * factored from the q342 oracle for reuse by q343's): place the
+    * `newWhere` batch into input graph CTE `gin` with entry points from
+    * `entsWhere`; `isNew(col)` is the batch-membership predicate the
+    * refinement round restricts by. Emits `mg2`, the maintained graph
+    * after the wave. Fixed internal names (newq/bents/bund/ivisN/mg1/
+    * mg2) — one insert wave per WITH chain.
+    */
+  private[graft] def nnInsWaveCtes(gin: String, isNew: String => String,
+                                   newWhere: String,
+                                   entsWhere: String): String = {
     def bp(a: String, b: String) = bpSql(a, b)
     val hops = (1 to NnHops).map { h =>
       s"""ifr${h - 1} AS (
@@ -5280,18 +5509,15 @@ object Similarity {
          |    SELECT * FROM ivis${h - 1} UNION ALL SELECT * FROM isv$h))"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
-       |${nnGraphCtesCore("b_", "vec_id % 10 <> 3")},
-       |${delWaveCtes(s"b_g$NnRounds", "w1", 7)},
-       |newq AS (SELECT vec_id AS q_id, e AS qe FROM emb
-       |         WHERE vec_id % 10 = 3),
+    s"""newq AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |         WHERE $newWhere),
        |bents AS (
        |  SELECT vec_id AS v FROM emb
-       |  WHERE vec_id % 10 <> 3 AND vec_id % 10 <> 7
+       |  WHERE $entsWhere
        |  ORDER BY md5('entry:' || CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $NnEntries),
-       |bund AS (SELECT u, v FROM w1g2
-       |         UNION SELECT v, u FROM w1g2),
+       |bund AS (SELECT u, v FROM $gin
+       |         UNION SELECT v, u FROM $gin),
        |ivis0 AS MATERIALIZED (
        |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
        |  FROM newq q CROSS JOIN bents en
@@ -5305,14 +5531,14 @@ object Similarity {
        |mback AS (SELECT v AS u, q_id AS v, bp FROM ivis$NnHops),
        |tch AS (SELECT DISTINCT u FROM mback),
        |mg1 AS MATERIALIZED (
-       |  SELECT u, v, bp FROM w1g2
+       |  SELECT u, v, bp FROM $gin
        |  WHERE u NOT IN (SELECT u FROM tch)
        |  UNION ALL
        |  SELECT u, v, bp FROM (
        |    SELECT *, row_number() OVER (PARTITION BY u
        |      ORDER BY bp DESC, v) AS trn
        |    FROM (SELECT DISTINCT u, v, bp FROM (
-       |      SELECT g.u, g.v, g.bp FROM w1g2 g
+       |      SELECT g.u, g.v, g.bp FROM $gin g
        |        JOIN tch t ON g.u = t.u
        |      UNION ALL SELECT * FROM mback)))
        |  WHERE trn <= $NnK
@@ -5327,10 +5553,10 @@ object Similarity {
        |mcand AS (
        |  SELECT DISTINCT u, v FROM (
        |    SELECT x.u, y.v FROM mb x JOIN mb y ON x.v = y.u
-       |    WHERE x.u % 10 = 3
+       |    WHERE ${isNew("x.u")}
        |    UNION ALL
        |    SELECT x.u, y.v FROM mb x JOIN mb y ON x.v = y.u
-       |    WHERE y.v % 10 = 3)
+       |    WHERE ${isNew("y.v")})
        |  WHERE u <> v),
        |msc AS (
        |  SELECT c.u, c.v, ${bp("eu.e", "ev.e")} AS bp
@@ -5346,7 +5572,16 @@ object Similarity {
        |    FROM (SELECT DISTINCT u, v, bp FROM (
        |      SELECT g.u, g.v, g.bp FROM mg1 g JOIN maff t ON g.u = t.u
        |      UNION ALL SELECT * FROM msc)))
-       |  WHERE trn <= $NnK),
+       |  WHERE trn <= $NnK)""".stripMargin
+  }
+
+  val q342Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("b_", "vec_id % 10 <> 3")},
+       |${delWaveCtes(s"b_g$NnRounds", "w1", 7)},
+       |${nnInsWaveCtes("w1g2", c => s"$c % 10 = 3", "vec_id % 10 = 3",
+           "vec_id % 10 <> 3 AND vec_id % 10 <> 7")},
        |${nnGraphCtesCore("s_", "vec_id % 10 <> 7")},
        |exactk AS (
        |  SELECT q_id, c_id FROM (
@@ -5391,6 +5626,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_filtered_ann" -> (q345FilteredAnn _),
     "q342_index_follows_table" -> (q342IndexFollowsTable _),
     "q341_nn_hnsw_clustered" -> (q341NnHnswClustered _),
     "q340_nn_health_policy" -> (q340NnHealthPolicy _),
@@ -5433,6 +5669,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q345_filtered_ann" -> q345Sql,
     "q342_index_follows_table" -> q342Sql,
     "q341_nn_hnsw_clustered" -> q341Sql,
     "q340_nn_health_policy" -> q340Sql,

@@ -926,4 +926,126 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === 4)
     spark.catalog.clearCache()
   }
+
+  test("durable index subscriber: kill + restart from the checkpoint " +
+       "folds ONLY the new commit, committed index versions stay " +
+       "byte-identical, and the final published graph equals the " +
+       "one-session batch chain") {
+    import graft.ops.{IndexMaintainer, Similarity}
+    import graft.sources.SnapshotStore
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val base = sys.props("java.io.tmpdir") + "/graft-snapspec/idxrestart"
+    val Seq(vec, idx, meta, ckpt) =
+      Seq("vec", "idx", "meta", "ckpt").map(n => s"$base-$n")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vec, idx, meta, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def m10(c: org.apache.spark.sql.Column) = pmod(c, lit(10))
+    val emb = Similarity.embFrame(spark, sfDir)
+    SnapshotStore.publish(emb.where(m10(col("vec_id")) =!= 3), vec)
+    val cfg = IndexMaintainer.Config(vec, idx, meta)
+    val bg = Similarity.nnMemberGraphFor(spark, sfDir,
+      m10(col("vec_id")) =!= 3)
+    IndexMaintainer.bootstrap(spark, cfg, bg)
+    // commit 2 (delete class 7) lands; subscriber run 1 drains it and
+    // self-terminates (AvailableNow = the kill point)
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 7)
+        .select(col("vec_id"), col("e"), lit("D").as("op")),
+      Seq("vec_id"), "op", 2)
+    IndexMaintainer.start(spark, cfg, ckpt).awaitTermination()
+    assert(SnapshotStore.versions(spark, idx) === Seq(1, 2))
+    assert(SnapshotStore.read(spark, meta, Some(2))
+      .select("action").head().getString(0) === "maintain")
+    def manifestBytes(v: Int): Seq[Byte] = {
+      val p = new org.apache.hadoop.fs.Path(idx,
+        f"_snapshots/v$v%05d.manifest")
+      val in = fs.open(p)
+      try { val b = in.readAllBytes(); b.toSeq } finally in.close()
+    }
+    val v2Bytes = manifestBytes(2)
+    // commit 3 (insert class 3) lands while the subscriber is DOWN;
+    // the restarted run resumes from the checkpoint and folds ONLY it
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 3)
+        .select(col("vec_id"), col("e"), lit("I").as("op")),
+      Seq("vec_id"), "op", 3)
+    IndexMaintainer.start(spark, cfg, ckpt).awaitTermination()
+    assert(SnapshotStore.versions(spark, idx) === Seq(1, 2, 3),
+      "restart must fold exactly the one new commit")
+    assert(manifestBytes(2) === v2Bytes,
+      "a restarted subscriber must not re-publish a committed version")
+    // the published final graph ≡ the q342-style one-session chain
+    val tombs = emb.where(m10(col("vec_id")) === 7)
+      .select(col("vec_id").as("t"))
+    val gd = Similarity.nnDeleteWaveKeys(emb, bg, tombs)._1
+    val entries = Similarity.nnEntriesFrom(
+      emb.where(m10(col("vec_id")) =!= 3 && m10(col("vec_id")) =!= 7)
+        .select("vec_id"))
+    val expect = Similarity.nnInsertWaveKeys(emb, gd,
+      emb.where(m10(col("vec_id")) === 3).select("vec_id", "e"), entries)
+    assert(SnapshotStore.read(spark, idx, Some(3))
+        .as[(Long, Long, Long)].collect().toSet
+      === expect.as[(Long, Long, Long)].collect().toSet,
+      "published graph must equal the batch-session chain edge-for-edge")
+    // run 3 with nothing new: a drained checkpoint replays NOTHING
+    IndexMaintainer.start(spark, cfg, ckpt).awaitTermination()
+    assert(SnapshotStore.versions(spark, idx) === Seq(1, 2, 3))
+    assert(SnapshotStore.versions(spark, meta) === Seq(1, 2, 3))
+  }
+
+  test("auto-firing health policy: a delete chain crosses the " +
+       "threshold MID-STREAM and the published lineage reads " +
+       "maintain/maintain/retrain, with the retrained index free of " +
+       "every tombstoned class") {
+    import graft.ops.{IndexMaintainer, Similarity}
+    import graft.sources.SnapshotStore
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val base = sys.props("java.io.tmpdir") + "/graft-snapspec/idxpolicy"
+    val Seq(vec, idx, meta, ckpt) =
+      Seq("vec", "idx", "meta", "ckpt").map(n => s"$base-$n")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vec, idx, meta, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def m10(c: org.apache.spark.sql.Column) = pmod(c, lit(10))
+    val emb = Similarity.embFrame(spark, sfDir)
+    SnapshotStore.publish(emb, vec)
+    // classes 7, 3, 1 deleted in sequence: cumulative deleted-since-
+    // retrain ≈ 1111 / 2500 / 4286 bp — threshold 3000 fires exactly
+    // at the THIRD wave
+    val cfg = IndexMaintainer.Config(vec, idx, meta,
+      retrainThresholdBp = Some(3000L),
+      retrain = Some(keys =>
+        Similarity.nnDescentGraphKeys(spark, sfDir, keys)))
+    IndexMaintainer.bootstrap(spark, cfg, Similarity.nnGraphFor(spark, sfDir))
+    Seq(7, 3, 1).zipWithIndex.foreach { case (cls, i) =>
+      SnapshotStore.applyCdcVersion(spark, vec,
+        emb.where(m10(col("vec_id")) === cls)
+          .select(col("vec_id"), col("e"), lit("D").as("op")),
+        Seq("vec_id"), "op", i + 2)
+    }
+    IndexMaintainer.start(spark, cfg, ckpt).awaitTermination()
+    val lineage = (1 to 4).map(v =>
+      SnapshotStore.read(spark, meta, Some(v))
+        .select("action", "fired", "dels_since", "live").head())
+    assert(lineage.map(_.getString(0))
+      === Seq("base", "maintain", "maintain", "retrain"),
+      s"got ${lineage.map(_.getString(0))}")
+    assert(lineage.map(_.getLong(1)) === Seq(0L, 0L, 0L, 1L))
+    // decision inputs accumulate across the chain and reflect the table
+    val l0 = lineage.head.getLong(3)
+    assert(lineage(3).getLong(2) === l0 - lineage(3).getLong(3),
+      "dels_since must equal total deletes since the base")
+    // the retrained index holds NO tombstoned class on either side
+    val g4 = SnapshotStore.read(spark, idx, Some(4))
+      .as[(Long, Long, Long)].collect()
+    assert(g4.nonEmpty)
+    assert(g4.forall { case (u, v, _) =>
+      Seq(u % 10, v % 10).forall(m => m != 7 && m != 3 && m != 1) },
+      "retrained graph must be ghost-free")
+    // degree bound holds (a structural retrain invariant)
+    assert(g4.groupBy(_._1).values.forall(_.size <= 4))
+  }
 }
