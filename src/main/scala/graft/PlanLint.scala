@@ -697,6 +697,10 @@ object PlanLint {
     // IVF-as-table: trainer (3) + probe-cid collect + publish stage
     // stats/write + readPoint manifest reads + census
     "q227_ivf_snapshot_probe" -> 16,
+    // incremental cluster: fixture publish + 2 layout jobs (per-bin
+    // stage stats + min/max/bins collects) + appends + census reads
+    // (measured 45 fresh-session)
+    "q346_incremental_cluster" -> 52,
     // filtered ANN: kmeans trainer (3, memoized — priced fresh) +
     // scored/pass checkpoints + census write (measured 6 fresh-session)
     "q345_filtered_ann" -> 10,

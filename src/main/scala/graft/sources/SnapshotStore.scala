@@ -81,13 +81,14 @@ object SnapshotStore {
   private def relPath(p: String, dataDirName: String): String =
     p.substring(p.indexOf(dataDirName) + dataDirName.length + 1)
 
-  // `-ac<hex>` is [[autoCompactDv]]'s WRITER-UNIQUE staging suffix: the
-  // compaction rewrite stages into its own sibling snap dir, so a lost
-  // commit race never clobbers (at stage time) nor deletes (at cleanup
-  // time) a winner's files. The suffixed dir is a first-class snap dir:
-  // it is its own basePath (hive partition discovery stays clean), its
-  // own stats/bloom root, and vacuum/GC treat it like any other.
-  private val SnapSegRe = "snap-v\\d{5}(?:-ac[0-9a-f]{8})?".r
+  // `-ac<hex>` / `-cl<hex>` are WRITER-UNIQUE staging suffixes
+  // ([[autoCompactDv]] / [[autoCluster]]): each maintenance rewrite
+  // stages into its own sibling snap dir, so a lost commit race never
+  // clobbers (at stage time) nor deletes (at cleanup time) a winner's
+  // files. A suffixed dir is a first-class snap dir: it is its own
+  // basePath (hive partition discovery stays clean), its own
+  // stats/bloom root, and vacuum/GC treat it like any other.
+  private val SnapSegRe = "snap-v\\d{5}(?:-(?:ac|cl)[0-9a-f]{8})?".r
 
   /** Canonical file key starting at the file's OWN snap dir —
     * `snap-v00003/om=199601/part-...parquet`. Scheme/URI-form agnostic
@@ -925,6 +926,133 @@ object SnapshotStore {
   /** Manifest-declared row count (metadata read, no data scan). */
   def countOf(spark: SparkSession, table: String, version: Int): Long =
     manifestLines(spark, table, version)(1).stripPrefix("count=").toLong
+
+  // ─── incremental layout maintenance (autoCluster) ─────────────────────
+  // Z-order/sort layout jobs (q132's lever) are full-table rewrites; a
+  // long-lived table's layout decays as appends land BETWEEN rewrites.
+  // autoCluster is the autoCompactDv policy shape applied to
+  // CLUSTERING: the manifest already knows each file's lineage (the
+  // snap dir a line references IS the commit that wrote it), so the
+  // job rewrites ONLY files appended since the last layout EPOCH and
+  // carries every already-clustered file by reference. The epoch is a
+  // named ref (`layout-epoch`, the branch/tag machinery) pointing at
+  // the last layout commit — metadata-only, atomic, crash-safe: a
+  // crash between commit and ref update merely re-clusters the fresh
+  // files next run (wasteful, never wrong).
+  //
+  // Clustering model: files are key-range bins — `buckets` equal-width
+  // bins over the new files' [min, max] of `keyCol`, one staged file
+  // per non-empty bin, so every staged file's min/max footer stats are
+  // TIGHT in the cluster key and a range predicate prunes to
+  // O(range/width) files. Equal-width binning is chosen over sampled
+  // range boundaries deliberately: the bin of a row is pure integer
+  // arithmetic over (min, max, buckets), so the layout is
+  // deterministic and the q346 oracle recomputes every file's bbox
+  // from the data alone. (Production-at-100 TB would swap in
+  // repartitionByRange sampling for skew robustness — the policy,
+  // carry discipline and census are unchanged by that swap.)
+  //
+  // 100 TB shape: the decision (which files are new) is one manifest
+  // parse; the rewrite reads only the new files' live rows (DV-applied)
+  // and shuffles them once into ≤ `buckets` files; carried files cost
+  // zero bytes. Each epoch's bins overlap other epochs' bins — a range
+  // read touches ~1 file per epoch, and epochs collapse whenever a
+  // full compact/re-baseline runs.
+  case class ClusterStats(version: Int, epochBefore: Int,
+                          filesCarried: Int, filesRewritten: Int,
+                          filesStaged: Int, rowsClustered: Long)
+
+  private val LayoutEpochRef = "layout-epoch"
+
+  /** Cluster the files appended since the last layout epoch into
+    * `buckets` equal-width key-range files; carry everything else by
+    * reference; advance the epoch. No-op (no commit) when nothing
+    * appended since the epoch. Hive-partitioned layouts are rejected
+    * (cluster-within-partition is a later composition).
+    */
+  def autoCluster(spark: SparkSession, table: String, keyCol: String,
+                  buckets: Int): ClusterStats = {
+    require(buckets >= 1 && buckets <= 1024,
+      s"buckets must be in [1, 1024], got $buckets")
+    var attempt = 0
+    var out: Option[ClusterStats] = None
+    while (out.isEmpty) {
+      val committed = versions(spark, table)
+      require(committed.nonEmpty, s"no committed snapshots under $table")
+      val v = committed.last
+      val epoch = refOf(spark, table, LayoutEpochRef).getOrElse(0)
+      val lines = manifestLines(spark, table, v)
+      val fileLines = lines.drop(3).filter(_.nonEmpty)
+      require(partitionColsOf(fileLines).isEmpty,
+        "autoCluster does not compose with hive-partitioned layouts yet")
+      def dirVer(l: String): Int =
+        "snap-v(\\d{5})".r.findFirstMatchIn(snapDirNameOf(l.split('\t')(0)))
+          .get.group(1).toInt
+      val (carryLines, newLines) = fileLines.partition(l => dirVer(l) <= epoch)
+      if (newLines.isEmpty) {
+        out = Some(ClusterStats(v, epoch, fileLines.size, 0, 0, 0L))
+      } else {
+        val colmap = colmapOfLine(lines(2))
+        val live = loadFiles(spark, newLines.map(_.split('\t')(0)), lines)
+          .localCheckpoint()
+        val keyL = col(keyCol).cast("long")
+        val mm = live.agg(min(keyL), max(keyL)).head()
+        require(!mm.isNullAt(0),
+          s"cluster key $keyCol has no non-null values in the new files")
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        // ceil(span / buckets): bin = (key - mn) div width ∈ [0, buckets)
+        val width = math.max(1L, (mx - mn + buckets.toLong) / buckets)
+        val binCol = expr(
+          s"(CAST($keyCol AS BIGINT) - $mn) DIV $width")
+        val newV = v + 1
+        // one staged file per non-empty bin (≤ buckets driver-side
+        // values): deterministic layout, tight per-file key stats.
+        // Every bin gets its OWN writer-unique `-cl` snap dir — a
+        // first-class data dir (its own basePath), so reads never see
+        // foreign subdir segments and the lost-race cleanup stays
+        // race-free per dir.
+        val bins = live.select(binCol.as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        var rowsClustered = 0L
+        val stagedLines = Seq.newBuilder[String]
+        val binDirs = Seq.newBuilder[Path]
+        bins.foreach { b =>
+          val dirB = new Path(new Path(table), f"snap-v$newV%05d-cl" +
+            java.util.UUID.randomUUID.toString.take(8))
+          binDirs += dirB
+          val (cnt, ls) = stageFiles(
+            toPhysical(live.where(binCol === b), colmap).coalesce(1), dirB)
+          rowsClustered += cnt
+          stagedLines ++= ls
+        }
+        val staged = stagedLines.result()
+        val body = s"count=${countOf(spark, table, v)}\n${lines(2)}\n" +
+          (carryLines ++ staged).mkString("\n")
+        val manifest = new Path(manifestDir(table), f"v$newV%05d.manifest")
+        val f = fs(spark, manifest)
+        f.mkdirs(manifestDir(table))
+        try {
+          val outS = f.create(manifest, false)
+          outS.write(s"version=$newV\n$body".getBytes(UTF_8))
+          outS.close()
+          // epoch advances AFTER the commit; a crash in between leaves
+          // the old epoch — the next run re-clusters newV's files
+          // (wasteful, never wrong)
+          setRef(spark, table, LayoutEpochRef, newV)
+          out = Some(ClusterStats(newV, epoch, carryLines.size,
+            newLines.size, staged.size, rowsClustered))
+        } catch {
+          case e: java.io.IOException if isCommitRace(e) =>
+            // writer-unique staging dirs: dropping them wholesale is
+            // race-free
+            binDirs.result().foreach(dirB => f.delete(dirB, true))
+            attempt += 1
+            require(attempt < 8, s"autoCluster lost $attempt commit races")
+        }
+      }
+    }
+    out.get
+  }
 
   // ─── column mapping (Delta 'name' mode): rename/drop without rewrite ──
   // The manifest schema line optionally carries a LOGICAL→PHYSICAL map
@@ -1943,7 +2071,10 @@ object SnapshotStore {
   private val cdcFixtureMemo = scala.collection.concurrent.TrieMap
     .empty[(Int, String), (String, Int, CdcApplyStats, CdcApplyStats,
                            CdcApplyStats)]
-  def clearCdcCache(): Unit = cdcFixtureMemo.clear()
+  def clearCdcCache(): Unit = {
+    cdcFixtureMemo.clear()
+    clusterFixtureMemo.clear()
+  }
 
   private def cdcFixtureFor(s: SparkSession, d: String)
       : (String, Int, CdcApplyStats, CdcApplyStats, CdcApplyStats) =
@@ -3582,7 +3713,149 @@ object SnapshotStore {
       |GROUP BY column_name
       |ORDER BY column_name""".stripMargin
 
+  // ─── q346: INCREMENTAL layout maintenance census ─────────────────────
+  // Chain: one wide file (v1) → autoCluster (v2: 4 key-range files,
+  // epoch set) → two appends land as one wide file each (v3, v4 — the
+  // layout DECAYS) → autoCluster again (v5: carries v2's 4 clustered
+  // files by reference, rewrites ONLY the 2 appended files into 4 more
+  // bins). The census reads each stage's manifest stats: file counts,
+  // files touched by a fixed key-range probe (min/max intersection —
+  // exactly the skipping decision readBetween makes), rows scanned in
+  // the touched files, plus the cluster job's carried/rewritten/staged
+  // counters. The oracle recomputes every number from the slice
+  // predicates and the equal-width bin arithmetic — the hash only
+  // matches if the incremental job rewrote exactly the appended files,
+  // carried exactly the clustered ones, and produced the bbox layout
+  // the binning promises. Scale: the decision is one manifest parse;
+  // the rewrite reads only the appended files' rows.
+  private val clusterFixtureMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (String, ClusterStats, ClusterStats)]
+
+  private def clusterFixtureFor(s: SparkSession, d: String)
+      : (String, ClusterStats, ClusterStats) =
+    clusterFixtureMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val t = fixturePath("layoutfix", d)
+      val tableP = new Path(t)
+      fs(s, tableP).delete(tableP, true)
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def slice(r: Int) = ord.where(pmod(col("o_orderkey"), lit(4)) === r)
+      publish(slice(0).coalesce(1), t)
+      val st2 = autoCluster(s, t, "o_orderkey", 4)
+      applyCdcVersion(s, t,
+        slice(1).coalesce(1).withColumn("op", lit("I")),
+        Seq("o_orderkey"), "op", 3)
+      applyCdcVersion(s, t,
+        slice(2).coalesce(1).withColumn("op", lit("I")),
+        Seq("o_orderkey"), "op", 4)
+      val st5 = autoCluster(s, t, "o_orderkey", 4)
+      (t, st2, st5)
+    })
+
+  def q346IncrementalCluster(s: SparkSession, d: String): DataFrame = {
+    val (t, st2, st5) = clusterFixtureFor(s, d)
+    // fixed probe range: the middle [3/8, 5/8] of the live key span
+    val mmRow = read(s, t, Some(4))
+      .agg(min(col("o_orderkey").cast("long")),
+           max(col("o_orderkey").cast("long"))).head()
+    val (mnA, mxA) = (mmRow.getLong(0), mmRow.getLong(1))
+    val (lo, hi) = (mnA + (mxA - mnA) * 3 / 8, mnA + (mxA - mnA) * 5 / 8)
+    def census(ver: Int, label: String, cs: Option[ClusterStats]) = {
+      val stats = statsOf(s, t, ver)
+      val touched = stats.collect {
+        case (p, m) if m.get("o_orderkey")
+          .exists { case (a, b) => b >= lo && a <= hi } => p
+      }
+      val scanned = if (touched.isEmpty) 0L
+        else s.read.parquet(touched: _*).count()
+      (label, stats.size.toLong, touched.size.toLong, scanned,
+        countOf(s, t, ver),
+        cs.map(_.filesCarried.toLong).getOrElse(0L),
+        cs.map(_.filesRewritten.toLong).getOrElse(0L),
+        cs.map(_.filesStaged.toLong).getOrElse(0L),
+        cs.map(_.rowsClustered).getOrElse(0L))
+    }
+    val rows = Seq(
+      census(2, "a_first_cluster", Some(st2)),
+      census(4, "b_appended", None),
+      census(5, "c_recluster", Some(st5)))
+    val sp = s; import sp.implicits._
+    rows.toDF("stage", "n_files", "files_touched", "rows_scanned",
+        "rows_live", "files_carried", "files_rewritten", "files_staged",
+        "rows_clustered")
+      .orderBy(col("stage"))
+  }
+
+  val q346Sql: String =
+    """WITH s0 AS (SELECT o_orderkey AS k FROM orders
+      |            WHERE o_orderkey % 4 = 0),
+      |s1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 1),
+      |s2 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 2),
+      |s12 AS (SELECT k FROM s1 UNION ALL SELECT k FROM s2),
+      |rng AS (
+      |  SELECT min(k) AS mna, max(k) AS mxa FROM (
+      |    SELECT k FROM s0 UNION ALL SELECT k FROM s12)),
+      |pr AS (SELECT mna + (mxa - mna) * 3 // 8 AS lo,
+      |              mna + (mxa - mna) * 5 // 8 AS hi FROM rng),
+      |w0 AS (SELECT mn, greatest(1, (mx - mn + 4) // 4) AS w FROM
+      |  (SELECT min(k) AS mn, max(k) AS mx FROM s0)),
+      |bins0 AS (
+      |  SELECT (k - mn) // w AS b, CAST(count(*) AS BIGINT) AS n,
+      |    min(k) AS bmn, max(k) AS bmx
+      |  FROM s0, w0 GROUP BY 1),
+      |t0 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(coalesce(sum(CASE WHEN bmx >= lo AND bmn <= hi
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS tb,
+      |    CAST(coalesce(sum(CASE WHEN bmx >= lo AND bmn <= hi
+      |      THEN n END), 0) AS BIGINT) AS tr
+      |  FROM bins0, pr),
+      |w12 AS (SELECT mn, greatest(1, (mx - mn + 4) // 4) AS w FROM
+      |  (SELECT min(k) AS mn, max(k) AS mx FROM s12)),
+      |bins12 AS (
+      |  SELECT (k - mn) // w AS b, CAST(count(*) AS BIGINT) AS n,
+      |    min(k) AS bmn, max(k) AS bmx
+      |  FROM s12, w12 GROUP BY 1),
+      |t12 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(coalesce(sum(CASE WHEN bmx >= lo AND bmn <= hi
+      |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS tb,
+      |    CAST(coalesce(sum(CASE WHEN bmx >= lo AND bmn <= hi
+      |      THEN n END), 0) AS BIGINT) AS tr
+      |  FROM bins12, pr),
+      |a1 AS (SELECT min(k) AS mn, max(k) AS mx,
+      |              CAST(count(*) AS BIGINT) AS n FROM s1),
+      |a2 AS (SELECT min(k) AS mn, max(k) AS mx,
+      |              CAST(count(*) AS BIGINT) AS n FROM s2),
+      |tw AS (
+      |  SELECT
+      |    CASE WHEN a1.mx >= lo AND a1.mn <= hi THEN 1 ELSE 0 END AS t1,
+      |    CASE WHEN a2.mx >= lo AND a2.mn <= hi THEN 1 ELSE 0 END AS t2,
+      |    a1.n AS n1, a2.n AS n2
+      |  FROM a1, a2, pr),
+      |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s0)
+      |SELECT * FROM (
+      |  SELECT 'a_first_cluster' AS stage, t0.nb AS n_files,
+      |    t0.tb AS files_touched, t0.tr AS rows_scanned,
+      |    n0.n AS rows_live, CAST(0 AS BIGINT) AS files_carried,
+      |    CAST(1 AS BIGINT) AS files_rewritten, t0.nb AS files_staged,
+      |    n0.n AS rows_clustered
+      |  FROM t0, n0
+      |  UNION ALL
+      |  SELECT 'b_appended', t0.nb + 2,
+      |    t0.tb + tw.t1 + tw.t2,
+      |    t0.tr + tw.t1 * tw.n1 + tw.t2 * tw.n2,
+      |    n0.n + tw.n1 + tw.n2, 0, 0, 0, 0
+      |  FROM t0, tw, n0
+      |  UNION ALL
+      |  SELECT 'c_recluster', t0.nb + t12.nb, t0.tb + t12.tb,
+      |    t0.tr + t12.tr, n0.n + tw.n1 + tw.n2,
+      |    t0.nb, 2, t12.nb, tw.n1 + tw.n2
+      |  FROM t0, t12, tw, n0)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_incremental_cluster" -> (q346IncrementalCluster _),
     "q253_snapshot_drift" -> (q253SnapshotDrift _),
     "q225_wap_publish" -> (q225WapPublish _),
     "q130_snapshot_roundtrip" -> (q130SnapshotRoundtrip _),
@@ -3604,6 +3877,7 @@ object SnapshotStore {
     "q339_column_mapping" -> (q339ColumnMapping _))
 
   val oracleSql: Map[String, String] = Map(
+    "q346_incremental_cluster" -> q346Sql,
     "q253_snapshot_drift" -> q253Sql,
     "q225_wap_publish" -> q225Sql,
     "q130_snapshot_roundtrip" -> q130Sql,

@@ -1272,6 +1272,55 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("autoCluster is INCREMENTAL: the epoch ref gates which files " +
+       "rewrite, a run with no appends is a no-op, clustered files " +
+       "carry by reference, and partitioned layouts are rejected") {
+    val t = freshTable("autocluster")
+    SnapshotStore.publish(
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 3).as("pay")).coalesce(1), t)
+    val st = SnapshotStore.autoCluster(spark, t, "k", 4)
+    assert(st.version === 2 && st.filesRewritten === 1 &&
+      st.filesStaged === 4 && st.filesCarried === 0 &&
+      st.rowsClustered === 1000L, s"got $st")
+    assert(SnapshotStore.refOf(spark, t, "layout-epoch") === Some(2))
+    // the layout is tight: a 250-wide key span touches exactly 1 file
+    // plus at most a boundary neighbour
+    val touched = SnapshotStore.statsOf(spark, t, 2).count {
+      case (_, m) => m.get("k").exists { case (a, b) => b >= 100 && a <= 200 }
+    }
+    assert(touched === 1, s"clustered read must prune to 1 file, got $touched")
+    // no appends since the epoch: the job commits NOTHING
+    val st2 = SnapshotStore.autoCluster(spark, t, "k", 4)
+    assert(st2.version === 2 && st2.filesRewritten === 0 &&
+      st2.filesCarried === 4, s"no-op run must not commit, got $st2")
+    assert(SnapshotStore.versions(spark, t) === Seq(1, 2))
+    // an append decays the layout; the next run rewrites ONLY it
+    SnapshotStore.applyCdcVersion(spark, t,
+      spark.range(1000, 1100).select(col("id").as("k"),
+        (col("id") * 3).as("pay"), lit("I").as("op")).coalesce(1),
+      Seq("k"), "op", 3)
+    val st3 = SnapshotStore.autoCluster(spark, t, "k", 4)
+    assert(st3.version === 4 && st3.filesCarried === 4 &&
+      st3.filesRewritten === 1 && st3.rowsClustered === 100L, s"got $st3")
+    assert(SnapshotStore.refOf(spark, t, "layout-epoch") === Some(4))
+    assert(SnapshotStore.read(spark, t).count() === 1100L)
+    // carried lines still reference the v2 cluster dirs (zero rewrite)
+    val v4lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_snapshots", "v00004.manifest")), UTF_8)
+    assert(v4lines.contains("snap-v00002-cl"),
+      "clustered files must carry by reference")
+    // hive-partitioned layouts are rejected loudly
+    val t2 = freshTable("autocluster-part")
+    SnapshotStore.publish(
+      spark.range(100).select(col("id").as("k"), (col("id") % 4).as("b")),
+      t2, partitionBy = Seq("b"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.autoCluster(spark, t2, "k", 4)
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("a NON-race I/O failure at the commit point surfaces as itself " +
        "on attempt 1 — never retried into 'lost N commit races'") {
     spark.sparkContext.hadoopConfiguration
