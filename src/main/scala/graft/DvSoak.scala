@@ -59,10 +59,16 @@ object DvSoak {
   private def resetToV1(s: SparkSession, table: String): Unit = {
     val tableP = new Path(table)
     val f = tableP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(tableP).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
     SnapshotStore.versions(s, table).filter(_ > 1).foreach { v =>
       f.delete(new Path(new Path(table, "_snapshots"), f"v$v%05d.manifest"),
         false)
-      f.delete(new Path(table, f"snap-v$v%05d"), true)
+      // a version's data may live in `snap-vNNNNN` or writer-unique
+      // `snap-vNNNNN-*` staging dirs — drop them all
+      dirs.filter(n => n == f"snap-v$v%05d" ||
+          n.startsWith(f"snap-v$v%05d-"))
+        .foreach(n => f.delete(new Path(table, n), true))
     }
   }
 

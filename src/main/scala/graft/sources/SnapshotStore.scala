@@ -70,6 +70,13 @@ object SnapshotStore {
     case _ => false
   }
 
+  /** TEST-ONLY interleaving hook, invoked immediately before every
+    * manifest exclusive-create: a spec injects a COMPETING committer
+    * here to drive a DETERMINISTIC commit race (the conflict-matrix
+    * cases in SnapshotStoreSpec). Production never sets it.
+    */
+  @volatile private[graft] var commitTestHook: () => Unit = () => ()
+
   /** Path of `p` relative to the version's data dir (e.g.
     * `om=199601/part-...parquet` for a hive-partitioned layout, plain
     * `part-...parquet` otherwise). Rel paths — not bare names — key the
@@ -88,7 +95,7 @@ object SnapshotStore {
   // files. A suffixed dir is a first-class snap dir: it is its own
   // basePath (hive partition discovery stays clean), its own
   // stats/bloom root, and vacuum/GC treat it like any other.
-  private val SnapSegRe = "snap-v\\d{5}(?:-(?:ac|cl)[0-9a-f]{8})?".r
+  private val SnapSegRe = "snap-v\\d{5}(?:-(?:ac|cl|w)[0-9a-f]{8})?".r
 
   /** Canonical file key starting at the file's OWN snap dir —
     * `snap-v00003/om=199601/part-...parquet`. Scheme/URI-form agnostic
@@ -249,6 +256,44 @@ object SnapshotStore {
     }.sorted
   }
 
+  // ─── CONCURRENT-WRITER CONFLICT MATRIX ───────────────────────────────
+  // Every writer commits by exclusive-create of the version manifest
+  // and, on a lost race, RECOMPUTES against the new latest (optimistic
+  // concurrency, serializable outcome = some sequential order). Two
+  // further properties decide which pairs COMPOSE:
+  //  (1) staging isolation — the loser's staged bytes can never mix
+  //      with or destroy the winner's: every incremental writer stages
+  //      into a writer-unique dir (`-w`/`-ac`/`-cl` suffixed snap dirs;
+  //      dvDelete's `_dv-<uuid>`), and its lost-race cleanup deletes
+  //      only that dir;
+  //  (2) contract stability under re-base — the writer's semantics are
+  //      defined relative to "the table now", so recomputing from the
+  //      winner's result is still the operator's contract.
+  //
+  // COMPOSABLE (any pairing, either order): mergeUpsert, mergeMoR,
+  // deleteBetween, dvDelete, applyCdcVersion, autoCompactDv,
+  // autoCluster, renameColumn/dropColumn (metadata-only — nothing
+  // staged), setRef (own exclusive-create chain). E.g. a dvDelete that
+  // loses to an autoCompactDv re-derives its tombstones against the
+  // compacted files; a deleteBetween that loses to a mergeMoR deletes
+  // from the merged table — exactly the sequential outcome. The
+  // deterministic-race cases in SnapshotStoreSpec pin no-lost-rows /
+  // no-resurrection / schema-and-colmap-intact for the representative
+  // pairs via [[commitTestHook]].
+  //
+  // NOT COMPOSABLE — single-writer by contract:
+  //  - replace-[[publish]] (and [[compact]], which is a publish):
+  //    "replace the table with this frame" racing anything is a
+  //    semantic conflict (last committer wins wholesale), and publish
+  //    stages into the SHARED `snap-vNNNNN` dir — a same-version
+  //    publish pair can interleave stages destructively. Its lost-race
+  //    handler therefore deletes NOTHING (the dir may hold the
+  //    winner's files); orphaned loser files are gcOrphans' job.
+  //  - concurrent [[publishVersion]] replays of the SAME batch: the
+  //    engine serializes foreachBatch replays; a truly concurrent
+  //    replay is best-effort (identical content, so the winner's
+  //    listing is correct unless stages interleave mid-listing).
+
   /** Atomically publish `df` as the next version; returns the version
     * committed. Loops on commit conflict (another writer claimed the
     * version): the loser re-stages its data under the next number —
@@ -269,14 +314,19 @@ object SnapshotStore {
       f.mkdirs(manifestDir(table))
       try {
         // overwrite=false ⇒ exclusive create: THE atomic commit point
+        commitTestHook()
         val out = f.create(manifest, false)
         out.write(s"version=$v\n$body".getBytes(UTF_8))
         out.close()
         committed = v
       } catch {
         case e: java.io.IOException if isCommitRace(e) =>
-          // lost the race: drop the stage, re-publish as the next version
-          f.delete(dataDir, true)
+          // lost the race: re-publish as the next version. The staged
+          // dir is left in place — a same-version publish WINNER may
+          // have interleaved its own stage into this shared dir, so
+          // deleting it here could destroy committed files; orphaned
+          // loser files are gcOrphans' age-fenced job. (Replace-publish
+          // is single-writer by contract — see the conflict matrix.)
           v = versions(spark, table).lastOption.getOrElse(v) + 1
       }
     }
@@ -299,14 +349,17 @@ object SnapshotStore {
     val manifest = new Path(manifestDir(table), f"v$version%05d.manifest")
     f.mkdirs(manifestDir(table))
     try {
+      commitTestHook()
       val out = f.create(manifest, false)
       out.write(s"version=$version\n$body".getBytes(UTF_8))
       out.close()
       true
     } catch {
       // lost a concurrent replay race: the OTHER attempt committed this
-      // exact batch — drop the re-staged files, report not-committed
-      case e: java.io.IOException if isCommitRace(e) => f.delete(dataDir, true); false
+      // exact batch — report not-committed; the staged dir stays (the
+      // winner staged the identical content into it, and foreachBatch
+      // replays are engine-serialized anyway)
+      case e: java.io.IOException if isCommitRace(e) => false
     }
   }
 
@@ -904,6 +957,7 @@ object SnapshotStore {
         val f = fs(spark, manifest)
         f.mkdirs(manifestDir(table))
         try {
+          commitTestHook()
           val outS = f.create(manifest, false)
           outS.write(s"version=$newV\n$body".getBytes(UTF_8))
           outS.close()
@@ -1032,6 +1086,7 @@ object SnapshotStore {
         val f = fs(spark, manifest)
         f.mkdirs(manifestDir(table))
         try {
+          commitTestHook()
           val outS = f.create(manifest, false)
           outS.write(s"version=$newV\n$body".getBytes(UTF_8))
           outS.close()
@@ -1205,6 +1260,7 @@ object SnapshotStore {
       val f = fs(spark, manifest)
       f.mkdirs(manifestDir(table))
       try {
+        commitTestHook()
         val outS = f.create(manifest, false)
         outS.write(s"version=$newV\n$body".getBytes(UTF_8))
         outS.close()
@@ -1452,7 +1508,10 @@ object SnapshotStore {
         .select(widened.fields.toIndexedSeq
           .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)): _*)
       val newV = v + 1
-      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      // writer-unique staging dir: a lost commit race can neither
+      // clobber nor delete another committer's files
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d-w" +
+        java.util.UUID.randomUUID.toString.take(8))
       // staged files store PHYSICAL names (no-op on identity tables);
       // partition cols from hive rel paths are already physical
       val (stagedCount, stagedLines) = stageFiles(
@@ -1467,6 +1526,7 @@ object SnapshotStore {
       val f = fs(spark, manifest)
       f.mkdirs(manifestDir(table))
       try {
+        commitTestHook()
         val outS = f.create(manifest, false)
         outS.write(s"version=$newV\n$body".getBytes(UTF_8))
         outS.close()
@@ -1523,7 +1583,10 @@ object SnapshotStore {
       val survivors = touchedDf
         .where(!col(column).between(lo, hi) || col(column).isNull)
       val newV = v + 1
-      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      // writer-unique staging dir: a lost commit race can neither
+      // clobber nor delete another committer's files
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d-w" +
+        java.util.UUID.randomUUID.toString.take(8))
       val (stagedCount, stagedLines) = stageFiles(
         toPhysical(survivors, colmap), dataDir,
         bloomCols.map(physOf(colmap, _)),
@@ -1535,6 +1598,7 @@ object SnapshotStore {
       val f = fs(spark, manifest)
       f.mkdirs(manifestDir(table))
       try {
+        commitTestHook()
         val outS = f.create(manifest, false)
         outS.write(s"version=$newV\n$body".getBytes(UTF_8))
         outS.close()
@@ -1680,6 +1744,7 @@ object SnapshotStore {
         val f = fs(spark, manifest)
         f.mkdirs(manifestDir(table))
         try {
+          commitTestHook()
           val outS = f.create(manifest, false)
           outS.write(s"version=$newV\n$body".getBytes(UTF_8))
           outS.close()
@@ -1774,7 +1839,10 @@ object SnapshotStore {
       val allFiles = fileLines.map(_.split('\t')(0))
       val refs = dvRefsOf(fileLines)
       val newV = v + 1
-      val dataDir = new Path(new Path(table), f"snap-v$newV%05d")
+      // writer-unique staging dir: a lost commit race can neither
+      // clobber nor delete another committer's files
+      val dataDir = new Path(new Path(table), f"snap-v$newV%05d-w" +
+        java.util.UUID.randomUUID.toString.take(8))
       val dvDir = new Path(dataDir,
         "_dv-" + java.util.UUID.randomUUID.toString.take(8)).toString
       // matched LIVE rows → suppressed positions. The key-only select
@@ -1825,6 +1893,7 @@ object SnapshotStore {
       val f = fs(spark, manifest)
       f.mkdirs(manifestDir(table))
       try {
+        commitTestHook()
         val outS = f.create(manifest, false)
         outS.write(s"version=$newV\n$body".getBytes(UTF_8))
         outS.close()
@@ -1950,7 +2019,10 @@ object SnapshotStore {
           }
         }
       }
-    val dataDir = new Path(new Path(table), f"snap-v$version%05d")
+    // writer-unique staging dir (appends + nested DV): a concurrent
+    // replay race can neither clobber nor delete the winner's files
+    val dataDir = new Path(new Path(table), f"snap-v$version%05d-w" +
+      java.util.UUID.randomUUID.toString.take(8))
     val dvDir = new Path(dataDir,
       "_dv-" + java.util.UUID.randomUUID.toString.take(8)).toString
     // ALL batch keys suppress their live pre-image (an I on a key that
@@ -1999,6 +2071,7 @@ object SnapshotStore {
     val f = fs(spark, manifest)
     f.mkdirs(manifestDir(table))
     try {
+      commitTestHook()
       val outS = f.create(manifest, false)
       outS.write(s"version=$version\n$body".getBytes(UTF_8))
       outS.close()
@@ -2006,15 +2079,10 @@ object SnapshotStore {
         stagedLines.size, rowsSuppressed, stagedCount)
     } catch {
       case e: java.io.IOException if isCommitRace(e) =>
-        // a replay of the SAME pinned batch committed first; drop only
-        // OUR writer-unique DV dir. This handler is BEST-EFFORT for
-        // serialized foreachBatch replays (the checkpoint's guarantee):
-        // a truly CONCURRENT loser would have clobbered the winner's
-        // staged part files via stageFiles' overwrite before this race
-        // resolved — one writer per table is the documented contract
-        // ([[mergeUpsert]]/[[mergeMoR]]), not something this path can
-        // repair after the fact.
-        f.delete(new Path(dvDir), true)
+        // a replay of the SAME pinned batch committed first; drop our
+        // writer-unique staging dir (appends + nested DV) wholesale —
+        // race-free, the winner's files live in its own dir
+        f.delete(dataDir, true)
         CdcApplyStats(version, committed = false, 0, 0, 0L, 0L)
     }
   }

@@ -1272,6 +1272,128 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  // ─── conflict matrix: DETERMINISTIC commit races via commitTestHook ──
+  // Each case injects a competing committer at the loser's exclusive-
+  // create point, so writer A stages against version v, writer B
+  // commits v+1 in between, and A's lost-race path recomputes against
+  // B's result — the serializable outcome the matrix promises, checked
+  // by exact final row sets (no lost rows, no resurrection) and intact
+  // schema/colmap.
+  private def injectOnce(b: => Unit): Unit =
+    SnapshotStore.commitTestHook = () => {
+      SnapshotStore.commitTestHook = () => ()
+      b
+    }
+
+  test("conflict matrix: dvDelete loses a deterministic race to " +
+       "autoCompactDv on the SAME files and recomputes its tombstones " +
+       "against the compacted layout") {
+    val t = freshTable("race-dv-ac")
+    SnapshotStore.publish(
+      spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .repartition(3, col("b")),
+      t, partitionBy = Seq("b"))
+    val b0 = (0L until 300L).filter(_ % 3 == 0)
+    SnapshotStore.applyCdcVersion(spark, t,
+      spark.range(300)
+        .select(col("id"), (col("id") % 3).as("b"), (col("id") * 7).as("pay"))
+        .where(col("id").isin(b0.take(40): _*))
+        .withColumn("op", lit("D")),
+      Seq("id"), "op", 2)
+    // dvDelete targets 10 SURVIVORS of bucket 0 — exactly the rows the
+    // injected compaction rewrites into a fresh file
+    val more = b0.slice(40, 50)
+    injectOnce { SnapshotStore.autoCompactDv(spark, t, thresholdBp = 2500L) }
+    val st = SnapshotStore.dvDelete(spark, t, "id", more)
+    SnapshotStore.commitTestHook = () => ()
+    assert(st.version === 4,
+      s"loser must land AFTER the injected compaction, got $st")
+    // sequential outcome: compaction preserved 260 live, then 10 deleted
+    assert(SnapshotStore.read(spark, t, Some(3)).count() === 260L,
+      "the compaction winner's version must stay fully readable")
+    val live = SnapshotStore.read(spark, t).select("id").as[Long]
+      .collect().toSet
+    assert(live.size === 250)
+    assert((b0.take(50)).forall(!live.contains(_)), "no resurrection")
+    assert(live.contains(b0(50)) && live.contains(1L), "no lost rows")
+  }
+
+  test("conflict matrix: deleteBetween loses a deterministic race to " +
+       "mergeMoR and deletes from the MERGED table — the sequential " +
+       "outcome") {
+    val t = freshTable("race-del-mor")
+    SnapshotStore.publish(
+      spark.range(100).select(col("id"), (col("id") * 10).as("pay")), t)
+    // the merge inserts id 150 (inside the delete range!) and updates
+    // id 10; the losing deleteBetween must delete the merged 150 too
+    injectOnce {
+      SnapshotStore.mergeMoR(spark, t,
+        Seq((150L, -1L), (10L, 999L)).toDF("id", "pay"), Seq("id"))
+    }
+    val st = SnapshotStore.deleteBetween(spark, t, "id", 90L, 160L)
+    SnapshotStore.commitTestHook = () => ()
+    assert(st.version === 3,
+      s"loser must land after the injected merge, got $st")
+    val rows = SnapshotStore.read(spark, t).select("id", "pay")
+      .as[(Long, Long)].collect().toMap
+    assert(rows.keySet === (0L until 90L).toSet,
+      "merged-in id 150 and base ids 90..99 must ALL be deleted")
+    assert(rows(10L) === 999L, "the merge winner's update must survive")
+    assert(rows(5L) === 50L)
+    // the winner's intermediate version stays readable
+    assert(SnapshotStore.read(spark, t, Some(2)).count() === 101L)
+  }
+
+  test("conflict matrix: renameColumn loses a deterministic race to a " +
+       "data writer and re-applies on the merged table; colmap and " +
+       "old-file reads stay intact") {
+    val t = freshTable("race-rename-merge")
+    SnapshotStore.publish(
+      spark.range(10).select(col("id"), (col("id") * 3).as("v")), t)
+    injectOnce {
+      SnapshotStore.mergeUpsert(spark, t,
+        Seq((200L, 999L)).toDF("id", "v"), Seq("id"))
+    }
+    val st = SnapshotStore.renameColumn(spark, t, "v", "score")
+    SnapshotStore.commitTestHook = () => ()
+    assert(st.version === 3,
+      s"rename must land after the injected merge, got $st")
+    assert(SnapshotStore.read(spark, t).columns.toSeq === Seq("id", "score"))
+    val byId = SnapshotStore.read(spark, t).select("id", "score")
+      .as[(Long, Long)].collect().toMap
+    assert(byId.size === 11 && byId(200L) === 999L && byId(3L) === 9L,
+      "the merge's rows must read under the renamed column")
+    // time travel below the rename still serves the OLD name
+    assert(SnapshotStore.read(spark, t, Some(2)).columns.toSeq
+      === Seq("id", "v"))
+    // the mapping stays live for later writers (physical resolution)
+    SnapshotStore.dvDelete(spark, t, "id", Seq(3L))
+    assert(SnapshotStore.read(spark, t).count() === 10L)
+  }
+
+  test("conflict matrix: autoCluster loses a deterministic race to an " +
+       "append and re-clusters INCLUDING the appended file") {
+    val t = freshTable("race-cluster-append")
+    SnapshotStore.publish(
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 3).as("pay")).coalesce(1), t)
+    injectOnce {
+      SnapshotStore.applyCdcVersion(spark, t,
+        spark.range(1000, 1100).select(col("id").as("k"),
+          (col("id") * 3).as("pay"), lit("I").as("op")).coalesce(1),
+        Seq("k"), "op", 2)
+      ()
+    }
+    val st = SnapshotStore.autoCluster(spark, t, "k", 4)
+    SnapshotStore.commitTestHook = () => ()
+    assert(st.version === 3 && st.filesRewritten === 2 &&
+      st.rowsClustered === 1100L,
+      s"the losing cluster job must re-cluster BOTH files, got $st")
+    assert(SnapshotStore.read(spark, t).count() === 1100L)
+    assert(SnapshotStore.refOf(spark, t, "layout-epoch") === Some(3))
+  }
+
   test("autoCluster is INCREMENTAL: the epoch ref gates which files " +
        "rewrite, a run with no appends is a no-op, clustered files " +
        "carry by reference, and partitioned layouts are rejected") {
