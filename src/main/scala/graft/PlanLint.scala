@@ -365,6 +365,11 @@ object PlanLint {
     // bounded; candidates/filters are cell/key equi- and semi-joins
     "q345_filtered_ann" -> Set("nested-loop", "cartesian",
                                "global-window"),
+    // q347: q322's bounded serve shapes (4-entry crossJoin, broadcast
+    // 10-probe scoring BNLJ) + the 2-row filter-tier cross; the filter
+    // itself is a key equi-join on the visited set
+    "q347_filtered_graph_serve" -> Set("nested-loop", "cartesian",
+                                       "global-window"),
     "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
                                     "global-window"),
     // q219: q207's probe shapes reused as a miner (1-row folded
@@ -704,6 +709,10 @@ object PlanLint {
     // filtered ANN: kmeans trainer (3, memoized — priced fresh) +
     // scored/pass checkpoints + census write (measured 6 fresh-session)
     "q345_filtered_ann" -> 10,
+    // filtered graph serve: trainer (6, memoized — priced fresh) +
+    // adjacency + entry + 3 hop checkpoints + pass checkpoint + census
+    // write (measured 13 fresh-session)
+    "q347_filtered_graph_serve" -> 16,
     "q208_pq_learned_recall" -> 8,
     // residual IVF-PQ: coarse trainer (3) + corpus-residual checkpoint +
     // residual-PQ trainer (3) + query body (measured 8 fresh-session)

@@ -5154,6 +5154,220 @@ object Similarity {
        |ORDER BY b.filt, b.q_id""".stripMargin
   }
 
+  // ─── q347: FILTERED ANN on the GRAPH-SERVE substrate ─────────────────
+  // q345 answered "top-k WHERE predicate" over IVF cells; this is the
+  // same staple over the k-NN GRAPH serve (q322's walk) — the other
+  // production substrate, where the pre-filter trick is different:
+  // restricting the TRAVERSAL to passing vertices would fragment the
+  // graph (bridges through non-passing vertices carry connectivity),
+  // so the filtered-HNSW discipline walks the FULL graph and filters
+  // the ANSWER POOL, not the edges. Two arms on ONE walk (identical
+  // visit budget, so the census isolates the answer policy):
+  //  - CUT-THEN-FILTER: rank all visited, keep the top 2k overfetch,
+  //    then filter and cut to k — the predicate-oblivious serve; a
+  //    passing candidate ranked below the overfetch is recall thrown
+  //    away (the q345 post-filter failure mode, now on a walk);
+  //  - FILTERED POOL: keep every PASSING visited candidate, answer =
+  //    its top-k — per probe provably ⊇ the cut arm's answers, so
+  //    recall_pool ≥ recall_post row by row (spec-pinned), at zero
+  //    extra visits; the cost is carrying the (delta-sized) pool.
+  // The oracle replays the walk hop-for-hop over the shared trained
+  // graph and recomputes both policies + the exact filtered top-k.
+  // Scale: one walk for all filters; the filter is a key semi-join on
+  // the visited set (W·deg·H rows per probe), never on the corpus.
+  def q347FilteredGraphServe(s: SparkSession, d: String): DataFrame = {
+    val emb = embFrame(s, d)
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    val g = nnGraphFor(s, d)
+    val und = g.select("u", "v")
+      .unionAll(g.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val entries = nnEntriesFrom(emb.select("vec_id"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+      .join(broadcast(probes), "q_id")
+      .where(col("v") =!= col("q_id"))
+      .select(col("q_id"), col("v"), cosBp(col("qe"), col("ve")).as("bp"))
+    def beamOf(vis: DataFrame): DataFrame = vis
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnBeam).drop("rn")
+    var visited = score(
+        probes.select("q_id").crossJoin(broadcast(entries)))
+      .localCheckpoint()
+    for (_ <- 1 to NnHops) {
+      val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
+        .join(und, "u").select(col("q_id"), col("v")).distinct()
+      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+    }
+    val pass = lab.where(pmod(col("label"), lit(2)) === 0)
+        .select(lit("half").as("filt"), col("vec_id").as("v"))
+      .unionAll(lab.where(col("label") === 3)
+        .select(lit("decile").as("filt"), col("vec_id").as("v")))
+      .localCheckpoint()
+    val sp = s; import sp.implicits._
+    val base = Seq("half", "decile").toDF("filt")
+      .crossJoin(probes.select("q_id"))
+    // exact filtered ground truth
+    val ex = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
+      .join(pass.select(col("filt"), col("v").as("c_id")), "c_id")
+      .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+      .select(col("filt"), col("q_id"), col("c_id"),
+        cosBp(col("qe"), col("ce")).as("bp"))
+      .withColumn("ern", row_number().over(
+        Window.partitionBy(col("filt"), col("q_id"))
+          .orderBy(col("bp").desc, col("c_id"))))
+      .where(col("ern") <= NnK).select("filt", "q_id", "c_id")
+    // arm 1: overfetch CUT (2k) then filter then cut to k
+    val cut = visited
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= 2 * NnK)
+      .join(pass, Seq("v"))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("filt"), col("q_id")).orderBy(col("rn"))))
+      .where(col("rn2") <= NnK)
+      .select("filt", "q_id", "v")
+    // arm 2: FILTERED POOL — every passing visited candidate competes
+    val pooled = visited.join(pass, Seq("v"))
+    val pool = pooled
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("filt"), col("q_id"))
+          .orderBy(col("bp").desc, col("v"))))
+      .where(col("rn") <= NnK).select("filt", "q_id", "v")
+    val nPool = pooled.groupBy(col("filt"), col("q_id"))
+      .agg(count(lit(1)).as("n_pool"))
+    val nVis = visited.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_visited"))
+    def hitsOf(arm: DataFrame, nm: String) = ex.as("x")
+      .join(arm.as("a"), col("x.filt") === col("a.filt") &&
+        col("x.q_id") === col("a.q_id") && col("x.c_id") === col("a.v"),
+        "left")
+      .groupBy(col("x.filt").as("filt"), col("x.q_id").as("q_id"))
+      .agg(count(col("a.v")).as(nm))
+    base
+      .join(nVis, Seq("q_id"), "left")
+      .join(nPool, Seq("filt", "q_id"), "left")
+      .join(hitsOf(cut, "n_hits_post"), Seq("filt", "q_id"), "left")
+      .join(hitsOf(pool, "n_hits_pool"), Seq("filt", "q_id"), "left")
+      .select(col("filt"), col("q_id"),
+        coalesce(col("n_visited"), lit(0L)).as("n_visited"),
+        coalesce(col("n_pool"), lit(0L)).as("n_pool"),
+        coalesce(col("n_hits_post"), lit(0L)).as("n_hits_post"),
+        round(coalesce(col("n_hits_post"), lit(0L)) / lit(NnK.toDouble),
+          4).as("recall_post"),
+        coalesce(col("n_hits_pool"), lit(0L)).as("n_hits_pool"),
+        round(coalesce(col("n_hits_pool"), lit(0L)) / lit(NnK.toDouble),
+          4).as("recall_pool"))
+      .orderBy(col("filt"), col("q_id"))
+  }
+
+  val q347Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    val hops = (1 to NnHops).map { h =>
+      s"""fr${h - 1} AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM vis${h - 1})
+         |  WHERE rn <= $NnBeam),
+         |nb$h AS (
+         |  SELECT DISTINCT f.q_id, u2.v FROM fr${h - 1} f
+         |  JOIN und u2 ON f.v = u2.u),
+         |sv$h AS (
+         |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+         |  FROM nb$h s JOIN emb ev ON s.v = ev.vec_id
+         |  JOIN qprobes q ON s.q_id = q.q_id
+         |  WHERE s.v <> s.q_id),
+         |vis$h AS MATERIALIZED (
+         |  SELECT DISTINCT q_id, v, bp FROM (
+         |    SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sv$h))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $nnGraphCtes,
+       |lemb AS (SELECT vec_id, label FROM embeddings),
+       |qprobes AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |            WHERE vec_id < 10),
+       |entries AS (
+       |  SELECT vec_id AS v FROM emb
+       |  ORDER BY md5('entry:' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NnEntries),
+       |und AS (SELECT u, v FROM g$NnRounds
+       |        UNION SELECT v, u FROM g$NnRounds),
+       |vis0 AS MATERIALIZED (
+       |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+       |  FROM qprobes q CROSS JOIN entries en
+       |  JOIN emb ev ON en.v = ev.vec_id
+       |  WHERE en.v <> q.q_id),
+       |$hops,
+       |pass AS MATERIALIZED (
+       |  SELECT 'half' AS filt, vec_id AS v FROM lemb WHERE label % 2 = 0
+       |  UNION ALL
+       |  SELECT 'decile', vec_id FROM lemb WHERE label = 3),
+       |base AS (
+       |  SELECT f.filt, q.q_id
+       |  FROM (SELECT 'half' AS filt UNION ALL SELECT 'decile') f
+       |  CROSS JOIN qprobes q),
+       |ex AS (
+       |  SELECT filt, q_id, c_id FROM (
+       |    SELECT ps.filt, q.q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY ps.filt, q.q_id
+       |        ORDER BY ${bp("q.qe", "c.e")} DESC, c.vec_id) AS ern
+       |    FROM qprobes q JOIN emb c ON c.vec_id <> q.q_id
+       |    JOIN pass ps ON ps.v = c.vec_id)
+       |  WHERE ern <= $NnK),
+       |cut AS (
+       |  SELECT filt, q_id, v FROM (
+       |    SELECT ps.filt, o.q_id, o.v,
+       |      row_number() OVER (PARTITION BY ps.filt, o.q_id
+       |        ORDER BY o.rn) AS rn2
+       |    FROM (SELECT q_id, v, rn FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY bp DESC, v) AS rn FROM vis$NnHops)
+       |      WHERE rn <= ${2 * NnK}) o
+       |    JOIN pass ps ON ps.v = o.v)
+       |  WHERE rn2 <= $NnK),
+       |pooled AS (
+       |  SELECT ps.filt, w.q_id, w.v, w.bp
+       |  FROM vis$NnHops w JOIN pass ps ON ps.v = w.v),
+       |pool AS (
+       |  SELECT filt, q_id, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY filt, q_id
+       |      ORDER BY bp DESC, v) AS rn FROM pooled)
+       |  WHERE rn <= $NnK),
+       |npool AS (
+       |  SELECT filt, q_id, CAST(count(*) AS BIGINT) AS n_pool
+       |  FROM pooled GROUP BY filt, q_id),
+       |nvis AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_visited
+       |         FROM vis$NnHops GROUP BY q_id),
+       |ch AS (
+       |  SELECT x.filt, x.q_id,
+       |    CAST(count(a.v) AS BIGINT) AS n_hits_post
+       |  FROM ex x LEFT JOIN cut a
+       |    ON x.filt = a.filt AND x.q_id = a.q_id AND x.c_id = a.v
+       |  GROUP BY x.filt, x.q_id),
+       |lh AS (
+       |  SELECT x.filt, x.q_id,
+       |    CAST(count(a.v) AS BIGINT) AS n_hits_pool
+       |  FROM ex x LEFT JOIN pool a
+       |    ON x.filt = a.filt AND x.q_id = a.q_id AND x.c_id = a.v
+       |  GROUP BY x.filt, x.q_id)
+       |SELECT b.filt, b.q_id,
+       |  coalesce(nv.n_visited, 0) AS n_visited,
+       |  coalesce(np.n_pool, 0) AS n_pool,
+       |  coalesce(ch.n_hits_post, 0) AS n_hits_post,
+       |  round(coalesce(ch.n_hits_post, 0) / $NnK.0, 4) AS recall_post,
+       |  coalesce(lh.n_hits_pool, 0) AS n_hits_pool,
+       |  round(coalesce(lh.n_hits_pool, 0) / $NnK.0, 4) AS recall_pool
+       |FROM base b
+       |LEFT JOIN nvis nv ON b.q_id = nv.q_id
+       |LEFT JOIN npool np ON b.filt = np.filt AND b.q_id = np.q_id
+       |LEFT JOIN ch ON b.filt = ch.filt AND b.q_id = ch.q_id
+       |LEFT JOIN lh ON b.filt = lh.filt AND b.q_id = lh.q_id
+       |ORDER BY b.filt, b.q_id""".stripMargin
+  }
+
   // ─── q340: k-NN index HEALTH POLICY (when to rebuild) ────────────────
   // q324 inserts and q334 deletes keep the graph correct, but each
   // delete wave re-cuts damaged lists with ONE localized round — an
@@ -5626,6 +5840,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_filtered_graph_serve" -> (q347FilteredGraphServe _),
     "q345_filtered_ann" -> (q345FilteredAnn _),
     "q342_index_follows_table" -> (q342IndexFollowsTable _),
     "q341_nn_hnsw_clustered" -> (q341NnHnswClustered _),
@@ -5669,6 +5884,7 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q347_filtered_graph_serve" -> q347Sql,
     "q345_filtered_ann" -> q345Sql,
     "q342_index_follows_table" -> q342Sql,
     "q341_nn_hnsw_clustered" -> q341Sql,

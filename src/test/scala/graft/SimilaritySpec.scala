@@ -905,6 +905,26 @@ class SimilaritySpec extends SparkSpec {
       "each restricted graph keeps the other's excluded class")
   }
 
+  test("q347 filtered graph serve: the filtered POOL arm is row-wise " +
+       "never worse than cut-then-filter at the identical visit " +
+       "budget, and the pool is a subset of the visited set") {
+    case class R(filt: String, qId: Long, nVis: Long, nPool: Long,
+                 post: Long, pool: Long)
+    val rows = Similarity.q347FilteredGraphServe(spark, sfDir)
+      .collect().map(r => R(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(6)))
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.pool >= r.post,
+        s"$r: the pool arm dominates cut-then-filter by construction")
+      assert(r.nPool <= r.nVis, s"$r: pool ⊆ visited")
+    }
+    // the narrow tier's pool is genuinely selective
+    val dec = rows.filter(_.filt == "decile")
+    assert(dec.forall(r => r.nPool < r.nVis / 2),
+      "decile pools must be far smaller than the visited set")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -1272,6 +1272,39 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("autoCluster materializes THROUGH deletion vectors: clustered " +
+       "files hold only live rows, the dv refs shed, and no deleted " +
+       "row resurrects") {
+    val t = freshTable("autocluster-dv")
+    SnapshotStore.publish(
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 3).as("pay")).coalesce(1), t)
+    SnapshotStore.autoCluster(spark, t, "k", 4)
+    // an append lands, then a DV delete suppresses part of it (and
+    // part of the clustered base — carried files keep their DVs)
+    SnapshotStore.applyCdcVersion(spark, t,
+      spark.range(1000, 1200).select(col("id").as("k"),
+        (col("id") * 3).as("pay"), lit("I").as("op")).coalesce(1),
+      Seq("k"), "op", 3)
+    SnapshotStore.dvDelete(spark, t, "k",
+      (1000L until 1050L) ++ Seq(5L, 7L))
+    // recluster: the appended file (v3) rewrites DV-applied; the
+    // clustered base (≤ epoch 2) carries WITH its dv ref intact
+    val st = SnapshotStore.autoCluster(spark, t, "k", 4)
+    assert(st.filesCarried === 4 && st.filesRewritten === 1 &&
+      st.rowsClustered === 150L,
+      s"rewrite must materialize only LIVE appended rows, got $st")
+    val live = SnapshotStore.read(spark, t).select("k").as[Long]
+      .collect().toSet
+    assert(live.size === 1148)
+    assert(!live.contains(1000L) && !live.contains(5L) && !live.contains(7L),
+      "no deleted row may resurrect through the rewrite")
+    assert(live.contains(1050L) && live.contains(6L))
+    // the carried base still reads through its DV (5 and 7 suppressed)
+    assert(SnapshotStore.read(spark, t).where(col("k") < 1000L)
+      .count() === 998L)
+  }
+
   // ─── conflict matrix: DETERMINISTIC commit races via commitTestHook ──
   // Each case injects a competing committer at the loser's exclusive-
   // create point, so writer A stages against version v, writer B

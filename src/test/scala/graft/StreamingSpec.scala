@@ -995,6 +995,71 @@ class StreamingSpec extends SparkSpec {
     assert(SnapshotStore.versions(spark, meta) === Seq(1, 2, 3))
   }
 
+  test("index subscriber catch-up: TWO commits drained in ONE batch " +
+       "(maxVersionsPerTrigger=2) resolve per key by NET EFFECT — a " +
+       "deleted-then-reinserted key re-places — and land the same " +
+       "graph as the one-commit-per-batch run") {
+    import graft.ops.{IndexMaintainer, Similarity}
+    import graft.sources.SnapshotStore
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val base = sys.props("java.io.tmpdir") + "/graft-snapspec/idxcatchup"
+    val Seq(vec, idxA, metaA, ckptA, idxB, metaB, ckptB) =
+      Seq("vec", "idxA", "metaA", "ckptA", "idxB", "metaB", "ckptB")
+        .map(n => s"$base-$n")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vec, idxA, metaA, ckptA, idxB, metaB, ckptB).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def m10(c: org.apache.spark.sql.Column) = pmod(c, lit(10))
+    val emb = Similarity.embFrame(spark, sfDir)
+    SnapshotStore.publish(emb.where(m10(col("vec_id")) =!= 3), vec)
+    val bg = Similarity.nnMemberGraphFor(spark, sfDir,
+      m10(col("vec_id")) =!= 3)
+    // k1: a live class-1 member deleted at v2 and RE-inserted at v3 —
+    // the cross-step interaction the net-effect fold must get right
+    val k1 = emb.where(m10(col("vec_id")) === 1)
+      .agg(org.apache.spark.sql.functions.min(col("vec_id")))
+      .head().getLong(0)
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 7 || col("vec_id") === k1)
+        .select(col("vec_id"), col("e"), lit("D").as("op")),
+      Seq("vec_id"), "op", 2)
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 3 || col("vec_id") === k1)
+        .select(col("vec_id"), col("e"), lit("I").as("op")),
+      Seq("vec_id"), "op", 3)
+    // subscriber A: one commit per batch (2 micro-batches)
+    val cfgA = IndexMaintainer.Config(vec, idxA, metaA)
+    IndexMaintainer.bootstrap(spark, cfgA, bg)
+    IndexMaintainer.start(spark, cfgA, ckptA).awaitTermination()
+    assert(SnapshotStore.versions(spark, idxA) === Seq(1, 2, 3))
+    // subscriber B: both commits in ONE batch
+    val cfgB = IndexMaintainer.Config(vec, idxB, metaB,
+      maxVersionsPerTrigger = 2)
+    IndexMaintainer.bootstrap(spark, cfgB, bg)
+    IndexMaintainer.start(spark, cfgB, ckptB).awaitTermination()
+    assert(SnapshotStore.versions(spark, idxB) === Seq(1, 2),
+      "a 2-commit backlog at max=2 must fold into ONE index version")
+    val gA = SnapshotStore.read(spark, idxA, Some(3))
+      .as[(Long, Long, Long)].collect().toSet
+    val gB = SnapshotStore.read(spark, idxB, Some(2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gA === gB,
+      "catch-up fold must land the same graph as per-commit batches")
+    // the re-inserted key is PRESENT and the deleted class is not
+    assert(gB.exists(_._1 == k1), s"re-inserted key $k1 must re-place")
+    assert(gB.forall(e => e._1 % 10 != 7 && e._2 % 10 != 7))
+    // and the one-batch meta row saw the NET counters: 1 net delete
+    // wave over class 7 ∪ {k1}, inserts = class 3 ∪ {k1}
+    val m = SnapshotStore.read(spark, metaB, Some(2))
+      .select("n_del", "n_ins", "src_version").head()
+    val n7 = emb.where(m10(col("vec_id")) === 7).count()
+    val n3 = emb.where(m10(col("vec_id")) === 3).count()
+    assert(m.getLong(0) === n7, "net deletes exclude the re-inserted key")
+    assert(m.getLong(1) === n3 + 1, "inserts include the re-placed key")
+    assert(m.getLong(2) === 3L)
+  }
+
   test("auto-firing health policy: a delete chain crosses the " +
        "threshold MID-STREAM and the published lineage reads " +
        "maintain/maintain/retrain, with the retrained index free of " +
