@@ -344,6 +344,11 @@ object PlanLint {
     // subscriber's maintenance joins are all semi/anti equi-joins
     "q343_durable_index" -> Set("nested-loop", "cartesian",
                                 "global-window"),
+    // q348: q322's bounded serve shapes replayed twice over the
+    // published index versions (4-entry crossJoins + broadcast probe
+    // scoring BNLJs)
+    "q348_index_asof_serve" -> Set("nested-loop", "cartesian",
+                                   "global-window"),
     // q325: q322's bounded builds + the probe × 8-centroid broadcast
     // cell ranking and the 1-row stat crossJoins — never data-sized
     // q331: q322's bounded builds + the 32-row layer crossJoin, the
@@ -682,6 +687,10 @@ object PlanLint {
     // policy subscriber: q343's loop with a fired survivor retrain in
     // batch 2 instead of the insert wave (measured 69 fresh-session)
     "q344_auto_retrain_policy" -> 76,
+    // as-of serving: pays the shared q343 fixture when FIRST (live
+    // subscriber loop) + two walk chains + census (measured 85
+    // fresh-session; memo-shared runs cost the two walks alone)
+    "q348_index_asof_serve" -> 92,
     // IVF-entry serve: trainer (6, memoized — priced fresh) + its own
     // adjacency/entry/3-hop checkpoints (5) + the embedded fixed walk
     // (q322's 5) + census write (measured ~17 fresh-session)

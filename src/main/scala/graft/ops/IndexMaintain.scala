@@ -458,11 +458,177 @@ object IndexMaintain {
        |  FROM lv, cac)
        |ORDER BY idx_version""".stripMargin
 
+  // ─── q348: SERVING from the published index, AS OF a version ────────
+  // The read path the index-as-table story exists for: a caller beam-
+  // serves (q322's walk) directly off `read(idxTable, version)` — any
+  // committed version, so the index TIME-TRAVELS like any other table.
+  // Entry points and adjacency both derive from the CHOSEN version's
+  // graph (members only — a deleted vector is unreachable at every
+  // version that excludes it), and the exact ground truth is the LIVE
+  // SET of the matching source version: serving v2 answers "nearest
+  // among what the table held then", v3 among what it holds now —
+  // including the feed-inserted class, whose reachability flip
+  // (n_ans_ins 0 → >0 in aggregate) is census data. The oracle
+  // recomputes both graphs (the q343 chain) and replays both walks
+  // hop-for-hop. Scale: two q322-shaped walks over published
+  // metadata-scale graphs; probes broadcast; nothing corpus-sized
+  // beyond the exact-panel control the census demands.
+  def q348IndexAsofServe(s: SparkSession, d: String): DataFrame = {
+    val (_, idx, _) = q343Fixture(s, d)
+    val emb = embFrame(s, d)
+    val probes = emb
+      .where(col("vec_id") < 10 && m10(col("vec_id")) =!= 7)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def serve(ver: Int, liveMember: Column): DataFrame = {
+      val g = SnapshotStore.read(s, idx, Some(ver)).localCheckpoint()
+      val und = g.select("u", "v")
+        .unionAll(g.select(col("v").as("u"), col("u").as("v")))
+        .distinct().localCheckpoint()
+      val entries = Similarity.nnEntriesFrom(
+        g.select(col("u").as("vec_id")).distinct())
+      def score(cand: DataFrame): DataFrame = cand
+        .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
+        .join(broadcast(probes), "q_id")
+        .where(col("v") =!= col("q_id"))
+        .select(col("q_id"), col("v"),
+          Similarity.cosBp(col("qe"), col("ve")).as("bp"))
+      def beamOf(vis: DataFrame): DataFrame = vis
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("bp").desc, col("v"))))
+        .where(col("rn") <= Similarity.NnBeam).drop("rn")
+      var visited = score(
+          probes.select("q_id").crossJoin(broadcast(entries)))
+        .localCheckpoint()
+      for (_ <- 1 to Similarity.NnHops) {
+        val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
+          .join(und, "u").select(col("q_id"), col("v")).distinct()
+        visited = visited.unionAll(score(nbrs)).distinct()
+          .localCheckpoint()
+      }
+      val answer = beamOf(visited).select("q_id", "v")
+      val exact = emb.where(liveMember)
+        .select(col("vec_id").as("c_id"), col("e").as("ce"))
+        .join(broadcast(probes)).where(col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          Similarity.cosBp(col("qe"), col("ce")).as("bp"))
+        .withColumn("ern", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("bp").desc, col("c_id"))))
+        .where(col("ern") <= Similarity.NnK).select("q_id", "c_id")
+      val nvis = visited.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_visited"))
+      val nins = answer.where(m10(col("v")) === 3)
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_ans_ins"))
+      exact.as("x")
+        .join(answer.as("a"), col("x.q_id") === col("a.q_id") &&
+          col("x.c_id") === col("a.v"), "left")
+        .groupBy(col("x.q_id").as("q_id"))
+        .agg(count(col("a.v")).as("n_hits"))
+        .join(nvis, "q_id")
+        .join(nins, Seq("q_id"), "left")
+        .select(lit(ver.toLong).as("idx_version"), col("q_id"),
+          col("n_hits"),
+          round(col("n_hits") / lit(Similarity.NnK.toDouble), 4)
+            .as("recall"),
+          col("n_visited"),
+          coalesce(col("n_ans_ins"), lit(0L)).as("n_ans_ins"))
+    }
+    serve(2, m10(col("vec_id")) =!= 3 && m10(col("vec_id")) =!= 7)
+      .unionAll(serve(3, m10(col("vec_id")) =!= 7))
+      .orderBy(col("idx_version"), col("q_id"))
+  }
+
+  val q348Sql: String = {
+    def bp(a: String, b: String) = bpSql(a, b)
+    // one beam-serve walk replay over graph CTE `gin`, prefix-isolated
+    def walkCtes(P: String, gin: String): String = {
+      val hops = (1 to Similarity.NnHops).map { h =>
+        s"""${P}fr${h - 1} AS (
+           |  SELECT q_id, v FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY bp DESC, v) AS rn FROM ${P}vis${h - 1})
+           |  WHERE rn <= ${Similarity.NnBeam}),
+           |${P}nb$h AS (
+           |  SELECT DISTINCT f.q_id, u2.v FROM ${P}fr${h - 1} f
+           |  JOIN ${P}und u2 ON f.v = u2.u),
+           |${P}sv$h AS (
+           |  SELECT s.q_id, s.v, ${bp("q.qe", "ev.e")} AS bp
+           |  FROM ${P}nb$h s JOIN emb ev ON s.v = ev.vec_id
+           |  JOIN qprobes q ON s.q_id = q.q_id
+           |  WHERE s.v <> s.q_id),
+           |${P}vis$h AS MATERIALIZED (
+           |  SELECT DISTINCT q_id, v, bp FROM (
+           |    SELECT * FROM ${P}vis${h - 1}
+           |    UNION ALL SELECT * FROM ${P}sv$h))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""${P}ents AS (
+         |  SELECT u AS v FROM (SELECT DISTINCT u FROM $gin)
+         |  ORDER BY md5('entry:' || CAST(u AS VARCHAR)), u
+         |  LIMIT ${Similarity.NnEntries}),
+         |${P}und AS (SELECT u, v FROM $gin
+         |        UNION SELECT v, u FROM $gin),
+         |${P}vis0 AS MATERIALIZED (
+         |  SELECT q.q_id, en.v, ${bp("q.qe", "ev.e")} AS bp
+         |  FROM qprobes q CROSS JOIN ${P}ents en
+         |  JOIN emb ev ON en.v = ev.vec_id
+         |  WHERE en.v <> q.q_id),
+         |$hops,
+         |${P}ans AS (
+         |  SELECT q_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bp DESC, v) AS rn FROM ${P}vis${Similarity.NnHops})
+         |  WHERE rn <= ${Similarity.NnBeam})"""
+        .stripMargin
+    }
+    def censusSql(P: String, ver: Int, liveWhere: String): String =
+      s"""SELECT CAST($ver AS BIGINT) AS idx_version, h.q_id, h.n_hits,
+         |  round(h.n_hits / ${Similarity.NnK}.0, 4) AS recall,
+         |  nv.n_visited, coalesce(ni.n_ans_ins, 0) AS n_ans_ins
+         |FROM (
+         |  SELECT e.q_id, CAST(count(a.v) AS BIGINT) AS n_hits
+         |  FROM (
+         |    SELECT q_id, c_id FROM (
+         |      SELECT q.q_id, c.vec_id AS c_id,
+         |        row_number() OVER (PARTITION BY q.q_id
+         |          ORDER BY ${bp("q.qe", "c.e")} DESC, c.vec_id) AS ern
+         |      FROM qprobes q JOIN emb c
+         |        ON c.vec_id <> q.q_id AND ($liveWhere))
+         |    WHERE ern <= ${Similarity.NnK}) e
+         |  LEFT JOIN ${P}ans a ON e.q_id = a.q_id AND e.c_id = a.v
+         |  GROUP BY e.q_id) h
+         |JOIN (SELECT q_id, CAST(count(*) AS BIGINT) AS n_visited
+         |      FROM ${P}vis${Similarity.NnHops} GROUP BY q_id) nv
+         |  ON h.q_id = nv.q_id
+         |LEFT JOIN (SELECT q_id, CAST(count(*) AS BIGINT) AS n_ans_ins
+         |           FROM ${P}ans WHERE v % 10 = 3 GROUP BY q_id) ni
+         |  ON h.q_id = ni.q_id"""
+        .stripMargin
+    s"""WITH ${kmeansCtes(1, DIM, 8, 2)},
+       |${nnGraphCtesCore("b_", "vec_id % 10 <> 3")},
+       |${delWaveCtes(s"b_g$NnRounds", "w1", 7)},
+       |${nnInsWaveCtes("w1g2", c => s"$c % 10 = 3", "vec_id % 10 = 3",
+           "vec_id % 10 <> 3 AND vec_id % 10 <> 7")},
+       |qprobes AS (SELECT vec_id AS q_id, e AS qe FROM emb
+       |            WHERE vec_id < 10 AND vec_id % 10 <> 7),
+       |${walkCtes("s2", "w1g2")},
+       |${walkCtes("s3", "mg2")}
+       |SELECT * FROM (
+       |  ${censusSql("s2", 2,
+           "c.vec_id % 10 <> 3 AND c.vec_id % 10 <> 7")}
+       |  UNION ALL
+       |  ${censusSql("s3", 3, "c.vec_id % 10 <> 7")})
+       |ORDER BY idx_version, q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q343_durable_index" -> (q343DurableIndex _),
-    "q344_auto_retrain_policy" -> (q344AutoRetrainPolicy _))
+    "q344_auto_retrain_policy" -> (q344AutoRetrainPolicy _),
+    "q348_index_asof_serve" -> (q348IndexAsofServe _))
 
   val oracleSql: Map[String, String] = Map(
     "q343_durable_index" -> q343Sql,
-    "q344_auto_retrain_policy" -> q344Sql)
+    "q344_auto_retrain_policy" -> q344Sql,
+    "q348_index_asof_serve" -> q348Sql)
 }

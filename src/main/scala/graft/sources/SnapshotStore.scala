@@ -2340,9 +2340,18 @@ object SnapshotStore {
   def changeFeed(spark: SparkSession, table: String, vFrom: Int, vTo: Int,
                  keyCols: Seq[String]): DataFrame = {
     val committed = versions(spark, table)
-    require(committed.contains(vFrom) && committed.contains(vTo),
-      s"need committed versions, have ${committed.mkString(",")}")
     require(vFrom < vTo, s"vFrom=$vFrom must precede vTo=$vTo")
+    // EVERY step in (vFrom, vTo] must still be committed — vacuum (or a
+    // ref-pinned retention hole) expiring a version inside a
+    // subscriber's checkpoint lag must fail LOUDLY here, naming the
+    // gap, never as a downstream missing-file stack trace (the Delta
+    // CDF retention caveat, enforced)
+    val missing = (vFrom to vTo).filterNot(committed.contains)
+    require(missing.isEmpty,
+      s"change feed $vFrom->$vTo needs versions ${missing.mkString(",")} " +
+        s"which are expired or never committed (have " +
+        s"${committed.mkString(",")}) — do not vacuum versions inside a " +
+        "subscriber's checkpoint lag")
     val toSchema = org.apache.spark.sql.types.StructType
       .fromDDL(ddlOfLine(manifestLines(spark, table, vTo)(2)))
     def conform(df: DataFrame) = df.select(toSchema.fields.toIndexedSeq

@@ -1060,6 +1060,71 @@ class StreamingSpec extends SparkSpec {
     assert(m.getLong(2) === 3L)
   }
 
+  test("retention interplay: vacuuming the INDEX to its latest keeps " +
+       "the subscription alive; vacuuming the SOURCE past the " +
+       "checkpoint lag fails the restarted subscriber LOUDLY, naming " +
+       "the expired versions") {
+    import graft.ops.{IndexMaintainer, Similarity}
+    import graft.sources.SnapshotStore
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val base = sys.props("java.io.tmpdir") + "/graft-snapspec/idxretention"
+    val Seq(vec, idx, meta, ckpt) =
+      Seq("vec", "idx", "meta", "ckpt").map(n => s"$base-$n")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(vec, idx, meta, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def m10(c: org.apache.spark.sql.Column) = pmod(c, lit(10))
+    val emb = Similarity.embFrame(spark, sfDir)
+    SnapshotStore.publish(emb.where(m10(col("vec_id")) =!= 3), vec)
+    val cfg = IndexMaintainer.Config(vec, idx, meta)
+    IndexMaintainer.bootstrap(spark, cfg,
+      Similarity.nnMemberGraphFor(spark, sfDir,
+        m10(col("vec_id")) =!= 3))
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 7)
+        .select(col("vec_id"), col("e"), lit("D").as("op")),
+      Seq("vec_id"), "op", 2)
+    IndexMaintainer.start(spark, cfg, ckpt).awaitTermination()
+    assert(SnapshotStore.versions(spark, idx) === Seq(1, 2))
+    // INDEX-side retention: dropping index/meta history to the latest
+    // version is always safe — the subscriber only ever reads its
+    // previous version, which keepLast=1 retains
+    SnapshotStore.vacuum(spark, idx, keepLast = 1)
+    SnapshotStore.vacuum(spark, meta, keepLast = 1)
+    assert(SnapshotStore.versions(spark, idx) === Seq(2))
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 3)
+        .select(col("vec_id"), col("e"), lit("I").as("op")),
+      Seq("vec_id"), "op", 3)
+    IndexMaintainer.start(spark, cfg, ckpt).awaitTermination()
+    assert(SnapshotStore.versions(spark, idx) === Seq(2, 3),
+      "a vacuumed index must not stall the subscription")
+    assert(SnapshotStore.read(spark, idx, Some(3))
+      .where(pmod(col("u"), lit(10)) === 3).count() > 0)
+    // SOURCE-side: a commit lands while the subscriber is down, then
+    // vacuum expires the versions inside the checkpoint lag — the
+    // restart must fail with the named gap, not a missing-file trace
+    SnapshotStore.applyCdcVersion(spark, vec,
+      emb.where(m10(col("vec_id")) === 1)
+        .select(col("vec_id"), col("e"), lit("D").as("op")),
+      Seq("vec_id"), "op", 4)
+    SnapshotStore.vacuum(spark, vec, keepLast = 1)
+    assert(SnapshotStore.versions(spark, vec) === Seq(4))
+    val q = IndexMaintainer.start(spark, cfg, ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("expired") &&
+        m.contains("checkpoint lag")),
+      s"must name the retention violation, got: ${msgs(e).mkString(" | ")}")
+    // the index is UNCHANGED by the failed run
+    assert(SnapshotStore.versions(spark, idx) === Seq(2, 3))
+  }
+
   test("auto-firing health policy: a delete chain crosses the " +
        "threshold MID-STREAM and the published lineage reads " +
        "maintain/maintain/retrain, with the retrained index free of " +
