@@ -122,23 +122,31 @@ object IndexMaintainer {
           cfg.metaTable, idxV)
       return
     }
-    val srcEnd = evs.agg(max(col("cv"))).head().getLong(0).toInt
     // NET EFFECT per key across a (possibly multi-step) batch: presence
     // is decided by the key's LAST commit in the batch; a key deleted
     // then re-inserted re-places, an insert-then-delete never lands
     val lastEv = evs
       .withColumn("mcv", max(col("cv")).over(Window.partitionBy("vec_id")))
       .where(col("cv") === col("mcv"))
+    // one per-key net-effect pass feeds the batch counters, the policy
+    // input AND the tombstone frame — checkpointed so the downstream
+    // consumers are plan stubs, not window recomputes
+    val net = lastEv.groupBy("vec_id")
+      .agg(max(when(col("ct").isin("insert", "update_postimage"), 1)
+        .otherwise(0)).as("present"), max(col("cv")).as("cv"))
+      .localCheckpoint()
     val newRows = lastEv
       .where(col("ct").isin("insert", "update_postimage"))
       .select("vec_id", "e").localCheckpoint()
-    // policy counter: TABLE-level deletes (keys whose final state is
-    // absent) — independent of which keys the graph happens to hold
-    val nDel = lastEv.groupBy("vec_id")
-      .agg(max(when(col("ct").isin("insert", "update_postimage"), 1)
-        .otherwise(0)).as("present"))
-      .where(col("present") === 0).count()
-    val nIns = newRows.count()
+    // ONE action for (feed end version, table-level deletes, inserts) —
+    // deletes are keys whose final state is absent, independent of
+    // which keys the graph happens to hold
+    val cRow = net.agg(max(col("cv")),
+      sum(when(col("present") === 0, 1L).otherwise(0L)),
+      sum(when(col("present") === 1, 1L).otherwise(0L))).head()
+    val srcEnd = cRow.getLong(0).toInt
+    val nDel = cRow.getLong(1)
+    val nIns = cRow.getLong(2)
     val live = SnapshotStore.countOf(s, cfg.vecTable, srcEnd)
     val delsSince = prevDels + nDel
     val delBp = if (live > 0) delsSince * 10000L / live else Long.MaxValue
@@ -161,10 +169,7 @@ object IndexMaintainer {
           val batchKeys = evs.select("vec_id").distinct()
           val verts = prevG.select(col("u").as("vec_id"))
             .unionAll(prevG.select(col("v").as("vec_id"))).distinct()
-          val deleted = lastEv.groupBy("vec_id")
-            .agg(max(when(col("ct").isin("insert", "update_postimage"), 1)
-              .otherwise(0)).as("present"))
-            .where(col("present") === 0).select("vec_id")
+          val deleted = net.where(col("present") === 0).select("vec_id")
           val tombs = deleted
             .unionAll(batchKeys.join(verts, Seq("vec_id"), "left_semi"))
             .distinct().select(col("vec_id").as("t")).localCheckpoint()
@@ -293,15 +298,22 @@ object IndexMaintain {
         col("x.c_id") === col("g.v"), "left")
       .groupBy(col("x.q_id").as("q_id"))
       .agg(count(col("g.v")).as(nm))
-    val eV = (1 to 3).map(v =>
-      SnapshotStore.read(s, idx, Some(v)).count())
+    // per-version edge counts are manifest metadata (the count= line is
+    // written from the staged files' stats) — no scan jobs needed
+    val eV = (1 to 3).map(v => SnapshotStore.countOf(s, idx, v))
+    // both lineage actions in ONE action instead of a head() per version
     val acts = (2 to 3).map(v =>
-      SnapshotStore.read(s, meta, Some(v)).select("action").head()
-        .getString(0))
-    val ghostCnt = g.where(m10(col("u")) === 7 || m10(col("v")) === 7)
-      .count()
+        SnapshotStore.read(s, meta, Some(v))
+          .select(lit(v).as("v"), col("action")))
+      .reduce(_.unionAll(_)).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap.toSeq
+      .sortBy(_._1).map(_._2)
+    // ghost count rides the same aggregate as the edge census — one
+    // pass over the published graph instead of two
     val glob = broadcast(g.agg(count(lit(1)).as("mg_edges"),
-      sum(col("bp")).as("msbp")))
+      sum(col("bp")).as("msbp"),
+      sum(when(m10(col("u")) === 7 || m10(col("v")) === 7, 1L)
+        .otherwise(0L)).as("n_ghost_g")))
     hitsOf(g, "n_hits_m").join(hitsOf(scr, "n_hits_scr"), "q_id")
       .crossJoin(glob)
       .select(col("q_id"), col("n_hits_m"),
@@ -314,7 +326,7 @@ object IndexMaintain {
         lit(acts(0)).as("act_v2"), lit(acts(1)).as("act_v3"),
         lit(SnapshotStore.versions(s, idx).size.toLong)
           .as("n_idx_versions"),
-        lit(ghostCnt).as("n_ghost"),
+        col("n_ghost_g").as("n_ghost"),
         lit(SnapshotStore.countOf(s, vec, 3)).as("live_final"))
       .orderBy(col("q_id"))
   }
@@ -410,11 +422,19 @@ object IndexMaintain {
     val (_, idx, meta) = q344Fixture(s, d)
     val metaRows = (1 to 3).map(v =>
       SnapshotStore.read(s, meta, Some(v))).reduce(_.unionAll(_))
+    // all three per-version edge censuses in ONE action (tagged union +
+    // grouped aggregate) instead of an agg().head() per version
+    val got = (1 to 3).map(v =>
+        SnapshotStore.read(s, idx, Some(v))
+          .select(lit(v.toLong).as("idx_version"), col("bp")))
+      .reduce(_.unionAll(_))
+      .groupBy(col("idx_version"))
+      .agg(count(lit(1)).as("n"), sum(col("bp")).as("sbp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     val census = (1 to 3).map { v =>
-      val r = SnapshotStore.read(s, idx, Some(v))
-        .agg(count(lit(1)).as("n"), sum(col("bp")).as("sbp")).head()
-      (v.toLong, r.getLong(0),
-        if (r.getLong(0) == 0) 0L else r.getLong(1) / r.getLong(0))
+      val (n, sbp) = got.getOrElse(v.toLong, (0L, 0L))
+      (v.toLong, n, if (n == 0) 0L else sbp / n)
     }
     val sp = s; import sp.implicits._
     val cDf = census.toDF("idx_version", "n_edges", "avg_bp")

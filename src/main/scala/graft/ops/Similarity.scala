@@ -2680,12 +2680,20 @@ object Similarity {
       .select(col("u"), col("ue"), col("v"), col("ve"))
   }
 
-  /** Top-K neighbor selection by (bp desc, v) over a deduped edge set. */
+  /** Top-K neighbor selection by (bp desc, v). Duplicate edges are
+    * tolerated on input: `dense_rank` ties exact duplicates (bp is
+    * functionally determined by (u, v), so a repeated edge repeats its
+    * rank) and the post-cut `distinct` collapses them — the kept edge
+    * SET is identical to dedup-then-row_number, but the full candidate
+    * set crosses the wire once (one shuffle, for the window) instead of
+    * twice (distinct + window); the trailing distinct shuffles only the
+    * ≤ K-per-vertex survivors. */
   private def nnTopK(edges: DataFrame): DataFrame =
-    edges.distinct()
-      .withColumn("trn", row_number().over(
+    edges
+      .withColumn("trn", dense_rank().over(
         Window.partitionBy(col("u")).orderBy(col("bp").desc, col("v"))))
       .where(col("trn") <= NnK).drop("trn")
+      .distinct()
 
   /** The seed graph (top-K over the ring pairs, before any refinement
     * round) — exposed so the spec can drive the rounds independently.
@@ -2731,7 +2739,11 @@ object Similarity {
         .withColumn("rrn", row_number().over(
           Window.partitionBy(col("u")).orderBy(col("bp").desc, col("v"))))
         .where(col("rrn") <= NnRevCap).drop("rrn")
-      val b = g.select("u", "v").unionAll(rev.select("u", "v")).distinct()
+      // b carries ≤2× duplicate (u, v) rows (an edge can appear in both
+      // g and the reversed cap); the self-join multiplies them but
+      // cand's distinct collapses every duplicate pair before the
+      // embedding fetch — same candidate set, one less full shuffle
+      val b = g.select("u", "v").unionAll(rev.select("u", "v"))
       val cand = b.as("x").join(b.as("y"), col("x.v") === col("y.u"))
         .where(col("x.u") =!= col("y.v"))
         .select(col("x.u").as("u"), col("y.v").as("v")).distinct()
@@ -4654,9 +4666,12 @@ object Similarity {
     // neighbors w — both directions of x's adjacency — are the natural
     // replacements
     val toDel = g.where(!delU && delV).select(col("u"), col("v").as("x"))
+    // ≤2× duplicate (x, w) rows when both edge directions exist; the
+    // bridge join's output is distinct-ed in the tail, so the dedup
+    // here only cost an extra shuffle
     val undDel = g.where(delU).select(col("u").as("x"), col("v").as("w"))
       .unionAll(g.where(delV).select(col("v").as("x"), col("u").as("w")))
-      .where(!isDel(col("w"))).distinct()
+      .where(!isDel(col("w")))
     nnDeleteWaveTail(emb, gp, damaged, toDel, undDel)
   }
 
@@ -4681,7 +4696,7 @@ object Similarity {
         .select(col("u").as("x"), col("v").as("w"))
       .unionAll(g.join(tV, Seq("v"), "left_semi")
         .select(col("v").as("x"), col("u").as("w")))
-      .join(tW, Seq("w"), "left_anti").distinct()
+      .join(tW, Seq("w"), "left_anti")
     nnDeleteWaveTail(emb, gp, damaged, toDel, undDel)
   }
 
@@ -4707,7 +4722,9 @@ object Similarity {
       .withColumn("rrn", row_number().over(Window.partitionBy(col("u"))
         .orderBy(col("bp").desc, col("v"))))
       .where(col("rrn") <= NnRevCap).drop("rrn")
-    val b = g1.select("u", "v").unionAll(rev.select("u", "v")).distinct()
+    // ≤2× duplicate rows in b (mutual edges); cand2's distinct collapses
+    // every duplicate pair before the embedding fetch
+    val b = g1.select("u", "v").unionAll(rev.select("u", "v"))
     val bDam = b.join(damaged, Seq("u"), "left_semi")
     val bvDam = b.join(damaged.select(col("u").as("v")), Seq("v"),
       "left_semi")
@@ -4725,7 +4742,11 @@ object Similarity {
       .unionAll(nnTopK(
         g1.join(aff, Seq("u"), "left_semi").unionAll(scored2)))
       .localCheckpoint()
-    (g2, damaged.unionAll(aff).distinct().localCheckpoint())
+    // the re-cut set stays LAZY: both inputs are already checkpointed,
+    // so a consumer pays one small union+distinct — and the callers
+    // that never read it (the feed subscriber's maintain path) pay
+    // nothing at all
+    (g2, damaged.unionAll(aff).distinct())
   }
 
   /** Deterministic ENTRY-POINT panel from a key frame (column
@@ -4755,9 +4776,11 @@ object Similarity {
                                       newRows: DataFrame,
                                       entries: DataFrame): DataFrame = {
     val newq = newRows.select(col("vec_id").as("q_id"), col("e").as("qe"))
+    // mutual edges leave ≤2× duplicate rows; every hop distinct-s its
+    // neighbor frontier anyway, so the adjacency dedup shuffle is saved
     val und = g.select("u", "v")
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     def score(cand: DataFrame): DataFrame = cand
       .join(emb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
       .join(newq, "q_id")
@@ -4782,17 +4805,19 @@ object Similarity {
     val back = visited
       .select(col("v").as("u"), col("q_id").as("v"), col("bp"))
     val tch = back.select("u").distinct().localCheckpoint()
+    // g1 stays lazy (see the delete-wave tail note)
     val g1 = g.join(tch, Seq("u"), "left_anti")
       .unionAll(nnTopK(
         g.join(tch, Seq("u"), "left_semi").unionAll(back)))
       .unionAll(fwd)
-      .localCheckpoint()
     // one localized refinement round: new-incident pairs only
     val rev = g1.select(col("v").as("u"), col("u").as("v"), col("bp"))
       .withColumn("rrn", row_number().over(Window.partitionBy(col("u"))
         .orderBy(col("bp").desc, col("v"))))
       .where(col("rrn") <= NnRevCap).drop("rrn")
-    val b = g1.select("u", "v").unionAll(rev.select("u", "v")).distinct()
+    // ≤2× duplicate rows in b (mutual edges); cand's distinct collapses
+    // every duplicate pair before the embedding fetch
+    val b = g1.select("u", "v").unionAll(rev.select("u", "v"))
     val bNew = b.join(newRows.select(col("vec_id").as("u")),
       Seq("u"), "left_semi")
     val bvNew = b.join(newRows.select(col("vec_id").as("v")),
