@@ -153,8 +153,12 @@ object IndexMaintainer {
     val fired = cfg.retrainThresholdBp.exists(delBp >= _)
     val action = if (fired) "retrain" else "maintain"
     if (!haveEdges) {
+      // both wave inputs are referenced from many join branches below —
+      // one checkpoint each replaces repeated parquet scans + manifest
+      // plans inside every wave materialization
       val embEnd = SnapshotStore.read(s, cfg.vecTable, Some(srcEnd))
         .select(col(cfg.keyCol).as("vec_id"), col(cfg.embCol).as("e"))
+        .localCheckpoint()
       val gFinal =
         if (fired)
           // the policy's mechanism: full retrain on the SURVIVORS —
@@ -162,7 +166,7 @@ object IndexMaintainer {
           cfg.retrain.get(embEnd.select("vec_id"))
         else {
           val prevG = SnapshotStore.read(s, cfg.idxTable, Some(prevV))
-            .select("u", "v", "bp")
+            .select("u", "v", "bp").localCheckpoint()
           // graph tombstones: every feed-deleted key, plus any batch
           // key the previous graph holds (an update invalidates its
           // placement; re-insertion below re-places it)
@@ -501,9 +505,11 @@ object IndexMaintain {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     def serve(ver: Int, liveMember: Column): DataFrame = {
       val g = SnapshotStore.read(s, idx, Some(ver)).localCheckpoint()
+      // mutual edges leave ≤2× duplicate rows; the hop frontier is
+      // distinct-ed, so the adjacency dedup shuffle is saved
       val und = g.select("u", "v")
         .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint()
+        .localCheckpoint()
       val entries = Similarity.nnEntriesFrom(
         g.select(col("u").as("vec_id")).distinct())
       def score(cand: DataFrame): DataFrame = cand

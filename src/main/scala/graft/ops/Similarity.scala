@@ -2985,9 +2985,11 @@ object Similarity {
   def q322NnBeamServe(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
     val g = nnGraphFor(s, d)
+    // mutual edges leave ≤2× duplicate rows; every hop distinct-s its
+    // neighbor frontier, so the adjacency dedup shuffle is saved
     val und = g.select("u", "v")
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     val probes = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val entries = emb
@@ -3123,9 +3125,11 @@ object Similarity {
   def q325NnIvfEntryServe(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
     val g = nnGraphFor(s, d)
+    // mutual edges leave ≤2× duplicate rows; every hop distinct-s its
+    // neighbor frontier, so the adjacency dedup shuffle is saved
     val und = g.select("u", "v")
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     val probes = emb.where(col("vec_id") < NnPanel)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     def score(cand: DataFrame): DataFrame = cand
@@ -3355,9 +3359,11 @@ object Similarity {
   def q331NnHnswServe(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
     val g = nnGraphFor(s, d)
+    // mutual edges leave ≤2× duplicate rows; every hop distinct-s its
+    // neighbor frontier, so the adjacency dedup shuffle is saved
     val und = g.select("u", "v")
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     val probes = emb.where(col("vec_id") < NnPanel)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     def score(cand: DataFrame): DataFrame = cand
@@ -3396,7 +3402,7 @@ object Similarity {
         .orderBy(col("bp").desc, col("v"))))
       .where(col("rn") <= HnswLayerK).select("u", "v")
     val lund = ladj.unionAll(ladj.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     val lent = layer
       .select(col("v"),
         md5(concat(lit("entry:"), col("v").cast("string"))).as("h"))
@@ -3617,9 +3623,11 @@ object Similarity {
   def q336NnHnswMulti(s: SparkSession, d: String): DataFrame = {
     val emb = embFrame(s, d)
     val g = nnGraphFor(s, d)
+    // mutual edges leave ≤2× duplicate rows; every hop distinct-s its
+    // neighbor frontier, so the adjacency dedup shuffle is saved
     val und = g.select("u", "v")
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     val probes = emb.where(col("vec_id") < NnPanel)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     def score(cand: DataFrame): DataFrame = cand
@@ -3667,7 +3675,9 @@ object Similarity {
           .join(kth, Seq("q_id"), "left")
           .where(col("kbp").isNull || col("bp") >= col("kbp"))
           .select("q_id", "v").localCheckpoint()
-        expanded = expanded.unionAll(front).localCheckpoint()
+        // lazy: a union of already-checkpointed fronts — consumers pay
+        // one small anti-join probe, not a checkpoint job per width
+        expanded = expanded.unionAll(front)
         val nbrs = front.select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
         visited = visited.unionAll(score(nbrs)).distinct()
@@ -3694,7 +3704,7 @@ object Similarity {
           .orderBy(col("bp").desc, col("v"))))
         .where(col("arn") <= k).select("u", "v")
       adj.unionAll(adj.select(col("v").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint()
+        .localCheckpoint()
     }
     val Seq(adj1, adj2, adj3) = Hnsw2Sizes.map(layerAdj(_, Hnsw2AdjK))
     val topEnt = ranked.where(col("rn") <= Hnsw2Sizes.last)
@@ -4017,7 +4027,7 @@ object Similarity {
       .localCheckpoint()
     val und = cg.select("u", "v")
       .unionAll(cg.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     // q336's serve machinery verbatim, over the clustered vectors
     def score(cand: DataFrame): DataFrame = cand
       .join(cemb.select(col("vec_id").as("v"), col("e").as("ve")), "v")
@@ -4056,7 +4066,9 @@ object Similarity {
           .join(kth, Seq("q_id"), "left")
           .where(col("kbp").isNull || col("bp") >= col("kbp"))
           .select("q_id", "v").localCheckpoint()
-        expanded = expanded.unionAll(front).localCheckpoint()
+        // lazy: a union of already-checkpointed fronts — consumers pay
+        // one small anti-join probe, not a checkpoint job per width
+        expanded = expanded.unionAll(front)
         val nbrs = front.select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
         visited = visited.unionAll(score(nbrs)).distinct()
@@ -4082,7 +4094,7 @@ object Similarity {
           .orderBy(col("bp").desc, col("v"))))
         .where(col("arn") <= k).select("u", "v")
       adj.unionAll(adj.select(col("v").as("u"), col("u").as("v")))
-        .distinct().localCheckpoint()
+        .localCheckpoint()
     }
     val Seq(adj1, adj2, adj3) = Hnsw2Sizes.map(layerAdj(_, Hnsw2AdjK))
     val topEnt = ranked.where(col("rn") <= Hnsw2Sizes.last)
@@ -5204,9 +5216,11 @@ object Similarity {
     val emb = embFrame(s, d)
     val lab = embeddings(s, d).select(col("vec_id"), col("label"))
     val g = nnGraphFor(s, d)
+    // mutual edges leave ≤2× duplicate rows; every hop distinct-s its
+    // neighbor frontier, so the adjacency dedup shuffle is saved
     val und = g.select("u", "v")
       .unionAll(g.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+      .localCheckpoint()
     val probes = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val entries = nnEntriesFrom(emb.select("vec_id"))
