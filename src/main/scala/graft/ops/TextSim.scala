@@ -1817,7 +1817,14 @@ object TextSim {
   // array (one projection, zero shuffle, no per-token window); the only
   // shuffles carry (doc_id, 32-hex chunk hash) pairs — fixed-width, and
   // every aggregate below is map-side combined.
-  private def cdcChunks(toksCol: Column): Column = {
+  /** CDC chunk BOUNDARIES of a token array: interior gram-hash cut
+    * points plus the [0, n] frame. Kept as its own projected column by
+    * the caller: the boundary array hashes every 4-gram, and the chunk
+    * extractor references it three times per chunk — inlining it
+    * (the pre-r14 single-expression form) re-hashed every gram
+    * O(chunks) times per row, the dominant cost of q229's whole plan.
+    */
+  private def cdcBounds(toksCol: Column): Column = {
     val n = size(toksCol)
     def gramAt(i: Column): Column =
       concat_ws(" ", slice(toksCol, i - 3, lit(4)))
@@ -1828,23 +1835,34 @@ object TextSim {
       .otherwise(array().cast("array<int>"))
     // interior boundaries only: strictly < n, so bounds is sorted+unique
     // by construction (no order-fragile distinct needed)
-    val bounds = concat(array(lit(0)), filter(bpos, x => x < n), array(n))
-    when(n >= 1,
+    concat(array(lit(0)), filter(bpos, x => x < n), array(n))
+  }
+
+  /** Chunk hashes given the token array AND its pre-computed bounds
+    * column — both must be plain attributes at the call site so each is
+    * evaluated once per row. */
+  private def cdcChunksOf(toksCol: Column, bounds: Column): Column =
+    when(size(toksCol) >= 1,
       transform(sequence(lit(1), size(bounds) - 1), k =>
         md5(concat_ws(" ", slice(toksCol,
           element_at(bounds, k) + 1,
           element_at(bounds, k + 1) - element_at(bounds, k))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   def q229CdcChunkDedup(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val copies = base.where(pmod(col("doc_id"), lit(30)) === 0)
       .select((col("doc_id") + 200000).as("doc_id"),
               concat(lit("zq zr "), col("text")).as("text"))
+    // stepwise projection: toks and bounds are materialized as columns
+    // so tokenization runs once and every gram is hashed once per row
+    // (CollapseProject keeps multi-referenced non-cheap aliases apart)
     val chunked = base.unionByName(copies)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), cdcBounds(col("toks")).as("bnd"))
       .select(col("doc_id"),
-              explode(array_distinct(cdcChunks(tokens(col("text"))))).as("h"))
+              explode(array_distinct(cdcChunksOf(col("toks"), col("bnd"))))
+                .as("h"))
     val srcEx = chunked.where(col("doc_id") < 200000 &&
         pmod(col("doc_id"), lit(30)) === 0)
       .select(col("doc_id").as("src_id"), col("h"))
@@ -1940,16 +1958,21 @@ object TextSim {
       .select((col("doc_id") + 700000).as("doc_id"),
         expr("slice(toks, 1, (size(toks) + 1) div 2)").as("toks"))
     val corpus = base.unionByName(frags)
+    // the posting list feeds four consumers (df cap, per-doc counts,
+    // both sides of the containment self-join) — materialized once so
+    // the tokenize+shingle+hash pipeline is not re-evaluated per branch
     val posts = corpus.select(col("doc_id"),
         explode(shingles(col("toks"))).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("g"))
+      .localCheckpoint()
     val keepG = posts.groupBy(col("g"))
       .agg(count(lit(1)).as("dfg"))
       .where(col("dfg") <= MaxShingleDf)
       .select(col("g"))
     val p = posts.join(keepG, "g")
     val nshF = p.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val pn = p.join(nshF, "doc_id")
+    // both sides of the self-join read the same counted posting list
+    val pn = p.join(nshF, "doc_id").localCheckpoint()
     val pairs = pn.as("a").join(pn.as("b"),
         col("a.g") === col("b.g") && col("a.nsh") < col("b.nsh"))
       .groupBy(col("a.doc_id").as("frag_id"), col("b.doc_id").as("host_id"),
