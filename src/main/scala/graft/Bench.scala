@@ -10,14 +10,20 @@ import org.apache.spark.sql.SparkSession
   * every output column through the full plan without any I/O cost.
   *
   * Measurement protocol:
-  *  - one untimed warm-up pass absorbs JVM/codegen/parquet-footer cost;
-  *  - each query is then timed over `SPARK_GRAFT_BENCH_PASSES` passes
+  *  - each query is timed over `SPARK_GRAFT_BENCH_PASSES` passes
   *    (default 3) and reported as the MIN, so round-over-round deltas
   *    outrank JIT/GC noise. Passes are PASS-MAJOR (pass 1 runs every
   *    query, then pass 2, ...) so that shared intermediates released at
   *    pass boundaries — the dup-cluster label memo below — are priced
   *    exactly once per pass by whichever query computes them first,
   *    mirroring how a production session would share them;
+  *  - r15 measurement fix: the separate UNTIMED warm-up sweep is now
+  *    opt-in (`SPARK_GRAFT_BENCH_WARMUP=1`) instead of default. It cost
+  *    a full extra pass (~25% of the run) and pushed the 348-query
+  *    32-core run past the driver's budget (BENCH_r14: rc 124, all
+  *    numbers lost). Pass 1 now absorbs JVM/codegen/parquet-footer
+  *    warm-up; with min-of-3 the reported number still comes from the
+  *    warm passes 2..3, so the statistic is unchanged;
   *  - a query that throws is reported as -1 with its message in the
   *    `errors` object and a stderr warning — a failure can never shrink
   *    the total (it is excluded from the sum, never counted as ~0 s);
@@ -32,7 +38,24 @@ import org.apache.spark.sql.SparkSession
   *    splitmix64 finalizer, nominally ~1 s, min of 3) is emitted with
   *    the results so every BENCH_rN carries its own machine-speed
   *    factor — cross-round comparisons divide by it instead of
-  *    reconstructing host drift after the fact.
+  *    reconstructing host drift after the fact. r15 fix: both probes
+  *    run FIRST (same work, same statistic), because BENCH_r14 was
+  *    killed at its budget *inside the post-run ioProbe* — after all
+  *    timed passes had finished — and every measured number died
+  *    unwritten;
+  *  - r15 crash-safety fix: BENCH_FULL.json is rewritten incrementally
+  *    after every query run (outside the timed bracket; `"partial":
+  *    true` until the final write), so a budget kill at any point
+  *    leaves the driver a parseable file with every number measured so
+  *    far instead of nothing;
+  *  - r15 stdout fix: the driver keeps only the last 2000 chars of
+  *    stdout, and the compact per-query map (~4.2 KB at 348 queries)
+  *    overflowed that window — BENCH_r13 had rc 0 yet parsed: null,
+  *    the line cut mid-map. The stdout line now includes the per-query
+  *    map only when the whole line fits in 1950 chars (it still does
+  *    for SPARK_GRAFT_BENCH_ONLY subsets); otherwise `queries` is `{}`
+  *    on stdout and the full map lives in BENCH_FULL.json, which the
+  *    driver reads for per-query numbers.
   */
 object Bench {
 
@@ -66,7 +89,10 @@ object Bench {
     * + page-cache bandwidth + scheduler dispatch at the bench's own
     * parallelism. Cross-round diffs now separate machine from plan by
     * construction: CPU-bound drift moves probe_sec, I/O-bound drift
-    * moves io_probe_sec, plan regressions move neither.
+    * moves io_probe_sec, plan regressions move neither. The probe's
+    * definition (frame, passes, statistic) is unchanged since r9 so the
+    * series stays comparable; only its POSITION moved to the start of
+    * the run (see the protocol note above).
     */
   private def ioProbe(spark: SparkSession): Double = {
     val dir = sys.props("java.io.tmpdir") + "/graft-bench-ioprobe"
@@ -89,7 +115,8 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1,
       s"SPARK_GRAFT_BENCH_PASSES must be >= 1 (got $passes) — " +
-      "a zero-pass run would burn the warm-up sweep then crash on empty.min")
+      "a zero-pass run would crash on empty.min")
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,6 +124,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Probes FIRST (r15): a budget kill late in the run can no longer
+    // take the calibration numbers down with it.
+    val probeSec = calibrationProbe()
+    val ioProbeSec = ioProbe(spark)
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val calib = s"""{"probe_sec":${fmt(probeSec)},"nominal_sec":1.0,"io_probe_sec":${fmt(ioProbeSec)}}"""
     // NB: cache clearing runs OUTSIDE the timed bracket — the unpersist
     // cost of a run must not be charged to the query (min-of-passes
     // cannot remove a systematic overhead).
@@ -110,24 +143,48 @@ object Bench {
       .filter { case (n, _) =>
         only.forall(f => f.contains(n) || f.contains(n.split("_").head)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // warm-up (untimed): full pass over every query
-    names.foreach { case (n, fn) =>
-      try run(fn) catch {
-        case e: Throwable => errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
-      }
-      spark.catalog.clearCache()
-    }
-    ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
-    ops.Similarity.clearNnGraphCache()
+    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    names.foreach { case (n, _) => times(n) = Nil }
+    def clearSharedMemos(): Unit = {
+      ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
+      ops.Similarity.clearNnGraphCache()
       ops.Corpus.clearLrCache()
-    sources.SnapshotStore.clearCdcCache()
-    ops.IndexMaintain.clearIndexFixtureCache()
+      sources.SnapshotStore.clearCdcCache()
+      ops.IndexMaintain.clearIndexFixtureCache()
+    }
+    def errJson = errors.map { case (k, v) =>
+      "\"" + JsonUtil.escape(k) + "\":\"" + JsonUtil.escape(v) + "\"" }
+      .mkString("{", ",", "}")
+    // Incremental crash-safe recording: rewrite BENCH_FULL.json after
+    // every query (cheap — a ~20 KB local file, written outside the
+    // timed bracket). Queries not yet measured in any pass are omitted
+    // from a partial file rather than reported as -1, so a truncated
+    // run is never mistaken for a run full of failures.
+    def writeFull(partial: Boolean, passesDone: Int): Unit = {
+      val measured = names.collect {
+        case (n, _) if errors.contains(n) || times(n).nonEmpty =>
+          n -> (if (errors.contains(n) || times(n).isEmpty) -1.0 else times(n).min)
+      }
+      val total = measured.collect { case (_, v) if v >= 0 => v }.sum
+      val fullQs = measured.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val partialJson = if (partial) s""","partial":true,"passes_done":$passesDone""" else ""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"passes":$passes,"calibration":$calib,"sf":"$sfDir"$partialJson}""")
+    }
+    if (warmup) {
+      names.foreach { case (n, fn) =>
+        try run(fn) catch {
+          case e: Throwable => errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
+        spark.catalog.clearCache()
+      }
+      clearSharedMemos()
+    }
     // timed passes, PASS-MAJOR (see protocol note above). A failed query
     // is decided after its first failure — remaining passes would burn
     // the same failure latency for the same -1.
-    val times = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    names.foreach { case (n, _) => times(n) = Nil }
-    (1 to passes).foreach { _ =>
+    (1 to passes).foreach { p =>
       names.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
           val t0 = System.nanoTime()
@@ -139,46 +196,37 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           }
           spark.catalog.clearCache()
+          writeFull(partial = true, passesDone = p - 1)
         }
       }
-      ops.Graph.clearLabelCache(); ops.Similarity.clearKmeansCache()
-    ops.Similarity.clearNnGraphCache()
-      ops.Corpus.clearLrCache()
-    sources.SnapshotStore.clearCdcCache()
-    ops.IndexMaintain.clearIndexFixtureCache()
+      clearSharedMemos()
     }
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name) || times(name).isEmpty) -1.0
                else times(name).min)
     }
-    val probeSec = calibrationProbe()
-    val ioProbeSec = ioProbe(spark)
     errors.foreach { case (n, m) =>
       System.err.println(s"[bench] WARNING: $n FAILED: $m")
     }
-    val errJson = errors.map { case (k, v) =>
-      "\"" + JsonUtil.escape(k) + "\":\"" + JsonUtil.escape(v) + "\"" }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    writeFull(partial = false, passesDone = passes)
     // stdout line must stay COMPACT: the driver keeps only the last
-    // 2000 chars of stdout, and a 95-query map with full names and
-    // full-precision doubles (~3.6 KB) overflowed it every round, so
-    // the per-query numbers were unparseable (BENCH_r0N.json parsed:
-    // null, tail cut mid-map). qNN keys + 3-decimal values fit with
-    // room to spare; the full-name full-precision map goes to
-    // BENCH_FULL.json next to the repo for human diffing.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val calib = s"""{"probe_sec":${fmt(probeSec)},"nominal_sec":1.0,"io_probe_sec":${fmt(ioProbeSec)}}"""
+    // 2000 chars of stdout. qNN keys + 3-decimal values fit a ~130-query
+    // subset; at the full 348-query surface the map alone is ~4.2 KB, so
+    // the per-query map is included only when the WHOLE line fits in
+    // 1950 chars — otherwise `queries` is `{}` here and the full-name
+    // full-precision map is read from BENCH_FULL.json (already final on
+    // disk at this point).
     val shortKeys = results.map { case (k, v) => k.split("_").head -> v }
     val qs = (if (shortKeys.map(_._1).distinct.size == results.size) shortKeys
               else results)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"passes":$passes,"calibration":$calib,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"calibration":$calib,"sf":"$sfDir"}""")
+    def line(qJson: String, eJson: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"passes":$passes,"calibration":$calib,"sf":"$sfDir"}"""
+    val candidates = Seq(line(qs, errJson), line("{}", errJson),
+      line("{}", s"""{"n_errors":"${errors.size}"}"""))
+    println(candidates.find(_.length <= 1950).getOrElse(candidates.last))
     spark.stop()
   }
 }

@@ -167,6 +167,90 @@ object SnapshotStore {
     s"count=$count0\nschema=${df.schema.toDDL}\n" + fileLines.mkString("\n")
   }
 
+  /** Per-file (row count, integral min/max) recovered from the parquet
+    * FOOTER the write just produced — the metadata-only twin of the
+    * read-back stats scan (r15, guide §1.2/§5/§6). Footer statistics
+    * for fixed-width types are exact (no binary truncation), so for the
+    * manifest's integral stat columns the footer answers are the SAME
+    * longs the column scan computes, at ~KB of metadata per file
+    * instead of a Spark job over the freshly written bytes. `ok=false`
+    * marks a file whose footer lacks statistics for a wanted column
+    * that holds values (parquet-mr always writes int stats, so this is
+    * a defensive escape hatch, not an expected path) — the caller falls
+    * back to the scan.
+    */
+  private case class FooterStats(rows: Long,
+                                 mm: Map[String, (Long, Long)], ok: Boolean)
+
+  private def footerStatsOf(conf: org.apache.hadoop.conf.Configuration,
+                            p: String, want: Set[String]): FooterStats = {
+    import scala.jdk.CollectionConverters._
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(p), conf))
+    try {
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      var ok = true
+      val mm = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (want.contains(name)) {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) {
+              if (c.getValueCount > 0) ok = false
+            } else if (st.hasNonNullValue) {
+              val mn = st.genericGetMin.asInstanceOf[Number].longValue
+              val mx = st.genericGetMax.asInstanceOf[Number].longValue
+              val merged = mm.get(name) match {
+                case Some((a, b2)) => (math.min(a, mn), math.max(b2, mx))
+                case None => (mn, mx)
+              }
+              mm(name) = merged
+            } // hasNonNullValue=false: all-null chunk — contributes no stats,
+              // exactly like min()/max() ignoring nulls in the scan twin
+          }
+        }
+      }
+      FooterStats(rows, mm.toMap, ok)
+    } finally rdr.close()
+  }
+
+  /** Manifest file lines + total count from footers alone (no Spark
+    * job). Partition columns are not stored in the data files; their
+    * min = max = the hive dir value parsed from the file's rel path —
+    * the same number the read-back scan derives from partition
+    * discovery (an unparseable/NULL partition value contributes no
+    * stats, like an all-null column). Returns None when any footer
+    * lacks stats for a wanted column (caller falls back to the scan).
+    */
+  private def footerStatLines(spark: SparkSession, files: Seq[String],
+                              dirName: String, statCols: Seq[String])
+      : Option[(Long, Seq[String])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val per = files.map { p =>
+      val st = footerStatsOf(conf, p, statCols.toSet)
+      if (!st.ok) return None
+      p -> st
+    }
+    val count0 = per.map(_._2.rows).sum
+    // zero-row part files are dropped outright, mirroring the scan path
+    // (no rows ⇒ no stats ⇒ never prunable)
+    val lines = per.collect { case (p, st) if st.rows > 0 =>
+      val partVals = relPath(p, dirName).split('/').dropRight(1).toSeq
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      val parts = statCols.flatMap { c =>
+        st.mm.get(c).map { case (mn, mx) => s"$c=$mn..$mx" }
+          .orElse(partVals.get(c)
+            .flatMap(v => scala.util.Try(v.toLong).toOption)
+            .map(v => s"$c=$v..$v"))
+      }
+      if (parts.isEmpty) p else p + "\t" + parts.mkString(",")
+    }
+    Some((count0, lines))
+  }
+
   /** [[stageBody]]'s engine, returning (row count, manifest file lines)
     * so a MERGE can splice freshly staged lines together with lines
     * carried over from the previous version.
@@ -189,6 +273,16 @@ object SnapshotStore {
       case fld if Seq("tinyint", "smallint", "int", "bigint")
         .contains(fld.dataType.simpleString) => fld.name
     }.toSeq
+    // Bloom-free publishes take the footer fast path: counts + integral
+    // min/max from the write's own metadata, zero read-back jobs. Bloom
+    // side files genuinely need the column BYTES, so those publishes
+    // keep the one combined stats+bloom scan below.
+    if (bloomCols.isEmpty) {
+      footerStatLines(spark, files, dataDir.getName, statCols) match {
+        case Some(res) => return res
+        case None => // fall through to the scan twin
+      }
+    }
     // reading the dir root auto-discovers hive partition dirs, so a
     // PARTITION column contributes per-file stats like any other — with
     // min = max = the dir's value. Partition pruning thereby IS min/max
@@ -1961,16 +2055,28 @@ object SnapshotStore {
       s"batch is missing table columns ${schema.fieldNames
         .filterNot(n => batchLower.contains(n.toLowerCase)).mkString(",")}")
     val ops = upper(col(opCol))
-    // NULL op must be caught here: `!isin` is NULL for NULL input (row
-    // filtered OUT of the probe), and a null-op row downstream would
-    // silently act as a delete — key suppresses its pre-image, no
-    // post-image appends
-    val badOps = batch.where(ops.isNull || !ops.isin("I", "U", "D"))
-      .limit(1).count()
+    // ONE grouped probe (r15, guide §5): bad-op detection, duplicate-key
+    // detection, upsert presence and the distinct-key count all fold
+    // into a single two-level aggregate action (was: two limit-probes +
+    // an isEmpty + a capped key collect — four driver actions per
+    // batch). NULL op must still be caught here: `!isin` is NULL for
+    // NULL input, and a null-op row downstream would silently act as a
+    // delete — the when() below counts NULL explicitly. Guard ORDER and
+    // messages are unchanged (bad ops first, then duplicates).
+    val keyed = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+           sum(when(ops.isNull || !ops.isin("I", "U", "D"), 1L)
+             .otherwise(0L)).as("_bad"),
+           sum(when(ops.isin("I", "U"), 1L).otherwise(0L)).as("_ups"))
+    val probeRow = keyed.agg(
+        coalesce(sum(col("_bad")), lit(0L)),
+        coalesce(max(col("_n")), lit(0L)),
+        coalesce(sum(col("_ups")), lit(0L)),
+        count(lit(1))).head()
+    val (badOps, maxPerKey, nUpserts, nKeys) = (probeRow.getLong(0),
+      probeRow.getLong(1), probeRow.getLong(2), probeRow.getLong(3))
     require(badOps == 0, s"op column $opCol has values outside I/U/D")
-    val dup = batch.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
-    require(dup == 0,
+    require(maxPerKey <= 1,
       "CDC batch has duplicate keys — per-batch apply order is ambiguous")
     val conformed = batch.select(schema.fields.toIndexedSeq
       .map(fl => col(fl.name).cast(fl.dataType).as(fl.name)) :+
@@ -1997,24 +2103,29 @@ object SnapshotStore {
             case _ => false
           }))
         if (!integral) allFilesUnpruned
+        // nKeys is known from the fused probe, so an oversized batch
+        // skips the key collect outright (it used to collect cap+1 rows
+        // only to discard them)
+        else if (nKeys > CdcPruneCap) allFilesUnpruned
         else {
           // null keys equi-join-match nothing — they can't suppress,
-          // so they don't constrain pruning either
-          val ks = conformed.select(col(kc).cast("long"))
-            .where(col(kc).isNotNull).distinct()
-            .limit(CdcPruneCap + 1).collect().map(_.getLong(0))
-          if (ks.length > CdcPruneCap) allFilesUnpruned
-          else {
-            val sorted = ks.sorted
-            val physKc = physOf(colmap, kc) // stats are keyed physically
-            val stats = statsOf(spark, table, v).toMap
-            allFilesUnpruned.filter { p =>
-              stats(p).get(physKc).forall { case (mn, mx) =>
-                // any batch key in [mn, mx]? binary search the sorted keys
-                val i = java.util.Arrays.binarySearch(sorted, mn)
-                val at = if (i >= 0) i else -i - 1
-                at < sorted.length && sorted(at) <= mx
-              }
+          // so they don't constrain pruning either. The collect reads
+          // the per-key probe frame (≤ CdcPruneCap rows), cast through
+          // the TABLE key type exactly as `conformed` casts rows.
+          val tblType = schema.fields
+            .find(_.name.equalsIgnoreCase(kc)).get.dataType
+          val ks = keyed.select(col(kc).cast(tblType).cast("long").as("_k"))
+            .where(col("_k").isNotNull)
+            .collect().map(_.getLong(0)).distinct
+          val sorted = ks.sorted
+          val physKc = physOf(colmap, kc) // stats are keyed physically
+          val stats = statsOf(spark, table, v).toMap
+          allFilesUnpruned.filter { p =>
+            stats(p).get(physKc).forall { case (mn, mx) =>
+              // any batch key in [mn, mx]? binary search the sorted keys
+              val i = java.util.Arrays.binarySearch(sorted, mn)
+              val at = if (i >= 0) i else -i - 1
+              at < sorted.length && sorted(at) <= mx
             }
           }
         }
@@ -2035,8 +2146,13 @@ object SnapshotStore {
           .join(conformed.select(keyCols.map(col): _*), keyCols, "left_semi")
           .select(col("_k").as("k"), col("_pos").as("pos"))
           .localCheckpoint()
-        val touched = newDv.select(col("k")).distinct()
-          .collect().map(_.getString(0)).toSet
+        // one collect of the per-file position counts (≤ |touched
+        // files| rows over the checkpointed DV) yields BOTH the touched
+        // key set and the suppressed total — r15 §5, was a distinct
+        // collect plus a separate count action
+        val perFile = newDv.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .collect()
+        val touched = perFile.map(_.getString(0)).toSet
         if (touched.isEmpty) (touched, 0L, None)
         else {
           val oldDirs = touched.flatMap(refs.get).toSeq.distinct.sorted
@@ -2047,11 +2163,12 @@ object SnapshotStore {
               .where(col("k").isin(touched.toSeq: _*)))
           val full = carried.fold(newDv)(newDv.unionAll).distinct()
             .localCheckpoint()
-          (touched, newDv.count(), Some(full))
+          (touched, perFile.map(_.getLong(1)).sum, Some(full))
         }
       }
-    // delete-only batches stage no data files; the dir still hosts the DV
-    val hasUpserts = !upserts.isEmpty
+    // delete-only batches stage no data files; the dir still hosts the
+    // DV. Upsert presence comes from the fused probe (no isEmpty action).
+    val hasUpserts = nUpserts > 0L
     val (stagedCount, stagedLines) =
       if (hasUpserts)
         stageFiles(toPhysical(upserts, colmap), dataDir,

@@ -1577,4 +1577,58 @@ class SnapshotStoreSpec extends SparkSpec {
       "vacuum must expire the unique staging dir with its version")
     assert(SnapshotStore.read(spark, t).count() === 260L)
   }
+
+  test("footer-stats publish ≡ read-back-scan stats (r15 fast path): " +
+      "ints, negatives, per-file all-null, partition dirs, null partition") {
+    // The r15 publish fast path derives count + integral min/max from
+    // the parquet FOOTERS; a publish with bloom columns still runs the
+    // read-back scan. Publishing the SAME frame through both paths must
+    // commit byte-equivalent stats and counts — per file, in order
+    // (identical repartition ⇒ identical part-index layout, and
+    // statsOf/listing order is sorted by path, i.e. by part index).
+    def statsSeq(t: String) =
+      SnapshotStore.statsOf(spark, t, 1).map(_._2)
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("neg", (lit(100L) - col("id") * 3).cast("bigint"))
+      .withColumn("small", (col("id") % 7).cast("int"))
+      .withColumn("v",
+        when(col("id") < 200, col("id")).otherwise(lit(null)).cast("bigint"))
+      .withColumn("s", concat(lit("r-"), col("id")))
+      .withColumn("b", floor(col("id") / 100))
+      .repartition(8, col("b")).drop("b")
+    val t1 = freshTable("footer-plain")
+    val t2 = freshTable("footer-scan")
+    SnapshotStore.publish(df, t1)                        // footer path
+    SnapshotStore.publish(df, t2, bloomCols = Seq("s"))  // scan twin
+    assert(SnapshotStore.countOf(spark, t1, 1)
+      === SnapshotStore.countOf(spark, t2, 1))
+    assert(statsSeq(t1) === statsSeq(t2))
+    assert(statsSeq(t1).exists(_.get("neg").exists(_._1 < 0L)),
+      "negative min must survive the footer path")
+    assert(statsSeq(t1).exists(m => !m.contains("v")),
+      "an all-null file column must contribute no stats on both paths")
+    // partitioned layout incl. a NULL partition value
+    val pdf = spark.range(0, 300).toDF("id")
+      .withColumn("p",
+        when(col("id") % 3 === 2, lit(null)).otherwise(col("id") % 3)
+          .cast("bigint"))
+      .withColumn("s", concat(lit("x-"), col("id")))
+    val t3 = freshTable("footer-part")
+    val t4 = freshTable("footer-part-scan")
+    SnapshotStore.publish(pdf, t3, partitionBy = Seq("p"))
+    SnapshotStore.publish(pdf, t4, bloomCols = Seq("s"),
+      partitionBy = Seq("p"))
+    assert(SnapshotStore.countOf(spark, t3, 1)
+      === SnapshotStore.countOf(spark, t4, 1))
+    assert(statsSeq(t3) === statsSeq(t4))
+    assert(statsSeq(t3).exists(_.get("p").exists(mm => mm._1 === mm._2)),
+      "partition-dir min=max stats must survive the footer path")
+    assert(statsSeq(t3).exists(m => !m.contains("p")),
+      "the NULL partition dir must contribute no p stats on both paths")
+    // and the committed tables read back identically
+    assert(SnapshotStore.read(spark, t3).select("id", "s")
+      .as[(Long, String)].collect().toSet
+      === SnapshotStore.read(spark, t4).select("id", "s")
+        .as[(Long, String)].collect().toSet)
+  }
 }
