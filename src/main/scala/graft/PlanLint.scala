@@ -159,7 +159,17 @@ object PlanLint {
           out += Finding("expand", e.nodeName,
             "multi-distinct Expand: input replicated per distinct column " +
               "before the shuffle")
-        case w: WindowExec if w.partitionSpec.isEmpty =>
+        // The one EXEMPT empty-partition window: the prefix-sum
+        // machinery's offsets cumulation (Windows.prefixSum step 2).
+        // Its input is the per-(group, bucket) TOTALS aggregate — at
+        // most |groups| × nBuckets (default 1024) rows AT ANY SCALE by
+        // construction — recognizable by the `__pfx_bt` totals column
+        // in the window child's output. Every other empty-partition
+        // window still flags (r15: the q164/q174/q175/q271/q277/q132/
+        // q291 global windows were converted to this machinery, so the
+        // rule now ENFORCES that no unbounded global window returns).
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !w.child.output.exists(_.name == "__pfx_bt") =>
           out += Finding("global-window", w.nodeName,
             "empty PARTITION BY — the whole input sorts through one task")
         case w: WindowExec if w.partitionSpec.forall(e =>
@@ -305,50 +315,42 @@ object PlanLint {
     "q104_quantized_topk" -> Set("nested-loop", "cartesian"),
     "q111_pq_topk" -> Set("nested-loop", "cartesian"),
     // q206–q208: the k-means trainer crossJoins the 1-row folded
-    // codebook (the ivfAssigned idiom), the seed ranking is a global
-    // window over a LIMIT-k (≤8-row) frame, and the exact-recall twin
-    // is q49's broadcast 5-query BNLJ — all bounded builds, never a
-    // data-sized cartesian
-    "q206_kmeans_codebook" -> Set("nested-loop", "cartesian",
-                                  "global-window"),
-    "q207_kmeans_ivf_recall" -> Set("nested-loop", "cartesian",
-                                    "global-window"),
+    // codebook (the ivfAssigned idiom) and the exact-recall twin is
+    // q49's broadcast 5-query BNLJ — all bounded builds, never a
+    // data-sized cartesian. (r15: the ≤8-row seed ranking window became
+    // a single-row aggregate + posexplode, so the global-window
+    // allowance is gone from the whole trainer family.)
+    "q206_kmeans_codebook" -> Set("nested-loop", "cartesian"),
+    "q207_kmeans_ivf_recall" -> Set("nested-loop", "cartesian"),
     // q317: inherits the trainer's 1-row folded-codebook crossJoin and
     // ≤8-row seed window; the probe-recall exact side is q49's
     // broadcast 10-query BNLJ; the global census is a 1-row crossJoin —
     // all bounded builds, never a data-sized cartesian
-    "q317_nndescent_knn" -> Set("nested-loop", "cartesian",
-                                "global-window"),
+    "q317_nndescent_knn" -> Set("nested-loop", "cartesian"),
     // q322: the graph trainer's bounded builds + a 4-row entry-point
     // crossJoin and the broadcast 10-probe scoring BNLJ
-    "q322_nn_beam_serve" -> Set("nested-loop", "cartesian",
-                                "global-window"),
+    "q322_nn_beam_serve" -> Set("nested-loop", "cartesian"),
     // q324: the trainer's bounded builds + a 4-row entry crossJoin, the
     // broadcast 10-probe exact side, and the 1-row maintained-graph
     // stat crossJoin — batch-side scoring is plain equi-joins
-    "q324_nn_incremental_insert" -> Set("nested-loop", "cartesian",
-                                        "global-window"),
+    "q324_nn_incremental_insert" -> Set("nested-loop", "cartesian"),
     // q334: q324's shapes inverted — trainer's bounded builds, the
     // broadcast survivor-probe exact side, the 1-row maintained-graph
     // stat crossJoin; all repair joins are damage-restricted equi-joins
-    "q334_nn_incremental_delete" -> Set("nested-loop", "cartesian",
-                                        "global-window"),
+    "q334_nn_incremental_delete" -> Set("nested-loop", "cartesian"),
     // q342: q324 + q334's shapes chained (the 4-entry placement
     // crossJoin, the broadcast survivor-probe exact side, the 1-row
     // stat crossJoin); every feed-driven membership is a semi/anti
     // equi-join
-    "q342_index_follows_table" -> Set("nested-loop", "cartesian",
-                                      "global-window"),
+    "q342_index_follows_table" -> Set("nested-loop", "cartesian"),
     // q343: q342's census shapes over the PUBLISHED index (the same
     // broadcast probe panel + 1-row stat/lineage crossJoins); the live
     // subscriber's maintenance joins are all semi/anti equi-joins
-    "q343_durable_index" -> Set("nested-loop", "cartesian",
-                                "global-window"),
+    "q343_durable_index" -> Set("nested-loop", "cartesian"),
     // q348: q322's bounded serve shapes replayed twice over the
     // published index versions (4-entry crossJoins + broadcast probe
     // scoring BNLJs)
-    "q348_index_asof_serve" -> Set("nested-loop", "cartesian",
-                                   "global-window"),
+    "q348_index_asof_serve" -> Set("nested-loop", "cartesian"),
     // q325: q322's bounded builds + the probe × 8-centroid broadcast
     // cell ranking and the 1-row stat crossJoins — never data-sized
     // q331: q322's bounded builds + the 32-row layer crossJoin, the
@@ -363,25 +365,20 @@ object PlanLint {
     // 16-row anchor broadcast adds one more bounded crossJoin)
     "q341_nn_hnsw_clustered" -> Set("nested-loop", "cartesian",
                                     "global-window"),
-    "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian",
-                                     "global-window"),
+    "q325_nn_ivf_entry_serve" -> Set("nested-loop", "cartesian"),
     // q345: the probe × 8-centroid broadcast cell ranking, the 2-row
     // filter-tier cross and the broadcast 8-probe scoring BNLJ — all
     // bounded; candidates/filters are cell/key equi- and semi-joins
-    "q345_filtered_ann" -> Set("nested-loop", "cartesian",
-                               "global-window"),
+    "q345_filtered_ann" -> Set("nested-loop", "cartesian"),
     // q347: q322's bounded serve shapes (4-entry crossJoin, broadcast
     // 10-probe scoring BNLJ) + the 2-row filter-tier cross; the filter
     // itself is a key equi-join on the visited set
-    "q347_filtered_graph_serve" -> Set("nested-loop", "cartesian",
-                                       "global-window"),
-    "q208_pq_learned_recall" -> Set("nested-loop", "cartesian",
-                                    "global-window"),
+    "q347_filtered_graph_serve" -> Set("nested-loop", "cartesian"),
+    "q208_pq_learned_recall" -> Set("nested-loop", "cartesian"),
     // q219: q207's probe shapes reused as a miner (1-row folded
-    // codebook cross + ≤8-row seed window); the anchor↔candidate join
-    // itself is a cid equi-join, never a cartesian
-    "q219_hard_negatives" -> Set("nested-loop", "cartesian",
-                                 "global-window"),
+    // codebook cross); the anchor↔candidate join itself is a cid
+    // equi-join, never a cartesian
+    "q219_hard_negatives" -> Set("nested-loop", "cartesian"),
     // q209: the LR trainer crossJoins the 1-row corpus-count frame into
     // the 65-row weight update — broadcast algebra, the q85/q103 idiom
     "q209_quality_classifier" -> Set("nested-loop", "cartesian"),
@@ -398,14 +395,11 @@ object PlanLint {
     "q217_cluster_silhouette" -> Set("nested-loop", "cartesian"),
     // q212/q213: same trainer shapes as q206 over document tf vectors
     // (+ q213's 1-row min-cluster-size cross)
-    "q212_doc_clusters" -> Set("nested-loop", "cartesian",
-                               "global-window"),
-    "q213_cluster_balanced_sample" -> Set("nested-loop", "cartesian",
-                                          "global-window"),
+    "q212_doc_clusters" -> Set("nested-loop", "cartesian"),
+    "q213_cluster_balanced_sample" -> Set("nested-loop", "cartesian"),
     "q131_jl_projection" -> Set("nested-loop"),
-    "q132_zorder" -> Set("global-window"),
-    // q291: q132's ntile-as-repartitionByRange stand-in, three layouts
-    "q291_hilbert_layout" -> Set("global-window"),
+    // q132/q291 (r15): the fact-sized ntile(64) layouts converted to
+    // Windows.ntileScaled — entries dropped, the rule enforces it.
     // Insights batch (q162-q180): every flagged nested-loop is a ≤10-row
     // derived frame (grand total, min/max pair, decile cuts, marginal
     // count) crossJoined back — broadcast algebra, not a data-sized scan.
@@ -431,13 +425,15 @@ object PlanLint {
     // q195: the 1-row min-class-size frame crosses back
     "q195_class_balance" -> Set("nested-loop", "cartesian"),
     "q163_basket_affinity" -> Set("nested-loop", "cartesian"),
-    "q164_rfm_segments" -> Set("global-window"),
+    // q164 (r15): ntile(4)×3 converted to Windows.ntileScaled — the
+    // global-window allowance is gone; the rule now enforces it.
     "q167_chisq_independence" -> Set("nested-loop", "cartesian"),
     "q168_benford_screen" -> Set("nested-loop", "cartesian"),
     "q169_entropy_profile" -> Set("nested-loop", "cartesian"),
     "q171_triangle_count" -> Set("nested-loop", "cartesian"),
-    "q174_ks_test" -> Set("nested-loop", "cartesian", "global-window"),
-    "q175_gini" -> Set("global-window"),
+    // q174/q175 (r15): cumulative ECDF / Gini rank converted to the
+    // scalable prefix sum; only the 1-row totals crossJoin remains
+    "q174_ks_test" -> Set("nested-loop", "cartesian"),
     "q176_acf" -> Set("global-window"),
     "q178_cusum_changepoint" -> Set("global-window", "nested-loop",
       "cartesian"),
@@ -513,9 +509,8 @@ object PlanLint {
     "q268_feature_attribution" -> Set("nested-loop", "cartesian"),
     // q269: the 1-row trigram total crossJoined into the path counts
     "q269_journey_paths" -> Set("nested-loop", "cartesian"),
-    // q271: the doubled-midrank window runs over the cents HISTOGRAM
-    // (q250 shape), never per-row ranks
-    "q271_mann_whitney" -> Set("global-window"),
+    // q271 (r15): the midrank cumulation converted to the scalable
+    // prefix sum — no allowance needed; entry dropped.
     // q270: the 1-row L1-normalization totals crossJoined back each
     // half-step (PageRank's scalar-broadcast shape)
     "q270_hits" -> Set("nested-loop", "cartesian"),
@@ -530,7 +525,7 @@ object PlanLint {
                                     "exact-percentile"),
     // q277: the ECDF window runs over the cents HISTOGRAM (q271 shape);
     // the 1-row totals frame crossJoins back
-    "q277_ks_test" -> Set("nested-loop", "cartesian", "global-window"),
+    "q277_ks_test" -> Set("nested-loop", "cartesian"), // r15: ECDF → prefix sum
     // q278: the 1-row pool-mean frame crossJoins the |labels|-row census
     "q278_mmd_drift" -> Set("nested-loop", "cartesian"),
     // q280: percentile_disc over the per-user REDUCED latency frame

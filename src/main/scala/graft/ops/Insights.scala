@@ -127,27 +127,35 @@ object Insights {
 
   // ─── q164: RFM segmentation ───────────────────────────────────────────
   // Score every customer 1–4 on Recency / Frequency / Monetary via
-  // ntile(4), then report the segment grid. The per-customer rollup is a
-  // single hash-agg over orders; the three ntile windows are GLOBAL
-  // sorts — fine for a |customers|-sized frame (the fact is already
-  // reduced), but the honest 100 TB note: with ~1e9 customers you'd
-  // replace exact ntile with approx_percentile cut-points (3 numbers per
-  // axis, broadcast) exactly as q99 routes clip bounds through a sketch —
-  // same output contract, no global sort. Ties broken by o_custkey so
-  // both engines assign identical tiles.
+  // exact ntile(4), then report the segment grid. The per-customer
+  // rollup is a single hash-agg over orders. r15 (guide §2.5): the
+  // three tile assignments were GLOBAL ntile windows — three
+  // single-partition sorts of the whole customer frame, the shape that
+  // serializes at 1e9 customers — and are now [[Windows.ntileScaled]]:
+  // the dense position comes from range-bucketed local windows + a
+  // broadcast offsets frame, the tile from the SQL-standard arithmetic
+  // on (position, N). EXACTLY the same tiles (ties broken by o_custkey
+  // so the order is total); the oracle twin still says ntile. The
+  // customer frame is checkpointed once — the three axis pipelines and
+  // their bounds aggregates read one materialization, not four
+  // re-aggregations of orders.
   def q164RfmSegments(s: SparkSession, d: String): DataFrame = {
     val cust = orders(s, d).groupBy("o_custkey").agg(
       max(col("o_orderdate")).as("recency"),
       count(lit(1)).as("frequency"),
       sum(col("o_totalprice")).as("monetary"))
-    val r = Window.orderBy(col("recency").desc, col("o_custkey"))
-    val f = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val m = Window.orderBy(col("monetary").desc, col("o_custkey"))
-    cust.select(
-        ntile(4).over(r).cast("long").as("r_score"),
-        ntile(4).over(f).cast("long").as("f_score"),
-        ntile(4).over(m).cast("long").as("m_score"),
-        col("monetary"))
+      .localCheckpoint()
+    // range-aligned bucket keys for the DESC orders: negate a monotone
+    // integer image of the leading sort column (day number / count /
+    // truncated monetary); one shared bounds aggregate for all 3 axes
+    val scored = Windows.ntileScaledMulti(cust, Seq(
+      (-unix_date(to_date(col("recency"))),
+        Seq(col("recency").desc, col("o_custkey")), "r_score"),
+      (-col("frequency"),
+        Seq(col("frequency").desc, col("o_custkey")), "f_score"),
+      (-col("monetary"),
+        Seq(col("monetary").desc, col("o_custkey")), "m_score")), 4)
+    scored
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
            round(avg(col("monetary")), 2).as("avg_monetary"))
@@ -532,23 +540,27 @@ object Insights {
   // ─── q174: two-sample Kolmogorov–Smirnov statistic ────────────────────
   // Distributional A/B comparison: D = max |F_click(x) − F_purchase(x)|
   // over the pooled support. Grouping by exact value first makes the
-  // ECDF step function tie-safe and deterministic; the cumulative sums
-  // are one global-sort window over the DISTINCT value domain (already
-  // reduced from the fact). 100 TB path: quantize values into ~1e4 bins
-  // first (binned ECDF bounds D within 1/bins) — the q96/q99 sketch
-  // stance; the exact form is the oracle-checked semantics.
+  // ECDF step function tie-safe and deterministic. r15 (guide §2.5):
+  // the two cumulative sums over the DISTINCT value domain were one
+  // global-sort window — a single-partition sort of the whole support,
+  // which is data-sized for a continuous metric — and are now the
+  // scalable [[Windows.prefixSumScaled]] (exact: the summed counts are
+  // integers). The value histogram is checkpointed once so the two
+  // chained prefix passes and the totals read one materialization.
   def q174KsTest(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
       .where(col("event_type").isin("click", "purchase"))
       .groupBy("value")
       .agg(count_if(col("event_type") === "click").as("ca"),
            count_if(col("event_type") === "purchase").as("cb"))
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .localCheckpoint()
     val tot = e.agg(sum(col("ca")).cast("double").as("na"),
                     sum(col("cb")).cast("double").as("nb"))
-    e.select(sum(col("ca")).over(w).as("cuma"),
-             sum(col("cb")).over(w).as("cumb"))
+    val cum = Windows.prefixSumScaled(
+      Windows.prefixSumScaled(e, Seq.empty, col("value"),
+        Seq(col("value")), col("ca"), "cuma"),
+      Seq.empty, col("value"), Seq(col("value")), col("cb"), "cumb")
+    cum.select(col("cuma"), col("cumb"))
       .crossJoin(broadcast(tot))
       .agg(round(max(abs(col("cuma").cast("double") / col("na")
                        - col("cumb").cast("double") / col("nb"))), 6)
@@ -582,15 +594,17 @@ object Insights {
   // "What share of revenue do the top customers own" collapsed to the
   // standard inequality index: G = 2·Σ i·r_i / (n·Σ r) − (n+1)/n over
   // revenues sorted ascending (ties broken by custkey so both engines
-  // rank identically). Per-customer revenue is one hash-agg; the ranked
-  // sum is one global-sort window over the reduced |customers| frame —
-  // same scale posture (and the same sketch escape hatch) as q164's
-  // ntile note.
+  // rank identically). Per-customer revenue is one hash-agg. r15
+  // (guide §2.5): the rank i was a global row_number window — a
+  // single-partition sort of the whole customer frame — and is now the
+  // scalable [[Windows.densePosScaled]] (a prefix sum of 1s: exact
+  // integer positions, identical ranks under the same total order).
   def q175Gini(s: SparkSession, d: String): DataFrame = {
     val rev = orders(s, d).groupBy("o_custkey")
       .agg(sum(col("o_totalprice")).as("r"))
-    val w = Window.orderBy(col("r"), col("o_custkey"))
-    rev.select(col("r"), row_number().over(w).cast("double").as("i"))
+    Windows.densePosScaled(rev, Seq.empty, col("r"),
+        Seq(col("r"), col("o_custkey")), "ipos")
+      .select(col("r"), col("ipos").cast("double").as("i"))
       .agg(sum(col("i") * col("r")).as("sip"),
            count(lit(1)).cast("double").as("n"), sum(col("r")).as("tot"))
       .select(
@@ -1829,11 +1843,14 @@ object Insights {
         when(col("seg") === "BUILDING", 1L).otherwise(0L).as("g1"))
     val hist = o.groupBy(col("cents"))
       .agg(sum(col("g1")).as("n1v"), sum(lit(1L) - col("g1")).as("n2v"))
-    val wCum = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val ranked = hist
-      .withColumn("lcum",
-        coalesce(sum(col("n1v") + col("n2v")).over(wCum), lit(0L)))
+      .localCheckpoint() // one materialization for the prefix machinery
+    // r15 (guide §2.5): the exclusive cumulative count over the cents
+    // histogram was a global window (single-partition sort of the whole
+    // value domain); now the scalable prefix sum — inclusive prefix
+    // minus the current bin, exact integers, identical lcum values.
+    val ranked = Windows.prefixSumScaled(hist, Seq.empty, col("cents"),
+        Seq(col("cents")), col("n1v") + col("n2v"), "icum")
+      .withColumn("lcum", col("icum") - (col("n1v") + col("n2v")))
       .select(col("n1v"), col("n2v"),
         (col("n1v") * (lit(2L) * col("lcum") + col("n1v") + col("n2v") +
           1L)).as("r1x2_part"))
@@ -1994,15 +2011,20 @@ object Insights {
       .where(col("seg").isin("BUILDING", "MACHINERY"))
       .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
         when(col("seg") === "BUILDING", 1L).otherwise(0L).as("g1"))
+    // checkpointed once: the totals broadcast and the two chained
+    // prefix passes read one materialization of the histogram
     val hist = o.groupBy(col("cents"))
       .agg(sum(col("g1")).as("n1v"), sum(lit(1L) - col("g1")).as("n2v"))
+      .localCheckpoint()
     val tot = broadcast(hist.agg(sum(col("n1v")).as("n1"),
       sum(col("n2v")).as("n2")))
-    val wCum = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist
-      .withColumn("c1", sum(col("n1v")).over(wCum))
-      .withColumn("c2", sum(col("n2v")).over(wCum))
+    // r15 (guide §2.5): two global cumulative windows over the cents
+    // histogram → two chained scalable prefix sums (exact integer
+    // counts, identical c1/c2)
+    Windows.prefixSumScaled(
+        Windows.prefixSumScaled(hist, Seq.empty,
+          col("cents"), Seq(col("cents")), col("n1v"), "c1"),
+        Seq.empty, col("cents"), Seq(col("cents")), col("n2v"), "c2")
       .crossJoin(tot)
       .groupBy(col("n1"), col("n2"))
       .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))

@@ -1250,12 +1250,17 @@ object Similarity {
   def kmeansCodebooks(emb: DataFrame, mCount: Int, w: Int, k: Int,
                       iters: Int): DataFrame = {
     val p = pieces(emb, mCount, w).localCheckpoint()
+    // r15: the ≤k-row seed ranking was a row_number window with no
+    // partition (bounded by the preceding limit, but still a WindowExec
+    // warning + an extra sort). One single-row aggregate + posexplode
+    // assigns the same 0-based cid under the same (hh, vec_id) order.
     val seedIds = emb
       .select(col("vec_id"), md5(col("vec_id").cast("string")).as("hh"))
       .orderBy(col("hh"), col("vec_id")).limit(k)
-      .select(col("vec_id"),
-        (row_number().over(Window.orderBy(col("hh"), col("vec_id"))) - 1)
-          .as("cid"))
+      .agg(sort_array(collect_list(struct(col("hh"), col("vec_id"))))
+        .as("arr"))
+      .select(posexplode(col("arr")).as(Seq("cid", "sv")))
+      .select(col("sv.vec_id").as("vec_id"), col("cid"))
     var cents = seedIds.join(p, "vec_id")
       .select(col("m"), col("cid"), col("sub").as("carr"))
     for (_ <- 1 to iters) {

@@ -88,12 +88,20 @@ object Skew {
       least(lit(255), floor(datediff(col("o_orderdate"),
         lit("1992-01-01").cast("date")) / 10).cast("int")).as("qx"),
       least(lit(255), floor(col("o_totalprice") / 2400).cast("int")).as("qy"))
+    // checkpointed once: both layout pipelines (bounds, positions,
+    // offsets) read one materialization instead of re-scanning orders
     val keyed = base
       .withColumn("zkey",
         expr(morton("qx", "qy", (c, b) => s"shiftright($c, $b)")))
+      .localCheckpoint()
+    // r15 (guide §2.5): the 64-way layout assignment was a GLOBAL ntile
+    // window over the full fact — the entire orders table moved to ONE
+    // partition per layout. Now [[Windows.ntileScaled]]: identical
+    // bucket assignment (total order via the o_orderkey tiebreak), no
+    // single-partition sort. The oracle twin still says ntile.
     def layout(name: String, ordCol: Column) = {
-      val w = Window.orderBy(ordCol, col("o_orderkey"))
-      keyed.withColumn("bucket", ntile(ZBuckets).over(w))
+      Windows.ntileScaled(keyed, ordCol,
+          Seq(ordCol, col("o_orderkey")), ZBuckets, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
              min(col("qx")).as("x0"), max(col("qx")).as("x1"),
@@ -169,14 +177,17 @@ object Skew {
       least(lit(255), floor(datediff(col("o_orderdate"),
         lit("1992-01-01").cast("date")) / 10).cast("int")).as("qx"),
       least(lit(255), floor(col("o_totalprice") / 2400).cast("int")).as("qy"))
+    // checkpointed once: all three layout pipelines read one
+    // materialization (see q132's r15 note — same global-ntile fix)
     val keyed = base
       .withColumn("zkey",
         expr(morton("qx", "qy", (c, b) => s"shiftright($c, $b)")))
       .withColumn("hkey", graft.expr.HilbertFunctions.hilbert_index(
         col("qx").cast("long"), col("qy").cast("long")))
+      .localCheckpoint()
     def layout(name: String, ordCol: Column) = {
-      val w = Window.orderBy(ordCol, col("o_orderkey"))
-      keyed.withColumn("bucket", ntile(ZBuckets).over(w))
+      Windows.ntileScaled(keyed, ordCol,
+          Seq(ordCol, col("o_orderkey")), ZBuckets, "bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
              min(col("qx")).as("x0"), max(col("qx")).as("x1"),

@@ -70,16 +70,18 @@ object Unigram {
       .groupBy(col("piece")).agg(sum(col("cnt")).as("w"))
 
   /** Chars unconditionally + top-`keep` multi-char pieces by
-    * (weight desc, piece asc). The ranking window is global ON PURPOSE:
-    * its input is the vocab-candidate dimension, never the corpus. */
+    * (weight desc, piece asc). r15 (guide §2.5): the top-keep cut was a
+    * global row_number window — a single-partition sort of the whole
+    * candidate dimension, which grows with the corpus vocabulary — and
+    * is now orderBy+limit: TakeOrderedAndProject keeps a k-row heap per
+    * partition and merges, no global sort. (w, piece) is a total order
+    * on the grouped candidates, so the kept SET is identical. */
   private def cutVocab(cands: DataFrame, chars: DataFrame,
                        keep: Int): DataFrame =
     chars.join(cands, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("w"), lit(0L)).as("w"))
       .unionAll(cands.where(length(col("piece")) >= 2)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("w").desc, col("piece"))))
-        .where(col("rn") <= keep).drop("rn"))
+        .orderBy(col("w").desc, col("piece")).limit(keep))
 
   /** E-step: Viterbi paths under `vocab` via the native kernel; the
     * vocab is collected (driver-bounded) into literal arrays. */

@@ -140,6 +140,70 @@ object Windows {
                      nBuckets: Int = DefaultBuckets): DataFrame =
     prefixSumScaled(df, group, key, order, lit(1L), out, nBuckets)
 
+  /** Exact global `ntile(n) OVER (ORDER BY order)` without the
+    * single-partition sort (r15, guide §2.5): the dense position comes
+    * from the input-scaled prefix-sum machinery above, the total row
+    * count N rides the same one-row bounds broadcast, and the tile is
+    * the SQL-standard arithmetic both engines implement — with
+    * q = N div n and r = N mod n, the first r tiles hold q+1 rows, so
+    *
+    *   tile(pos) = (pos−1) div (q+1) + 1              for pos ≤ r·(q+1)
+    *             = r + (pos − r·(q+1) − 1) div q + 1   otherwise.
+    *
+    * (When N < n, q = 0: every row satisfies pos ≤ r·1, first branch,
+    * tile = pos — exactly ntile's degenerate case. The dead q=0
+    * division in the other branch is never selected; non-ANSI div
+    * yields null, not an error.) Output type is LONG (callers of the
+    * window form all cast). `key` must be non-null and range-aligned
+    * with `order` — the [[prefixSum]] contract.
+    */
+  def ntileScaled(df: DataFrame, key: Column, order: Seq[Column], n: Int,
+                  out: String, nBuckets: Int = DefaultBuckets): DataFrame =
+    ntileScaledMulti(df, Seq((key, order, out)), n, nBuckets)
+
+  /** Several independent exact global ntile(n) columns over ONE frame
+    * (q164's three RFM axes) with a SINGLE shared bounds/count
+    * aggregate and broadcast. Each axis still pays its own prefix-sum
+    * reshuffle — three different total orders are three shuffles in any
+    * plan, exactly like the three sorts of the window form — but the
+    * bounds scan, the N, and the q/r tile arithmetic are computed once.
+    */
+  def ntileScaledMulti(df: DataFrame,
+                       axes: Seq[(Column, Seq[Column], String)], n: Int,
+                       nBuckets: Int = DefaultBuckets): DataFrame = {
+    val aggs = axes.zipWithIndex.flatMap { case ((k, _, _), i) =>
+      Seq(min(k.cast("long")).as(s"__nt_mn$i"),
+          max(k.cast("long")).as(s"__nt_mx$i")) } :+
+      count(lit(1)).as("__nt_nn")
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__nt_one", pmod(col("__nt_nn"), lit(1L)))
+    // constant-valued join key written over the column (the
+    // prefixSumScaled idiom): plans as a BroadcastHashJoin, lint-clean
+    var cur = df
+      .withColumn("__nt_one", pmod(axes.head._1.cast("long"), lit(1L)))
+      .join(broadcast(bounds), "__nt_one")
+      .withColumn("__nt_q", expr(s"__nt_nn div $n"))
+      .withColumn("__nt_r", col("__nt_nn") - col("__nt_q") * n)
+      .drop("__nt_one")
+    axes.zipWithIndex.foreach { case ((k, order, out), i) =>
+      val withB = cur.withColumn("__nt_rb",
+        floor((k.cast("long") - col(s"__nt_mn$i")).cast("double") * nBuckets /
+              (col(s"__nt_mx$i") - col(s"__nt_mn$i") + lit(1L)).cast("double"))
+          .cast("long"))
+      cur = prefixSum(withB, Seq.empty, col("__nt_rb"), order, lit(1L),
+          "__nt_pos")
+        .withColumn(out,
+          when(col("__nt_pos") <= col("__nt_r") * (col("__nt_q") + 1L),
+            expr("(__nt_pos - 1) div (__nt_q + 1) + 1"))
+            .otherwise(expr(
+              "__nt_r + (__nt_pos - __nt_r * (__nt_q + 1) - 1) div __nt_q" +
+                " + 1")))
+        .drop("__nt_rb", "__nt_pos")
+    }
+    cur.drop(axes.indices.flatMap(i =>
+        Seq(s"__nt_mn$i", s"__nt_mx$i")) ++ Seq("__nt_nn", "__nt_q", "__nt_r"): _*)
+  }
+
   // ─── q11: top-3 orders per customer (ranking) ──────────────────────────
   def q11TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

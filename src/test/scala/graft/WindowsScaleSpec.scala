@@ -90,6 +90,39 @@ class WindowsScaleSpec extends SparkSpec {
     assert(b.count() == docs.count())
   }
 
+  test("ntileScaled / ntileScaledMulti reproduce global ntile exactly, " +
+       "including N % n remainders, DESC orders and N < n") {
+    // r15: the q164/q132/q291 global ntile windows were replaced by the
+    // positional arithmetic — the tile assignment must be cell-identical
+    // for every remainder class of N mod n and for descending orders
+    // with negated bucket keys (the RFM shape)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n"))
+      .localCheckpoint()
+    for (take <- Seq(3, 97, 100, 101, 102, 103)) {
+      val df = docs.orderBy(col("doc_id")).limit(take).localCheckpoint()
+      val naive = df.withColumn("t",
+        ntile(4).over(Window.orderBy(col("n"), col("doc_id"))).cast("long"))
+      val scaled = Windows.ntileScaled(df, col("n"),
+        Seq(col("n"), col("doc_id")), 4, "t", nBuckets = 16)
+      assert(naive.exceptAll(scaled.select(naive.columns.map(col): _*)).isEmpty
+        && scaled.select(naive.columns.map(col): _*).exceptAll(naive).isEmpty,
+        s"ntileScaled diverged from ntile at N=$take")
+    }
+    // multi-axis with a DESC order and a negated key (the q164 shape)
+    val naive2 = docs
+      .withColumn("a", ntile(4).over(
+        Window.orderBy(col("n").desc, col("doc_id"))).cast("long"))
+      .withColumn("b", ntile(4).over(
+        Window.orderBy(col("doc_id"))).cast("long"))
+    val scaled2 = Windows.ntileScaledMulti(docs, Seq(
+      (-col("n"), Seq(col("n").desc, col("doc_id")), "a"),
+      (col("doc_id"), Seq(col("doc_id")), "b")), 4, nBuckets = 32)
+    assert(naive2.exceptAll(scaled2.select(naive2.columns.map(col): _*)).isEmpty
+      && scaled2.select(naive2.columns.map(col): _*).exceptAll(naive2).isEmpty,
+      "ntileScaledMulti diverged from the ntile windows")
+  }
+
   test("hexBucket is range-aligned with lexicographic hash order") {
     val hashed = Tables.documents(spark, sfDir)
       .select(md5(concat(lit("x:"), col("doc_id").cast("string"))).as("h"))
