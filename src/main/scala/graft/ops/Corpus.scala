@@ -2725,12 +2725,15 @@ object Corpus {
              lit(DsirBuckets.toLong)).as("j"))
       .groupBy(col("doc_id"), col("lang"), col("j"))
       .agg(count(lit(1)).as("c"))
-    val rawDist = perDocJ.groupBy(col("j")).agg(sum(col("c")).as("rc"))
-    val tgtDist = perDocJ.where(col("lang") === "en")
-      .groupBy(col("j")).agg(sum(col("c")).as("tc"))
+    // raw + target distributions in ONE aggregate over one derivation
+    // of perDocJ (r15, guide §2.4: they were two separate groupBys —
+    // two full tokenize→hash→group passes — and a second join)
+    val bothDist = perDocJ.groupBy(col("j"))
+      .agg(sum(col("c")).as("rc"),
+           sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"))
     // dense 64-row table (unseen buckets still need their smoothed mass)
     val dist = s.range(0, DsirBuckets.toLong).select(col("id").as("j"))
-      .join(rawDist, Seq("j"), "left").join(tgtDist, Seq("j"), "left")
+      .join(bothDist, Seq("j"), "left")
       .na.fill(0L, Seq("rc", "tc"))
     val tot = dist.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
     // log-ratios quantized to integer NANO units so the per-doc weight

@@ -155,16 +155,19 @@ object IndexMaintainer {
     if (!haveEdges) {
       // both wave inputs are referenced from many join branches below —
       // one checkpoint each replaces repeated parquet scans + manifest
-      // plans inside every wave materialization
-      val embEnd = SnapshotStore.read(s, cfg.vecTable, Some(srcEnd))
+      // plans inside every wave materialization. The checkpoint is
+      // taken PER ARM (r15): the retrain arm consumes only the key
+      // column, so materializing the full embedding column there was
+      // pure waste — it now checkpoints the key projection alone.
+      val embEndRaw = SnapshotStore.read(s, cfg.vecTable, Some(srcEnd))
         .select(col(cfg.keyCol).as("vec_id"), col(cfg.embCol).as("e"))
-        .localCheckpoint()
       val gFinal =
         if (fired)
           // the policy's mechanism: full retrain on the SURVIVORS —
           // membership as data (the table at the feed's end version)
-          cfg.retrain.get(embEnd.select("vec_id"))
+          cfg.retrain.get(embEndRaw.select("vec_id").localCheckpoint())
         else {
+          val embEnd = embEndRaw.localCheckpoint()
           val prevG = SnapshotStore.read(s, cfg.idxTable, Some(prevV))
             .select("u", "v", "bp").localCheckpoint()
           // graph tombstones: every feed-deleted key, plus any batch

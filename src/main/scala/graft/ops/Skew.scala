@@ -4,7 +4,6 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column}
-import org.apache.spark.sql.expressions.Window
 
 /** Skew mitigation by salting (build-brief "skewed keys → salting or AQE
   * skew-join").

@@ -2942,16 +2942,31 @@ object SnapshotStore {
         .localCheckpoint()
       maintained = retractApply(maintained, feed, dims, "n_chars")
         .localCheckpoint()
-      val cls = feed.groupBy(col("_change_type")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val m = maintained
-        .agg(count(lit(1)), sum(col("sum_val")), sum(col("cnt"))).head()
-      val sc = summarize(read(s, table, Some(v)))
-        .agg(count(lit(1)), sum(col("sum_val")), sum(col("cnt"))).head()
+      // ONE tagged-union aggregate per step (r15, guide §5): the feed
+      // class counters, the maintained totals and the from-scratch
+      // control totals were three separate driver actions — they now
+      // ride one grouped collect over three tiny tagged projections
+      def totals(df: DataFrame, side: String) = df.select(
+        lit(side).as("side"), lit("").as("k"),
+        lit(1L).as("c"), col("sum_val").cast("long").as("sv"), col("cnt"))
+      val rows = feed.select(lit("f").as("side"),
+          col("_change_type").as("k"), lit(1L).as("c"),
+          lit(0L).as("sv"), lit(0L).as("cnt"))
+        .unionAll(totals(maintained, "m"))
+        .unionAll(totals(summarize(read(s, table, Some(v))), "s"))
+        .groupBy(col("side"), col("k"))
+        .agg(sum(col("c")).as("c"), sum(col("sv")).as("sv"),
+             sum(col("cnt")).as("cnt"))
+        .collect()
+      val cls = rows.collect {
+        case r if r.getString(0) == "f" => r.getString(1) -> r.getLong(2)
+      }.toMap
+      def side(sd: String) = rows.find(_.getString(0) == sd).get
+      val (m, sc) = (side("m"), side("s"))
       (v.toLong, cls.getOrElse("delete", 0L), cls.getOrElse("insert", 0L),
         cls.getOrElse("update_preimage", 0L),
-        m.getLong(0), m.getLong(1), m.getLong(2),
-        sc.getLong(0), sc.getLong(1), sc.getLong(2))
+        m.getLong(2), m.getLong(3), m.getLong(4),
+        sc.getLong(2), sc.getLong(3), sc.getLong(4))
     }
     val spark = s; import spark.implicits._
     out.toDF("version", "n_del", "n_ins", "n_upd",
