@@ -3016,7 +3016,15 @@ object Similarity {
     for (_ <- 1 to NnHops) {
       val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
         .join(und, "u").select(col("q_id"), col("v")).distinct()
-      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+      // r15 (§2.3/§2.4): only UNSEEN candidates are scored. visited is a
+      // SET (entries unique; score is 1:1 on unique (q_id, v)), and bp is
+      // deterministic, so anti-join-then-plain-union is row-identical to
+      // union-then-distinct — it drops the full-frame distinct shuffle
+      // per hop AND the duplicate embedding fetches for re-visited
+      // vertices.
+      val fresh = nbrs.join(visited.select("q_id", "v"),
+        Seq("q_id", "v"), "left_anti")
+      visited = visited.unionAll(score(fresh)).localCheckpoint()
     }
     val answer = beamOf(visited).select("q_id", "v")
     val exact = emb.select(col("vec_id").as("c_id"), col("e").as("ce"))
@@ -3151,8 +3159,10 @@ object Similarity {
       for (_ <- 1 to hops) {
         val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
           .join(und, "u").select(col("q_id"), col("v")).distinct()
-        visited = visited.unionAll(score(nbrs)).distinct()
-          .localCheckpoint()
+        // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+        val fresh = nbrs.join(visited.select("q_id", "v"),
+          Seq("q_id", "v"), "left_anti")
+        visited = visited.unionAll(score(fresh)).localCheckpoint()
       }
       visited
     }
@@ -3386,8 +3396,10 @@ object Similarity {
       for (_ <- 1 to hops) {
         val nbrs = beamOf(visited, width).select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
-        visited = visited.unionAll(score(nbrs)).distinct()
-          .localCheckpoint()
+        // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+        val fresh = nbrs.join(visited.select("q_id", "v"),
+          Seq("q_id", "v"), "left_anti")
+        visited = visited.unionAll(score(fresh)).localCheckpoint()
       }
       visited
     }
@@ -3651,8 +3663,10 @@ object Similarity {
         val nbrs = beamOf(visited, width)
           .select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
-        visited = visited.unionAll(score(nbrs)).distinct()
-          .localCheckpoint()
+        // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+        val fresh = nbrs.join(visited.select("q_id", "v"),
+          Seq("q_id", "v"), "left_anti")
+        visited = visited.unionAll(score(fresh)).localCheckpoint()
       }
       visited
     }
@@ -3685,8 +3699,10 @@ object Similarity {
         expanded = expanded.unionAll(front)
         val nbrs = front.select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
-        visited = visited.unionAll(score(nbrs)).distinct()
-          .localCheckpoint()
+        // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+        val fresh = nbrs.join(visited.select("q_id", "v"),
+          Seq("q_id", "v"), "left_anti")
+        visited = visited.unionAll(score(fresh)).localCheckpoint()
       }
       visited
     }
@@ -4050,8 +4066,10 @@ object Similarity {
         val nbrs = beamOf(visited, width)
           .select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
-        visited = visited.unionAll(score(nbrs)).distinct()
-          .localCheckpoint()
+        // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+        val fresh = nbrs.join(visited.select("q_id", "v"),
+          Seq("q_id", "v"), "left_anti")
+        visited = visited.unionAll(score(fresh)).localCheckpoint()
       }
       visited
     }
@@ -4076,8 +4094,10 @@ object Similarity {
         expanded = expanded.unionAll(front)
         val nbrs = front.select(col("q_id"), col("v").as("u"))
           .join(adj, "u").select(col("q_id"), col("v")).distinct()
-        visited = visited.unionAll(score(nbrs)).distinct()
-          .localCheckpoint()
+        // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+        val fresh = nbrs.join(visited.select("q_id", "v"),
+          Seq("q_id", "v"), "left_anti")
+        visited = visited.unionAll(score(fresh)).localCheckpoint()
       }
       visited
     }
@@ -4444,7 +4464,10 @@ object Similarity {
     for (_ <- 1 to NnHops) {
       val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
         .join(und, "u").select(col("q_id"), col("v")).distinct()
-      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+      // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+      val fresh = nbrs.join(visited.select("q_id", "v"),
+        Seq("q_id", "v"), "left_anti")
+      visited = visited.unionAll(score(fresh)).localCheckpoint()
     }
     val fwd = visited
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
@@ -4812,7 +4835,10 @@ object Similarity {
     for (_ <- 1 to NnHops) {
       val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
         .join(und, "u").select(col("q_id"), col("v")).distinct()
-      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+      // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+      val fresh = nbrs.join(visited.select("q_id", "v"),
+        Seq("q_id", "v"), "left_anti")
+      visited = visited.unionAll(score(fresh)).localCheckpoint()
     }
     val fwd = visited
       .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
@@ -5244,7 +5270,10 @@ object Similarity {
     for (_ <- 1 to NnHops) {
       val nbrs = beamOf(visited).select(col("q_id"), col("v").as("u"))
         .join(und, "u").select(col("q_id"), col("v")).distinct()
-      visited = visited.unionAll(score(nbrs)).distinct().localCheckpoint()
+      // r15: anti-join-then-union ≡ union-then-distinct (q322 walk note)
+      val fresh = nbrs.join(visited.select("q_id", "v"),
+        Seq("q_id", "v"), "left_anti")
+      visited = visited.unionAll(score(fresh)).localCheckpoint()
     }
     val pass = lab.where(pmod(col("label"), lit(2)) === 0)
         .select(lit("half").as("filt"), col("vec_id").as("v"))

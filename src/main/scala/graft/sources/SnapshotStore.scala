@@ -3975,8 +3975,12 @@ object SnapshotStore {
         case (p, m) if m.get("o_orderkey")
           .exists { case (a, b) => b >= lo && a <= hi } => p
       }
-      val scanned = if (touched.isEmpty) 0L
-        else s.read.parquet(touched: _*).count()
+      // rows-scanned = raw rows of the touched files — the parquet
+      // footers answer that exactly (r15; was a count() scan job per
+      // census stage), keeping the whole probe metadata-only
+      val conf = s.sparkContext.hadoopConfiguration
+      val scanned = touched.map(p =>
+        footerStatsOf(conf, p, Set.empty).rows).sum
       (label, stats.size.toLong, touched.size.toLong, scanned,
         countOf(s, t, ver),
         cs.map(_.filesCarried.toLong).getOrElse(0L),
