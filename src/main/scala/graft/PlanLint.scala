@@ -482,8 +482,12 @@ object PlanLint {
     // HISTOGRAM (≤ distinct quantized scores, ≤1e6 for any model at
     // 6 dp), already reduced by the hash agg below it — q144 principle
     "q250_auc_census" -> Set("global-window"),
-    // q257: the 1-row decile-cut array crosses the score histogram
-    "q257_pr_sweep" -> Set("nested-loop", "cartesian"),
+    // q257: the 1-row decile-cut array crosses the score histogram.
+    // r15: the cuts read the memoized (checkpointed) scored frame, so
+    // the lint can no longer SEE the per-doc reduction below the
+    // checkpoint — same exact-percentile contract as q244 (the exact
+    // form is the oracle contract; approx_percentile is the 100 TB knob)
+    "q257_pr_sweep" -> Set("nested-loop", "cartesian", "exact-percentile"),
     // q259: the 1-row mean / v / stats frames crossJoined back into the
     // corpus pass each power-iteration round (the k-means folded-state
     // idiom — every build side is exactly one row)

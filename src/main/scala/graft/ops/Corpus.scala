@@ -1389,16 +1389,31 @@ object Corpus {
   private val lrMemo = scala.collection.concurrent.TrieMap
     .empty[(Int, String), DataFrame]
 
-  def clearLrCache(): Unit = lrMemo.clear()
+  /** Session-scoped memo of the SCORED corpus under the memoized
+    * weights — the lrMemo discipline one step further (r15, guide §5):
+    * eight census queries (q209/q244/q250/q257/q264/q281/q282/q293)
+    * score the IDENTICAL corpus under the IDENTICAL weight frame, and
+    * each re-ran the tokenize→hash→aggregate feature pass to do it.
+    * One session prices that pass once; the memoized frame is a slim
+    * (doc_id, y, s) localCheckpoint, cleared with [[clearLrCache]] at
+    * bench/soak pass boundaries like every session memo.
+    */
+  private val lrScoresMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  def clearLrCache(): Unit = { lrMemo.clear(); lrScoresMemo.clear() }
 
   private def lrWeightsFor(s: SparkSession, d: String): DataFrame =
     lrMemo.getOrElseUpdate((System.identityHashCode(s), d),
       trainQualityLr(s, documents(s, d), LrEpochs))
 
+  private def lrScoresFor(s: SparkSession, d: String): DataFrame =
+    lrScoresMemo.getOrElseUpdate((System.identityHashCode(s), d),
+      lrScores(lrFeatures(documents(s, d)), lrWeightsFor(s, d))
+        .localCheckpoint())
+
   def q209QualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    lrScores(lrFeatures(docs), w)
+    lrScoresFor(s, d)
       .where(col("doc_id") % 17 === 0)
       .select(col("doc_id"), col("y").cast("long").as("y"),
               round(col("s"), 6).as("score"),
@@ -1474,9 +1489,7 @@ object Corpus {
   // aggregate over the per-doc frame crossJoined back as a 1-row
   // broadcast (q226's contract — approx_percentile is the 100 TB knob).
   def q244CalibrationCensus(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    val scored = lrScores(lrFeatures(docs), w)
+    val scored = lrScoresFor(s, d)
       .select(col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
     val cuts = scored.agg(array((1 to 9).map(k =>
@@ -1623,9 +1636,7 @@ object Corpus {
   // cut can leave an empty positive set (every micro ≤ cut), reported
   // as precision 0 by convention on both engines.
   def q257PrSweep(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    val hist = lrScores(lrFeatures(docs), w)
+    val hist = lrScoresFor(s, d)
       .select(col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
       .groupBy(col("micro"))
@@ -1633,7 +1644,7 @@ object Corpus {
            count_if(col("y") === 0L).as("ne"))
     // cuts come from the ROW-level frame exactly as q244's (a percentile
     // over the histogram would mis-weight); 1-row broadcast array
-    val scored = lrScores(lrFeatures(docs), w)
+    val scored = lrScoresFor(s, d)
       .select(col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
     val cutArr = scored.agg(array((1 to 9).map(k =>
@@ -1725,11 +1736,9 @@ object Corpus {
   // micro HISTOGRAM (the q250 shape), never per-doc rows; q̂ and k ride
   // 1-row broadcasts.
   def q264ConformalGate(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
     val h2 = substring(
       md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
-    val scored = lrScores(lrFeatures(docs), w)
+    val scored = lrScoresFor(s, d)
       .select(col("doc_id"), col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"),
         when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
@@ -1956,8 +1965,7 @@ object Corpus {
   // 1-row reference rides a broadcast.
   def q281DisparateImpact(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    val scored = lrScores(lrFeatures(docs), w)
+    val scored = lrScoresFor(s, d)
       .select(col("doc_id"), when(col("s") >= 0.5, 1L).otherwise(0L)
         .as("pass"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -2015,9 +2023,7 @@ object Corpus {
   // carries per (band, y) counts plus the suspect id checksum — WHICH
   // docs are suspect is pinned cross-engine, not just how many.
   def q282SuspectLabels(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    val scored = lrScores(lrFeatures(docs), w)
+    val scored = lrScoresFor(s, d)
       .select(col("doc_id"), col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
     val cuts = broadcast(scored.agg(
@@ -2078,9 +2084,7 @@ object Corpus {
   // decile rates next to the isotonic fit; monotonicity of the fit is
   // spec-asserted (CorpusSpec) and the minimax form GUARANTEES it.
   def q293IsotonicCalibration(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    val scored = lrScores(lrFeatures(docs), w)
+    val scored = lrScoresFor(s, d)
       .select(col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
     val cuts = scored.agg(array((1 to 9).map(k =>
@@ -3948,9 +3952,7 @@ object Corpus {
   // INTEGER numerator/denominator (auc_num2 / auc_den2, both exact) and
   // the 6-dp double only as a convenience projection.
   def q250AucCensus(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val w = lrWeightsFor(s, d)
-    val hist = lrScores(lrFeatures(docs), w)
+    val hist = lrScoresFor(s, d)
       .select(col("y").cast("long").as("y"),
         round(col("s") * 1e6, 0).cast("long").as("micro"))
       .groupBy(col("micro"))

@@ -1365,8 +1365,11 @@ object Graph {
   // map-side combined. The 3-row leak frames join the 3-row census —
   // nothing here grows beyond the pair count.
   def q222LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    // materialized once (r15, §5): the verified-pair pipeline feeds the
+    // CC fixpoint AND the pair-split leak joins — unchecked it re-ran
+    // the whole tokenize→minhash→verify pipeline per consumer
     val pairs = TextSim.minhashPairs(s, d, TextSim.DefaultK, TextSim.DefaultB)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val comp = connectedComponents(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
       "src", "dst")
@@ -1376,12 +1379,15 @@ object Graph {
     }
     val corpus = TextSim.dedupCorpus(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    // materialized once (r15, §5): three consumers (both pair-split
+    // sides and the census) read one assignment pass
     val assigned = corpus
       .join(comp, corpus("doc_id") === comp("node"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .withColumn("split", splitOf(col("cluster_id")))
       .withColumn("doc_split", splitOf(col("doc_id")))
+      .localCheckpoint()
     val a = assigned.select(col("doc_id").as("doc_a"),
       col("split").as("split_a"), col("doc_split").as("dsplit_a"))
     val b = assigned.select(col("doc_id").as("doc_b"),

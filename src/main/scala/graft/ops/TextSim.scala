@@ -1408,11 +1408,19 @@ object TextSim {
       .where(col("doc_a") < 100000L && col("doc_b") < 100000L)
       .select(col("doc_a"), col("doc_b"))
     val truth = q203PrefixFilterJoin(s, d).select(col("doc_a"), col("doc_b"))
-    val nDet = det.agg(count(lit(1)).as("n_detected"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    val nCorrect = det.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_correct"))
-    nDet.crossJoin(broadcast(nCorrect)).crossJoin(broadcast(nTruth))
+    // ONE full-outer-join census (r15, guide §2.4/§5): the three counts
+    // used to re-derive the detector and truth pipelines across three
+    // aggregate branches (det twice, truth twice — each a full
+    // tokenize+shingle pass when exchange reuse misses); both pipelines
+    // now derive exactly once. Pairs are UNIQUE on both sides (each
+    // pipeline distinct-s its candidates before the 1:1 doc joins), so
+    // the full join preserves all three counts exactly.
+    det.withColumn("_d", lit(1L))
+      .join(truth.withColumn("_t", lit(1L)), Seq("doc_a", "doc_b"), "full")
+      .agg(count(col("_d")).as("n_detected"),
+           count(when(col("_d").isNotNull && col("_t").isNotNull, 1L))
+             .as("n_correct"),
+           count(col("_t")).as("n_truth"))
       .select(col("n_detected"), col("n_correct"), col("n_truth"),
         round(col("n_correct") / col("n_detected"), 4).as("precision"),
         round(col("n_correct") / col("n_truth"), 4).as("recall"))
